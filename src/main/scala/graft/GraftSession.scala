@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Tuned for the driver's local[32] harness but with settings that scale to
+  * a real cluster: AQE on (runtime re-planning, skew-join splitting,
+  * partition coalescing), shuffle partitions sized to the local parallelism
+  * rather than the 200 default, and UTC so timestamp semantics match the
+  * DuckDB oracle.
+  */
+object GraftSession {
+
+  /** Build (or reuse) a session. `cpus` controls local parallelism AND the
+    * shuffle-partition count — on a real cluster you'd leave
+    * `spark.sql.shuffle.partitions` higher and let AQE coalesce.
+    */
+  def local(cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
+            appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+      // events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type, so
+      // read them as LongType (epoch nanos) and convert explicitly.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,13 +1,261 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Driver contract — the correctness gate (see /root/repo/SURVEY.md §2 for
+  * the operator inventory each query covers).
+  *
+  * Conventions shared by every query:
+  *  - every computed column is aliased IDENTICALLY here and in `oracleSql`
+  *    (driver hash-compares by sorted column name);
+  *  - aggregate outputs over doubles use exact integer cents
+  *    (`graft.cents`) or min/max, never order-dependent double sums, so
+  *    Spark and DuckDB hashes agree bit-for-bit at any parallelism;
+  *  - SUMs in oracle SQL are CAST(... AS BIGINT) because DuckDB widens
+  *    integer sums to INT128 while Spark stays on LongType.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String)(name: String): DataFrame =
+    table(s, dir, name)
+
+  /** Flagship query on sf=0.001 (reference benchmark query 2 shape,
+    * `test_commands.txt:7`): customer ⨝ nation ⨝ region, distinct keys.
+    * nation/region are broadcast; no full shuffle of customer.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val T = t(spark, dir) _
+    T("customer")
+      .join(broadcast(T("nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T("region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey")).distinct()
+  }
+
+  // ───────────────────────── core RA parity (SURVEY §2.1) ─────────────────
+
+  /** #1 Scan + π: plain columnar scan with pruned ReadSchema. */
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("region").select(col("r_regionkey"), col("r_name"))
+
+  /** #3 σ equality — the reference's whole predicate language
+    * (reference benchmark query 1, `test_commands.txt:5`). Filter is
+    * pushed into the parquet scan.
+    */
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("customer")
+      .filter(col("c_custkey") === 42)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+
+  /** #3 σ full predicate set — range, IN, LIKE, AND/OR (all beyond the
+    * reference's EQ/AND-only surface, SURVEY §2.2).
+    */
+  private def q03(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("lineitem")
+      .filter(col("l_quantity") >= 30 && col("l_discount") < lit(0.05)
+        && col("l_returnflag").isin("A", "R")
+        && col("l_linestatus").like("F%"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"))
+
+  /** #4 π + implicit DISTINCT (the reference's set semantics). */
+  private def q04(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("customer")
+      .select(col("c_mktsegment"), col("c_nationkey")).distinct()
+
+  /** #2 ρ — attribute renames (Catalyst SubqueryAlias / Project). */
+  private def q05(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("customer")
+      .select(col("c_custkey").as("cust_id"), col("c_name").as("cust_name"),
+        col("c_nationkey").as("nation_id"))
+
+  /** #5 × — Cartesian product (IR-only in the reference; executable here). */
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("region").select(col("r_name"))
+      .crossJoin(t(s, dir)("nation").select(col("n_name")))
+
+  /** #6 ⨝ chain — reference benchmark query 2: two broadcast joins. */
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    val T = t(s, dir) _
+    T("customer")
+      .join(broadcast(T("nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T("region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey")).distinct()
+  }
+
+  /** #6 ⨝ 3-way with filters — reference benchmark queries 3/4 adapted to
+    * the fixture schema. Filters are pushed below the joins by Catalyst
+    * (the reference needs its R2 rewrite for this).
+    */
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    val T = t(s, dir) _
+    T("customer").filter(col("c_mktsegment") === "HOUSEHOLD")
+      .join(T("orders"), col("c_custkey") === col("o_custkey"))
+      .join(T("lineitem").filter(col("l_returnflag") === "A"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("c_name"), col("o_orderkey"), col("l_linenumber"))
+      .distinct()
+  }
+
+  /** #6 multi-key conjunctive equi-join (reference
+    * `tests/test_ra2mr.py:270-273`) — here as a self-join on the lineitem
+    * compound key.
+    */
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    val l1 = t(s, dir)("lineitem").alias("l1")
+    val l2 = t(s, dir)("lineitem").alias("l2")
+    l1.join(l2,
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+        col("l1.l_linenumber") === col("l2.l_linenumber"))
+      .select(col("l1.l_orderkey").as("okey"),
+        col("l1.l_linenumber").as("lnum"),
+        col("l2.l_quantity").as("qty"))
+  }
+
+  /** #2+#6 self-join through ρ (reference `tests/test_ra2mr.py:265-268`):
+    * same-nation customer pairs, aggregated so output stays bounded.
+    */
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    val c1 = t(s, dir)("customer").alias("c1")
+    val c2 = t(s, dir)("customer").alias("c2")
+    c1.join(c2, col("c1.c_nationkey") === col("c2.c_nationkey") &&
+        col("c1.c_custkey") < col("c2.c_custkey"))
+      .groupBy(col("c1.c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("pairs"))
+  }
+
+  // ─────────────── aggregation breadth (none in reference, §2.3) ──────────
+
+  /** TPC-H Q1-shaped pricing summary. Partial (map-side) aggregation +
+    * single shuffle on the 6-ish group keys.
+    */
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("sum_disc_c"))
+
+  /** GROUP BY + HAVING. */
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 12)
+
+  /** COUNT(DISTINCT) — planned as a two-phase expand + aggregate. */
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("customer")
+      .groupBy(col("c_nationkey"))
+      .agg(countDistinct(col("c_mktsegment")).as("segs"),
+        count(lit(1)).as("n_cust"))
+
+  /** ROLLUP grouping sets. */
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val T = t(s, dir) _
+    T("nation")
+      .join(broadcast(T("region")), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** min/max (order-independent double aggs) + exact integer-cents mean. */
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("customer")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        floor(sum(cents(col("c_acctbal"))) / count(lit(1)))
+          .cast("long").as("avg_bal_c"))
+
+  // ─────────────────────────── contract maps ──────────────────────────────
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_project"   -> (q01 _),
+    "q02_filter_eq"      -> (q02 _),
+    "q03_filter_complex" -> (q03 _),
+    "q04_project_distinct" -> (q04 _),
+    "q05_rename"         -> (q05 _),
+    "q06_cross"          -> (q06 _),
+    "q07_join_bcast"     -> (q07 _),
+    "q08_join_3way"      -> (q08 _),
+    "q09_join_multikey"  -> (q09 _),
+    "q10_selfjoin_agg"   -> (q10 _),
+    "q11_agg_pricing"    -> (q11 _),
+    "q12_agg_having"     -> (q12 _),
+    "q13_distinct_agg"   -> (q13 _),
+    "q14_rollup"         -> (q14 _),
+    "q15_minmax_avg"     -> (q15 _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_project" ->
+      "SELECT r_regionkey, r_name FROM region",
+    "q02_filter_eq" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey = 42",
+    "q03_filter_complex" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+         WHERE l_quantity >= 30 AND l_discount < 0.05
+           AND l_returnflag IN ('A','R') AND l_linestatus LIKE 'F%'""",
+    "q04_project_distinct" ->
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    "q05_rename" ->
+      """SELECT c_custkey AS cust_id, c_name AS cust_name,
+                c_nationkey AS nation_id FROM customer""",
+    "q06_cross" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "q07_join_bcast" ->
+      """SELECT DISTINCT c_custkey FROM customer, nation, region
+         WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey""",
+    "q08_join_3way" ->
+      """SELECT DISTINCT c_name, o_orderkey, l_linenumber
+         FROM customer, orders, lineitem
+         WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+           AND l_returnflag = 'A' AND c_mktsegment = 'HOUSEHOLD'""",
+    "q09_join_multikey" ->
+      """SELECT l1.l_orderkey AS okey, l1.l_linenumber AS lnum,
+                l2.l_quantity AS qty
+         FROM lineitem l1 JOIN lineitem l2
+           ON l1.l_orderkey = l2.l_orderkey
+          AND l1.l_linenumber = l2.l_linenumber""",
+    "q10_selfjoin_agg" ->
+      """SELECT c1.c_nationkey AS nk, CAST(count(*) AS BIGINT) AS pairs
+         FROM customer c1 JOIN customer c2
+           ON c1.c_nationkey = c2.c_nationkey AND c1.c_custkey < c2.c_custkey
+         GROUP BY 1""",
+    "q11_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(count(*) AS BIGINT) AS cnt,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+                  AS sum_price_c,
+                CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100)
+                  AS BIGINT)) AS BIGINT) AS sum_disc_c
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q12_agg_having" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+         FROM orders GROUP BY o_custkey HAVING count(*) >= 12""",
+    "q13_distinct_agg" ->
+      """SELECT c_nationkey, CAST(count(DISTINCT c_mktsegment) AS BIGINT)
+                  AS segs,
+                CAST(count(*) AS BIGINT) AS n_cust
+         FROM customer GROUP BY c_nationkey""",
+    "q14_rollup" ->
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS cnt
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)""",
+    "q15_minmax_avg" ->
+      """SELECT c_nationkey, min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+                CAST(floor(CAST(sum(CAST(round(c_acctbal*100) AS BIGINT))
+                  AS DOUBLE) / count(*)) AS BIGINT) AS avg_bal_c
+         FROM customer GROUP BY c_nationkey""",
+  )
 }

@@ -1,24 +1,64 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import java.nio.file.{Files, Paths}
+
+/** Driver-run benchmark: times every SparkEntry query on SPARK_GRAFT_SF_DIR.
+  *
+  * Methodology (fixes from round-1 verdict):
+  *  - deterministic query order (SparkEntry.queries is a ListMap) plus a
+  *    separate warmup pass so no timed query absorbs JVM/codegen warmup;
+  *  - results are fully materialized through the `noop` sink — a bare
+  *    `.count()` lets Catalyst prune every column and turns scan-shaped
+  *    queries into parquet-footer metadata reads;
+  *  - failures are recorded per-query, excluded from the total, and flip the
+  *    exit code — a broken query must never make the bench look faster;
+  *  - the JSON line is printed to stdout AND written to a file
+  *    (SPARK_GRAFT_BENCH_OUT, default ./bench_out.json) so the driver's
+  *    parser doesn't have to fish it out of sbt log noise.
+  */
 object Bench {
+
+  private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = GraftSession.local(appName = "graft-bench")
+
+    // Warmup: exercise scan, shuffle-agg and broadcast-join code paths once
+    // so codegen/JIT cost lands outside the timed region.
+    try {
+      materialize(SparkEntry.queries("q11_agg_pricing")(spark, sfDir))
+      materialize(SparkEntry.queries("q07_join_bcast")(spark, sfDir))
+    } catch { case _: Throwable => () }
+
+    val errors = scala.collection.mutable.ListBuffer.empty[String]
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { materialize(fn(spark, sfDir)); true }
+        catch {
+          case e: Throwable =>
+            errors += s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+            false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1")
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, true) => v }.sum
+    val errJson = errors
+      .map(e => "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson}"""
+
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    Files.writeString(Paths.get(outPath), line + "\n")
+    println(line)
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -116,17 +116,20 @@ object SparkEntry {
         col("l2.l_quantity").as("qty"))
   }
 
-  /** #2+#6 self-join through ρ (reference `tests/test_ra2mr.py:265-268`):
-    * same-nation customer pairs, aggregated so output stays bounded.
+  /** Same-nation customer pair counts. Round 1 computed this with a
+    * self-join on the 25-value nation key — O(Σ nᵢ²) intermediate, a
+    * scale-killer at 100×. Same answer with zero joins: count per nation,
+    * then n*(n-1)/2. (The self-join-through-ρ shape itself stays covered by
+    * q09, whose compound key is high-cardinality.)
     */
-  private def q10(s: SparkSession, dir: String): DataFrame = {
-    val c1 = t(s, dir)("customer").alias("c1")
-    val c2 = t(s, dir)("customer").alias("c2")
-    c1.join(c2, col("c1.c_nationkey") === col("c2.c_nationkey") &&
-        col("c1.c_custkey") < col("c2.c_custkey"))
-      .groupBy(col("c1.c_nationkey").as("nk"))
-      .agg(count(lit(1)).as("pairs"))
-  }
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("customer")
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n"))
+      // integer `div`, not `/`: n*(n-1) exceeds 2^53 once a nation holds
+      // ~100M customers, so double division would round at 100 TB scale
+      .select(col("nk"), expr("n * (n - 1) div 2").as("pairs"))
+      .filter(col("pairs") > 0) // join-based oracle emits no row for n=1 nations
 
   // ─────────────── aggregation breadth (none in reference, §2.3) ──────────
 
@@ -178,7 +181,9 @@ object SparkEntry {
 
   // ─────────────────────────── contract maps ──────────────────────────────
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // ListMap: deterministic iteration order for the bench harness.
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    scala.collection.immutable.ListMap(
     "q01_scan_project"   -> (q01 _),
     "q02_filter_eq"      -> (q02 _),
     "q03_filter_complex" -> (q03 _),

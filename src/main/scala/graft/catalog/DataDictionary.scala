@@ -28,7 +28,12 @@ final case class DataDictionary(relations: Map[String, StructType]) {
            format: String = "parquet"): DataFrame = {
     val st = relations(rel)
     format match {
-      case "parquet" => spark.read.parquet(s"$dataDir/$rel.parquet")
+      case "parquet" =>
+        // Cast through the declared dd schema like the CSV path, so dd/file
+        // type drift surfaces at scan time instead of deep in a query.
+        val raw = spark.read.parquet(s"$dataDir/$rel.parquet")
+        raw.select(st.fields.map(f =>
+          raw(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
       case "csv" =>
         // Reference CSVs carry dotted headers "Rel.attr" and all-string
         // values (`ra2spark/ra2spark.py:56-66`); we strip the

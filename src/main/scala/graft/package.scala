@@ -25,8 +25,10 @@ package object graft {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = table(spark, sfDir, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      // `div` = integer division: epoch-nanos exceed 2^53, so the `/`
+      // (double) operator would lose microsecond precision near boundaries.
       raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
     else raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
   }
 

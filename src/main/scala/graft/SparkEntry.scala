@@ -181,6 +181,12 @@ object SparkEntry {
 
   // ─────────────────────────── contract maps ──────────────────────────────
 
+  /** Queries whose semantics DuckDB SQL can't replicate (hash-function
+    * dependent sketches etc.) — the driver records a weaker rows-only check
+    * for these. Kept explicit so accidental oracle omissions fail tests.
+    */
+  def rowsOnlyQueries: Set[String] = Set.empty
+
   // ListMap: deterministic iteration order for the bench harness.
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     scala.collection.immutable.ListMap(

@@ -72,10 +72,12 @@ object DataDictionary {
   def fromJson(json: String): DataDictionary = {
     val mapper = new ObjectMapper()
     val root = mapper.readTree(json)
-    val rels = root.properties().asScala.map { e =>
-      val fields = e.getValue.properties().asScala.map { f =>
+    // iterate (not Set.map): JSON field order is meaningful — positional
+    // attr renames and CSV casts depend on declared column order
+    val rels = root.properties().iterator().asScala.toSeq.map { e =>
+      val fields = e.getValue.properties().iterator().asScala.toSeq.map { f =>
         StructField(f.getKey, sparkType(f.getValue.asText()))
-      }.toSeq
+      }
       e.getKey -> StructType(fields)
     }.toMap
     DataDictionary(rels)

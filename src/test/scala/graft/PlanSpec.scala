@@ -1,0 +1,55 @@
+package graft
+
+/** Plan-shape assertions — the 100 TB design contract. Correctness says the
+  * answer is right; these say the PLAN is the one that survives a 1000×
+  * scale-up (filters reach the parquet scan, small dims broadcast, the
+  * quadratic self-join stays dead).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q02: equality filter is pushed into the parquet scan") {
+    val plan = planOf("q02_filter_eq")
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("EqualTo(c_custkey,42)"), plan)
+  }
+
+  test("q01: scan reads only the projected columns") {
+    val plan = planOf("q01_scan_project")
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.contains("r_comment"), "projection should prune unread columns")
+  }
+
+  test("q07: dimension joins are broadcast, fact side is not shuffled for the join") {
+    val plan = planOf("q07_join_bcast")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q10: pair counting has no join at all") {
+    val plan = planOf("q10_selfjoin_agg")
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("q11: aggregation is partial (map-side combine) before the shuffle") {
+    val plan = planOf("q11_agg_pricing")
+    assert(plan.contains("HashAggregate"), plan)
+    // partial agg appears below the exchange: two HashAggregate nodes
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q08: both filters sit below the joins") {
+    val optimized = SparkEntry.queries("q08_join_3way")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    // Catalyst pushes the mktsegment/returnflag predicates to the scans —
+    // the rewrite the reference needs its R2 rule for (raopt.py:90-173)
+    val joinIdx = optimized.indexOf("Join")
+    val filterIdx = optimized.lastIndexOf("Filter")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"expected filters below joins:\n$optimized")
+  }
+}

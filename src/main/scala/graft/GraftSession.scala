@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Session factory for the graft engine.
   *
@@ -21,6 +23,16 @@ object GraftSession {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      // graft's native Catalyst expressions, registered the standard way so
+      // they're callable from both the Column API and SQL text.
+      .withExtensions { ext =>
+        ext.injectFunction((
+          FunctionIdentifier("portable_simhash"),
+          new ExpressionInfo(classOf[graft.expr.PortableSimhash].getName,
+            "portable_simhash"),
+          (children: Seq[Expression]) =>
+            graft.expr.PortableSimhash(children.head)))
+      }
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

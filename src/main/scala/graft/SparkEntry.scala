@@ -181,11 +181,11 @@ object SparkEntry {
 
   // ─────────────────────────── contract maps ──────────────────────────────
 
-  /** Queries whose semantics DuckDB SQL can't replicate (hash-function
-    * dependent sketches etc.) — the driver records a weaker rows-only check
-    * for these. Kept explicit so accidental oracle omissions fail tests.
+  /** Queries whose semantics DuckDB SQL can't replicate (approximate
+    * results etc.) — the driver records a weaker rows-only check for
+    * these. Kept explicit so accidental oracle omissions fail tests.
     */
-  def rowsOnlyQueries: Set[String] = Set.empty
+  def rowsOnlyQueries: Set[String] = graft.queries.PipelineQueries.rowsOnly
 
   // ListMap: deterministic iteration order for the bench harness.
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -205,9 +205,11 @@ object SparkEntry {
     "q13_distinct_agg"   -> (q13 _),
     "q14_rollup"         -> (q14 _),
     "q15_minmax_avg"     -> (q15 _),
-  )
+  ) ++ graft.queries.AnalyticQueries.queries ++
+    graft.queries.PipelineQueries.queries
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = graft.queries.AnalyticQueries.oracleSql ++
+    graft.queries.PipelineQueries.oracleSql ++ Map(
     "q01_scan_project" ->
       "SELECT r_regionkey, r_name FROM region",
     "q02_filter_eq" ->

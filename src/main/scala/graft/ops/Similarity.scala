@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths, per the standard ANN playbook:
+  *  - [[bruteForceTopK]]: exact top-k by scanning the corpus once per
+  *    (small, broadcast) query set — the correctness baseline, and also
+  *    the right plan at 100 TB when |queries| is small: one corpus scan,
+  *    no corpus×corpus join, partial top-k per partition via the window
+  *    rank (AQE keeps the shuffle tiny because only scored rows move).
+  *  - [[lshTopK]]: sign-random-projection LSH — corpus rows hash into
+  *    2^bits buckets; each query probes its own bucket plus all 1-bit
+  *    flips, so only a ~(bits+1)/2^bits fraction of the corpus is scored.
+  *    Approximate (tunable recall), and the scale path when |queries| is
+  *    large.
+  *
+  * All dot products are computed in double precision via codegen'd
+  * `zip_with`/`aggregate` — no UDF in the hot path.
+  */
+object Similarity {
+
+  /** Cosine similarity of two `array<double>` columns (sequential fold —
+    * deterministic summation order, so results are reproducible at any
+    * parallelism and comparable across engines).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact cosine top-k: score every (query, corpus) pair with the query
+    * side broadcast, rank per query with a deterministic tie-break on the
+    * neighbor id. Self-matches are excluded.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+    val scored = c.join(broadcast(q), col("nid") =!= col("qid"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("nid").asc)))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
+  /** Sign-random-projection bucket id: `bits` hyperplanes (deterministic,
+    * seeded), bucket = the sign bit pattern. Hyperplane components are ±1
+    * (a Rademacher projection — as good as Gaussian for sign-LSH and
+    * expressible as a literal array in the plan).
+    */
+  def srpBucket(vec: Column, hyperplanes: Array[Array[Int]]): Column = {
+    val bits = hyperplanes.indices.map { j =>
+      val hp = lit(hyperplanes(j))
+      val proj = aggregate(
+        zip_with(vec, hp, (x, s) => x * s.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Deterministic ±1 hyperplane matrix (seeded — no runtime entropy, so
+    * plans and results are stable across runs and executors).
+    */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Int]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits, dim)(if (rnd.nextBoolean()) 1 else -1)
+  }
+
+  /** Approximate cosine top-k via SRP-LSH with 1-bit multiprobe.
+    *
+    * Corpus rows land in their single bucket; each query fans out to its
+    * bucket plus every 1-bit flip (bits+1 probes), then only rows in probed
+    * buckets are scored. The join is a shuffle on the bucket id — at 100 TB
+    * the scored fraction is ~(bits+1)/2^bits of the corpus per query
+    * instead of all of it.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              bits: Int = 12, seed: Long = 42L,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val dim = 64
+    val hps = hyperplanes(bits, dim, seed)
+    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("bucket", srpBucket(col("cv"), hps))
+    val probes = transform(sequence(lit(0), lit(bits)),
+      j => when(j === 0, col("qbucket"))
+        .otherwise(col("qbucket").bitwiseXOR(call_function("shiftleft", lit(1L), j - 1))))
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qbucket", srpBucket(col("qv"), hps))
+      .withColumn("bucket", explode(probes))
+      .select(col("qid"), col("qv"), col("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("nid").asc)))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
+  /** Embedding near-duplicate pairs: SRP-LSH bucketing on the corpus with
+    * itself (same pigeonhole layout as text SimHash dedup), exact cosine
+    * verification at `threshold`. High thresholds (>=0.9) are the regime
+    * where sign-LSH recall is strong — which is exactly the near-dup use
+    * case.
+    */
+  def nearDupPairs(corpus: DataFrame, threshold: Double = 0.9,
+                   bands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val dim = 64
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val banded = (0 until bands).map { b =>
+      val hps = hyperplanes(bitsPerBand, dim, seed + b)
+      c.select(col("id"), col("v"), lit(b).as("band"),
+        srpBucket(col("v"), hps).as("bucket"))
+    }.reduce(_ unionByName _)
+    val l = banded.select(col("band"), col("bucket"), col("id").as("a_id"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("b_id"))
+    // dedup candidate ids FIRST (a pair can collide in several bands), then
+    // join the vectors back — never carry vectors through the pair-join
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+      .join(c.select(col("id").as("a_id"), col("v").as("va")), Seq("a_id"))
+      .join(c.select(col("id").as("b_id"), col("v").as("vb")), Seq("b_id"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
+  }
+}

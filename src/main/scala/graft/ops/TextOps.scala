@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives for the LLM-data-pipeline operators
+  * (dedup, fingerprinting, quality scoring, language ID).
+  *
+  * Everything here is built from codegen'd Catalyst expressions
+  * (`split`, `transform`, `aggregate`, `xxhash64`, …) — no Scala UDFs —
+  * so the whole pipeline stays inside whole-stage codegen and scales
+  * linearly with executors. Hash choices are deterministic (xxhash64 with
+  * literal tags), so results are reproducible across runs and cluster
+  * sizes.
+  *
+  * The reference engine has no text operators at all (its expression
+  * language is `=`/`AND` over scalars, reference
+  * `sql2ra/functionality.py:76`); this module is part of the
+  * training-data-pipeline breadth layer.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Word n-gram shingles (distinct), the unit of near-dup similarity.
+    * Returns an empty array for texts shorter than n words.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = tokens(text)
+    val ngrams = transform(
+      sequence(lit(0), greatest(size(w) - n, lit(-1))),
+      i => concat_ws(" ", (0 until n).map(d => element_at(w, i + d + 1)): _*))
+    array_distinct(ngrams)
+  }
+
+  /** MinHash signature: K independent min-hashes over the shingle set.
+    * Permutation j is `xxhash64(shingle, j)` — one base hash per
+    * (shingle, perm), deterministic, no seed tables to ship.
+    * Cost is O(|shingles| * K) codegen'd hash calls per row.
+    */
+  def minhashSignature(shingleArr: Column, k: Int = 128): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(shingleArr, s => xxhash64(s, j))))
+
+  /** LSH bands over a MinHash signature: `bands` entries of
+    * `struct(band, band_hash)` where band_hash fingerprints `rows`
+    * consecutive signature slots. Two docs with shingle-Jaccard s share a
+    * band with probability 1-(1-s^rows)^bands — at rows=8, bands=16 the
+    * planted-near-dup regime (s ≥ 0.9) is caught with prob > 1-1e-8 while
+    * unrelated docs (s ≤ 0.3) collide with prob < 1e-3.
+    */
+  def lshBands(signature: Column, bands: Int = 16, rows: Int = 8): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(slice(signature, b * rows + 1, lit(rows))).as("band_hash")))
+
+  /** 64-bit SimHash over the shingle set: bit k is the sign of the sum of
+    * ±1 votes from bit k of each shingle's xxhash64. Near-identical shingle
+    * sets give near-identical bit patterns (small Hamming distance).
+    */
+  def simhash(shingleArr: Column): Column =
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, k) => acc + when(
+        aggregate(shingleArr, lit(0L),
+          (votes, s) => votes +
+            when(call_function("shiftright", xxhash64(s), k).bitwiseAND(1) === 1, 1L)
+              .otherwise(-1L)) > 0,
+        call_function("shiftleft", lit(1L), k)).otherwise(lit(0L)))
+
+  /** Split a SimHash into `chunks` bit-slices of `bitsPer` bits.
+    * Pigeonhole: two hashes within Hamming distance `chunks-1` must agree
+    * on at least one chunk, so grouping by chunk value is a COMPLETE
+    * candidate generator for `hamming <= chunks-1` — no all-pairs
+    * comparison, and no recall loss inside that radius.
+    */
+  def simhashChunks(sh: Column, chunks: Int = 8, bitsPer: Int = 8): Column = {
+    val mask = (1L << bitsPer) - 1
+    transform(sequence(lit(0), lit(chunks - 1)),
+      c => struct(c.as("chunk"),
+        call_function("shiftright", sh, c * bitsPer).bitwiseAND(mask).as("chunk_val")))
+  }
+
+  /** Engine-portable 56-bit SimHash (majority vote over affine re-mixes of
+    * each shingle's base-31 polynomial hash) — a native Catalyst
+    * expression ([[graft.expr.PortableSimhash]], registered by
+    * GraftSession) rather than a higher-order-function tree, which would
+    * inline the polynomial sub-expression once per output bit and blow up
+    * optimizer time. Exactly replicable in DuckDB SQL — the correctness
+    * gate recomputes it all-pairs and must agree bit-for-bit.
+    */
+  def portableSimhash(shingleArr: Column): Column =
+    call_function("portable_simhash", shingleArr)
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Deterministic polynomial rolling hash of the text (mod 1e9+7).
+    * Unlike xxhash64 this is trivially re-implementable in any engine
+    * (the DuckDB oracle replicates it with list_reduce), making
+    * fingerprints portable across systems.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
+
+  /** Exact n-gram Jaccard similarity of two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  // ── quality / language features ────────────────────────────────────────
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Fraction of tokens that are English stopwords (tiny builtin list —
+    * a quality / language signal, not a full stopword model).
+    */
+  def stopwordRatio(text: Column): Column = {
+    val w = tokens(text)
+    size(filter(w, t => t.isin("the", "a", "an", "of", "and", "is", "to")))
+      .cast("double") / greatest(size(w), lit(1)).cast("double")
+  }
+
+  /** Mean token length in characters — short-token text (word salad,
+    * boilerplate) scores low on most quality filters.
+    */
+  def meanTokenLen(text: Column): Column = {
+    val w = tokens(text)
+    aggregate(w, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(w), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: long-enough docs with a natural
+    * stopword ratio score high. Deliberately simple arithmetic so any SQL
+    * engine (the DuckDB oracle included) reproduces it bit-for-bit.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 50.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    round((lenScore + stopScore) / 2.0, 4)
+  }
+
+  /** Heuristic language ID. Real language ID needs char-n-gram models;
+    * this is the deterministic skeleton: CJK codepoints → zh, else
+    * stopword density picks en, else unknown. The point is the *shape*
+    * (pure column expression, replicable in the oracle), not model
+    * quality.
+    */
+  def langGuess(text: Column): Column =
+    when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(stopwordRatio(text) >= 0.05, "en")
+      .otherwise("unk")
+}

@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{cents, events, table}
+import graft.api.Engine
+import graft.catalog.DataDictionary
+
+/** Analytic-breadth correctness queries: sorts/top-k, window functions,
+  * set operations, scalar string/date functions, time-series over `events`,
+  * and the SQL-text door (round-1 verdict items #2, #5, #10). The
+  * reference has none of these (SURVEY §2.3) — they're the "our Spark
+  * primitive" breadth layer, each gated by a DuckDB oracle.
+  */
+object AnalyticQueries {
+
+  private def t(s: SparkSession, dir: String)(name: String): DataFrame =
+    table(s, dir, name)
+
+  /** Top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject — per-partition
+    * partial top-k then a single driver merge of k×partitions rows; no
+    * global sort at any scale. Tie-break on the key keeps it deterministic.
+    */
+  def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** Window function: first order per customer (row_number over a
+    * per-customer window). One shuffle on o_custkey; window state is one
+    * row — scales to any customer count.
+    */
+  def q17(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("orders")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+
+  /** Set operations: ((BUILDING ∪ high-balance) ∩ has-orders) ∖ MACHINERY.
+    * union/intersect/except all plan as hash aggregates / joins on the one
+    * key column — the shuffles carry only c_custkey.
+    */
+  def q18(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir)("customer")
+    val building = c.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val rich = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+    val buyers = t(s, dir)("orders").select(col("o_custkey").as("c_custkey"))
+    val machinery = c.filter(col("c_mktsegment") === "MACHINERY")
+      .select(col("c_custkey"))
+    building.union(rich).distinct().intersect(buyers).except(machinery)
+  }
+
+  /** Scalar string/date functions over the (previously untouched) timestamp
+    * columns: year/month extraction, substring, upper, concat.
+    */
+  def q19(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("orders")
+      .groupBy(
+        year(col("o_orderdate")).as("yr"),
+        substring(col("o_orderpriority"), 1, 1).as("pri"),
+        upper(concat(col("o_orderstatus"), lit("-"),
+          substring(col("o_orderpriority"), 3, 20))).as("tag"))
+      .agg(count(lit(1)).as("cnt"),
+        min(month(col("o_orderdate"))).as("first_mon"))
+
+  /** Tumbling-window aggregation over the events stream table — the batch
+    * twin of the Structured Streaming pipeline in graft.streaming. Exact
+    * integer cents keep the sum hash-stable at any parallelism.
+    */
+  def q20(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(
+        window(col("ts"), "1 hour").getField("start").as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(cents(col("value"))).as("sum_value_c"))
+
+  // ── SQL-text door (reference entry point 1, `main.py:22-23`) ────────────
+
+  private lazy val tpchDd: DataDictionary = {
+    val in = getClass.getResourceAsStream("/tpch_dd.json")
+    DataDictionary.fromJson(new String(in.readAllBytes(), "UTF-8"))
+  }
+
+  /** dd-registered views over the sf dir, queried with raw SQL text —
+    * parse/analyze/optimize all Catalyst (the reference needs
+    * sql2ra+raopt+ra2spark for this, SURVEY §3.1).
+    */
+  private def sqlDoor(s: SparkSession, dir: String, query: String): DataFrame =
+    new Engine(s, tpchDd, dir, format = "parquet").sql(query)
+
+  def q31(s: SparkSession, dir: String): DataFrame = sqlDoor(s, dir,
+    """SELECT o_orderpriority, count(*) AS cnt
+       FROM orders WHERE o_totalprice > 100000
+       GROUP BY o_orderpriority""")
+
+  def q32(s: SparkSession, dir: String): DataFrame = sqlDoor(s, dir,
+    """SELECT n_name, count(*) AS n_cust, min(c_acctbal) AS min_bal
+       FROM customer, nation WHERE c_nationkey = n_nationkey
+       GROUP BY n_name""")
+
+  def q33(s: SparkSession, dir: String): DataFrame = sqlDoor(s, dir,
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders) t
+       WHERE rn = 1""")
+
+  /** Sessionization (gaps-and-islands): a session ends after 30 idle
+    * minutes. lag + running sum over a per-user window — one shuffle on
+    * user_id; state per row is O(1). Gap math on exact integer micros.
+    */
+  def q34(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("is_new",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(perUser)
+          > 1800000000L, 1)
+          .when(lag(col("ts_us"), 1).over(perUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("sess", sum(col("is_new")).over(
+        perUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("sess")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q16_topk"          -> (q16 _),
+    "q17_window_rownum" -> (q17 _),
+    "q18_setops"        -> (q18 _),
+    "q19_scalar_strdate" -> (q19 _),
+    "q20_events_hourly" -> (q20 _),
+    "q31_sql_agg"       -> (q31 _),
+    "q32_sql_join"      -> (q32 _),
+    "q33_sql_window"    -> (q33 _),
+    "q34_sessionize"    -> (q34 _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q16_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q17_window_rownum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+           SELECT o_custkey, o_orderkey, o_orderdate,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+           FROM orders) t WHERE rn = 1""",
+    "q18_setops" ->
+      """((SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          UNION
+          SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+         INTERSECT
+         SELECT o_custkey FROM orders)
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'""",
+    "q19_scalar_strdate" ->
+      """SELECT year(o_orderdate) AS yr,
+                substring(o_orderpriority, 1, 1) AS pri,
+                upper(concat(o_orderstatus, '-',
+                  substring(o_orderpriority, 3, 20))) AS tag,
+                CAST(count(*) AS BIGINT) AS cnt,
+                min(month(o_orderdate)) AS first_mon
+         FROM orders GROUP BY 1, 2, 3""",
+    "q20_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                CAST(count(*) AS BIGINT) AS cnt,
+                CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                  AS sum_value_c
+         FROM events GROUP BY 1, 2""",
+    "q31_sql_agg" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+         FROM orders WHERE o_totalprice > 100000
+         GROUP BY o_orderpriority""",
+    "q32_sql_join" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
+                min(c_acctbal) AS min_bal
+         FROM customer, nation WHERE c_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "q33_sql_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) t
+         WHERE rn = 1""",
+    "q34_sessionize" ->
+      """SELECT user_id, CAST(count(DISTINCT sess) AS BIGINT) AS n_sessions,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM (
+           SELECT user_id, sum(is_new) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+           FROM (
+             SELECT user_id, ts, event_id,
+                    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+                         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                              > 1800000000 THEN 1
+                         ELSE 0 END AS is_new
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) g) s
+         GROUP BY user_id""",
+  )
+}

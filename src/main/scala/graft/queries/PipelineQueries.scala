@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.table
+import graft.ops.{Dedup, Similarity, TextOps}
+
+/** Training-data-pipeline correctness queries over the `documents`,
+  * `embeddings` and `events` fixtures: deduplication (exact, MinHash-LSH,
+  * SimHash), similarity search (exact + LSH ANN), text analysis
+  * (stats/quality, language ID, fingerprints). Every oracle-gated query's
+  * semantics are re-expressed in pure DuckDB SQL (list lambdas for
+  * shingling, list_cosine_similarity for ANN); only the LSH-approximate
+  * ANN variant is rows-only-checked (its output is recall-bounded, not
+  * equal, by construction — the ScalaTest suite pins its recall instead).
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String)(name: String): DataFrame =
+    table(s, dir, name)
+
+  /** Exact keyed dedup on events: one survivor + group size per
+    * (user, event_type). */
+  def q21(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactByKey(t(s, dir)("events"), Seq("user_id", "event_type"),
+      "event_id")
+
+  /** Exact content-dedup stats over the documents corpus. */
+  def q22(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactTextStats(t(s, dir)("documents"))
+
+  /** Near-dup pairs: MinHash signatures → LSH band buckets → exact
+    * 3-gram-shingle Jaccard ≥ 0.5 (the corpus has 25 planted pairs at
+    * ~0.97 similarity and nothing between 0.11 and 0.9 — LSH recall at
+    * this margin is 1-1e-8, so the output equals the all-pairs oracle).
+    */
+  def q23(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupMinhash(t(s, dir)("documents"), "doc_id", "text",
+      threshold = 0.5)
+
+  /** SimHash near-dup: pairs within Hamming radius 7 of the portable
+    * 56-bit SimHash — the criterion IS the Hamming distance (Manku-style),
+    * and the 8-chunk pigeonhole generator is complete for that radius, so
+    * the output is exact (the oracle recomputes the same fingerprints
+    * all-pairs in DuckDB).
+    */
+  def q24(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupSimhash(t(s, dir)("documents"), "doc_id", "text",
+      radius = 7)
+
+  /** Per-source corpus statistics + mean quality score — the profiling
+    * pass a data pipeline runs before filtering.
+    */
+  def q25(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("documents")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("sum_tokens"),
+        sum(length(col("text")).cast("long")).as("sum_chars"),
+        min(TextOps.tokenCount(col("text"))).as("min_tokens"),
+        max(TextOps.tokenCount(col("text"))).as("max_tokens"),
+        round(avg(TextOps.qualityScore(col("text"))), 4).as("avg_quality"))
+
+  /** Language-ID confusion counts: labeled lang vs the heuristic guess. */
+  def q26(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("documents")
+      .groupBy(col("lang"), TextOps.langGuess(col("text")).as("pred"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Portable polynomial fingerprint per document. */
+  def q27(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("documents")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+
+  /** Exact cosine top-5 for a 10-vector query set: broadcast queries ×
+    * one corpus scan (never corpus × corpus).
+    */
+  def q28(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir)("embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .withColumn("sim", round(col("sim"), 4))
+  }
+
+  /** Approximate ANN via SRP-LSH multiprobe — rows-only checked (recall
+    * pinned by SimilaritySpec instead; an approximate result can't equal
+    * an exact oracle by definition).
+    */
+  def q29(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir)("embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, bits = 6)
+      .withColumn("sim", round(col("sim"), 4))
+  }
+
+  /** Embedding near-dup pairs at cosine ≥ 0.9 via banded SRP-LSH + exact
+    * verify. (This corpus's max off-diagonal cosine is ~0.51, so both
+    * engines return the empty set — the check proves no false positives;
+    * SimilaritySpec proves recall on planted duplicates.)
+    */
+  def q30(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(t(s, dir)("embeddings"), threshold = 0.9)
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q21_dedup_keyed"     -> (q21 _),
+    "q22_dedup_text_exact" -> (q22 _),
+    "q23_neardup_minhash" -> (q23 _),
+    "q24_neardup_simhash" -> (q24 _),
+    "q25_text_stats"      -> (q25 _),
+    "q26_langid"          -> (q26 _),
+    "q27_fingerprint"     -> (q27 _),
+    "q28_ann_topk"        -> (q28 _),
+    "q29_ann_lsh"         -> (q29 _),
+    "q30_embed_neardup"   -> (q30 _),
+  )
+
+  /** Queries that legitimately have no equality oracle. */
+  val rowsOnly: Set[String] = Set("q29_ann_lsh")
+
+  private val shingleCte =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       s AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w)-1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+             FROM w)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q21_dedup_keyed" ->
+      """SELECT user_id, event_type, min(event_id) AS first_event_id,
+                CAST(count(*) AS BIGINT) AS n_dups
+         FROM events GROUP BY user_id, event_type""",
+    "q22_dedup_text_exact" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(DISTINCT lower(trim(text))) AS BIGINT) AS n_unique
+         FROM documents""",
+    "q23_neardup_minhash" -> (shingleCte +
+      """ SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / len(list_distinct(a.sh || b.sh)), 4) AS jacc
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE len(a.sh) > 0 AND len(b.sh) > 0
+           AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(a.sh || b.sh)) >= 0.5"""),
+    "q24_neardup_simhash" -> (shingleCte +
+      """, g AS (SELECT doc_id,
+               list_transform(sh, sg -> list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, length(sg)+1),
+                     i -> CAST(unicode(substr(sg, CAST(i AS INT), 1))
+                       AS BIGINT))),
+                 (a, b) -> (a*31 + b) % 1000000007)) AS gs
+             FROM s WHERE len(sh) > 0),
+       h AS (SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(0, 56),
+                   k -> CASE WHEN 2*len(list_filter(gs,
+                          x -> ((x*(k*2+3) + k) % 1000000007) & 1 = 1))
+                          > len(gs)
+                        THEN (CAST(1 AS BIGINT) << CAST(k AS INT))
+                        ELSE 0 END)),
+                 (a, b) -> a + b) AS simh
+             FROM g)
+       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              CAST(bit_count(xor(a.simh, b.simh)) AS INT) AS ham
+       FROM h a JOIN h b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simh, b.simh)) <= 7"""),
+    "q25_text_stats" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                  AS sum_tokens,
+                CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+                min(len(string_split(text, ' '))) AS min_tokens,
+                max(len(string_split(text, ' '))) AS max_tokens,
+                round(avg(round((
+                  least(CAST(len(string_split(text, ' ')) AS DOUBLE)/50.0, 1.0)
+                  + least(CAST(len(list_filter(string_split(text, ' '),
+                      x -> x IN ('the','a','an','of','and','is','to')))
+                      AS DOUBLE)
+                    / greatest(len(string_split(text, ' ')), 1) * 5.0, 1.0)
+                  ) / 2.0, 4)), 4) AS avg_quality
+         FROM documents GROUP BY source""",
+    "q26_langid" ->
+      """SELECT lang,
+                CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]')
+                       THEN 'zh'
+                     WHEN CAST(len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the','a','an','of','and','is','to')))
+                         AS DOUBLE)
+                       / greatest(len(string_split(text, ' ')), 1) >= 0.05
+                       THEN 'en'
+                     ELSE 'unk' END AS pred,
+                CAST(count(*) AS BIGINT) AS n
+         FROM documents GROUP BY 1, 2""",
+    "q27_fingerprint" ->
+      """SELECT doc_id,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(text)+1),
+                      i -> CAST(unicode(substr(text, CAST(i AS INT), 1))
+                        AS BIGINT))),
+                  (a, b) -> (a*31 + b) % 1000000007) AS fp
+         FROM documents""",
+    "q28_ann_topk" ->
+      """SELECT qid, rank, nid, round(sim, 4) AS sim FROM (
+           SELECT q.vec_id AS qid, c.vec_id AS nid,
+                  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                         CAST(c.embedding AS DOUBLE[])) AS sim,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(
+                               CAST(q.embedding AS DOUBLE[]),
+                               CAST(c.embedding AS DOUBLE[])) DESC,
+                             c.vec_id) AS rank
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) t
+         WHERE rank <= 5""",
+    "q30_embed_neardup" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])), 4) AS sim
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+               CAST(b.embedding AS DOUBLE[])) >= 0.9""",
+  )
+}

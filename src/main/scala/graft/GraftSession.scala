@@ -32,6 +32,22 @@ object GraftSession {
             "portable_simhash"),
           (children: Seq[Expression]) =>
             graft.expr.PortableSimhash(children.head)))
+        ext.injectFunction((
+          FunctionIdentifier("word_shingles"),
+          new ExpressionInfo(classOf[graft.expr.WordShingles].getName,
+            "word_shingles"),
+          (children: Seq[Expression]) => graft.expr.WordShingles(
+            children.head,
+            children.lift(1)
+              .map(_.eval().asInstanceOf[Number].intValue()).getOrElse(3))))
+        ext.injectFunction((
+          FunctionIdentifier("minhash_signature"),
+          new ExpressionInfo(classOf[graft.expr.MinhashSignature].getName,
+            "minhash_signature"),
+          (children: Seq[Expression]) => graft.expr.MinhashSignature(
+            children.head,
+            children.lift(1)
+              .map(_.eval().asInstanceOf[Number].intValue()).getOrElse(128))))
       }
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")

@@ -24,24 +24,22 @@ object TextOps {
   def tokens(text: Column): Column = split(text, "\\s+")
 
   /** Word n-gram shingles (distinct), the unit of near-dup similarity.
-    * Returns an empty array for texts shorter than n words.
+    * Returns an empty array for texts shorter than n words. A native
+    * Catalyst expression ([[graft.expr.WordShingles]], registered by
+    * GraftSession) — the combinator formulation (transform + concat_ws +
+    * quadratic array_distinct) was interpreted and ~30× slower.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val w = tokens(text)
-    val ngrams = transform(
-      sequence(lit(0), greatest(size(w) - n, lit(-1))),
-      i => concat_ws(" ", (0 until n).map(d => element_at(w, i + d + 1)): _*))
-    array_distinct(ngrams)
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    call_function("word_shingles", text, lit(n))
 
-  /** MinHash signature: K independent min-hashes over the shingle set.
-    * Permutation j is `xxhash64(shingle, j)` — one base hash per
-    * (shingle, perm), deterministic, no seed tables to ship.
-    * Cost is O(|shingles| * K) codegen'd hash calls per row.
+  /** MinHash signature: K independent min-hashes over the shingle set
+    * (seeded XXH64 per permutation). A native Catalyst expression
+    * ([[graft.expr.MinhashSignature]], registered by GraftSession) — the
+    * higher-order-function formulation is interpreted per lambda call and
+    * was ~100× slower (see the expression's Scaladoc).
     */
   def minhashSignature(shingleArr: Column, k: Int = 128): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingleArr, s => xxhash64(s, j))))
+    call_function("minhash_signature", shingleArr, lit(k))
 
   /** LSH bands over a MinHash signature: `bands` entries of
     * `struct(band, band_hash)` where band_hash fingerprints `rows`

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TextOps}
+
+/** Unit-level contracts for the pipeline operators, on synthetic data with
+  * PLANTED structure (the fixture corpora prove the no-false-positive
+  * side; these prove recall on known duplicates).
+  */
+class OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("exact keyed dedup: survivors and group sizes") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "k")
+    val out = Dedup.exactByKey(df, Seq("k"), "id")
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq(("a", 1L, 2L), ("b", 3L, 1L)))
+  }
+
+  test("minhash near-dup finds a planted near-dup pair, skips unrelated") {
+    // 2 of 60 words changed → shingle Jaccard ≈ 0.93; at 16×8 banding the
+    // miss probability is ~1e-4 (and the hash is deterministic, so this
+    // test is stable). Pairs at ~0.8 sit on the S-curve's shoulder — real
+    // corpora tune bands/rows for their threshold.
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val mutated = ((1 to 58).map(i => s"w$i") ++ Seq("x1", "x2"))
+      .mkString(" ")
+    val other = (100 to 160).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, mutated), (3L, other)).toDF("id", "text")
+    val pairs = Dedup.nearDupMinhash(docs, "id", "text", threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("simhash near-dup: identical docs at hamming 0; disjoint docs absent") {
+    val a = (1 to 40).map(i => s"t$i").mkString(" ")
+    val b = (200 to 240).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, a), (3L, b)).toDF("id", "text")
+    val out = Dedup.nearDupSimhash(docs, "id", "text", radius = 7)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out === Set((1L, 2L, 0)))
+  }
+
+  test("portable_simhash is deterministic and order-insensitive on sets") {
+    val df = Seq(
+      Seq("a b c", "b c d"),
+      Seq("b c d", "a b c") // same set, different order
+    ).toDF("sh").select(TextOps.portableSimhash(col("sh")).as("h"))
+    val hs = df.as[Long].collect()
+    assert(hs(0) === hs(1))
+  }
+
+  test("jaccard: exact on known sets") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(TextOps.jaccard(col("x"), col("y")).as("j"))
+    assert(df.as[Double].head() === 0.5)
+  }
+
+  // Deterministic near-orthogonal random vectors (seeded Gaussians — NOT
+  // sin(seed*64+d), which is near-periodic across seeds and creates
+  // accidental near-duplicates).
+  private def v(seed: Int): Seq[Float] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(64)(r.nextGaussian().toFloat)
+  }
+
+  test("brute-force ANN returns the true nearest neighbor of a planted clone") {
+    // vec 2 is a near-copy of vec 1; vecs 3..12 are far away
+    val near = v(1).zipWithIndex.map { case (x, i) =>
+      if (i == 0) x + 0.01f else x }
+    val rows = Seq((1L, v(1)), (2L, near)) ++
+      (3L to 12L).map(i => (i, v(i.toInt)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val top1 = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 1), 1)
+    val got = top1.select("nid").as[Long].head()
+    assert(got === 2L)
+  }
+
+  test("LSH ANN recall@3 >= 0.8 against brute force on clustered vectors") {
+    // 10 tight clusters of 20 vectors: LSH must find same-cluster neighbors
+    val rows = for (c <- 0 until 10; i <- 0 until 20) yield {
+      val base = v(c)
+      val r = new scala.util.Random(c * 1000 + i)
+      val jit = base.map(x => (x + 0.05 * r.nextGaussian()).toFloat)
+      ((c * 20 + i).toLong, jit.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" % 20 === 0) // one per cluster
+    val exact = Similarity.bruteForceTopK(emb, queries, 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, queries, 3, bits = 6)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("embedding near-dup pairs: planted duplicate found, rest absent") {
+    val near = v(1).zipWithIndex.map { case (x, i) =>
+      if (i == 0) x + 0.02f else x } // cosine ~1 with v(1)
+    val rows = Seq((1L, v(1)), (2L, near)) ++
+      (3L to 30L).map(i => (i, v(i.toInt)))
+    val pairs = Similarity.nearDupPairs(rows.toDF("vec_id", "embedding"),
+      threshold = 0.95)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("text features: token count, stopword ratio, lang guess") {
+    val df = Seq(
+      ("the cat sat on the mat", "en-ish"),
+      ("foo bar baz qux", "no-stopwords"),
+      ("中文文本 here", "cjk")
+    ).toDF("text", "tag")
+      .select(col("tag"), TextOps.tokenCount(col("text")).as("n"),
+        TextOps.langGuess(col("text")).as("lang"))
+    val rows = df.as[(String, Int, String)].collect()
+      .map { case (k, n, l) => k -> ((n, l)) }.toMap
+    assert(rows("en-ish") === ((6, "en")))
+    assert(rows("no-stopwords") === ((4, "unk")))
+    assert(rows("cjk") === ((2, "zh")))
+  }
+
+  test("fingerprint matches a hand-computed polynomial hash") {
+    val expected = "ab".foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    val got = Seq("ab").toDF("t")
+      .select(TextOps.fingerprint(col("t"))).as[Long].head()
+    assert(got === expected)
+  }
+}

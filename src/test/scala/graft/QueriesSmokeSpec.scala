@@ -9,12 +9,16 @@ class QueriesSmokeSpec extends SparkSpec {
 
   // Queries whose oracle can't be expressed in DuckDB SQL get a rows-only
   // check from the driver; everything else must have an oracle entry.
+  // Queries whose correct answer on the fixtures IS the empty set (the
+  // oracle agrees) — everything else must produce rows.
+  private val emptyOk = Set("q30_embed_neardup")
+
   SparkEntry.queries.foreach { case (name, fn) =>
-    test(s"$name runs non-empty on sf0.001") {
+    test(s"$name runs ${if (emptyOk(name)) "cleanly" else "non-empty"} on sf0.001") {
       val df = fn(spark, sfDir)
       val cols = df.columns.toSeq
       assert(cols.distinct.size === cols.size, s"duplicate output columns: $cols")
-      assert(df.count() > 0)
+      if (emptyOk(name)) df.count() else assert(df.count() > 0)
     }
   }
 

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: images/audio/video ride through the engine
+  * as opaque `binary` columns plus a typed metadata struct, processed in
+  * per-partition batches.
+  *
+  * The Spark-side architecture here is the real deliverable — schema,
+  * partitioning, batch iteration shape — while the actual media decode is
+  * a clearly-marked deterministic STUB (`decodeStub`): codec libraries
+  * aren't available in this environment, and at 100 TB the decode body is
+  * the only part that changes (swap the stub for JNI/FFmpeg/JPEG calls;
+  * the partitioning and memory story stays).
+  *
+  * Scale notes: decode runs via `mapPartitions` on the scan partitions —
+  * no shuffle before decode; `maxPartitionBytes` controls batch memory;
+  * decoded features are small structs so the expensive bytes never move
+  * over the network (project-then-shuffle, never shuffle-then-project).
+  */
+object Multimodal {
+
+  /** Metadata carried alongside every blob. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),   // image|audio|video
+    StructField("content", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType, nullable = true),
+      StructField("source", StringType, nullable = true))), nullable = true)))
+
+  /** Extracted-feature schema appended by [[decodeFeatures]]. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("checksum", LongType, nullable = false)))
+
+  /** STUB decoder ??? — deterministic stand-in for the real codec call.
+    * Reads "dimensions" from the first 8 bytes (big-endian u32 pairs, the
+    * shape real image headers have) and fingerprints the payload. Replace
+    * the body with an actual decoder (e.g. javax.imageio / FFmpeg JNI) in
+    * a real deployment; signature and call-site batch shape stay as-is.
+    */
+  private[ops] def decodeStub(kind: String, content: Array[Byte])
+      : (Option[Int], Option[Int], Long) = {
+    def be32(off: Int): Int =
+      ((content(off) & 0xff) << 24) | ((content(off + 1) & 0xff) << 16) |
+        ((content(off + 2) & 0xff) << 8) | (content(off + 3) & 0xff)
+    val dims =
+      if (kind == "image" && content.length >= 8)
+        (Some(be32(0)), Some(be32(4)))
+      else (None, None)
+    var cs = 0L
+    var i = 0
+    while (i < content.length) { cs = cs * 131 + (content(i) & 0xff); i += 1 }
+    (dims._1, dims._2, cs)
+  }
+
+  /** Per-partition batched feature extraction over binary media columns.
+    * Input must carry [[mediaSchema]] columns; output is [[featureSchema]].
+    */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val out = media.sparkSession.createDataFrame(
+      media.select("media_id", "kind", "content").rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val kind = r.getString(1)
+          val bytes = r.getAs[Array[Byte]](2)
+          val (w, h, cs) = decodeStub(kind, bytes)
+          Row(id, kind, bytes.length, w.map(Int.box).orNull,
+            h.map(Int.box).orNull, cs)
+        }
+      }, featureSchema)
+    out
+  }
+
+  /** Deterministic frame sampling for video blobs: every k-th fixed-size
+    * frame slice, exploded to one row per sampled frame — the Spark-side
+    * shape of a real frame extractor (which would seek keyframes instead).
+    * Pure column expressions; no shuffle.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, every: Int): DataFrame =
+    media
+      .filter(col("kind") === "video")
+      .select(col("media_id"),
+        explode(transform(
+          sequence(lit(0),
+            greatest((length(col("content")) / frameBytes - 1).cast("int"),
+              lit(0)), lit(every)),
+          i => struct(i.as("frame_no"),
+            substring(col("content"), i * frameBytes + 1, lit(frameBytes))
+              .as("frame"))))
+          .as("f"))
+      .select(col("media_id"), col("f.frame_no").as("frame_no"),
+        col("f.frame").as("frame"))
+}

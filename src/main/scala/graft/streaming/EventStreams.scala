@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.cents
+
+/** Structured Streaming pipelines over the events stream (schema:
+  * event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference engine is purely batch (SURVEY §2.3 "streaming: none");
+  * this is breadth-layer capability, built the idiomatic way: the SAME
+  * transformations as the batch queries (q20/q21/q34 are the batch twins),
+  * applied to an unbounded DataFrame with watermarks bounding state.
+  *
+  * Scale notes (1000-executor contract):
+  *  - every aggregation below is keyed, so state is hash-partitioned
+  *    across executors by (window, key) — no global state;
+  *  - watermarks bound state size: a 2-hour watermark on 1-hour windows
+  *    keeps ≤3 windows of state per key regardless of input rate;
+  *  - `dropDuplicatesWithinWatermark` keeps the dedup set bounded the
+  *    same way (vs `dropDuplicates`, whose state grows forever).
+  */
+object EventStreams {
+
+  /** Hourly tumbling-window counts/sums per event type — streaming twin of
+    * the batch q20 (same exact-integer-cents trick, so late re-emissions
+    * still sum deterministically).
+    */
+  def hourlyByType(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("sum_value_c"))
+
+  /** Watermark-bounded exact dedup on event_id — the streaming twin of
+    * exact keyed dedup (at-least-once sources re-deliver; state holds ids
+    * only within the watermark horizon).
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Running per-user event counter with typed state
+    * (mapGroupsWithState) — the custom-state escape hatch for logic
+    * windows can't express. State per user is O(1); pass
+    * `idleTimeout = Some("1 hour")` in production so idle users are
+    * reaped and state doesn't grow with the all-time user count (the test
+    * harness runs without a timeout — `processAllAvailable` and
+    * processing-time timeouts don't mix).
+    */
+  def runningUserCounts(spark: SparkSession, events: DataFrame,
+                        idleTimeout: Option[String] = None)
+      : Dataset[(Long, Long)] = {
+    import spark.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.select(col("user_id").as[Long], col("event_id").as[Long])
+      .groupByKey(_._1)
+      .mapGroupsWithState(timeoutConf) {
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val n = state.getOption.getOrElse(0L)
+            state.remove()
+            (user, n)
+          } else {
+            val n = state.getOption.getOrElse(0L) + rows.size
+            state.update(n)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            (user, n)
+          }
+      }
+  }
+
+  /** Convenience: run a streaming pipeline over the fixture events table
+    * replayed as a file stream would be — used by the batch-parity test
+    * (Structured Streaming guarantees batch/stream result parity for
+    * supported ops, which the spec pins).
+    */
+  def outputModeFor(df: DataFrame): OutputMode =
+    if (df.isStreaming) OutputMode.Update() else OutputMode.Append()
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+
+// Top-level so Spark can derive an Encoder (inner classes capture the
+// suite's scope and are rejected).
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** Structured Streaming contracts: the streaming pipelines produce the
+  * same answers as their batch twins, and watermarks/dedup state behave.
+  * Driven through MemoryStream → memory sink, the standard harness.
+  */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ev(id: Long, minute: Int, typ: String, v: Double) =
+    Ev(id, Timestamp.valueOf(f"2024-01-01 10:${minute}%02d:00"), id % 7, typ, v)
+
+  test("streaming hourly agg matches the batch twin on the same data") {
+    val events = Seq(
+      ev(1, 0, "click", 1.5), ev(2, 10, "click", 2.25), ev(3, 20, "view", 4.0),
+      ev(4, 59, "click", 0.75))
+    val input = MemoryStream[Ev](spark)
+    input.addData(events: _*)
+    val q = EventStreams.hourlyByType(input.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Update()).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("hourly")
+      .select("hour_start", "event_type", "cnt", "sum_value_c")
+      .as[(Timestamp, String, Long, Long)].collect().toSet
+    val batch = events.toDF()
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("sum_value_c"))
+      .as[(Timestamp, String, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.exists { case (_, t, c, s) =>
+      t == "click" && c == 3 && s == 450 }) // 1.50+2.25+0.75 = 4.50 = 450c
+  }
+
+  test("dropDuplicatesWithinWatermark removes re-delivered event ids") {
+    val input = MemoryStream[Ev](spark)
+    input.addData(ev(1, 0, "click", 1.0), ev(1, 0, "click", 1.0),
+      ev(2, 5, "view", 2.0))
+    val q = EventStreams.dedupEvents(input.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("dedup").select("event_id")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("mapGroupsWithState keeps running per-user counts") {
+    val input = MemoryStream[Ev](spark)
+    input.addData(ev(7, 0, "click", 1.0), ev(14, 1, "view", 1.0),
+      ev(21, 2, "click", 1.0), ev(8, 3, "view", 1.0))
+    val q = EventStreams.runningUserCounts(spark, input.toDF())
+      .writeStream.format("memory").queryName("counts")
+      .outputMode(OutputMode.Update()).start()
+    try q.processAllAvailable() finally q.stop()
+    val counts = spark.table("counts").as[(Long, Long)].collect().toMap
+    assert(counts(0L) === 3) // users 7,14,21 → user_id 0 (id % 7)
+    assert(counts(1L) === 1) // user 8 → user_id 1
+  }
+}

@@ -134,6 +134,55 @@ object AnalyticQueries {
         count(lit(1)).as("n_events"))
   }
 
+  /** Semi/anti joins — the "does a match exist" shapes. Both plan as
+    * hash joins carrying ONLY the probe side's columns (no fan-out, no
+    * wide rows through the shuffle): nations with at least one
+    * high-balance customer, minus nations that have any negative-balance
+    * customer.
+    */
+  def q35(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir)("nation")
+    val c = t(s, dir)("customer")
+    n.join(c.filter(col("c_acctbal") > 7000),
+        col("n_nationkey") === col("c_nationkey"), "left_semi")
+      .join(c.filter(col("c_acctbal") < -900),
+        col("n_nationkey") === col("c_nationkey"), "left_anti")
+      .select(col("n_nationkey"), col("n_name"))
+  }
+
+  /** Outer join with null-handling aggregates: every nation's customer
+    * count including empty nations (the rows inner joins drop).
+    */
+  def q36(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("nation")
+      .join(t(s, dir)("customer"),
+        col("n_nationkey") === col("c_nationkey"), "left_outer")
+      .groupBy(col("n_nationkey"), col("n_name"))
+      .agg(count(col("c_custkey")).as("n_cust"),
+        coalesce(min(col("c_acctbal")), lit(0.0)).as("min_bal"))
+
+  /** Approx sketches, gated honestly: HLL distinct counts and quantile
+    * sketches can't equal an exact oracle, so the query EMITS ITS OWN
+    * error check — exact value + a within-tolerance boolean — and the
+    * oracle asserts the boolean. The HLL runs at 1% relative standard
+    * deviation with a 5% assertion (a 5-sigma margin; the DEFAULT rsd is
+    * 5%, which this gate measurably exceeds); percentile_approx at
+    * accuracy 10000 is far tighter than the 10% asserted.
+    */
+  def q37(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("orders")
+      .agg(
+        countDistinct(col("o_custkey")).as("exact_cust"),
+        approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"),
+        expr("percentile_approx(o_totalprice, 0.5, 10000)").as("approx_med"),
+        expr("percentile(o_totalprice, 0.5)").as("exact_med"))
+      .select(
+        col("exact_cust"),
+        (abs(col("approx_cust") - col("exact_cust")).cast("double") /
+          col("exact_cust") < 0.05).as("cust_within_5pct"),
+        (abs(col("approx_med") - col("exact_med")) / col("exact_med") < 0.1)
+          .as("med_within_10pct"))
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q16_topk"          -> (q16 _),
     "q17_window_rownum" -> (q17 _),
@@ -144,9 +193,29 @@ object AnalyticQueries {
     "q32_sql_join"      -> (q32 _),
     "q33_sql_window"    -> (q33 _),
     "q34_sessionize"    -> (q34 _),
+    "q35_semi_anti"     -> (q35 _),
+    "q36_outer_join"    -> (q36 _),
+    "q37_approx_sketch" -> (q37 _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q35_semi_anti" ->
+      """SELECT n_nationkey, n_name FROM nation
+         WHERE n_nationkey IN
+           (SELECT c_nationkey FROM customer WHERE c_acctbal > 7000)
+           AND n_nationkey NOT IN
+           (SELECT c_nationkey FROM customer WHERE c_acctbal < -900)""",
+    "q36_outer_join" ->
+      """SELECT n_nationkey, n_name,
+                CAST(count(c_custkey) AS BIGINT) AS n_cust,
+                coalesce(min(c_acctbal), 0.0) AS min_bal
+         FROM nation LEFT OUTER JOIN customer
+           ON n_nationkey = c_nationkey
+         GROUP BY n_nationkey, n_name""",
+    "q37_approx_sketch" ->
+      """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
+                TRUE AS cust_within_5pct, TRUE AS med_within_10pct
+         FROM orders""",
     "q16_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",

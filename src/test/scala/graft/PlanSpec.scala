@@ -42,6 +42,30 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("q16: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("q16_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q23: near-dup dedup never plans a cartesian or nested-loop join") {
+    val plan = planOf("q23_neardup_minhash")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q28: ANN scores via a broadcast of the small query side") {
+    val plan = planOf("q28_ann_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q35: semi/anti joins plan as semi/anti (no row fan-out)") {
+    val plan = planOf("q35_semi_anti")
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
   test("q08: both filters sit below the joins") {
     val optimized = SparkEntry.queries("q08_join_3way")(spark, sfDir)
       .queryExecution.optimizedPlan.toString

@@ -41,6 +41,16 @@ object GraftSession {
             children.lift(1)
               .map(_.eval().asInstanceOf[Number].intValue()).getOrElse(3))))
         ext.injectFunction((
+          FunctionIdentifier("srp_bucket"),
+          new ExpressionInfo(classOf[graft.expr.SrpBucket].getName,
+            "srp_bucket"),
+          (children: Seq[Expression]) => graft.expr.SrpBucket(
+            children.head,
+            children.lift(1)
+              .map(_.eval().asInstanceOf[Number].intValue()).getOrElse(16),
+            children.lift(2)
+              .map(_.eval().asInstanceOf[Number].longValue()).getOrElse(42L))))
+        ext.injectFunction((
           FunctionIdentifier("minhash_signature"),
           new ExpressionInfo(classOf[graft.expr.MinhashSignature].getName,
             "minhash_signature"),

@@ -54,29 +54,15 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
-  /** Sign-random-projection bucket id: `bits` hyperplanes (deterministic,
-    * seeded), bucket = the sign bit pattern. Hyperplane components are ±1
-    * (a Rademacher projection — as good as Gaussian for sign-LSH and
-    * expressible as a literal array in the plan).
+  /** Sign-random-projection bucket id: `bits` seeded Rademacher (±1)
+    * hyperplanes, bucket = the sign bit pattern. A native Catalyst
+    * expression ([[graft.expr.SrpBucket]], registered by GraftSession) —
+    * the per-hyperplane `zip_with`+`aggregate` column tree was interpreted
+    * and ~10× slower; planes regenerate deterministically per executor
+    * from the seed, so nothing is broadcast.
     */
-  def srpBucket(vec: Column, hyperplanes: Array[Array[Int]]): Column = {
-    val bits = hyperplanes.indices.map { j =>
-      val hp = lit(hyperplanes(j))
-      val proj = aggregate(
-        zip_with(vec, hp, (x, s) => x * s.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
-
-  /** Deterministic ±1 hyperplane matrix (seeded — no runtime entropy, so
-    * plans and results are stable across runs and executors).
-    */
-  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Int]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(bits, dim)(if (rnd.nextBoolean()) 1 else -1)
-  }
+  def srpBucket(vec: Column, bits: Int, seed: Long = 42L): Column =
+    call_function("srp_bucket", vec, lit(bits), lit(seed))
 
   /** Approximate cosine top-k via SRP-LSH with 1-bit multiprobe.
     *
@@ -90,15 +76,13 @@ object Similarity {
               bits: Int = 12, seed: Long = 42L,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    val dim = 64
-    val hps = hyperplanes(bits, dim, seed)
     val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("bucket", srpBucket(col("cv"), hps))
+      .withColumn("bucket", srpBucket(col("cv"), bits, seed))
     val probes = transform(sequence(lit(0), lit(bits)),
       j => when(j === 0, col("qbucket"))
         .otherwise(col("qbucket").bitwiseXOR(call_function("shiftleft", lit(1L), j - 1))))
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("qbucket", srpBucket(col("qv"), hps))
+      .withColumn("qbucket", srpBucket(col("qv"), bits, seed))
       .withColumn("bucket", explode(probes))
       .select(col("qid"), col("qv"), col("bucket"))
     val scored = c.join(q, Seq("bucket"))
@@ -122,12 +106,10 @@ object Similarity {
                    bands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
-    val dim = 64
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val banded = (0 until bands).map { b =>
-      val hps = hyperplanes(bitsPerBand, dim, seed + b)
       c.select(col("id"), col("v"), lit(b).as("band"),
-        srpBucket(col("v"), hps).as("bucket"))
+        srpBucket(col("v"), bitsPerBand, seed + b).as("bucket"))
     }.reduce(_ unionByName _)
     val l = banded.select(col("band"), col("bucket"), col("id").as("a_id"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("b_id"))

@@ -169,19 +169,26 @@ object AnalyticQueries {
     * 5%, which this gate measurably exceeds); percentile_approx at
     * accuracy 10000 is far tighter than the 10% asserted.
     */
-  def q37(s: SparkSession, dir: String): DataFrame =
-    t(s, dir)("orders")
-      .agg(
-        countDistinct(col("o_custkey")).as("exact_cust"),
-        approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"),
-        expr("percentile_approx(o_totalprice, 0.5, 10000)").as("approx_med"),
-        expr("percentile(o_totalprice, 0.5)").as("exact_med"))
+  def q37(s: SparkSession, dir: String): DataFrame = {
+    // Two single-row aggregations joined, NOT one agg with all four:
+    // mixing a distinct aggregate (expand rewrite) with object-buffer
+    // aggregates (percentile) plans a multi-phase monster that measured
+    // 8-12 s warm vs ~1 s for the pieces — two cheap scans beat it at any
+    // scale where the pathological plan is super-linear.
+    val counts = t(s, dir)("orders").agg(
+      countDistinct(col("o_custkey")).as("exact_cust"),
+      approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"))
+    val meds = t(s, dir)("orders").agg(
+      expr("percentile_approx(o_totalprice, 0.5, 10000)").as("approx_med"),
+      expr("percentile(o_totalprice, 0.5)").as("exact_med"))
+    counts.crossJoin(meds)
       .select(
         col("exact_cust"),
         (abs(col("approx_cust") - col("exact_cust")).cast("double") /
           col("exact_cust") < 0.05).as("cust_within_5pct"),
         (abs(col("approx_med") - col("exact_med")) / col("exact_med") < 0.1)
           .as("med_within_10pct"))
+  }
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q16_topk"          -> (q16 _),

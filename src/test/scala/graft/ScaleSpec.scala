@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Skew
+
+/** Scale-mechanics contracts: salted joins preserve results while
+  * spreading hot keys, and bucketed tables co-locate joins with no
+  * exchange — the two explicit tools (beyond AQE) for the 100 TB story.
+  */
+class ScaleSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("saltedJoin equals the plain join on a skewed key distribution") {
+    // 90% of fact rows share key 0 — the classic hot key
+    val fact = (1 to 1000).map(i => (if (i <= 900) 0L else i.toLong % 7, i))
+      .toDF("k", "v")
+    val dim = (0L to 6L).map(k => (k, s"d$k")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).select("k", "v", "name")
+      .as[(Long, Int, String)].collect().toSet
+    val salted = Skew.saltedJoin(fact, dim, "k", salt = 8)
+      .select("k", "v", "name").as[(Long, Int, String)].collect().toSet
+    assert(salted === plain)
+  }
+
+  test("saltedJoin's physical join key includes the salt column") {
+    val fact = Seq((0L, 1)).toDF("k", "v")
+    val dim = Seq((0L, "d")).toDF("k", "name")
+    val plan = Skew.saltedJoin(fact, dim, "k", salt = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), plan)
+  }
+
+  test("keySkewProfile surfaces the hot key first") {
+    val fact = (1 to 100).map(i => if (i <= 60) 7L else i.toLong).toDF("k")
+    val top = Skew.keySkewProfile(fact, "k", 1).as[(Long, Long)].head()
+    assert(top === ((7L, 60L)))
+  }
+
+  test("bucketed tables join without an exchange (shuffle-free co-located join)") {
+    spark.sql("DROP TABLE IF EXISTS g_orders_b")
+    spark.sql("DROP TABLE IF EXISTS g_cust_b")
+    // a previously failed run can leave the managed location behind
+    for (t <- Seq("g_orders_b", "g_cust_b")) {
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        loc.listFiles().foreach(_.delete()); loc.delete()
+      }
+    }
+    val dir = sfDir
+    table(spark, dir, "orders")
+      .write.mode("overwrite").bucketBy(4, "o_custkey")
+      .sortBy("o_custkey").saveAsTable("g_orders_b")
+    table(spark, dir, "customer")
+      .selectExpr("c_custkey", "c_name")
+      .write.mode("overwrite").bucketBy(4, "c_custkey")
+      .sortBy("c_custkey").saveAsTable("g_cust_b")
+    // merge hints on the INPUTS so broadcast doesn't win and the bucketed
+    // sort-merge path is what's planned
+    val joined = spark.table("g_orders_b").hint("merge")
+      .join(spark.table("g_cust_b").hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(physical.contains("SortMergeJoin"), physical)
+    assert(!physical.contains("Exchange"),
+      s"bucketed join must not shuffle:\n$physical")
+    assert(joined.count() > 0)
+    spark.sql("DROP TABLE IF EXISTS g_orders_b")
+    spark.sql("DROP TABLE IF EXISTS g_cust_b")
+  }
+
+  test("JSON-lines ingestion through the dd casts types like CSV does") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-json").toFile
+    val f = new java.io.File(tmp, "Serves.json")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"pizzeria": "Dominos", "pizza": "mushroom", "price": 8.5}""")
+    w.println("""{"pizzeria": "Corleone", "pizza": "cheese", "price": 7.75}""")
+    w.close()
+    val df = pizzaDd.load(spark, tmp.getPath, "Serves", "json")
+    assert(df.schema("price").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    assert(df.filter(col("price") === 7.75).count() === 1)
+    f.delete(); tmp.delete()
+  }
+}

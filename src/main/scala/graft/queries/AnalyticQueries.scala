@@ -190,6 +190,37 @@ object AnalyticQueries {
           .as("med_within_10pct"))
   }
 
+  /** Statistical aggregates: correlation / covariance / stddev across
+    * price-quantity pairs. Single-pass co-moment aggregation — partial
+    * merge is associative, so one shuffle of O(groups) moment tuples.
+    */
+  def q40(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        corr(col("l_quantity"), col("l_extendedprice")).as("qty_price_corr"),
+        covar_samp(col("l_quantity"), col("l_discount")).as("qty_disc_cov"),
+        stddev_samp(col("l_extendedprice")).as("price_sd"))
+
+  /** Semi-structured JSON: extract a field from the events `props` JSON
+    * column, group on it. JSON parsing happens once per row in the scan
+    * stage, pre-shuffle.
+    */
+  def q41(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("k").cast("long")).as("sum_k"),
+        max(col("k")).as("max_k"))
+
+  /** CUBE grouping sets (rollup's big sibling — q14 covers ROLLUP). */
+  def q42(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q16_topk"          -> (q16 _),
     "q17_window_rownum" -> (q17 _),
@@ -203,6 +234,9 @@ object AnalyticQueries {
     "q35_semi_anti"     -> (q35 _),
     "q36_outer_join"    -> (q36 _),
     "q37_approx_sketch" -> (q37 _),
+    "q40_stats_agg"     -> (q40 _),
+    "q41_json_extract"  -> (q41 _),
+    "q42_cube"          -> (q42 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -223,6 +257,23 @@ object AnalyticQueries {
       """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
                 TRUE AS cust_within_5pct, TRUE AS med_within_10pct
          FROM orders""",
+    "q40_stats_agg" ->
+      """SELECT l_returnflag,
+                corr(l_quantity, l_extendedprice) AS qty_price_corr,
+                covar_samp(l_quantity, l_discount) AS qty_disc_cov,
+                stddev_samp(l_extendedprice) AS price_sd
+         FROM lineitem GROUP BY l_returnflag""",
+    "q41_json_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+                CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+                  AS sum_k,
+                CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT)
+                  AS max_k
+         FROM events GROUP BY event_type""",
+    "q42_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
     "q16_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",

@@ -70,6 +70,22 @@ class ScaleSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS g_cust_b")
   }
 
+  test("partitioned layout prunes partitions at plan time") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    table(spark, sfDir, "events")
+      .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    val one = spark.read.parquet(tmp).filter(col("event_type") === "click")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    val total = spark.read.parquet(tmp).count()
+    val clicks = one.count()
+    assert(clicks > 0 && clicks < total)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(tmp))
+  }
+
   test("JSON-lines ingestion through the dd casts types like CSV does") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-json").toFile
     val f = new java.io.File(tmp, "Serves.json")

@@ -37,17 +37,15 @@ object Dedup {
     *
     * Pipeline (all narrow or key-shuffled — no all-pairs stage):
     *  1. per doc: distinct word-n-gram shingles → K-slot MinHash signature
-    *     → B band hashes (codegen'd column expressions, one pass);
-    *  2. explode bands; self-equi-join on (band, band_hash) with id<id —
-    *     a shuffle join keyed on the band hash, fan-out = true collisions;
+    *     → B band hashes (native expressions, one pass);
+    *  2. one aggregation shuffle on (band, band_hash) → per-bucket id sets
+    *     → narrow pair explosion ([[bucketPairs]]), fan-out = true
+    *     collisions, degenerate buckets capped;
     *  3. dedup candidate pairs, join back each side's shingle set, keep
     *     pairs with exact Jaccard >= `threshold`.
     *
     * Recall: pairs with similarity s survive with prob 1-(1-s^rows)^bands;
-    * defaults (16×8) catch s>=0.9 with certainty ~1-1e-8. At 100 TB the
-    * expensive stage is the band self-join; `maxBucket` drops degenerate
-    * buckets (boilerplate/empty docs colliding by the million) the same
-    * way production MinHash dedups do.
+    * defaults (16×8) catch s>=0.9 with certainty ~1-1e-8.
     */
   def nearDupMinhash(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.5, shingleN: Int = 3,
@@ -101,17 +99,7 @@ object Dedup {
           .as("c"))
       .select(col("id"), col("c.chunk").as("chunk"),
         col("c.chunk_val").as("chunk_val"))
-    val sized = chunked
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("chunk"), col("chunk_val"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-    val l = sized.select(col("chunk"), col("chunk_val"), col("id").as("a_id"))
-    val r = sized.select(col("chunk"), col("chunk_val"), col("id").as("b_id"))
-    l.join(r, Seq("chunk", "chunk_val"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
+    bucketPairs(chunked, Seq("chunk", "chunk_val"), maxBucket)
       .join(hashed.select(col("id").as("a_id"), col("simh").as("ha")),
         Seq("a_id"))
       .join(hashed.select(col("id").as("b_id"), col("simh").as("hb")),
@@ -121,26 +109,39 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("ham").cast("int").as("ham"))
   }
 
-  /** Shared tail: bucket self-join on `keyCols` → distinct id pairs →
-    * exact-Jaccard verification against each side's shingle set.
+  /** Candidate pairs from hash buckets: ONE aggregation shuffle on the
+    * bucket key, then a narrow per-bucket pair explosion — replaces the
+    * [window-count shuffle + self-join shuffle] formulation (two extra
+    * wide stages measured at sf0.1).
+    *
+    * Degenerate-bucket guard: a bucket of m docs yields m(m-1)/2 pairs;
+    * `maxBucket` drops oversized buckets (boilerplate clusters), which
+    * both bounds fan-out AND bounds the collected list — the aggregation
+    * spills via ObjectHashAggregate, and anything above the cap is
+    * discarded post-agg. Trades recall only on pathological clusters,
+    * like production MinHash dedups do.
+    */
+  private[ops] def bucketPairs(buckets: DataFrame, keyCols: Seq[String],
+                               maxBucket: Int): DataFrame = {
+    val grouped = buckets
+      .groupBy(keyCols.map(col): _*)
+      .agg(collect_set(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(sort_array(col("ids")).as("ids"))
+    grouped
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
+      .select(col("p.a_id"), col("p.b_id")).distinct()
+  }
+
+  /** Shared tail: bucket candidates → distinct id pairs → exact-Jaccard
+    * verification against each side's shingle set.
     */
   private def candidatesToVerified(buckets: DataFrame, keyCols: Seq[String],
                                    shingleSets: DataFrame, threshold: Double,
                                    maxBucket: Int): DataFrame = {
-    // Degenerate-bucket guard: a bucket of m docs yields m(m-1)/2 pairs;
-    // capping m bounds worst-case fan-out at scale (trades recall only on
-    // pathological boilerplate clusters).
-    val sized = buckets
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(keyCols.map(col): _*)))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-    val l = sized.select(keyCols.map(col) :+ col("id").as("a_id"): _*)
-    val r = sized.select(keyCols.map(col) :+ col("id").as("b_id"): _*)
-    val cand = l.join(r, keyCols, "inner")
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
+    val cand = bucketPairs(buckets, keyCols, maxBucket)
     cand
       .join(shingleSets.select(col("id").as("a_id"), col("sh").as("sh_a")),
         Seq("a_id"))

@@ -33,6 +33,30 @@ object Skew {
       .drop("__salt")
   }
 
+  /** Two-phase salted aggregation for heavy-tailed group keys: aggregate
+    * on (key, salt) first — hot keys spread over `salt` reducers — then
+    * re-aggregate the per-salt partials on the key alone (tiny: at most
+    * `salt` rows per key). Only valid for aggregates with an associative
+    * merge; the caller supplies both phases. For plain sums/counts Spark's
+    * own partial aggregation usually suffices — this is for when the
+    * per-key state itself is big (collect-style or sketch aggregates).
+    */
+  def saltedAgg(df: DataFrame, key: String, salt: Int,
+                partial: Seq[(String, Column => Column)],
+                merge: Seq[(String, Column => Column)],
+                seed: Long = 42L): DataFrame = {
+    require(salt > 1, "salt must exceed 1")
+    require(partial.map(_._1) == merge.map(_._1),
+      "partial and merge phases must name the same columns")
+    val salted = df.withColumn("__salt", floor(rand(seed) * salt).cast("int"))
+    val phase1 = salted.groupBy(col(key), col("__salt"))
+      .agg(partial.head._2(col(partial.head._1)).as(partial.head._1),
+        partial.tail.map(p => p._2(col(p._1)).as(p._1)): _*)
+    phase1.groupBy(col(key))
+      .agg(merge.head._2(col(merge.head._1)).as(merge.head._1),
+        merge.tail.map(m => m._2(col(m._1)).as(m._1)): _*)
+  }
+
   /** Top-N heavy-hitter keys with their frequencies — the profiling step
     * that decides whether salting is worth the dim-side replication.
     * One partial-aggregated shuffle + a driver-side top-N of group counts.

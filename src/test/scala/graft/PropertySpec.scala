@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops.{Dedup, Skew, TextOps}
+
+/** Property-based algebraic laws over small random relations — the layer
+  * the reference has none of (SURVEY §5 "our test plan"). Generators are
+  * ScalaCheck's, driven with fixed seeds (each law samples several
+  * deterministic inputs, so failures reproduce exactly); laws pin
+  * SEMANTICS (result sets), not plans.
+  */
+class PropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default.withSize(12), Seed(seed))
+      .getOrElse(sys.error("generator failed"))
+
+  private def check[A](g: Gen[A], n: Int = 5)(law: A => Unit): Unit =
+    (1 to n).foreach(i => law(sample(g, 0x67AF7L + i)))
+
+  private val rows: Gen[List[(Long, Int)]] =
+    Gen.listOf(Gen.zip(Gen.choose(0L, 5L), Gen.choose(0, 9)))
+
+  test("filter-then-join == join-then-filter (selection pushdown soundness)") {
+    check(Gen.zip(rows, rows)) { case (l, r) =>
+      val lf = l.toDF("k", "v")
+      val rf = r.toDF("k", "w")
+      val a = lf.filter($"v" > 4).join(rf, Seq("k"))
+        .as[(Long, Int, Int)].collect().sorted.toSeq
+      val b = lf.join(rf, Seq("k")).filter($"v" > 4)
+        .as[(Long, Int, Int)].collect().sorted.toSeq
+      assert(a === b)
+    }
+  }
+
+  test("join associativity (the reference's 42-count law, arbitrary inputs)") {
+    check(Gen.zip(rows, rows, rows)) { case (x, y, z) =>
+      val xf = x.toDF("k", "a"); val yf = y.toDF("k", "b")
+      val zf = z.toDF("k", "c")
+      val left = xf.join(yf, Seq("k")).join(zf, Seq("k"))
+      val right = xf.join(yf.join(zf, Seq("k")), Seq("k"))
+      assert(left.count() === right.count())
+    }
+  }
+
+  test("project-distinct is idempotent (reference set semantics)") {
+    check(rows) { l =>
+      val once = l.toDF("k", "v").select("k").distinct()
+      assert(once.count() === once.distinct().count())
+    }
+  }
+
+  test("union/intersect/except agree with Scala set algebra") {
+    check(Gen.zip(rows, rows)) { case (l, r) =>
+      val lf = l.toDF("k", "v").distinct()
+      val rf = r.toDF("k", "v").distinct()
+      val ls = l.toSet; val rs = r.toSet
+      assert(lf.union(rf).distinct().count() === (ls | rs).size.toLong)
+      assert(lf.intersect(rf).count() === (ls & rs).size.toLong)
+      assert(lf.except(rf).count() === (ls -- rs).size.toLong)
+    }
+  }
+
+  test("saltedJoin equals plain join for any inputs and salt") {
+    check(Gen.zip(rows, rows, Gen.choose(2, 9))) { case (l, r, salt) =>
+      val lf = l.toDF("k", "v")
+      val rf = r.map { case (k, w) => (k, s"w$w") }.distinct.toDF("k", "name")
+      val plain = lf.join(rf, Seq("k"))
+        .as[(Long, Int, String)].collect().sorted.toSeq
+      val salted = Skew.saltedJoin(lf, rf, "k", salt)
+        .as[(Long, Int, String)].collect().sorted.toSeq
+      assert(salted === plain)
+    }
+  }
+
+  test("exactByKey partitions the input: group sizes sum to row count") {
+    check(rows) { l =>
+      if (l.nonEmpty) {
+        val df = l.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+          .toDF("k", "v", "id")
+        val agg = Dedup.exactByKey(df, Seq("k"), "id")
+        assert(agg.agg(sum($"n_dups")).as[Long].head() === l.size.toLong)
+      }
+    }
+  }
+
+  test("jaccard is 1 on self, symmetric, in [0,1]") {
+    val texts = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e"))
+      .map(_.mkString(" "))
+    check(Gen.zip(texts, texts)) { case (t1, t2) =>
+      val df = Seq((t1, t2)).toDF("x", "y").select(
+        TextOps.jaccard(TextOps.shingles(col("x"), 1),
+          TextOps.shingles(col("y"), 1)).as("xy"),
+        TextOps.jaccard(TextOps.shingles(col("y"), 1),
+          TextOps.shingles(col("x"), 1)).as("yx"),
+        TextOps.jaccard(TextOps.shingles(col("x"), 1),
+          TextOps.shingles(col("x"), 1)).as("xx"))
+      val (xy, yx, xx) = df.as[(Double, Double, Double)].head()
+      assert(xy === yx)
+      assert(xx === 1.0)
+      assert(xy >= 0.0 && xy <= 1.0)
+    }
+  }
+}

@@ -31,6 +31,20 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("__salt"), plan)
   }
 
+  test("saltedAgg two-phase equals the direct aggregation") {
+    val fact = (1 to 500).map(i => (if (i <= 450) 0L else i.toLong % 5, i.toLong))
+      .toDF("k", "v")
+    val direct = fact.groupBy("k")
+      .agg(sum($"v").as("s"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    val salted = graft.ops.Skew.saltedAgg(fact, "k", salt = 8,
+      partial = Seq("v" -> (sum(_)), "n" -> (_ => count(lit(1)))),
+      merge = Seq("v" -> (sum(_)), "n" -> (sum(_))))
+      .select(col("k"), col("v").as("s"), col("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(salted === direct)
+  }
+
   test("keySkewProfile surfaces the hot key first") {
     val fact = (1 to 100).map(i => if (i <= 60) 7L else i.toLong).toDF("k")
     val top = Skew.keySkewProfile(fact, "k", 1).as[(Long, Long)].head()

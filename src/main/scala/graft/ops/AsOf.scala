@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — for each left row, the most recent right
+  * row at or before its timestamp, per key. The operator Spark famously
+  * lacks (brief: "as-of join, range join, a novel sketch"); the reference
+  * has no joins beyond inner equi either (SURVEY §2.1 #6).
+  *
+  * Implementation is the scalable union-window formulation, NOT a range
+  * join: tag both sides, union them, and run one `last_value(..., ignore
+  * nulls)` window per key ordered by time — every left row picks up the
+  * latest preceding right payload in a single shuffle on the key, O(1)
+  * window state per row. A per-key range join would fan out
+  * O(|left|×|right|) per key before filtering; this never builds that
+  * intermediate, and survives keys with millions of rows (AQE skew-split
+  * applies to the one shuffle).
+  */
+object AsOf {
+
+  /** `left` and `right` must both carry `keyCol` and `tsCol`. Right
+    * payload columns are suffixed `_r` in the output; left rows with no
+    * preceding right row keep nulls (left-outer as-of semantics).
+    * Ties (equal timestamps) match — "at or before" — with the right
+    * side winning deterministically via the side tag in the sort key.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String): DataFrame = {
+    val rightPayload = right.columns.filter(c => c != keyCol && c != tsCol)
+    val leftCols = left.columns
+    // side 0 sorts before side 1 at equal ts → right rows are visible to
+    // left rows with the same timestamp ("at or before")
+    val taggedRight = right.select(
+      Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
+        rightPayload.map(c => col(c).as(s"${c}_r")) ++
+        leftCols.filter(c => c != keyCol && c != tsCol)
+          .map(c => lit(null).as(c)): _*)
+    val taggedLeft = left.select(
+      Seq(col(keyCol), col(tsCol), lit(1).as("__side")) ++
+        rightPayload.map(c => lit(null).as(s"${c}_r")) ++
+        leftCols.filter(c => c != keyCol && c != tsCol).map(col): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightPayload.foldLeft(taggedRight.unionByName(taggedLeft)) {
+      (df, c) =>
+        df.withColumn(s"${c}_r",
+          last(col(s"${c}_r"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__side")
+  }
+
+  /** Range join: rows of `fact` matched to the (small) `ranges` side where
+    * `valueCol` falls in [loCol, hiCol]. The broadcast-nested-loop shape —
+    * correct when the ranges side is broadcastable; for two large sides
+    * you'd bucket by range stride first (not needed by any fixture).
+    */
+  def rangeJoin(fact: DataFrame, ranges: DataFrame, valueCol: String,
+                loCol: String, hiCol: String): DataFrame =
+    fact.join(broadcast(ranges),
+      col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Sketch aggregates: mergeable summaries whose per-group state is a
+  * fixed-size array, the pattern behind every large-scale profiling
+  * pipeline (HLL, KMV, MinHash unions).
+  *
+  * [[MinhashUnion]] unions per-document MinHash signatures into a
+  * per-group signature by elementwise min — the signature of the UNION of
+  * the groups' shingle sets. Because min is associative/commutative, the
+  * aggregate is partial-aggregation friendly: each executor folds its rows
+  * into one k-slot array and only those arrays cross the shuffle
+  * (O(groups × k), independent of corpus size). Sketch Jaccard between two
+  * groups is then `matching slots / k`, with standard error ~1/√k.
+  */
+object Sketch {
+
+  /** Typed UDAF: elementwise-min union of `array<long>` MinHash
+    * signatures (Aggregator → `functions.udaf`, the SURVEY §2.3 UDAF
+    * tier — used where no builtin aggregate fits).
+    */
+  class MinhashUnion(k: Int) extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+    def reduce(buf: Array[Long], sig: Seq[Long]): Array[Long] = {
+      var i = 0
+      while (i < k && i < sig.length) {
+        if (sig(i) < buf(i)) buf(i) = sig(i)
+        i += 1
+      }
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < k) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoders.longArray
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoders.longSeq
+  }
+
+  private object ExpressionEncoders {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val longArray: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    val longSeq: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Per-group MinHash sketch of a text corpus: one k-slot signature per
+    * value of `groupCol`.
+    */
+  def groupSketches(df: DataFrame, groupCol: String, textCol: String,
+                    k: Int = 256, shingleN: Int = 3): DataFrame = {
+    val union = udaf(new MinhashUnion(k))
+    df.select(col(groupCol),
+        TextOps.minhashSignature(
+          TextOps.shingles(col(textCol), shingleN), k).as("sig"))
+      .groupBy(col(groupCol))
+      .agg(union(col("sig")).as("sketch"))
+  }
+
+  /** Estimated Jaccard between two sketches: fraction of matching slots. */
+  def sketchJaccard(a: org.apache.spark.sql.Column,
+                    b: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), m => m))
+      .cast("double") / k
+}

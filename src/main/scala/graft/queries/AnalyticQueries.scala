@@ -221,6 +221,37 @@ object AnalyticQueries {
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** As-of join: each click annotated with the user's most recent signup
+    * at or before it ([[graft.ops.AsOf.asofJoin]] — single key-shuffle
+    * union-window plan, no per-key fan-out). Times as exact integer
+    * micros so both engines compare identical longs.
+    */
+  def q43(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click").drop("event_type")
+    val signups = ev.filter(col("event_type") === "signup").drop("event_type")
+    graft.ops.AsOf.asofJoin(clicks, signups, "user_id", "ts_us")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_id_r").as("signup_id"))
+  }
+
+  /** Range join: lineitem prices bucketed into literal bands via a
+    * broadcast range join, then counted per band.
+    */
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.createDataFrame(Seq(
+      ("low", 0.0, 24999.99),
+      ("mid", 25000.0, 49999.99),
+      ("high", 50000.0, 999999.0))).toDF("band", "lo", "hi")
+    graft.ops.AsOf.rangeJoin(t(s, dir)("lineitem"), bands,
+        "l_extendedprice", "lo", "hi")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_c"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q16_topk"          -> (q16 _),
     "q17_window_rownum" -> (q17 _),
@@ -237,6 +268,8 @@ object AnalyticQueries {
     "q40_stats_agg"     -> (q40 _),
     "q41_json_extract"  -> (q41 _),
     "q42_cube"          -> (q42 _),
+    "q43_asof_join"     -> (q43 _),
+    "q44_range_join"    -> (q44 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -257,6 +290,22 @@ object AnalyticQueries {
       """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
                 TRUE AS cust_within_5pct, TRUE AS med_within_10pct
          FROM orders""",
+    "q43_asof_join" ->
+      """SELECT l.user_id, epoch_us(l.ts) AS ts_us, l.event_id,
+                r.event_id AS signup_id
+         FROM (SELECT * FROM events WHERE event_type = 'click') l
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "q44_range_join" ->
+      """SELECT band, CAST(count(*) AS BIGINT) AS cnt,
+                CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+                  AS BIGINT) AS sum_price_c
+         FROM lineitem JOIN (VALUES
+             ('low', 0.0, 24999.99),
+             ('mid', 25000.0, 49999.99),
+             ('high', 50000.0, 999999.0)) AS bands(band, lo, hi)
+           ON l_extendedprice >= lo AND l_extendedprice <= hi
+         GROUP BY band""",
     "q40_stats_agg" ->
       """SELECT l_returnflag,
                 corr(l_quantity, l_extendedprice) AS qty_price_corr,

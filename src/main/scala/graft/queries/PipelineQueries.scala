@@ -126,6 +126,37 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** Cross-source similarity via MinHash-union sketches (the
+    * [[graft.ops.Sketch.MinhashUnion]] UDAF): per-source k=256 sketches,
+    * pairwise sketch-Jaccard, gated against the EXACT source-level
+    * shingle-set Jaccard with a ±0.08 tolerance boolean (≈6σ at k=256 —
+    * the oracle computes the exact side and asserts the boolean, the
+    * honest way to gate an estimator). The sketch path shuffles only
+    * O(sources × k) longs; the exact path (fine at sf scale, also the
+    * oracle) shuffles full shingle sets.
+    */
+  def q45(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val docs = t(s, dir)("documents")
+    val sketches = graft.ops.Sketch.groupSketches(docs, "source", "text", k)
+    val exact = docs
+      .select(col("source"),
+        explode(TextOps.shingles(col("text"), 3)).as("sh"))
+      .groupBy(col("source")).agg(collect_set(col("sh")).as("ss"))
+    val a = sketches.join(exact, "source")
+      .select(col("source").as("src_a"), col("sketch").as("sk_a"),
+        col("ss").as("ss_a"))
+    val b = sketches.join(exact, "source")
+      .select(col("source").as("src_b"), col("sketch").as("sk_b"),
+        col("ss").as("ss_b"))
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(TextOps.jaccard(col("ss_a"), col("ss_b")), 4).as("exact_j"),
+        (abs(graft.ops.Sketch.sketchJaccard(col("sk_a"), col("sk_b"), k) -
+          TextOps.jaccard(col("ss_a"), col("ss_b"))) <= 0.08)
+          .as("within_tol"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_dedup_keyed"     -> (q21 _),
     "q22_dedup_text_exact" -> (q22 _),
@@ -139,6 +170,7 @@ object PipelineQueries {
     "q30_embed_neardup"   -> (q30 _),
     "q38_token_counts"    -> (q38 _),
     "q39_dedup_survivors" -> (q39 _),
+    "q45_sketch_similarity" -> (q45 _),
   )
 
   /** Queries that legitimately have no equality oracle. */
@@ -253,6 +285,16 @@ object PipelineQueries {
            WHERE len(a.sh) > 0 AND len(b.sh) > 0
              AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                  / len(list_distinct(a.sh || b.sh)) >= 0.5)"""),
+    "q45_sketch_similarity" -> (shingleCte +
+      """, e AS (SELECT d.source,
+                list_distinct(flatten(list(s.sh))) AS ss
+              FROM s JOIN documents d USING (doc_id)
+              GROUP BY d.source)
+       SELECT a.source AS src_a, b.source AS src_b,
+              round(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+                    / len(list_distinct(a.ss || b.ss)), 4) AS exact_j,
+              TRUE AS within_tol
+       FROM e a JOIN e b ON a.source < b.source"""),
     "q30_embed_neardup" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                 round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

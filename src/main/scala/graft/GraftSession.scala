@@ -26,6 +26,18 @@ object GraftSession {
       // graft's native Catalyst expressions, registered the standard way so
       // they're callable from both the Column API and SQL text.
       .withExtensions { ext =>
+        // The reference optimizer's rewrites as injected optimizer rules
+        // (SURVEY §4.1). Catalyst subsumes them, so on already-optimized
+        // plans they are no-ops — RaParitySpec pins that fixed-point
+        // property; the injection demonstrates the SparkSessionExtensions
+        // wiring the thesis pipeline would use. R1 (break-up) is NOT
+        // injected: it is a one-shot stepping stone, not fixed-point
+        // stable (it would alternate with merge forever in a fixedPoint
+        // batch — the reference likewise applies it exactly once).
+        Seq(graft.rules.RaRules.PushDownSelections,
+          graft.rules.RaRules.MergeSelections,
+          graft.rules.RaRules.IntroduceJoins)
+          .foreach(r => ext.injectOptimizerRule(_ => r))
         ext.injectFunction((
           FunctionIdentifier("portable_simhash"),
           new ExpressionInfo(classOf[graft.expr.PortableSimhash].getName,

@@ -109,6 +109,45 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("ham").cast("int").as("ham"))
   }
 
+  /** Transitive near-dup clusters: connected components over the verified
+    * pair graph, as iterative min-label propagation (each node adopts the
+    * smallest label among itself and its neighbors until fixpoint).
+    * Returns (id, cluster) where cluster = the smallest doc id reachable.
+    *
+    * Near-dup components have tiny diameters (duplicates of duplicates),
+    * so convergence takes a handful of iterations; `localCheckpoint`
+    * truncates lineage each round so plans don't grow unboundedly. At
+    * true graph scale you'd switch to the alternating small-star /
+    * large-star formulation — same DataFrame machinery, fewer rounds on
+    * high-diameter graphs.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val updated = labels
+        .join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      val changed = updated.alias("u")
+        .join(labels.alias("l"), Seq("id"))
+        .filter(col("u.label") =!= col("l.label")).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   /** Candidate pairs from hash buckets: ONE aggregation shuffle on the
     * bucket key, then a narrow per-bucket pair explosion — replaces the
     * [window-count shuffle + self-join shuffle] formulation (two extra

@@ -157,6 +157,36 @@ object PipelineQueries {
           .as("within_tol"))
   }
 
+  /** Transitive dup clusters over the verified near-dup pairs (iterative
+    * min-label connected components; DuckDB oracle uses a recursive CTE).
+    */
+  def q46(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusters(q23(s, dir).select(col("a_id"), col("b_id")))
+
+  /** TF-IDF top-3 terms per source: term frequency within the source ×
+    * ln(|sources| / doc-frequency across sources), deterministic
+    * tie-breaks. Two shuffles: (source, term) counts and per-term source
+    * counts; the window ranks within source.
+    */
+  def q47(s: SparkSession, dir: String): DataFrame = {
+    val terms = t(s, dir)("documents")
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = terms.select(col("term"), col("source")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nSources = terms.select(countDistinct(col("source"))).first().getLong(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df_, "term")
+      .withColumn("score",
+        round(col("tf") * log(lit(nSources.toDouble) / col("df")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("source"), col("rnk"), col("term"), col("score"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_dedup_keyed"     -> (q21 _),
     "q22_dedup_text_exact" -> (q22 _),
@@ -171,6 +201,8 @@ object PipelineQueries {
     "q38_token_counts"    -> (q38 _),
     "q39_dedup_survivors" -> (q39 _),
     "q45_sketch_similarity" -> (q45 _),
+    "q46_dup_clusters"    -> (q46 _),
+    "q47_tfidf_topterms"  -> (q47 _),
   )
 
   /** Queries that legitimately have no equality oracle. */
@@ -295,6 +327,40 @@ object PipelineQueries {
                     / len(list_distinct(a.ss || b.ss)), 4) AS exact_j,
               TRUE AS within_tol
        FROM e a JOIN e b ON a.source < b.source"""),
+    "q46_dup_clusters" ->
+      """WITH RECURSIVE
+       w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       s AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w)-1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+             FROM w),
+       p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             FROM s a JOIN s b ON a.doc_id < b.doc_id
+             WHERE len(a.sh) > 0 AND len(b.sh) > 0
+               AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(a.sh || b.sh)) >= 0.5),
+       e AS (SELECT a_id AS src, b_id AS dst FROM p
+             UNION ALL SELECT b_id, a_id FROM p),
+       reach AS (
+         SELECT src AS id, src AS r FROM e
+         UNION
+         SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+       SELECT id, min(r) AS cluster FROM reach GROUP BY id""",
+    "q47_tfidf_topterms" ->
+      """WITH terms AS (SELECT source, unnest(string_split(text, ' ')) AS term
+                        FROM documents),
+       tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+              FROM terms GROUP BY 1, 2),
+       idf AS (SELECT term, count(DISTINCT source) AS df FROM terms GROUP BY 1),
+       ns AS (SELECT count(DISTINCT source) AS n FROM terms)
+       SELECT source, rnk, term, score FROM (
+         SELECT tf.source, tf.term,
+                round(tf.tf * ln(CAST(ns.n AS DOUBLE) / idf.df), 6) AS score,
+                row_number() OVER (PARTITION BY tf.source
+                  ORDER BY round(tf.tf * ln(CAST(ns.n AS DOUBLE) / idf.df), 6)
+                             DESC, tf.term) AS rnk
+         FROM tf JOIN idf USING (term) CROSS JOIN ns) x
+       WHERE rnk <= 3""",
     "q30_embed_neardup" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                 round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

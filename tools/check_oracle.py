@@ -18,7 +18,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if isinstance(v, float):
             return f"{v:.6g}"
         return str(v)
-    out = df.applymap(norm)
+    mapper = getattr(pd.DataFrame, "map", None) or pd.DataFrame.applymap
+    out = mapper(df, norm)
     return out.sort_values(by=list(out.columns)).reset_index(drop=True)
 
 def main(out_dir, sf_dir):
@@ -38,6 +39,10 @@ def main(out_dir, sf_dir):
         if name not in oracle:
             status = f"rows-only ({len(got)} rows)" if got is not None else "MISSING OUTPUT"
             print(f"  {name:28s} {status}")
+            continue
+        if got is None:
+            print(f"  {name:28s} MISSING OUTPUT (oracle present, no parquet)")
+            n_fail += 1
             continue
         try:
             exp = con.execute(oracle[name]).df()

@@ -53,21 +53,6 @@ object TextOps {
       b => struct(b.as("band"),
         xxhash64(slice(signature, b * rows + 1, lit(rows))).as("band_hash")))
 
-  /** 64-bit SimHash over the shingle set: bit k is the sign of the sum of
-    * ±1 votes from bit k of each shingle's xxhash64. Near-identical shingle
-    * sets give near-identical bit patterns (small Hamming distance).
-    */
-  def simhash(shingleArr: Column): Column =
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, k) => acc + when(
-        aggregate(shingleArr, lit(0L),
-          (votes, s) => votes +
-            when(call_function("shiftright", xxhash64(s), k).bitwiseAND(1) === 1, 1L)
-              .otherwise(-1L)) > 0,
-        call_function("shiftleft", lit(1L), k)).otherwise(lit(0L)))
-
   /** Split a SimHash into `chunks` bit-slices of `bitsPer` bits.
     * Pigeonhole: two hashes within Hamming distance `chunks-1` must agree
     * on at least one chunk, so grouping by chunk value is a COMPLETE
@@ -121,15 +106,6 @@ object TextOps {
     val w = tokens(text)
     size(filter(w, t => t.isin("the", "a", "an", "of", "and", "is", "to")))
       .cast("double") / greatest(size(w), lit(1)).cast("double")
-  }
-
-  /** Mean token length in characters — short-token text (word salad,
-    * boilerplate) scores low on most quality filters.
-    */
-  def meanTokenLen(text: Column): Column = {
-    val w = tokens(text)
-    aggregate(w, lit(0L), (acc, t) => acc + length(t)).cast("double") /
-      greatest(size(w), lit(1)).cast("double")
   }
 
   /** Composite quality score in [0,1]: long-enough docs with a natural

@@ -187,6 +187,59 @@ object PipelineQueries {
       .select(col("source"), col("rnk"), col("term"), col("score"))
   }
 
+  /** Funnel analysis: per user, did a purchase follow the FIRST signup?
+    * Conversion counts + median-free latency stats on exact micros.
+    * One shuffle on user_id; min/conditional-min aggregates only.
+    */
+  def q48(s: SparkSession, dir: String): DataFrame =
+    graft.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts_us")))
+          .as("first_signup_us"),
+        min(when(col("event_type") === "purchase", col("ts_us")))
+          .as("first_purchase_us"))
+      .select(col("user_id"),
+        col("first_signup_us").isNotNull.as("signed_up"),
+        // coalesce: three-valued logic would emit NULL for users missing
+        // either event, which pandas canonicalizes differently per engine
+        coalesce(col("first_purchase_us") > col("first_signup_us"),
+          lit(false)).as("converted_after_signup"))
+
+  /** The corpus-cleaning gate a training pipeline runs: keep/drop with
+    * reasons (too short / wrong language / low quality), one row per
+    * reason bucket. Pure column arithmetic — replicated exactly by the
+    * oracle.
+    */
+  def q49(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("documents")
+      .select(
+        when(TextOps.tokenCount(col("text")) < 15, "too_short")
+          .when(TextOps.langGuess(col("text")) =!= col("lang"), "lang_mismatch")
+          .when(TextOps.qualityScore(col("text")) < 0.6, "low_quality")
+          .otherwise("kept").as("verdict"))
+      .groupBy(col("verdict")).agg(count(lit(1)).as("n_docs"))
+
+  /** Vector preprocessing: L2-normalize then int8-quantize embeddings —
+    * the storage-side prep before ANN indexing. Emits per-vector check
+    * values (norm to 4dp, first quantized lane, quantized-lane sum) so
+    * the oracle verifies the arithmetic end-to-end without comparing
+    * float arrays.
+    */
+  def q50(s: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val norm = sqrt(aggregate(transform(v, x => x * x), lit(0.0),
+      (acc, x) => acc + x))
+    val quant = transform(v, x =>
+      round(x / norm * 127).cast("int"))
+    t(s, dir)("embeddings")
+      .select(col("vec_id"), round(norm, 4).as("l2_norm"),
+        element_at(quant, 1).as("q0"),
+        aggregate(quant, lit(0L), (acc, x) => acc + x).as("q_sum"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_dedup_keyed"     -> (q21 _),
     "q22_dedup_text_exact" -> (q22 _),
@@ -203,6 +256,9 @@ object PipelineQueries {
     "q45_sketch_similarity" -> (q45 _),
     "q46_dup_clusters"    -> (q46 _),
     "q47_tfidf_topterms"  -> (q47 _),
+    "q48_funnel"          -> (q48 _),
+    "q49_quality_gate"    -> (q49 _),
+    "q50_vector_quantize" -> (q50 _),
   )
 
   /** Queries that legitimately have no equality oracle. */
@@ -327,6 +383,52 @@ object PipelineQueries {
                     / len(list_distinct(a.ss || b.ss)), 4) AS exact_j,
               TRUE AS within_tol
        FROM e a JOIN e b ON a.source < b.source"""),
+    "q48_funnel" ->
+      """SELECT user_id, first_signup_us IS NOT NULL AS signed_up,
+                coalesce(first_purchase_us > first_signup_us, FALSE)
+                  AS converted_after_signup
+         FROM (SELECT user_id,
+                 min(CASE WHEN event_type = 'signup'
+                     THEN epoch_us(ts) END) AS first_signup_us,
+                 min(CASE WHEN event_type = 'purchase'
+                     THEN epoch_us(ts) END) AS first_purchase_us
+               FROM events GROUP BY user_id) t""",
+    "q49_quality_gate" ->
+      """WITH f AS (
+         SELECT lang,
+                len(string_split(text, ' ')) AS n_tok,
+                CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]')
+                       THEN 'zh'
+                     WHEN CAST(len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the','a','an','of','and','is','to')))
+                         AS DOUBLE)
+                       / greatest(len(string_split(text, ' ')), 1) >= 0.05
+                       THEN 'en'
+                     ELSE 'unk' END AS pred,
+                round((
+                  least(CAST(len(string_split(text, ' ')) AS DOUBLE)/50.0, 1.0)
+                  + least(CAST(len(list_filter(string_split(text, ' '),
+                      x -> x IN ('the','a','an','of','and','is','to')))
+                      AS DOUBLE)
+                    / greatest(len(string_split(text, ' ')), 1) * 5.0, 1.0)
+                  ) / 2.0, 4) AS q
+         FROM documents)
+       SELECT CASE WHEN n_tok < 15 THEN 'too_short'
+                   WHEN pred <> lang THEN 'lang_mismatch'
+                   WHEN q < 0.6 THEN 'low_quality'
+                   ELSE 'kept' END AS verdict,
+              CAST(count(*) AS BIGINT) AS n_docs
+       FROM f GROUP BY 1""",
+    "q50_vector_quantize" ->
+      """SELECT vec_id, round(nrm, 4) AS l2_norm,
+                CAST(round(e[1] / nrm * 127) AS INT) AS q0,
+                CAST(list_sum(list_transform(e,
+                  x -> CAST(round(x / nrm * 127) AS BIGINT))) AS BIGINT)
+                  AS q_sum
+         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> x * x))) AS nrm
+               FROM embeddings) t""",
     "q46_dup_clusters" ->
       """WITH RECURSIVE
        w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 import graft.cents
 
 /** Structured Streaming pipelines over the events stream (schema:
@@ -75,11 +75,4 @@ object EventStreams {
       }
   }
 
-  /** Convenience: run a streaming pipeline over the fixture events table
-    * replayed as a file stream would be — used by the batch-parity test
-    * (Structured Streaming guarantees batch/stream result parity for
-    * supported ops, which the spec pins).
-    */
-  def outputModeFor(df: DataFrame): OutputMode =
-    if (df.isStreaming) OutputMode.Update() else OutputMode.Append()
 }

@@ -64,7 +64,14 @@ object PortableSimhash {
         val s = arr.getUTF8String(i).toString
         var h = 0L
         var j = 0
-        while (j < s.length) { h = (h * 31 + s.charAt(j)) % Mod; j += 1 }
+        // iterate Unicode CODE POINTS, not UTF-16 code units: the DuckDB
+        // oracle folds unicode(substr(...)) codepoints, and surrogate
+        // pairs would otherwise break the bit-for-bit portability claim
+        while (j < s.length) {
+          val cp = s.codePointAt(j)
+          h = (h * 31 + cp) % Mod
+          j += Character.charCount(cp)
+        }
         poly(n) = h
         n += 1
       }

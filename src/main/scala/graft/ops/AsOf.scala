@@ -30,26 +30,35 @@ object AsOf {
                tsCol: String): DataFrame = {
     val rightPayload = right.columns.filter(c => c != keyCol && c != tsCol)
     val leftCols = left.columns
-    // side 0 sorts before side 1 at equal ts → right rows are visible to
-    // left rows with the same timestamp ("at or before")
-    val taggedRight = right.select(
-      Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
-        rightPayload.map(c => col(c).as(s"${c}_r")) ++
+    // The whole right payload rides in ONE struct column: the struct is
+    // non-null exactly on right rows (even when every payload FIELD is
+    // null), so last(..., ignoreNulls) skips only the left-row
+    // placeholders — a right row with a genuinely-null payload value
+    // still wins and contributes its null, instead of leaking an older
+    // row's value.
+    // NULL join keys never match (SQL semantics, same as DuckDB ASOF):
+    // null-key right rows are dropped; null-key left rows keep null
+    // payloads via their own window partition having no right rows.
+    val taggedRight = right.filter(col(keyCol).isNotNull).select(
+      Seq(col(keyCol), col(tsCol), lit(0).as("__side"),
+        struct(rightPayload.map(col): _*).as("__r")) ++
         leftCols.filter(c => c != keyCol && c != tsCol)
           .map(c => lit(null).as(c)): _*)
     val taggedLeft = left.select(
-      Seq(col(keyCol), col(tsCol), lit(1).as("__side")) ++
-        rightPayload.map(c => lit(null).as(s"${c}_r")) ++
+      Seq(col(keyCol), col(tsCol), lit(1).as("__side"),
+        lit(null).cast(taggedRight.schema("__r").dataType).as("__r")) ++
         leftCols.filter(c => c != keyCol && c != tsCol).map(col): _*)
+    // side 0 sorts before side 1 at equal ts → right rows are visible to
+    // left rows with the same timestamp ("at or before")
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightPayload.foldLeft(taggedRight.unionByName(taggedLeft)) {
-      (df, c) =>
-        df.withColumn(s"${c}_r",
-          last(col(s"${c}_r"), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__side")
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(Seq(col(keyCol), col(tsCol)) ++
+        leftCols.filter(c => c != keyCol && c != tsCol).map(col) ++
+        rightPayload.map(c => col(s"__r.$c").as(s"${c}_r")): _*)
   }
 
   /** Range join: rows of `fact` matched to the (small) `ranges` side where

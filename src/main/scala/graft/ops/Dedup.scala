@@ -145,6 +145,11 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    // silent non-convergence would return WRONG components (a chain of
+    // diameter > maxIter keeps non-minimal labels) — fail loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"dupClusters did not converge in $maxIter iterations — component " +
+        "diameter exceeds maxIter; raise it or switch to star-contraction")
     labels.select(col("id"), col("label").as("cluster"))
   }
 

@@ -30,7 +30,11 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+    // Zero-norm guard: a failed/all-zeros embedding would either throw
+    // (ANSI division by zero) or, with NaN, sort ABOVE every real number
+    // and rank as top-1 neighbor of every query. Defined as similarity 0.
+    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(denom === 0, lit(0.0)).otherwise(dot(a, b) / denom)
   }
 
   private def asDouble(c: Column): Column = c.cast("array<double>")

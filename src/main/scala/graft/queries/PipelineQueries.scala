@@ -175,13 +175,17 @@ object PipelineQueries {
       .agg(count(lit(1)).as("tf"))
     val df_ = terms.select(col("term"), col("source")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nSources = terms.select(countDistinct(col("source"))).first().getLong(0)
+    // 1-row source count cross-joined in (like the oracle's ns CTE) —
+    // an eager .first() here would run a full explode job at
+    // plan-construction time
+    val ns = t(s, dir)("documents")
+      .select(countDistinct(col("source")).cast("double").as("n_sources"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(df_, "term")
+    tf.join(df_, "term").crossJoin(ns)
       .withColumn("score",
-        round(col("tf") * log(lit(nSources.toDouble) / col("df")), 6))
+        round(col("tf") * log(col("n_sources") / col("df")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("source"), col("rnk"), col("term"), col("score"))
@@ -199,13 +203,15 @@ object PipelineQueries {
       .agg(
         min(when(col("event_type") === "signup", col("ts_us")))
           .as("first_signup_us"),
-        min(when(col("event_type") === "purchase", col("ts_us")))
-          .as("first_purchase_us"))
+        // LAST purchase, not first: "did any purchase follow the first
+        // signup" must not be fooled by a purchase that PRECEDED signup
+        max(when(col("event_type") === "purchase", col("ts_us")))
+          .as("last_purchase_us"))
       .select(col("user_id"),
         col("first_signup_us").isNotNull.as("signed_up"),
         // coalesce: three-valued logic would emit NULL for users missing
         // either event, which pandas canonicalizes differently per engine
-        coalesce(col("first_purchase_us") > col("first_signup_us"),
+        coalesce(col("last_purchase_us") > col("first_signup_us"),
           lit(false)).as("converted_after_signup"))
 
   /** The corpus-cleaning gate a training pipeline runs: keep/drop with
@@ -385,13 +391,13 @@ object PipelineQueries {
        FROM e a JOIN e b ON a.source < b.source"""),
     "q48_funnel" ->
       """SELECT user_id, first_signup_us IS NOT NULL AS signed_up,
-                coalesce(first_purchase_us > first_signup_us, FALSE)
+                coalesce(last_purchase_us > first_signup_us, FALSE)
                   AS converted_after_signup
          FROM (SELECT user_id,
                  min(CASE WHEN event_type = 'signup'
                      THEN epoch_us(ts) END) AS first_signup_us,
-                 min(CASE WHEN event_type = 'purchase'
-                     THEN epoch_us(ts) END) AS first_purchase_us
+                 max(CASE WHEN event_type = 'purchase'
+                     THEN epoch_us(ts) END) AS last_purchase_us
                FROM events GROUP BY user_id) t""",
     "q49_quality_gate" ->
       """WITH f AS (

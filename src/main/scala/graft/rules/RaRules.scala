@@ -36,7 +36,11 @@ object RaRules {
     * σ_a(σ_b(E)) → σ_{a∧b}(E) — Catalyst's `CombineFilters`. */
   object MergeSelections extends Rule[LogicalPlan] {
     def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
-      case Filter(a, Filter(b, child)) => Filter(And(b, a), child)
+      // determinism guard (as in Catalyst's CombineFilters): merging past
+      // a nondeterministic filter would change how many rows the
+      // nondeterministic predicate evaluates over
+      case Filter(a, Filter(b, child)) if a.deterministic && b.deterministic =>
+        Filter(And(b, a), child)
     }
   }
 

@@ -36,6 +36,27 @@ class AsOfSpec extends SparkSpec {
     assert(out === Some("same"))
   }
 
+  test("a matched right row with a NULL payload yields NULL, not an older value") {
+    val l = Seq((1L, 10L, "x")).toDF("k", "ts", "lv")
+    val r = Seq((1L, 3L, Some("old")), (1L, 8L, None)).toDF("k", "ts", "rv")
+    // the latest right row at-or-before ts=10 is (ts=8, rv=NULL): its null
+    // must NOT be skipped in favor of (ts=3, "old")
+    val out = AsOf.asofJoin(l, r, "k", "ts")
+      .select("rv_r").as[Option[String]].head()
+    assert(out === None)
+  }
+
+  test("NULL keys never match (SQL join semantics)") {
+    val l = Seq((Option.empty[Long], 10L, "x"), (Some(1L), 10L, "y"))
+      .toDF("k", "ts", "lv")
+    val r = Seq((Option.empty[Long], 5L, "r0"), (Some(1L), 5L, "r1"))
+      .toDF("k", "ts", "rv")
+    val out = AsOf.asofJoin(l, r, "k", "ts")
+      .select("lv", "rv_r").as[(String, Option[String])].collect().toMap
+    assert(out("x") === None)       // null-key left row matches nothing
+    assert(out("y") === Some("r1"))
+  }
+
   test("rangeJoin buckets values into inclusive bands") {
     val fact = Seq(1.0, 5.0, 10.0, 25.0).toDF("v")
     val ranges = Seq(("a", 0.0, 9.0), ("b", 9.5, 30.0)).toDF("band", "lo", "hi")

@@ -96,6 +96,16 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("a zero-norm (failed) embedding never outranks real neighbors") {
+    val zero = Seq.fill(64)(0.0f)
+    val rows = Seq((1L, v(1)), (2L, v(2)), (99L, zero)) ++
+      (3L to 10L).map(i => (i, v(i.toInt)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 1), 3)
+      .select("nid").as[Long].collect().toSet
+    assert(!top.contains(99L), s"NaN cosine must not rank first: $top")
+  }
+
   test("embedding near-dup pairs: planted duplicate found, rest absent") {
     val near = v(1).zipWithIndex.map { case (x, i) =>
       if (i == 0) x + 0.02f else x } // cosine ~1 with v(1)

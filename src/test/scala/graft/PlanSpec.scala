@@ -66,6 +66,29 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), plan)
   }
 
+  test("q43: as-of join plans as union + window — zero join operators") {
+    val plan = planOf("q43_asof_join")
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+  }
+
+  test("q44: range join broadcasts the bands side") {
+    val plan = planOf("q44_range_join")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q48: funnel is a single aggregation pass, no self-join") {
+    val plan = planOf("q48_funnel")
+    assert(!plan.contains("Join"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final aggregation:\n$plan")
+  }
+
+  test("q50: vector quantization is scan-only (no shuffle at all)") {
+    val plan = planOf("q50_vector_quantize")
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("q08: both filters sit below the joins") {
     val optimized = SparkEntry.queries("q08_join_3way")(spark, sfDir)
       .queryExecution.optimizedPlan.toString

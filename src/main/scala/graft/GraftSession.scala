@@ -53,6 +53,12 @@ object GraftSession {
             children.lift(1)
               .map(_.eval().asInstanceOf[Number].intValue()).getOrElse(3))))
         ext.injectFunction((
+          FunctionIdentifier("vec_cosine"),
+          new ExpressionInfo(classOf[graft.expr.VecCosine].getName,
+            "vec_cosine"),
+          (children: Seq[Expression]) =>
+            graft.expr.VecCosine(children(0), children(1))))
+        ext.injectFunction((
           FunctionIdentifier("srp_bucket"),
           new ExpressionInfo(classOf[graft.expr.SrpBucket].getName,
             "srp_bucket"),

@@ -1,6 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, from_json}
 import org.apache.spark.sql.types._
 import com.fasterxml.jackson.databind.ObjectMapper
 import scala.jdk.CollectionConverters._
@@ -43,6 +44,21 @@ final case class DataDictionary(relations: Map[String, StructType]) {
         renamed.select(st.fields.map(f =>
           renamed(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
       case "json" => spark.read.schema(st).json(s"$dataDir/$rel.json")
+      case "tagged-json" =>
+        // The reference's MR wire format: `<relname>\t<json>` per line
+        // with `Rel.attr` keys (`ra2mr/ra2mr.py:144-146`,
+        // `data/Person.json`). Strip the tag, parse with dotted-key
+        // schema, un-qualify, cast from the dd.
+        val dotted = StructType(st.fields.map(f =>
+          StructField(s"$rel.${f.name}", StringType)))
+        val parsed = spark.read.text(s"$dataDir/$rel.json")
+          .select(from_json(
+            expr("substring(value, instr(value, '\t') + 1, length(value))"),
+            dotted).as("r"))
+          .select(st.fields.map(f =>
+            col(s"`r`.`$rel.${f.name}`").cast(f.dataType).as(f.name))
+            .toIndexedSeq: _*)
+        parsed
       case other => sys.error(s"unsupported dd format: $other")
     }
   }

@@ -23,19 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two `array<double>` columns (sequential fold —
-    * deterministic summation order, so results are reproducible at any
-    * parallelism and comparable across engines).
+  /** Cosine similarity in double precision — a native Catalyst expression
+    * ([[graft.expr.VecCosine]], registered by GraftSession): sequential
+    * fold (deterministic at any parallelism, engine-comparable), fused in
+    * whole-stage codegen, zero-norm vectors scoring 0.0 (under ANSI the
+    * naive division throws; a NaN would sort above every real similarity).
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    // Zero-norm guard: a failed/all-zeros embedding would either throw
-    // (ANSI division by zero) or, with NaN, sort ABOVE every real number
-    // and rank as top-1 neighbor of every query. Defined as similarity 0.
-    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
-    when(denom === 0, lit(0.0)).otherwise(dot(a, b) / denom)
-  }
+  def cosine(a: Column, b: Column): Column =
+    call_function("vec_cosine", a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 

@@ -100,6 +100,19 @@ class ScaleSpec extends SparkSpec {
     rm(new java.io.File(tmp))
   }
 
+  test("tagged-JSON ingestion (the reference's MR wire format) parses and casts") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tagged").toFile
+    val f = new java.io.File(tmp, "Serves.json")
+    val w = new java.io.PrintWriter(f)
+    w.println("Serves\t{\"Serves.pizzeria\": \"Dominos\", \"Serves.pizza\": \"mushroom\", \"Serves.price\": 8.5}")
+    w.println("Serves\t{\"Serves.pizzeria\": \"Corleone\", \"Serves.pizza\": \"cheese\", \"Serves.price\": 7.75}")
+    w.close()
+    val df = pizzaDd.load(spark, tmp.getPath, "Serves", "tagged-json")
+    assert(df.columns.toSeq === Seq("pizzeria", "pizza", "price"))
+    assert(df.filter(col("price") === 8.5).count() === 1)
+    f.delete(); tmp.delete()
+  }
+
   test("JSON-lines ingestion through the dd casts types like CSV does") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-json").toFile
     val f = new java.io.File(tmp, "Serves.json")

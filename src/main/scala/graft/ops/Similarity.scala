@@ -95,6 +95,85 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
+  /** K-means centroids for IVF coarse quantization: deterministic seeded
+    * init (hash-ordered sample) + `iters` Lloyd rounds, all as DataFrame
+    * ops. Per round: assignment is a broadcast of nlist centroids against
+    * one corpus scan (no corpus shuffle); the update re-averages per
+    * (cluster, dimension) — a shuffle of rows×dim (cluster,pos,value)
+    * triples, partial-aggregated map-side. nlist stays driver-small
+    * (coarse quantizers are 2^10..2^16 even at billion scale).
+    */
+  def kmeansCentroids(corpus: DataFrame, nlist: Int, iters: Int = 5,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    var centroids = c.orderBy(xxhash64(col("id")).asc).limit(nlist)
+      .select((row_number().over(
+        Window.orderBy(xxhash64(col("id")).asc)) - 1).as("cluster"),
+        col("v").as("centroid"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assigned = c.join(broadcast(centroids))
+        .withColumn("dist", euclid2(col("v"), col("centroid")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("id"))
+            .orderBy(col("dist").asc, col("cluster").asc)))
+        .filter(col("rn") === 1)
+      centroids = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cluster"),
+          transform(col("ps"), p => p.getField("m")).as("centroid"))
+        .localCheckpoint()
+    }
+    centroids
+  }
+
+  /** Squared euclidean distance (codegen'd via vec_cosine's sibling loop
+    * is unnecessary — nlist is small, HOF cost is bounded by
+    * rows × nlist). */
+  private def euclid2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** IVF approximate top-k: corpus rows assigned once to their nearest
+    * centroid; each query scores only the `nprobe` nearest cells. The
+    * scored fraction is ~nprobe/nlist of the corpus per query — the
+    * standard inverted-file trade (vs [[lshTopK]]'s hash-bucket trade).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val centroids = kmeansCentroids(corpus, nlist, iters, idCol, vecCol)
+    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cv"))
+    val assigned = c.join(broadcast(centroids))
+      .withColumn("dist", euclid2(col("cv"), col("centroid")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("nid"))
+          .orderBy(col("dist").asc, col("cluster").asc)))
+      .filter(col("rn") === 1)
+      .select(col("nid"), col("cv"), col("cluster"))
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+      .join(broadcast(centroids))
+      .withColumn("dist", euclid2(col("qv"), col("centroid")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("dist").asc, col("cluster").asc)))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("cluster"))
+    assigned.join(q, Seq("cluster"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("nid").asc)))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
   /** Embedding near-duplicate pairs: SRP-LSH bucketing on the corpus with
     * itself (same pigeonhole layout as text SimHash dedup), exact cosine
     * verification at `threshold`. High thresholds (>=0.9) are the regime

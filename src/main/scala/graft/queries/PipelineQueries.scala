@@ -92,6 +92,22 @@ object PipelineQueries {
       .withColumn("sim", round(col("sim"), 4))
   }
 
+  /** IVF ANN — the inverted-file scale path (k-means coarse quantizer,
+    * nprobe cells scored per query). Rows-only checked like q29: an
+    * approximate index can't equal an exact oracle; OpsSpec pins its
+    * recall at ≥0.9 on clustered data instead. On THIS fixture's
+    * near-random vectors recall@5 measures ~0.76 at nprobe=4/nlist=16 —
+    * the expected IVF behavior when the corpus has no cluster structure
+    * (nprobe is the dial: real embedding corpora cluster, random ones
+    * don't).
+    */
+  def q51(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir)("embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        nlist = 16, nprobe = 4)
+      .withColumn("sim", round(col("sim"), 4))
+  }
+
   /** Embedding near-dup pairs at cosine ≥ 0.9 via banded SRP-LSH + exact
     * verify. (This corpus's max off-diagonal cosine is ~0.51, so both
     * engines return the empty set — the check proves no false positives;
@@ -265,10 +281,12 @@ object PipelineQueries {
     "q48_funnel"          -> (q48 _),
     "q49_quality_gate"    -> (q49 _),
     "q50_vector_quantize" -> (q50 _),
+    "q51_ann_ivf"         -> (q51 _),
   )
 
-  /** Queries that legitimately have no equality oracle. */
-  val rowsOnly: Set[String] = Set("q29_ann_lsh")
+  /** Queries that legitimately have no equality oracle (approximate
+    * indexes; recall pinned in OpsSpec). */
+  val rowsOnly: Set[String] = Set("q29_ann_lsh", "q51_ann_ivf")
 
   private val shingleCte =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -78,6 +78,23 @@ class OpsSpec extends SparkSpec {
     assert(got === 2L)
   }
 
+  test("IVF ANN recall@3 >= 0.9 against brute force on clustered vectors") {
+    val rows = for (c <- 0 until 10; i <- 0 until 20) yield {
+      val base = v(c)
+      val r = new scala.util.Random(c * 1000 + i)
+      ((c * 20 + i).toLong,
+        base.map(x => (x + 0.05 * r.nextGaussian()).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" % 20 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, queries, 3, nlist = 10, nprobe = 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("LSH ANN recall@3 >= 0.8 against brute force on clustered vectors") {
     // 10 tight clusters of 20 vectors: LSH must find same-cluster neighbors
     val rows = for (c <- 0 until 10; i <- 0 until 20) yield {

@@ -42,28 +42,37 @@ object GraftSession {
           FunctionIdentifier("portable_simhash"),
           new ExpressionInfo(classOf[graft.expr.PortableSimhash].getName,
             "portable_simhash"),
-          (children: Seq[Expression]) =>
-            graft.expr.PortableSimhash(children.head)))
+          (children: Seq[Expression]) => {
+            require(children.nonEmpty, "portable_simhash requires 1 argument")
+            graft.expr.PortableSimhash(children.head)
+          }))
         ext.injectFunction((
           FunctionIdentifier("word_shingles"),
           new ExpressionInfo(classOf[graft.expr.WordShingles].getName,
             "word_shingles"),
           (children: Seq[Expression]) => graft.expr.WordShingles(
-            children.head,
+            { require(children.nonEmpty, "word_shingles requires >=1 argument")
+              children.head },
             children.lift(1)
               .map(_.eval().asInstanceOf[Number].intValue()).getOrElse(3))))
         ext.injectFunction((
           FunctionIdentifier("vec_cosine"),
           new ExpressionInfo(classOf[graft.expr.VecCosine].getName,
             "vec_cosine"),
-          (children: Seq[Expression]) =>
-            graft.expr.VecCosine(children(0), children(1))))
+          (children: Seq[Expression]) => {
+            // arity-check here: children(1) on a 1-arg call would surface
+            // as IndexOutOfBounds instead of an analysis error
+            require(children.length == 2,
+              s"vec_cosine requires exactly 2 arguments, got ${children.length}")
+            graft.expr.VecCosine(children(0), children(1))
+          }))
         ext.injectFunction((
           FunctionIdentifier("srp_bucket"),
           new ExpressionInfo(classOf[graft.expr.SrpBucket].getName,
             "srp_bucket"),
           (children: Seq[Expression]) => graft.expr.SrpBucket(
-            children.head,
+            { require(children.nonEmpty, "srp_bucket requires >=1 argument")
+              children.head },
             children.lift(1)
               .map(_.eval().asInstanceOf[Number].intValue()).getOrElse(16),
             children.lift(2)
@@ -73,7 +82,8 @@ object GraftSession {
           new ExpressionInfo(classOf[graft.expr.MinhashSignature].getName,
             "minhash_signature"),
           (children: Seq[Expression]) => graft.expr.MinhashSignature(
-            children.head,
+            { require(children.nonEmpty, "minhash_signature requires >=1 argument")
+              children.head },
             children.lift(1)
               .map(_.eval().asInstanceOf[Number].intValue()).getOrElse(128))))
       }

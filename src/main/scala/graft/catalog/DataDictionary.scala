@@ -47,14 +47,17 @@ final case class DataDictionary(relations: Map[String, StructType]) {
       case "tagged-json" =>
         // The reference's MR wire format: `<relname>\t<json>` per line
         // with `Rel.attr` keys (`ra2mr/ra2mr.py:144-146`,
-        // `data/Person.json`). Strip the tag, parse with dotted-key
-        // schema, un-qualify, cast from the dd.
+        // `data/Person.json`). MR output files multiplex relations, so
+        // rows are SELECTED by tag (exactly like the reference's mappers);
+        // malformed JSON on a selected row fails fast rather than turning
+        // into a silent all-null row.
         val dotted = StructType(st.fields.map(f =>
           StructField(s"$rel.${f.name}", StringType)))
         val parsed = spark.read.text(s"$dataDir/$rel.json")
+          .filter(col("value").startsWith(s"$rel\t"))
           .select(from_json(
-            expr("substring(value, instr(value, '\t') + 1, length(value))"),
-            dotted).as("r"))
+            expr(s"substring(value, ${rel.length + 2}, length(value))"),
+            dotted, Map("mode" -> "FAILFAST")).as("r"))
           .select(st.fields.map(f =>
             col(s"`r`.`$rel.${f.name}`").cast(f.dataType).as(f.name))
             .toIndexedSeq: _*)

@@ -42,13 +42,20 @@ case class VecCosine(left: Expression, right: Expression)
     case _ => false
   }
 
+  // the result is null on dimension mismatch or null elements, even when
+  // both inputs are non-null
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VecCosine.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
       isFloat(left), isFloat(right))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.expr.VecCosine.compute($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double r = graft.expr.VecCosine.compute($a, $b,
+        ${isFloat(left)}, ${isFloat(right)});
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = r.doubleValue(); }""")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -57,14 +64,21 @@ case class VecCosine(left: Expression, right: Expression)
 
 object VecCosine {
 
+  /** Null (not a fabricated number) on dimension mismatch or null
+    * elements — matching the zip_with/aggregate formulation this replaced:
+    * a corrupt vector must rank LAST (nulls sort last under desc), never
+    * sneak into a top-k with a prefix or zero-filled similarity.
+    */
   def compute(a: ArrayData, b: ArrayData, aFloat: Boolean,
-              bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+              bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y
@@ -73,6 +87,6 @@ object VecCosine {
       i += 1
     }
     val denom = math.sqrt(na) * math.sqrt(nb)
-    if (denom == 0.0) 0.0 else dot / denom
+    if (denom == 0.0) Double.box(0.0) else Double.box(dot / denom)
   }
 }

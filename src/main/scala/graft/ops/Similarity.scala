@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   *    Approximate (tunable recall), and the scale path when |queries| is
   *    large.
   *
-  * All dot products are computed in double precision via codegen'd
-  * `zip_with`/`aggregate` — no UDF in the hot path.
+  * All dot products run in double precision inside the native
+  * [[graft.expr.VecCosine]] expression (codegen'd fused loop) — no UDF
+  * and no interpreted lambda in the hot path.
   */
 object Similarity {
 
@@ -97,15 +98,40 @@ object Similarity {
 
   /** K-means centroids for IVF coarse quantization: deterministic seeded
     * init (hash-ordered sample) + `iters` Lloyd rounds, all as DataFrame
-    * ops. Per round: assignment is a broadcast of nlist centroids against
-    * one corpus scan (no corpus shuffle); the update re-averages per
-    * (cluster, dimension) — a shuffle of rows×dim (cluster,pos,value)
-    * triples, partial-aggregated map-side. nlist stays driver-small
+    * ops. Per round: assignment broadcast-joins nlist centroids and
+    * collapses the fan-out map-side via `min_by` (only ~|corpus| winner
+    * rows cross the shuffle); the update re-averages per (cluster,
+    * dimension), partial-aggregated likewise. nlist stays driver-small
     * (coarse quantizers are 2^10..2^16 even at billion scale).
     */
   def kmeansCentroids(corpus: DataFrame, nlist: Int, iters: Int = 5,
                       idCol: String = "vec_id",
-                      vecCol: String = "embedding"): DataFrame = {
+                      vecCol: String = "embedding"): DataFrame =
+    fitIndex(corpus, nlist, iters, idCol, vecCol)._1
+
+  /** Nearest-centroid assignment with map-side argmin: broadcast-join the
+    * centroids, then `min_by` per row id — partial aggregation collapses
+    * the corpus×nlist join fan-out to one winner per id per partition
+    * BEFORE the shuffle, so only ~|corpus| rows cross the wire (a window
+    * argmin would shuffle the full fan-out).
+    */
+  private def assign(c: DataFrame, centroids: DataFrame): DataFrame =
+    c.join(broadcast(centroids))
+      .groupBy(col("id"))
+      .agg(min_by(struct(col("cluster"), col("v")),
+        struct(euclid2(col("v"), col("centroid")), col("cluster")))
+        .as("best"))
+      .select(col("id"), col("best.cluster").as("cluster"),
+        col("best.v").as("v"))
+
+  /** Lloyd rounds + ONE final assignment, returned for reuse (ivfTopK
+    * builds its inverted file from it instead of re-assigning).
+    * Clusters that capture no points keep their previous centroid
+    * instead of silently vanishing (nlist is a configured trade-off).
+    */
+  private def fitIndex(corpus: DataFrame, nlist: Int, iters: Int,
+                       idCol: String, vecCol: String)
+      : (DataFrame, DataFrame) = {
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     var centroids = c.orderBy(xxhash64(col("id")).asc).limit(nlist)
       .select((row_number().over(
@@ -113,22 +139,19 @@ object Similarity {
         col("v").as("centroid"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val assigned = c.join(broadcast(centroids))
-        .withColumn("dist", euclid2(col("v"), col("centroid")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("id"))
-            .orderBy(col("dist").asc, col("cluster").asc)))
-        .filter(col("rn") === 1)
-      centroids = assigned
+      val updated = assign(c, centroids)
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cluster"), col("pos")).agg(avg(col("x")).as("m"))
         .groupBy(col("cluster"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
         .select(col("cluster"),
-          transform(col("ps"), p => p.getField("m")).as("centroid"))
+          transform(col("ps"), p => p.getField("m")).as("new_centroid"))
+      centroids = centroids.join(updated, Seq("cluster"), "left")
+        .select(col("cluster"),
+          coalesce(col("new_centroid"), col("centroid")).as("centroid"))
         .localCheckpoint()
     }
-    centroids
+    (centroids, assign(c, centroids).localCheckpoint())
   }
 
   /** Squared euclidean distance (codegen'd via vec_cosine's sibling loop
@@ -147,15 +170,9 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    val centroids = kmeansCentroids(corpus, nlist, iters, idCol, vecCol)
-    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cv"))
-    val assigned = c.join(broadcast(centroids))
-      .withColumn("dist", euclid2(col("cv"), col("centroid")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("nid"))
-          .orderBy(col("dist").asc, col("cluster").asc)))
-      .filter(col("rn") === 1)
-      .select(col("nid"), col("cv"), col("cluster"))
+    val (centroids, fitted) = fitIndex(corpus, nlist, iters, idCol, vecCol)
+    val assigned = fitted
+      .select(col("id").as("nid"), col("v").as("cv"), col("cluster"))
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
       .join(broadcast(centroids))
       .withColumn("dist", euclid2(col("qv"), col("centroid")))

@@ -113,6 +113,18 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("vec_cosine: dimension mismatch and null elements give NULL, not a number") {
+    val out = spark.sql(
+      """SELECT vec_cosine(array(1.0D, 2.0D), array(1.0D)) AS mismatch,
+                vec_cosine(array(1.0D, CAST(NULL AS DOUBLE)),
+                           array(1.0D, 2.0D)) AS nullelem,
+                vec_cosine(array(3.0D, 4.0D), array(3.0D, 4.0D)) AS self""")
+      .collect().head
+    assert(out.isNullAt(0), "prefix cosine on mismatched dims is forbidden")
+    assert(out.isNullAt(1), "null element must poison the similarity")
+    assert(math.abs(out.getDouble(2) - 1.0) < 1e-12)
+  }
+
   test("a zero-norm (failed) embedding never outranks real neighbors") {
     val zero = Seq.fill(64)(0.0f)
     val rows = Seq((1L, v(1)), (2L, v(2)), (99L, zero)) ++

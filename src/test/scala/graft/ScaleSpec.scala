@@ -105,10 +105,12 @@ class ScaleSpec extends SparkSpec {
     val f = new java.io.File(tmp, "Serves.json")
     val w = new java.io.PrintWriter(f)
     w.println("Serves\t{\"Serves.pizzeria\": \"Dominos\", \"Serves.pizza\": \"mushroom\", \"Serves.price\": 8.5}")
+    w.println("Person\t{\"Person.name\": \"Amy\"}") // foreign tag: selected OUT
     w.println("Serves\t{\"Serves.pizzeria\": \"Corleone\", \"Serves.pizza\": \"cheese\", \"Serves.price\": 7.75}")
     w.close()
     val df = pizzaDd.load(spark, tmp.getPath, "Serves", "tagged-json")
     assert(df.columns.toSeq === Seq("pizzeria", "pizza", "price"))
+    assert(df.count() === 2, "foreign-tagged rows must not become null rows")
     assert(df.filter(col("price") === 8.5).count() === 1)
     f.delete(); tmp.delete()
   }

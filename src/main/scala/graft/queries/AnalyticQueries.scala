@@ -252,6 +252,43 @@ object AnalyticQueries {
         sum(cents(col("l_extendedprice"))).as("sum_price_c"))
   }
 
+  /** TPC-H Q3 shape (shipping priority): 3-way join, filtered both sides,
+    * grouped revenue in exact cents, top-10 by revenue. Dimension filters
+    * push to the scans; the joins shuffle on their keys; top-k is
+    * TakeOrderedAndProject.
+    */
+  def q52(s: SparkSession, dir: String): DataFrame = {
+    val T = t(s, dir) _
+    T("customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(T("orders"), col("c_custkey") === col("o_custkey"))
+      .join(T("lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_c"))
+      .orderBy(col("revenue_c").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape (local-supplier volume): 5-way join through the full
+    * star (customer/orders/lineitem/supplier/nation), same-nation
+    * constraint, revenue per nation. nation broadcasts; the fact chain
+    * shuffles once per join key.
+    */
+  def q53(s: SparkSession, dir: String): DataFrame = {
+    val T = t(s, dir) _
+    T("customer")
+      .join(T("orders"), col("c_custkey") === col("o_custkey"))
+      .join(T("lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(T("supplier"), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(T("nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_c"),
+        count(lit(1)).as("n_items"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q16_topk"          -> (q16 _),
     "q17_window_rownum" -> (q17 _),
@@ -270,6 +307,8 @@ object AnalyticQueries {
     "q42_cube"          -> (q42 _),
     "q43_asof_join"     -> (q43 _),
     "q44_range_join"    -> (q44 _),
+    "q52_tpch_q3"       -> (q52 _),
+    "q53_tpch_q5"       -> (q53 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -306,6 +345,26 @@ object AnalyticQueries {
              ('high', 50000.0, 999999.0)) AS bands(band, lo, hi)
            ON l_extendedprice >= lo AND l_extendedprice <= hi
          GROUP BY band""",
+    "q52_tpch_q3" ->
+      """SELECT o_orderkey, o_orderdate,
+                CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100)
+                  AS BIGINT)) AS BIGINT) AS revenue_c
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING'
+           AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+           AND l_shipdate > o_orderdate
+         GROUP BY o_orderkey, o_orderdate
+         ORDER BY revenue_c DESC, o_orderkey ASC LIMIT 10""",
+    "q53_tpch_q5" ->
+      """SELECT n_name,
+                CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100)
+                  AS BIGINT)) AS BIGINT) AS revenue_c,
+                CAST(count(*) AS BIGINT) AS n_items
+         FROM customer, orders, lineitem, supplier, nation
+         WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey
+         GROUP BY n_name""",
     "q40_stats_agg" ->
       """SELECT l_returnflag,
                 corr(l_quantity, l_extendedprice) AS qty_price_corr,

@@ -42,6 +42,47 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming sessionization — the streaming twin of batch q34, via
+    * `flatMapGroupsWithState` (the full custom-state operator: it can
+    * emit ZERO or MANY rows per group per batch, unlike mapGroups').
+    * State per user is one open session (start, last-seen, count); a
+    * session closes and is EMITTED when a gap exceeds `gapMinutes`.
+    * Output rows: (user_id, session_start_us, n_events).
+    *
+    * Scale: state is O(active users), hash-partitioned by user; closed
+    * sessions leave state immediately. (Production would add an
+    * event-time timeout to flush sessions of users who go silent; the
+    * semantics here emit on the next event or at `complete` end.)
+    */
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 gapMinutes: Int = 30): Dataset[(Long, Long, Long)] = {
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000L
+    events
+      .select(col("user_id").as[Long],
+        (unix_micros(col("ts"))).as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          var (start, last, n) =
+            state.getOption.getOrElse((-1L, -1L, 0L))
+          val closed = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+          sorted.foreach { ts =>
+            if (start < 0) { start = ts; last = ts; n = 1 }
+            else if (ts - last > gapUs) {
+              closed += ((user, start, n))
+              start = ts; last = ts; n = 1
+            } else { last = ts; n += 1 }
+          }
+          if (start >= 0) state.update((start, last, n))
+          closed.iterator
+      }
+  }
+
   /** Running per-user event counter with typed state
     * (mapGroupsWithState) — the custom-state escape hatch for logic
     * windows can't express. State per user is O(1); pass

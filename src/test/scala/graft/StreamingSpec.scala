@@ -58,6 +58,31 @@ class StreamingSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("flatMapGroupsWithState sessionizer emits closed sessions only") {
+    val input = MemoryStream[Ev](spark)
+    // user 0: events at 10:00 and 10:05 (one session), then 11:00 —
+    // the >30min gap closes the first session
+    input.addData(
+      ev(7, 0, "click", 1.0),   // user 0, 10:00
+      ev(14, 5, "view", 1.0))   // user 0, 10:05
+    val q = EventStreams.sessionize(spark,
+        input.toDF().withColumn("ts", col("ts")))
+      .toDF("user_id", "session_start_us", "n_events")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sess").count() === 0) // session still open
+      input.addData(Ev(21, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"),
+        0, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(rows.size === 1)
+      assert(rows.head._1 === 0L && rows.head._3 === 2L) // 2-event session
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user counts") {
     val input = MemoryStream[Ev](spark)
     input.addData(ev(7, 0, "click", 1.0), ev(14, 1, "view", 1.0),

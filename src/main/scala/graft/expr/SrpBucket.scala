@@ -38,12 +38,20 @@ case class SrpBucket(child: Expression, bits: Int, seed: Long)
     case _ => false
   }
 
+  // null on null array ELEMENTS too (the input type allows
+  // containsNull=true): a null lane read as zero would hash the vector
+  // into an arbitrary bucket — same contract as VecCosine, and a null
+  // bucket drops out of every bucket equi-join instead of colliding.
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any =
     SrpBucket.compute(input.asInstanceOf[ArrayData], bits, seed, isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.expr.SrpBucket.compute($c, $bits, ${seed}L, $isFloat)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long r = graft.expr.SrpBucket.compute($c, $bits, ${seed}L, $isFloat);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = r.longValue(); }""")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -62,8 +70,17 @@ object SrpBucket {
         if (rnd.nextBoolean()) 1.toByte else -1.toByte)
     })
 
-  def compute(arr: ArrayData, bits: Int, seed: Long, isFloat: Boolean): Long = {
+  /** Null (not a fabricated bucket) when any element is null — a vector
+    * with missing lanes has no well-defined projection sign pattern.
+    */
+  def compute(arr: ArrayData, bits: Int, seed: Long,
+              isFloat: Boolean): java.lang.Long = {
     val dim = arr.numElements()
+    var d0 = 0
+    while (d0 < dim) {
+      if (arr.isNullAt(d0)) return null
+      d0 += 1
+    }
     val p = planes(bits, dim, seed)
     var bucket = 0L
     var j = 0
@@ -79,6 +96,6 @@ object SrpBucket {
       if (dot > 0) bucket |= 1L << j
       j += 1
     }
-    bucket
+    Long.box(bucket)
   }
 }

@@ -39,7 +39,14 @@ object AsOf {
     // NULL join keys never match (SQL semantics, same as DuckDB ASOF):
     // null-key right rows are dropped; null-key left rows keep null
     // payloads via their own window partition having no right rows.
-    val taggedRight = right.filter(col(keyCol).isNotNull).select(
+    // NULL TIMESTAMPS on the right are dropped too: under asc ordering
+    // Spark sorts nulls first, so a null-ts right row would act as
+    // timestamp -infinity and leak its payload into every left row —
+    // DuckDB ASOF (l.ts >= r.ts) never matches a NULL timestamp. Null-ts
+    // LEFT rows sort first, see no right rows, and keep null payloads
+    // (also matching DuckDB: NULL >= r.ts is never true).
+    val taggedRight = right
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull).select(
       Seq(col(keyCol), col(tsCol), lit(0).as("__side"),
         struct(rightPayload.map(col): _*).as("__r")) ++
         leftCols.filter(c => c != keyCol && c != tsCol)

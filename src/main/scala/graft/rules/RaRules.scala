@@ -54,10 +54,20 @@ object RaRules {
 
     /** Collect a maximal σ-chain (R1 leaves stacks of single-conjunct
       * filters; the reference's pushdown walks through them the same way,
-      * `raopt.py:97-146`). */
+      * `raopt.py:97-146`).
+      *
+      * Collection STOPS at the first filter containing any
+      * nondeterministic conjunct — pushing a deterministic predicate from
+      * above a `rand()`-style filter below it would change the row set the
+      * nondeterministic predicate evaluates over (Catalyst's
+      * PushDownPredicates guards identically). Filters BELOW the
+      * nondeterministic one still get their own `transform` match and are
+      * pushed independently.
+      */
     private def collectFilters(p: LogicalPlan): (Seq[Expression], LogicalPlan) =
       p match {
-        case Filter(c, child) =>
+        case Filter(c, child)
+            if splitConjunctivePredicates(c).forall(_.deterministic) =>
           val (cs, base) = collectFilters(child)
           (splitConjunctivePredicates(c) ++ cs, base)
         case other => (Nil, other)

@@ -30,9 +30,16 @@ object EventStreams {
   def hourlyByType(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
-        col("event_type"))
+      // Group by the window STRUCT and project `.start` AFTER the
+      // aggregation: grouping by window(ts).getField("start") directly
+      // strips the event-time watermark metadata (the Alias over
+      // GetStructField propagates none), so Append mode is rejected and
+      // state never evicts — watermarks would silently stop bounding
+      // state. StreamingSpec pins Append-mode emission.
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("sum_value_c"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("cnt"), col("sum_value_c"))
 
   /** Watermark-bounded exact dedup on event_id — the streaming twin of
     * exact keyed dedup (at-least-once sources re-deliver; state holds ids

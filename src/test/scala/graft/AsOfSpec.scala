@@ -57,6 +57,20 @@ class AsOfSpec extends SparkSpec {
     assert(out("y") === Some("r1"))
   }
 
+  test("NULL timestamps never match (no timestamp -infinity leak)") {
+    // A null-ts right row would sort first (Spark nulls-first under asc)
+    // and leak its payload to every left row; DuckDB ASOF (l.ts >= r.ts)
+    // never matches NULL. A null-ts left row matches nothing.
+    val l = Seq((1L, Some(10L), "x"), (1L, Option.empty[Long], "nl"))
+      .toDF("k", "ts", "lv")
+    val r = Seq((1L, Option.empty[Long], "leak"), (1L, Some(5L), "ok"))
+      .toDF("k", "ts", "rv")
+    val out = AsOf.asofJoin(l, r, "k", "ts")
+      .select("lv", "rv_r").as[(String, Option[String])].collect().toMap
+    assert(out("x") === Some("ok"))   // not "leak"
+    assert(out("nl") === None)        // null left ts matches nothing
+  }
+
   test("rangeJoin buckets values into inclusive bands") {
     val fact = Seq(1.0, 5.0, 10.0, 25.0).toDF("v")
     val ranges = Seq(("a", 0.0, 9.0), ("b", 9.5, 30.0)).toDF("band", "lo", "hi")

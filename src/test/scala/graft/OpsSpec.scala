@@ -125,6 +125,18 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(out.getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("srp_bucket: a null lane yields NULL, not an arbitrary bucket") {
+    // round-3 advice fix: a null element read as zero would hash the
+    // vector into a well-formed but arbitrary bucket; NULL drops it from
+    // every bucket equi-join instead (same contract as vec_cosine).
+    val out = spark.sql(
+      """SELECT srp_bucket(array(1.0D, CAST(NULL AS DOUBLE)), 4, 42) AS nb,
+                srp_bucket(array(1.0D, 2.0D), 4, 42) AS ok""")
+      .collect().head
+    assert(out.isNullAt(0), "null lane must poison the bucket")
+    assert(!out.isNullAt(1))
+  }
+
   test("a zero-norm (failed) embedding never outranks real neighbors") {
     val zero = Seq.fill(64)(0.0f)
     val rows = Seq((1L, v(1)), (2L, v(2)), (99L, zero)) ++

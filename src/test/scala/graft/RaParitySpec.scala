@@ -88,6 +88,30 @@ class RaParitySpec extends SparkSpec {
     assert(df.count() === 8)
   }
 
+  test("R2 never pushes a predicate from above a nondeterministic filter below it") {
+    // rand() evaluates over the rows that reach it: moving the age
+    // predicate below would change that row set (Catalyst's
+    // PushDownPredicates guards identically — round-3 advice fix).
+    val above = person.crossJoin(eats)
+      .filter(rand(7) < 2.0)
+      .filter(col("Person.age") === 16)
+      .queryExecution.analyzed
+    val rewritten = RaRules.PushDownSelections(above)
+    assert(rewritten.canonicalized == above.canonicalized,
+      s"predicates above a nondeterministic filter must not move:\n$rewritten")
+    // ...but a deterministic filter BELOW the nondeterministic one still
+    // pushes into the join
+    val below = person.crossJoin(eats)
+      .filter(col("Person.age") === 16)
+      .filter(rand(7) < 2.0)
+      .queryExecution.analyzed
+    val rewritten2 = RaRules.PushDownSelections(below)
+    val j = firstJoin(rewritten2).get
+    assert(j.left.collect { case f: Filter => f }
+        .exists(_.condition.toString.contains("age")),
+      s"deterministic predicate below the nondeterministic filter should push:\n$rewritten2")
+  }
+
   // ── direction 2: stock Catalyst subsumes all four rules ────────────────
 
   test("Catalyst alone attaches the join condition and pushes filters (R2+R4)") {

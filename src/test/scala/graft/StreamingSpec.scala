@@ -46,6 +46,33 @@ class StreamingSpec extends SparkSpec {
       t == "click" && c == 3 && s == 450 }) // 1.50+2.25+0.75 = 4.50 = 450c
   }
 
+  test("hourly agg runs in Append mode: watermark finalizes and emits windows") {
+    // Regression (round-2 advice): grouping by window(ts).getField("start")
+    // dropped the watermark metadata, so Append mode was rejected and state
+    // never evicted. Grouping by the window struct keeps the watermark:
+    // Append must emit a window exactly once the watermark passes its end.
+    val input = MemoryStream[Ev](spark)
+    input.addData(ev(1, 0, "click", 1.0), ev(2, 30, "click", 2.0))
+    val q = EventStreams.hourlyByType(input.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("hourly_append")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // watermark (10:30 - 1h) hasn't passed the 11:00 window end yet
+      assert(spark.table("hourly_append").count() === 0)
+      input.addData(Ev(3, Timestamp.valueOf("2024-01-01 12:30:00"),
+        3, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_append")
+        .select("hour_start", "event_type", "cnt")
+        .as[(Timestamp, String, Long)].collect().toSet
+      // the 10:00 window is final (watermark 11:30 >= 11:00); the 12:00
+      // window stays open
+      assert(rows === Set(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2L)))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark removes re-delivered event ids") {
     val input = MemoryStream[Ev](spark)
     input.addData(ev(1, 0, "click", 1.0), ev(1, 0, "click", 1.0),

@@ -153,25 +153,37 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster"))
   }
 
-  /** Candidate pairs from hash buckets: ONE aggregation shuffle on the
-    * bucket key, then a narrow per-bucket pair explosion — replaces the
-    * [window-count shuffle + self-join shuffle] formulation (two extra
-    * wide stages measured at sf0.1).
+  /** Candidate pairs from hash buckets: count-gate the buckets FIRST, then
+    * collect ids only for survivors, then a narrow per-bucket pair
+    * explosion.
     *
-    * Degenerate-bucket guard: a bucket of m docs yields m(m-1)/2 pairs;
-    * `maxBucket` drops oversized buckets (boilerplate clusters), which
-    * both bounds fan-out AND bounds the collected list — the aggregation
-    * spills via ObjectHashAggregate, and anything above the cap is
-    * discarded post-agg. Trades recall only on pathological clusters,
-    * like production MinHash dedups do.
+    * Degenerate-bucket guard, two-pass (round-2 verdict #4): a bucket of m
+    * docs yields m(m-1)/2 pairs, and the round-2 single-pass version
+    * `collect_set` → `filter(size <= maxBucket)` still MATERIALIZED a
+    * pathological bucket (10M boilerplate docs sharing a band hash) as one
+    * 10M-element aggregation buffer before dropping it. Now pass 1 is a
+    * plain partial-aggregated `count` (fixed-size long buffers, any skew
+    * tolerated); only buckets with 2..maxBucket members survive the
+    * semi-join, so the `collect_set` in pass 2 is bounded at maxBucket
+    * elements BY CONSTRUCTION — no oversized buffer can exist. Both passes
+    * and the semi-join shuffle on the same bucket key. Trades recall only
+    * on pathological clusters, like production MinHash dedups do.
+    *
+    * `count(*)` equals the bucket's distinct-id count because every
+    * generator emits at most one row per (id, bucket): minhash bands
+    * explode one signature per doc, simhash chunks one fingerprint per doc.
     */
   private[ops] def bucketPairs(buckets: DataFrame, keyCols: Seq[String],
                                maxBucket: Int): DataFrame = {
-    val grouped = buckets
+    val keep = buckets
       .groupBy(keyCols.map(col): _*)
-      .agg(collect_set(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(sort_array(col("ids")).as("ids"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxBucket))
+      .select(keyCols.map(col): _*)
+    val grouped = buckets
+      .join(keep, keyCols, "left_semi")
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
     grouped
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),

@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
   *  - [[bruteForceTopK]]: exact top-k by scanning the corpus once per
   *    (small, broadcast) query set — the correctness baseline, and also
   *    the right plan at 100 TB when |queries| is small: one corpus scan,
-  *    no corpus×corpus join, partial top-k per partition via the window
-  *    rank (AQE keeps the shuffle tiny because only scored rows move).
+  *    no corpus×corpus join, and per-partition partial top-k via
+  *    [[TopKAgg]] so only k × partitions rows shuffle per query.
   *  - [[lshTopK]]: sign-random-projection LSH — corpus rows hash into
   *    2^bits buckets; each query probes its own bucket plus all 1-bit
   *    flips, so only a ~(bits+1)/2^bits fraction of the corpus is scored.
@@ -36,8 +36,12 @@ object Similarity {
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Exact cosine top-k: score every (query, corpus) pair with the query
-    * side broadcast, rank per query with a deterministic tie-break on the
-    * neighbor id. Self-matches are excluded.
+    * side broadcast, then rank per query via the shuffle-bounded
+    * [[TopKAgg]] — per-partition partial top-k means only k × partitions
+    * rows cross the wire per query, with no full sort of the scored
+    * relation anywhere (the `row_number()` window this replaces sorted
+    * EVERY scored row inside one partition per query). Self-matches are
+    * excluded; ties break on the neighbor id.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id",
@@ -46,12 +50,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
     val scored = c.join(broadcast(q), col("nid") =!= col("qid"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(col("sim").desc, col("nid").asc)))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+    TopK.perQuery(scored, k)
   }
 
   /** Sign-random-projection bucket id: `bits` seeded Rademacher (±1)
@@ -85,15 +84,13 @@ object Similarity {
       .withColumn("qbucket", srpBucket(col("qv"), bits, seed))
       .withColumn("bucket", explode(probes))
       .select(col("qid"), col("qv"), col("bucket"))
+    // no (qid, nid) dedup needed: each corpus row has exactly ONE bucket
+    // and a query's probe buckets are pairwise distinct, so a pair meets
+    // at most once
     val scored = c.join(q, Seq("bucket"))
       .filter(col("nid") =!= col("qid"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(col("sim").desc, col("nid").asc)))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+    TopK.perQuery(scored, k)
   }
 
   /** K-means centroids for IVF coarse quantization: deterministic seeded
@@ -133,9 +130,15 @@ object Similarity {
                        idCol: String, vecCol: String)
       : (DataFrame, DataFrame) = {
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    // The init window is GLOBAL by design but bounded: it runs over the
+    // nlist rows the limit() already reduced to (coarse quantizers are
+    // 2^10..2^16 even at billion scale, driver-small). partitionBy(lit(0))
+    // states that single-partition intent explicitly instead of tripping
+    // WindowExec's "No Partition Defined" warning on every fit.
     var centroids = c.orderBy(xxhash64(col("id")).asc).limit(nlist)
       .select((row_number().over(
-        Window.orderBy(xxhash64(col("id")).asc)) - 1).as("cluster"),
+        Window.partitionBy(lit(0)).orderBy(xxhash64(col("id")).asc)) - 1)
+        .as("cluster"),
         col("v").as("centroid"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
@@ -173,22 +176,22 @@ object Similarity {
     val (centroids, fitted) = fitIndex(corpus, nlist, iters, idCol, vecCol)
     val assigned = fitted
       .select(col("id").as("nid"), col("v").as("cv"), col("cluster"))
-    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
-      .join(broadcast(centroids))
-      .withColumn("dist", euclid2(col("qv"), col("centroid")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(col("dist").asc, col("cluster").asc)))
-      .filter(col("rn") <= nprobe)
-      .select(col("qid"), col("qv"), col("cluster"))
-    assigned.join(q, Seq("cluster"))
+    val q0 = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+    // nprobe-nearest cells per query, via the same shuffle-bounded top-k
+    // (negated distance = similarity; ties on the smaller cluster id like
+    // the window it replaces). Only nprobe × partitions rows per query
+    // cross the shuffle instead of the full |queries| × nlist fan-out.
+    val probed = TopK.perQuery(
+      q0.join(broadcast(centroids))
+        .select(col("qid"), (-euclid2(col("qv"), col("centroid"))).as("sim"),
+          col("cluster").as("nid")),
+      nprobe)
+      .select(col("qid"), col("nid").as("cluster"))
+    val q = probed.join(q0, Seq("qid"))
+    val scored = assigned.join(q, Seq("cluster"))
       .filter(col("nid") =!= col("qid"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(col("sim").desc, col("nid").asc)))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+    TopK.perQuery(scored, k)
   }
 
   /** Embedding near-duplicate pairs: SRP-LSH bucketing on the corpus with

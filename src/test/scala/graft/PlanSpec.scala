@@ -60,6 +60,33 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("ANN top-k is a bounded partial aggregation, not a per-query window sort") {
+    // round-2 verdict #3: the row_number() formulation shuffled ALL scored
+    // rows into one window partition per query and fully sorted each —
+    // a single-reducer sort at 100× scale. The TopKAgg plan must show a
+    // partial+final object aggregate and no Window/Sort of the scored rows.
+    for (q <- Seq("q28_ann_topk", "q51_ann_ivf")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Window"),
+        s"$q must not rank via a window:\n$plan")
+      assert(plan.contains("ObjectHashAggregate"),
+        s"$q should aggregate top-k via ObjectHashAggregate:\n$plan")
+      assert(plan.contains("partial_topkagg") || plan.contains("TopKAgg") ||
+        plan.contains("topkagg"),
+        s"$q should carry the partial top-k aggregate:\n$plan")
+    }
+  }
+
+  test("q37: no exact-percentile single-buffer object aggregate remains") {
+    // round-2 verdict #2: percentile() over the whole table collected every
+    // value into ONE task's aggregation buffer; both quantile estimates
+    // must now be bounded sketches (percentile_approx).
+    val plan = planOf("q37_approx_sketch")
+    assert(!plan.contains("percentile("),
+      s"exact percentile must not appear:\n$plan")
+    assert(plan.contains("percentile_approx"), plan)
+  }
+
   test("q35: semi/anti joins plan as semi/anti (no row fan-out)") {
     val plan = planOf("q35_semi_anti")
     assert(plan.contains("LeftSemi"), plan)

@@ -17,7 +17,8 @@ final case class DataDictionary(relations: Map[String, StructType]) {
 
   /** Register every relation as a temp view over its file, making the whole
     * dd queryable via `spark.sql`. Supported layouts: parquet (preferred),
-    * headered CSV, JSON lines.
+    * headered CSV, JSON lines, tagged-JSON (MR wire format), and TPC-H
+    * `.tbl`.
     */
   def register(spark: SparkSession, dataDir: String,
                format: String = "parquet"): Unit =
@@ -44,6 +45,16 @@ final case class DataDictionary(relations: Map[String, StructType]) {
         renamed.select(st.fields.map(f =>
           renamed(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
       case "json" => spark.read.schema(st).json(s"$dataDir/$rel.json")
+      case "tbl" =>
+        // TPC-H dbgen `.tbl`: `|`-separated, headerless, one TRAILING `|`
+        // per line (the reference's only data on-ramp,
+        // `utils/tbl_to_json.py:5-13` / `utils/tbl_to_csv.py:5-9`, which
+        // strip the trailing field the same way). Columns are positional
+        // in dd declaration order; the phantom column after the trailing
+        // separator is simply not selected.
+        val raw = spark.read.option("sep", "|").csv(s"$dataDir/$rel.tbl")
+        raw.select(st.fields.zipWithIndex.map { case (f, i) =>
+          col(s"_c$i").cast(f.dataType).as(f.name) }.toIndexedSeq: _*)
       case "tagged-json" =>
         // The reference's MR wire format: `<relname>\t<json>` per line
         // with `Rel.attr` keys (`ra2mr/ra2mr.py:144-146`,

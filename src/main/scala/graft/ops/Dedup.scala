@@ -109,6 +109,35 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("ham").cast("int").as("ham"))
   }
 
+  /** Survivors of a verified near-dup pair set: the corpus MINUS every row
+    * that is the LARGER id of some pair (keep-first greedy — the standard
+    * production choice; transitive chains keep their smallest member
+    * chain-wise). One anti-join — reuses a precomputed `pairs` DataFrame
+    * instead of re-deriving the LSH pipeline.
+    */
+  def survivors(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("b_id")), df(idCol) === col("b_id"), "left_anti")
+
+  /** The near-dup pipeline END TO END with the verified pair set computed
+    * and persisted ONCE, then reused by both consumers (round-2 verdict
+    * #9: q23/q39/q46 each independently re-derived the full 6-stage LSH
+    * pipeline — a production corpus pays shingle→minhash→band→verify once
+    * and feeds every downstream decision from the one pair set).
+    * Caller owns the persisted `pairs` lifetime (`pairs.unpersist()`).
+    */
+  final case class NearDupPipeline(pairs: DataFrame, survivors: DataFrame,
+                                   clusters: DataFrame)
+
+  def nearDupPipeline(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.5, shingleN: Int = 3,
+                      k: Int = 128, bands: Int = 16, rowsPerBand: Int = 8,
+                      maxBucket: Int = 1000): NearDupPipeline = {
+    val pairs = nearDupMinhash(df, idCol, textCol, threshold, shingleN,
+      k, bands, rowsPerBand, maxBucket).persist()
+    NearDupPipeline(pairs, survivors(df, idCol, pairs),
+      dupClusters(pairs.select(col("a_id"), col("b_id"))))
+  }
+
   /** Transitive near-dup clusters: connected components over the verified
     * pair graph, as iterative min-label propagation (each node adopts the
     * smallest label among itself and its neighbors until fixpoint).

@@ -21,8 +21,15 @@ object Sketch {
   /** Typed UDAF: elementwise-min union of `array<long>` MinHash
     * signatures (Aggregator → `functions.udaf`, the SURVEY §2.3 UDAF
     * tier — used where no builtin aggregate fits).
+    *
+    * Encoders are injected by the caller from `session.implicits` —
+    * public API only (round-2 hygiene: the previous
+    * `catalyst.encoders.ExpressionEncoder` is private to Spark and breaks
+    * across minors).
     */
-  class MinhashUnion(k: Int) extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+  class MinhashUnion(k: Int, bufEnc: Encoder[Array[Long]],
+                     outEnc: Encoder[Seq[Long]])
+      extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
     def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
     def reduce(buf: Array[Long], sig: Seq[Long]): Array[Long] = {
       var i = 0
@@ -38,14 +45,8 @@ object Sketch {
       a
     }
     def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
-    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoders.longArray
-    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoders.longSeq
-  }
-
-  private object ExpressionEncoders {
-    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    val longArray: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
-    val longSeq: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+    def bufferEncoder: Encoder[Array[Long]] = bufEnc
+    def outputEncoder: Encoder[Seq[Long]] = outEnc
   }
 
   /** Per-group MinHash sketch of a text corpus: one k-slot signature per
@@ -53,7 +54,10 @@ object Sketch {
     */
   def groupSketches(df: DataFrame, groupCol: String, textCol: String,
                     k: Int = 256, shingleN: Int = 3): DataFrame = {
-    val union = udaf(new MinhashUnion(k))
+    val session = df.sparkSession
+    import session.implicits._
+    val union = udaf(new MinhashUnion(k,
+      implicitly[Encoder[Array[Long]]], implicitly[Encoder[Seq[Long]]]))
     df.select(col(groupCol),
         TextOps.minhashSignature(
           TextOps.shingles(col(textCol), shingleN), k).as("sig"))

@@ -90,6 +90,72 @@ object EventStreams {
       }
   }
 
+  /** [[sessionize]] with an EVENT-TIME timeout — the production variant
+    * its scaladoc promises: a user who goes silent still has their open
+    * session flushed once the watermark passes (last event + gap), so
+    * state never outlives the watermark horizon and no session waits
+    * forever for a next event. Requires a watermark on `ts` (set here).
+    *
+    * Scale: identical to [[sessionize]] (state is one open session per
+    * active user, hash-partitioned), plus the timeout bound means idle
+    * users leave state after `gapMinutes` of event time — state size
+    * tracks ACTIVE users, not all-time users.
+    */
+  def sessionizeEventTime(spark: SparkSession, events: DataFrame,
+                          gapMinutes: Int = 30,
+                          watermark: String = "1 hour")
+      : Dataset[(Long, Long, Long)] = {
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000L
+    // exact micros from the Timestamp (getTime is millis; getNanos carries
+    // the sub-milli part)
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000L
+    events
+      .withWatermark("ts", watermark)
+      // keep the watermarked `ts` column ITSELF through to the stateful
+      // operator: projecting unix_micros(ts) here would strip the
+      // watermark metadata (the same Alias pitfall hourlyByType hit) and
+      // Spark rejects EventTimeTimeout without a watermark in scope
+      .select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            // watermark passed (last seen + gap): the open session is
+            // definitively closed — emit it and drop the state
+            val (start, _, n) = state.get
+            state.remove()
+            Iterator.single((user, start, n))
+          } else {
+            val sorted = rows.map(r => micros(r._2)).toSeq.sorted
+            var (start, last, n) =
+              state.getOption.getOrElse((-1L, -1L, 0L))
+            val closed =
+              scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+            sorted.foreach { ts =>
+              if (start < 0) { start = ts; last = ts; n = 1 }
+              else if (ts - last > gapUs) {
+                closed += ((user, start, n))
+                start = ts; last = ts; n = 1
+              } else { last = ts; n += 1 }
+            }
+            if (start >= 0) {
+              state.update((start, last, n))
+              // timeout fires when the watermark passes session end + gap;
+              // must stay strictly above the current watermark or Spark
+              // rejects it (a group fed only very-late data)
+              state.setTimeoutTimestamp(math.max(
+                (last + gapUs) / 1000L, state.getCurrentWatermarkMs() + 1L))
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Running per-user event counter with typed state
     * (mapGroupsWithState) — the custom-state escape hatch for logic
     * windows can't express. State per user is O(1); pass

@@ -66,6 +66,32 @@ class OpsSpec extends SparkSpec {
     assert(out === Set((1L, 2L, 0)))
   }
 
+  test("nearDupPipeline derives the pair set once and both consumers agree with it") {
+    // a 3-doc transitive chain (1~2, 2~3) plus an unrelated doc
+    val d1 = (1 to 60).map(i => s"w$i").mkString(" ")
+    val d2 = ((1 to 58).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")
+    val d3 = ((1 to 56).map(i => s"w$i") ++ Seq("x1", "x2", "y1", "y2"))
+      .mkString(" ")
+    val other = (100 to 160).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, other))
+      .toDF("id", "text")
+    val p = Dedup.nearDupPipeline(docs, "id", "text", threshold = 0.5)
+    try {
+      assert(p.pairs.storageLevel.useMemory,
+        "the verified pair set must be persisted for reuse")
+      val pairSet = p.pairs.select("a_id", "b_id")
+        .as[(Long, Long)].collect().toSet
+      assert(pairSet.contains((1L, 2L)) && pairSet.contains((2L, 3L)))
+      // consumers are CONSISTENT with that one pair set
+      val surv = p.survivors.select("id").as[Long].collect().toSet
+      val dropped = pairSet.map(_._2)
+      assert(surv === Set(1L, 2L, 3L, 4L) -- dropped)
+      val clusters = p.clusters.as[(Long, Long)].collect().toMap
+      assert(clusters(1L) === 1L && clusters(2L) === 1L && clusters(3L) === 1L,
+        s"transitive chain must share cluster 1: $clusters")
+    } finally p.pairs.unpersist()
+  }
+
   test("portable_simhash is deterministic and order-insensitive on sets") {
     val df = Seq(
       Seq("a b c", "b c d"),

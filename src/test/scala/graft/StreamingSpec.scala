@@ -110,6 +110,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time-timeout sessionizer flushes sessions of silent users") {
+    val input = MemoryStream[Ev](spark)
+    input.addData(
+      ev(7, 0, "click", 1.0),  // user 0, 10:00
+      ev(14, 5, "view", 1.0))  // user 0, 10:05 — open session of 2
+    val q = EventStreams.sessionizeEventTime(spark, input.toDF(),
+        gapMinutes = 30, watermark = "10 minutes")
+      .toDF("user_id", "session_start_us", "n_events")
+      .writeStream.format("memory").queryName("sess_et")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sess_et").count() === 0) // still open, no timeout yet
+      // ANOTHER user's event advances the watermark to 11:50, past user
+      // 0's (10:05 + 30min) timeout — user 0 never sends again, yet the
+      // session must flush (the whole point of the event-time timeout)
+      input.addData(Ev(99, Timestamp.valueOf("2024-01-01 12:00:00"),
+        1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_et")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(rows === Seq((0L,
+        Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000L, 2L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user counts") {
     val input = MemoryStream[Ev](spark)
     input.addData(ev(7, 0, "click", 1.0), ev(14, 1, "view", 1.0),

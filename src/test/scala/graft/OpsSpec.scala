@@ -51,10 +51,13 @@ class OpsSpec extends SparkSpec {
     val pairs = out.select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(pairs === Set((100L, 101L)),
       s"boilerplate cluster must be capped away, planted pair kept: $pairs")
-    // plan shape: the count gate is a semi-join BELOW the collect_set
+    // plan shape: the bounded collector replaces collect_set — no
+    // unbounded id-set aggregate exists anywhere in the pipeline
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("LeftSemi"),
-      s"expected the pre-count semi-join gate in the plan:\n$plan")
+    assert(plan.toLowerCase.contains("cappedidsetagg"),
+      s"expected the size-capped collector in the plan:\n$plan")
+    assert(!plan.contains("collect_set"),
+      s"unbounded collect_set must not appear:\n$plan")
   }
 
   test("simhash near-dup: identical docs at hamming 0; disjoint docs absent") {

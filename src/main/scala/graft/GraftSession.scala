@@ -67,6 +67,15 @@ object GraftSession {
             graft.expr.VecCosine(children(0), children(1))
           }))
         ext.injectFunction((
+          FunctionIdentifier("vec_nearest"),
+          new ExpressionInfo(classOf[graft.expr.VecNearest].getName,
+            "vec_nearest"),
+          (children: Seq[Expression]) => {
+            require(children.length == 2,
+              s"vec_nearest requires exactly 2 arguments, got ${children.length}")
+            graft.expr.VecNearest(children(0), children(1))
+          }))
+        ext.injectFunction((
           FunctionIdentifier("srp_bucket"),
           new ExpressionInfo(classOf[graft.expr.SrpBucket].getName,
             "srp_bucket"),

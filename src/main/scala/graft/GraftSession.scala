@@ -95,6 +95,17 @@ object GraftSession {
               children.head },
             children.lift(1)
               .map(_.eval().asInstanceOf[Number].intValue()).getOrElse(128))))
+        ext.injectFunction((
+          FunctionIdentifier("minhash_bands"),
+          new ExpressionInfo(classOf[graft.expr.MinhashBands].getName,
+            "minhash_bands"),
+          (children: Seq[Expression]) => {
+            require(children.length == 3,
+              s"minhash_bands requires exactly 3 arguments, got ${children.length}")
+            graft.expr.MinhashBands(children(0),
+              children(1).eval().asInstanceOf[Number].intValue(),
+              children(2).eval().asInstanceOf[Number].intValue())
+          }))
       }
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")

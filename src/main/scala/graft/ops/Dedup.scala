@@ -93,11 +93,8 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     val banded = sh
       .select(col("id"),
-        explode(TextOps.lshBands(
-          TextOps.minhashSignature(col("sh"), k), bands, rowsPerBand))
-          .as("b"))
-      .select(col("id"), col("b.band").as("band"),
-        col("b.band_hash").as("band_hash"))
+        posexplode(TextOps.minhashBands(col("sh"), k, bands))
+          .as(Seq("band", "band_hash")))
     candidatesToVerified(banded, Seq("band", "band_hash"), sh, threshold,
       maxBucket)
   }

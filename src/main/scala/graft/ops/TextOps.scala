@@ -41,17 +41,21 @@ object TextOps {
   def minhashSignature(shingleArr: Column, k: Int = 128): Column =
     call_function("minhash_signature", shingleArr, lit(k))
 
-  /** LSH bands over a MinHash signature: `bands` entries of
-    * `struct(band, band_hash)` where band_hash fingerprints `rows`
-    * consecutive signature slots. Two docs with shingle-Jaccard s share a
-    * band with probability 1-(1-s^rows)^bands — at rows=8, bands=16 the
+  /** LSH band hashes over the shingle set: `bands` fingerprints, each
+    * covering k/bands consecutive MinHash signature slots (band index =
+    * array position). Two docs with shingle-Jaccard s share a band with
+    * probability 1-(1-s^rows)^bands — at rows=8, bands=16 the
     * planted-near-dup regime (s ≥ 0.9) is caught with prob > 1-1e-8 while
     * unrelated docs (s ≤ 0.3) collide with prob < 1e-3.
+    *
+    * Signature + banding fused in ONE native expression
+    * ([[graft.expr.MinhashBands]], registered by GraftSession): the
+    * two-step `transform(sequence(...), b => xxhash64(slice(sig, ...)))`
+    * formulation inlined the signature subtree into every band lane via
+    * CollapseProject — B interpreted signature evaluations per row.
     */
-  def lshBands(signature: Column, bands: Int = 16, rows: Int = 8): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"),
-        xxhash64(slice(signature, b * rows + 1, lit(rows))).as("band_hash")))
+  def minhashBands(shingleArr: Column, k: Int = 128, bands: Int = 16): Column =
+    call_function("minhash_bands", shingleArr, lit(k), lit(bands))
 
   /** Split a SimHash into `chunks` bit-slices of `bitsPer` bits.
     * Pigeonhole: two hashes within Hamming distance `chunks-1` must agree

@@ -200,22 +200,40 @@ object PipelineQueries {
     val k = 256
     val docs = t(s, dir)("documents")
     val sketches = graft.ops.Sketch.groupSketches(docs, "source", "text", k)
-    val exact = docs
-      .select(col("source"),
-        explode(TextOps.shingles(col("text"), 3)).as("sh"))
-      .groupBy(col("source")).agg(collect_set(col("sh")).as("ss"))
-    val a = sketches.join(exact, "source")
-      .select(col("source").as("src_a"), col("sketch").as("sk_a"),
-        col("ss").as("ss_a"))
-    val b = sketches.join(exact, "source")
-      .select(col("source").as("src_b"), col("sketch").as("sk_b"),
-        col("ss").as("ss_b"))
-    a.join(b, col("src_a") < col("src_b"))
+    // Exact Jaccard between per-source shingle SETS, computed join-wise:
+    // |A∩B| = count of shingles the two sources share (equi-join on the
+    // shingle, partial-aggregated), |A∪B| = |A|+|B|-|A∩B|. The
+    // collect_set-per-source formulation this replaces materialized each
+    // source's full shingle vocabulary as ONE aggregation buffer (unbounded
+    // state at corpus scale) and then intersected giant arrays per pair;
+    // here every stage is a bounded key-shuffle and the per-pair state is
+    // three counts.
+    val ss = docs
+      .select(col("source"), explode(TextOps.shingles(col("text"), 3)).as("sh"))
+      .distinct()
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = ss.select(col("source").as("src_a"), col("sh"))
+      .join(ss.select(col("source").as("src_b"), col("sh")), Seq("sh"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_inter"))
+    // all source pairs (config-sized cross of the per-source counts), so
+    // zero-intersection pairs still appear with exact_j = 0
+    val pairs = sizes.select(col("source").as("src_a"), col("n").as("n_a"))
+      .crossJoin(sizes.select(col("source").as("src_b"), col("n").as("n_b")))
+      .filter(col("src_a") < col("src_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("ni", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("ej",
+        col("ni").cast("double") / (col("n_a") + col("n_b") - col("ni")))
+    pairs
+      .join(broadcast(sketches.select(col("source").as("src_a"),
+        col("sketch").as("sk_a"))), Seq("src_a"))
+      .join(broadcast(sketches.select(col("source").as("src_b"),
+        col("sketch").as("sk_b"))), Seq("src_b"))
       .select(col("src_a"), col("src_b"),
-        round(TextOps.jaccard(col("ss_a"), col("ss_b")), 4).as("exact_j"),
+        round(col("ej"), 4).as("exact_j"),
         (abs(graft.ops.Sketch.sketchJaccard(col("sk_a"), col("sk_b"), k) -
-          TextOps.jaccard(col("ss_a"), col("ss_b"))) <= 0.08)
-          .as("within_tol"))
+          col("ej")) <= 0.08).as("within_tol"))
   }
 
   /** Transitive dup clusters over the verified near-dup pairs (iterative

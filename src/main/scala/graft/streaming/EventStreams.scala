@@ -23,6 +23,39 @@ import graft.cents
   */
 object EventStreams {
 
+  /** Merge one batch of event times (sorted ascending, micros) into the
+    * open session `(start, last, n)`, appending any sessions CLOSED by the
+    * batch for `user` to `closed`; returns the new open-session state.
+    *
+    * Late-but-within-watermark events can arrive in a LATER batch with
+    * ts ≤ the stored session end, so the merge must never move the session
+    * end backward (`last = max`) — otherwise the event-time timeout is set
+    * from a stale earlier end and a following in-gap event mis-splits the
+    * session (e.g. state last=200, late 150, then 260 with gap 100 would
+    * split although 260−200 is within gap). An event more than a gap
+    * BEFORE the open session's start belongs to an earlier, already-closed
+    * session — it is emitted as its own singleton rather than stretching
+    * the open session across a silence longer than the gap.
+    */
+  private def mergeSessionBatch(
+      user: Long, sorted: Seq[Long], gapUs: Long, st: (Long, Long, Long),
+      closed: scala.collection.mutable.ListBuffer[(Long, Long, Long)])
+      : (Long, Long, Long) = {
+    var (start, last, n) = st
+    sorted.foreach { ts =>
+      if (start < 0) { start = ts; last = ts; n = 1 }
+      else if (ts - last > gapUs) {
+        closed += ((user, start, n))
+        start = ts; last = ts; n = 1
+      } else if (start - ts > gapUs) {
+        closed += ((user, ts, 1L))
+      } else {
+        start = math.min(start, ts); last = math.max(last, ts); n += 1
+      }
+    }
+    (start, last, n)
+  }
+
   /** Hourly tumbling-window counts/sums per event type — streaming twin of
     * the batch q20 (same exact-integer-cents trick, so late re-emissions
     * still sum deterministically).
@@ -75,17 +108,10 @@ object EventStreams {
         (user: Long, rows: Iterator[(Long, Long)],
          state: GroupState[(Long, Long, Long)]) =>
           val sorted = rows.map(_._2).toSeq.sorted
-          var (start, last, n) =
-            state.getOption.getOrElse((-1L, -1L, 0L))
           val closed = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
-          sorted.foreach { ts =>
-            if (start < 0) { start = ts; last = ts; n = 1 }
-            else if (ts - last > gapUs) {
-              closed += ((user, start, n))
-              start = ts; last = ts; n = 1
-            } else { last = ts; n += 1 }
-          }
-          if (start >= 0) state.update((start, last, n))
+          val st = mergeSessionBatch(user, sorted, gapUs,
+            state.getOption.getOrElse((-1L, -1L, 0L)), closed)
+          if (st._1 >= 0) state.update(st)
           closed.iterator
       }
   }
@@ -132,24 +158,17 @@ object EventStreams {
             Iterator.single((user, start, n))
           } else {
             val sorted = rows.map(r => micros(r._2)).toSeq.sorted
-            var (start, last, n) =
-              state.getOption.getOrElse((-1L, -1L, 0L))
             val closed =
               scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
-            sorted.foreach { ts =>
-              if (start < 0) { start = ts; last = ts; n = 1 }
-              else if (ts - last > gapUs) {
-                closed += ((user, start, n))
-                start = ts; last = ts; n = 1
-              } else { last = ts; n += 1 }
-            }
-            if (start >= 0) {
-              state.update((start, last, n))
+            val st = mergeSessionBatch(user, sorted, gapUs,
+              state.getOption.getOrElse((-1L, -1L, 0L)), closed)
+            if (st._1 >= 0) {
+              state.update(st)
               // timeout fires when the watermark passes session end + gap;
               // must stay strictly above the current watermark or Spark
               // rejects it (a group fed only very-late data)
               state.setTimeoutTimestamp(math.max(
-                (last + gapUs) / 1000L, state.getCurrentWatermarkMs() + 1L))
+                (st._2 + gapUs) / 1000L, state.getCurrentWatermarkMs() + 1L))
             }
             closed.iterator
           }

@@ -136,6 +136,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late-but-within-watermark event does not move the session end back") {
+    // Regression (round-3 advice): the merge branch set `last = ts`
+    // unconditionally, so a cross-batch out-of-order event pulled the
+    // session end BACKWARD — the next in-gap event then mis-split the
+    // session and the event-time timeout fired early. gap=30m, wm=30m.
+    val input = MemoryStream[Ev](spark)
+    val q = EventStreams.sessionizeEventTime(spark, input.toDF(),
+        gapMinutes = 30, watermark = "30 minutes")
+      .toDF("user_id", "session_start_us", "n_events")
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(7, 0, "click", 1.0), ev(14, 20, "view", 1.0))
+      q.processAllAvailable()     // open session 10:00–10:20; wm = 09:50
+      input.addData(ev(21, 10, "click", 1.0)) // LATE: 10:10 < session end
+      q.processAllAvailable()
+      input.addData(ev(28, 45, "view", 1.0))  // 10:45 − 10:20 = 25m < gap
+      q.processAllAvailable()
+      // buggy merge would have last=10:10 here and split at 10:45
+      assert(spark.table("sess_late").count() === 0)
+      // advance the watermark past 10:45 + 30m to flush the open session
+      input.addData(Ev(99, Timestamp.valueOf("2024-01-01 12:00:00"),
+        1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_late").as[(Long, Long, Long)]
+        .collect().toSeq.filter(_._1 == 0L)
+      assert(rows === Seq((0L,
+        Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000L, 4L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user counts") {
     val input = MemoryStream[Ev](spark)
     input.addData(ev(7, 0, "click", 1.0), ev(14, 1, "view", 1.0),

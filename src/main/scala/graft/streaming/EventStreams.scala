@@ -32,25 +32,41 @@ object EventStreams {
     * end backward (`last = max`) — otherwise the event-time timeout is set
     * from a stale earlier end and a following in-gap event mis-splits the
     * session (e.g. state last=200, late 150, then 260 with gap 100 would
-    * split although 260−200 is within gap). An event more than a gap
-    * BEFORE the open session's start belongs to an earlier, already-closed
-    * session — it is emitted as its own singleton rather than stretching
-    * the open session across a silence longer than the gap.
+    * split although 260−200 is within gap).
+    *
+    * The batch is first GAP-CLUSTERED into (min, max, n) runs: events
+    * inside a run chain transitively, and runs are separated by more than
+    * a gap BY CONSTRUCTION, so each run merges or closes against the open
+    * session as a unit. Judging raw events one at a time against a `start`
+    * that can shrink later in the same batch mis-splits chained late
+    * events — state (10:00, ·), gap 30 m, batch [09:25, 09:40]: 09:25 must
+    * ride with 09:40 into the open session, not close as a spurious
+    * singleton — and splinters old-late runs (08:00, 08:10 must close as
+    * ONE 2-event session, not two singletons). A run still entirely more
+    * than a gap before the open session's start belongs to an earlier,
+    * already-closed session and is emitted whole.
     */
   private def mergeSessionBatch(
       user: Long, sorted: Seq[Long], gapUs: Long, st: (Long, Long, Long),
       closed: scala.collection.mutable.ListBuffer[(Long, Long, Long)])
       : (Long, Long, Long) = {
-    var (start, last, n) = st
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     sorted.foreach { ts =>
-      if (start < 0) { start = ts; last = ts; n = 1 }
-      else if (ts - last > gapUs) {
+      if (runs.nonEmpty && ts - runs.last._2 <= gapUs) {
+        val (mn, _, cn) = runs.last
+        runs(runs.length - 1) = (mn, ts, cn + 1)
+      } else runs += ((ts, ts, 1L))
+    }
+    var (start, last, n) = st
+    runs.foreach { case (cmin, cmax, cn) =>
+      if (start < 0) { start = cmin; last = cmax; n = cn }
+      else if (cmin - last > gapUs) { // entirely after: open session closed
         closed += ((user, start, n))
-        start = ts; last = ts; n = 1
-      } else if (start - ts > gapUs) {
-        closed += ((user, ts, 1L))
-      } else {
-        start = math.min(start, ts); last = math.max(last, ts); n += 1
+        start = cmin; last = cmax; n = cn
+      } else if (start - cmax > gapUs) { // entirely before: earlier session
+        closed += ((user, cmin, cn))
+      } else { // chains with the open session (runs can't chain each other)
+        start = math.min(start, cmin); last = math.max(last, cmax); n += cn
       }
     }
     (start, last, n)

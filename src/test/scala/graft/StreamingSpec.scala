@@ -167,6 +167,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chained late events ride into the open session (gap-clustered merge)") {
+    // Regression (round-4 advice, medium): judging pre-start late events
+    // against a `start` that shrinks later in the same batch emitted 09:25
+    // as a spurious singleton even though 09:40 (15m away) then merged and
+    // pulled start down to 09:40. The gap-clustered merge chains
+    // [09:25, 09:40] as one run that merges whole into the open session.
+    val input = MemoryStream[Ev](spark)
+    val q = EventStreams.sessionize(spark, input.toDF(), gapMinutes = 30)
+      .toDF("user_id", "session_start_us", "n_events")
+      .writeStream.format("memory").queryName("sess_chain")
+      .outputMode("append").start()
+    def at(hhmm: String) =
+      Ev(1000 + hhmm.hashCode.abs % 1000,
+        Timestamp.valueOf(s"2024-01-01 $hhmm:00"), 0L, "click", 1.0)
+    try {
+      input.addData(at("10:00"), at("10:30"))
+      q.processAllAvailable()     // open session (10:00, 10:30, 2)
+      input.addData(at("09:25"), at("09:40"))
+      q.processAllAvailable()
+      assert(spark.table("sess_chain").count() === 0) // nothing closed
+      input.addData(at("12:00")) // > gap after 10:30 → closes the session
+      q.processAllAvailable()
+      val rows = spark.table("sess_chain").as[(Long, Long, Long)]
+        .collect().toSeq
+      assert(rows === Seq((0L,
+        Timestamp.valueOf("2024-01-01 09:25:00").getTime * 1000L, 4L)))
+    } finally q.stop()
+  }
+
+  test("old-late events within a gap of each other close as ONE session") {
+    // Regression (round-4 advice, low): 08:00 and 08:10 vs an open session
+    // at 10:00 (gap 30m) were each emitted as separate singletons; they
+    // are one 2-event session under the batch q34 semantics.
+    val input = MemoryStream[Ev](spark)
+    val q = EventStreams.sessionize(spark, input.toDF(), gapMinutes = 30)
+      .toDF("user_id", "session_start_us", "n_events")
+      .writeStream.format("memory").queryName("sess_oldlate")
+      .outputMode("append").start()
+    def at(hhmm: String) =
+      Ev(2000 + hhmm.hashCode.abs % 1000,
+        Timestamp.valueOf(s"2024-01-01 $hhmm:00"), 0L, "click", 1.0)
+    try {
+      input.addData(at("10:00"))
+      q.processAllAvailable()     // open session (10:00, 10:00, 1)
+      input.addData(at("08:00"), at("08:10"))
+      q.processAllAvailable()     // one CLOSED 2-event session at 08:00
+      val rows = spark.table("sess_oldlate").as[(Long, Long, Long)]
+        .collect().toSeq
+      assert(rows === Seq((0L,
+        Timestamp.valueOf("2024-01-01 08:00:00").getTime * 1000L, 2L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user counts") {
     val input = MemoryStream[Ev](spark)
     input.addData(ev(7, 0, "click", 1.0), ev(14, 1, "view", 1.0),

@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * per-partition batches.
   *
   * The Spark-side architecture here is the real deliverable — schema,
-  * partitioning, batch iteration shape — while the actual media decode is
-  * a clearly-marked deterministic STUB (`decodeStub`): codec libraries
+  * partitioning, batch iteration shape. The IMAGE branch is a real
+  * decoder (`javax.imageio`, ships in the JDK): it reads true
+  * width/height from PNG/JPEG/GIF/BMP bytes. Audio and video decode
+  * remain clearly-marked deterministic STUBS: those codec libraries
   * aren't available in this environment, and at 100 TB the decode body is
-  * the only part that changes (swap the stub for JNI/FFmpeg/JPEG calls;
-  * the partitioning and memory story stays).
+  * the only part that changes (swap the stub for JNI/FFmpeg calls; the
+  * partitioning and memory story stays).
   *
   * Scale notes: decode runs via `mapPartitions` on the scan partitions —
   * no shuffle before decode; `maxPartitionBytes` controls batch memory;
@@ -40,21 +42,40 @@ object Multimodal {
     StructField("height", IntegerType, nullable = true),
     StructField("checksum", LongType, nullable = false)))
 
-  /** STUB decoder ??? — deterministic stand-in for the real codec call.
-    * Reads "dimensions" from the first 8 bytes (big-endian u32 pairs, the
-    * shape real image headers have) and fingerprints the payload. Replace
-    * the body with an actual decoder (e.g. javax.imageio / FFmpeg JNI) in
-    * a real deployment; signature and call-site batch shape stay as-is.
+  /** Real image header decode via `javax.imageio` (JDK built-in, works on
+    * every executor with no extra dependency). Reads ONLY the header —
+    * `ImageReader.getWidth/getHeight(0)` never materializes the pixel
+    * raster, so a 50 MB JPEG costs a few KB of parsing, which is the
+    * behavior you want when this runs over 100 TB of media blobs.
+    * Returns None for bytes no registered reader understands.
+    */
+  private[graft] def imageDims(content: Array[Byte])
+      : (Option[Int], Option[Int]) = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(content))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (readers.hasNext) {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          (Some(r.getWidth(0)), Some(r.getHeight(0)))
+        } catch {
+          case _: java.io.IOException => (None, None) // truncated/corrupt
+        } finally r.dispose()
+      } else (None, None)
+    } finally iis.close()
+  }
+
+  /** Per-blob decode: images through the real [[imageDims]] reader;
+    * audio/video fingerprint-only — a deterministic STUB for the codec
+    * call (FFmpeg-class libraries aren't in this environment; replace
+    * this branch in a real deployment, signature and call-site batch
+    * shape stay as-is).
     */
   private[ops] def decodeStub(kind: String, content: Array[Byte])
       : (Option[Int], Option[Int], Long) = {
-    def be32(off: Int): Int =
-      ((content(off) & 0xff) << 24) | ((content(off + 1) & 0xff) << 16) |
-        ((content(off + 2) & 0xff) << 8) | (content(off + 3) & 0xff)
-    val dims =
-      if (kind == "image" && content.length >= 8)
-        (Some(be32(0)), Some(be32(4)))
-      else (None, None)
+    val dims = if (kind == "image") imageDims(content) else (None, None)
     var cs = 0L
     var i = 0
     while (i < content.length) { cs = cs * 131 + (content(i) & 0xff); i += 1 }

@@ -3,40 +3,56 @@ package graft
 import org.apache.spark.sql.Row
 import graft.ops.Multimodal
 
-/** Multimodal plumbing: binary columns survive the round trip, the
-  * (stubbed) decoder sees per-partition batches, frame sampling slices
-  * deterministically.
+/** Multimodal plumbing: binary columns survive the round trip, the image
+  * decoder reads REAL PNG/JPEG headers (javax.imageio), audio/video stay
+  * fingerprint-only stubs, frame sampling slices deterministically.
   */
 class MultimodalSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private def imageBytes(w: Int, h: Int, payload: Byte): Array[Byte] = {
-    val header = java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h).array()
-    header ++ Array.fill(16)(payload)
+  /** Real PNG bytes of a w×h image, via the JDK's own encoder — the
+    * decoder under test must recover the true dimensions from them. */
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   private def mediaDf = {
     val rows = Seq(
-      Row(1L, "image", imageBytes(640, 480, 7), Row("image/png", "s1")),
-      Row(2L, "image", imageBytes(32, 32, 9), Row("image/png", "s2")),
+      Row(1L, "image", pngBytes(640, 480, 0x336699), Row("image/png", "s1")),
+      Row(2L, "image", pngBytes(32, 32, 0xff0000), Row("image/png", "s2")),
       Row(3L, "video", Array.fill(40)(3: Byte), Row("video/mp4", "s1")),
-      Row(4L, "audio", Array.fill(12)(5: Byte), null))
+      Row(4L, "audio", Array.fill(12)(5: Byte), null),
+      Row(5L, "image", Array.fill(16)(1: Byte), Row("image/png", "s3")))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
   }
 
-  test("decodeFeatures extracts dimensions from image headers, sizes all kinds") {
+  test("decodeFeatures reads true dimensions from real PNG bytes") {
     val feats = Multimodal.decodeFeatures(mediaDf).collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(feats(1L).getInt(3) === 640 && feats(1L).getInt(4) === 480)
-    assert(feats(2L).getInt(3) === 32)
+    assert(feats(2L).getInt(3) === 32 && feats(2L).getInt(4) === 32)
     assert(feats(3L).isNullAt(3)) // video: stub extracts no dims
     assert(feats(4L).getInt(2) === 12) // n_bytes present for every kind
-    // checksum is deterministic
+    assert(feats(5L).isNullAt(3)) // corrupt "image": no reader claims it
+    // checksum is deterministic across runs
     val again = Multimodal.decodeFeatures(mediaDf).collect()
       .map(r => r.getLong(0) -> r.getLong(5)).toMap
     assert(feats.map { case (k, v) => k -> v.getLong(5) } === again)
+  }
+
+  test("image decode also understands JPEG bytes") {
+    val img = new java.awt.image.BufferedImage(
+      48, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    assert(Multimodal.imageDims(out.toByteArray) === (Some(48), Some(24)))
   }
 
   test("sampleFrames slices every k-th fixed-size frame of video blobs only") {

@@ -11,11 +11,13 @@ import org.apache.spark.sql.types._
   * The Spark-side architecture here is the real deliverable — schema,
   * partitioning, batch iteration shape. The IMAGE branch is a real
   * decoder (`javax.imageio`, ships in the JDK): it reads true
-  * width/height from PNG/JPEG/GIF/BMP bytes. Audio and video decode
-  * remain clearly-marked deterministic STUBS: those codec libraries
-  * aren't available in this environment, and at 100 TB the decode body is
-  * the only part that changes (swap the stub for JNI/FFmpeg calls; the
-  * partitioning and memory story stays).
+  * width/height from PNG/JPEG/GIF/BMP bytes. The AUDIO branch is a real
+  * header decoder too (`javax.sound.sampled`, also JDK-built-in): it
+  * reads sample rate and frame length from WAV/AIFF/AU headers and
+  * derives duration. Only VIDEO decode remains a clearly-marked
+  * deterministic STUB: no container/codec parser ships with the JDK, and
+  * at 100 TB the decode body is the only part that changes (swap the
+  * stub for JNI/FFmpeg calls; the partitioning and memory story stays).
   *
   * Scale notes: decode runs via `mapPartitions` on the scan partitions —
   * no shuffle before decode; `maxPartitionBytes` controls batch memory;
@@ -40,6 +42,8 @@ object Multimodal {
     StructField("n_bytes", IntegerType, nullable = false),
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
     StructField("checksum", LongType, nullable = false)))
 
   /** Real image header decode via `javax.imageio` (JDK built-in, works on
@@ -51,7 +55,11 @@ object Multimodal {
     */
   private[graft] def imageDims(content: Array[Byte])
       : (Option[Int], Option[Int]) = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(
+    // MemoryCacheImageInputStream directly over the in-memory bytes:
+    // ImageIO.createImageInputStream would default to a FILE-cache wrapper
+    // (a temp file created+deleted per blob — per-row disk churn at scale)
+    // and can return null when no SPI is registered.
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(content))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -61,25 +69,56 @@ object Multimodal {
           r.setInput(iis)
           (Some(r.getWidth(0)), Some(r.getHeight(0)))
         } catch {
-          case _: java.io.IOException => (None, None) // truncated/corrupt
+          // NonFatal, not just IOException: JDK readers throw
+          // IllegalArgumentException / IndexOutOfBoundsException /
+          // NegativeArraySizeException on adversarial bytes, and one bad
+          // blob must degrade to (None, None), not kill the task.
+          case scala.util.control.NonFatal(_) => (None, None)
         } finally r.dispose()
       } else (None, None)
     } finally iis.close()
   }
 
-  /** Per-blob decode: images through the real [[imageDims]] reader;
-    * audio/video fingerprint-only — a deterministic STUB for the codec
-    * call (FFmpeg-class libraries aren't in this environment; replace
-    * this branch in a real deployment, signature and call-site batch
-    * shape stay as-is).
+  /** Real audio header decode via `javax.sound.sampled` (JDK built-in,
+    * zero new dependencies). `AudioSystem.getAudioFileFormat` parses ONLY
+    * the WAV/AIFF/AU header — never the sample data — so like
+    * [[imageDims]] it costs a few KB of parsing per blob regardless of
+    * blob size. Duration is derived as frameLength / frameRate. Returns
+    * (None, None) for bytes no registered provider understands, or when
+    * the header omits frame length/rate.
+    */
+  private[graft] def audioInfo(content: Array[Byte])
+      : (Option[Int], Option[Long]) =
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(content))
+      val rate = aff.getFormat.getSampleRate
+      val frames = aff.getFrameLength
+      val sr = if (rate > 0) Some(math.round(rate)) else None
+      val dur =
+        if (frames >= 0 && rate > 0) Some(math.round(frames * 1000.0 / rate))
+        else None
+      (sr, dur)
+    } catch {
+      // UnsupportedAudioFileException for non-audio bytes, plus the same
+      // adversarial-input RuntimeExceptions as the image path.
+      case scala.util.control.NonFatal(_) => (None, None)
+    }
+
+  /** Per-blob decode: images through the real [[imageDims]] reader, audio
+    * through the real [[audioInfo]] header parser; video fingerprint-only
+    * — a deterministic STUB for the codec call (FFmpeg-class libraries
+    * aren't in this environment; replace this branch in a real
+    * deployment, signature and call-site batch shape stay as-is).
     */
   private[ops] def decodeStub(kind: String, content: Array[Byte])
-      : (Option[Int], Option[Int], Long) = {
+      : (Option[Int], Option[Int], Option[Int], Option[Long], Long) = {
     val dims = if (kind == "image") imageDims(content) else (None, None)
+    val audio = if (kind == "audio") audioInfo(content) else (None, None)
     var cs = 0L
     var i = 0
     while (i < content.length) { cs = cs * 131 + (content(i) & 0xff); i += 1 }
-    (dims._1, dims._2, cs)
+    (dims._1, dims._2, audio._1, audio._2, cs)
   }
 
   /** Per-partition batched feature extraction over binary media columns.
@@ -92,9 +131,10 @@ object Multimodal {
           val id = r.getLong(0)
           val kind = r.getString(1)
           val bytes = r.getAs[Array[Byte]](2)
-          val (w, h, cs) = decodeStub(kind, bytes)
+          val (w, h, sr, dur, cs) = decodeStub(kind, bytes)
           Row(id, kind, bytes.length, w.map(Int.box).orNull,
-            h.map(Int.box).orNull, cs)
+            h.map(Int.box).orNull, sr.map(Int.box).orNull,
+            dur.map(Long.box).orNull, cs)
         }
       }, featureSchema)
     out

@@ -44,7 +44,12 @@ object EventStreams {
     * singleton — and splinters old-late runs (08:00, 08:10 must close as
     * ONE 2-event session, not two singletons). A run still entirely more
     * than a gap before the open session's start belongs to an earlier,
-    * already-closed session and is emitted whole.
+    * already-closed session and is emitted whole. An emitted old-late
+    * session is FINAL: if a still-later batch delivers events within a gap
+    * of it, they form a separate session — emit-on-close streaming cannot
+    * reopen emitted output (the divergence from the batch q34 twin is
+    * bounded by the watermark in [[sessionizeEventTime]], which drops
+    * anything late enough to chain onto an already-emitted run).
     */
   private def mergeSessionBatch(
       user: Long, sorted: Seq[Long], gapUs: Long, st: (Long, Long, Long),

@@ -36,10 +36,11 @@ class OpsSpec extends SparkSpec {
 
   test("degenerate buckets are count-gated before any id set is collected") {
     // 30 identical boilerplate docs share every band bucket — with
-    // maxBucket=10 the cap must drop them, and (round-2 verdict #4) drop
-    // them via the pre-count semi-join so the oversized id set is never
-    // materialized in an aggregation buffer. The unrelated planted pair
-    // in its own size-2 buckets still comes through.
+    // maxBucket=10 the size-capped collector (CappedIdSetAgg) must drop
+    // them by collapsing each oversized buffer to an overflow tombstone
+    // DURING aggregation, so the full id set is never materialized in any
+    // partial buffer and the guard stays one shuffle. The unrelated
+    // planted pair in its own size-2 buckets still comes through.
     val boiler = (1 to 30).map(i =>
       (i.toLong, "the same boilerplate legal disclaimer text block " * 4))
     val base = (1 to 60).map(i => s"w$i").mkString(" ")

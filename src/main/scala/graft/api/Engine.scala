@@ -30,4 +30,11 @@ final class Engine(val spark: SparkSession, dd: DataDictionary,
   /** RA-combinator door. */
   def scan(rel: String): Relation =
     Relation(spark.table(rel).alias(rel))
+
+  /** RA-STRING door: the reference's radb text syntax
+    * (`run_radb_query_in_spark` on a string,
+    * `ra2spark/ra2spark.py:107-118`), parsed by [[RaParser]] and lowered
+    * onto the same [[Relation]] combinators [[scan]] feeds.
+    */
+  def ra(query: String): DataFrame = RaParser.parse(query, scan).toDF
 }

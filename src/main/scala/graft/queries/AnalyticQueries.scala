@@ -124,6 +124,27 @@ object AnalyticQueries {
          FROM orders) t
        WHERE rn = 1""")
 
+  /** TPC-H Q4 shape (order-priority checking): a CORRELATED EXISTS
+    * subquery through the SQL-text door — the one Catalyst-breadth claim
+    * (SURVEY §4.1) that had no oracle evidence until round 6. The
+    * correlation is two-column (equi on l_orderkey = o_orderkey PLUS the
+    * outer-referencing range l_shipdate > o_orderdate); Catalyst's
+    * RewritePredicateSubquery decorrelates it into ONE left-semi join on
+    * the equi key with the range as a residual — no per-row subquery
+    * execution exists at any scale (PlanSpec pins the LeftSemi). The
+    * synthetic lineitem carries no commit/receipt dates, so the Q4
+    * predicate is re-expressed over l_shipdate.
+    */
+  def q54(s: SparkSession, dir: String): DataFrame = sqlDoor(s, dir,
+    """SELECT o_orderpriority, count(*) AS order_count
+       FROM orders
+       WHERE o_orderdate >= DATE '1995-01-01'
+         AND o_orderdate < DATE '1995-07-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_shipdate > o_orderdate)
+       GROUP BY o_orderpriority""")
+
   /** Sessionization (gaps-and-islands): a session ends after 30 idle
     * minutes. lag + running sum over a per-user window — one shuffle on
     * user_id; state per row is O(1). Gap math on exact integer micros.
@@ -326,6 +347,7 @@ object AnalyticQueries {
     "q44_range_join"    -> (q44 _),
     "q52_tpch_q3"       -> (q52 _),
     "q53_tpch_q5"       -> (q53 _),
+    "q54_exists_subquery" -> (q54 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -446,6 +468,15 @@ object AnalyticQueries {
                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
            FROM orders) t
          WHERE rn = 1""",
+    "q54_exists_subquery" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+           AND o_orderdate < TIMESTAMP '1995-07-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority""",
     "q34_sessionize" ->
       """SELECT user_id, CAST(count(DISTINCT sess) AS BIGINT) AS n_sessions,
                 CAST(count(*) AS BIGINT) AS n_events

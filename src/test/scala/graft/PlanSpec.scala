@@ -93,6 +93,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), plan)
   }
 
+  test("q54: correlated EXISTS decorrelates to one semi join, no subquery") {
+    val plan = planOf("q54_exists_subquery")
+    // RewritePredicateSubquery must turn the EXISTS into a LeftSemi hash
+    // join on l_orderkey = o_orderkey — a per-row subquery would show up
+    // as an InSubquery/Subquery node and be unrunnable at 100 TB.
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.toLowerCase.contains("subquery"), plan)
+    // the date-range filter still reaches the orders scan
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("IsNotNull(o_orderdate)") ||
+      plan.contains("GreaterThanOrEqual(o_orderdate"), plan)
+  }
+
   test("q43: as-of join plans as union + window — zero join operators") {
     val plan = planOf("q43_asof_join")
     assert(plan.contains("Window"), plan)

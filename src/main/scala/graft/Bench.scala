@@ -74,6 +74,7 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(outPath), line + "\n")
     println(line)
+    clearCaches(spark)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

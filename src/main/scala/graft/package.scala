@@ -28,8 +28,19 @@ package object graft {
       // `div` = integer division: epoch-nanos exceed 2^53, so the `/`
       // (double) operator would lose microsecond precision near boundaries.
       raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+        .withColumn("ts", timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts_ns div 1000")))
     else raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+  }
+
+  /** Release everything graft memoizes against `spark`: the materialized
+    * near-dup pair set (persisted RDD blocks) and the SQL-door Engine.
+    * Call at teardown (Bench/Verify do) or between corpora on a
+    * long-lived session; queries re-derive lazily on next use.
+    */
+  def clearCaches(spark: SparkSession): Unit = {
+    queries.PipelineQueries.clearCache(spark)
+    queries.AnalyticQueries.clearEngine(spark)
   }
 
   /** Money-style doubles summed as exact integer cents: per-row IEEE double

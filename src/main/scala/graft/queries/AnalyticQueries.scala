@@ -106,6 +106,12 @@ object AnalyticQueries {
       else (dir, new Engine(sess, tpchDd, dir, format = "parquet"))
     )._2.sql(query)
 
+  /** Drop the session's memoized Engine (its temp views die with the
+    * session anyway; this frees the map entry and forces re-registration
+    * on next use). Part of `graft.clearCaches` — Bench/Verify teardown.
+    */
+  def clearEngine(s: SparkSession): Unit = engineCache.remove(s)
+
   def q31(s: SparkSession, dir: String): DataFrame = sqlDoor(s, dir,
     """SELECT o_orderpriority, count(*) AS cnt
        FROM orders WHERE o_totalprice > 100000

@@ -162,20 +162,43 @@ object PipelineQueries {
           "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
           .as("bpe_tokens"))
 
-  /** The verified near-dup pair set, derived ONCE per (session, dir) and
-    * reused by both downstream consumers (q39 survivors, q46 clusters) —
-    * round-2 verdict #9: each previously re-ran the full 6-stage LSH
-    * pipeline. This mirrors production shape: a corpus is
-    * shingled/hashed/verified once and every dedup decision reads the one
-    * pair set. q23 itself stays a fresh computation (it IS the pipeline
-    * and is benchmarked as such); `localCheckpoint` materializes the
-    * reused copy and truncates its lineage.
+  /** The verified near-dup pair set, derived ONCE per session and reused
+    * by both downstream consumers (q39 survivors, q46 clusters) — round-2
+    * verdict #9: each previously re-ran the full 6-stage LSH pipeline.
+    * This mirrors production shape: a corpus is shingled/hashed/verified
+    * once and every dedup decision reads the one pair set. q23 itself
+    * stays a fresh computation (it IS the pipeline and is benchmarked as
+    * such).
+    *
+    * Lifecycle (round-5 verdict #4): the materialized copy is an
+    * explicitly persisted RDD — same lineage truncation as
+    * `localCheckpoint` (downstream plans read a LogicalRDD, not the LSH
+    * pipeline), but RELEASABLE: a dir change on the same session
+    * unpersists the stale blocks instead of leaking them for the life of
+    * the session, and [[clearCache]] frees them deterministically
+    * (Bench/Verify teardown). Keyed by session with the dir inside the
+    * value, exactly like the Engine cache.
     */
   private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]
+    SparkSession, (String, DataFrame, org.apache.spark.rdd.RDD[_])]
 
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
-    pairsCache.computeIfAbsent((s, dir), _ => q23(s, dir).localCheckpoint())
+    pairsCache.compute(s, (sess, cached) =>
+      if (cached != null && cached._1 == dir) cached
+      else {
+        if (cached != null) cached._3.unpersist(blocking = false)
+        val fresh = q23(sess, dir)
+        val rdd = fresh.rdd.setName(s"graft-verified-pairs:$dir")
+        rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rdd.count() // materialize eagerly, like localCheckpoint(eager=true)
+        (dir, sess.createDataFrame(rdd, fresh.schema), rdd)
+      })._2
+
+  /** Release the session's materialized pair set (no-op if absent). */
+  def clearCache(s: SparkSession): Unit = {
+    val cached = pairsCache.remove(s)
+    if (cached != null) cached._3.unpersist(blocking = false)
+  }
 
   /** End-to-end dedup: the corpus MINUS near-duplicates. Survivor rule is
     * deterministic and local: a doc is dropped iff it is the LARGER id of

@@ -128,4 +128,25 @@ class ScaleSpec extends SparkSpec {
     assert(df.filter(col("price") === 7.75).count() === 1)
     f.delete(); tmp.delete()
   }
+
+  test("pair-set cache: a dir swap releases the stale persisted blocks") {
+    val dirA = sfDir // sf0.001
+    val dirB = "/root/testdata/sf0.01"
+    def persisted: Set[String] = spark.sparkContext.getPersistentRDDs.values
+      .map(_.name).filter(n =>
+        n != null && n.startsWith("graft-verified-pairs")).toSet
+    graft.clearCaches(spark) // defined state however earlier suites left it
+    assert(SparkEntry.queries("q39_dedup_survivors")(spark, dirA).count() > 0)
+    assert(persisted === Set(s"graft-verified-pairs:$dirA"))
+    // same session, new dir: q46 reuses the cache slot — the stale dirA
+    // blocks must be RELEASED, not leak for the life of the session
+    assert(SparkEntry.queries("q46_dup_clusters")(spark, dirB).count() > 0)
+    assert(persisted === Set(s"graft-verified-pairs:$dirB"))
+    // both consumers on the new dir share the one materialization
+    assert(SparkEntry.queries("q39_dedup_survivors")(spark, dirB).count() > 0)
+    assert(persisted === Set(s"graft-verified-pairs:$dirB"))
+    // explicit teardown (Bench/Verify path) frees everything
+    graft.clearCaches(spark)
+    assert(persisted === Set.empty[String])
+  }
 }

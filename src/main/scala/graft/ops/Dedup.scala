@@ -172,18 +172,33 @@ object Dedup {
   }
 
   /** Transitive near-dup clusters: connected components over the verified
-    * pair graph, as iterative min-label propagation (each node adopts the
-    * smallest label among itself and its neighbors until fixpoint).
-    * Returns (id, cluster) where cluster = the smallest doc id reachable.
+    * pair graph. Returns (id, cluster) where cluster = the smallest doc
+    * id reachable.
     *
-    * Near-dup components have tiny diameters (duplicates of duplicates),
-    * so convergence takes a handful of iterations; `localCheckpoint`
-    * truncates lineage each round so plans don't grow unboundedly. At
-    * true graph scale you'd switch to the alternating small-star /
-    * large-star formulation — same DataFrame machinery, fewer rounds on
-    * high-diameter graphs.
+    * Two interchangeable engines, same DataFrame machinery:
+    *  - default (`starContraction = false`): iterative min-label
+    *    propagation — each node adopts the smallest label among itself
+    *    and its neighbors until fixpoint. Rounds ∝ component DIAMETER;
+    *    near-dup components have tiny diameters (duplicates of
+    *    duplicates), so a handful of rounds suffice and each round is one
+    *    join + one aggregation.
+    *  - `starContraction = true`: alternating large-star/small-star
+    *    contraction (Kiveris et al., "Connected Components in MapReduce
+    *    and Beyond"). Rounds ∝ log²(component size) regardless of
+    *    diameter, so a 50-node CHAIN (diameter 49 — the min-label loop
+    *    would exhaust maxIter and throw) converges in a few rounds. The
+    *    scale path for adversarial graph shapes.
+    *
+    * Both fail loudly on non-convergence (silent non-convergence would
+    * return WRONG components) and `localCheckpoint` each round so plans
+    * don't grow unboundedly.
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20,
+                  starContraction: Boolean = false): DataFrame =
+    if (starContraction) dupClustersStar(pairs, maxIter)
+    else dupClustersMinLabel(pairs, maxIter)
+
+  private def dupClustersMinLabel(pairs: DataFrame, maxIter: Int): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint()
@@ -213,6 +228,57 @@ object Dedup {
       s"dupClusters did not converge in $maxIter iterations — component " +
         "diameter exceeds maxIter; raise it or switch to star-contraction")
     labels.select(col("id"), col("label").as("cluster"))
+  }
+
+  /** Alternating large-star/small-star contraction. Invariant: `edges`
+    * holds (u, v) with u > v (larger endpoint first), no self-loops.
+    * Per round:
+    *  - LARGE-STAR over the symmetric adjacency: every neighbor LARGER
+    *    than the center u is re-linked to m(u) = min(Γ(u) ∪ {u});
+    *  - SMALL-STAR over the directed (u > v) edges: u and all its
+    *    smaller neighbors link to their minimum.
+    * Each step is a groupBy-min plus a key join — no per-node neighbor
+    * list is ever collected into a buffer (high-degree hubs stay
+    * shuffle-bounded, unlike a collect_list formulation). Fixpoint =
+    * edge set unchanged, at which point edges form stars (v → component
+    * root); proven to take O(log² n) rounds.
+    */
+  private def dupClustersStar(pairs: DataFrame, maxIter: Int): DataFrame = {
+    var edges = pairs.select(
+        greatest(col("a_id"), col("b_id")).as("u"),
+        least(col("a_id"), col("b_id")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star: m(u) over the full neighborhood, re-link v > u to m(u)
+      val nbrs = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val mLarge = nbrs.groupBy(col("u")).agg(min(col("v")).as("minv"))
+        .select(col("u"), least(col("minv"), col("u")).as("m"))
+      val large = nbrs.join(mLarge, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m, so u > v holds
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: per larger-endpoint u, link u and every smaller
+      // neighbor to the minimum of that set
+      val mSmall = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = large.join(mSmall, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v")) // v > m by the filter
+        .unionByName(mSmall.select(col("u"), col("m").as("v")))
+        .distinct().localCheckpoint()
+      val changed = next.except(edges).count() + edges.except(next).count()
+      edges = next
+      converged = changed == 0
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"dupClustersStar did not converge in $maxIter rounds")
+    // fixpoint: every edge is (node, component root); roots label themselves
+    edges.select(col("u").as("id"), col("v").as("cluster"))
+      .unionByName(edges.select(col("v").as("id"), col("v").as("cluster")))
+      .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
   }
 
   /** Candidate pairs from hash buckets: ONE aggregation shuffle on the

@@ -96,6 +96,33 @@ class OpsSpec extends SparkSpec {
     } finally p.pairs.unpersist()
   }
 
+  test("star-contraction clusters a 50-node chain the min-label loop cannot") {
+    // pairs (i, i+1): ONE component of diameter 49. Min-label propagates
+    // one hop per round, so maxIter=20 must fail loudly; star-contraction
+    // halves distances every round and converges well inside 20.
+    val chain = (1L until 50L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val starred = Dedup.dupClusters(chain, starContraction = true)
+      .as[(Long, Long)].collect().toMap
+    assert(starred.keySet === (1L to 50L).toSet)
+    assert(starred.values.toSet === Set(1L),
+      s"whole chain must share cluster 1: $starred")
+    intercept[IllegalStateException](Dedup.dupClusters(chain).count())
+  }
+
+  test("star-contraction and min-label agree on a multi-component graph") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),     // triangle
+      (10L, 11L), (12L, 11L),           // path, reversed edge order
+      (20L, 21L),                       // pair
+      (30L, 31L), (31L, 32L), (30L, 33L), (33L, 34L) // star-ish tree
+    ).toDF("a_id", "b_id")
+    val a = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    val b = Dedup.dupClusters(pairs, starContraction = true)
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+    assert(a(3L) === 1L && a(12L) === 10L && a(21L) === 20L && a(34L) === 30L)
+  }
+
   test("portable_simhash is deterministic and order-insensitive on sets") {
     val df = Seq(
       Seq("a b c", "b c d"),

@@ -70,4 +70,28 @@ object Sketch {
                     b: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
     size(filter(zip_with(a, b, (x, y) => x === y), m => m))
       .cast("double") / k
+
+  /** Cross-source similarity matrix, SKETCH-ONLY — the production
+    * operator (round-5 verdict #6: previously only reachable fused with
+    * q45's exact-Jaccard gate). Every pair of `groupCol` values with the
+    * estimated Jaccard of their unioned shingle sets, standard error
+    * ~1/√k.
+    *
+    * Scale shape: the corpus is touched ONCE (signature scan + one
+    * aggregation shuffle of O(groups × k) longs); the pairwise step then
+    * runs on the tiny per-group sketch table (groups are config-scale —
+    * sources, snapshots, crawls), broadcast on one side, so NO all-pairs
+    * work ever touches document rows. At 100 TB the exact path q45 gates
+    * against is unrunnable; this estimator is what you ship.
+    */
+  def crossSourceSimilarity(df: DataFrame, groupCol: String, textCol: String,
+                            k: Int = 256, shingleN: Int = 3): DataFrame = {
+    val sk = groupSketches(df, groupCol, textCol, k, shingleN)
+    sk.select(col(groupCol).as("src_a"), col("sketch").as("sk_a"))
+      .crossJoin(broadcast(
+        sk.select(col(groupCol).as("src_b"), col("sketch").as("sk_b"))))
+      .filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        sketchJaccard(col("sk_a"), col("sk_b"), k).as("est_j"))
+  }
 }

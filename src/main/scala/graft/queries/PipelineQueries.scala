@@ -222,7 +222,8 @@ object PipelineQueries {
   def q45(s: SparkSession, dir: String): DataFrame = {
     val k = 256
     val docs = t(s, dir)("documents")
-    val sketches = graft.ops.Sketch.groupSketches(docs, "source", "text", k)
+    // the production sketch-only operator; q45 adds the exact-side GATE
+    val est = graft.ops.Sketch.crossSourceSimilarity(docs, "source", "text", k)
     // Exact Jaccard between per-source shingle SETS, computed join-wise:
     // |A∩B| = count of shingles the two sources share (equi-join on the
     // shingle, partial-aggregated), |A∪B| = |A|+|B|-|A∩B|. The
@@ -249,14 +250,10 @@ object PipelineQueries {
       .withColumn("ej",
         col("ni").cast("double") / (col("n_a") + col("n_b") - col("ni")))
     pairs
-      .join(broadcast(sketches.select(col("source").as("src_a"),
-        col("sketch").as("sk_a"))), Seq("src_a"))
-      .join(broadcast(sketches.select(col("source").as("src_b"),
-        col("sketch").as("sk_b"))), Seq("src_b"))
+      .join(broadcast(est), Seq("src_a", "src_b"))
       .select(col("src_a"), col("src_b"),
         round(col("ej"), 4).as("exact_j"),
-        (abs(graft.ops.Sketch.sketchJaccard(col("sk_a"), col("sk_b"), k) -
-          col("ej")) <= 0.08).as("within_tol"))
+        (abs(col("est_j") - col("ej")) <= 0.08).as("within_tol"))
   }
 
   /** Transitive dup clusters over the verified near-dup pairs (iterative

@@ -123,6 +123,35 @@ class OpsSpec extends SparkSpec {
     assert(a(3L) === 1L && a(12L) === 10L && a(21L) === 20L && a(34L) === 30L)
   }
 
+  test("crossSourceSimilarity estimates exact source Jaccard within tolerance") {
+    // A∩B = shingles fully inside the shared w1..w40 prefix → exact
+    // J(A,B) ≈ 0.32; C is disjoint. k=256 → se ≈ 0.03, so 0.08 ≈ 2.7σ
+    // (deterministic hashes: the estimate is a fixed value, not a draw).
+    val aTxt = (1 to 80).map(i => s"w$i").mkString(" ")
+    val bTxt = ((1 to 40).map(i => s"w$i") ++ (200 to 239).map(i => s"v$i"))
+      .mkString(" ")
+    val cTxt = (300 to 380).map(i => s"u$i").mkString(" ")
+    val docs = Seq(("A", aTxt), ("B", bTxt), ("C", cTxt)).toDF("source", "text")
+    val est = graft.ops.Sketch.crossSourceSimilarity(docs, "source", "text")
+      .as[(String, String, Double)].collect()
+      .map { case (x, y, j) => (x, y) -> j }.toMap
+    assert(est.keySet === Set(("A", "B"), ("A", "C"), ("B", "C")))
+    // exact sets from the same shingle definition
+    val sets = docs
+      .select(col("source"), explode(TextOps.shingles(col("text"), 3)).as("sh"))
+      .distinct().as[(String, String)].collect()
+      .groupBy(_._1).map { case (s0, rows) => s0 -> rows.map(_._2).toSet }
+    def exact(x: String, y: String): Double = {
+      val i = (sets(x) & sets(y)).size.toDouble
+      i / (sets(x).size + sets(y).size - i)
+    }
+    est.foreach { case ((x, y), j) =>
+      assert(math.abs(j - exact(x, y)) <= 0.08,
+        s"$x-$y: est $j vs exact ${exact(x, y)}")
+    }
+    assert(est(("A", "B")) > 0.2 && est(("A", "C")) < 0.08)
+  }
+
   test("portable_simhash is deterministic and order-insensitive on sets") {
     val df = Seq(
       Seq("a b c", "b c d"),

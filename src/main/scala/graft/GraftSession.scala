@@ -111,6 +111,13 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Runtime bloom-filter join pruning: a selective dim-side filter
+      // builds a bloom filter over its join keys and prunes the fact scan
+      // before the shuffle. The default creation/application thresholds
+      // (10 MB / 10 GB) mean it fires only at real fact-table scale —
+      // exactly the 100 TB behavior we want; ScaleSpec lowers the
+      // thresholds to pin the plan shape locally.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")

@@ -129,6 +129,48 @@ class ScaleSpec extends SparkSpec {
     f.delete(); tmp.delete()
   }
 
+  test("runtime bloom filter from a selective dim side prunes the fact scan") {
+    // The 100 TB lever beyond static pushdown: a filter on the DIMENSION
+    // side can't statically prune the fact scan, but Spark's
+    // InjectRuntimeFilter builds a bloom filter over the dim join keys at
+    // runtime and applies it to the fact side BEFORE the join shuffle —
+    // rows for non-matching keys never cross the wire. Local fixtures sit
+    // under the production-size thresholds, so the test lowers them to
+    // observe the plan; GraftSession leaves the defaults (10 MB / 10 GB)
+    // that make this fire exactly when a real fact table is scan-heavy.
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      c.set("spark.sql.adaptive.enabled", "false")
+      val fact = table(spark, sfDir, "lineitem")
+      val dim = table(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("cnt"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected a bloom-filter runtime filter on the fact scan:\n$plan")
+      // pruning must not change the answer
+      val expected = fact.join(broadcast(dim),
+        col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("cnt"))
+        .collect().toSeq
+      assert(joined.collect().toSeq === expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None)    => c.unset(k)
+    }
+  }
+
   test("pair-set cache: a dir swap releases the stale persisted blocks") {
     val dirA = sfDir // sf0.001
     val dirB = "/root/testdata/sf0.01"

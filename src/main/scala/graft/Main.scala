@@ -15,7 +15,10 @@ import graft.catalog.DataDictionary
   * reference's); `--format` picks the dd storage layout
   * (parquet/csv/json/tagged-json/tbl) instead of being hardwired to the
   * reference's CSV; and the SQL surface is full Spark SQL, not the
-  * reference's SELECT-DISTINCT-only fragment.
+  * reference's SELECT-DISTINCT-only fragment. `--lang ra` routes the
+  * query through the RA-string door instead (the reference exposes
+  * `run_radb_query_in_spark` programmatically, `ra2spark.py:107-118`;
+  * here both text front doors reach the CLI).
   *
   * Usage:
   * {{{
@@ -27,18 +30,21 @@ object Main {
 
   private val usage =
     """usage: graft.Main --dd_path <dd.json> [--data_dir <dir>]
-      |  [--format parquet|csv|json|tagged-json|tbl] [--env X] [--mode X]
-      |  "<sql>"
-      |--data_dir defaults to the dd file's directory.""".stripMargin
+      |  [--format parquet|csv|json|tagged-json|tbl] [--lang sql|ra]
+      |  [--env X] [--mode X] "<query>"
+      |--data_dir defaults to the dd file's directory.
+      |--lang ra runs the query as radb relational-algebra text.""".stripMargin
 
   /** Parsed CLI contract; `sql` is the single positional argument. */
   private[graft] final case class Args(ddPath: String, dataDir: String,
-                                       format: String, sql: String)
+                                       format: String, sql: String,
+                                       lang: String = "sql")
 
   private[graft] def parse(args: Array[String]): Args = {
     var ddPath: Option[String] = None
     var dataDir: Option[String] = None
     var format = "csv" // the reference's on-disk layout
+    var lang = "sql"
     var sql: Option[String] = None
     var i = 0
     while (i < args.length) {
@@ -46,6 +52,11 @@ object Main {
         case "--dd_path"  => ddPath = Some(args(i + 1)); i += 2
         case "--data_dir" => dataDir = Some(args(i + 1)); i += 2
         case "--format"   => format = args(i + 1); i += 2
+        case "--lang" =>
+          lang = args(i + 1)
+          require(lang == "sql" || lang == "ra",
+            s"--lang must be sql or ra, got $lang\n$usage")
+          i += 2
         // reference-CLI compatibility: execution target selectors are
         // meaningless here (always Spark) but must not be rejected
         case "--env" | "--mode" => i += 2
@@ -54,18 +65,20 @@ object Main {
       }
     }
     val dd = ddPath.getOrElse(sys.error(s"--dd_path is required\n$usage"))
-    val q = sql.getOrElse(sys.error(s"no SQL given\n$usage"))
+    val q = sql.getOrElse(sys.error(s"no query given\n$usage"))
     val dir = dataDir.getOrElse {
       val p = java.nio.file.Paths.get(dd).toAbsolutePath.getParent
       if (p == null) "." else p.toString
     }
-    Args(dd, dir, format, q)
+    Args(dd, dir, format, q, lang)
   }
 
   /** Testable core: everything but session construction and printing. */
-  private[graft] def run(spark: SparkSession, a: Args): DataFrame =
-    new Engine(spark, DataDictionary.fromFile(a.ddPath), a.dataDir, a.format)
-      .sql(a.sql)
+  private[graft] def run(spark: SparkSession, a: Args): DataFrame = {
+    val engine =
+      new Engine(spark, DataDictionary.fromFile(a.ddPath), a.dataDir, a.format)
+    if (a.lang == "ra") engine.ra(a.sql) else engine.sql(a.sql)
+  }
 
   def main(argv: Array[String]): Unit = {
     val a = parse(argv)

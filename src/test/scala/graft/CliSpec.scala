@@ -31,8 +31,24 @@ class CliSpec extends SparkSpec {
     assert(a.dataDir ===
       java.nio.file.Paths.get(ddPath).toAbsolutePath.getParent.toString)
     assert(a.format === "csv")
+    assert(a.lang === "sql")
     intercept[RuntimeException] { Main.parse(Array("select 1")) }
     intercept[RuntimeException] { Main.parse(Array("--dd_path", ddPath)) }
+    intercept[IllegalArgumentException] {
+      Main.parse(Array("--dd_path", ddPath, "--lang", "prolog", "q"))
+    }
+  }
+
+  test("Main --lang ra runs radb text through the RA door (golden: 4 rows)") {
+    val args = Main.parse(Array(
+      "--dd_path", ddPath,
+      "--data_dir", pizzaDir,
+      "--format", "csv",
+      "--lang", "ra",
+      """Person \join_{Person.name = Eats.name} (\select_{pizza='mushroom'} Eats);"""))
+    val df = Main.run(spark, args)
+    assert(df.count() === 4) // reference golden (tests/test_ra2mr.py:207-210)
+    assert(df.columns.length === 5)
   }
 
   test(".tbl ingestion: pipe-separated, headerless, trailing separator, dd casts") {

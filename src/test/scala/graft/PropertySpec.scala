@@ -47,6 +47,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("RA-string select equals the combinator door on arbitrary predicates") {
+    // The parser must be a pure LOWERING: for any comparator and
+    // threshold, \select_{age <op> n}(Person) through the text door and
+    // scan("Person").select(...) through the combinator door agree.
+    lazy val engine =
+      new graft.api.Engine(spark, pizzaDd, pizzaDir, format = "csv")
+    val ops = Seq(
+      ("=", (c: org.apache.spark.sql.Column, n: Int) => c === n),
+      ("<>", (c: org.apache.spark.sql.Column, n: Int) => c =!= n),
+      ("<", (c: org.apache.spark.sql.Column, n: Int) => c < n),
+      ("<=", (c: org.apache.spark.sql.Column, n: Int) => c <= n),
+      (">", (c: org.apache.spark.sql.Column, n: Int) => c > n),
+      (">=", (c: org.apache.spark.sql.Column, n: Int) => c >= n))
+    check(Gen.zip(Gen.oneOf(ops), Gen.choose(10, 50)), n = 10) {
+      case ((opStr, opFn), n) =>
+        val viaText =
+          engine.ra(s"""\\select_{Person.age $opStr $n}(Person);""").count()
+        val viaCombinator =
+          engine.scan("Person").select(opFn(col("age"), n)).toDF.count()
+        assert(viaText === viaCombinator, s"op $opStr n=$n")
+    }
+  }
+
   test("project-distinct is idempotent (reference set semantics)") {
     check(rows) { l =>
       val once = l.toDF("k", "v").select("k").distinct()

@@ -46,6 +46,39 @@ class StreamingSpec extends SparkSpec {
       t == "click" && c == 3 && s == 450 }) // 1.50+2.25+0.75 = 4.50 = 450c
   }
 
+  test("foreachBatch sink writes append-mode windows to parquet") {
+    // The production egress shape: finalized watermark windows land in a
+    // parquet table via foreachBatch (which also gets the batch id for
+    // exactly-once bookkeeping). Memory-sink tests prove semantics; this
+    // proves the DELIVERY path a real pipeline runs.
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-pq")
+    val out = dir.resolve("hourly").toString
+    val input = MemoryStream[Ev](spark)
+    input.addData(ev(1, 0, "click", 1.5), ev(2, 10, "click", 2.25))
+    val q = EventStreams.hourlyByType(input.toDF(), watermark = "30 minutes")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // advance event time past watermark+window so 10:00 finalizes
+      input.addData(ev(3, 0, "view", 1.0)
+        .copy(ts = Timestamp.valueOf("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(out)
+      .select("hour_start", "event_type", "cnt", "sum_value_c")
+      .as[(Timestamp, String, Long, Long)].collect().toSet
+    assert(rows === Set(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2L, 375L)))
+    // cleanup
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
   test("hourly agg runs in Append mode: watermark finalizes and emits windows") {
     // Regression (round-2 advice): grouping by window(ts).getField("start")
     // dropped the watermark metadata, so Append mode was rejected and state

@@ -93,6 +93,24 @@ object TextOps {
     aggregate(split(text, ""), lit(0L),
       (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
 
+  /** Deterministic train/val/test assignment, keyed on CONTENT via
+    * [[fingerprint]] — the leakage-safe split a training pipeline needs:
+    * byte-identical documents always land in the same split (an id- or
+    * random-keyed split leaks exact duplicates across train and test),
+    * the assignment is reproducible across runs/engines (portable hash,
+    * no RNG state), and it is a pure per-row expression — no shuffle, no
+    * sampling pass, works identically on 100 TB. `trainPct`/`valPct` are
+    * integer percents; the remainder is "test".
+    */
+  def splitAssign(text: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percents: train=$trainPct val=$valPct")
+    val bucket = pmod(fingerprint(text), lit(100L))
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
   /** Exact n-gram Jaccard similarity of two shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

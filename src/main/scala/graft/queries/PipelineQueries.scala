@@ -352,6 +352,16 @@ object PipelineQueries {
         aggregate(col("quant"), lit(0L), (acc, x) => acc + x).as("q_sum"))
   }
 
+  /** Deterministic content-keyed train/val/test split ([[TextOps
+    * .splitAssign]]) — per-doc assignment so the oracle pins every row,
+    * not just the marginals. Scale shape: pure per-row expressions, zero
+    * shuffles before the (tiny) split/lang rollup.
+    */
+  def q55(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("documents")
+      .select(col("doc_id"),
+        TextOps.splitAssign(col("text"), 80, 10).as("split"))
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_dedup_keyed"     -> (q21 _),
     "q22_dedup_text_exact" -> (q22 _),
@@ -372,6 +382,7 @@ object PipelineQueries {
     "q49_quality_gate"    -> (q49 _),
     "q50_vector_quantize" -> (q50 _),
     "q51_ann_ivf"         -> (q51 _),
+    "q55_dataset_split"   -> (q55 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -462,6 +473,19 @@ object PipelineQueries {
                         AS BIGINT))),
                   (a, b) -> (a*31 + b) % 1000000007) AS fp
          FROM documents""",
+    "q55_dataset_split" ->
+      """SELECT doc_id,
+                CASE WHEN fp % 100 < 80 THEN 'train'
+                     WHEN fp % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                      list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                          list_transform(range(1, length(text)+1),
+                            i -> CAST(unicode(substr(text, CAST(i AS INT), 1))
+                              AS BIGINT))),
+                        (a, b) -> (a*31 + b) % 1000000007) AS fp
+               FROM documents) t""",
     "q29_ann_lsh" ->
       """SELECT CAST(5*count(*) AS BIGINT) AS n_results, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 10""",

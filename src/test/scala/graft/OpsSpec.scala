@@ -152,6 +152,33 @@ class OpsSpec extends SparkSpec {
     assert(est(("A", "B")) > 0.2 && est(("A", "C")) < 0.08)
   }
 
+  test("splitAssign is deterministic, content-keyed, and covers all splits") {
+    val docs = ((1 to 200).map(i => (i.toLong, s"document body number $i")) ++
+      Seq((900L, "document body number 7"), // exact dup of doc 7's text
+        (901L, "document body number 7")))
+      .toDF("doc_id", "text")
+    val assigned = docs
+      .select(col("doc_id"), col("text"),
+        TextOps.splitAssign(col("text")).as("split"))
+      .as[(Long, String, String)].collect()
+    // deterministic: re-evaluation agrees exactly
+    val again = docs.select(col("doc_id"),
+      TextOps.splitAssign(col("text")).as("split"))
+      .as[(Long, String)].collect().toMap
+    assert(assigned.map(r => r._1 -> r._3).toMap === again)
+    // content-keyed: byte-identical text NEVER crosses splits (the
+    // leakage guarantee an id- or random-keyed split cannot give)
+    val byText = assigned.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(byText.values.forall(_.size == 1),
+      s"identical content split across sets: ${byText.filter(_._2.size > 1)}")
+    // all three splits are populated and roughly proportioned
+    val frac = assigned.groupBy(_._3).view.mapValues(_.length / 202.0).toMap
+    assert(frac.keySet === Set("train", "val", "test"), frac.toString)
+    assert(frac("train") > 0.65 && frac("train") < 0.95, frac.toString)
+    intercept[IllegalArgumentException](
+      TextOps.splitAssign(col("text"), 90, 20))
+  }
+
   test("portable_simhash is deterministic and order-insensitive on sets") {
     val df = Seq(
       Seq("a b c", "b c d"),

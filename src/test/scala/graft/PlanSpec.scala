@@ -106,6 +106,14 @@ class PlanSpec extends SparkSpec {
       plan.contains("GreaterThanOrEqual(o_orderdate"), plan)
   }
 
+  test("q55: dataset split is scan-only — no shuffle, no join") {
+    val plan = planOf("q55_dataset_split")
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    // only the two needed columns are read
+    assert(!plan.contains("embedding"), plan)
+  }
+
   test("q43: as-of join plans as union + window — zero join operators") {
     val plan = planOf("q43_asof_join")
     assert(plan.contains("Window"), plan)

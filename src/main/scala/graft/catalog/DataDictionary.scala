@@ -17,8 +17,8 @@ final case class DataDictionary(relations: Map[String, StructType]) {
 
   /** Register every relation as a temp view over its file, making the whole
     * dd queryable via `spark.sql`. Supported layouts: parquet (preferred),
-    * headered CSV, JSON lines, tagged-JSON (MR wire format), and TPC-H
-    * `.tbl`.
+    * ORC, headered CSV, JSON lines, tagged-JSON (MR wire format), and
+    * TPC-H `.tbl`.
     */
   def register(spark: SparkSession, dataDir: String,
                format: String = "parquet"): Unit =
@@ -44,6 +44,13 @@ final case class DataDictionary(relations: Map[String, StructType]) {
         val renamed = raw.toDF(raw.columns.map(c => c.split('.').last): _*)
         renamed.select(st.fields.map(f =>
           renamed(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      case "orc" =>
+        // ORC ships in Spark; same dd-cast discipline as parquet so type
+        // drift surfaces at scan time. Predicate pushdown / column
+        // pruning work identically (vectorized reader + file stats).
+        val raw = spark.read.orc(s"$dataDir/$rel.orc")
+        raw.select(st.fields.map(f =>
+          raw(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
       case "json" => spark.read.schema(st).json(s"$dataDir/$rel.json")
       case "tbl" =>
         // TPC-H dbgen `.tbl`: `|`-separated, headerless, one TRAILING `|`

@@ -129,6 +129,27 @@ class ScaleSpec extends SparkSpec {
     f.delete(); tmp.delete()
   }
 
+  test("ORC ingestion through the dd casts types and pushes filters") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toFile
+    try {
+      Seq(("Dominos", "mushroom", 8.5), ("Corleone", "cheese", 7.75))
+        .toDF("pizzeria", "pizza", "price")
+        .coalesce(1).write.mode("overwrite").orc(s"${tmp.getPath}/Serves.orc")
+      val df = pizzaDd.load(spark, tmp.getPath, "Serves", "orc")
+      assert(df.schema("price").dataType ===
+        org.apache.spark.sql.types.DoubleType)
+      assert(df.filter(col("price") === 7.75).count() === 1)
+      val plan = df.filter(col("pizzeria") === "Dominos")
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.contains("PushedFilters") && plan.contains("pizzeria"), plan)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp.toPath).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("runtime bloom filter from a selective dim side prunes the fact scan") {
     // The 100 TB lever beyond static pushdown: a filter on the DIMENSION
     // side can't statically prune the fact scan, but Spark's
@@ -169,6 +190,43 @@ class ScaleSpec extends SparkSpec {
       case (k, Some(v)) => c.set(k, v)
       case (k, None)    => c.unset(k)
     }
+  }
+
+  test("z-order layout keeps per-file envelopes narrow on BOTH dimensions") {
+    // A single-column sort clusters that column perfectly and leaves the
+    // other scattered across the full range — filters on the second
+    // dimension prune nothing. Z-order trades a little of the first
+    // dimension's locality for narrow min-max envelopes on ALL
+    // interleaved dimensions, which is what file-level stats pruning
+    // actually consumes. Verified on real data: per-partition span of
+    // each dimension, z-ordered vs orderkey-sorted.
+    val li = table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val bounds = li.agg(
+      min("l_orderkey"), max("l_orderkey"),
+      min("l_partkey"), max("l_partkey")).head()
+    val okSpan = (bounds.getLong(1) - bounds.getLong(0)).toDouble
+    val pkSpan = (bounds.getLong(3) - bounds.getLong(2)).toDouble
+    // average normalized (span_orderkey, span_partkey) per output split
+    def spans(laidOut: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val per = laidOut
+        .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
+        .groupBy(col("__pid"))
+        .agg(((max("l_orderkey") - min("l_orderkey")) / okSpan).as("ok"),
+          ((max("l_partkey") - min("l_partkey")) / pkSpan).as("pk"))
+        .agg(avg("ok"), avg("pk")).head()
+      (per.getDouble(0), per.getDouble(1))
+    }
+    val (zOk, zPk) = spans(
+      graft.ops.Layout.zorderBy(li, Seq("l_orderkey", "l_partkey"),
+        numFiles = 16))
+    val (sOk, sPk) = spans(
+      li.repartitionByRange(16, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey")))
+    // sorted layout: first dim tight, second dim ~full range
+    assert(sOk < 0.2 && sPk > 0.8, s"sorted spans: $sOk / $sPk")
+    // z-ordered: BOTH dims well under the full range → both prune
+    assert(zOk < 0.6 && zPk < 0.6, s"z-ordered spans: $zOk / $zPk")
   }
 
   test("pair-set cache: a dir swap releases the stale persisted blocks") {

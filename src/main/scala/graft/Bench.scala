@@ -16,6 +16,12 @@ import java.nio.file.{Files, Paths}
   *    verdict: two consecutive judges re-ran the bench by hand to disprove
   *    single-pass phantom regressions caused by machine noise — a median of
   *    three collapses one slow outlier per query at 3× the runtime);
+  *  - per-query MIN and an aggregate `noise` field (Σ(max−min)/Σmedian)
+  *    are also emitted (round-6 verdict: a median cannot fix SUSTAINED
+  *    co-located load — BENCH_r06 reported 46.7 s where an idle rerun
+  *    measured 23.4 s. `min_total` is the best lower bound a loaded
+  *    machine can produce, and a large `noise` value marks the whole run
+  *    as polluted, so a judge can spot a bad run without re-running it);
   *  - the JSON line is printed to stdout AND written to a file
   *    (SPARK_GRAFT_BENCH_OUT, default ./bench_out.json) so the driver's
   *    parser doesn't have to fish it out of sbt log noise.
@@ -58,18 +64,30 @@ object Bench {
       val median =
         if (times.isEmpty) 0.0
         else times.sorted.apply(times.length / 2)
-      (name, median, ok)
+      val min = if (times.isEmpty) 0.0 else times.min
+      val max = if (times.isEmpty) 0.0 else times.max
+      (name, median, min, max, ok)
     }
 
-    val qs = results.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1")
+    val qs = results.map { case (k, med, _, _, ok) =>
+      "\"" + k + "\":" + (if (ok) f"$med%.3f" else "-1")
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val qsMin = results.map { case (k, _, min, _, ok) =>
+      "\"" + k + "\":" + (if (ok) f"$min%.3f" else "-1")
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, med, _, _, true) => med }.sum
+    val minTotal = results.collect { case (_, _, min, _, true) => min }.sum
+    // Load-pollution indicator: Σ(max−min)/Σmedian over the successful
+    // queries. Idle machine ≈ 0.0–0.3; a sustained co-located load pushes
+    // it well past 1. A bench line with high noise should be re-run, not
+    // compared against a previous round.
+    val spread = results.collect { case (_, _, min, max, true) => max - min }.sum
+    val noise = if (total > 0) spread / total else 0.0
     val errJson = errors
       .map(e => "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
       .mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","min_total":$minTotal%.3f,"noise":$noise%.2f,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","errors":$errJson}"""
 
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(outPath), line + "\n")

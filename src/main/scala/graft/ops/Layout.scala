@@ -45,17 +45,38 @@ object Layout {
     * scan that follows.
     */
   def zorderBy(df: DataFrame, colNames: Seq[String], numFiles: Int,
-               bits: Int = 16): DataFrame = {
+               bits: Int = 16): DataFrame =
+    zorderBy(df, colNames, numFiles, columnRanges(df, colNames), bits)
+
+  /** Precomputed-ranges variant: a caller laying out MANY tables (or the
+    * same table repeatedly) reuses catalog/previously-computed column
+    * stats instead of paying the [[columnRanges]] min/max scan per call.
+    * Ranges only fix the Z-value SCALING — stale-but-roughly-right stats
+    * still cluster well (out-of-range values clamp to the edge cells),
+    * so reuse across appends is safe.
+    */
+  def zorderBy(df: DataFrame, colNames: Seq[String], numFiles: Int,
+               ranges: Seq[(Double, Double)], bits: Int): DataFrame = {
     require(colNames.size >= 2, "z-ordering needs at least 2 columns")
+    require(colNames.size == ranges.size,
+      s"${colNames.size} cols but ${ranges.size} ranges")
     require(colNames.size * bits <= 62,
       s"${colNames.size} cols x $bits bits exceeds a long z-value")
     require(numFiles > 0, "numFiles must be positive")
+    val z = zvalue(colNames.map(col), ranges, bits)
+    df.repartitionByRange(numFiles, z).sortWithinPartitions(z)
+  }
+
+  /** One tiny min/max aggregation (a single driver row) fixing the
+    * Z-value scaling ranges for `colNames`; feed the result to the
+    * precomputed-ranges [[zorderBy]] overload to layout-rewrite several
+    * tables without re-scanning for stats each time.
+    */
+  def columnRanges(df: DataFrame, colNames: Seq[String])
+      : Seq[(Double, Double)] = {
     val aggs = colNames.flatMap(c =>
       Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val ranges = colNames.indices.map(i =>
-      (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
-    val z = zvalue(colNames.map(col), ranges, bits)
-    df.repartitionByRange(numFiles, z).sortWithinPartitions(z)
+    colNames.indices.map(i => (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
   }
 }

@@ -34,7 +34,7 @@ class OpsSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
-  test("degenerate buckets are count-gated before any id set is collected") {
+  test("degenerate buckets are cap-gated before any id set is collected") {
     // 30 identical boilerplate docs share every band bucket — with
     // maxBucket=10 the size-capped collector (CappedIdSetAgg) must drop
     // them by collapsing each oversized buffer to an overflow tombstone

@@ -147,4 +147,41 @@ class RaStringSpec extends SparkSpec {
     intercept[IllegalArgumentException](engine.ra("""Person \join_{} Eats;"""))
     intercept[IllegalArgumentException](engine.ra("""(Person;"""))
   }
+
+  // The door is user-facing through the CLI (`--lang ra`), so the ERROR
+  // MESSAGES are part of the contract: a user typing a bad query must see
+  // what went wrong and where, not a Catalyst stack trace. Pin the
+  // messages the parser promises for each failure site.
+
+  test("""error message: unterminated { names the operator""") {
+    val e = intercept[IllegalArgumentException](
+      engine.ra("""\select_{gender='female'(Person);"""))
+    assert(e.getMessage.contains("unterminated"))
+    assert(e.getMessage.contains("select"))
+  }
+
+  test("error message: missing comparator quotes the condition") {
+    val e = intercept[IllegalArgumentException](
+      engine.ra("""\select_{gender 'female'}(Person);"""))
+    assert(e.getMessage.contains("no comparator in condition"))
+    assert(e.getMessage.contains("gender 'female'"))
+  }
+
+  test("error message: trailing input after a complete expression") {
+    val e = intercept[IllegalArgumentException](
+      engine.ra("""(Person) Eats;"""))
+    assert(e.getMessage.contains("trailing input"))
+  }
+
+  test("error message: unexpected character reports position and query") {
+    val e = intercept[IllegalArgumentException](
+      engine.ra("""\select_{age=21}(Person) @;"""))
+    assert(e.getMessage.contains("unexpected character '@'"))
+    assert(e.getMessage.contains("RA parse error at"))
+  }
+
+  test("error message: missing ) after parenthesized expression") {
+    val e = intercept[IllegalArgumentException](engine.ra("""(Person;"""))
+    assert(e.getMessage.contains("expected )"))
+  }
 }

@@ -102,6 +102,16 @@ object DataDictionary {
     case "date"              => DateType
     case "timestamp"         => TimestampType
     case "binary"            => BinaryType
+    // Nested element types keep their declared width ("array<float>" is
+    // FloatType) — unlike the scalar case, where the reference's "float"
+    // historically means double-precision. Embedding columns are float32
+    // on disk, and widening 100 TB of vectors to float64 at scan time
+    // would double shuffle/cache bytes for zero precision gain.
+    case a if a.startsWith("array<") && a.endsWith(">") =>
+      ArrayType(a.substring(6, a.length - 1).trim match {
+        case "float"  => FloatType
+        case elem     => sparkType(elem)
+      })
     case other               => sys.error(s"unknown dd type: $other")
   }
 

@@ -87,6 +87,20 @@ object AnalyticQueries {
     DataDictionary.fromJson(new String(in.readAllBytes(), "UTF-8"))
   }
 
+  /** The pipeline corpora (documents, embeddings) as a dd, so the SQL
+    * door spans the WHOLE catalog, not just TPC-H (round-6 verdict #3).
+    * `events` is not dd-castable — its TIMESTAMP(NANOS) column needs the
+    * `graft.events` nanos handling — so [[sqlDoor]] registers it as a
+    * view from that reader instead.
+    */
+  private lazy val pipelineDd: DataDictionary = {
+    val in = getClass.getResourceAsStream("/pipeline_dd.json")
+    DataDictionary.fromJson(new String(in.readAllBytes(), "UTF-8"))
+  }
+
+  private lazy val fullDd: DataDictionary =
+    DataDictionary(tpchDd.relations ++ pipelineDd.relations)
+
   /** dd-registered views over the sf dir, queried with raw SQL text —
     * parse/analyze/optimize all Catalyst (the reference needs
     * sql2ra+raopt+ra2spark for this, SURVEY §3.1).
@@ -103,7 +117,13 @@ object AnalyticQueries {
   private def sqlDoor(s: SparkSession, dir: String, query: String): DataFrame =
     engineCache.compute(s, (sess, cached) =>
       if (cached != null && cached._1 == dir) cached
-      else (dir, new Engine(sess, tpchDd, dir, format = "parquet"))
+      else {
+        val eng = new Engine(sess, fullDd, dir, format = "parquet")
+        // events joins the catalog through the nanos-aware reader (see
+        // pipelineDd scaladoc) — same view name, SQL can't tell.
+        graft.events(sess, dir).createOrReplaceTempView("events")
+        (dir, eng)
+      }
     )._2.sql(query)
 
   /** Drop the session's memoized Engine (its temp views die with the
@@ -150,6 +170,27 @@ object AnalyticQueries {
                      WHERE l_orderkey = o_orderkey
                        AND l_shipdate > o_orderdate)
        GROUP BY o_orderpriority""")
+
+  /** Cross-corpus SQL: one query spanning all three pipeline corpora —
+    * events (nanos-aware view), documents, embeddings (array column) —
+    * through the same text door as the TPC-H queries, proving the
+    * registered catalog is the WHOLE catalog (round-6 verdict #3). The
+    * synthetic cross-link is `props.$.k` → doc_id (= vec_id): per
+    * (document source, event type), event counts, exact-cents value
+    * sums, and the max embedding label. Plan shape at scale: JSON
+    * extraction pre-shuffle in the fact scan, both dimension tables
+    * broadcast, ONE shuffle for the aggregation.
+    */
+  def q56(s: SparkSession, dir: String): DataFrame = sqlDoor(s, dir,
+    """SELECT d.source, e.event_type,
+              count(*) AS n_ev,
+              sum(CAST(round(e.value * 100) AS BIGINT)) AS value_cents,
+              max(em.label) AS max_label
+       FROM events e
+       JOIN documents d
+         ON CAST(get_json_object(e.props, '$.k') AS BIGINT) = d.doc_id
+       JOIN embeddings em ON em.vec_id = d.doc_id
+       GROUP BY d.source, e.event_type""")
 
   /** Sessionization (gaps-and-islands): a session ends after 30 idle
     * minutes. lag + running sum over a per-user window — one shuffle on
@@ -354,6 +395,7 @@ object AnalyticQueries {
     "q52_tpch_q3"       -> (q52 _),
     "q53_tpch_q5"       -> (q53 _),
     "q54_exists_subquery" -> (q54 _),
+    "q56_sql_cross_corpus" -> (q56 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -416,6 +458,17 @@ object AnalyticQueries {
                 covar_samp(l_quantity, l_discount) AS qty_disc_cov,
                 stddev_samp(l_extendedprice) AS price_sd
          FROM lineitem GROUP BY l_returnflag""",
+    "q56_sql_cross_corpus" ->
+      """SELECT d.source, e.event_type,
+                CAST(count(*) AS BIGINT) AS n_ev,
+                CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                  AS value_cents,
+                CAST(max(em.label) AS INT) AS max_label
+         FROM events e
+         JOIN documents d
+           ON CAST(json_extract(e.props, '$.k') AS BIGINT) = d.doc_id
+         JOIN embeddings em ON em.vec_id = d.doc_id
+         GROUP BY d.source, e.event_type""",
     "q41_json_extract" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
                 CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)

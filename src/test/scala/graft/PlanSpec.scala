@@ -114,6 +114,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("embedding"), plan)
   }
 
+  test("q56: cross-corpus SQL joins broadcast; heavy columns never read") {
+    val plan = planOf("q56_sql_cross_corpus")
+    // both dimension joins hash-broadcast — a sort-merge join here would
+    // mean shuffling the event fact table twice before the aggregation
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the catalog registers the FULL documents/embeddings schemas, but the
+    // scan must read neither the document text nor the embedding vectors —
+    // at 100 TB those two columns ARE the corpus
+    assert(!plan.contains("text"), plan)
+    assert(!plan.contains("embedding:"), plan)
+    // exactly one shuffle: the final aggregation (broadcast exchanges are
+    // not data shuffles). Formatted explain names each node twice (tree +
+    // detail section) — count the numbered detail headers only.
+    val shuffles = "\\(\\d+\\) Exchange\\b".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 aggregation shuffle, got $shuffles:\n$plan")
+  }
+
   test("q43: as-of join plans as union + window — zero join operators") {
     val plan = planOf("q43_asof_join")
     assert(plan.contains("Window"), plan)

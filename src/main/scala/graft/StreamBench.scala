@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQueryListener}
+
+/** Streaming throughput evidence (round-6 verdict #4): StreamingSpec
+  * proves the streaming pipelines' SEMANTICS; nothing measured the
+  * streaming PATH. This main drives the rate source through the
+  * production stack — event-time sessionizer (`flatMapGroupsWithState`
+  * with event-time timeout, the stateful heart) → checkpointed
+  * foreachBatch parquet egress — and reports sustained rows/s.
+  *
+  * Event time is SYNTHESIZED from the rate counter (1 synthetic second
+  * per row) rather than taken from the wall clock: with ~1k rows/s/user
+  * of wall-clock arrivals no session would ever see a gap, so a
+  * wall-clock run measures an idle state store. Accelerated event time
+  * makes the watermark race forward, so sessions OPEN, TIMEOUT, CLOSE
+  * and EGRESS continuously — the state machinery is exercised at full
+  * rate, which is the thing worth measuring.
+  *
+  * Output: one JSON line (stdout + SPARK_GRAFT_STREAM_OUT file):
+  * `{"metric":"stream_sessionize_rows_per_sec","value":...}` with input
+  * row count, egressed session count, and elapsed seconds.
+  */
+object StreamBench {
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(appName = "graft-streambench")
+    val rps = sys.env.getOrElse("SPARK_GRAFT_STREAM_RPS", "200000").toInt
+    val secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "20").toInt
+    val users = 1000
+
+    val dir = Files.createTempDirectory("graft-streambench")
+    val out = dir.resolve("sessions").toString
+    val ckpt = dir.resolve("ckpt").toString
+
+    // Robust input accounting: recentProgress is a bounded ring buffer, a
+    // listener sums every batch's numInputRows no matter how many fire.
+    val inputRows = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        inputRows.addAndGet(e.progress.numInputRows)
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
+
+    // rate → the events shape the sessionizer consumes. user_id cycles
+    // over `users`, so consecutive events of one user sit `users`
+    // synthetic seconds apart — far past the 1-minute gap, so every event
+    // closes its user's previous session once the watermark passes it.
+    val events = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps)
+      .option("numPartitions", 8)
+      .load()
+      .select(
+        timestamp_micros(col("value") * 1000000L).as("ts"),
+        (col("value") % users).as("user_id"))
+
+    val sessions = streaming.EventStreams
+      .sessionizeEventTime(spark, events, gapMinutes = 1,
+        watermark = "10 seconds")
+      .toDF("user_id", "session_start_us", "n_events")
+
+    val q = sessions.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // batch-id-keyed egress dir: a batch re-executed after a crash
+        // overwrites ITSELF instead of appending a duplicate — the
+        // exactly-once bookkeeping foreachBatch's batchId exists for.
+        batch.write.mode("overwrite").parquet(s"$out/batch=$id")
+      }
+      .outputMode(OutputMode.Append())
+      .start()
+
+    val t0 = System.nanoTime()
+    Thread.sleep(secs * 1000L)
+    q.stop()
+    q.awaitTermination()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+
+    // Throughput is measured at the EGRESS: sum(n_events) over the
+    // sessions that landed in parquet counts only rows that fully
+    // traversed ingest → state store → close → sink. (The listener's
+    // input count is reported too, but its async event bus can lag a
+    // stop() and undercount — the parquet files cannot.)
+    val egress = spark.read.parquet(s"$out/batch=*")
+      .agg(count(lit(1)), coalesce(sum("n_events"), lit(0L))).head()
+    val (egressSessions, egressEvents) = (egress.getLong(0), egress.getLong(1))
+    val rowsPerSec = egressEvents / elapsed
+    val line =
+      f"""{"metric":"stream_sessionize_rows_per_sec","value":$rowsPerSec%.0f,"unit":"rows/sec","egress_events":$egressEvents,"egress_sessions":$egressSessions,"listener_input_rows":${inputRows.get()},"elapsed_sec":$elapsed%.1f,"configured_rps":$rps}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT", "stream_bench.json")
+    Files.writeString(Paths.get(outPath), line + "\n")
+    println(line)
+
+    spark.stop()
+    // best-effort temp cleanup
+    import scala.jdk.CollectionConverters._
+    try Files.walk(dir).iterator().asScala.toSeq.reverse
+      .foreach(Files.deleteIfExists(_))
+    catch { case scala.util.control.NonFatal(_) => () }
+  }
+}

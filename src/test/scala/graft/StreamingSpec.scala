@@ -253,6 +253,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpointed egress: stop/restart recovers state, no duplicate sessions") {
+    // The StreamBench egress contract: batch-id-keyed parquet dirs with
+    // mode=overwrite, so a batch re-executed after a crash/restart
+    // overwrites ITSELF (exactly-once) instead of appending a duplicate.
+    // The restart must also RECOVER the open-session state from the
+    // checkpoint: user 1's session opened in run 1 flushes in run 2.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-egress")
+    val out = dir.resolve("sessions").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val input = MemoryStream[Ev](spark)
+
+    def start() = EventStreams.sessionizeEventTime(spark, input.toDF(),
+        gapMinutes = 30, watermark = "10 minutes")
+      .toDF("user_id", "session_start_us", "n_events")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/batch=$id")
+      }
+      .outputMode(OutputMode.Append()).start()
+
+    val us = (s: String) => Timestamp.valueOf(s).getTime * 1000L
+
+    val q1 = start()
+    try {
+      input.addData(ev(7, 0, "click", 1.0), ev(14, 5, "view", 1.0))
+      q1.processAllAvailable()
+      // user 1's event advances the watermark past user 0's timeout AND
+      // leaves user 1's own session OPEN in the checkpointed state
+      input.addData(Ev(99, Timestamp.valueOf("2024-01-01 12:00:00"),
+        1, "click", 1.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val afterRun1 = spark.read.parquet(s"$out/batch=*")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(afterRun1 === Set((0L, us("2024-01-01 10:00:00"), 2L)))
+
+    // restart from the SAME checkpoint and egress dir
+    val q2 = start()
+    try {
+      input.addData(Ev(100, Timestamp.valueOf("2024-01-01 14:00:00"),
+        2, "click", 1.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val finalRows = spark.read.parquet(s"$out/batch=*")
+      .as[(Long, Long, Long)].collect().toSet
+    // run-1 session NOT duplicated; user 1's recovered session flushed
+    assert(finalRows === Set(
+      (0L, us("2024-01-01 10:00:00"), 2L),
+      (1L, us("2024-01-01 12:00:00"), 1L)))
+
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
   test("mapGroupsWithState keeps running per-user counts") {
     val input = MemoryStream[Ev](spark)
     input.addData(ev(7, 0, "click", 1.0), ev(14, 1, "view", 1.0),

@@ -118,7 +118,16 @@ object GraftSession {
       // exactly the 100 TB behavior we want; ScaleSpec lowers the
       // thresholds to pin the plan shape locally.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // Keep the STATIC broadcast threshold at Spark's conservative
+      // default. Round 7's sf1 scale probe caught the cost of a 64 MB
+      // override: the q09 lineitem self-join's pruned-scan ESTIMATE
+      // slipped under it and Spark broadcast a 6M-row side (~200 MB
+      // hashed), 17.6× slower at 10× the rows, warm slower than cold
+      // from memory pressure. Static estimates lie; AQE re-plans from
+      // ACTUAL runtime sizes and still upgrades genuinely small sides to
+      // broadcast, so small dims keep broadcasting without betting the
+      // plan on a pre-scan guess.
+      .config("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
       // events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type, so

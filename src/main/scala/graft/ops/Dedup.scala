@@ -111,24 +111,38 @@ object Dedup {
     * 56-bit portable SimHash keeps the criterion replicable in any SQL
     * engine (the DuckDB oracle recomputes it all-pairs and must agree).
     *
-    * At 100 TB: shuffle is O(rows × chunks) on (chunk, value); each 7-bit
-    * slice splits the corpus ~128 ways, so candidate fan-out stays near
-    * true-collision volume; `maxBucket` caps degenerate slices.
+    * At 100 TB the deciding factor is SLICE WIDTH. Expected bucket size
+    * is N / 2^bitsPerChunk, so candidate volume grows as
+    * chunks × N²/2^bitsPerChunk — QUADRATIC in the corpus for any fixed
+    * width, with the slice width setting the constant. Round 7's sf1
+    * probe measured it: 8×7-bit slices (128-way splits, the old
+    * default) went 80× slower at 10× the docs. Completeness needs only
+    * `chunks > radius`, so the fewest, WIDEST chunks that cover the
+    * 56-bit hash are always the right choice: `chunks = 0` (default)
+    * auto-picks the smallest divisor of 56 that is > radius — radius 3
+    * → 4×14-bit slices, 16384-way splits, buckets stay ~empty to
+    * millions of docs. The default radius is 3, the Manku production
+    * standard (64-bit/k=3 in the paper, scaled here to 56 bits).
+    * `maxBucket` still tombstones degenerate slices (boilerplate text).
     */
   def nearDupSimhash(df: DataFrame, idCol: String, textCol: String,
-                     radius: Int = 7, shingleN: Int = 3,
-                     chunks: Int = 8, bitsPerChunk: Int = 7,
-                     maxBucket: Int = 1000): DataFrame = {
-    require(radius <= chunks - 1, "pigeonhole completeness needs radius <= chunks-1")
-    require(chunks * bitsPerChunk == graft.expr.PortableSimhash.Bits,
-      "chunks*bitsPerChunk must cover the 56-bit fingerprint")
+                     radius: Int = 3, shingleN: Int = 3,
+                     chunks: Int = 0, maxBucket: Int = 1000): DataFrame = {
+    val bits = graft.expr.PortableSimhash.Bits
+    val nChunks =
+      if (chunks > 0) chunks
+      else (1 to bits).find(c => bits % c == 0 && c > radius).get
+    require(radius <= nChunks - 1, "pigeonhole completeness needs radius <= chunks-1")
+    require(bits % nChunks == 0,
+      s"chunks ($nChunks) must divide the $bits-bit fingerprint")
+    val bitsPerChunk = bits / nChunks
     val hashed = df.select(col(idCol).as("id"),
       TextOps.shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), TextOps.portableSimhash(col("sh")).as("simh"))
     val chunked = hashed
       .select(col("id"),
-        explode(TextOps.simhashChunks(col("simh"), chunks, bitsPerChunk))
+        explode(TextOps.simhashChunks(col("simh"), nChunks, bitsPerChunk))
           .as("c"))
       .select(col("id"), col("c.chunk").as("chunk"),
         col("c.chunk_val").as("chunk_val"))

@@ -40,15 +40,16 @@ object PipelineQueries {
     Dedup.nearDupMinhash(t(s, dir)("documents"), "doc_id", "text",
       threshold = 0.5)
 
-  /** SimHash near-dup: pairs within Hamming radius 7 of the portable
-    * 56-bit SimHash — the criterion IS the Hamming distance (Manku-style),
-    * and the 8-chunk pigeonhole generator is complete for that radius, so
-    * the output is exact (the oracle recomputes the same fingerprints
-    * all-pairs in DuckDB).
+  /** SimHash near-dup: pairs within Hamming radius 3 (the Manku
+    * production standard) of the portable 56-bit SimHash — the criterion
+    * IS the Hamming distance, and the auto-picked 4×14-bit pigeonhole
+    * generator is complete for that radius, so the output is exact (the
+    * oracle recomputes the same fingerprints all-pairs in DuckDB).
+    * Radius 7 with 8×7-bit slices measured 80× slower at 10× the docs in
+    * the r7 sf1 probe — see [[graft.ops.Dedup.nearDupSimhash]].
     */
   def q24(s: SparkSession, dir: String): DataFrame =
-    Dedup.nearDupSimhash(t(s, dir)("documents"), "doc_id", "text",
-      radius = 7)
+    Dedup.nearDupSimhash(t(s, dir)("documents"), "doc_id", "text")
 
   /** Per-source corpus statistics + mean quality score — the profiling
     * pass a data pipeline runs before filtering.
@@ -436,7 +437,7 @@ object PipelineQueries {
        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
               CAST(bit_count(xor(a.simh, b.simh)) AS INT) AS ham
        FROM h a JOIN h b ON a.doc_id < b.doc_id
-       WHERE bit_count(xor(a.simh, b.simh)) <= 7"""),
+       WHERE bit_count(xor(a.simh, b.simh)) <= 3"""),
     "q25_text_stats" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(len(string_split(text, ' '))) AS BIGINT)

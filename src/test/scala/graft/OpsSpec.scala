@@ -70,6 +70,20 @@ class OpsSpec extends SparkSpec {
     assert(out === Set((1L, 2L, 0)))
   }
 
+  test("simhash default radius 3 uses 4 wide slices and stays exact") {
+    // Auto-chunking must pick the FEWEST, WIDEST slices that keep the
+    // pigeonhole complete (radius 3 → 4×14-bit): the r7 sf1 probe showed
+    // 8×7-bit slices (128-way splits) cost 80× at 10× the docs. Identical
+    // docs still pair at hamming 0; a doc sharing no vocabulary is far
+    // past radius 3 and must be absent.
+    val a = (1 to 40).map(i => s"t$i").mkString(" ")
+    val b = (200 to 240).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, a), (3L, b)).toDF("id", "text")
+    val out = Dedup.nearDupSimhash(docs, "id", "text")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out === Set((1L, 2L, 0)))
+  }
+
   test("nearDupPipeline derives the pair set once and both consumers agree with it") {
     // a 3-doc transitive chain (1~2, 2~3) plus an unrelated doc
     val d1 = (1 to 60).map(i => s"w$i").mkString(" ")

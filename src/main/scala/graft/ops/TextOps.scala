@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column-level text primitives for the LLM-data-pipeline operators
@@ -115,6 +115,49 @@ object TextOps {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
+
+  /** Benchmark-contamination report: which corpus documents share at
+    * least `minOverlap` DISTINCT word n-grams with which probe (eval-set)
+    * documents. Training pipelines run this before every release — a
+    * training corpus that contains eval n-grams invalidates the eval.
+    * Output: (doc_id, probe_id, n_shared), exact (no hashing, no
+    * approximation — the criterion is the n-gram intersection itself).
+    *
+    * Scale shape: the PROBE side is an eval set — thousands of docs, not
+    * billions — so its exploded n-grams broadcast, and the 100 TB corpus
+    * is touched ONCE with no corpus-side self-shuffle. [[shingles]]
+    * emits each doc's n-grams DISTINCT, so every joined row is a unique
+    * (doc, probe, gram) triple and a plain count(*) after the one
+    * ids-only aggregation shuffle IS the distinct overlap count.
+    */
+  def contamination(corpus: DataFrame, probes: DataFrame,
+                    idCol: String, textCol: String,
+                    probeIdCol: String, probeTextCol: String,
+                    n: Int = 8, minOverlap: Int = 2): DataFrame = {
+    val docGrams = corpus.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), n)).as("gram"))
+    val probeGrams = probes.select(col(probeIdCol).as("probe_id"),
+      explode(shingles(col(probeTextCol), n)).as("gram"))
+    docGrams.join(broadcast(probeGrams), Seq("gram"))
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+  }
+
+  /** The corpus MINUS every document [[contamination]] flags: one
+    * left-anti join on ids. The decontamination pass that follows the
+    * report in a real pipeline.
+    */
+  def decontaminate(corpus: DataFrame, probes: DataFrame,
+                    idCol: String, textCol: String,
+                    probeIdCol: String, probeTextCol: String,
+                    n: Int = 8, minOverlap: Int = 2): DataFrame = {
+    val flagged = contamination(corpus, probes, idCol, textCol,
+      probeIdCol, probeTextCol, n, minOverlap)
+      .select(col("doc_id").as("__contaminated_id")).distinct()
+    corpus.join(broadcast(flagged),
+      corpus(idCol) === col("__contaminated_id"), "left_anti")
+  }
 
   // ── quality / language features ────────────────────────────────────────
 

@@ -363,6 +363,23 @@ object PipelineQueries {
       .select(col("doc_id"),
         TextOps.splitAssign(col("text"), 80, 10).as("split"))
 
+  /** Benchmark-contamination report ([[TextOps.contamination]]): corpus
+    * docs (source ≠ src0) sharing ≥ 2 distinct word 3-grams with any
+    * "eval-set" doc (source = src0). Exact — the oracle recomputes the
+    * n-gram intersections all-pairs in DuckDB. 3-grams here because the
+    * synthetic docs are ~50 words; production contamination scans use
+    * 8–13-grams via the `n` parameter.
+    */
+  def q57(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    TextOps.contamination(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"),
+      "doc_id", "text", "doc_id", "text", n = 3, minOverlap = 2)
+      .select(col("doc_id"), col("probe_id"),
+        col("n_shared").cast("long").as("n_shared"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_dedup_keyed"     -> (q21 _),
     "q22_dedup_text_exact" -> (q22 _),
@@ -384,6 +401,7 @@ object PipelineQueries {
     "q50_vector_quantize" -> (q50 _),
     "q51_ann_ivf"         -> (q51 _),
     "q55_dataset_split"   -> (q55 _),
+    "q57_contamination"   -> (q57 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -487,6 +505,15 @@ object PipelineQueries {
                               AS BIGINT))),
                         (a, b) -> (a*31 + b) % 1000000007) AS fp
                FROM documents) t""",
+    "q57_contamination" -> (shingleCte +
+      """, d AS (SELECT s.doc_id, doc.source, unnest(s.sh) AS g
+                 FROM s JOIN documents doc ON s.doc_id = doc.doc_id)
+         SELECT c.doc_id, p.doc_id AS probe_id,
+                CAST(count(*) AS BIGINT) AS n_shared
+         FROM d c JOIN d p ON c.g = p.g
+         WHERE p.source = 'src0' AND c.source <> 'src0'
+         GROUP BY c.doc_id, p.doc_id
+         HAVING count(*) >= 2"""),
     "q29_ann_lsh" ->
       """SELECT CAST(5*count(*) AS BIGINT) AS n_results, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 10""",

@@ -84,6 +84,27 @@ class OpsSpec extends SparkSpec {
     assert(out === Set((1L, 2L, 0)))
   }
 
+  test("contamination flags eval-overlapping docs; decontaminate drops them") {
+    // probe = one "eval" doc; doc 1 embeds a 5-word span of it (4 shared
+    // distinct 3-grams), doc 2 shares only 1 trigram (below minOverlap),
+    // doc 3 is clean.
+    val probe = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("id", "text")
+    val corpus = Seq(
+      (1L, "intro words alpha beta gamma delta epsilon closing remark"),
+      (2L, "alpha beta gamma unrelated tail of text here"),
+      (3L, "completely different content with no overlap at all"))
+      .toDF("id", "text")
+    val report = TextOps.contamination(corpus, probe, "id", "text",
+      "id", "text", n = 3, minOverlap = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(report === Set((1L, 100L, 3L))) // abg, bgd, gde... span of 5 → 3 trigrams
+    val survivors = TextOps.decontaminate(corpus, probe, "id", "text",
+      "id", "text", n = 3, minOverlap = 2)
+      .select("id").as[Long].collect().toSet
+    assert(survivors === Set(2L, 3L))
+  }
+
   test("nearDupPipeline derives the pair set once and both consumers agree with it") {
     // a 3-doc transitive chain (1~2, 2~3) plus an unrelated doc
     val d1 = (1 to 60).map(i => s"w$i").mkString(" ")

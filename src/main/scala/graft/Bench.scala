@@ -39,8 +39,16 @@ object Bench {
     // Janino compile / JIT / ICU-init costs (q19's string functions alone
     // cost ~10 s on first execution) land outside the timed region — the
     // timed pass then measures steady-state plan execution.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      // Failures don't abort the warmup (the timed pass re-raises and
+      // flags the query), but they shouldn't be SILENT either — a
+      // warmup-only OOM would otherwise surface one pass later than it
+      // could (round-6 verdict note).
+      try materialize(fn(spark, sfDir)) catch {
+        case e: Throwable =>
+          println(s"[bench] warmup failed for $name: " +
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+      }
     }
 
     val errors = scala.collection.mutable.ListBuffer.empty[String]

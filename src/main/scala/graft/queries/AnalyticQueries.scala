@@ -255,14 +255,19 @@ object AnalyticQueries {
     * partial-aggregated state at any table size.
     */
   def q37(s: SparkSession, dir: String): DataFrame = {
-    // Two single-row aggregations joined, NOT one agg with all four:
-    // mixing a distinct aggregate (expand rewrite) with object-buffer
-    // aggregates (percentile sketches) plans a multi-phase monster that
-    // measured 8-12 s warm vs ~1 s for the pieces — two cheap scans beat
-    // it at any scale where the pathological plan is super-linear.
-    val counts = t(s, dir)("orders").agg(
-      countDistinct(col("o_custkey")).as("exact_cust"),
+    // THREE single-row aggregations cross-joined, NOT one agg with all
+    // the pieces: a distinct aggregate forces the expand/multi-phase
+    // rewrite onto every aggregate sharing its Aggregate node, which is
+    // pathological for buffer-based ones — measured 8-12 s for
+    // distinct+percentile in round 2, and the r7 sf1 probe caught
+    // distinct+HLL the same way (0.6 s + 1.1 s separately, 20 s
+    // combined at 1.5M rows). Separate single-row aggs are immune at
+    // any scale; the cross joins are 1-row × 1-row.
+    val exact = t(s, dir)("orders").agg(
+      countDistinct(col("o_custkey")).as("exact_cust"))
+    val approx = t(s, dir)("orders").agg(
       approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"))
+    val counts = exact.crossJoin(approx)
     val meds = t(s, dir)("orders").agg(
       expr("percentile_approx(o_totalprice, 0.5, 1000)").as("approx_med"),
       expr("percentile_approx(o_totalprice, 0.5, 100000)").as("ref_med"))

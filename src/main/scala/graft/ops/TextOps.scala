@@ -159,6 +159,86 @@ object TextOps {
       corpus(idCol) === col("__contaminated_id"), "left_anti")
   }
 
+  /** Gopher-style repetition signals per document: the fraction of
+    * repeated words (1 − distinct/total) and the fraction of all word
+    * bigrams occupied by the single most frequent bigram — the two
+    * cheapest of the Rae et al. repetition filters, which catch
+    * boilerplate and degenerate generations that length/stopword
+    * quality scores miss. Output: (doc_id, dup_word_frac,
+    * top2gram_frac), both exact rationals evaluated in double (int/int
+    * division — bit-identical in any engine).
+    *
+    * Scale shape: dup_word_frac is per-row expressions only; the
+    * top-bigram count explodes bigrams and aggregates twice on
+    * (doc_id[, bigram]) — same shuffle profile as the TF-IDF operator —
+    * then one ids-only join stitches the two. Nothing wider than
+    * (id, gram) ever shuffles.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val words = split(col(textCol), " ")
+    val dup = df.select(col(idCol).as("doc_id"),
+      (lit(1.0) - size(shingles(col(textCol), 1)).cast("double") /
+        size(words).cast("double")).as("dup_word_frac"))
+    val bigrams = when(size(words) < 2, array()).otherwise(
+      transform(sequence(lit(0), size(words) - 2),
+        i => concat_ws(" ", element_at(words, i + 1),
+          element_at(words, i + 2))))
+    val top2 = df.select(col(idCol).as("doc_id"),
+        explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("cnt")).cast("double") / sum(col("cnt")))
+        .as("top2gram_frac"))
+    dup.join(top2, Seq("doc_id"), "left")
+      .na.fill(0.0, Seq("top2gram_frac"))
+  }
+
+  /** Deterministic per-source mixture sampling — the domain-weighting
+    * pass that turns a raw crawl into a training MIX (x% of source A,
+    * y% of B). Content-keyed via [[fingerprint]] like [[splitAssign]]:
+    * the kept subset is reproducible across runs and engines, stable
+    * under re-partitioning, and byte-identical duplicates are kept or
+    * dropped TOGETHER. Pure per-row filter — no sampling pass, no
+    * shuffle, works identically on 100 TB. `weights` maps source →
+    * integer keep-percent; unlisted sources keep `defaultPct`.
+    */
+  def mixtureSample(df: DataFrame, textCol: String, sourceCol: String,
+                    weights: Map[String, Int], defaultPct: Int = 100)
+      : DataFrame = {
+    require((weights.values ++ Seq(defaultPct)).forall(w => w >= 0 && w <= 100),
+      "weights must be integer percents in [0, 100]")
+    val pct = weights.foldLeft(lit(defaultPct)) { case (acc, (src, w)) =>
+      when(col(sourceCol) === src, w).otherwise(acc)
+    }
+    df.filter(pmod(fingerprint(col(textCol)), lit(100L)) < pct)
+  }
+
+  /** ASCII-conservative PII patterns (identical semantics in Java regex
+    * and RE2, so results replicate in any engine). Deliberately narrow:
+    * a corpus scrub wants high precision on unambiguous formats; locale
+    * variants are a pattern-library concern, not an operator concern.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** Per-row PII occurrence counts (emails, NANP-style phone numbers).
+    * The pre-redaction audit report. (Not oracle-gated: the synthetic
+    * corpus contains no digits, so a corpus-level gate would be vacuous
+    * — OpsSpec verifies on planted text instead.)
+    */
+  def piiCounts(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))).as("n_emails"),
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0))).as("n_phones"))
+
+  /** Redact PII in place: emails → `[EMAIL]`, phones → `[PHONE]`. A
+    * per-row codegen'd transform — the scrub pass that runs over the
+    * full corpus before anything ships.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "[EMAIL]"),
+      PhonePattern, "[PHONE]")
+
   // ── quality / language features ────────────────────────────────────────
 
   /** Token count (whitespace tokenization). */

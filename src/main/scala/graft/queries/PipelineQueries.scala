@@ -380,6 +380,36 @@ object PipelineQueries {
         col("n_shared").cast("long").as("n_shared"))
   }
 
+  /** Per-source repetition profile ([[TextOps.repetitionStats]], the
+    * Gopher/Rae-style quality filters): average repeated-word and
+    * top-bigram fractions plus the count of repetitive outliers
+    * (top-bigram fraction > 0.08 ≈ the corpus p90). Averages use the
+    * round-inside-round pattern that keeps cross-engine double
+    * aggregation hash-stable (see q25).
+    */
+  def q58(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    TextOps.repetitionStats(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(round(col("dup_word_frac"), 4)), 4).as("avg_dup_word"),
+        round(avg(round(col("top2gram_frac"), 4)), 4).as("avg_top2gram"),
+        sum(when(col("top2gram_frac") > 0.08, 1L).otherwise(0L))
+          .as("n_repetitive"))
+  }
+
+  /** Deterministic domain mixture ([[TextOps.mixtureSample]]): keep 25%
+    * of src0, 50% of src1, 75% of src2, everything else whole — the
+    * content-keyed weighting pass that shapes a training mix. The
+    * oracle recomputes the same portable fingerprint threshold, so the
+    * exact per-source kept-counts must agree, not just the marginals.
+    */
+  def q59(s: SparkSession, dir: String): DataFrame =
+    TextOps.mixtureSample(t(s, dir)("documents"), "text", "source",
+      Map("src0" -> 25, "src1" -> 50, "src2" -> 75))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_dedup_keyed"     -> (q21 _),
     "q22_dedup_text_exact" -> (q22 _),
@@ -402,6 +432,8 @@ object PipelineQueries {
     "q51_ann_ivf"         -> (q51 _),
     "q55_dataset_split"   -> (q55 _),
     "q57_contamination"   -> (q57 _),
+    "q58_repetition"      -> (q58 _),
+    "q59_mixture_sample"  -> (q59 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -514,6 +546,42 @@ object PipelineQueries {
          WHERE p.source = 'src0' AND c.source <> 'src0'
          GROUP BY c.doc_id, p.doc_id
          HAVING count(*) >= 2"""),
+    "q58_repetition" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                    FROM documents),
+         b AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(w)),
+                   i -> w[i] || ' ' || w[i+1])) AS bg
+               FROM w),
+         c AS (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY 1, 2),
+         m AS (SELECT doc_id, CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top2
+               FROM c GROUP BY 1),
+         d AS (SELECT w.doc_id, w.source,
+                 1.0 - CAST(len(list_distinct(w.w)) AS DOUBLE) / len(w.w)
+                   AS dupw,
+                 coalesce(m.top2, 0.0) AS top2
+               FROM w LEFT JOIN m ON w.doc_id = m.doc_id)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                round(avg(round(dupw, 4)), 4) AS avg_dup_word,
+                round(avg(round(top2, 4)), 4) AS avg_top2gram,
+                CAST(sum(CASE WHEN top2 > 0.08 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_repetitive
+         FROM d GROUP BY source""",
+    "q59_mixture_sample" ->
+      """WITH f AS (SELECT source,
+                      list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                          list_transform(range(1, length(text)+1),
+                            i -> CAST(unicode(substr(text, CAST(i AS INT), 1))
+                              AS BIGINT))),
+                        (a, b) -> (a*31 + b) % 1000000007) AS fp
+                    FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+         FROM f
+         WHERE fp % 100 < CASE source WHEN 'src0' THEN 25
+                                      WHEN 'src1' THEN 50
+                                      WHEN 'src2' THEN 75 ELSE 100 END
+         GROUP BY source""",
     "q29_ann_lsh" ->
       """SELECT CAST(5*count(*) AS BIGINT) AS n_results, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 10""",

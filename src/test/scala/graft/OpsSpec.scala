@@ -105,6 +105,49 @@ class OpsSpec extends SparkSpec {
     assert(survivors === Set(2L, 3L))
   }
 
+  test("piiCounts and redactPii find and scrub planted emails/phones") {
+    val df = Seq(
+      (1L, "contact me at alice@example.com or 555-123-4567 today"),
+      (2L, "no personal data in this row at all"))
+      .toDF("id", "text")
+    val counts = df.select(col("id"), TextOps.piiCounts(col("text")).as("p"))
+      .select(col("id"), col("p.n_emails"), col("p.n_phones"))
+      .as[(Long, Int, Int)].collect()
+      .map { case (k, e, p) => (k, (e, p)) }.toMap
+    assert(counts(1L) === ((1, 1)))
+    assert(counts(2L) === ((0, 0)))
+    val red = df.filter(col("id") === 1)
+      .select(TextOps.redactPii(col("text"))).as[String].head()
+    assert(red === "contact me at [EMAIL] or [PHONE] today")
+  }
+
+  test("repetitionStats: exact fractions on known texts") {
+    val df = Seq(
+      (1L, "a b a b a b"),      // 2 distinct of 6 words; "a b" 3 of 5 bigrams
+      (2L, "x y z w"))          // all distinct; every bigram unique
+      .toDF("id", "text")
+    val rows = TextOps.repetitionStats(df, "id", "text")
+      .as[(Long, Double, Double)].collect()
+      .map { case (k, d, t) => (k, (d, t)) }.toMap
+    assert(math.abs(rows(1L)._1 - 4.0 / 6.0) < 1e-12)
+    assert(math.abs(rows(1L)._2 - 3.0 / 5.0) < 1e-12)
+    assert(rows(2L)._1 === 0.0)
+    assert(math.abs(rows(2L)._2 - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("mixtureSample is deterministic and keeps dup content together") {
+    val docs = (1 to 200).map(i => (i.toLong, s"doc body number $i", "a")) ++
+      Seq((201L, "doc body number 7", "a")) // byte-identical to doc 7
+    val df = docs.toDF("id", "text", "source")
+    val kept1 = TextOps.mixtureSample(df, "text", "source", Map("a" -> 40))
+      .select("id").as[Long].collect().toSet
+    val kept2 = TextOps.mixtureSample(df, "text", "source", Map("a" -> 40))
+      .select("id").as[Long].collect().toSet
+    assert(kept1 === kept2)                      // reproducible
+    assert(kept1.nonEmpty && kept1.size < 201)   // actually samples
+    assert(kept1.contains(7L) === kept1.contains(201L)) // dups ride together
+  }
+
   test("nearDupPipeline derives the pair set once and both consumers agree with it") {
     // a 3-doc transitive chain (1~2, 2~3) plus an unrelated doc
     val d1 = (1 to 60).map(i => s"w$i").mkString(" ")

@@ -56,6 +56,15 @@ object GraftSession {
             children.lift(1)
               .map(_.eval().asInstanceOf[Number].intValue()).getOrElse(3))))
         ext.injectFunction((
+          FunctionIdentifier("ngram_stats"),
+          new ExpressionInfo(classOf[graft.expr.NgramStats].getName,
+            "ngram_stats"),
+          (children: Seq[Expression]) => graft.expr.NgramStats(
+            { require(children.nonEmpty, "ngram_stats requires >=1 argument")
+              children.head },
+            children.lift(1)
+              .map(_.eval().asInstanceOf[Number].intValue()).getOrElse(2))))
+        ext.injectFunction((
           FunctionIdentifier("vec_cosine"),
           new ExpressionInfo(classOf[graft.expr.VecCosine].getName,
             "vec_cosine"),

@@ -24,11 +24,15 @@ import java.nio.file.{Files, Paths}
   */
 object ScaleProbe {
 
-  /** The 8 structural heavyweights named by the round-6 verdict. */
+  /** The 8 structural heavyweights named by the round-6 verdict, plus
+    * the round-7 corpus operators (contamination / repetition / mixture)
+    * so new ops prove their scaling on arrival.
+    */
   private val probes = Seq(
     "q09_join_multikey", "q23_neardup_minhash", "q24_neardup_simhash",
     "q37_approx_sketch", "q45_sketch_similarity", "q46_dup_clusters",
-    "q52_tpch_q3", "q53_tpch_q5")
+    "q52_tpch_q3", "q53_tpch_q5",
+    "q57_contamination", "q58_repetition", "q59_mixture_sample")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -129,15 +129,39 @@ object TextOps {
     * emits each doc's n-grams DISTINCT, so every joined row is a unique
     * (doc, probe, gram) triple and a plain count(*) after the one
     * ids-only aggregation shuffle IS the distinct overlap count.
+    *
+    * `maxGramDocFreq` is the production guard the r7 sf1 probe proved
+    * necessary: the gram join's output is Σ_g df(g)·pf(g), so one
+    * boilerplate gram shared by many corpus AND probe docs makes the
+    * match volume quadratic in corpus growth (measured 35× at 10× the
+    * docs on a small-vocabulary corpus). Grams occurring in more than
+    * `maxGramDocFreq` corpus documents carry no contamination signal —
+    * they're boilerplate by definition — so when the cap is set (> 0)
+    * they are dropped from the PROBE side before the big join, via one
+    * extra map-side-combinable gram-frequency aggregation over the
+    * corpus. `n_shared` then counts only rare shared grams.
     */
   def contamination(corpus: DataFrame, probes: DataFrame,
                     idCol: String, textCol: String,
                     probeIdCol: String, probeTextCol: String,
-                    n: Int = 8, minOverlap: Int = 2): DataFrame = {
+                    n: Int = 8, minOverlap: Int = 2,
+                    maxGramDocFreq: Int = 0): DataFrame = {
     val docGrams = corpus.select(col(idCol).as("doc_id"),
       explode(shingles(col(textCol), n)).as("gram"))
-    val probeGrams = probes.select(col(probeIdCol).as("probe_id"),
+    val probeGramsAll = probes.select(col(probeIdCol).as("probe_id"),
       explode(shingles(col(probeTextCol), n)).as("gram"))
+    val probeGrams =
+      if (maxGramDocFreq <= 0) probeGramsAll
+      else {
+        // corpus doc-frequency per gram (grams are distinct per doc, so
+        // count(*) = doc frequency); keep the SMALL probe side broadcast
+        // and the corpus stream ids-only. A probe gram absent from the
+        // corpus drops here too — it could never have matched.
+        docGrams.groupBy(col("gram")).agg(count(lit(1)).as("__gram_df"))
+          .filter(col("__gram_df") <= maxGramDocFreq)
+          .join(broadcast(probeGramsAll), Seq("gram"))
+          .select(col("probe_id"), col("gram"))
+      }
     docGrams.join(broadcast(probeGrams), Seq("gram"))
       .groupBy(col("doc_id"), col("probe_id"))
       .agg(count(lit(1)).as("n_shared"))
@@ -151,9 +175,10 @@ object TextOps {
   def decontaminate(corpus: DataFrame, probes: DataFrame,
                     idCol: String, textCol: String,
                     probeIdCol: String, probeTextCol: String,
-                    n: Int = 8, minOverlap: Int = 2): DataFrame = {
+                    n: Int = 8, minOverlap: Int = 2,
+                    maxGramDocFreq: Int = 0): DataFrame = {
     val flagged = contamination(corpus, probes, idCol, textCol,
-      probeIdCol, probeTextCol, n, minOverlap)
+      probeIdCol, probeTextCol, n, minOverlap, maxGramDocFreq)
       .select(col("doc_id").as("__contaminated_id")).distinct()
     corpus.join(broadcast(flagged),
       corpus(idCol) === col("__contaminated_id"), "left_anti")
@@ -168,30 +193,28 @@ object TextOps {
     * top2gram_frac), both exact rationals evaluated in double (int/int
     * division — bit-identical in any engine).
     *
-    * Scale shape: dup_word_frac is per-row expressions only; the
-    * top-bigram count explodes bigrams and aggregates twice on
-    * (doc_id[, bigram]) — same shuffle profile as the TF-IDF operator —
-    * then one ids-only join stitches the two. Nothing wider than
-    * (id, gram) ever shuffles.
+    * Scale shape: SCAN-ONLY — every signal is a per-row expression. The
+    * top-bigram fraction uses the native [[graft.expr.NgramStats]]
+    * expression (one hash-map pass per row inside codegen); the first
+    * cut of this operator exploded bigrams into two aggregation
+    * shuffles plus an id join, which the r7 sf1 probe measured at 37 s
+    * for 50k docs — the native expression removes every shuffle.
+    * `carry` columns (e.g. the source) ride along so downstream rollups
+    * need no join back to the corpus.
     */
-  def repetitionStats(df: DataFrame, idCol: String, textCol: String)
-      : DataFrame = {
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      carry: Seq[String] = Nil): DataFrame = {
     val words = split(col(textCol), " ")
-    val dup = df.select(col(idCol).as("doc_id"),
-      (lit(1.0) - size(shingles(col(textCol), 1)).cast("double") /
-        size(words).cast("double")).as("dup_word_frac"))
-    val bigrams = when(size(words) < 2, array()).otherwise(
-      transform(sequence(lit(0), size(words) - 2),
-        i => concat_ws(" ", element_at(words, i + 1),
-          element_at(words, i + 2))))
-    val top2 = df.select(col(idCol).as("doc_id"),
-        explode(bigrams).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"))
-      .agg((max(col("cnt")).cast("double") / sum(col("cnt")))
-        .as("top2gram_frac"))
-    dup.join(top2, Seq("doc_id"), "left")
-      .na.fill(0.0, Seq("top2gram_frac"))
+    val st = call_function("ngram_stats", col(textCol), lit(2))
+    df.select((col(idCol).as("doc_id") +: carry.map(col)) :+
+        (lit(1.0) - size(shingles(col(textCol), 1)).cast("double") /
+          size(words).cast("double")).as("dup_word_frac") :+
+        st.as("__st"): _*)
+      .withColumn("top2gram_frac",
+        when(element_at(col("__st"), 2) === 0L, 0.0)
+          .otherwise(element_at(col("__st"), 1).cast("double") /
+            element_at(col("__st"), 2).cast("double")))
+      .drop("__st")
   }
 
   /** Deterministic per-source mixture sampling — the domain-weighting

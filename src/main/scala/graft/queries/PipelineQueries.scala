@@ -364,18 +364,22 @@ object PipelineQueries {
         TextOps.splitAssign(col("text"), 80, 10).as("split"))
 
   /** Benchmark-contamination report ([[TextOps.contamination]]): corpus
-    * docs (source ≠ src0) sharing ≥ 2 distinct word 3-grams with any
-    * "eval-set" doc (source = src0). Exact — the oracle recomputes the
-    * n-gram intersections all-pairs in DuckDB. 3-grams here because the
-    * synthetic docs are ~50 words; production contamination scans use
-    * 8–13-grams via the `n` parameter.
+    * docs (source ≠ src0) sharing ≥ 2 rare distinct word 3-grams with
+    * any "eval-set" doc (source = src0), where "rare" = corpus doc
+    * frequency ≤ 10 (the boilerplate guard the r7 sf1 probe proved
+    * necessary — without it a small-vocabulary corpus makes the gram
+    * join quadratic). Exact — the oracle recomputes the intersections
+    * AND the frequency cap all-pairs in DuckDB. 3-grams here because
+    * the synthetic docs are ~50 words; production scans use 8–13-grams
+    * via the `n` parameter.
     */
   def q57(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir)("documents")
     TextOps.contamination(
       docs.filter(col("source") =!= "src0"),
       docs.filter(col("source") === "src0"),
-      "doc_id", "text", "doc_id", "text", n = 3, minOverlap = 2)
+      "doc_id", "text", "doc_id", "text", n = 3, minOverlap = 2,
+      maxGramDocFreq = 10)
       .select(col("doc_id"), col("probe_id"),
         col("n_shared").cast("long").as("n_shared"))
   }
@@ -389,8 +393,7 @@ object PipelineQueries {
     */
   def q58(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir)("documents")
-    TextOps.repetitionStats(docs, "doc_id", "text")
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    TextOps.repetitionStats(docs, "doc_id", "text", carry = Seq("source"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         round(avg(round(col("dup_word_frac"), 4)), 4).as("avg_dup_word"),
@@ -539,11 +542,14 @@ object PipelineQueries {
                FROM documents) t""",
     "q57_contamination" -> (shingleCte +
       """, d AS (SELECT s.doc_id, doc.source, unnest(s.sh) AS g
-                 FROM s JOIN documents doc ON s.doc_id = doc.doc_id)
+                 FROM s JOIN documents doc ON s.doc_id = doc.doc_id),
+         cdf AS (SELECT g, count(*) AS df FROM d
+                 WHERE source <> 'src0' GROUP BY g)
          SELECT c.doc_id, p.doc_id AS probe_id,
                 CAST(count(*) AS BIGINT) AS n_shared
-         FROM d c JOIN d p ON c.g = p.g
+         FROM d c JOIN d p ON c.g = p.g JOIN cdf ON cdf.g = c.g
          WHERE p.source = 'src0' AND c.source <> 'src0'
+           AND cdf.df <= 10
          GROUP BY c.doc_id, p.doc_id
          HAVING count(*) >= 2"""),
     "q58_repetition" ->

@@ -105,6 +105,27 @@ class OpsSpec extends SparkSpec {
     assert(survivors === Set(2L, 3L))
   }
 
+  test("contamination df cap drops boilerplate grams, keeps rare signal") {
+    // 20 corpus docs all share the probe's boilerplate span (gram df =
+    // 20 > cap 5), doc 50 shares a RARE span. With the cap, only doc 50
+    // flags; without it, all 20 boilerplate docs would.
+    val probe = Seq(
+      (100L, "standard footer legal disclaimer text alpha beta gamma delta"))
+      .toDF("id", "text")
+    val corpus = ((1 to 20).map(i =>
+        (i.toLong, s"doc $i body standard footer legal disclaimer text end")) :+
+      (50L, "unique intro alpha beta gamma delta unique outro"))
+      .toDF("id", "text")
+    val capped = TextOps.contamination(corpus, probe, "id", "text",
+      "id", "text", n = 3, minOverlap = 2, maxGramDocFreq = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(capped === Set(50L))
+    val uncapped = TextOps.contamination(corpus, probe, "id", "text",
+      "id", "text", n = 3, minOverlap = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(uncapped === (1L to 20L).toSet + 50L)
+  }
+
   test("piiCounts and redactPii find and scrub planted emails/phones") {
     val df = Seq(
       (1L, "contact me at alice@example.com or 555-123-4567 today"),

@@ -132,6 +132,33 @@ class PlanSpec extends SparkSpec {
     assert(shuffles == 1, s"expected 1 aggregation shuffle, got $shuffles:\n$plan")
   }
 
+  test("q57: contamination broadcasts the probe side, no cartesian") {
+    val plan = planOf("q57_contamination")
+    // the eval-set n-grams broadcast; the corpus is never self-joined
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q58: repetition profile is scan-only before the rollup") {
+    val plan = planOf("q58_repetition")
+    // per-row native ngram_stats: no bigram explode, no id join — one
+    // corpus scan, one rollup shuffle
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Generate"), s"no explode should remain:\n$plan")
+    val shuffles = "\\(\\d+\\) Exchange\\b".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected only the rollup shuffle:\n$plan")
+  }
+
+  test("q59: mixture sampling is scan-only before the rollup") {
+    val plan = planOf("q59_mixture_sample")
+    // content-keyed filtering is a pure per-row expression: exactly one
+    // shuffle (the per-source count), no join, no sampling pass
+    assert(!plan.contains("Join"), plan)
+    val shuffles = "\\(\\d+\\) Exchange\\b".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected only the rollup shuffle:\n$plan")
+  }
+
   test("q43: as-of join plans as union + window — zero join operators") {
     val plan = planOf("q43_asof_join")
     assert(plan.contains("Window"), plan)

@@ -237,6 +237,34 @@ object TextOps {
     df.filter(pmod(fingerprint(col(textCol)), lit(100L)) < pct)
   }
 
+  /** Sliding-window document chunking — the pass that turns variable-
+    * length documents into training-ready pieces of at most `window`
+    * words with `overlap` words of context carried between consecutive
+    * chunks. Output: one row per chunk (doc_id, chunk_idx, chunk_text,
+    * n_tokens), ordered within a doc by chunk_idx; a doc shorter than
+    * `window` yields itself as chunk 0. Deterministic pure per-row
+    * arithmetic + one explode — the output IS the product, so no
+    * avoidable shuffle exists; chunking 100 TB is one scan.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            window: Int = 200, overlap: Int = 20): DataFrame = {
+    require(window > 0 && overlap >= 0 && overlap < window,
+      s"need 0 <= overlap < window, got window=$window overlap=$overlap")
+    val stride = window - overlap
+    val words = split(col(textCol), " ")
+    // number of chunks: 1 + ceil(max(0, n - window) / stride), as pure
+    // integer arithmetic so any engine reproduces it
+    val n = size(words)
+    val nChunks = when(n <= window, lit(1)).otherwise(
+      lit(1) + ceil((n - lit(window)).cast("double") / stride).cast("int"))
+    df.select(col(idCol).as("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1), c =>
+          concat_ws(" ", slice(words, c * stride + 1, lit(window))))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk_text")
+      .withColumn("n_tokens", size(split(col("chunk_text"), " ")))
+  }
+
   /** ASCII-conservative PII patterns (identical semantics in Java regex
     * and RE2, so results replicate in any engine). Deliberately narrow:
     * a corpus scrub wants high precision on unambiguous formats; locale

@@ -413,6 +413,16 @@ object PipelineQueries {
       Map("src0" -> 25, "src1" -> 50, "src2" -> 75))
       .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
 
+  /** Sliding-window chunking ([[TextOps.chunk]]): every document split
+    * into ≤30-word chunks with 5 words of overlap — the training-prep
+    * pass before tokenization. The oracle recomputes every chunk STRING
+    * in DuckDB (list slicing), so boundaries, overlap carry, and tail
+    * handling are pinned exactly, not just counts.
+    */
+  def q60(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunk(t(s, dir)("documents"), "doc_id", "text",
+      window = 30, overlap = 5)
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_dedup_keyed"     -> (q21 _),
     "q22_dedup_text_exact" -> (q22 _),
@@ -437,6 +447,7 @@ object PipelineQueries {
     "q57_contamination"   -> (q57 _),
     "q58_repetition"      -> (q58 _),
     "q59_mixture_sample"  -> (q59 _),
+    "q60_chunking"        -> (q60 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -588,6 +599,20 @@ object PipelineQueries {
                                       WHEN 'src1' THEN 50
                                       WHEN 'src2' THEN 75 ELSE 100 END
          GROUP BY source""",
+    "q60_chunking" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+         k AS (SELECT doc_id, w,
+                 CASE WHEN len(w) <= 30 THEN 1
+                      ELSE 1 + CAST(ceil((len(w) - 30) / 25.0) AS INT)
+                 END AS nc
+               FROM w)
+         SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
+                array_to_string(w[(i-1)*25 + 1 : (i-1)*25 + 30], ' ')
+                  AS chunk_text,
+                CAST(len(w[(i-1)*25 + 1 : (i-1)*25 + 30]) AS INT)
+                  AS n_tokens
+         FROM k, unnest(range(1, nc + 1)) AS t(i)""",
     "q29_ann_lsh" ->
       """SELECT CAST(5*count(*) AS BIGINT) AS n_results, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 10""",

@@ -126,6 +126,17 @@ class OpsSpec extends SparkSpec {
     assert(uncapped === (1L to 20L).toSet + 50L)
   }
 
+  test("chunk: window/overlap boundaries and short-doc passthrough") {
+    val df = Seq((1L, "a b c d e f g"), (2L, "x y")).toDF("id", "text")
+    val out = TextOps.chunk(df, "id", "text", window = 4, overlap = 1)
+      .select("doc_id", "chunk_idx", "chunk_text", "n_tokens")
+      .as[(Long, Int, String, Int)].collect().toSet
+    // stride 3: chunk 0 = words 1-4, chunk 1 = words 4-7 (word d carried)
+    assert(out === Set(
+      (1L, 0, "a b c d", 4), (1L, 1, "d e f g", 4),
+      (2L, 0, "x y", 2)))
+  }
+
   test("piiCounts and redactPii find and scrub planted emails/phones") {
     val df = Seq(
       (1L, "contact me at alice@example.com or 555-123-4567 today"),

@@ -63,7 +63,7 @@ object RaParser {
         if (i < q.length && q.charAt(i) == '_') {
           i += 1
           while (i < q.length && q.charAt(i).isWhitespace) i += 1
-          if (i >= q.length || q.charAt(i) != '{') err(s"expected {{ after \\${name}_")
+          if (i >= q.length || q.charAt(i) != '{') err(s"expected { after \\${name}_")
           i += 1
           val p0 = i
           var inStr = false
@@ -71,7 +71,7 @@ object RaParser {
             if (q.charAt(i) == '\'') inStr = !inStr
             i += 1
           }
-          if (i >= q.length) err(s"unterminated {{ for \\$name")
+          if (i >= q.length) err(s"unterminated { for \\$name")
           payload = q.substring(p0, i)
           i += 1
         }

@@ -95,6 +95,18 @@ object EventStreams {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("cnt"), col("sum_value_c"))
 
+  /** Stream-static enrichment: each streaming event inner-joined to a
+    * STATIC dimension table on `joinKeys` — the standard "annotate the
+    * event stream with reference data" pattern. Structured Streaming
+    * plans the static side fresh per micro-batch (so a small dim
+    * broadcasts, exactly like batch), needs NO watermark and keeps NO
+    * state: only stream-stream joins buffer rows. At 100 TB of stream
+    * history the cost is per-batch, not per-history.
+    */
+  def enrichWith(events: DataFrame, dim: DataFrame,
+                 joinKeys: Seq[String]): DataFrame =
+    events.join(dim, joinKeys)
+
   /** Watermark-bounded exact dedup on event_id — the streaming twin of
     * exact keyed dedup (at-least-once sources re-deliver; state holds ids
     * only within the watermark horizon).

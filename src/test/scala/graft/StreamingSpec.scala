@@ -309,6 +309,21 @@ class StreamingSpec extends SparkSpec {
       .foreach(java.nio.file.Files.deleteIfExists(_))
   }
 
+  test("stream-static join enriches events with a dimension table") {
+    val dim = Seq((0L, "gold"), (1L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[Ev](spark)
+    input.addData(ev(7, 0, "click", 1.0),   // user 0
+      ev(8, 1, "view", 2.0),                // user 1
+      ev(9, 2, "click", 3.0))               // user 2: no dim row → dropped
+    val q = EventStreams.enrichWith(input.toDF(), dim, Seq("user_id"))
+      .select("event_id", "tier")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("enriched").as[(Long, String)].collect().toSet
+    assert(rows === Set((7L, "gold"), (8L, "silver")))
+  }
+
   test("mapGroupsWithState keeps running per-user counts") {
     val input = MemoryStream[Ev](spark)
     input.addData(ev(7, 0, "click", 1.0), ev(14, 1, "view", 1.0),

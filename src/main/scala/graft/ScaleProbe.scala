@@ -80,9 +80,15 @@ object ScaleProbe {
 
     val results = probes.map { name =>
       val fpS = fingerprint(SparkEntry.queries(name)(spark, small))
+      // clearCaches between fingerprinting and timing: constructing
+      // q46's frame eagerly derives and persists the shared near-dup
+      // pair set, so without the reset the "cold" timing would silently
+      // exclude the dominant derivation cost
+      clearCaches(spark)
       val (coldS, warmS) = timeTwice(name, small)
-      clearCaches(spark) // q45/q46 memoize the pair set per dir
+      clearCaches(spark)
       val fpB = fingerprint(SparkEntry.queries(name)(spark, big))
+      clearCaches(spark)
       val (coldB, warmB) = timeTwice(name, big)
       clearCaches(spark)
       val p = Probe(name, coldS, warmS, coldB, warmB, fpS, fpB)

@@ -129,9 +129,15 @@ object Dedup {
                      radius: Int = 3, shingleN: Int = 3,
                      chunks: Int = 0, maxBucket: Int = 1000): DataFrame = {
     val bits = graft.expr.PortableSimhash.Bits
+    // radius is bounded so auto-chunking always finds slices of >= 2
+    // bits: radius 28+ would force 1-bit slices (2-way splits — the
+    // all-pairs blowup this operator exists to avoid), and a Hamming
+    // radius that large is meaningless for a 56-bit fingerprint anyway.
+    require(radius >= 0 && radius < bits / 2,
+      s"radius must be in [0, ${bits / 2 - 1}] for the $bits-bit fingerprint, got $radius")
     val nChunks =
       if (chunks > 0) chunks
-      else (1 to bits).find(c => bits % c == 0 && c > radius).get
+      else (1 to bits / 2).find(c => bits % c == 0 && c > radius).get
     require(radius <= nChunks - 1, "pigeonhole completeness needs radius <= chunks-1")
     require(bits % nChunks == 0,
       s"chunks ($nChunks) must divide the $bits-bit fingerprint")

@@ -124,8 +124,11 @@ object TextOps {
     * approximation — the criterion is the n-gram intersection itself).
     *
     * Scale shape: the PROBE side is an eval set — thousands of docs, not
-    * billions — so its exploded n-grams broadcast, and the 100 TB corpus
-    * is touched ONCE with no corpus-side self-shuffle. [[shingles]]
+    * billions — so its exploded n-grams broadcast, and the corpus is
+    * never self-joined or payload-shuffled: one scan uncapped, two scans
+    * when the frequency cap is on (the df aggregation is its own
+    * scan+shuffle of bare grams — caching the exploded corpus to avoid
+    * the rescan would cost more than the scan at 100 TB). [[shingles]]
     * emits each doc's n-grams DISTINCT, so every joined row is a unique
     * (doc, probe, gram) triple and a plain count(*) after the one
     * ids-only aggregation shuffle IS the distinct overlap count.
@@ -204,17 +207,26 @@ object TextOps {
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
                       carry: Seq[String] = Nil): DataFrame = {
-    val words = split(col(textCol), " ")
+    // ONE tokenizer for every signal: ngram_stats(text, 1) yields
+    // [top, total] over the same \s+ word split shingles() uses, so the
+    // two fractions in a row always agree about what a word is. (An
+    // earlier cut counted totals via split(text, " ") — a LITERAL-space
+    // split — which made dup_word_frac nonsense, even negative, on any
+    // text with tabs/newlines/double spaces.)
+    val uni = call_function("ngram_stats", col(textCol), lit(1))
     val st = call_function("ngram_stats", col(textCol), lit(2))
     df.select((col(idCol).as("doc_id") +: carry.map(col)) :+
-        (lit(1.0) - size(shingles(col(textCol), 1)).cast("double") /
-          size(words).cast("double")).as("dup_word_frac") :+
-        st.as("__st"): _*)
+        size(shingles(col(textCol), 1)).cast("double").as("__dw") :+
+        uni.as("__uni") :+ st.as("__st"): _*)
+      .withColumn("dup_word_frac",
+        when(element_at(col("__uni"), 2) === 0L, 0.0)
+          .otherwise(lit(1.0) -
+            col("__dw") / element_at(col("__uni"), 2).cast("double")))
       .withColumn("top2gram_frac",
         when(element_at(col("__st"), 2) === 0L, 0.0)
           .otherwise(element_at(col("__st"), 1).cast("double") /
             element_at(col("__st"), 2).cast("double")))
-      .drop("__st")
+      .drop("__dw", "__uni", "__st")
   }
 
   /** Deterministic per-source mixture sampling — the domain-weighting

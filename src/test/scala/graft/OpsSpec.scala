@@ -84,6 +84,15 @@ class OpsSpec extends SparkSpec {
     assert(out === Set((1L, 2L, 0)))
   }
 
+  test("simhash radius outside [0, 27] is rejected with a named constraint") {
+    val docs = Seq((1L, "a b c")).toDF("id", "text")
+    val e = intercept[IllegalArgumentException](
+      Dedup.nearDupSimhash(docs, "id", "text", radius = 28))
+    assert(e.getMessage.contains("radius must be in [0, 27]"))
+    intercept[IllegalArgumentException](
+      Dedup.nearDupSimhash(docs, "id", "text", radius = -1))
+  }
+
   test("contamination flags eval-overlapping docs; decontaminate drops them") {
     // probe = one "eval" doc; doc 1 embeds a 5-word span of it (4 shared
     // distinct 3-grams), doc 2 shares only 1 trigram (below minOverlap),

@@ -128,4 +128,61 @@ class PropertySpec extends SparkSpec {
       assert(xy >= 0.0 && xy <= 1.0)
     }
   }
+
+  private val docTexts: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e", "f", "g"))
+      .map(_.mkString(" "))
+
+  test("chunk reconstructs the document: de-overlapped chunks == words") {
+    // every word appears exactly once after removing the `overlap` words
+    // each non-first chunk repeats — the law that pins boundary math for
+    // ANY window/overlap/doc-length combination
+    val gen = Gen.zip(docTexts, Gen.choose(2, 6), Gen.choose(0, 1))
+    check(gen, n = 8) { case (text, window, overlap) =>
+      val df = Seq((1L, text)).toDF("id", "text")
+      val chunks = TextOps.chunk(df, "id", "text", window, overlap)
+        .orderBy("chunk_idx")
+        .select("chunk_text").as[String].collect()
+      val rebuilt = chunks.zipWithIndex.flatMap { case (c, i) =>
+        val w = c.split(" ")
+        if (i == 0) w else w.drop(overlap)
+      }
+      assert(rebuilt.toSeq === text.split(" ").toSeq,
+        s"window=$window overlap=$overlap text='$text'")
+    }
+  }
+
+  test("mixtureSample keep-sets are nested as the weight grows") {
+    // content-keyed sampling must be MONOTONE: raising a source's weight
+    // only ADDS documents, never swaps them (fingerprint bucket < pct)
+    check(Gen.listOf(docTexts), n = 5) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "s") }
+        .toDF("id", "text", "source")
+      val at30 = TextOps.mixtureSample(df, "text", "source", Map("s" -> 30))
+        .select("id").as[Long].collect().toSet
+      val at70 = TextOps.mixtureSample(df, "text", "source", Map("s" -> 70))
+        .select("id").as[Long].collect().toSet
+      assert(at30.subsetOf(at70))
+      val at100 = TextOps.mixtureSample(df, "text", "source", Map("s" -> 100))
+        .select("id").as[Long].collect().toSet
+      assert(at100.size === texts.size)
+    }
+  }
+
+  test("repetitionStats fractions are in [0,1] for any whitespace shape") {
+    // regression class: the first cut mixed a literal-space tokenizer
+    // with the \s+ tokenizer and produced NEGATIVE dup fractions on
+    // multi-space/tab texts
+    val messy = Gen.nonEmptyListOf(
+      Gen.oneOf("a", "b", "c", "a  b", "a\tb", " a", "b "))
+      .map(_.mkString(" "))
+    check(messy, n = 8) { text =>
+      val (d, t) = TextOps.repetitionStats(
+        Seq((1L, text)).toDF("id", "text"), "id", "text")
+        .select("dup_word_frac", "top2gram_frac")
+        .as[(Double, Double)].head()
+      assert(d >= 0.0 && d <= 1.0, s"dup_word_frac=$d for '$text'")
+      assert(t >= 0.0 && t <= 1.0, s"top2gram_frac=$t for '$text'")
+    }
+  }
 }

@@ -24,15 +24,19 @@ import java.nio.file.{Files, Paths}
   */
 object ScaleProbe {
 
-  /** The 8 structural heavyweights named by the round-6 verdict, plus
-    * the round-7 corpus operators (contamination / repetition / mixture)
-    * so new ops prove their scaling on arrival.
+  /** The 8 structural heavyweights named by the round-6 verdict, the
+    * round-7 corpus operators (contamination / repetition / mixture) so
+    * new ops prove their scaling on arrival, and one representative per
+    * remaining operator family — embeddings (exact top-k, banded
+    * near-dup, IVF ANN) and event-time windows (sessionize) — so every
+    * pipeline category has empirical sf1 evidence.
     */
   private val probes = Seq(
     "q09_join_multikey", "q23_neardup_minhash", "q24_neardup_simhash",
     "q37_approx_sketch", "q45_sketch_similarity", "q46_dup_clusters",
     "q52_tpch_q3", "q53_tpch_q5",
-    "q57_contamination", "q58_repetition", "q59_mixture_sample")
+    "q57_contamination", "q58_repetition", "q59_mixture_sample",
+    "q28_ann_topk", "q30_embed_neardup", "q51_ann_ivf", "q34_sessionize")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -107,6 +107,31 @@ object EventStreams {
                  joinKeys: Seq[String]): DataFrame =
     events.join(dim, joinKeys)
 
+  /** Stream-STREAM interval join: each left event matched to right
+    * events with the same `key` whose timestamp falls in the `within`
+    * window BEFORE it — the attribution shape ("which views preceded
+    * this click"). Both sides carry watermarks and the join condition
+    * bounds event-time distance, so Spark derives exactly how long each
+    * side's rows must be buffered: state is O(events inside the
+    * watermark+interval horizon), NOT unbounded history — the property
+    * that makes a stream-stream join runnable forever. Column names are
+    * prefixed `l_`/`r_` (minus the join key, kept once) because both
+    * sides usually share a schema.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   tsCol: String = "ts", within: String = "10 minutes",
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = left.columns.foldLeft(left) { (d, c) =>
+      if (c == key) d else d.withColumnRenamed(c, "l_" + c)
+    }.withWatermark(s"l_$tsCol", watermark)
+    val r = right.columns.foldLeft(right) { (d, c) =>
+      d.withColumnRenamed(c, "r_" + c) // key too — disambiguates the join
+    }.withWatermark(s"r_$tsCol", watermark)
+    l.join(r, col(key) === col(s"r_$key") &&
+        expr(s"r_$tsCol >= l_$tsCol - INTERVAL $within AND r_$tsCol <= l_$tsCol"))
+      .drop(s"r_$key")
+  }
+
   /** Watermark-bounded exact dedup on event_id — the streaming twin of
     * exact keyed dedup (at-least-once sources re-deliver; state holds ids
     * only within the watermark horizon).

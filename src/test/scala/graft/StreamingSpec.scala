@@ -324,6 +324,24 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set((7L, "gold"), (8L, "silver")))
   }
 
+  test("stream-stream interval join: views within the window attribute to the click") {
+    val clicks = MemoryStream[Ev](spark)
+    val views = MemoryStream[Ev](spark)
+    // user 0: views at 10:00 and 10:04 precede the 10:05 click (both in
+    // the 10-minute window); the 10:30 view is AFTER the click — excluded
+    views.addData(ev(7, 0, "view", 1.0), ev(14, 4, "view", 1.0),
+      ev(21, 30, "view", 1.0))
+    clicks.addData(ev(28, 5, "click", 1.0))
+    val q = EventStreams.intervalJoin(clicks.toDF(), views.toDF(),
+        key = "user_id", within = "10 minutes")
+      .select("l_event_id", "r_event_id")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("attrib").as[(Long, Long)].collect().toSet
+    assert(rows === Set((28L, 7L), (28L, 14L)))
+  }
+
   test("mapGroupsWithState keeps running per-user counts") {
     val input = MemoryStream[Ev](spark)
     input.addData(ev(7, 0, "click", 1.0), ev(14, 1, "view", 1.0),

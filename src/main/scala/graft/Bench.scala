@@ -94,8 +94,17 @@ object Bench {
     val errJson = errors
       .map(e => "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
       .mkString("[", ",", "]")
+    // Self-flag a load-polluted run (round-7 verdict #2): noise > 0.5 means
+    // the median column is inflated by co-located load and the line should
+    // be RE-RUN on an idle machine, not archived as the round's record —
+    // the r7 driver run had noise 0.81 with medians ~25% over their mins.
+    // `polluted` is machine-gateable; the stderr banner is for humans.
+    val polluted = noise > 0.5
+    if (polluted) System.err.println(
+      f"POLLUTED: bench noise $noise%.2f > 0.5 — medians are load-inflated;" +
+        " re-run on an idle machine (min_total is the honest comparator)")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","min_total":$minTotal%.3f,"noise":$noise%.2f,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","errors":$errJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","min_total":$minTotal%.3f,"noise":$noise%.2f,"polluted":$polluted,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","errors":$errJson}"""
 
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(outPath), line + "\n")

@@ -56,6 +56,15 @@ object GraftSession {
             children.lift(1)
               .map(_.eval().asInstanceOf[Number].intValue()).getOrElse(3))))
         ext.injectFunction((
+          FunctionIdentifier("portable_fingerprint"),
+          new ExpressionInfo(classOf[graft.expr.PortableFingerprint].getName,
+            "portable_fingerprint"),
+          (children: Seq[Expression]) => {
+            require(children.length == 1,
+              s"portable_fingerprint requires exactly 1 argument, got ${children.length}")
+            graft.expr.PortableFingerprint(children.head)
+          }))
+        ext.injectFunction((
           FunctionIdentifier("ngram_stats"),
           new ExpressionInfo(classOf[graft.expr.NgramStats].getName,
             "ngram_stats"),

@@ -87,11 +87,15 @@ object TextOps {
   /** Deterministic polynomial rolling hash of the text (mod 1e9+7).
     * Unlike xxhash64 this is trivially re-implementable in any engine
     * (the DuckDB oracle replicates it with list_reduce), making
-    * fingerprints portable across systems.
+    * fingerprints portable across systems. A native Catalyst expression
+    * ([[graft.expr.PortableFingerprint]], registered by GraftSession) —
+    * the `aggregate(split(text, ""), …)` formulation is one interpreted
+    * lambda call per character, and this hash backs the full-corpus
+    * passes (split assignment, mixture sampling); PropertySpec pins
+    * native == HOF on arbitrary strings.
     */
   def fingerprint(text: Column): Column =
-    aggregate(split(text, ""), lit(0L),
-      (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
+    call_function("portable_fingerprint", text)
 
   /** Deterministic train/val/test assignment, keyed on CONTENT via
     * [[fingerprint]] — the leakage-safe split a training pipeline needs:
@@ -237,6 +241,14 @@ object TextOps {
     * dropped TOGETHER. Pure per-row filter — no sampling pass, no
     * shuffle, works identically on 100 TB. `weights` maps source →
     * integer keep-percent; unlisted sources keep `defaultPct`.
+    *
+    * The hash is SALTED per operator (`"mix:" + text`) so the sampling
+    * bucket is INDEPENDENT of [[splitAssign]]'s bucket. Unsalted, the
+    * two share one bucket function and composing them (the normal
+    * pipeline order) is degenerate: any source sampled at ≤ trainPct
+    * yields a corpus whose survivors are ALL "train" — val and test
+    * empty — because "kept by the mix" and "assigned to train" become
+    * the same event instead of independent ones.
     */
   def mixtureSample(df: DataFrame, textCol: String, sourceCol: String,
                     weights: Map[String, Int], defaultPct: Int = 100)
@@ -246,7 +258,8 @@ object TextOps {
     val pct = weights.foldLeft(lit(defaultPct)) { case (acc, (src, w)) =>
       when(col(sourceCol) === src, w).otherwise(acc)
     }
-    df.filter(pmod(fingerprint(col(textCol)), lit(100L)) < pct)
+    df.filter(
+      pmod(fingerprint(concat(lit("mix:"), col(textCol))), lit(100L)) < pct)
   }
 
   /** Sliding-window document chunking — the pass that turns variable-
@@ -257,13 +270,22 @@ object TextOps {
     * `window` yields itself as chunk 0. Deterministic pure per-row
     * arithmetic + one explode — the output IS the product, so no
     * avoidable shuffle exists; chunking 100 TB is one scan.
+    *
+    * Tokenization is [[tokens]] (`\s+`), consistent with every other
+    * text operator: runs of spaces/tabs/newlines are ONE separator, so
+    * window/overlap are real word counts on messy text (an earlier cut
+    * split on a literal single space, which inflated `n_tokens` and
+    * produced empty-string "words" on tab/newline/double-space input —
+    * OpsSpec pins the `\s+` behavior on exactly such text). Chunks are
+    * re-joined single-spaced, i.e. chunking NORMALIZES intra-chunk
+    * whitespace by design.
     */
   def chunk(df: DataFrame, idCol: String, textCol: String,
             window: Int = 200, overlap: Int = 20): DataFrame = {
     require(window > 0 && overlap >= 0 && overlap < window,
       s"need 0 <= overlap < window, got window=$window overlap=$overlap")
     val stride = window - overlap
-    val words = split(col(textCol), " ")
+    val words = tokens(col(textCol))
     // number of chunks: 1 + ceil(max(0, n - window) / stride), as pure
     // integer arithmetic so any engine reproduces it
     val n = size(words)
@@ -274,7 +296,7 @@ object TextOps {
           concat_ws(" ", slice(words, c * stride + 1, lit(window))))))
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk_text")
-      .withColumn("n_tokens", size(split(col("chunk_text"), " ")))
+      .withColumn("n_tokens", size(tokens(col("chunk_text"))))
   }
 
   /** ASCII-conservative PII patterns (identical semantics in Java regex

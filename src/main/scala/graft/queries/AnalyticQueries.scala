@@ -114,17 +114,20 @@ object AnalyticQueries {
   private val engineCache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, (String, Engine)]
 
-  private def sqlDoor(s: SparkSession, dir: String, query: String): DataFrame =
-    engineCache.compute(s, (sess, cached) =>
+  private def sqlDoor(s: SparkSession, dir: String, query: String): DataFrame = {
+    val eng = engineCache.compute(s, (sess, cached) =>
       if (cached != null && cached._1 == dir) cached
-      else {
-        val eng = new Engine(sess, fullDd, dir, format = "parquet")
-        // events joins the catalog through the nanos-aware reader (see
-        // pipelineDd scaladoc) — same view name, SQL can't tell.
-        graft.events(sess, dir).createOrReplaceTempView("events")
-        (dir, eng)
-      }
-    )._2.sql(query)
+      else (dir, new Engine(sess, fullDd, dir, format = "parquet"))
+    )._2
+    // events joins the catalog through the nanos-aware reader (see
+    // pipelineDd scaladoc) — same view name, SQL can't tell. Registered
+    // UNCONDITIONALLY (idempotent, no IO — createOrReplaceTempView just
+    // binds a plan): on the cached-engine path a caller that dropped or
+    // shadowed the session's `events` view would otherwise silently
+    // resolve against the wrong view forever.
+    graft.events(s, dir).createOrReplaceTempView("events")
+    eng.sql(query)
+  }
 
   /** Drop the session's memoized Engine (its temp views die with the
     * session anyway; this frees the map entry and forces re-registration

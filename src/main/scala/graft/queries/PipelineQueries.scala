@@ -423,6 +423,24 @@ object PipelineQueries {
     TextOps.chunk(t(s, dir)("documents"), "doc_id", "text",
       window = 30, overlap = 5)
 
+  /** Decontamination EGRESS, end-to-end ([[TextOps.decontaminate]]):
+    * the corpus that ships after the q57 contamination report's flagged
+    * docs are anti-joined away. q57 gates the report; this gates the
+    * pass a pipeline actually materializes — every surviving (doc_id,
+    * source) is pinned, so the anti-join (and therefore the whole
+    * report→scrub composition) is exact, not just the flag list.
+    * Same parameters as q57 so the two gates describe one operation.
+    */
+  def q61(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    TextOps.decontaminate(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"),
+      "doc_id", "text", "doc_id", "text", n = 3, minOverlap = 2,
+      maxGramDocFreq = 10)
+      .select(col("doc_id"), col("source"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_dedup_keyed"     -> (q21 _),
     "q22_dedup_text_exact" -> (q22 _),
@@ -448,6 +466,7 @@ object PipelineQueries {
     "q58_repetition"      -> (q58 _),
     "q59_mixture_sample"  -> (q59 _),
     "q60_chunking"        -> (q60 _),
+    "q61_decontaminate"   -> (q61 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -563,6 +582,20 @@ object PipelineQueries {
            AND cdf.df <= 10
          GROUP BY c.doc_id, p.doc_id
          HAVING count(*) >= 2"""),
+    "q61_decontaminate" -> (shingleCte +
+      """, d AS (SELECT s.doc_id, doc.source, unnest(s.sh) AS g
+                 FROM s JOIN documents doc ON s.doc_id = doc.doc_id),
+         cdf AS (SELECT g, count(*) AS df FROM d
+                 WHERE source <> 'src0' GROUP BY g),
+         flagged AS (SELECT c.doc_id
+                     FROM d c JOIN d p ON c.g = p.g JOIN cdf ON cdf.g = c.g
+                     WHERE p.source = 'src0' AND c.source <> 'src0'
+                       AND cdf.df <= 10
+                     GROUP BY c.doc_id, p.doc_id
+                     HAVING count(*) >= 2)
+         SELECT doc_id, source FROM documents
+         WHERE source <> 'src0'
+           AND doc_id NOT IN (SELECT doc_id FROM flagged)"""),
     "q58_repetition" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
                     FROM documents),
@@ -588,9 +621,9 @@ object PipelineQueries {
       """WITH f AS (SELECT source,
                       list_reduce(
                         list_prepend(CAST(0 AS BIGINT),
-                          list_transform(range(1, length(text)+1),
-                            i -> CAST(unicode(substr(text, CAST(i AS INT), 1))
-                              AS BIGINT))),
+                          list_transform(range(1, length('mix:' || text)+1),
+                            i -> CAST(unicode(substr('mix:' || text,
+                              CAST(i AS INT), 1)) AS BIGINT))),
                         (a, b) -> (a*31 + b) % 1000000007) AS fp
                     FROM documents)
          SELECT source, CAST(count(*) AS BIGINT) AS n_kept
@@ -600,7 +633,7 @@ object PipelineQueries {
                                       WHEN 'src2' THEN 75 ELSE 100 END
          GROUP BY source""",
     "q60_chunking" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
                     FROM documents),
          k AS (SELECT doc_id, w,
                  CASE WHEN len(w) <= 30 THEN 1

@@ -146,6 +146,35 @@ class OpsSpec extends SparkSpec {
       (2L, 0, "x y", 2)))
   }
 
+  test("chunk: \\s+ tokenization on tabs/newlines/double spaces") {
+    // round-7 verdict #4: an earlier cut split on a literal space, so
+    // messy whitespace produced empty-string "words" and inflated
+    // n_tokens; this pins the \s+ contract — same 7 real words as the
+    // single-spaced twin, identical chunk boundaries, and chunks come
+    // out single-spaced (whitespace normalized by design)
+    val df = Seq((1L, "a\tb  c\nd e\r\nf  g")).toDF("id", "text")
+    val out = TextOps.chunk(df, "id", "text", window = 4, overlap = 1)
+      .select("doc_id", "chunk_idx", "chunk_text", "n_tokens")
+      .as[(Long, Int, String, Int)].collect().toSet
+    assert(out === Set(
+      (1L, 0, "a b c d", 4), (1L, 1, "d e f g", 4)))
+  }
+
+  test("mixtureSample bucket is independent of splitAssign's (salted hash)") {
+    // composing the two in pipeline order must NOT be degenerate: with
+    // an unsalted shared hash, sampling at pct ≤ trainPct keeps exactly
+    // the bucket-< pct docs, whose split assignment is then ALL "train"
+    // (val/test empty). The "mix:" salt decorrelates the events.
+    val df = (1 to 300).map(i => (i.toLong, s"document body text $i", "a"))
+      .toDF("id", "text", "source")
+    val splits = TextOps.mixtureSample(df, "text", "source", Map("a" -> 50))
+      .select(TextOps.splitAssign(col("text")).as("split"))
+      .as[String].collect()
+    assert(splits.nonEmpty)
+    assert(splits.exists(_ != "train"),
+      "sampled survivors were all 'train' — sampling and split share a bucket")
+  }
+
   test("piiCounts and redactPii find and scrub planted emails/phones") {
     val df = Seq(
       (1L, "contact me at alice@example.com or 555-123-4567 today"),

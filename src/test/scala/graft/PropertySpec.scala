@@ -169,6 +169,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native portable_fingerprint == interpreted HOF on arbitrary strings") {
+    // the native expression replaced `aggregate(split(text, ""), …)`
+    // (round-7 verdict #1); this law pins them IDENTICAL — same split
+    // semantics (one element per code point, surrogate pairs together),
+    // same ascii() code-point value, same mod arithmetic — so the swap
+    // can never drift from the q27/q55/q59 DuckDB oracles
+    val hof = (text: org.apache.spark.sql.Column) =>
+      aggregate(split(text, ""), lit(0L),
+        (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
+    val anyText: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.oneOf(" ", "\t", "\n", "  "),
+      Gen.oneOf("é", "日", "本", "😀", "ß", "é", "é")))
+      .map(_.mkString)
+    check(anyText, n = 12) { text =>
+      val (nat, interp) = Seq(Tuple1(text)).toDF("text")
+        .select(TextOps.fingerprint($"text"), hof($"text"))
+        .as[(Long, Long)].head()
+      assert(nat === interp, s"fingerprint mismatch for ${text.take(40)}")
+    }
+    // and the empty string, which the generator rarely emits
+    val (n0, i0) = Seq(Tuple1("")).toDF("text")
+      .select(TextOps.fingerprint($"text"), hof($"text"))
+      .as[(Long, Long)].head()
+    assert(n0 === 0L && i0 === 0L)
+  }
+
   test("repetitionStats fractions are in [0,1] for any whitespace shape") {
     // regression class: the first cut mixed a literal-space tokenizer
     // with the \s+ tokenizer and produced NEGATIVE dup fractions on

@@ -117,10 +117,22 @@ object EventStreams {
     * that makes a stream-stream join runnable forever. Column names are
     * prefixed `l_`/`r_` (minus the join key, kept once) because both
     * sides usually share a schema.
+    *
+    * `joinType = "left_outer"` is the attribution variant real pipelines
+    * ask for first: every left event emits exactly once — joined if a
+    * right match exists, null-extended OTHERWISE. Semantics are
+    * necessarily delayed for the unmatched case: a left row can only be
+    * declared match-less once the watermark proves no qualifying right
+    * row can still arrive, so null-extended rows surface after the
+    * watermark passes the row's interval (Spark runs no-data
+    * micro-batches to flush them). Matched rows still emit immediately,
+    * and state stays watermark-bounded on both sides — outer-ness does
+    * not change what is buffered, only what is emitted at eviction.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    tsCol: String = "ts", within: String = "10 minutes",
-                   watermark: String = "1 hour"): DataFrame = {
+                   watermark: String = "1 hour",
+                   joinType: String = "inner"): DataFrame = {
     val l = left.columns.foldLeft(left) { (d, c) =>
       if (c == key) d else d.withColumnRenamed(c, "l_" + c)
     }.withWatermark(s"l_$tsCol", watermark)
@@ -128,7 +140,8 @@ object EventStreams {
       d.withColumnRenamed(c, "r_" + c) // key too — disambiguates the join
     }.withWatermark(s"r_$tsCol", watermark)
     l.join(r, col(key) === col(s"r_$key") &&
-        expr(s"r_$tsCol >= l_$tsCol - INTERVAL $within AND r_$tsCol <= l_$tsCol"))
+        expr(s"r_$tsCol >= l_$tsCol - INTERVAL $within AND r_$tsCol <= l_$tsCol"),
+        joinType)
       .drop(s"r_$key")
   }
 

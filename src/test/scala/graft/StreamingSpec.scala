@@ -342,6 +342,55 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set((28L, 7L), (28L, 14L)))
   }
 
+  test("left-outer interval join: unmatched click emits nulls only after the watermark") {
+    // round-7 verdict #5. Timeline (all user ids mod 7, 5-minute
+    // watermark, 10-minute window):
+    //   batch 1 — click id28/user0 @10:05 with NO views for user 0
+    //   batch 2 — click id23/user2 and view id15/user1 @10:40 (no match;
+    //             they only push the watermark to 10:35)
+    //   batch 3 — click id44/user2 and view id17/user3 @10:50 (no match;
+    //             watermark → 10:45)
+    // The null-extended click28 row must NOT exist after batch 1 (its
+    // match window is still open) and MUST exist once the watermark
+    // passes it; by the end click23 (@10:40 < 10:45) has flushed too,
+    // while click44 (@10:50 > watermark) is still buffered — proving
+    // emission is watermark-driven, not end-of-input-driven.
+    val clicks = MemoryStream[Ev](spark)
+    val views = MemoryStream[Ev](spark)
+    clicks.addData(ev(28, 5, "click", 1.0))
+    views.addData(ev(8, 0, "view", 1.0)) // user 1 — not a match for user 0
+    val joined = EventStreams.intervalJoin(clicks.toDF(), views.toDF(),
+        key = "user_id", within = "10 minutes", watermark = "5 minutes",
+        joinType = "left_outer")
+      .select(col("l_event_id"), col("r_event_id"))
+    val q = joined.writeStream.format("memory").queryName("attrib_outer")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.table("attrib_outer")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(afterB1 === Set.empty,
+        "outer row emitted before the watermark closed its interval")
+
+      clicks.addData(ev(23, 40, "click", 1.0))
+      views.addData(ev(15, 40, "view", 1.0))
+      q.processAllAvailable()
+      clicks.addData(ev(44, 50, "click", 1.0))
+      views.addData(ev(17, 50, "view", 1.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("attrib_outer")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(rows === Set((28L, None), (23L, None)))
+
+      // state evicts: buffered rows are bounded by the watermark horizon,
+      // not total input (6 events fed; evicted left/right rows are gone)
+      val state = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal)).sum
+      assert(state > 0 && state < 6, s"state rows = $state")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user counts") {
     val input = MemoryStream[Ev](spark)
     input.addData(ev(7, 0, "click", 1.0), ev(14, 1, "view", 1.0),

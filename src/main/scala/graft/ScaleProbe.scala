@@ -37,7 +37,7 @@ object ScaleProbe {
     "q52_tpch_q3", "q53_tpch_q5",
     "q57_contamination", "q58_repetition", "q59_mixture_sample",
     "q28_ann_topk", "q30_embed_neardup", "q51_ann_ivf", "q34_sessionize",
-    // round-8 verdict #3: chunking is the one operator whose cost is
+    // round-7 verdict #3 (the r8 backlog): chunking is the one operator whose cost is
     // dominated by OUTPUT volume (~nChunks× its input), and the token
     // counters are the per-row scan the whole quality stack rides on —
     // both need sf1 evidence like everything else.

@@ -39,6 +39,10 @@ object StreamBench {
     // SPARK_GRAFT_STATE_STORE=rocksdb|hdfs (default hdfs — measured
     // faster here: tiny per-user state, so provider overhead dominates).
     val stateStore = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "hdfs")
+    // fail loudly on a typo: silently running hdfs while LABELING the
+    // JSON line with the bogus string would corrupt the evidence record
+    require(stateStore == "hdfs" || stateStore == "rocksdb",
+      s"SPARK_GRAFT_STATE_STORE must be 'hdfs' or 'rocksdb', got '$stateStore'")
     if (stateStore == "rocksdb") spark.conf.set(
       "spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -98,15 +102,16 @@ object StreamBench {
     // stop() and undercount — the parquet files cannot.) Guarded: a run
     // too short/slow for ANY micro-batch to commit leaves no batch=*
     // dirs, and an unguarded read would crash the bench with no JSON
-    // line — a zero-egress line is the diagnosable record.
+    // line — a zero-egress line is the diagnosable record. try/catch
+    // rather than a precondition check: "no batch dir", "only
+    // _temporary from a stop() mid-write", and "schema-less empty batch
+    // dir" all fail the read differently, and the fallback is the same.
     val (egressSessions, egressEvents) =
-      if (!Files.isDirectory(Paths.get(out)) ||
-          !Files.list(Paths.get(out)).findAny().isPresent) (0L, 0L)
-      else {
+      try {
         val egress = spark.read.parquet(s"$out/batch=*")
           .agg(count(lit(1)), coalesce(sum("n_events"), lit(0L))).head()
         (egress.getLong(0), egress.getLong(1))
-      }
+      } catch { case scala.util.control.NonFatal(_) => (0L, 0L) }
     val rowsPerSec = egressEvents / elapsed
     val line =
       f"""{"metric":"stream_sessionize_rows_per_sec","value":$rowsPerSec%.0f,"unit":"rows/sec","egress_events":$egressEvents,"egress_sessions":$egressSessions,"listener_input_rows":${inputRows.get()},"elapsed_sec":$elapsed%.1f,"configured_rps":$rps,"state_store":"$stateStore"}"""

@@ -55,8 +55,14 @@ object PortableFingerprint {
 
   private val Mod = 1000000007L
 
-  def compute(text: UTF8String): Long = {
-    val s = text.toString
+  def compute(text: UTF8String): Long = polyHash(text.toString)
+
+  /** THE portable polynomial: one copy of the portability-critical
+    * arithmetic, shared with [[PortableSimhash]] (which folds it per
+    * shingle) so the two expressions can never drift apart — the DuckDB
+    * oracles replicate this exact loop.
+    */
+  def polyHash(s: String): Long = {
     var acc = 0L
     var i = 0
     while (i < s.length) {

@@ -61,18 +61,9 @@ object PortableSimhash {
     var i = 0
     while (i < total) {
       if (!arr.isNullAt(i)) { // null shingles contribute nothing
-        val s = arr.getUTF8String(i).toString
-        var h = 0L
-        var j = 0
-        // iterate Unicode CODE POINTS, not UTF-16 code units: the DuckDB
-        // oracle folds unicode(substr(...)) codepoints, and surrogate
-        // pairs would otherwise break the bit-for-bit portability claim
-        while (j < s.length) {
-          val cp = s.codePointAt(j)
-          h = (h * 31 + cp) % Mod
-          j += Character.charCount(cp)
-        }
-        poly(n) = h
+        // code-point polynomial shared with PortableFingerprint — ONE
+        // copy of the oracle-replicated arithmetic in the codebase
+        poly(n) = PortableFingerprint.polyHash(arr.getUTF8String(i).toString)
         n += 1
       }
       i += 1

@@ -20,8 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens. */
-  def tokens(text: Column): Column = split(text, "\\s+")
+  /** Whitespace tokens: `\s+` split of the edge-stripped text. The
+    * stripping matters at document edges — Java split at limit -1 keeps
+    * the empty fields that leading/trailing separators produce, so an
+    * unstripped "\na b" would count a phantom "" token (inflating token
+    * counts and chunk boundaries). `trim` is NOT enough (it removes
+    * only 0x20 spaces, not tabs/newlines), so edges are stripped with a
+    * global regexp_replace — codegen'd, and replicable in DuckDB with
+    * the `'g'` flag. After stripping, every element is a real word; the
+    * one remaining degenerate case is the empty/all-whitespace
+    * document, which yields `[""]` (size 1) in Spark and DuckDB alike.
+    */
+  def tokens(text: Column): Column =
+    split(regexp_replace(text, "^\\s+|\\s+$", ""), "\\s+")
 
   /** Word n-gram shingles (distinct), the unit of near-dup similarity.
     * Returns an empty array for texts shorter than n words. A native

@@ -112,20 +112,22 @@ object AnalyticQueries {
     * A dir change on the same session rebuilds (and re-registers) cleanly.
     */
   private val engineCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, (String, Engine)]
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, (String, Engine, DataFrame)]
 
   private def sqlDoor(s: SparkSession, dir: String, query: String): DataFrame = {
-    val eng = engineCache.compute(s, (sess, cached) =>
+    val (_, eng, events) = engineCache.compute(s, (sess, cached) =>
       if (cached != null && cached._1 == dir) cached
-      else (dir, new Engine(sess, fullDd, dir, format = "parquet"))
-    )._2
-    // events joins the catalog through the nanos-aware reader (see
-    // pipelineDd scaladoc) — same view name, SQL can't tell. Registered
-    // UNCONDITIONALLY (idempotent, no IO — createOrReplaceTempView just
-    // binds a plan): on the cached-engine path a caller that dropped or
-    // shadowed the session's `events` view would otherwise silently
-    // resolve against the wrong view forever.
-    graft.events(s, dir).createOrReplaceTempView("events")
+      // events joins the catalog through the nanos-aware reader (see
+      // pipelineDd scaladoc) — same view name, SQL can't tell. BUILDING
+      // the DataFrame reads parquet footers, so it is memoized with the
+      // Engine (round-2 verdict #5: per-call footer IO tripled SQL-door
+      // cost)…
+      else (dir, new Engine(sess, fullDd, dir, format = "parquet"),
+        graft.events(sess, dir)))
+    // …but RE-BINDING the cached plan is IO-free, so do that every call:
+    // a caller that dropped or shadowed the session's `events` view
+    // would otherwise silently resolve against the wrong view forever.
+    events.createOrReplaceTempView("events")
     eng.sql(query)
   }
 

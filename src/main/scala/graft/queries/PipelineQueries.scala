@@ -633,7 +633,10 @@ object PipelineQueries {
                                       WHEN 'src2' THEN 75 ELSE 100 END
          GROUP BY source""",
     "q60_chunking" ->
-      """WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+      """WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(
+                        regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                        '\s+') AS w
                     FROM documents),
          k AS (SELECT doc_id, w,
                  CASE WHEN len(w) <= 30 THEN 1
@@ -667,7 +670,9 @@ object PipelineQueries {
          WHERE rank <= 5""",
     "q38_token_counts" ->
       """SELECT doc_id,
-                len(string_split(text, ' ')) AS ws_tokens,
+                len(regexp_split_to_array(
+                  regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                  '\s+')) AS ws_tokens,
                 len(regexp_extract_all(text,
                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens
          FROM documents""",

@@ -149,10 +149,12 @@ class OpsSpec extends SparkSpec {
   test("chunk: \\s+ tokenization on tabs/newlines/double spaces") {
     // round-7 verdict #4: an earlier cut split on a literal space, so
     // messy whitespace produced empty-string "words" and inflated
-    // n_tokens; this pins the \s+ contract — same 7 real words as the
-    // single-spaced twin, identical chunk boundaries, and chunks come
+    // n_tokens; this pins the \s+-of-trimmed contract — same 7 real
+    // words as the single-spaced twin despite interior runs AND
+    // leading/trailing whitespace (untrimmed, the edges would add
+    // phantom "" tokens), identical chunk boundaries, and chunks come
     // out single-spaced (whitespace normalized by design)
-    val df = Seq((1L, "a\tb  c\nd e\r\nf  g")).toDF("id", "text")
+    val df = Seq((1L, " \ta\tb  c\nd e\r\nf  g \n")).toDF("id", "text")
     val out = TextOps.chunk(df, "id", "text", window = 4, overlap = 1)
       .select("doc_id", "chunk_idx", "chunk_text", "n_tokens")
       .as[(Long, Int, String, Int)].collect().toSet

@@ -65,6 +65,15 @@ object GraftSession {
             graft.expr.PortableFingerprint(children.head)
           }))
         ext.injectFunction((
+          FunctionIdentifier("word_tokens"),
+          new ExpressionInfo(classOf[graft.expr.WordTokens].getName,
+            "word_tokens"),
+          (children: Seq[Expression]) => {
+            require(children.length == 1,
+              s"word_tokens requires exactly 1 argument, got ${children.length}")
+            graft.expr.WordTokens(children.head)
+          }))
+        ext.injectFunction((
           FunctionIdentifier("ngram_stats"),
           new ExpressionInfo(classOf[graft.expr.NgramStats].getName,
             "ngram_stats"),

@@ -24,15 +24,20 @@ object TextOps {
     * stripping matters at document edges — Java split at limit -1 keeps
     * the empty fields that leading/trailing separators produce, so an
     * unstripped "\na b" would count a phantom "" token (inflating token
-    * counts and chunk boundaries). `trim` is NOT enough (it removes
-    * only 0x20 spaces, not tabs/newlines), so edges are stripped with a
-    * global regexp_replace — codegen'd, and replicable in DuckDB with
-    * the `'g'` flag. After stripping, every element is a real word; the
-    * one remaining degenerate case is the empty/all-whitespace
-    * document, which yields `[""]` (size 1) in Spark and DuckDB alike.
+    * counts and chunk boundaries). After stripping, every element is a
+    * real word; the one remaining degenerate case is the
+    * empty/all-whitespace document, which yields `[""]` (size 1) in
+    * Spark and DuckDB (`regexp_split_to_array('', '\s+')`) alike.
+    *
+    * A native Catalyst expression ([[graft.expr.WordTokens]], registered
+    * by GraftSession): the regex formulation
+    * `split(regexp_replace(text, "^\s+|\s+$", ""), "\s+")` runs two
+    * regex engines over every character, and tokenization backs the
+    * corpus-wide per-row operators (token counts, quality/language
+    * scores, chunking); the native scan is one character pass.
+    * PropertySpec pins native == regex formulation on arbitrary strings.
     */
-  def tokens(text: Column): Column =
-    split(regexp_replace(text, "^\\s+|\\s+$", ""), "\\s+")
+  def tokens(text: Column): Column = call_function("word_tokens", text)
 
   /** Word n-gram shingles (distinct), the unit of near-dup similarity.
     * Returns an empty array for texts shorter than n words. A native
@@ -302,12 +307,16 @@ object TextOps {
     val n = size(words)
     val nChunks = when(n <= window, lit(1)).otherwise(
       lit(1) + ceil((n - lit(window)).cast("double") / stride).cast("int"))
-    df.select(col(idCol).as("doc_id"),
+    df.select(col(idCol).as("doc_id"), n.as("__n"),
         posexplode(transform(sequence(lit(0), nChunks - 1), c =>
           concat_ws(" ", slice(words, c * stride + 1, lit(window))))))
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk_text")
-      .withColumn("n_tokens", size(tokens(col("chunk_text"))))
+      // = size(slice(words, idx*stride+1, window)) without re-tokenizing
+      // the chunk text: the slice length is min(window, n − idx·stride)
+      .withColumn("n_tokens",
+        least(lit(window), col("__n") - col("chunk_idx") * stride).cast("int"))
+      .drop("__n")
   }
 
   /** ASCII-conservative PII patterns (identical semantics in Java regex

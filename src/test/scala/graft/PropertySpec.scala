@@ -195,6 +195,29 @@ class PropertySpec extends SparkSpec {
     assert(n0 === 0L && i0 === 0L)
   }
 
+  test("native word_tokens == regex split formulation on arbitrary strings") {
+    // tokens() swapped the two-regex-engine formulation for a native
+    // single-pass scan; this law pins them IDENTICAL — edge stripping,
+    // interior \s+ runs, and the empty/all-whitespace → [""] degenerate
+    // case — so the swap can never drift from the q38/q60 oracles
+    val regexForm = (text: org.apache.spark.sql.Column) =>
+      split(regexp_replace(text, "^\\s+|\\s+$", ""), "\\s+")
+    val messyText: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString),
+      Gen.oneOf(" ", "\t", "\n", "\r\n", "  ", "", "\f")))
+      .map(_.mkString)
+    check(messyText, n = 12) { text =>
+      val (nat, regex) = Seq(Tuple1(text)).toDF("text")
+        .select(TextOps.tokens($"text"), regexForm($"text"))
+        .as[(Seq[String], Seq[String])].head()
+      assert(nat === regex, s"tokens mismatch for ${text.replace("\n", "\\n")}")
+    }
+    val (n0, r0) = Seq(Tuple1("")).toDF("text")
+      .select(TextOps.tokens($"text"), regexForm($"text"))
+      .as[(Seq[String], Seq[String])].head()
+    assert(n0 === Seq("") && r0 === Seq(""))
+  }
+
   test("repetitionStats fractions are in [0,1] for any whitespace shape") {
     // regression class: the first cut mixed a literal-space tokenizer
     // with the \s+ tokenizer and produced NEGATIVE dup fractions on

@@ -74,6 +74,15 @@ object GraftSession {
             graft.expr.WordTokens(children.head)
           }))
         ext.injectFunction((
+          FunctionIdentifier("stopword_stats"),
+          new ExpressionInfo(classOf[graft.expr.StopwordStats].getName,
+            "stopword_stats"),
+          (children: Seq[Expression]) => {
+            require(children.length == 1,
+              s"stopword_stats requires exactly 1 argument, got ${children.length}")
+            graft.expr.StopwordStats(children.head)
+          }))
+        ext.injectFunction((
           FunctionIdentifier("ngram_stats"),
           new ExpressionInfo(classOf[graft.expr.NgramStats].getName,
             "ngram_stats"),

@@ -350,12 +350,16 @@ object TextOps {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Fraction of tokens that are English stopwords (tiny builtin list —
-    * a quality / language signal, not a full stopword model).
+    * a quality / language signal, not a full stopword model). A native
+    * Catalyst expression ([[graft.expr.StopwordStats]], registered by
+    * GraftSession) — the `size(filter(tokens, t.isin(...)))` formulation
+    * is an interpreted lambda call per token, and this ratio backs the
+    * corpus-wide quality/language passes; PropertySpec pins native ==
+    * combinator on arbitrary strings.
     */
   def stopwordRatio(text: Column): Column = {
-    val w = tokens(text)
-    size(filter(w, t => t.isin("the", "a", "an", "of", "and", "is", "to")))
-      .cast("double") / greatest(size(w), lit(1)).cast("double")
+    val st = call_function("stopword_stats", text)
+    element_at(st, 1).cast("double") / element_at(st, 2).cast("double")
   }
 
   /** Composite quality score in [0,1]: long-enough docs with a natural

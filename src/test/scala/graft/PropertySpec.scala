@@ -218,6 +218,32 @@ class PropertySpec extends SparkSpec {
     assert(n0 === Seq("") && r0 === Seq(""))
   }
 
+  test("native stopword_stats == interpreted filter formulation on arbitrary strings") {
+    // stopwordRatio swapped a per-token interpreted filter lambda for a
+    // one-pass native scan; this law pins the ratio identical —
+    // including the empty/all-whitespace degenerate denominator of 1
+    val combinator = (text: org.apache.spark.sql.Column) =>
+      size(filter(TextOps.tokens(text),
+        t => t.isin("the", "a", "an", "of", "and", "is", "to")))
+        .cast("double") /
+        greatest(size(TextOps.tokens(text)), lit(1)).cast("double")
+    val stopwordy: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.oneOf("the", "a", "an", "of", "and", "is", "to"),
+      Gen.oneOf("word", "query", "spark", "THE", "a,"),
+      Gen.oneOf(" ", "\t", "\n", "  ", "")))
+      .map(_.mkString(" "))
+    check(stopwordy, n = 12) { text =>
+      val (nat, interp) = Seq(Tuple1(text)).toDF("text")
+        .select(TextOps.stopwordRatio($"text"), combinator($"text"))
+        .as[(Double, Double)].head()
+      assert(nat === interp, s"stopword ratio mismatch for '$text'")
+    }
+    val (n0, i0) = Seq(Tuple1("")).toDF("text")
+      .select(TextOps.stopwordRatio($"text"), combinator($"text"))
+      .as[(Double, Double)].head()
+    assert(n0 === 0.0 && i0 === 0.0)
+  }
+
   test("repetitionStats fractions are in [0,1] for any whitespace shape") {
     // regression class: the first cut mixed a literal-space tokenizer
     // with the \s+ tokenizer and produced NEGATIVE dup fractions on

@@ -53,24 +53,13 @@ case class MinhashBands(child: Expression, k: Int, bands: Int)
 
 object MinhashBands {
 
-  /** Static so both the interpreted path and generated code share it. */
+  /** Static so both the interpreted path and generated code share it.
+    * The signature core (one string hash per shingle, k affine
+    * permutations) lives in [[MinhashSignature.signature]] — see there
+    * for the scheme and why changing hash values is free.
+    */
   def compute(arr: ArrayData, k: Int, bands: Int): ArrayData = {
-    val sig = new Array[Long](k)
-    java.util.Arrays.fill(sig, Long.MaxValue)
-    val n = arr.numElements()
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        var j = 0
-        while (j < k) {
-          val h = XXH64.hashUTF8String(s, j)
-          if (h < sig(j)) sig(j) = h
-          j += 1
-        }
-      }
-      i += 1
-    }
+    val sig = MinhashSignature.signature(arr, k)
     val rows = k / bands
     val out = new Array[Long](bands)
     var b = 0

@@ -47,27 +47,63 @@ case class MinhashSignature(child: Expression, k: Int)
 
 object MinhashSignature {
 
-  /** Static so both the interpreted path and generated code share it.
+  /** Per-slot permutation constants `(a, b)`, derived deterministically
+    * from the slot index (a forced odd, so `h -> a*h + b` mod 2^64 is a
+    * bijection). Cached per k: the table is shared by every row of every
+    * task in the JVM, never recomputed in the hot loop.
+    */
+  private val perms =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]
+  private[expr] def permsFor(k: Int): (Array[Long], Array[Long]) =
+    perms.computeIfAbsent(k, k2 => {
+      val a = new Array[Long](k2); val b = new Array[Long](k2)
+      var j = 0
+      while (j < k2) {
+        a(j) = XXH64.hashLong(j.toLong, 0x9e3779b97f4a7c15L) | 1L
+        b(j) = XXH64.hashLong(j.toLong, 0xc2b2ae3d27d4eb4fL)
+        j += 1
+      }
+      (a, b)
+    })
+
+  /** K-slot signature core, shared with [[MinhashBands]]. Each shingle is
+    * hashed ONCE (XXH64 over its raw UTF8 bytes); the k slot values are k
+    * affine bijections `a_j*h + b_j` of that base hash — the same
+    * one-hash-k-permutations scheme Spark's own MinHashLSH uses. The
+    * previous per-slot `xxhash64(shingle, seed=j)` re-walked the string
+    * bytes k times per shingle — at k=256 the dominant cost of the q45
+    * sketch scan (sf1 probe warm times: see SCALE_PROBE_r08.json).
+    * P(argmin_A = argmin_B) = J(A,B) holds for any fixed total order over
+    * a random bijection, so estimator quality is unchanged; hash VALUES
+    * change, which is free — signatures/bands only drive candidate
+    * generation (outputs are exact-verified) and the q45 estimate is
+    * tolerance-gated.
+    *
     * Null shingles are skipped; an all-null/empty set yields a signature
     * of Long.MaxValue slots (collides only with other empty sets).
     */
-  def compute(arr: ArrayData, k: Int): ArrayData = {
+  private[expr] def signature(arr: ArrayData, k: Int): Array[Long] = {
+    val (pa, pb) = permsFor(k)
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
+        val base = XXH64.hashUTF8String(arr.getUTF8String(i), 0L)
         var j = 0
         while (j < k) {
-          val h = XXH64.hashUTF8String(s, j)
+          val h = pa(j) * base + pb(j)
           if (h < sig(j)) sig(j) = h
           j += 1
         }
       }
       i += 1
     }
-    new GenericArrayData(sig)
+    sig
   }
+
+  /** Static so both the interpreted path and generated code share it. */
+  def compute(arr: ArrayData, k: Int): ArrayData =
+    new GenericArrayData(signature(arr, k))
 }

@@ -69,6 +69,50 @@ object Dedup {
     df.agg(count(lit(1)).as("n_docs"),
       countDistinct(lower(trim(col(textCol)))).as("n_unique"))
 
+  /** Sub-document exact dedup (C4/RefinedWeb-style line- or
+    * paragraph-level): split every document on `sep`, keep each distinct
+    * unit only at its FIRST corpus-wide occurrence (minimal (id,
+    * position)), and reassemble the surviving units in original order.
+    * The unit is whatever `sep` yields — paragraphs (`"\n\n"`), lines
+    * (`"\n"`), or words (`" "`); later repeats both across and within
+    * documents are dropped, the standard greedy rule.
+    *
+    * Scale shape: one corpus-wide shuffle keyed on the unit. The
+    * first-occurrence table (groupBy unit → min struct, partial-agg
+    * friendly, per-key state = one (id, pos)) and the membership probe
+    * are the SAME exploded subplan, so the exchange is planned once and
+    * reused; reassembly is a second shuffle keyed on the document id
+    * whose per-group state is bounded by the document's own length.
+    * There is no window over a corpus-wide partition and no driver-side
+    * set at any stage.
+    *
+    * Output: (idCol, n_units, n_kept, text_dedup) — a doc whose every
+    * unit appeared earlier reassembles to the empty string, not null.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                sep: String = "\n"): DataFrame = {
+    val units = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "unit")))
+    val first = units.groupBy(col("unit"))
+      .agg(min(struct(col(idCol), col("pos"))).as("f"))
+    units.join(first, Seq("unit"))
+      .withColumn("keep",
+        col(s"f.$idCol") === col(idCol) && col("f.pos") === col("pos"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_units"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops the nulls `when` leaves for dropped units;
+        // array_sort on (pos, unit) structs restores document order
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("pos"), col("unit"))))),
+            x => x.getField("unit")),
+          sep).as("text_dedup"))
+  }
+
   /** Near-duplicate pairs via MinHash + LSH banding, exact-verified.
     *
     * Pipeline (all narrow or key-shuffled — no all-pairs stage):

@@ -218,28 +218,42 @@ object PipelineQueries {
     * the oracle computes the exact side and asserts the boolean, the
     * honest way to gate an estimator). The sketch path shuffles only
     * O(sources × k) longs; the exact path (fine at sf scale, also the
-    * oracle) shuffles full shingle sets.
+    * oracle) shuffles the exploded shingle corpus exactly once.
     */
   def q45(s: SparkSession, dir: String): DataFrame = {
     val k = 256
     val docs = t(s, dir)("documents")
     // the production sketch-only operator; q45 adds the exact-side GATE
     val est = graft.ops.Sketch.crossSourceSimilarity(docs, "source", "text", k)
-    // Exact Jaccard between per-source shingle SETS, computed join-wise:
-    // |A∩B| = count of shingles the two sources share (equi-join on the
-    // shingle, partial-aggregated), |A∪B| = |A|+|B|-|A∩B|. The
-    // collect_set-per-source formulation this replaces materialized each
-    // source's full shingle vocabulary as ONE aggregation buffer (unbounded
-    // state at corpus scale) and then intersected giant arrays per pair;
-    // here every stage is a bounded key-shuffle and the per-pair state is
-    // three counts.
-    val ss = docs
+    // Exact Jaccard between per-source shingle SETS, computed from ONE
+    // corpus-wide shuffle: group by shingle collecting the (sorted,
+    // config-scale) set of sources that contain it. |A| = shingles whose
+    // set contains A; |A∩B| = shingles whose set contains both; |A∪B| =
+    // |A|+|B|-|A∩B|. The per-shingle aggregation state is bounded by the
+    // source count, and both downstream counts re-read the SAME shuffle
+    // (identical subplan → ReusedExchange), so the corpus is exploded and
+    // shuffled exactly once. The self-join formulation this replaces
+    // (explode → distinct → equi-join on the shingle) re-shuffled the
+    // corpus-sized shingle table on a different key per stage — the sf1
+    // probe clocked it at 17 s warm, all Exchange.
+    val bySh = docs
       .select(col("source"), explode(TextOps.shingles(col("text"), 3)).as("sh"))
-      .distinct()
-    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val inter = ss.select(col("source").as("src_a"), col("sh"))
-      .join(ss.select(col("source").as("src_b"), col("sh")), Seq("sh"))
-      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+    val sizes = bySh
+      .select(explode(col("srcs")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    // srcs is sorted, so pairing each element with its successors yields
+    // exactly the src_a < src_b pairs; shingles private to one source
+    // contribute nothing and are filtered before the (tiny) pair shuffle.
+    val inter = bySh
+      .filter(size(col("srcs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(srcs, (a, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs)),
+          |            b -> struct(a AS src_a, b AS src_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_inter"))
     // all source pairs (config-sized cross of the per-source counts), so
     // zero-intersection pairs still appear with exact_j = 0
@@ -441,6 +455,20 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Sub-document exact dedup ([[Dedup.lineDedup]]): every unit kept only
+    * at its first corpus-wide occurrence, documents reassembled. Gated at
+    * WORD granularity (`sep = " "`) because the synthetic corpus is
+    * single-line — same code path as the production paragraph/line grain
+    * (the separator is the only parameter), and non-vacuous here: the
+    * corpus vocabulary repeats constantly, so almost every doc shrinks.
+    * The oracle recomputes every reassembled string in DuckDB, pinning
+    * first-occurrence choice, within-doc repeats, and unit order.
+    * Paragraph/newline grains are spec-pinned on multi-line docs
+    * (OpsSpec).
+    */
+  def q62(s: SparkSession, dir: String): DataFrame =
+    Dedup.lineDedup(t(s, dir)("documents"), "doc_id", "text", sep = " ")
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_dedup_keyed"     -> (q21 _),
     "q22_dedup_text_exact" -> (q22 _),
@@ -467,6 +495,7 @@ object PipelineQueries {
     "q59_mixture_sample"  -> (q59 _),
     "q60_chunking"        -> (q60 _),
     "q61_decontaminate"   -> (q61 _),
+    "q62_line_dedup"      -> (q62 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -780,5 +809,23 @@ object PipelineQueries {
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                CAST(b.embedding AS DOUBLE[])) >= 0.9""",
+    // string_agg skips the NULLs the CASE leaves for dropped units and
+    // coalesce maps the all-dropped doc to '' (Spark's empty array_join)
+    "q62_line_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         l AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, ws[i] AS unit
+               FROM w, unnest(range(1, len(ws) + 1)) AS t(i)),
+         k AS (SELECT doc_id, pos, unit,
+                 row_number() OVER (PARTITION BY unit
+                   ORDER BY doc_id, pos) AS rn
+               FROM l)
+         SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_units,
+                CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_kept,
+                coalesce(string_agg(CASE WHEN rn = 1 THEN unit END, ' '
+                                    ORDER BY pos), '') AS text_dedup
+         FROM k GROUP BY doc_id""",
   )
 }

@@ -19,6 +19,31 @@ class OpsSpec extends SparkSpec {
       === Seq(("a", 1L, 2L), ("b", 3L, 1L)))
   }
 
+  test("line dedup: paragraph grain keeps first occurrence, reassembles in order") {
+    val docs = Seq(
+      (1L, "para one\n\npara two"),
+      (2L, "para two\n\npara three\n\npara two"),
+      (3L, "para one")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text", sep = "\n\n")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      // doc 1 is first everywhere: both paragraphs survive
+      (1L, 2L, 2L, "para one\n\npara two"),
+      // "para two" seen in doc 1; doc 2's WITHIN-doc repeat also dropped
+      (2L, 3L, 1L, "para three"),
+      // every unit appeared earlier → empty string, not null
+      (3L, 1L, 0L, "")))
+  }
+
+  test("line dedup: regex-special separators are taken literally") {
+    val docs = Seq((1L, "a.b.a"), (2L, "b.c")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text", sep = ".")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq((1L, 3L, 2L, "a.b"), (2L, 2L, 1L, "c")))
+  }
+
   test("minhash near-dup finds a planted near-dup pair, skips unrelated") {
     // 2 of 60 words changed → shingle Jaccard ≈ 0.93; at 16×8 banding the
     // miss probability is ~1e-4 (and the hash is deterministic, so this

@@ -77,14 +77,15 @@ object Dedup {
     * (`"\n"`), or words (`" "`); later repeats both across and within
     * documents are dropped, the standard greedy rule.
     *
-    * Scale shape: one corpus-wide shuffle keyed on the unit. The
+    * Scale shape: two corpus-scale shuffles and nothing quadratic. The
     * first-occurrence table (groupBy unit → min struct, partial-agg
-    * friendly, per-key state = one (id, pos)) and the membership probe
-    * are the SAME exploded subplan, so the exchange is planned once and
-    * reused; reassembly is a second shuffle keyed on the document id
-    * whose per-group state is bounded by the document's own length.
-    * There is no window over a corpus-wide partition and no driver-side
-    * set at any stage.
+    * friendly, per-key state = one (id, pos)) joins back against the
+    * exploded units — broadcast while it fits (the plan at test SF),
+    * an equi-join co-located on the unit key beyond that (AQE's call);
+    * reassembly is the second shuffle, keyed on the document id, with
+    * per-group state bounded by the document's own length. There is no
+    * window over a corpus-wide partition and no driver-side set at any
+    * stage.
     *
     * Output: (idCol, n_units, n_kept, text_dedup) — a doc whose every
     * unit appeared earlier reassembles to the empty string, not null.

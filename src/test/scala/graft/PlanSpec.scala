@@ -150,6 +150,20 @@ class PlanSpec extends SparkSpec {
     assert(shuffles == 1, s"expected only the rollup shuffle:\n$plan")
   }
 
+  test("q62: sub-document dedup is two key shuffles, no cartesian, partial aggs") {
+    val plan = planOf("q62_line_dedup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // corpus-scale shuffles: the unit-keyed first-occurrence aggregation
+    // and the doc-keyed reassembly — nothing else. (The first-occurrence
+    // join side is a BroadcastExchange at this SF, counted separately.)
+    val shuffles = "\\(\\d+\\) Exchange\\b".r.findAllIn(plan).size
+    assert(shuffles == 2, s"expected exactly two key shuffles:\n$plan")
+    // min(struct) partial-aggregates below its exchange (two SortAggregate
+    // nodes) — the map-side combine that keeps the shuffle per-key-sized
+    assert("SortAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("q59: mixture sampling is scan-only before the rollup") {
     val plan = planOf("q59_mixture_sample")
     // content-keyed filtering is a pure per-row expression: exactly one

@@ -41,7 +41,10 @@ object ScaleProbe {
     // dominated by OUTPUT volume (~nChunks× its input), and the token
     // counters are the per-row scan the whole quality stack rides on —
     // both need sf1 evidence like everything else.
-    "q60_chunking", "q38_token_counts")
+    "q60_chunking", "q38_token_counts",
+    // r8 arrival: sub-document dedup — corpus-wide first-occurrence
+    // state is the one new shape (unit-keyed min), so it probes on day 1
+    "q62_line_dedup")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

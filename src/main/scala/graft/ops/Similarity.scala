@@ -227,16 +227,47 @@ object Similarity {
     * verification at `threshold`. High thresholds (>=0.9) are the regime
     * where sign-LSH recall is strong — which is exactly the near-dup use
     * case.
+    *
+    * `bands`/`bitsPerBand` default to AUTO (0): bits grows with the
+    * corpus — ceil(log2(n / 64)), floor 8 — so expected bucket occupancy
+    * stays ~constant, and bands is then the smallest count whose
+    * pigeonhole recall at `threshold` clears 90%
+    * (1 − (1 − p^bits)^bands ≥ 0.9 with p = 1 − acos(threshold)/π).
+    * FIXED parameters make the candidate stage quadratic: expected
+    * candidate pairs ≈ bands · n² / 2^(bits+1), so 8-bit buckets that
+    * cost 6M pairs at 20k vectors cost 625M at 200k and would be 6e13 at
+    * a 100 TB-scale 2B vectors. Auto-tuning (one count() at plan-build)
+    * holds per-bucket occupancy — and therefore join fan-out per row —
+    * roughly flat while the band count compensates recall. Explicit
+    * values are honored unchanged for the spec'd small-corpus cases.
     */
   def nearDupPairs(corpus: DataFrame, threshold: Double = 0.9,
-                   bands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L,
+                   bands: Int = 0, bitsPerBand: Int = 0, seed: Long = 42L,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
+    require((bands == 0) == (bitsPerBand == 0),
+      "auto-tune bands and bitsPerBand together (both 0) or set both")
+    val (nBits, nBands) =
+      if (bitsPerBand > 0) (bitsPerBand, bands)
+      else {
+        val n = math.max(corpus.count(), 2L)
+        val bits = math.max(8, math.ceil(
+          math.log(n / 64.0) / math.log(2.0)).toInt)
+        val p = 1.0 - math.acos(math.min(threshold, 1.0)) / math.Pi
+        val perBand = math.pow(p, bits)
+        val b = math.min(64, math.max(1,
+          math.ceil(math.log(0.1) / math.log(1.0 - perBand)).toInt))
+        (bits, b)
+      }
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val banded = (0 until bands).map { b =>
-      c.select(col("id"), col("v"), lit(b).as("band"),
-        srpBucket(col("v"), bitsPerBand, seed + b).as("bucket"))
-    }.reduce(_ unionByName _)
+    // all band buckets in ONE scan (posexplode pos = band index) — the
+    // union-of-bands formulation this replaces re-scanned the corpus once
+    // per band; the vector is dropped before the explode, so only
+    // (id, band, bucket) rows reach the self-join
+    val banded = c.select(col("id"),
+      posexplode(array((0 until nBands).map(b =>
+        srpBucket(col("v"), nBits, seed + b)): _*))
+        .as(Seq("band", "bucket")))
     val l = banded.select(col("band"), col("bucket"), col("id").as("a_id"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("b_id"))
     // dedup candidate ids FIRST (a pair can collide in several bands), then

@@ -54,8 +54,8 @@ case class MinhashBands(child: Expression, k: Int, bands: Int)
 object MinhashBands {
 
   /** Static so both the interpreted path and generated code share it.
-    * The signature core (one string hash per shingle, k affine
-    * permutations) lives in [[MinhashSignature.signature]] — see there
+    * The signature core (one string hash per shingle, k full-avalanche
+    * bijections) lives in [[MinhashSignature.signature]] — see there
     * for the scheme and why changing hash values is free.
     */
   def compute(arr: ArrayData, k: Int, bands: Int): ArrayData = {

@@ -7,7 +7,9 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, NullType, StringType}
 
 /** K-slot MinHash signature of an `array<string>` shingle set:
-  * `sig[j] = min over shingles of xxhash64(shingle, seed=j)`.
+  * `sig[j] = min over shingles of mix64(xxhash64(shingle) + b_j)` —
+  * one base hash per shingle, k full-avalanche bijections of it (see
+  * [[MinhashSignature.signature]] for the scheme and its history).
   *
   * Native expression for the same reason as [[PortableSimhash]]: the
   * higher-order-function formulation (`transform(sequence(0,K-1), j =>
@@ -18,8 +20,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, NullType, Stri
   * from whole-stage codegen: the same work runs in well under a second.
   *
   * The signature hash only drives LSH candidate generation (the dedup
-  * output is exact-Jaccard verified), so the hash choice is free — seeded
-  * XXH64 per permutation is the standard pick.
+  * output is exact-Jaccard verified) and the tolerance-gated q45
+  * estimate, so the hash choice is free.
   */
 case class MinhashSignature(child: Expression, k: Int)
     extends UnaryExpression {

@@ -89,11 +89,15 @@ object Dedup {
     *
     * Output: (idCol, n_units, n_kept, text_dedup) — a doc whose every
     * unit appeared earlier reassembles to the empty string, not null.
+    * NULL text is treated as empty text (one empty unit, like
+    * `split("")`) so the document keeps its output row instead of
+    * vanishing from the corpus — a cleaner must preserve ids.
     */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
                 sep: String = "\n"): DataFrame = {
     val units = df.select(col(idCol),
-      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+      posexplode(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "unit")))
     val first = units.groupBy(col("unit"))
       .agg(min(struct(col(idCol), col("pos"))).as("f"))

@@ -236,27 +236,44 @@ object Similarity {
     * FIXED parameters make the candidate stage quadratic: expected
     * candidate pairs ≈ bands · n² / 2^(bits+1), so 8-bit buckets that
     * cost 6M pairs at 20k vectors cost 625M at 200k and would be 6e13 at
-    * a 100 TB-scale 2B vectors. Auto-tuning (one count() at plan-build)
-    * holds per-bucket occupancy — and therefore join fan-out per row —
-    * roughly flat while the band count compensates recall. Explicit
-    * values are honored unchanged for the spec'd small-corpus cases.
+    * a 100 TB-scale 2B vectors. Auto-tuning holds per-bucket occupancy —
+    * and therefore join fan-out per row — roughly flat while the band
+    * count compensates recall. If holding 90% recall would take more
+    * than 128 bands (low threshold × huge corpus — the regime where
+    * sign-LSH is the wrong tool), the require FAILS LOUDLY rather than
+    * silently shipping degraded recall; raise the threshold, pass
+    * explicit parameters, or use [[ivfTopK]]. Explicit values are
+    * honored unchanged for the spec'd small-corpus cases.
+    *
+    * Sizing runs ONE count() when `n` is not supplied — at
+    * plan-build time, which re-executes un-cached upstream lineage;
+    * callers composing this after expensive transforms should pass the
+    * known/estimated corpus size as `n` (only its log2 matters, so a
+    * rough estimate is fine).
     */
   def nearDupPairs(corpus: DataFrame, threshold: Double = 0.9,
                    bands: Int = 0, bitsPerBand: Int = 0, seed: Long = 42L,
                    idCol: String = "vec_id",
-                   vecCol: String = "embedding"): DataFrame = {
-    require((bands == 0) == (bitsPerBand == 0),
-      "auto-tune bands and bitsPerBand together (both 0) or set both")
+                   vecCol: String = "embedding", n: Long = 0L): DataFrame = {
+    require((bands == 0 && bitsPerBand == 0) ||
+            (bands > 0 && bitsPerBand > 0),
+      s"auto-tune bands and bitsPerBand together (both 0) or set both " +
+        s"positive, got bands=$bands bitsPerBand=$bitsPerBand")
     val (nBits, nBands) =
       if (bitsPerBand > 0) (bitsPerBand, bands)
       else {
-        val n = math.max(corpus.count(), 2L)
+        val rows = math.max(if (n > 0) n else corpus.count(), 2L)
         val bits = math.max(8, math.ceil(
-          math.log(n / 64.0) / math.log(2.0)).toInt)
+          math.log(rows / 64.0) / math.log(2.0)).toInt)
         val p = 1.0 - math.acos(math.min(threshold, 1.0)) / math.Pi
         val perBand = math.pow(p, bits)
-        val b = math.min(64, math.max(1,
-          math.ceil(math.log(0.1) / math.log(1.0 - perBand)).toInt))
+        val b = math.max(1,
+          math.ceil(math.log(0.1) / math.log(1.0 - perBand)).toInt)
+        require(b <= 128,
+          f"SRP-LSH needs $b bands for 90%% recall at threshold=$threshold " +
+            f"with $bits-bit buckets ($rows rows) — not a sane operating " +
+            f"point; raise threshold, pass explicit bands/bitsPerBand, " +
+            f"or use ivfTopK")
         (bits, b)
       }
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))

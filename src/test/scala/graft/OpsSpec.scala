@@ -44,6 +44,16 @@ class OpsSpec extends SparkSpec {
     assert(out === Seq((1L, 3L, 2L, "a.b"), (2L, 2L, 1L, "c")))
   }
 
+  test("line dedup: null-text docs keep their row (treated as empty text)") {
+    val docs = Seq((1L, "a"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text", sep = " ")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // the null doc surfaces as one empty unit, not a vanished id
+    assert(out === Seq((1L, 1L, 1L, "a"), (2L, 1L, 1L, "")))
+  }
+
   test("minhash near-dup finds a planted near-dup pair, skips unrelated") {
     // 2 of 60 words changed → shingle Jaccard ≈ 0.93; at 16×8 banding the
     // miss probability is ~1e-4 (and the hash is deterministic, so this

@@ -382,4 +382,50 @@ object TextOps {
     when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
       .when(stopwordRatio(text) >= 0.05, "en")
       .otherwise("unk")
+
+  /** The full corpus-cleaning pipeline as ONE call — the composition a
+    * training-data job actually ships, in the production order:
+    *
+    *  1. quality gate (q49's keep criteria: length, language match,
+    *     quality score) — cheapest filter first, scan-only;
+    *  2. near-duplicate removal ([[Dedup.nearDupMinhash]] at
+    *     `dupThreshold`, exact-verified; keep-first survivors) over the
+    *     gated corpus only;
+    *  3. decontamination against `probes` (the eval set) with the
+    *     df-capped n-gram overlap criterion — gram doc-frequencies
+    *     computed over the corpus as it stands AT THIS STAGE, so
+    *     boilerplate grams are judged on what actually ships;
+    *  4. leakage-safe content-keyed train/val/test assignment
+    *     ([[splitAssign]]).
+    *
+    * Output: every surviving corpus row plus a `split` column. Each
+    * stage is individually oracle-gated (q49, q39, q61, q55); the
+    * composition is gated END TO END by q63 — drop decisions and split
+    * labels are pinned jointly, so stage-ordering regressions (e.g.
+    * computing the contamination df cap before dedup) hash-mismatch.
+    *
+    * Scale shape: stages only compose scan-filters, the LSH dedup's
+    * key-shuffles, and two broadcast anti-joins — nothing here adds a
+    * shuffle beyond what the stages themselves cost, and each stage
+    * shrinks the data the next one reads.
+    */
+  def cleanCorpus(corpus: DataFrame, probes: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  langCol: String = "lang",
+                  minTokens: Int = 15, minQuality: Double = 0.6,
+                  dupThreshold: Double = 0.5,
+                  contamN: Int = 3, contamMinOverlap: Int = 2,
+                  contamMaxGramDocFreq: Int = 0): DataFrame = {
+    val kept = corpus.filter(
+      tokenCount(col(textCol)) >= minTokens &&
+        langGuess(col(textCol)) === col(langCol) &&
+        qualityScore(col(textCol)) >= minQuality)
+    val pairs = Dedup.nearDupMinhash(kept, idCol, textCol,
+      threshold = dupThreshold)
+    val surv = Dedup.survivors(kept, idCol, pairs)
+    val clean = decontaminate(surv, probes, idCol, textCol, idCol, textCol,
+      n = contamN, minOverlap = contamMinOverlap,
+      maxGramDocFreq = contamMaxGramDocFreq)
+    clean.withColumn("split", splitAssign(col(textCol)))
+  }
 }

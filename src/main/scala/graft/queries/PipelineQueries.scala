@@ -478,6 +478,23 @@ object PipelineQueries {
   def q62(s: SparkSession, dir: String): DataFrame =
     Dedup.lineDedup(t(s, dir)("documents"), "doc_id", "text", sep = " ")
 
+  /** The WHOLE cleaning pipeline in one call ([[TextOps.cleanCorpus]]):
+    * quality gate → near-dup survivors → decontaminate vs the src0 eval
+    * set → split assignment, same parameters as the stages' own gates
+    * (q49/q39/q61/q55). The oracle recomputes the full composition in
+    * DuckDB, so the inter-stage contracts (dedup runs on the GATED
+    * corpus; the contamination df cap counts over the DEDUPED corpus)
+    * are pinned, not just each stage in isolation.
+    */
+  def q63(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    TextOps.cleanCorpus(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"),
+      contamMaxGramDocFreq = 10)
+      .select(col("doc_id"), col("source"), col("split"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_dedup_keyed"     -> (q21 _),
     "q22_dedup_text_exact" -> (q22 _),
@@ -505,6 +522,7 @@ object PipelineQueries {
     "q60_chunking"        -> (q60 _),
     "q61_decontaminate"   -> (q61 _),
     "q62_line_dedup"      -> (q62 _),
+    "q63_clean_pipeline"  -> (q63 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -836,5 +854,63 @@ object PipelineQueries {
                 coalesce(string_agg(CASE WHEN rn = 1 THEN unit END, ' '
                                     ORDER BY pos), '') AS text_dedup
          FROM k GROUP BY doc_id""",
+    // the q49/q39/q61/q55 oracle pieces composed in pipeline order:
+    // gate → dedup survivors → decontaminate (df cap over the deduped
+    // corpus) → content-keyed split
+    "q63_clean_pipeline" -> (shingleCte +
+      """, f AS (SELECT d.doc_id, d.source, d.text, d.lang,
+                len(string_split(d.text, ' ')) AS n_tok,
+                CASE WHEN regexp_matches(d.text, '[\x{4e00}-\x{9fff}]')
+                       THEN 'zh'
+                     WHEN CAST(len(list_filter(string_split(d.text, ' '),
+                         x -> x IN ('the','a','an','of','and','is','to')))
+                         AS DOUBLE)
+                       / greatest(len(string_split(d.text, ' ')), 1) >= 0.05
+                       THEN 'en'
+                     ELSE 'unk' END AS pred,
+                round((
+                  least(CAST(len(string_split(d.text, ' ')) AS DOUBLE)/50.0,
+                        1.0)
+                  + least(CAST(len(list_filter(string_split(d.text, ' '),
+                      x -> x IN ('the','a','an','of','and','is','to')))
+                      AS DOUBLE)
+                    / greatest(len(string_split(d.text, ' ')), 1) * 5.0, 1.0)
+                  ) / 2.0, 4) AS q
+         FROM documents d WHERE d.source <> 'src0'),
+         kept AS (SELECT doc_id, source, text FROM f
+                  WHERE n_tok >= 15 AND pred = lang AND q >= 0.6),
+         sk AS (SELECT s.doc_id, s.sh FROM s JOIN kept USING (doc_id)),
+         dups AS (SELECT DISTINCT b.doc_id
+                  FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+                  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+                    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / len(list_distinct(a.sh || b.sh)) >= 0.5),
+         surv AS (SELECT * FROM kept
+                  WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
+         d2 AS (SELECT s.doc_id, unnest(s.sh) AS g
+                FROM s JOIN surv USING (doc_id)),
+         p2 AS (SELECT s.doc_id, unnest(s.sh) AS g
+                FROM s JOIN documents doc ON s.doc_id = doc.doc_id
+                WHERE doc.source = 'src0'),
+         cdf AS (SELECT g, count(*) AS df FROM d2 GROUP BY g),
+         flagged AS (SELECT c.doc_id FROM d2 c JOIN p2 p ON c.g = p.g
+                     JOIN cdf ON cdf.g = c.g
+                     WHERE cdf.df <= 10
+                     GROUP BY c.doc_id, p.doc_id
+                     HAVING count(*) >= 2),
+         clean AS (SELECT * FROM surv
+                   WHERE doc_id NOT IN (SELECT doc_id FROM flagged))
+         SELECT doc_id, source,
+                CASE WHEN fp % 100 < 80 THEN 'train'
+                     WHEN fp % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM (SELECT doc_id, source,
+                      list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                          list_transform(range(1, length(text)+1),
+                            i -> CAST(unicode(substr(text, CAST(i AS INT), 1))
+                              AS BIGINT))),
+                        (a, b) -> (a*31 + b) % 1000000007) AS fp
+               FROM clean) c"""),
   )
 }

@@ -44,6 +44,29 @@ class OpsSpec extends SparkSpec {
     assert(out === Seq((1L, 3L, 2L, "a.b"), (2L, 2L, 1L, "c")))
   }
 
+  test("cleanCorpus: each stage drops its planted doc, survivors are split-labeled") {
+    // ~20% stopwords → langGuess en, qualityScore 1.0; 50+ words → not short
+    def good(tag: String) = (1 to 50).map(i => s"$tag$i") :+
+      "the a an of and is to the a an of and is to" mkString " "
+    val base = good("w")
+    val nearDup = base.replace("w49", "x49")          // Jaccard >> 0.5 with base
+    val contamSpan = "alpha beta gamma delta"         // two shared 3-grams
+    val contaminated = good("z") + " " + contamSpan
+    val corpus = Seq(
+      (1L, "en", base),                 // kept
+      (2L, "en", nearDup),              // dropped: near-dup of 1 (larger id)
+      (3L, "en", "too short to pass"),  // dropped: quality gate (length)
+      (4L, "en", contaminated),         // dropped: shares the span with probe
+      (5L, "en", good("q"))             // kept
+    ).toDF("doc_id", "lang", "text")
+    val probes = Seq((100L, "en", "eval question " + contamSpan))
+      .toDF("doc_id", "lang", "text")
+    val out = TextOps.cleanCorpus(corpus, probes)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out.keySet === Set(1L, 5L), s"got $out")
+    assert(out.values.forall(Set("train", "val", "test")), s"got $out")
+  }
+
   test("line dedup: null-text docs keep their row (treated as empty text)") {
     val docs = Seq((1L, "a"), (2L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")

@@ -42,9 +42,10 @@ object ScaleProbe {
     // counters are the per-row scan the whole quality stack rides on —
     // both need sf1 evidence like everything else.
     "q60_chunking", "q38_token_counts",
-    // r8 arrival: sub-document dedup — corpus-wide first-occurrence
-    // state is the one new shape (unit-keyed min), so it probes on day 1
-    "q62_line_dedup")
+    // r8 arrivals: sub-document dedup — corpus-wide first-occurrence
+    // state is the one new shape (unit-keyed min) — and the composed
+    // cleaning pipeline, the heaviest single query in the contract
+    "q62_line_dedup", "q63_clean_pipeline")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

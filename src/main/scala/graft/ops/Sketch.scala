@@ -26,14 +26,22 @@ object Sketch {
     * public API only (round-2 hygiene: the previous
     * `catalyst.encoders.ExpressionEncoder` is private to Spark and breaks
     * across minors).
+    *
+    * The INPUT type is `Array[Long]`, not `Seq[Long]`: the primitive
+    * array deserializer is one `toLongArray` copy per row, where the Seq
+    * encoder boxes every slot — at k=256 over sf1's 600k docs that is
+    * 150M boxed Longs. Measured at sf1: the signature scan alone is
+    * ~2 s warm but scan+union was ~12 s with the Seq input — the
+    * aggregation loop is trivial, the encoder was the cost.
     */
   class MinhashUnion(k: Int, bufEnc: Encoder[Array[Long]],
                      outEnc: Encoder[Seq[Long]])
-      extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+      extends Aggregator[Array[Long], Array[Long], Seq[Long]] {
     def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
-    def reduce(buf: Array[Long], sig: Seq[Long]): Array[Long] = {
+    def reduce(buf: Array[Long], sig: Array[Long]): Array[Long] = {
       var i = 0
-      while (i < k && i < sig.length) {
+      val n = if (sig.length < k) sig.length else k
+      while (i < n) {
         if (sig(i) < buf(i)) buf(i) = sig(i)
         i += 1
       }

@@ -11,6 +11,8 @@ import graft.streaming.EventStreams
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double)
 
+case class Doc(doc_id: Long, ts: Timestamp, lang: String, text: String)
+
 /** Structured Streaming contracts: the streaming pipelines produce the
   * same answers as their batch twins, and watermarks/dedup state behave.
   * Driven through MemoryStream → memory sink, the standard harness.
@@ -104,6 +106,34 @@ class StreamingSpec extends SparkSpec {
       assert(rows === Set(
         (Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2L)))
     } finally q.stop()
+  }
+
+  test("cleanStream gates quality, dedups re-crawled content, labels splits") {
+    // ~20% stopwords → langGuess en, quality 1.0; 50+ words → not short
+    def good(tag: String) = ((1 to 50).map(i => s"$tag$i") :+
+      "the a an of and is to the a an of and is to").mkString(" ")
+    def doc(id: Long, minute: Int, text: String) =
+      Doc(id, Timestamp.valueOf(f"2024-01-01 10:${minute}%02d:00"), "en", text)
+    val input = MemoryStream[Doc](spark)
+    input.addData(
+      doc(1, 0, good("w")),        // kept
+      doc(2, 5, good("w")),        // dropped: same content re-crawled
+      doc(3, 6, "too short"),      // dropped: quality gate
+      doc(4, 7, good("z")))        // kept
+    val q = graft.streaming.DocumentStreams.cleanStream(input.toDF())
+      .writeStream.format("memory").queryName("cleandocs")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("cleandocs").select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(out.keySet === Set(1L, 4L), s"got $out")
+    assert(out.values.forall(Set("train", "val", "test")), s"got $out")
+    // the batch twin agrees on every kept doc's split label
+    val batchSplit = spark.table("cleandocs")
+      .withColumn("batch_split",
+        graft.ops.TextOps.splitAssign(col("text")))
+      .filter(col("split") =!= col("batch_split")).count()
+    assert(batchSplit === 0L)
   }
 
   test("dropDuplicatesWithinWatermark removes re-delivered event ids") {

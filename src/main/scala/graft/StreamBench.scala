@@ -73,12 +73,40 @@ object StreamBench {
         timestamp_micros(col("value") * 1000000L).as("ts"),
         (col("value") % users).as("user_id"))
 
-    val sessions = streaming.EventStreams
-      .sessionizeEventTime(spark, events, gapMinutes = 1,
-        watermark = "10 seconds")
-      .toDF("user_id", "session_start_us", "n_events")
+    // Pipeline under test: the sessionizer (default) or the document
+    // ingest cleaner (SPARK_GRAFT_STREAM_MODE=clean) — the second
+    // streaming path with per-row expression work (gate + fingerprint)
+    // in front of its state store, so the two modes bracket the
+    // state-light and expression-heavy ends of the streaming surface.
+    val mode = sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "sessionize")
+    require(mode == "sessionize" || mode == "clean",
+      s"SPARK_GRAFT_STREAM_MODE must be 'sessionize' or 'clean', got '$mode'")
 
-    val q = sessions.writeStream
+    val sink =
+      if (mode == "sessionize")
+        streaming.EventStreams
+          .sessionizeEventTime(spark, events, gapMinutes = 1,
+            watermark = "10 seconds")
+          .toDF("user_id", "session_start_us", "n_events")
+      else {
+        // rate → document shape: ~50-word gate-passing texts; integer-
+        // halved ids make every consecutive value pair share content, so
+        // HALF the stream is exact re-crawl the dedup must absorb
+        val docs = spark.readStream.format("rate")
+          .option("rowsPerSecond", rps)
+          .option("numPartitions", 8)
+          .load()
+          .select(col("timestamp").as("ts"), col("value").as("doc_id"),
+            lit("en").as("lang"),
+            concat_ws(" ",
+              lit("the a an of and is to the of and is"),
+              concat(lit("w"), expr("value div 2").cast("string")),
+              lit((1 to 40).map(i => s"t$i").mkString(" "))).as("text"))
+        streaming.DocumentStreams.cleanStream(docs, watermark = "10 seconds")
+          .select(col("doc_id"), col("fp"), col("split"))
+      }
+
+    val q = sink.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
         // batch-id-keyed egress dir: a batch re-executed after a crash
@@ -106,15 +134,21 @@ object StreamBench {
     // rather than a precondition check: "no batch dir", "only
     // _temporary from a stop() mid-write", and "schema-less empty batch
     // dir" all fail the read differently, and the fallback is the same.
+    // (in clean mode every egress row is one document, so the "events"
+    // count is the row count itself)
     val (egressSessions, egressEvents) =
       try {
+        val evAgg = if (mode == "sessionize")
+          coalesce(sum("n_events"), lit(0L)) else count(lit(1)).cast("long")
         val egress = spark.read.parquet(s"$out/batch=*")
-          .agg(count(lit(1)), coalesce(sum("n_events"), lit(0L))).head()
+          .agg(count(lit(1)), evAgg).head()
         (egress.getLong(0), egress.getLong(1))
       } catch { case scala.util.control.NonFatal(_) => (0L, 0L) }
     val rowsPerSec = egressEvents / elapsed
+    val metric = if (mode == "sessionize") "stream_sessionize_rows_per_sec"
+                 else "stream_clean_docs_per_sec"
     val line =
-      f"""{"metric":"stream_sessionize_rows_per_sec","value":$rowsPerSec%.0f,"unit":"rows/sec","egress_events":$egressEvents,"egress_sessions":$egressSessions,"listener_input_rows":${inputRows.get()},"elapsed_sec":$elapsed%.1f,"configured_rps":$rps,"state_store":"$stateStore"}"""
+      f"""{"metric":"$metric","value":$rowsPerSec%.0f,"unit":"rows/sec","egress_events":$egressEvents,"egress_sessions":$egressSessions,"listener_input_rows":${inputRows.get()},"elapsed_sec":$elapsed%.1f,"configured_rps":$rps,"state_store":"$stateStore","mode":"$mode"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT", "stream_bench.json")
     Files.writeString(Paths.get(outPath), line + "\n")
     println(line)

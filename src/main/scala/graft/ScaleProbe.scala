@@ -79,6 +79,16 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val small = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val big = args.lift(1).getOrElse("localdata/sf1")
+    // pre-run load flag (same rationale as StreamBench): a probe run on
+    // a busy machine inflates warm ratios and once misdiagnosed a
+    // rewrite as a non-improvement this round
+    val preload = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val cpus = Runtime.getRuntime.availableProcessors
+    val polluted = preload > cpus * 0.25
+    if (polluted) System.err.println(
+      f"POLLUTED: pre-run load average $preload%.1f on $cpus cpus — " +
+        "ratios will be inflated; rerun idle")
     val spark = GraftSession.local(appName = "graft-scaleprobe")
 
     def timeTwice(name: String, dir: String): (Double, Double) = {
@@ -113,7 +123,7 @@ object ScaleProbe {
 
     val anyChanged = results.exists(_.changed)
     val line =
-      s"""{"metric":"scale_probe","small":"$small","big":"$big","plan_changes":$anyChanged,"queries":{${results.map(_.json).mkString(",")}}}"""
+      f"""{"metric":"scale_probe","small":"$small","big":"$big","plan_changes":$anyChanged,"preload":$preload%.1f,"polluted":$polluted,"queries":{${results.map(_.json).mkString(",")}}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "scale_probe.json")
     Files.writeString(Paths.get(outPath), line + "\n")
     println(line)

@@ -26,6 +26,21 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQueryListener}
 object StreamBench {
 
   def main(args: Array[String]): Unit = {
+    // Sampled BEFORE the session spins up: a system already busy when
+    // the bench starts means the row will understate the pipeline (the
+    // early-r8 508k/359k state-store rows were exactly this — archived
+    // from a driver-loaded machine and only caught by idle reruns). The
+    // batch Bench self-flags with intra-run `noise`; a 20 s streaming
+    // run has no second sample to compare, so the pre-run load average
+    // is the honest proxy.
+    val preload = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val cpus = Runtime.getRuntime.availableProcessors
+    val polluted = preload > cpus * 0.25
+    if (polluted) System.err.println(
+      f"POLLUTED: pre-run load average $preload%.1f on $cpus cpus — " +
+        "throughput will understate the pipeline; rerun idle")
+
     val spark = GraftSession.local(appName = "graft-streambench")
     val rps = sys.env.getOrElse("SPARK_GRAFT_STREAM_RPS", "200000").toInt
     val secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "20").toInt
@@ -148,7 +163,7 @@ object StreamBench {
     val metric = if (mode == "sessionize") "stream_sessionize_rows_per_sec"
                  else "stream_clean_docs_per_sec"
     val line =
-      f"""{"metric":"$metric","value":$rowsPerSec%.0f,"unit":"rows/sec","egress_events":$egressEvents,"egress_sessions":$egressSessions,"listener_input_rows":${inputRows.get()},"elapsed_sec":$elapsed%.1f,"configured_rps":$rps,"state_store":"$stateStore","mode":"$mode"}"""
+      f"""{"metric":"$metric","value":$rowsPerSec%.0f,"unit":"rows/sec","egress_events":$egressEvents,"egress_sessions":$egressSessions,"listener_input_rows":${inputRows.get()},"elapsed_sec":$elapsed%.1f,"configured_rps":$rps,"state_store":"$stateStore","mode":"$mode","preload":$preload%.1f,"polluted":$polluted}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT", "stream_bench.json")
     Files.writeString(Paths.get(outPath), line + "\n")
     println(line)

@@ -45,7 +45,12 @@ object ScaleProbe {
     // r8 arrivals: sub-document dedup — corpus-wide first-occurrence
     // state is the one new shape (unit-keyed min) — and the composed
     // cleaning pipeline, the heaviest single query in the contract
-    "q62_line_dedup", "q63_clean_pipeline")
+    "q62_line_dedup", "q63_clean_pipeline",
+    // late-r8 arrivals: incremental batch-vs-base dedup (the capped base
+    // bucket index is the new shape — its cost must track the BATCH, not
+    // the base) and the shuffle-shard export (one shard-keyed shuffle
+    // whose per-shard sort is the write layout itself)
+    "q64_incremental_dedup", "q65_shuffle_shard")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

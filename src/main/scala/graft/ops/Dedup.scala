@@ -211,6 +211,75 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("ham").cast("int").as("ham"))
   }
 
+  /** Incremental cross-corpus near-duplicates: which documents of a NEW
+    * batch near-duplicate some document of an EXISTING base corpus — the
+    * continuous-ingestion twin of [[nearDupMinhash]]. A production corpus
+    * is not deduped from scratch per crawl: the base is fixed and already
+    * clean, and each incoming batch must be checked AGAINST it without
+    * re-pairing the base with itself.
+    *
+    * Pipeline: both sides get the same fused shingles→MinHash→band
+    * expressions; the base's band rows aggregate ONCE into a capped
+    * bucket index (band, band_hash) → ids (the persistable "signature
+    * index" — at 100 TB this table is computed once, stored, and only
+    * the batch side is ever recomputed); the batch's band rows equi-join
+    * that index, explode to (new, base) candidates, and exact Jaccard
+    * verifies. Nothing pairs the base with itself, nothing pairs the
+    * batch with itself, and the join fan-out per batch row is bounded by
+    * `maxBucket` ([[CappedIdSetAgg]] tombstones degenerate boilerplate
+    * buckets on the base side before they cross the shuffle).
+    *
+    * Cost shape at scale: O(batch) new work per batch plus one stored
+    * scan of the base index — NOT O(base + batch) — which is the whole
+    * point of incremental dedup. Within-batch duplicates are deliberately
+    * NOT reported (run [[nearDupMinhash]] on the batch for those).
+    *
+    * Output: (new_id, base_id, jacc) for every cross pair with shingle
+    * Jaccard >= `threshold`; recall follows the same band/row bound as
+    * [[nearDupMinhash]] (certainty ~1-1e-8 at s >= 0.9 with 16×8).
+    */
+  def crossNearDup(newBatch: DataFrame, base: DataFrame,
+                   idCol: String, textCol: String,
+                   threshold: Double = 0.5, shingleN: Int = 3,
+                   k: Int = 128, bands: Int = 16, rowsPerBand: Int = 8,
+                   maxBucket: Int = 1000): DataFrame = {
+    require(bands * rowsPerBand == k, "bands*rowsPerBand must equal k")
+    def shingled(df: DataFrame, as: String, shAs: String) =
+      df.select(col(idCol).as(as),
+        TextOps.shingles(col(textCol), shingleN).as(shAs))
+        .filter(size(col(shAs)) > 0)
+    def banded(sh: DataFrame, idAs: String, shCol: String) =
+      sh.select(col(idAs).as("id"),
+        posexplode(TextOps.minhashBands(col(shCol), k, bands))
+          .as(Seq("band", "band_hash")))
+    val shNew = shingled(newBatch, "new_id", "sh_n")
+    val shBase = shingled(base, "base_id", "sh_b")
+    val capped = udaf(new CappedIdSetAgg(maxBucket))
+    val baseIndex = banded(shBase, "base_id", "sh_b")
+      .groupBy(col("band"), col("band_hash"))
+      .agg(capped(col("id")).as("cs"))
+      .filter(!col("cs.overflow"))
+      .select(col("band"), col("band_hash"), col("cs.ids").as("base_ids"))
+    banded(shNew, "new_id", "sh_n")
+      .withColumnRenamed("id", "new_id")
+      .join(baseIndex, Seq("band", "band_hash"))
+      .select(col("new_id"), explode(col("base_ids")).as("base_id"))
+      .distinct()
+      .join(shNew, Seq("new_id"))
+      .join(shBase, Seq("base_id"))
+      .withColumn("jacc", TextOps.jaccard(col("sh_n"), col("sh_b")))
+      .filter(col("jacc") >= threshold)
+      .select(col("new_id"), col("base_id"), round(col("jacc"), 4).as("jacc"))
+  }
+
+  /** The batch that ships after incremental dedup: `newBatch` minus every
+    * document [[crossNearDup]] flagged against the base. One anti-join on
+    * the precomputed pair set, mirroring [[survivors]].
+    */
+  def admitBatch(newBatch: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    newBatch.join(pairs.select(col("new_id")),
+      newBatch(idCol) === col("new_id"), "left_anti")
+
   /** Survivors of a verified near-dup pair set: the corpus MINUS every row
     * that is the LARGER id of some pair (keep-first greedy — the standard
     * production choice; transitive chains keep their smallest member

@@ -278,6 +278,42 @@ object TextOps {
       pmod(fingerprint(concat(lit("mix:"), col(textCol))), lit(100L)) < pct)
   }
 
+  /** Deterministic global shuffle + fixed shard assignment — the EXPORT
+    * pass that turns a cleaned corpus into N training shards in a
+    * reproducible pseudo-random order (training wants documents
+    * decorrelated from crawl/source order, and wants the exact same
+    * shards on every rerun — an RNG-keyed shuffle gives neither).
+    *
+    * Content-keyed like [[splitAssign]]/[[mixtureSample]] and SALTED
+    * (`"shard:" + text`) so the shard bucket is independent of both the
+    * split and the mix buckets: shard = fingerprint mod `nShards`,
+    * position within the shard = rank by (fingerprint, id). Exact
+    * duplicate texts ride into the same shard adjacent to each other —
+    * the content-keyed contract shared by the whole stack.
+    *
+    * Scale shape: the assignment is a pure per-row expression (one
+    * scan), and the ordering is ONE shuffle on the shard key with a
+    * per-shard sort — exactly the `repartition(shard).sortWithinPartitions`
+    * a sharded writer executes anyway, so the shuffle isn't overhead, it
+    * IS the write layout. Per-shard parallelism = `nShards`; at cluster
+    * scale pick nShards ≥ the executor count (shards are files — 100 TB
+    * exports run thousands), never single-digit.
+    *
+    * Output: the input columns plus (shard, pos), pos dense 1..n within
+    * each shard.
+    */
+  def shuffleShard(df: DataFrame, idCol: String, textCol: String,
+                   nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__shard_key"), col(idCol))
+    df.withColumn("__shard_key",
+        fingerprint(concat(lit("shard:"), col(textCol))))
+      .withColumn("shard", pmod(col("__shard_key"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__shard_key")
+  }
+
   /** Sliding-window document chunking — the pass that turns variable-
     * length documents into training-ready pieces of at most `window`
     * words with `overlap` words of context carried between consecutive

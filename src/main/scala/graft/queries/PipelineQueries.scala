@@ -495,6 +495,37 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"), col("split"))
   }
 
+  /** Incremental cross-corpus dedup ([[Dedup.crossNearDup]]): the
+    * src10–src19 half of the corpus arrives as a NEW batch and is checked
+    * against the src0–src9 half as the existing base — the
+    * continuous-ingestion pass that never re-pairs the base with itself.
+    * The fixture's planted near-dup pairs mostly straddle sources, so the
+    * cross split is non-vacuous (12 pairs at sf0.01); the oracle
+    * recomputes exact shingle Jaccard over all cross pairs in DuckDB, so
+    * both the pair list and the similarity values are pinned. Within-half
+    * duplicate pairs must NOT appear — the oracle enforces the cross-only
+    * contract too.
+    */
+  def q64(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    Dedup.crossNearDup(
+      docs.filter(length(col("source")) > 4),
+      docs.filter(length(col("source")) <= 4),
+      "doc_id", "text", threshold = 0.5)
+  }
+
+  /** Deterministic shuffle-shard export ([[TextOps.shuffleShard]]):
+    * every document assigned to one of 8 shards with a dense position in
+    * a content-keyed pseudo-random order. The oracle recomputes the
+    * salted fingerprint, the mod-8 shard, and the rank in DuckDB, so the
+    * full (doc_id, shard, pos) layout — the exact bytes-on-disk order of
+    * a training export — is pinned, not just shard counts.
+    */
+  def q65(s: SparkSession, dir: String): DataFrame =
+    TextOps.shuffleShard(t(s, dir)("documents"), "doc_id", "text",
+      nShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_dedup_keyed"     -> (q21 _),
     "q22_dedup_text_exact" -> (q22 _),
@@ -523,6 +554,8 @@ object PipelineQueries {
     "q61_decontaminate"   -> (q61 _),
     "q62_line_dedup"      -> (q62 _),
     "q63_clean_pipeline"  -> (q63 _),
+    "q64_incremental_dedup" -> (q64 _),
+    "q65_shuffle_shard"   -> (q65 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -652,6 +685,30 @@ object PipelineQueries {
          SELECT doc_id, source FROM documents
          WHERE source <> 'src0'
            AND doc_id NOT IN (SELECT doc_id FROM flagged)"""),
+    "q64_incremental_dedup" -> (shingleCte +
+      """, d AS (SELECT s.doc_id, doc.source, s.sh
+                 FROM s JOIN documents doc ON s.doc_id = doc.doc_id)
+         SELECT n.doc_id AS new_id, b.doc_id AS base_id,
+                round(CAST(len(list_intersect(n.sh, b.sh)) AS DOUBLE)
+                      / len(list_distinct(n.sh || b.sh)), 4) AS jacc
+         FROM d n JOIN d b
+           ON length(n.source) > 4 AND length(b.source) <= 4
+         WHERE len(n.sh) > 0 AND len(b.sh) > 0
+           AND CAST(len(list_intersect(n.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(n.sh || b.sh)) >= 0.5"""),
+    "q65_shuffle_shard" ->
+      """WITH f AS (SELECT doc_id,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length('shard:' || text)+1),
+                      i -> CAST(unicode(substr('shard:' || text,
+                        CAST(i AS INT), 1)) AS BIGINT))),
+                  (a, b) -> (a*31 + b) % 1000000007) AS fp
+              FROM documents)
+         SELECT doc_id, fp % 8 AS shard,
+                row_number() OVER (PARTITION BY fp % 8
+                                   ORDER BY fp, doc_id) AS pos
+         FROM f""",
     "q58_repetition" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
                     FROM documents),

@@ -523,4 +523,81 @@ class OpsSpec extends SparkSpec {
       .select(TextOps.fingerprint(col("t"))).as[Long].head()
     assert(got === expected)
   }
+
+  test("cross-corpus dedup flags batch-vs-base pairs ONLY; admitBatch scrubs") {
+    // base doc 1 near-dups batch doc 11 (2 of 60 words changed, Jaccard
+    // ≈ 0.93); batch docs 12/13 are identical to EACH OTHER but unlike
+    // anything in the base — a within-batch pair that must NOT be
+    // reported (that's nearDupMinhash-on-the-batch's job).
+    val base1 = (1 to 60).map(i => s"w$i").mkString(" ")
+    val mutated = ((1 to 58).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")
+    val inner = (100 to 160).map(i => s"z$i").mkString(" ")
+    val base = Seq((1L, base1), (2L, (200 to 260).map(i => s"y$i").mkString(" ")))
+      .toDF("id", "text")
+    val batch = Seq((11L, mutated), (12L, inner), (13L, inner))
+      .toDF("id", "text")
+    val pairs = Dedup.crossNearDup(batch, base, "id", "text", threshold = 0.5)
+    val got = pairs.select("new_id", "base_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((11L, 1L)))
+    // the admitted batch drops exactly the flagged doc
+    val admitted = Dedup.admitBatch(batch, "id", pairs)
+      .select("id").as[Long].collect().toSet
+    assert(admitted === Set(12L, 13L))
+  }
+
+  test("cross-corpus dedup caps degenerate base buckets, one agg shuffle") {
+    // 30 identical boilerplate docs in the BASE share every band bucket;
+    // with maxBucket=10 the capped index tombstones them, so a batch doc
+    // of the same boilerplate matches nothing — while the planted
+    // distinct pair still comes through. Same cap contract as the
+    // self-join dedup, now on the ingestion path.
+    val boiler = "the same boilerplate legal disclaimer text block " * 4
+    val base1 = (1 to 60).map(i => s"w$i").mkString(" ")
+    val mutated = ((1 to 58).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")
+    val base = ((1 to 30).map(i => (i.toLong, boiler)) :+ (100L, base1))
+      .toDF("id", "text")
+    val batch = Seq((200L, boiler), (201L, mutated)).toDF("id", "text")
+    val out = Dedup.crossNearDup(batch, base, "id", "text",
+      threshold = 0.5, maxBucket = 10)
+    val got = out.select("new_id", "base_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((201L, 100L)),
+      s"boilerplate bucket must be capped away, planted pair kept: $got")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("cappedidsetagg"),
+      s"expected the size-capped collector in the plan:\n$plan")
+  }
+
+  test("shuffleShard: complete cover, dense per-shard positions, deterministic") {
+    val docs = (1 to 97).map(i => (i.toLong, s"document number $i with words"))
+      .toDF("doc_id", "text")
+    val out = TextOps.shuffleShard(docs, "doc_id", "text", nShards = 4)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Long)].collect()
+    // every input row lands in exactly one shard
+    assert(out.map(_._1).toSet === (1 to 97).map(_.toLong).toSet)
+    assert(out.forall(r => r._2 >= 0 && r._2 < 4))
+    // positions are dense 1..n within each shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // rerun is byte-identical (content-keyed, no RNG)
+    val again = TextOps.shuffleShard(docs, "doc_id", "text", nShards = 4)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("shuffleShard: exact-duplicate texts ride into the same shard, adjacent") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta"), (4L, "eta theta iota"))
+      .toDF("doc_id", "text")
+    val out = TextOps.shuffleShard(docs, "doc_id", "text", nShards = 2)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Long)].collect()
+    val byId = out.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(1L)._1 === byId(2L)._1, "same content, same shard")
+    // identical fingerprints sort adjacent, tie-broken by id
+    assert(math.abs(byId(1L)._2 - byId(2L)._2) === 1L)
+    assert(byId(1L)._2 < byId(2L)._2, "tie-break by id is ascending")
+  }
 }

@@ -50,7 +50,10 @@ object ScaleProbe {
     // bucket index is the new shape — its cost must track the BATCH, not
     // the base) and the shuffle-shard export (one shard-keyed shuffle
     // whose per-shard sort is the write layout itself)
-    "q64_incremental_dedup", "q65_shuffle_shard")
+    "q64_incremental_dedup", "q65_shuffle_shard",
+    // sequence packing: the window-cumsum pass whose exchange must be
+    // REUSED from the shard assignment (one shuffle for the composition)
+    "q66_pack_sequences")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

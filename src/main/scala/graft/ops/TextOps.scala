@@ -314,6 +314,42 @@ object TextOps {
       .drop("__shard_key")
   }
 
+  /** Token-budget sequence packing — the LAST export pass: lay the
+    * shuffled corpus end-to-end and cut it into fixed `ctxTokens`-token
+    * context windows (GPT-style pretraining packs documents back to
+    * back and splits at exact context boundaries; padding each doc to
+    * its own sequence wastes the budget). Input is a sharded corpus
+    * ([[shuffleShard]] output — or any (shard, pos) layout); output adds
+    * per-document (n_tokens, tok_offset, seq_first, seq_last): the
+    * document's token span starts at global in-shard offset
+    * `tok_offset` and touches sequences `seq_first..seq_last` —
+    * `seq_last > seq_first` means the document straddles a context
+    * boundary. Offsets are exact integer arithmetic (`div`, not
+    * floating-point floor — a 100 TB shard's offsets exceed a double's
+    * integer range).
+    *
+    * Scale shape: one running-sum window per shard, partitioned on the
+    * SAME key [[shuffleShard]] already shuffled on — composing the two
+    * reuses the exchange (one shuffle total, PlanSpec-pinned), and
+    * per-shard state is a single running counter. Token counts use
+    * [[tokens]] (`\s+`-of-stripped) like the whole quality stack.
+    */
+  def packSequences(sharded: DataFrame, textCol: String,
+                    shardCol: String, posCol: String,
+                    ctxTokens: Int): DataFrame = {
+    require(ctxTokens > 0, s"ctxTokens must be positive, got $ctxTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(posCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    sharded
+      .withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
+      .withColumn("tok_offset",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_first", expr(s"tok_offset div $ctxTokens"))
+      .withColumn("seq_last",
+        expr(s"(tok_offset + n_tokens - 1) div $ctxTokens"))
+  }
+
   /** Sliding-window document chunking — the pass that turns variable-
     * length documents into training-ready pieces of at most `window`
     * words with `overlap` words of context carried between consecutive

@@ -526,6 +526,23 @@ object PipelineQueries {
       nShards = 8)
       .select(col("doc_id"), col("shard"), col("pos"))
 
+  /** Sequence packing over the sharded corpus ([[TextOps.packSequences]]
+    * composed on [[TextOps.shuffleShard]]): every document's token span
+    * laid end-to-end per shard and cut into 256-token context windows.
+    * The oracle recomputes shard, rank, running offset, and the integer
+    * sequence bounds in DuckDB, so the exact byte layout of a packed
+    * training export — including which documents straddle a context
+    * boundary — is pinned. The composition shares the shard key, so the
+    * two passes plan as ONE shuffle (PlanSpec).
+    */
+  def q66(s: SparkSession, dir: String): DataFrame =
+    TextOps.packSequences(
+      TextOps.shuffleShard(t(s, dir)("documents"), "doc_id", "text",
+        nShards = 8),
+      "text", "shard", "pos", ctxTokens = 256)
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("tok_offset"), col("seq_first"), col("seq_last"))
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_dedup_keyed"     -> (q21 _),
     "q22_dedup_text_exact" -> (q22 _),
@@ -556,6 +573,7 @@ object PipelineQueries {
     "q63_clean_pipeline"  -> (q63 _),
     "q64_incremental_dedup" -> (q64 _),
     "q65_shuffle_shard"   -> (q65 _),
+    "q66_pack_sequences"  -> (q66 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -709,6 +727,31 @@ object PipelineQueries {
                 row_number() OVER (PARTITION BY fp % 8
                                    ORDER BY fp, doc_id) AS pos
          FROM f""",
+    "q66_pack_sequences" ->
+      """WITH f AS (SELECT doc_id, text,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length('shard:' || text)+1),
+                      i -> CAST(unicode(substr('shard:' || text,
+                        CAST(i AS INT), 1)) AS BIGINT))),
+                  (a, b) -> (a*31 + b) % 1000000007) AS fp
+              FROM documents),
+         g AS (SELECT doc_id, fp % 8 AS shard,
+                row_number() OVER (PARTITION BY fp % 8
+                                   ORDER BY fp, doc_id) AS pos,
+                CAST(len(regexp_split_to_array(
+                  regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                  '\s+')) AS BIGINT) AS n_tokens
+              FROM f),
+         o AS (SELECT doc_id, shard, n_tokens,
+                COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS tok_offset
+              FROM g)
+         SELECT doc_id, shard, n_tokens, tok_offset,
+                tok_offset // 256 AS seq_first,
+                (tok_offset + n_tokens - 1) // 256 AS seq_last
+         FROM o""",
     "q58_repetition" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
                     FROM documents),

@@ -587,6 +587,47 @@ class OpsSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
 
+  test("packSequences: exact offsets, boundary-straddling docs flagged") {
+    // one shard (nShards=1) makes the layout hand-checkable: docs pack
+    // back to back in (fingerprint, id) order; with ctx=8 a 5-token doc
+    // starting at offset 6 must straddle sequences 0 and 1
+    val docs = Seq(
+      (1L, "a b c d e f"),         // 6 tokens
+      (2L, "g h i j k"),           // 5 tokens
+      (3L, "l m n o p q r s t")).toDF("doc_id", "text") // 9 tokens
+    val out = TextOps.packSequences(
+      TextOps.shuffleShard(docs, "doc_id", "text", nShards = 1),
+      "text", "shard", "pos", ctxTokens = 8)
+      .select("doc_id", "pos", "n_tokens", "tok_offset", "seq_first", "seq_last")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._2)
+    // offsets are the running sum of the preceding docs, gap-free
+    assert(out.head._4 === 0L)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 === a._4 + a._3, s"offset gap between pos ${a._2} and ${b._2}")
+    }
+    // every doc's sequence bounds are exactly its token span div ctx
+    out.foreach { case (_, _, n, off, first, last) =>
+      assert(first === off / 8)
+      assert(last === (off + n - 1) / 8)
+    }
+    // 20 tokens at ctx=8 → some doc must straddle a boundary
+    assert(out.exists(r => r._6 > r._5), s"expected a straddling doc: ${out.toSeq}")
+  }
+
+  test("packSequences composed on shuffleShard plans as ONE shuffle") {
+    val docs = (1 to 50).map(i => (i.toLong, s"doc $i has several words here"))
+      .toDF("doc_id", "text")
+    val out = TextOps.packSequences(
+      TextOps.shuffleShard(docs, "doc_id", "text", nShards = 4),
+      "text", "shard", "pos", ctxTokens = 64)
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1,
+      s"shard assignment and packing share the shard key — expected the " +
+        s"exchange to be reused, got $exchanges:\n$plan")
+  }
+
   test("shuffleShard: exact-duplicate texts ride into the same shard, adjacent") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "delta epsilon zeta"), (4L, "eta theta iota"))

@@ -248,20 +248,14 @@ object Dedup {
       df.select(col(idCol).as(as),
         TextOps.shingles(col(textCol), shingleN).as(shAs))
         .filter(size(col(shAs)) > 0)
-    def banded(sh: DataFrame, idAs: String, shCol: String) =
-      sh.select(col(idAs).as("id"),
-        posexplode(TextOps.minhashBands(col(shCol), k, bands))
-          .as(Seq("band", "band_hash")))
     val shNew = shingled(newBatch, "new_id", "sh_n")
     val shBase = shingled(base, "base_id", "sh_b")
-    val capped = udaf(new CappedIdSetAgg(maxBucket))
-    val baseIndex = banded(shBase, "base_id", "sh_b")
-      .groupBy(col("band"), col("band_hash"))
-      .agg(capped(col("id")).as("cs"))
-      .filter(!col("cs.overflow"))
-      .select(col("band"), col("band_hash"), col("cs.ids").as("base_ids"))
-    banded(shNew, "new_id", "sh_n")
-      .withColumnRenamed("id", "new_id")
+    val baseIndex = bandIndex(base, idCol, textCol, shingleN, k, bands,
+      maxBucket)
+    shNew
+      .select(col("new_id"),
+        posexplode(TextOps.minhashBands(col("sh_n"), k, bands))
+          .as(Seq("band", "band_hash")))
       .join(baseIndex, Seq("band", "band_hash"))
       .select(col("new_id"), explode(col("base_ids")).as("base_id"))
       .distinct()
@@ -270,6 +264,31 @@ object Dedup {
       .withColumn("jacc", TextOps.jaccard(col("sh_n"), col("sh_b")))
       .filter(col("jacc") >= threshold)
       .select(col("new_id"), col("base_id"), round(col("jacc"), 4).as("jacc"))
+  }
+
+  /** The persistable LSH "signature index" of a base corpus: one row per
+    * (band, band_hash) bucket with the (size-capped) member ids. This is
+    * the artifact a continuous-ingestion pipeline computes ONCE over the
+    * existing corpus, stores, and joins every incoming batch — or stream
+    * micro-batch ([[graft.streaming.DocumentStreams.flagAgainstBase]]) —
+    * against; degenerate boilerplate buckets are tombstoned during
+    * aggregation ([[CappedIdSetAgg]]), so the fan-out of any later join
+    * against the index is bounded by `maxBucket` per band row.
+    */
+  def bandIndex(base: DataFrame, idCol: String, textCol: String,
+                shingleN: Int = 3, k: Int = 128, bands: Int = 16,
+                maxBucket: Int = 1000): DataFrame = {
+    val capped = udaf(new CappedIdSetAgg(maxBucket))
+    base.select(col(idCol).as("id"),
+        TextOps.shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"),
+        posexplode(TextOps.minhashBands(col("sh"), k, bands))
+          .as(Seq("band", "band_hash")))
+      .groupBy(col("band"), col("band_hash"))
+      .agg(capped(col("id")).as("cs"))
+      .filter(!col("cs.overflow"))
+      .select(col("band"), col("band_hash"), col("cs.ids").as("base_ids"))
   }
 
   /** The batch that ships after incremental dedup: `newBatch` minus every

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.ops.TextOps
+import graft.ops.{Dedup, TextOps}
 
 /** Streaming ingest cleaning for a document stream (schema: doc_id, ts,
   * lang, text) — the streaming twin of the batch
@@ -19,16 +19,18 @@ import graft.ops.TextOps
   *     watermark of distinct fingerprints, at any rate;
   *  3. the content-keyed split label, stateless.
   *
-  * Near-dup LSH and decontamination are deliberately ABSENT: both need
-  * corpus-wide state (all bucket members / the full probe gram table
-  * joined against everything seen), which an unbounded stream cannot
-  * hold. Production runs ingest through this stream for cheap
-  * at-the-door hygiene and the full [[graft.ops.TextOps.cleanCorpus]]
-  * in the batch compaction pass — the standard lambda split, encoded
-  * here by the two operators sharing their stage implementations
-  * (same gate expressions, same fingerprint, same split hash), so the
-  * stream and the batch pass can never disagree about a document they
-  * both keep.
+  * STREAM-VS-ITSELF near-dup LSH and decontamination are deliberately
+  * absent from [[cleanStream]]: both need corpus-wide state (all bucket
+  * members / the full probe gram table joined against everything seen),
+  * which an unbounded stream cannot hold. Near-dup against a STATIC
+  * base corpus is a different shape — stream-static joins over the
+  * persisted band index — and [[flagAgainstBase]] provides it.
+  * Production runs ingest through this stream for cheap at-the-door
+  * hygiene and the full [[graft.ops.TextOps.cleanCorpus]] in the batch
+  * compaction pass — the standard lambda split, encoded here by the two
+  * operators sharing their stage implementations (same gate
+  * expressions, same fingerprint, same split hash), so the stream and
+  * the batch pass can never disagree about a document they both keep.
   */
 object DocumentStreams {
 
@@ -42,4 +44,54 @@ object DocumentStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
       .withColumn("split", TextOps.splitAssign(col("text")))
+
+  /** Near-dup flags for ARRIVING documents against an EXISTING base
+    * corpus — the streaming twin of [[graft.ops.Dedup.crossNearDup]],
+    * and the one LSH shape a stream CAN run: the base is static, so the
+    * whole candidate path is stream-static joins (stateless — Spark
+    * re-plans the static side per micro-batch) against the same
+    * persistable [[graft.ops.Dedup.bandIndex]] the batch pass joins, and
+    * the only streaming state is the per-pair emit dedup, bounded by the
+    * watermark. Stream-vs-ITSELF LSH stays deliberately absent (see
+    * [[cleanStream]]) — that is the shape needing corpus-wide state.
+    *
+    * Emits one (new_id, base_id, jacc, ts) row per flagged pair: a pair
+    * colliding in several bands produces several candidate rows, and
+    * `dropDuplicatesWithinWatermark` collapses them (same-key re-emits
+    * past the watermark are possible on re-delivery, like every
+    * watermark-bounded dedup). The doc's shingle set rides the band
+    * fan-out (bands× per doc within a micro-batch) — the price of
+    * verifying exactly without a second pass over the stream; fan-out
+    * after the index join is bounded by the index's `maxBucket` cap.
+    * Callers persist `base`/the index — at 100 TB the index is a stored
+    * table, not a per-batch recomputation.
+    */
+  def flagAgainstBase(docs: DataFrame, base: DataFrame,
+                      watermark: String = "10 minutes",
+                      threshold: Double = 0.5, shingleN: Int = 3,
+                      k: Int = 128, bands: Int = 16,
+                      maxBucket: Int = 1000): DataFrame = {
+    val idx = Dedup.bandIndex(base, "doc_id", "text", shingleN, k, bands,
+      maxBucket)
+    val baseSh = base.select(col("doc_id").as("base_id"),
+        TextOps.shingles(col("text"), shingleN).as("sh_b"))
+      .filter(size(col("sh_b")) > 0)
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id").as("new_id"), col("ts"),
+        TextOps.shingles(col("text"), shingleN).as("sh_n"))
+      .filter(size(col("sh_n")) > 0)
+      .select(col("new_id"), col("ts"), col("sh_n"),
+        posexplode(TextOps.minhashBands(col("sh_n"), k, bands))
+          .as(Seq("band", "band_hash")))
+      .join(idx, Seq("band", "band_hash"))
+      .select(col("new_id"), col("ts"), col("sh_n"),
+        explode(col("base_ids")).as("base_id"))
+      .join(baseSh, Seq("base_id"))
+      .withColumn("jacc", TextOps.jaccard(col("sh_n"), col("sh_b")))
+      .filter(col("jacc") >= threshold)
+      .dropDuplicatesWithinWatermark("new_id", "base_id")
+      .select(col("new_id"), col("base_id"),
+        round(col("jacc"), 4).as("jacc"), col("ts"))
+  }
 }

@@ -136,6 +136,32 @@ class StreamingSpec extends SparkSpec {
     assert(batchSplit === 0L)
   }
 
+  test("flagAgainstBase flags arriving near-dups of the static base only") {
+    // base doc 100 ≈ stream doc 1 (2 of 60 words changed, Jaccard ≈
+    // 0.93); stream docs 2/3 are identical to EACH OTHER but unlike the
+    // base — within-stream pairs must NOT be flagged (stream-vs-itself
+    // LSH is deliberately not this operator's job)
+    val baseText = (1 to 60).map(i => s"w$i").mkString(" ")
+    val mutated = ((1 to 58).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")
+    val inner = (100 to 160).map(i => s"z$i").mkString(" ")
+    val base = Seq((100L, baseText), (101L, (200 to 260).map(i => s"y$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    def doc(id: Long, minute: Int, text: String) =
+      Doc(id, Timestamp.valueOf(f"2024-01-01 10:${minute}%02d:00"), "en", text)
+    val input = MemoryStream[Doc](spark)
+    input.addData(doc(1, 0, mutated), doc(2, 1, inner), doc(3, 2, inner))
+    val q = graft.streaming.DocumentStreams.flagAgainstBase(
+        input.toDF(), base)
+      .writeStream.format("memory").queryName("flags")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val flags = spark.table("flags").select("new_id", "base_id")
+      .as[(Long, Long)].collect().toSeq
+    // exactly ONE row: the multi-band collisions of the (1, 100) pair
+    // are collapsed by the watermark-bounded pair dedup
+    assert(flags === Seq((1L, 100L)), s"got $flags")
+  }
+
   test("dropDuplicatesWithinWatermark removes re-delivered event ids") {
     val input = MemoryStream[Ev](spark)
     input.addData(ev(1, 0, "click", 1.0), ev(1, 0, "click", 1.0),

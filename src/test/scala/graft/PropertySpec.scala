@@ -169,6 +169,79 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("shuffleShard is a permutation: unique (shard,pos), dense, hash-keyed") {
+    // for ANY corpus and shard count: every row gets exactly one slot,
+    // slots are dense per shard, and the shard equals the salted
+    // fingerprint mod n computed independently — the law that makes the
+    // export order reproducible across engines
+    val gen = Gen.zip(Gen.nonEmptyListOf(docTexts), Gen.choose(1, 5))
+    check(gen, n = 5) { case (texts, nShards) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = TextOps.shuffleShard(df, "doc_id", "text", nShards)
+        .select(col("doc_id"), col("shard"), col("pos"),
+          pmod(TextOps.fingerprint(concat(lit("shard:"), col("text"))),
+            lit(nShards.toLong)).as("expect"))
+        .as[(Long, Long, Long, Long)].collect()
+      assert(out.length === texts.size)
+      assert(out.forall(r => r._2 === r._4), "shard == salted fp mod n")
+      assert(out.map(r => (r._2, r._3)).distinct.length === out.length,
+        "slots are unique")
+      out.groupBy(_._2).foreach { case (_, rs) =>
+        assert(rs.map(_._3).sorted.toSeq === (1L to rs.length).toSeq) }
+    }
+  }
+
+  test("packSequences conserves tokens: offsets gap-free, spans tile the shard") {
+    // per shard: offsets are the exclusive prefix sum (no gaps, no
+    // overlaps) and the last span ends at the shard's total token count
+    // — packing never loses or duplicates a token, for ANY corpus
+    val gen = Gen.zip(Gen.nonEmptyListOf(docTexts), Gen.choose(1, 3),
+      Gen.choose(2, 9))
+    check(gen, n = 5) { case (texts, nShards, ctx) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = TextOps.packSequences(
+        TextOps.shuffleShard(df, "doc_id", "text", nShards),
+        "text", "shard", "pos", ctx)
+        .select("shard", "pos", "n_tokens", "tok_offset", "seq_first", "seq_last")
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+      out.groupBy(_._1).foreach { case (_, rs) =>
+        val sorted = rs.sortBy(_._2)
+        assert(sorted.head._4 === 0L)
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(b._4 === a._4 + a._3, "gap-free")
+          case _ => ()
+        }
+        val last = sorted.last
+        assert(last._4 + last._3 === rs.map(_._3).sum, "spans tile the shard")
+      }
+      out.foreach { case (_, _, n, off, first, last) =>
+        assert(first === off / ctx && last === (off + n - 1) / ctx)
+      }
+    }
+  }
+
+  test("admitBatch ∪ flagged partitions the batch for any corpora") {
+    // incremental dedup never loses a document: every batch id is either
+    // flagged against the base or admitted, never both, never neither
+    val gen = Gen.zip(Gen.nonEmptyListOf(docTexts), Gen.nonEmptyListOf(docTexts))
+    check(gen, n = 4) { case (baseTexts, batchTexts) =>
+      val base = baseTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val batch = batchTexts.zipWithIndex
+        .map { case (t, i) => (1000L + i, t) }.toDF("id", "text")
+      val pairs = Dedup.crossNearDup(batch, base, "id", "text",
+        threshold = 0.3, shingleN = 1)
+      val flagged = pairs.select("new_id").as[Long].collect().toSet
+      val admitted = Dedup.admitBatch(batch, "id", pairs)
+        .select("id").as[Long].collect().toSet
+      val all = batchTexts.indices.map(i => 1000L + i).toSet
+      assert((flagged union admitted) === all)
+      assert((flagged intersect admitted) === Set.empty[Long])
+    }
+  }
+
   test("native portable_fingerprint == interpreted HOF on arbitrary strings") {
     // the native expression replaced `aggregate(split(text, ""), …)`
     // (round-7 verdict #1); this law pins them IDENTICAL — same split

@@ -45,8 +45,12 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cv"))
-    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+    // vectors ride in their SOURCE type: vec_cosine widens each element
+    // to double inside its fused loop (bit-identical to a cast column),
+    // so casting float corpora up front would only double every
+    // broadcast/shuffle payload carrying a vector
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val scored = c.join(broadcast(q), col("nid") =!= col("qid"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
     TopK.perQuery(scored, k)
@@ -74,12 +78,14 @@ object Similarity {
               bits: Int = 12, seed: Long = 42L,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cv"))
+    // source-typed vectors: srp_bucket and vec_cosine both widen floats
+    // element-wise, so the cast would only fatten the bucket shuffle
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"))
       .withColumn("bucket", srpBucket(col("cv"), bits, seed))
     val probes = transform(sequence(lit(0), lit(bits)),
       j => when(j === 0, col("qbucket"))
         .otherwise(col("qbucket").bitwiseXOR(call_function("shiftleft", lit(1L), j - 1))))
-    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("qbucket", srpBucket(col("qv"), bits, seed))
       .withColumn("bucket", explode(probes))
       .select(col("qid"), col("qv"), col("bucket"))
@@ -263,8 +269,13 @@ object Similarity {
       if (bitsPerBand > 0) (bitsPerBand, bands)
       else {
         val rows = math.max(if (n > 0) n else corpus.count(), 2L)
+        // occupancy target 16 (was 64): verification cost ∝ bands × n ×
+        // occupancy, and shrinking the buckets 4× costs only ~1.4× more
+        // bands at threshold 0.9 (p^bits falls, so the 90%-recall band
+        // count rises) — measured 3× fewer exact cosines at sf1 for a
+        // band-generation cost that stays trivial next to them
         val bits = math.max(8, math.ceil(
-          math.log(rows / 64.0) / math.log(2.0)).toInt)
+          math.log(rows / 16.0) / math.log(2.0)).toInt)
         val p = 1.0 - math.acos(math.min(threshold, 1.0)) / math.Pi
         val perBand = math.pow(p, bits)
         val b = math.max(1,
@@ -276,7 +287,10 @@ object Similarity {
             f"or use ivfTopK")
         (bits, b)
       }
-    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    // source-typed vectors (srp_bucket/vec_cosine widen floats in-loop):
+    // the up-front double cast halved nothing and doubled the payload of
+    // the two verification joins below
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     // all band buckets in ONE scan (posexplode pos = band index) — the
     // union-of-bands formulation this replaces re-scanned the corpus once
     // per band; the vector is dropped before the explode, so only

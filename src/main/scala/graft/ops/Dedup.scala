@@ -244,23 +244,55 @@ object Dedup {
                    k: Int = 128, bands: Int = 16, rowsPerBand: Int = 8,
                    maxBucket: Int = 1000): DataFrame = {
     require(bands * rowsPerBand == k, "bands*rowsPerBand must equal k")
-    def shingled(df: DataFrame, as: String, shAs: String) =
-      df.select(col(idCol).as(as),
-        TextOps.shingles(col(textCol), shingleN).as(shAs))
-        .filter(size(col(shAs)) > 0)
-    val shNew = shingled(newBatch, "new_id", "sh_n")
-    val shBase = shingled(base, "base_id", "sh_b")
-    val baseIndex = bandIndex(base, idCol, textCol, shingleN, k, bands,
-      maxBucket)
+    crossNearDupIndexed(newBatch,
+      buildIndex(base, idCol, textCol, shingleN, k, bands, maxBucket),
+      idCol, textCol, threshold, shingleN, k, bands)
+  }
+
+  /** A base corpus's stored dedup index: the capped LSH band buckets
+    * ([[bandIndex]]) plus the per-document shingle sets the exact-Jaccard
+    * verification joins back. BOTH are what a production pipeline
+    * persists (two parquet tables, refreshed on compaction) — incremental
+    * batches then pay only their own shingling + two equi-joins against
+    * stored data, never a recomputation of the base. Measured at sf1
+    * (500k-doc base, warm persisted index): a 10× smaller batch runs
+    * ~7× faster — the cost tracks the BATCH (see BASELINE.md).
+    */
+  final case class CorpusIndex(bands: DataFrame, shingles: DataFrame) {
+    /** Persist both sides (what a stored index behaves like in-session). */
+    def persist(): CorpusIndex = { bands.persist(); shingles.persist(); this }
+    def unpersist(): Unit = { bands.unpersist(); shingles.unpersist() }
+  }
+
+  def buildIndex(base: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int = 3, k: Int = 128, bands: Int = 16,
+                 maxBucket: Int = 1000): CorpusIndex =
+    CorpusIndex(
+      bandIndex(base, idCol, textCol, shingleN, k, bands, maxBucket),
+      base.select(col(idCol).as("base_id"),
+          TextOps.shingles(col(textCol), shingleN).as("sh_b"))
+        .filter(size(col("sh_b")) > 0))
+
+  /** [[crossNearDup]] against a prebuilt (typically persisted/stored)
+    * [[CorpusIndex]] — the production entry point for continuous
+    * ingestion: the base pipeline never re-runs per batch.
+    */
+  def crossNearDupIndexed(newBatch: DataFrame, index: CorpusIndex,
+                          idCol: String, textCol: String,
+                          threshold: Double = 0.5, shingleN: Int = 3,
+                          k: Int = 128, bands: Int = 16): DataFrame = {
+    val shNew = newBatch.select(col(idCol).as("new_id"),
+        TextOps.shingles(col(textCol), shingleN).as("sh_n"))
+      .filter(size(col("sh_n")) > 0)
     shNew
       .select(col("new_id"),
         posexplode(TextOps.minhashBands(col("sh_n"), k, bands))
           .as(Seq("band", "band_hash")))
-      .join(baseIndex, Seq("band", "band_hash"))
+      .join(index.bands, Seq("band", "band_hash"))
       .select(col("new_id"), explode(col("base_ids")).as("base_id"))
       .distinct()
       .join(shNew, Seq("new_id"))
-      .join(shBase, Seq("base_id"))
+      .join(index.shingles, Seq("base_id"))
       .withColumn("jacc", TextOps.jaccard(col("sh_n"), col("sh_b")))
       .filter(col("jacc") >= threshold)
       .select(col("new_id"), col("base_id"), round(col("jacc"), 4).as("jacc"))

@@ -71,11 +71,8 @@ object DocumentStreams {
                       threshold: Double = 0.5, shingleN: Int = 3,
                       k: Int = 128, bands: Int = 16,
                       maxBucket: Int = 1000): DataFrame = {
-    val idx = Dedup.bandIndex(base, "doc_id", "text", shingleN, k, bands,
-      maxBucket)
-    val baseSh = base.select(col("doc_id").as("base_id"),
-        TextOps.shingles(col("text"), shingleN).as("sh_b"))
-      .filter(size(col("sh_b")) > 0)
+    val index = Dedup.buildIndex(base, "doc_id", "text", shingleN, k,
+      bands, maxBucket)
     docs
       .withWatermark("ts", watermark)
       .select(col("doc_id").as("new_id"), col("ts"),
@@ -84,10 +81,10 @@ object DocumentStreams {
       .select(col("new_id"), col("ts"), col("sh_n"),
         posexplode(TextOps.minhashBands(col("sh_n"), k, bands))
           .as(Seq("band", "band_hash")))
-      .join(idx, Seq("band", "band_hash"))
+      .join(index.bands, Seq("band", "band_hash"))
       .select(col("new_id"), col("ts"), col("sh_n"),
         explode(col("base_ids")).as("base_id"))
-      .join(baseSh, Seq("base_id"))
+      .join(index.shingles, Seq("base_id"))
       .withColumn("jacc", TextOps.jaccard(col("sh_n"), col("sh_b")))
       .filter(col("jacc") >= threshold)
       .dropDuplicatesWithinWatermark("new_id", "base_id")

@@ -567,6 +567,24 @@ class OpsSpec extends SparkSpec {
       s"expected the size-capped collector in the plan:\n$plan")
   }
 
+  test("crossNearDupIndexed over a persisted index equals the one-shot call") {
+    val base1 = (1 to 60).map(i => s"w$i").mkString(" ")
+    val mutated = ((1 to 58).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")
+    val base = Seq((1L, base1), (2L, (200 to 260).map(i => s"y$i").mkString(" ")))
+      .toDF("id", "text")
+    val batch = Seq((11L, mutated), (12L, (100 to 160).map(i => s"z$i").mkString(" ")))
+      .toDF("id", "text")
+    val index = Dedup.buildIndex(base, "id", "text").persist()
+    try {
+      val viaIndex = Dedup.crossNearDupIndexed(batch, index, "id", "text",
+        threshold = 0.5).as[(Long, Long, Double)].collect().toSet
+      val oneShot = Dedup.crossNearDup(batch, base, "id", "text",
+        threshold = 0.5).as[(Long, Long, Double)].collect().toSet
+      assert(viaIndex === oneShot)
+      assert(viaIndex.map(p => (p._1, p._2)) === Set((11L, 1L)))
+    } finally index.unpersist()
+  }
+
   test("shuffleShard: complete cover, dense per-shard positions, deterministic") {
     val docs = (1 to 97).map(i => (i.toLong, s"document number $i with words"))
       .toDF("doc_id", "text")

@@ -94,11 +94,37 @@ object StreamBench {
     // in front of its state store, so the two modes bracket the
     // state-light and expression-heavy ends of the streaming surface.
     val mode = sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "sessionize")
-    require(mode == "sessionize" || mode == "clean",
-      s"SPARK_GRAFT_STREAM_MODE must be 'sessionize' or 'clean', got '$mode'")
+    require(Set("sessionize", "clean", "flag").contains(mode),
+      s"SPARK_GRAFT_STREAM_MODE must be 'sessionize', 'clean' or 'flag', got '$mode'")
 
     val sink =
-      if (mode == "sessionize")
+      if (mode == "flag") {
+        // Streaming incremental dedup: arriving docs flagged against a
+        // 200k-doc static base via the persisted CorpusIndex (the
+        // production shape — the static side re-executes per micro-batch,
+        // so the index MUST be materialized once, before the clock).
+        // text(key) = 45 words in a key-disjoint range (stride 50 > 45 +
+        // shingle margin), so key k matches base doc k exactly and
+        // nothing else: stream keys cycle over 2×nBase, making HALF the
+        // input near-dups — every flag at the egress is one matched doc.
+        val nBase = sys.env.getOrElse("SPARK_GRAFT_FLAG_BASE", "200000").toInt
+        def textOf(key: org.apache.spark.sql.Column) =
+          concat_ws(" ", transform(sequence(lit(0), lit(44)),
+            j => concat(lit("w"), (key * 50 + j).cast("string"))))
+        val base = spark.range(nBase.toLong)
+          .select(col("id").as("doc_id"), textOf(col("id")).as("text"))
+        val index = ops.Dedup.buildIndex(base, "doc_id", "text").persist()
+        index.bands.count(); index.shingles.count() // build before the clock
+        val docs = spark.readStream.format("rate")
+          .option("rowsPerSecond", rps)
+          .option("numPartitions", 8)
+          .load()
+          .select(col("timestamp").as("ts"), col("value").as("doc_id"),
+            textOf(pmod(col("value"), lit(2L * nBase))).as("text"))
+        streaming.DocumentStreams.flagAgainstBaseIndexed(docs, index,
+          broadcastIndex = sys.env.get("SPARK_GRAFT_FLAG_BCAST").contains("1"))
+      }
+      else if (mode == "sessionize")
         streaming.EventStreams
           .sessionizeEventTime(spark, events, gapMinutes = 1,
             watermark = "10 seconds")
@@ -121,8 +147,19 @@ object StreamBench {
           .select(col("doc_id"), col("fp"), col("split"))
       }
 
-    val q = sink.writeStream
+    // Optional fixed trigger (seconds): per-micro-batch fixed costs —
+    // re-planning and, in flag mode, re-scanning the static index — are
+    // amortized by bigger batches. ASAP triggering (the default) is the
+    // latency-optimal choice; a production ingest-dedup stream runs a
+    // periodic trigger precisely because its static side has a per-batch
+    // floor.
+    val triggerSecs = sys.env.getOrElse("SPARK_GRAFT_STREAM_TRIGGER", "0").toInt
+    val writer0 = sink.writeStream
       .option("checkpointLocation", ckpt)
+    val q = (if (triggerSecs > 0)
+      writer0.trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(s"$triggerSecs seconds"))
+    else writer0)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
         // batch-id-keyed egress dir: a batch re-executed after a crash
         // overwrites ITSELF instead of appending a duplicate — the
@@ -160,8 +197,11 @@ object StreamBench {
         (egress.getLong(0), egress.getLong(1))
       } catch { case scala.util.control.NonFatal(_) => (0L, 0L) }
     val rowsPerSec = egressEvents / elapsed
-    val metric = if (mode == "sessionize") "stream_sessionize_rows_per_sec"
-                 else "stream_clean_docs_per_sec"
+    val metric = mode match {
+      case "sessionize" => "stream_sessionize_rows_per_sec"
+      case "clean"      => "stream_clean_docs_per_sec"
+      case _            => "stream_flag_pairs_per_sec"
+    }
     val line =
       f"""{"metric":"$metric","value":$rowsPerSec%.0f,"unit":"rows/sec","egress_events":$egressEvents,"egress_sessions":$egressSessions,"listener_input_rows":${inputRows.get()},"elapsed_sec":$elapsed%.1f,"configured_rps":$rps,"state_store":"$stateStore","mode":"$mode","preload":$preload%.1f,"polluted":$polluted}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT", "stream_bench.json")

@@ -70,9 +70,36 @@ object DocumentStreams {
                       watermark: String = "10 minutes",
                       threshold: Double = 0.5, shingleN: Int = 3,
                       k: Int = 128, bands: Int = 16,
-                      maxBucket: Int = 1000): DataFrame = {
-    val index = Dedup.buildIndex(base, "doc_id", "text", shingleN, k,
-      bands, maxBucket)
+                      maxBucket: Int = 1000): DataFrame =
+    flagAgainstBaseIndexed(docs,
+      Dedup.buildIndex(base, "doc_id", "text", shingleN, k, bands,
+        maxBucket),
+      watermark, threshold, shingleN, k, bands)
+
+  /** [[flagAgainstBase]] over a prebuilt [[graft.ops.Dedup.CorpusIndex]]
+    * — the production shape: the static side of a stream-static join
+    * re-executes EVERY micro-batch, so an un-persisted index would
+    * re-run the whole base pipeline per batch; a persisted (or stored
+    * and re-read) index makes each micro-batch pay only its own docs.
+    *
+    * `broadcastIndex` decides who moves per micro-batch. Default false:
+    * Spark plans a sort-merge join, shuffling the micro-batch's band
+    * rows — WITH their shingle payloads — every batch; right for a base
+    * too big to broadcast, and the reason the module doc routes
+    * high-throughput dedup to the batch compaction pass. True hints
+    * both index tables broadcast, so the stream side never shuffles:
+    * measured 5× the throughput (13k vs 2.7k docs/s, StreamBench
+    * `mode=flag`) at a 50k-doc base — use it whenever the index fits
+    * executor memory.
+    */
+  def flagAgainstBaseIndexed(docs: DataFrame, index: Dedup.CorpusIndex,
+                             watermark: String = "10 minutes",
+                             threshold: Double = 0.5, shingleN: Int = 3,
+                             k: Int = 128, bands: Int = 16,
+                             broadcastIndex: Boolean = false): DataFrame = {
+    val (idxBands, idxShingles) =
+      if (broadcastIndex) (broadcast(index.bands), broadcast(index.shingles))
+      else (index.bands, index.shingles)
     docs
       .withWatermark("ts", watermark)
       .select(col("doc_id").as("new_id"), col("ts"),
@@ -81,10 +108,10 @@ object DocumentStreams {
       .select(col("new_id"), col("ts"), col("sh_n"),
         posexplode(TextOps.minhashBands(col("sh_n"), k, bands))
           .as(Seq("band", "band_hash")))
-      .join(index.bands, Seq("band", "band_hash"))
+      .join(idxBands, Seq("band", "band_hash"))
       .select(col("new_id"), col("ts"), col("sh_n"),
         explode(col("base_ids")).as("base_id"))
-      .join(index.shingles, Seq("base_id"))
+      .join(idxShingles, Seq("base_id"))
       .withColumn("jacc", TextOps.jaccard(col("sh_n"), col("sh_b")))
       .filter(col("jacc") >= threshold)
       .dropDuplicatesWithinWatermark("new_id", "base_id")

@@ -160,6 +160,20 @@ class StreamingSpec extends SparkSpec {
     // exactly ONE row: the multi-band collisions of the (1, 100) pair
     // are collapsed by the watermark-bounded pair dedup
     assert(flags === Seq((1L, 100L)), s"got $flags")
+
+    // the broadcast-index plan (the fits-in-memory fast path: stream
+    // side never shuffles) must flag identically
+    val input2 = MemoryStream[Doc](spark)
+    input2.addData(doc(1, 0, mutated), doc(2, 1, inner), doc(4, 3, mutated))
+    val q2 = graft.streaming.DocumentStreams.flagAgainstBaseIndexed(
+        input2.toDF(), graft.ops.Dedup.buildIndex(base, "doc_id", "text"),
+        broadcastIndex = true)
+      .writeStream.format("memory").queryName("flags_bcast")
+      .outputMode(OutputMode.Append()).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val flags2 = spark.table("flags_bcast").select("new_id", "base_id")
+      .as[(Long, Long)].collect().toSet
+    assert(flags2 === Set((1L, 100L), (4L, 100L)), s"got $flags2")
   }
 
   test("dropDuplicatesWithinWatermark removes re-delivered event ids") {

@@ -246,7 +246,7 @@ object Dedup {
     require(bands * rowsPerBand == k, "bands*rowsPerBand must equal k")
     crossNearDupIndexed(newBatch,
       buildIndex(base, idCol, textCol, shingleN, k, bands, maxBucket),
-      idCol, textCol, threshold, shingleN, k, bands)
+      idCol, textCol, threshold)
   }
 
   /** A base corpus's stored dedup index: the capped LSH band buckets
@@ -257,8 +257,14 @@ object Dedup {
     * stored data, never a recomputation of the base. Measured at sf1
     * (500k-doc base, warm persisted index): a 10× smaller batch runs
     * ~7× faster — the cost tracks the BATCH (see BASELINE.md).
+    *
+    * The hash parameters ride WITH the index: a batch probed with a
+    * different shingle width or band layout than the index was built
+    * with would silently match nothing (band hashes disagree), so the
+    * query sides take them from here instead of asking the caller twice.
     */
-  final case class CorpusIndex(bands: DataFrame, shingles: DataFrame) {
+  final case class CorpusIndex(bands: DataFrame, shingles: DataFrame,
+                               shingleN: Int, k: Int, nBands: Int) {
     /** Persist both sides (what a stored index behaves like in-session). */
     def persist(): CorpusIndex = { bands.persist(); shingles.persist(); this }
     def unpersist(): Unit = { bands.unpersist(); shingles.unpersist() }
@@ -271,22 +277,23 @@ object Dedup {
       bandIndex(base, idCol, textCol, shingleN, k, bands, maxBucket),
       base.select(col(idCol).as("base_id"),
           TextOps.shingles(col(textCol), shingleN).as("sh_b"))
-        .filter(size(col("sh_b")) > 0))
+        .filter(size(col("sh_b")) > 0),
+      shingleN, k, bands)
 
   /** [[crossNearDup]] against a prebuilt (typically persisted/stored)
     * [[CorpusIndex]] — the production entry point for continuous
-    * ingestion: the base pipeline never re-runs per batch.
+    * ingestion: the base pipeline never re-runs per batch. Shingle and
+    * band parameters come from the index itself.
     */
   def crossNearDupIndexed(newBatch: DataFrame, index: CorpusIndex,
                           idCol: String, textCol: String,
-                          threshold: Double = 0.5, shingleN: Int = 3,
-                          k: Int = 128, bands: Int = 16): DataFrame = {
+                          threshold: Double = 0.5): DataFrame = {
     val shNew = newBatch.select(col(idCol).as("new_id"),
-        TextOps.shingles(col(textCol), shingleN).as("sh_n"))
+        TextOps.shingles(col(textCol), index.shingleN).as("sh_n"))
       .filter(size(col("sh_n")) > 0)
     shNew
       .select(col("new_id"),
-        posexplode(TextOps.minhashBands(col("sh_n"), k, bands))
+        posexplode(TextOps.minhashBands(col("sh_n"), index.k, index.nBands))
           .as(Seq("band", "band_hash")))
       .join(index.bands, Seq("band", "band_hash"))
       .select(col("new_id"), explode(col("base_ids")).as("base_id"))

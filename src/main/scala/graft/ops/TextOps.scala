@@ -305,6 +305,11 @@ object TextOps {
   def shuffleShard(df: DataFrame, idCol: String, textCol: String,
                    nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
+    val clash = Seq("shard", "pos").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"shuffleShard adds columns ${clash.mkString(", ")} which the input " +
+        "already has — rename them first (silent shadowing would corrupt " +
+        "the export layout)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("__shard_key"), col(idCol))
     df.withColumn("__shard_key",
@@ -338,6 +343,11 @@ object TextOps {
                     shardCol: String, posCol: String,
                     ctxTokens: Int): DataFrame = {
     require(ctxTokens > 0, s"ctxTokens must be positive, got $ctxTokens")
+    val clash = Seq("n_tokens", "tok_offset", "seq_first", "seq_last")
+      .filter(sharded.columns.contains)
+    require(clash.isEmpty,
+      s"packSequences adds columns ${clash.mkString(", ")} which the input " +
+        "already has — rename them first")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(shardCol)).orderBy(col(posCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

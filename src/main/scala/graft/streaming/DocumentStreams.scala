@@ -74,7 +74,7 @@ object DocumentStreams {
     flagAgainstBaseIndexed(docs,
       Dedup.buildIndex(base, "doc_id", "text", shingleN, k, bands,
         maxBucket),
-      watermark, threshold, shingleN, k, bands)
+      watermark, threshold)
 
   /** [[flagAgainstBase]] over a prebuilt [[graft.ops.Dedup.CorpusIndex]]
     * — the production shape: the static side of a stream-static join
@@ -94,8 +94,7 @@ object DocumentStreams {
     */
   def flagAgainstBaseIndexed(docs: DataFrame, index: Dedup.CorpusIndex,
                              watermark: String = "10 minutes",
-                             threshold: Double = 0.5, shingleN: Int = 3,
-                             k: Int = 128, bands: Int = 16,
+                             threshold: Double = 0.5,
                              broadcastIndex: Boolean = false): DataFrame = {
     val (idxBands, idxShingles) =
       if (broadcastIndex) (broadcast(index.bands), broadcast(index.shingles))
@@ -103,10 +102,10 @@ object DocumentStreams {
     docs
       .withWatermark("ts", watermark)
       .select(col("doc_id").as("new_id"), col("ts"),
-        TextOps.shingles(col("text"), shingleN).as("sh_n"))
+        TextOps.shingles(col("text"), index.shingleN).as("sh_n"))
       .filter(size(col("sh_n")) > 0)
       .select(col("new_id"), col("ts"), col("sh_n"),
-        posexplode(TextOps.minhashBands(col("sh_n"), k, bands))
+        posexplode(TextOps.minhashBands(col("sh_n"), index.k, index.nBands))
           .as(Seq("band", "band_hash")))
       .join(idxBands, Seq("band", "band_hash"))
       .select(col("new_id"), col("ts"), col("sh_n"),

@@ -334,9 +334,13 @@ object Dedup {
     * document [[crossNearDup]] flagged against the base. One anti-join on
     * the precomputed pair set, mirroring [[survivors]].
     */
-  def admitBatch(newBatch: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
-    newBatch.join(pairs.select(col("new_id")),
-      newBatch(idCol) === col("new_id"), "left_anti")
+  def admitBatch(newBatch: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    // qualify the right side: with idCol itself named "new_id" (natural,
+    // given crossNearDup's output schema) an unqualified col("new_id")
+    // is ambiguous and analysis fails instead of anti-joining
+    val flagged = pairs.select(col("new_id"))
+    newBatch.join(flagged, newBatch(idCol) === flagged("new_id"), "left_anti")
+  }
 
   /** Survivors of a verified near-dup pair set: the corpus MINUS every row
     * that is the LARGER id of some pair (keep-first greedy — the standard

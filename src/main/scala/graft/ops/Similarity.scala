@@ -273,18 +273,28 @@ object Similarity {
         // occupancy, and shrinking the buckets 4× costs only ~1.4× more
         // bands at threshold 0.9 (p^bits falls, so the 90%-recall band
         // count rises) — measured 3× fewer exact cosines at sf1 for a
-        // band-generation cost that stays trivial next to them
-        val bits = math.max(8, math.ceil(
-          math.log(rows / 16.0) / math.log(2.0)).toInt)
+        // band-generation cost that stays trivial next to them. When the
+        // 90%-recall band count for that occupancy would exceed 128
+        // (huge corpus × low threshold), WIDEN the buckets one bit at a
+        // time instead of failing — each step halves the band demand at
+        // ~2× the occupancy, trading back toward the old envelope (a 2B-
+        // vector corpus at 0.9 widens 27→25 bits — occupancy ~60, 110
+        // bands — exactly the pre-tuning operating point). Only
+        // when even 8-bit buckets can't reach 90% recall in 128 bands is
+        // the operating point truly insane — that loud failure predates
+        // this tuning and is preserved.
         val p = 1.0 - math.acos(math.min(threshold, 1.0)) / math.Pi
-        val perBand = math.pow(p, bits)
-        val b = math.max(1,
-          math.ceil(math.log(0.1) / math.log(1.0 - perBand)).toInt)
+        def bandsFor(bits: Int): Int = math.max(1,
+          math.ceil(math.log(0.1) / math.log(1.0 - math.pow(p, bits))).toInt)
+        var bits = math.max(8, math.ceil(
+          math.log(rows / 16.0) / math.log(2.0)).toInt)
+        while (bandsFor(bits) > 128 && bits > 8) bits -= 1
+        val b = bandsFor(bits)
         require(b <= 128,
           f"SRP-LSH needs $b bands for 90%% recall at threshold=$threshold " +
-            f"with $bits-bit buckets ($rows rows) — not a sane operating " +
-            f"point; raise threshold, pass explicit bands/bitsPerBand, " +
-            f"or use ivfTopK")
+            f"even with $bits-bit buckets ($rows rows) — not a sane " +
+            f"operating point; raise threshold, pass explicit " +
+            f"bands/bitsPerBand, or use ivfTopK")
         (bits, b)
       }
     // source-typed vectors (srp_bucket/vec_cosine widen floats in-loop):

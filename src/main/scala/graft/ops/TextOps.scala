@@ -305,7 +305,7 @@ object TextOps {
   def shuffleShard(df: DataFrame, idCol: String, textCol: String,
                    nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    val clash = Seq("shard", "pos").filter(df.columns.contains)
+    val clash = Seq("shard", "pos", "__shard_key").filter(df.columns.contains)
     require(clash.isEmpty,
       s"shuffleShard adds columns ${clash.mkString(", ")} which the input " +
         "already has — rename them first (silent shadowing would corrupt " +
@@ -335,9 +335,10 @@ object TextOps {
     *
     * Scale shape: one running-sum window per shard, partitioned on the
     * SAME key [[shuffleShard]] already shuffled on — composing the two
-    * reuses the exchange (one shuffle total, PlanSpec-pinned), and
-    * per-shard state is a single running counter. Token counts use
-    * [[tokens]] (`\s+`-of-stripped) like the whole quality stack.
+    * reuses the exchange (one shuffle total, pinned by an OpsSpec
+    * exchange-count test), and per-shard state is a single running
+    * counter. Token counts use [[tokens]] (`\s+`-of-stripped) like the
+    * whole quality stack.
     */
   def packSequences(sharded: DataFrame, textCol: String,
                     shardCol: String, posCol: String,

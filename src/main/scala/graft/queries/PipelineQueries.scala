@@ -533,7 +533,7 @@ object PipelineQueries {
     * sequence bounds in DuckDB, so the exact byte layout of a packed
     * training export — including which documents straddle a context
     * boundary — is pinned. The composition shares the shard key, so the
-    * two passes plan as ONE shuffle (PlanSpec).
+    * two passes plan as ONE shuffle (OpsSpec exchange-count test).
     */
   def q66(s: SparkSession, dir: String): DataFrame =
     TextOps.packSequences(

@@ -110,10 +110,17 @@ object DocumentStreams {
       .join(idxBands, Seq("band", "band_hash"))
       .select(col("new_id"), col("ts"), col("sh_n"),
         explode(col("base_ids")).as("base_id"))
+      // collapse multi-band collisions BEFORE the shingle join: a true
+      // near-dup collides in ~every band, so deduping after verification
+      // (the first cut) paid the expensive join + jaccard once PER BAND
+      // per pair — the batch twin's distinct()-before-verify shape,
+      // expressed with the stream's watermark-bounded state (sh_n/ts
+      // ride along on the surviving row; sub-threshold candidates enter
+      // the state too, but candidate volume is already collision-bounded)
+      .dropDuplicatesWithinWatermark("new_id", "base_id")
       .join(idxShingles, Seq("base_id"))
       .withColumn("jacc", TextOps.jaccard(col("sh_n"), col("sh_b")))
       .filter(col("jacc") >= threshold)
-      .dropDuplicatesWithinWatermark("new_id", "base_id")
       .select(col("new_id"), col("base_id"),
         round(col("jacc"), 4).as("jacc"), col("ts"))
   }

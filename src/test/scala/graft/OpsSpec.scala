@@ -567,6 +567,28 @@ class OpsSpec extends SparkSpec {
       s"expected the size-capped collector in the plan:\n$plan")
   }
 
+  test("admitBatch works when the batch id column is itself named new_id") {
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("new_id", "text")
+    val pairs = Seq((1L, 10L, 1.0)).toDF("new_id", "base_id", "jacc")
+    val admitted = Dedup.admitBatch(batch, "new_id", pairs)
+      .select("new_id").as[Long].collect().toSet
+    assert(admitted === Set(2L))
+  }
+
+  test("embedding near-dup auto-tune widens buckets instead of failing at 2B rows") {
+    // threshold 0.9 at 2e9 rows needs 151 bands at the occupancy-16
+    // bits — the tuner must fall back to wider buckets (the pre-tuning
+    // envelope) rather than throw; genuinely insane points still fail
+    val emb = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // plan construction is where sizing runs; n is passed so no count()
+    val df = Similarity.nearDupPairs(emb, threshold = 0.9, n = 2000000000L)
+    assert(df.columns.toSeq === Seq("a_id", "b_id", "sim"))
+    intercept[IllegalArgumentException] {
+      Similarity.nearDupPairs(emb, threshold = 0.3, n = 2000000000L)
+    }
+  }
+
   test("crossNearDupIndexed over a persisted index equals the one-shot call") {
     val base1 = (1 to 60).map(i => s"w$i").mkString(" ")
     val mutated = ((1 to 58).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")

@@ -196,6 +196,31 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("q64: incremental dedup — no cartesian, capped index agg, equi-joins only") {
+    val plan = planOf("q64_incremental_dedup")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the base index is the size-capped collector, never collect_set
+    assert(plan.toLowerCase.contains("cappedidsetagg"), plan)
+    assert(!plan.contains("collect_set"), plan)
+  }
+
+  test("q65: shuffle-shard is ONE exchange on the shard key + in-shard sort") {
+    val plan = planOf("q65_shuffle_shard")
+    assert("""Exchange \(\d+\)""".r.findAllIn(plan).size === 1, plan)
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("hashpartitioning(shard"),
+      s"the one exchange must be keyed on the shard (a range partition " +
+        s"would be a global sort):\n$plan")
+  }
+
+  test("q66: packing REUSES the shard exchange — still one shuffle composed") {
+    val plan = planOf("q66_pack_sequences")
+    assert("""Exchange \(\d+\)""".r.findAllIn(plan).size === 1, plan)
+    // two windows (rank + running sum) over the one exchange
+    assert("""Window \(\d+\)""".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("q08: both filters sit below the joins") {
     val optimized = SparkEntry.queries("q08_join_3way")(spark, sfDir)
       .queryExecution.optimizedPlan.toString

@@ -53,7 +53,11 @@ object ScaleProbe {
     "q64_incremental_dedup", "q65_shuffle_shard",
     // sequence packing: the window-cumsum pass whose exchange must be
     // REUSED from the shard assignment (one shuffle for the composition)
-    "q66_pack_sequences")
+    "q66_pack_sequences",
+    // leakage audit (crossNearDup composed over the split) and the
+    // per-source exact rank gate (the one operator with a per-source
+    // sort — its approx twin is the sort-free scale path)
+    "q67_split_leakage", "q68_quality_topfrac")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -342,6 +342,38 @@ object Dedup {
     newBatch.join(flagged, newBatch(idCol) === flagged("new_id"), "left_anti")
   }
 
+  /** Near-dup LEAKAGE audit of a content-keyed train/val/test split.
+    *
+    * [[TextOps.splitAssign]] guarantees byte-identical documents land in
+    * one split (same fingerprint, same bucket) — but NEAR-duplicates
+    * hash independently, so a lightly-edited copy of a training document
+    * can sit in the eval split and inflate every metric computed on it.
+    * This audit is the release gate that catches exactly that: one
+    * [[crossNearDup]] of the non-train side against the train side,
+    * reporting every cross-split pair with shingle Jaccard >=
+    * `threshold` as (eval_id, train_id, jacc). An empty result is the
+    * pass condition; a production pipeline feeds the eval_ids back into
+    * a quarantine/re-split pass.
+    *
+    * Scale shape is [[crossNearDup]]'s: the train side's band index is
+    * one capped aggregation, the eval side (typically ~20% of the
+    * corpus) probes it, nothing is all-pairs.
+    */
+  def splitLeakageAudit(df: DataFrame, idCol: String, textCol: String,
+                        trainPct: Int = 80, valPct: Int = 10,
+                        threshold: Double = 0.5, shingleN: Int = 3,
+                        k: Int = 128, bands: Int = 16, rowsPerBand: Int = 8,
+                        maxBucket: Int = 1000): DataFrame = {
+    val split = TextOps.splitAssign(col(textCol), trainPct, valPct)
+    val withSplit = df.withColumn("__split", split)
+    crossNearDup(
+      withSplit.filter(col("__split") =!= "train"),
+      withSplit.filter(col("__split") === "train"),
+      idCol, textCol, threshold, shingleN, k, bands, rowsPerBand, maxBucket)
+      .select(col("new_id").as("eval_id"), col("base_id").as("train_id"),
+        col("jacc"))
+  }
+
   /** Survivors of a verified near-dup pair set: the corpus MINUS every row
     * that is the LARGER id of some pair (keep-first greedy — the standard
     * production choice; transitive chains keep their smallest member

@@ -466,6 +466,48 @@ object TextOps {
       .when(stopwordRatio(text) >= 0.05, "en")
       .otherwise("unk")
 
+  /** Per-source ADAPTIVE quality gate: keep the top `keepFrac` of every
+    * source by [[qualityScore]] — the fixed-threshold gate (q49) treats
+    * a curated-archive source and a raw-crawl source identically, while
+    * real mixes floor quality PER DOMAIN (a 0.6 cutoff that keeps 99% of
+    * one source may keep 8% of another).
+    *
+    * Two plans, chosen by `approx`:
+    *  - exact (default, the oracle-gated path): rank per source
+    *    (quality desc, id as the total-order tie-break — scores are
+    *    quantized, ties are common) and keep rank <= ceil(keepFrac × n).
+    *    One shuffle on the source key; the per-source SORT is the cost,
+    *    fine while single-source cardinality is sort-able.
+    *  - approx (the 100 TB path): per-source `approx_percentile`
+    *    threshold (one mergeable-sketch aggregation) broadcast back as a
+    *    filter — two scans, no sort, no corpus-wide window. Keeps
+    *    slightly more/fewer docs at the boundary, like any sketch;
+    *    OpsSpec pins it within tolerance of exact.
+    */
+  def qualityTopFrac(df: DataFrame, idCol: String, textCol: String,
+                     sourceCol: String, keepFrac: Double,
+                     approx: Boolean = false): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"keepFrac must be in (0, 1], got $keepFrac")
+    val q = qualityScore(col(textCol))
+    if (approx) {
+      val thr = df.groupBy(col(sourceCol))
+        .agg(percentile_approx(qualityScore(col(textCol)),
+          lit(1.0 - keepFrac), lit(10000)).as("__thr"))
+      df.join(broadcast(thr), Seq(sourceCol))
+        .filter(q >= col("__thr")).drop("__thr")
+    } else {
+      val part = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(sourceCol))
+      val ranked = part.orderBy(col("__q").desc, col(idCol))
+      df.withColumn("__q", q)
+        .withColumn("__rn", row_number().over(ranked))
+        .withColumn("__n", count(lit(1)).over(part))
+        .filter(col("__rn") <= ceil(col("__n") * keepFrac))
+        .drop("__q", "__rn", "__n")
+    }
+  }
+
   /** The full corpus-cleaning pipeline as ONE call — the composition a
     * training-data job actually ships, in the production order:
     *

@@ -543,6 +543,29 @@ object PipelineQueries {
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         col("tok_offset"), col("seq_first"), col("seq_last"))
 
+  /** Split leakage audit ([[Dedup.splitLeakageAudit]]): every near-dup
+    * pair straddling the content-keyed train/eval boundary. Exact dups
+    * CANNOT cross (same fingerprint, same bucket — q55/OpsSpec pin
+    * that); near-dups hash independently and CAN — the fixture's planted
+    * pairs land 6 of them across the boundary at sf0.01, and the oracle
+    * recomputes fingerprint-split + all-pairs Jaccard, pinning both the
+    * leak list and the similarities.
+    */
+  def q67(s: SparkSession, dir: String): DataFrame =
+    Dedup.splitLeakageAudit(t(s, dir)("documents"), "doc_id", "text",
+      threshold = 0.5)
+
+  /** Per-source adaptive quality gate ([[TextOps.qualityTopFrac]], exact
+    * rank path): top 75% of every source by quality score. The oracle
+    * recomputes score, per-source rank (quality desc, doc_id tie-break)
+    * and the ceil(0.75·n) cut in DuckDB, so the kept set is pinned
+    * exactly — including tie handling at the cut line.
+    */
+  def q68(s: SparkSession, dir: String): DataFrame =
+    TextOps.qualityTopFrac(t(s, dir)("documents"), "doc_id", "text",
+      "source", keepFrac = 0.75)
+      .select(col("doc_id"), col("source"))
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_dedup_keyed"     -> (q21 _),
     "q22_dedup_text_exact" -> (q22 _),
@@ -574,6 +597,8 @@ object PipelineQueries {
     "q64_incremental_dedup" -> (q64 _),
     "q65_shuffle_shard"   -> (q65 _),
     "q66_pack_sequences"  -> (q66 _),
+    "q67_split_leakage"   -> (q67 _),
+    "q68_quality_topfrac" -> (q68 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -752,6 +777,41 @@ object PipelineQueries {
                 tok_offset // 256 AS seq_first,
                 (tok_offset + n_tokens - 1) // 256 AS seq_last
          FROM o""",
+    "q67_split_leakage" -> (shingleCte +
+      """, f AS (SELECT doc_id,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(text)+1),
+                      i -> CAST(unicode(substr(text, CAST(i AS INT), 1))
+                        AS BIGINT))),
+                  (a, b) -> (a*31 + b) % 1000000007) % 100 AS b
+              FROM documents),
+         d AS (SELECT s.doc_id,
+                CASE WHEN f.b < 80 THEN 'train' ELSE 'eval' END AS sp, s.sh
+              FROM s JOIN f ON s.doc_id = f.doc_id)
+         SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+                round(CAST(len(list_intersect(e.sh, t.sh)) AS DOUBLE)
+                      / len(list_distinct(e.sh || t.sh)), 4) AS jacc
+         FROM d e JOIN d t ON e.sp = 'eval' AND t.sp = 'train'
+         WHERE len(e.sh) > 0 AND len(t.sh) > 0
+           AND CAST(len(list_intersect(e.sh, t.sh)) AS DOUBLE)
+               / len(list_distinct(e.sh || t.sh)) >= 0.5"""),
+    "q68_quality_topfrac" ->
+      """WITH t AS (SELECT doc_id, source,
+                round((least(CAST(len(string_split(text, ' ')) AS DOUBLE)
+                        / 50.0, 1.0)
+                  + least(CAST(len(list_filter(string_split(text, ' '),
+                      x -> x IN ('the','a','an','of','and','is','to')))
+                      AS DOUBLE)
+                    / greatest(len(string_split(text, ' ')), 1) * 5.0, 1.0)
+                  ) / 2.0, 4) AS q
+              FROM documents),
+         r AS (SELECT doc_id, source, q,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY q DESC, doc_id) AS rn,
+                count(*) OVER (PARTITION BY source) AS n
+              FROM t)
+         SELECT doc_id, source FROM r WHERE rn <= ceil(n * 0.75)""",
     "q58_repetition" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
                     FROM documents),

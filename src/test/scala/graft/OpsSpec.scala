@@ -567,6 +567,52 @@ class OpsSpec extends SparkSpec {
       s"expected the size-capped collector in the plan:\n$plan")
   }
 
+  test("splitLeakageAudit catches a planted near-dup straddling the split") {
+    // exact dups CANNOT straddle (same fingerprint, same bucket); a
+    // 2-word mutation hashes independently. The test probes candidate
+    // mutations until one lands across the train boundary from its
+    // original — deterministic (fixed texts), and with 40 candidates a
+    // no-straddle outcome is practically impossible.
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val cands = Seq.tabulate(40)(m =>
+      ((1 to 58).map(i => s"w$i") ++ Seq(s"x$m", s"y$m")).mkString(" "))
+    def splitOf(t: String): String =
+      Seq(t).toDF("text").select(TextOps.splitAssign(col("text")))
+        .as[String].head()
+    val baseIsTrain = splitOf(base) == "train"
+    val mut = cands.find(c => (splitOf(c) == "train") != baseIsTrain)
+    assume(mut.isDefined, "no straddling mutation among 40 candidates")
+    val docs = Seq((1L, base), (2L, mut.get), (3L, (200 to 260).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val leaks = Dedup.splitLeakageAudit(docs, "doc_id", "text",
+      threshold = 0.5)
+      .select("eval_id", "train_id").as[(Long, Long)].collect().toSet
+    val expected = if (baseIsTrain) Set((2L, 1L)) else Set((1L, 2L))
+    assert(leaks === expected)
+  }
+
+  test("qualityTopFrac: exact keeps ceil(frac·n) per source; approx is sort-free") {
+    // quality rises with length (under 50 tokens) — distinct scores
+    val docs = (1 to 40).map { i =>
+      val words = (1 to (5 + i)).map(j => s"v$j") :+ "the" :+ "of" :+ "and"
+      (i.toLong, words.mkString(" "), s"src${i % 2}")
+    }.toDF("doc_id", "text", "source")
+    val exact = TextOps.qualityTopFrac(docs, "doc_id", "text", "source", 0.75)
+    val perSource = exact.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(perSource.values.toSet === Set(15L), s"ceil(20·0.75)=15: $perSource")
+    val approx = TextOps.qualityTopFrac(docs, "doc_id", "text", "source",
+      0.75, approx = true)
+    val exactIds = exact.select("doc_id").as[Long].collect().toSet
+    val approxIds = approx.select("doc_id").as[Long].collect().toSet
+    // sketch answers the same question within boundary tolerance
+    assert((exactIds diff approxIds).size + (approxIds diff exactIds).size <= 6,
+      s"approx too far from exact: ${approxIds.size} vs ${exactIds.size}")
+    // the scale pin: the approx plan never sorts a source partition
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"approx path must be window-free:\n$plan")
+  }
+
   test("admitBatch works when the batch id column is itself named new_id") {
     val batch = Seq((1L, "a"), (2L, "b")).toDF("new_id", "text")
     val pairs = Seq((1L, 10L, 1.0)).toDF("new_id", "base_id", "jacc")

@@ -357,7 +357,12 @@ object Dedup {
     *
     * Scale shape is [[crossNearDup]]'s: the train side's band index is
     * one capped aggregation, the eval side (typically ~20% of the
-    * corpus) probes it, nothing is all-pairs.
+    * corpus) probes it, nothing is all-pairs. The two sides branch from
+    * one split-labeled projection, which Spark's lineage re-executes
+    * per branch (three corpus scans end to end — sf1 probe: 8.7× at 10×
+    * rows, still sub-linear); a pipeline auditing repeatedly should
+    * persist `df.withColumn("split", splitAssign(...))` and pass the
+    * filtered halves to [[crossNearDup]] directly.
     */
   def splitLeakageAudit(df: DataFrame, idCol: String, textCol: String,
                         trainPct: Int = 80, valPct: Int = 10,

@@ -355,6 +355,16 @@ object Dedup {
     * pass condition; a production pipeline feeds the eval_ids back into
     * a quarantine/re-split pass.
     *
+    * An AUDIT needs recall AT its threshold, so the default banding is
+    * 32×4 — flatter S-curve than the dedup default (16×8, which
+    * detects a J=0.5 pair with probability ~0.06 — useless as a gate):
+    * detection probability at J = 0.5 / 0.55 / 0.6 / ≥0.7 is
+    * 0.87 / 0.95 / 0.99 / ~1. Random non-dup pairs (J ≈ 0.05) still
+    * collide with probability < 2e-4, so candidate volume stays
+    * collision-bounded. An audit that must be EXHAUSTIVE at low
+    * thresholds is an all-pairs question — run the oracle-style join
+    * on a sampled eval side instead.
+    *
     * Scale shape is [[crossNearDup]]'s: the train side's band index is
     * one capped aggregation, the eval side (typically ~20% of the
     * corpus) probes it, nothing is all-pairs. The two sides branch from
@@ -367,8 +377,11 @@ object Dedup {
   def splitLeakageAudit(df: DataFrame, idCol: String, textCol: String,
                         trainPct: Int = 80, valPct: Int = 10,
                         threshold: Double = 0.5, shingleN: Int = 3,
-                        k: Int = 128, bands: Int = 16, rowsPerBand: Int = 8,
+                        k: Int = 128, bands: Int = 32, rowsPerBand: Int = 4,
                         maxBucket: Int = 1000): DataFrame = {
+    val clash = df.columns.contains("__split")
+    require(!clash, "splitLeakageAudit uses a __split working column — " +
+      "rename the input's __split first")
     val split = TextOps.splitAssign(col(textCol), trainPct, valPct)
     val withSplit = df.withColumn("__split", split)
     crossNearDup(

@@ -466,36 +466,54 @@ object TextOps {
       .when(stopwordRatio(text) >= 0.05, "en")
       .otherwise("unk")
 
-  /** Per-source ADAPTIVE quality gate: keep the top `keepFrac` of every
-    * source by [[qualityScore]] — the fixed-threshold gate (q49) treats
-    * a curated-archive source and a raw-crawl source identically, while
-    * real mixes floor quality PER DOMAIN (a 0.6 cutoff that keeps 99% of
-    * one source may keep 8% of another).
+  /** Per-source ADAPTIVE quality gate: keep the top `keepPct` percent of
+    * every source by [[qualityScore]] — the fixed-threshold gate (q49)
+    * treats a curated-archive source and a raw-crawl source identically,
+    * while real mixes floor quality PER DOMAIN (a 0.6 cutoff that keeps
+    * 99% of one source may keep 8% of another). The percent is an
+    * INTEGER (like [[splitAssign]]'s) and the cut is pure integer
+    * arithmetic — ceil(n·pct/100) as `(n·pct + 99) div 100` — because a
+    * float `ceil(n * frac)` keeps a phantom extra row whenever the
+    * product lands just above an integer in binary (0.07 × 100 =
+    * 7.000000000000001).
     *
     * Two plans, chosen by `approx`:
     *  - exact (default, the oracle-gated path): rank per source
     *    (quality desc, id as the total-order tie-break — scores are
-    *    quantized, ties are common) and keep rank <= ceil(keepFrac × n).
-    *    One shuffle on the source key; the per-source SORT is the cost,
-    *    fine while single-source cardinality is sort-able.
+    *    quantized, ties are common) and keep rank <= ceil(n·pct/100),
+    *    EXACTLY that many rows per source. One shuffle on the source
+    *    key; the per-source SORT is the cost, fine while single-source
+    *    cardinality is sort-able.
     *  - approx (the 100 TB path): per-source `approx_percentile`
-    *    threshold (one mergeable-sketch aggregation) broadcast back as a
-    *    filter — two scans, no sort, no corpus-wide window. Keeps
-    *    slightly more/fewer docs at the boundary, like any sketch;
-    *    OpsSpec pins it within tolerance of exact.
+    *    threshold (one mergeable-sketch aggregation) broadcast back as
+    *    a null-safe filter join — two scans, no sort, no corpus-wide
+    *    window. Quantile-threshold semantics: the WHOLE tie class at
+    *    the threshold is kept, so a source whose scores saturate (many
+    *    docs at exactly 1.0) keeps every saturated doc even past
+    *    keepPct — rank semantics at scale require the sort this path
+    *    exists to avoid. OpsSpec pins it within boundary tolerance of
+    *    exact on distinct scores.
     */
   def qualityTopFrac(df: DataFrame, idCol: String, textCol: String,
-                     sourceCol: String, keepFrac: Double,
+                     sourceCol: String, keepPct: Int,
                      approx: Boolean = false): DataFrame = {
-    require(keepFrac > 0.0 && keepFrac <= 1.0,
-      s"keepFrac must be in (0, 1], got $keepFrac")
+    require(keepPct > 0 && keepPct <= 100,
+      s"keepPct must be an integer percent in (0, 100], got $keepPct")
+    val clash = Seq("__q", "__rn", "__n", "__thr")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"qualityTopFrac uses working columns ${clash.mkString(", ")} — " +
+        "rename them in the input first")
     val q = qualityScore(col(textCol))
     if (approx) {
       val thr = df.groupBy(col(sourceCol))
         .agg(percentile_approx(qualityScore(col(textCol)),
-          lit(1.0 - keepFrac), lit(10000)).as("__thr"))
-      df.join(broadcast(thr), Seq(sourceCol))
-        .filter(q >= col("__thr")).drop("__thr")
+          lit(1.0 - keepPct / 100.0), lit(10000)).as("__thr"))
+      // null-safe equality: an unattributed (null-source) partition must
+      // meet its own threshold, not silently vanish from the corpus
+      df.join(broadcast(thr), df(sourceCol) <=> thr(sourceCol))
+        .filter(q >= col("__thr"))
+        .drop(thr(sourceCol)).drop("__thr")
     } else {
       val part = org.apache.spark.sql.expressions.Window
         .partitionBy(col(sourceCol))
@@ -503,7 +521,7 @@ object TextOps {
       df.withColumn("__q", q)
         .withColumn("__rn", row_number().over(ranked))
         .withColumn("__n", count(lit(1)).over(part))
-        .filter(col("__rn") <= ceil(col("__n") * keepFrac))
+        .filter(col("__rn") <= expr(s"(__n * $keepPct + 99) div 100"))
         .drop("__q", "__rn", "__n")
     }
   }

@@ -563,7 +563,7 @@ object PipelineQueries {
     */
   def q68(s: SparkSession, dir: String): DataFrame =
     TextOps.qualityTopFrac(t(s, dir)("documents"), "doc_id", "text",
-      "source", keepFrac = 0.75)
+      "source", keepPct = 75)
       .select(col("doc_id"), col("source"))
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -811,7 +811,7 @@ object PipelineQueries {
                                    ORDER BY q DESC, doc_id) AS rn,
                 count(*) OVER (PARTITION BY source) AS n
               FROM t)
-         SELECT doc_id, source FROM r WHERE rn <= ceil(n * 0.75)""",
+         SELECT doc_id, source FROM r WHERE rn <= (n * 75 + 99) // 100""",
     "q58_repetition" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
                     FROM documents),

@@ -581,7 +581,11 @@ class OpsSpec extends SparkSpec {
         .as[String].head()
     val baseIsTrain = splitOf(base) == "train"
     val mut = cands.find(c => (splitOf(c) == "train") != baseIsTrain)
-    assume(mut.isDefined, "no straddling mutation among 40 candidates")
+    // assert, not assume: this is the operator's ONLY recall coverage —
+    // a hash change that defeats all 40 candidates must FAIL the build
+    // (add candidates), not silently cancel the test
+    assert(mut.isDefined, "no straddling mutation among 40 candidates — " +
+      "extend the candidate list for the current hash")
     val docs = Seq((1L, base), (2L, mut.get), (3L, (200 to 260).map(i => s"z$i").mkString(" ")))
       .toDF("doc_id", "text")
     val leaks = Dedup.splitLeakageAudit(docs, "doc_id", "text",
@@ -597,12 +601,12 @@ class OpsSpec extends SparkSpec {
       val words = (1 to (5 + i)).map(j => s"v$j") :+ "the" :+ "of" :+ "and"
       (i.toLong, words.mkString(" "), s"src${i % 2}")
     }.toDF("doc_id", "text", "source")
-    val exact = TextOps.qualityTopFrac(docs, "doc_id", "text", "source", 0.75)
+    val exact = TextOps.qualityTopFrac(docs, "doc_id", "text", "source", 75)
     val perSource = exact.groupBy("source").count()
       .as[(String, Long)].collect().toMap
     assert(perSource.values.toSet === Set(15L), s"ceil(20·0.75)=15: $perSource")
     val approx = TextOps.qualityTopFrac(docs, "doc_id", "text", "source",
-      0.75, approx = true)
+      75, approx = true)
     val exactIds = exact.select("doc_id").as[Long].collect().toSet
     val approxIds = approx.select("doc_id").as[Long].collect().toSet
     // sketch answers the same question within boundary tolerance
@@ -611,6 +615,25 @@ class OpsSpec extends SparkSpec {
     // the scale pin: the approx plan never sorts a source partition
     val plan = approx.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"approx path must be window-free:\n$plan")
+  }
+
+  test("qualityTopFrac: integer cut (no float phantom row); null sources survive approx") {
+    // n=100 at 7%: float ceil(100*0.07)=ceil(7.000000000000001)=8 — the
+    // integer formula must keep exactly 7. Null-source docs form their
+    // own partition and must survive the approx path's join.
+    def text(i: Int) = ((1 to (5 + i % 40)).map(j => s"v$j") :+ "the").mkString(" ")
+    val docs = ((1 to 100).map(i => (i.toLong, text(i), Some("a"))) ++
+      (101 to 150).map(i => (i.toLong, text(i), Option.empty[String])))
+      .toDF("doc_id", "text", "source")
+    val exact = TextOps.qualityTopFrac(docs, "doc_id", "text", "source", 7)
+    val bySource = exact.groupBy("source").count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(bySource(Some("a")) === 7L, s"float phantom row: $bySource")
+    assert(bySource(None) === 4L, s"ceil(50*0.07)=4: $bySource")
+    val approx = TextOps.qualityTopFrac(docs, "doc_id", "text", "source",
+      50, approx = true)
+    assert(approx.filter(col("source").isNull).count() > 0,
+      "null-source docs must not vanish from the approx path")
   }
 
   test("admitBatch works when the batch id column is itself named new_id") {

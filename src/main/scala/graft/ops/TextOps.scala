@@ -319,6 +319,27 @@ object TextOps {
       .drop("__shard_key")
   }
 
+  /** Materialize the [[shuffleShard]] layout as ONE parquet directory
+    * per shard, rows stored in shard order — the writer whose shuffle
+    * [[shuffleShard]]'s scaladoc promises to BE. `repartition(nShards,
+    * shard)` + `sortWithinPartitions(shard, pos)` + `partitionBy(shard)`
+    * means the shard assignment, the sort, and the directory layout are
+    * a single exchange and a single write pass; readers get
+    * `path/shard=K/` directories whose row order is the deterministic
+    * export order (pinned by a round-trip spec).
+    *
+    * At 100 TB this is exactly the standard sharded-export plan: every
+    * executor writes whole shards, no two executors write one shard,
+    * and re-running produces byte-identical layout (content-keyed
+    * order, no RNG).
+    */
+  def exportShards(df: DataFrame, idCol: String, textCol: String,
+                   nShards: Int, path: String): Unit =
+    shuffleShard(df, idCol, textCol, nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+
   /** Token-budget sequence packing — the LAST export pass: lay the
     * shuffled corpus end-to-end and cut it into fixed `ctxTokens`-token
     * context windows (GPT-style pretraining packs documents back to

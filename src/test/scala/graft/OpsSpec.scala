@@ -737,6 +737,35 @@ class OpsSpec extends SparkSpec {
         s"exchange to be reused, got $exchanges:\n$plan")
   }
 
+  test("exportShards round-trips: per-shard dirs, deterministic in-file order") {
+    val docs = (1 to 60).map(i => (i.toLong, s"export doc $i body words"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-export").toString
+    try {
+      TextOps.exportShards(docs, "doc_id", "text", nShards = 3, dir)
+      // one directory per non-empty shard, hive-style
+      val shardDirs = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+      assert(shardDirs.nonEmpty && shardDirs.forall(_.matches("shard=\\d")))
+      // the full corpus round-trips, and within each shard the file
+      // order IS the export order (pos ascending)
+      val back = spark.read.parquet(dir)
+      assert(back.select("doc_id").as[Long].collect().toSet ===
+        (1 to 60).map(_.toLong).toSet)
+      for (sd <- shardDirs) {
+        val rows = spark.read.parquet(s"$dir/$sd")
+          .select("pos").as[Long].collect()
+        assert(rows.toSeq === rows.sorted.toSeq,
+          s"$sd rows must be stored in export order")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("shuffleShard: exact-duplicate texts ride into the same shard, adjacent") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "delta epsilon zeta"), (4L, "eta theta iota"))

@@ -312,8 +312,11 @@ object TextOps {
         "the export layout)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("__shard_key"), col(idCol))
+    // NULL text hashes as empty text (the lineDedup/cleaner contract: a
+    // cleaner must preserve ids) — otherwise null docs get a null shard
+    // and a sharded write drops them into the hive default partition
     df.withColumn("__shard_key",
-        fingerprint(concat(lit("shard:"), col(textCol))))
+        fingerprint(concat(lit("shard:"), coalesce(col(textCol), lit("")))))
       .withColumn("shard", pmod(col("__shard_key"), lit(nShards.toLong)))
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__shard_key")
@@ -374,7 +377,10 @@ object TextOps {
       .partitionBy(col(shardCol)).orderBy(col(posCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     sharded
-      .withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
+      // NULL text counts like empty text (one [""] token) — a null
+      // n_tokens would silently shift every later offset in the shard
+      .withColumn("n_tokens",
+        tokenCount(coalesce(col(textCol), lit(""))).cast("long"))
       .withColumn("tok_offset",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("seq_first", expr(s"tok_offset div $ctxTokens"))

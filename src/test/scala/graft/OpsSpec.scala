@@ -766,6 +766,19 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("export ops treat NULL text as empty: real shard, one token, id preserved") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val packed = TextOps.packSequences(
+      TextOps.shuffleShard(docs, "doc_id", "text", nShards = 2),
+      "text", "shard", "pos", ctxTokens = 8)
+      .select("doc_id", "shard", "n_tokens")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(packed.keySet === Set(1L, 2L), "null doc must keep its row")
+    assert(packed(2L)._1 >= 0 && packed(2L)._1 < 2, "null doc gets a REAL shard")
+    assert(packed(2L)._2 === 1L, "null counts like empty text: one [\"\"] token")
+  }
+
   test("shuffleShard: exact-duplicate texts ride into the same shard, adjacent") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "delta epsilon zeta"), (4L, "eta theta iota"))

@@ -769,9 +769,10 @@ object PipelineQueries {
                   '\s+')) AS BIGINT) AS n_tokens
               FROM f),
          o AS (SELECT doc_id, shard, n_tokens,
-                COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY pos
+                CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+                  ORDER BY pos
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                  0) AS tok_offset
+                  0) AS BIGINT) AS tok_offset
               FROM g)
          SELECT doc_id, shard, n_tokens, tok_offset,
                 tok_offset // 256 AS seq_first,

@@ -12,14 +12,20 @@ import duckdb, pandas as pd
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+def canon(df: pd.DataFrame, float_cols) -> pd.DataFrame:
+    """Stringify values column-wise. Float rounding (%.6g) applies ONLY to
+    columns that are float on the SPARK side (float_cols): when the oracle
+    widens an integer column (DuckDB HUGEINT -> pandas float64) the raw
+    str() keeps the trailing '.0' so the mismatch is FLAGGED, matching the
+    driver's behavior, instead of masked (the r8 q66 lesson)."""
     df = df.reindex(sorted(df.columns), axis=1)
-    def norm(v):
-        if isinstance(v, float):
-            return f"{v:.6g}"
-        return str(v)
-    mapper = getattr(pd.DataFrame, "map", None) or pd.DataFrame.applymap
-    out = mapper(df, norm)
+    def norm_for(col):
+        def f(v):
+            if isinstance(v, float) and col in float_cols:
+                return f"{v:.6g}"
+            return str(v)
+        return f
+    out = pd.DataFrame({c: df[c].map(norm_for(c)) for c in df.columns})
     return out.sort_values(by=list(out.columns)).reset_index(drop=True)
 
 def main(out_dir, sf_dir):
@@ -50,7 +56,9 @@ def main(out_dir, sf_dir):
             print(f"  {name:28s} ORACLE SQL ERROR: {e}")
             n_fail += 1
             continue
-        g, e_ = canon(got), canon(exp)
+        float_cols = {c for c in got.columns
+                      if pd.api.types.is_float_dtype(got[c])}
+        g, e_ = canon(got, float_cols), canon(exp, float_cols)
         if list(g.columns) != list(e_.columns):
             print(f"  {name:28s} SCHEMA MISMATCH spark={list(g.columns)} oracle={list(e_.columns)}")
             n_fail += 1

@@ -36,9 +36,20 @@ object StreamBench {
     val preload = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val cpus = Runtime.getRuntime.availableProcessors
-    val polluted = preload > cpus * 0.25
+    // Banded, not binary (r8 advice): the old single threshold
+    // (preload > 0.25*cpus = 8.0 on this box) let a load-7 run archive
+    // as clean. For a throughput bench ANY competing work understates
+    // the pipeline, so "clean" demands a genuinely idle box (≤ 2
+    // absolute), mid-load runs are "loaded" (usable for plumbing, not
+    // for archived throughput claims), and the old threshold now marks
+    // "polluted". The archive rule keys on load_band == "clean".
+    val loadBand =
+      if (preload <= 2.0) "clean"
+      else if (preload <= cpus * 0.25) "loaded"
+      else "polluted"
+    val polluted = loadBand != "clean"
     if (polluted) System.err.println(
-      f"POLLUTED: pre-run load average $preload%.1f on $cpus cpus — " +
+      f"$loadBand%s: pre-run load average $preload%.1f on $cpus cpus — " +
         "throughput will understate the pipeline; rerun idle")
 
     val spark = GraftSession.local(appName = "graft-streambench")
@@ -203,7 +214,7 @@ object StreamBench {
       case _            => "stream_flag_pairs_per_sec"
     }
     val line =
-      f"""{"metric":"$metric","value":$rowsPerSec%.0f,"unit":"rows/sec","egress_events":$egressEvents,"egress_sessions":$egressSessions,"listener_input_rows":${inputRows.get()},"elapsed_sec":$elapsed%.1f,"configured_rps":$rps,"state_store":"$stateStore","mode":"$mode","preload":$preload%.1f,"polluted":$polluted}"""
+      f"""{"metric":"$metric","value":$rowsPerSec%.0f,"unit":"rows/sec","egress_events":$egressEvents,"egress_sessions":$egressSessions,"listener_input_rows":${inputRows.get()},"elapsed_sec":$elapsed%.1f,"configured_rps":$rps,"state_store":"$stateStore","mode":"$mode","preload":$preload%.1f,"load_band":"$loadBand","polluted":$polluted}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT", "stream_bench.json")
     Files.writeString(Paths.get(outPath), line + "\n")
     println(line)

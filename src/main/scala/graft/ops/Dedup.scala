@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -78,14 +78,21 @@ object Dedup {
     * documents are dropped, the standard greedy rule.
     *
     * Scale shape: two corpus-scale shuffles and nothing quadratic. The
-    * first-occurrence table (groupBy unit → min struct, partial-agg
+    * first-occurrence table (groupBy → min struct, partial-agg
     * friendly, per-key state = one (id, pos)) joins back against the
     * exploded units — broadcast while it fits (the plan at test SF),
-    * an equi-join co-located on the unit key beyond that (AQE's call);
-    * reassembly is the second shuffle, keyed on the document id, with
-    * per-group state bounded by the document's own length. There is no
-    * window over a corpus-wide partition and no driver-side set at any
-    * stage.
+    * an equi-join beyond that (AQE's call); reassembly is the second
+    * shuffle, keyed on the document id, with per-group state bounded by
+    * the document's own length. There is no window over a corpus-wide
+    * partition and no driver-side set at any stage.
+    *
+    * The first-occurrence join is keyed on `xxhash64(unit)`, not the
+    * raw unit string: at corpus scale the join's sort/compare work runs
+    * over 8-byte longs instead of arbitrary-length lines (r8 verdict
+    * #5). An exact-equality residual on the string guards hash
+    * collisions — a collided pair lands in one hash bucket but each
+    * unit only matches its OWN first-occurrence row, so correctness
+    * never rests on xxhash64 being injective.
     *
     * Output: (idCol, n_units, n_kept, text_dedup) — a doc whose every
     * unit appeared earlier reassembles to the empty string, not null.
@@ -99,9 +106,12 @@ object Dedup {
       posexplode(split(coalesce(col(textCol), lit("")),
         java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "unit")))
-    val first = units.groupBy(col("unit"))
+      .withColumn("uh", xxhash64(col("unit")))
+    val first = units.groupBy(col("uh"), col("unit"))
       .agg(min(struct(col(idCol), col("pos"))).as("f"))
-    units.join(first, Seq("unit"))
+      .select(col("uh"), col("unit").as("unit_f"), col("f"))
+    units.join(first, Seq("uh"))
+      .filter(col("unit") === col("unit_f")) // collision residual
       .withColumn("keep",
         col(s"f.$idCol") === col(idCol) && col("f.pos") === col("pos"))
       .groupBy(col(idCol))
@@ -130,7 +140,13 @@ object Dedup {
     *     pairs with exact Jaccard >= `threshold`.
     *
     * Recall: pairs with similarity s survive with prob 1-(1-s^rows)^bands;
-    * defaults (16×8) catch s>=0.9 with certainty ~1-1e-8.
+    * defaults (16×8) catch s>=0.9 with certainty ~1-1e-8 — the
+    * within-corpus RE-CRAWL regime this operator dedups. NOTE: at the
+    * default `threshold` 0.5 itself, 16×8 detects a J=0.5 pair with
+    * probability only ~0.06; a caller who needs recall AT 0.5 (a gate,
+    * an audit) must pass bands=32, rowsPerBand=4 — the default the
+    * gate-shaped entry points ([[crossNearDup]], [[splitLeakageAudit]])
+    * already ship.
     */
   def nearDupMinhash(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.5, shingleN: Int = 3,
@@ -235,13 +251,19 @@ object Dedup {
     * NOT reported (run [[nearDupMinhash]] on the batch for those).
     *
     * Output: (new_id, base_id, jacc) for every cross pair with shingle
-    * Jaccard >= `threshold`; recall follows the same band/row bound as
-    * [[nearDupMinhash]] (certainty ~1-1e-8 at s >= 0.9 with 16×8).
+    * Jaccard >= `threshold`. The default banding is 32×4, matched to
+    * the default threshold the way [[splitLeakageAudit]]'s is: a gate
+    * needs recall AT its threshold (detection at J = 0.5 / 0.6 / ≥0.7
+    * is 0.87 / 0.99 / ~1 under 32×4, versus ~0.06 at J=0.5 under the
+    * 16×8 dedup banding — callers who kept the old composed default got
+    * silently poor recall at the stated threshold). Pass 16×8 back
+    * explicitly when probing only for the J ≥ 0.9 re-crawl regime —
+    * fewer, bigger bands means fewer index rows and candidates.
     */
   def crossNearDup(newBatch: DataFrame, base: DataFrame,
                    idCol: String, textCol: String,
                    threshold: Double = 0.5, shingleN: Int = 3,
-                   k: Int = 128, bands: Int = 16, rowsPerBand: Int = 8,
+                   k: Int = 128, bands: Int = 32, rowsPerBand: Int = 4,
                    maxBucket: Int = 1000): DataFrame = {
     require(bands * rowsPerBand == k, "bands*rowsPerBand must equal k")
     crossNearDupIndexed(newBatch,
@@ -262,16 +284,69 @@ object Dedup {
     * different shingle width or band layout than the index was built
     * with would silently match nothing (band hashes disagree), so the
     * query sides take them from here instead of asking the caller twice.
+    * The HASH SCHEME version rides along for the same reason: the
+    * minhash values themselves changed once already (r8, seeded-XXH64 →
+    * one-hash+splitmix64), and an index stored under one scheme and
+    * probed by another silently matches nothing — so the probe entry
+    * points require `hashScheme == CorpusIndex.HashScheme` and
+    * [[Dedup.loadIndex]] re-checks it on read.
     */
   final case class CorpusIndex(bands: DataFrame, shingles: DataFrame,
-                               shingleN: Int, k: Int, nBands: Int) {
+                               shingleN: Int, k: Int, nBands: Int,
+                               hashScheme: Int = CorpusIndex.HashScheme) {
     /** Persist both sides (what a stored index behaves like in-session). */
     def persist(): CorpusIndex = { bands.persist(); shingles.persist(); this }
     def unpersist(): Unit = { bands.unpersist(); shingles.unpersist() }
+
+    /** Store the index as three parquet tables under `path`
+      * (`bands/`, `shingles/`, `meta/`) — the cross-process form of the
+      * "computed once, stored, refreshed on compaction" artifact the
+      * class doc promises. `meta` is one row carrying (shingle_n, k,
+      * n_bands, hash_scheme) so a reader CANNOT reconstruct the index
+      * with mismatched parameters; [[Dedup.loadIndex]] is the reader.
+      */
+    def save(path: String): Unit = {
+      bands.write.mode("overwrite").parquet(s"$path/bands")
+      shingles.write.mode("overwrite").parquet(s"$path/shingles")
+      val spark = bands.sparkSession
+      import spark.implicits._
+      Seq((shingleN, k, nBands, hashScheme))
+        .toDF("shingle_n", "k", "n_bands", "hash_scheme")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
+  }
+
+  object CorpusIndex {
+    /** Version of the shingle→minhash→band hash pipeline. Bump whenever
+      * the produced hash VALUES change (v2 = r8's one-hash + splitmix64
+      * signatures; v1 was the seeded-XXH64 scheme). Stored indexes carry
+      * it; probing with a mismatched scheme is rejected loudly instead
+      * of silently matching nothing.
+      */
+    val HashScheme = 2
+  }
+
+  /** Read a [[CorpusIndex]] written by [[CorpusIndex.save]]. Parameters
+    * come from the stored meta row, never the caller; a hash-scheme
+    * mismatch (index written by an older/newer build) fails loudly here
+    * rather than silently flagging zero duplicates at probe time.
+    */
+  def loadIndex(spark: SparkSession, path: String): CorpusIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val scheme = meta.getAs[Int]("hash_scheme")
+    require(scheme == CorpusIndex.HashScheme,
+      s"stored CorpusIndex at $path uses hash scheme $scheme but this " +
+        s"build produces scheme ${CorpusIndex.HashScheme} — rebuild the " +
+        "index (a cross-scheme probe would silently match nothing)")
+    CorpusIndex(
+      spark.read.parquet(s"$path/bands"),
+      spark.read.parquet(s"$path/shingles"),
+      meta.getAs[Int]("shingle_n"), meta.getAs[Int]("k"),
+      meta.getAs[Int]("n_bands"), scheme)
   }
 
   def buildIndex(base: DataFrame, idCol: String, textCol: String,
-                 shingleN: Int = 3, k: Int = 128, bands: Int = 16,
+                 shingleN: Int = 3, k: Int = 128, bands: Int = 32,
                  maxBucket: Int = 1000): CorpusIndex =
     CorpusIndex(
       bandIndex(base, idCol, textCol, shingleN, k, bands, maxBucket),
@@ -288,6 +363,9 @@ object Dedup {
   def crossNearDupIndexed(newBatch: DataFrame, index: CorpusIndex,
                           idCol: String, textCol: String,
                           threshold: Double = 0.5): DataFrame = {
+    require(index.hashScheme == CorpusIndex.HashScheme,
+      s"CorpusIndex hash scheme ${index.hashScheme} != this build's " +
+        s"${CorpusIndex.HashScheme} — rebuild the index")
     val shNew = newBatch.select(col(idCol).as("new_id"),
         TextOps.shingles(col(textCol), index.shingleN).as("sh_n"))
       .filter(size(col("sh_n")) > 0)
@@ -315,7 +393,7 @@ object Dedup {
     * against the index is bounded by `maxBucket` per band row.
     */
   def bandIndex(base: DataFrame, idCol: String, textCol: String,
-                shingleN: Int = 3, k: Int = 128, bands: Int = 16,
+                shingleN: Int = 3, k: Int = 128, bands: Int = 32,
                 maxBucket: Int = 1000): DataFrame = {
     val capped = udaf(new CappedIdSetAgg(maxBucket))
     base.select(col(idCol).as("id"),
@@ -367,12 +445,16 @@ object Dedup {
     *
     * Scale shape is [[crossNearDup]]'s: the train side's band index is
     * one capped aggregation, the eval side (typically ~20% of the
-    * corpus) probes it, nothing is all-pairs. The two sides branch from
-    * one split-labeled projection, which Spark's lineage re-executes
-    * per branch (three corpus scans end to end — sf1 probe: 8.7× at 10×
-    * rows, still sub-linear); a pipeline auditing repeatedly should
-    * persist `df.withColumn("split", splitAssign(...))` and pass the
-    * filtered halves to [[crossNearDup]] directly.
+    * corpus) probes it, nothing is all-pairs. The split-labeled
+    * projection (id, text, split) is `localCheckpoint`ed EAGERLY inside
+    * the operator, so the corpus is scanned exactly once no matter how
+    * many downstream branches lineage would otherwise re-execute — the
+    * r8 sf1 probe measured the un-materialized form re-scanning three
+    * times (7.2× at 10× rows, the heaviest probe row). The
+    * materialization is the projected three columns only, on executor
+    * local storage. A pipeline that already HAS persisted split halves
+    * should call [[crossNearDup]](evalSide, trainSide, ...) directly —
+    * that is this operator minus the assignment.
     */
   def splitLeakageAudit(df: DataFrame, idCol: String, textCol: String,
                         trainPct: Int = 80, valPct: Int = 10,
@@ -383,7 +465,11 @@ object Dedup {
     require(!clash, "splitLeakageAudit uses a __split working column — " +
       "rename the input's __split first")
     val split = TextOps.splitAssign(col(textCol), trainPct, valPct)
-    val withSplit = df.withColumn("__split", split)
+    // one corpus scan: project to the three columns the audit needs and
+    // materialize eagerly; both halves below branch from the checkpoint
+    val withSplit = df.select(col(idCol), col(textCol))
+      .withColumn("__split", split)
+      .localCheckpoint()
     crossNearDup(
       withSplit.filter(col("__split") =!= "train"),
       withSplit.filter(col("__split") === "train"),

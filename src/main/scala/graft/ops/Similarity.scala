@@ -284,8 +284,17 @@ object Similarity {
         // the operating point truly insane — that loud failure predates
         // this tuning and is preserved.
         val p = 1.0 - math.acos(math.min(threshold, 1.0)) / math.Pi
-        def bandsFor(bits: Int): Int = math.max(1,
-          math.ceil(math.log(0.1) / math.log(1.0 - math.pow(p, bits))).toInt)
+        def bandsFor(bits: Int): Int = {
+          val miss = 1.0 - math.pow(p, bits)
+          // p^bits can underflow to where (1.0 - p^bits) == 1.0; log(1.0)
+          // = 0 would then yield -Infinity → Int.MinValue → max(1, _) = 1
+          // band — silently shipping ~zero recall instead of the loud
+          // require below. No finite band count reaches 90% recall there,
+          // so report "more than any cap" and let the widening loop /
+          // require handle it.
+          if (miss >= 1.0) Int.MaxValue
+          else math.max(1, math.ceil(math.log(0.1) / math.log(miss)).toInt)
+        }
         var bits = math.max(8, math.ceil(
           math.log(rows / 16.0) / math.log(2.0)).toInt)
         while (bandsFor(bits) > 128 && bits > 8) bits -= 1

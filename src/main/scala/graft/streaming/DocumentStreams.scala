@@ -69,7 +69,7 @@ object DocumentStreams {
   def flagAgainstBase(docs: DataFrame, base: DataFrame,
                       watermark: String = "10 minutes",
                       threshold: Double = 0.5, shingleN: Int = 3,
-                      k: Int = 128, bands: Int = 16,
+                      k: Int = 128, bands: Int = 32,
                       maxBucket: Int = 1000): DataFrame =
     flagAgainstBaseIndexed(docs,
       Dedup.buildIndex(base, "doc_id", "text", shingleN, k, bands,
@@ -96,6 +96,9 @@ object DocumentStreams {
                              watermark: String = "10 minutes",
                              threshold: Double = 0.5,
                              broadcastIndex: Boolean = false): DataFrame = {
+    require(index.hashScheme == Dedup.CorpusIndex.HashScheme,
+      s"CorpusIndex hash scheme ${index.hashScheme} != this build's " +
+        s"${Dedup.CorpusIndex.HashScheme} — rebuild the index")
     val (idxBands, idxShingles) =
       if (broadcastIndex) (broadcast(index.bands), broadcast(index.shingles))
       else (index.bands, index.shingles)

@@ -676,6 +676,47 @@ class OpsSpec extends SparkSpec {
     } finally index.unpersist()
   }
 
+  test("CorpusIndex save/load round-trip: the stored index flags the same pairs") {
+    val base1 = (1 to 60).map(i => s"w$i").mkString(" ")
+    val mutated = ((1 to 58).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")
+    val base = Seq((1L, base1), (2L, (200 to 260).map(i => s"y$i").mkString(" ")))
+      .toDF("id", "text")
+    val batch = Seq((11L, mutated), (12L, (100 to 160).map(i => s"z$i").mkString(" ")))
+      .toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-index").toString
+    val built = Dedup.buildIndex(base, "id", "text")
+    built.save(dir)
+    val loaded = Dedup.loadIndex(spark, dir)
+    // parameters travel in the meta table, not the caller's head
+    assert((loaded.shingleN, loaded.k, loaded.nBands, loaded.hashScheme) ===
+      (built.shingleN, built.k, built.nBands, Dedup.CorpusIndex.HashScheme))
+    val viaStored = Dedup.crossNearDupIndexed(batch, loaded, "id", "text",
+      threshold = 0.5).as[(Long, Long, Double)].collect().toSet
+    val oneShot = Dedup.crossNearDup(batch, base, "id", "text",
+      threshold = 0.5).as[(Long, Long, Double)].collect().toSet
+    assert(viaStored === oneShot)
+    assert(viaStored.map(p => (p._1, p._2)) === Set((11L, 1L)))
+  }
+
+  test("CorpusIndex hash-scheme mismatch fails loudly at probe and at load") {
+    val base = Seq((1L, (1 to 60).map(i => s"w$i").mkString(" ")))
+      .toDF("id", "text")
+    val stale = Dedup.buildIndex(base, "id", "text").copy(hashScheme = 1)
+    // probe-time guard: an in-session index stamped with another scheme
+    intercept[IllegalArgumentException] {
+      Dedup.crossNearDupIndexed(base, stale, "id", "text")
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.DocumentStreams.flagAgainstBaseIndexed(base, stale)
+    }
+    // load-time guard: a stored v1 index is rejected before any probe
+    val dir = java.nio.file.Files.createTempDirectory("graft-stale-idx").toString
+    stale.save(dir)
+    intercept[IllegalArgumentException] {
+      Dedup.loadIndex(spark, dir)
+    }
+  }
+
   test("shuffleShard: complete cover, dense per-shard positions, deterministic") {
     val docs = (1 to 97).map(i => (i.toLong, s"document number $i with words"))
       .toDF("doc_id", "text")

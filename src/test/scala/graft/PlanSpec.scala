@@ -164,6 +164,19 @@ class PlanSpec extends SparkSpec {
     assert("SortAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("q67: the leakage audit materializes the corpus once — no parquet re-scan") {
+    val plan = planOf("q67_split_leakage")
+    // the split-labeled projection is localCheckpoint'ed inside the
+    // operator (one eager corpus scan at build time); every branch —
+    // eval probe, train band index, train shingles — must read the
+    // checkpointed RDD, never re-execute the parquet scan (the r8 sf1
+    // probe measured the un-materialized form scanning three times)
+    assert(!plan.contains("Scan parquet"),
+      s"corpus parquet must not be re-scanned by audit branches:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"expected the checkpointed projection feeding the audit:\n$plan")
+  }
+
   test("q59: mixture sampling is scan-only before the rollup") {
     val plan = planOf("q59_mixture_sample")
     // content-keyed filtering is a pure per-row expression: exactly one

@@ -116,22 +116,38 @@ object StreamBench {
         // so the index MUST be materialized once, before the clock).
         // text(key) = 45 words in a key-disjoint range (stride 50 > 45 +
         // shingle margin), so key k matches base doc k exactly and
-        // nothing else: stream keys cycle over 2×nBase, making HALF the
+        // nothing else: stream keys range over 2×nBase, making HALF the
         // input near-dups — every flag at the egress is one matched doc.
+        // Keys walk the 2×nBase residues via an odd-prime multiplier
+        // (bijective: gcd(p, 2·nBase)=1), NOT `value mod 2·nBase`: a
+        // 60 s run consumes only a prefix of the value space, and with
+        // the plain mod a base bigger than the consumed prefix made
+        // that prefix 100% matches (an r9 500k-base row measured
+        // pairs == input docs) — the match mix must be ~50% for EVERY
+        // consumed prefix or rows at different base sizes don't compare.
         val nBase = sys.env.getOrElse("SPARK_GRAFT_FLAG_BASE", "200000").toInt
         def textOf(key: org.apache.spark.sql.Column) =
           concat_ws(" ", transform(sequence(lit(0), lit(44)),
             j => concat(lit("w"), (key * 50 + j).cast("string"))))
         val base = spark.range(nBase.toLong)
           .select(col("id").as("doc_id"), textOf(col("id")).as("text"))
-        val index = ops.Dedup.buildIndex(base, "doc_id", "text").persist()
+        // The production round trip, not an in-session shortcut: build →
+        // save (three parquet tables + meta) → loadIndex (re-checks the
+        // hash scheme) → persist. The stream below probes the STORED
+        // index — exactly what a cluster restarting between compaction
+        // and ingest would do.
+        val indexDir = java.nio.file.Files
+          .createTempDirectory("graft-flag-index").toString
+        ops.Dedup.buildIndex(base, "doc_id", "text").save(indexDir)
+        val index = ops.Dedup.loadIndex(spark, indexDir).persist()
         index.bands.count(); index.shingles.count() // build before the clock
         val docs = spark.readStream.format("rate")
           .option("rowsPerSecond", rps)
           .option("numPartitions", 8)
           .load()
           .select(col("timestamp").as("ts"), col("value").as("doc_id"),
-            textOf(pmod(col("value"), lit(2L * nBase))).as("text"))
+            textOf(pmod(col("value") * lit(1000003L), lit(2L * nBase)))
+              .as("text"))
         streaming.DocumentStreams.flagAgainstBaseIndexed(docs, index,
           broadcastIndex = sys.env.get("SPARK_GRAFT_FLAG_BCAST").contains("1"))
       }

@@ -355,6 +355,52 @@ object Dedup {
         .filter(size(col("sh_b")) > 0),
       shingleN, k, bands)
 
+  /** The index after admitting a batch: the compaction step of the
+    * continuous-ingestion loop (build → save → load → probe →
+    * [[admitBatch]] → extend → save). Once a batch ships, its documents
+    * ARE base corpus for every later batch — without this, the stored
+    * index silently stops covering everything admitted after the last
+    * full rebuild.
+    *
+    * The admitted side is shingled/banded with the INDEX's parameters
+    * (never the caller's — same reason the probe sides read them from
+    * the index), its band rows are unioned with the stored buckets
+    * exploded back to rows, and the buckets re-aggregate under the same
+    * [[CappedIdSetAgg]] cap. Cost is one aggregation shuffle over
+    * (index + batch) band rows — linear in the index, the expected
+    * price of compaction, but far below the full rebuild, which would
+    * re-run shingling over every base DOCUMENT (the text, not the
+    * ~bands-per-doc index rows). Buckets the old index had tombstoned
+    * were dropped at build time and stay absent — degenerate
+    * boilerplate stays excluded by design; buckets that overflow only
+    * now (old + new members together) get tombstoned here.
+    */
+  def extendIndex(index: CorpusIndex, admitted: DataFrame,
+                  idCol: String, textCol: String,
+                  maxBucket: Int = 1000): CorpusIndex = {
+    require(index.hashScheme == CorpusIndex.HashScheme,
+      s"CorpusIndex hash scheme ${index.hashScheme} != this build's " +
+        s"${CorpusIndex.HashScheme} — rebuild the index")
+    val shNew = admitted.select(col(idCol).as("base_id"),
+        TextOps.shingles(col(textCol), index.shingleN).as("sh_b"))
+      .filter(size(col("sh_b")) > 0)
+    val newBandRows = shNew
+      .select(col("base_id").as("id"),
+        posexplode(TextOps.minhashBands(col("sh_b"), index.k, index.nBands))
+          .as(Seq("band", "band_hash")))
+    val oldBandRows = index.bands
+      .select(col("band"), col("band_hash"),
+        explode(col("base_ids")).as("id"))
+    val capped = udaf(new CappedIdSetAgg(maxBucket))
+    val merged = oldBandRows.unionByName(newBandRows)
+      .groupBy(col("band"), col("band_hash"))
+      .agg(capped(col("id")).as("cs"))
+      .filter(!col("cs.overflow"))
+      .select(col("band"), col("band_hash"), col("cs.ids").as("base_ids"))
+    CorpusIndex(merged, index.shingles.unionByName(shNew),
+      index.shingleN, index.k, index.nBands, index.hashScheme)
+  }
+
   /** [[crossNearDup]] against a prebuilt (typically persisted/stored)
     * [[CorpusIndex]] — the production entry point for continuous
     * ingestion: the base pipeline never re-runs per batch. Shingle and

@@ -724,6 +724,51 @@ class OpsSpec extends SparkSpec {
     assert(viaStored.map(p => (p._1, p._2)) === Set((11L, 1L)))
   }
 
+  test("extendIndex: extended index flags like a full rebuild over base+admitted") {
+    val base1 = (1 to 60).map(i => s"w$i").mkString(" ")
+    val admitted1 = (100 to 160).map(i => s"z$i").mkString(" ")
+    val base = Seq((1L, base1)).toDF("id", "text")
+    val admitted = Seq((2L, admitted1)).toDF("id", "text")
+    // the follow-up batch near-dups one ORIGINAL-base doc and one
+    // ADMITTED doc — the second flag only exists if compaction worked
+    val mutBase = ((1 to 58).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")
+    val mutAdm = ((100 to 158).map(i => s"z$i") ++ Seq("q1", "q2")).mkString(" ")
+    val batch2 = Seq((11L, mutBase), (12L, mutAdm)).toDF("id", "text")
+    val extended = Dedup.extendIndex(
+      Dedup.buildIndex(base, "id", "text"), admitted, "id", "text")
+    val viaExtended = Dedup.crossNearDupIndexed(batch2, extended, "id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val viaRebuild = Dedup.crossNearDupIndexed(batch2,
+      Dedup.buildIndex(base.unionByName(admitted), "id", "text"),
+      "id", "text").as[(Long, Long, Double)].collect().toSet
+    assert(viaExtended === viaRebuild)
+    assert(viaExtended.map(p => (p._1, p._2)) === Set((11L, 1L), (12L, 2L)))
+    // parameters and scheme ride through compaction unchanged
+    assert((extended.shingleN, extended.k, extended.nBands,
+      extended.hashScheme) === (3, 128, 32, Dedup.CorpusIndex.HashScheme))
+  }
+
+  test("extendIndex: a bucket overflowing only after the merge gets tombstoned") {
+    // 6 boilerplate docs in the base (under cap), 6 more admitted —
+    // together they pass maxBucket=10, so the merged bucket must
+    // tombstone and a later boilerplate probe matches nothing; the
+    // distinct planted pair still flags.
+    val boiler = "the same boilerplate legal disclaimer text block " * 4
+    val base1 = (1 to 60).map(i => s"w$i").mkString(" ")
+    val base = ((1 to 6).map(i => (i.toLong, boiler)) :+ (100L, base1))
+      .toDF("id", "text")
+    val admitted = (11 to 16).map(i => (i.toLong, boiler)).toDF("id", "text")
+    val mutated = ((1 to 58).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")
+    val batch2 = Seq((200L, boiler), (201L, mutated)).toDF("id", "text")
+    val extended = Dedup.extendIndex(
+      Dedup.buildIndex(base, "id", "text", maxBucket = 10),
+      admitted, "id", "text", maxBucket = 10)
+    val got = Dedup.crossNearDupIndexed(batch2, extended, "id", "text")
+      .select("new_id", "base_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((201L, 100L)),
+      s"merged boilerplate bucket must tombstone, planted pair kept: $got")
+  }
+
   test("CorpusIndex hash-scheme mismatch fails loudly at probe and at load") {
     val base = Seq((1L, (1 to 60).map(i => s"w$i").mkString(" ")))
       .toDF("id", "text")

@@ -97,9 +97,15 @@ object ScaleProbe {
     val preload = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val cpus = Runtime.getRuntime.availableProcessors
-    val polluted = preload > cpus * 0.25
+    // banded like StreamBench (r8 advice): "clean" means genuinely idle,
+    // not merely under a quarter of the cores
+    val loadBand =
+      if (preload <= 2.0) "clean"
+      else if (preload <= cpus * 0.25) "loaded"
+      else "polluted"
+    val polluted = loadBand != "clean"
     if (polluted) System.err.println(
-      f"POLLUTED: pre-run load average $preload%.1f on $cpus cpus — " +
+      f"$loadBand%s: pre-run load average $preload%.1f on $cpus cpus — " +
         "ratios will be inflated; rerun idle")
     val spark = GraftSession.local(appName = "graft-scaleprobe")
 
@@ -135,7 +141,7 @@ object ScaleProbe {
 
     val anyChanged = results.exists(_.changed)
     val line =
-      f"""{"metric":"scale_probe","small":"$small","big":"$big","plan_changes":$anyChanged,"preload":$preload%.1f,"polluted":$polluted,"queries":{${results.map(_.json).mkString(",")}}}"""
+      f"""{"metric":"scale_probe","small":"$small","big":"$big","plan_changes":$anyChanged,"preload":$preload%.1f,"load_band":"$loadBand","polluted":$polluted,"queries":{${results.map(_.json).mkString(",")}}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "scale_probe.json")
     Files.writeString(Paths.get(outPath), line + "\n")
     println(line)

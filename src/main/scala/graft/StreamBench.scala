@@ -107,6 +107,12 @@ object StreamBench {
     val mode = sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "sessionize")
     require(Set("sessionize", "clean", "flag").contains(mode),
       s"SPARK_GRAFT_STREAM_MODE must be 'sessionize', 'clean' or 'flag', got '$mode'")
+    // Hoisted so the JSON line can self-describe the flag-mode config:
+    // the r9 evidence runs needed log-filename archaeology to tell a
+    // 50k-broadcast row from a 500k-SMJ row, which is exactly the kind
+    // of unlabeled measurement the tenancy protocol exists to prevent.
+    val flagBase = sys.env.getOrElse("SPARK_GRAFT_FLAG_BASE", "200000").toInt
+    val flagBcast = sys.env.get("SPARK_GRAFT_FLAG_BCAST").contains("1")
 
     val sink =
       if (mode == "flag") {
@@ -125,7 +131,7 @@ object StreamBench {
         // that prefix 100% matches (an r9 500k-base row measured
         // pairs == input docs) — the match mix must be ~50% for EVERY
         // consumed prefix or rows at different base sizes don't compare.
-        val nBase = sys.env.getOrElse("SPARK_GRAFT_FLAG_BASE", "200000").toInt
+        val nBase = flagBase
         def textOf(key: org.apache.spark.sql.Column) =
           concat_ws(" ", transform(sequence(lit(0), lit(44)),
             j => concat(lit("w"), (key * 50 + j).cast("string"))))
@@ -149,7 +155,7 @@ object StreamBench {
             textOf(pmod(col("value") * lit(1000003L), lit(2L * nBase)))
               .as("text"))
         streaming.DocumentStreams.flagAgainstBaseIndexed(docs, index,
-          broadcastIndex = sys.env.get("SPARK_GRAFT_FLAG_BCAST").contains("1"))
+          broadcastIndex = flagBcast)
       }
       else if (mode == "sessionize")
         streaming.EventStreams
@@ -229,8 +235,11 @@ object StreamBench {
       case "clean"      => "stream_clean_docs_per_sec"
       case _            => "stream_flag_pairs_per_sec"
     }
+    val flagCfg = if (mode == "flag")
+      s""","flag_base":$flagBase,"broadcast":$flagBcast,"trigger_secs":$triggerSecs"""
+    else ""
     val line =
-      f"""{"metric":"$metric","value":$rowsPerSec%.0f,"unit":"rows/sec","egress_events":$egressEvents,"egress_sessions":$egressSessions,"listener_input_rows":${inputRows.get()},"elapsed_sec":$elapsed%.1f,"configured_rps":$rps,"state_store":"$stateStore","mode":"$mode","preload":$preload%.1f,"load_band":"$loadBand","polluted":$polluted}"""
+      f"""{"metric":"$metric","value":$rowsPerSec%.0f,"unit":"rows/sec","egress_events":$egressEvents,"egress_sessions":$egressSessions,"listener_input_rows":${inputRows.get()},"elapsed_sec":$elapsed%.1f,"configured_rps":$rps,"state_store":"$stateStore","mode":"$mode"$flagCfg,"preload":$preload%.1f,"load_band":"$loadBand","polluted":$polluted}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT", "stream_bench.json")
     Files.writeString(Paths.get(outPath), line + "\n")
     println(line)

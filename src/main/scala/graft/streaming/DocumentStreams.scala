@@ -88,9 +88,13 @@ object DocumentStreams {
     * too big to broadcast, and the reason the module doc routes
     * high-throughput dedup to the batch compaction pass. True hints
     * both index tables broadcast, so the stream side never shuffles:
-    * measured 5× the throughput (13k vs 2.7k docs/s, StreamBench
-    * `mode=flag`) at a 50k-doc base — use it whenever the index fits
-    * executor memory.
+    * measured ~1.5–5× the SMJ throughput (9.1k vs 1.7–6.4k pairs/s,
+    * StreamBench `mode=flag`, r9 clean runs) at a 50k-doc base — use it
+    * whenever the index fits executor memory. The boundary is REAL and
+    * measured, not advisory: at a 500k-doc base (~80M band rows) the
+    * broadcast build dies with `Not enough memory to build and
+    * broadcast the table` (BroadcastExchangeExec) while the default SMJ
+    * path sustains 2.3k pairs/s — which is why false is the default.
     */
   def flagAgainstBaseIndexed(docs: DataFrame, index: Dedup.CorpusIndex,
                              watermark: String = "10 minutes",

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over a document corpus — BM25 ranking of corpus
+  * documents against a (small) query set.
+  *
+  * Part of the training-data-pipeline breadth layer next to the
+  * embedding-space searches ([[Similarity]]): data curation uses exactly
+  * this shape to pull the nearest TRAINING documents for an eval prompt
+  * (contamination triage beyond n-gram overlap — [[TextOps.contamination]]
+  * catches verbatim leakage, BM25 catches paraphrased near-neighbors) and
+  * to build retrieval baselines over a cleaned corpus. The reference
+  * engine has no text operators at all (its expression language is
+  * `=`/`AND` over scalars, reference `sql2ra/functionality.py:76`).
+  *
+  * Scale shape (the part that matters at 100 TB): the query set is SMALL
+  * (an eval benchmark — thousands of rows, not billions), so its distinct
+  * term set broadcasts, and the corpus-side explode is semi-joined down
+  * to query-term postings BEFORE anything shuffles — a document sharing
+  * no term with any query never leaves its scan partition. The only
+  * corpus-sized shuffle is the (doc, term) tf aggregation over those
+  * surviving postings; document length rides that same shuffle as a
+  * `max` aggregate instead of a second corpus join. Corpus constants (N,
+  * avgdl) are one scan-only aggregate cross-joined in as a 1-row plan
+  * (no eager action at plan-construction time), and per-term document
+  * frequencies are an aggregate of the already-restricted tf table —
+  * bounded by |query vocabulary|, then broadcast back. The df branch
+  * names the same tf subtree, and AQE's ReuseExchange collapses the two
+  * into ONE corpus explode at runtime (a `ReusedExchange` in the
+  * executed plan, spec-pinned) — deliberately NOT a window count over
+  * tf, which would shuffle full postings rows by raw term and pile a
+  * stop-word-hot term onto one task; the aggregate path partial-combines
+  * map-side before anything moves.
+  *
+  * Score: the Robertson/Sparck-Jones BM25 with the standard "+1" idf
+  * floor (Lucene's formulation, public): for each query term t in doc d,
+  * `idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dlen/avgdl))` with
+  * `idf = ln((N - df + 0.5) / (df + 0.5) + 1)`. Query-side term
+  * frequency is ignored (terms are distinct per query) — the standard
+  * choice for short queries. Per-term contributions are rounded at 9 dp
+  * and the per-(query, doc) sum re-rounded at 4 dp — the repo's
+  * round-inside-round pattern that keeps cross-engine double aggregation
+  * hash-stable regardless of float summation order (see q25/q58).
+  *
+  * Output: `(query_id, rnk, doc_id, bm25)` — top `topK` docs per query,
+  * rnk 1..topK by (bm25 desc, doc_id asc); docs sharing no term with a
+  * query score nothing and never appear (BM25 of disjoint texts is 0).
+  */
+object Retrieval {
+
+  def bm25TopK(docs: DataFrame, queries: DataFrame,
+               docId: String = "doc_id", textCol: String = "text",
+               queryId: String = "query_id", queryTextCol: String = "qtext",
+               topK: Int = 3, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(k1 >= 0 && b >= 0 && b <= 1,
+      s"BM25 parameters out of range: k1=$k1 b=$b")
+
+    // Distinct terms per query; the cross-query distinct term SET is the
+    // broadcast side of the corpus semi-join.
+    val qTerms = queries.select(col(queryId).as("query_id"),
+      explode(array_distinct(TextOps.tokens(col(queryTextCol)))).as("term"))
+    val qTermSet = qTerms.select(col("term")).distinct()
+
+    // Corpus constants from a scan-only aggregate (no explode): a 1-row
+    // DataFrame cross-joined into the score expression, never an eager
+    // .first() at plan-construction time (q47's ns pattern).
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(TextOps.tokenCount(col(textCol)).cast("double")).as("avgdl"))
+
+    // Postings restricted to query terms BEFORE the tf shuffle: the
+    // broadcast hash join runs map-side inside the scan stage, so only
+    // query-term occurrences are ever exchanged. dlen rides the same
+    // shuffle (`max` of a per-doc constant), avoiding a corpus-sized
+    // doc-length join.
+    val tf = docs
+      .select(col(docId).as("d_id"),
+        TextOps.tokenCount(col(textCol)).cast("double").as("dlen"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .join(broadcast(qTermSet), "term")
+      .groupBy(col("d_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"), max(col("dlen")).as("dlen"))
+
+    // (d_id, term) is unique in tf, so df(term) = row count; bounded by
+    // the query vocabulary, broadcast back onto the postings.
+    val df_ = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    val norm = col("tf") +
+      lit(k1) * (lit(1 - b) + lit(b) * col("dlen") / col("avgdl"))
+    val scored = tf
+      .join(broadcast(df_), "term")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qTerms), "term")
+      .withColumn("contrib", round(idf * col("tf") * (k1 + 1) / norm, 9))
+      .groupBy(col("query_id"), col("d_id"))
+      .agg(round(sum(col("contrib")), 4).as("bm25"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25").desc, col("d_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("rnk"), col("d_id").as(docId), col("bm25"))
+  }
+}

@@ -278,6 +278,89 @@ object TextOps {
       pmod(fingerprint(concat(lit("mix:"), col(textCol))), lit(100L)) < pct)
   }
 
+  /** Deterministic EXACT-count stratified sample: the `n` documents per
+    * stratum with the smallest salted content fingerprints (ties by id).
+    * [[mixtureSample]] keeps a deterministic FRACTION per source — the
+    * right tool for corpus-scale mixture weighting — but eval-set and
+    * ablation construction need "exactly n per language/source", and a
+    * fraction-based filter can't promise a count.
+    *
+    * Content-keyed and salted (`"strat:" + text`) like the rest of the
+    * stack, so selection is independent of split/mix/shard buckets and
+    * reproducible across runs, engines, and cluster sizes.
+    *
+    * The rank key is the SQUARED fingerprint mod p, not the raw
+    * fingerprint: poly-31 hashes of texts that differ only near their
+    * END sit in tight clusters (a change at distance d from the end
+    * moves the hash by δ·31^d — small for small d), and a clustered key
+    * breaks the threshold prune below, which assumes the key spreads
+    * over the ring (a planted "document number $i" corpus lost an
+    * entire stratum to this in spec). Squaring maps a cluster at x to
+    * stride-2x steps that wrap the modulus thousands of times,
+    * restoring spread; it stays a one-line DuckDB expression
+    * (`(fp*fp) % p`, products < 2^63), which raw xxhash64 would not be.
+    * (x and p−x collide under squaring — two TEXTS colliding is ~p
+    * unlikely, and the id tie-break keeps even that deterministic.)
+    *
+    * Scale shape: the naive formulation — one `row_number` window per
+    * stratum over the WHOLE corpus — sorts every row of the biggest
+    * stratum on one task at 100 TB. This runs two-phase instead:
+    * (1) per-stratum counts (a map-side-combine aggregate, tiny result,
+    * broadcast back); (2) a fingerprint-threshold PRE-FILTER keeping an
+    * expected `oversample * n` rows per stratum — a pure scan predicate,
+    * no shuffle, that discards ~everything before (3) the exact
+    * `row_number` window runs over survivors only. The result is
+    * IDENTICAL to the global rank: the n smallest fingerprints all pass
+    * any threshold that admits ≥ n rows. A stratum with cnt ≤
+    * oversample·n skips the prune (threshold saturates at 100%), so
+    * shortfall is only possible when the prune is active, where
+    * P(Binomial(cnt, oversample·n/cnt) < n) ≤ exp(-9n/8) at the default
+    * oversample 4 (Chernoff) — one in ~80k strata at n = 10, vanishing
+    * at real n — and it CANNOT pass silently: a window count over the
+    * survivors feeds `assert_true`, so a shortfall fails the job loudly
+    * (raise `oversample`) instead of returning n-ish rows.
+    *
+    * Output: the input columns plus `rnk` (1..n within the stratum, in
+    * fingerprint order). Strata with fewer than n rows keep all rows.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       textCol: String, n: Int,
+                       oversample: Double = 4.0): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(oversample >= 1.0, s"oversample must be >= 1, got $oversample")
+    val clash = Seq("rnk", "__fp", "__cnt", "__nsurv").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"stratifiedSample adds columns ${clash.mkString(", ")} that already " +
+        "exist in the input — rename or drop them first")
+    val mod = 1000000007L // portable_fingerprint's modulus
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val raw = fingerprint(concat(lit("strat:"), col(textCol)))
+    val fp = pmod(raw * raw, lit(mod))
+    // fp is uniform on [0, mod); keep fp < mod * min(1, oversample*n/cnt)
+    val thr = lit(mod.toDouble) *
+      least(lit(1.0), lit(oversample * n) / col("__cnt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
+    val survivors = df
+      .join(broadcast(counts), strataCol)
+      .withColumn("__fp", fp)
+      .filter(col("__fp") < thr)
+    survivors
+      .withColumn("rnk", row_number().over(
+        w.orderBy(col("__fp").asc, col(idCol).asc)))
+      .withColumn("__nsurv", count(lit(1)).over(w))
+      // fail-loud shortfall guard: rides the same window exchange, no
+      // extra action; assert_true returns NULL when the claim holds
+      .where(coalesce(
+        assert_true(col("__nsurv") >= least(lit(n.toLong), col("__cnt")),
+          lit(s"stratifiedSample: a stratum's pre-filter kept fewer than " +
+            s"min(n=$n, stratum size) rows — raise oversample " +
+            s"(currently $oversample)")),
+        lit(true)))
+      .filter(col("rnk") <= n)
+      .drop("__fp", "__cnt", "__nsurv")
+  }
+
   /** Deterministic global shuffle + fixed shard assignment — the EXPORT
     * pass that turns a cleaned corpus into N training shards in a
     * reproducible pseudo-random order (training wants documents

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.table
-import graft.ops.{Dedup, Similarity, TextOps}
+import graft.ops.{Dedup, Retrieval, Similarity, TextOps}
 
 /** Training-data-pipeline correctness queries over the `documents`,
   * `embeddings` and `events` fixtures: deduplication (exact, MinHash-LSH,
@@ -566,6 +566,34 @@ object PipelineQueries {
       "source", keepPct = 75)
       .select(col("doc_id"), col("source"))
 
+  /** BM25 retrieval ([[Retrieval.bm25TopK]]): the 5 lowest-id `src0`
+    * docs act as the query set (first 8 words each — an "eval prompt"
+    * shape), ranked against the Rest-of-corpus (src0 excluded, so
+    * queries can't retrieve themselves). Top-3 per query, (bm25 desc,
+    * doc_id) order. The oracle recomputes tf, df, N, avgdl and the
+    * full Robertson/Lucene score in DuckDB under the same
+    * round-inside-round contract, pinning every rank and score.
+    */
+  def q69(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    val queries = docs.filter(col("source") === "src0")
+      .orderBy(col("doc_id")).limit(5)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 8)).as("qtext"))
+    Retrieval.bm25TopK(docs.filter(col("source") =!= "src0"), queries)
+  }
+
+  /** Exact-n stratified sample ([[TextOps.stratifiedSample]]): the 10
+    * smallest salted-fingerprint docs per source. The operator runs the
+    * two-phase count → threshold-prune → rank-survivors plan; the oracle
+    * is the NAIVE global rank — passing proves the prune is invisible
+    * to the result, which is the operator's whole contract.
+    */
+  def q70(s: SparkSession, dir: String): DataFrame =
+    TextOps.stratifiedSample(t(s, dir)("documents"), "source", "doc_id",
+      "text", n = 10)
+      .select(col("source"), col("rnk"), col("doc_id"))
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_dedup_keyed"     -> (q21 _),
     "q22_dedup_text_exact" -> (q22 _),
@@ -599,6 +627,8 @@ object PipelineQueries {
     "q66_pack_sequences"  -> (q66 _),
     "q67_split_leakage"   -> (q67 _),
     "q68_quality_topfrac" -> (q68 _),
+    "q69_bm25_retrieval"  -> (q69 _),
+    "q70_stratified_sample" -> (q70 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -797,6 +827,63 @@ object PipelineQueries {
          WHERE len(e.sh) > 0 AND len(t.sh) > 0
            AND CAST(len(list_intersect(e.sh, t.sh)) AS DOUBLE)
                / len(list_distinct(e.sh || t.sh)) >= 0.5"""),
+    // literals mirror the Scala arithmetic exactly: 2.2 == 1.2 + 1 and
+    // 0.25 == 1 - 0.75 as doubles, and the contribution expression is
+    // left-associated identically — the 9dp/4dp round-inside-round then
+    // absorbs any last-bit summation-order drift
+    "q69_bm25_retrieval" ->
+      """WITH q AS (SELECT doc_id AS query_id,
+               array_to_string(string_split(text, ' ')[1:8], ' ') AS qtext
+             FROM documents WHERE source = 'src0'
+             ORDER BY doc_id LIMIT 5),
+         qt AS (SELECT DISTINCT query_id,
+                  unnest(string_split(qtext, ' ')) AS term FROM q),
+         c AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents WHERE source <> 'src0'),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                          avg(CAST(len(ws) AS DOUBLE)) AS avgdl FROM c),
+         toks AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dlen,
+                         unnest(ws) AS term FROM c),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+                       max(dlen) AS dlen
+                FROM toks WHERE term IN (SELECT DISTINCT term FROM qt)
+                GROUP BY doc_id, term),
+         dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+                 FROM tf GROUP BY term),
+         s AS (SELECT qt.query_id, tf.doc_id,
+                 round(sum(round(
+                   ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+                     * tf.tf * 2.2
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dlen / stats.avgdl)),
+                   9)), 4) AS bm25
+               FROM tf JOIN dfq USING (term) JOIN qt USING (term)
+               CROSS JOIN stats
+               GROUP BY qt.query_id, tf.doc_id)
+       SELECT query_id, rnk, doc_id, bm25 FROM (
+         SELECT query_id, doc_id, bm25,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY bm25 DESC, doc_id) AS rnk
+         FROM s) x
+       WHERE rnk <= 3""",
+    // the oracle is the NAIVE global per-stratum rank — no pre-filter —
+    // so a hash-green row proves the operator's two-phase prune is
+    // invisible to the result
+    "q70_stratified_sample" ->
+      """WITH f0 AS (SELECT source, doc_id,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length('strat:' || text) + 1),
+                      i -> CAST(unicode(substr('strat:' || text,
+                        CAST(i AS INT), 1)) AS BIGINT))),
+                  (a, b) -> (a*31 + b) % 1000000007) AS raw
+              FROM documents),
+         f AS (SELECT source, doc_id,
+                 (raw * raw) % 1000000007 AS fp FROM f0),
+         r AS (SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY fp, doc_id) AS rnk
+               FROM f)
+       SELECT source, rnk, doc_id FROM r WHERE rnk <= 10""",
     "q68_quality_topfrac" ->
       """WITH t AS (SELECT doc_id, source,
                 round((least(CAST(len(string_split(text, ' ')) AS DOUBLE)

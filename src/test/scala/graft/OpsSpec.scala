@@ -904,4 +904,70 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(byId(1L)._2 - byId(2L)._2) === 1L)
     assert(byId(1L)._2 < byId(2L)._2, "tie-break by id is ascending")
   }
+
+  test("bm25: exact-match doc ranks first; term-disjoint docs never appear") {
+    val docs = Seq(
+      (1L, "apple banana cherry durian elderberry"),
+      (2L, "apple banana cherry other words here"),
+      (3L, "totally unrelated vocabulary only"),
+      (4L, "apple apple apple apple apple")).toDF("doc_id", "text")
+    val queries = Seq((100L, "apple banana cherry durian elderberry"))
+      .toDF("query_id", "qtext")
+    val out = ops.Retrieval.bm25TopK(docs, queries, topK = 4)
+      .orderBy("rnk").collect()
+    // (query_id, rnk, doc_id, bm25)
+    assert(!out.exists(_.getLong(2) == 3L),
+      "a doc sharing no query term must not appear (BM25 = 0)")
+    assert(out.head.getLong(2) === 1L,
+      "the doc matching all five terms (two of them corpus-unique) wins")
+    val scores = out.map(_.getDouble(3)).toSeq
+    assert(scores === scores.sorted.reverse, "rnk follows bm25 desc")
+    assert(out.map(_.getInt(1)).toSeq === (1 to out.length),
+      "ranks are dense from 1")
+  }
+
+  test("bm25: tf saturation — k1 bounds a term-stuffed doc's score") {
+    // both docs match the single-term query; doc 2 repeats it 20×, but
+    // BM25's tf/(tf+k1·norm) term saturates: the stuffed doc may rank
+    // first, yet its score must stay under the idf·(k1+1) asymptote
+    val docs = Seq(
+      (1L, "apple pie recipe collection"),
+      (2L, ("apple " * 20).trim)).toDF("doc_id", "text")
+    val queries = Seq((9L, "apple")).toDF("query_id", "qtext")
+    val out = ops.Retrieval.bm25TopK(docs, queries, topK = 2).collect()
+    val n = 2.0; val df = 2.0
+    val asymptote = math.log((n - df + 0.5) / (df + 0.5) + 1) * (1.2 + 1)
+    assert(out.forall(_.getDouble(3) <= asymptote + 1e-9),
+      s"scores must saturate below idf*(k1+1) = $asymptote")
+  }
+
+  test("stratifiedSample: two-phase prune equals the naive global rank") {
+    val rows = (1 to 60).map(i => (i.toLong, "big", s"document number $i")) ++
+      Seq((101L, "tiny", "x doc"), (102L, "tiny", "y doc"),
+        (103L, "tiny", "z doc"))
+    val df = rows.toDF("doc_id", "src", "text")
+    val out = TextOps.stratifiedSample(df, "src", "doc_id", "text", n = 5)
+      .select("src", "rnk", "doc_id").as[(String, Int, Long)].collect().toSet
+    // naive reference: rank EVERY row by the same squared-ring key, no
+    // pre-filter (the planted suffix-varying texts are exactly the
+    // cluster shape that broke the RAW-fingerprint threshold in r9)
+    val rawFp = TextOps.fingerprint(concat(lit("strat:"), col("text")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+      .orderBy(pmod(rawFp * rawFp, lit(1000000007L)).asc, col("doc_id").asc)
+    val naive = df.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("src", "rnk", "doc_id").as[(String, Int, Long)].collect().toSet
+    assert(out === naive, "the prune must be invisible to the result")
+    assert(out.count(_._1 == "big") === 5)
+    assert(out.count(_._1 == "tiny") === 3,
+      "a stratum smaller than n keeps all rows")
+  }
+
+  test("stratifiedSample: rejects inputs whose columns clash") {
+    val df = Seq((1L, "a", "t", 1)).toDF("doc_id", "src", "text", "rnk")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.stratifiedSample(df, "src", "doc_id", "text", n = 1)
+    }
+    assert(e.getMessage.contains("rnk"))
+  }
 }

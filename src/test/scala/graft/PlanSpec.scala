@@ -234,6 +234,30 @@ class PlanSpec extends SparkSpec {
     assert("""Window \(\d+\)""".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("q69: bm25 restricts postings map-side and reuses the tf exchange") {
+    val df = SparkEntry.queries("q69_bm25_retrieval")(spark, sfDir)
+    // the semi-restriction to query terms must be a broadcast join (the
+    // corpus side never shuffles unrestricted postings)...
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // ...and the df branch's duplicate tf subtree must collapse into a
+    // ReusedExchange at runtime (ONE corpus explode) — visible only in
+    // the post-execution adaptive plan
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange"), executed)
+  }
+
+  test("q70: stratified sample — broadcast counts, prune below the rank window") {
+    val plan = planOf("q70_stratified_sample")
+    // two SHUFFLE exchanges: the tiny per-stratum count agg and the
+    // survivors' window ("- Exchange (" excludes BroadcastExchange —
+    // the counts join back is the broadcast, also pinned)
+    assert("""- Exchange \(\d+\)""".r.findAllIn(plan).size === 2, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q08: both filters sit below the joins") {
     val optimized = SparkEntry.queries("q08_join_3way")(spark, sfDir)
       .queryExecution.optimizedPlan.toString

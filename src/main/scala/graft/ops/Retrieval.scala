@@ -108,4 +108,42 @@ object Retrieval {
       .filter(col("rnk") <= topK)
       .select(col("query_id"), col("rnk"), col("d_id").as(docId), col("bm25"))
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher's public RRF) of
+    * per-query rankings from heterogeneous systems — the standard way to
+    * combine [[bm25TopK]]'s lexical ranking with an embedding-space
+    * ranking ([[Similarity.bruteForceTopK]] / ANN) into one hybrid
+    * retrieval result without calibrating their incomparable scores:
+    * `rrf(d) = Σ_systems 1 / (rrfK + rank_s(d))` over the systems that
+    * ranked d at all.
+    *
+    * Scale shape: inputs are already per-query top-N lists (bounded —
+    * queries × N rows per system), so everything here is small no matter
+    * the corpus size; one union → one (query, doc) aggregation → one
+    * per-query window. The rounding at 6 dp keeps the hash cross-engine
+    * stable; with ≤ 2 systems the sum is two addends and exact
+    * regardless of order.
+    *
+    * Output: `(query_id, rnk, doc_id, rrf)` — top `topK` per query by
+    * (rrf desc, doc_id asc). Input frames must carry
+    * (queryCol, docCol, rankCol).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], rrfK: Int = 60, topK: Int = 3,
+              queryCol: String = "query_id", docCol: String = "doc_id",
+              rankCol: String = "rnk"): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(rrfK >= 1 && topK >= 1, s"invalid rrfK=$rrfK / topK=$topK")
+    val normed = rankings.map(_.select(
+      col(queryCol).as("query_id"), col(docCol).as("doc_id"),
+      col(rankCol).cast("int").as("in_rnk")))
+    val fused = normed.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(lit(1.0) / (lit(rrfK) + col("in_rnk"))), 6).as("rrf"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("rrf"))
+  }
 }

@@ -361,6 +361,46 @@ object TextOps {
       .drop("__fp", "__cnt", "__nsurv")
   }
 
+  /** Tokenizer-prep vocabulary + per-document out-of-vocabulary rate:
+    * the top `vocabSize` corpus terms by frequency (ties broken by term,
+    * so the vocabulary boundary is deterministic cross-engine), then
+    * each document's token count, OOV token count and OOV fraction
+    * against that vocabulary — the coverage report a BPE/vocab build
+    * runs before pinning a tokenizer, and the signal used to spot
+    * wrong-script or encoding-mangled slices (their OOV rate ≈ 1).
+    *
+    * Scale shape: the term-frequency aggregate partial-combines
+    * map-side; the global top-`vocabSize` cut is a TakeOrdered over the
+    * (term, count) table — |vocabulary| rows, bounded and tiny next to
+    * the corpus — and the winning set broadcasts back onto the token
+    * stream, so the per-document aggregation's shuffle carries one
+    * partial row per (document × partition), never raw tokens. Two
+    * corpus-sized stages total, both pre-aggregated before they move.
+    *
+    * NULL text tokenizes to NULL and drops from the explode (both
+    * engines agree); empty text counts its one `""` token like the rest
+    * of the stack ([[tokens]]).
+    *
+    * Output: `(idCol, n_tokens, n_oov, oov_frac)` with oov_frac at 4 dp.
+    */
+  def vocabOovRate(df: DataFrame, idCol: String, textCol: String,
+                   vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val toks = df.select(col(idCol),
+      explode(tokens(col(textCol))).as("__term"))
+    val vocab = toks.groupBy(col("__term"))
+      .agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("__term").asc)
+      .limit(vocabSize)
+      .select(col("__term"), lit(true).as("__in_vocab"))
+    toks.join(broadcast(vocab), Seq("__term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_frac",
+        round(col("n_oov").cast("double") / col("n_tokens"), 4))
+  }
+
   /** Deterministic global shuffle + fixed shard assignment — the EXPORT
     * pass that turns a cleaned corpus into N training shards in a
     * reproducible pseudo-random order (training wants documents

@@ -594,6 +594,43 @@ object PipelineQueries {
       "text", n = 10)
       .select(col("source"), col("rnk"), col("doc_id"))
 
+  /** Vocabulary + OOV report ([[TextOps.vocabOovRate]]): top-20 corpus
+    * terms by (frequency desc, term) form the vocabulary (the fixture
+    * corpus has 31 distinct terms, so the cut is real and its tie-break
+    * exercised); per-doc token/OOV counts + 4dp OOV fraction. The oracle
+    * rebuilds the vocabulary and every count in DuckDB.
+    */
+  def q71(s: SparkSession, dir: String): DataFrame =
+    TextOps.vocabOovRate(t(s, dir)("documents"), "doc_id", "text",
+      vocabSize = 20)
+
+  /** Hybrid retrieval: [[Retrieval.rrfFuse]] of the BM25 lexical top-10
+    * (q69's query set) and the exact-cosine embedding top-10 for the
+    * same query docs (vec_id aligns with doc_id in the fixtures), RRF
+    * k=60, top-3 per query. Both input rankings AND the fusion are
+    * recomputed end-to-end in DuckDB.
+    */
+  def q72(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    val emb = t(s, dir)("embeddings")
+    val queries = docs.filter(col("source") === "src0")
+      .orderBy(col("doc_id")).limit(5)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 8)).as("qtext"))
+    val corpus = docs.filter(col("source") =!= "src0")
+    val bm = Retrieval.bm25TopK(corpus, queries, topK = 10)
+      .select(col("query_id"), col("rnk"), col("doc_id"))
+    val qv = emb.join(broadcast(queries.select(col("query_id"))),
+      col("vec_id") === col("query_id"))
+      .select(col("vec_id"), col("embedding"))
+    val cEmb = emb.join(corpus.select(col("doc_id")),
+      col("vec_id") === col("doc_id"), "left_semi")
+    val cos = Similarity.bruteForceTopK(cEmb, qv, k = 10)
+      .select(col("qid").as("query_id"), col("rank").as("rnk"),
+        col("nid").as("doc_id"))
+    Retrieval.rrfFuse(Seq(bm, cos), topK = 3)
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_dedup_keyed"     -> (q21 _),
     "q22_dedup_text_exact" -> (q22 _),
@@ -629,6 +666,8 @@ object PipelineQueries {
     "q68_quality_topfrac" -> (q68 _),
     "q69_bm25_retrieval"  -> (q69 _),
     "q70_stratified_sample" -> (q70 _),
+    "q71_vocab_oov"       -> (q71 _),
+    "q72_hybrid_rrf"      -> (q72 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -827,6 +866,76 @@ object PipelineQueries {
          WHERE len(e.sh) > 0 AND len(t.sh) > 0
            AND CAST(len(list_intersect(e.sh, t.sh)) AS DOUBLE)
                / len(list_distinct(e.sh || t.sh)) >= 0.5"""),
+    "q71_vocab_oov" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                       FROM documents),
+         v AS (SELECT term FROM (
+                 SELECT term, count(*) AS cnt FROM toks GROUP BY term
+                 ORDER BY cnt DESC, term LIMIT 20) t),
+         j AS (SELECT toks.doc_id,
+                 CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+               FROM toks LEFT JOIN v USING (term))
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(oov) AS BIGINT) AS n_oov,
+              round(CAST(sum(oov) AS DOUBLE) / count(*), 4) AS oov_frac
+       FROM j GROUP BY doc_id""",
+    // CAST(1.0 AS DOUBLE): a bare 1.0/(60+rnk) is DECIMAL division in
+    // DuckDB — the fusion must sum doubles like Spark does
+    "q72_hybrid_rrf" ->
+      """WITH q AS (SELECT doc_id AS query_id,
+               array_to_string(string_split(text, ' ')[1:8], ' ') AS qtext
+             FROM documents WHERE source = 'src0'
+             ORDER BY doc_id LIMIT 5),
+         qt AS (SELECT DISTINCT query_id,
+                  unnest(string_split(qtext, ' ')) AS term FROM q),
+         c AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents WHERE source <> 'src0'),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                          avg(CAST(len(ws) AS DOUBLE)) AS avgdl FROM c),
+         toks AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dlen,
+                         unnest(ws) AS term FROM c),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+                       max(dlen) AS dlen
+                FROM toks WHERE term IN (SELECT DISTINCT term FROM qt)
+                GROUP BY doc_id, term),
+         dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+                 FROM tf GROUP BY term),
+         sbm AS (SELECT qt.query_id, tf.doc_id,
+                 round(sum(round(
+                   ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+                     * tf.tf * 2.2
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dlen / stats.avgdl)),
+                   9)), 4) AS bm25
+               FROM tf JOIN dfq USING (term) JOIN qt USING (term)
+               CROSS JOIN stats
+               GROUP BY qt.query_id, tf.doc_id),
+         bm AS (SELECT query_id, doc_id, rnk FROM (
+                  SELECT query_id, doc_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY bm25 DESC, doc_id) AS rnk FROM sbm) x
+                WHERE rnk <= 10),
+         qe AS (SELECT q.query_id, e.embedding AS qv
+                FROM q JOIN embeddings e ON e.vec_id = q.query_id),
+         ce AS (SELECT e.vec_id, e.embedding FROM embeddings e
+                JOIN c ON e.vec_id = c.doc_id),
+         cs AS (SELECT qe.query_id, ce.vec_id AS doc_id,
+                  list_cosine_similarity(CAST(qe.qv AS DOUBLE[]),
+                    CAST(ce.embedding AS DOUBLE[])) AS sim
+                FROM qe CROSS JOIN ce WHERE ce.vec_id <> qe.query_id),
+         cr AS (SELECT query_id, doc_id, rnk FROM (
+                  SELECT query_id, doc_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, doc_id) AS rnk FROM cs) x
+                WHERE rnk <= 10),
+         u AS (SELECT * FROM bm UNION ALL SELECT * FROM cr),
+         f AS (SELECT query_id, doc_id,
+                 round(sum(CAST(1.0 AS DOUBLE) / (60 + rnk)), 6) AS rrf
+               FROM u GROUP BY 1, 2)
+       SELECT query_id, rnk, doc_id, rrf FROM (
+         SELECT query_id, doc_id, rrf,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY rrf DESC, doc_id) AS rnk FROM f) x
+       WHERE rnk <= 3""",
     // literals mirror the Scala arithmetic exactly: 2.2 == 1.2 + 1 and
     // 0.25 == 1 - 0.75 as doubles, and the contribution expression is
     // left-associated identically — the 9dp/4dp round-inside-round then

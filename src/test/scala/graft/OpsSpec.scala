@@ -963,6 +963,35 @@ class OpsSpec extends SparkSpec {
       "a stratum smaller than n keeps all rows")
   }
 
+  test("rrfFuse: a doc ranked by both systems beats single-system docs; values exact") {
+    val sysA = Seq((1L, 1, 10L), (1L, 2, 11L)).toDF("query_id", "rnk", "doc_id")
+    val sysB = Seq((1L, 1, 12L), (1L, 2, 10L)).toDF("query_id", "rnk", "doc_id")
+    val out = ops.Retrieval.rrfFuse(Seq(sysA, sysB), topK = 3)
+      .orderBy("rnk").as[(Long, Int, Long, Double)].collect().toSeq
+    // doc 10: 1/(60+1) + 1/(60+2); docs 11/12: one term each
+    val both = BigDecimal(1.0 / 61 + 1.0 / 62)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head === ((1L, 1, 10L, both)),
+      "the doc both systems ranked must fuse to the top")
+    assert(out.map(_._3) === Seq(10L, 12L, 11L),
+      "single-system tie resolves by the better rank (1/61 > 1/62)")
+  }
+
+  test("vocabOovRate: vocabulary cut and OOV counts on planted frequencies") {
+    // corpus counts: hi=4, yo=3, aa=2, bb=2, zz=1 — vocabSize=3 cuts
+    // between the tied-at-2 pair: (2,"aa") wins over (2,"bb") by term
+    val docs = Seq(
+      (1L, "hi hi yo aa"),
+      (2L, "hi yo aa bb"),
+      (3L, "hi yo bb zz")).toDF("doc_id", "text")
+    val out = TextOps.vocabOovRate(docs, "doc_id", "text", vocabSize = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (1L, 4L, 0L, 0.0),        // hi hi yo aa — all in {hi, yo, aa}
+      (2L, 4L, 1L, 0.25),       // bb is OOV
+      (3L, 4L, 2L, 0.5)))       // bb and zz are OOV
+  }
+
   test("stratifiedSample: rejects inputs whose columns clash") {
     val df = Seq((1L, "a", "t", 1)).toDF("doc_id", "src", "text", "rnk")
     val e = intercept[IllegalArgumentException] {

@@ -258,6 +258,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q71: vocab cut is a TakeOrdered, vocabulary broadcast onto tokens") {
+    val plan = planOf("q71_vocab_oov")
+    // the global top-vocabSize cut must not be a full sort
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // vocabulary joins back as a broadcast (left outer marks OOV)
+    assert(plan.contains("BroadcastHashJoin LeftOuter"), plan)
+    // two corpus-sized shuffles only: term counts and the per-doc agg
+    assert("""- Exchange \(\d+\)""".r.findAllIn(plan).size === 2, plan)
+  }
+
   test("q08: both filters sit below the joins") {
     val optimized = SparkEntry.queries("q08_join_3way")(spark, sfDir)
       .queryExecution.optimizedPlan.toString

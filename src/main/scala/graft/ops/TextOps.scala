@@ -361,6 +361,50 @@ object TextOps {
       .drop("__fp", "__cnt", "__nsurv")
   }
 
+  /** Unigram-surprisal quality score — the LM-proxy filter (CCNet-style,
+    * public) with the corpus's own unigram distribution standing in for
+    * the language model: per document, the mean negative log-probability
+    * of its tokens under `p(t) = count(t) / total_tokens` measured over
+    * the WHOLE corpus. Natural in-distribution text scores low;
+    * gibberish, rare-token soup and wrong-script slices score high —
+    * rank-filterable without training anything.
+    *
+    * Scale shape: same two pre-aggregated corpus passes as
+    * [[vocabOovRate]] — a term-frequency aggregate (map-side combine)
+    * whose result is corpus-vocabulary-sized, then the frequency table
+    * joins back onto the token stream and the per-doc mean ships one
+    * partial row per doc×partition. `broadcastVocab = false` (default)
+    * routes the join as a shuffle for vocabularies too big to broadcast
+    * (100M+ terms at corpus scale); true broadcasts, right whenever the
+    * vocabulary fits executor memory. Every token is in-vocabulary by
+    * construction (the distribution IS the corpus), so there is no OOV
+    * smoothing term to choose.
+    *
+    * Determinism: each token's −ln p is rounded at 9 dp, the per-doc
+    * mean at 4 dp — round-inside-round, so Spark and the DuckDB oracle
+    * agree regardless of summation order.
+    *
+    * Output: `(idCol, n_tokens, surprisal)` — mean −ln p(token), 4 dp.
+    */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String,
+                       broadcastVocab: Boolean = false): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(tokens(col(textCol))).as("__term"))
+    val freqs = toks.groupBy(col("__term"))
+      .agg(count(lit(1)).as("__cnt"))
+    // total token count from the VOCABULARY-sized table, not a third
+    // pass over the corpus-sized token stream
+    val total = freqs.agg(sum(col("__cnt")).cast("double").as("__total"))
+    val f = if (broadcastVocab) broadcast(freqs) else freqs
+    toks.join(f, "__term")
+      .crossJoin(broadcast(total))
+      .withColumn("__nlp",
+        round(-log(col("__cnt").cast("double") / col("__total")), 9))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("__nlp")), 4).as("surprisal"))
+  }
+
   /** Tokenizer-prep vocabulary + per-document out-of-vocabulary rate:
     * the top `vocabSize` corpus terms by frequency (ties broken by term,
     * so the vocabulary boundary is deterministic cross-engine), then

@@ -631,6 +631,15 @@ object PipelineQueries {
     Retrieval.rrfFuse(Seq(bm, cos), topK = 3)
   }
 
+  /** Unigram-surprisal LM-proxy scores ([[TextOps.unigramSurprisal]])
+    * over the corpus's own token distribution; broadcastVocab exercised
+    * (31-term fixture vocabulary). Every −ln p and every mean rebuilt in
+    * DuckDB.
+    */
+  def q73(s: SparkSession, dir: String): DataFrame =
+    TextOps.unigramSurprisal(t(s, dir)("documents"), "doc_id", "text",
+      broadcastVocab = true)
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_dedup_keyed"     -> (q21 _),
     "q22_dedup_text_exact" -> (q22 _),
@@ -668,6 +677,7 @@ object PipelineQueries {
     "q70_stratified_sample" -> (q70 _),
     "q71_vocab_oov"       -> (q71 _),
     "q72_hybrid_rrf"      -> (q72 _),
+    "q73_unigram_surprisal" -> (q73 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -866,6 +876,18 @@ object PipelineQueries {
          WHERE len(e.sh) > 0 AND len(t.sh) > 0
            AND CAST(len(list_intersect(e.sh, t.sh)) AS DOUBLE)
                / len(list_distinct(e.sh || t.sh)) >= 0.5"""),
+    "q73_unigram_surprisal" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                       FROM documents),
+         f AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+               FROM toks GROUP BY term),
+         tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM f),
+         j AS (SELECT toks.doc_id,
+                 round(-ln(CAST(f.cnt AS DOUBLE) / tot.total), 9) AS nlp
+               FROM toks JOIN f USING (term) CROSS JOIN tot)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              round(avg(nlp), 4) AS surprisal
+       FROM j GROUP BY doc_id""",
     "q71_vocab_oov" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                        FROM documents),

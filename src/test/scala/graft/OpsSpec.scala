@@ -992,6 +992,31 @@ class OpsSpec extends SparkSpec {
       (3L, 4L, 2L, 0.5)))       // bb and zz are OOV
   }
 
+  test("unigramSurprisal: rare-token docs score higher; uniform corpus exact") {
+    // doc 3 is all-rare (each of its tokens appears once in the corpus);
+    // docs 1-2 repeat the common token
+    val docs = Seq(
+      (1L, "aa aa aa aa"),
+      (2L, "aa aa aa bb"),
+      (3L, "xx yy zz qq")).toDF("doc_id", "text")
+    val out = TextOps.unigramSurprisal(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(_._2) === Seq(4L, 4L, 4L))
+    assert(out(0)._3 < out(1)._3 && out(1)._3 < out(2)._3,
+      "more rare tokens → strictly higher surprisal")
+    // all-common doc: every token has p = 7/12, mean −ln p exact
+    val expected = BigDecimal(-math.log(7.0 / 12.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(0)._3 -
+      BigDecimal(expected).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) < 1e-12)
+    // broadcast and shuffle vocab paths agree
+    val b = TextOps.unigramSurprisal(docs, "doc_id", "text",
+      broadcastVocab = true)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(b === out)
+  }
+
   test("stratifiedSample: rejects inputs whose columns clash") {
     val df = Seq((1L, "a", "t", 1)).toDF("doc_id", "src", "text", "rnk")
     val e = intercept[IllegalArgumentException] {

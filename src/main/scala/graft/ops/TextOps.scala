@@ -328,21 +328,29 @@ object TextOps {
                        oversample: Double = 4.0): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
     require(oversample >= 1.0, s"oversample must be >= 1, got $oversample")
-    val clash = Seq("rnk", "__fp", "__cnt", "__nsurv").filter(df.columns.contains)
+    val clash = Seq("rnk", "__fp", "__cnt", "__nsurv", "__strat")
+      .filter(df.columns.contains)
     require(clash.isEmpty,
       s"stratifiedSample adds columns ${clash.mkString(", ")} that already " +
         "exist in the input — rename or drop them first")
     val mod = 1000000007L // portable_fingerprint's modulus
+    // null-safe join back (q68's precedent: a NULL stratum is a real
+    // stratum — an inner equi-join would silently drop those rows)
     val counts = df.groupBy(col(strataCol))
       .agg(count(lit(1)).as("__cnt"))
-    val raw = fingerprint(concat(lit("strat:"), col(textCol)))
+      .withColumnRenamed(strataCol, "__strat")
+    // NULL text keys like empty text (the export-stack contract — see
+    // shuffleShard's spec): an un-coalesced concat would null the
+    // fingerprint and silently drop the row at the threshold filter
+    val raw = fingerprint(concat(lit("strat:"), coalesce(col(textCol), lit(""))))
     val fp = pmod(raw * raw, lit(mod))
     // fp is uniform on [0, mod); keep fp < mod * min(1, oversample*n/cnt)
     val thr = lit(mod.toDouble) *
       least(lit(1.0), lit(oversample * n) / col("__cnt"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
     val survivors = df
-      .join(broadcast(counts), strataCol)
+      .join(broadcast(counts), col(strataCol) <=> col("__strat"))
+      .drop("__strat")
       .withColumn("__fp", fp)
       .filter(col("__fp") < thr)
     survivors

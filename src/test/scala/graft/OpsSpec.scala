@@ -1017,6 +1017,19 @@ class OpsSpec extends SparkSpec {
     assert(b === out)
   }
 
+  test("stratifiedSample: NULL stratum is a real stratum, NULL text keys like empty") {
+    val df = Seq(
+      (1L, Option("a"), Option("one")),
+      (2L, None, Option("two")),
+      (3L, None, None),
+      (4L, Option("a"), Option("four")))
+      .toDF("doc_id", "src", "text")
+    val out = TextOps.stratifiedSample(df, "src", "doc_id", "text", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L, 2L, 3L, 4L),
+      "null-stratum and null-text rows must survive (n covers all)")
+  }
+
   test("stratifiedSample: rejects inputs whose columns clash") {
     val df = Seq((1L, "a", "t", 1)).toDF("doc_id", "src", "text", "rnk")
     val e = intercept[IllegalArgumentException] {

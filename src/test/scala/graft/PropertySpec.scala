@@ -317,6 +317,31 @@ class PropertySpec extends SparkSpec {
     assert(n0 === 0.0 && i0 === 0.0)
   }
 
+  test("stratifiedSample prune is invisible for arbitrary corpora and n") {
+    // texts built from a tiny alphabet maximize suffix/prefix clustering
+    // — the adversarial shape for the threshold prune
+    val corpora = Gen.zip(
+      Gen.nonEmptyListOf(Gen.zip(
+        Gen.oneOf("s1", "s2", "s3"),
+        Gen.nonEmptyListOf(Gen.oneOf("aa", "ab", "b")).map(_.mkString(" ")))),
+      Gen.choose(1, 4))
+    check(corpora, n = 5) { case (rows, k) =>
+      val df = rows.zipWithIndex
+        .map { case ((s, t), i) => (i.toLong, s, t) }
+        .toDF("doc_id", "src", "text")
+      val out = TextOps.stratifiedSample(df, "src", "doc_id", "text", n = k)
+        .select("src", "rnk", "doc_id")
+        .as[(String, Int, Long)].collect().toSet
+      val fp0 = TextOps.fingerprint(concat(lit("strat:"), $"text"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"src")
+        .orderBy(pmod(fp0 * fp0, lit(1000000007L)).asc, $"doc_id".asc)
+      val naive = df.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= k).select("src", "rnk", "doc_id")
+        .as[(String, Int, Long)].collect().toSet
+      assert(out === naive)
+    }
+  }
+
   test("repetitionStats fractions are in [0,1] for any whitespace shape") {
     // regression class: the first cut mixed a literal-space tokenizer
     // with the \s+ tokenizer and produced NEGATIVE dup fractions on

@@ -58,10 +58,12 @@ object ScaleProbe {
     // per-source exact rank gate (the one operator with a per-source
     // sort — its approx twin is the sort-free scale path)
     "q67_split_leakage", "q68_quality_topfrac",
-    // r9 arrivals, the corpus-sized ones (q70/q72 are prune-bounded /
-    // top-N-bounded by construction): BM25's single restricted-postings
-    // shuffle + ReusedExchange df branch, and the two vocabulary passes
-    // (top-k cut; freq join back onto the token stream)
+    // r9 arrivals, the corpus-sized ones: BM25's single restricted-
+    // postings shuffle + ReusedExchange df branch, and the two
+    // vocabulary passes (top-k cut; freq join back onto the token
+    // stream). q70 is prune-bounded by construction; q72's two
+    // corpus-sized components are exactly q69 (BM25) and q28's
+    // brute-force cosine, both probed — its fusion is top-N-bounded.
     "q69_bm25_retrieval", "q71_vocab_oov", "q73_unigram_surprisal")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =

@@ -413,6 +413,59 @@ object TextOps {
         round(avg(col("__nlp")), 4).as("surprisal"))
   }
 
+  /** Corpus-wide adjacent-bigram association: count + PMI per ordered
+    * token pair — the collocation table (Church/Hanks PMI, public) and
+    * the raw material of a BPE tokenizer's FIRST merge decision (the
+    * most frequent adjacent pair IS the first merge; the PMI column
+    * separates "frequent because its parts are frequent" from genuinely
+    * associated pairs). `PMI(a,b) = ln(p(ab) / (p(a)·p(b)))` with bigram
+    * and unigram probabilities over their own totals.
+    *
+    * Scale shape: two token passes, both partial-combined map-side — the
+    * unigram aggregate and the bigram aggregate (pairs built by zipping
+    * the token array against itself shifted one — `slice` keeps it
+    * guard-free: a 1-token doc zips two empty slices). Totals come from
+    * the frequency tables, never a third corpus pass; the unigram table
+    * broadcasts onto the bigram table twice (left word, right word).
+    * `minCount` prunes the noise tail BEFORE the top-k cut, which is a
+    * TakeOrdered (no global sort).
+    *
+    * Output: `(a, b, n_ab, pmi)` — top `topK` pairs by (pmi desc, a, b),
+    * pmi at 4 dp, pairs with `n_ab >= minCount` only.
+    */
+  def bigramAssociations(df: DataFrame, textCol: String,
+                         minCount: Long = 5, topK: Int = 20): DataFrame = {
+    require(minCount >= 1 && topK >= 1,
+      s"invalid minCount=$minCount / topK=$topK")
+    val toks = df.select(tokens(col(textCol)).as("__t"))
+    val uni = toks.select(explode(col("__t")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__cw"))
+    val uniTotal = uni.agg(sum(col("__cw")).cast("double").as("__nu"))
+    val pairs = toks.select(explode(zip_with(
+      slice(col("__t"), lit(1), size(col("__t")) - 1),
+      slice(col("__t"), lit(2), size(col("__t")) - 1),
+      (x, y) => struct(x.as("a"), y.as("b")))).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+    // one bigram aggregate, referenced twice (filtered rows + total) —
+    // the duplicate subtree collapses via AQE ReuseExchange like the
+    // BM25 df branch, so the pair explode runs once
+    val biAll = pairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val bi = biAll.filter(col("n_ab") >= minCount)
+    val biTotal = biAll.agg(sum(col("n_ab")).cast("double").as("__nb"))
+    bi
+      .join(broadcast(uni.select(col("__w").as("a"), col("__cw").as("__ca"))), "a")
+      .join(broadcast(uni.select(col("__w").as("b"), col("__cw").as("__cb"))), "b")
+      .crossJoin(broadcast(uniTotal)).crossJoin(broadcast(biTotal))
+      .withColumn("pmi", round(log(
+        (col("n_ab").cast("double") / col("__nb")) /
+          ((col("__ca").cast("double") / col("__nu")) *
+           (col("__cb").cast("double") / col("__nu")))), 4))
+      .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+      .limit(topK)
+      .select(col("a"), col("b"), col("n_ab"), col("pmi"))
+  }
+
   /** Tokenizer-prep vocabulary + per-document out-of-vocabulary rate:
     * the top `vocabSize` corpus terms by frequency (ties broken by term,
     * so the vocabulary boundary is deterministic cross-engine), then

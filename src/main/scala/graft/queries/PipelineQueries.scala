@@ -640,6 +640,13 @@ object PipelineQueries {
     TextOps.unigramSurprisal(t(s, dir)("documents"), "doc_id", "text",
       broadcastVocab = true)
 
+  /** Adjacent-bigram association table ([[TextOps.bigramAssociations]]):
+    * top-20 pairs by PMI with count ≥ 5 — counts, probabilities and the
+    * (pmi, a, b) cut all rebuilt in DuckDB.
+    */
+  def q74(s: SparkSession, dir: String): DataFrame =
+    TextOps.bigramAssociations(t(s, dir)("documents"), "text")
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_dedup_keyed"     -> (q21 _),
     "q22_dedup_text_exact" -> (q22 _),
@@ -678,6 +685,7 @@ object PipelineQueries {
     "q71_vocab_oov"       -> (q71 _),
     "q72_hybrid_rrf"      -> (q72 _),
     "q73_unigram_surprisal" -> (q73 _),
+    "q74_bigram_pmi"      -> (q74 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -876,6 +884,25 @@ object PipelineQueries {
          WHERE len(e.sh) > 0 AND len(t.sh) > 0
            AND CAST(len(list_intersect(e.sh, t.sh)) AS DOUBLE)
                / len(list_distinct(e.sh || t.sh)) >= 0.5"""),
+    "q74_bigram_pmi" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         uni AS (SELECT term, CAST(count(*) AS BIGINT) AS cw FROM
+                   (SELECT unnest(ws) AS term FROM w) GROUP BY term),
+         nu AS (SELECT CAST(sum(cw) AS DOUBLE) AS nu FROM uni),
+         p AS (SELECT ws[i] AS a, ws[i + 1] AS b
+               FROM w, unnest(range(1, len(ws))) AS t(i)),
+         ba AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+                FROM p GROUP BY a, b),
+         nb AS (SELECT CAST(sum(n_ab) AS DOUBLE) AS nb FROM ba),
+         s AS (SELECT ba.a, ba.b, ba.n_ab,
+                 round(ln((CAST(ba.n_ab AS DOUBLE) / nb.nb)
+                   / ((CAST(ua.cw AS DOUBLE) / nu.nu)
+                      * (CAST(ub.cw AS DOUBLE) / nu.nu))), 4) AS pmi
+               FROM ba JOIN uni ua ON ba.a = ua.term
+                       JOIN uni ub ON ba.b = ub.term
+               CROSS JOIN nu CROSS JOIN nb
+               WHERE ba.n_ab >= 5)
+       SELECT a, b, n_ab, pmi FROM s ORDER BY pmi DESC, a, b LIMIT 20""",
     "q73_unigram_surprisal" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                        FROM documents),

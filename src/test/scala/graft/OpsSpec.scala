@@ -1030,6 +1030,23 @@ class OpsSpec extends SparkSpec {
       "null-stratum and null-text rows must survive (n covers all)")
   }
 
+  test("bigramAssociations: exclusive collocation beats common-parts pair; minCount prunes") {
+    // xy co-occur exclusively (6×); c repeats within one doc (6 cc
+    // bigrams); "x q" appears once — under minCount
+    val docs = ((1 to 6).map(i => (i.toLong, "x y")) ++
+      Seq((7L, "c c c c c c c"), (8L, "x q"))).toDF("doc_id", "text")
+    val out = TextOps.bigramAssociations(docs, "text", minCount = 5, topK = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    // unigrams: x=7 y=6 c=7 q=1 (Nu=21); bigrams: xy=6 cc=6 xq=1 (Nb=13)
+    def pmi(cab: Double, ca: Double, cb: Double) =
+      BigDecimal(math.log((cab / 13.0) / ((ca / 21.0) * (cb / 21.0))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Seq(
+      ("x", "y", 6L, pmi(6, 7, 6)),
+      ("c", "c", 6L, pmi(6, 7, 7))),
+      "exclusive pair ranks above the common-parts pair; x-q pruned")
+  }
+
   test("stratifiedSample: rejects inputs whose columns clash") {
     val df = Seq((1L, "a", "t", 1)).toDF("doc_id", "src", "text", "rnk")
     val e = intercept[IllegalArgumentException] {

@@ -64,7 +64,11 @@ object ScaleProbe {
     // stream). q70 is prune-bounded by construction; q72's two
     // corpus-sized components are exactly q69 (BM25) and q28's
     // brute-force cosine, both probed — its fusion is top-N-bounded.
-    "q69_bm25_retrieval", "q71_vocab_oov", "q73_unigram_surprisal")
+    "q69_bm25_retrieval", "q71_vocab_oov", "q73_unigram_surprisal",
+    // bigram collocations: the pair aggregate is the biggest token-
+    // derived table in the repo (vocab² upper bound) — sf1 evidence on
+    // arrival like everything else
+    "q74_bigram_pmi")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

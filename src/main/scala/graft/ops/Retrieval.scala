@@ -80,8 +80,8 @@ object Retrieval {
     // an inline `size(tokens(text))` next to `explode(tokens(text))`
     // lands ABOVE the Generate and re-tokenizes the document once per
     // emitted token — O(len²) per doc: the first sf1 probe measured
-    // 11.95 s warm, the aliased shape 4.2 s (2.9×; size() over the
-    // carried array is O(1) per row).
+    // 11.95 s warm, the aliased shape 2.55 s on the same clean probe
+    // (4.7×; size() over the carried array is O(1) per row).
     val tf = docs
       .select(col(docId).as("d_id"), TextOps.tokens(col(textCol)).as("__toks"))
       .select(col("d_id"), size(col("__toks")).cast("double").as("dlen"),
@@ -131,7 +131,8 @@ object Retrieval {
     *
     * Output: `(query_id, rnk, doc_id, rrf)` — top `topK` per query by
     * (rrf desc, doc_id asc). Input frames must carry
-    * (queryCol, docCol, rankCol).
+    * (queryCol, docCol, rankCol) and be RANKINGS — (query, doc) unique
+    * within each system; a duplicated row would contribute twice.
     */
   def rrfFuse(rankings: Seq[DataFrame], rrfK: Int = 60, topK: Int = 3,
               queryCol: String = "query_id", docCol: String = "doc_id",

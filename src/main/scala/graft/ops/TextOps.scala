@@ -395,23 +395,90 @@ object TextOps {
     * Output: `(idCol, n_tokens, surprisal)` — mean −ln p(token), 4 dp.
     */
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String,
-                       broadcastVocab: Boolean = false): DataFrame = {
+                       broadcastVocab: Boolean = false): DataFrame =
+    unigramSurprisal(df, idCol, textCol, termFreqs(df, textCol),
+      broadcastVocab)
+
+  /** [[unigramSurprisal]] against a SUPPLIED frequency table (stored /
+    * extended via [[loadTermFreqs]]/[[extendTermFreqs]]) — the
+    * production shape: score an ingest batch against the corpus-version
+    * statistics without rescanning the corpus. Tokens absent from the
+    * table take the singleton floor `cnt = 1` (the rarest probability
+    * the table could express, `p = 1/total`) — a LEFT join, because an
+    * inner join would silently drop exactly the surprising tokens the
+    * score exists to catch.
+    */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String,
+                       freqs: DataFrame,
+                       broadcastVocab: Boolean): DataFrame = {
     val toks = df.select(col(idCol),
       explode(tokens(col(textCol))).as("__term"))
-    val freqs = toks.groupBy(col("__term"))
-      .agg(count(lit(1)).as("__cnt"))
+    val f0 = freqs.select(col("term").as("__term"), col("cnt").as("__cnt"))
     // total token count from the VOCABULARY-sized table, not a third
     // pass over the corpus-sized token stream
-    val total = freqs.agg(sum(col("__cnt")).cast("double").as("__total"))
-    val f = if (broadcastVocab) broadcast(freqs) else freqs
-    toks.join(f, "__term")
+    val total = f0.agg(sum(col("__cnt")).cast("double").as("__total"))
+    val f = if (broadcastVocab) broadcast(f0) else f0
+    toks.join(f, Seq("__term"), "left")
       .crossJoin(broadcast(total))
-      .withColumn("__nlp",
-        round(-log(col("__cnt").cast("double") / col("__total")), 9))
+      .withColumn("__nlp", round(
+        -log(coalesce(col("__cnt"), lit(1L)).cast("double") / col("__total")),
+        9))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(col("__nlp")), 4).as("surprisal"))
   }
+
+  /** Version of the tokenization behind [[termFreqs]] (word_tokens \s+
+    * semantics). Bump whenever token BOUNDARIES change — a stored
+    * frequency table tokenized one way and probed another silently
+    * misestimates every count, the same failure mode
+    * [[Dedup.CorpusIndex]] versions its hash pipeline against.
+    */
+  val TokenizerScheme = 1
+
+  /** The corpus term-frequency table `(term, cnt)` — the shared
+    * substrate of [[vocabOovRate]], [[unigramSurprisal]] and
+    * [[bigramAssociations]]'s unigram side, factored out so it can be
+    * computed ONCE per corpus version, stored, and extended per ingest
+    * batch instead of re-scanned by every consumer (the
+    * [[Dedup.CorpusIndex]] lifecycle, for token statistics). One
+    * partial-combined aggregate; result is vocabulary-sized.
+    */
+  def termFreqs(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+
+  /** Persist a [[termFreqs]] table (+ tokenizer-scheme meta). */
+  def saveTermFreqs(freqs: DataFrame, path: String): Unit = {
+    freqs.write.mode("overwrite").parquet(s"$path/freqs")
+    val spark = freqs.sparkSession
+    import spark.implicits._
+    Seq(Tuple1(TokenizerScheme)).toDF("tokenizer_scheme")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Read a stored [[termFreqs]] table; a tokenizer-scheme mismatch
+    * fails loudly here rather than silently skewing every downstream
+    * probability.
+    */
+  def loadTermFreqs(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame = {
+    val scheme = spark.read.parquet(s"$path/meta")
+      .head().getAs[Int]("tokenizer_scheme")
+    require(scheme == TokenizerScheme,
+      s"stored term-frequency table at $path uses tokenizer scheme " +
+        s"$scheme but this build produces $TokenizerScheme — rebuild it")
+    spark.read.parquet(s"$path/freqs")
+  }
+
+  /** Fold a new ingest batch into an existing frequency table — the
+    * per-batch compaction: cost tracks the BATCH (its token aggregate)
+    * plus a vocabulary-sized merge, never a corpus rescan.
+    */
+  def extendTermFreqs(freqs: DataFrame, newDocs: DataFrame,
+                      textCol: String): DataFrame =
+    freqs.unionByName(termFreqs(newDocs, textCol))
+      .groupBy(col("term")).agg(sum(col("cnt")).as("cnt"))
 
   /** Corpus-wide adjacent-bigram association: count + PMI per ordered
     * token pair — the collocation table (Church/Hanks PMI, public) and
@@ -489,15 +556,22 @@ object TextOps {
     * Output: `(idCol, n_tokens, n_oov, oov_frac)` with oov_frac at 4 dp.
     */
   def vocabOovRate(df: DataFrame, idCol: String, textCol: String,
-                   vocabSize: Int): DataFrame = {
+                   vocabSize: Int): DataFrame =
+    vocabOovRate(df, idCol, textCol, vocabSize, termFreqs(df, textCol))
+
+  /** [[vocabOovRate]] against a SUPPLIED frequency table (stored /
+    * extended) — coverage of new data under the PINNED corpus-version
+    * vocabulary, without rescanning the corpus that defined it.
+    */
+  def vocabOovRate(df: DataFrame, idCol: String, textCol: String,
+                   vocabSize: Int, freqs: DataFrame): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
     val toks = df.select(col(idCol),
       explode(tokens(col(textCol))).as("__term"))
-    val vocab = toks.groupBy(col("__term"))
-      .agg(count(lit(1)).as("__cnt"))
-      .orderBy(col("__cnt").desc, col("__term").asc)
+    val vocab = freqs
+      .orderBy(col("cnt").desc, col("term").asc)
       .limit(vocabSize)
-      .select(col("__term"), lit(true).as("__in_vocab"))
+      .select(col("term").as("__term"), lit(true).as("__in_vocab"))
     toks.join(broadcast(vocab), Seq("__term"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),

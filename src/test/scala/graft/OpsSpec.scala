@@ -1047,6 +1047,55 @@ class OpsSpec extends SparkSpec {
       "exclusive pair ranks above the common-parts pair; x-q pruned")
   }
 
+  test("termFreqs lifecycle: save→load round-trips, extend ≡ full rebuild") {
+    val base = Seq((1L, "aa bb aa"), (2L, "bb cc")).toDF("doc_id", "text")
+    val batch = Seq((3L, "cc dd")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tf").toString
+    TextOps.saveTermFreqs(TextOps.termFreqs(base, "text"), dir)
+    val loaded = TextOps.loadTermFreqs(spark, dir)
+    def toMap(f: org.apache.spark.sql.DataFrame) =
+      f.as[(String, Long)].collect().toMap
+    assert(toMap(loaded) === Map("aa" -> 2L, "bb" -> 2L, "cc" -> 1L))
+    val extended = TextOps.extendTermFreqs(loaded, batch, "text")
+    val rebuilt = TextOps.termFreqs(
+      base.unionByName(batch), "text")
+    assert(toMap(extended) === toMap(rebuilt))
+  }
+
+  test("termFreqs: stale tokenizer scheme is rejected at load") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tf2").toString
+    TextOps.saveTermFreqs(
+      TextOps.termFreqs(Seq((1L, "x")).toDF("doc_id", "text"), "text"), dir)
+    // overwrite the meta with a bogus scheme
+    Seq(Tuple1(99)).toDF("tokenizer_scheme")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.loadTermFreqs(spark, dir)
+    }
+    assert(e.getMessage.contains("tokenizer scheme"))
+  }
+
+  test("unigramSurprisal over a stored table: unseen tokens take the singleton floor") {
+    val base = Seq((1L, "aa aa bb")).toDF("doc_id", "text")
+    val freqs = TextOps.termFreqs(base, "text") // aa=2 bb=1, total 3
+    // same-corpus supplied table ≡ the self-computed default
+    val self = TextOps.unigramSurprisal(base, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSeq
+    val sup = TextOps.unigramSurprisal(base, "doc_id", "text", freqs, false)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(self === sup)
+    // a batch of entirely unseen tokens: every token floors at cnt=1 →
+    // surprisal = round(mean of round(ln 3, 9)) = ln(total)
+    val novel = Seq((9L, "zz qq")).toDF("doc_id", "text")
+    val out = TextOps.unigramSurprisal(novel, "doc_id", "text", freqs, false)
+      .as[(Long, Long, Double)].collect().head
+    val ln3 = BigDecimal(math.log(3.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    assert(out._2 === 2L)
+    assert(out._3 === ln3.setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble)
+  }
+
   test("stratifiedSample: rejects inputs whose columns clash") {
     val df = Seq((1L, "a", "t", 1)).toDF("doc_id", "src", "text", "rnk")
     val e = intercept[IllegalArgumentException] {

@@ -34,6 +34,56 @@ import graft.ops.{Dedup, TextOps}
   */
 object DocumentStreams {
 
+  /** In-flight unigram-surprisal scoring against the STORED
+    * corpus-version frequency table ([[graft.ops.TextOps.termFreqs]]
+    * lifecycle) — the streaming twin of
+    * [[graft.ops.TextOps.unigramSurprisal]]'s supplied-table overload,
+    * for scoring documents at the ingest door (route high-surprisal
+    * docs to review, drop encoding garbage) without waiting for the
+    * batch pass.
+    *
+    * Shape: completely STATELESS — no stream-side shuffle, no state
+    * store, no watermark. The top `maxVocab` frequency entries collapse
+    * to a LITERAL map in the plan (a driver-side collect of a BOUNDED
+    * table, the [[graft.ops.Similarity]] coarse-quantizer precedent),
+    * and the score is a pure per-row `aggregate` over the document's own
+    * tokens — `mean(−ln(coalesce(map(t), 1) / total))` with the same
+    * singleton floor as the batch overload, which truncation to
+    * `maxVocab` only strengthens (a truncated term's true count is below
+    * every kept count; flooring it at 1 errs toward MORE surprisal,
+    * never less). Tokenizer vocabularies are bounded in production
+    * (64k–256k), so the literal map is megabytes, not a join.
+    *
+    * Same round-inside-round (9 dp per token, 4 dp mean) as the batch
+    * op, so the two agree exactly on any doc whose terms are all in the
+    * kept vocabulary.
+    *
+    * Output: input columns + `n_tokens`, `surprisal`.
+    */
+  def surprisalStream(docs: DataFrame, freqs: DataFrame,
+                      maxVocab: Int = 65536): DataFrame = {
+    require(maxVocab > 0, s"maxVocab must be positive, got $maxVocab")
+    val total = freqs.agg(sum(col("cnt")).cast("double")).head().getDouble(0)
+    val top = freqs.orderBy(col("cnt").desc, col("term").asc)
+      .limit(maxVocab).collect()
+    val vocabMap = map(top.flatMap(r =>
+      Seq(lit(r.getString(0)), lit(r.getLong(1)))).toIndexedSeq: _*)
+    val nlp = (t: org.apache.spark.sql.Column) => round(
+      -log(coalesce(element_at(vocabMap, t), lit(1L)).cast("double")
+        / lit(total)), 9)
+    // tokenize once into an alias (the q69 lesson — a sibling size()
+    // would re-run word_tokens); a NULL text yields NULL scores and the
+    // row is KEPT — the stream's at-the-door contract is to annotate,
+    // not to silently drop (the batch explode path drops instead)
+    docs
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("surprisal", round(
+        aggregate(col("__toks"), lit(0.0), (acc, t) => acc + nlp(t))
+          / col("n_tokens"), 4))
+      .drop("__toks")
+  }
+
   def cleanStream(docs: DataFrame, watermark: String = "10 minutes",
                   minTokens: Int = 15, minQuality: Double = 0.6): DataFrame =
     docs

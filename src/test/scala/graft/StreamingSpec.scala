@@ -461,6 +461,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("surprisalStream scores in-flight docs identically to the batch overload") {
+    val base = Seq((1L, "aa aa bb"), (2L, "aa cc")).toDF("doc_id", "text")
+    val freqs = graft.ops.TextOps.termFreqs(base, "text") // aa=3 bb=1 cc=1
+    val ts = Timestamp.valueOf("2024-01-01 10:00:00")
+    val arriving = Seq(
+      Doc(10L, ts, "en", "aa bb"),   // all in vocab
+      Doc(11L, ts, "en", "zz qq"))   // entirely novel → singleton floor
+    val input = MemoryStream[Doc](spark)
+    input.addData(arriving: _*)
+    val q = streaming.DocumentStreams.surprisalStream(input.toDF(), freqs)
+      .select("doc_id", "n_tokens", "surprisal")
+      .writeStream.format("memory").queryName("surprisal")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("surprisal")
+      .as[(Long, Long, Double)].collect().toSet
+    // the batch supplied-table overload on the same arriving docs
+    val batch = graft.ops.TextOps.unigramSurprisal(
+      arriving.toDF().select("doc_id", "text"), "doc_id", "text",
+      freqs, broadcastVocab = false)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed === batch)
+    // novel doc floors every token at cnt=1: surprisal = ln(total) = ln 5
+    val ln5 = BigDecimal(BigDecimal(math.log(5.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(streamed.contains((11L, 2L, ln5)))
+    // no state store: the scorer is stateless by construction
+    val state = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal)).sum
+    assert(state === 0, s"state rows = $state")
+  }
+
   test("mapGroupsWithState keeps running per-user counts") {
     val input = MemoryStream[Ev](spark)
     input.addData(ev(7, 0, "click", 1.0), ev(14, 1, "view", 1.0),

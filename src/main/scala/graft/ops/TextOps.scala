@@ -480,6 +480,53 @@ object TextOps {
     freqs.unionByName(termFreqs(newDocs, textCol))
       .groupBy(col("term")).agg(sum(col("cnt")).as("cnt"))
 
+  /** Per-source distribution drift: the KL divergence of each source's
+    * unigram token distribution from the whole-corpus distribution —
+    * `KL(source ‖ corpus) = Σ_t p_s(t) · ln(p_s(t) / p_c(t))` (plug-in
+    * MLE estimates; public Kullback–Leibler). The corpus-health meter a
+    * mixed-source training set runs per ingest: a crawl slice drifting
+    * from the mix (different language, template spam, encoding damage)
+    * shows up as a KL outlier long before any per-doc filter fires.
+    * Every source term is in the corpus by construction, so no
+    * smoothing/floor is needed and KL is finite.
+    *
+    * Scale shape: ONE corpus pass — the (source, term) aggregate,
+    * partial-combined map-side; the corpus-wide term counts, the
+    * per-source totals and the corpus total are all DERIVED from that
+    * vocab×sources-sized table (no second scan), then broadcast back
+    * onto it. Per-term contributions round at 9 dp, the per-source sum
+    * at 4 dp (round-inside-round).
+    *
+    * Output: `(sourceCol, n_tokens, kl)` — kl ≥ 0, 0 iff the source's
+    * distribution equals the corpus's.
+    */
+  def sourceDrift(df: DataFrame, sourceCol: String,
+                  textCol: String): DataFrame = {
+    val st = df.select(col(sourceCol),
+        explode(tokens(col(textCol))).as("__term"))
+      .groupBy(col(sourceCol), col("__term"))
+      .agg(count(lit(1)).as("__cst"))
+    val corpus = st.groupBy(col("__term"))
+      .agg(sum(col("__cst")).as("__ct"))
+    // null-safe totals join (q68 precedent: a NULL source is a real
+    // source; an inner equi-join would silently drop its rows)
+    val srcTot = st.groupBy(col(sourceCol))
+      .agg(sum(col("__cst")).as("__ts"))
+      .withColumnRenamed(sourceCol, "__src")
+    val corpusTot = corpus.agg(sum(col("__ct")).cast("double").as("__tc"))
+    val ps = col("__cst").cast("double") / col("__ts")
+    val pc = col("__ct").cast("double") / col("__tc")
+    st
+      .join(broadcast(corpus), "__term")
+      .join(broadcast(srcTot), col(sourceCol) <=> col("__src"))
+      .drop("__src")
+      .crossJoin(broadcast(corpusTot))
+      .withColumn("__contrib", round(ps * log(ps / pc), 9))
+      .groupBy(col(sourceCol))
+      .agg(max(col("__ts")).as("n_tokens"),
+        round(sum(col("__contrib")), 4).as("kl"))
+  }
+
   /** Corpus-wide adjacent-bigram association: count + PMI per ordered
     * token pair — the collocation table (Church/Hanks PMI, public) and
     * the raw material of a BPE tokenizer's FIRST merge decision (the

@@ -647,6 +647,13 @@ object PipelineQueries {
   def q74(s: SparkSession, dir: String): DataFrame =
     TextOps.bigramAssociations(t(s, dir)("documents"), "text")
 
+  /** Per-source KL drift from the corpus distribution
+    * ([[TextOps.sourceDrift]]) — every probability and contribution
+    * rebuilt in DuckDB.
+    */
+  def q75(s: SparkSession, dir: String): DataFrame =
+    TextOps.sourceDrift(t(s, dir)("documents"), "source", "text")
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_dedup_keyed"     -> (q21 _),
     "q22_dedup_text_exact" -> (q22 _),
@@ -686,6 +693,7 @@ object PipelineQueries {
     "q72_hybrid_rrf"      -> (q72 _),
     "q73_unigram_surprisal" -> (q73 _),
     "q74_bigram_pmi"      -> (q74 _),
+    "q75_source_drift"    -> (q75 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -884,6 +892,24 @@ object PipelineQueries {
          WHERE len(e.sh) > 0 AND len(t.sh) > 0
            AND CAST(len(list_intersect(e.sh, t.sh)) AS DOUBLE)
                / len(list_distinct(e.sh || t.sh)) >= 0.5"""),
+    "q75_source_drift" ->
+      """WITH st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cst
+                     FROM (SELECT source,
+                             unnest(string_split(text, ' ')) AS term
+                           FROM documents)
+                     GROUP BY source, term),
+         c AS (SELECT term, CAST(sum(cst) AS BIGINT) AS ct
+               FROM st GROUP BY term),
+         ts AS (SELECT source, CAST(sum(cst) AS BIGINT) AS ts
+                FROM st GROUP BY source),
+         tc AS (SELECT CAST(sum(ct) AS DOUBLE) AS tc FROM c)
+       SELECT st.source, max(ts.ts) AS n_tokens,
+              round(sum(round(
+                (CAST(st.cst AS DOUBLE) / ts.ts)
+                  * ln((CAST(st.cst AS DOUBLE) / ts.ts)
+                       / (CAST(c.ct AS DOUBLE) / tc.tc)), 9)), 4) AS kl
+       FROM st JOIN c USING (term) JOIN ts USING (source) CROSS JOIN tc
+       GROUP BY st.source""",
     "q74_bigram_pmi" ->
       """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
          uni AS (SELECT term, CAST(count(*) AS BIGINT) AS cw FROM

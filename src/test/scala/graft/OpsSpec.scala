@@ -1096,6 +1096,27 @@ class OpsSpec extends SparkSpec {
       .toDouble)
   }
 
+  test("sourceDrift: identical-mix sources score exactly 0, a skewed source > 0") {
+    // s1 and s2 have the SAME distribution as each other (and thus as
+    // their pooled corpus) → KL exactly 0.0; s3 is skewed → positive
+    val even = Seq((1L, "s1", "aa bb aa bb"), (2L, "s2", "aa bb aa bb"))
+      .toDF("doc_id", "src", "text")
+    val kl0 = TextOps.sourceDrift(even, "src", "text")
+      .as[(String, Long, Double)].collect()
+      .map { case (s, _, k) => s -> k }.toMap
+    assert(kl0 === Map("s1" -> 0.0, "s2" -> 0.0))
+    val skewed = even.unionByName(
+      Seq((3L, "s3", "zz zz zz zz")).toDF("doc_id", "src", "text"))
+    val kl = TextOps.sourceDrift(skewed, "src", "text")
+      .as[(String, Long, Double)].collect()
+      .map { case (s, _, k) => s -> k }.toMap
+    // corpus aa:4 bb:4 zz:4 → KL(s3) = ln 3, KL(s1) = ln 1.5
+    assert(kl("s3") > kl("s1") && kl("s3") > 0.0,
+      "the all-novel-token source must be the drift outlier")
+    assert(kl("s1") > 0.0,
+      "s1 drifts too once s3 shifts the corpus distribution")
+  }
+
   test("stratifiedSample: rejects inputs whose columns clash") {
     val df = Seq((1L, "a", "t", 1)).toDF("doc_id", "src", "text", "rnk")
     val e = intercept[IllegalArgumentException] {

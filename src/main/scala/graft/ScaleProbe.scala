@@ -68,7 +68,9 @@ object ScaleProbe {
     // bigram collocations: the pair aggregate is the biggest token-
     // derived table in the repo (vocab² upper bound) — sf1 evidence on
     // arrival like everything else
-    "q74_bigram_pmi")
+    "q74_bigram_pmi",
+    // per-source KL drift: one (source, term) corpus aggregate
+    "q75_source_drift")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -105,8 +105,9 @@ object StreamBench {
     // in front of its state store, so the two modes bracket the
     // state-light and expression-heavy ends of the streaming surface.
     val mode = sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "sessionize")
-    require(Set("sessionize", "clean", "flag").contains(mode),
-      s"SPARK_GRAFT_STREAM_MODE must be 'sessionize', 'clean' or 'flag', got '$mode'")
+    require(Set("sessionize", "clean", "flag", "score").contains(mode),
+      s"SPARK_GRAFT_STREAM_MODE must be 'sessionize', 'clean', 'flag' " +
+        s"or 'score', got '$mode'")
     // Hoisted so the JSON line can self-describe the flag-mode config:
     // the r9 evidence runs needed log-filename archaeology to tell a
     // 50k-broadcast row from a 500k-SMJ row, which is exactly the kind
@@ -156,6 +157,34 @@ object StreamBench {
               .as("text"))
         streaming.DocumentStreams.flagAgainstBaseIndexed(docs, index,
           broadcastIndex = flagBcast)
+      }
+      else if (mode == "score") {
+        // Stateless in-flight surprisal over a STORED frequency table:
+        // the production round trip (termFreqs → save → load →
+        // surprisalStream) with a 50k-term vocabulary; docs are ~50
+        // tokens drawn from that vocabulary plus one novel token so both
+        // the map hit and the singleton-floor paths run per row.
+        val vocabDocs = spark.range(50000L)
+          .select(concat_ws(" ", transform(sequence(lit(0), lit(9)),
+            j => concat(lit("v"), pmod(col("id") * 10 + j, lit(50000L))
+              .cast("string")))).as("text"))
+        val freqDir = java.nio.file.Files
+          .createTempDirectory("graft-score-freqs").toString
+        ops.TextOps.saveTermFreqs(
+          ops.TextOps.termFreqs(vocabDocs, "text"), freqDir)
+        val freqs = ops.TextOps.loadTermFreqs(spark, freqDir)
+        val docs = spark.readStream.format("rate")
+          .option("rowsPerSecond", rps)
+          .option("numPartitions", 8)
+          .load()
+          .select(col("timestamp").as("ts"), col("value").as("doc_id"),
+            concat_ws(" ",
+              concat(lit("novel"), col("value").cast("string")),
+              transform(sequence(lit(0), lit(48)),
+                j => concat(lit("v"), pmod(col("value") * 49 + j,
+                  lit(50000L)).cast("string")))).as("text"))
+        streaming.DocumentStreams.surprisalStream(docs, freqs)
+          .select(col("doc_id"), col("n_tokens"), col("surprisal"))
       }
       else if (mode == "sessionize")
         streaming.EventStreams
@@ -233,6 +262,7 @@ object StreamBench {
     val metric = mode match {
       case "sessionize" => "stream_sessionize_rows_per_sec"
       case "clean"      => "stream_clean_docs_per_sec"
+      case "score"      => "stream_score_docs_per_sec"
       case _            => "stream_flag_pairs_per_sec"
     }
     val flagCfg = if (mode == "flag")

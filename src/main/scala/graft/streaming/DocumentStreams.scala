@@ -43,20 +43,29 @@ object DocumentStreams {
     * batch pass.
     *
     * Shape: completely STATELESS — no stream-side shuffle, no state
-    * store, no watermark. The top `maxVocab` frequency entries collapse
-    * to a LITERAL map in the plan (a driver-side collect of a BOUNDED
-    * table, the [[graft.ops.Similarity]] coarse-quantizer precedent),
-    * and the score is a pure per-row `aggregate` over the document's own
-    * tokens — `mean(−ln(coalesce(map(t), 1) / total))` with the same
-    * singleton floor as the batch overload, which truncation to
-    * `maxVocab` only strengthens (a truncated term's true count is below
-    * every kept count; flooring it at 1 errs toward MORE surprisal,
-    * never less). Tokenizer vocabularies are bounded in production
-    * (64k–256k), so the literal map is megabytes, not a join.
+    * store, no watermark. The top `maxVocab` frequency entries are a
+    * driver-built hash map (a bounded collect — the
+    * [[graft.ops.Similarity]] coarse-quantizer precedent) captured by
+    * ONE scalar UDF scoring the whole token array per row. A UDF, not a
+    * column expression, deliberately and measured: the first cut built a
+    * `map(...)` LITERAL of 2·maxVocab children — a 100k-node expression
+    * tree Catalyst took longer to plan than the bench ran, and
+    * `element_at` on a literal map is a LINEAR scan per token besides.
+    * The UDF does an O(1) hash lookup per token and costs one codegen
+    * boundary per ROW (amortized over the document), the same trade the
+    * repo's guideline ranks UDFs acceptable for when no builtin
+    * expresses the semantics without a join. Tokens outside the kept
+    * vocabulary take the batch overload's singleton floor (`cnt = 1`),
+    * which truncation to `maxVocab` only strengthens (a truncated term's
+    * true count is below every kept count — flooring errs toward MORE
+    * surprisal, never less). Tokenizer vocabularies are bounded in
+    * production (64k–256k), so the captured map is megabytes.
     *
     * Same round-inside-round (9 dp per token, 4 dp mean) as the batch
     * op, so the two agree exactly on any doc whose terms are all in the
-    * kept vocabulary.
+    * kept vocabulary (spec-pinned). A NULL text yields NULL scores and
+    * the row is KEPT — the stream's at-the-door contract is to annotate,
+    * not silently drop (the batch explode path drops instead).
     *
     * Output: input columns + `n_tokens`, `surprisal`.
     */
@@ -64,24 +73,29 @@ object DocumentStreams {
                       maxVocab: Int = 65536): DataFrame = {
     require(maxVocab > 0, s"maxVocab must be positive, got $maxVocab")
     val total = freqs.agg(sum(col("cnt")).cast("double")).head().getDouble(0)
-    val top = freqs.orderBy(col("cnt").desc, col("term").asc)
+    val vocab: Map[String, Long] = freqs
+      .orderBy(col("cnt").desc, col("term").asc)
       .limit(maxVocab).collect()
-    val vocabMap = map(top.flatMap(r =>
-      Seq(lit(r.getString(0)), lit(r.getLong(1)))).toIndexedSeq: _*)
-    val nlp = (t: org.apache.spark.sql.Column) => round(
-      -log(coalesce(element_at(vocabMap, t), lit(1L)).cast("double")
-        / lit(total)), 9)
-    // tokenize once into an alias (the q69 lesson — a sibling size()
-    // would re-run word_tokens); a NULL text yields NULL scores and the
-    // row is KEPT — the stream's at-the-door contract is to annotate,
-    // not to silently drop (the batch explode path drops instead)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val score = udf { toks: Seq[String] =>
+      if (toks == null) None
+      else {
+        var s = 0.0
+        toks.foreach { t =>
+          s += r9(-math.log(vocab.getOrElse(t, 1L).toDouble / total))
+        }
+        Some((toks.size.toLong, r4(s / toks.size)))
+      }
+    }
     docs
-      .withColumn("__toks", TextOps.tokens(col("text")))
-      .withColumn("n_tokens", size(col("__toks")).cast("long"))
-      .withColumn("surprisal", round(
-        aggregate(col("__toks"), lit(0.0), (acc, t) => acc + nlp(t))
-          / col("n_tokens"), 4))
-      .drop("__toks")
+      .withColumn("__sc", score(TextOps.tokens(col("text"))))
+      .withColumn("n_tokens", col("__sc._1"))
+      .withColumn("surprisal", col("__sc._2"))
+      .drop("__sc")
   }
 
   def cleanStream(docs: DataFrame, watermark: String = "10 minutes",

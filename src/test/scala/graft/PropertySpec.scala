@@ -342,6 +342,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sourceDrift equals a Scala reference implementation on arbitrary corpora") {
+    val corpora = Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf("s1", "s2", "s3"),
+      Gen.nonEmptyListOf(Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" "))))
+    check(corpora, n = 5) { rows =>
+      val df = rows.zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+        .toDF("doc_id", "src", "text")
+      val out = TextOps.sourceDrift(df, "src", "text")
+        .as[(String, Long, Double)].collect()
+        .map { case (s, n, k) => s -> ((n, k)) }.toMap
+      // plain-Scala reference: MLE KL with the operator's 9dp/4dp rounds
+      val toks = rows.map { case (s, t) => s -> t.split("\\s+").toSeq }
+      val corpusCnt = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+      val tc = toks.map(_._2.size).sum.toDouble
+      def r(x: Double, sc: Int) = BigDecimal(x)
+        .setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val ref = toks.groupBy(_._1).map { case (s, docs) =>
+        val words = docs.flatMap(_._2)
+        val ts = words.size.toDouble
+        val kl = words.groupBy(identity).map { case (w, occ) =>
+          val ps = occ.size / ts
+          r(ps * math.log(ps / (corpusCnt(w) / tc)), 9)
+        }.sum
+        s -> ((words.size.toLong, r(kl, 4)))
+      }
+      assert(out === ref)
+      out.values.foreach { case (_, kl) =>
+        assert(kl >= -0.0001, s"KL must be ~non-negative, got $kl") }
+    }
+  }
+
+  test("vocabOovRate: full vocabulary means zero OOV for any corpus") {
+    val corpora = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.oneOf("aa", "bb", "cc")).map(_.mkString(" ")))
+    check(corpora, n = 5) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = TextOps.vocabOovRate(df, "doc_id", "text", vocabSize = 3)
+        .as[(Long, Long, Long, Double)].collect()
+      assert(out.length === texts.length)
+      out.foreach { case (_, n, oov, frac) =>
+        assert(oov === 0L && frac === 0.0 && n >= 1L,
+          "a vocabulary covering every term admits no OOV") }
+    }
+  }
+
   test("repetitionStats fractions are in [0,1] for any whitespace shape") {
     // regression class: the first cut mixed a literal-space tokenizer
     // with the \s+ tokenizer and produced NEGATIVE dup fractions on

@@ -428,6 +428,82 @@ object TextOps {
         round(avg(col("__nlp")), 4).as("surprisal"))
   }
 
+  /** Mixture REBALANCING: the largest subset of the corpus whose source
+    * proportions match the target `weights` (exactly, up to the integer
+    * floor on each count) — the static
+    * reweighting pass that turns "we want 50% web / 30% code / 20%
+    * books" into a concrete deterministic document set.
+    * [[mixtureSample]] keeps an independent FRACTION per source (right
+    * for down-weighting); this solves for the COUNTS: the binding
+    * source is the one with the least data per unit of weight,
+    * `m = min_s(c_s / w_s)`, and every weighted source contributes
+    * `n_s = floor(m · w_s)` documents — any more of any source and some
+    * proportion breaks.
+    *
+    * Selection within a source is the [[stratifiedSample]] machinery
+    * (squared-ring-mixed content fingerprint, `"rebal:"` salt, id
+    * tie-break) run two-phase: per-source counts are a tiny collected
+    * aggregate (bounded by |sources|, the coarse-quantizer precedent) —
+    * they must be, because `m` couples every source to the global
+    * minimum — then a per-source fingerprint threshold prunes to
+    * ~oversample·n_s rows before the exact rank, with the same
+    * assert_true shortfall guard. Sources absent from `weights` (and
+    * NULL sources) are dropped — an unweighted source has target
+    * proportion zero. A WEIGHTED source with zero corpus rows fails
+    * loudly: its target proportion is unachievable at any size.
+    *
+    * Output: the weighted-source rows that make the cut, plus `rnk`
+    * (1..n_s within the source, fingerprint order).
+    */
+  def rebalanceMixture(df: DataFrame, sourceCol: String, idCol: String,
+                       textCol: String, weights: Map[String, Double],
+                       oversample: Double = 4.0): DataFrame = {
+    require(weights.nonEmpty, "rebalanceMixture needs target weights")
+    require(weights.values.forall(_ > 0),
+      "weights must be strictly positive — omit a source to drop it")
+    require(oversample >= 1.0, s"oversample must be >= 1, got $oversample")
+    val clash = Seq("rnk", "__fp", "__ns", "__cs", "__nsurv")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"rebalanceMixture adds columns ${clash.mkString(", ")} that already " +
+        "exist in the input — rename or drop them first")
+    val counts = df.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = weights.keySet -- counts.keySet
+    require(missing.isEmpty,
+      s"weighted sources absent from the corpus: ${missing.mkString(", ")} " +
+        "— their target proportion is unachievable")
+    val m = weights.map { case (s, w) => counts(s) / w }.min
+    val plan = weights.map { case (s, w) =>
+      (s, math.floor(m * w).toLong, counts(s))
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val planDf = plan.toDF(sourceCol, "__ns", "__cs")
+    val mod = 1000000007L
+    val raw = fingerprint(concat(lit("rebal:"),
+      coalesce(col(textCol), lit(""))))
+    val fp = pmod(raw * raw, lit(mod))
+    val thr = lit(mod.toDouble) *
+      least(lit(1.0), lit(oversample) * col("__ns") / col("__cs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(sourceCol))
+    df
+      .join(broadcast(planDf), Seq(sourceCol))
+      .withColumn("__fp", fp)
+      .filter(col("__fp") < thr)
+      .withColumn("rnk", row_number().over(
+        w.orderBy(col("__fp").asc, col(idCol).asc)))
+      .withColumn("__nsurv", count(lit(1)).over(w))
+      .where(coalesce(
+        assert_true(col("__nsurv") >= col("__ns"),
+          lit("rebalanceMixture: a source's pre-filter kept fewer than " +
+            s"its target count — raise oversample (currently $oversample)")),
+        lit(true)))
+      .filter(col("rnk") <= col("__ns"))
+      .drop("__fp", "__ns", "__cs", "__nsurv")
+  }
+
   /** Version of the tokenization behind [[termFreqs]] (word_tokens \s+
     * semantics). Bump whenever token BOUNDARIES change — a stored
     * frequency table tokenized one way and probed another silently

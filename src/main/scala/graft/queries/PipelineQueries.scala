@@ -654,6 +654,17 @@ object PipelineQueries {
   def q75(s: SparkSession, dir: String): DataFrame =
     TextOps.sourceDrift(t(s, dir)("documents"), "source", "text")
 
+  /** Mixture rebalancing ([[TextOps.rebalanceMixture]]): the largest
+    * 50/30/20 subset over three sources (each has 25 docs at sf0.01, so
+    * src1 binds: m = 50, counts 25/15/10). The oracle recomputes the
+    * binding minimum, the floored counts and the full per-source
+    * fingerprint rank — the two-phase prune proved invisible again.
+    */
+  def q76(s: SparkSession, dir: String): DataFrame =
+    TextOps.rebalanceMixture(t(s, dir)("documents"), "source", "doc_id",
+      "text", Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2))
+      .select(col("source"), col("rnk"), col("doc_id"))
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_dedup_keyed"     -> (q21 _),
     "q22_dedup_text_exact" -> (q22 _),
@@ -694,6 +705,7 @@ object PipelineQueries {
     "q73_unigram_surprisal" -> (q73 _),
     "q74_bigram_pmi"      -> (q74 _),
     "q75_source_drift"    -> (q75 _),
+    "q76_rebalance_mixture" -> (q76 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -892,6 +904,30 @@ object PipelineQueries {
          WHERE len(e.sh) > 0 AND len(t.sh) > 0
            AND CAST(len(list_intersect(e.sh, t.sh)) AS DOUBLE)
                / len(list_distinct(e.sh || t.sh)) >= 0.5"""),
+    "q76_rebalance_mixture" ->
+      """WITH wt AS (SELECT * FROM (VALUES ('src1', CAST(0.5 AS DOUBLE)),
+                  ('src2', CAST(0.3 AS DOUBLE)),
+                  ('src3', CAST(0.2 AS DOUBLE))) AS t(source, w)),
+         c AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+               FROM documents WHERE source IN ('src1', 'src2', 'src3')
+               GROUP BY source),
+         m AS (SELECT min(c.c / wt.w) AS m FROM c JOIN wt USING (source)),
+         pl AS (SELECT wt.source, CAST(floor(m.m * wt.w) AS BIGINT) AS ns
+                FROM wt CROSS JOIN m),
+         f AS (SELECT source, doc_id,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, length('rebal:' || text) + 1),
+                       i -> CAST(unicode(substr('rebal:' || text,
+                         CAST(i AS INT), 1)) AS BIGINT))),
+                   (a, b) -> (a*31 + b) % 1000000007) AS raw
+               FROM documents WHERE source IN ('src1', 'src2', 'src3')),
+         r AS (SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY (raw * raw) % 1000000007, doc_id) AS rnk
+               FROM f)
+       SELECT r.source, r.rnk, r.doc_id
+       FROM r JOIN pl USING (source) WHERE r.rnk <= pl.ns""",
     "q75_source_drift" ->
       """WITH st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cst
                      FROM (SELECT source,

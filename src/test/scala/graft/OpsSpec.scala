@@ -1117,6 +1117,35 @@ class OpsSpec extends SparkSpec {
       "s1 drifts too once s3 shifts the corpus distribution")
   }
 
+  test("rebalanceMixture: binding source caps the subset at exact proportions") {
+    // a: 8 docs, b: 2 docs; target 50/50 → b binds (m = 4): 2+2 docs
+    val docs = ((1 to 8).map(i => (i.toLong, "a", s"doc $i word")) ++
+      Seq((101L, "b", "x y"), (102L, "b", "p q")))
+      .toDF("doc_id", "src", "text")
+    val out = TextOps.rebalanceMixture(docs, "src", "doc_id", "text",
+      Map("a" -> 0.5, "b" -> 0.5))
+      .select("src", "doc_id").as[(String, Long)].collect()
+    assert(out.count(_._1 == "a") === 2 && out.count(_._1 == "b") === 2)
+    // determinism: the same call returns the same documents
+    val again = TextOps.rebalanceMixture(docs, "src", "doc_id", "text",
+      Map("a" -> 0.5, "b" -> 0.5))
+      .select("src", "doc_id").as[(String, Long)].collect()
+    assert(out.toSet === again.toSet)
+  }
+
+  test("rebalanceMixture: unweighted sources drop; absent weighted source fails loudly") {
+    val docs = Seq((1L, "a", "t1"), (2L, "z", "t2"))
+      .toDF("doc_id", "src", "text")
+    val out = TextOps.rebalanceMixture(docs, "src", "doc_id", "text",
+      Map("a" -> 1.0)).select("src").as[String].collect()
+    assert(out.toSeq === Seq("a"), "source z has weight 0 → dropped")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.rebalanceMixture(docs, "src", "doc_id", "text",
+        Map("a" -> 0.5, "ghost" -> 0.5))
+    }
+    assert(e.getMessage.contains("ghost"))
+  }
+
   test("stratifiedSample: rejects inputs whose columns clash") {
     val df = Seq((1L, "a", "t", 1)).toDF("doc_id", "src", "text", "rnk")
     val e = intercept[IllegalArgumentException] {

@@ -69,7 +69,8 @@ object ScaleProbe {
     // derived table in the repo (vocab² upper bound) — sf1 evidence on
     // arrival like everything else
     "q74_bigram_pmi",
-    // per-source KL drift: one (source, term) corpus aggregate
+    // per-source KL drift: one (source, term) corpus aggregate.
+    // (q76 rebalancing shares q70's prune-bounded machinery — covered.)
     "q75_source_drift")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =

@@ -388,6 +388,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("rrfFuse order is invariant under self-duplication of a ranking") {
+    // fusing a system with itself doubles every score — the ORDER (and
+    // so the top-k membership and ranks) must not move
+    val rankings = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(1L, 3L), Gen.choose(1L, 30L)))
+      .map(_.distinct.groupBy(_._1).toSeq.flatMap { case (q, ds) =>
+        ds.map(_._2).distinct.zipWithIndex.map { case (d, i) => (q, i + 1, d) }
+      })
+    check(rankings, n = 5) { rows =>
+      val r = rows.toDF("query_id", "rnk", "doc_id")
+      val once = graft.ops.Retrieval.rrfFuse(Seq(r), topK = 5)
+        .select("query_id", "rnk", "doc_id")
+        .as[(Long, Int, Long)].collect().toSet
+      val twice = graft.ops.Retrieval.rrfFuse(Seq(r, r), topK = 5)
+        .select("query_id", "rnk", "doc_id")
+        .as[(Long, Int, Long)].collect().toSet
+      assert(once === twice)
+    }
+  }
+
   test("repetitionStats fractions are in [0,1] for any whitespace shape") {
     // regression class: the first cut mixed a literal-space tokenizer
     // with the \s+ tokenizer and produced NEGATIVE dup fractions on

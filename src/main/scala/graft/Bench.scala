@@ -22,6 +22,10 @@ import java.nio.file.{Files, Paths}
   *    measured 23.4 s. `min_total` is the best lower bound a loaded
   *    machine can produce, and a large `noise` value marks the whole run
   *    as polluted, so a judge can spot a bad run without re-running it);
+  *  - a polluted timed pass is RETRIED (round-9 verdict: the archive
+  *    protocol says clean-only, so the runner enforces it — up to
+  *    SPARK_GRAFT_BENCH_ATTEMPTS passes, lowest-noise attempt archived,
+  *    `polluted`+`attempts` flag the case where no clean pass happened);
   *  - the JSON line is printed to stdout AND written to a file
   *    (SPARK_GRAFT_BENCH_OUT, default ./bench_out.json) so the driver's
   *    parser doesn't have to fish it out of sbt log noise.
@@ -51,31 +55,64 @@ object Bench {
       }
     }
 
-    val errors = scala.collection.mutable.ListBuffer.empty[String]
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      // Median of `reps` timed passes; a failure on any pass marks the
-      // query broken (no partial medians over a flaky query).
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var ok = true
-      var rep = 0
-      while (ok && rep < reps) {
-        val t0 = System.nanoTime()
-        try { materialize(fn(spark, sfDir)); times += (System.nanoTime() - t0) / 1e9 }
-        catch {
-          case e: Throwable =>
-            errors += s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-            ok = false
+    // Polluted-run gate (round-9 verdict #2): BASELINE.md's protocol says
+    // archive only clean runs, yet BENCH_r09.json archived a noise-1.43
+    // line and every apparent regression in it was tenancy smear. The
+    // runner now ENFORCES the protocol: when a timed pass comes back with
+    // noise > 0.5 it is re-run (up to SPARK_GRAFT_BENCH_ATTEMPTS, default
+    // 3), and the LOWEST-noise attempt is the one archived — a transient
+    // co-tenant burst can no longer become the round's record just by
+    // landing first. If every attempt is polluted, the best line still
+    // ships (the driver needs a record) but carries `polluted: true` and
+    // `attempts` so no reader can mistake it for clean evidence.
+    case class Attempt(results: Seq[(String, Double, Double, Double, Boolean)],
+                       errors: Seq[String], noise: Double)
+    def timedPass(): Attempt = {
+      val errors = scala.collection.mutable.ListBuffer.empty[String]
+      val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+        // Median of `reps` timed passes; a failure on any pass marks the
+        // query broken (no partial medians over a flaky query).
+        val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var ok = true
+        var rep = 0
+        while (ok && rep < reps) {
+          val t0 = System.nanoTime()
+          try { materialize(fn(spark, sfDir)); times += (System.nanoTime() - t0) / 1e9 }
+          catch {
+            case e: Throwable =>
+              errors += s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+              ok = false
+          }
+          rep += 1
         }
-        rep += 1
+        val median =
+          if (times.isEmpty) 0.0
+          else times.sorted.apply(times.length / 2)
+        val min = if (times.isEmpty) 0.0 else times.min
+        val max = if (times.isEmpty) 0.0 else times.max
+        (name, median, min, max, ok)
       }
-      val median =
-        if (times.isEmpty) 0.0
-        else times.sorted.apply(times.length / 2)
-      val min = if (times.isEmpty) 0.0 else times.min
-      val max = if (times.isEmpty) 0.0 else times.max
-      (name, median, min, max, ok)
+      // Load-pollution indicator: Σ(max−min)/Σmedian over the successful
+      // queries. Idle machine ≈ 0.0–0.3; a sustained co-located load
+      // pushes it well past 1.
+      val total = results.collect { case (_, med, _, _, true) => med }.sum
+      val spread = results.collect { case (_, _, min, max, true) => max - min }.sum
+      Attempt(results, errors.toList, if (total > 0) spread / total else 0.0)
     }
+    val maxAttempts =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt.max(1)
+    var best = timedPass()
+    var attempt = 1
+    while (best.noise > 0.5 && attempt < maxAttempts) {
+      System.err.println(
+        f"bench attempt $attempt%d polluted (noise ${best.noise}%.2f > 0.5) — retrying")
+      val next = timedPass()
+      if (next.noise < best.noise) best = next
+      attempt += 1
+    }
+    val results = best.results
+    val errors = best.errors
 
     val qs = results.map { case (k, med, _, _, ok) =>
       "\"" + k + "\":" + (if (ok) f"$med%.3f" else "-1")
@@ -85,12 +122,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, med, _, _, true) => med }.sum
     val minTotal = results.collect { case (_, _, min, _, true) => min }.sum
-    // Load-pollution indicator: Σ(max−min)/Σmedian over the successful
-    // queries. Idle machine ≈ 0.0–0.3; a sustained co-located load pushes
-    // it well past 1. A bench line with high noise should be re-run, not
-    // compared against a previous round.
-    val spread = results.collect { case (_, _, min, max, true) => max - min }.sum
-    val noise = if (total > 0) spread / total else 0.0
+    val noise = best.noise
     val errJson = errors
       .map(e => "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
       .mkString("[", ",", "]")
@@ -101,10 +133,11 @@ object Bench {
     // `polluted` is machine-gateable; the stderr banner is for humans.
     val polluted = noise > 0.5
     if (polluted) System.err.println(
-      f"POLLUTED: bench noise $noise%.2f > 0.5 — medians are load-inflated;" +
-        " re-run on an idle machine (min_total is the honest comparator)")
+      f"POLLUTED: bench noise $noise%.2f > 0.5 after $attempt attempts — " +
+        "medians are load-inflated; re-run on an idle machine " +
+        "(min_total is the honest comparator)")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","min_total":$minTotal%.3f,"noise":$noise%.2f,"polluted":$polluted,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","errors":$errJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","min_total":$minTotal%.3f,"noise":$noise%.2f,"polluted":$polluted,"attempts":$attempt,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","errors":$errJson}"""
 
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(outPath), line + "\n")

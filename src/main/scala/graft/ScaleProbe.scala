@@ -112,9 +112,10 @@ object ScaleProbe {
       .getOperatingSystemMXBean.getSystemLoadAverage
     val cpus = Runtime.getRuntime.availableProcessors
     // banded like StreamBench (r8 advice): "clean" means genuinely idle,
-    // not merely under a quarter of the cores
+    // not merely under a quarter of the cores — and capped BY the
+    // quarter-of-cores rule (r9 advice) so a small box can't loosen it
     val loadBand =
-      if (preload <= 2.0) "clean"
+      if (preload <= math.min(2.0, cpus * 0.25)) "clean"
       else if (preload <= cpus * 0.25) "loaded"
       else "polluted"
     val polluted = loadBand != "clean"

@@ -43,8 +43,11 @@ object StreamBench {
     // absolute), mid-load runs are "loaded" (usable for plumbing, not
     // for archived throughput claims), and the old threshold now marks
     // "polluted". The archive rule keys on load_band == "clean".
+    // min(2.0, cpus*0.25), not 2.0 flat (r9 advice): on a small box
+    // (< 8 cpus) a flat 2.0 would LOOSEN the old quarter-of-cores rule
+    // — load 1.9 on 2 cpus is a saturated machine, not a clean one.
     val loadBand =
-      if (preload <= 2.0) "clean"
+      if (preload <= math.min(2.0, cpus * 0.25)) "clean"
       else if (preload <= cpus * 0.25) "loaded"
       else "polluted"
     val polluted = loadBand != "clean"

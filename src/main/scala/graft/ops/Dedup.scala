@@ -338,8 +338,15 @@ object Dedup {
       s"stored CorpusIndex at $path uses hash scheme $scheme but this " +
         s"build produces scheme ${CorpusIndex.HashScheme} — rebuild the " +
         "index (a cross-scheme probe would silently match nothing)")
+    val bands = spark.read.parquet(s"$path/bands")
+    // pre-tombstone indexes (r9 and earlier) lack the overflow column;
+    // their tombstones were already irrecoverably dropped at build time,
+    // so the only honest path is a rebuild
+    require(bands.columns.contains("overflow"),
+      s"stored CorpusIndex at $path predates persisted tombstones " +
+        "(no `overflow` column) — rebuild the index")
     CorpusIndex(
-      spark.read.parquet(s"$path/bands"),
+      bands,
       spark.read.parquet(s"$path/shingles"),
       meta.getAs[Int]("shingle_n"), meta.getAs[Int]("k"),
       meta.getAs[Int]("n_bands"), scheme)
@@ -371,9 +378,15 @@ object Dedup {
     * price of compaction, but far below the full rebuild, which would
     * re-run shingling over every base DOCUMENT (the text, not the
     * ~bands-per-doc index rows). Buckets the old index had tombstoned
-    * were dropped at build time and stay absent — degenerate
-    * boilerplate stays excluded by design; buckets that overflow only
-    * now (old + new members together) get tombstoned here.
+    * STAY tombstoned — the stored tombstone rows pass through and veto
+    * any re-created bucket (an already-overflowed bucket plus new
+    * members would only overflow harder in a rebuild, so extend ≡
+    * rebuild holds for them too; r9 advice — before the tombstones were
+    * persisted, admitted docs hashing into a dropped bucket silently
+    * re-created it with only the new members, and excluded boilerplate
+    * pairs could re-flag after compaction); buckets that overflow only
+    * now (old + new members together) get tombstoned here by the same
+    * cap.
     */
   def extendIndex(index: CorpusIndex, admitted: DataFrame,
                   idCol: String, textCol: String,
@@ -388,15 +401,21 @@ object Dedup {
       .select(col("base_id").as("id"),
         posexplode(TextOps.minhashBands(col("sh_b"), index.k, index.nBands))
           .as(Seq("band", "band_hash")))
-    val oldBandRows = index.bands
+    val tombstones = index.bands.filter(col("overflow"))
+    val oldBandRows = index.bands.filter(!col("overflow"))
       .select(col("band"), col("band_hash"),
         explode(col("base_ids")).as("id"))
     val capped = udaf(new CappedIdSetAgg(maxBucket))
     val merged = oldBandRows.unionByName(newBandRows)
       .groupBy(col("band"), col("band_hash"))
       .agg(capped(col("id")).as("cs"))
-      .filter(!col("cs.overflow"))
-      .select(col("band"), col("band_hash"), col("cs.ids").as("base_ids"))
+      .select(col("band"), col("band_hash"), col("cs.ids").as("base_ids"),
+        col("cs.overflow").as("overflow"))
+      // once tombstoned, always tombstoned: drop any re-created bucket
+      // and carry the stored tombstone rows through instead
+      .join(tombstones.select(col("band"), col("band_hash")),
+        Seq("band", "band_hash"), "left_anti")
+      .unionByName(tombstones)
     CorpusIndex(merged, index.shingles.unionByName(shNew),
       index.shingleN, index.k, index.nBands, index.hashScheme)
   }
@@ -419,7 +438,10 @@ object Dedup {
       .select(col("new_id"),
         posexplode(TextOps.minhashBands(col("sh_n"), index.k, index.nBands))
           .as(Seq("band", "band_hash")))
-      .join(index.bands, Seq("band", "band_hash"))
+      // tombstoned (overflowed) buckets are stored but never probed
+      .join(index.bands.filter(!col("overflow"))
+        .select(col("band"), col("band_hash"), col("base_ids")),
+        Seq("band", "band_hash"))
       .select(col("new_id"), explode(col("base_ids")).as("base_id"))
       .distinct()
       .join(shNew, Seq("new_id"))
@@ -442,6 +464,13 @@ object Dedup {
                 shingleN: Int = 3, k: Int = 128, bands: Int = 32,
                 maxBucket: Int = 1000): DataFrame = {
     val capped = udaf(new CappedIdSetAgg(maxBucket))
+    // overflowed buckets are KEPT as (empty-ids, overflow=true) tombstone
+    // rows rather than dropped (r9 advice): a tombstone that were mere
+    // absence would be silently RE-CREATED by extendIndex when admitted
+    // docs hash into it — with only the new members, diverging from a
+    // full rebuild (which would re-overflow and drop it again) and
+    // letting excluded boilerplate pairs re-flag after compaction. Probe
+    // paths filter `overflow` before joining.
     base.select(col(idCol).as("id"),
         TextOps.shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -450,8 +479,8 @@ object Dedup {
           .as(Seq("band", "band_hash")))
       .groupBy(col("band"), col("band_hash"))
       .agg(capped(col("id")).as("cs"))
-      .filter(!col("cs.overflow"))
-      .select(col("band"), col("band_hash"), col("cs.ids").as("base_ids"))
+      .select(col("band"), col("band_hash"), col("cs.ids").as("base_ids"),
+        col("cs.overflow").as("overflow"))
   }
 
   /** The batch that ships after incremental dedup: `newBatch` minus every
@@ -586,6 +615,17 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+    // fixpoint detection via the label-sum invariant (r9 verdict #5): the
+    // id set is constant and every label moves monotonically DOWNWARD
+    // (least(...)), so Σlabel is strictly decreasing until the fixpoint
+    // and "sum unchanged ⟺ nothing changed" holds EXACTLY. One
+    // partial-combined scalar aggregate per round — the join-and-count
+    // this replaces shuffled both label tables by id every round. The
+    // sum runs in decimal(38,0): exact at any id magnitude, no overflow
+    // wraparound to alias two different label states.
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -597,11 +637,10 @@ object Dedup {
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
         .localCheckpoint()
-      val changed = updated.alias("u")
-        .join(labels.alias("l"), Seq("id"))
-        .filter(col("u.label") =!= col("l.label")).count()
+      val s = labelSum(updated)
       labels = updated
-      converged = changed == 0
+      converged = s == prevSum
+      prevSum = s
       i += 1
     }
     // silent non-convergence would return WRONG components (a chain of
@@ -630,6 +669,21 @@ object Dedup {
         greatest(col("a_id"), col("b_id")).as("u"),
         least(col("a_id"), col("b_id")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    // fixpoint detection by (count, Σ xxhash64(u,v)) signature (r9
+    // verdict #5): the two `except().count()` set-differences this
+    // replaces were each a distinct-aggregate shuffle of the WHOLE edge
+    // set, twice per round, just to detect convergence. The edge sets
+    // are canonicalized (u > v, distinct), so equal signatures between
+    // consecutive rounds mean equal sets up to an xxhash64 sum collision
+    // (~2⁻⁶⁴ per round — the checksum is exact-sum decimal, so no
+    // additional wraparound aliasing). One partial-combined scalar
+    // aggregate per round, zero extra shuffles.
+    def edgeSig(df: DataFrame): (Long, Option[java.math.BigDecimal]) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), Option(r.getDecimal(1)))
+    }
+    var prevSig = edgeSig(edges)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -650,9 +704,10 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v")) // v > m by the filter
         .unionByName(mSmall.select(col("u"), col("m").as("v")))
         .distinct().localCheckpoint()
-      val changed = next.except(edges).count() + edges.except(next).count()
+      val sig = edgeSig(next)
       edges = next
-      converged = changed == 0
+      converged = sig == prevSig
+      prevSig = sig
       i += 1
     }
     if (!converged) throw new IllegalStateException(

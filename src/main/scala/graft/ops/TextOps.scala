@@ -316,9 +316,17 @@ object TextOps {
     * shortfall is only possible when the prune is active, where
     * P(Binomial(cnt, oversample·n/cnt) < n) ≤ exp(-9n/8) at the default
     * oversample 4 (Chernoff) — one in ~80k strata at n = 10, vanishing
-    * at real n — and it CANNOT pass silently: a window count over the
-    * survivors feeds `assert_true`, so a shortfall fails the job loudly
-    * (raise `oversample`) instead of returning n-ish rows.
+    * at real n — and it CANNOT pass silently: the pruned stream is
+    * unioned with one null-payload SENTINEL row per stratum (from the
+    * collected counts — a literal relation, so the second reference
+    * costs no corpus scan), and a window count of real survivors feeds
+    * `assert_true`. A stratum whose EVERY fingerprint lands above the
+    * threshold therefore still has its sentinel row to assert on and
+    * fails the job loudly (raise `oversample`) — the r9 advice hole,
+    * where the guard rode only rows that survived and a zero-survivor
+    * stratum vanished silently. Counts are collected to the driver
+    * (bounded by |strata| — the same smallness the broadcast already
+    * assumed; rebalanceMixture precedent).
     *
     * Output: the input columns plus `rnk` (1..n within the stratum, in
     * fingerprint order). Strata with fewer than n rows keep all rows.
@@ -334,11 +342,15 @@ object TextOps {
       s"stratifiedSample adds columns ${clash.mkString(", ")} that already " +
         "exist in the input — rename or drop them first")
     val mod = 1000000007L // portable_fingerprint's modulus
-    // null-safe join back (q68's precedent: a NULL stratum is a real
-    // stratum — an inner equi-join would silently drop those rows)
-    val counts = df.groupBy(col(strataCol))
+    val spark = df.sparkSession
+    // per-stratum counts as a LITERAL relation: one eager aggregate
+    // (generic key type — rebuilt via createDataFrame, not toDF), so
+    // both consumers below (threshold join, sentinel union) reference
+    // local rows instead of re-scanning the corpus per reference
+    val aggDf = df.groupBy(col(strataCol).as("__strat"))
       .agg(count(lit(1)).as("__cnt"))
-      .withColumnRenamed(strataCol, "__strat")
+    val counts = spark.createDataFrame(
+      java.util.Arrays.asList(aggDf.collect(): _*), aggDf.schema)
     // NULL text keys like empty text (the export-stack contract — see
     // shuffleShard's spec): an un-coalesced concat would null the
     // fingerprint and silently drop the row at the threshold filter
@@ -347,16 +359,21 @@ object TextOps {
     // fp is uniform on [0, mod); keep fp < mod * min(1, oversample*n/cnt)
     val thr = lit(mod.toDouble) *
       least(lit(1.0), lit(oversample * n) / col("__cnt"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
+    // null-safe join back (q68's precedent: a NULL stratum is a real
+    // stratum — an inner equi-join would silently drop those rows)
     val survivors = df
       .join(broadcast(counts), col(strataCol) <=> col("__strat"))
-      .drop("__strat")
       .withColumn("__fp", fp)
       .filter(col("__fp") < thr)
-    survivors
+    // one sentinel per stratum: null payload, null __fp — ranked last
+    // within its stratum and filtered out of the output, but present
+    // for the guard even when the stratum kept zero real rows
+    val completed = survivors.unionByName(counts, allowMissingColumns = true)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__strat"))
+    completed
       .withColumn("rnk", row_number().over(
-        w.orderBy(col("__fp").asc, col(idCol).asc)))
-      .withColumn("__nsurv", count(lit(1)).over(w))
+        w.orderBy(col("__fp").asc_nulls_last, col(idCol).asc_nulls_last)))
+      .withColumn("__nsurv", count(col("__fp")).over(w))
       // fail-loud shortfall guard: rides the same window exchange, no
       // extra action; assert_true returns NULL when the claim holds
       .where(coalesce(
@@ -365,8 +382,8 @@ object TextOps {
             s"min(n=$n, stratum size) rows — raise oversample " +
             s"(currently $oversample)")),
         lit(true)))
-      .filter(col("rnk") <= n)
-      .drop("__fp", "__cnt", "__nsurv")
+      .filter(col("__fp").isNotNull && col("rnk") <= n)
+      .drop("__fp", "__cnt", "__strat", "__nsurv")
   }
 
   /** Unigram-surprisal quality score — the LM-proxy filter (CCNet-style,
@@ -447,7 +464,11 @@ object TextOps {
     * they must be, because `m` couples every source to the global
     * minimum — then a per-source fingerprint threshold prunes to
     * ~oversample·n_s rows before the exact rank, with the same
-    * assert_true shortfall guard. Sources absent from `weights` (and
+    * sentinel-backed assert_true shortfall guard (one null-payload row
+    * per source unioned from the literal plan table, so a source whose
+    * every fingerprint lands above the prune threshold fails loudly
+    * instead of silently breaking the exact-proportion contract — the
+    * r9 advice hole). Sources absent from `weights` (and
     * NULL sources) are dropped — an unweighted source has target
     * proportion zero. A WEIGHTED source with zero corpus rows fails
     * loudly: its target proportion is unachievable at any size.
@@ -488,19 +509,23 @@ object TextOps {
     val thr = lit(mod.toDouble) *
       least(lit(1.0), lit(oversample) * col("__ns") / col("__cs"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(sourceCol))
-    df
+    val survivors = df
       .join(broadcast(planDf), Seq(sourceCol))
       .withColumn("__fp", fp)
       .filter(col("__fp") < thr)
+    // sentinel per source (from the literal plan table — no corpus
+    // scan): ranked last, filtered from the output, but present for the
+    // guard even when the source kept zero real rows (r9 advice)
+    survivors.unionByName(planDf, allowMissingColumns = true)
       .withColumn("rnk", row_number().over(
-        w.orderBy(col("__fp").asc, col(idCol).asc)))
-      .withColumn("__nsurv", count(lit(1)).over(w))
+        w.orderBy(col("__fp").asc_nulls_last, col(idCol).asc_nulls_last)))
+      .withColumn("__nsurv", count(col("__fp")).over(w))
       .where(coalesce(
         assert_true(col("__nsurv") >= col("__ns"),
           lit("rebalanceMixture: a source's pre-filter kept fewer than " +
             s"its target count — raise oversample (currently $oversample)")),
         lit(true)))
-      .filter(col("rnk") <= col("__ns"))
+      .filter(col("__fp").isNotNull && col("rnk") <= col("__ns"))
       .drop("__fp", "__ns", "__cs", "__nsurv")
   }
 
@@ -836,15 +861,22 @@ object TextOps {
     require(window > 0 && overlap >= 0 && overlap < window,
       s"need 0 <= overlap < window, got window=$window overlap=$overlap")
     val stride = window - overlap
-    val words = tokens(col(textCol))
+    // tokenize ONCE into an alias before the chunk transform: written
+    // inline, `slice(tokens(text), …)` sits inside the transform LAMBDA
+    // and re-tokenizes the document once per generated chunk —
+    // O(len × nChunks) per doc, the same explode-sibling trap q69's
+    // probe caught (r9 verdict #6 flagged q60's 8.6× probe ratio). The
+    // alias is referenced more than once below, which also keeps
+    // CollapseProject from re-inlining the expression.
+    val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__w"))
     // number of chunks: 1 + ceil(max(0, n - window) / stride), as pure
     // integer arithmetic so any engine reproduces it
-    val n = size(words)
+    val n = size(col("__w"))
     val nChunks = when(n <= window, lit(1)).otherwise(
       lit(1) + ceil((n - lit(window)).cast("double") / stride).cast("int"))
-    df.select(col(idCol).as("doc_id"), n.as("__n"),
+    toks.select(col("doc_id"), n.as("__n"),
         posexplode(transform(sequence(lit(0), nChunks - 1), c =>
-          concat_ws(" ", slice(words, c * stride + 1, lit(window))))))
+          concat_ws(" ", slice(col("__w"), c * stride + 1, lit(window))))))
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk_text")
       // = size(slice(words, idx*stride+1, window)) without re-tokenizing

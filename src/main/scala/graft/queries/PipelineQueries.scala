@@ -917,8 +917,9 @@ object PipelineQueries {
          f AS (SELECT source, doc_id,
                  list_reduce(
                    list_prepend(CAST(0 AS BIGINT),
-                     list_transform(range(1, length('rebal:' || text) + 1),
-                       i -> CAST(unicode(substr('rebal:' || text,
+                     list_transform(
+                       range(1, length('rebal:' || COALESCE(text, '')) + 1),
+                       i -> CAST(unicode(substr('rebal:' || COALESCE(text, ''),
                          CAST(i AS INT), 1)) AS BIGINT))),
                    (a, b) -> (a*31 + b) % 1000000007) AS raw
                FROM documents WHERE source IN ('src1', 'src2', 'src3')),
@@ -1092,8 +1093,9 @@ object PipelineQueries {
       """WITH f0 AS (SELECT source, doc_id,
                 list_reduce(
                   list_prepend(CAST(0 AS BIGINT),
-                    list_transform(range(1, length('strat:' || text) + 1),
-                      i -> CAST(unicode(substr('strat:' || text,
+                    list_transform(
+                      range(1, length('strat:' || COALESCE(text, '')) + 1),
+                      i -> CAST(unicode(substr('strat:' || COALESCE(text, ''),
                         CAST(i AS INT), 1)) AS BIGINT))),
                   (a, b) -> (a*31 + b) % 1000000007) AS raw
               FROM documents),

@@ -167,9 +167,13 @@ object DocumentStreams {
     require(index.hashScheme == Dedup.CorpusIndex.HashScheme,
       s"CorpusIndex hash scheme ${index.hashScheme} != this build's " +
         s"${Dedup.CorpusIndex.HashScheme} — rebuild the index")
+    // tombstoned (overflowed) buckets are stored but never probed —
+    // filtered BEFORE the broadcast hint so they don't ride the wire
+    val liveBands = index.bands.filter(!col("overflow"))
+      .select(col("band"), col("band_hash"), col("base_ids"))
     val (idxBands, idxShingles) =
-      if (broadcastIndex) (broadcast(index.bands), broadcast(index.shingles))
-      else (index.bands, index.shingles)
+      if (broadcastIndex) (broadcast(liveBands), broadcast(index.shingles))
+      else (liveBands, index.shingles)
     docs
       .withWatermark("ts", watermark)
       .select(col("doc_id").as("new_id"), col("ts"),

@@ -1153,4 +1153,83 @@ class OpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("rnk"))
   }
+
+  // squared-ring key replica for planting adversarial fingerprints
+  private def ringKey(salted: String): Long = {
+    val mod = 1000000007L
+    val f = salted.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % mod)
+    f * f % mod
+  }
+
+  private def exceptionChain(t: Throwable): String =
+    if (t == null) "" else s"${t.getMessage} | ${exceptionChain(t.getCause)}"
+
+  test("stratifiedSample: a stratum pruned to ZERO rows fails loudly (r9 advice)") {
+    val mod = 1000000007L
+    // oversample=1, n=1, cnt=40 → threshold = mod/40; plant 40 texts
+    // whose squared-ring key ALL land above it (each random candidate
+    // qualifies w.p. 39/40), so the prune keeps nothing — before the
+    // sentinel guard, the stratum silently vanished from the output
+    val bad = Iterator.from(0).map(i => s"adversarial doc $i")
+      .filter(t => ringKey("strat:" + t).toDouble >= mod / 40.0)
+      .take(40).toSeq
+    val docs = (bad.zipWithIndex.map { case (t, i) => (i.toLong, "bad", t) } :+
+      ((100L, "good", "hello world"))).toDF("doc_id", "src", "text")
+    val e = intercept[Exception] {
+      TextOps.stratifiedSample(docs, "src", "doc_id", "text",
+        n = 1, oversample = 1.0).collect()
+    }
+    assert(exceptionChain(e).contains("pre-filter kept fewer"),
+      s"expected the loud shortfall guard, got: ${exceptionChain(e)}")
+  }
+
+  test("rebalanceMixture: a source pruned to ZERO rows fails loudly (r9 advice)") {
+    val mod = 1000000007L
+    // counts bad=40, good=10, weights 50/50 → m=20, targets 10/10;
+    // bad's threshold = mod·(1·10/40) = mod/4 — plant 40 bad texts whose
+    // rebal-salted squared-ring key all land above it (75% of candidates
+    // qualify), so bad keeps zero rows and the exact-proportion contract
+    // is unmeetable: the guard must fire, not return a 0/10 "mixture"
+    val bad = Iterator.from(0).map(i => s"rebal adversarial doc $i")
+      .filter(t => ringKey("rebal:" + t).toDouble >= mod / 4.0)
+      .take(40).toSeq
+    val docs = (bad.zipWithIndex.map { case (t, i) => (i.toLong, "bad", t) } ++
+      (1 to 10).map(i => (100L + i, "good", s"good doc $i")))
+      .toDF("doc_id", "src", "text")
+    val e = intercept[Exception] {
+      TextOps.rebalanceMixture(docs, "src", "doc_id", "text",
+        Map("bad" -> 0.5, "good" -> 0.5), oversample = 1.0).collect()
+    }
+    assert(exceptionChain(e).contains("target count"),
+      s"expected the loud shortfall guard, got: ${exceptionChain(e)}")
+  }
+
+  test("extendIndex: a bucket tombstoned at BUILD time stays tombstoned (r9 advice)") {
+    // 11 boilerplate docs overflow maxBucket=10 at build → tombstone.
+    // An admitted boilerplate doc hashes into those same buckets: before
+    // tombstones were PERSISTED it silently re-created them with itself
+    // as the only member, so a later boilerplate probe re-flagged pairs
+    // the cap had excluded — and diverged from a full rebuild, which
+    // re-overflows (12 > 10) and drops them again.
+    val boiler = "the same boilerplate legal disclaimer text block " * 4
+    val base1 = (1 to 60).map(i => s"w$i").mkString(" ")
+    val base = ((1 to 11).map(i => (i.toLong, boiler)) :+ ((100L, base1)))
+      .toDF("id", "text")
+    val admitted = Seq((50L, boiler)).toDF("id", "text")
+    val mutated = ((1 to 58).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")
+    val probe = Seq((200L, boiler), (201L, mutated)).toDF("id", "text")
+    val extended = Dedup.extendIndex(
+      Dedup.buildIndex(base, "id", "text", maxBucket = 10),
+      admitted, "id", "text", maxBucket = 10)
+    val got = Dedup.crossNearDupIndexed(probe, extended, "id", "text")
+      .select("new_id", "base_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((201L, 100L)),
+      s"boilerplate probe must match nothing (tombstone persisted): $got")
+    // and extend ≡ rebuild holds on exactly these inputs
+    val viaRebuild = Dedup.crossNearDupIndexed(probe,
+      Dedup.buildIndex(base.unionByName(admitted), "id", "text",
+        maxBucket = 10), "id", "text")
+      .select("new_id", "base_id").as[(Long, Long)].collect().toSet
+    assert(got === viaRebuild)
+  }
 }

@@ -251,11 +251,18 @@ class PlanSpec extends SparkSpec {
 
   test("q70: stratified sample — broadcast counts, prune below the rank window") {
     val plan = planOf("q70_stratified_sample")
-    // two SHUFFLE exchanges: the tiny per-stratum count agg and the
-    // survivors' window ("- Exchange (" excludes BroadcastExchange —
-    // the counts join back is the broadcast, also pinned)
-    assert("""- Exchange \(\d+\)""".r.findAllIn(plan).size === 2, plan)
+    // ONE shuffle exchange — the survivors' window ("- Exchange ("
+    // excludes BroadcastExchange). The per-stratum counts are a literal
+    // relation (collected once, |strata|-bounded) broadcast back onto
+    // the corpus, and the zero-survivor sentinel union references the
+    // same literal rows — no second corpus-sized shuffle, no second scan
+    // in this plan
+    assert("""- Exchange \(\d+\)""".r.findAllIn(plan).size === 1, plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
+    // the sentinel rows ride a Union over a LocalTableScan — the guard's
+    // per-stratum row exists even when a stratum keeps zero survivors
+    assert(plan.contains("Union"), plan)
+    assert(plan.contains("LocalTableScan"), plan)
   }
 
   test("q71: vocab cut is a TakeOrdered, vocabulary broadcast onto tokens") {

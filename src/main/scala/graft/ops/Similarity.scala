@@ -110,7 +110,96 @@ object Similarity {
   def kmeansCentroids(corpus: DataFrame, nlist: Int, iters: Int = 5,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame =
-    fitIndex(corpus, nlist, iters, idCol, vecCol)._1
+    fitIvf(corpus, nlist, iters, idCol, vecCol).centroids
+
+  /** A fitted IVF index as a persistable artifact — the
+    * [[graft.ops.Dedup.CorpusIndex]] / termFreqs treatment applied to ANN
+    * (round-9 verdict #3: every `ivfTopK` call refit the quantizer;
+    * production fits once, stores, probes many).
+    *
+    *  - `centroids`: (cluster int, centroid array<double>) — nlist rows,
+    *    cluster ids 0..nlist-1 positional with the fit's center order.
+    *  - `assigned`: (id, v array<double>, cluster) — the inverted file:
+    *    every corpus vector tagged with its nearest-centroid cell. This is
+    *    the data-sized side; probes shuffle-join it on `cluster`, so only
+    *    the probed cells' rows are ever scored.
+    *
+    * The SCHEME version rides along like CorpusIndex.HashScheme: cell ids
+    * are meaningful only under the exact fit pipeline (xxhash64-least
+    * sample selection + driver Lloyd arithmetic) that produced them — an
+    * index stored under a different scheme would route probes to the
+    * wrong cells, silently degrading recall instead of failing, so
+    * [[Similarity.loadIvf]] rejects a mismatch loudly.
+    *
+    * Lifecycle: [[Similarity.fitIvf]] → [[IvfIndex.save]] →
+    * [[Similarity.loadIvf]] → [[Similarity.probeIvf]], with
+    * [[Similarity.extendIvf]] assigning NEW vectors against the stored
+    * centroids (no refit — the standard IVF posture; under heavy drift
+    * the centroids stop describing the data and recall decays, which is
+    * what periodic re-fit compaction is for, exactly like CorpusIndex's
+    * tombstone compaction cadence).
+    */
+  final case class IvfIndex(centroids: DataFrame, assigned: DataFrame,
+                            nlist: Int, dim: Int,
+                            scheme: Int = IvfIndex.Scheme) {
+    /** Store as three parquet tables under `path` (`centroids/`,
+      * `assigned/`, `meta/`); meta pins (nlist, dim, scheme) so a reader
+      * cannot probe with mismatched parameters. */
+    def save(path: String): Unit = {
+      centroids.write.mode("overwrite").parquet(s"$path/centroids")
+      assigned.write.mode("overwrite").parquet(s"$path/assigned")
+      val spark = centroids.sparkSession
+      import spark.implicits._
+      Seq((nlist, dim, scheme)).toDF("nlist", "dim", "scheme")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
+
+    /** Centers as a driver-side array ordered by cluster id — the form
+      * [[graft.expr.VecNearest]] wants. Config-sized (nlist × dim). */
+    private[ops] def centersArray: Array[Seq[Double]] =
+      centroids.orderBy(col("cluster").asc).collect()
+        .map(_.getSeq[Double](1))
+  }
+
+  object IvfIndex {
+    /** Version of the fit pipeline (sample selection + Lloyd + assignment
+      * arithmetic). Bump whenever stored cell ids would stop matching the
+      * ids this build computes for the same data. */
+    val Scheme = 1
+  }
+
+  /** Read an [[IvfIndex]] written by [[IvfIndex.save]]. Parameters come
+    * from the stored meta row, never the caller; a scheme mismatch fails
+    * loudly here rather than silently probing the wrong cells.
+    */
+  def loadIvf(spark: org.apache.spark.sql.SparkSession,
+              path: String): IvfIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val scheme = meta.getAs[Int]("scheme")
+    require(scheme == IvfIndex.Scheme,
+      s"stored IvfIndex at $path uses fit scheme $scheme but this build " +
+        s"produces scheme ${IvfIndex.Scheme} — rebuild the index (a " +
+        "cross-scheme probe would route queries to the wrong cells)")
+    IvfIndex(
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/assigned"),
+      meta.getAs[Int]("nlist"), meta.getAs[Int]("dim"), scheme)
+  }
+
+  /** Assign a new batch against the STORED centroids (no refit) and
+    * append it to the inverted file — the incremental path: cost is one
+    * codegen'd map over the batch (centers ride as a literal), never a
+    * recomputation of the base corpus. Centroids are unchanged by
+    * design; see [[IvfIndex]] on drift and re-fit compaction.
+    */
+  def extendIvf(index: IvfIndex, batch: DataFrame,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): IvfIndex = {
+    val b = batch.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val assignedNew =
+      b.withColumn("cluster", nearestCenter(col("v"), index.centersArray))
+    index.copy(assigned = index.assigned.unionByName(assignedNew))
+  }
 
   /** Argmin over a driver-side centers array via the native
     * [[graft.expr.VecNearest]] expression (registered by GraftSession) —
@@ -127,9 +216,9 @@ object Similarity {
     * sample at nlist × 64 — CONFIG-sized, never data-sized. */
   private val FitOversample = 64
 
-  /** Fits the coarse quantizer and returns (centroids table, lazily
-    * cluster-assigned corpus) — ivfTopK builds its inverted file from the
-    * latter instead of re-assigning.
+  /** Fits the coarse quantizer and returns the [[IvfIndex]] — centroids
+    * plus the lazily cluster-assigned corpus (the inverted file);
+    * [[probeIvf]] consumes it, [[IvfIndex.save]] persists it.
     *
     * The quantizer is a config-sized object (nlist × dim doubles; coarse
     * quantizers are 2^10..2^16 cells even at billion scale), so it is
@@ -145,9 +234,9 @@ object Similarity {
     * sample points keep their previous centroid instead of silently
     * vanishing (nlist is a configured trade-off).
     */
-  private def fitIndex(corpus: DataFrame, nlist: Int, iters: Int,
-                       idCol: String, vecCol: String)
-      : (DataFrame, DataFrame) = {
+  def fitIvf(corpus: DataFrame, nlist: Int = 16, iters: Int = 5,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): IvfIndex = {
     val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     // seeded deterministic sample: the (nlist × FitOversample) hash-least
@@ -188,7 +277,7 @@ object Similarity {
     val centroids = centerSeqs.toSeq.zipWithIndex
       .map { case (ct, i) => (i, ct) }.toDF("cluster", "centroid")
     val fitted = c.withColumn("cluster", nearestCenter(col("v"), centerSeqs))
-    (centroids, fitted)
+    IvfIndex(centroids, fitted, nlist, dim)
   }
 
   /** Squared euclidean distance (codegen'd via vec_cosine's sibling loop
@@ -206,9 +295,23 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    val (centroids, fitted) = fitIndex(corpus, nlist, iters, idCol, vecCol)
-    val assigned = fitted
+              vecCol: String = "embedding"): DataFrame =
+    probeIvf(fitIvf(corpus, nlist, iters, idCol, vecCol),
+      queries, k, nprobe, idCol, vecCol)
+
+  /** Probe a fitted/loaded [[IvfIndex]]: each query scores only its
+    * `nprobe` nearest cells of the stored inverted file — the fit cost is
+    * paid once per index, not once per query batch. Same plan shape as
+    * the one-shot [[ivfTopK]] (which is fit + this).
+    */
+  def probeIvf(index: IvfIndex, queries: DataFrame, k: Int,
+               nprobe: Int = 4, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    require(index.scheme == IvfIndex.Scheme,
+      s"IvfIndex fit scheme ${index.scheme} != this build's " +
+        s"${IvfIndex.Scheme} — rebuild the index")
+    val centroids = index.centroids
+    val assigned = index.assigned
       .select(col("id").as("nid"), col("v").as("cv"), col("cluster"))
     val q0 = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
     // nprobe-nearest cells per query, via the same shuffle-bounded top-k

@@ -483,6 +483,103 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("IvfIndex: fit→save→load→probe ≡ one-shot ivfTopK; stored meta rides") {
+    val rows = for (c <- 0 until 10; i <- 0 until 20) yield {
+      val base = v(c)
+      val r = new scala.util.Random(c * 1000 + i)
+      ((c * 20 + i).toLong,
+        base.map(x => (x + 0.05 * r.nextGaussian()).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" % 20 === 0)
+    val idx = Similarity.fitIvf(emb, nlist = 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    idx.save(dir)
+    val loaded = Similarity.loadIvf(spark, dir)
+    assert((loaded.nlist, loaded.dim, loaded.scheme)
+      === (10, 64, Similarity.IvfIndex.Scheme))
+    val stored = Similarity.probeIvf(loaded, queries, 3, nprobe = 3)
+      .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+    val oneShot = Similarity.ivfTopK(emb, queries, 3, nlist = 10, nprobe = 3)
+      .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+    assert(stored === oneShot)
+  }
+
+  test("IvfIndex: stale fit scheme is rejected at load and at probe") {
+    val emb = (1L to 20L).map(i => (i, v(i.toInt))).toDF("vec_id", "embedding")
+    val stale = Similarity.fitIvf(emb, nlist = 4).copy(scheme = 999)
+    intercept[IllegalArgumentException] {
+      Similarity.probeIvf(stale, emb.filter($"vec_id" === 1), 3)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-stale").toString
+    stale.save(dir)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.loadIvf(spark, dir)
+    }
+    assert(e.getMessage.contains("scheme"))
+  }
+
+  test("extendIvf: new vectors route to the stored centroids and become findable") {
+    // fit on 9 of 10 clusters' members plus a LONE seed of cluster 9, so
+    // centroid 9 exists; then extend with the rest of cluster 9 — probes
+    // for cluster 9 must find the EXTENDED members without any refit
+    val all = for (c <- 0 until 10; i <- 0 until 20) yield {
+      val base = v(c)
+      val r = new scala.util.Random(c * 1000 + i)
+      ((c * 20 + i).toLong,
+        base.map(x => (x + 0.05 * r.nextGaussian()).toFloat))
+    }
+    val (late, early) = all.partition { case (id, _) => id > 180L }
+    val idx = Similarity.fitIvf(early.toDF("vec_id", "embedding"), nlist = 10)
+    val extended = Similarity.extendIvf(idx, late.toDF("vec_id", "embedding"))
+    // extension is append-only on the inverted file: centroids unchanged
+    assert(extended.centroids eq idx.centroids)
+    val q9 = all.filter(_._1 == 180L).toDF("vec_id", "embedding")
+    val got = Similarity.probeIvf(extended, q9, 3, nprobe = 1)
+      .select("nid").as[Long].collect().toSet
+    // the 3 nearest same-cluster members are all in the extended batch
+    assert(got.forall(_ > 180L), s"expected extended cluster-9 members, got $got")
+    assert(got.size === 3)
+  }
+
+  test("hybrid RRF: IVF-backed fusion recalls the exact fusion on clustered data") {
+    // 10 clusters; doc text carries a cluster-specific term so BM25 and
+    // the embedding side AGREE on cluster membership (the regime hybrid
+    // retrieval is for). Verdict gate: pair recall >= 0.9 AND every
+    // query's exact-fusion top-1 appears in the ANN-backed fusion top-3.
+    val docs = (for (c <- 0 until 10; i <- 0 until 20) yield {
+      ((c * 20 + i).toLong, s"cluster$c topic$c filler${c * 20 + i} common word")
+    }).toDF("doc_id", "text")
+    val emb = (for (c <- 0 until 10; i <- 0 until 20) yield {
+      val base = v(c)
+      val r = new scala.util.Random(c * 1000 + i)
+      ((c * 20 + i).toLong,
+        base.map(x => (x + 0.05 * r.nextGaussian()).toFloat))
+    }).toDF("vec_id", "embedding")
+    val queries = (0 until 10)
+      .map(c => (1000L + c, s"cluster$c topic$c")).toDF("query_id", "qtext")
+    val qv = (0 until 10).map(c => (1000L + c, v(c))).toDF("vec_id", "embedding")
+    val bm = graft.ops.Retrieval.bm25TopK(docs, queries, topK = 10)
+      .select(col("query_id"), col("rnk"), col("doc_id"))
+    def rankOf(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("qid").as("query_id"), col("rank").as("rnk"), col("nid").as("doc_id"))
+    val exactFused = graft.ops.Retrieval.rrfFuse(Seq(bm,
+      rankOf(Similarity.bruteForceTopK(emb, qv, 10))), topK = 3)
+      .select("query_id", "rnk", "doc_id")
+      .as[(Long, Int, Long)].collect()
+    val annFused = graft.ops.Retrieval.rrfFuse(Seq(bm,
+      rankOf(Similarity.ivfTopK(emb, qv, 10, nlist = 10, nprobe = 3))), topK = 3)
+      .select("query_id", "rnk", "doc_id")
+      .as[(Long, Int, Long)].collect()
+    val exactPairs = exactFused.map(r => (r._1, r._3)).toSet
+    val annPairs = annFused.map(r => (r._1, r._3)).toSet
+    val recall = (exactPairs & annPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.9, s"fusion recall $recall")
+    val exactTop1 = exactFused.filter(_._2 == 1).map(r => (r._1, r._3)).toSet
+    assert(exactTop1.subsetOf(annPairs),
+      s"exact top-1 pairs ${exactTop1 -- annPairs} missing from ANN fusion top-3")
+  }
+
   test("vec_cosine: dimension mismatch and null elements give NULL, not a number") {
     val out = spark.sql(
       """SELECT vec_cosine(array(1.0D, 2.0D), array(1.0D)) AS mismatch,

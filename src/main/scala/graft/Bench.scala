@@ -104,11 +104,19 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt.max(1)
     var best = timedPass()
     var attempt = 1
-    while (best.noise > 0.5 && attempt < maxAttempts) {
+    // Retry on errors as well as pollution, and prefer attempts by
+    // (fewer errors, then lower noise) — r10 advice: selection keyed on
+    // noise alone could archive an attempt where a query crashed (its
+    // timings vanish from the noise denominator, so a flaky-OOM pass can
+    // post LOWER noise than a fully successful one) over complete data.
+    while ((best.noise > 0.5 || best.errors.nonEmpty) && attempt < maxAttempts) {
       System.err.println(
-        f"bench attempt $attempt%d polluted (noise ${best.noise}%.2f > 0.5) — retrying")
+        f"bench attempt $attempt%d dirty (noise ${best.noise}%.2f, " +
+          f"${best.errors.size}%d errors) — retrying")
       val next = timedPass()
-      if (next.noise < best.noise) best = next
+      if (next.errors.size < best.errors.size ||
+          (next.errors.size == best.errors.size && next.noise < best.noise))
+        best = next
       attempt += 1
     }
     val results = best.results

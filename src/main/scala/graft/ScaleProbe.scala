@@ -113,10 +113,15 @@ object ScaleProbe {
     val cpus = Runtime.getRuntime.availableProcessors
     // banded like StreamBench (r8 advice): "clean" means genuinely idle,
     // not merely under a quarter of the cores — and capped BY the
-    // quarter-of-cores rule (r9 advice) so a small box can't loosen it
+    // quarter-of-cores rule (r9 advice) so a small box can't loosen it.
+    // The loaded cutoff is max(quarter-of-cores, 2× the clean cutoff)
+    // (r10 advice): on ≤ 8 cpus the two cutoffs used to coincide and the
+    // middle band was unreachable — mid-load runs jumped straight from
+    // clean to polluted.
+    val cleanCut = math.min(2.0, cpus * 0.25)
     val loadBand =
-      if (preload <= math.min(2.0, cpus * 0.25)) "clean"
-      else if (preload <= cpus * 0.25) "loaded"
+      if (preload <= cleanCut) "clean"
+      else if (preload <= math.max(cpus * 0.25, 2 * cleanCut)) "loaded"
       else "polluted"
     val polluted = loadBand != "clean"
     if (polluted) System.err.println(

@@ -46,9 +46,13 @@ object StreamBench {
     // min(2.0, cpus*0.25), not 2.0 flat (r9 advice): on a small box
     // (< 8 cpus) a flat 2.0 would LOOSEN the old quarter-of-cores rule
     // — load 1.9 on 2 cpus is a saturated machine, not a clean one.
+    // Loaded cutoff = max(quarter-of-cores, 2× clean) (r10 advice): on
+    // ≤ 8 cpus the two cutoffs used to coincide, making the middle band
+    // unreachable — mid-load runs jumped straight to polluted.
+    val cleanCut = math.min(2.0, cpus * 0.25)
     val loadBand =
-      if (preload <= math.min(2.0, cpus * 0.25)) "clean"
-      else if (preload <= cpus * 0.25) "loaded"
+      if (preload <= cleanCut) "clean"
+      else if (preload <= math.max(cpus * 0.25, 2 * cleanCut)) "loaded"
       else "polluted"
     val polluted = loadBand != "clean"
     if (polluted) System.err.println(

@@ -278,6 +278,14 @@ object TextOps {
       pmod(fingerprint(concat(lit("mix:"), col(textCol))), lit(100L)) < pct)
   }
 
+  /** Upper bound on distinct strata [[stratifiedSample]] will collect to
+    * the driver — the same smallness its broadcast already assumed, now
+    * enforced loudly (r10 advice). Real stratification columns (source,
+    * language, domain) are thousands of values; a million says the
+    * caller passed an id.
+    */
+  val MaxStrata: Int = 1 << 20
+
   /** Deterministic EXACT-count stratified sample: the `n` documents per
     * stratum with the smallest salted content fingerprints (ties by id).
     * [[mixtureSample]] keeps a deterministic FRACTION per source — the
@@ -333,7 +341,9 @@ object TextOps {
     */
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
                        textCol: String, n: Int,
-                       oversample: Double = 4.0): DataFrame = {
+                       oversample: Double = 4.0,
+                       maxStrata: Int = MaxStrata): DataFrame = {
+    require(maxStrata > 0, s"maxStrata must be positive, got $maxStrata")
     require(n > 0, s"n must be positive, got $n")
     require(oversample >= 1.0, s"oversample must be >= 1, got $oversample")
     val clash = Seq("rnk", "__fp", "__cnt", "__nsurv", "__strat")
@@ -346,11 +356,28 @@ object TextOps {
     // per-stratum counts as a LITERAL relation: one eager aggregate
     // (generic key type — rebuilt via createDataFrame, not toDF), so
     // both consumers below (threshold join, sentinel union) reference
-    // local rows instead of re-scanning the corpus per reference
+    // local rows instead of re-scanning the corpus per reference.
+    // NOTE: this runs a Spark job at plan-BUILD time (and re-executes
+    // any un-cached upstream lineage) — callers composing it after
+    // expensive lazy transforms should persist the input first.
     val aggDf = df.groupBy(col(strataCol).as("__strat"))
       .agg(count(lit(1)).as("__cnt"))
+    // fail-loud driver bound (r10 advice): the old broadcast-threshold
+    // failure on a high-cardinality strata column is now a driver
+    // collect — guard it with a named limit instead of letting a
+    // mis-chosen column (an id, a fingerprint) OOM the driver. The
+    // limit BOUNDS the collect itself (maxStrata+1 rows detect
+    // overflow without shipping the full id-sized table); under the
+    // bound, limit returns every row, so the literal relation is
+    // complete.
+    val collected = aggDf.limit(maxStrata + 1).collect()
+    require(collected.length <= maxStrata,
+      s"stratifiedSample: column '$strataCol' has more than $maxStrata " +
+        "distinct strata — that is an id-like column, not a " +
+        "stratification; the per-stratum count table must stay " +
+        "driver-sized")
     val counts = spark.createDataFrame(
-      java.util.Arrays.asList(aggDf.collect(): _*), aggDf.schema)
+      java.util.Arrays.asList(collected: _*), aggDf.schema)
     // NULL text keys like empty text (the export-stack contract — see
     // shuffleShard's spec): an un-coalesced concat would null the
     // fingerprint and silently drop the row at the threshold filter

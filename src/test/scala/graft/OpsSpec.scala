@@ -542,6 +542,95 @@ class OpsSpec extends SparkSpec {
     assert(got.size === 3)
   }
 
+  test("autoNlist: √n sizing law, clamped to [16, 65536] (r10 verdict #6)") {
+    assert(Similarity.autoNlist(1L) === 16)
+    assert(Similarity.autoNlist(1000L) === 32)      // √1000 ≈ 31.6 → 2^5
+    assert(Similarity.autoNlist(1000000L) === 1024) // √1e6 = 1000 → 2^10
+    assert(Similarity.autoNlist(4000000000L) === 65536) // √4e9 ≈ 63246 → 2^16
+    assert(Similarity.autoNlist(Long.MaxValue) === 65536) // cap holds
+    // monotone: more corpus never means fewer cells
+    val pts = Seq(1L, 100L, 10000L, 1000000L, 100000000L, 10000000000L)
+    assert(pts.map(Similarity.autoNlist(_).toLong) ===
+      pts.map(Similarity.autoNlist(_).toLong).sorted)
+    // and the default (nlist = 0) flows through a real fit: 40 vectors
+    // hit the floor of 16 cells
+    val emb = (1L to 40L).map(i => (i, v(i.toInt))).toDF("vec_id", "embedding")
+    assert(Similarity.fitIvf(emb).nlist === 16)
+  }
+
+  test("extendIvf: a dimension-mismatched batch fails loudly (r10 advice)") {
+    val emb = (1L to 20L).map(i => (i, v(i.toInt))).toDF("vec_id", "embedding")
+    val idx = Similarity.fitIvf(emb, nlist = 4)
+    val bad = Seq((100L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.extendIvf(idx, bad).assigned.collect()
+    }
+    assert(exceptionChain(e).contains("extendIvf"),
+      s"expected the loud dim guard, got: ${exceptionChain(e)}")
+  }
+
+  test("extendIvf: batch ids already in the inverted file are rejected (r10 advice)") {
+    val emb = (1L to 20L).map(i => (i, v(i.toInt))).toDF("vec_id", "embedding")
+    val idx = Similarity.fitIvf(emb, nlist = 4)
+    val dup = Seq((5L, v(99))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](Similarity.extendIvf(idx, dup))
+    assert(e.getMessage.contains("already present"))
+    // disjoint ids still extend; the eager check can be opted out for
+    // bulk loads with upstream id guarantees
+    val ok = Seq((100L, v(99))).toDF("vec_id", "embedding")
+    assert(Similarity.extendIvf(idx, ok).assigned.count() === 21L)
+    assert(Similarity.extendIvf(idx, dup, verifyIds = false)
+      .assigned.count() === 21L)
+  }
+
+  test("extendIvf drift: refit beats the extended index on a shifted batch (r10 verdict #7)") {
+    // base: 10 clusters at v(c); batch: the same clusters SHIFTED by a
+    // constant per-coordinate offset (centroid drift — the regime the
+    // scaladoc's "periodic re-fit compaction" exists for). Queries come
+    // from the shifted distribution; ground truth is exact top-3 over
+    // base ∪ batch. The pinned bound: a refit index never recalls WORSE
+    // than the drifted extend-only index, and the extend-only index
+    // still clears 0.5 at this moderate drift (the measured curve this
+    // test documents — extend is a degradation, not a cliff).
+    def jit(c: Int, i: Int, shift: Double): (Long, Seq[Float]) = {
+      val r = new scala.util.Random(c * 1000 + i)
+      ((c * 40 + i).toLong,
+        v(c).map(x => (x + shift + 0.05 * r.nextGaussian()).toFloat))
+    }
+    val base = for (c <- 0 until 10; i <- 0 until 20) yield jit(c, i, 0.0)
+    val batch = for (c <- 0 until 10; i <- 20 until 40) yield jit(c, i, 0.35)
+    val baseDf = base.toDF("vec_id", "embedding")
+    val batchDf = batch.toDF("vec_id", "embedding")
+    val all = baseDf.unionByName(batchDf)
+    val queries = batchDf.filter($"vec_id" % 40 === 20)
+    val exact = Similarity.bruteForceTopK(all, queries, 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    def recall(idx: Similarity.IvfIndex): Double = {
+      val got = Similarity.probeIvf(idx, queries, 3, nprobe = 3)
+        .select("qid", "nid").as[(Long, Long)].collect().toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val extended = recall(Similarity.extendIvf(
+      Similarity.fitIvf(baseDf, nlist = 10), batchDf))
+    val refit = recall(Similarity.fitIvf(all, nlist = 10))
+    assert(refit >= extended,
+      s"refit recall $refit must be >= extend-only recall $extended")
+    assert(extended >= 0.5, s"extend-only recall $extended fell off a cliff")
+  }
+
+  test("stratifiedSample: an id-like strata column fails the driver bound loudly (r10 advice)") {
+    val docs = (1 to 101).map(i => (i.toLong, s"s$i", s"doc text $i"))
+      .toDF("doc_id", "src", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.stratifiedSample(docs, "src", "doc_id", "text", n = 1,
+        maxStrata = 100)
+    }
+    assert(e.getMessage.contains("distinct strata"))
+    // under the bound the limit is invisible: every stratum still sampled
+    assert(TextOps.stratifiedSample(docs, "src", "doc_id", "text", n = 1,
+      maxStrata = 101).count() === 101L)
+  }
+
   test("hybrid RRF: IVF-backed fusion recalls the exact fusion on clustered data") {
     // 10 clusters; doc text carries a cluster-specific term so BM25 and
     // the embedding side AGREE on cluster membership (the regime hybrid

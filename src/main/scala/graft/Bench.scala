@@ -139,13 +139,18 @@ object Bench {
     // be RE-RUN on an idle machine, not archived as the round's record —
     // the r7 driver run had noise 0.81 with medians ~25% over their mins.
     // `polluted` is machine-gateable; the stderr banner is for humans.
-    val polluted = noise > 0.5
+    // Round-11 advice (high): a run with errors excludes the failed
+    // queries from `value`, so its total is NOT comparable to a clean
+    // round's — flag it `failed` AND `polluted` so neither a human nor a
+    // gate can mistake an incomparable total for clean evidence.
+    val failed = errors.nonEmpty
+    val polluted = noise > 0.5 || failed
     if (polluted) System.err.println(
-      f"POLLUTED: bench noise $noise%.2f > 0.5 after $attempt attempts — " +
-        "medians are load-inflated; re-run on an idle machine " +
-        "(min_total is the honest comparator)")
+      f"POLLUTED: bench noise $noise%.2f, ${errors.size}%d errors after " +
+        f"$attempt attempts — the total is not comparable to a clean run " +
+        "(min_total over the surviving queries only)")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","min_total":$minTotal%.3f,"noise":$noise%.2f,"polluted":$polluted,"attempts":$attempt,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","errors":$errJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","min_total":$minTotal%.3f,"noise":$noise%.2f,"polluted":$polluted,"failed":$failed,"attempts":$attempt,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","errors":$errJson}"""
 
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(outPath), line + "\n")

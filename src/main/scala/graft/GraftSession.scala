@@ -166,9 +166,17 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
-      // events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type, so
-      // read them as LongType (epoch nanos) and convert explicitly.
+      // events.parquet has stored TIMESTAMP(NANOS) (older fixtures) and
+      // timestamp[us] without timezone (current pyarrow-written fixtures).
+      // Nanos: Spark has no nanos type, so read them as LongType (epoch
+      // nanos) and convert explicitly. Naive micros: surface as tz-aware
+      // TIMESTAMP rather than TIMESTAMP_NTZ — with the session timezone
+      // pinned UTC the instant is identical, and the whole timestamp
+      // function surface (unix_micros, watermarks, ASOF) works unchanged.
+      // graft.events() additionally dispatches on the runtime type, so a
+      // session built WITHOUT these configs still reads correctly.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       // keep saveAsTable (bucketed-table tests/demos) out of the repo dir
       .config("spark.sql.warehouse.dir",

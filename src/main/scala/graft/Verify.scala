@@ -10,11 +10,26 @@ object Verify {
     // table, broadcast threshold) — round-1 verdict fix #4/#7.
     val spark = GraftSession.local(appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
+    // Round-11 advice (high): a swallowed per-query failure made the broken
+    // queries VANISH from the driver's compare — 68 green rows read as a
+    // clean round when 9 queries had crashed. Now a failed query still
+    // writes a result parquet (one `_graft_error` row, a schema no oracle
+    // can match, so the compare records an explicit mismatch instead of
+    // dropping the query), failures are listed in errors.json, and the JVM
+    // exits non-zero.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        failures(name) = msg
+        System.err.println(s"[verify] $name FAILED: $msg")
+        try {
+          import spark.implicits._
+          Seq(msg).toDF("_graft_error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -32,7 +47,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     clearCaches(spark)
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(s"[verify] ${failures.size} queries FAILED: " +
+        failures.keys.mkString(", "))
+      sys.exit(2)
+    }
   }
 }

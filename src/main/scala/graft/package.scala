@@ -17,20 +17,33 @@ package object graft {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The `events` table stores TIMESTAMP(NANOS), which Spark surfaces as
-    * epoch-nanos LongType (spark.sql.legacy.parquet.nanosAsLong). Expose a
-    * proper timestamp column `ts` (microsecond precision, UTC) plus the
-    * exact nanos for code that wants them.
+  /** The `events` table's `ts` column has surfaced three different ways as
+    * the fixture generator evolved: epoch-nanos LongType (TIMESTAMP(NANOS)
+    * under spark.sql.legacy.parquet.nanosAsLong), TIMESTAMP_NTZ (parquet
+    * timestamp[us] with isAdjustedToUTC=false, what pyarrow writes), and
+    * tz-aware TIMESTAMP. Dispatch on the actual type and expose a uniform
+    * contract: `ts` as a proper tz-aware timestamp (micros, UTC) plus
+    * epoch-nanos `ts_ns` for code that wants integers. The session
+    * timezone is pinned UTC (GraftSession), so the NTZ→TZ cast is a
+    * lossless relabeling, and DuckDB's epoch_us over the same naive
+    * parquet values agrees bit-for-bit.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table(spark, sfDir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // `div` = integer division: epoch-nanos exceed 2^53, so the `/`
-      // (double) operator would lose microsecond precision near boundaries.
-      raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts_ns div 1000")))
-    else raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // `div` = integer division: epoch-nanos exceed 2^53, so the `/`
+        // (double) operator would lose microsecond precision near boundaries.
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts_ns div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+      case _ =>
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    }
   }
 
   /** Release everything graft memoizes against `spark`: the materialized

@@ -23,6 +23,22 @@ import graft.cents
   */
 object EventStreams {
 
+  /** A `ts` column read from a naive-timestamp parquet (timestamp[us],
+    * isAdjustedToUTC=false) surfaces as TIMESTAMP_NTZ, which
+    * `unix_micros` and the `java.sql.Timestamp` encoder both reject
+    * (round-11: this broke every events pipeline when the fixture
+    * generator switched from TIMESTAMP(NANOS) to naive micros). Relabel
+    * it tz-aware — lossless, graft sessions pin the session timezone to
+    * UTC — so every pipeline below accepts either form.
+    */
+  private def tzAware(df: DataFrame, tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    if (df.schema.fieldNames.contains(tsCol) &&
+        df.schema(tsCol).dataType == TimestampNTZType)
+      df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+    else df
+  }
+
   /** Merge one batch of event times (sorted ascending, micros) into the
     * open session `(start, last, n)`, appending any sessions CLOSED by the
     * batch for `user` to `closed`; returns the new open-session state.
@@ -82,7 +98,7 @@ object EventStreams {
     * still sum deterministically).
     */
   def hourlyByType(events: DataFrame, watermark: String = "2 hours"): DataFrame =
-    events
+    tzAware(events)
       .withWatermark("ts", watermark)
       // Group by the window STRUCT and project `.start` AFTER the
       // aggregation: grouping by window(ts).getField("start") directly
@@ -133,10 +149,10 @@ object EventStreams {
                    tsCol: String = "ts", within: String = "10 minutes",
                    watermark: String = "1 hour",
                    joinType: String = "inner"): DataFrame = {
-    val l = left.columns.foldLeft(left) { (d, c) =>
+    val l = left.columns.foldLeft(tzAware(left, tsCol)) { (d, c) =>
       if (c == key) d else d.withColumnRenamed(c, "l_" + c)
     }.withWatermark(s"l_$tsCol", watermark)
-    val r = right.columns.foldLeft(right) { (d, c) =>
+    val r = right.columns.foldLeft(tzAware(right, tsCol)) { (d, c) =>
       d.withColumnRenamed(c, "r_" + c) // key too — disambiguates the join
     }.withWatermark(s"r_$tsCol", watermark)
     l.join(r, col(key) === col(s"r_$key") &&
@@ -150,7 +166,7 @@ object EventStreams {
     * only within the watermark horizon).
     */
   def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
-    events.withWatermark("ts", watermark)
+    tzAware(events).withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Streaming sessionization — the streaming twin of batch q34, via
@@ -169,7 +185,7 @@ object EventStreams {
                  gapMinutes: Int = 30): Dataset[(Long, Long, Long)] = {
     import spark.implicits._
     val gapUs = gapMinutes.toLong * 60 * 1000000L
-    events
+    tzAware(events)
       .select(col("user_id").as[Long],
         (unix_micros(col("ts"))).as[Long])
       .groupByKey(_._1)
@@ -208,7 +224,7 @@ object EventStreams {
     // the sub-milli part)
     def micros(t: java.sql.Timestamp): Long =
       t.getTime * 1000L + (t.getNanos / 1000) % 1000L
-    events
+    tzAware(events)
       .withWatermark("ts", watermark)
       // keep the watermarked `ts` column ITSELF through to the stateful
       // operator: projecting unix_micros(ts) here would strip the

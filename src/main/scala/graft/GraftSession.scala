@@ -142,6 +142,28 @@ object GraftSession {
               children(1).eval().asInstanceOf[Number].intValue(),
               children(2).eval().asInstanceOf[Number].intValue())
           }))
+        ext.injectFunction((
+          FunctionIdentifier("bpe_encode"),
+          new ExpressionInfo(classOf[graft.expr.BpeEncode].getName,
+            "bpe_encode"),
+          (children: Seq[Expression]) => {
+            require(children.length == 2,
+              s"bpe_encode requires exactly 2 arguments (text, flat merge " +
+                s"array [a1,b1,a2,b2,…]), got ${children.length}")
+            // the merge table is a FOLDABLE literal (like srp_bucket's
+            // bits): evaluated once at plan build, interleaved rank order
+            val flat = children(1).eval() match {
+              case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+                a.toObjectArray(org.apache.spark.sql.types.StringType)
+                  .map(String.valueOf)
+              case other => throw new IllegalArgumentException(
+                s"bpe_encode merges must be a literal string array, got $other")
+            }
+            require(flat.length % 2 == 0,
+              s"bpe_encode flat merge array must have even length, got ${flat.length}")
+            graft.expr.BpeEncode(children.head,
+              flat.grouped(2).map(p => (p(0), p(1))).toSeq)
+          }))
       }
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")

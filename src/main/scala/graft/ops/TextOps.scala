@@ -708,6 +708,141 @@ object TextOps {
       .select(col("a"), col("b"), col("n_ab"), col("pmi"))
   }
 
+  /** Symbol separator for the BPE learner's packed segmentation strings
+    * (ASCII unit separator — cannot appear in whitespace-split words of
+    * any sane corpus; [[bpeMerges]] fails loudly if it does).
+    */
+  private val BpeSep = "\u001F"
+
+  /** Learn a BPE merge table (Sennrich, Haddow & Birch 2016, "Neural
+    * Machine Translation of Rare Words with Subword Units" — the public
+    * algorithm): starting from characters + a `</w>` end-of-word marker,
+    * repeatedly merge the most frequent adjacent symbol pair, `numMerges`
+    * times. Output: `(rank, a, b, n_ab)` — merge `rank` joins symbols
+    * `a`+`b`, which co-occurred adjacently `n_ab` times (weighted by word
+    * frequency) in the segmentation state after merges `1..rank-1`. Ties
+    * break deterministically by (n_ab desc, a asc, b asc) so any engine
+    * reproduces the exact table. Learning stops early when no pair
+    * reaches `minPairCount` (merging noise singletons is useless).
+    *
+    * [[bigramAssociations]] computes the raw material of the FIRST merge
+    * decision; this is the full bounded loop, and [[graft.expr.BpeEncode]]
+    * replays the learned table at encode time — training round r applies
+    * merge r to the state after rounds 1..r-1, and the encoder applies
+    * merges in rank order, so encoding a training word reproduces its
+    * training segmentation symbol-for-symbol (PropertySpec pins the law).
+    *
+    * Scale shape (the [[graft.ops.Dedup.dupClusters]] loop discipline):
+    * ONE corpus-sized pass total — the word-frequency aggregate,
+    * partial-combined map-side — then every round runs over the
+    * VOCABULARY-sized state (distinct words), never the corpus: one
+    * pair-count aggregate (explode of adjacent symbol pairs, weighted by
+    * word count, partial-combined) + a TakeOrdered(1) cut (no global
+    * sort), then one codegen'd `replace` map applying the winning merge.
+    * The segmentation state is a single separator-packed string per word
+    * (`␟sym␟␟sym␟…`, each symbol wrapped in its own separators), so
+    * applying a merge IS `replace(seg, ␟a␟␟b␟ → ␟ab␟)` — string replace
+    * is leftmost non-overlapping sequential, exactly BPE's greedy
+    * left-to-right pass semantics. State is localCheckpointed per round
+    * to keep lineage flat; driver holds only the merge table
+    * (`numMerges` rows, bounded).
+    *
+    * NULL text drops at the explode (no tokens); empty/all-whitespace
+    * text contributes its one `""` word, which segments to the single
+    * symbol `</w>` and therefore no pairs — consistent with
+    * [[graft.expr.BpeEncode]]'s degenerate case.
+    */
+  def bpeMerges(df: DataFrame, textCol: String, numMerges: Int,
+                minPairCount: Long = 2): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 50000,
+      s"numMerges must be in [1, 50000], got $numMerges")
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val spark = df.sparkSession
+    // the one corpus pass: word frequencies (vocabulary-sized result)
+    val words = df.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    // chars → `␟c␟␟c␟…␟</w>␟`: each char wrapped in its own separators,
+    // end-of-word marker appended. A word CONTAINING the separator would
+    // corrupt the packing silently — fail loudly instead (U+001F in a
+    // whitespace-split word means a mangled corpus anyway).
+    var seg = words.select(col("word"), col("cnt"),
+        concat(lit(BpeSep),
+          regexp_replace(col("word"), "(.)", "$1" + BpeSep + BpeSep),
+          lit("</w>" + BpeSep)).as("seg"))
+      .localCheckpoint()
+    val corrupt = seg.filter(col("word").contains(BpeSep)).limit(1).count()
+    require(corrupt == 0,
+      "bpeMerges: corpus contains U+001F (the segmentation separator) " +
+        "inside a word — clean the corpus first")
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    var rank = 1
+    while (!done && rank <= numMerges) {
+      val syms = split(
+        expr("substring(seg, 2, length(seg) - 2)"), BpeSep + BpeSep)
+      val best = seg
+        .select(col("cnt"), syms.as("__s"))
+        .filter(size(col("__s")) > 1)
+        .select(col("cnt"), explode(zip_with(
+          slice(col("__s"), lit(1), size(col("__s")) - 1),
+          slice(col("__s"), lit(2), size(col("__s")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("__p"))
+        .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+        .agg(sum(col("cnt")).as("n_ab"))
+        .filter(col("n_ab") >= minPairCount)
+        .orderBy(col("n_ab").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val r = best.head
+        val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+        merges += ((rank, a, b, n))
+        seg = seg.withColumn("seg", org.apache.spark.sql.functions.replace(
+            col("seg"),
+            lit(BpeSep + a + BpeSep + BpeSep + b + BpeSep),
+            lit(BpeSep + a + b + BpeSep)))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "a", "b", "n_ab")
+  }
+
+  /** Final segmentation state of [[bpeMerges]] — `(word, cnt, syms)`
+    * after applying the learned merges, for callers that want the
+    * training-time vocabulary of subword units (and for the
+    * encoder≡learner consistency law in PropertySpec). Same loop, merge
+    * table re-derived; when both the table and the state are needed,
+    * this costs one extra run of the bounded loop.
+    */
+  def bpeSegmentation(df: DataFrame, textCol: String, numMerges: Int,
+                      minPairCount: Long = 2): DataFrame = {
+    val table = bpeMerges(df, textCol, numMerges, minPairCount).collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+    df.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", bpeEncode(col("word"), table))
+  }
+
+  /** Encode a text column under a FIXED merge table — the native
+    * [[graft.expr.BpeEncode]] expression (registered by GraftSession as
+    * `bpe_encode(text, flat_merges)`): whitespace words split to
+    * characters + `</w>`, merges applied in rank order, one greedy
+    * left-to-right pass per rank. Returns the concatenated subword
+    * symbol array over all words of the text.
+    */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
+    val flat = merges.flatMap { case (a, b) => Seq(a, b) }
+    call_function("bpe_encode", text, typedlit(flat))
+  }
+
+  /** Subword token count under a merge table — the [[bpeEncode]] twin of
+    * [[tokenCount]], for budget arithmetic in real tokenizer units.
+    */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    size(bpeEncode(text, merges))
+
   /** Tokenizer-prep vocabulary + per-document out-of-vocabulary rate:
     * the top `vocabSize` corpus terms by frequency (ties broken by term,
     * so the vocabulary boundary is deterministic cross-engine), then
@@ -843,8 +978,25 @@ object TextOps {
     */
   def packSequences(sharded: DataFrame, textCol: String,
                     shardCol: String, posCol: String,
-                    ctxTokens: Int): DataFrame = {
+                    ctxTokens: Int): DataFrame =
+    packSequences(sharded, textCol, shardCol, posCol, ctxTokens, Nil)
+
+  /** [[packSequences]] in REAL tokenizer units: with a non-empty
+    * `merges` table (from [[bpeMerges]]), `n_tokens` is the subword
+    * count under that table ([[bpeTokenCount]] — the native
+    * [[graft.expr.BpeEncode]] scan), so context windows are cut at
+    * actual model-token boundaries instead of whitespace-word proxies.
+    * An empty `merges` keeps the whitespace semantics (identical plan
+    * shape: one window over the shard exchange either way — the token
+    * counter is per-row and changes no shuffle).
+    */
+  def packSequences(sharded: DataFrame, textCol: String,
+                    shardCol: String, posCol: String,
+                    ctxTokens: Int, merges: Seq[(String, String)]): DataFrame = {
     require(ctxTokens > 0, s"ctxTokens must be positive, got $ctxTokens")
+    def countTokens(c: Column): Column =
+      if (merges.isEmpty) tokenCount(c).cast("long")
+      else bpeTokenCount(c, merges).cast("long")
     val clash = Seq("n_tokens", "tok_offset", "seq_first", "seq_last")
       .filter(sharded.columns.contains)
     require(clash.isEmpty,
@@ -857,7 +1009,7 @@ object TextOps {
       // NULL text counts like empty text (one [""] token) — a null
       // n_tokens would silently shift every later offset in the shard
       .withColumn("n_tokens",
-        tokenCount(coalesce(col(textCol), lit(""))).cast("long"))
+        countTokens(coalesce(col(textCol), lit(""))))
       .withColumn("tok_offset",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("seq_first", expr(s"tok_offset div $ctxTokens"))

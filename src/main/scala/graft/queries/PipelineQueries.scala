@@ -684,6 +684,40 @@ object PipelineQueries {
       exact.select(col("query_id").as("qid"), col("doc_id").as("nid")),
       floor)
 
+  /** BPE merge-table learning ([[TextOps.bpeMerges]]): the first 8
+    * Sennrich merges over the documents corpus, min pair count 2. The
+    * oracle replays ALL 8 rounds in DuckDB — word frequencies, the
+    * separator-packed segmentation, each round's weighted pair count,
+    * the (n desc, a, b) argmax, and the greedy merge application — as an
+    * unrolled MATERIALIZED-CTE chain, so the learner's every decision is
+    * hash-gated, not just the final table.
+    */
+  def q78(s: SparkSession, dir: String): DataFrame =
+    TextOps.bpeMerges(t(s, dir)("documents"), "text",
+      numMerges = 8, minPairCount = 2)
+
+  /** The 8 merges [[q78]] learns on the fixture corpus, pinned as the
+    * FIXED encode table for q79 (an encode table is corpus-independent
+    * input — any fixed table exercises the encoder the same way).
+    */
+  private val FixedBpeMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "e" -> "</w>", "n" -> "</w>", "er" -> "</w>",
+    "o" -> "w", "ow" -> "</w>", "o" -> "r", "s" -> "t")
+
+  /** BPE encoding under a fixed merge table — the native
+    * [[graft.expr.BpeEncode]] expression ([[TextOps.bpeTokenCount]]):
+    * per-document subword token count under [[FixedBpeMerges]]. The
+    * oracle re-encodes every word of every document in DuckDB (chars +
+    * `</w>`, the 8 merges applied in rank order as nested greedy
+    * `replace` passes) and re-counts — the codegen'd encoder scan vs an
+    * independent engine, symbol-for-symbol. NULL text counts like empty
+    * text (1 subword, the bare `</w>`), same as packSequences.
+    */
+  def q79(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("documents").select(col("doc_id"),
+      TextOps.bpeTokenCount(coalesce(col("text"), lit("")), FixedBpeMerges)
+        .cast("long").as("n_subtokens"))
+
   /** Unigram-surprisal LM-proxy scores ([[TextOps.unigramSurprisal]])
     * over the corpus's own token distribution; broadcastVocab exercised
     * (31-term fixture vocabulary). Every −ln p and every mean rebuilt in
@@ -760,12 +794,93 @@ object PipelineQueries {
     "q75_source_drift"    -> (q75 _),
     "q76_rebalance_mixture" -> (q76 _),
     "q77_hybrid_ann"      -> (q77 _),
+    "q78_bpe_merges"      -> (q78 _),
+    "q79_bpe_encode"      -> (q79 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
     * round 3: the approximate-ANN queries (q29/q51) self-gate their recall
     * and are oracle-checked like everything else. */
   val rowsOnly: Set[String] = Set.empty
+
+  /** DuckDB replay of [[TextOps.bpeMerges]] — `n` rounds unrolled as
+    * MATERIALIZED CTEs (plain CTEs inline: each round references the
+    * previous several times, so an inlined chain re-scans the parquet
+    * exponentially many times). Same separator-packed-string technique
+    * as the Spark learner: chr(31)-wrapped symbols, pair counts from the
+    * split array, argmax by (n desc, a, b), greedy merge via `replace`
+    * (leftmost non-overlapping in both engines).
+    */
+  private def bpeMergesOracle(nMerges: Int, minCount: Long): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH words AS MATERIALIZED (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(regexp_split_to_array(
+          regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS w
+        FROM documents)
+  GROUP BY 1),
+seg0 AS MATERIALIZED (
+  SELECT word, cnt,
+    chr(31) || regexp_replace(word, '(.)', '\1' || chr(31) || chr(31), 'g')
+      || '</w>' || chr(31) AS seg
+  FROM words)"""
+    for (r <- 1 to nMerges) {
+      val p = r - 1
+      sb ++= s""",
+pairs$r AS MATERIALIZED (
+  SELECT pr[1] AS a, pr[2] AS b, CAST(sum(cnt) AS BIGINT) AS n_ab
+  FROM (SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
+        FROM (SELECT cnt, string_split(substring(seg, 2, length(seg)-2),
+                 chr(31)||chr(31)) AS syms
+              FROM seg$p) s
+        WHERE len(syms) > 1) t
+  GROUP BY 1, 2),
+best$r AS MATERIALIZED (
+  SELECT $r AS rank, a, b, n_ab FROM pairs$r
+  WHERE n_ab >= $minCount
+  ORDER BY n_ab DESC, a ASC, b ASC LIMIT 1),
+seg$r AS MATERIALIZED (
+  SELECT word, cnt,
+    CASE WHEN EXISTS (SELECT 1 FROM best$r)
+      THEN replace(seg,
+        chr(31) || (SELECT a FROM best$r) || chr(31) || chr(31) ||
+          (SELECT b FROM best$r) || chr(31),
+        chr(31) || (SELECT a || b FROM best$r) || chr(31))
+      ELSE seg END AS seg
+  FROM seg$p)"""
+    }
+    val union = (1 to nMerges).map(r => s"SELECT * FROM best$r")
+      .mkString(" UNION ALL ")
+    sb ++= s"\nSELECT rank, a, b, n_ab FROM ($union) ORDER BY rank"
+    sb.toString
+  }
+
+  /** DuckDB replay of [[graft.expr.BpeEncode]] under a fixed merge
+    * table: per-word chr(31)-wrapped char segmentation, the merges
+    * applied in rank order as NESTED `replace` calls (one greedy pass
+    * per rank — identical to the expression's training-time-evolution
+    * semantics), then symbols counted and summed per document.
+    */
+  private def bpeEncodeOracle(merges: Seq[(String, String)]): String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val base =
+      """chr(31) || regexp_replace(word, '(.)', '\1' || chr(31) || chr(31), 'g')
+          || '</w>' || chr(31)"""
+    val seg = merges.foldLeft(base) { case (acc, (a, b)) =>
+      s"""replace($acc,
+          chr(31) || ${q(a)} || chr(31) || chr(31) || ${q(b)} || chr(31),
+          chr(31) || ${q(a + b)} || chr(31))"""
+    }
+    s"""WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(
+             regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$$', '', 'g'),
+             '\\s+')) AS word
+           FROM documents),
+       g AS (SELECT doc_id, $seg AS seg FROM w)
+       SELECT doc_id,
+              CAST(sum(len(string_split(substring(seg, 2, length(seg)-2),
+                chr(31)||chr(31)))) AS BIGINT) AS n_subtokens
+       FROM g GROUP BY doc_id"""
+  }
 
   private val shingleCte =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1243,6 +1358,8 @@ object PipelineQueries {
       """SELECT CAST(3*count(*) AS BIGINT) AS n_results, TRUE AS recall_ok
          FROM (SELECT doc_id FROM documents WHERE source = 'src0'
                ORDER BY doc_id LIMIT 5) q""",
+    "q78_bpe_merges" -> bpeMergesOracle(nMerges = 8, minCount = 2),
+    "q79_bpe_encode" -> bpeEncodeOracle(FixedBpeMerges),
     "q28_ann_topk" ->
       """SELECT qid, rank, nid, round(sim, 4) AS sim FROM (
            SELECT q.vec_id AS qid, c.vec_id AS nid,

@@ -1418,4 +1418,88 @@ class OpsSpec extends SparkSpec {
       .select("new_id", "base_id").as[(Long, Long)].collect().toSet
     assert(got === viaRebuild)
   }
+
+  test("bpeMerges: Sennrich merges on a planted corpus, hand-computed") {
+    // the classic low/lower/newest/widest corpus — word counts
+    // low:5 lower:2 widest:3 newest:7; merge sequence hand-verified
+    // against an independent reference implementation (ties break by
+    // (n desc, a, b): round 1 picks (e,s) over (s,t) and (t,</w>),
+    // all at 10)
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower widest"),
+      (3L, "newest newest newest newest newest newest"),
+      (4L, "widest widest newest")).toDF("doc_id", "text")
+    val got = TextOps.bpeMerges(docs, "text", numMerges = 6)
+      .orderBy("rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1, "e", "s", 10L), (2, "es", "t", 10L), (3, "est", "</w>", 10L),
+      (4, "e", "w", 7L), (5, "ew", "est</w>", 7L), (6, "l", "o", 7L)))
+    // and the final segmentation the table implies (BpeEncode replay)
+    val segs = TextOps.bpeSegmentation(docs, "text", numMerges = 6)
+      .select("word", "syms").as[(String, Seq[String])].collect().toMap
+    assert(segs("low") === Seq("lo", "w", "</w>"))
+    assert(segs("lower") === Seq("lo", "w", "e", "r", "</w>"))
+    assert(segs("widest") === Seq("w", "i", "d", "est</w>"))
+    assert(segs("newest") === Seq("n", "ewest</w>"))
+  }
+
+  test("bpeMerges: stops early when no pair reaches minPairCount") {
+    // every word unique, every pair count 1 → zero merges at the
+    // default minPairCount=2; and a corpus that dries up mid-run
+    // returns only the merges that cleared the floor
+    val unique = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
+    assert(TextOps.bpeMerges(unique, "text", numMerges = 5).count() === 0L)
+    val thin = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    // pairs at char stage: (a,a):2 (a,</w>):2 (a,b):1 (b,</w>):1 —
+    // the (n desc, a, b) tie-break picks (a,</w>) over (a,a) because
+    // '<' sorts below 'a'; round 2 merges (a, a</w>):2; then the only
+    // remaining pairs are the count-1 tail of "ab" → early stop at 2
+    val merges = TextOps.bpeMerges(thin, "text", numMerges = 5)
+      .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+    assert(merges === Seq((1, "a", "</w>", 2L), (2, "a", "a</w>", 2L)))
+  }
+
+  test("bpeMerges: rejects a corpus containing the separator codepoint") {
+    val bad = Seq((1L, "ok ok badword")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.bpeMerges(bad, "text", numMerges = 2)
+    }
+    assert(e.getMessage.contains("U+001F"))
+  }
+
+  test("bpeEncode: empty/NULL text and OOV words run the deterministic algorithm") {
+    val merges = Seq("a" -> "b", "ab" -> "</w>")
+    val df = Seq((1L, Some("ab zq ab")), (2L, Some("")), (3L, None: Option[String]))
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        TextOps.bpeEncode(coalesce(col("text"), lit("")), merges).as("e"))
+      .orderBy("id").as[(Long, Seq[String])].collect().toSeq
+    assert(got(0)._2 === Seq("ab</w>", "z", "q", "</w>", "ab</w>"))
+    assert(got(1)._2 === Seq("</w>"), "empty text is the one-'' word")
+    assert(got(2)._2 === Seq("</w>"), "NULL coalesces to empty")
+  }
+
+  test("packSequences with a merge table packs subword counts (offsets still tile)") {
+    val merges = Seq("a" -> "b", "ab" -> "</w>")
+    val df = Seq(
+      (1L, 0, 0L, "ab ab"),   // 2 subwords under the table (5 ws-chars)
+      (2L, 0, 1L, "xy"),      // x y </w> = 3 subwords
+      (3L, 0, 2L, "ab")       // 1 subword
+    ).toDF("id", "shard", "pos", "text")
+    val out = TextOps.packSequences(df, "text", "shard", "pos",
+        ctxTokens = 4, merges = merges)
+      .orderBy("pos")
+      .select("id", "n_tokens", "tok_offset", "seq_first", "seq_last")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 2L, 0L, 0L, 0L),
+      (2L, 3L, 2L, 0L, 1L),  // straddles the 4-token boundary
+      (3L, 1L, 5L, 1L, 1L)))
+    // whitespace twin unchanged by the overload split
+    val ws = TextOps.packSequences(df, "text", "shard", "pos", ctxTokens = 4)
+      .orderBy("pos").select("n_tokens").as[Long].collect().toSeq
+    assert(ws === Seq(2L, 1L, 1L))
+  }
 }

@@ -317,6 +317,80 @@ class PropertySpec extends SparkSpec {
     assert(n0 === 0.0 && i0 === 0.0)
   }
 
+  test("native bpe_encode == reference greedy-merge implementation on arbitrary inputs") {
+    // the codegen'd BpeEncode loop vs a straight-line Scala transcription
+    // of Sennrich's algorithm (chars + </w>, each merge one greedy
+    // left-to-right non-overlapping pass, rank order) — random texts AND
+    // random merge tables, so the law covers OOV words, degenerate
+    // merges that never fire, and chained merges over merged symbols
+    def reference(text: String, merges: Seq[(String, String)]): Seq[String] = {
+      def word(w: String): Seq[String] = {
+        var syms: Seq[String] = w.map(_.toString) :+ "</w>"
+        merges.foreach { case (a, b) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.toSeq
+        }
+        syms
+      }
+      val ws = text.trim.split("\\s+", -1).toSeq
+      (if (text.trim.isEmpty) Seq("") else ws).flatMap(word)
+    }
+    val sym: Gen[String] = Gen.oneOf("a", "b", "c", "ab", "bc", "</w>",
+      "a</w>", "b</w>")
+    val cases = Gen.zip(
+      Gen.listOf(Gen.oneOf("ab", "abc", "aab", "cab", "bba", "a", ""))
+        .map(_.mkString(" ")),
+      Gen.listOf(Gen.zip(sym, sym)).map(_.take(6)))
+    check(cases, n = 12) { case (text, merges) =>
+      val nat = Seq(Tuple1(text)).toDF("text")
+        .select(TextOps.bpeEncode($"text", merges))
+        .as[Seq[String]].head()
+      assert(nat === reference(text, merges),
+        s"bpe_encode mismatch for '$text' under $merges")
+    }
+  }
+
+  test("bpeMerges round-r decision is reproducible from the encoder state after r-1") {
+    // the learner≡encoder consistency law the BpeEncode scaladoc
+    // promises: re-encode the corpus words under the FIRST r-1 learned
+    // merges, count adjacent pairs weighted by word frequency, and the
+    // (n desc, a, b) argmax must be exactly merge r with its recorded
+    // count — if the encoder's replay semantics drifted from the
+    // learner's training-state evolution, some round would disagree
+    val corpus = Gen.nonEmptyListOf(
+      Gen.oneOf("low", "lower", "lowest", "newest", "new", "wide"))
+      .map(ws => Seq((1L, ws.mkString(" "))))
+    check(corpus, n = 4) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      val learned = TextOps.bpeMerges(df, "text", numMerges = 4)
+        .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+      learned.foreach { case (r, a, b, n) =>
+        val prefix = learned.take(r - 1).map(m => (m._2, m._3))
+        val replayed = df
+          .select(explode(TextOps.tokens($"text")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+          .select($"cnt", TextOps.bpeEncode($"word", prefix).as("s"))
+          .filter(size($"s") > 1)
+          .select($"cnt", explode(zip_with(
+            slice($"s", lit(1), size($"s") - 1),
+            slice($"s", lit(2), size($"s") - 1),
+            (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+          .groupBy($"p.a".as("a"), $"p.b".as("b"))
+          .agg(sum($"cnt").as("n"))
+          .orderBy($"n".desc, $"a".asc, $"b".asc)
+          .limit(1).as[(String, String, Long)].head()
+        assert(replayed === ((a, b, n)),
+          s"round $r: learner chose ($a,$b,$n), replay says $replayed")
+      }
+    }
+  }
+
   test("stratifiedSample prune is invisible for arbitrary corpora and n") {
     // texts built from a tiny alphabet maximize suffix/prefix clustering
     // — the adversarial shape for the threshold prune

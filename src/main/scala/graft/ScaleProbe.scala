@@ -71,7 +71,15 @@ object ScaleProbe {
     "q74_bigram_pmi",
     // per-source KL drift: one (source, term) corpus aggregate.
     // (q76 rebalancing shares q70's prune-bounded machinery — covered.)
-    "q75_source_drift")
+    "q75_source_drift",
+    // r10/r12 arrivals (r10 verdict #2): the gated ANN hybrid (exact
+    // anchor + per-call fit — the RECALL evidence) and the stored-index
+    // production path (probeIvf over a fitted+saved+reloaded index —
+    // the honest per-batch cost; its fit runs once in the warmup pass
+    // via the session cache, so warm timings isolate probe+fuse), plus
+    // the BPE learner — the one operator whose cost is a bounded LOOP
+    // of vocab-sized rounds after a single corpus pass
+    "q77_hybrid_ann", "q80_hybrid_ann_stored", "q78_bpe_merges")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

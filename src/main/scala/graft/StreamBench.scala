@@ -121,6 +121,15 @@ object StreamBench {
     // of unlabeled measurement the tenancy protocol exists to prevent.
     val flagBase = sys.env.getOrElse("SPARK_GRAFT_FLAG_BASE", "200000").toInt
     val flagBcast = sys.env.get("SPARK_GRAFT_FLAG_BCAST").contains("1")
+    // SPARK_GRAFT_FLAG_STORED=bucketed probes the PARTITIONED stored
+    // index (saveBucketed → loadIndexBucketed): the stored side needs no
+    // per-batch exchange/sort, so this is the path for bases past the
+    // broadcast boundary (r10 verdict #3)
+    val flagStored = sys.env.getOrElse("SPARK_GRAFT_FLAG_STORED", "parquet")
+    require(Set("parquet", "bucketed").contains(flagStored),
+      s"SPARK_GRAFT_FLAG_STORED must be 'parquet' or 'bucketed', got '$flagStored'")
+    require(!(flagBcast && flagStored == "bucketed"),
+      "FLAG_BCAST and FLAG_STORED=bucketed are mutually exclusive paths")
 
     val sink =
       if (mode == "flag") {
@@ -150,11 +159,22 @@ object StreamBench {
         // hash scheme) → persist. The stream below probes the STORED
         // index — exactly what a cluster restarting between compaction
         // and ingest would do.
-        val indexDir = java.nio.file.Files
-          .createTempDirectory("graft-flag-index").toString
-        ops.Dedup.buildIndex(base, "doc_id", "text").save(indexDir)
-        val index = ops.Dedup.loadIndex(spark, indexDir).persist()
-        index.bands.count(); index.shingles.count() // build before the clock
+        val built = ops.Dedup.buildIndex(base, "doc_id", "text")
+        val index =
+          if (flagStored == "bucketed") {
+            // partitioned stored form: bucketed tables, probed in place
+            // (no persist — the point is that the per-batch plan reads
+            // pre-hashed, pre-sorted buckets straight off disk)
+            built.saveBucketed("graft_flag_idx")
+            ops.Dedup.loadIndexBucketed(spark, "graft_flag_idx")
+          } else {
+            val indexDir = java.nio.file.Files
+              .createTempDirectory("graft-flag-index").toString
+            built.save(indexDir)
+            val idx = ops.Dedup.loadIndex(spark, indexDir).persist()
+            idx.bands.count(); idx.shingles.count() // build before the clock
+            idx
+          }
         val docs = spark.readStream.format("rate")
           .option("rowsPerSecond", rps)
           .option("numPartitions", 8)
@@ -273,7 +293,7 @@ object StreamBench {
       case _            => "stream_flag_pairs_per_sec"
     }
     val flagCfg = if (mode == "flag")
-      s""","flag_base":$flagBase,"broadcast":$flagBcast,"trigger_secs":$triggerSecs"""
+      s""","flag_base":$flagBase,"broadcast":$flagBcast,"stored":"$flagStored","trigger_secs":$triggerSecs"""
     else ""
     val line =
       f"""{"metric":"$metric","value":$rowsPerSec%.0f,"unit":"rows/sec","egress_events":$egressEvents,"egress_sessions":$egressSessions,"listener_input_rows":${inputRows.get()},"elapsed_sec":$elapsed%.1f,"configured_rps":$rps,"state_store":"$stateStore","mode":"$mode"$flagCfg,"preload":$preload%.1f,"load_band":"$loadBand","polluted":$polluted}"""

@@ -314,6 +314,38 @@ object Dedup {
         .toDF("shingle_n", "k", "n_bands", "hash_scheme")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     }
+
+    /** Store the index as BUCKETED tables (`<name>_bands` bucketed+sorted
+      * on the (band, band_hash) probe key, `<name>_shingles` on base_id,
+      * plus `<name>_meta`) — the PARTITIONED stored-index form for
+      * flag-mode probing of bases too big to broadcast (r9/r10 verdict:
+      * the 500k-doc base runs 2.3k pairs/s because the default SMJ
+      * re-shuffles AND re-sorts the full stored side every micro-batch;
+      * the broadcast fast path dies at that size by design). A bucketed
+      * scan already satisfies the join's distribution and sort
+      * requirements, so each micro-batch (or probe batch) shuffles and
+      * sorts ONLY its own rows — per-batch cost tracks the batch while
+      * the stored side streams straight off disk. `buckets` defaults to
+      * the session's shuffle parallelism; like every stored form, the
+      * meta row pins the hash scheme and [[Dedup.loadIndexBucketed]]
+      * re-checks it. Measured: STREAM_BENCH flag mode, 500k-doc base —
+      * see BASELINE.md.
+      */
+    def saveBucketed(name: String, buckets: Int = 0): Unit = {
+      val spark = bands.sparkSession
+      val n = if (buckets > 0) buckets
+        else spark.conf.get("spark.sql.shuffle.partitions").toInt
+      bands.write.mode("overwrite")
+        .bucketBy(n, "band", "band_hash").sortBy("band", "band_hash")
+        .saveAsTable(s"${name}_bands")
+      shingles.write.mode("overwrite")
+        .bucketBy(n, "base_id").sortBy("base_id")
+        .saveAsTable(s"${name}_shingles")
+      import spark.implicits._
+      Seq((shingleN, k, nBands, hashScheme))
+        .toDF("shingle_n", "k", "n_bands", "hash_scheme")
+        .write.mode("overwrite").saveAsTable(s"${name}_meta")
+    }
   }
 
   object CorpusIndex {
@@ -348,6 +380,30 @@ object Dedup {
     CorpusIndex(
       bands,
       spark.read.parquet(s"$path/shingles"),
+      meta.getAs[Int]("shingle_n"), meta.getAs[Int]("k"),
+      meta.getAs[Int]("n_bands"), scheme)
+  }
+
+  /** Read a [[CorpusIndex]] written by [[CorpusIndex.saveBucketed]]:
+    * the returned bands/shingles plans scan the bucketed tables, so
+    * every probe join against them needs no stored-side exchange or
+    * sort (ScaleSpec pins the plan shape). Same loud hash-scheme and
+    * tombstone-layout checks as [[loadIndex]].
+    */
+  def loadIndexBucketed(spark: SparkSession, name: String): CorpusIndex = {
+    val meta = spark.table(s"${name}_meta").head()
+    val scheme = meta.getAs[Int]("hash_scheme")
+    require(scheme == CorpusIndex.HashScheme,
+      s"stored CorpusIndex $name uses hash scheme $scheme but this " +
+        s"build produces scheme ${CorpusIndex.HashScheme} — rebuild the " +
+        "index (a cross-scheme probe would silently match nothing)")
+    val bands = spark.table(s"${name}_bands")
+    require(bands.columns.contains("overflow"),
+      s"stored CorpusIndex $name predates persisted tombstones " +
+        "(no `overflow` column) — rebuild the index")
+    CorpusIndex(
+      bands,
+      spark.table(s"${name}_shingles"),
       meta.getAs[Int]("shingle_n"), meta.getAs[Int]("k"),
       meta.getAs[Int]("n_bands"), scheme)
   }

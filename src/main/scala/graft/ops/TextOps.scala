@@ -1017,6 +1017,40 @@ object TextOps {
         expr(s"(tok_offset + n_tokens - 1) div $ctxTokens"))
   }
 
+  /** One-call curation export — the composed EXPORT side of the q63
+    * cleaning pattern (r10 verdict #8): [[rebalanceMixture]] →
+    * [[shuffleShard]] → [[packSequences]] as a single pipeline with the
+    * inter-stage contracts enforced here instead of at every call site:
+    *
+    *  - the rebalance stage's bookkeeping column (`rnk`) is DROPPED
+    *    before sharding, so the export carries only corpus columns plus
+    *    the layout columns each stage owns (shard, pos, n_tokens,
+    *    tok_offset, seq_first, seq_last);
+    *  - sharding keys on the SAME text column the rebalance hashed —
+    *    two independent content hashes (different tags), so mixture
+    *    membership and shard placement stay uncorrelated;
+    *  - packing consumes the (shard, pos) layout shuffleShard just
+    *    built, REUSING its exchange (the q66 pin), and counts tokens in
+    *    subword units when a [[bpeMerges]] table is supplied.
+    *
+    * Plan shape (PlanSpec-pinned): exactly TWO corpus shuffles — the
+    * per-source rank window and the per-shard layout window (packing
+    * adds none) — plus the |weights|-row plan-table broadcast. That is
+    * the floor: mixture ranking and shard layout are windows over
+    * different keys, and no ordering of the stages removes either.
+    */
+  def curateExport(df: DataFrame, sourceCol: String, idCol: String,
+                   textCol: String, weights: Map[String, Double],
+                   nShards: Int, ctxTokens: Int,
+                   merges: Seq[(String, String)] = Nil,
+                   oversample: Double = 4.0): DataFrame =
+    packSequences(
+      shuffleShard(
+        rebalanceMixture(df, sourceCol, idCol, textCol, weights, oversample)
+          .drop("rnk"),
+        idCol, textCol, nShards),
+      textCol, "shard", "pos", ctxTokens, merges)
+
   /** Sliding-window document chunking — the pass that turns variable-
     * length documents into training-ready pieces of at most `window`
     * words with `overlap` words of context carried between consecutive

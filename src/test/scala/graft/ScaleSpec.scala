@@ -121,6 +121,35 @@ class ScaleSpec extends SparkSpec {
     names.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("events() under TIMESTAMP_NTZ inference equals the tz-aware read (r11 regression)") {
+    // Round 11 lost all 9 events queries when the fixture generator
+    // switched ts from TIMESTAMP(NANOS) to naive timestamp[us], which
+    // Spark surfaces as TIMESTAMP_NTZ unless inferTimestampNTZ=false
+    // (GraftSession's default since). events() type-dispatches, so a
+    // session WITHOUT the config must read the same instants — this
+    // pins the NTZ branch, which GraftSession sessions otherwise never
+    // exercise.
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "true")
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      // meaningful only while the fixture stores NAIVE timestamps; a
+      // nanos fixture (LongType either way) cancels rather than
+      // vacuously passing
+      assume(raw.schema("ts").dataType == TimestampNTZType,
+        s"fixture ts is ${raw.schema("ts").dataType} — NTZ branch not reachable")
+      val viaNtz = graft.events(spark, sfDir)
+        .select("event_id", "ts_ns").as[(Long, Long)].collect().toMap
+      spark.conf.set(key, "false")
+      val viaTz = graft.events(spark, sfDir)
+        .select("event_id", "ts_ns").as[(Long, Long)].collect().toMap
+      assert(viaNtz.size > 0 && viaNtz === viaTz,
+        "NTZ and tz-aware reads must agree on every instant (UTC session)")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("partitioned layout prunes partitions at plan time") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
     table(spark, sfDir, "events")

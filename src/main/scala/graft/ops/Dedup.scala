@@ -338,16 +338,21 @@ object Dedup {
       // a table location orphaned by a previous process (the catalog is
       // per-metastore; local sessions use an in-memory one) blocks
       // saveAsTable even in overwrite mode — drop AND clear it first so
-      // the save is idempotent across JVMs sharing a warehouse dir
+      // the save is idempotent across JVMs sharing a warehouse dir. The
+      // managed location is <warehouse>/[<db>.db/]<lowercased table>:
+      // the catalog lowercases identifiers and non-default databases
+      // nest under <db>.db, so resolving the raw name against the
+      // warehouse root would delete the wrong path (and leave the real
+      // orphan to fail the save anyway).
+      val db = spark.catalog.currentDatabase
+      val warehouse = new java.io.File(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      val dbDir =
+        if (db == "default") warehouse else new java.io.File(warehouse, s"$db.db")
       for (t <- Seq(s"${name}_bands", s"${name}_shingles", s"${name}_meta")) {
-        spark.sql(s"DROP TABLE IF EXISTS $t")
-        def del(f: java.io.File): Unit = {
-          if (f.isDirectory)
-            Option(f.listFiles).getOrElse(Array.empty).foreach(del)
-          f.delete(): Unit
-        }
-        del(new java.io.File(new java.net.URI(
-          spark.conf.get("spark.sql.warehouse.dir")).getPath, t))
+        spark.sql(s"DROP TABLE IF EXISTS `$t`")
+        graft.deleteRecursively(
+          new java.io.File(dbDir, t.toLowerCase(java.util.Locale.ROOT)))
       }
       // repartition ON the bucket keys first: partition id and bucket id
       // are the same murmur3-pmod, so every bucket lands in exactly ONE

@@ -762,12 +762,21 @@ object TextOps {
     val words = df.select(explode(tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
     // chars → `␟c␟␟c␟…␟</w>␟`: each char wrapped in its own separators,
-    // end-of-word marker appended. A word CONTAINING the separator would
-    // corrupt the packing silently — fail loudly instead (U+001F in a
-    // whitespace-split word means a mangled corpus anyway).
+    // end-of-word marker appended. `(?s)` because Java's `.` skips the
+    // line terminators U+0085/U+2028/U+2029, which are NOT \s and so
+    // survive INSIDE words — without DOTALL the learner would silently
+    // drop them from the segmentation while BpeEncode (per-UTF-16-unit)
+    // and the DuckDB oracle (RE2 `.`, which only excludes \n — and \n
+    // cannot appear in a whitespace-split word) both keep them,
+    // breaking the training≡encode law on such corpora. Astral chars
+    // stay the stack-wide documented divergence (codepoints here and in
+    // DuckDB, UTF-16 units in the encoder — equal on BMP text). A word
+    // CONTAINING the separator would corrupt the packing silently —
+    // fail loudly instead (U+001F in a whitespace-split word means a
+    // mangled corpus anyway).
     var seg = words.select(col("word"), col("cnt"),
         concat(lit(BpeSep),
-          regexp_replace(col("word"), "(.)", "$1" + BpeSep + BpeSep),
+          regexp_replace(col("word"), "(?s)(.)", "$1" + BpeSep + BpeSep),
           lit("</w>" + BpeSep)).as("seg"))
       .localCheckpoint()
     val corrupt = seg.filter(col("word").contains(BpeSep)).limit(1).count()

@@ -23,10 +23,17 @@ package object graft {
     * timestamp[us] with isAdjustedToUTC=false, what pyarrow writes), and
     * tz-aware TIMESTAMP. Dispatch on the actual type and expose a uniform
     * contract: `ts` as a proper tz-aware timestamp (micros, UTC) plus
-    * epoch-nanos `ts_ns` for code that wants integers. The session
-    * timezone is pinned UTC (GraftSession), so the NTZ→TZ cast is a
-    * lossless relabeling, and DuckDB's epoch_us over the same naive
-    * parquet values agrees bit-for-bit.
+    * epoch-nanos `ts_ns` for code that wants integers.
+    *
+    * The naive wall times in the fixture ARE UTC instants (the generator's
+    * convention, and what DuckDB's epoch_us assumes), so the NTZ branch
+    * must interpret them in UTC regardless of the session timezone: the
+    * cast alone interprets in SESSION tz (a relabeling only when that is
+    * UTC, as GraftSession pins), and `to_utc_timestamp(cast, "UTC")`
+    * re-reads the same wall time as UTC — identity under a UTC session,
+    * the correct instant under any other (a plain SparkSession on a
+    * non-UTC machine would otherwise shift every event by the zone
+    * offset, silently).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
@@ -39,7 +46,8 @@ package object graft {
           .withColumn("ts", timestamp_micros(
             org.apache.spark.sql.functions.expr("ts_ns div 1000")))
       case TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(TimestampType))
+        raw.withColumn("ts",
+            to_utc_timestamp(col("ts").cast(TimestampType), "UTC"))
           .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
       case _ =>
         raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
@@ -54,6 +62,16 @@ package object graft {
   def clearCaches(spark: SparkSession): Unit = {
     queries.PipelineQueries.clearCache(spark)
     queries.AnalyticQueries.clearEngine(spark)
+  }
+
+  /** Recursive file-tree delete (no symlink following beyond what
+    * File.delete does) — shared by the stored-artifact lifecycles
+    * (temp IVF indexes, orphaned bucketed-table locations).
+    */
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   /** Money-style doubles summed as exact integer cents: per-row IEEE double

@@ -213,7 +213,7 @@ object PipelineQueries {
     ivfCache.compute(s, (sess, cached) =>
       if (cached != null && cached._1 == dir) cached
       else {
-        if (cached != null) deleteRecursively(new java.io.File(cached._3))
+        if (cached != null) retireDir(cached._3)
         val (_, _, cEmb) = hybridParts(sess, dir)
         val path = java.nio.file.Files
           .createTempDirectory("graft-ivf-stored-").toString
@@ -221,19 +221,29 @@ object PipelineQueries {
         (dir, Similarity.loadIvf(sess, path), path)
       })._2
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty)
-      .foreach(deleteRecursively)
-    f.delete(): Unit
+  /** Temp index directories are deleted at JVM EXIT, not eagerly: a
+    * caller can hold an unmaterialized q80 frame whose plan scans the
+    * stored parquet, and deleting under a live plan turns a later
+    * materialization into FileNotFoundException mid-job (the pairsCache
+    * precedent only unpersists — blocks survive, lineage stays valid —
+    * so this cache must not be MORE destructive than that).
+    */
+  private val retiredDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  private lazy val retireHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      retiredDirs.forEach(p => graft.deleteRecursively(new java.io.File(p)))))
+  private def retireDir(path: String): Unit = {
+    retireHook
+    retiredDirs.add(path): Unit
   }
 
-  /** Release the session's materialized pair set and stored IVF index
-    * (no-op if absent). */
+  /** Release the session's materialized pair set and retire its stored
+    * IVF index (deleted at JVM exit; no-op if absent). */
   def clearCache(s: SparkSession): Unit = {
     val cached = pairsCache.remove(s)
     if (cached != null) cached._3.unpersist(blocking = false)
     val ivf = ivfCache.remove(s)
-    if (ivf != null) deleteRecursively(new java.io.File(ivf._3))
+    if (ivf != null) retireDir(ivf._3)
     mergesCache.remove(s): Unit
   }
 

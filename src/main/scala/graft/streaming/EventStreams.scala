@@ -35,7 +35,11 @@ object EventStreams {
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     if (df.schema.fieldNames.contains(tsCol) &&
         df.schema(tsCol).dataType == TimestampNTZType)
-      df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      // naive wall times are UTC instants by the fixture/generator
+      // convention; the cast alone would interpret them in SESSION tz —
+      // see graft.events() for the full rationale
+      df.withColumn(tsCol,
+        to_utc_timestamp(col(tsCol).cast(TimestampType), "UTC"))
     else df
   }
 

@@ -1461,6 +1461,25 @@ class OpsSpec extends SparkSpec {
     assert(merges === Seq((1, "a", "</w>", 2L), (2, "a", "a</w>", 2L)))
   }
 
+  test("bpeMerges keeps non-\\s line terminators inside words (U+0085, learner≡encoder)") {
+    // U+0085 (NEL) is a Java line terminator but NOT \s, so it survives
+    // whitespace tokenization INSIDE a word — and Java's `.` skips it
+    // without DOTALL, which would silently drop it from the learner's
+    // segmentation while BpeEncode and the DuckDB oracle both keep it.
+    // Word x+NEL x3: round 1 merges (x, NEL) ('x' sorts before NEL on
+    // the a-then-b tie-break), round 2 (x+NEL, </w>).
+    val docs = Seq((1L, "x\u0085 x\u0085 x\u0085")).toDF("doc_id", "text")
+    val merges = TextOps.bpeMerges(docs, "text", numMerges = 4)
+      .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+    assert(merges === Seq(
+      (1, "x", "\u0085", 3L), (2, "x\u0085", "</w>", 3L)))
+    // and the encoder replays the same path (training≡encode on NEL)
+    val enc = docs.select(TextOps.bpeEncode($"text",
+        merges.map(m => (m._2, m._3))).as("e"))
+      .as[Seq[String]].head()
+    assert(enc === Seq("x\u0085</w>", "x\u0085</w>", "x\u0085</w>"))
+  }
+
   test("bpeMerges: rejects a corpus containing the separator codepoint") {
     val bad = Seq((1L, "ok ok badword")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {

@@ -108,16 +108,35 @@ class ScaleSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val flagged = Dedup.crossNearDupIndexed(probe, idx, "doc_id", "text")
     val plan = flagged.queryExecution.executedPlan.toString
-    // stored-side scans must carry their bucket layout: SelectedBucketsCount
-    // appears on bucketed FileScans, and no Exchange may sit between a
-    // bucketed scan and its join (regex: Exchange whose child subtree
-    // contains the table name would re-shuffle the stored side)
+    // stored-side scans must carry their bucket layout
     assert(plan.contains("SelectedBucketsCount"),
       s"stored side must scan buckets:\n$plan")
     // and the result is correct: doc 1000 matches base doc 3 only
     val got = flagged.select("new_id", "base_id")
       .as[(Long, Long)].collect().toSet
     assert(got === Set((1000L, 3L)), s"got $got")
+    // the headline property — the stored side is never re-shuffled:
+    // under forced SMJ (no broadcast), the bucketed index's plan must
+    // carry exactly TWO fewer shuffle exchanges than the same index in
+    // its plain stored form (the bands (band, band_hash) exchange and
+    // the shingles base_id exchange both disappear into bucketed scans)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def nExchanges(idx2: Dedup.CorpusIndex): Int =
+        "Exchange hashpartitioning".r.findAllIn(
+          Dedup.crossNearDupIndexed(probe, idx2, "doc_id", "text")
+            .queryExecution.executedPlan.toString).size
+      val plainDir = java.nio.file.Files
+        .createTempDirectory("gt-idx-plain").toString
+      Dedup.buildIndex(base, "doc_id", "text").save(plainDir)
+      val nPlain = nExchanges(Dedup.loadIndex(spark, plainDir))
+      val nBucketed = nExchanges(idx)
+      assert(nBucketed === nPlain - 2,
+        s"bucketed probe must drop BOTH stored-side exchanges: " +
+          s"plain $nPlain vs bucketed $nBucketed")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
     names.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 

@@ -739,6 +739,12 @@ object TextOps {
     * pair-count aggregate (explode of adjacent symbol pairs, weighted by
     * word count, partial-combined) + a TakeOrdered(1) cut (no global
     * sort), then one codegen'd `replace` map applying the winning merge.
+    * Each round is one Spark job, so a production-sized table (32k
+    * merges) is 32k vocabulary-sized jobs — minutes, run ONCE per corpus
+    * version and reused via the stored table (the session-cached q82
+    * pattern); superseded checkpoint blocks are freed asynchronously by
+    * the ContextCleaner as the loop drops its references (the
+    * [[Dedup.dupClusters]] lifecycle).
     * The segmentation state is a single separator-packed string per word
     * (`␟sym␟␟sym␟…`, each symbol wrapped in its own separators), so
     * applying a merge IS `replace(seg, ␟a␟␟b␟ → ␟ab␟)` — string replace

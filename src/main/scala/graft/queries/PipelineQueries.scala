@@ -245,6 +245,7 @@ object PipelineQueries {
     val ivf = ivfCache.remove(s)
     if (ivf != null) retireDir(ivf._3)
     mergesCache.remove(s): Unit
+    fit16Cache.remove(s): Unit
   }
 
   /** End-to-end dedup: the corpus MINUS near-duplicates. Survivor rule is
@@ -710,13 +711,33 @@ object PipelineQueries {
     val exact = Similarity.bruteForceTopK(cEmb, qv, k = 10)
       .select(col("qid").as("query_id"), col("rank").as("rnk"),
         col("nid").as("doc_id"))
-    val ann = Similarity.ivfTopK(cEmb, qv, k = 10, nlist = 16, nprobe = 4)
+    // probe a session-cached fit instead of ivfTopK's per-call refit
+    // (r10 verdict #4): the fit is deterministic (seeded hash-least
+    // sample, driver Lloyd), so the cached index produces IDENTICAL
+    // rankings — the gate semantics are unchanged and the gate row
+    // stops paying a redundant quantizer fit on every materialization
+    val ann = Similarity.probeIvf(fitted16(s, dir, cEmb), qv,
+        k = 10, nprobe = 4)
       .select(col("qid").as("query_id"), col("rank").as("rnk"),
         col("nid").as("doc_id"))
     fusionRecallGate(
       Retrieval.rrfFuse(Seq(bm, ann), topK = 3),
       Retrieval.rrfFuse(Seq(bm, exact), topK = 3), floor = 0.4)
   }
+
+  /** q77's fitted 16-cell quantizer, cached per (session, dir) — the
+    * in-memory sibling of [[storedIvf]] (which carries the auto-sized
+    * STORED index for q80's production path; q77 keeps its pinned
+    * nlist=16/nprobe=4 gate configuration).
+    */
+  private val fit16Cache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, (String, Similarity.IvfIndex)]
+
+  private def fitted16(s: SparkSession, dir: String,
+                       cEmb: DataFrame): Similarity.IvfIndex =
+    fit16Cache.compute(s, (sess, cached) =>
+      if (cached != null && cached._1 == dir) cached
+      else (dir, Similarity.fitIvf(cEmb, nlist = 16)))._2
 
   /** q77's gate: recall of the exact fusion's (query, doc) pairs in the
     * ANN-backed fusion — [[annRecallGate]] keyed on the fusion output

@@ -1,24 +1,43 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
-    // Single shared session factory (AQE, UTC, nanosAsLong for the events
-    // table, broadcast threshold) — round-1 verdict fix #4/#7.
-    val spark = GraftSession.local(appName = "graft-verify")
-    new java.io.File(outDir).mkdirs()
-    // Round-11 advice (high): a swallowed per-query failure made the broken
-    // queries VANISH from the driver's compare — 68 green rows read as a
-    // clean round when 9 queries had crashed. Now a failed query still
-    // writes a result parquet (one `_graft_error` row, a schema no oracle
-    // can match, so the compare records an explicit mismatch instead of
-    // dropping the query), failures are listed in errors.json, and the JVM
-    // exits non-zero.
+
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness.
+    */
+  private[graft] def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private[graft] def jsonObj(m: Iterable[(String, String)]): String =
+    m.map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }
+      .mkString("{", ",", "}")
+
+  /** Run every query and write its result parquet; returns the failure
+    * map (insertion-ordered). Round-11 advice (high): a swallowed
+    * per-query failure made the broken queries VANISH from the driver's
+    * compare — 68 green rows read as a clean round when 9 queries had
+    * crashed. A failed query still writes a result parquet (one
+    * `_graft_error` row, a schema no oracle can match, so the compare
+    * records an explicit mismatch instead of dropping the query) and
+    * lands in the returned map → errors.json → non-zero exit.
+    */
+  private[graft] def runQueries(
+      spark: SparkSession,
+      queries: Iterable[(String, (SparkSession, String) => DataFrame)],
+      sfDir: String, outDir: String): Map[String, String] = {
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -32,24 +51,19 @@ object Verify {
         } catch { case _: Throwable => () }
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    val errJson = failures
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    Files.writeString(Paths.get(s"$outDir/errors.json"), jsonObj(failures))
+    failures.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    // Single shared session factory (AQE, UTC, timestamp handling for the
+    // events table, broadcast threshold) — round-1 verdict fix #4/#7.
+    val spark = GraftSession.local(appName = "graft-verify")
+    new java.io.File(outDir).mkdirs()
+    val failures = runQueries(spark, SparkEntry.queries, sfDir, outDir)
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      jsonObj(SparkEntry.oracleSql))
     clearCaches(spark)
     spark.stop()
     if (failures.nonEmpty) {

@@ -556,6 +556,38 @@ object TextOps {
       .drop("__fp", "__ns", "__cs", "__nsurv")
   }
 
+  /** Temperature-scaled mixture weights from the corpus's own source
+    * distribution: `w_s ∝ c_s^alpha` — the standard flattening knob for
+    * multi-source/multilingual training mixes (alpha = 1 keeps the
+    * natural mix, 0 equalizes sources, the common 0.5 is square-root
+    * sampling; public technique, e.g. the exponentially-smoothed
+    * sampling of multilingual pretraining). Feed the result to
+    * [[rebalanceMixture]], which is SCALE-INVARIANT in its weights
+    * (m = min c_s/w_s rescales inversely), so the weights are returned
+    * UNNORMALIZED — for alpha = 0.5 that means `sqrt(c_s)` exactly,
+    * which IEEE requires to be correctly rounded, making the downstream
+    * floor(m·w) arithmetic bit-identical in any engine (a normalized
+    * weight would divide by a double SUM whose accumulation order no
+    * engine pins, and a general `pow` is not correctly rounded across
+    * libms — alpha = 0.5 routes through sqrt for exactly this reason;
+    * other alphas are supported with that caveat documented here).
+    *
+    * One |sources|-bounded count aggregate + driver collect (the
+    * rebalance plan-table smallness assumption, shared).
+    */
+  def temperatureWeights(df: DataFrame, sourceCol: String,
+                         alpha: Double): Map[String, Double] = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1], got $alpha")
+    df.groupBy(col(sourceCol)).agg(count(lit(1)).as("c"))
+      .collect()
+      .filter(!_.isNullAt(0))
+      .map { r =>
+        val c = r.getLong(1).toDouble
+        r.getString(0) -> (if (alpha == 0.5) math.sqrt(c)
+                           else math.pow(c, alpha))
+      }.toMap
+  }
+
   /** Version of the tokenization behind [[termFreqs]] (word_tokens \s+
     * semantics). Bump whenever token BOUNDARIES change — a stored
     * frequency table tokenized one way and probed another silently

@@ -800,6 +800,25 @@ object PipelineQueries {
       .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"),
         col("tok_offset"), col("seq_first"), col("seq_last"))
 
+  /** Temperature-rebalanced mixture ([[TextOps.temperatureWeights]] at
+    * the canonical alpha = 0.5 feeding [[TextOps.rebalanceMixture]]):
+    * the corpus's own skew — induced here by the ≥60-token eligibility
+    * gate, which leaves 7–15 docs per source — is flattened toward
+    * square-root proportions, the standard multilingual/multi-source
+    * sampling knob. Weights are UNNORMALIZED sqrt(c) (rebalance is
+    * scale-invariant; sqrt is correctly rounded by IEEE, so every
+    * floor(m·w) boundary is bit-identical in DuckDB). The oracle
+    * recomputes eligibility, counts, weights, the binding minimum and
+    * the full per-source rank selection.
+    */
+  def q83(s: SparkSession, dir: String): DataFrame = {
+    val eligible = t(s, dir)("documents")
+      .filter(TextOps.tokenCount(col("text")) >= 60)
+    val w = TextOps.temperatureWeights(eligible, "source", alpha = 0.5)
+    TextOps.rebalanceMixture(eligible, "source", "doc_id", "text", w)
+      .select(col("source"), col("rnk"), col("doc_id"))
+  }
+
   /** Session-cached learned merge table for the subword-packing query —
     * the [[storedIvf]] pattern for the tokenizer artifact: production
     * learns the table once per corpus version and every export pass
@@ -949,6 +968,7 @@ object PipelineQueries {
     "q80_hybrid_ann_stored" -> (q80 _),
     "q81_curate_export"   -> (q81 _),
     "q82_subword_pack"    -> (q82 _),
+    "q83_temperature_mix" -> (q83 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -1618,6 +1638,31 @@ FROM o"""
     "q79_bpe_encode" -> bpeEncodeOracle(FixedBpeMerges),
     "q82_subword_pack" ->
       subwordPackOracle(nMerges = 8, minCount = 2, nShards = 8, ctx = 256),
+    "q83_temperature_mix" ->
+      """WITH e AS (SELECT source, doc_id, text FROM documents
+               WHERE len(regexp_split_to_array(
+                 regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) >= 60),
+         c AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+               FROM e GROUP BY source),
+         wt AS (SELECT source, sqrt(c) AS w FROM c),
+         m AS (SELECT min(c.c / wt.w) AS m FROM c JOIN wt USING (source)),
+         pl AS (SELECT wt.source, CAST(floor(m.m * wt.w) AS BIGINT) AS ns
+                FROM wt CROSS JOIN m),
+         f AS (SELECT source, doc_id,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(
+                       range(1, length('rebal:' || COALESCE(text, '')) + 1),
+                       i -> CAST(unicode(substr('rebal:' || COALESCE(text, ''),
+                         CAST(i AS INT), 1)) AS BIGINT))),
+                   (a, b) -> (a*31 + b) % 1000000007) AS raw
+               FROM e),
+         r AS (SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY (raw * raw) % 1000000007, doc_id) AS rnk
+               FROM f)
+       SELECT r.source, r.rnk, r.doc_id
+       FROM r JOIN pl USING (source) WHERE r.rnk <= pl.ns""",
     // q80's structural gate: the Spark side computes the shape booleans
     // (topK distinct in-corpus docs per query, all queries present); the
     // oracle pins the expected shape — recall quality is q77's gate

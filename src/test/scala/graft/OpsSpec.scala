@@ -1419,6 +1419,29 @@ class OpsSpec extends SparkSpec {
     assert(got === viaRebuild)
   }
 
+  test("temperatureWeights at alpha=0.5 flattens a planted 4:1 mix to 2:1 exactly") {
+    // srcA 8 docs, srcB 2 → unnormalized sqrt weights (2√2, √2);
+    // m = min(8/2√2, 2/√2) = √2; keeps floor(√2·2√2)=4 and
+    // floor(√2·√2)=2 — all boundary products land on exact doubles
+    // (sqrt is correctly rounded), so the cut is engine-independent
+    val docs = ((1 to 8).map(i => (i.toLong, "A", s"doc a$i text")) ++
+      (9 to 10).map(i => (i.toLong, "B", s"doc b$i text")))
+      .toDF("doc_id", "source", "text")
+    val w = TextOps.temperatureWeights(docs, "source", alpha = 0.5)
+    assert(w.keySet === Set("A", "B"))
+    assert(w("A") === math.sqrt(8.0) && w("B") === math.sqrt(2.0))
+    val kept = TextOps.rebalanceMixture(docs, "source", "doc_id", "text", w)
+      .groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(kept === Map("A" -> 4L, "B" -> 2L),
+      s"natural 4:1 must flatten to 2:1, got $kept")
+    // alpha = 1 keeps the natural mix (weights = counts, m = 1)
+    val natural = TextOps.rebalanceMixture(docs, "source", "doc_id", "text",
+        TextOps.temperatureWeights(docs, "source", alpha = 1.0))
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(natural === Map("A" -> 8L, "B" -> 2L))
+  }
+
   test("bpeMerges: Sennrich merges on a planted corpus, hand-computed") {
     // the classic low/lower/newest/widest corpus — word counts
     // low:5 lower:2 widest:3 newest:7; merge sequence hand-verified

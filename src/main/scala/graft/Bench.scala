@@ -131,20 +131,12 @@ object Bench {
     val total = results.collect { case (_, med, _, _, true) => med }.sum
     val minTotal = results.collect { case (_, _, min, _, true) => min }.sum
     val noise = best.noise
-    // Full JSON string escape (the Verify.q discipline): exception
-    // messages are routinely multi-line, and a raw newline inside the
-    // errors array would make the record unparseable on exactly the
-    // failed runs the `failed` flag exists to make machine-gateable.
-    def jq(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val errJson = errors.map(jq).mkString("[", ",", "]")
+    // Full JSON string escape (Verify.jsonStr — ONE tested copy, pinned
+    // by VerifySpec): exception messages are routinely multi-line, and a
+    // raw newline inside the errors array would make the record
+    // unparseable on exactly the failed runs the `failed` flag exists to
+    // make machine-gateable.
+    val errJson = errors.map(Verify.jsonStr).mkString("[", ",", "]")
     // Self-flag a load-polluted run (round-7 verdict #2): noise > 0.5 means
     // the median column is inflated by co-located load and the line should
     // be RE-RUN on an idle machine, not archived as the round's record —

@@ -52,7 +52,10 @@ object Verify {
       }
     }
     Files.writeString(Paths.get(s"$outDir/errors.json"), jsonObj(failures))
-    failures.toMap
+    // ListMap: the scaladoc promises run order, and main's FAILED banner
+    // should list queries in the order they broke (failures.toMap would
+    // silently reorder past 4 entries)
+    scala.collection.immutable.ListMap.from(failures)
   }
 
   def main(args: Array[String]): Unit = {

@@ -505,7 +505,23 @@ object TextOps {
     */
   def rebalanceMixture(df: DataFrame, sourceCol: String, idCol: String,
                        textCol: String, weights: Map[String, Double],
-                       oversample: Double = 4.0): DataFrame = {
+                       oversample: Double = 4.0): DataFrame =
+    rebalanceMixture(df, sourceCol, idCol, textCol, weights, oversample,
+      df.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+        .groupBy(col(sourceCol)).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+
+  /** [[rebalanceMixture]] with PRE-COLLECTED per-source counts (must
+    * cover every weighted source; extra entries are ignored) — so a
+    * caller that already counted, e.g. to derive
+    * [[temperatureWeights]], doesn't pay the aggregate twice. The
+    * counts MUST be exact for the same `df` the selection runs over:
+    * the floor(m·w) targets and the shortfall guard both key off them.
+    */
+  def rebalanceMixture(df: DataFrame, sourceCol: String, idCol: String,
+                       textCol: String, weights: Map[String, Double],
+                       oversample: Double,
+                       sourceCounts: Map[String, Long]): DataFrame = {
     require(weights.nonEmpty, "rebalanceMixture needs target weights")
     require(weights.values.forall(_ > 0),
       "weights must be strictly positive — omit a source to drop it")
@@ -515,9 +531,7 @@ object TextOps {
     require(clash.isEmpty,
       s"rebalanceMixture adds columns ${clash.mkString(", ")} that already " +
         "exist in the input — rename or drop them first")
-    val counts = df.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
-      .groupBy(col(sourceCol)).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = sourceCounts
     val missing = weights.keySet -- counts.keySet
     require(missing.isEmpty,
       s"weighted sources absent from the corpus: ${missing.mkString(", ")} " +
@@ -576,16 +590,39 @@ object TextOps {
     * rebalance plan-table smallness assumption, shared).
     */
   def temperatureWeights(df: DataFrame, sourceCol: String,
+                         alpha: Double): Map[String, Double] =
+    temperatureWeights(sourceCounts(df, sourceCol), alpha)
+
+  /** [[temperatureWeights]] over PRE-COLLECTED counts — so a caller that
+    * also rebalances can pay the source-count aggregate once and feed
+    * the same map to both (the q83 shape: counts → weights → the
+    * counts-supplied [[rebalanceMixture]] overload).
+    */
+  def temperatureWeights(counts: Map[String, Long],
                          alpha: Double): Map[String, Double] = {
     require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1], got $alpha")
-    df.groupBy(col(sourceCol)).agg(count(lit(1)).as("c"))
-      .collect()
-      .filter(!_.isNullAt(0))
-      .map { r =>
-        val c = r.getLong(1).toDouble
-        r.getString(0) -> (if (alpha == 0.5) math.sqrt(c)
-                           else math.pow(c, alpha))
-      }.toMap
+    counts.map { case (s, c) =>
+      s -> (if (alpha == 0.5) math.sqrt(c.toDouble)
+            else math.pow(c.toDouble, alpha))
+    }
+  }
+
+  /** Per-source row counts as a driver map — one partial-combined
+    * aggregate + a |sources|-bounded collect (NULL sources excluded:
+    * they cannot key a weights map, and [[rebalanceMixture]] drops
+    * unweighted sources by design). Loud bound: an id-like column
+    * would otherwise OOM the driver (the stratifiedSample maxStrata
+    * discipline).
+    */
+  def sourceCounts(df: DataFrame, sourceCol: String,
+                   maxSources: Int = 65536): Map[String, Long] = {
+    val rows = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("c"))
+      .limit(maxSources + 1).collect()
+    require(rows.length <= maxSources,
+      s"sourceCounts: more than $maxSources distinct values in " +
+        s"'$sourceCol' — that is an id-like column, not a source label")
+    rows.filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
   /** Version of the tokenization behind [[termFreqs]] (word_tokens \s+

@@ -814,8 +814,13 @@ object PipelineQueries {
   def q83(s: SparkSession, dir: String): DataFrame = {
     val eligible = t(s, dir)("documents")
       .filter(TextOps.tokenCount(col("text")) >= 60)
-    val w = TextOps.temperatureWeights(eligible, "source", alpha = 0.5)
-    TextOps.rebalanceMixture(eligible, "source", "doc_id", "text", w)
+    // ONE source-count aggregate feeds both the temperature weights and
+    // the rebalance targets (the counts-supplied overloads) — the naive
+    // composition would tokenize-and-count the corpus twice more
+    val counts = TextOps.sourceCounts(eligible, "source")
+    val w = TextOps.temperatureWeights(counts, alpha = 0.5)
+    TextOps.rebalanceMixture(eligible, "source", "doc_id", "text", w,
+        oversample = 4.0, sourceCounts = counts)
       .select(col("source"), col("rnk"), col("doc_id"))
   }
 

@@ -151,7 +151,13 @@ object GraftSession {
               s"bpe_encode requires exactly 2 arguments (text, flat merge " +
                 s"array [a1,b1,a2,b2,…]), got ${children.length}")
             // the merge table is a FOLDABLE literal (like srp_bucket's
-            // bits): evaluated once at plan build, interleaved rank order
+            // bits): evaluated once at plan build, interleaved rank order.
+            // Gate on foldability first — eval() on a column reference
+            // throws an opaque internal UnsupportedOperationException
+            // instead of the contract message (r12 ADVICE).
+            require(children(1).foldable,
+              "bpe_encode merges must be a literal string array " +
+                s"(foldable), got non-foldable expression ${children(1)}")
             val flat = children(1).eval() match {
               case a: org.apache.spark.sql.catalyst.util.ArrayData =>
                 a.toObjectArray(org.apache.spark.sql.types.StringType)

@@ -333,26 +333,39 @@ object Dedup {
       */
     def saveBucketed(name: String, buckets: Int = 0): Unit = {
       val spark = bands.sparkSession
+      // `name` is interpolated into SQL and resolved to filesystem paths
+      // below — restrict it to identifier characters so a value carrying
+      // '/', '..', or backticks can neither break the DROP statement nor
+      // escape the warehouse directory (r12 ADVICE).
+      require(name.matches("[A-Za-z0-9_]+"),
+        s"saveBucketed name must match [A-Za-z0-9_]+, got '$name'")
       val n = if (buckets > 0) buckets
         else spark.conf.get("spark.sql.shuffle.partitions").toInt
       // a table location orphaned by a previous process (the catalog is
       // per-metastore; local sessions use an in-memory one) blocks
       // saveAsTable even in overwrite mode — drop AND clear it first so
-      // the save is idempotent across JVMs sharing a warehouse dir. The
-      // managed location is <warehouse>/[<db>.db/]<lowercased table>:
-      // the catalog lowercases identifiers and non-default databases
-      // nest under <db>.db, so resolving the raw name against the
-      // warehouse root would delete the wrong path (and leave the real
-      // orphan to fail the save anyway).
+      // the save is idempotent across JVMs sharing a warehouse dir. A
+      // table that IS in the catalog has its real location read from
+      // DESCRIBE EXTENDED (covers custom database/table LOCATIONs); the
+      // cross-JVM orphan case (files present, catalog empty) falls back
+      // to the managed-default layout <warehouse>/[<db>.db/]<lowercased
+      // table> — safe against escapes because `name` is
+      // identifier-validated above.
       val db = spark.catalog.currentDatabase
       val warehouse = new java.io.File(new java.net.URI(
         spark.conf.get("spark.sql.warehouse.dir")).getPath)
       val dbDir =
         if (db == "default") warehouse else new java.io.File(warehouse, s"$db.db")
       for (t <- Seq(s"${name}_bands", s"${name}_shingles", s"${name}_meta")) {
+        val loc =
+          if (spark.catalog.tableExists(t))
+            spark.sql(s"DESCRIBE TABLE EXTENDED `$t`").collect()
+              .find(_.getString(0) == "Location")
+              .map(r => new java.io.File(new java.net.URI(r.getString(1)).getPath))
+          else None
         spark.sql(s"DROP TABLE IF EXISTS `$t`")
-        graft.deleteRecursively(
-          new java.io.File(dbDir, t.toLowerCase(java.util.Locale.ROOT)))
+        graft.deleteRecursively(loc.getOrElse(
+          new java.io.File(dbDir, t.toLowerCase(java.util.Locale.ROOT))))
       }
       // repartition ON the bucket keys first: partition id and bucket id
       // are the same murmur3-pmod, so every bucket lands in exactly ONE

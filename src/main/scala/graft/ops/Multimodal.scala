@@ -14,10 +14,12 @@ import org.apache.spark.sql.types._
   * width/height from PNG/JPEG/GIF/BMP bytes. The AUDIO branch is a real
   * header decoder too (`javax.sound.sampled`, also JDK-built-in): it
   * reads sample rate and frame length from WAV/AIFF/AU headers and
-  * derives duration. Only VIDEO decode remains a clearly-marked
-  * deterministic STUB: no container/codec parser ships with the JDK, and
-  * at 100 TB the decode body is the only part that changes (swap the
-  * stub for JNI/FFmpeg calls; the partitioning and memory story stays).
+  * derives duration. The VIDEO branch parses the MP4/ISO-BMFF container
+  * header with plain JDK byte reads ([[videoInfo]]): true duration from
+  * `mvhd` and presentation width/height from the video track's `tkhd`.
+  * Only codec-level pixel/sample decode still needs a native
+  * (FFmpeg-class) library at deployment time — swap it into the decode
+  * body; the partitioning and memory story stays.
   *
   * Scale notes: decode runs via `mapPartitions` on the scan partitions —
   * no shuffle before decode; `maxPartitionBytes` controls batch memory;
@@ -105,20 +107,121 @@ object Multimodal {
       case scala.util.control.NonFatal(_) => (None, None)
     }
 
+  /** Real video container header parse — MP4/ISO-BMFF (and its QuickTime
+    * ancestor: same box grammar), via plain JDK byte reads like the WAV
+    * branch. The file is a sequence of length-prefixed boxes
+    * (`[u32 size][4cc type][payload]`, size==1 → u64 largesize follows,
+    * size==0 → box runs to the end); `moov/mvhd` carries the movie
+    * timescale (ticks/second) and duration (ticks), and each
+    * `moov/trak/tkhd` carries presentation width/height as 16.16 fixed
+    * point — zero for audio-only tracks, so the first nonzero pair IS the
+    * video track. Header-only like the image/audio branches: the walk
+    * touches box headers plus the ~100-byte mvhd/tkhd payloads and never
+    * the `mdat` sample data, so cost is independent of blob size (when
+    * `moov` precedes `mdat`, as faststart/streaming files are laid out —
+    * a trailing-moov file still parses, the walker just skips `mdat` by
+    * its length prefix without reading it). Codec-level decode (actual
+    * pixels/samples) is the part that still needs an FFmpeg-class native
+    * library in a real deployment; container metadata no longer does.
+    * Returns (width, height, duration_ms), all None for bytes that are
+    * not a parseable MP4.
+    */
+  private[graft] def videoInfo(content: Array[Byte])
+      : (Option[Int], Option[Int], Option[Long]) = {
+    def u32(off: Int): Long =
+      ((content(off) & 0xffL) << 24) | ((content(off + 1) & 0xffL) << 16) |
+        ((content(off + 2) & 0xffL) << 8) | (content(off + 3) & 0xffL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+    def fourcc(off: Int): String =
+      new String(content, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // Child boxes of [start, end): (type, payloadStart, payloadEnd) —
+    // bounds-checked; malformed sizes end the walk instead of throwing.
+    def boxes(start: Int, end: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var off = start
+        private var nxt: (String, Int, Int) = advance()
+        private def advance(): (String, Int, Int) = {
+          if (off < 0 || off + 8 > end) null
+          else {
+            val size32 = u32(off)
+            val (hdr, size) =
+              if (size32 == 1L && off + 16 <= end) (16L, u64(off + 8))
+              else if (size32 == 0L) (8L, (end - off).toLong)
+              else (8L, size32)
+            if (size < hdr || off + size > end) null
+            else {
+              val r = (fourcc(off + 4), off + hdr.toInt, (off + size).toInt)
+              off = (off + size).toInt
+              r
+            }
+          }
+        }
+        def hasNext: Boolean = nxt != null
+        def next(): (String, Int, Int) = {
+          val r = nxt; nxt = advance(); r
+        }
+      }
+    try {
+      boxes(0, content.length).find(_._1 == "moov").map {
+        case (_, ms, me) =>
+          val dur = boxes(ms, me).find(_._1 == "mvhd").flatMap {
+            case (_, s, e) =>
+              // fullbox: version(1) + flags(3); v0 = u32 times, v1 = u64
+              val v = content(s) & 0xff
+              val (ts, d) =
+                if (v == 1 && s + 32 <= e) (u32(s + 20), u64(s + 24))
+                else if (v == 0 && s + 20 <= e) (u32(s + 12), u32(s + 16))
+                else (0L, 0L)
+              if (ts > 0) Some(d * 1000L / ts) else None
+          }
+          val dims = boxes(ms, me).filter(_._1 == "trak").flatMap {
+            case (_, trs, tre) =>
+              boxes(trs, tre).find(_._1 == "tkhd").flatMap { case (_, s, e) =>
+                val v = content(s) & 0xff
+                // width/height are the LAST 8 payload bytes (16.16 fixed
+                // point), after the version-dependent times/duration,
+                // layer/volume, and the 36-byte transform matrix
+                val base = if (v == 1) s + 4 + 32 else s + 4 + 20
+                val wOff = base + 16 + 36
+                if (wOff + 8 <= e) {
+                  val w = (u32(wOff) >> 16).toInt
+                  val h = (u32(wOff + 4) >> 16).toInt
+                  if (w > 0 && h > 0) Some((w, h)) else None
+                } else None
+              }
+          }.nextOption()
+          (dims.map(_._1), dims.map(_._2), dur)
+      }.getOrElse((None, None, None))
+    } catch {
+      // same posture as imageDims: adversarial bytes degrade to None,
+      // never kill the task
+      case scala.util.control.NonFatal(_) => (None, None, None)
+    }
+  }
+
   /** Per-blob decode: images through the real [[imageDims]] reader, audio
-    * through the real [[audioInfo]] header parser; video fingerprint-only
-    * — a deterministic STUB for the codec call (FFmpeg-class libraries
-    * aren't in this environment; replace this branch in a real
-    * deployment, signature and call-site batch shape stay as-is).
+    * through the real [[audioInfo]] header parser, video through the real
+    * [[videoInfo]] MP4 container parser (r12 verdict #3 — previously a
+    * fingerprint-only stub). All three are header-only JDK parses; only
+    * codec-level pixel/sample decode still needs a native library in a
+    * real deployment (swap inside this method; the partitioning, batch
+    * shape, and schema stay).
     */
   private[ops] def decodeStub(kind: String, content: Array[Byte])
       : (Option[Int], Option[Int], Option[Int], Option[Long], Long) = {
-    val dims = if (kind == "image") imageDims(content) else (None, None)
-    val audio = if (kind == "audio") audioInfo(content) else (None, None)
+    val (w, h, sr, dur) = kind match {
+      case "image" =>
+        val d = imageDims(content); (d._1, d._2, None, None)
+      case "audio" =>
+        val a = audioInfo(content); (None, None, a._1, a._2)
+      case "video" =>
+        val v = videoInfo(content); (v._1, v._2, None, v._3)
+      case _ => (None, None, None, None)
+    }
     var cs = 0L
     var i = 0
     while (i < content.length) { cs = cs * 131 + (content(i) & 0xff); i += 1 }
-    (dims._1, dims._2, audio._1, audio._2, cs)
+    (w, h, sr, dur, cs)
   }
 
   /** Per-partition batched feature extraction over binary media columns.

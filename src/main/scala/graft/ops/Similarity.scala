@@ -159,6 +159,19 @@ object Similarity {
     private[ops] def centersArray: Array[Seq[Double]] =
       centroids.orderBy(col("cluster").asc).collect()
         .map(_.getSeq[Double](1))
+
+    /** How far the inverted file has outgrown this quantizer: assigned
+      * rows ÷ nlist² (1.0 = the √n balance point [[Similarity.autoNlist]]
+      * sizes for). A stored index's nlist is frozen at fit time while
+      * [[Similarity.extendIvf]] keeps appending, so past
+      * [[IvfIndex.OvergrowthFactor]] the per-cell scan volume and the
+      * probe join's nlist-key parallelism have both drifted well off √n —
+      * the refit signal (r12 verdict #6). Costs one id-pruned count of
+      * the inverted file; call it at extend/compaction cadence, not per
+      * probe ([[Similarity.extendIvf]] does).
+      */
+    def overgrowth: Double =
+      assigned.select(col("id")).count().toDouble / (nlist.toLong * nlist)
   }
 
   object IvfIndex {
@@ -166,6 +179,11 @@ object Similarity {
       * arithmetic). Bump whenever stored cell ids would stop matching the
       * ids this build computes for the same data. */
     val Scheme = 1
+
+    /** [[IvfIndex.overgrowth]] threshold past which extendIvf signals a
+      * refit: 4× nlist² means autoNlist over the grown corpus would pick
+      * ≥ 2× the stored nlist (the next power of two past √n). */
+    val OvergrowthFactor = 4.0
   }
 
   /** Read an [[IvfIndex]] written by [[IvfIndex.save]]. Parameters come
@@ -211,7 +229,8 @@ object Similarity {
   def extendIvf(index: IvfIndex, batch: DataFrame,
                 idCol: String = "vec_id",
                 vecCol: String = "embedding",
-                verifyIds: Boolean = true): IvfIndex = {
+                verifyIds: Boolean = true,
+                strictGrowth: Boolean = false): IvfIndex = {
     val b = batch.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .where(coalesce(
         assert_true(size(col("v")) === index.dim,
@@ -230,7 +249,26 @@ object Similarity {
     }
     val assignedNew =
       b.withColumn("cluster", nearestCenter(col("v"), index.centersArray))
-    index.copy(assigned = index.assigned.unionByName(assignedNew))
+    val extended = index.copy(assigned = index.assigned.unionByName(assignedNew))
+    // Refit signal (r12 verdict #6): the stored nlist is frozen at fit
+    // time while extends keep appending, so once the inverted file passes
+    // OvergrowthFactor × nlist² the √n balance autoNlist sized for is
+    // gone — per-cell scan volume and the probe join's nlist-key
+    // parallelism both degrade SILENTLY (probes stay correct, just slow
+    // and recall-decayed under drift). Say so loudly at extend time —
+    // the id-pruned count rides the extend cadence, never a probe —
+    // and throw under strictGrowth for operators that want the gate hard.
+    val growth = extended.overgrowth
+    if (growth > IvfIndex.OvergrowthFactor) {
+      val msg = f"extendIvf: inverted file is now $growth%.1f× nlist² " +
+        f"(nlist=${index.nlist}, the fit-time √n balance point is 1×, " +
+        f"signal threshold ${IvfIndex.OvergrowthFactor}%.0f×) — refit the " +
+        "quantizer (fitIvf + save) at the next compaction before recall " +
+        "and probe parallelism decay further"
+      if (strictGrowth) throw new IllegalStateException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
+    extended
   }
 
   /** Argmin over a driver-side centers array via the native

@@ -829,10 +829,24 @@ object TextOps {
     */
   def bpeMerges(df: DataFrame, textCol: String, numMerges: Int,
                 minPairCount: Long = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    bpeLoop(df, textCol, numMerges, minPairCount)._1
+      .toDF("rank", "a", "b", "n_ab")
+  }
+
+  /** The shared learner loop behind [[bpeMerges]] and [[bpeSegmentation]]:
+    * returns BOTH the merge table rows and the final separator-packed
+    * segmentation state, so a caller needing the two pays for ONE run of
+    * the bounded loop (r12 verdict #5 — bpeSegmentation used to re-derive
+    * the table by re-running the whole loop).
+    */
+  private def bpeLoop(df: DataFrame, textCol: String, numMerges: Int,
+                      minPairCount: Long)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     require(numMerges >= 1 && numMerges <= 50000,
       s"numMerges must be in [1, 50000], got $numMerges")
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
-    val spark = df.sparkSession
     // the one corpus pass: word frequencies (vocabulary-sized result)
     val words = df.select(explode(tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
@@ -889,24 +903,24 @@ object TextOps {
         rank += 1
       }
     }
-    import spark.implicits._
-    merges.toSeq.toDF("rank", "a", "b", "n_ab")
+    (merges.toSeq, seg)
   }
 
   /** Final segmentation state of [[bpeMerges]] — `(word, cnt, syms)`
     * after applying the learned merges, for callers that want the
     * training-time vocabulary of subword units (and for the
-    * encoder≡learner consistency law in PropertySpec). Same loop, merge
-    * table re-derived; when both the table and the state are needed,
-    * this costs one extra run of the bounded loop.
+    * encoder≡learner consistency law in PropertySpec). Shares ONE run of
+    * the bounded loop with the merge table ([[bpeLoop]]): the symbols are
+    * unpacked straight from the learner's own final state, which the
+    * PropertySpec learner≡encoder replay law proves identical to
+    * re-encoding every word under the learned table.
     */
   def bpeSegmentation(df: DataFrame, textCol: String, numMerges: Int,
                       minPairCount: Long = 2): DataFrame = {
-    val table = bpeMerges(df, textCol, numMerges, minPairCount).collect()
-      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
-    df.select(explode(tokens(col(textCol))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .withColumn("syms", bpeEncode(col("word"), table))
+    val (_, seg) = bpeLoop(df, textCol, numMerges, minPairCount)
+    seg.select(col("word"), col("cnt"),
+      split(expr("substring(seg, 2, length(seg) - 2)"), BpeSep + BpeSep)
+        .as("syms"))
   }
 
   /** Encode a text column under a FIXED merge table — the native

@@ -27,32 +27,45 @@ package object graft {
     *
     * The naive wall times in the fixture ARE UTC instants (the generator's
     * convention, and what DuckDB's epoch_us assumes), so the NTZ branch
-    * must interpret them in UTC regardless of the session timezone: the
-    * cast alone interprets in SESSION tz (a relabeling only when that is
-    * UTC, as GraftSession pins), and `to_utc_timestamp(cast, "UTC")`
-    * re-reads the same wall time as UTC — identity under a UTC session,
-    * the correct instant under any other (a plain SparkSession on a
-    * non-UTC machine would otherwise shift every event by the zone
-    * offset, silently).
+    * must interpret them in UTC regardless of the session timezone. The
+    * cast alone interprets the wall time in SESSION tz (wall − offset(tz));
+    * `from_utc_timestamp(cast, sessionTz)` adds offset(tz) back, which
+    * reconstructs the original wall clock read as a UTC instant — identity
+    * under a UTC session (as GraftSession pins), the correct instant under
+    * any other (a plain SparkSession on a non-UTC machine would otherwise
+    * shift every event by the zone offset, silently). The r12 version used
+    * `to_utc_timestamp(cast, "UTC")`, which is a no-op — to_utc_timestamp
+    * shifts by the GIVEN zone's offset, zero for UTC — so non-UTC sessions
+    * still shifted; ScaleSpec now pins the non-UTC path.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType match {
-      case LongType =>
+      case org.apache.spark.sql.types.LongType =>
         // `div` = integer division: epoch-nanos exceed 2^53, so the `/`
         // (double) operator would lose microsecond precision near boundaries.
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", timestamp_micros(
             org.apache.spark.sql.functions.expr("ts_ns div 1000")))
-      case TimestampNTZType =>
-        raw.withColumn("ts",
-            to_utc_timestamp(col("ts").cast(TimestampType), "UTC"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", ntzAsUtcInstant(spark, col("ts")))
           .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
       case _ =>
         raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
     }
   }
+
+  /** Reinterpret a TIMESTAMP_NTZ wall clock as a UTC instant, correct under
+    * ANY session timezone: cast gives wall − offset(sessionTz), and
+    * from_utc_timestamp(·, sessionTz) adds the offset back (offsets are
+    * resolved ms apart, so even a DST boundary between the two lookups
+    * cannot diverge outside the transition instant itself). Shared by
+    * [[events]] and the streaming twins (EventStreams.tzAware).
+    */
+  private[graft] def ntzAsUtcInstant(spark: SparkSession, ntz: Column): Column =
+    from_utc_timestamp(
+      ntz.cast(org.apache.spark.sql.types.TimestampType),
+      spark.conf.get("spark.sql.session.timeZone"))
 
   /** Release everything graft memoizes against `spark`: the materialized
     * near-dup pair set (persisted RDD blocks) and the SQL-door Engine.

@@ -27,19 +27,18 @@ object EventStreams {
     * isAdjustedToUTC=false) surfaces as TIMESTAMP_NTZ, which
     * `unix_micros` and the `java.sql.Timestamp` encoder both reject
     * (round-11: this broke every events pipeline when the fixture
-    * generator switched from TIMESTAMP(NANOS) to naive micros). Relabel
-    * it tz-aware — lossless, graft sessions pin the session timezone to
-    * UTC — so every pipeline below accepts either form.
+    * generator switched from TIMESTAMP(NANOS) to naive micros). Convert
+    * to a tz-aware UTC instant via [[graft.ntzAsUtcInstant]] — which is
+    * correct under ANY session timezone, not only the UTC one graft
+    * sessions pin — so every pipeline below accepts either form.
     */
   private def tzAware(df: DataFrame, tsCol: String = "ts"): DataFrame = {
-    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.types.TimestampNTZType
     if (df.schema.fieldNames.contains(tsCol) &&
         df.schema(tsCol).dataType == TimestampNTZType)
       // naive wall times are UTC instants by the fixture/generator
-      // convention; the cast alone would interpret them in SESSION tz —
-      // see graft.events() for the full rationale
-      df.withColumn(tsCol,
-        to_utc_timestamp(col(tsCol).cast(TimestampType), "UTC"))
+      // convention — see graft.ntzAsUtcInstant for the offset algebra
+      df.withColumn(tsCol, graft.ntzAsUtcInstant(df.sparkSession, col(tsCol)))
     else df
   }
 

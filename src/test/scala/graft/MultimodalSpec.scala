@@ -5,12 +5,47 @@ import graft.ops.Multimodal
 
 /** Multimodal plumbing: binary columns survive the round trip, the image
   * decoder reads REAL PNG/JPEG headers (javax.imageio), the audio decoder
-  * reads REAL WAV headers (javax.sound.sampled), video stays a
-  * fingerprint-only stub, frame sampling slices deterministically.
+  * reads REAL WAV headers (javax.sound.sampled), the video decoder reads
+  * REAL MP4/ISO-BMFF container headers (hand-assembled boxes, duration
+  * and track dims pinned), frame sampling slices deterministically.
   */
 class MultimodalSpec extends SparkSpec {
 
   import spark.implicits._
+
+  /** A length-prefixed ISO-BMFF box: [u32 size]["abcd"][payload]. */
+  private def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+    bb.putInt(8 + payload.length)
+    bb.put(tpe.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.put(payload)
+    bb.array
+  }
+
+  /** Minimal valid MP4: `ftyp` + `moov{mvhd, trak{tkhd}}` assembled by
+    * hand from the ISO 14496-12 box layouts — the decoder under test must
+    * recover duration (mvhd timescale+duration) and the track's 16.16
+    * fixed-point width/height from these exact offsets. `w = h = 0`
+    * models an audio-only track (tkhd dims are zero there).
+    */
+  private def mp4Bytes(timescale: Int, durTicks: Int, w: Int, h: Int)
+      : Array[Byte] = {
+    val mvhd = java.nio.ByteBuffer.allocate(100) // v0 fullbox payload
+    mvhd.putInt(0)                // version 0 + flags
+    mvhd.putInt(0).putInt(0)      // creation/modification
+    mvhd.putInt(timescale).putInt(durTicks)
+    val tkhd = java.nio.ByteBuffer.allocate(84)  // v0 fullbox payload
+    tkhd.putInt(0)                               // version 0 + flags
+    tkhd.putInt(0).putInt(0).putInt(1).putInt(0).putInt(durTicks)
+    tkhd.position(4 + 20 + 16 + 36)              // skip layer…matrix
+    tkhd.putInt(w << 16).putInt(h << 16)
+    val ftypPayload =
+      "isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+        Array[Byte](0, 0, 0, 0)
+    box("ftyp", ftypPayload) ++
+      box("moov", box("mvhd", mvhd.array) ++
+        box("trak", box("tkhd", tkhd.array)))
+  }
 
   /** Real PNG bytes of a w×h image, via the JDK's own encoder — the
     * decoder under test must recover the true dimensions from them. */
@@ -52,7 +87,7 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r).toMap
     assert(feats(1L).getInt(3) === 640 && feats(1L).getInt(4) === 480)
     assert(feats(2L).getInt(3) === 32 && feats(2L).getInt(4) === 32)
-    assert(feats(3L).isNullAt(3)) // video: stub extracts no dims
+    assert(feats(3L).isNullAt(3)) // video: not a parseable MP4 → no dims
     assert(feats(4L).getInt(2) > 0) // n_bytes present for every kind
     assert(feats(5L).isNullAt(3)) // corrupt "image": no reader claims it
     // audio: real WAV header decode — 4000 frames @ 8 kHz = 500 ms
@@ -69,6 +104,52 @@ class MultimodalSpec extends SparkSpec {
       (Some(44100), Some(500L)))
     assert(Multimodal.audioInfo(Array.fill(12)(5: Byte)) === (None, None))
     assert(Multimodal.audioInfo(Array.emptyByteArray) === (None, None))
+  }
+
+  test("video decode reads true MP4 duration and track dims (r12 verdict #3)") {
+    // 90000-tick timescale (the common media clock), 5.5 s of ticks,
+    // 640×360 presentation: all three recovered from the planted boxes
+    assert(Multimodal.videoInfo(mp4Bytes(90000, 495000, 640, 360)) ===
+      (Some(640), Some(360), Some(5500L)))
+    // audio-only track (tkhd dims zero): duration still parses, no dims
+    assert(Multimodal.videoInfo(mp4Bytes(1000, 2000, 0, 0)) ===
+      (None, None, Some(2000L)))
+    // a trailing-moov layout (mdat first) parses by SKIPPING mdat via its
+    // length prefix — the walker never reads the sample payload
+    val trailing = box("mdat", Array.fill(4096)(7: Byte)) ++
+      mp4Bytes(1000, 1500, 320, 240).drop(16) // drop ftyp, keep moov
+    assert(Multimodal.videoInfo(trailing) ===
+      (Some(320), Some(240), Some(1500L)))
+    // version-1 mvhd (64-bit times/duration) at its widened offsets
+    val mvhd1 = java.nio.ByteBuffer.allocate(112)
+    mvhd1.putInt(0x01000000)            // version 1 + flags
+    mvhd1.putLong(0L).putLong(0L)       // creation/modification (u64)
+    mvhd1.putInt(600).putLong(1200L)    // timescale u32, duration u64
+    assert(Multimodal.videoInfo(box("moov", box("mvhd", mvhd1.array))) ===
+      (None, None, Some(2000L)))
+    // garbage / truncated / empty bytes degrade to None, never throw
+    assert(Multimodal.videoInfo(Array.fill(40)(3: Byte)) ===
+      (None, None, None))
+    assert(Multimodal.videoInfo(mp4Bytes(1000, 2000, 64, 64).take(30)) ===
+      (None, None, None))
+    assert(Multimodal.videoInfo(Array.emptyByteArray) === (None, None, None))
+    // zero timescale cannot divide
+    assert(Multimodal.videoInfo(mp4Bytes(0, 2000, 64, 64))._3 === None)
+  }
+
+  test("decodeFeatures routes video blobs through the MP4 parser") {
+    val rows = Seq(
+      Row(10L, "video", mp4Bytes(90000, 450000, 1280, 720),
+        Row("video/mp4", "s1")),
+      Row(11L, "video", Array.fill(64)(9: Byte), Row("video/mp4", "s2")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val feats = Multimodal.decodeFeatures(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(feats(10L).getInt(3) === 1280 && feats(10L).getInt(4) === 720)
+    assert(feats(10L).getLong(6) === 5000L)
+    assert(feats(10L).isNullAt(5)) // video rows carry no sample_rate
+    assert(feats(11L).isNullAt(3) && feats(11L).isNullAt(6)) // non-MP4
   }
 
   test("image decode also understands JPEG bytes") {

@@ -583,6 +583,34 @@ class OpsSpec extends SparkSpec {
       .assigned.count() === 21L)
   }
 
+  test("extendIvf: overgrowth past 4x nlist^2 signals refit loudly (r12 verdict #6)") {
+    // nlist=4 → nlist²=16, threshold 4× = 64 assigned rows. A 20-row
+    // base extended by 50 is at 70/16 ≈ 4.4× — autoNlist over the grown
+    // corpus would pick ≥ 2× the stored nlist, so the stored quantizer
+    // no longer sits at the √n balance point. strictGrowth turns the
+    // signal into a hard gate; the default only warns (bulk loads may
+    // legitimately overshoot between compactions), measured via the
+    // overgrowth ratio the signal is computed from.
+    val emb = (1L to 20L).map(i => (i, v(i.toInt))).toDF("vec_id", "embedding")
+    val idx = Similarity.fitIvf(emb, nlist = 4)
+    assert(idx.overgrowth === 20.0 / 16,
+      "overgrowth is assigned rows / nlist² — 20/16 at fit time")
+    val big = (100L to 149L).map(i => (i, v(i.toInt))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalStateException] {
+      Similarity.extendIvf(idx, big, strictGrowth = true)
+    }
+    assert(e.getMessage.contains("refit the") && e.getMessage.contains("nlist"),
+      s"expected the refit signal, got: ${e.getMessage}")
+    // the default path extends anyway (warn-only) and reports the ratio
+    val extended = Similarity.extendIvf(idx, big)
+    assert(extended.assigned.count() === 70L)
+    assert(extended.overgrowth > Similarity.IvfIndex.OvergrowthFactor)
+    // under the threshold nothing throws even under strictGrowth
+    val small = Seq((200L, v(7))).toDF("vec_id", "embedding")
+    assert(Similarity.extendIvf(idx, small, strictGrowth = true)
+      .assigned.count() === 21L)
+  }
+
   test("extendIvf drift: refit beats the extended index on a shifted batch (r10 verdict #7)") {
     // base: 10 clusters at v(c); batch: the same clusters SHIFTED by a
     // constant per-coordinate offset (centroid drift — the regime the

@@ -166,6 +166,24 @@ class ScaleSpec extends SparkSpec {
         .select("event_id", "ts_ns").as[(Long, Long)].collect().toMap
       assert(viaNtz.size > 0 && viaNtz === viaTz,
         "NTZ and tz-aware reads must agree on every instant (UTC session)")
+
+      // r12 ADVICE regression: the r12 NTZ branch used
+      // to_utc_timestamp(cast, "UTC") — a no-op (to_utc_timestamp shifts
+      // by the GIVEN zone's offset, zero for UTC), so the cast's
+      // session-tz interpretation leaked through and a non-UTC session
+      // shifted every instant by its zone offset. Pin the fix
+      // (from_utc_timestamp(cast, sessionTz)) under a zone with a
+      // nonzero offset: the instants must STILL match the UTC read.
+      val tzKey = "spark.sql.session.timeZone"
+      val prevTz = spark.conf.get(tzKey)
+      try {
+        spark.conf.set(tzKey, "Asia/Kolkata") // +05:30, no DST
+        spark.conf.set(key, "true")
+        val viaNtzKolkata = graft.events(spark, sfDir)
+          .select("event_id", "ts_ns").as[(Long, Long)].collect().toMap
+        assert(viaNtzKolkata === viaTz,
+          "NTZ read under a non-UTC session must still yield UTC instants")
+      } finally spark.conf.set(tzKey, prevTz)
     } finally spark.conf.set(key, prev)
   }
 

@@ -141,15 +141,19 @@ object ScaleProbe {
         "ratios will be inflated; rerun idle")
     val spark = GraftSession.local(appName = "graft-scaleprobe")
 
-    def timeTwice(name: String, dir: String): (Double, Double) = {
+    def timeThunk(thunk: () => org.apache.spark.sql.DataFrame)
+        : (Double, Double) = {
       def once(): Double = {
         val t0 = System.nanoTime()
-        materialize(SparkEntry.queries(name)(spark, dir))
+        materialize(thunk())
         (System.nanoTime() - t0) / 1e9
       }
       val cold = once(); val warm = once()
       (cold, warm)
     }
+
+    def timeTwice(name: String, dir: String): (Double, Double) =
+      timeThunk(() => SparkEntry.queries(name)(spark, dir))
 
     val results = probes.map { name =>
       val fpS = fingerprint(SparkEntry.queries(name)(spark, small))
@@ -171,9 +175,70 @@ object ScaleProbe {
       p
     }
 
-    val anyChanged = results.exists(_.changed)
+    // ---- index-maintenance probes (r12 verdict #4) ----
+    // The per-ingest-batch costs a 100 TB operator pays daily, never
+    // timed before: folding a batch into a STORED dedup index
+    // (extendIndex — documented as index-linear compaction, far below
+    // rebuild) and into a STORED IVF index (extendIvf — batch
+    // -proportional assignment plus id-pruned base guards). Design:
+    // the batch SIZE is fixed (10% of the SMALL corpus) while the
+    // stored base grows 10×, so the ratio column reads directly as
+    // base-sensitivity — ≈1× is the batch-proportional signature,
+    // ≈10× is base-proportional. The rebuild row is the deliberate
+    // base-proportional contrast extendIndex must beat.
+    import org.apache.spark.sql.functions.col
+    import graft.ops.{Dedup, Similarity}
+    def maintSetup(dir: String) = {
+      val docs = table(spark, dir, "documents")
+      val batchD = docs.orderBy(col("doc_id")).limit(500).localCheckpoint()
+      val baseD = docs.join(batchD.select("doc_id"), Seq("doc_id"), "left_anti")
+      val emb = table(spark, dir, "embeddings")
+      val batchE = emb.orderBy(col("vec_id")).limit(200).localCheckpoint()
+      val baseE = emb.join(batchE.select("vec_id"), Seq("vec_id"), "left_anti")
+      // untimed: build + SAVE + LOAD both indexes — maintenance acts on
+      // the stored artifact, exactly like a restarted ingest process
+      val dDir = Files.createTempDirectory("probe-dedup-idx").toString
+      Dedup.buildIndex(baseD, "doc_id", "text").save(dDir)
+      val vDir = Files.createTempDirectory("probe-ivf-idx").toString
+      Similarity.fitIvf(baseE).save(vDir)
+      (Dedup.loadIndex(spark, dDir), batchD, docs,
+        Similarity.loadIvf(spark, vDir), batchE)
+    }
+    val (idxS, batchDS, docsS, ivfS, batchES) = maintSetup(small)
+    val (idxB, batchDB, docsB, ivfB, batchEB) = maintSetup(big)
+    val maintProbes: Seq[(String, () => org.apache.spark.sql.DataFrame,
+        () => org.apache.spark.sql.DataFrame)] = Seq(
+      ("maint_extend_dedup_index",
+        () => Dedup.extendIndex(idxS, batchDS, "doc_id", "text").bands,
+        () => Dedup.extendIndex(idxB, batchDB, "doc_id", "text").bands),
+      ("maint_rebuild_dedup_index",
+        () => Dedup.buildIndex(docsS, "doc_id", "text").bands,
+        () => Dedup.buildIndex(docsB, "doc_id", "text").bands),
+      ("maint_extend_ivf",
+        // the extendIvf CALL runs the eager guards (id semi-join +
+        // overgrowth count); the materialized frame is the assignment
+        // delta — together the full per-batch ingest cost. The
+        // fingerprint sees the delta plan only (the guards are driver
+        // actions, not part of the returned frame).
+        () => { Similarity.extendIvf(ivfS, batchES)
+                Similarity.assignBatch(ivfS, batchES) },
+        () => { Similarity.extendIvf(ivfB, batchEB)
+                Similarity.assignBatch(ivfB, batchEB) }))
+    val maintResults = maintProbes.map { case (name, mkS, mkB) =>
+      val fpS = fingerprint(mkS())
+      val (coldS, warmS) = timeThunk(mkS)
+      val fpB = fingerprint(mkB())
+      val (coldB, warmB) = timeThunk(mkB)
+      val p = Probe(name, coldS, warmS, coldB, warmB, fpS, fpB)
+      println(f"[probe] $name small=${p.warmS}%.2fs big=${p.warmB}%.2fs " +
+        f"ratio=${p.ratio}%.1fx planChanged=${p.changed}")
+      p
+    }
+    val all = results ++ maintResults
+
+    val anyChanged = all.exists(_.changed)
     val line =
-      f"""{"metric":"scale_probe","small":"$small","big":"$big","plan_changes":$anyChanged,"preload":$preload%.1f,"load_band":"$loadBand","polluted":$polluted,"queries":{${results.map(_.json).mkString(",")}}}"""
+      f"""{"metric":"scale_probe","small":"$small","big":"$big","plan_changes":$anyChanged,"preload":$preload%.1f,"load_band":"$loadBand","polluted":$polluted,"queries":{${all.map(_.json).mkString(",")}}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "scale_probe.json")
     Files.writeString(Paths.get(outPath), line + "\n")
     println(line)

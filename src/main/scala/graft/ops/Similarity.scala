@@ -231,15 +231,8 @@ object Similarity {
                 vecCol: String = "embedding",
                 verifyIds: Boolean = true,
                 strictGrowth: Boolean = false): IvfIndex = {
-    val b = batch.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .where(coalesce(
-        assert_true(size(col("v")) === index.dim,
-          lit(s"extendIvf: batch vector dimension != index dim " +
-            s"${index.dim} — a mismatched vector would be routed to an " +
-            "arbitrary cell")),
-        lit(true)))
     if (verifyIds) {
-      val overlap = b.select(col("id"))
+      val overlap = batch.select(col(idCol).as("id"))
         .join(index.assigned.select(col("id")), Seq("id"), "left_semi")
         .limit(5).collect()
       require(overlap.isEmpty,
@@ -247,8 +240,7 @@ object Similarity {
           s"(e.g. ${overlap.map(_.get(0)).mkString(", ")}) — probes " +
           "would return duplicates; dedup the batch or compact first")
     }
-    val assignedNew =
-      b.withColumn("cluster", nearestCenter(col("v"), index.centersArray))
+    val assignedNew = assignBatch(index, batch, idCol, vecCol)
     val extended = index.copy(assigned = index.assigned.unionByName(assignedNew))
     // Refit signal (r12 verdict #6): the stored nlist is frozen at fit
     // time while extends keep appending, so once the inverted file passes
@@ -270,6 +262,27 @@ object Similarity {
     }
     extended
   }
+
+  /** The incremental slice of [[extendIvf]] on its own: the batch
+    * assigned against the STORED centroids — `(id, v, cluster)` rows, the
+    * delta a production ingest pipeline appends to the stored inverted
+    * file (extendIvf's returned index unions this with the base; writing
+    * THAT would rewrite the whole file, so the per-batch artifact is this
+    * delta). Cost is one codegen'd map over the batch — centers ride as a
+    * literal — plus the same per-row dimension assert as extendIvf.
+    * ScaleProbe's maintenance rows time exactly this shape.
+    */
+  def assignBatch(index: IvfIndex, batch: DataFrame,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame =
+    batch.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .where(coalesce(
+        assert_true(size(col("v")) === index.dim,
+          lit(s"extendIvf/assignBatch: batch vector dimension != index " +
+            s"dim ${index.dim} — a mismatched vector would be routed to " +
+            "an arbitrary cell")),
+        lit(true)))
+      .withColumn("cluster", nearestCenter(col("v"), index.centersArray))
 
   /** Argmin over a driver-side centers array via the native
     * [[graft.expr.VecNearest]] expression (registered by GraftSession) —

@@ -607,6 +607,95 @@ object TextOps {
     }
   }
 
+  /** GROUPED temperature rebalance — the per-cell form of the q83
+    * composition (r12 verdict #8): within EVERY group (e.g. language),
+    * flatten that group's own source skew toward `c^alpha` proportions,
+    * with the binding minimum computed PER GROUP (a global minimum — what
+    * reusing [[rebalanceMixture]] on a composite group×source key would
+    * give — lets one tiny cell starve every other group; multilingual
+    * pipelines rebalance each language independently).
+    *
+    * Same machinery as [[rebalanceMixture]] at the same cost shape: ONE
+    * (group, source) count aggregate (|G×S|-bounded driver collect — the
+    * plan-table smallness assumption, guarded), the per-group plan built
+    * on the driver (alpha = 0.5 routes through correctly-rounded sqrt,
+    * the [[temperatureWeights]] determinism argument), then one broadcast
+    * plan join + fingerprint pre-filter + per-cell rank window over the
+    * corpus. Every weighted source must appear in every group (a missing
+    * cell makes that group's proportions unachievable — loud, like the
+    * ungrouped missing-source require). Sentinel rows keep the
+    * shortfall guard loud even for cells whose every row was
+    * pre-filtered. Output: input columns + `rnk` (1..n within the
+    * group×source cell, fingerprint order).
+    */
+  def temperatureMixtureByGroup(df: DataFrame, groupCol: String,
+                                sourceCol: String, idCol: String,
+                                textCol: String, alpha: Double,
+                                sources: Seq[String],
+                                oversample: Double = 4.0): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1], got $alpha")
+    require(sources.nonEmpty, "temperatureMixtureByGroup needs sources")
+    require(oversample >= 1.0, s"oversample must be >= 1, got $oversample")
+    val clash = Seq("rnk", "__fp", "__ns", "__cs", "__nsurv")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"temperatureMixtureByGroup adds columns ${clash.mkString(", ")} " +
+        "that already exist in the input — rename or drop them first")
+    val in = df.filter(col(sourceCol).isin(sources: _*) &&
+      col(groupCol).isNotNull)
+    val cellRows = in.groupBy(col(groupCol), col(sourceCol))
+      .agg(count(lit(1)).as("c")).limit(MaxStrata + 1).collect()
+    require(cellRows.length <= MaxStrata,
+      s"temperatureMixtureByGroup: more than $MaxStrata group×source " +
+        "cells — group/source look id-like, not labels")
+    val cells = cellRows
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val groups = cells.keySet.map(_._1)
+    val missing = for {
+      g <- groups.toSeq.sorted; s <- sources if !cells.contains((g, s))
+    } yield s"$g/$s"
+    require(missing.isEmpty,
+      s"temperatureMixtureByGroup: weighted cells absent from the " +
+        s"corpus: ${missing.mkString(", ")} — those groups' target " +
+        "proportions are unachievable")
+    val plan = groups.toSeq.sorted.flatMap { g =>
+      val w = sources.map { s =>
+        val c = cells((g, s)).toDouble
+        s -> (if (alpha == 0.5) math.sqrt(c) else math.pow(c, alpha))
+      }.toMap
+      val m = sources.map(s => cells((g, s)) / w(s)).min
+      sources.map(s =>
+        (g, s, math.floor(m * w(s)).toLong, cells((g, s))))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val planDf = plan.toDF(groupCol, sourceCol, "__ns", "__cs")
+    val mod = 1000000007L
+    val raw = fingerprint(concat(lit("rebalg:"),
+      coalesce(col(textCol), lit(""))))
+    val fp = pmod(raw * raw, lit(mod))
+    val thr = lit(mod.toDouble) *
+      least(lit(1.0), lit(oversample) * col("__ns") / col("__cs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col(sourceCol))
+    val survivors = in
+      .join(broadcast(planDf), Seq(groupCol, sourceCol))
+      .withColumn("__fp", fp)
+      .filter(col("__fp") < thr)
+    survivors.unionByName(planDf, allowMissingColumns = true)
+      .withColumn("rnk", row_number().over(
+        w.orderBy(col("__fp").asc_nulls_last, col(idCol).asc_nulls_last)))
+      .withColumn("__nsurv", count(col("__fp")).over(w))
+      .where(coalesce(
+        assert_true(col("__nsurv") >= col("__ns"),
+          lit("temperatureMixtureByGroup: a cell's pre-filter kept fewer " +
+            s"than its target count — raise oversample (currently " +
+            s"$oversample)")),
+        lit(true)))
+      .filter(col("__fp").isNotNull && col("rnk") <= col("__ns"))
+      .drop("__fp", "__ns", "__cs", "__nsurv")
+  }
+
   /** Per-source row counts as a driver map — one partial-combined
     * aggregate + a |sources|-bounded collect (NULL sources excluded:
     * they cannot key a weights map, and [[rebalanceMixture]] drops

@@ -824,6 +824,23 @@ object PipelineQueries {
       .select(col("source"), col("rnk"), col("doc_id"))
   }
 
+  /** Grouped temperature mixture ([[TextOps.temperatureMixtureByGroup]]
+    * at alpha = 0.5): q83 flattens the GLOBAL source skew; this
+    * rebalances each language independently — per-lang sqrt weights,
+    * per-lang binding minimum — the multilingual-pipeline shape where a
+    * scarce language must not starve an abundant one (a composite
+    * lang×source key through the ungrouped rebalance would take ONE
+    * global minimum and do exactly that). Three sources × every fixture
+    * language; the oracle recomputes the per-cell counts, per-group
+    * sqrt weights and binding minimum, and the full per-cell rank
+    * selection in DuckDB.
+    */
+  def q84(s: SparkSession, dir: String): DataFrame =
+    TextOps.temperatureMixtureByGroup(t(s, dir)("documents"), "lang",
+        "source", "doc_id", "text", alpha = 0.5,
+        sources = Seq("src1", "src2", "src3"))
+      .select(col("lang"), col("source"), col("rnk"), col("doc_id"))
+
   /** Session-cached learned merge table for the subword-packing query —
     * the [[storedIvf]] pattern for the tokenizer artifact: production
     * learns the table once per corpus version and every export pass
@@ -974,6 +991,7 @@ object PipelineQueries {
     "q81_curate_export"   -> (q81 _),
     "q82_subword_pack"    -> (q82 _),
     "q83_temperature_mix" -> (q83 _),
+    "q84_grouped_temperature_mix" -> (q84 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -1668,6 +1686,31 @@ FROM o"""
                FROM f)
        SELECT r.source, r.rnk, r.doc_id
        FROM r JOIN pl USING (source) WHERE r.rnk <= pl.ns""",
+    "q84_grouped_temperature_mix" ->
+      """WITH e AS (SELECT lang, source, doc_id, text FROM documents
+               WHERE source IN ('src1','src2','src3') AND lang IS NOT NULL),
+         c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+               FROM e GROUP BY lang, source),
+         wt AS (SELECT lang, source, c, sqrt(c) AS w FROM c),
+         m AS (SELECT lang, min(c / w) AS m FROM wt GROUP BY lang),
+         pl AS (SELECT wt.lang, wt.source,
+                  CAST(floor(m.m * wt.w) AS BIGINT) AS ns
+                FROM wt JOIN m USING (lang)),
+         f AS (SELECT lang, source, doc_id,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(
+                       range(1, length('rebalg:' || COALESCE(text, '')) + 1),
+                       i -> CAST(unicode(substr('rebalg:' || COALESCE(text, ''),
+                         CAST(i AS INT), 1)) AS BIGINT))),
+                   (a, b) -> (a*31 + b) % 1000000007) AS raw
+               FROM e),
+         r AS (SELECT lang, source, doc_id,
+                 row_number() OVER (PARTITION BY lang, source
+                   ORDER BY (raw * raw) % 1000000007, doc_id) AS rnk
+               FROM f)
+       SELECT r.lang, r.source, r.rnk, r.doc_id
+       FROM r JOIN pl USING (lang, source) WHERE r.rnk <= pl.ns""",
     // q80's structural gate: the Spark side computes the shape booleans
     // (topK distinct in-corpus docs per query, all queries present); the
     // oracle pins the expected shape — recall quality is q77's gate

@@ -1470,6 +1470,45 @@ class OpsSpec extends SparkSpec {
     assert(natural === Map("A" -> 8L, "B" -> 2L))
   }
 
+  test("temperatureMixtureByGroup: per-group binding minimum, hand-computed") {
+    // group A: src1=4, src2=1 → sqrt weights (2,1), m_A = min(4/2,1/1)=1
+    //   → targets (2,1) — 4:1 flattened to 2:1, the α=0.5 law per group.
+    // group B: src1=9, src2=9 → already balanced, m_B=3 → targets (9,9).
+    // The per-group minimum is the POINT: a global minimum (composite-key
+    // reuse of rebalanceMixture) would be m=1 and cut B to (3,3),
+    // starving the abundant group because of A's scarce cell.
+    val docs = (
+      (1 to 4).map(i => (i.toLong, "A", "src1", s"a one $i")) ++
+      Seq((5L, "A", "src2", "a two")) ++
+      (10 to 18).map(i => (i.toLong, "B", "src1", s"b one $i")) ++
+      (20 to 28).map(i => (i.toLong, "B", "src2", s"b two $i")))
+      .toDF("doc_id", "lang", "source", "text")
+    val got = TextOps.temperatureMixtureByGroup(docs, "lang", "source",
+        "doc_id", "text", alpha = 0.5, sources = Seq("src1", "src2"))
+      .groupBy("lang", "source").count()
+      .as[(String, String, Long)].collect()
+      .map { case (l, s, c) => (l, s) -> c }.toMap
+    assert(got === Map(("A", "src1") -> 2L, ("A", "src2") -> 1L,
+      ("B", "src1") -> 9L, ("B", "src2") -> 9L))
+    // a group missing a weighted source fails loudly — its proportions
+    // are unachievable, exactly like the ungrouped missing-source case
+    val holed = docs.unionByName(
+      Seq((99L, "C", "src1", "c only")).toDF("doc_id", "lang", "source", "text"))
+    val e = intercept[IllegalArgumentException] {
+      TextOps.temperatureMixtureByGroup(holed, "lang", "source",
+        "doc_id", "text", alpha = 0.5, sources = Seq("src1", "src2"))
+    }
+    assert(e.getMessage.contains("C/src2"))
+    // alpha=1 keeps the natural mix (weights ∝ counts → every cell whole)
+    val natural = TextOps.temperatureMixtureByGroup(docs, "lang", "source",
+        "doc_id", "text", alpha = 1.0, sources = Seq("src1", "src2"))
+      .groupBy("lang", "source").count()
+      .as[(String, String, Long)].collect()
+      .map { case (l, s, c) => (l, s) -> c }.toMap
+    assert(natural === Map(("A", "src1") -> 4L, ("A", "src2") -> 1L,
+      ("B", "src1") -> 9L, ("B", "src2") -> 9L))
+  }
+
   test("bpeMerges: Sennrich merges on a planted corpus, hand-computed") {
     // the classic low/lower/newest/widest corpus — word counts
     // low:5 lower:2 widest:3 newest:7; merge sequence hand-verified

@@ -112,6 +112,18 @@ object GraftSession {
             graft.expr.VecNearest(children(0), children(1))
           }))
         ext.injectFunction((
+          FunctionIdentifier("vec_nearest_k"),
+          new ExpressionInfo(classOf[graft.expr.VecNearestK].getName,
+            "vec_nearest_k"),
+          (children: Seq[Expression]) => {
+            require(children.length == 3,
+              s"vec_nearest_k requires exactly 3 arguments, got ${children.length}")
+            require(children(2).foldable,
+              "vec_nearest_k: k must be a literal integer")
+            graft.expr.VecNearestK(children(0), children(1),
+              children(2).eval().asInstanceOf[Number].intValue())
+          }))
+        ext.injectFunction((
           FunctionIdentifier("srp_bucket"),
           new ExpressionInfo(classOf[graft.expr.SrpBucket].getName,
             "srp_bucket"),

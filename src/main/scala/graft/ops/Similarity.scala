@@ -549,4 +549,77 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
   }
+
+  /** Exact all-pairs cosine at `threshold` — the brute-force comparator.
+    * O(n²) BY DESIGN: this is the verify/gate side that approximate pair
+    * generators ([[nearDupPairs]], [[semanticPairs]]) are measured
+    * against (the q45 exact-Jaccard precedent), never the production
+    * path. The self-join is an explicit cross product; fine at gate
+    * scale, a deliberate scale-killer beyond it.
+    */
+  def exactCosinePairs(corpus: DataFrame, threshold: Double,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    c.select(col("id").as("a_id"), col("v").as("va"))
+      .crossJoin(c.select(col("id").as("b_id"), col("v").as("vb")))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs: cluster the corpus
+    * with the SAME sample-fitted coarse quantizer IVF uses ([[fitIvf]] —
+    * driver Lloyd on an nlist×64 hash-least sample, zero corpus shuffles
+    * in the fit), then compare vectors ONLY within each cell and keep
+    * pairs at cosine ≥ `threshold`. The SemDeDup observation (Abbas et
+    * al. 2023): semantic duplicates are by definition close in embedding
+    * space, so they land in the same k-means cell and all-pairs work
+    * collapses from O(n²) to Σ|cell|² ≈ n²/nlist — with the √n
+    * auto-nlist, O(n^1.5) total spread over nlist-way parallelism.
+    *
+    * Boundary recall via MULTI-PROBE assignment (`probes`, default 2):
+    * each vector lands in its `probes` nearest cells (the native
+    * [[graft.expr.VecNearestK]] codegen loop — one pass over the
+    * centers literal, k-sized insertion selection), so a pair straddling
+    * a cell boundary still collides in one side's runner-up cell —
+    * IVF's nprobe trade applied to candidate generation. Candidate
+    * volume scales ×probes² in the worst case and the recall gate (q87)
+    * measures what it buys on the ADVERSARIAL case (near-random fixture
+    * vectors, threshold 0.4 — barely-correlated pairs with no cluster
+    * structure): recall 0.39–0.54 single-probe → 0.86 two-probe → 0.97
+    * three-probe at sf0.01 (0.28→0.61→0.86 at sf0.1, nlist=16).
+    * Planted-cluster recall — the actual SemDeDup regime, thresholds
+    * ≥0.9 sitting far inside cells — is pinned ≥0.9 by OpsSpec.
+    *
+    * Per-cell candidate generation reuses the capped LSH bucket
+    * machinery ([[graft.ops.Dedup.bucketPairs]]): a degenerate cell
+    * (mass duplication collapsing an entire corpus region onto one
+    * centroid) hits the `maxCell` tombstone and costs O(maxCell), not
+    * O(|cell|²) — same guard, same loud trade as text LSH. Vectors join
+    * back onto the surviving distinct id pairs only.
+    *
+    * Output (a_id, b_id, sim), a_id < b_id — composes with
+    * [[graft.ops.Dedup.survivors]] / [[graft.ops.Dedup.survivorsByQuality]]
+    * for the keep-one / keep-best drop decision.
+    */
+  def semanticPairs(corpus: DataFrame, threshold: Double, nlist: Int = 0,
+                    iters: Int = 5, probes: Int = 2, maxCell: Int = 10000,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding", n: Long = 0L): DataFrame = {
+    require(probes >= 1, s"semanticPairs needs probes >= 1, got $probes")
+    val index = fitIvf(corpus, nlist, iters, idCol, vecCol, n)
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cells = c.select(col("id"),
+      explode(call_function("vec_nearest_k", asDouble(col("v")),
+        typedLit(index.centersArray.toSeq), lit(probes))).as("cluster"))
+    val cand = Dedup.bucketPairs(cells, Seq("cluster"), maxCell)
+    cand
+      .join(c.select(col("id").as("a_id"), col("v").as("va")), Seq("a_id"))
+      .join(c.select(col("id").as("b_id"), col("v").as("vb")), Seq("b_id"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
+  }
 }

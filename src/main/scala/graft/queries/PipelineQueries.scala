@@ -841,6 +841,62 @@ object PipelineQueries {
         sources = Seq("src1", "src2", "src3"))
       .select(col("lang"), col("source"), col("rnk"), col("doc_id"))
 
+  /** Keep-best-per-cluster canonical selection
+    * ([[Dedup.survivorsByQuality]]) — the production curation rule: of
+    * each transitive near-dup cluster (the shared [[verifiedPairs]] set,
+    * like q39/q46), the HIGHEST-[[TextOps.qualityScore]] member survives
+    * (ties to the smaller doc_id), vs q39's keep-smallest-id greedy. The
+    * oracle replays the WHOLE chain in DuckDB: shingle-Jaccard pairs,
+    * recursive-CTE connected components, the quality expression, the
+    * per-cluster (q desc, id) argmax, and the final anti-join.
+    */
+  def q85(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    Dedup.survivorsByQuality(docs, "doc_id", verifiedPairs(s, dir),
+        TextOps.qualityScore(col("text")))
+      .select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
+  }
+
+  /** Intra-document repetition removal ([[Dedup.intraDocDedup]] at word
+    * grain): within each doc, every repeated unit is dropped after its
+    * first occurrence IN THAT DOC — the in-page boilerplate cleanup,
+    * distinct from q62's corpus-wide first-occurrence rule. The plan is
+    * scan → project with ZERO exchanges (PlanSpec-pinned): pure
+    * higher-order array functions, per-doc bounded work, full scan
+    * bandwidth at any corpus size. The oracle rebuilds every surviving
+    * string with DuckDB's index-aware list_filter.
+    */
+  def q86(s: SparkSession, dir: String): DataFrame =
+    Dedup.intraDocDedup(t(s, dir)("documents"), "doc_id", "text", sep = " ")
+
+  /** SemDeDup-style semantic dedup pairs ([[Similarity.semanticPairs]]):
+    * k-means-cell-bounded cosine pairs with the default two-probe
+    * assignment, self-gated (the q29/q51 posture) against the exact
+    * all-pairs comparator [[Similarity.exactCosinePairs]] inside the
+    * query. This fixture is the ADVERSARIAL case — near-random vectors,
+    * threshold 0.4 barely above the 0.51 corpus max, no cluster
+    * structure — and two-probe still measures recall 0.86 (single-probe
+    * 0.39; floor 0.5 leaves margin); OpsSpec pins ≥0.9 with zero false
+    * positives on planted clusters, the actual SemDeDup regime. The
+    * oracle pins the exact-side pair count (DuckDB all-pairs cosine)
+    * and the gate boolean.
+    */
+  def q87(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir)("embeddings")
+    val approx = Similarity.semanticPairs(emb, threshold = 0.4, nlist = 16)
+      .select(col("a_id"), col("b_id"))
+    val exact = Similarity.exactCosinePairs(emb, threshold = 0.4)
+      .select(col("a_id"), col("b_id"))
+    val nHits = approx.join(exact, Seq("a_id", "b_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    nExact.crossJoin(nHits)
+      .select(col("n_exact"),
+        (col("n_exact") === 0 ||
+          col("n_hits").cast("double") / col("n_exact") >= 0.5)
+          .as("recall_ok"))
+  }
+
   /** Session-cached learned merge table for the subword-packing query —
     * the [[storedIvf]] pattern for the tokenizer artifact: production
     * learns the table once per corpus version and every export pass
@@ -992,6 +1048,9 @@ object PipelineQueries {
     "q82_subword_pack"    -> (q82 _),
     "q83_temperature_mix" -> (q83 _),
     "q84_grouped_temperature_mix" -> (q84 _),
+    "q85_keepbest_survivors" -> (q85 _),
+    "q86_intradoc_dedup"  -> (q86 _),
+    "q87_semantic_dedup"  -> (q87 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -1711,6 +1770,64 @@ FROM o"""
                FROM f)
        SELECT r.lang, r.source, r.rnk, r.doc_id
        FROM r JOIN pl USING (lang, source) WHERE r.rnk <= pl.ns""",
+    // q85: q46's recursive-component CTE + q49's quality expression +
+    // the per-cluster (q desc, id) argmax + the survivor anti-join —
+    // every drop decision recomputed end to end
+    "q85_keepbest_survivors" ->
+      """WITH RECURSIVE
+       w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       s AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w)-1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+             FROM w),
+       p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             FROM s a JOIN s b ON a.doc_id < b.doc_id
+             WHERE len(a.sh) > 0 AND len(b.sh) > 0
+               AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(a.sh || b.sh)) >= 0.5),
+       e AS (SELECT a_id AS src, b_id AS dst FROM p
+             UNION ALL SELECT b_id, a_id FROM p),
+       reach AS (
+         SELECT src AS id, src AS r FROM e
+         UNION
+         SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+       cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+       qs AS (SELECT doc_id, round((
+                least(CAST(len(string_split(text, ' ')) AS DOUBLE)/50.0, 1.0)
+                + least(CAST(len(list_filter(string_split(text, ' '),
+                    x -> x IN ('the','a','an','of','and','is','to')))
+                    AS DOUBLE)
+                  / greatest(len(string_split(text, ' ')), 1) * 5.0, 1.0)
+                ) / 2.0, 4) AS q
+              FROM documents),
+       rk AS (SELECT cl.id,
+                row_number() OVER (PARTITION BY cl.cluster
+                  ORDER BY qs.q DESC, cl.id) AS rn
+              FROM cl JOIN qs ON cl.id = qs.doc_id),
+       losers AS (SELECT id FROM rk WHERE rn > 1)
+       SELECT d.doc_id, qs.q
+       FROM documents d JOIN qs ON qs.doc_id = d.doc_id
+       WHERE d.doc_id NOT IN (SELECT id FROM losers)""",
+    // q86: DuckDB's index-aware list_filter (1-based i) mirrors Spark's
+    // 0-based filter + array_position first-occurrence rule exactly
+    "q86_intradoc_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents)
+       SELECT doc_id,
+              CAST(len(ws) AS INT) AS n_units,
+              CAST(len(list_filter(ws,
+                (u, i) -> list_position(ws, u) = i)) AS INT) AS n_kept,
+              array_to_string(list_filter(ws,
+                (u, i) -> list_position(ws, u) = i), ' ') AS text_intra
+       FROM w""",
+    // q87: like q29/q51 the approximate side self-gates inside the
+    // query; the oracle pins the EXACT all-pairs count (recomputed in
+    // DuckDB) and the gate boolean
+    "q87_semantic_dedup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+               CAST(b.embedding AS DOUBLE[])) >= 0.4""",
     // q80's structural gate: the Spark side computes the shape booleans
     // (topK distinct in-corpus docs per query, all queries present); the
     // oracle pins the expected shape — recall quality is q77's gate

@@ -1611,4 +1611,97 @@ class OpsSpec extends SparkSpec {
       .orderBy("pos").select("n_tokens").as[Long].collect().toSeq
     assert(ws === Seq(2L, 1L, 1L))
   }
+
+  test("survivorsByQuality keeps the best-scoring member of each cluster") {
+    // chain 1-2-3 is ONE transitive cluster; 4 and 5 are unclustered
+    val docs = Seq(
+      (1L, 0.3), (2L, 0.9), (3L, 0.5), (4L, 0.1), (5L, 0.7))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val kept = Dedup.survivorsByQuality(docs, "doc_id", pairs, col("score"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // doc 2 has the cluster's best score; keep-first would keep doc 1
+    assert(kept === Seq(2L, 4L, 5L))
+  }
+
+  test("survivorsByQuality breaks score ties by the smaller id") {
+    val docs = Seq((7L, 0.5), (3L, 0.5), (9L, 0.5)).toDF("doc_id", "score")
+    val pairs = Seq((3L, 7L), (7L, 9L)).toDF("a_id", "b_id")
+    val kept = Dedup.survivorsByQuality(docs, "doc_id", pairs, col("score"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept === Seq(3L))
+  }
+
+  test("intraDocDedup drops only WITHIN-doc repeats, keeps cross-doc shares") {
+    val docs = Seq(
+      (1L, "a b a c b"),  // within-doc repeats of a and b drop
+      (2L, "a c"),        // 'a'/'c' also in doc 1 — corpus-wide sharing is untouched
+      (3L, null.asInstanceOf[String])) // null text = empty text, row kept
+      .toDF("doc_id", "text")
+    val out = Dedup.intraDocDedup(docs, "doc_id", "text", sep = " ")
+      .orderBy("doc_id").as[(Long, Int, Int, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 5, 3, "a b c"),
+      (2L, 2, 2, "a c"),
+      (3L, 1, 1, "")))
+  }
+
+  test("intraDocDedup takes regex-special separators literally") {
+    val docs = Seq((1L, "x.y.x.z")).toDF("doc_id", "text")
+    val out = Dedup.intraDocDedup(docs, "doc_id", "text", sep = ".")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(out === Seq((1L, 4, 3, "x.y.z")))
+  }
+
+  /** Three tight clusters + far-apart noise: the planted-cluster corpus
+    * the SemDeDup regime actually sees (duplicates ≈ identical vectors,
+    * thresholds ≥ 0.9). */
+  private def plantedClusters(): org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    val centers = Seq.tabulate(3)(c =>
+      Array.tabulate(dim)(i => if (i % 3 == c) 10f else 1f))
+    val members = for {
+      (ctr, c) <- centers.zipWithIndex
+      j <- 0 until 4
+    } yield (c * 10L + j,
+      ctr.map(x => x + rnd.nextFloat() * 0.05f).toSeq)
+    val noise = Seq.tabulate(6)(j =>
+      (100L + j, Array.tabulate(dim)(_ => rnd.nextFloat() * 2 - 1).toSeq))
+    (members ++ noise).toDF("vec_id", "embedding")
+  }
+
+  test("semanticPairs: >=0.9 recall, zero false positives on planted clusters") {
+    val emb = plantedClusters()
+    val exact = Similarity.exactCosinePairs(emb, threshold = 0.95)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 10, s"fixture must plant pairs, got ${exact.size}")
+    val found = Similarity.semanticPairs(emb, threshold = 0.95, nlist = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // every reported pair is exact-verified in-operator → no false positives
+    assert(found.subsetOf(exact), (found -- exact).toString)
+    assert(found.size >= math.ceil(exact.size * 0.9).toInt,
+      s"recall ${found.size}/${exact.size}")
+  }
+
+  test("semanticPairs: two-probe candidates are a superset of single-probe") {
+    val emb = plantedClusters()
+    val one = Similarity.semanticPairs(emb, threshold = 0.9, nlist = 4,
+      probes = 1).select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val two = Similarity.semanticPairs(emb, threshold = 0.9, nlist = 4,
+      probes = 2).select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // the first probe cell is identical, so probes=2 only ADDS candidates
+    assert(one.subsetOf(two), (one -- two).toString)
+  }
+
+  test("semanticPairs: a degenerate cell hits the maxCell tombstone, no blowup") {
+    // every vector identical → one cell holds everything; cap at 3 →
+    // the cell tombstones and the operator returns cleanly (recall
+    // traded loudly, the bucketPairs contract)
+    val emb = Seq.tabulate(10)(i => (i.toLong, Seq.fill(4)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticPairs(emb, threshold = 0.9, nlist = 4,
+      probes = 1, maxCell = 3)
+    assert(out.count() === 0L)
+  }
 }

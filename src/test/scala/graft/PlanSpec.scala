@@ -289,6 +289,15 @@ class PlanSpec extends SparkSpec {
     assert("""- Exchange \(\d+\)""".r.findAllIn(plan).size === 2, plan)
   }
 
+  test("q86: intra-doc dedup is scan -> project, ZERO exchanges") {
+    val plan = planOf("q86_intradoc_dedup")
+    // the whole operator is per-row higher-order-function work: nothing
+    // may shuffle, aggregate, or window — full scan bandwidth at 100 TB
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(plan.contains("Scan parquet") || plan.contains("FileScan"), plan)
+  }
+
   test("q08: both filters sit below the joins") {
     val optimized = SparkEntry.queries("q08_join_3way")(spark, sfDir)
       .queryExecution.optimizedPlan.toString

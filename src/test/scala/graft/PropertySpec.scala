@@ -498,4 +498,28 @@ class PropertySpec extends SparkSpec {
       assert(t >= 0.0 && t <= 1.0, s"top2gram_frac=$t for '$text'")
     }
   }
+
+  test("vec_nearest_k == reference argsort prefix; k=1 head == vec_nearest") {
+    // native insertion selection vs a plain Scala sort on the SAME
+    // left-to-right distance sums (bit-identical arithmetic), ties to
+    // the lower index on both sides
+    val vec = Gen.listOfN(4, Gen.choose(-5.0, 5.0))
+    val gen = Gen.zip(Gen.listOfN(6, vec), Gen.listOfN(5, vec))
+    check(gen, n = 8) { case (vs, cs) =>
+      val csLit = typedLit(cs.map(_.toSeq))
+      val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+        .select(col("id"),
+          call_function("vec_nearest", col("v"), csLit).as("n1"),
+          call_function("vec_nearest_k", col("v"), csLit, lit(3)).as("nk"))
+        .orderBy("id").collect()
+      rows.zip(vs).foreach { case (r, v) =>
+        def d2(c: Seq[Double]): Double =
+          v.zip(c).foldLeft(0.0) { case (a, (x, y)) => a + (x - y) * (x - y) }
+        val ref = cs.indices.sortBy(i => (d2(cs(i)), i)).take(3)
+        assert(r.getSeq[Int](2) === ref)
+        assert(r.getInt(1) === ref.head)
+      }
+    }
+  }
 }

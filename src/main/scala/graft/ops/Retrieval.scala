@@ -152,4 +152,62 @@ object Retrieval {
       .filter(col("rnk") <= topK)
       .select(col("query_id"), col("rnk"), col("doc_id"), col("rrf"))
   }
+
+  /** Passage-grain retrieval with MaxP document aggregation (the public
+    * Dai & Callan 2019 recipe): split every document into sliding-window
+    * chunks ([[TextOps.chunk]] — window/overlap in `\s+` words), rank
+    * CHUNKS against the queries with [[bm25TopK]], then score each
+    * document by its best chunk (`max` over its chunks in the per-query
+    * top-`chunkPool`) and re-rank documents. Long documents stop hiding
+    * their one relevant passage behind a diluted whole-document term
+    * frequency — the reason passage-grain is the standard at retrieval
+    * scale.
+    *
+    * The MaxP pool is explicitly the per-query chunk top-`chunkPool`
+    * (bounded), not all chunks: a doc whose best chunk misses the pool
+    * scores nothing, exactly like every other top-k retrieval cut here.
+    * Chunk ids are `"<doc>#<idx>"` strings only inside this composition
+    * (BM25's tie-break on them is deterministic bytewise in any engine);
+    * the output speaks doc ids.
+    *
+    * Scale shape: chunking is one scan (output-sized, no shuffle),
+    * BM25 over chunks keeps its single restricted-postings shuffle —
+    * the chunk explosion multiplies rows by ~n/stride but each chunk is
+    * window-bounded, so postings volume stays ~(1 + overlap/stride)× the
+    * doc-grain volume — and everything after the chunk ranking is
+    * queries × chunkPool rows.
+    *
+    * Output: `(query_id, rnk, doc_id, maxp)` — top `topK` docs per
+    * query, rnk 1..topK by (maxp desc, doc_id asc).
+    */
+  def maxPassageTopK(docs: DataFrame, queries: DataFrame,
+                     docId: String = "doc_id", textCol: String = "text",
+                     queryId: String = "query_id",
+                     queryTextCol: String = "qtext",
+                     window: Int = 200, overlap: Int = 20,
+                     chunkPool: Int = 10, topK: Int = 3,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(chunkPool >= topK,
+      s"maxPassageTopK: chunkPool ($chunkPool) must cover topK ($topK)")
+    val chunks = TextOps.chunk(docs.select(col(docId), col(textCol)),
+        docId, textCol, window, overlap)
+      .select(concat(col("doc_id").cast("string"), lit("#"),
+        col("chunk_idx").cast("string")).as("chunk_id"),
+        col("chunk_text"))
+    val chunkRank = bm25TopK(chunks, queries, docId = "chunk_id",
+      textCol = "chunk_text", queryId = queryId,
+      queryTextCol = queryTextCol, topK = chunkPool, k1 = k1, b = b)
+    val docScore = chunkRank
+      .withColumn("doc_id", split(col("chunk_id"), "#").getItem(0)
+        .cast(docs.schema(docId).dataType))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(max(col("bm25")).as("maxp"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("maxp").desc, col("doc_id").asc)
+    docScore
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("rnk"),
+        col("doc_id").as(docId), col("maxp"))
+  }
 }

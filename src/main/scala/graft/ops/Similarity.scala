@@ -56,6 +56,44 @@ object Similarity {
     TopK.perQuery(scored, k)
   }
 
+  /** Hard-negative mining for retrieval/metric training (the public
+    * DPR/contrastive-learning recipe, Karpukhin et al. 2020): for each
+    * query vector, the top-`k` most cosine-similar corpus vectors whose
+    * label DIFFERS from the query's — the near-misses a contrastive loss
+    * learns the most from — excluding anything at or above `dupCeil`
+    * similarity (a near-duplicate of the query with a different label is
+    * a labeling error or a leaked duplicate, not a negative; training on
+    * it teaches the model to split identical points).
+    *
+    * Same exact-scan shape as [[bruteForceTopK]]: the query side (with
+    * its labels) is broadcast, the corpus is scanned once with the
+    * label-mismatch predicate fused into the join condition (so
+    * same-label pairs are never even scored), and ranking is the
+    * shuffle-bounded [[TopK]] partial top-k — k × partitions rows per
+    * query cross the wire, no corpus sort. The ANN variants
+    * ([[lshTopK]]/[[probeIvf]]) remain the 100 TB candidate generators;
+    * this is the exact operator and the gate they'd be measured against.
+    *
+    * Output: `(qid, rank, nid, sim)`, rank 1..k by (sim desc, nid asc).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label",
+                    dupCeil: Double = 0.95): DataFrame = {
+    require(k > 0, s"hardNegatives: k must be positive, got $k")
+    require(dupCeil > 0,
+      s"hardNegatives: dupCeil must be positive, got $dupCeil")
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"),
+      col(labelCol).as("__nl"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      col(labelCol).as("__ql"))
+    val scored = c.join(broadcast(q),
+        col("nid") =!= col("qid") && col("__nl") =!= col("__ql"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .filter(col("sim") < dupCeil)
+    TopK.perQuery(scored, k)
+  }
+
   /** Sign-random-projection bucket id: `bits` seeded Rademacher (±1)
     * hyperplanes, bucket = the sign bit pattern. A native Catalyst
     * expression ([[graft.expr.SrpBucket]], registered by GraftSession) —

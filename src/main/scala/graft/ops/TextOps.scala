@@ -1495,4 +1495,108 @@ object TextOps {
       maxGramDocFreq = contamMaxGramDocFreq)
     clean.withColumn("split", splitAssign(col(textCol)))
   }
+
+  /** Per-(doc, feature-bucket) token counts plus the doc's membership
+    * flag — the corpus-pass shape both halves of [[importanceSelect]]
+    * derive from. Features are hashed unigrams: bucket =
+    * `portable_fingerprint(token) mod numBuckets` (the engine-portable
+    * poly-31 hash every content-keyed operator here uses), so the
+    * feature space is a fixed `numBuckets`-dim histogram regardless of
+    * vocabulary size — the dimensionality cap that makes the method
+    * corpus-size-free downstream of this single explode.
+    */
+  private def bucketCounts(df: DataFrame, idCol: String, textCol: String,
+                           isTarget: Column, numBuckets: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), isTarget.as("is_t"),
+        explode(tokens(col(textCol))).as("__term"))
+      .select(col("doc_id"), col("is_t"),
+        pmod(fingerprint(col("__term")), lit(numBuckets.toLong)).as("bucket"))
+      .groupBy(col("doc_id"), col("is_t"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** DSIR-style data selection via importance weighting (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023 — public): pick from the RAW pool the `n` documents
+    * whose hashed-unigram distribution looks most like a small TARGET
+    * (high-quality) corpus. Both distributions are `numBuckets`-bin
+    * histograms of `portable_fingerprint(token) mod numBuckets`;
+    * add-`alpha` smoothing keeps unseen buckets finite; a raw doc's log
+    * importance weight is the standard bag-of-features log-likelihood
+    * ratio
+    * `Σ_b cnt(doc,b) · [ln p̂_target(b) − ln p̂_raw(b)]`
+    * (the paper samples with Gumbel noise; this takes the deterministic
+    * top-`n` by weight — rank desc, ties to the smaller id — so the
+    * result is reproducible and engine-checkable).
+    *
+    * Scale shape: TWO corpus tokenize+explode passes, each ending in a
+    * partial-combined aggregate (≤ numBuckets rows per doc cross the
+    * wire) — one for the class histograms, one for the raw-side doc
+    * scores; Catalyst pushes the raw-only filter below the scoring
+    * pass's aggregate, so the two subtrees deliberately diverge instead
+    * of sharing an exchange (materializing the doc×bucket table to
+    * share it would cost more than the second scan at corpus scale —
+    * the same stats-pass + postings-pass posture as
+    * [[Retrieval.bm25TopK]]). Past those passes everything is bounded:
+    * the log-ratio table is numBuckets rows broadcast back, and the
+    * final top-`n` is a TakeOrdered — no corpus-sized sort or join
+    * anywhere.
+    *
+    * Cross-engine determinism: the per-bucket log-ratio is rounded at
+    * 9 dp, per-doc contributions again at 9 dp, and the final sum at
+    * 4 dp — the repo's round-inside-round pattern (see [[Retrieval]])
+    * that keeps double aggregation hash-stable regardless of summation
+    * order.
+    *
+    * Output: `(rnk, doc_id, dsir)` — the selected raw docs, rnk 1..n by
+    * (dsir desc, doc_id asc). Target docs are the model, never
+    * candidates, and do not appear.
+    */
+  def importanceSelect(df: DataFrame, idCol: String, textCol: String,
+                       isTarget: Column, n: Int,
+                       numBuckets: Int = 256,
+                       alpha: Double = 1.0): DataFrame = {
+    require(n > 0, s"importanceSelect: n must be positive, got $n")
+    require(numBuckets > 0 && alpha > 0,
+      s"importanceSelect: need numBuckets > 0 and alpha > 0, " +
+        s"got numBuckets=$numBuckets alpha=$alpha")
+    val db = bucketCounts(df, idCol, textCol, isTarget, numBuckets)
+
+    // Class histograms + totals, all derived from the bounded db table:
+    // ct/cr = per-bucket token counts of the target/raw class, nt/nr =
+    // class token totals (= Σ over buckets, identically in any engine).
+    val bc = db.groupBy(col("bucket")).agg(
+      sum(when(col("is_t"), col("cnt")).otherwise(0L)).cast("double").as("ct"),
+      sum(when(!col("is_t"), col("cnt")).otherwise(0L)).cast("double").as("cr"))
+    // Class totals as an unbounded window over the numBuckets-row
+    // histogram, NOT bc.agg(...).crossJoin(bc): a separate totals
+    // aggregate duplicates the whole bc subtree in the plan and costs a
+    // THIRD corpus scan (plan-audited). The window is one
+    // SinglePartition pass over ≤ numBuckets rows; its summation order
+    // is irrelevant because the per-bucket counts are integer-valued
+    // doubles, so the sums are exact at any order.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val aB = alpha * numBuckets
+    val lr = bc
+      .withColumn("nt", sum(col("ct")).over(wAll))
+      .withColumn("nr", sum(col("cr")).over(wAll))
+      .select(col("bucket"), round(
+        log((col("ct") + alpha) / (col("nt") + aB)) -
+          log((col("cr") + alpha) / (col("nr") + aB)), 9).as("lr"))
+
+    val scored = db.filter(!col("is_t"))
+      .join(broadcast(lr), "bucket")
+      .withColumn("contrib", round(col("cnt") * col("lr"), 9))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 4).as("dsir"))
+
+    // TakeOrdered cut first (no global single-partition sort of the
+    // corpus-sized score table), then rank the n survivors.
+    val top = scored.orderBy(col("dsir").desc, col("doc_id").asc).limit(n)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dsir").desc, col("doc_id").asc)
+    top.withColumn("rnk", row_number().over(w))
+      .select(col("rnk"), col("doc_id"), col("dsir"))
+  }
 }

@@ -897,6 +897,54 @@ object PipelineQueries {
           .as("recall_ok"))
   }
 
+  /** DSIR-style importance selection ([[TextOps.importanceSelect]]):
+    * src0 is the small high-quality TARGET corpus, every other source is
+    * the raw pool, and the 100 raw docs whose hashed-unigram (256-bucket
+    * poly-31) histogram best matches src0's — by smoothed
+    * log-likelihood-ratio weight — are selected. The oracle recomputes
+    * the ENTIRE method in DuckDB: the per-token portable fingerprint,
+    * the bucket histograms of both classes, the smoothed log-ratio
+    * table, every doc's weight under the round-inside-round contract,
+    * and the final (dsir desc, doc_id) top-100.
+    */
+  def q88(s: SparkSession, dir: String): DataFrame =
+    TextOps.importanceSelect(t(s, dir)("documents"), "doc_id", "text",
+      isTarget = col("source") === "src0", n = 100,
+      numBuckets = 256, alpha = 1.0)
+
+  /** Hard-negative mining ([[Similarity.hardNegatives]]): for each of
+    * the first 10 embeddings, the 5 most cosine-similar vectors with a
+    * DIFFERENT label, excluding near-duplicates (sim ≥ 0.95) — the
+    * contrastive-training negatives a DPR-style retriever trains on.
+    * The oracle replays the label-mismatch filtered all-pairs cosine
+    * ranking in DuckDB (q28's pattern plus the label and ceiling
+    * predicates).
+    */
+  def q89(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir)("embeddings")
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10),
+        k = 5, dupCeil = 0.95)
+      .withColumn("sim", round(col("sim"), 4))
+  }
+
+  /** Passage-grain MaxP retrieval ([[Retrieval.maxPassageTopK]]): q69's
+    * query set (first 5 src0 docs, first 8 words) against the same
+    * corpus, but ranked at CHUNK grain (window 30 / overlap 5 — q60's
+    * chunking parameters) with per-doc best-chunk aggregation over the
+    * chunk top-10 pool. The oracle replays chunking, chunk-grain BM25
+    * (including the bytewise "<doc>#<idx>" tie-break), the MaxP
+    * aggregate, and the doc re-rank end to end in DuckDB.
+    */
+  def q90(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    val queries = docs.filter(col("source") === "src0")
+      .orderBy(col("doc_id")).limit(5)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 8)).as("qtext"))
+    Retrieval.maxPassageTopK(docs.filter(col("source") =!= "src0"), queries,
+      window = 30, overlap = 5, chunkPool = 10, topK = 3)
+  }
+
   /** Session-cached learned merge table for the subword-packing query —
     * the [[storedIvf]] pattern for the tokenizer artifact: production
     * learns the table once per corpus version and every export pass
@@ -1051,6 +1099,9 @@ object PipelineQueries {
     "q85_keepbest_survivors" -> (q85 _),
     "q86_intradoc_dedup"  -> (q86 _),
     "q87_semantic_dedup"  -> (q87 _),
+    "q88_dsir_select"     -> (q88 _),
+    "q89_hard_negatives"  -> (q89 _),
+    "q90_maxp_retrieval"  -> (q90 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -1828,6 +1879,114 @@ FROM o"""
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                CAST(b.embedding AS DOUBLE[])) >= 0.4""",
+    // full DSIR replay: per-token portable fingerprint -> 256-bucket
+    // histograms of both classes -> smoothed log-ratio -> per-doc
+    // round-inside-round weight -> deterministic top-100
+    "q88_dsir_select" ->
+      """WITH tb AS (
+           SELECT doc_id, t,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(term)+1),
+                 i -> CAST(unicode(substr(term, CAST(i AS INT), 1))
+                   AS BIGINT))),
+               (a, b) -> (a*31 + b) % 1000000007) % 256 AS bucket
+           FROM (SELECT doc_id, source = 'src0' AS t,
+                   unnest(regexp_split_to_array(
+                     regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                     '\s+')) AS term
+                 FROM documents)),
+         db AS (SELECT doc_id, t, bucket, CAST(count(*) AS DOUBLE) AS cnt
+                FROM tb GROUP BY 1, 2, 3),
+         bc AS (SELECT bucket,
+                  sum(CASE WHEN t THEN cnt ELSE 0 END) AS ct,
+                  sum(CASE WHEN NOT t THEN cnt ELSE 0 END) AS cr
+                FROM db GROUP BY 1),
+         tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM bc),
+         lr AS (SELECT bucket,
+                  round(ln((ct + 1.0) / (nt + 256.0))
+                      - ln((cr + 1.0) / (nr + 256.0)), 9) AS lr
+                FROM bc CROSS JOIN tot),
+         s AS (SELECT doc_id, round(sum(round(cnt * lr, 9)), 4) AS dsir
+               FROM db JOIN lr USING (bucket) WHERE NOT t GROUP BY 1)
+         SELECT rnk, doc_id, dsir FROM (
+           SELECT doc_id, dsir,
+                  row_number() OVER (ORDER BY dsir DESC, doc_id) AS rnk
+           FROM s) x
+         WHERE rnk <= 100""",
+    // q28's all-pairs cosine ranking plus the label-mismatch and
+    // near-dup-ceiling predicates
+    "q89_hard_negatives" ->
+      """SELECT qid, rank, nid, round(sim, 4) AS sim FROM (
+           SELECT q.vec_id AS qid, c.vec_id AS nid,
+                  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                         CAST(c.embedding AS DOUBLE[])) AS sim,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(
+                               CAST(q.embedding AS DOUBLE[]),
+                               CAST(c.embedding AS DOUBLE[])) DESC,
+                             c.vec_id) AS rank
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+             AND c.label <> q.label
+             AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                   CAST(c.embedding AS DOUBLE[])) < 0.95) t
+         WHERE rank <= 5""",
+    // q60's chunk replay feeding q69's BM25 replay at chunk grain, then
+    // the MaxP best-chunk-per-doc aggregate and the doc re-rank
+    "q90_maxp_retrieval" ->
+      """WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(
+                        regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                        '\s+') AS w
+                    FROM documents WHERE source <> 'src0'),
+         k AS (SELECT doc_id, w,
+                 CASE WHEN len(w) <= 30 THEN 1
+                      ELSE 1 + CAST(ceil((len(w) - 30) / 25.0) AS INT)
+                 END AS nc
+               FROM w),
+         c AS (SELECT CAST(doc_id AS VARCHAR) || '#'
+                        || CAST(i - 1 AS VARCHAR) AS chunk_id,
+                      w[(i-1)*25 + 1 : (i-1)*25 + 30] AS ws
+               FROM k, unnest(range(1, nc + 1)) AS t(i)),
+         q AS (SELECT doc_id AS query_id,
+                 array_to_string(string_split(text, ' ')[1:8], ' ') AS qtext
+               FROM documents WHERE source = 'src0'
+               ORDER BY doc_id LIMIT 5),
+         qt AS (SELECT DISTINCT query_id,
+                  unnest(string_split(qtext, ' ')) AS term FROM q),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                          avg(CAST(len(ws) AS DOUBLE)) AS avgdl FROM c),
+         toks AS (SELECT chunk_id, CAST(len(ws) AS DOUBLE) AS dlen,
+                         unnest(ws) AS term FROM c),
+         tf AS (SELECT chunk_id, term, CAST(count(*) AS DOUBLE) AS tf,
+                       max(dlen) AS dlen
+                FROM toks WHERE term IN (SELECT DISTINCT term FROM qt)
+                GROUP BY 1, 2),
+         dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+                 FROM tf GROUP BY 1),
+         s AS (SELECT qt.query_id, tf.chunk_id,
+                 round(sum(round(
+                   ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+                     * tf.tf * 2.2
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dlen / stats.avgdl)),
+                   9)), 4) AS bm25
+               FROM tf JOIN dfq USING (term) JOIN qt USING (term)
+               CROSS JOIN stats
+               GROUP BY 1, 2),
+         cr AS (SELECT query_id, chunk_id, bm25,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY bm25 DESC, chunk_id) AS crnk
+                FROM s),
+         ds AS (SELECT query_id,
+                  CAST(string_split(chunk_id, '#')[1] AS BIGINT) AS doc_id,
+                  max(bm25) AS maxp
+                FROM cr WHERE crnk <= 10 GROUP BY 1, 2)
+         SELECT query_id, rnk, doc_id, maxp FROM (
+           SELECT query_id, doc_id, maxp,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY maxp DESC, doc_id) AS rnk
+           FROM ds) x
+         WHERE rnk <= 3""",
     // q80's structural gate: the Spark side computes the shape booleans
     // (topK distinct in-corpus docs per query, all queries present); the
     // oracle pins the expected shape — recall quality is q77's gate

@@ -1704,4 +1704,115 @@ class OpsSpec extends SparkSpec {
       probes = 1, maxCell = 3)
     assert(out.count() === 0L)
   }
+
+  // ---- DSIR importance selection ----------------------------------------
+
+  /** The portable poly-31 hash, re-implemented from its published formula
+    * (the PropertySpec native≡HOF law pins the engine side; this copy
+    * pins the TEST's independence from the engine). */
+  private def polyFp(s: String): Long =
+    s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+
+  private def round(v: Double, dp: Int): Double =
+    BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("importanceSelect: exact scores and ranking on a planted corpus") {
+    val target = Seq((1L, "apple apple banana", true),
+      (2L, "apple cherry", true))
+    val raw = Seq((10L, "apple banana cherry", false),
+      (11L, "zebra quux zebra", false),
+      (12L, "apple zebra", false))
+    val df = (target ++ raw).toDF("doc_id", "text", "is_t")
+    val B = 256
+    // independent model of the whole method
+    val bucket = (t: String) => polyFp(t) % B
+    val toks = (s: String) => s.split("\\s+").toSeq
+    val allToks = Seq("apple", "banana", "cherry", "zebra", "quux")
+    assert(allToks.map(bucket).distinct.size === allToks.size,
+      "fixture tokens must not collide in the bucket space")
+    val ct = target.flatMap(d => toks(d._2)).groupBy(bucket)
+      .view.mapValues(_.size.toDouble).toMap
+    val cr = raw.flatMap(d => toks(d._2)).groupBy(bucket)
+      .view.mapValues(_.size.toDouble).toMap
+    val (nt, nr) = (ct.values.sum, cr.values.sum)
+    def lr(b: Long): Double = round(
+      math.log((ct.getOrElse(b, 0.0) + 1.0) / (nt + B)) -
+        math.log((cr.getOrElse(b, 0.0) + 1.0) / (nr + B)), 9)
+    def score(text: String): Double = round(
+      toks(text).groupBy(bucket).map { case (b, ts) =>
+        round(ts.size * lr(b), 9) }.sum, 4)
+    val expected = raw.map(d => (d._1, score(d._2)))
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, s), i) => (i + 1, id, s) }
+
+    val out = TextOps.importanceSelect(df, "doc_id", "text",
+        isTarget = col("is_t"), n = 10, numBuckets = B)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(out === expected)
+    // the target-vocabulary doc must outrank the target-disjoint one
+    val rankOf = out.map(r => r._2 -> r._1).toMap
+    assert(rankOf(10L) < rankOf(11L))
+  }
+
+  test("importanceSelect: top-n cuts at n, target docs never selected") {
+    val df = Seq((1L, "good text", true), (2L, "good words", false),
+      (3L, "other stuff", false), (4L, "more things", false))
+      .toDF("doc_id", "text", "is_t")
+    val out = TextOps.importanceSelect(df, "doc_id", "text",
+      col("is_t"), n = 2).select("doc_id").as[Long].collect().toSet
+    assert(out.size === 2)
+    assert(!out.contains(1L), "target docs are the model, not candidates")
+  }
+
+  // ---- hard-negative mining ---------------------------------------------
+
+  test("hardNegatives: same-label, self, and near-dup-ceiling exclusions") {
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),   // the query itself (self-excluded)
+      (1L, Seq(0.9f, 0.1f, 0f, 0f), 0), // same label → never a negative
+      (2L, Seq(1f, 0f, 0f, 0f), 1),   // diff label but sim 1.0 ≥ ceil
+      (3L, Seq(0.6f, 0.8f, 0f, 0f), 1), // cos 0.6 → rank 1
+      (4L, Seq(0.28f, 0.96f, 0f, 0f), 2), // cos 0.28 → rank 2
+      (5L, Seq(0f, 1f, 0f, 0f), 1))   // cos 0.0 → rank 3
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(corpus,
+        corpus.filter(col("vec_id") === 0L), k = 5, dupCeil = 0.95)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) ===
+      Seq((0L, 1, 3L), (0L, 2, 4L), (0L, 3, 5L)))
+    val sims = out.map(_._4)
+    assert(math.abs(sims(0) - 0.6) < 1e-4, sims.toString)
+    assert(math.abs(sims(1) - 0.28) < 1e-4, sims.toString)
+    assert(math.abs(sims(2) - 0.0) < 1e-6, sims.toString)
+  }
+
+  // ---- passage-grain MaxP retrieval -------------------------------------
+
+  test("maxPassageTopK: equals doc-grain BM25 when every doc fits one chunk") {
+    val docs = Seq((2L, "x y z"), (10L, "x q"), (7L, "p q r"))
+      .toDF("doc_id", "text")
+    val queries = Seq((100L, "x z")).toDF("query_id", "qtext")
+    val maxp = graft.ops.Retrieval.maxPassageTopK(docs, queries,
+        window = 50, overlap = 5, chunkPool = 10, topK = 3)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val bm25 = graft.ops.Retrieval.bm25TopK(docs, queries, topK = 3)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(maxp === bm25)
+  }
+
+  test("maxPassageTopK: a concentrated passage beats terms spread across chunks") {
+    val pad = (n: Int) => Seq.fill(n)("pad").mkString(" ")
+    val docs = Seq(
+      // all three query terms land in ONE tail chunk (words 21..23)
+      (1L, pad(20) + " needle alpha beta"),
+      // one query term per chunk (words 1, 11, 21)
+      (2L, "needle " + pad(9) + " alpha " + pad(9) + " beta"))
+      .toDF("doc_id", "text")
+    val queries = Seq((100L, "needle alpha beta")).toDF("query_id", "qtext")
+    val out = graft.ops.Retrieval.maxPassageTopK(docs, queries,
+        window = 10, overlap = 0, chunkPool = 10, topK = 2)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._2, r._3)) === Seq((1, 1L), (2, 2L)), out.toString)
+    assert(out(0)._4 > out(1)._4, out.toString)
+  }
 }

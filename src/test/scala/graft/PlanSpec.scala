@@ -298,6 +298,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Scan parquet") || plan.contains("FileScan"), plan)
   }
 
+  test("q88: DSIR select — bounded log-ratio broadcast, top-n is a TakeOrdered") {
+    val plan = planOf("q88_dsir_select")
+    // the numBuckets-row log-ratio table must join back as a broadcast
+    // (never a corpus-side shuffle on bucket)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the top-100 cut must not be a global sort of the per-doc scores
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the doc-score and histogram aggregates partial-combine map-side
+    assert(plan.contains("partial_"), plan)
+  }
+
   test("q08: both filters sit below the joins") {
     val optimized = SparkEntry.queries("q08_join_3way")(spark, sfDir)
       .queryExecution.optimizedPlan.toString

@@ -83,7 +83,14 @@ object ScaleProbe {
     // the composed exports: the two-shuffle curation pipeline and the
     // subword-packed variant (BpeEncode's per-row scan cost at 10×
     // corpus under a session-cached learned table)
-    "q81_curate_export", "q82_subword_pack")
+    "q81_curate_export", "q82_subword_pack",
+    // r13 arrivals, the corpus-sized ones: DSIR's two explode+aggregate
+    // passes (histograms + raw-doc scores — cost must track the token
+    // stream, never the bucket join), and MaxP's chunk-grain BM25 (the
+    // chunk explosion multiplies postings ~(1+overlap/stride)×; the
+    // restricted-postings shuffle must stay the only corpus exchange).
+    // q89 shares q28's probed broadcast-scan shape and is query-bounded.
+    "q88_dsir_select", "q90_maxp_retrieval")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -1496,23 +1496,129 @@ object TextOps {
     clean.withColumn("split", splitAssign(col(textCol)))
   }
 
-  /** Per-(doc, feature-bucket) token counts plus the doc's membership
-    * flag — the corpus-pass shape both halves of [[importanceSelect]]
-    * derive from. Features are hashed unigrams: bucket =
+  /** Per-(doc, feature-bucket) token counts — the corpus-pass shape the
+    * DSIR scoring side runs. Features are hashed unigrams: bucket =
     * `portable_fingerprint(token) mod numBuckets` (the engine-portable
     * poly-31 hash every content-keyed operator here uses), so the
     * feature space is a fixed `numBuckets`-dim histogram regardless of
     * vocabulary size — the dimensionality cap that makes the method
     * corpus-size-free downstream of this single explode.
     */
-  private def bucketCounts(df: DataFrame, idCol: String, textCol: String,
-                           isTarget: Column, numBuckets: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"), isTarget.as("is_t"),
+  private def docBucketCounts(df: DataFrame, idCol: String,
+                              textCol: String, numBuckets: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("__term"))
-      .select(col("doc_id"), col("is_t"),
+      .select(col("doc_id"),
         pmod(fingerprint(col("__term")), lit(numBuckets.toLong)).as("bucket"))
-      .groupBy(col("doc_id"), col("is_t"), col("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** A fitted DSIR importance model: the DENSE per-bucket log-likelihood
+    * ratio table (`(bucket, lr)`, exactly `numBuckets` rows — buckets no
+    * corpus token hashed into carry the pure-smoothing ratio, so lookups
+    * are total and a stored model scores ANY future batch without a
+    * missing-bucket case). Fit once per target-corpus version
+    * ([[fitImportanceModel]]), persist ([[saveImportanceModel]] /
+    * [[loadImportanceModel]], tokenizer-scheme-versioned like
+    * [[termFreqs]]), then score each ingest batch for the cost of the
+    * batch's own token pass ([[importanceScore]]) — never a raw-corpus
+    * rescan. The streaming twin
+    * ([[graft.streaming.DocumentStreams.importanceStream]]) applies the
+    * same table at the ingest door.
+    */
+  case class ImportanceModel(lr: DataFrame, numBuckets: Int, alpha: Double)
+
+  /** Fit the DSIR log-ratio model (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023 — public):
+    * hashed-unigram `numBuckets`-bin histograms of the TARGET
+    * (`isTarget`) and RAW (rest) classes, add-`alpha` smoothed into
+    * `lr(b) = ln p̂_target(b) − ln p̂_raw(b)`, rounded at 9 dp (the
+    * cross-engine contract). ONE corpus tokenize+explode ending in a
+    * (class, bucket)-grain partial-combined aggregate — ≤ 2·numBuckets
+    * rows per partition cross the wire; the class totals come from an
+    * unbounded window over the numBuckets-row histogram, NOT a separate
+    * aggregate (which would duplicate the subtree and cost a second
+    * corpus scan — plan-audited), and the summation order is irrelevant
+    * because per-bucket counts are integer-valued doubles, exact at any
+    * order. The histogram is densified against `spark.range(numBuckets)`
+    * so the model is total (see [[ImportanceModel]]).
+    */
+  def fitImportanceModel(df: DataFrame, textCol: String, isTarget: Column,
+                         numBuckets: Int = 256,
+                         alpha: Double = 1.0): ImportanceModel = {
+    require(numBuckets > 0 && alpha > 0,
+      s"fitImportanceModel: need numBuckets > 0 and alpha > 0, " +
+        s"got numBuckets=$numBuckets alpha=$alpha")
+    val bc = df.select(isTarget.as("is_t"),
+        explode(tokens(col(textCol))).as("__term"))
+      .select(col("is_t"),
+        pmod(fingerprint(col("__term")), lit(numBuckets.toLong)).as("bucket"))
+      .groupBy(col("bucket")).agg(
+        sum(when(col("is_t"), 1L).otherwise(0L)).cast("double").as("ct"),
+        sum(when(!col("is_t"), 1L).otherwise(0L)).cast("double").as("cr"))
+    val full = df.sparkSession.range(numBuckets)
+      .select(col("id").as("bucket"))
+      .join(bc, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("ct"), lit(0.0)).as("ct"),
+        coalesce(col("cr"), lit(0.0)).as("cr"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val aB = alpha * numBuckets
+    val lr = full
+      .withColumn("nt", sum(col("ct")).over(wAll))
+      .withColumn("nr", sum(col("cr")).over(wAll))
+      .select(col("bucket"), round(
+        log((col("ct") + alpha) / (col("nt") + aB)) -
+          log((col("cr") + alpha) / (col("nr") + aB)), 9).as("lr"))
+    ImportanceModel(lr, numBuckets, alpha)
+  }
+
+  /** Persist a fitted [[ImportanceModel]] (+ tokenizer-scheme /
+    * numBuckets / alpha meta — the [[saveTermFreqs]] discipline: a model
+    * hashed under one tokenizer or bucket count and probed under another
+    * silently mis-scores every doc, so the mismatch fails loudly at
+    * load).
+    */
+  def saveImportanceModel(m: ImportanceModel, path: String): Unit = {
+    m.lr.write.mode("overwrite").parquet(s"$path/lr")
+    val spark = m.lr.sparkSession
+    import spark.implicits._
+    Seq((TokenizerScheme, m.numBuckets, m.alpha))
+      .toDF("tokenizer_scheme", "num_buckets", "alpha")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Read a stored [[ImportanceModel]]; stale tokenizer scheme fails
+    * loudly here (the [[loadTermFreqs]] contract). */
+  def loadImportanceModel(spark: org.apache.spark.sql.SparkSession,
+                          path: String): ImportanceModel = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val scheme = meta.getAs[Int]("tokenizer_scheme")
+    require(scheme == TokenizerScheme,
+      s"stored importance model at $path uses tokenizer scheme $scheme " +
+        s"but this build produces $TokenizerScheme — refit it")
+    ImportanceModel(spark.read.parquet(s"$path/lr"),
+      meta.getAs[Int]("num_buckets"), meta.getAs[Double]("alpha"))
+  }
+
+  /** Score a document batch under a fitted [[ImportanceModel]]: each
+    * doc's log importance weight
+    * `dsir = Σ_b cnt(doc,b) · lr(b)` under the repo's round-inside-round
+    * contract (9 dp per bucket contribution, 4 dp final). Cost is the
+    * BATCH's own tokenize+explode+aggregate plus a numBuckets-row
+    * broadcast join — the per-ingest-batch number, with no raw-corpus
+    * rescan (the [[Dedup.CorpusIndex]] / [[termFreqs]] lifecycle
+    * posture). Output: `(doc_id, dsir)`, one row per doc with ≥1 token.
+    */
+  def importanceScore(docs: DataFrame, idCol: String, textCol: String,
+                      m: ImportanceModel): DataFrame =
+    docBucketCounts(docs, idCol, textCol, m.numBuckets)
+      .join(broadcast(m.lr), "bucket")
+      .withColumn("contrib", round(col("cnt") * col("lr"), 9))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 4).as("dsir"))
 
   /** DSIR-style data selection via importance weighting (Xie et al.,
     * "Data Selection for Language Models via Importance Resampling",
@@ -1556,41 +1662,8 @@ object TextOps {
                        numBuckets: Int = 256,
                        alpha: Double = 1.0): DataFrame = {
     require(n > 0, s"importanceSelect: n must be positive, got $n")
-    require(numBuckets > 0 && alpha > 0,
-      s"importanceSelect: need numBuckets > 0 and alpha > 0, " +
-        s"got numBuckets=$numBuckets alpha=$alpha")
-    val db = bucketCounts(df, idCol, textCol, isTarget, numBuckets)
-
-    // Class histograms + totals, all derived from the bounded db table:
-    // ct/cr = per-bucket token counts of the target/raw class, nt/nr =
-    // class token totals (= Σ over buckets, identically in any engine).
-    val bc = db.groupBy(col("bucket")).agg(
-      sum(when(col("is_t"), col("cnt")).otherwise(0L)).cast("double").as("ct"),
-      sum(when(!col("is_t"), col("cnt")).otherwise(0L)).cast("double").as("cr"))
-    // Class totals as an unbounded window over the numBuckets-row
-    // histogram, NOT bc.agg(...).crossJoin(bc): a separate totals
-    // aggregate duplicates the whole bc subtree in the plan and costs a
-    // THIRD corpus scan (plan-audited). The window is one
-    // SinglePartition pass over ≤ numBuckets rows; its summation order
-    // is irrelevant because the per-bucket counts are integer-valued
-    // doubles, so the sums are exact at any order.
-    val wAll = org.apache.spark.sql.expressions.Window
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    val aB = alpha * numBuckets
-    val lr = bc
-      .withColumn("nt", sum(col("ct")).over(wAll))
-      .withColumn("nr", sum(col("cr")).over(wAll))
-      .select(col("bucket"), round(
-        log((col("ct") + alpha) / (col("nt") + aB)) -
-          log((col("cr") + alpha) / (col("nr") + aB)), 9).as("lr"))
-
-    val scored = db.filter(!col("is_t"))
-      .join(broadcast(lr), "bucket")
-      .withColumn("contrib", round(col("cnt") * col("lr"), 9))
-      .groupBy(col("doc_id"))
-      .agg(round(sum(col("contrib")), 4).as("dsir"))
-
+    val m = fitImportanceModel(df, textCol, isTarget, numBuckets, alpha)
+    val scored = importanceScore(df.filter(!isTarget), idCol, textCol, m)
     // TakeOrdered cut first (no global single-partition sort of the
     // corpus-sized score table), then rank the n survivors.
     val top = scored.orderBy(col("dsir").desc, col("doc_id").asc).limit(n)

@@ -199,4 +199,68 @@ object DocumentStreams {
       .select(col("new_id"), col("base_id"),
         round(col("jacc"), 4).as("jacc"), col("ts"))
   }
+
+  /** In-flight DSIR importance scoring against a STORED
+    * [[graft.ops.TextOps.ImportanceModel]] — the streaming twin of
+    * [[graft.ops.TextOps.importanceScore]], for routing target-like
+    * documents at the ingest door (keep/boost high-weight docs, shunt
+    * the rest to cold storage) without waiting for the batch selection
+    * pass.
+    *
+    * Shape: completely STATELESS, the [[surprisalStream]] posture — the
+    * model's dense numBuckets-row log-ratio table is a driver-collected
+    * `Array[Double]` indexed directly by bucket (the model is total by
+    * construction, so every token hits a real entry), captured by ONE
+    * scalar UDF that buckets the doc's token array (the same
+    * poly-31-mod-B hash, via the shared
+    * [[graft.expr.PortableFingerprint.polyHash]] — one copy of the
+    * portability-critical arithmetic, so stream and batch cannot
+    * drift), aggregates per-bucket counts in a small hash map, and
+    * applies the batch op's exact round-inside-round contract
+    * (9 dp per bucket contribution, 4 dp final) — so stream and batch
+    * agree EXACTLY on every doc (spec-pinned).
+    *
+    * A NULL text yields NULL scores and the row is KEPT — the stream's
+    * at-the-door contract is to annotate, not silently drop (the batch
+    * explode path drops instead).
+    *
+    * Output: input columns + `n_tokens`, `dsir`.
+    */
+  def importanceStream(docs: DataFrame,
+                       model: TextOps.ImportanceModel): DataFrame = {
+    val b = model.numBuckets
+    val lrArr = new Array[Double](b)
+    val seen = new Array[Boolean](b)
+    model.lr.collect().foreach { r =>
+      val i = r.getLong(0).toInt
+      lrArr(i) = r.getDouble(1)
+      seen(i) = true
+    }
+    require(seen.forall(identity),
+      s"importance model is not dense: ${seen.count(!_)} of $b buckets " +
+        "missing — refit with fitImportanceModel (models are dense by " +
+        "construction; a hand-built table must cover every bucket)")
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val score = udf { toks: Seq[String] =>
+      if (toks == null) None
+      else {
+        val counts = new scala.collection.mutable.HashMap[Int, Long]()
+        toks.foreach { t =>
+          val bucket = (graft.expr.PortableFingerprint.polyHash(t) % b).toInt
+          counts.update(bucket, counts.getOrElse(bucket, 0L) + 1L)
+        }
+        var s = 0.0
+        counts.foreach { case (bucket, cnt) => s += r9(cnt * lrArr(bucket)) }
+        Some((toks.size.toLong, r4(s)))
+      }
+    }
+    docs
+      .withColumn("__sc", score(TextOps.tokens(col("text"))))
+      .withColumn("n_tokens", col("__sc._1"))
+      .withColumn("dsir", col("__sc._2"))
+      .drop("__sc")
+  }
 }

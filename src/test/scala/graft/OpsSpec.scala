@@ -1754,6 +1754,71 @@ class OpsSpec extends SparkSpec {
     assert(rankOf(10L) < rankOf(11L))
   }
 
+  test("importance model lifecycle: save→load round-trips, select ≡ fit+score+rank") {
+    val corpus = Seq((1L, "apple banana", true), (2L, "apple cherry", true),
+      (10L, "apple banana cherry", false), (11L, "zebra quux", false))
+      .toDF("doc_id", "text", "is_t")
+    val m = TextOps.fitImportanceModel(corpus, "text", col("is_t"),
+      numBuckets = 64)
+    // dense by construction: exactly numBuckets rows, every bucket present
+    val buckets = m.lr.select("bucket").as[Long].collect().sorted
+    assert(buckets.toSeq === (0L until 64L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-imp").toString
+    TextOps.saveImportanceModel(m, dir)
+    val loaded = TextOps.loadImportanceModel(spark, dir)
+    assert(loaded.numBuckets === 64 && loaded.alpha === 1.0)
+    val raw = corpus.filter(!col("is_t"))
+    def scores(mm: TextOps.ImportanceModel) =
+      TextOps.importanceScore(raw, "doc_id", "text", mm)
+        .as[(Long, Double)].collect().toMap
+    assert(scores(loaded) === scores(m))
+    // the one-call selection is exactly fit + score + rank
+    val sel = TextOps.importanceSelect(corpus, "doc_id", "text",
+      col("is_t"), n = 10, numBuckets = 64).as[(Int, Long, Double)]
+      .collect().toSeq
+    val expected = scores(m).toSeq.sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, s), i) => (i + 1, id, s) }
+    assert(sel === expected)
+  }
+
+  test("importance model: stale tokenizer scheme is rejected at load") {
+    val corpus = Seq((1L, "x", true), (2L, "y", false))
+      .toDF("doc_id", "text", "is_t")
+    val dir = java.nio.file.Files.createTempDirectory("graft-imp2").toString
+    TextOps.saveImportanceModel(
+      TextOps.fitImportanceModel(corpus, "text", col("is_t")), dir)
+    Seq((99, 256, 1.0)).toDF("tokenizer_scheme", "num_buckets", "alpha")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.loadImportanceModel(spark, dir)
+    }
+    assert(e.getMessage.contains("tokenizer scheme"))
+  }
+
+  test("importanceScore: unseen tokens take the pure-smoothing ratio") {
+    // fit on a corpus, score a doc of tokens the corpus never saw: every
+    // bucket contribution is the dense default ln(α/(nt+αB))−ln(α/(nr+αB))
+    val corpus = Seq((1L, "aa bb", true), (2L, "cc dd cc", false))
+      .toDF("doc_id", "text", "is_t")
+    val B = 64
+    val m = TextOps.fitImportanceModel(corpus, "text", col("is_t"),
+      numBuckets = B)
+    val novel = Seq((50L, "qx wz")).toDF("doc_id", "text")
+    val got = TextOps.importanceScore(novel, "doc_id", "text", m)
+      .as[(Long, Double)].collect().toMap
+    // nt = 2 target tokens, nr = 3 raw tokens; the novel tokens hash to
+    // buckets no corpus token occupies (asserted), so each contributes
+    // the same pure-smoothing default
+    val corpusBuckets = Seq("aa", "bb", "cc", "dd").map(t => polyFp(t) % B)
+    val novelBuckets = Seq("qx", "wz").map(t => polyFp(t) % B)
+    assert(novelBuckets.intersect(corpusBuckets).isEmpty,
+      "fixture tokens must land in empty buckets")
+    val default = round(math.log(1.0 / (2 + B)) - math.log(1.0 / (3 + B)), 9)
+    assert(got(50L) === round(
+      novelBuckets.groupBy(identity)
+        .map { case (_, bs) => round(bs.size * default, 9) }.sum, 4))
+  }
+
   test("importanceSelect: top-n cuts at n, target docs never selected") {
     val df = Seq((1L, "good text", true), (2L, "good words", false),
       (3L, "other stuff", false), (4L, "more things", false))

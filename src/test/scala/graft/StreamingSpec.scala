@@ -494,6 +494,42 @@ class StreamingSpec extends SparkSpec {
     assert(state === 0, s"state rows = $state")
   }
 
+  test("importanceStream scores in-flight docs identically to the batch scorer") {
+    val corpus = Seq((1L, "apple banana", true), (2L, "zebra quux", false),
+      (3L, "apple zebra", false)).toDF("doc_id", "text", "is_t")
+    val model = graft.ops.TextOps.fitImportanceModel(
+      corpus, "text", col("is_t"), numBuckets = 64)
+    val ts = Timestamp.valueOf("2024-01-01 10:00:00")
+    val arriving = Seq(
+      Doc(10L, ts, "en", "apple apple banana"), // target-like
+      Doc(11L, ts, "en", "quux zebra"),         // raw-like
+      Doc(12L, ts, "en", "never seen tokens"))  // all-smoothing buckets
+    val input = MemoryStream[Doc](spark)
+    input.addData(arriving: _*)
+    val q = streaming.DocumentStreams.importanceStream(input.toDF(), model)
+      .select("doc_id", "n_tokens", "dsir")
+      .writeStream.format("memory").queryName("importance")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("importance")
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = graft.ops.TextOps.importanceScore(
+        arriving.toDF().select("doc_id", "text"), "doc_id", "text", model)
+      .join(arriving.toDF().select(col("doc_id"),
+        size(graft.ops.TextOps.tokens(col("text")))
+          .cast("long").as("n_tokens")), "doc_id")
+      .select("doc_id", "n_tokens", "dsir")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed === batch)
+    // the target-like doc must outscore the raw-like doc
+    val byId = streamed.map(r => r._1 -> r._3).toMap
+    assert(byId(10L) > byId(11L), byId.toString)
+    // stateless
+    val state = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal)).sum
+    assert(state === 0, s"state rows = $state")
+  }
+
   test("mapGroupsWithState keeps running per-user counts") {
     val input = MemoryStream[Ev](spark)
     input.addData(ev(7, 0, "click", 1.0), ev(14, 1, "view", 1.0),

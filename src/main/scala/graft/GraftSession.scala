@@ -182,6 +182,19 @@ object GraftSession {
             graft.expr.BpeEncode(children.head,
               flat.grouped(2).map(p => (p(0), p(1))).toSeq)
           }))
+        ext.injectFunction((
+          FunctionIdentifier("dedup_units"),
+          new ExpressionInfo(classOf[graft.expr.DedupUnits].getName,
+            "dedup_units"),
+          (children: Seq[Expression]) => graft.expr.DedupUnits(
+            { require(children.nonEmpty, "dedup_units requires >=1 argument")
+              children.head },
+            children.lift(1).map { c =>
+              require(c.foldable,
+                "dedup_units separator must be a literal string, got " +
+                  s"non-foldable expression $c")
+              String.valueOf(c.eval())
+            }.getOrElse("\n"))))
       }
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")

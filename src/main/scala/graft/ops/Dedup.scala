@@ -136,15 +136,17 @@ object Dedup {
     * [[lineDedup]], which is corpus-wide: here a unit another document
     * also contains is untouched; only self-repeats go.
     *
-    * Scale shape: ZERO shuffles. The whole operator is one per-row
-    * projection over higher-order array functions — split, an
-    * index-aware `filter` keeping position i iff `array_position`
-    * (first 1-based occurrence) says i is the first, and a join-back to
-    * text. Per-doc cost is O(units²) worst case (array_position scans),
-    * bounded by the document's own length — embarrassingly parallel at
-    * any corpus size, no state crosses rows. The plan is scan → project:
-    * at 100 TB this runs at full scan bandwidth with no exchange at all
-    * (PlanSpec-pinned via the q86 gate query).
+    * Scale shape: ZERO shuffles. The whole operator is ONE native
+    * codegen'd expression per row ([[graft.expr.DedupUnits]]: literal
+    * split → insertion-ordered hash set → re-join, O(units) per doc) —
+    * embarrassingly parallel at any corpus size, no state crosses rows.
+    * The plan is scan → project: at 100 TB this runs at full scan
+    * bandwidth with no exchange at all (PlanSpec-pinned via the q86 gate
+    * query). The first cut was the combinator formulation
+    * ([[intraDocDedupHof]], kept as the PropertySpec reference law):
+    * an interpreted index-aware `filter` whose `array_position` rescans
+    * the array per element — O(units²) per doc and outside codegen; the
+    * native swap measured the q86 gate row 2.06 → ~0.3 s min at sf0.1.
     *
     * Output: (idCol, n_units, n_kept, text_intra); NULL text is treated
     * as empty text (one empty unit) so every input id keeps its row —
@@ -152,6 +154,23 @@ object Dedup {
     */
   def intraDocDedup(df: DataFrame, idCol: String, textCol: String,
                     sep: String = "\n"): DataFrame = {
+    val d = call_function("dedup_units",
+      coalesce(col(textCol), lit("")), lit(sep))
+    df.select(col(idCol), d.as("__d"))
+      .select(col(idCol),
+        col("__d.n_units").as("n_units"),
+        col("__d.n_kept").as("n_kept"),
+        col("__d.text_intra").as("text_intra"))
+  }
+
+  /** The combinator formulation of [[intraDocDedup]] — the reference
+    * semantics the PropertySpec native≡HOF law replays (an interpreted
+    * `array_position` rescan per element, O(units²); not the production
+    * path).
+    */
+  private[graft] def intraDocDedupHof(df: DataFrame, idCol: String,
+                                      textCol: String,
+                                      sep: String): DataFrame = {
     val units = split(coalesce(col(textCol), lit("")),
       java.util.regex.Pattern.quote(sep))
     // keep the element at 0-based position i iff the array's FIRST

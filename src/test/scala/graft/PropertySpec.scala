@@ -522,4 +522,21 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("dedup_units == the index-aware filter combinator on arbitrary texts") {
+    // native one-pass hash-set keep-first vs the interpreted
+    // array_position formulation it replaced — including empty units
+    // from leading/trailing/double separators and the empty document
+    val unit = Gen.oneOf("a", "b", "aa", "", "c d")
+    val texts = Gen.listOf(Gen.listOf(unit).map(_.mkString("\n")))
+    check(Gen.zip(texts, Gen.oneOf("\n", " ", "."))) { case (ts, sep) =>
+      val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val native = Dedup.intraDocDedup(df, "doc_id", "text", sep)
+        .as[(Long, Int, Int, String)].collect().toSet
+      val hof = Dedup.intraDocDedupHof(df, "doc_id", "text", sep)
+        .as[(Long, Int, Int, String)].collect().toSet
+      assert(native === hof)
+    }
+  }
 }

@@ -90,7 +90,10 @@ object ScaleProbe {
     // chunk explosion multiplies postings ~(1+overlap/stride)×; the
     // restricted-postings shuffle must stay the only corpus exchange).
     // q89 shares q28's probed broadcast-scan shape and is query-bounded.
-    "q88_dsir_select", "q90_maxp_retrieval")
+    // q91's bigram-key join against the distinct-bigram-bounded table is
+    // the inherent n-gram-LM cost — its growth must track the scored
+    // batch plus the bigram table, never quadratics.
+    "q88_dsir_select", "q90_maxp_retrieval", "q91_stupid_backoff")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

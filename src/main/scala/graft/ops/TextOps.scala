@@ -472,6 +472,97 @@ object TextOps {
         round(avg(col("__nlp")), 4).as("surprisal"))
   }
 
+  /** The corpus adjacent-bigram frequency table `(a, b, cnt)` — the
+    * bigram sibling of [[termFreqs]] (same guard-free shifted-slice zip
+    * as [[bigramAssociations]]), factored out so a reference corpus's
+    * bigram statistics can be computed once, stored like any frequency
+    * artifact, and supplied to [[stupidBackoffSurprisal]]. One
+    * partial-combined aggregate; result is bounded by the corpus's
+    * distinct-bigram count.
+    */
+  def bigramFreqs(df: DataFrame, textCol: String): DataFrame =
+    df.select(tokens(col(textCol)).as("__t"))
+      .select(explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt"))
+
+  /** Stupid Backoff bigram surprisal (Brants et al., "Large Language
+    * Models in Machine Translation", EMNLP 2007 — the public web-scale
+    * scoring recipe): each token scores
+    *
+    *  - `−ln(cnt(w₀)/N)` for the document's first token (unigram),
+    *  - `−ln(cnt(prev,cur)/cnt(prev))` when the reference corpus saw
+    *    the bigram (the conditional MLE),
+    *  - `−ln(α · cnt(cur)/N)` otherwise (backoff, α = 0.4 — the
+    *    published constant; Stupid Backoff uses penalized scores, not
+    *    normalized probabilities, which is exactly why it needs no
+    *    discounting pass and scales to any corpus),
+    *
+    * with unseen unigrams at the singleton floor `cnt = 1` (the
+    * [[unigramSurprisal]] LEFT-join contract — an inner join would drop
+    * exactly the surprising tokens the score exists to catch). The
+    * CCNet-style LM-proxy quality score, one modeling step past q73's
+    * unigram: repeated-boilerplate text scores low, token-salad scores
+    * high even when its unigrams are common.
+    *
+    * Scale shape: the doc side is one tokenize+posexplode pass; the
+    * unigram table joins twice (cur, prev — vocabulary-sized, broadcast
+    * under `broadcastVocab` like [[unigramSurprisal]]); the bigram
+    * lookup is a LEFT equi-join on (prev, cur) against the
+    * distinct-bigram-bounded table — at 100 TB that join is the
+    * operator's inherent cost (every n-gram LM scorer pays it) and it
+    * shuffles on the bigram key with no corpus-sized sort. N comes from
+    * the vocabulary-sized table, never a third corpus pass. Per-token
+    * scores round at 9 dp, the per-doc mean at 4 dp
+    * (round-inside-round).
+    *
+    * Output: `(idCol, n_tokens, sb_surprisal)`.
+    */
+  def stupidBackoffSurprisal(df: DataFrame, idCol: String, textCol: String,
+                             unigrams: DataFrame, bigrams: DataFrame,
+                             alpha: Double = 0.4,
+                             broadcastVocab: Boolean = false): DataFrame = {
+    require(alpha > 0 && alpha <= 1,
+      s"stupidBackoffSurprisal: need 0 < alpha <= 1, got $alpha")
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__t"))
+    val rows = toks
+      .select(col(idCol), col("__t"),
+        posexplode(col("__t")).as(Seq("__pos", "__cur")))
+      // element_at is 1-based: index __pos IS the previous token for the
+      // 0-based current position __pos (null for the first token)
+      .withColumn("__prev", when(col("__pos") === 0, lit(null).cast("string"))
+        .otherwise(element_at(col("__t"), col("__pos"))))
+      .select(col(idCol), col("__pos"), col("__cur"), col("__prev"))
+    val u = unigrams.select(col("term"), col("cnt"))
+    val total = u.agg(sum(col("cnt")).cast("double").as("__N"))
+    val ucur = u.select(col("term").as("__cur"), col("cnt").as("__ccur"))
+    val uprev = u.select(col("term").as("__prev"), col("cnt").as("__cprev"))
+    val bg = bigrams.select(col("a").as("__prev"), col("b").as("__cur"),
+      col("cnt").as("__cbig"))
+    def maybeB(d: DataFrame) = if (broadcastVocab) broadcast(d) else d
+    val ccur = coalesce(col("__ccur"), lit(1L)).cast("double")
+    val nlp =
+      when(col("__pos") === 0, -log(ccur / col("__N")))
+        // cprev guard: a bigram row without its context unigram means
+        // inconsistent supplied tables — fall to backoff rather than
+        // emit a NULL that avg() would silently skip
+        .when(col("__cbig").isNotNull && col("__cprev").isNotNull,
+          -log(col("__cbig").cast("double") / col("__cprev").cast("double")))
+        .otherwise(-log(lit(alpha) * ccur / col("__N")))
+    rows
+      .join(maybeB(ucur), Seq("__cur"), "left")
+      .join(maybeB(uprev), Seq("__prev"), "left")
+      .join(bg, Seq("__prev", "__cur"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("__nlp", round(nlp, 9))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("__nlp")), 4).as("sb_surprisal"))
+  }
+
   /** Mixture REBALANCING: the largest subset of the corpus whose source
     * proportions match the target `weights` (exactly, up to the integer
     * floor on each count) — the static

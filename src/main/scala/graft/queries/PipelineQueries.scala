@@ -927,6 +927,24 @@ object PipelineQueries {
       .withColumn("sim", round(col("sim"), 4))
   }
 
+  /** Stupid Backoff bigram surprisal
+    * ([[TextOps.stupidBackoffSurprisal]]): unigram + bigram statistics
+    * fit on the reference corpus (every source but src0), then src0's
+    * documents scored cross-corpus — the realistic shape where the
+    * backoff path actually fires (self-scoring never backs off: a doc's
+    * own bigrams are in its corpus's table by construction). The oracle
+    * recomputes BOTH frequency tables, the per-token three-way case
+    * (first-token unigram / seen-bigram conditional / α-penalized
+    * backoff with the singleton floor), and the per-doc mean in DuckDB.
+    */
+  def q91(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    val ref = docs.filter(col("source") =!= "src0")
+    TextOps.stupidBackoffSurprisal(docs.filter(col("source") === "src0"),
+      "doc_id", "text",
+      TextOps.termFreqs(ref, "text"), TextOps.bigramFreqs(ref, "text"))
+  }
+
   /** Passage-grain MaxP retrieval ([[Retrieval.maxPassageTopK]]): q69's
     * query set (first 5 src0 docs, first 8 words) against the same
     * corpus, but ranked at CHUNK grain (window 30 / overlap 5 — q60's
@@ -1102,6 +1120,7 @@ object PipelineQueries {
     "q88_dsir_select"     -> (q88 _),
     "q89_hard_negatives"  -> (q89 _),
     "q90_maxp_retrieval"  -> (q90 _),
+    "q91_stupid_backoff"  -> (q91 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -1931,6 +1950,46 @@ FROM o"""
              AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
                    CAST(c.embedding AS DOUBLE[])) < 0.95) t
          WHERE rank <= 5""",
+    // full Stupid Backoff replay: both reference-corpus frequency
+    // tables, the per-token three-way case, the singleton floor, and
+    // the per-doc mean
+    "q91_stupid_backoff" ->
+      """WITH ref AS (SELECT regexp_split_to_array(
+                        regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                        '\s+') AS ws
+                      FROM documents WHERE source <> 'src0'),
+         uc AS (SELECT term, CAST(count(*) AS DOUBLE) AS cnt
+                FROM (SELECT unnest(ws) AS term FROM ref) GROUP BY 1),
+         tot AS (SELECT sum(cnt) AS n FROM uc),
+         bg AS (SELECT ws[CAST(i AS INT)] AS a,
+                       ws[CAST(i AS INT) + 1] AS b,
+                       CAST(count(*) AS DOUBLE) AS cnt
+                FROM ref, unnest(range(1, len(ws))) AS t(i)
+                GROUP BY 1, 2),
+         d AS (SELECT doc_id, regexp_split_to_array(
+                 regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                 '\s+') AS ws
+               FROM documents WHERE source = 'src0'),
+         r AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                      ws[CAST(i AS INT)] AS cur,
+                      CASE WHEN i = 1 THEN NULL
+                           ELSE ws[CAST(i AS INT) - 1] END AS prev
+               FROM d, unnest(range(1, len(ws) + 1)) AS t(i)),
+         s AS (SELECT doc_id, round(
+                 CASE WHEN pos = 0
+                        THEN -ln(coalesce(ucur.cnt, 1) / tot.n)
+                      WHEN bg.cnt IS NOT NULL AND uprev.cnt IS NOT NULL
+                        THEN -ln(bg.cnt / uprev.cnt)
+                      ELSE -ln(0.4 * coalesce(ucur.cnt, 1) / tot.n)
+                 END, 9) AS nlp
+               FROM r
+               LEFT JOIN uc ucur ON r.cur = ucur.term
+               LEFT JOIN uc uprev ON r.prev = uprev.term
+               LEFT JOIN bg ON r.prev = bg.a AND r.cur = bg.b
+               CROSS JOIN tot)
+         SELECT doc_id, count(*) AS n_tokens,
+                round(avg(nlp), 4) AS sb_surprisal
+         FROM s GROUP BY 1""",
     // q60's chunk replay feeding q69's BM25 replay at chunk grain, then
     // the MaxP best-chunk-per-doc aggregate and the doc re-rank
     "q90_maxp_retrieval" ->

@@ -1829,6 +1829,39 @@ class OpsSpec extends SparkSpec {
     assert(!out.contains(1L), "target docs are the model, not candidates")
   }
 
+  test("stupidBackoffSurprisal: unigram head, seen-bigram MLE, α backoff, floor") {
+    // reference corpus tokens a,b,a,b,a,c → unigrams a=3 b=2 c=1 (N=6);
+    // bigrams (a,b)=2, (a,c)=1
+    val ref = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val uni = TextOps.termFreqs(ref, "text")
+    val bi = TextOps.bigramFreqs(ref, "text")
+    assert(bi.as[(String, String, Long)].collect().toSet ===
+      Set(("a", "b", 2L), ("a", "c", 1L)))
+    // scored doc "a b z": pos0 unigram −ln(3/6); (a,b) seen −ln(2/3);
+    // (b,z) unseen, z unseen → backoff −ln(0.4·1/6)
+    val docs = Seq((10L, "a b z")).toDF("doc_id", "text")
+    val got = TextOps.stupidBackoffSurprisal(docs, "doc_id", "text", uni, bi)
+      .as[(Long, Long, Double)].collect().head
+    val exp = Seq(-math.log(3.0 / 6), -math.log(2.0 / 3),
+      -math.log(0.4 * 1.0 / 6)).map(round(_, 9))
+    assert(got === ((10L, 3L, round(exp.sum / 3, 4))))
+  }
+
+  test("stupidBackoffSurprisal: boilerplate scores lower than token salad") {
+    // same unigram bag, different order: the bigram model must separate
+    // them where q73's unigram scorer cannot
+    val ref = Seq.fill(20)("the cat sat on the mat").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val uni = TextOps.termFreqs(ref, "text")
+    val bi = TextOps.bigramFreqs(ref, "text")
+    val docs = Seq((100L, "the cat sat on the mat"),
+      (101L, "mat the on sat cat the")).toDF("doc_id", "text")
+    val s = TextOps.stupidBackoffSurprisal(docs, "doc_id", "text", uni, bi)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(s(100L) < s(101L), s.toString)
+  }
+
   // ---- hard-negative mining ---------------------------------------------
 
   test("hardNegatives: same-label, self, and near-dup-ceiling exclusions") {

@@ -124,6 +124,19 @@ object GraftSession {
               children(2).eval().asInstanceOf[Number].intValue())
           }))
         ext.injectFunction((
+          FunctionIdentifier("pq_adc"),
+          new ExpressionInfo(classOf[graft.expr.PqAdc].getName,
+            "pq_adc"),
+          (children: Seq[Expression]) => {
+            require(children.length == 3,
+              s"pq_adc requires exactly 3 arguments (codes, lut, ksub), " +
+                s"got ${children.length}")
+            require(children(2).foldable,
+              "pq_adc: ksub must be a literal integer")
+            graft.expr.PqAdc(children(0), children(1),
+              children(2).eval().asInstanceOf[Number].intValue())
+          }))
+        ext.injectFunction((
           FunctionIdentifier("srp_bucket"),
           new ExpressionInfo(classOf[graft.expr.SrpBucket].getName,
             "srp_bucket"),

@@ -398,7 +398,26 @@ object Similarity {
       c.orderBy(xxhash64(col("id")).asc, col("id").asc)
         .limit(cells * FitOversample)
         .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
-    var centers: Array[Array[Double]] = sample.take(cells).map(_.clone())
+    val centers = lloydRounds(sample, cells, iters)
+    val dim = if (sample.isEmpty) 0 else sample(0).length
+    import spark.implicits._
+    val centerSeqs: Array[Seq[Double]] = centers.map(_.toIndexedSeq)
+    val centroids = centerSeqs.toSeq.zipWithIndex
+      .map { case (ct, i) => (i, ct) }.toDF("cluster", "centroid")
+    val fitted = c.withColumn("cluster", nearestCenter(col("v"), centerSeqs))
+    IvfIndex(centroids, fitted, cells, dim)
+  }
+
+  /** The Lloyd iteration [[fitIvf]] and [[fitPq]] share: seeded by the
+    * sample's first `k` vectors, `iters` assignment+mean rounds entirely
+    * on the driver over the config-sized sample (never the corpus);
+    * clusters that capture no sample points keep their previous centroid.
+    * Extracted verbatim from fitIvf (identical arithmetic — the stored
+    * IvfIndex scheme depends on it).
+    */
+  private[ops] def lloydRounds(sample: Array[Array[Double]], k: Int,
+                               iters: Int): Array[Array[Double]] = {
+    var centers: Array[Array[Double]] = sample.take(k).map(_.clone())
     val dim = if (sample.isEmpty) 0 else sample(0).length
     for (_ <- 1 to iters) {
       val sums = Array.fill(centers.length)(new Array[Double](dim))
@@ -425,12 +444,7 @@ object Similarity {
         else sums(cl).map(_ / counts(cl))
       }
     }
-    import spark.implicits._
-    val centerSeqs: Array[Seq[Double]] = centers.map(_.toIndexedSeq)
-    val centroids = centerSeqs.toSeq.zipWithIndex
-      .map { case (ct, i) => (i, ct) }.toDF("cluster", "centroid")
-    val fitted = c.withColumn("cluster", nearestCenter(col("v"), centerSeqs))
-    IvfIndex(centroids, fitted, cells, dim)
+    centers
   }
 
   /** Squared euclidean distance (codegen'd via vec_cosine's sibling loop
@@ -659,5 +673,221 @@ object Similarity {
       .withColumn("sim", cosine(col("va"), col("vb")))
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
+  }
+
+  // ----------------------------------------------------------------------
+  // Product quantization (Jégou et al., TPAMI 2011) — the MEMORY-bound
+  // ANN path. IVF bounds how many rows a probe scores; PQ bounds how many
+  // BYTES each scored row costs: the vector is split into `m` subvectors,
+  // each quantized against its own ksub-center codebook, so a corpus row
+  // compresses from dim floats (e.g. 768 × 4 B = 3 KB) to m small ints
+  // (+1 cached norm) — at 100 TB the compressed scan is the difference
+  // between an in-memory code sweep and re-reading the raw corpus. The
+  // dim-dependent scoring work is hoisted per QUERY into a lut (the
+  // native [[graft.expr.PqAdc]] expression then scores each row in O(m)),
+  // and only the `refine × k` ADC winners per query ever touch their full
+  // vectors again (exact cosine re-rank on an id-pruned broadcast join).
+  // ----------------------------------------------------------------------
+
+  /** A fitted product quantizer + the encoded corpus — persistable, the
+    * [[IvfIndex]] lifecycle applied to compression:
+    *  - `codebooks`: (subspace, cluster, centroid array<double>) —
+    *    m × ksub rows, config-sized.
+    *  - `codes`: (id, code array<int> length m, rnorm double) — the
+    *    compressed corpus: per-subspace nearest-center cell ids plus the
+    *    cached reconstruction norm the asymmetric-cosine denominator
+    *    needs (recomputing it per probe would re-read the codebooks per
+    *    row; caching it costs 8 bytes).
+    * Scheme semantics match [[IvfIndex]]: codes are meaningful only under
+    * the exact fit+encode pipeline that produced them, so [[loadPq]]
+    * rejects a mismatch loudly instead of silently scoring garbage.
+    */
+  final case class PqIndex(codebooks: DataFrame, codes: DataFrame,
+                           m: Int, ksub: Int, dim: Int,
+                           scheme: Int = PqIndex.Scheme) {
+    def save(path: String): Unit = {
+      codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
+      codes.write.mode("overwrite").parquet(s"$path/codes")
+      val spark = codebooks.sparkSession
+      import spark.implicits._
+      Seq((m, ksub, dim, scheme)).toDF("m", "ksub", "dim", "scheme")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
+
+    /** Centers as a driver-side flat array ordered by (subspace, cluster)
+      * — index j*ksub+c holds codebook center (j, c). Config-sized
+      * (m × ksub × dsub doubles). */
+    private[ops] def centersFlat: Array[Seq[Double]] =
+      codebooks.orderBy(col("subspace").asc, col("cluster").asc).collect()
+        .map(_.getSeq[Double](2))
+  }
+
+  object PqIndex {
+    /** Version of the fit+encode pipeline (sample selection, Lloyd,
+      * per-subspace nearest-center arithmetic). Bump whenever stored
+      * codes would stop matching the codes this build computes. */
+    val Scheme = 1
+  }
+
+  /** Read a [[PqIndex]] written by [[PqIndex.save]]; parameters come from
+    * the stored meta, and a scheme mismatch fails loudly here. */
+  def loadPq(spark: org.apache.spark.sql.SparkSession,
+             path: String): PqIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val scheme = meta.getAs[Int]("scheme")
+    require(scheme == PqIndex.Scheme,
+      s"stored PqIndex at $path uses fit scheme $scheme but this build " +
+        s"produces scheme ${PqIndex.Scheme} — rebuild the index (codes " +
+        "from another scheme would decode against the wrong centers)")
+    PqIndex(
+      spark.read.parquet(s"$path/codebooks"),
+      spark.read.parquet(s"$path/codes"),
+      meta.getAs[Int]("m"), meta.getAs[Int]("ksub"),
+      meta.getAs[Int]("dim"), scheme)
+  }
+
+  /** Fit the m per-subspace codebooks on a config-sized sample and encode
+    * the whole corpus — fit posture identical to [[fitIvf]]: ONE
+    * distributed hash-least-sample pass (ksub × 64 rows), then m × iters
+    * driver [[lloydRounds]] over the SLICES of that one sample (zero
+    * further jobs), then the data-scale encode as a distributed codegen'd
+    * map — m `vec_nearest` calls per row against subspace-center
+    * literals, total m × ksub × dsub = ksub × dim multiplies per row,
+    * the same per-row cost as IVF assignment at nlist=ksub. `dim` must
+    * divide evenly into m subspaces (the standard PQ constraint; pad or
+    * re-project upstream if it doesn't — silently truncating a tail
+    * would quantize a different vector).
+    */
+  def fitPq(corpus: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 5,
+            idCol: String = "vec_id",
+            vecCol: String = "embedding"): PqIndex = {
+    require(m >= 1, s"fitPq: m must be >= 1, got $m")
+    require(ksub >= 1 && ksub <= 256,
+      s"fitPq: ksub must be in [1, 256] (codes are byte-sized cell ids " +
+        s"by design), got $ksub")
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val sample: Array[Array[Double]] =
+      c.orderBy(xxhash64(col("id")).asc, col("id").asc)
+        .limit(ksub * FitOversample)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "fitPq: empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0,
+      s"fitPq: dim $dim is not divisible by m=$m subspaces — pad or " +
+        "re-project the vectors; truncating the tail would silently " +
+        "quantize a different vector")
+    val dsub = dim / m
+    val centers: Array[Array[Seq[Double]]] = Array.tabulate(m) { j =>
+      lloydRounds(sample.map(_.slice(j * dsub, (j + 1) * dsub)), ksub, iters)
+        .map(_.toIndexedSeq)
+    }
+    import spark.implicits._
+    val codebooks = centers.zipWithIndex.flatMap { case (cs, j) =>
+      cs.zipWithIndex.map { case (ctr, cl) => (j, cl, ctr) }
+    }.toSeq.toDF("subspace", "cluster", "centroid")
+    PqIndex(codebooks, encodeWith(c, centers, dim), m, ksub, dim)
+  }
+
+  /** Encode a NEW batch against the STORED codebooks (no refit) — the
+    * incremental slice, mirroring [[assignBatch]]: cost is one codegen'd
+    * map over the batch, with the same per-row dimension assert (a
+    * mismatched vector would otherwise quantize a truncated slice and
+    * produce a silently-wrong code). */
+  def encodePqBatch(index: PqIndex, batch: DataFrame,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(index.scheme == PqIndex.Scheme,
+      s"PqIndex fit scheme ${index.scheme} != this build's " +
+        s"${PqIndex.Scheme} — rebuild the index")
+    val flat = index.centersFlat
+    val centers = Array.tabulate(index.m)(j =>
+      flat.slice(j * index.ksub, (j + 1) * index.ksub))
+    val c = batch.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .where(coalesce(
+        assert_true(size(col("v")) === index.dim,
+          lit(s"encodePqBatch: batch vector dimension != index dim " +
+            s"${index.dim} — a mismatched vector would quantize a " +
+            "truncated slice into a silently-wrong code")),
+        lit(true)))
+    encodeWith(c, centers, index.dim)
+  }
+
+  /** The shared encode map: per subspace j, code_j = nearest center of
+    * slice j (native codegen'd `vec_nearest` over a subspace-center
+    * literal); rnorm = √Σ_j |center_{j,code_j}|², read from a per-subspace
+    * squared-norm literal by the code just computed — everything stays in
+    * one whole-stage-codegen'd projection over the corpus scan. */
+  private def encodeWith(c: DataFrame, centers: Array[Array[Seq[Double]]],
+                         dim: Int): DataFrame = {
+    val m = centers.length
+    val dsub = dim / m
+    val norms2: Array[Seq[Double]] =
+      centers.map(_.map(ctr => ctr.map(x => x * x).sum).toIndexedSeq)
+    val coded = c.withColumn("code", array((0 until m).map { j =>
+      call_function("vec_nearest",
+        slice(col("v"), j * dsub + 1, dsub),
+        typedLit(centers(j).toSeq))
+    }: _*))
+    coded.withColumn("rnorm",
+      sqrt((0 until m).map { j =>
+        element_at(typedLit(norms2(j)), col("code").getItem(j) + 1)
+      }.reduce(_ + _)))
+      .select(col("id"), col("code"), col("rnorm"))
+  }
+
+  /** PQ approximate cosine top-k with exact re-rank: the ADC sweep scores
+    * ONLY the compressed `codes` relation (m ints + 1 double per row —
+    * the 100 TB read-path win), per query via the native O(m)
+    * [[graft.expr.PqAdc]] lookup-sum against a per-query lut computed
+    * once on the (small, broadcast) query side; the `refine × k` ADC
+    * winners per query are then re-scored EXACTLY against their full
+    * vectors — an id-pruned broadcast join touching refine × k × |queries|
+    * vectors, never the corpus. Asymmetric cosine estimate:
+    * `<q, x̂> / (|q| · |x̂|)` with x̂ the reconstruction — both norms
+    * exact (|q| per query, |x̂| cached at encode), so only the numerator
+    * is approximate. Both top-k stages are the shuffle-bounded
+    * [[TopK.perQuery]].
+    */
+  def pqTopK(index: PqIndex, corpus: DataFrame, queries: DataFrame, k: Int,
+             refine: Int = 10, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    require(index.scheme == PqIndex.Scheme,
+      s"PqIndex fit scheme ${index.scheme} != this build's " +
+        s"${PqIndex.Scheme} — rebuild the index")
+    require(refine >= 1, s"pqTopK: refine must be >= 1, got $refine")
+    val m = index.m; val ksub = index.ksub; val dsub = index.dim / m
+    val centersLit = typedLit(index.centersFlat.toSeq)
+    val q0 = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+    // per-query lut: lut[j*ksub + c] = <q_j, center_{j,c}> — interpreted
+    // HOFs are fine HERE because they run once per QUERY row on the
+    // broadcast side (m × ksub × dsub multiplies each), never per corpus
+    // row; the corpus side sees only the codegen'd pq_adc loop
+    val lut = transform(sequence(lit(0), lit(m * ksub - 1)), i => {
+      val j = floor(i / lit(ksub)).cast("int")
+      aggregate(
+        zip_with(slice(col("qv"), j * dsub + 1, lit(dsub)),
+          element_at(centersLit, i + 1), (x, y) => x * y),
+        lit(0.0), (a, x) => a + x)
+    })
+    val q = q0.withColumn("lut", lut)
+      .withColumn("qnorm",
+        sqrt(aggregate(col("qv"), lit(0.0), (a, x) => a + x * x)))
+    val denom = col("qnorm") * col("rnorm")
+    val scored = index.codes
+      .select(col("id").as("nid"), col("code"), col("rnorm"))
+      .join(broadcast(q), col("nid") =!= col("qid"))
+      .withColumn("sim",
+        // zero-norm → 0.0, the vec_cosine convention (a NaN/Inf would
+        // sort above every real similarity)
+        when(denom =!= 0.0,
+          call_function("pq_adc", col("code"), col("lut"), lit(ksub)) / denom)
+          .otherwise(lit(0.0)))
+    val cand = TopK.perQuery(scored, refine * k).select(col("qid"), col("nid"))
+    val rer = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"))
+      .join(broadcast(cand), Seq("nid"))
+      .join(broadcast(q0), Seq("qid"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    TopK.perQuery(rer, k)
   }
 }

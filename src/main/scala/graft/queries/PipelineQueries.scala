@@ -963,6 +963,29 @@ object PipelineQueries {
       window = 30, overlap = 5, chunkPool = 10, topK = 3)
   }
 
+  /** Product-quantization ANN ([[Similarity.fitPq]] →
+    * [[Similarity.pqTopK]]): the MEMORY-bound scale path — the corpus
+    * compresses to m=8 cell ids + a cached norm per row (vs 64 floats),
+    * the ADC sweep scores the compressed relation in O(m) per pair via
+    * the native `pq_adc` lookup-sum, and only the refine×k ADC winners
+    * per query are exactly re-ranked against their full vectors.
+    * Self-gated like q29/q51: on this fixture's near-random vectors
+    * (the adversarial no-cluster-structure case) recall@5 at refine=10
+    * measures 0.84 at sf0.01 and 0.48 at sf0.1 — the top-1% ADC
+    * candidates at sf0.1 against a 1% random baseline — deterministic
+    * (hash-least fit sample, seeded Lloyd, tie-broken top-k); floor 0.3
+    * leaves margin. OpsSpec pins ≥0.9 on clustered vectors, the regime
+    * real embedding corpora live in.
+    */
+  def q92(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir)("embeddings")
+    val qs = emb.filter(col("vec_id") < 10)
+    annRecallGate(
+      Similarity.pqTopK(Similarity.fitPq(emb, m = 8, ksub = 16), emb, qs,
+        k = 5, refine = 10),
+      Similarity.bruteForceTopK(emb, qs, k = 5), floor = 0.3)
+  }
+
   /** Session-cached learned merge table for the subword-packing query —
     * the [[storedIvf]] pattern for the tokenizer artifact: production
     * learns the table once per corpus version and every export pass
@@ -1121,6 +1144,7 @@ object PipelineQueries {
     "q89_hard_negatives"  -> (q89 _),
     "q90_maxp_retrieval"  -> (q90 _),
     "q91_stupid_backoff"  -> (q91 _),
+    "q92_ann_pq"          -> (q92 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -1725,6 +1749,9 @@ FROM o"""
       """SELECT CAST(5*count(*) AS BIGINT) AS n_results, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 10""",
     "q51_ann_ivf" ->
+      """SELECT CAST(5*count(*) AS BIGINT) AS n_results, TRUE AS recall_ok
+         FROM embeddings WHERE vec_id < 10""",
+    "q92_ann_pq" ->
       """SELECT CAST(5*count(*) AS BIGINT) AS n_results, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 10""",
     // like q29/q51: the approximate side self-gates against the exact

@@ -646,6 +646,113 @@ class OpsSpec extends SparkSpec {
     assert(extended >= 0.5, s"extend-only recall $extended fell off a cliff")
   }
 
+  test("PQ ANN recall@3 >= 0.9 against brute force on clustered vectors") {
+    // same 10×20 clustered corpus as the IVF/LSH recall gates — the
+    // regime real embedding corpora live in (q92 self-gates the
+    // near-random fixture separately, the q29/q51 posture)
+    val rows = for (c <- 0 until 10; i <- 0 until 20) yield {
+      val base = v(c)
+      val r = new scala.util.Random(c * 1000 + i)
+      ((c * 20 + i).toLong,
+        base.map(x => (x + 0.05 * r.nextGaussian()).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" % 20 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val idx = Similarity.fitPq(emb, m = 8, ksub = 16)
+    // refine sizing rule: a tight cluster's members share near-identical
+    // codes, so their ADC scores are quantization noise — the refine pool
+    // (refine × k = 30) must exceed the largest
+    // quantization-indistinguishable neighborhood (cluster size 20) for
+    // the exact re-rank to see the true top-k (refine=4 → pool 12 < 20
+    // measured recall 0.67 on this very corpus)
+    val approx = Similarity.pqTopK(idx, emb, queries, 3, refine = 10)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("PQ ADC re-rank surfaces a planted clone as the top hit") {
+    val near = v(1).zipWithIndex.map { case (x, i) =>
+      if (i == 0) x + 0.01f else x }
+    val rows = Seq((1L, v(1)), (2L, near)) ++
+      (3L to 40L).map(i => (i, v(i.toInt)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val idx = Similarity.fitPq(emb, m = 8, ksub = 8)
+    val top1 = Similarity.pqTopK(idx, emb, emb.filter($"vec_id" === 1), 1,
+      refine = 4)
+    assert(top1.select("nid").as[Long].head() === 2L)
+  }
+
+  test("PqIndex: fit→save→load→probe ≡ one-shot; meta rides; codes are m ints") {
+    val rows = for (c <- 0 until 10; i <- 0 until 20) yield {
+      val base = v(c)
+      val r = new scala.util.Random(c * 1000 + i)
+      ((c * 20 + i).toLong,
+        base.map(x => (x + 0.05 * r.nextGaussian()).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" % 20 === 0)
+    val idx = Similarity.fitPq(emb, m = 8, ksub = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    idx.save(dir)
+    val loaded = Similarity.loadPq(spark, dir)
+    assert((loaded.m, loaded.ksub, loaded.dim, loaded.scheme)
+      === (8, 16, 64, Similarity.PqIndex.Scheme))
+    // the compressed relation is exactly (id, m cell ids, 1 cached norm)
+    val row = loaded.codes.head()
+    assert(row.getSeq[Int](row.fieldIndex("code")).length === 8)
+    val stored = Similarity.pqTopK(loaded, emb, queries, 3)
+      .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+    val oneShot = Similarity.pqTopK(idx, emb, queries, 3)
+      .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+    assert(stored === oneShot)
+  }
+
+  test("PqIndex: stale fit scheme is rejected at load, probe and encode") {
+    val emb = (1L to 20L).map(i => (i, v(i.toInt))).toDF("vec_id", "embedding")
+    val stale = Similarity.fitPq(emb, m = 8, ksub = 4).copy(scheme = 999)
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(stale, emb, emb.filter($"vec_id" === 1), 3)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.encodePqBatch(stale, emb.limit(1))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-stale").toString
+    stale.save(dir)
+    val e = intercept[IllegalArgumentException](Similarity.loadPq(spark, dir))
+    assert(e.getMessage.contains("scheme"))
+  }
+
+  test("fitPq: a dim not divisible by m fails loudly; encodePqBatch asserts dim") {
+    val emb = (1L to 10L).map(i => (i, v(i.toInt))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.fitPq(emb, m = 7, ksub = 4) // 64 % 7 != 0
+    }
+    assert(e.getMessage.contains("divisible"))
+    val idx = Similarity.fitPq(emb, m = 8, ksub = 4)
+    val bad = Seq((100L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      Similarity.encodePqBatch(idx, bad).collect()
+    }
+    assert(exceptionChain(e2).contains("encodePqBatch"),
+      s"expected the loud dim guard, got: ${exceptionChain(e2)}")
+  }
+
+  test("encodePqBatch: re-encoding fit-time rows reproduces their stored codes") {
+    // the incremental path must quantize exactly like the fit-time encode
+    // — drift between the two would silently corrupt the stored relation
+    val emb = (1L to 30L).map(i => (i, v(i.toInt))).toDF("vec_id", "embedding")
+    val idx = Similarity.fitPq(emb, m = 8, ksub = 8)
+    val refit = Similarity.encodePqBatch(idx, emb)
+      .select("id", "code", "rnorm")
+      .as[(Long, Seq[Int], Double)].collect().toSet
+    val stored = idx.codes.select("id", "code", "rnorm")
+      .as[(Long, Seq[Int], Double)].collect().toSet
+    assert(refit === stored)
+  }
+
   test("stratifiedSample: an id-like strata column fails the driver bound loudly (r10 advice)") {
     val docs = (1 to 101).map(i => (i.toLong, s"s$i", s"doc text $i"))
       .toDF("doc_id", "src", "text")

@@ -268,6 +268,38 @@ class PropertySpec extends SparkSpec {
     assert(n0 === 0L && i0 === 0L)
   }
 
+  test("native pq_adc == HOF lookup-sum on arbitrary codes and luts") {
+    // pq_adc(codes, lut, ksub) = Σ_j lut[j*ksub + codes[j]] — the law pins
+    // the codegen'd loop against an element_at/aggregate combinator
+    // formulation, plus the null contracts the combinator can't express
+    // (out-of-range code, length-mismatched lut → NULL, never garbage)
+    val gen = for {
+      m <- Gen.choose(1, 8)
+      ksub <- Gen.choose(1, 16)
+      codes <- Gen.listOfN(m, Gen.choose(0, ksub - 1))
+      lut <- Gen.listOfN(m * ksub, Gen.choose(-10.0, 10.0))
+    } yield (ksub, codes, lut)
+    check(gen, n = 10) { case (ksub, codes, lut) =>
+      val df = Seq((codes, lut)).toDF("code", "lut")
+      val hof = aggregate(
+        zip_with(col("code"), sequence(lit(0), lit(codes.length - 1)),
+          (c, j) => element_at(col("lut"), j * ksub + c + 1)),
+        lit(0.0), (a, x) => a + x)
+      val (nat, interp) = df.select(
+        call_function("pq_adc", col("code"), col("lut"), lit(ksub)),
+        hof).as[(Double, Double)].head()
+      assert(math.abs(nat - interp) < 1e-12,
+        s"pq_adc mismatch: $nat vs $interp (ksub=$ksub codes=$codes)")
+    }
+    // corruption contract: out-of-range code and short lut are NULL
+    val bad = Seq((Seq(0, 5), Seq(1.0, 2.0, 3.0, 4.0))).toDF("code", "lut")
+    assert(bad.select(call_function("pq_adc", col("code"), col("lut"), lit(2))
+      .isNull).as[Boolean].head())
+    val short = Seq((Seq(0, 1), Seq(1.0, 2.0, 3.0))).toDF("code", "lut")
+    assert(short.select(call_function("pq_adc", col("code"), col("lut"), lit(2))
+      .isNull).as[Boolean].head())
+  }
+
   test("native word_tokens == regex split formulation on arbitrary strings") {
     // tokens() swapped the two-regex-engine formulation for a native
     // single-pass scan; this law pins them IDENTICAL — edge stripping,

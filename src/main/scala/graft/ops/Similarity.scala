@@ -675,6 +675,45 @@ object Similarity {
       .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Per-group centroid outliers — the embedding-space quality screen: for
+    * each `groupCol` value (label, source, language) compute the group's
+    * mean vector, then surface the `n` members FARTHEST from their own
+    * centroid by cosine — mislabeled rows, encoding-corrupt embeddings
+    * and off-distribution slices all show up here before they poison
+    * contrastive training or ANN recall.
+    *
+    * Scale shape: the centroid pass is one posexplode + (group, dim)
+    * aggregate — partial-combined map-side, so the shuffle carries
+    * G × dim × partitions rows, never the corpus — and the G-row centroid
+    * table (config-sized: groups × dim doubles) broadcasts back onto ONE
+    * corpus scan for the codegen'd cosine. The per-group "farthest n" is
+    * the shuffle-bounded [[TopK.perQuery]] on the NEGATED cosine (an
+    * outlier is a top-k row under reversed order) — per-partition partial
+    * top-k, no per-group sort of the corpus anywhere.
+    *
+    * Output: `(groupCol, rank, idCol, cos_to_centroid)` — rank 1 = the
+    * farthest member, cosine at 4 dp. Rows with corrupt vectors (null
+    * cosine under [[graft.expr.VecCosine]]'s contract) are excluded, the
+    * TopK convention.
+    */
+  def embeddingOutliers(corpus: DataFrame, groupCol: String, n: Int,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(n > 0, s"embeddingOutliers: n must be positive, got $n")
+    val c = corpus.select(col(groupCol).as("grp"), col(idCol).as("nid"),
+      asDouble(col(vecCol)).as("v"))
+    val cents = c.select(col("grp"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("grp"), col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col("grp"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+    val scored = c.join(broadcast(cents), Seq("grp"))
+      .withColumn("sim", -cosine(col("v"), col("centroid")))
+    TopK.perQuery(scored, n, qidCol = col("grp"))
+      .select(col("qid").as(groupCol), col("rank"), col("nid").as(idCol),
+        round(-col("sim"), 4).as("cos_to_centroid"))
+  }
+
   // ----------------------------------------------------------------------
   // Product quantization (Jégou et al., TPAMI 2011) — the MEMORY-bound
   // ANN path. IVF bounds how many rows a probe scores; PQ bounds how many

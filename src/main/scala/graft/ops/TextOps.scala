@@ -1121,6 +1121,43 @@ object TextOps {
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     size(bpeEncode(text, merges))
 
+  /** Tokenizer fertility / compression report per group — the standard
+    * tokenizer-evaluation pass (Ács 2019 / SentencePiece docs): for each
+    * `groupCol` value (source, language), the total whitespace words,
+    * subword tokens under `merges`, and characters, plus the two derived
+    * health numbers a tokenizer rollout is judged on:
+    *  - `fertility` = subword tokens per whitespace word (≈1 on text the
+    *    tokenizer models well; ≫1 on wrong-script / encoding-mangled
+    *    slices, where every word shatters into characters);
+    *  - `chars_per_token` = the compression ratio that turns a token
+    *    budget into a corpus-bytes budget (the packSequences / context-
+    *    window sizing input).
+    *
+    * Scale shape: ONE corpus scan — both token counts are codegen'd
+    * per-row expressions (the native `bpe_encode` and the `\s+` token
+    * count), the aggregate partial-combines map-side, and the only
+    * shuffle carries one row per (group × partition). Zero joins; the
+    * group cardinality (sources/languages) bounds the result. NULL text
+    * counts like empty text everywhere (1 whitespace token, 1 bare-`</w>`
+    * subword), the [[bpeTokenCount]]/q79 convention.
+    */
+  def tokenizerFertility(df: DataFrame, groupCol: String, textCol: String,
+                         merges: Seq[(String, String)]): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(txt).cast("long")).as("ws_tokens"),
+        sum(bpeTokenCount(txt, merges).cast("long")).as("subword_tokens"),
+        sum(length(txt).cast("long")).as("n_chars"))
+      .select(col(groupCol), col("n_docs"), col("ws_tokens"),
+        col("subword_tokens"), col("n_chars"),
+        round(col("subword_tokens").cast("double") / col("ws_tokens"), 4)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("subword_tokens"), 4)
+          .as("chars_per_token"))
+  }
+
   /** Tokenizer-prep vocabulary + per-document out-of-vocabulary rate:
     * the top `vocabSize` corpus terms by frequency (ties broken by term,
     * so the vocabulary boundary is deterministic cross-engine), then

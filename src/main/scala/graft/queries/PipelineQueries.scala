@@ -986,6 +986,29 @@ object PipelineQueries {
       Similarity.bruteForceTopK(emb, qs, k = 5), floor = 0.3)
   }
 
+  /** Tokenizer fertility / compression report
+    * ([[TextOps.tokenizerFertility]]) under the [[FixedBpeMerges]] table
+    * (a fixed encode table is corpus-independent input, the q79
+    * convention — q78/q82 gate the learning itself): per source, total
+    * whitespace words, subword tokens and chars, plus fertility
+    * (subwords per word — the wrong-script detector) and chars-per-token
+    * (the compression ratio that sizes token budgets in bytes). The
+    * oracle replays the per-word greedy encode, both token counts and
+    * the per-source rollup in DuckDB.
+    */
+  def q93(s: SparkSession, dir: String): DataFrame =
+    TextOps.tokenizerFertility(t(s, dir)("documents"), "source", "text",
+      FixedBpeMerges)
+
+  /** Per-label embedding centroid outliers
+    * ([[Similarity.embeddingOutliers]]): each label's 5 members farthest
+    * (by cosine) from their own label centroid — the mislabel/corrupt-
+    * vector screen. The oracle recomputes the per-dimension centroid
+    * averages, every cosine and the per-label farthest-5 rank in DuckDB.
+    */
+  def q94(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingOutliers(t(s, dir)("embeddings"), "label", n = 5)
+
   /** Session-cached learned merge table for the subword-packing query —
     * the [[storedIvf]] pattern for the tokenizer artifact: production
     * learns the table once per corpus version and every export pass
@@ -1145,6 +1168,8 @@ object PipelineQueries {
     "q90_maxp_retrieval"  -> (q90 _),
     "q91_stupid_backoff"  -> (q91 _),
     "q92_ann_pq"          -> (q92 _),
+    "q93_tokenizer_fertility" -> (q93 _),
+    "q94_embedding_outliers" -> (q94 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -1262,26 +1287,64 @@ FROM o"""
     * per rank — identical to the expression's training-time-evolution
     * semantics), then symbols counted and summed per document.
     */
-  private def bpeEncodeOracle(merges: Seq[(String, String)]): String = {
+  /** DuckDB replay of [[graft.expr.BpeEncode]]'s per-word segmentation
+    * under a fixed merge table: chars + `</w>` packed with chr(31)
+    * separators, each merge applied in rank order as a greedy `replace`
+    * (leftmost non-overlapping in both engines). Shared by the encode
+    * (q79) and fertility (q93) oracles. */
+  private def bpeSegExpr(merges: Seq[(String, String)]): String = {
     def q(s: String) = "'" + s.replace("'", "''") + "'"
     val base =
       """chr(31) || regexp_replace(word, '(.)', '\1' || chr(31) || chr(31), 'g')
           || '</w>' || chr(31)"""
-    val seg = merges.foldLeft(base) { case (acc, (a, b)) =>
+    merges.foldLeft(base) { case (acc, (a, b)) =>
       s"""replace($acc,
           chr(31) || ${q(a)} || chr(31) || chr(31) || ${q(b)} || chr(31),
           chr(31) || ${q(a + b)} || chr(31))"""
     }
+  }
+
+  private def bpeEncodeOracle(merges: Seq[(String, String)]): String =
     s"""WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(
              regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$$', '', 'g'),
              '\\s+')) AS word
            FROM documents),
-       g AS (SELECT doc_id, $seg AS seg FROM w)
+       g AS (SELECT doc_id, ${bpeSegExpr(merges)} AS seg FROM w)
        SELECT doc_id,
               CAST(sum(len(string_split(substring(seg, 2, length(seg)-2),
                 chr(31)||chr(31)))) AS BIGINT) AS n_subtokens
        FROM g GROUP BY doc_id"""
-  }
+
+  /** DuckDB replay of [[TextOps.tokenizerFertility]]: per-word subword
+    * counts through the same [[bpeSegExpr]] segmentation, per-doc
+    * whitespace-token and char counts, then the per-source rollup and
+    * both derived ratios. */
+  private def fertilityOracle(merges: Seq[(String, String)]): String =
+    s"""WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(
+             regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$$', '', 'g'),
+             '\\s+')) AS word
+           FROM documents),
+       g AS (SELECT doc_id, ${bpeSegExpr(merges)} AS seg FROM w),
+       d AS (SELECT doc_id,
+               CAST(sum(len(string_split(substring(seg, 2, length(seg)-2),
+                 chr(31)||chr(31)))) AS BIGINT) AS n_sub
+             FROM g GROUP BY doc_id),
+       ws AS (SELECT source, doc_id,
+                CAST(len(regexp_split_to_array(
+                  regexp_replace(COALESCE(text, ''), '^\\s+|\\s+$$', '', 'g'),
+                  '\\s+')) AS BIGINT) AS n_ws,
+                CAST(length(COALESCE(text, '')) AS BIGINT) AS nc
+              FROM documents)
+       SELECT ws.source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(ws.n_ws) AS BIGINT) AS ws_tokens,
+              CAST(sum(d.n_sub) AS BIGINT) AS subword_tokens,
+              CAST(sum(ws.nc) AS BIGINT) AS n_chars,
+              round(CAST(sum(d.n_sub) AS DOUBLE) / sum(ws.n_ws), 4)
+                AS fertility,
+              round(CAST(sum(ws.nc) AS DOUBLE) / sum(d.n_sub), 4)
+                AS chars_per_token
+       FROM ws JOIN d USING (doc_id)
+       GROUP BY ws.source"""
 
   private val shingleCte =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1815,6 +1878,27 @@ FROM o"""
          FROM o""",
     "q78_bpe_merges" -> bpeMergesOracle(nMerges = 8, minCount = 2),
     "q79_bpe_encode" -> bpeEncodeOracle(FixedBpeMerges),
+    "q93_tokenizer_fertility" -> fertilityOracle(FixedBpeMerges),
+    "q94_embedding_outliers" ->
+      """WITH u AS (SELECT label, vec_id, CAST(i AS INT) AS pos,
+                      CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+                    FROM embeddings,
+                         unnest(range(1, len(embedding) + 1)) AS t(i)),
+         cent AS (SELECT label, list(m ORDER BY pos) AS c
+                  FROM (SELECT label, pos, avg(x) AS m
+                        FROM u GROUP BY label, pos)
+                  GROUP BY label),
+         s AS (SELECT e.label, e.vec_id,
+                 list_cosine_similarity(cent.c,
+                   CAST(e.embedding AS DOUBLE[])) AS cos
+               FROM embeddings e JOIN cent USING (label)),
+         r AS (SELECT label, vec_id, cos,
+                 row_number() OVER (PARTITION BY label
+                                    ORDER BY cos ASC, vec_id) AS rnk
+               FROM s WHERE cos IS NOT NULL)
+       SELECT label, CAST(rnk AS INT) AS rank, vec_id,
+              round(cos, 4) AS cos_to_centroid
+       FROM r WHERE rnk <= 5""",
     "q82_subword_pack" ->
       subwordPackOracle(nMerges = 8, minCount = 2, nShards = 8, ctx = 256),
     "q83_temperature_mix" ->

@@ -753,6 +753,50 @@ class OpsSpec extends SparkSpec {
     assert(refit === stored)
   }
 
+  test("embeddingOutliers: the planted off-axis member ranks first in its group") {
+    // group 0: three vectors near +x plus ONE near +y (the mislabel);
+    // centroid ≈ x-dominant, so the y vector has the lowest cosine to it.
+    // group 1: two clean vectors — both returned, farthest first.
+    val rows = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(0.9f, 0.1f)),
+      (3L, 0, Seq(1.0f, 0.1f)), (4L, 0, Seq(0.0f, 1.0f)),
+      (10L, 1, Seq(0.0f, -1.0f)), (11L, 1, Seq(0.1f, -0.9f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.embeddingOutliers(rows, "label", n = 2)
+      .select("label", "rank", "vec_id")
+      .as[(Int, Int, Long)].collect().toSet
+    // group-0 centroid (0.725, 0.3): vec 4 is the outlier; among the
+    // rest, vec 1 (pure +x) is next-farthest
+    assert(got.contains((0, 1, 4L)), s"planted outlier must rank 1, got $got")
+    assert(got.contains((0, 2, 1L)), got.toString)
+    // group 1 returns both members, the one farther from the mean first
+    assert(got.count(_._1 == 1) === 2)
+    // a corrupt (null-element) vector is excluded, never ranked
+    val bad = rows.unionByName(Seq((99L, 0,
+      Seq(null.asInstanceOf[java.lang.Float], java.lang.Float.valueOf(1.0f))))
+      .toDF("vec_id", "label", "embedding"))
+    val ids = Similarity.embeddingOutliers(bad, "label", n = 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!ids.contains(99L))
+  }
+
+  test("tokenizerFertility: hand-computed counts and ratios; null text = empty") {
+    // merge table ("l","o"): "low" → [lo, w, </w>] = 3 subwords;
+    // "a" → [a, </w>] = 2; empty/null → the bare </w> = 1 subword and
+    // ONE whitespace token (tokens("") == [""]), the stack-wide contract
+    val docs = Seq(
+      (1L, "s1", "low low"),        // ws 2, sub 6, chars 7
+      (2L, "s1", "a"),              // ws 1, sub 2, chars 1
+      (3L, "s2", null.asInstanceOf[String])) // ws 1, sub 1, chars 0
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.tokenizerFertility(docs, "source", "text",
+      Seq("l" -> "o"))
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+      .sortBy(_._1)
+    assert(got(0) === (("s1", 2L, 3L, 8L, 8L, 2.6667, 1.0)))
+    assert(got(1) === (("s2", 1L, 1L, 1L, 0L, 1.0, 0.0)))
+  }
+
   test("stratifiedSample: an id-like strata column fails the driver bound loudly (r10 advice)") {
     val docs = (1 to 101).map(i => (i.toLong, s"s$i", s"doc text $i"))
       .toDF("doc_id", "src", "text")

@@ -93,7 +93,15 @@ object ScaleProbe {
     // q91's bigram-key join against the distinct-bigram-bounded table is
     // the inherent n-gram-LM cost — its growth must track the scored
     // batch plus the bigram table, never quadratics.
-    "q88_dsir_select", "q90_maxp_retrieval", "q91_stupid_backoff")
+    "q88_dsir_select", "q90_maxp_retrieval", "q91_stupid_backoff",
+    // late-r13 arrivals: PQ ANN (the fit+encode pass is the corpus-sized
+    // side — m vec_nearest codegen calls per row — and the ADC sweep must
+    // stay one compressed-relation scan), the tokenizer fertility report
+    // (pure scan + G-bounded aggregate — the flattest shape in the repo,
+    // its ratio should read ≈ the raw bandwidth ratio) and the centroid
+    // outlier screen (the (group, dim) partial aggregate + broadcast-back
+    // scan — shuffle volume is G × dim × partitions, corpus-independent)
+    "q92_ann_pq", "q93_tokenizer_fertility", "q94_embedding_outliers")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -211,11 +219,14 @@ object ScaleProbe {
       Dedup.buildIndex(baseD, "doc_id", "text").save(dDir)
       val vDir = Files.createTempDirectory("probe-ivf-idx").toString
       Similarity.fitIvf(baseE).save(vDir)
+      val pDir = Files.createTempDirectory("probe-pq-idx").toString
+      Similarity.fitPq(baseE).save(pDir)
       (Dedup.loadIndex(spark, dDir), batchD, docs,
-        Similarity.loadIvf(spark, vDir), batchE)
+        Similarity.loadIvf(spark, vDir), batchE,
+        Similarity.loadPq(spark, pDir))
     }
-    val (idxS, batchDS, docsS, ivfS, batchES) = maintSetup(small)
-    val (idxB, batchDB, docsB, ivfB, batchEB) = maintSetup(big)
+    val (idxS, batchDS, docsS, ivfS, batchES, pqS) = maintSetup(small)
+    val (idxB, batchDB, docsB, ivfB, batchEB, pqB) = maintSetup(big)
     val maintProbes: Seq[(String, () => org.apache.spark.sql.DataFrame,
         () => org.apache.spark.sql.DataFrame)] = Seq(
       ("maint_extend_dedup_index",
@@ -233,7 +244,15 @@ object ScaleProbe {
         () => { Similarity.extendIvf(ivfS, batchES)
                 Similarity.assignBatch(ivfS, batchES) },
         () => { Similarity.extendIvf(ivfB, batchEB)
-                Similarity.assignBatch(ivfB, batchEB) }))
+                Similarity.assignBatch(ivfB, batchEB) }),
+      ("maint_encode_pq",
+        // PQ ingest maintenance: encode the batch against the STORED
+        // codebooks — by construction it never reads the base (the
+        // append is the artifact), so the ratio column should read ≈1×;
+        // the row documents the per-batch cost and would CATCH any
+        // future base-coupling regression
+        () => Similarity.encodePqBatch(pqS, batchES),
+        () => Similarity.encodePqBatch(pqB, batchEB)))
     val maintResults = maintProbes.map { case (name, mkS, mkB) =>
       val fpS = fingerprint(mkS())
       val (coldS, warmS) = timeThunk(mkS)

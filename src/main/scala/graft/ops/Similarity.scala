@@ -832,7 +832,10 @@ object Similarity {
     * incremental slice, mirroring [[assignBatch]]: cost is one codegen'd
     * map over the batch, with the same per-row dimension assert (a
     * mismatched vector would otherwise quantize a truncated slice and
-    * produce a silently-wrong code). */
+    * produce a silently-wrong code). Being a pure stateless projection
+    * against codebook literals, the SAME operator runs unchanged on a
+    * streaming DataFrame — the per-micro-batch ingest encoder needs no
+    * twin (StreamingSpec pins stream ≡ batch, zero state rows). */
   def encodePqBatch(index: PqIndex, batch: DataFrame,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {

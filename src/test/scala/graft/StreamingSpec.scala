@@ -12,6 +12,7 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double)
 
 case class Doc(doc_id: Long, ts: Timestamp, lang: String, text: String)
+case class Vec(vec_id: Long, embedding: Seq[Float])
 
 /** Structured Streaming contracts: the streaming pipelines produce the
   * same answers as their batch twins, and watermarks/dedup state behave.
@@ -525,6 +526,36 @@ class StreamingSpec extends SparkSpec {
     val byId = streamed.map(r => r._1 -> r._3).toMap
     assert(byId(10L) > byId(11L), byId.toString)
     // stateless
+    val state = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal)).sum
+    assert(state === 0, s"state rows = $state")
+  }
+
+  test("encodePqBatch encodes an embedding stream identically to batch, stateless") {
+    // PQ ingest is a pure codegen'd projection against codebook literals,
+    // so the SAME operator runs unchanged on a stream — no twin needed;
+    // this pins that contract (stream ≡ batch codes+rnorm, zero state)
+    val base = (1L to 40L).map(i => (i, {
+      val r = new scala.util.Random(i)
+      Seq.fill(16)(r.nextGaussian().toFloat)
+    })).toDF("vec_id", "embedding")
+    val idx = graft.ops.Similarity.fitPq(base, m = 4, ksub = 8)
+    val arriving = (100L to 110L).map(i => Vec(i, {
+      val r = new scala.util.Random(i)
+      Seq.fill(16)(r.nextGaussian().toFloat)
+    }))
+    val input = MemoryStream[Vec](spark)
+    input.addData(arriving: _*)
+    val q = graft.ops.Similarity.encodePqBatch(idx, input.toDF())
+      .writeStream.format("memory").queryName("pqcodes")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("pqcodes")
+      .as[(Long, Seq[Int], Double)].collect().toSet
+    val batch = graft.ops.Similarity.encodePqBatch(idx, arriving.toDF())
+      .as[(Long, Seq[Int], Double)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.size === 11)
     val state = Option(q.lastProgress).toSeq
       .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal)).sum
     assert(state === 0, s"state rows = $state")

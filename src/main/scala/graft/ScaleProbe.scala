@@ -101,7 +101,11 @@ object ScaleProbe {
     // its ratio should read ≈ the raw bandwidth ratio) and the centroid
     // outlier screen (the (group, dim) partial aggregate + broadcast-back
     // scan — shuffle volume is G × dim × partitions, corpus-independent)
-    "q92_ann_pq", "q93_tokenizer_fertility", "q94_embedding_outliers")
+    "q92_ann_pq", "q93_tokenizer_fertility", "q94_embedding_outliers",
+    // IVF-PQ: the deployed ANN composition — its probe must scan
+    // nprobe/nlist of the COMPRESSED file (cluster-keyed join over codes)
+    // with the exact re-rank bounded at refine × k vectors per query
+    "q95_ann_ivfpq")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

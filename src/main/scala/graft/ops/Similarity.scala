@@ -477,26 +477,31 @@ object Similarity {
     require(index.scheme == IvfIndex.Scheme,
       s"IvfIndex fit scheme ${index.scheme} != this build's " +
         s"${IvfIndex.Scheme} — rebuild the index")
-    val centroids = index.centroids
     val assigned = index.assigned
       .select(col("id").as("nid"), col("v").as("cv"), col("cluster"))
     val q0 = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
-    // nprobe-nearest cells per query, via the same shuffle-bounded top-k
-    // (negated distance = similarity; ties on the smaller cluster id like
-    // the window it replaces). Only nprobe × partitions rows per query
-    // cross the shuffle instead of the full |queries| × nlist fan-out.
-    val probed = TopK.perQuery(
-      q0.join(broadcast(centroids))
-        .select(col("qid"), (-euclid2(col("qv"), col("centroid"))).as("sim"),
-          col("cluster").as("nid")),
-      nprobe)
-      .select(col("qid"), col("nid").as("cluster"))
+    val probed = probeCells(q0, index.centroids, nprobe)
     val q = probed.join(q0, Seq("qid"))
     val scored = assigned.join(q, Seq("cluster"))
       .filter(col("nid") =!= col("qid"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
     TopK.perQuery(scored, k)
   }
+
+  /** The `nprobe`-nearest cells per query ((qid, cluster) rows), shared
+    * by [[probeIvf]] and [[probeIvfPq]]: negated squared distance against
+    * the broadcast centroid table, ranked by the same shuffle-bounded
+    * top-k (ties on the smaller cluster id like the window it replaces) —
+    * only nprobe × partitions rows per query cross the shuffle instead of
+    * the full |queries| × nlist fan-out. */
+  private def probeCells(q0: DataFrame, centroids: DataFrame,
+                         nprobe: Int): DataFrame =
+    TopK.perQuery(
+      q0.join(broadcast(centroids))
+        .select(col("qid"), (-euclid2(col("qv"), col("centroid"))).as("sim"),
+          col("cluster").as("nid")),
+      nprobe)
+      .select(col("qid"), col("nid").as("cluster"))
 
   /** Embedding near-duplicate pairs: SRP-LSH bucketing on the corpus with
     * itself (same pigeonhole layout as text SimHash dedup), exact cosine
@@ -800,20 +805,31 @@ object Similarity {
   def fitPq(corpus: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 5,
             idCol: String = "vec_id",
             vecCol: String = "embedding"): PqIndex = {
-    require(m >= 1, s"fitPq: m must be >= 1, got $m")
-    require(ksub >= 1 && ksub <= 256,
-      s"fitPq: ksub must be in [1, 256] (codes are byte-sized cell ids " +
-        s"by design), got $ksub")
     val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val (centers, dim) = fitPqCodebooks(c, m, ksub, iters, "fitPq")
+    import spark.implicits._
+    PqIndex(codebooksDf(spark, centers), encodeWith(c, centers, dim),
+      m, ksub, dim)
+  }
+
+  /** The codebook fit alone (shared by [[fitPq]] and [[fitIvfPq]]):
+    * ONE hash-least-sample pass, then m × iters driver [[lloydRounds]]
+    * over the slices. Returns (centers m × ksub × dsub, dim). */
+  private def fitPqCodebooks(c: DataFrame, m: Int, ksub: Int, iters: Int,
+                             who: String): (Array[Array[Seq[Double]]], Int) = {
+    require(m >= 1, s"$who: m must be >= 1, got $m")
+    require(ksub >= 1 && ksub <= 256,
+      s"$who: ksub must be in [1, 256] (codes are byte-sized cell ids " +
+        s"by design), got $ksub")
     val sample: Array[Array[Double]] =
       c.orderBy(xxhash64(col("id")).asc, col("id").asc)
         .limit(ksub * FitOversample)
         .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "fitPq: empty corpus")
+    require(sample.nonEmpty, s"$who: empty corpus")
     val dim = sample(0).length
     require(dim % m == 0,
-      s"fitPq: dim $dim is not divisible by m=$m subspaces — pad or " +
+      s"$who: dim $dim is not divisible by m=$m subspaces — pad or " +
         "re-project the vectors; truncating the tail would silently " +
         "quantize a different vector")
     val dsub = dim / m
@@ -821,11 +837,15 @@ object Similarity {
       lloydRounds(sample.map(_.slice(j * dsub, (j + 1) * dsub)), ksub, iters)
         .map(_.toIndexedSeq)
     }
+    (centers, dim)
+  }
+
+  private def codebooksDf(spark: org.apache.spark.sql.SparkSession,
+                          centers: Array[Array[Seq[Double]]]): DataFrame = {
     import spark.implicits._
-    val codebooks = centers.zipWithIndex.flatMap { case (cs, j) =>
+    centers.zipWithIndex.flatMap { case (cs, j) =>
       cs.zipWithIndex.map { case (ctr, cl) => (j, cl, ctr) }
     }.toSeq.toDF("subspace", "cluster", "centroid")
-    PqIndex(codebooks, encodeWith(c, centers, dim), m, ksub, dim)
   }
 
   /** Encode a NEW batch against the STORED codebooks (no refit) — the
@@ -859,7 +879,9 @@ object Similarity {
     * slice j (native codegen'd `vec_nearest` over a subspace-center
     * literal); rnorm = √Σ_j |center_{j,code_j}|², read from a per-subspace
     * squared-norm literal by the code just computed — everything stays in
-    * one whole-stage-codegen'd projection over the corpus scan. */
+    * one whole-stage-codegen'd projection over the corpus scan. Keeps
+    * every input column except the raw vector (so [[fitIvfPq]] can ride
+    * its cluster id through the same pass). */
   private def encodeWith(c: DataFrame, centers: Array[Array[Seq[Double]]],
                          dim: Int): DataFrame = {
     val m = centers.length
@@ -875,7 +897,7 @@ object Similarity {
       sqrt((0 until m).map { j =>
         element_at(typedLit(norms2(j)), col("code").getItem(j) + 1)
       }.reduce(_ + _)))
-      .select(col("id"), col("code"), col("rnorm"))
+      .drop("v")
   }
 
   /** PQ approximate cosine top-k with exact re-rank: the ADC sweep scores
@@ -891,20 +913,15 @@ object Similarity {
     * is approximate. Both top-k stages are the shuffle-bounded
     * [[TopK.perQuery]].
     */
-  def pqTopK(index: PqIndex, corpus: DataFrame, queries: DataFrame, k: Int,
-             refine: Int = 10, idCol: String = "vec_id",
-             vecCol: String = "embedding"): DataFrame = {
-    require(index.scheme == PqIndex.Scheme,
-      s"PqIndex fit scheme ${index.scheme} != this build's " +
-        s"${PqIndex.Scheme} — rebuild the index")
-    require(refine >= 1, s"pqTopK: refine must be >= 1, got $refine")
-    val m = index.m; val ksub = index.ksub; val dsub = index.dim / m
-    val centersLit = typedLit(index.centersFlat.toSeq)
-    val q0 = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
-    // per-query lut: lut[j*ksub + c] = <q_j, center_{j,c}> — interpreted
-    // HOFs are fine HERE because they run once per QUERY row on the
-    // broadcast side (m × ksub × dsub multiplies each), never per corpus
-    // row; the corpus side sees only the codegen'd pq_adc loop
+  /** The ADC query side shared by [[pqTopK]] and [[probeIvfPq]]: each
+    * query row gains its flat lut (`lut[j*ksub + c] = <q_j, center_{j,c}>`)
+    * and exact norm. Interpreted HOFs are fine HERE because they run once
+    * per QUERY row on the broadcast side (m × ksub × dsub multiplies
+    * each), never per corpus row; the corpus side sees only the codegen'd
+    * pq_adc loop. */
+  private def pqQuerySide(q0: DataFrame, centersFlat: Array[Seq[Double]],
+                          m: Int, ksub: Int, dsub: Int): DataFrame = {
+    val centersLit = typedLit(centersFlat.toSeq)
     val lut = transform(sequence(lit(0), lit(m * ksub - 1)), i => {
       val j = floor(i / lit(ksub)).cast("int")
       aggregate(
@@ -912,9 +929,21 @@ object Similarity {
           element_at(centersLit, i + 1), (x, y) => x * y),
         lit(0.0), (a, x) => a + x)
     })
-    val q = q0.withColumn("lut", lut)
+    q0.withColumn("lut", lut)
       .withColumn("qnorm",
         sqrt(aggregate(col("qv"), lit(0.0), (a, x) => a + x * x)))
+  }
+
+  def pqTopK(index: PqIndex, corpus: DataFrame, queries: DataFrame, k: Int,
+             refine: Int = 10, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    require(index.scheme == PqIndex.Scheme,
+      s"PqIndex fit scheme ${index.scheme} != this build's " +
+        s"${PqIndex.Scheme} — rebuild the index")
+    require(refine >= 1, s"pqTopK: refine must be >= 1, got $refine")
+    val q0 = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+    val q = pqQuerySide(q0, index.centersFlat, index.m, index.ksub,
+      index.dim / index.m)
     val denom = col("qnorm") * col("rnorm")
     val scored = index.codes
       .select(col("id").as("nid"), col("code"), col("rnorm"))
@@ -923,13 +952,144 @@ object Similarity {
         // zero-norm → 0.0, the vec_cosine convention (a NaN/Inf would
         // sort above every real similarity)
         when(denom =!= 0.0,
-          call_function("pq_adc", col("code"), col("lut"), lit(ksub)) / denom)
+          call_function("pq_adc", col("code"), col("lut"), lit(index.ksub))
+            / denom)
           .otherwise(lit(0.0)))
     val cand = TopK.perQuery(scored, refine * k).select(col("qid"), col("nid"))
+    exactRerank(corpus, cand, q0, k, idCol, vecCol)
+  }
+
+  /** The exact re-rank tail shared by [[pqTopK]] and [[probeIvfPq]]: the
+    * (qid, nid) ADC candidates — refine × k × |queries| rows, broadcast —
+    * pull their FULL vectors off one id-pruned corpus join and are
+    * re-scored with the exact codegen'd cosine; final top-k is the
+    * shuffle-bounded [[TopK.perQuery]]. */
+  private def exactRerank(corpus: DataFrame, cand: DataFrame, q0: DataFrame,
+                          k: Int, idCol: String, vecCol: String): DataFrame = {
     val rer = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"))
       .join(broadcast(cand), Seq("nid"))
       .join(broadcast(q0), Seq("qid"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
     TopK.perQuery(rer, k)
+  }
+
+  // ----------------------------------------------------------------------
+  // IVF-PQ — the composition production ANN actually deploys (FAISS
+  // IndexIVFPQ): IVF bounds how many ROWS a probe scores (nprobe/nlist of
+  // the corpus), PQ bounds how many BYTES each scored row costs (m code
+  // ids + a norm instead of dim floats). The inverted file carries CODES,
+  // never vectors — at 100 TB that is the difference between an inverted
+  // file that fits executor memory and one that re-reads the raw corpus
+  // per probe. Scoring inside the probed cells is the O(m) pq_adc
+  // lookup-sum; the exact re-rank touches only refine × k full vectors
+  // per query.
+  // ----------------------------------------------------------------------
+
+  /** A fitted IVF-PQ index: coarse centroids (nlist rows), PQ codebooks
+    * (m × ksub rows) and the compressed inverted `file`
+    * `(id, cluster, code array<int>, rnorm)` — both model artifacts are
+    * config-sized; the file is the corpus at ~(4m + 12) bytes/row.
+    * Scheme semantics as [[IvfIndex]]/[[PqIndex]]: cluster ids AND codes
+    * are meaningful only under the exact fit pipeline that produced them.
+    */
+  final case class IvfPqIndex(centroids: DataFrame, codebooks: DataFrame,
+                              file: DataFrame, nlist: Int, m: Int, ksub: Int,
+                              dim: Int, scheme: Int = IvfPqIndex.Scheme) {
+    def save(path: String): Unit = {
+      centroids.write.mode("overwrite").parquet(s"$path/centroids")
+      codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
+      file.write.mode("overwrite").parquet(s"$path/file")
+      val spark = centroids.sparkSession
+      import spark.implicits._
+      Seq((nlist, m, ksub, dim, scheme))
+        .toDF("nlist", "m", "ksub", "dim", "scheme")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
+
+    private[ops] def centersFlat: Array[Seq[Double]] =
+      codebooks.orderBy(col("subspace").asc, col("cluster").asc).collect()
+        .map(_.getSeq[Double](2))
+  }
+
+  object IvfPqIndex {
+    /** Version of the combined fit pipeline (IVF sample+Lloyd+assignment
+      * AND PQ sample+Lloyd+encode). Bump when stored cluster ids or codes
+      * would stop matching this build's. */
+    val Scheme = 1
+  }
+
+  /** Read an [[IvfPqIndex]] written by [[IvfPqIndex.save]]; parameters
+    * come from the stored meta, scheme mismatches fail loudly. */
+  def loadIvfPq(spark: org.apache.spark.sql.SparkSession,
+                path: String): IvfPqIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val scheme = meta.getAs[Int]("scheme")
+    require(scheme == IvfPqIndex.Scheme,
+      s"stored IvfPqIndex at $path uses fit scheme $scheme but this " +
+        s"build produces scheme ${IvfPqIndex.Scheme} — rebuild the index")
+    IvfPqIndex(
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/codebooks"),
+      spark.read.parquet(s"$path/file"),
+      meta.getAs[Int]("nlist"), meta.getAs[Int]("m"),
+      meta.getAs[Int]("ksub"), meta.getAs[Int]("dim"), scheme)
+  }
+
+  /** Fit the coarse quantizer AND the PQ codebooks (both on config-sized
+    * hash-least samples + driver Lloyd — [[fitIvf]]/[[fitPq]] posture,
+    * zero corpus shuffles in either fit), then build the compressed
+    * inverted file in ONE fused codegen'd corpus projection: cluster id
+    * (`vec_nearest` against the coarse centers literal) and PQ code +
+    * rnorm (the shared [[encodeWith]] pass) ride the same scan — the
+    * corpus is read once, and no corpus-sized join ever materializes
+    * vectors next to codes.
+    */
+  def fitIvfPq(corpus: DataFrame, nlist: Int = 0, m: Int = 8,
+               ksub: Int = 16, iters: Int = 5, idCol: String = "vec_id",
+               vecCol: String = "embedding", n: Long = 0L): IvfPqIndex = {
+    val spark = corpus.sparkSession
+    val ivf = fitIvf(corpus, nlist, iters, idCol, vecCol, n)
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val (centers, dim) = fitPqCodebooks(c, m, ksub, iters, "fitIvfPq")
+    val clustered = c.withColumn("cluster",
+      nearestCenter(col("v"), ivf.centersArray))
+    IvfPqIndex(ivf.centroids, codebooksDf(spark, centers),
+      encodeWith(clustered, centers, dim), ivf.nlist, m, ksub, dim)
+  }
+
+  /** Probe an [[IvfPqIndex]]: rank the nprobe nearest cells per query
+    * (broadcast centroid table, shuffle-bounded top-k), ADC-score ONLY
+    * the probed cells' compressed rows (cluster-keyed join against the
+    * code file — the IVF probe shape, reading m ints + 1 double per
+    * row), keep the refine × k ADC winners and exactly re-rank them
+    * against their full vectors from `corpus` (id-pruned broadcast
+    * join). Cost per probe: nprobe/nlist of the COMPRESSED corpus at
+    * O(m)/row + refine × k exact cosines per query.
+    */
+  def probeIvfPq(index: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
+                 k: Int, nprobe: Int = 4, refine: Int = 10,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(index.scheme == IvfPqIndex.Scheme,
+      s"IvfPqIndex fit scheme ${index.scheme} != this build's " +
+        s"${IvfPqIndex.Scheme} — rebuild the index")
+    require(refine >= 1, s"probeIvfPq: refine must be >= 1, got $refine")
+    val q0 = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+    val probed = probeCells(q0, index.centroids, nprobe)
+    val q = pqQuerySide(q0, index.centersFlat, index.m, index.ksub,
+      index.dim / index.m)
+    val qc = probed.join(q, Seq("qid"))
+    val denom = col("qnorm") * col("rnorm")
+    val scored = index.file
+      .select(col("id").as("nid"), col("cluster"), col("code"), col("rnorm"))
+      .join(qc, Seq("cluster"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("sim",
+        when(denom =!= 0.0,
+          call_function("pq_adc", col("code"), col("lut"), lit(index.ksub))
+            / denom)
+          .otherwise(lit(0.0)))
+    val cand = TopK.perQuery(scored, refine * k).select(col("qid"), col("nid"))
+    exactRerank(corpus, cand, q0, k, idCol, vecCol)
   }
 }

@@ -1009,6 +1009,26 @@ object PipelineQueries {
   def q94(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingOutliers(t(s, dir)("embeddings"), "label", n = 5)
 
+  /** IVF-PQ ANN ([[Similarity.fitIvfPq]] → [[Similarity.probeIvfPq]]):
+    * the deployed composition (FAISS IndexIVFPQ) — IVF routes each query
+    * to nprobe/nlist of the corpus, PQ compresses the inverted file to
+    * m code ids + a norm per row, ADC scores the probed cells in
+    * O(m)/row, refine×k winners re-ranked exactly. Self-gated like
+    * q29/q51/q92; on the near-random fixture both approximations stack
+    * — measured recall@5 0.58 at sf0.01 / 0.28 at sf0.1 (≈ the q51 IVF
+    * recall × the q92 PQ-candidate recall, deterministic) — floor
+    * 0.2 leaves margin. OpsSpec pins ≥0.9 on clustered vectors with the
+    * codes-only inverted-file shape asserted.
+    */
+  def q95(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir)("embeddings")
+    val qs = emb.filter(col("vec_id") < 10)
+    annRecallGate(
+      Similarity.probeIvfPq(Similarity.fitIvfPq(emb, nlist = 16), emb, qs,
+        k = 5, nprobe = 4, refine = 10),
+      Similarity.bruteForceTopK(emb, qs, k = 5), floor = 0.2)
+  }
+
   /** Session-cached learned merge table for the subword-packing query —
     * the [[storedIvf]] pattern for the tokenizer artifact: production
     * learns the table once per corpus version and every export pass
@@ -1170,6 +1190,7 @@ object PipelineQueries {
     "q92_ann_pq"          -> (q92 _),
     "q93_tokenizer_fertility" -> (q93 _),
     "q94_embedding_outliers" -> (q94 _),
+    "q95_ann_ivfpq"       -> (q95 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -1815,6 +1836,9 @@ FROM o"""
       """SELECT CAST(5*count(*) AS BIGINT) AS n_results, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 10""",
     "q92_ann_pq" ->
+      """SELECT CAST(5*count(*) AS BIGINT) AS n_results, TRUE AS recall_ok
+         FROM embeddings WHERE vec_id < 10""",
+    "q95_ann_ivfpq" ->
       """SELECT CAST(5*count(*) AS BIGINT) AS n_results, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 10""",
     // like q29/q51: the approximate side self-gates against the exact

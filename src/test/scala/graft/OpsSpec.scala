@@ -753,6 +753,60 @@ class OpsSpec extends SparkSpec {
     assert(refit === stored)
   }
 
+  test("IVF-PQ recall@3 >= 0.9 against brute force on clustered vectors") {
+    // the deployed composition: IVF bounds rows scored, PQ bounds bytes
+    // per row — recall on the clustered regime must survive BOTH
+    // approximations stacked (cell routing × code quantization)
+    val rows = for (c <- 0 until 10; i <- 0 until 20) yield {
+      val base = v(c)
+      val r = new scala.util.Random(c * 1000 + i)
+      ((c * 20 + i).toLong,
+        base.map(x => (x + 0.05 * r.nextGaussian()).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" % 20 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val idx = Similarity.fitIvfPq(emb, nlist = 10, m = 8, ksub = 16)
+    val approx = Similarity.probeIvfPq(idx, emb, queries, 3,
+      nprobe = 3, refine = 10)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("IvfPqIndex: fit→save→load→probe ≡ one-shot; file is compressed; stale scheme loud") {
+    val rows = for (c <- 0 until 10; i <- 0 until 20) yield {
+      val base = v(c)
+      val r = new scala.util.Random(c * 1000 + i)
+      ((c * 20 + i).toLong,
+        base.map(x => (x + 0.05 * r.nextGaussian()).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" % 20 === 0)
+    val idx = Similarity.fitIvfPq(emb, nlist = 10, m = 8, ksub = 16)
+    // the inverted file carries codes + routing, NEVER vectors
+    assert(idx.file.columns.toSet === Set("id", "cluster", "code", "rnorm"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    idx.save(dir)
+    val loaded = Similarity.loadIvfPq(spark, dir)
+    assert((loaded.nlist, loaded.m, loaded.ksub, loaded.dim, loaded.scheme)
+      === (10, 8, 16, 64, Similarity.IvfPqIndex.Scheme))
+    val stored = Similarity.probeIvfPq(loaded, emb, queries, 3, nprobe = 3)
+      .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+    val oneShot = Similarity.probeIvfPq(idx, emb, queries, 3, nprobe = 3)
+      .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+    assert(stored === oneShot)
+    val stale = idx.copy(scheme = 999)
+    intercept[IllegalArgumentException] {
+      Similarity.probeIvfPq(stale, emb, queries, 3)
+    }
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ivfpq-s").toString
+    stale.save(dir2)
+    val e = intercept[IllegalArgumentException](Similarity.loadIvfPq(spark, dir2))
+    assert(e.getMessage.contains("scheme"))
+  }
+
   test("embeddingOutliers: the planted off-axis member ranks first in its group") {
     // group 0: three vectors near +x plus ONE near +y (the mislabel);
     // centroid ≈ x-dominant, so the y vector has the lowest cosine to it.

@@ -22,6 +22,13 @@ object PqProbe {
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"PQPROBE dir=$dir refine=$refine recall=${hits.toDouble / nEx}%.3f n=$nEx secs=$secs%.2f")
       }
+      val t0 = System.nanoTime()
+      val ivfpq = Similarity.fitIvfPq(emb, nlist = 16)
+      val approx = Similarity.probeIvfPq(ivfpq, emb, qs, k = 5,
+        nprobe = 4, refine = 10).select("qid", "nid")
+      val hits = approx.join(exact, Seq("qid", "nid"), "left_semi").count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"IVFPQPROBE dir=$dir recall=${hits.toDouble / nEx}%.3f n=$nEx secs=$secs%.2f")
       exact.unpersist()
     }
     s.stop()

@@ -1249,6 +1249,44 @@ object TextOps {
       .drop("__shard_key")
   }
 
+  /** Curriculum-ordered shard layout: the SAME content-keyed shard
+    * assignment as [[shuffleShard]] (deterministic, diversity across
+    * shards, dup texts co-located), but within each shard rows are
+    * ordered by (`score` DESC, content key, id) — the quality-descending
+    * curriculum (Bengio et al. 2009 applied to data curation: present
+    * the cleanest documents first / weight them into early epochs).
+    * Because the shard assignment ignores the score, every shard gets
+    * the full quality RANGE and the curriculum is a within-shard
+    * property — reordering never unbalances shard sizes.
+    *
+    * Same single-shuffle shape as [[shuffleShard]] (the rank window
+    * rides the shard partitioning the writer needs anyway); `pos` is the
+    * in-shard curriculum rank. Null scores order LAST explicitly (Spark
+    * and SQL engines disagree on the default — silent divergence
+    * otherwise). NULL text hashes as empty text, the shuffleShard
+    * contract.
+    */
+  def curriculumShard(df: DataFrame, idCol: String, textCol: String,
+                      nShards: Int, score: Column): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val clash = Seq("shard", "pos", "__shard_key", "__cur_score")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"curriculumShard adds columns ${clash.mkString(", ")} which the " +
+        "input already has — rename them first (silent shadowing would " +
+        "corrupt the export layout)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("__cur_score").desc_nulls_last, col("__shard_key"),
+        col(idCol))
+    df.withColumn("__shard_key",
+        fingerprint(concat(lit("shard:"), coalesce(col(textCol), lit("")))))
+      .withColumn("__cur_score", score)
+      .withColumn("shard", pmod(col("__shard_key"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__shard_key", "__cur_score")
+  }
+
   /** Materialize the [[shuffleShard]] layout as ONE parquet directory
     * per shard, rows stored in shard order — the writer whose shuffle
     * [[shuffleShard]]'s scaladoc promises to BE. `repartition(nShards,

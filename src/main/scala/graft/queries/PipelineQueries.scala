@@ -1029,6 +1029,20 @@ object PipelineQueries {
       Similarity.bruteForceTopK(emb, qs, k = 5), floor = 0.2)
   }
 
+  /** Curriculum-ordered export layout ([[TextOps.curriculumShard]]):
+    * content-keyed shard assignment (q65's diversity/determinism
+    * contract) with the within-shard order flipped to quality-descending
+    * — pos 1 of every shard is its cleanest document. The oracle replays
+    * the quality score (q68's expression), the `shard:` fingerprint, the
+    * shard assignment and the full (q DESC NULLS LAST, fp, doc_id) rank
+    * in DuckDB.
+    */
+  def q96(s: SparkSession, dir: String): DataFrame =
+    TextOps.curriculumShard(t(s, dir)("documents"), "doc_id", "text",
+      nShards = 8, TextOps.qualityScore(col("text")))
+      .select(col("doc_id"), col("shard"), col("pos"),
+        TextOps.qualityScore(col("text")).as("q"))
+
   /** Session-cached learned merge table for the subword-packing query —
     * the [[storedIvf]] pattern for the tokenizer artifact: production
     * learns the table once per corpus version and every export pass
@@ -1191,6 +1205,7 @@ object PipelineQueries {
     "q93_tokenizer_fertility" -> (q93 _),
     "q94_embedding_outliers" -> (q94 _),
     "q95_ann_ivfpq"       -> (q95 _),
+    "q96_curriculum_shard" -> (q96 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -1841,6 +1856,32 @@ FROM o"""
     "q95_ann_ivfpq" ->
       """SELECT CAST(5*count(*) AS BIGINT) AS n_results, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 10""",
+    "q96_curriculum_shard" ->
+      """WITH t AS (SELECT doc_id, text,
+                round((least(CAST(len(string_split(text, ' ')) AS DOUBLE)
+                        / 50.0, 1.0)
+                  + least(CAST(len(list_filter(string_split(text, ' '),
+                      x -> x IN ('the','a','an','of','and','is','to')))
+                      AS DOUBLE)
+                    / greatest(len(string_split(text, ' ')), 1) * 5.0, 1.0)
+                  ) / 2.0, 4) AS q
+              FROM documents),
+         f AS (SELECT doc_id, q,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(
+                       range(1, length('shard:' || COALESCE(text, '')) + 1),
+                       i -> CAST(unicode(substr('shard:' || COALESCE(text, ''),
+                         CAST(i AS INT), 1)) AS BIGINT))),
+                   (a, b) -> (a*31 + b) % 1000000007) AS fp
+               FROM t),
+         r AS (SELECT doc_id, q, fp % 8 AS shard,
+                 row_number() OVER (PARTITION BY fp % 8
+                   ORDER BY q DESC NULLS LAST, fp, doc_id) AS pos
+               FROM f)
+       SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+              CAST(pos AS BIGINT) AS pos, q
+       FROM r""",
     // like q29/q51: the approximate side self-gates against the exact
     // fusion inside the query; the oracle pins the row count (top-3 per
     // query — BM25 alone supplies >= 10 candidates per query, so the

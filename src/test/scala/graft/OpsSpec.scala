@@ -807,6 +807,37 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("scheme"))
   }
 
+  test("curriculumShard: shards match shuffleShard, within-shard order is score-desc") {
+    val docs = (1L to 60L).map(i => (i, s"doc number $i " + ("w " * (i % 7).toInt)))
+      .toDF("doc_id", "text")
+    val score = length(col("text")).cast("double")
+    val got = TextOps.curriculumShard(docs, "doc_id", "text", 4, score)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    val base = TextOps.shuffleShard(docs, "doc_id", "text", 4)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    // identical shard ASSIGNMENT (the curriculum is a within-shard
+    // property; reordering must never move a doc across shards)
+    got.foreach { case (id, sh, _) => assert(sh === base(id)) }
+    // positions are dense 1..n per shard and the score never increases
+    // along a shard (ties broken deterministically)
+    val scores = docs.select(col("doc_id"), score.as("s"))
+      .as[(Long, Double)].collect().toMap
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val byPos = rows.sortBy(_._3)
+      assert(byPos.map(_._3).toSeq === (1L to rows.length).toSeq)
+      byPos.sliding(2).foreach {
+        case Array(a, b) => assert(scores(a._1) >= scores(b._1),
+          s"curriculum order violated: ${a._1}(${scores(a._1)}) before " +
+            s"${b._1}(${scores(b._1)})")
+        case _ =>
+      }
+    }
+    // rerun-identical (content-keyed, no RNG)
+    val again = TextOps.curriculumShard(docs, "doc_id", "text", 4, score)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(got.toSet === again.toSet)
+  }
+
   test("embeddingOutliers: the planted off-axis member ranks first in its group") {
     // group 0: three vectors near +x plus ONE near +y (the mislabel);
     // centroid ≈ x-dominant, so the y vector has the lowest cosine to it.

@@ -1057,6 +1057,62 @@ object Similarity {
       encodeWith(clustered, centers, dim), ivf.nlist, m, ksub, dim)
   }
 
+  /** Assign + encode a NEW batch against the STORED coarse centroids and
+    * codebooks and append it to the inverted file — [[extendIvf]]'s
+    * per-ingest path for the compressed index: one codegen'd map over
+    * the batch (both model literals ride the same projection), the same
+    * per-row dimension assert, the same eager id-overlap guard, and the
+    * same loud overgrowth signal when the file outgrows the frozen
+    * nlist's √n balance point (models are unchanged by design — drift
+    * is what periodic re-fit compaction is for).
+    */
+  def extendIvfPq(index: IvfPqIndex, batch: DataFrame,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding",
+                  verifyIds: Boolean = true,
+                  strictGrowth: Boolean = false): IvfPqIndex = {
+    require(index.scheme == IvfPqIndex.Scheme,
+      s"IvfPqIndex fit scheme ${index.scheme} != this build's " +
+        s"${IvfPqIndex.Scheme} — rebuild the index")
+    if (verifyIds) {
+      val overlap = batch.select(col(idCol).as("id"))
+        .join(index.file.select(col("id")), Seq("id"), "left_semi")
+        .limit(5).collect()
+      require(overlap.isEmpty,
+        s"extendIvfPq: batch ids already present in the inverted file " +
+          s"(e.g. ${overlap.map(_.get(0)).mkString(", ")}) — probes " +
+          "would return duplicates; dedup the batch or compact first")
+    }
+    val flat = index.centersFlat
+    val pqCenters = Array.tabulate(index.m)(j =>
+      flat.slice(j * index.ksub, (j + 1) * index.ksub))
+    val coarse: Array[Seq[Double]] =
+      index.centroids.orderBy(col("cluster").asc).collect()
+        .map(_.getSeq[Double](1))
+    val c = batch.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .where(coalesce(
+        assert_true(size(col("v")) === index.dim,
+          lit(s"extendIvfPq: batch vector dimension != index dim " +
+            s"${index.dim} — a mismatched vector would be routed to an " +
+            "arbitrary cell and coded from a truncated slice")),
+        lit(true)))
+      .withColumn("cluster", nearestCenter(col("v"), coarse))
+    val extended = index.copy(
+      file = index.file.unionByName(encodeWith(c, pqCenters, index.dim)))
+    val growth = extended.file.select(col("id")).count().toDouble /
+      (index.nlist.toLong * index.nlist)
+    if (growth > IvfIndex.OvergrowthFactor) {
+      val msg = f"extendIvfPq: inverted file is now $growth%.1f× nlist² " +
+        f"(nlist=${index.nlist}, fit-time √n balance point 1×, signal " +
+        f"threshold ${IvfIndex.OvergrowthFactor}%.0f×) — refit " +
+        "(fitIvfPq + save) at the next compaction before recall and " +
+        "probe parallelism decay further"
+      if (strictGrowth) throw new IllegalStateException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
+    extended
+  }
+
   /** Probe an [[IvfPqIndex]]: rank the nprobe nearest cells per query
     * (broadcast centroid table, shuffle-bounded top-k), ADC-score ONLY
     * the probed cells' compressed rows (cluster-keyed join against the

@@ -838,6 +838,45 @@ class OpsSpec extends SparkSpec {
     assert(got.toSet === again.toSet)
   }
 
+  test("extendIvfPq: new vectors become findable; guards and refit signal hold") {
+    // same shape as the extendIvf test: fit on 9 clusters + a lone seed
+    // of cluster 9, extend with the rest of cluster 9, probe for it —
+    // the extended members must surface WITHOUT refit
+    val all = for (c <- 0 until 10; i <- 0 until 20) yield {
+      val base = v(c)
+      val r = new scala.util.Random(c * 1000 + i)
+      ((c * 20 + i).toLong,
+        base.map(x => (x + 0.05 * r.nextGaussian()).toFloat))
+    }
+    val (late, early) = all.partition { case (id, _) => id > 180L }
+    val allDf = all.toDF("vec_id", "embedding")
+    val idx = Similarity.fitIvfPq(early.toDF("vec_id", "embedding"),
+      nlist = 10, m = 8, ksub = 16)
+    val extended = Similarity.extendIvfPq(idx, late.toDF("vec_id", "embedding"))
+    assert(extended.centroids eq idx.centroids) // models frozen, append-only
+    assert(extended.codebooks eq idx.codebooks)
+    val q9 = all.filter(_._1 == 180L).toDF("vec_id", "embedding")
+    val got = Similarity.probeIvfPq(extended, allDf, q9, 3,
+      nprobe = 1, refine = 10)
+      .select("nid").as[Long].collect().toSet
+    assert(got.forall(_ > 180L), s"expected extended cluster-9 members, got $got")
+    assert(got.size === 3)
+    // duplicate-id guard
+    val dup = Seq((5L, v(99))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](Similarity.extendIvfPq(idx, dup))
+    assert(e.getMessage.contains("already present"))
+    // overgrowth signal: nlist=4 → threshold 64 rows; 20 base + 50 batch
+    val small = Similarity.fitIvfPq(
+      (1L to 20L).map(i => (i, v(i.toInt))).toDF("vec_id", "embedding"),
+      nlist = 4, m = 8, ksub = 4)
+    val big = (100L to 149L).map(i => (i, v(i.toInt))).toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalStateException] {
+      Similarity.extendIvfPq(small, big, strictGrowth = true)
+    }
+    assert(e2.getMessage.contains("refit"))
+    assert(Similarity.extendIvfPq(small, big).file.count() === 70L)
+  }
+
   test("embeddingOutliers: the planted off-axis member ranks first in its group") {
     // group 0: three vectors near +x plus ONE near +y (the mislabel);
     // centroid ≈ x-dominant, so the y vector has the lowest cosine to it.

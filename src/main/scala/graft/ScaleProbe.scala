@@ -105,7 +105,15 @@ object ScaleProbe {
     // IVF-PQ: the deployed ANN composition — its probe must scan
     // nprobe/nlist of the COMPRESSED file (cluster-keyed join over codes)
     // with the exact re-rank bounded at refine × k vectors per query
-    "q95_ann_ivfpq")
+    "q95_ann_ivfpq",
+    // late-r13 arrivals: the PII scrub (five regex engines per row on a
+    // zero-exchange scan — the pure-bandwidth shape, like q93 but
+    // regex-bound), CCNet perplexity buckets (q73's token passes + ONE
+    // doc-grain window exchange per source — the per-group sort must
+    // stay doc-grain), and weighted sampling (corpus scan +
+    // TakeOrderedAndProject — the cheapest exact-n pass; its ratio
+    // should read ≈ the scan ratio, no shuffle at any size)
+    "q97_pii_redact", "q98_perplexity_buckets", "q99_weighted_sample")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -256,7 +264,20 @@ object ScaleProbe {
         // the row documents the per-batch cost and would CATCH any
         // future base-coupling regression
         () => Similarity.encodePqBatch(pqS, batchES),
-        () => Similarity.encodePqBatch(pqB, batchEB)))
+        () => Similarity.encodePqBatch(pqB, batchEB)),
+      ("maint_refine_ivf",
+        // the compaction-cadence contrast to extend: ONE distributed
+        // Lloyd round over the FULL corpus (refineIvf — the cell-balance
+        // repair / post-drift refit). Deliberately corpus-proportional:
+        // the ratio should read ≈ the corpus scan ratio (~10× at 10×
+        // rows), pricing what a scheduled refit costs vs the per-batch
+        // extend rows above; the materialized frame is the re-assigned
+        // inverted file (the mean aggregates are driver actions inside
+        // the call, included in the timing)
+        () => Similarity.refineIvf(ivfS,
+          table(spark, small, "embeddings"), iters = 1).assigned,
+        () => Similarity.refineIvf(ivfB,
+          table(spark, big, "embeddings"), iters = 1).assigned))
     val maintResults = maintProbes.map { case (name, mkS, mkB) =>
       val fpS = fingerprint(mkS())
       val (coldS, warmS) = timeThunk(mkS)

@@ -137,13 +137,11 @@ object Similarity {
   }
 
   /** K-means centroids for IVF coarse quantization: deterministic seeded
-    * init (hash-ordered sample) + `iters` Lloyd rounds with the centers
-    * held ON THE DRIVER — centers are config-sized (nlist × dim; coarse
-    * quantizers are 2^10..2^16 even at billion scale), never data-sized,
-    * which is how MLlib's KMeans structures the same loop. Assignment is a
-    * pure map against a centers literal (zero joins, zero shuffle); the
-    * per-round update is ONE partial-aggregated groupBy whose shuffle
-    * carries only nlist × dim × partitions rows.
+    * init (hash-ordered sample) + `iters` Lloyd rounds over the
+    * config-sized SAMPLE on the driver — [[fitIvf]]'s fit, centroids
+    * only. For Lloyd rounds over the FULL corpus (sample-free means,
+    * one bounded distributed aggregate per round) fit first and pass
+    * the index through [[refineIvf]].
     */
   def kmeansCentroids(corpus: DataFrame, nlist: Int, iters: Int = 5,
                       idCol: String = "vec_id",
@@ -321,6 +319,74 @@ object Similarity {
             "an arbitrary cell")),
         lit(true)))
       .withColumn("cluster", nearestCenter(col("v"), index.centersArray))
+
+  /** Distributed Lloyd refinement: `iters` k-means rounds over the FULL
+    * corpus, starting from the stored centroids — the scale path past
+    * [[fitIvf]]'s sample fit. The sample fit is the standard way to
+    * train a bounded quantizer on unbounded data (FAISS trains on a
+    * sample too), but its centroids only describe the sample; when cell
+    * BALANCE is what's being bought — [[semanticPairs]]' candidate cost
+    * is Σ|cell|², [[probeIvf]]'s per-cell scan volume rides the largest
+    * probed cell — a few full-corpus rounds tighten the partition at a
+    * cost that is exactly `iters` bounded passes. Also the cheap
+    * post-[[extendIvf]] refit: rounds here re-center on base + extended
+    * rows together without a resample.
+    *
+    * Per round, ONE distributed job: assignment is the same codegen'd
+    * [[nearestCenter]] map against a centers literal (zero joins), then
+    * the per-(cluster, dim) mean via posexplode + partial-combined
+    * aggregate — the q94 centroid shape: shuffle volume is
+    * nlist × dim × partitions partial rows, corpus-INDEPENDENT, and the
+    * driver collect is the nlist × dim result, config-sized. No corpus
+    * shuffle, sort, or cache anywhere; empty cells keep their previous
+    * centroid (the [[lloydRounds]] contract). On a corpus the sample
+    * covered entirely, a round here is bit-identical to one more driver
+    * round (OpsSpec pins the law on integer-valued vectors, where
+    * summation order cannot perturb the means).
+    *
+    * Returns a NEW [[IvfIndex]] (same nlist/dim/scheme — the probe
+    * arithmetic is unchanged; cell IDS move, which is the point) with
+    * the corpus re-assigned against the refined centers. Save it to
+    * persist — the input index's stored form is untouched.
+    */
+  def refineIvf(index: IvfIndex, corpus: DataFrame, iters: Int = 1,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): IvfIndex = {
+    require(iters >= 1, s"refineIvf: need iters >= 1, got $iters")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .where(coalesce(
+        assert_true(size(col("v")) === index.dim,
+          lit(s"refineIvf: corpus vector dimension != index dim " +
+            s"${index.dim}")),
+        lit(true)))
+    var centers: Array[Array[Double]] = index.centersArray.map(_.toArray)
+    for (_ <- 1 to iters) {
+      val centerSeqs: Array[Seq[Double]] = centers.map(_.toIndexedSeq)
+      val stats = c
+        .withColumn("cluster", nearestCenter(col("v"), centerSeqs))
+        .select(col("cluster"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("cluster"), col("d"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect() // nlist × dim rows — config-sized, never data-sized
+      val sums = Array.fill(centers.length)(new Array[Double](index.dim))
+      val counts = new Array[Long](centers.length)
+      stats.foreach { r =>
+        val cl = r.getInt(0)
+        sums(cl)(r.getInt(1)) = r.getDouble(2)
+        counts(cl) = r.getLong(3)
+      }
+      centers = centers.zipWithIndex.map { case (old, cl) =>
+        if (counts(cl) == 0) old else sums(cl).map(_ / counts(cl))
+      }
+    }
+    val centerSeqs: Array[Seq[Double]] = centers.map(_.toIndexedSeq)
+    val centroids = centerSeqs.toSeq.zipWithIndex
+      .map { case (ct, i) => (i, ct) }.toDF("cluster", "centroid")
+    IvfIndex(centroids, c.withColumn("cluster",
+      nearestCenter(col("v"), centerSeqs)), index.nlist, index.dim)
+  }
 
   /** Argmin over a driver-side centers array via the native
     * [[graft.expr.VecNearest]] expression (registered by GraftSession) —

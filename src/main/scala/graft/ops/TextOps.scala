@@ -413,6 +413,75 @@ object TextOps {
       .drop("__fp", "__cnt", "__strat", "__nsurv")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement — the
+    * Efraimidis–Spirakis A-Res scheme (public: "Weighted random sampling
+    * with a reservoir", IPL 2006) with the randomness replaced by the
+    * portable content fingerprint, so the "sample" is a pure function of
+    * the corpus: every engine, every run, every cluster size draws the
+    * same n documents. The curation use is quality-weighted corpus
+    * subsampling — [[mixtureSample]] keeps an independent fraction per
+    * SOURCE and [[stratifiedSample]] keeps a uniform exact-n per
+    * stratum; this keeps a global exact-n where each document's
+    * inclusion odds are proportional to its OWN weight (quality score,
+    * inverse dup-count, recency…).
+    *
+    * Per row: `u = (fp + 1) / M ∈ (0, 1]` from the squared-ring-mixed
+    * fingerprint of the salted text (the [[stratifiedSample]] mixing —
+    * the raw poly-31 key clusters on suffix-varying texts), and the
+    * A-Res priority is `u^(1/w)`, compared in log space as
+    * `ln(u) / w` (monotone in the original key: ln is increasing and
+    * positive weights preserve order on the negative logs). The top-n
+    * by `(key desc, id)` IS the weighted sample. A zero weight sends
+    * the key to −∞ — deterministically last, i.e. "never sampled unless
+    * the corpus runs out", the A-Res limit behavior; negative weights
+    * are a caller bug (keys flip sign and the scheme's semantics are
+    * undefined) and the weight expression must guard against them.
+    *
+    * Determinism across engines: the key rounds at 6 dp BEFORE the
+    * rank (round-then-sort, ties to the smaller id), so Spark and the
+    * DuckDB oracle produce the identical sample even where their `ln`
+    * implementations differ in the last ulp. The zero-weight branch is
+    * an explicit `when` — under ANSI mode (Spark 4's default) a bare
+    * `ln(u)/0` is a runtime error, not the IEEE −∞ the A-Res limit
+    * wants.
+    *
+    * Scale shape: one corpus scan computing a codegen'd key, then a
+    * global top-n — planned as `TakeOrderedAndProject` (per-partition
+    * heaps of n rows, driver merge of #partitions×n), NO corpus sort and
+    * NO shuffle; the rank window afterwards runs on the n-row result.
+    * At 100 TB this is the cheapest possible exact-n pass over the
+    * corpus.
+    *
+    * Output: the sampled rows with `w` (the evaluated weight, 4 dp),
+    * `ws_key` (the rounded priority) and `rnk` (1..n, key order).
+    */
+  def weightedSample(df: DataFrame, idCol: String, textCol: String,
+                     weight: Column, n: Int,
+                     salt: String = "ws:"): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val clash = Seq("rnk", "w", "ws_key")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"weightedSample adds columns ${clash.mkString(", ")} that already " +
+        "exist in the input — rename or drop them first")
+    val mod = 1000000007L // portable_fingerprint's modulus
+    val raw = fingerprint(concat(lit(salt), coalesce(col(textCol), lit(""))))
+    val fp = pmod(raw * raw, lit(mod))
+    val u = (fp + lit(1L)).cast("double") / lit(mod.toDouble)
+    val sampled = df
+      .withColumn("w", round(weight, 4))
+      .withColumn("ws_key", when(col("w") > 0,
+        round(log(u) / col("w"), 6))
+        .otherwise(lit(Double.NegativeInfinity)))
+      .orderBy(col("ws_key").desc, col(idCol))
+      .limit(n)
+    // rank over the n-row result — the window's single-partition sort is
+    // bounded by n, never by the corpus
+    sampled.withColumn("rnk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("ws_key").desc, col(idCol))))
+  }
+
   /** Unigram-surprisal quality score — the LM-proxy filter (CCNet-style,
     * public) with the corpus's own unigram distribution standing in for
     * the language model: per document, the mean negative log-probability
@@ -470,6 +539,57 @@ object TextOps {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(col("__nlp")), 4).as("surprisal"))
+  }
+
+  /** CCNet-style perplexity bucketing (public: Wenzek et al.,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data", LREC 2020): within each group (CCNet buckets per
+    * LANGUAGE; per source works the same way), rank documents by their
+    * LM-proxy surprisal ([[unigramSurprisal]] — CCNet uses a trained
+    * 5-gram LM; the bucketing logic is identical) and cut the group
+    * into `nBuckets` equal-count tiers. The canonical 3 tiers are
+    * labeled `head` / `middle` / `tail` — CCNet's names: `head` is the
+    * most-fluent third a high-quality pretraining mix keeps, `tail` the
+    * third that is usually dropped; other bucket counts label `b1..bk`.
+    * Ordering is (surprisal asc, id) on the ALREADY-ROUNDED 4 dp score,
+    * so the tiling is engine-portable; `ntile` gives earlier buckets
+    * the remainder rows, the SQL-standard split both Spark and DuckDB
+    * implement.
+    *
+    * Scale shape: the surprisal passes (see [[unigramSurprisal]] — the
+    * group column rides the per-doc aggregate, adding no pass), then
+    * ONE window exchange partitioned by group. A per-group sort of
+    * doc-grain ROWS (one row per document, not per token) — the same
+    * shape as [[qualityTopFrac]]'s per-source rank; a skewed group
+    * costs its own sort, never a global one.
+    *
+    * Output: `(idCol, groupCol, n_tokens, surprisal, ppl_bucket)`.
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                        groupCol: String, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"need at least 2 buckets, got $nBuckets")
+    val toks = df.select(col(idCol), col(groupCol),
+      explode(tokens(col(textCol))).as("__term"))
+    val f0 = termFreqs(df, textCol)
+      .select(col("term").as("__term"), col("cnt").as("__cnt"))
+    val total = f0.agg(sum(col("__cnt")).cast("double").as("__total"))
+    val perDoc = toks.join(f0, Seq("__term"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("__nlp", round(
+        -log(coalesce(col("__cnt"), lit(1L)).cast("double") / col("__total")),
+        9))
+      .groupBy(col(idCol), col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("__nlp")), 4).as("surprisal"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("surprisal"), col(idCol))
+    val tile = ntile(nBuckets).over(w)
+    val label =
+      if (nBuckets == 3)
+        when(tile === 1, "head").when(tile === 2, "middle").otherwise("tail")
+      else concat(lit("b"), tile)
+    perDoc.withColumn("ppl_bucket", label)
   }
 
   /** The corpus adjacent-bigram frequency table `(a, b, cnt)` — the

@@ -1043,6 +1043,67 @@ object PipelineQueries {
       .select(col("doc_id"), col("shard"), col("pos"),
         TextOps.qualityScore(col("text")).as("q"))
 
+  /** PII audit + redaction ([[TextOps.piiCounts]] /
+    * [[TextOps.redactPii]]) with a NON-VACUOUS oracle: the synthetic
+    * corpus contains no digits or addresses, so the gate plants one
+    * instance of every pattern class — an email, an E.164 international
+    * phone, a NANP phone, a dotted-quad IPv4 and an in-URL credential
+    * whose password tail is itself email-shaped (the ordering trap the
+    * redactor exists to handle) — built DETERMINISTICALLY from
+    * `doc_id`, so every row's planted PII is distinct and the DuckDB
+    * oracle rebuilds the same text byte-for-byte and replays both the
+    * per-pattern counts and the full ordered redaction chain on its own
+    * regex engine (the patterns are RE2/Java-portable by construction —
+    * see [[TextOps.EmailPattern]]'s scaladoc). One corpus scan, all
+    * regexes codegen'd per row, zero joins.
+    */
+  def q97(s: SparkSession, dir: String): DataFrame = {
+    val full = concat(
+      coalesce(col("text"), lit("")),
+      lit(" contact user"), col("doc_id"), lit("@ex-"),
+      pmod(col("doc_id"), lit(7L)), lit(".org call +44 20 7946 0"),
+      pmod(col("doc_id"), lit(10L)), lit("58 or 415-555-"),
+      lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+      lit(" host 10."), pmod(col("doc_id"), lit(256L)), lit(".0."),
+      pmod(col("doc_id"), lit(100L)),
+      lit(" fetch https://bob:pw"), col("doc_id"),
+      lit("@files.example.com/x"))
+    t(s, dir)("documents")
+      .select(col("doc_id"), TextOps.piiCounts(full).as("__pii"),
+        TextOps.redactPii(full).as("text_redacted"))
+      .select(col("doc_id"),
+        col("__pii.n_emails").cast("long").as("n_emails"),
+        col("__pii.n_phones").cast("long").as("n_phones"),
+        col("__pii.n_intl_phones").cast("long").as("n_intl_phones"),
+        col("__pii.n_ipv4").cast("long").as("n_ipv4"),
+        col("__pii.n_url_creds").cast("long").as("n_url_creds"),
+        col("text_redacted"))
+  }
+
+  /** CCNet perplexity buckets ([[TextOps.perplexityBuckets]]): per
+    * source, the head/middle/tail surprisal tiers — the public CCNet
+    * recipe's bucketing step over q73's LM-proxy score. The oracle
+    * replays the unigram model, every per-doc mean and the NTILE(3)
+    * tiling (surprisal asc, id tie-break) in DuckDB.
+    */
+  def q98(s: SparkSession, dir: String): DataFrame =
+    TextOps.perplexityBuckets(t(s, dir)("documents"), "doc_id", "text",
+      "source")
+
+  /** Deterministic weighted sampling ([[TextOps.weightedSample]] —
+    * Efraimidis–Spirakis A-Res with fingerprint-derived uniforms):
+    * the global quality-weighted 50-document subsample, weight
+    * `quality + 0.01` (the floor keeps zero-quality docs sampleable-
+    * last instead of undefined). The oracle replays the salted
+    * squared-ring fingerprint, the uniform, the log-space priority and
+    * the full (key desc, id) top-50 in DuckDB.
+    */
+  def q99(s: SparkSession, dir: String): DataFrame =
+    TextOps.weightedSample(t(s, dir)("documents"), "doc_id", "text",
+      TextOps.qualityScore(col("text")) + lit(0.01), n = 50)
+      .select(col("rnk"), col("doc_id"), col("source"), col("w"),
+        col("ws_key"))
+
   /** Session-cached learned merge table for the subword-packing query —
     * the [[storedIvf]] pattern for the tokenizer artifact: production
     * learns the table once per corpus version and every export pass
@@ -1206,6 +1267,9 @@ object PipelineQueries {
     "q94_embedding_outliers" -> (q94 _),
     "q95_ann_ivfpq"       -> (q95 _),
     "q96_curriculum_shard" -> (q96 _),
+    "q97_pii_redact"      -> (q97 _),
+    "q98_perplexity_buckets" -> (q98 _),
+    "q99_weighted_sample" -> (q99 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -1882,6 +1946,92 @@ FROM o"""
        SELECT doc_id, CAST(shard AS BIGINT) AS shard,
               CAST(pos AS BIGINT) AS pos, q
        FROM r""",
+    // the planted-PII construction is rebuilt byte-for-byte from doc_id,
+    // then counts and the ordered redaction chain replay on DuckDB's RE2
+    // (the patterns are RE2/Java-portable by design); 'g' because DuckDB
+    // regexp_replace is single-match by default where Spark's is global
+    "q97_pii_redact" ->
+      s"""WITH b AS (SELECT doc_id,
+             coalesce(text, '') || ' contact user' ||
+             CAST(doc_id AS VARCHAR) || '@ex-' ||
+             CAST(doc_id % 7 AS VARCHAR) || '.org call +44 20 7946 0' ||
+             CAST(doc_id % 10 AS VARCHAR) || '58 or 415-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' host 10.' ||
+             CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+             CAST(doc_id % 100 AS VARCHAR) || ' fetch https://bob:pw' ||
+             CAST(doc_id AS VARCHAR) || '@files.example.com/x' AS ftext
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(ftext,
+             '${TextOps.EmailPattern}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(ftext,
+             '${TextOps.PhonePattern}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(ftext,
+             '${TextOps.IntlPhonePattern}')) AS BIGINT) AS n_intl_phones,
+           CAST(len(regexp_extract_all(ftext,
+             '${TextOps.Ipv4Pattern}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(ftext,
+             '${TextOps.UrlCredPattern}')) AS BIGINT) AS n_url_creds,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(ftext,
+               '${TextOps.UrlCredPattern}', '[URLCRED]', 'g'),
+               '${TextOps.EmailPattern}', '[EMAIL]', 'g'),
+               '${TextOps.Ipv4Pattern}', '[IP]', 'g'),
+               '${TextOps.IntlPhonePattern}', '[PHONE]', 'g'),
+               '${TextOps.PhonePattern}', '[PHONE]', 'g') AS text_redacted
+         FROM b""",
+    // q73's unigram model + the CCNet NTILE(3) tiling per source on the
+    // already-rounded 4dp surprisal (ties to the smaller doc_id)
+    "q98_perplexity_buckets" ->
+      """WITH toks AS (SELECT doc_id, source,
+                unnest(string_split(text, ' ')) AS term FROM documents),
+         f AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+               FROM toks GROUP BY term),
+         tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM f),
+         j AS (SELECT toks.doc_id, toks.source,
+                 round(-ln(CAST(f.cnt AS DOUBLE) / tot.total), 9) AS nlp
+               FROM toks JOIN f USING (term) CROSS JOIN tot),
+         d AS (SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tokens,
+                 round(avg(nlp), 4) AS surprisal
+               FROM j GROUP BY doc_id, source),
+         nt AS (SELECT doc_id, source, n_tokens, surprisal,
+                  ntile(3) OVER (PARTITION BY source
+                    ORDER BY surprisal, doc_id) AS b
+                FROM d)
+       SELECT doc_id, source, n_tokens, surprisal,
+              CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS ppl_bucket
+       FROM nt""",
+    // the full A-Res replay: salted squared-ring fingerprint -> uniform
+    // (fp+1)/M -> log-space priority ln(u)/w on the 4dp-rounded weight,
+    // 6dp round BEFORE the (key desc, id) top-50
+    "q99_weighted_sample" ->
+      """WITH f0 AS (SELECT doc_id, source, text,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(
+                      range(1, length('ws:' || COALESCE(text, '')) + 1),
+                      i -> CAST(unicode(substr('ws:' || COALESCE(text, ''),
+                        CAST(i AS INT), 1)) AS BIGINT))),
+                  (a, b) -> (a*31 + b) % 1000000007) AS raw
+              FROM documents),
+         f AS (SELECT doc_id, source, text,
+                 (raw * raw) % 1000000007 AS fp FROM f0),
+         k AS (SELECT doc_id, source, fp,
+                 round(round((least(CAST(len(string_split(text, ' '))
+                       AS DOUBLE) / 50.0, 1.0)
+                   + least(CAST(len(list_filter(string_split(text, ' '),
+                       x -> x IN ('the','a','an','of','and','is','to')))
+                       AS DOUBLE)
+                     / greatest(len(string_split(text, ' ')), 1) * 5.0, 1.0)
+                   ) / 2.0, 4) + 0.01, 4) AS w
+               FROM f),
+         s AS (SELECT doc_id, source, w,
+                 round(ln((fp + 1) / 1000000007.0) / w, 6) AS ws_key
+               FROM k)
+       SELECT row_number() OVER (ORDER BY ws_key DESC, doc_id) AS rnk,
+              doc_id, source, w, ws_key
+       FROM s ORDER BY ws_key DESC, doc_id LIMIT 50""",
     // like q29/q51: the approximate side self-gates against the exact
     // fusion inside the query; the oracle pins the row count (top-3 per
     // query — BM25 alone supplies >= 10 candidates per query, so the

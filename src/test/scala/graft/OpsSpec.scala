@@ -646,6 +646,78 @@ class OpsSpec extends SparkSpec {
     assert(extended >= 0.5, s"extend-only recall $extended fell off a cliff")
   }
 
+  test("refineIvf: distributed rounds equal driver rounds when the sample covers the corpus") {
+    // integer-valued vectors: every per-cluster sum is exact in floating
+    // point REGARDLESS of summation order, so the distributed
+    // partial-combined means must be bit-identical to the driver loop's
+    val r = new scala.util.Random(7)
+    val emb = (1L to 60L)
+      .map(i => (i, Seq.fill(8)((r.nextInt(21) - 10).toDouble)))
+      .toDF("vec_id", "embedding")
+    def centers(idx: Similarity.IvfIndex): Seq[Seq[Double]] =
+      idx.centroids.orderBy("cluster").collect().map(_.getSeq[Double](1)).toSeq
+    val fiveDriver = Similarity.fitIvf(emb, nlist = 4, iters = 5)
+    val threePlusTwo = Similarity.refineIvf(
+      Similarity.fitIvf(emb, nlist = 4, iters = 3), emb, iters = 2)
+    assert(centers(fiveDriver) === centers(threePlusTwo))
+    // and the re-assigned inverted files agree row for row
+    val a = fiveDriver.assigned.select("id", "cluster")
+      .as[(Long, Int)].collect().toSet
+    val b = threePlusTwo.assigned.select("id", "cluster")
+      .as[(Long, Int)].collect().toSet
+    assert(a === b)
+  }
+
+  test("refineIvf: full-corpus rounds never increase quantization error") {
+    // the sample fit only describes its sample; Lloyd rounds over the
+    // full corpus are monotone in the TRUE objective (assignment and
+    // re-centering each non-increasing) — the property that makes
+    // refineIvf the cell-balance repair step
+    val rows = for (c <- 0 until 6; i <- 0 until 30) yield {
+      val r = new scala.util.Random(c * 100 + i)
+      ((c * 30 + i).toLong,
+        v(c).map(x => (x + 0.3 * r.nextGaussian()).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    def err(idx: Similarity.IvfIndex): Double =
+      idx.assigned.join(idx.centroids, "cluster")
+        .select(aggregate(zip_with(col("v"), col("centroid"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
+          .as("e"))
+        .agg(avg(col("e"))).as[Double].head()
+    val fitted = Similarity.fitIvf(emb, nlist = 6, iters = 2)
+    val refined = Similarity.refineIvf(fitted, emb, iters = 3)
+    assert(err(refined) <= err(fitted) + 1e-9,
+      s"refined ${err(refined)} vs fitted ${err(fitted)}")
+  }
+
+  test("refineIvf: an emptied cell keeps its centroid; guards fire loudly") {
+    // fit WITH a far outlier so one centroid chases it, then refine on
+    // the corpus WITHOUT the outlier — that cell captures nothing and
+    // must keep its previous centroid instead of silently vanishing
+    val outlier = (999L, Seq.fill(64)(50.0f))
+    val core = (1L to 30L).map(i => (i, v(i.toInt % 3)))
+    val emb = (core :+ outlier).toDF("vec_id", "embedding")
+    val noOutlier = core.toDF("vec_id", "embedding")
+    val idx = Similarity.fitIvf(emb, nlist = 4)
+    val outCell = Similarity.assignBatch(idx,
+      Seq(outlier).toDF("vec_id", "embedding"))
+      .select("cluster").as[Int].head()
+    // the outlier's cell holds ONLY the outlier (it is 50-σ away)
+    assert(idx.assigned.filter($"cluster" === outCell).count() === 1L)
+    val refined = Similarity.refineIvf(idx, noOutlier, iters = 2)
+    def center(i: Similarity.IvfIndex, cl: Int): Seq[Double] =
+      i.centroids.filter(col("cluster") === cl).collect()
+        .map(_.getSeq[Double](1)).head
+    assert(center(refined, outCell) === center(idx, outCell))
+    // loud guards: dimension mismatch and a non-positive iteration count
+    val bad = Seq((5000L, Seq.fill(8)(0.1f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception](Similarity.refineIvf(idx, bad))
+    assert(exceptionChain(e).contains("refineIvf"))
+    intercept[IllegalArgumentException](
+      Similarity.refineIvf(idx, noOutlier, iters = 0))
+  }
+
   test("PQ ANN recall@3 >= 0.9 against brute force on clustered vectors") {
     // same 10×20 clustered corpus as the IVF/LSH recall gates — the
     // regime real embedding corpora live in (q92 self-gates the
@@ -2187,5 +2259,108 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Int, Long, Double)].collect().toSeq
     assert(out.map(r => (r._2, r._3)) === Seq((1, 1L), (2, 2L)), out.toString)
     assert(out(0)._4 > out(1)._4, out.toString)
+  }
+
+  // ---- weighted sampling (Efraimidis–Spirakis A-Res) --------------------
+
+  /** Independent model of [[TextOps.weightedSample]]'s priority chain:
+    * poly-31 fingerprint of the salted text, squared-ring mix, uniform
+    * (fp+1)/M, log-space A-Res key on the 4dp weight — NOT the Spark
+    * expressions (that would be circular).
+    */
+  private def aresKey(text: String, w: Double): Double = {
+    val mod = 1000000007L
+    def r(x: Double, s: Int) = // Spark's round: HALF_UP on the exact value
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val raw = graft.expr.PortableFingerprint.polyHash("ws:" + text)
+    val fp = java.lang.Math.floorMod(raw * raw, mod)
+    r(math.log((fp + 1).toDouble / mod.toDouble) / r(w, 4), 6)
+  }
+
+  test("weightedSample: equals the independent A-Res model on a planted corpus") {
+    val docs = (1L to 40L).map(i => (i, s"doc number $i content"))
+      .toDF("doc_id", "text")
+    // weight varies per row: quality stand-in derived from the id
+    val weight = (col("doc_id") % 7 + 1).cast("double") / 7.0
+    val out = TextOps.weightedSample(docs, "doc_id", "text", weight, n = 10)
+      .select("rnk", "doc_id", "ws_key")
+      .as[(Int, Long, Double)].collect().toSeq.sortBy(_._1)
+    val expected = (1L to 40L)
+      .map(i => (i, aresKey(s"doc number $i content", (i % 7 + 1).toDouble / 7.0)))
+      .sortBy { case (id, k) => (-k, id) }.take(10)
+    assert(out.map(_._2) === expected.map(_._1))
+    out.zip(expected).foreach { case ((_, _, k), (_, ek)) =>
+      assert(math.abs(k - ek) < 1e-9, s"key $k vs model $ek") }
+    assert(out.map(_._1) === (1 to 10))
+  }
+
+  test("weightedSample: heavy-weight rows dominate the sample") {
+    val docs = (1L to 200L).map(i => (i, s"ws doc $i")).toDF("doc_id", "text")
+    // ids 1..100 weight 5.0, ids 101..200 weight 0.05 — u^(1/w) for the
+    // light rows collapses toward 0, so the 50-sample should be nearly
+    // all heavy rows (deterministic: fingerprint-derived uniforms)
+    val weight = when(col("doc_id") <= 100, 5.0).otherwise(0.05)
+    val picked = TextOps.weightedSample(docs, "doc_id", "text", weight, n = 50)
+      .select("doc_id").as[Long].collect().toSeq
+    val heavy = picked.count(_ <= 100)
+    assert(heavy >= 45, s"only $heavy of 50 sampled from the heavy half")
+  }
+
+  test("weightedSample: zero weight means sampled only when the corpus runs out") {
+    val docs = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val weight = when(col("doc_id") === 2L, 0.0).otherwise(1.0)
+    // n=2: both positive-weight docs win, the zero-weight doc is last
+    val two = TextOps.weightedSample(docs, "doc_id", "text", weight, n = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(two === Set(1L, 3L))
+    // n=3: the corpus runs out, so the zero-weight doc is included — last
+    val three = TextOps.weightedSample(docs, "doc_id", "text", weight, n = 3)
+      .orderBy("rnk").select("doc_id").as[Long].collect().toSeq
+    assert(three.last === 2L && three.toSet === Set(1L, 2L, 3L))
+  }
+
+  test("weightedSample: rejects inputs whose columns clash") {
+    val df = Seq((1L, "t", 0.5)).toDF("doc_id", "text", "w")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.weightedSample(df, "doc_id", "text", lit(1.0), n = 1)
+    }
+    assert(e.getMessage.contains("w"))
+  }
+
+  // ---- CCNet perplexity buckets -----------------------------------------
+
+  test("perplexityBuckets: planted fluency tiers land in head/middle/tail") {
+    // one source, 6 docs: two of the most common tokens, two middling,
+    // two of corpus-unique tokens — surprisal strictly orders the pairs
+    val common = "the the the the the the the the"
+    val mid = "data data value value"
+    val docs = Seq(
+      (1L, "s", common), (2L, "s", common),
+      (3L, "s", mid + " the"), (4L, "s", mid + " the"),
+      (5L, "s", "zonk1 qwrt2 vbnm3"), (6L, "s", "plgh4 xcvq5 wert6"))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.perplexityBuckets(docs, "doc_id", "text", "source")
+      .orderBy("doc_id")
+      .select("doc_id", "ppl_bucket").as[(Long, String)].collect().toSeq
+    assert(out === Seq((1L, "head"), (2L, "head"), (3L, "middle"),
+      (4L, "middle"), (5L, "tail"), (6L, "tail")))
+  }
+
+  test("perplexityBuckets: tiling is per group and labels b1..bk off the canonical 3") {
+    val docs = Seq(
+      (1L, "a", "the the the"), (2L, "a", "rare1 rare2"),
+      (3L, "b", "the the the"), (4L, "b", "rare3 rare4"))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.perplexityBuckets(docs, "doc_id", "text", "source",
+        nBuckets = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "ppl_bucket").as[(Long, String)].collect().toSeq
+    // each group tiles independently: its common doc is b1, its rare doc b2
+    assert(out === Seq((1L, "b1"), (2L, "b2"), (3L, "b1"), (4L, "b2")))
+    val e = intercept[IllegalArgumentException] {
+      TextOps.perplexityBuckets(docs, "doc_id", "text", "source", nBuckets = 1)
+    }
+    assert(e.getMessage.contains("buckets"))
   }
 }

@@ -941,6 +941,81 @@ object Similarity {
     encodeWith(c, centers, index.dim)
   }
 
+  /** Distributed Lloyd refinement of the PQ codebooks — [[refineIvf]]'s
+    * treatment applied per SUBSPACE: `iters` k-means rounds over every
+    * corpus vector's m slices, starting from the stored codebooks. The
+    * sample fit bounds codebook quality by what the ksub × 64 sample saw;
+    * full-corpus rounds tighten per-subspace quantization error, which
+    * feeds STRAIGHT into ADC score fidelity (the ADC numerator error is
+    * the sum of per-subspace reconstruction errors) and so into the
+    * recall/refine trade every [[pqTopK]] caller pays.
+    *
+    * Per round, ONE distributed job: the m-code assignment is
+    * [[encodeWith]]'s codegen'd `vec_nearest` map, then per-
+    * (subspace, cell, within-dim) means via ONE posexplode whose dim
+    * index factors as (j = d/dsub, wd = d%dsub) and reads its own cell
+    * from the code array — partial-combined, shuffle volume
+    * m × ksub × dsub × partitions, corpus-INDEPENDENT; the driver
+    * collect is m × ksub × dsub, config-sized. Empty (subspace, cell)
+    * pairs keep their centroid (the [[lloydRounds]] contract).
+    *
+    * Returns a NEW [[PqIndex]] with the corpus re-encoded under the
+    * refined codebooks (same m/ksub/dim/scheme — [[pqTopK]]'s arithmetic
+    * is unchanged; the CODES move, which is the point). Compose with
+    * [[fitIvfPq]] by refining before the IVF build, or refit IVF-PQ
+    * outright at compaction ([[extendIvfPq]]'s overgrowth signal).
+    */
+  def refinePq(index: PqIndex, corpus: DataFrame, iters: Int = 1,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): PqIndex = {
+    require(iters >= 1, s"refinePq: need iters >= 1, got $iters")
+    require(index.scheme == PqIndex.Scheme,
+      s"PqIndex fit scheme ${index.scheme} != this build's " +
+        s"${PqIndex.Scheme} — rebuild the index")
+    val spark = corpus.sparkSession
+    val m = index.m
+    val ksub = index.ksub
+    val dsub = index.dim / m
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .where(coalesce(
+        assert_true(size(col("v")) === index.dim,
+          lit(s"refinePq: corpus vector dimension != index dim " +
+            s"${index.dim}")),
+        lit(true)))
+    val flat = index.centersFlat
+    var centers: Array[Array[Seq[Double]]] = Array.tabulate(m)(j =>
+      flat.slice(j * ksub, (j + 1) * ksub))
+    for (_ <- 1 to iters) {
+      val coded = c.withColumn("code", array((0 until m).map { j =>
+        call_function("vec_nearest",
+          slice(col("v"), j * dsub + 1, dsub),
+          typedLit(centers(j).toSeq))
+      }: _*))
+      val stats = coded
+        .select(col("code"), posexplode(col("v")).as(Seq("d", "x")))
+        .withColumn("j", (col("d") / lit(dsub)).cast("int"))
+        .select(col("j"),
+          element_at(col("code"), col("j") + 1).as("cell"),
+          (col("d") % lit(dsub)).as("wd"), col("x"))
+        .groupBy(col("j"), col("cell"), col("wd"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect() // m × ksub × dsub rows — config-sized
+      val sums = Array.tabulate(m, ksub)((_, _) => new Array[Double](dsub))
+      val counts = Array.ofDim[Long](m, ksub)
+      stats.foreach { r =>
+        val j = r.getInt(0); val cell = r.getInt(1)
+        sums(j)(cell)(r.getInt(2)) = r.getDouble(3)
+        counts(j)(cell) = r.getLong(4)
+      }
+      centers = Array.tabulate(m)(j => Array.tabulate(ksub) { cell =>
+        if (counts(j)(cell) == 0) centers(j)(cell)
+        else sums(j)(cell).map(_ / counts(j)(cell)).toIndexedSeq: Seq[Double]
+      })
+    }
+    PqIndex(codebooksDf(spark, centers), encodeWith(c, centers, index.dim),
+      m, ksub, index.dim)
+  }
+
   /** The shared encode map: per subspace j, code_j = nearest center of
     * slice j (native codegen'd `vec_nearest` over a subspace-center
     * literal); rnorm = √Σ_j |center_{j,code_j}|², read from a per-subspace

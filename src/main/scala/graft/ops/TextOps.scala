@@ -482,6 +482,51 @@ object TextOps {
         .orderBy(col("ws_key").desc, col(idCol))))
   }
 
+  /** [[weightedSample]] per GROUP: an exact-n A-Res weighted sample from
+    * EVERY group independently — the multilingual curation shape ("the
+    * 100k highest-priority documents of each language, priority ∝ its
+    * own quality"), completing the sampling family:
+    * [[stratifiedSample]] is uniform per stratum, [[weightedSample]]
+    * weighted but global, this is weighted AND per-stratum. Same
+    * fingerprint-derived priority chain (own salt, so composing both
+    * samplers never correlates their draws).
+    *
+    * Scale shape: one codegen'd key scan, then ONE window exchange
+    * partitioned by group ranking doc-grain rows — the
+    * [[qualityTopFrac]] per-source-sort shape, chosen over
+    * [[stratifiedSample]]'s two-phase fingerprint prune deliberately:
+    * that prune needs a PRE-COMPUTABLE per-stratum key threshold, and
+    * the A-Res key depends on each row's weight, so a fingerprint
+    * threshold cannot bound it without assuming the weight
+    * distribution. A skewed group costs its own sort, never a global
+    * one.
+    *
+    * Output: the sampled rows with `w`, `ws_key` and `rnk` (1..n within
+    * the group).
+    */
+  def weightedSampleByGroup(df: DataFrame, groupCol: String, idCol: String,
+                            textCol: String, weight: Column, n: Int,
+                            salt: String = "wsg:"): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val clash = Seq("rnk", "w", "ws_key").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"weightedSampleByGroup adds columns ${clash.mkString(", ")} that " +
+        "already exist in the input — rename or drop them first")
+    val mod = 1000000007L
+    val raw = fingerprint(concat(lit(salt), coalesce(col(textCol), lit(""))))
+    val fp = pmod(raw * raw, lit(mod))
+    val u = (fp + lit(1L)).cast("double") / lit(mod.toDouble)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("ws_key").desc, col(idCol))
+    df.withColumn("w", round(weight, 4))
+      .withColumn("ws_key", when(col("w") > 0,
+        round(log(u) / col("w"), 6))
+        .otherwise(lit(Double.NegativeInfinity)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= n)
+  }
+
   /** Unigram-surprisal quality score — the LM-proxy filter (CCNet-style,
     * public) with the corpus's own unigram distribution standing in for
     * the language model: per document, the mean negative log-probability

@@ -1104,6 +1104,19 @@ object PipelineQueries {
       .select(col("rnk"), col("doc_id"), col("source"), col("w"),
         col("ws_key"))
 
+  /** Per-group weighted sampling ([[TextOps.weightedSampleByGroup]]):
+    * each source's own quality-weighted exact-10 A-Res subsample — the
+    * multilingual per-language curation shape. The oracle replays the
+    * `wsg:`-salted priority chain and the per-source (key desc, id)
+    * top-10 in DuckDB.
+    */
+  def q100(s: SparkSession, dir: String): DataFrame =
+    TextOps.weightedSampleByGroup(t(s, dir)("documents"), "source",
+      "doc_id", "text", TextOps.qualityScore(col("text")) + lit(0.01),
+      n = 10)
+      .select(col("source"), col("rnk"), col("doc_id"), col("w"),
+        col("ws_key"))
+
   /** Session-cached learned merge table for the subword-packing query —
     * the [[storedIvf]] pattern for the tokenizer artifact: production
     * learns the table once per corpus version and every export pass
@@ -1270,6 +1283,7 @@ object PipelineQueries {
     "q97_pii_redact"      -> (q97 _),
     "q98_perplexity_buckets" -> (q98 _),
     "q99_weighted_sample" -> (q99 _),
+    "q100_weighted_stratified" -> (q100 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -2032,6 +2046,36 @@ FROM o"""
        SELECT row_number() OVER (ORDER BY ws_key DESC, doc_id) AS rnk,
               doc_id, source, w, ws_key
        FROM s ORDER BY ws_key DESC, doc_id LIMIT 50""",
+    // q99's chain under the 'wsg:' salt, ranked per source
+    "q100_weighted_stratified" ->
+      """WITH f0 AS (SELECT doc_id, source, text,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(
+                      range(1, length('wsg:' || COALESCE(text, '')) + 1),
+                      i -> CAST(unicode(substr('wsg:' || COALESCE(text, ''),
+                        CAST(i AS INT), 1)) AS BIGINT))),
+                  (a, b) -> (a*31 + b) % 1000000007) AS raw
+              FROM documents),
+         f AS (SELECT doc_id, source, text,
+                 (raw * raw) % 1000000007 AS fp FROM f0),
+         k AS (SELECT doc_id, source, fp,
+                 round(round((least(CAST(len(string_split(text, ' '))
+                       AS DOUBLE) / 50.0, 1.0)
+                   + least(CAST(len(list_filter(string_split(text, ' '),
+                       x -> x IN ('the','a','an','of','and','is','to')))
+                       AS DOUBLE)
+                     / greatest(len(string_split(text, ' ')), 1) * 5.0, 1.0)
+                   ) / 2.0, 4) + 0.01, 4) AS w
+               FROM f),
+         s AS (SELECT doc_id, source, w,
+                 round(ln((fp + 1) / 1000000007.0) / w, 6) AS ws_key
+               FROM k),
+         r AS (SELECT source, doc_id, w, ws_key,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY ws_key DESC, doc_id) AS rnk
+               FROM s)
+       SELECT source, rnk, doc_id, w, ws_key FROM r WHERE rnk <= 10""",
     // like q29/q51: the approximate side self-gates against the exact
     // fusion inside the query; the oracle pins the row count (top-3 per
     // query — BM25 alone supplies >= 10 candidates per query, so the

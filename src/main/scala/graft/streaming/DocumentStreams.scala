@@ -109,6 +109,23 @@ object DocumentStreams {
       .dropDuplicatesWithinWatermark("fp")
       .withColumn("split", TextOps.splitAssign(col("text")))
 
+  /** PII scrub for ARRIVING documents — the streaming twin of the batch
+    * scrub (q97's operator pair): the per-pattern audit counts are taken
+    * BEFORE redaction (the post-scrub text matches nothing by design),
+    * then [[TextOps.redactPii]]'s ordered chain rewrites `text` in
+    * place. A pure stateless projection built from the SAME column
+    * expressions as the batch pass, so stream and compaction cannot
+    * disagree (the [[surprisalStream]] posture) — no watermark, no
+    * state store, runs at scan speed per micro-batch. Scrub-then-store
+    * is the production order: everything downstream (dedup, indexes,
+    * exports) sees only redacted text, so no raw PII ever lands in a
+    * stored artifact.
+    */
+  def scrubStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("pii", TextOps.piiCounts(col("text")))
+      .withColumn("text", TextOps.redactPii(col("text")))
+
   /** Near-dup flags for ARRIVING documents against an EXISTING base
     * corpus — the streaming twin of [[graft.ops.Dedup.crossNearDup]],
     * and the one LSH shape a stream CAN run: the base is static, so the

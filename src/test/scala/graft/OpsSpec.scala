@@ -718,6 +718,63 @@ class OpsSpec extends SparkSpec {
       Similarity.refineIvf(idx, noOutlier, iters = 0))
   }
 
+  test("refinePq: distributed rounds equal driver rounds when the sample covers the corpus") {
+    // the refineIvf law per subspace — integer-valued vectors make every
+    // per-(subspace, cell) slice sum exact regardless of order
+    val r = new scala.util.Random(11)
+    val emb = (1L to 60L)
+      .map(i => (i, Seq.fill(8)((r.nextInt(21) - 10).toDouble)))
+      .toDF("vec_id", "embedding")
+    def books(i: Similarity.PqIndex): Seq[(Int, Int, Seq[Double])] =
+      i.codebooks.orderBy("subspace", "cluster")
+        .as[(Int, Int, Seq[Double])].collect().toSeq
+    def codes(i: Similarity.PqIndex): Set[(Long, Seq[Int])] =
+      i.codes.select("id", "code").as[(Long, Seq[Int])].collect().toSet
+    val fiveDriver = Similarity.fitPq(emb, m = 2, ksub = 4, iters = 5)
+    val threePlusTwo = Similarity.refinePq(
+      Similarity.fitPq(emb, m = 2, ksub = 4, iters = 3), emb, iters = 2)
+    assert(books(fiveDriver) === books(threePlusTwo))
+    assert(codes(fiveDriver) === codes(threePlusTwo))
+  }
+
+  test("refinePq: full-corpus rounds never increase reconstruction error") {
+    val rows = for (c <- 0 until 5; i <- 0 until 30) yield {
+      val r = new scala.util.Random(c * 77 + i)
+      ((c * 30 + i).toLong,
+        v(c).map(x => (x + 0.3 * r.nextGaussian()).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    // mean squared reconstruction error, computed driver-side on the
+    // tiny fixture (vectors + codes + codebooks all collected)
+    def err(idx: Similarity.PqIndex): Double = {
+      val dsub = idx.dim / idx.m
+      val books = idx.codebooks.orderBy("subspace", "cluster")
+        .as[(Int, Int, Seq[Double])].collect()
+        .map { case (j, cl, ctr) => (j, cl) -> ctr }.toMap
+      val vecs = emb.as[(Long, Seq[Float])].collect()
+        .map { case (id, vv) => id -> vv.map(_.toDouble) }.toMap
+      val cs = idx.codes.select("id", "code")
+        .as[(Long, Seq[Int])].collect()
+      cs.map { case (id, code) =>
+        (0 until idx.m).map { j =>
+          val slice = vecs(id).slice(j * dsub, (j + 1) * dsub)
+          slice.zip(books((j, code(j)))).map { case (x, y) =>
+            (x - y) * (x - y) }.sum
+        }.sum
+      }.sum / cs.length
+    }
+    val fitted = Similarity.fitPq(emb, m = 4, ksub = 8, iters = 2)
+    val refined = Similarity.refinePq(fitted, emb, iters = 3)
+    assert(err(refined) <= err(fitted) + 1e-9,
+      s"refined ${err(refined)} vs fitted ${err(fitted)}")
+    // guards: dimension mismatch and non-positive iters fail loudly
+    val bad = Seq((9999L, Seq.fill(8)(0.1f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception](Similarity.refinePq(fitted, bad))
+    assert(exceptionChain(e).contains("refinePq"))
+    intercept[IllegalArgumentException](
+      Similarity.refinePq(fitted, emb, iters = 0))
+  }
+
   test("PQ ANN recall@3 >= 0.9 against brute force on clustered vectors") {
     // same 10×20 clustered corpus as the IVF/LSH recall gates — the
     // regime real embedding corpora live in (q92 self-gates the
@@ -2268,11 +2325,12 @@ class OpsSpec extends SparkSpec {
     * (fp+1)/M, log-space A-Res key on the 4dp weight — NOT the Spark
     * expressions (that would be circular).
     */
-  private def aresKey(text: String, w: Double): Double = {
+  private def aresKey(text: String, w: Double,
+                      salt: String = "ws:"): Double = {
     val mod = 1000000007L
     def r(x: Double, s: Int) = // Spark's round: HALF_UP on the exact value
       BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val raw = graft.expr.PortableFingerprint.polyHash("ws:" + text)
+    val raw = graft.expr.PortableFingerprint.polyHash(salt + text)
     val fp = java.lang.Math.floorMod(raw * raw, mod)
     r(math.log((fp + 1).toDouble / mod.toDouble) / r(w, 4), 6)
   }
@@ -2318,6 +2376,28 @@ class OpsSpec extends SparkSpec {
     val three = TextOps.weightedSample(docs, "doc_id", "text", weight, n = 3)
       .orderBy("rnk").select("doc_id").as[Long].collect().toSeq
     assert(three.last === 2L && three.toSet === Set(1L, 2L, 3L))
+  }
+
+  test("weightedSampleByGroup: per-group exact-n matches the model; groups are independent") {
+    val docs = (1L to 30L).map(i =>
+      (i, if (i <= 20) "a" else "b", s"wsg doc $i"))
+      .toDF("doc_id", "source", "text")
+    val weight = (col("doc_id") % 5 + 1).cast("double") / 5.0
+    val out = TextOps.weightedSampleByGroup(docs, "source", "doc_id",
+        "text", weight, n = 3)
+      .select("source", "rnk", "doc_id")
+      .as[(String, Int, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+    def model(ids: Seq[Long]) = ids
+      .map(i => (i, aresKey(s"wsg doc $i", (i % 5 + 1).toDouble / 5.0, "wsg:")))
+      .sortBy { case (id, k) => (-k, id) }.take(3).map(_._1)
+    val expected =
+      model(1L to 20L).zipWithIndex.map { case (id, r) => ("a", r + 1, id) } ++
+      model(21L to 30L).zipWithIndex.map { case (id, r) => ("b", r + 1, id) }
+    assert(out === expected)
+    // a group smaller than n yields the whole group, ranked
+    val tiny = TextOps.weightedSampleByGroup(docs.filter($"source" === "b"),
+      "source", "doc_id", "text", weight, n = 99)
+    assert(tiny.count() === 10L)
   }
 
   test("weightedSample: rejects inputs whose columns clash") {

@@ -112,9 +112,10 @@ object StreamBench {
     // in front of its state store, so the two modes bracket the
     // state-light and expression-heavy ends of the streaming surface.
     val mode = sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "sessionize")
-    require(Set("sessionize", "clean", "flag", "score").contains(mode),
-      s"SPARK_GRAFT_STREAM_MODE must be 'sessionize', 'clean', 'flag' " +
-        s"or 'score', got '$mode'")
+    require(Set("sessionize", "clean", "flag", "score", "scrub")
+        .contains(mode),
+      s"SPARK_GRAFT_STREAM_MODE must be 'sessionize', 'clean', 'flag', " +
+        s"'score' or 'scrub', got '$mode'")
     // Hoisted so the JSON line can self-describe the flag-mode config:
     // the r9 evidence runs needed log-filename archaeology to tell a
     // 50k-broadcast row from a 500k-SMJ row, which is exactly the kind
@@ -219,6 +220,30 @@ object StreamBench {
         streaming.DocumentStreams.surprisalStream(docs, freqs)
           .select(col("doc_id"), col("n_tokens"), col("surprisal"))
       }
+      else if (mode == "scrub") {
+        // Stateless in-flight PII scrub (scrubStream): ~48-word docs
+        // each planting an email, a NANP phone and an IPv4 derived from
+        // the rate counter, so EVERY row runs all five audit regexes
+        // plus three live rewrites — the regex-bound end of the
+        // streaming surface (score mode is the hash-join-bound end).
+        val docs = spark.readStream.format("rate")
+          .option("rowsPerSecond", rps)
+          .option("numPartitions", 8)
+          .load()
+          .select(col("timestamp").as("ts"), col("value").as("doc_id"),
+            concat_ws(" ",
+              lit((1 to 45).map(i => s"t$i").mkString(" ")),
+              concat(lit("u"), col("value").cast("string"), lit("@ex.org")),
+              lit("415-555-0142"),
+              concat(lit("10.0."),
+                pmod(col("value"), lit(256L)).cast("string"), lit(".7")))
+              .as("text"))
+        streaming.DocumentStreams.scrubStream(docs)
+          .select(col("doc_id"), col("text"),
+            col("pii.n_emails").as("n_emails"),
+            col("pii.n_phones").as("n_phones"),
+            col("pii.n_ipv4").as("n_ipv4"))
+      }
       else if (mode == "sessionize")
         streaming.EventStreams
           .sessionizeEventTime(spark, events, gapMinutes = 1,
@@ -296,6 +321,7 @@ object StreamBench {
       case "sessionize" => "stream_sessionize_rows_per_sec"
       case "clean"      => "stream_clean_docs_per_sec"
       case "score"      => "stream_score_docs_per_sec"
+      case "scrub"      => "stream_scrub_docs_per_sec"
       case _            => "stream_flag_pairs_per_sec"
     }
     val flagCfg = if (mode == "flag")

@@ -568,9 +568,19 @@ object TextOps {
     */
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String,
                        freqs: DataFrame,
-                       broadcastVocab: Boolean): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(tokens(col(textCol))).as("__term"))
+                       broadcastVocab: Boolean): DataFrame =
+    surprisalCore(df, idCol, textCol, carry = Nil, freqs, broadcastVocab)
+
+  /** The shared surprisal chain ([[unigramSurprisal]] /
+    * [[perplexityBuckets]]): tokenize → LEFT-join the frequency table
+    * (singleton floor on misses) → per-doc mean, with `carry` columns
+    * riding the per-doc aggregate so a grouped consumer pays no extra
+    * join back onto the corpus. */
+  private def surprisalCore(df: DataFrame, idCol: String, textCol: String,
+                            carry: Seq[String], freqs: DataFrame,
+                            broadcastVocab: Boolean): DataFrame = {
+    val toks = df.select(col(idCol) +: carry.map(col) :+
+      explode(tokens(col(textCol))).as("__term"): _*)
     val f0 = freqs.select(col("term").as("__term"), col("cnt").as("__cnt"))
     // total token count from the VOCABULARY-sized table, not a third
     // pass over the corpus-sized token stream
@@ -581,7 +591,7 @@ object TextOps {
       .withColumn("__nlp", round(
         -log(coalesce(col("__cnt"), lit(1L)).cast("double") / col("__total")),
         9))
-      .groupBy(col(idCol))
+      .groupBy(col(idCol) +: carry.map(col): _*)
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(col("__nlp")), 4).as("surprisal"))
   }
@@ -613,19 +623,8 @@ object TextOps {
   def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
                         groupCol: String, nBuckets: Int = 3): DataFrame = {
     require(nBuckets >= 2, s"need at least 2 buckets, got $nBuckets")
-    val toks = df.select(col(idCol), col(groupCol),
-      explode(tokens(col(textCol))).as("__term"))
-    val f0 = termFreqs(df, textCol)
-      .select(col("term").as("__term"), col("cnt").as("__cnt"))
-    val total = f0.agg(sum(col("__cnt")).cast("double").as("__total"))
-    val perDoc = toks.join(f0, Seq("__term"), "left")
-      .crossJoin(broadcast(total))
-      .withColumn("__nlp", round(
-        -log(coalesce(col("__cnt"), lit(1L)).cast("double") / col("__total")),
-        9))
-      .groupBy(col(idCol), col(groupCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg(col("__nlp")), 4).as("surprisal"))
+    val perDoc = surprisalCore(df, idCol, textCol, carry = Seq(groupCol),
+      termFreqs(df, textCol), broadcastVocab = false)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col("surprisal"), col(idCol))
@@ -1021,6 +1020,44 @@ object TextOps {
                       textCol: String): DataFrame =
     freqs.unionByName(termFreqs(newDocs, textCol))
       .groupBy(col("term")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Persist a learned BPE merge table ([[bpeMerges]] rows) — the
+    * TOKENIZER artifact's store half, completing its lifecycle the way
+    * [[saveTermFreqs]] does for frequency statistics: production learns
+    * the table once per corpus version; every encode/export/fertility
+    * pass (q79/q82/q93's operators) loads it instead of relearning
+    * (the in-session merge cache covers one process; the stored table
+    * covers restarts and other jobs — a tokenizer outlives any JVM).
+    * Rank order IS the table's semantics (merges apply in training
+    * order), so rank rides along and [[loadMerges]] re-sorts by it.
+    */
+  def saveMerges(merges: DataFrame, path: String): Unit = {
+    merges.write.mode("overwrite").parquet(s"$path/merges")
+    val spark = merges.sparkSession
+    import spark.implicits._
+    Seq(Tuple1(TokenizerScheme)).toDF("tokenizer_scheme")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Read a stored merge table as the `Seq[(a, b)]` the encode side
+    * consumes ([[bpeTokenCount]]/[[bpeTokens]]/[[tokenizerFertility]]/
+    * subword [[packSequences]]) — in rank order. The driver-side
+    * collect is vocabulary-bounded (`numMerges` rows) by construction.
+    * A tokenizer-scheme mismatch fails loudly: a table learned under a
+    * different word segmentation would silently mis-encode every
+    * document.
+    */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Seq[(String, String)] = {
+    val scheme = spark.read.parquet(s"$path/meta")
+      .head().getAs[Int]("tokenizer_scheme")
+    require(scheme == TokenizerScheme,
+      s"stored merge table at $path uses tokenizer scheme $scheme but " +
+        s"this build produces $TokenizerScheme — relearn it")
+    spark.read.parquet(s"$path/merges").orderBy(col("rank").asc)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toIndexedSeq
+  }
 
   /** Per-source distribution drift: the KL divergence of each source's
     * unigram token distribution from the whole-corpus distribution —

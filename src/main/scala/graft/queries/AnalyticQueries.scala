@@ -219,6 +219,31 @@ object AnalyticQueries {
         count(lit(1)).as("n_events"))
   }
 
+  /** Trailing event-time RANGE-frame window — the user-activity feature
+    * pass ("events and spend in the hour BEFORE each event"), the one
+    * window shape q17/q33 (row frames, ranks) don't exercise: the frame
+    * is VALUE-bounded on exact event-time microseconds (`ts_ns div
+    * 1000`, the q34 idiom — a seconds-grain cast would silently move
+    * sub-second events across the boundary), so peers with equal
+    * timestamps are all in-frame in any engine by RANGE semantics, no
+    * tie-break needed. One shuffle on user_id; Spark plans a
+    * sliding-frame WindowExec that advances both frame ends
+    * monotonically per partition — O(rows) work, state bounded by the
+    * frame's row count. Exact integer cents keep the windowed sum
+    * hash-stable at any parallelism (the q20 contract).
+    */
+  def q101(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("ts_ns div 1000").as("ts_us"), cents(col("value")).as("__vc"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("__vc")).over(w).as("sum_1h_c"))
+  }
+
   /** Semi/anti joins — the "does a match exist" shapes. Both plan as
     * hash joins carrying ONLY the probe side's columns (no fan-out, no
     * wide rows through the shuffle): nations with at least one
@@ -390,6 +415,7 @@ object AnalyticQueries {
     "q18_setops"        -> (q18 _),
     "q19_scalar_strdate" -> (q19 _),
     "q20_events_hourly" -> (q20 _),
+    "q101_range_window" -> (q101 _),
     "q31_sql_agg"       -> (q31 _),
     "q32_sql_join"      -> (q32 _),
     "q33_sql_window"    -> (q33 _),
@@ -521,6 +547,16 @@ object AnalyticQueries {
                 CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
                   AS sum_value_c
          FROM events GROUP BY 1, 2""",
+    // RANGE frame on exact epoch microseconds; the windowed BIGINT sum
+    // widens to HUGEINT in DuckDB -> cast back (the r9 audit rule)
+    "q101_range_window" ->
+      """SELECT event_id, user_id,
+                CAST(count(*) OVER w AS BIGINT) AS n_1h,
+                CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w
+                  AS BIGINT) AS sum_1h_c
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
     "q31_sql_agg" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
          FROM orders WHERE o_totalprice > 100000

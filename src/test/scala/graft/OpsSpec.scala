@@ -1939,6 +1939,32 @@ class OpsSpec extends SparkSpec {
     assert(segs("newest") === Seq("n", "ewest</w>"))
   }
 
+  test("bpeMerges: save -> load round-trips the table in rank order; stale scheme loud") {
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower widest"),
+      (3L, "newest newest newest newest newest newest"),
+      (4L, "widest widest newest")).toDF("doc_id", "text")
+    val merges = TextOps.bpeMerges(docs, "text", numMerges = 6)
+    val inSession = merges.orderBy("rank")
+      .select("a", "b").as[(String, String)].collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-merges").toString
+    TextOps.saveMerges(merges, dir)
+    val loaded = TextOps.loadMerges(spark, dir)
+    assert(loaded === inSession)
+    // the stored table encodes identically to the in-session one
+    val t = Seq(Tuple1("lowest newest")).toDF("text")
+    def enc(m: Seq[(String, String)]) =
+      t.select(TextOps.bpeEncode(col("text"), m)).as[Seq[String]].head()
+    assert(enc(loaded) === enc(inSession))
+    // a foreign tokenizer scheme is rejected at load, loudly
+    import org.apache.spark.sql.SaveMode
+    Seq(Tuple1(999)).toDF("tokenizer_scheme")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+    val e = intercept[IllegalArgumentException](TextOps.loadMerges(spark, dir))
+    assert(e.getMessage.contains("scheme"))
+  }
+
   test("bpeMerges: stops early when no pair reaches minPairCount") {
     // every word unique, every pair count 1 → zero merges at the
     // default minPairCount=2; and a corpus that dries up mid-run

@@ -95,6 +95,20 @@ object Retrieval {
     val df_ = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
 
+    scoreBm25(tf, df_, qTerms, stats, topK, k1, b)
+      .select(col("query_id"), col("rnk"), col("d_id").as(docId), col("bm25"))
+  }
+
+  /** THE BM25 scoring tail — one copy of the score arithmetic (idf
+    * formula, length norm, the 9dp/4dp round-inside-round, the
+    * (bm25 desc, doc asc) rank), shared by [[bm25TopK]] (per-call corpus
+    * scan) and [[probePostings]] (stored-index scan) so the two paths
+    * can never drift: the probe ≡ direct law in OpsSpec is a law about
+    * THIS function being fed identical (tf, df, stats) inputs.
+    */
+  private def scoreBm25(tf: DataFrame, df_ : DataFrame, qTerms: DataFrame,
+                        stats: DataFrame, topK: Int,
+                        k1: Double, b: Double): DataFrame = {
     val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
     val norm = col("tf") +
       lit(k1) * (lit(1 - b) + lit(b) * col("dlen") / col("avgdl"))
@@ -111,7 +125,7 @@ object Retrieval {
     scored
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
-      .select(col("query_id"), col("rnk"), col("d_id").as(docId), col("bm25"))
+      .select(col("query_id"), col("rnk"), col("d_id"), col("bm25"))
   }
 
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher's public RRF) of
@@ -209,5 +223,189 @@ object Retrieval {
       .filter(col("rnk") <= topK)
       .select(col("query_id"), col("rnk"),
         col("doc_id").as(docId), col("maxp"))
+  }
+
+  /** A STORED lexical index — the fit-once-probe-per-batch lifecycle for
+    * BM25, completing the index-artifact family next to the dedup band
+    * index ([[graft.ops.Dedup.CorpusIndex]]) and the ANN quantizers
+    * ([[graft.ops.Similarity.IvfIndex]]/PqIndex): [[bm25TopK]] tokenizes
+    * and explodes the WHOLE corpus on every call, which is the right
+    * shape for a one-off eval sweep and the wrong one for a production
+    * retrieval endpoint that sees query batches daily — at 100 TB the
+    * corpus pass is the entire cost. Here the postings relation
+    * `(term, d_id, tf, dlen)` and the two corpus constants are computed
+    * once per corpus version; every probe touches only the query terms'
+    * postings rows.
+    *
+    * Storage layout IS the probe optimization: [[save]] range-partitions
+    * the postings BY TERM and sorts within partitions, so every parquet
+    * row group carries a tight term min/max — [[probePostings]] pushes
+    * its query-term `IN` filter into the scan (a `PushedFilters: [In(term,
+    * ...)]` row-group prune, spec-pinned), and a term absent from a file's
+    * stats never costs IO. That replaces bm25TopK's corpus-wide
+    * tokenize+explode+semi-join with a read of ~|query vocab| row groups.
+    *
+    * Corpus stats are stored EXACTLY: `n_docs` and `sum_dlen` as longs
+    * (token counts are integers; the long sum is exact), so a probe's
+    * `avgdl = sum_dlen / n_docs` reproduces bm25TopK's
+    * `avg(size(tokens))` double bit-for-bit while total tokens < 2^53 —
+    * and [[extendPostings]] can fold a batch in by integer addition, no
+    * re-averaging pass. The SCHEME version pins the tokenizer
+    * ([[TextOps.tokens]]'s `\s+` word contract): postings built under a
+    * different tokenization would silently mis-score, so [[loadPostings]]
+    * rejects a mismatch loudly (the CorpusIndex/IvfIndex posture).
+    *
+    * Lifecycle: [[fitPostings]] → [[PostingsIndex.save]] →
+    * [[loadPostings]] → [[probePostings]], with [[extendPostings]]
+    * appending a new batch's postings (batch-proportional — one batch
+    * tokenize, never a base recompute). Unlike the ANN indexes this one
+    * is EXACT: probePostings over a fit of the corpus returns
+    * byte-identical rankings to bm25TopK over the corpus (OpsSpec law),
+    * so there is no recall gate to pay, only the storage.
+    */
+  final case class PostingsIndex(postings: DataFrame,
+                                 nDocs: Long, sumDlen: Long,
+                                 scheme: Int = PostingsIndex.Scheme) {
+    /** Average document length in tokens — exact integer arithmetic
+      * rendered to the double bm25TopK's `avg` computes. */
+    def avgdl: Double = sumDlen.toDouble / nDocs
+
+    /** Store as two parquet tables under `path` (`postings/`, `meta/`).
+      * Postings are range-partitioned and sorted by term so row-group
+      * stats make the probe's pushed `IN(term, …)` filter an index scan,
+      * not a table scan. */
+    def save(path: String): Unit = {
+      postings
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions(col("term"), col("d_id"))
+        .write.mode("overwrite").parquet(s"$path/postings")
+      val spark = postings.sparkSession
+      import spark.implicits._
+      Seq((nDocs, sumDlen, scheme)).toDF("n_docs", "sum_dlen", "scheme")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
+  }
+
+  object PostingsIndex {
+    /** Version of the tokenization + postings arithmetic. Bump whenever
+      * stored (term, tf, dlen) rows would stop matching what this build
+      * computes for the same text. */
+    val Scheme = 1
+  }
+
+  /** Build a [[PostingsIndex]] from a corpus: one tokenize of each doc
+    * feeding both the postings aggregation (the only corpus shuffle,
+    * partial-combined on (doc, term)) and the exact corpus stats (a
+    * scan-only long-sum aggregate, evaluated eagerly here — fit is the
+    * once-per-corpus-version step, exactly like [[Similarity.fitIvf]]'s
+    * driver Lloyd).
+    */
+  def fitPostings(docs: DataFrame, docId: String = "doc_id",
+                  textCol: String = "text"): PostingsIndex = {
+    val toks = docs.select(col(docId).as("d_id"),
+      TextOps.tokens(col(textCol)).as("__toks"))
+    val postings = toks
+      .select(col("d_id"), size(col("__toks")).cast("long").as("dlen"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col("d_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"), max(col("dlen")).as("dlen"))
+      .select(col("term"), col("d_id"), col("tf"), col("dlen"))
+    val statsRow = toks.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("__toks")).cast("long")).as("sum_dlen")).head()
+    PostingsIndex(postings, statsRow.getLong(0), statsRow.getLong(1))
+  }
+
+  /** Read a [[PostingsIndex]] written by [[PostingsIndex.save]]. Stats
+    * come from the stored meta row, never the caller; a scheme mismatch
+    * fails loudly here rather than silently mis-scoring probes built
+    * under a different tokenizer.
+    */
+  def loadPostings(spark: org.apache.spark.sql.SparkSession,
+                   path: String): PostingsIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val scheme = meta.getAs[Int]("scheme")
+    require(scheme == PostingsIndex.Scheme,
+      s"stored PostingsIndex at $path uses scheme $scheme but this build " +
+        s"produces scheme ${PostingsIndex.Scheme} — rebuild the index (a " +
+        "cross-tokenizer probe would silently mis-score)")
+    PostingsIndex(spark.read.parquet(s"$path/postings"),
+      meta.getAs[Long]("n_docs"), meta.getAs[Long]("sum_dlen"), scheme)
+  }
+
+  /** BM25 rank a query batch against a STORED index — the per-batch
+    * production cost: the distinct query-term set (config-bounded — a
+    * query batch is an eval set, thousands of rows, the [[bm25TopK]]
+    * contract) is collected and pushed into the postings scan as a
+    * literal `IN` filter, so on a [[PostingsIndex.save]] layout only the
+    * matching term ranges' row groups are read; df is then an aggregate
+    * of the |query vocab|-bounded surviving postings (identical to
+    * bm25TopK's — df counts docs PER TERM, and restricting by term
+    * before counting changes nothing), and the scoring tail is the
+    * SHARED [[scoreBm25]]. Result: byte-identical to
+    * `bm25TopK(corpus, queries)` with the corpus pass replaced by an
+    * indexed read.
+    */
+  def probePostings(index: PostingsIndex, queries: DataFrame,
+                    queryId: String = "query_id",
+                    queryTextCol: String = "qtext",
+                    topK: Int = 3, k1: Double = 1.2,
+                    b: Double = 0.75): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(k1 >= 0 && b >= 0 && b <= 1,
+      s"BM25 parameters out of range: k1=$k1 b=$b")
+    val qTerms = queries.select(col(queryId).as("query_id"),
+      explode(array_distinct(TextOps.tokens(col(queryTextCol)))).as("term"))
+    val termList = qTerms.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val tf = index.postings
+      .filter(col("term").isin(termList: _*))
+      .select(col("term"), col("d_id"),
+        col("tf").cast("double").as("tf"),
+        col("dlen").cast("double").as("dlen"))
+    val df_ = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val stats = Seq((index.nDocs.toDouble, index.avgdl))
+      .toDF("n_docs", "avgdl")
+    scoreBm25(tf, df_, qTerms, stats, topK, k1, b)
+      .select(col("query_id"), col("rnk"), col("d_id").as("doc_id"),
+        col("bm25"))
+  }
+
+  /** Fold a NEW document batch into a [[PostingsIndex]] — the per-ingest
+    * cost is one batch tokenize (postings aggregation + the batch's long
+    * stats), never a base recompute; corpus constants update by exact
+    * integer addition. The extended index scores every query exactly as
+    * a fresh [[fitPostings]] over the unioned corpus would (OpsSpec
+    * extend ≡ refit law) — BM25's corpus statistics are additive, so
+    * unlike the ANN indexes there is no drift to compact away, only
+    * lineage: [[PostingsIndex.save]] after a run of extends rewrites one
+    * merged layout.
+    *
+    * `verifyIds` (default true) rejects a batch whose doc ids are
+    * already indexed — a duplicate would double-count tf rows and
+    * corpus stats silently. One eager semi-join on the pruned `d_id`
+    * column of the stored postings (the [[Similarity.extendIvf]]
+    * posture; skip it only when the caller's id discipline is already
+    * transactional).
+    */
+  def extendPostings(index: PostingsIndex, newDocs: DataFrame,
+                     docId: String = "doc_id", textCol: String = "text",
+                     verifyIds: Boolean = true): PostingsIndex = {
+    if (verifyIds) {
+      val overlap = newDocs.select(col(docId).as("d_id"))
+        .join(index.postings.select(col("d_id")), Seq("d_id"), "left_semi")
+        .limit(5).collect()
+      require(overlap.isEmpty,
+        s"extendPostings: batch ids already indexed " +
+          s"(e.g. ${overlap.map(_.get(0)).mkString(", ")}) — their tf and " +
+          "corpus stats would double-count; dedup the batch or refit")
+    }
+    val batch = fitPostings(newDocs, docId, textCol)
+    PostingsIndex(index.postings.unionByName(batch.postings),
+      index.nDocs + batch.nDocs, index.sumDlen + batch.sumDlen,
+      index.scheme)
   }
 }

@@ -244,6 +244,8 @@ object PipelineQueries {
     if (cached != null) cached._3.unpersist(blocking = false)
     val ivf = ivfCache.remove(s)
     if (ivf != null) retireDir(ivf._3)
+    val post = postingsCache.remove(s)
+    if (post != null) retireDir(post._3)
     mergesCache.remove(s): Unit
     fit16Cache.remove(s): Unit
   }
@@ -1117,6 +1119,50 @@ object PipelineQueries {
       .select(col("source"), col("rnk"), col("doc_id"), col("w"),
         col("ws_key"))
 
+  /** Session-cached STORED lexical index over the non-src1 corpus —
+    * [[storedIvf]]'s pattern for BM25: the first use runs the full
+    * production lifecycle ([[Retrieval.fitPostings]] →
+    * [[Retrieval.PostingsIndex.save]] → [[Retrieval.loadPostings]]) into
+    * a temp directory; every later use (including every timed bench pass
+    * of q102) reads the STORED term-sorted postings and pays only the
+    * indexed probe — the fit-once-probe-per-batch cost model.
+    */
+  private val postingsCache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, (String, Retrieval.PostingsIndex, String)]
+
+  private def storedPostings(s: SparkSession,
+                             dir: String): Retrieval.PostingsIndex =
+    postingsCache.compute(s, (sess, cached) =>
+      if (cached != null && cached._1 == dir) cached
+      else {
+        if (cached != null) retireDir(cached._3)
+        val corpus = t(sess, dir)("documents")
+          .filter(col("source") =!= "src1")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-postings-stored-").toString
+        Retrieval.fitPostings(corpus).save(path)
+        (dir, Retrieval.loadPostings(sess, path), path)
+      })._2
+
+  /** BM25 over the STORED postings index ([[Retrieval.probePostings]]
+    * against the session's [[storedPostings]]) — the lexical sibling of
+    * q80's stored-ANN production path: q69 pays a corpus tokenize +
+    * explode on every call, this row pays a pushed-`IN` indexed read of
+    * the query terms' postings only (plan-pinned in PlanSpec). The index
+    * is EXACT, so unlike q80 the oracle is the full DuckDB BM25 replay —
+    * a different query set than q69 (5 lowest-id src1 docs, first 6
+    * words, vs the non-src1 corpus, top-5) so the two rows never share a
+    * cached result.
+    */
+  def q102(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    val queries = docs.filter(col("source") === "src1")
+      .orderBy(col("doc_id")).limit(5)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 6)).as("qtext"))
+    Retrieval.probePostings(storedPostings(s, dir), queries, topK = 5)
+  }
+
   /** Session-cached learned merge table for the subword-packing query —
     * the [[storedIvf]] pattern for the tokenizer artifact: production
     * learns the table once per corpus version and every export pass
@@ -1284,6 +1330,7 @@ object PipelineQueries {
     "q98_perplexity_buckets" -> (q98 _),
     "q99_weighted_sample" -> (q99 _),
     "q100_weighted_stratified" -> (q100 _),
+    "q102_bm25_stored"    -> (q102 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -2076,6 +2123,44 @@ FROM o"""
                    ORDER BY ws_key DESC, doc_id) AS rnk
                FROM s)
        SELECT source, rnk, doc_id, w, ws_key FROM r WHERE rnk <= 10""",
+    // q69's full BM25 replay, re-parameterized to q102's stored-index
+    // row (src1 queries, first 6 words, non-src1 corpus, top-5): the
+    // stored index is EXACT, so the oracle pins every rank and score —
+    // no structural gate needed
+    "q102_bm25_stored" ->
+      """WITH q AS (SELECT doc_id AS query_id,
+               array_to_string(string_split(text, ' ')[1:6], ' ') AS qtext
+             FROM documents WHERE source = 'src1'
+             ORDER BY doc_id LIMIT 5),
+         qt AS (SELECT DISTINCT query_id,
+                  unnest(string_split(qtext, ' ')) AS term FROM q),
+         c AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents WHERE source <> 'src1'),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                          avg(CAST(len(ws) AS DOUBLE)) AS avgdl FROM c),
+         toks AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dlen,
+                         unnest(ws) AS term FROM c),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+                       max(dlen) AS dlen
+                FROM toks WHERE term IN (SELECT DISTINCT term FROM qt)
+                GROUP BY doc_id, term),
+         dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+                 FROM tf GROUP BY term),
+         s AS (SELECT qt.query_id, tf.doc_id,
+                 round(sum(round(
+                   ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+                     * tf.tf * 2.2
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dlen / stats.avgdl)),
+                   9)), 4) AS bm25
+               FROM tf JOIN dfq USING (term) JOIN qt USING (term)
+               CROSS JOIN stats
+               GROUP BY qt.query_id, tf.doc_id)
+       SELECT query_id, rnk, doc_id, bm25 FROM (
+         SELECT query_id, doc_id, bm25,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY bm25 DESC, doc_id) AS rnk
+         FROM s) x
+       WHERE rnk <= 5""",
     // like q29/q51: the approximate side self-gates against the exact
     // fusion inside the query; the oracle pins the row count (top-3 per
     // query — BM25 alone supplies >= 10 candidates per query, so the

@@ -1559,6 +1559,67 @@ class OpsSpec extends SparkSpec {
       s"scores must saturate below idf*(k1+1) = $asymptote")
   }
 
+  private def postingsCorpus = Seq(
+    (1L, "apple banana cherry durian elderberry"),
+    (2L, "apple banana cherry other words here"),
+    (3L, "totally unrelated vocabulary only"),
+    (4L, "apple apple apple banana banana cherry"),
+    (5L, "durian elderberry fig grape apple"),
+    (6L, "grape fig banana words only here")).toDF("doc_id", "text")
+
+  test("PostingsIndex: probe ≡ direct bm25TopK; fit→save→load→probe ≡ in-memory; meta rides") {
+    val docs = postingsCorpus
+    val queries = Seq((100L, "apple banana cherry"),
+      (101L, "durian grape")).toDF("query_id", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Long, Double)].collect().toSet
+    val direct = rows(ops.Retrieval.bm25TopK(docs, queries, topK = 4))
+    val idx = ops.Retrieval.fitPostings(docs)
+    assert(idx.nDocs === 6L)
+    assert(idx.sumDlen === 32L, "5+6+4+6+5+6 tokens across the six docs")
+    assert(rows(ops.Retrieval.probePostings(idx, queries, topK = 4))
+      === direct, "in-memory probe must equal the direct corpus scan")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-postings").toString
+    idx.save(dir)
+    val loaded = ops.Retrieval.loadPostings(spark, dir)
+    assert((loaded.nDocs, loaded.sumDlen, loaded.scheme)
+      === (idx.nDocs, idx.sumDlen, ops.Retrieval.PostingsIndex.Scheme))
+    assert(rows(ops.Retrieval.probePostings(loaded, queries, topK = 4))
+      === direct, "stored probe must equal the direct corpus scan")
+  }
+
+  test("PostingsIndex: stale tokenizer scheme is rejected at load") {
+    val idx = ops.Retrieval.fitPostings(postingsCorpus).copy(scheme = 999)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-postings-stale").toString
+    idx.save(dir)
+    val e = intercept[IllegalArgumentException] {
+      ops.Retrieval.loadPostings(spark, dir)
+    }
+    assert(e.getMessage.contains("scheme"))
+  }
+
+  test("extendPostings ≡ refit on the union; duplicate batch ids are loud") {
+    val base = postingsCorpus.filter($"doc_id" <= 4)
+    val batch = postingsCorpus.filter($"doc_id" > 4)
+    val queries = Seq((100L, "apple banana grape")).toDF("query_id", "qtext")
+    val extended = ops.Retrieval.extendPostings(
+      ops.Retrieval.fitPostings(base), batch)
+    val refit = ops.Retrieval.fitPostings(postingsCorpus)
+    assert((extended.nDocs, extended.sumDlen) === (refit.nDocs, refit.sumDlen),
+      "corpus stats fold in by exact integer addition")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Long, Double)].collect().toSet
+    assert(rows(ops.Retrieval.probePostings(extended, queries, topK = 6))
+      === rows(ops.Retrieval.probePostings(refit, queries, topK = 6)),
+      "BM25 statistics are additive: extend must score like a fresh fit")
+    val e = intercept[IllegalArgumentException] {
+      ops.Retrieval.extendPostings(extended, base.limit(1))
+    }
+    assert(e.getMessage.contains("already indexed"))
+  }
+
   test("stratifiedSample: two-phase prune equals the naive global rank") {
     val rows = (1 to 60).map(i => (i.toLong, "big", s"document number $i")) ++
       Seq((101L, "tiny", "x doc"), (102L, "tiny", "y doc"),

@@ -263,6 +263,25 @@ class PlanSpec extends SparkSpec {
     assert(executed.contains("ReusedExchange"), executed)
   }
 
+  test("stored postings probe: the query-term IN filter reaches the parquet scan") {
+    import spark.implicits._
+    val docs = Seq((1L, "apple banana cherry"), (2L, "banana durian fig"),
+      (3L, "unrelated words entirely")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-postings-plan").toString
+    ops.Retrieval.fitPostings(docs).save(dir)
+    val probe = ops.Retrieval.probePostings(
+      ops.Retrieval.loadPostings(spark, dir),
+      Seq((9L, "apple banana")).toDF("query_id", "qtext"))
+    val plan = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the whole point of the stored layout: the probe is an INDEXED read —
+    // the term restriction is a data-skipping scan filter, not a
+    // post-scan semi-join over full postings
+    assert(plan.contains("In(term"), plan)
+    assert(plan.contains("PushedFilters"), plan)
+  }
+
   test("q70: stratified sample — broadcast counts, prune below the rank window") {
     val plan = planOf("q70_stratified_sample")
     // ONE shuffle exchange — the survivors' window ("- Exchange ("

@@ -208,6 +208,19 @@ object GraftSession {
                   s"non-foldable expression $c")
               String.valueOf(c.eval())
             }.getOrElse("\n"))))
+        ext.injectFunction((
+          FunctionIdentifier("rolling_fingerprints"),
+          new ExpressionInfo(classOf[graft.expr.RollingFingerprints].getName,
+            "rolling_fingerprints"),
+          (children: Seq[Expression]) => {
+            require(children.length == 2,
+              "rolling_fingerprints requires exactly 2 arguments " +
+                s"(tokens, window), got ${children.length}")
+            require(children(1).foldable,
+              "rolling_fingerprints: window must be a literal integer")
+            graft.expr.RollingFingerprints(children(0),
+              children(1).eval().asInstanceOf[Number].intValue())
+          }))
       }
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")

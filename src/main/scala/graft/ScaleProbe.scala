@@ -113,7 +113,14 @@ object ScaleProbe {
     // stay doc-grain), and weighted sampling (corpus scan +
     // TakeOrderedAndProject — the cheapest exact-n pass; its ratio
     // should read ≈ the scan ratio, no shuffle at any size)
-    "q97_pii_redact", "q98_perplexity_buckets", "q99_weighted_sample")
+    "q97_pii_redact", "q98_perplexity_buckets", "q99_weighted_sample",
+    // continuation arrivals: the stored-postings BM25 probe (the indexed
+    // read — its cost must track the query vocabulary's postings rows,
+    // never the corpus; fit+save run once in the warmup via the session
+    // cache, exactly like q80) and the repeated-span pass (rolling
+    // fingerprints are one O(T) scan; the fp-stats aggregate is THE
+    // corpus shuffle; everything past the minDf cut is duplicate-bounded)
+    "q102_bm25_stored", "q103_span_dedup")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -182,6 +182,115 @@ object Dedup {
       array_join(kept, sep).as("text_intra"))
   }
 
+  /** Cross-document repeated spans: the maximal token ranges of each
+    * document that are covered by some `window`-token sliding window
+    * whose exact content also appears in ≥ `minDf` DISTINCT documents —
+    * the public Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better") exact-substring pass, re-expressed at
+    * token-window grain with hash buckets instead of a suffix array
+    * (which is a single-machine structure; fingerprint buckets shard).
+    * The document with the SMALLEST id among a window's carriers is that
+    * window's KEEPER and keeps its copy — one occurrence of every
+    * repeated span survives the corpus, the paper's retention rule.
+    *
+    * This is the missing middle of the dedup family: doc-grain near-dup
+    * ([[nearDupMinhash]]) drops whole documents, unit-grain corpus-wide
+    * ([[lineDedup]]) needs the boilerplate to tile exactly with the
+    * separator, intra-doc ([[intraDocDedup]]) never looks across
+    * documents. A licence header, a template paragraph, or a quoted
+    * chunk embedded MID-SENTENCE in thousands of otherwise-distinct
+    * pages is exactly what this catches.
+    *
+    * Scale shape: stride-1 window fingerprints are ONE O(tokens) rolling
+    * pass per doc (the native [[graft.expr.RollingFingerprints]] — each
+    * token hashed once, windows updated incrementally), exploded to
+    * (id, start, fp) occurrence rows. The ONLY corpus-sized shuffle is
+    * the fp statistics aggregate, deliberately TWO-PHASE — distinct
+    * (fp, id) then per-fp (count, min) — because a single
+    * `countDistinct` agg plans an Expand that doubles the exchanged
+    * rows. Everything after the `ndocs ≥ minDf` cut is
+    * DUPLICATE-bounded: the surviving fp set joins back (broadcast at
+    * realistic dup rates, AQE decides), and the island merge's per-doc
+    * window runs over flagged rows only. Overlapping flagged windows
+    * merge into maximal spans with the classic gaps-and-islands running
+    * max — one flagged-row-sized shuffle on id.
+    *
+    * Output: (idCol, span_start, span_end) — 0-based token positions,
+    * end exclusive, spans disjoint and sorted per doc. Docs shorter than
+    * `window` emit no windows and are never flagged; a doc repeating a
+    * span only WITHIN itself is [[intraDocDedup]]'s business (`minDf`
+    * counts distinct docs), and the keeper's own repeats stay.
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    window: Int = 15, minDf: Int = 2): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(minDf >= 2,
+      s"minDf < 2 would flag spans repeated only within one doc " +
+        s"(intraDocDedup's job), got $minDf")
+    val occ = df.select(col(idCol).as("id"),
+        explode(call_function("rolling_fingerprints",
+          TextOps.tokens(col(textCol)), lit(window))).as("w"))
+      .select(col("id"), col("w.start").as("start"), col("w.fp").as("fp"))
+    val fpStats = occ.select(col("fp"), col("id")).distinct()
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("ndocs"), min(col("id")).as("keeper"))
+      .filter(col("ndocs") >= minDf)
+    val flagged = occ.join(fpStats.select(col("fp"), col("keeper")), Seq("fp"))
+      .filter(col("id") =!= col("keeper"))
+      .select(col("id"), col("start"),
+        (col("start") + lit(window)).as("end"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("start"))
+    val runMax = max(col("end")).over(
+      w.rowsBetween(Long.MinValue, -1))
+    flagged
+      .withColumn("ni",
+        when(col("start") > coalesce(runMax, lit(-1)), 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(
+        w.rowsBetween(Long.MinValue, 0)))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("start")).as("span_start"),
+        max(col("end")).as("span_end"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** The corpus with every [[repeatedSpans]] range CUT OUT of its
+    * non-keeper carriers: per doc, tokens covered by a merged span drop,
+    * the rest re-join in order — the executable end of the Lee et al.
+    * pass (repeatedSpans is the audit view; this is the cleaned corpus).
+    *
+    * Scale shape on top of repeatedSpans: the per-doc span lists are
+    * duplicate-bounded and group to one array per flagged doc, joined
+    * back onto one corpus scan (broadcast at realistic dup rates); the
+    * cut itself is a row-local index-aware `filter` —
+    * O(tokens × spans/doc) per row, no further shuffle. A doc with no
+    * flagged span keeps its text verbatim (including NULL text — the
+    * every-input-id-keeps-its-row contract of [[intraDocDedup]]).
+    *
+    * Output: (idCol, n_spans, removed_tokens, text_clean).
+    */
+  def stripRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                         window: Int = 15, minDf: Int = 2): DataFrame = {
+    val perDoc = repeatedSpans(df, idCol, textCol, window, minDf)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start").as("s"),
+          col("span_end").as("e"))).as("__spans"),
+        count(lit(1)).as("n_spans"))
+    val toks = TextOps.tokens(col(textCol))
+    val kept = filter(toks, (t, i) =>
+      !exists(col("__spans"),
+        s => i >= s.getField("s") && i < s.getField("e")))
+    df.select(col(idCol), col(textCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        when(col("__spans").isNull, lit(0L))
+          .otherwise((size(toks) - size(kept)).cast("long"))
+          .as("removed_tokens"),
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(array_join(kept, " ")).as("text_clean"))
+  }
+
   /** Near-duplicate pairs via MinHash + LSH banding, exact-verified.
     *
     * Pipeline (all narrow or key-shuffled — no all-pairs stage):

@@ -1163,6 +1163,20 @@ object PipelineQueries {
     Retrieval.probePostings(storedPostings(s, dir), queries, topK = 5)
   }
 
+  /** Cross-document repeated-span removal ([[Dedup.stripRepeatedSpans]]
+    * — the Lee et al. 2021 exact-substring dedup pass at token-window
+    * grain): every 15-token window shared verbatim by ≥ 2 documents is
+    * cut from all carriers except the min-id keeper, overlapping windows
+    * merged into maximal spans. The fixture's planted exact/near dups
+    * give the pass real work (23 flagged docs at sf0.001). The oracle
+    * replays the ENTIRE pass in DuckDB: both polynomial hash levels per
+    * window, the distinct-carrier statistics, the keeper rule, the
+    * gaps-and-islands span merge and the index-aware token cut.
+    */
+  def q103(s: SparkSession, dir: String): DataFrame =
+    Dedup.stripRepeatedSpans(t(s, dir)("documents"), "doc_id", "text",
+      window = 15)
+
   /** Session-cached learned merge table for the subword-packing query —
     * the [[storedIvf]] pattern for the tokenizer artifact: production
     * learns the table once per corpus version and every export pass
@@ -1331,6 +1345,7 @@ object PipelineQueries {
     "q99_weighted_sample" -> (q99 _),
     "q100_weighted_stratified" -> (q100 _),
     "q102_bm25_stored"    -> (q102 _),
+    "q103_span_dedup"     -> (q103 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -2161,6 +2176,64 @@ FROM o"""
                   ORDER BY bm25 DESC, doc_id) AS rnk
          FROM s) x
        WHERE rnk <= 5""",
+    // full replay of the Lee et al. span pass: hv = per-token portable
+    // polyhash + 1, fp = window-level fold base 1000003 (the naive
+    // recompute of the engine's O(T) rolling form — PropertySpec pins
+    // them identical), distinct-carrier stats with the min-id keeper,
+    // gaps-and-islands merge, index-aware cut
+    "q103_span_dedup" ->
+      """WITH c AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+               FROM documents),
+         hs AS (SELECT doc_id, ws,
+                 list_transform(ws, t ->
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, length(t) + 1),
+                       i -> CAST(unicode(substr(t, CAST(i AS INT), 1))
+                         AS BIGINT))),
+                     (a, b) -> (a*31 + b) % 1000000007) + 1) AS hv
+                FROM c),
+         occ AS (SELECT doc_id, CAST(i AS INT) AS start,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    hv[CAST(i+1 AS INT):CAST(i+15 AS INT)]),
+                    (a, b) -> (a*1000003 + b) % 1000000007) AS fp
+                 FROM hs, unnest(range(0, len(ws) - 15 + 1)) AS t(i)),
+         st AS (SELECT fp, count(DISTINCT doc_id) AS ndocs,
+                       min(doc_id) AS keeper
+                FROM occ GROUP BY fp),
+         fl AS (SELECT o.doc_id, o.start, o.start + 15 AS e
+                FROM occ o JOIN st USING (fp)
+                WHERE st.ndocs >= 2 AND o.doc_id <> st.keeper),
+         isl AS (SELECT doc_id, start, e,
+                  CASE WHEN start > COALESCE(max(e) OVER (
+                      PARTITION BY doc_id ORDER BY start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS ni
+                 FROM fl),
+         isl2 AS (SELECT doc_id, start, e,
+                   sum(ni) OVER (PARTITION BY doc_id ORDER BY start
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS island
+                  FROM isl),
+         sp AS (SELECT doc_id, min(start) AS s, max(e) AS e
+                FROM isl2 GROUP BY doc_id, island),
+         spd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                  list(struct_pack(s := s, e := e)) AS spans
+                 FROM sp GROUP BY doc_id)
+       SELECT c.doc_id,
+         COALESCE(spd.n_spans, 0) AS n_spans,
+         CAST(CASE WHEN spd.doc_id IS NULL THEN 0
+           ELSE len(c.ws) - len(list_filter(c.ws, (t, i) ->
+             len(list_filter(spd.spans,
+               sp -> i - 1 >= sp.s AND i - 1 < sp.e)) = 0))
+           END AS BIGINT) AS removed_tokens,
+         CASE WHEN spd.doc_id IS NULL THEN c.text
+           -- COALESCE: DuckDB's array_to_string is NULL on an empty
+           -- list (fully-stripped doc), Spark's array_join is ''
+           ELSE COALESCE(array_to_string(list_filter(c.ws, (t, i) ->
+             len(list_filter(spd.spans,
+               sp -> i - 1 >= sp.s AND i - 1 < sp.e)) = 0), ' '), '')
+           END AS text_clean
+       FROM c LEFT JOIN spd USING (doc_id)""",
     // like q29/q51: the approximate side self-gates against the exact
     // fusion inside the query; the oracle pins the row count (top-3 per
     // query — BM25 alone supplies >= 10 candidates per query, so the

@@ -1559,6 +1559,62 @@ class OpsSpec extends SparkSpec {
       s"scores must saturate below idf*(k1+1) = $asymptote")
   }
 
+  test("repeatedSpans: shared run flagged in the non-keeper, merged maximal; keeper and within-doc repeats untouched") {
+    // docs 1 and 2 share the 8-token run s1..s8 (doc 2 embeds it at
+    // positions 1..8); doc 3 is unrelated; doc 4 repeats a run only
+    // WITHIN itself (intraDocDedup's business, minDf counts docs)
+    val docs = Seq(
+      (1L, "s1 s2 s3 s4 s5 s6 s7 s8"),
+      (2L, "x0 s1 s2 s3 s4 s5 s6 s7 s8 y9 y10"),
+      (3L, "p q r s t u v w"),
+      (4L, "r1 r2 r3 r4 r1 r2 r3 r4")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", window = 4)
+      .as[(Long, Int, Int)].collect().toSet
+    // doc 2's five flagged windows (starts 1..5, each width 4) merge
+    // into ONE maximal span [1, 9); doc 1 is the keeper (min id)
+    assert(spans === Set((2L, 1, 9)))
+    val out = Dedup.stripRepeatedSpans(docs, "doc_id", "text", window = 4)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 0L, 0L, "s1 s2 s3 s4 s5 s6 s7 s8"),
+      (2L, 1L, 8L, "x0 y9 y10"),
+      (3L, 0L, 0L, "p q r s t u v w"),
+      (4L, 0L, 0L, "r1 r2 r3 r4 r1 r2 r3 r4")))
+  }
+
+  test("repeatedSpans: disjoint shared runs yield separate spans; short and null docs keep their rows") {
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4 mid1 mid2 mid3 b1 b2 b3 b4"),
+      (2L, "a1 a2 a3 a4 other words between b1 b2 b3 b4"),
+      (3L, "tiny doc"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", window = 4)
+      .as[(Long, Int, Int)].collect().toSet
+    // doc 2 (non-keeper) carries BOTH shared 4-token runs, at [0,4) and
+    // [7,11) — disjoint, so two spans, not one
+    assert(spans === Set((2L, 0, 4), (2L, 7, 11)))
+    val out = Dedup.stripRepeatedSpans(docs, "doc_id", "text", window = 4)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq((1L, 0L, 0L), (2L, 2L, 8L), (3L, 0L, 0L), (4L, 0L, 0L)))
+    assert(out(1).getString(3) === "other words between")
+    assert(out(3).isNullAt(3), "null text keeps its row, stays null")
+  }
+
+  test("repeatedSpans: minDf raises the carrier bar; keeper rule is min id across all carriers") {
+    val docs = Seq(
+      (5L, "c1 c2 c3 c4 c5"),
+      (6L, "c1 c2 c3 c4 c5"),
+      (7L, "c1 c2 c3 c4 c5")).toDF("doc_id", "text")
+    // three carriers: keeper is 5, both others stripped fully
+    val spans3 = Dedup.repeatedSpans(docs, "doc_id", "text", window = 5)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(spans3 === Set((6L, 0, 5), (7L, 0, 5)))
+    // minDf = 4 > carriers: nothing flagged
+    assert(Dedup.repeatedSpans(docs, "doc_id", "text", window = 5,
+      minDf = 4).count() === 0L)
+  }
+
   private def postingsCorpus = Seq(
     (1L, "apple banana cherry durian elderberry"),
     (2L, "apple banana cherry other words here"),

@@ -268,6 +268,42 @@ class PropertySpec extends SparkSpec {
     assert(n0 === 0L && i0 === 0L)
   }
 
+  test("native rolling_fingerprints == naive per-window fold on arbitrary token arrays") {
+    // the native expression computes stride-1 window fingerprints with an
+    // O(tokens) ROLLING update (drop leading token via P^(w-1), shift,
+    // add entering token); this law pins it against the O(tokens×window)
+    // naive recompute — the exact fold the DuckDB oracle replays with
+    // list_reduce — so the rolling shortcut can never drift from the
+    // q103 oracle arithmetic
+    val M = 1000000007L; val P = 1000003L
+    def ph(s: String): Long = {
+      var acc = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        acc = (acc * 31 + cp) % M
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+    def naive(tokens: List[String], w: Int): Seq[(Int, Long)] = {
+      val b = tokens.map(t => ph(t) + 1)
+      (0 to tokens.length - w).map(s =>
+        (s, b.slice(s, s + w).foldLeft(0L)((acc, x) => (acc * P + x) % M)))
+    }
+    val token: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)), Gen.const(""), Gen.const("日本"),
+      Gen.oneOf("the", "a", "doc"))
+    val input: Gen[(List[String], Int)] =
+      Gen.zip(Gen.listOf(token), Gen.choose(1, 5))
+    check(input, n = 12) { case (tokens, w) =>
+      val native = Seq(Tuple1(tokens)).toDF("toks")
+        .select(call_function("rolling_fingerprints", $"toks", lit(w)))
+        .as[Seq[(Int, Long)]].head()
+      assert(native === naive(tokens, w),
+        s"rolling mismatch for w=$w tokens=${tokens.take(8)}")
+    }
+  }
+
   test("native pq_adc == HOF lookup-sum on arbitrary codes and luts") {
     // pq_adc(codes, lut, ksub) = Σ_j lut[j*ksub + codes[j]] — the law pins
     // the codegen'd loop against an element_at/aggregate combinator

@@ -120,7 +120,11 @@ object ScaleProbe {
     // cache, exactly like q80) and the repeated-span pass (rolling
     // fingerprints are one O(T) scan; the fp-stats aggregate is THE
     // corpus shuffle; everything past the minDf cut is duplicate-bounded)
-    "q102_bm25_stored", "q103_span_dedup")
+    "q102_bm25_stored", "q103_span_dedup",
+    // the ingest-door span scrub: cost must track the BATCH's windows +
+    // one semi-join against the stored fp set (fit+save run once in the
+    // warmup via the session cache) — never a base re-tokenize
+    "q104_cross_span_scrub")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -227,10 +227,7 @@ object Dedup {
     require(minDf >= 2,
       s"minDf < 2 would flag spans repeated only within one doc " +
         s"(intraDocDedup's job), got $minDf")
-    val occ = df.select(col(idCol).as("id"),
-        explode(call_function("rolling_fingerprints",
-          TextOps.tokens(col(textCol)), lit(window))).as("w"))
-      .select(col("id"), col("w.start").as("start"), col("w.fp").as("fp"))
+    val occ = baseOcc(df, idCol, textCol, window)
     val fpStats = occ.select(col("fp"), col("id")).distinct()
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("ndocs"), min(col("id")).as("keeper"))
@@ -239,6 +236,16 @@ object Dedup {
       .filter(col("id") =!= col("keeper"))
       .select(col("id"), col("start"),
         (col("start") + lit(window)).as("end"))
+    mergeSpans(flagged, idCol)
+  }
+
+  /** Gaps-and-islands merge of flagged windows `(id, start, end)` into
+    * disjoint maximal spans — the tail both the within-corpus pass
+    * ([[repeatedSpans]]) and the batch-vs-index pass
+    * ([[crossRepeatedSpans]]) share. One flagged-row-sized shuffle on id
+    * (the per-doc window), never corpus-sized.
+    */
+  private def mergeSpans(flagged: DataFrame, idOut: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("start"))
     val runMax = max(col("end")).over(
@@ -251,27 +258,18 @@ object Dedup {
       .groupBy(col("id"), col("island"))
       .agg(min(col("start")).as("span_start"),
         max(col("end")).as("span_end"))
-      .select(col("id").as(idCol), col("span_start"), col("span_end"))
+      .select(col("id").as(idOut), col("span_start"), col("span_end"))
   }
 
-  /** The corpus with every [[repeatedSpans]] range CUT OUT of its
-    * non-keeper carriers: per doc, tokens covered by a merged span drop,
-    * the rest re-join in order — the executable end of the Lee et al.
-    * pass (repeatedSpans is the audit view; this is the cleaned corpus).
-    *
-    * Scale shape on top of repeatedSpans: the per-doc span lists are
-    * duplicate-bounded and group to one array per flagged doc, joined
-    * back onto one corpus scan (broadcast at realistic dup rates); the
-    * cut itself is a row-local index-aware `filter` —
-    * O(tokens × spans/doc) per row, no further shuffle. A doc with no
-    * flagged span keeps its text verbatim (including NULL text — the
-    * every-input-id-keeps-its-row contract of [[intraDocDedup]]).
-    *
+  /** Cut every span of `spans` (a [[repeatedSpans]]-shaped frame) out of
+    * `df`'s text — the shared strip tail: per-doc span lists are
+    * span-row-bounded, grouped to one array per flagged doc, joined back
+    * onto one corpus scan; the cut is a row-local index-aware filter.
     * Output: (idCol, n_spans, removed_tokens, text_clean).
     */
-  def stripRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
-                         window: Int = 15, minDf: Int = 2): DataFrame = {
-    val perDoc = repeatedSpans(df, idCol, textCol, window, minDf)
+  private def stripBySpans(df: DataFrame, idCol: String, textCol: String,
+                           spans: DataFrame): DataFrame = {
+    val perDoc = spans
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start").as("s"),
           col("span_end").as("e"))).as("__spans"),
@@ -290,6 +288,158 @@ object Dedup {
         when(col("__spans").isNull, col(textCol))
           .otherwise(array_join(kept, " ")).as("text_clean"))
   }
+
+  /** The corpus with every [[repeatedSpans]] range CUT OUT of its
+    * non-keeper carriers: per doc, tokens covered by a merged span drop,
+    * the rest re-join in order — the executable end of the Lee et al.
+    * pass (repeatedSpans is the audit view; this is the cleaned corpus).
+    *
+    * Scale shape on top of repeatedSpans: the per-doc span lists are
+    * duplicate-bounded and group to one array per flagged doc, joined
+    * back onto one corpus scan (broadcast at realistic dup rates); the
+    * cut itself is a row-local index-aware `filter` —
+    * O(tokens × spans/doc) per row, no further shuffle. A doc with no
+    * flagged span keeps its text verbatim (including NULL text — the
+    * every-input-id-keeps-its-row contract of [[intraDocDedup]]).
+    *
+    * Output: (idCol, n_spans, removed_tokens, text_clean).
+    */
+  def stripRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                         window: Int = 15, minDf: Int = 2): DataFrame =
+    stripBySpans(df, idCol, textCol,
+      repeatedSpans(df, idCol, textCol, window, minDf))
+
+  /** A STORED span-fingerprint index — the ingest-side artifact of the
+    * [[repeatedSpans]] pass, completing the continuous-ingestion triple
+    * next to [[CorpusIndex]] (doc-grain near-dup) and the ANN quantizers:
+    * the base corpus's DISTINCT window fingerprints, fitted once per
+    * corpus version, so each arriving batch can be scrubbed of every
+    * span the base already carries ([[crossStripSpans]]) for the cost of
+    * the BATCH's windows — the base is never re-tokenized per batch.
+    * The base holds the keeper copy of every one of its spans by
+    * construction, so the keeper rule needs no per-probe statistics.
+    *
+    * The stored relation is fp-only (one long per distinct window —
+    * ~tokens-sized but payload-free); [[SpanIndex.save]] range-sorts by
+    * fp so the parquet layout delta-compresses and the probe's semi-join
+    * build side (the batch occurrence set at realistic batch sizes)
+    * streams against ordered runs. `window` rides the meta: windows of a
+    * different width hash to unrelated fingerprints, so a probe at the
+    * wrong width would silently find nothing — [[loadSpanIndex]] returns
+    * the stored width and [[crossRepeatedSpans]] always uses the
+    * index's own. SCHEME pins the tokenizer + both polynomial levels
+    * ([[graft.expr.RollingFingerprints]]); a mismatch is loud at load.
+    *
+    * Lifecycle: [[fitSpanIndex]] → [[SpanIndex.save]] →
+    * [[loadSpanIndex]] → [[crossRepeatedSpans]]/[[crossStripSpans]],
+    * with [[extendSpanIndex]] folding an admitted batch's fingerprints
+    * in (batch-proportional). The streaming twin
+    * ([[graft.streaming.DocumentStreams.spanFlagStream]]) joins arriving
+    * docs' windows against the same stored relation in-flight.
+    */
+  final case class SpanIndex(fps: DataFrame, window: Int,
+                             scheme: Int = SpanIndex.Scheme) {
+    def save(path: String): Unit = {
+      fps.repartitionByRange(col("fp")).sortWithinPartitions(col("fp"))
+        .write.mode("overwrite").parquet(s"$path/fps")
+      val spark = fps.sparkSession
+      import spark.implicits._
+      Seq((window, scheme)).toDF("window", "scheme")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
+  }
+
+  object SpanIndex {
+    /** Version of the tokenizer + the two-level rolling-fingerprint
+      * arithmetic. Bump whenever stored fps would stop matching what
+      * this build computes for the same text. */
+    val Scheme = 1
+  }
+
+  /** Distinct window fingerprints of the base corpus — one rolling scan
+    * + one two-phase distinct (THE corpus shuffle, partial-combined).
+    */
+  def fitSpanIndex(base: DataFrame, idCol: String, textCol: String,
+                   window: Int = 15): SpanIndex = {
+    require(window > 0, s"window must be positive, got $window")
+    SpanIndex(baseOcc(base, idCol, textCol, window)
+      .select(col("fp")).distinct(), window)
+  }
+
+  /** Read a [[SpanIndex]] written by [[SpanIndex.save]]; width comes
+    * from the stored meta, never the caller, and a scheme mismatch is
+    * loud (a cross-scheme probe would silently flag nothing). */
+  def loadSpanIndex(spark: SparkSession, path: String): SpanIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val scheme = meta.getAs[Int]("scheme")
+    require(scheme == SpanIndex.Scheme,
+      s"stored SpanIndex at $path uses scheme $scheme but this build " +
+        s"produces scheme ${SpanIndex.Scheme} — rebuild the index (a " +
+        "cross-scheme probe would silently match nothing)")
+    SpanIndex(spark.read.parquet(s"$path/fps"),
+      meta.getAs[Int]("window"), scheme)
+  }
+
+  /** Fold an ADMITTED batch's window fingerprints into the index —
+    * batch-proportional (one batch rolling scan + batch-distinct); the
+    * union needs no global re-distinct for correctness (the probe is a
+    * semi-join), only for storage compaction, which [[SpanIndex.save]]'s
+    * rewrite is the natural place for. */
+  def extendSpanIndex(index: SpanIndex, admitted: DataFrame,
+                      idCol: String, textCol: String): SpanIndex = {
+    require(index.scheme == SpanIndex.Scheme,
+      s"SpanIndex scheme ${index.scheme} != this build's " +
+        s"${SpanIndex.Scheme} — rebuild the index")
+    index.copy(fps = index.fps.unionByName(
+      baseOcc(admitted, idCol, textCol, index.window)
+        .select(col("fp")).distinct()))
+  }
+
+  /** (id, start, fp) occurrence rows of every `window`-token sliding
+    * window — the shared generator for the within-corpus and
+    * batch-vs-index passes (one copy of the explode, so the two can
+    * never hash differently). */
+  private[graft] def baseOcc(df: DataFrame, idCol: String, textCol: String,
+                             window: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(call_function("rolling_fingerprints",
+          TextOps.tokens(col(textCol)), lit(window))).as("w"))
+      .select(col("id"), col("w.start").as("start"), col("w.fp").as("fp"))
+
+  /** Maximal spans of each BATCH document covered by windows the base
+    * corpus already carries — [[repeatedSpans]]'s keeper rule with the
+    * base as the standing keeper (its copies are already admitted; the
+    * batch never strips the base). Within-batch repeats are deliberately
+    * NOT flagged here — that is the within-corpus pass's job at the next
+    * compaction, exactly like [[crossNearDup]] vs [[nearDupMinhash]].
+    *
+    * Scale shape: the batch's windows explode (batch-proportional), one
+    * fp-keyed semi-join against the stored fps (the batch side is the
+    * small side; with the session's runtime bloom-filter pruning on, a
+    * selective batch builds a bloom that prunes the stored scan), then
+    * the flagged-row-bounded island merge.
+    */
+  def crossRepeatedSpans(batch: DataFrame, index: SpanIndex,
+                         idCol: String, textCol: String): DataFrame = {
+    require(index.scheme == SpanIndex.Scheme,
+      s"SpanIndex scheme ${index.scheme} != this build's " +
+        s"${SpanIndex.Scheme} — rebuild the index")
+    val flagged = baseOcc(batch, idCol, textCol, index.window)
+      .join(index.fps.select(col("fp")), Seq("fp"), "left_semi")
+      .select(col("id"), col("start"),
+        (col("start") + lit(index.window)).as("end"))
+    mergeSpans(flagged, idCol)
+  }
+
+  /** The arriving batch with every base-carried span CUT OUT
+    * ([[crossRepeatedSpans]] + the shared strip tail) — the ingest-door
+    * scrub: boilerplate the corpus already contains never enters.
+    * Output: (idCol, n_spans, removed_tokens, text_clean).
+    */
+  def crossStripSpans(batch: DataFrame, index: SpanIndex,
+                      idCol: String, textCol: String): DataFrame =
+    stripBySpans(batch, idCol, textCol,
+      crossRepeatedSpans(batch, index, idCol, textCol))
 
   /** Near-duplicate pairs via MinHash + LSH banding, exact-verified.
     *

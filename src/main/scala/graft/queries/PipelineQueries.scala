@@ -246,6 +246,8 @@ object PipelineQueries {
     if (ivf != null) retireDir(ivf._3)
     val post = postingsCache.remove(s)
     if (post != null) retireDir(post._3)
+    val spanIdx = spanIdxCache.remove(s)
+    if (spanIdx != null) retireDir(spanIdx._3)
     mergesCache.remove(s): Unit
     fit16Cache.remove(s): Unit
   }
@@ -1177,6 +1179,43 @@ object PipelineQueries {
     Dedup.stripRepeatedSpans(t(s, dir)("documents"), "doc_id", "text",
       window = 15)
 
+  /** Session-cached STORED span-fingerprint index over the even-id half
+    * of the corpus — [[storedPostings]]'s pattern for the span pass:
+    * first use runs [[Dedup.fitSpanIndex]] → save → load into a temp
+    * dir; every later use (every timed q104 pass) reads the stored fp
+    * set and pays only the batch-side probe.
+    */
+  private val spanIdxCache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, (String, Dedup.SpanIndex, String)]
+
+  private def storedSpanIdx(s: SparkSession, dir: String): Dedup.SpanIndex =
+    spanIdxCache.compute(s, (sess, cached) =>
+      if (cached != null && cached._1 == dir) cached
+      else {
+        if (cached != null) retireDir(cached._3)
+        val base = t(sess, dir)("documents")
+          .filter(col("doc_id") % 2 === 0)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-spanidx-stored-").toString
+        Dedup.fitSpanIndex(base, "doc_id", "text", window = 15).save(path)
+        (dir, Dedup.loadSpanIndex(sess, path), path)
+      })._2
+
+  /** Ingest-door span scrub against the STORED index
+    * ([[Dedup.crossStripSpans]] over [[storedSpanIdx]]): the even-id
+    * half of the corpus is the admitted base, the odd-id half the
+    * arriving batch — every 15-token run the base already carries is cut
+    * from the batch (10–11 flagged docs at sf0.001/sf0.01: the planted
+    * dup pairs whose members straddle the parity split). The per-call
+    * cost is the BATCH's windows + one semi-join against the stored fp
+    * set; the base is never re-tokenized. The oracle replays the whole
+    * pass: base fp set, batch windows, island merge, cut.
+    */
+  def q104(s: SparkSession, dir: String): DataFrame =
+    Dedup.crossStripSpans(
+      t(s, dir)("documents").filter(col("doc_id") % 2 === 1),
+      storedSpanIdx(s, dir), "doc_id", "text")
+
   /** Session-cached learned merge table for the subword-packing query —
     * the [[storedIvf]] pattern for the tokenizer artifact: production
     * learns the table once per corpus version and every export pass
@@ -1346,6 +1385,7 @@ object PipelineQueries {
     "q100_weighted_stratified" -> (q100 _),
     "q102_bm25_stored"    -> (q102 _),
     "q103_span_dedup"     -> (q103 _),
+    "q104_cross_span_scrub" -> (q104 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -2234,6 +2274,60 @@ FROM o"""
                sp -> i - 1 >= sp.s AND i - 1 < sp.e)) = 0), ' '), '')
            END AS text_clean
        FROM c LEFT JOIN spd USING (doc_id)""",
+    // the ingest-door variant of q103's replay: base fp SET from the
+    // even-id half (the stored index's content), batch = odd ids, every
+    // base-carried batch window flagged (the base is the standing
+    // keeper), same island merge + cut
+    "q104_cross_span_scrub" ->
+      """WITH c0 AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+               FROM documents),
+         hs AS (SELECT doc_id, ws,
+                 list_transform(ws, t ->
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, length(t) + 1),
+                       i -> CAST(unicode(substr(t, CAST(i AS INT), 1))
+                         AS BIGINT))),
+                     (a, b) -> (a*31 + b) % 1000000007) + 1) AS hv
+                FROM c0),
+         occ AS (SELECT doc_id, CAST(i AS INT) AS start,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    hv[CAST(i+1 AS INT):CAST(i+15 AS INT)]),
+                    (a, b) -> (a*1000003 + b) % 1000000007) AS fp
+                 FROM hs, unnest(range(0, len(ws) - 15 + 1)) AS t(i)),
+         basefp AS (SELECT DISTINCT fp FROM occ WHERE doc_id % 2 = 0),
+         fl AS (SELECT o.doc_id, o.start, o.start + 15 AS e
+                FROM occ o JOIN basefp USING (fp)
+                WHERE o.doc_id % 2 = 1),
+         isl AS (SELECT doc_id, start, e,
+                  CASE WHEN start > COALESCE(max(e) OVER (
+                      PARTITION BY doc_id ORDER BY start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS ni
+                 FROM fl),
+         isl2 AS (SELECT doc_id, start, e,
+                   sum(ni) OVER (PARTITION BY doc_id ORDER BY start
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS island
+                  FROM isl),
+         sp AS (SELECT doc_id, min(start) AS s, max(e) AS e
+                FROM isl2 GROUP BY doc_id, island),
+         spd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                  list(struct_pack(s := s, e := e)) AS spans
+                 FROM sp GROUP BY doc_id)
+       SELECT c.doc_id,
+         COALESCE(spd.n_spans, 0) AS n_spans,
+         CAST(CASE WHEN spd.doc_id IS NULL THEN 0
+           ELSE len(c.ws) - len(list_filter(c.ws, (t, i) ->
+             len(list_filter(spd.spans,
+               sp -> i - 1 >= sp.s AND i - 1 < sp.e)) = 0))
+           END AS BIGINT) AS removed_tokens,
+         CASE WHEN spd.doc_id IS NULL THEN c.text
+           ELSE COALESCE(array_to_string(list_filter(c.ws, (t, i) ->
+             len(list_filter(spd.spans,
+               sp -> i - 1 >= sp.s AND i - 1 < sp.e)) = 0), ' '), '')
+           END AS text_clean
+       FROM (SELECT * FROM c0 WHERE doc_id % 2 = 1) c
+       LEFT JOIN spd USING (doc_id)""",
     // like q29/q51: the approximate side self-gates against the exact
     // fusion inside the query; the oracle pins the row count (top-3 per
     // query — BM25 alone supplies >= 10 candidates per query, so the

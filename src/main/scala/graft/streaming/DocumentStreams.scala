@@ -126,6 +126,44 @@ object DocumentStreams {
       .withColumn("pii", TextOps.piiCounts(col("text")))
       .withColumn("text", TextOps.redactPii(col("text")))
 
+  /** Span flags for ARRIVING documents against a STORED
+    * [[graft.ops.Dedup.SpanIndex]] — the streaming twin of
+    * [[graft.ops.Dedup.crossRepeatedSpans]]: each arriving doc's
+    * `window`-token rolling fingerprints (the same native expression the
+    * batch pass uses — one copy of the hash arithmetic, so stream and
+    * batch cannot drift) are semi-joined in-flight against the base's
+    * stored fingerprint set, emitting one `(doc_id, ts, start, end)` row
+    * per window the base already carries.
+    *
+    * Deliberately WINDOW-grain and stateless, the [[flagAgainstBase]]
+    * posture: the island merge is a per-doc window function a stream
+    * cannot run without stateful aggregation, and the ingest door's job
+    * is to FLAG — the sink (or the batch compaction's
+    * [[graft.ops.Dedup.crossStripSpans]], whose `mergeSpans`+cut this
+    * output feeds exactly) applies the cut. `broadcastIndex` mirrors
+    * [[flagAgainstBaseIndexed]]'s measured boundary: true broadcasts the
+    * fp set so the stream side never shuffles — right while the fps fit
+    * executor memory; false (default) plans the shuffle join, and the
+    * session's runtime bloom-filter pruning lets a small micro-batch
+    * prune the stored scan.
+    */
+  def spanFlagStream(docs: DataFrame, index: Dedup.SpanIndex,
+                     broadcastIndex: Boolean = false): DataFrame = {
+    require(index.scheme == Dedup.SpanIndex.Scheme,
+      s"SpanIndex scheme ${index.scheme} != this build's " +
+        s"${Dedup.SpanIndex.Scheme} — rebuild the index")
+    val fps = if (broadcastIndex) broadcast(index.fps) else index.fps
+    docs
+      .select(col("doc_id"), col("ts"),
+        explode(call_function("rolling_fingerprints",
+          TextOps.tokens(col("text")), lit(index.window))).as("w"))
+      .select(col("doc_id"), col("ts"), col("w.start").as("start"),
+        (col("w.start") + lit(index.window)).as("end"),
+        col("w.fp").as("fp"))
+      .join(fps.select(col("fp")), Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("ts"), col("start"), col("end"))
+  }
+
   /** Near-dup flags for ARRIVING documents against an EXISTING base
     * corpus — the streaming twin of [[graft.ops.Dedup.crossNearDup]],
     * and the one LSH shape a stream CAN run: the base is static, so the

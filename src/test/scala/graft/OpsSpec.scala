@@ -1615,6 +1615,60 @@ class OpsSpec extends SparkSpec {
       minDf = 4).count() === 0L)
   }
 
+  test("SpanIndex: cross-strip cuts base-carried runs only; fit→save→load ≡ in-memory; stale scheme loud") {
+    val base = Seq(
+      (10L, "b1 b2 b3 b4 b5 b6"),
+      (11L, "other base content entirely here")).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "x b1 b2 b3 b4 b5 b6 y"),      // embeds the base run at 1..6
+      (21L, "q r s t u v w"),               // no base overlap
+      (22L, "n1 n2 n3 n4 n1 n2 n3 n4"))    // batch-internal repeat only
+      .toDF("doc_id", "text")
+    val idx = Dedup.fitSpanIndex(base, "doc_id", "text", window = 4)
+    val spans = Dedup.crossRepeatedSpans(batch, idx, "doc_id", "text")
+      .as[(Long, Int, Int)].collect().toSet
+    // doc 20's three base-matching windows (starts 1..3) merge to [1,7);
+    // within-batch repeats are the compaction pass's job, never flagged
+    assert(spans === Set((20L, 1, 7)))
+    val out = Dedup.crossStripSpans(batch, idx, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (20L, 1L, 6L, "x y"),
+      (21L, 0L, 0L, "q r s t u v w"),
+      (22L, 0L, 0L, "n1 n2 n3 n4 n1 n2 n3 n4")))
+    // stored lifecycle: width rides the meta, probe equals in-memory
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-spanidx").toString
+    idx.save(dir)
+    val loaded = Dedup.loadSpanIndex(spark, dir)
+    assert((loaded.window, loaded.scheme) === (4, Dedup.SpanIndex.Scheme))
+    assert(Dedup.crossRepeatedSpans(batch, loaded, "doc_id", "text")
+      .as[(Long, Int, Int)].collect().toSet === spans)
+    // stale scheme: loud at load AND at probe
+    val staleDir = java.nio.file.Files
+      .createTempDirectory("graft-spanidx-stale").toString
+    idx.copy(scheme = 999).save(staleDir)
+    assert(intercept[IllegalArgumentException] {
+      Dedup.loadSpanIndex(spark, staleDir)
+    }.getMessage.contains("scheme"))
+    assert(intercept[IllegalArgumentException] {
+      Dedup.crossRepeatedSpans(batch, idx.copy(scheme = 999),
+        "doc_id", "text")
+    }.getMessage.contains("scheme"))
+  }
+
+  test("extendSpanIndex: admitted batch's spans become probeable without a base refit") {
+    val base = Seq((10L, "b1 b2 b3 b4 b5")).toDF("doc_id", "text")
+    val admitted = Seq((30L, "z1 z2 z3 z4 z5")).toDF("doc_id", "text")
+    val probe = Seq((40L, "pre z1 z2 z3 z4 z5 post")).toDF("doc_id", "text")
+    val idx = Dedup.fitSpanIndex(base, "doc_id", "text", window = 4)
+    assert(Dedup.crossRepeatedSpans(probe, idx, "doc_id", "text")
+      .count() === 0L, "before the extend the z-run is unknown")
+    val extended = Dedup.extendSpanIndex(idx, admitted, "doc_id", "text")
+    assert(Dedup.crossRepeatedSpans(probe, extended, "doc_id", "text")
+      .as[(Long, Int, Int)].collect().toSet === Set((40L, 1, 6)))
+  }
+
   private def postingsCorpus = Seq(
     (1L, "apple banana cherry durian elderberry"),
     (2L, "apple banana cherry other words here"),

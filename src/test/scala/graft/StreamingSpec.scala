@@ -177,6 +177,44 @@ class StreamingSpec extends SparkSpec {
     assert(flags2 === Set((1L, 100L), (4L, 100L)), s"got $flags2")
   }
 
+  test("spanFlagStream flags base-carried windows of arriving docs, stream ≡ batch") {
+    val base = Seq((100L, "b1 b2 b3 b4 b5 b6"),
+      (101L, "other base words here now")).toDF("doc_id", "text")
+    val idx = graft.ops.Dedup.fitSpanIndex(base, "doc_id", "text",
+      window = 4)
+    def doc(id: Long, minute: Int, text: String) =
+      Doc(id, Timestamp.valueOf(f"2024-01-01 10:${minute}%02d:00"), "en", text)
+    val arriving = Seq(
+      doc(1, 0, "x b1 b2 b3 b4 b5 b6 y"), // base run embedded at 1..6
+      doc(2, 1, "no overlap with anything"),
+      doc(3, 2, "no overlap with anything")) // stream-internal dup: not flagged
+    val input = MemoryStream[Doc](spark)
+    input.addData(arriving: _*)
+    val q = graft.streaming.DocumentStreams.spanFlagStream(
+        input.toDF(), idx, broadcastIndex = true)
+      .writeStream.format("memory").queryName("span_flags")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val flags = spark.table("span_flags")
+      .select("doc_id", "start", "end").as[(Long, Int, Int)]
+      .collect().toSet
+    // window-grain by contract (the island merge is the batch side's
+    // job): doc 1's three base-matching windows, nothing else
+    assert(flags === Set((1L, 1, 5), (1L, 2, 6), (1L, 3, 7)))
+    // stream ≡ batch: the same windows the batch pass merges into [1,7)
+    val batchSpans = graft.ops.Dedup.crossRepeatedSpans(
+        arriving.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+        idx, "doc_id", "text")
+      .as[(Long, Int, Int)].collect().toSet
+    assert(batchSpans === Set((1L, 1, 7)))
+    assert(flags.map(_._1) === batchSpans.map(_._1),
+      "stream and batch agree on WHICH docs carry base spans")
+    assert(flags.groupBy(_._1).view.mapValues(ws =>
+        (ws.map(_._2).min, ws.map(_._3).max)).toMap
+      === batchSpans.map(s => s._1 -> ((s._2, s._3))).toMap,
+      "merging the stream's window flags reproduces the batch spans")
+  }
+
   test("dropDuplicatesWithinWatermark removes re-delivered event ids") {
     val input = MemoryStream[Ev](spark)
     input.addData(ev(1, 0, "click", 1.0), ev(1, 0, "click", 1.0),

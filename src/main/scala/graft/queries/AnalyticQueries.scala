@@ -244,6 +244,76 @@ object AnalyticQueries {
         sum(col("__vc")).over(w).as("sum_1h_c"))
   }
 
+  /** PIVOT — the cohort × event-type count matrix, the classic
+    * wide-report reshape: one aggregation shuffle on the cohort key with
+    * the five conditional counts partial-combined map-side (Spark's
+    * pivot-first aggregate — no per-column pass, no second shuffle).
+    * The pivot VALUES are explicit: Spark would otherwise run an eager
+    * distinct scan to discover them, and the column ORDER would depend
+    * on data. Absent combinations pivot to NULL in Spark but 0 under a
+    * conditional count — the coalesce pins the engine-portable choice
+    * (a count of an empty set is 0).
+    */
+  def q105(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = events(s, dir)
+      .groupBy((col("user_id") % 10).as("cohort"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    p.select(col("cohort") +: types.map(t =>
+      coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
+  /** Explicit GROUPING SETS + grouping_id — the general form q14
+    * (ROLLUP) and q42 (CUBE) are shorthands of: per-source totals,
+    * per-lang totals and the grand total in ONE pass, with the bit-vector
+    * grouping id disambiguating which set a row belongs to (source is
+    * the high bit, matching DuckDB's GROUPING(source, lang)). Plans as a
+    * 3-way Expand feeding one partial-combined aggregate — rows × |sets|
+    * through one shuffle, never three scans.
+    */
+  def q106(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("documents")
+      .groupingSets(Seq(Seq(col("source")), Seq(col("lang")), Seq()),
+        col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("text")).cast("long")).as("sum_chars"),
+        grouping_id().as("gid"))
+
+  /** Time-series gap-fill (forward-fill interpolation) — the resample
+    * shape as-of joins and range windows don't cover: per event type,
+    * the DENSE hourly revenue series over the type's own [min, max] hour
+    * range, missing hours carried forward from the last observed value
+    * (`last(..., ignoreNulls)` over an unbounded-preceding row frame;
+    * the spine starts at an observed hour, so the fill is total).
+    * Hours are exact epoch-microsecond integer division (the q34/q101
+    * idiom) and revenue is exact integer cents.
+    *
+    * Scale shape: the hourly aggregate is the only event-sized shuffle;
+    * the spine is types × hour-range rows (generated, not scanned), the
+    * spine⋈hourly join and the per-type fill window both run over that
+    * bounded series. 226 real gap hours at sf0.01 — the operator does
+    * real filling, not a no-op.
+    */
+  def q107(s: SparkSession, dir: String): DataFrame = {
+    val hourly = events(s, dir)
+      .select(col("event_type"),
+        expr("(ts_ns div 1000) div 3600000000").as("hr"),
+        cents(col("value")).as("__c"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(sum(col("__c")).as("rev"))
+    val spine = hourly.groupBy(col("event_type"))
+      .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("hr"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(hourly, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"),
+        col("rev").isNull.as("was_gap"),
+        last(col("rev"), ignoreNulls = true).over(w).as("rev_filled"))
+  }
+
   /** Semi/anti joins — the "does a match exist" shapes. Both plan as
     * hash joins carrying ONLY the probe side's columns (no fan-out, no
     * wide rows through the shuffle): nations with at least one
@@ -416,6 +486,9 @@ object AnalyticQueries {
     "q19_scalar_strdate" -> (q19 _),
     "q20_events_hourly" -> (q20 _),
     "q101_range_window" -> (q101 _),
+    "q105_pivot"        -> (q105 _),
+    "q106_grouping_sets" -> (q106 _),
+    "q107_gap_fill"     -> (q107 _),
     "q31_sql_agg"       -> (q31 _),
     "q32_sql_join"      -> (q32 _),
     "q33_sql_window"    -> (q33 _),
@@ -557,6 +630,37 @@ object AnalyticQueries {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+    "q105_pivot" ->
+      """SELECT user_id % 10 AS cohort,
+           count(*) FILTER (event_type = 'click') AS click,
+           count(*) FILTER (event_type = 'error') AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup') AS signup,
+           count(*) FILTER (event_type = 'view') AS view
+         FROM events GROUP BY 1""",
+    "q106_grouping_sets" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS sum_chars,
+           CAST(GROUPING(source, lang) AS BIGINT) AS gid
+         FROM documents
+         GROUP BY GROUPING SETS ((source), (lang), ())""",
+    "q107_gap_fill" ->
+      """WITH h AS (SELECT event_type,
+                  epoch_us(ts) // 3600000000 AS hr,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS rev
+                FROM events GROUP BY 1, 2),
+         bounds AS (SELECT event_type, min(hr) AS lo, max(hr) AS hi
+                    FROM h GROUP BY 1),
+         spine AS (SELECT event_type, CAST(g AS BIGINT) AS hr
+                   FROM bounds, unnest(range(lo, hi + 1)) AS t(g)),
+         j AS (SELECT s.event_type, s.hr, h.rev FROM spine s
+               LEFT JOIN h ON h.event_type = s.event_type AND h.hr = s.hr)
+       SELECT event_type, hr, rev IS NULL AS was_gap,
+         last_value(rev IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hr
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_filled
+       FROM j""",
     "q31_sql_agg" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
          FROM orders WHERE o_totalprice > 100000

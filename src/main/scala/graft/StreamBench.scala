@@ -112,10 +112,10 @@ object StreamBench {
     // in front of its state store, so the two modes bracket the
     // state-light and expression-heavy ends of the streaming surface.
     val mode = sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "sessionize")
-    require(Set("sessionize", "clean", "flag", "score", "scrub")
+    require(Set("sessionize", "clean", "flag", "score", "scrub", "spanflag")
         .contains(mode),
       s"SPARK_GRAFT_STREAM_MODE must be 'sessionize', 'clean', 'flag', " +
-        s"'score' or 'scrub', got '$mode'")
+        s"'score', 'scrub' or 'spanflag', got '$mode'")
     // Hoisted so the JSON line can self-describe the flag-mode config:
     // the r9 evidence runs needed log-filename archaeology to tell a
     // 50k-broadcast row from a 500k-SMJ row, which is exactly the kind
@@ -190,6 +190,38 @@ object StreamBench {
             textOf(pmod(col("value") * lit(1000003L), lit(2L * nBase)))
               .as("text"))
         streaming.DocumentStreams.flagAgainstBaseIndexed(docs, index,
+          broadcastIndex = flagBcast)
+      }
+      else if (mode == "spanflag") {
+        // Streaming ingest span flags: arriving docs' rolling window
+        // fingerprints semi-joined against the STORED SpanIndex of a
+        // flagBase-doc base (the fit → save → load production round
+        // trip, fp set persisted before the clock). Same key-disjoint
+        // 45-word generator and odd-prime key walk as flag mode, so
+        // HALF the arriving docs embed a base doc's text verbatim —
+        // each match emits its 31 window flags (W=15 over 45 tokens),
+        // every non-match still pays the full rolling scan + probe.
+        val nBase = flagBase
+        def textOf(key: org.apache.spark.sql.Column) =
+          concat_ws(" ", transform(sequence(lit(0), lit(44)),
+            j => concat(lit("w"), (key * 50 + j).cast("string"))))
+        val base = spark.range(nBase.toLong)
+          .select(col("id").as("doc_id"), textOf(col("id")).as("text"))
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-spanflag-index").toString
+        ops.Dedup.fitSpanIndex(base, "doc_id", "text", window = 15)
+          .save(idxDir)
+        val loaded = ops.Dedup.loadSpanIndex(spark, idxDir)
+        val idx = loaded.copy(fps = loaded.fps.persist())
+        idx.fps.count() // build before the clock
+        val docs = spark.readStream.format("rate")
+          .option("rowsPerSecond", rps)
+          .option("numPartitions", 8)
+          .load()
+          .select(col("timestamp").as("ts"), col("value").as("doc_id"),
+            textOf(pmod(col("value") * lit(1000003L), lit(2L * nBase)))
+              .as("text"))
+        streaming.DocumentStreams.spanFlagStream(docs, idx,
           broadcastIndex = flagBcast)
       }
       else if (mode == "score") {
@@ -322,9 +354,10 @@ object StreamBench {
       case "clean"      => "stream_clean_docs_per_sec"
       case "score"      => "stream_score_docs_per_sec"
       case "scrub"      => "stream_scrub_docs_per_sec"
+      case "spanflag"   => "stream_spanflag_windows_per_sec"
       case _            => "stream_flag_pairs_per_sec"
     }
-    val flagCfg = if (mode == "flag")
+    val flagCfg = if (mode == "flag" || mode == "spanflag")
       s""","flag_base":$flagBase,"broadcast":$flagBcast,"stored":"$flagStored","trigger_secs":$triggerSecs"""
     else ""
     val line =

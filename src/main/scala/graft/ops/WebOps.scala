@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL / domain-level curation operators — the web-corpus half of a
+  * cleaning pipeline (the public C4 / RefinedWeb / Dolma recipes all
+  * open with them): host extraction, registered-domain reduction
+  * (public-suffix-lite), domain blocklists, and the RefinedWeb-style
+  * per-domain page cap that stops one crawl-heavy site from dominating
+  * the training mix.
+  *
+  * Everything is codegen'd column expressions (`regexp_extract`,
+  * `split`, `slice`) over one scan — no UDFs — and every decision is
+  * deterministic and engine-replayable (the caps rank by the portable
+  * content fingerprint, the same diversity key the sampling family
+  * uses), so a DuckDB oracle can pin the full keep/drop set.
+  *
+  * The reference engine has no URL operators (its expression language is
+  * `=`/`AND` over scalars, reference `sql2ra/functionality.py:76`); this
+  * module is part of the training-data-pipeline breadth layer.
+  */
+object WebOps {
+
+  /** Host component of a URL: `scheme://[userinfo@]host[:port]/…` →
+    * the host capture, lowercased; userinfo, port, path, query and
+    * fragment all stripped by the character classes. One
+    * `regexp_extract` (codegen'd, single scan); the DuckDB oracle runs
+    * the IDENTICAL pattern — it uses only non-capturing groups and
+    * negated classes, semantics shared by java.util.regex and RE2.
+    * Non-URLs (no `scheme://`) yield the empty string, never an error.
+    */
+  val HostPattern: String =
+    "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, HostPattern, 1))
+
+  /** Multi-label public suffixes honored by [[registeredDomain]] — the
+    * public-suffix-LITE posture: the real Mozilla PSL is ~10k rules and
+    * ships as data; the operator takes the rule SET as config so a
+    * deployment can load the full list, and defaults to the handful of
+    * common two-label suffixes that make the reduction logic honest
+    * (a `last-two-labels` heuristic calls every `*.co.uk` site one
+    * domain — exactly the failure a per-domain cap must not have).
+    */
+  val DefaultMultiSuffixes: Seq[String] = Seq(
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "co.jp", "com.au", "com.br",
+    "github.io")
+
+  /** Registered (pay-level) domain of a host: the last two labels,
+    * or the last THREE when the last two form a configured public
+    * suffix (`site7.co.uk`, not `co.uk`; `user.github.io`, not
+    * `github.io`). Hosts with a single label (localhost, bare TLD)
+    * pass through unchanged. Pure `split`/`slice`/`when` — `slice`
+    * with a negative start clamps to empty below 0, so no branch can
+    * index out of range under ANSI.
+    */
+  def registeredDomain(
+      host: Column,
+      multiSuffixes: Seq[String] = DefaultMultiSuffixes): Column = {
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    val last2 = concat_ws(".", slice(parts, -2, 2))
+    val last3 = concat_ws(".", slice(parts, -3, 3))
+    when(n >= 3 && last2.isin(multiSuffixes: _*), last3)
+      .when(n >= 2, last2)
+      .otherwise(host)
+  }
+
+  /** Drop every document whose registered domain is on the blocklist.
+    * Config-sized lists (the usual case: curated spam/SEO/adult domain
+    * lists) compile to a literal `IN` — a scan predicate, pushed like
+    * any other filter, zero joins. For blocklists too large to inline
+    * (a 100M-domain reputation feed) use [[domainBlocklistDf]].
+    */
+  def domainBlocklist(df: DataFrame, domain: Column,
+                      blocked: Seq[String]): DataFrame =
+    if (blocked.isEmpty) df else df.filter(!domain.isin(blocked: _*))
+
+  /** Relation-sized blocklist variant: LEFT ANTI join against a
+    * `(domain)` relation. Spark broadcasts it when it fits
+    * (`autoBroadcastJoinThreshold`), else hashes both sides on the
+    * domain key — either way the corpus is filtered in one pass with no
+    * driver-side materialization. OpsSpec pins ≡ the literal-IN form.
+    */
+  def domainBlocklistDf(df: DataFrame, domain: Column,
+                        blocked: DataFrame): DataFrame = {
+    val b = blocked.toDF("__blocked_domain")
+    df.withColumn("__dom_bl", domain)
+      .join(b, col("__dom_bl") === col("__blocked_domain"), "left_anti")
+      .drop("__dom_bl")
+  }
+
+  /** RefinedWeb-style per-domain page cap: keep at most `n` documents
+    * of each registered domain, chosen deterministically by the salted
+    * portable content fingerprint (ties to the smaller id) — the same
+    * diversity key the sampling family uses, so byte-identical pages
+    * rank adjacently and reruns are byte-identical.
+    *
+    * Scale shape — the corpus splits on the per-domain count BEFORE any
+    * ranking work:
+    *   1. per-domain counts: one partial-combined aggregate
+    *      (domain-cardinality rows cross the wire, never doc rows);
+    *   2. counts join back on the domain key (AQE broadcasts when the
+    *      domain table fits);
+    *   3. domains with ≤ n pages — at web scale the overwhelming
+    *      majority — pass through with NO window: their rows never
+    *      enter a rank exchange;
+    *   4. only the heavy tail (cnt > n) pays the per-domain
+    *      `row_number` window, and that exchange carries exactly the
+    *      heavy domains' rows.
+    * The union is semantically identical to ranking everything and
+    * keeping rnk ≤ n (a light domain's ranks are all ≤ cnt ≤ n), which
+    * is how the DuckDB oracle replays it. Unlike
+    * [[TextOps.stratifiedSample]]'s two-phase fingerprint-threshold
+    * prune, this never collects per-stratum counts to the driver —
+    * registered domains at web scale are an UNBOUNDED key (millions),
+    * exactly the cardinality the maxStrata guard there exists to
+    * reject.
+    *
+    * Output: the input columns plus `domain`.
+    */
+  def perDomainCap(df: DataFrame, domain: Column, idCol: String,
+                   textCol: String, n: Int): DataFrame = {
+    require(n > 0, s"perDomainCap: n must be positive, got $n")
+    val clash = Seq("domain", "__cnt", "__key", "__rnk")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"perDomainCap adds columns ${clash.mkString(", ")} that already " +
+        "exist in the input — rename or drop them first")
+    val withDom = df.withColumn("domain", domain)
+    val counts = withDom.groupBy(col("domain"))
+      .agg(count(lit(1)).as("__cnt"))
+    val joined = withDom.join(counts, "domain")
+    val light = joined.filter(col("__cnt") <= n).drop("__cnt")
+    val key = TextOps.fingerprint(
+      concat(lit("domcap:"), coalesce(col(textCol).cast("string"), lit(""))))
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("__key").asc, col(idCol).asc)
+    val heavy = joined.filter(col("__cnt") > n)
+      .withColumn("__key", key)
+      .withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= n)
+      .drop("__cnt", "__key", "__rnk")
+    light.unionByName(heavy)
+  }
+}

@@ -1,9 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.table
-import graft.ops.{Dedup, Retrieval, Similarity, TextOps}
+import graft.ops.{Dedup, Retrieval, Similarity, TextOps, WebOps}
 
 /** Training-data-pipeline correctness queries over the `documents`,
   * `embeddings` and `events` fixtures: deduplication (exact, MinHash-LSH,
@@ -1216,6 +1216,53 @@ object PipelineQueries {
       t(s, dir)("documents").filter(col("doc_id") % 2 === 1),
       storedSpanIdx(s, dir), "doc_id", "text")
 
+  /** Deterministic planted URL per document (the fixture corpus has no
+    * url column — the q97 PII posture: plant every branch the operator
+    * must handle from doc_id so the oracle can rebuild the input
+    * byte-for-byte): scheme varies, occasional userinfo and port —
+    * both must be STRIPPED by host extraction — and a
+    * `www.site{k}.{suffix}` host whose registered domain sweeps 97 site
+    * labels × 5 public suffixes, three of them multi-label (`co.uk`,
+    * `github.io`, `com.au` — the cases a naive last-two-labels rule
+    * collapses wrongly).
+    */
+  private def plantedUrl: Column = concat(
+    when(pmod(col("doc_id"), lit(3L)) === 0, lit("https://"))
+      .otherwise(lit("http://")),
+    when(pmod(col("doc_id"), lit(11L)) === 0,
+      concat(lit("crawler"), col("doc_id"), lit(":tok@"))).otherwise(lit("")),
+    lit("www.site"), pmod(col("doc_id"), lit(97L)), lit("."),
+    element_at(
+      array(lit("com"), lit("co.uk"), lit("org"), lit("github.io"),
+        lit("com.au")),
+      (pmod(col("doc_id"), lit(5L)) + 1).cast("int")),
+    when(pmod(col("doc_id"), lit(13L)) === 0, lit(":8443"))
+      .otherwise(lit("")),
+    lit("/p/"), col("doc_id"), lit("?ref=r"), pmod(col("doc_id"), lit(4L)))
+
+  /** URL/domain curation pass ([[graft.ops.WebOps]]): host extraction
+    * (userinfo/port/path stripped), public-suffix-aware registered
+    * domain, a 2-domain blocklist, then the RefinedWeb-style per-domain
+    * cap of 5 chosen by the salted content fingerprint. At sf0.01 the
+    * 500 docs spread over 97 site labels (~5.15 docs/domain), so BOTH
+    * cap branches run: some domains pass through the no-window light
+    * path, others pay the per-domain rank. The oracle rebuilds the
+    * planted URL, extracts the host with the IDENTICAL regex, replays
+    * the suffix CASE, the blocklist, the `domcap:` fingerprint chain and
+    * the global rank-≤-5 filter (provably equivalent to the engine's
+    * light/heavy split: a light domain's ranks are all ≤ cnt ≤ n).
+    */
+  def q108(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+      .withColumn("host", WebOps.urlHost(plantedUrl))
+    val unblocked = WebOps.domainBlocklist(docs,
+      WebOps.registeredDomain(col("host")),
+      Seq("site0.com", "site13.co.uk"))
+    WebOps.perDomainCap(unblocked, WebOps.registeredDomain(col("host")),
+      "doc_id", "text", n = 5)
+      .select(col("doc_id"), col("host"), col("domain"))
+  }
+
   /** Session-cached learned merge table for the subword-packing query —
     * the [[storedIvf]] pattern for the tokenizer artifact: production
     * learns the table once per corpus version and every export pass
@@ -1386,6 +1433,7 @@ object PipelineQueries {
     "q102_bm25_stored"    -> (q102 _),
     "q103_span_dedup"     -> (q103 _),
     "q104_cross_span_scrub" -> (q104 _),
+    "q108_domain_cap"     -> (q108 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -2876,5 +2924,57 @@ FROM o"""
                               AS BIGINT))),
                         (a, b) -> (a*31 + b) % 1000000007) AS fp
                FROM clean) c"""),
+    // full replay of the URL curation pass: planted URL rebuilt
+    // byte-for-byte, host via the IDENTICAL regex (java.util.regex and
+    // RE2 agree on it — non-capturing groups + negated classes only),
+    // the public-suffix CASE, the blocklist, the 'domcap:' fingerprint
+    // chain, and the global per-domain rank-<=-5 filter (equivalent to
+    // the engine's light/heavy split)
+    "q108_domain_cap" ->
+      s"""WITH u AS (SELECT doc_id, text,
+             (CASE WHEN doc_id % 3 = 0 THEN 'https://' ELSE 'http://' END) ||
+             (CASE WHEN doc_id % 11 = 0
+                THEN 'crawler' || CAST(doc_id AS VARCHAR) || ':tok@'
+                ELSE '' END) ||
+             'www.site' || CAST(doc_id % 97 AS VARCHAR) || '.' ||
+             list_value('com', 'co.uk', 'org', 'github.io', 'com.au')
+               [CAST(doc_id % 5 AS BIGINT) + 1] ||
+             (CASE WHEN doc_id % 13 = 0 THEN ':8443' ELSE '' END) ||
+             '/p/' || CAST(doc_id AS VARCHAR) ||
+             '?ref=r' || CAST(doc_id % 4 AS VARCHAR) AS url
+           FROM documents),
+         h AS (SELECT doc_id, text,
+                 lower(regexp_extract(url, '${WebOps.HostPattern}', 1))
+                   AS host
+               FROM u),
+         p AS (SELECT doc_id, text, host,
+                 string_split(host, '.') AS parts FROM h),
+         d AS (SELECT doc_id, text, host,
+                 CASE WHEN len(parts) >= 3
+                        AND (parts[-2] || '.' || parts[-1]) IN
+                          ('co.uk', 'ac.uk', 'gov.uk', 'org.uk', 'co.jp',
+                           'com.au', 'com.br', 'github.io')
+                      THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+                      WHEN len(parts) >= 2
+                      THEN parts[-2] || '.' || parts[-1]
+                      ELSE host END AS domain
+               FROM p),
+         f AS (SELECT * FROM d
+               WHERE domain NOT IN ('site0.com', 'site13.co.uk')),
+         k AS (SELECT doc_id, host, domain,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(
+                       range(1, length('domcap:' || COALESCE(text, '')) + 1),
+                       i -> CAST(unicode(substr(
+                         'domcap:' || COALESCE(text, ''),
+                         CAST(i AS INT), 1)) AS BIGINT))),
+                   (a, b) -> (a*31 + b) % 1000000007) AS fp
+               FROM f),
+         r AS (SELECT doc_id, host, domain,
+                 row_number() OVER (PARTITION BY domain
+                   ORDER BY fp, doc_id) AS rnk
+               FROM k)
+       SELECT doc_id, host, domain FROM r WHERE rnk <= 5""",
   )
 }

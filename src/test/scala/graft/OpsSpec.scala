@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Similarity, TextOps}
+import graft.ops.{Dedup, Similarity, TextOps, WebOps}
 
 /** Unit-level contracts for the pipeline operators, on synthetic data with
   * PLANTED structure (the fixture corpora prove the no-false-positive
@@ -2639,5 +2639,91 @@ class OpsSpec extends SparkSpec {
       TextOps.perplexityBuckets(docs, "doc_id", "text", "source", nBuckets = 1)
     }
     assert(e.getMessage.contains("buckets"))
+  }
+
+  test("urlHost: strips scheme, userinfo, port, path, query; lowercases; non-URL empty") {
+    val urls = Seq(
+      "http://www.Example.COM/path?q=1",
+      "https://user:pw@api.site.org:8443/v1#frag",
+      "ftp+ssh://Host.Co.Uk",
+      "not a url",
+      "http://bare").toDF("url")
+    val out = urls.select(WebOps.urlHost(col("url"))).as[String]
+      .collect().toSeq
+    assert(out === Seq("www.example.com", "api.site.org", "host.co.uk",
+      "", "bare"))
+  }
+
+  test("registeredDomain: last-2 default, last-3 on multi-label suffix, single label passes") {
+    val hosts = Seq(
+      "www.example.com", "a.b.deep.example.com", "www.site7.co.uk",
+      "user.github.io", "cdn.user.github.io", "shop.com.au",
+      "localhost", "example.com").toDF("h")
+    val out = hosts.select(WebOps.registeredDomain(col("h"))).as[String]
+      .collect().toSeq
+    assert(out === Seq("example.com", "example.com", "site7.co.uk",
+      "user.github.io", "user.github.io", "shop.com.au",
+      "localhost", "example.com"))
+    // the suffix set is config: with an empty set, co.uk collapses —
+    // exactly the failure the default set exists to prevent
+    val naive = hosts.select(WebOps.registeredDomain(col("h"), Seq.empty))
+      .as[String].collect().toSeq
+    assert(naive(2) === "co.uk")
+  }
+
+  test("domainBlocklistDf: anti-join form equals the literal-IN form") {
+    val docs = Seq(
+      (1L, "spam.com"), (2L, "good.org"), (3L, "spam.com"), (4L, "ok.net"))
+      .toDF("doc_id", "dom")
+    val blockedDf = Seq("spam.com", "absent.io").toDF("d")
+    val viaIn = WebOps.domainBlocklist(docs, col("dom"),
+      Seq("spam.com", "absent.io")).select("doc_id").as[Long]
+      .collect().toSet
+    val viaDf = WebOps.domainBlocklistDf(docs, col("dom"), blockedDf)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaIn === Set(2L, 4L) && viaDf === viaIn)
+    // empty blocklist is the identity
+    assert(WebOps.domainBlocklist(docs, col("dom"), Seq.empty).count() === 4)
+  }
+
+  test("perDomainCap: heavy domain cut to n by (fingerprint, id); light domain untouched") {
+    val docs = Seq(
+      (1L, "d1", "alpha"), (2L, "d1", "bravo"), (3L, "d1", "charlie"),
+      (4L, "d1", "delta"), (5L, "d2", "echo"))
+      .toDF("doc_id", "dom", "text")
+    val out = WebOps.perDomainCap(docs, col("dom"), "doc_id", "text", n = 2)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    // light domain d2 survives whole; heavy d1 keeps exactly the 2 docs
+    // that lead the deterministic (fingerprint('domcap:'||text), id) order
+    assert(kept.contains(5L) && kept.size === 3)
+    val expectHeavy = docs.filter(col("dom") === "d1")
+      .withColumn("k", TextOps.fingerprint(concat(lit("domcap:"), col("text"))))
+      .orderBy(col("k"), col("doc_id")).limit(2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept - 5L === expectHeavy)
+    // rerun-identical and carries the domain column
+    assert(out.columns.contains("domain"))
+    assert(WebOps.perDomainCap(docs, col("dom"), "doc_id", "text", n = 2)
+      .select("doc_id").as[Long].collect().toSet === kept)
+  }
+
+  test("perDomainCap: duplicate texts rank adjacently; column clash and bad n loud") {
+    // two byte-identical pages share a fingerprint — they occupy adjacent
+    // ranks, so a cap of 1 keeps exactly one of them (the smaller id)
+    val docs = Seq(
+      (7L, "d", "same page"), (3L, "d", "same page"), (9L, "d", "zzz"))
+      .toDF("doc_id", "dom", "text")
+    val one = WebOps.perDomainCap(docs, col("dom"), "doc_id", "text", n = 1)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(one.size === 1)
+    val e = intercept[IllegalArgumentException] {
+      WebOps.perDomainCap(docs.withColumnRenamed("dom", "domain"),
+        col("domain"), "doc_id", "text", n = 1)
+    }
+    assert(e.getMessage.contains("domain"))
+    val e2 = intercept[IllegalArgumentException] {
+      WebOps.perDomainCap(docs, col("dom"), "doc_id", "text", n = 0)
+    }
+    assert(e2.getMessage.contains("positive"))
   }
 }

@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Seed-set quality classifier — the public GPT-3 / WebText curation
+  * posture (Brown et al. 2020, Appendix A; the fastText-style filtering
+  * classifier of Joulin et al. 2016): label a small CURATED seed set as
+  * positive, the raw crawl as negative, fit a bag-of-words classifier,
+  * and keep raw documents the classifier scores curated-like.
+  *
+  * The model is multinomial Naive Bayes, which for scoring REDUCES TO A
+  * LINEAR MODEL over integer token counts: per-term weight
+  * `w(t) = ln p̂(t|target) − ln p̂(t|raw)` (add-α smoothed over the joint
+  * vocabulary), a bias `ln(n_target/n_raw)` from the class priors, and a
+  * default weight for unseen terms from the smoothing floors. That
+  * linearity is what makes it the ONE classical text classifier whose
+  * every decision an independent engine can replay exactly — integer
+  * count aggregation is order-independent, and the per-term/per-doc
+  * rounding follows the repo's round-inside-round contract — where a
+  * gradient-trained model's float accumulation order would not be.
+  *
+  * Deliberately DISTINCT from [[TextOps.importanceSelect]] (DSIR):
+  * DSIR ranks by a hashed-BUCKET likelihood ratio to top-n-resample
+  * toward a target distribution; this is a calibrated per-document
+  * keep/drop DECISION over the full vocabulary with class priors — the
+  * filtering stage, not the resampling stage, of the same pipeline.
+  *
+  * Scale shape (fit): ONE labeled-corpus tokenize+explode ending in a
+  * (term)-grain partial-combined aggregate; class totals come from an
+  * unbounded window over the vocabulary-sized table (the
+  * [[TextOps.fitImportanceModel]] pattern — no second corpus scan) and
+  * the three scalars (bias, default weight) from a ONE-ROW aggregate
+  * collect. Scoring: the batch's own tokenize+aggregate plus one
+  * term-key join against the vocabulary-sized weight table — broadcast
+  * when it fits executors (`broadcastModel`), shuffle join for 100M-term
+  * vocabularies, the [[TextOps.unigramSurprisal]] flag.
+  */
+object Classify {
+
+  /** A fitted seed-set classifier: vocabulary-sized `(term, w)` weights
+    * plus the bias (prior log-odds), the unseen-term default weight, and
+    * the smoothing α it was fit with. Fit once per seed-set version
+    * ([[fitNbClassifier]]), persist ([[saveNbModel]] / [[loadNbModel]],
+    * tokenizer-scheme-versioned), score every ingest batch for the cost
+    * of the batch's own token pass ([[nbScore]]).
+    */
+  case class NbModel(weights: DataFrame, bias: Double, defaultW: Double,
+                     alpha: Double)
+
+  /** Fit the classifier from a labeled corpus: `isTarget` marks the
+    * curated seed docs, everything else is the raw class. Add-`alpha`
+    * smoothing over the JOINT vocabulary keeps both class likelihoods
+    * finite on every term either class saw; terms NEITHER saw take the
+    * default weight at score time. Weights are rounded 9 dp (the
+    * cross-engine contract); bias and default weight likewise.
+    */
+  def fitNbClassifier(df: DataFrame, textCol: String, isTarget: Column,
+                      alpha: Double = 1.0): NbModel = {
+    require(alpha > 0, s"fitNbClassifier: alpha must be > 0, got $alpha")
+    val docCounts = df.agg(
+      sum(when(isTarget, 1L).otherwise(0L)).as("nt"),
+      sum(when(!isTarget, 1L).otherwise(0L)).as("nr")).head()
+    val (nT, nR) = (docCounts.getLong(0), docCounts.getLong(1))
+    require(nT > 0 && nR > 0,
+      s"fitNbClassifier: need both classes non-empty, got target=$nT raw=$nR")
+    val tc = df.select(isTarget.as("__is_t"),
+        explode(TextOps.tokens(col(textCol))).as("__term"))
+      .groupBy(col("__term"))
+      .agg(sum(when(col("__is_t"), 1L).otherwise(0L)).cast("double").as("ct"),
+        sum(when(!col("__is_t"), 1L).otherwise(0L)).cast("double").as("cr"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val weights = tc
+      .withColumn("__tt", sum(col("ct")).over(wAll))
+      .withColumn("__tr", sum(col("cr")).over(wAll))
+      .withColumn("__v", count(lit(1)).over(wAll).cast("double"))
+      .select(col("__term").as("term"), round(
+        log((col("ct") + alpha) / (col("__tt") + col("__v") * alpha)) -
+          log((col("cr") + alpha) / (col("__tr") + col("__v") * alpha)),
+        9).as("w"))
+    // the same totals as ONE row (vocab-sized aggregate, 1-row collect)
+    // for the two scalar constants
+    val tot = tc.agg(sum(col("ct")), sum(col("cr")),
+      count(lit(1)).cast("double")).head()
+    val (tt, tr, v) = (tot.getDouble(0), tot.getDouble(1), tot.getDouble(2))
+    val bias = BigDecimal(math.log(nT.toDouble) - math.log(nR.toDouble))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val defaultW = BigDecimal(
+      math.log(alpha / (tt + alpha * v)) - math.log(alpha / (tr + alpha * v)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    NbModel(weights, bias, defaultW, alpha)
+  }
+
+  /** Persist a fitted [[NbModel]] (+ tokenizer-scheme / α / scalar meta
+    * — the [[TextOps.saveImportanceModel]] discipline: a model hashed
+    * under one tokenizer and scored under another silently mis-scores
+    * every doc, so the mismatch fails loudly at load).
+    */
+  def saveNbModel(m: NbModel, path: String): Unit = {
+    m.weights.write.mode("overwrite").parquet(s"$path/weights")
+    val spark = m.weights.sparkSession
+    import spark.implicits._
+    Seq((TextOps.TokenizerScheme, m.alpha, m.bias, m.defaultW))
+      .toDF("tokenizer_scheme", "alpha", "bias", "default_w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Read a stored [[NbModel]]; a stale tokenizer scheme fails loudly
+    * here (the [[TextOps.loadTermFreqs]] contract). */
+  def loadNbModel(spark: SparkSession, path: String): NbModel = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val scheme = meta.getAs[Int]("tokenizer_scheme")
+    require(scheme == TextOps.TokenizerScheme,
+      s"stored classifier at $path uses tokenizer scheme $scheme but " +
+        s"this build produces ${TextOps.TokenizerScheme} — refit it")
+    NbModel(spark.read.parquet(s"$path/weights"),
+      meta.getAs[Double]("bias"), meta.getAs[Double]("default_w"),
+      meta.getAs[Double]("alpha"))
+  }
+
+  /** Score a document batch under a fitted [[NbModel]]: per doc the
+    * class log-odds
+    * `round(Σ_t cnt(doc,t)·w(t) + bias, 4)` (per-term contributions
+    * rounded 9 dp first — the round-inside-round contract) and the
+    * keep/drop decision at `threshold`. Cost is the batch's own
+    * tokenize+aggregate plus one term-key join against the
+    * vocabulary-sized weight table (`broadcastModel` picks broadcast vs
+    * shuffle join). Output: `(doc_id, nb_logodds, keep)`, one row per
+    * doc with ≥1 token.
+    */
+  def nbScore(docs: DataFrame, idCol: String, textCol: String, m: NbModel,
+              threshold: Double = 0.0,
+              broadcastModel: Boolean = true): DataFrame = {
+    val dt = docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("__cnt"))
+    val wdf = if (broadcastModel) broadcast(m.weights) else m.weights
+    dt.join(wdf, Seq("term"), "left")
+      .withColumn("__contrib",
+        round(col("__cnt") * coalesce(col("w"), lit(m.defaultW)), 9))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("__contrib")) + m.bias, 4).as("nb_logodds"))
+      .withColumn("keep", col("nb_logodds") > threshold)
+  }
+}

@@ -2040,4 +2040,172 @@ object TextOps {
     top.withColumn("rnk", row_number().over(w))
       .select(col("rnk"), col("doc_id"), col("dsir"))
   }
+
+  /** Distinct-n n-gram diversity report (the public "distinct-1/2/3"
+    * metric family, Li et al. NAACL 2016): per group, for each n in
+    * `ns`, the total n-gram occurrences, the number of DISTINCT
+    * n-grams, and their ratio — the corpus-level type/token ratio that
+    * separates a source of templated boilerplate (low distinct-2/3)
+    * from genuinely varied text, and the health meter to watch while a
+    * dedup/mixing pipeline reshapes a source.
+    *
+    * Scale shape: totals are pure per-row ARITHMETIC (`max(tokens-n+1,
+    * 0)` — no explode) folded in one G×|ns|-bounded aggregate; the
+    * distinct side is ONE fused explode for all n sizes (each doc's
+    * per-n shingle arrays are tagged with n and flattened, so the
+    * corpus is tokenized once, not |ns| times), deduplicated two-phase
+    * — `distinct()` on (group, n, gram) then a count per (group, n) —
+    * deliberately not `countDistinct`, whose Expand would multiply the
+    * exploded relation. Per-doc shingle arrays are already distinct
+    * (the [[shingles]] contract), which is absorbed by the corpus-level
+    * distinct and keeps the exploded volume at the per-doc type count.
+    *
+    * Output: `(group, n, total_ngrams, distinct_ngrams, ratio)` —
+    * ratio 6dp, NULL for a (group, n) with no n-grams at all.
+    */
+  def ngramDiversity(df: DataFrame, groupCol: String, textCol: String,
+                     ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ > 0) && ns.distinct == ns,
+      s"ngramDiversity: ns must be non-empty, positive, distinct; got $ns")
+    val tc = tokenCount(col(textCol))
+    val totalAggs = ns.map(n =>
+      sum(greatest(tc - lit(n - 1), lit(0)).cast("long")).as(s"__tot$n"))
+    val totals = df.groupBy(col(groupCol).as("__grp"))
+      .agg(totalAggs.head, totalAggs.tail: _*)
+      .select(col("__grp"),
+        explode(array(ns.map(n => struct(lit(n).as("n"),
+          coalesce(col(s"__tot$n"), lit(0L)).as("total_ngrams"))): _*))
+          .as("__t"))
+      .select(col("__grp"), col("__t.n").as("n"),
+        col("__t.total_ngrams").as("total_ngrams"))
+    val tagged = df.select(col(groupCol).as("__grp"),
+      explode(flatten(array(ns.map(n =>
+        transform(shingles(col(textCol), n),
+          s => struct(lit(n).as("n"), s.as("g")))): _*))).as("__ng"))
+      .select(col("__grp"), col("__ng.n").as("n"), col("__ng.g").as("g"))
+    val distincts = tagged.distinct()
+      .groupBy(col("__grp"), col("n"))
+      .agg(count(lit(1)).as("distinct_ngrams"))
+    totals.join(distincts, Seq("__grp", "n"), "left")
+      .select(col("__grp").as(groupCol), col("n"), col("total_ngrams"),
+        coalesce(col("distinct_ngrams"), lit(0L)).as("distinct_ngrams"),
+        when(col("total_ngrams") > 0,
+          round(coalesce(col("distinct_ngrams"), lit(0L)).cast("double") /
+            col("total_ngrams"), 6)).as("ratio"))
+  }
+
+  /** Per-group winsorized z-score normalization — the mixing-prep step
+    * that makes quality scores COMPARABLE across heterogeneous sources
+    * before a global threshold or weighted sampler consumes them (a raw
+    * cutoff treats a curated source's 0.6 and a crawl's 0.6 as the same
+    * quality; after per-source standardization they mean "0.6 relative
+    * to that source's own distribution"). Winsorization clamps to the
+    * [loPct, hiPct] percentile band FIRST, so a handful of outlier docs
+    * can't stretch the moments the z-scores divide by.
+    *
+    * Determinism: the percentile bounds are ORDER STATISTICS — the
+    * value at rank `max(ceil(cnt·pct/100), 1)` by (score, id), pure
+    * integer arithmetic, no interpolation (`percentile_cont`'s
+    * interpolated quantiles differ in final ulps across engines; a
+    * selected member value is engine-exact). Moments are rounded 9 dp,
+    * z-scores 4 dp — the round-inside-round contract. A single-doc
+    * group has no sample stddev: its z pins to 0.0 (the CASE the
+    * oracle mirrors), never NULL/NaN.
+    *
+    * Scale shape: ONE rank-window exchange on the group key (the
+    * qualityTopFrac shape), then two group-cardinality-bounded
+    * aggregates (bounds, moments) broadcast back — no corpus-sized
+    * join, no second corpus shuffle: both broadcast joins and the
+    * window reuse the same group hash partitioning.
+    */
+  def winsorizedZScores(df: DataFrame, groupCol: String, idCol: String,
+                        score: Column, loPct: Int = 5,
+                        hiPct: Int = 95): DataFrame = {
+    require(0 <= loPct && loPct < hiPct && hiPct <= 100,
+      s"winsorizedZScores: need 0 <= loPct < hiPct <= 100, " +
+        s"got $loPct/$hiPct")
+    val clash = Seq("__s", "__rnk", "__cnt", "__grp", "__grp2", "lo", "hi",
+      "winsorized", "score", "z").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"winsorizedZScores adds columns ${clash.mkString(", ")} that " +
+        "already exist in the input — rename or drop them first")
+    val g = col(groupCol)
+    val wO = org.apache.spark.sql.expressions.Window
+      .partitionBy(g).orderBy(col("__s").asc, col(idCol).asc)
+    val wG = org.apache.spark.sql.expressions.Window.partitionBy(g)
+    val base = df.withColumn("__s", score)
+      .withColumn("__rnk", row_number().over(wO))
+      .withColumn("__cnt", count(lit(1)).over(wG))
+    val loIdx = expr(s"greatest((__cnt * $loPct + 99) div 100, 1)")
+    val hiIdx = expr(s"greatest((__cnt * $hiPct + 99) div 100, 1)")
+    val bounds = base.groupBy(g.as("__grp")).agg(
+      max(when(col("__rnk") === loIdx, col("__s"))).as("lo"),
+      max(when(col("__rnk") === hiIdx, col("__s"))).as("hi"))
+    val withB = base
+      .join(broadcast(bounds), g <=> col("__grp")).drop("__grp")
+      .withColumn("winsorized",
+        least(greatest(col("__s"), col("lo")), col("hi")))
+    val moments = withB.groupBy(g.as("__grp2")).agg(
+      round(avg(col("winsorized")), 9).as("__mu"),
+      round(stddev_samp(col("winsorized")), 9).as("__sd"))
+    withB.join(broadcast(moments), g <=> col("__grp2"))
+      .select(col(idCol), g, col("__s").as("score"), col("lo"), col("hi"),
+        col("winsorized"),
+        when(col("__sd").isNotNull && col("__sd") > 0,
+          round((col("winsorized") - col("__mu")) / col("__sd"), 4))
+          .otherwise(lit(0.0)).as("z"))
+  }
+
+  /** Corpus snapshot diff — what changed between two versions of a
+    * corpus, the release-note / drift-audit pass a continuously-ingested
+    * 100 TB corpus runs between compactions: per group, how many docs
+    * were added / removed / changed / unchanged (content compared by the
+    * portable fingerprint, so a re-crawled byte-identical page is
+    * "unchanged" even if its row moved), plus the vocabulary drift —
+    * how many distinct terms are novel to v2 and how many v1 terms
+    * disappeared (the signal that a source switched language, template,
+    * or tokenizer upstream).
+    *
+    * Scale shape: doc grain is ONE full-outer id-key join of
+    * (id, group, fingerprint) projections — fingerprints computed in the
+    * scan, text never shuffles — folded to a (metric × group)-bounded
+    * aggregate; term grain is two tokenize+distinct passes and two
+    * anti-joins on the term key, everything after the distincts
+    * vocabulary-sized. Nothing is collected; the report is a handful of
+    * rows. (With stored [[termFreqs]] artifacts for both versions the
+    * term half becomes artifact-sized — the overload a production
+    * deployment would add; this form prices the from-scratch diff.)
+    *
+    * Output: `(metric, group, n)` — doc metrics per group; term metrics
+    * (`novel_terms`, `lost_terms`) corpus-wide with a NULL group.
+    */
+  def corpusDiff(v1: DataFrame, v2: DataFrame, idCol: String,
+                 textCol: String, groupCol: String): DataFrame = {
+    val gType = v1.select(col(groupCol)).schema.head.dataType
+    val a = v1.select(col(idCol).as("__id"), col(groupCol).as("__g1"),
+      fingerprint(coalesce(col(textCol), lit(""))).as("__f1"))
+    val b = v2.select(col(idCol).as("__id"), col(groupCol).as("__g2"),
+      fingerprint(coalesce(col(textCol), lit(""))).as("__f2"))
+    val status = when(col("__f1").isNull, "added")
+      .when(col("__f2").isNull, "removed")
+      .when(col("__f1") === col("__f2"), "unchanged")
+      .otherwise("changed")
+    val docMetrics = a.join(b, Seq("__id"), "full_outer")
+      .select(status.as("metric"),
+        coalesce(col("__g2"), col("__g1")).as(groupCol))
+      .groupBy(col("metric"), col(groupCol))
+      .agg(count(lit(1)).as("n"))
+    def terms(df: DataFrame) =
+      df.select(explode(tokens(col(textCol))).as("__term")).distinct()
+    val t1 = terms(v1)
+    val t2 = terms(v2)
+    def termRow(name: String, lhs: DataFrame, rhs: DataFrame) =
+      lhs.join(rhs, Seq("__term"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit(name).as("metric"),
+          lit(null).cast(gType).as(groupCol), col("n"))
+    docMetrics
+      .unionByName(termRow("novel_terms", t2, t1))
+      .unionByName(termRow("lost_terms", t1, t2))
+  }
 }

@@ -314,6 +314,29 @@ object AnalyticQueries {
         last(col("rev"), ignoreNulls = true).over(w).as("rev_filled"))
   }
 
+  /** UNPIVOT (melt) — the inverse reshaping of q105's PIVOT: a wide
+    * per-source feature row (doc-length-bucket counts) melted back to
+    * long `(source, bucket, n_docs)` form, the shape a tall metrics
+    * store or a generic plotting/joining consumer wants. Spark's native
+    * `Dataset.unpivot` plans as one Expand over the ALREADY-AGGREGATED
+    * frame — the wide aggregate is the only corpus pass, the melt
+    * itself touches G rows and emits G × |buckets|; melting before
+    * aggregating would put the Expand under the shuffle and triple the
+    * exchanged rows. The oracle replays the buckets and the melt as
+    * UNION ALL selects (engine-neutral UNPIVOT semantics: value columns
+    * become (name, value) pairs, id columns repeat).
+    */
+  def q112(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir)("documents").groupBy(col("source")).agg(
+      sum(when(col("n_chars") < 250, 1L).otherwise(0L)).as("short_docs"),
+      sum(when(col("n_chars") >= 250 && col("n_chars") < 400, 1L)
+        .otherwise(0L)).as("medium_docs"),
+      sum(when(col("n_chars") >= 400, 1L).otherwise(0L)).as("long_docs"))
+    wide.unpivot(Array(col("source")),
+      Array(col("short_docs"), col("medium_docs"), col("long_docs")),
+      "bucket", "n_docs")
+  }
+
   /** Semi/anti joins — the "does a match exist" shapes. Both plan as
     * hash joins carrying ONLY the probe side's columns (no fan-out, no
     * wide rows through the shuffle): nations with at least one
@@ -489,6 +512,7 @@ object AnalyticQueries {
     "q105_pivot"        -> (q105 _),
     "q106_grouping_sets" -> (q106 _),
     "q107_gap_fill"     -> (q107 _),
+    "q112_unpivot"      -> (q112 _),
     "q31_sql_agg"       -> (q31 _),
     "q32_sql_join"      -> (q32 _),
     "q33_sql_window"    -> (q33 _),
@@ -661,6 +685,20 @@ object AnalyticQueries {
            PARTITION BY event_type ORDER BY hr
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_filled
        FROM j""",
+    "q112_unpivot" ->
+      """WITH w AS (SELECT source,
+           CAST(sum(CASE WHEN n_chars < 250 THEN 1 ELSE 0 END) AS BIGINT)
+             AS short_docs,
+           CAST(sum(CASE WHEN n_chars >= 250 AND n_chars < 400
+             THEN 1 ELSE 0 END) AS BIGINT) AS medium_docs,
+           CAST(sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS BIGINT)
+             AS long_docs
+         FROM documents GROUP BY source)
+       SELECT source, 'short_docs' AS bucket, short_docs AS n_docs FROM w
+       UNION ALL
+       SELECT source, 'medium_docs', medium_docs FROM w
+       UNION ALL
+       SELECT source, 'long_docs', long_docs FROM w""",
     "q31_sql_agg" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
          FROM orders WHERE o_totalprice > 100000

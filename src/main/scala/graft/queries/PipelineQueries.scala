@@ -1263,6 +1263,45 @@ object PipelineQueries {
       .select(col("doc_id"), col("host"), col("domain"))
   }
 
+  /** Distinct-n diversity report ([[TextOps.ngramDiversity]]): per
+    * source, distinct-1/2/3 type counts, occurrence totals and ratios.
+    * The oracle rebuilds every n-gram of every doc via DuckDB list
+    * slicing, the exact totals arithmetic, and the per-(source, n)
+    * distinct counts.
+    */
+  def q109(s: SparkSession, dir: String): DataFrame =
+    TextOps.ngramDiversity(t(s, dir)("documents"), "source", "text")
+
+  /** Per-source winsorized z-normalization of the quality score
+    * ([[TextOps.winsorizedZScores]], 5/95 band): the cross-source
+    * comparability step before a global cut. The oracle replays the
+    * quality expression, the rank order statistics at
+    * max(ceil(cnt·pct/100), 1), the clamp, the 9dp moments and the 4dp
+    * z — including the single-doc-group z = 0.0 pin.
+    */
+  def q110(s: SparkSession, dir: String): DataFrame =
+    TextOps.winsorizedZScores(t(s, dir)("documents"), "source", "doc_id",
+      TextOps.qualityScore(col("text")))
+
+  /** Corpus snapshot diff ([[TextOps.corpusDiff]]) between two planted
+    * versions of the corpus: v1 = even ids, v2 = ids not divisible by 3
+    * with every 10th doc's text EDITED (a deterministic ` editv2
+    * tokenx{id%7}` suffix) — so all four doc statuses occur and the
+    * edits introduce novel vocabulary. The oracle replays both
+    * projections, the fingerprint comparison, the per-source status
+    * counts, and both distinct-term anti-joins.
+    */
+  def q111(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    val v1 = docs.filter(col("doc_id") % 2 === 0)
+    val v2 = docs.filter(col("doc_id") % 3 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" editv2 tokenx"),
+            pmod(col("doc_id"), lit(7L)))).otherwise(col("text")))
+    TextOps.corpusDiff(v1, v2, "doc_id", "text", "source")
+  }
+
   /** Session-cached learned merge table for the subword-packing query —
     * the [[storedIvf]] pattern for the tokenizer artifact: production
     * learns the table once per corpus version and every export pass
@@ -1434,6 +1473,9 @@ object PipelineQueries {
     "q103_span_dedup"     -> (q103 _),
     "q104_cross_span_scrub" -> (q104 _),
     "q108_domain_cap"     -> (q108 _),
+    "q109_ngram_diversity" -> (q109 _),
+    "q110_winsorized_z"   -> (q110 _),
+    "q111_corpus_diff"    -> (q111 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -2976,5 +3018,110 @@ FROM o"""
                    ORDER BY fp, doc_id) AS rnk
                FROM k)
        SELECT doc_id, host, domain FROM r WHERE rnk <= 5""",
+    // every n-gram of every doc rebuilt via list slicing; totals are the
+    // exact max(len-n+1, 0) arithmetic, distincts counted per
+    // (source, n); HUGEINT sums BIGINT-cast per the r9 audit
+    "q109_ngram_diversity" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS w
+               FROM documents),
+         ns AS (SELECT unnest([1, 2, 3]) AS n),
+         tot AS (SELECT source, n,
+                   CAST(sum(greatest(len(w) - n + 1, 0)) AS BIGINT)
+                     AS total_ngrams
+                 FROM toks CROSS JOIN ns GROUP BY source, n),
+         gr AS (SELECT source, n,
+                  unnest(list_distinct(list_transform(
+                    range(1, len(w) - n + 2),
+                    i -> array_to_string(w[i:i+n-1], ' ')))) AS g
+                FROM toks CROSS JOIN ns),
+         di AS (SELECT source, n,
+                  CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams
+                FROM gr GROUP BY source, n)
+       SELECT t.source, t.n, t.total_ngrams,
+              COALESCE(di.distinct_ngrams, 0) AS distinct_ngrams,
+              CASE WHEN t.total_ngrams > 0
+                THEN round(CAST(COALESCE(di.distinct_ngrams, 0) AS DOUBLE)
+                  / t.total_ngrams, 6) END AS ratio
+       FROM tot t LEFT JOIN di USING (source, n)""",
+    // quality score (q99's snippet), per-source rank order statistics at
+    // max(ceil(cnt*pct/100), 1) by (score, id), the clamp, 9dp moments
+    // over the winsorized values, 4dp z with the single-doc 0.0 pin
+    "q110_winsorized_z" ->
+      """WITH k AS (SELECT doc_id, source,
+                 round((least(CAST(len(string_split(text, ' '))
+                       AS DOUBLE) / 50.0, 1.0)
+                   + least(CAST(len(list_filter(string_split(text, ' '),
+                       x -> x IN ('the','a','an','of','and','is','to')))
+                       AS DOUBLE)
+                     / greatest(len(string_split(text, ' ')), 1) * 5.0, 1.0)
+                   ) / 2.0, 4) AS q
+               FROM documents),
+         r AS (SELECT doc_id, source, q,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY q, doc_id) AS rnk,
+                 count(*) OVER (PARTITION BY source) AS cnt
+               FROM k),
+         b AS (SELECT source,
+                 max(CASE WHEN rnk = greatest((cnt*5 + 99) // 100, 1)
+                     THEN q END) AS lo,
+                 max(CASE WHEN rnk = greatest((cnt*95 + 99) // 100, 1)
+                     THEN q END) AS hi
+               FROM r GROUP BY source),
+         w AS (SELECT r.doc_id, r.source, r.q, b.lo, b.hi,
+                 least(greatest(r.q, b.lo), b.hi) AS winsorized
+               FROM r JOIN b USING (source)),
+         m AS (SELECT source, round(avg(winsorized), 9) AS mu,
+                 round(stddev_samp(winsorized), 9) AS sd
+               FROM w GROUP BY source)
+       SELECT w.doc_id, w.source, w.q AS score, w.lo, w.hi, w.winsorized,
+              CASE WHEN m.sd IS NOT NULL AND m.sd > 0
+                THEN round((w.winsorized - m.mu) / m.sd, 4)
+                ELSE 0.0 END AS z
+       FROM w JOIN m USING (source)""",
+    // both planted versions rebuilt, contents compared by the portable
+    // fingerprint chain, statuses counted per source, and the two
+    // distinct-term anti-joins replayed corpus-wide
+    "q111_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, source, text FROM documents
+               WHERE doc_id % 2 = 0),
+         v2 AS (SELECT doc_id, source,
+                  CASE WHEN doc_id % 10 = 0
+                    THEN text || ' editv2 tokenx' ||
+                      CAST(doc_id % 7 AS VARCHAR)
+                    ELSE text END AS text
+                FROM documents WHERE doc_id % 3 <> 0),
+         f1 AS (SELECT doc_id, source,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(COALESCE(text, '')) + 1),
+                      i -> CAST(unicode(substr(COALESCE(text, ''),
+                        CAST(i AS INT), 1)) AS BIGINT))),
+                    (a, b) -> (a*31 + b) % 1000000007) AS fp
+                FROM v1),
+         f2 AS (SELECT doc_id, source,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(COALESCE(text, '')) + 1),
+                      i -> CAST(unicode(substr(COALESCE(text, ''),
+                        CAST(i AS INT), 1)) AS BIGINT))),
+                    (a, b) -> (a*31 + b) % 1000000007) AS fp
+                FROM v2),
+         j AS (SELECT COALESCE(f2.source, f1.source) AS source,
+                 CASE WHEN f1.doc_id IS NULL THEN 'added'
+                      WHEN f2.doc_id IS NULL THEN 'removed'
+                      WHEN f1.fp = f2.fp THEN 'unchanged'
+                      ELSE 'changed' END AS metric
+               FROM f1 FULL OUTER JOIN f2 USING (doc_id)),
+         dm AS (SELECT metric, source, CAST(count(*) AS BIGINT) AS n
+                FROM j GROUP BY metric, source),
+         t1 AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+                FROM v1),
+         t2 AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+                FROM v2)
+       SELECT metric, source, n FROM dm
+       UNION ALL
+       SELECT 'novel_terms', NULL, CAST(count(*) AS BIGINT)
+       FROM t2 WHERE term NOT IN (SELECT term FROM t1)
+       UNION ALL
+       SELECT 'lost_terms', NULL, CAST(count(*) AS BIGINT)
+       FROM t1 WHERE term NOT IN (SELECT term FROM t2)""",
   )
 }

@@ -2726,4 +2726,74 @@ class OpsSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("positive"))
   }
+
+  test("ngramDiversity: hand-computed totals, type counts and ratios per (group, n)") {
+    val docs = Seq(
+      (1L, "a", "x y x"), (2L, "a", "x y"), (3L, "b", "q"))
+      .toDF("doc_id", "grp", "text")
+    val out = TextOps.ngramDiversity(docs, "grp", "text")
+      .orderBy("grp", "n")
+      .as[(String, Int, Long, Long, Option[Double])].collect().toSeq
+    assert(out === Seq(
+      // a: 5 unigram occurrences of 2 types; 3 bigrams of 2 types
+      // ("x y" twice, "y x"); 1 trigram of 1 type
+      ("a", 1, 5L, 2L, Some(0.4)),
+      ("a", 2, 3L, 2L, Some(0.666667)),
+      ("a", 3, 1L, 1L, Some(1.0)),
+      // b: a 1-word doc has no 2/3-grams — zero totals, NULL ratio
+      ("b", 1, 1L, 1L, Some(1.0)),
+      ("b", 2, 0L, 0L, None),
+      ("b", 3, 0L, 0L, None)))
+    val e = intercept[IllegalArgumentException] {
+      TextOps.ngramDiversity(docs, "grp", "text", ns = Seq(2, 2))
+    }
+    assert(e.getMessage.contains("distinct"))
+  }
+
+  test("winsorizedZScores: order-stat bounds, clamp, hand-computed moments and z") {
+    val docs = Seq(
+      (1L, "a", 0.0), (2L, "a", 10.0), (3L, "a", 20.0), (4L, "a", 30.0),
+      (5L, "a", 1000.0), // the outlier the 80th-pct bound clamps away
+      (6L, "b", 7.0))    // single-doc group: no sample stddev, z pins 0.0
+      .toDF("doc_id", "grp", "s")
+    val out = TextOps.winsorizedZScores(docs, "grp", "doc_id", col("s"),
+        loPct = 20, hiPct = 80)
+      .orderBy("doc_id")
+      .as[(Long, String, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    // group a: cnt=5, loIdx=ceil(100/100)=1 -> 0.0, hiIdx=ceil(400/100)=4
+    // -> 30.0; winsorized [0,10,20,30,30]: mu=18, sd=round(sqrt(170),9)
+    // =13.038404810; z = round((w-18)/sd, 4)
+    assert(out === Seq(
+      (1L, "a", 0.0, 0.0, 30.0, 0.0, -1.3805),
+      (2L, "a", 10.0, 0.0, 30.0, 10.0, -0.6136),
+      (3L, "a", 20.0, 0.0, 30.0, 20.0, 0.1534),
+      (4L, "a", 30.0, 0.0, 30.0, 30.0, 0.9204),
+      (5L, "a", 1000.0, 0.0, 30.0, 30.0, 0.9204),
+      (6L, "b", 7.0, 7.0, 7.0, 7.0, 0.0)))
+    val e = intercept[IllegalArgumentException] {
+      TextOps.winsorizedZScores(docs, "grp", "doc_id", col("s"),
+        loPct = 90, hiPct = 90)
+    }
+    assert(e.getMessage.contains("loPct"))
+    val e2 = intercept[IllegalArgumentException] {
+      TextOps.winsorizedZScores(docs.withColumnRenamed("s", "score"),
+        "grp", "doc_id", col("score"))
+    }
+    assert(e2.getMessage.contains("score"))
+  }
+
+  test("corpusDiff: doc statuses per group + vocabulary drift, content-keyed") {
+    val v1 = Seq((1L, "s", "a b"), (2L, "s", "c d"), (3L, "t", "e"))
+      .toDF("doc_id", "source", "text")
+    val v2 = Seq((2L, "s", "c d"), (3L, "t", "e x"), (4L, "t", "f"))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.corpusDiff(v1, v2, "doc_id", "text", "source")
+      .as[(String, Option[String], Long)].collect().toSet
+    assert(out === Set(
+      ("removed", Some("s"), 1L), ("unchanged", Some("s"), 1L),
+      ("changed", Some("t"), 1L), ("added", Some("t"), 1L),
+      ("novel_terms", None, 2L),   // {x, f}
+      ("lost_terms", None, 2L)))   // {a, b}
+  }
 }

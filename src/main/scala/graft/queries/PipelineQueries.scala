@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.table
-import graft.ops.{Dedup, Retrieval, Similarity, TextOps, WebOps}
+import graft.ops.{Classify, Dedup, Retrieval, Similarity, TextOps, WebOps}
 
 /** Training-data-pipeline correctness queries over the `documents`,
   * `embeddings` and `events` fixtures: deduplication (exact, MinHash-LSH,
@@ -1302,6 +1302,21 @@ object PipelineQueries {
     TextOps.corpusDiff(v1, v2, "doc_id", "text", "source")
   }
 
+  /** Seed-set quality classifier ([[graft.ops.Classify]]): src1 is the
+    * curated seed class, everything else the raw crawl; every raw doc
+    * gets its Naive-Bayes log-odds and the keep decision at 0. The
+    * oracle replays the ENTIRE fit and score in DuckDB — both class
+    * token histograms, the joint-vocabulary smoothing, every 9dp
+    * per-term weight, the prior bias, the unseen-term default, and each
+    * doc's 4dp log-odds sum.
+    */
+  def q113(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    val m = Classify.fitNbClassifier(docs, "text", col("source") === "src1")
+    Classify.nbScore(docs.filter(col("source") =!= "src1"), "doc_id",
+      "text", m)
+  }
+
   /** Session-cached learned merge table for the subword-packing query —
     * the [[storedIvf]] pattern for the tokenizer artifact: production
     * learns the table once per corpus version and every export pass
@@ -1476,6 +1491,7 @@ object PipelineQueries {
     "q109_ngram_diversity" -> (q109 _),
     "q110_winsorized_z"   -> (q110 _),
     "q111_corpus_diff"    -> (q111 _),
+    "q113_nb_classifier"  -> (q113 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -3123,5 +3139,44 @@ FROM o"""
        UNION ALL
        SELECT 'lost_terms', NULL, CAST(count(*) AS BIGINT)
        FROM t1 WHERE term NOT IN (SELECT term FROM t2)""",
+    // the whole NB fit + score replayed: class doc counts, per-class
+    // term histograms, joint-vocab add-1 smoothing, 9dp weights/bias/
+    // default, per-(doc, term) 9dp contributions, 4dp log-odds sum
+    "q113_nb_classifier" ->
+      """WITH lab AS (SELECT doc_id, source, text,
+                 source = 'src1' AS is_t FROM documents),
+         cls AS (SELECT
+                   CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE)
+                     AS ndt,
+                   CAST(sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS DOUBLE)
+                     AS ndr
+                 FROM lab),
+         toks AS (SELECT doc_id, is_t,
+                   unnest(string_split(text, ' ')) AS term FROM lab),
+         tc AS (SELECT term,
+                  CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE)
+                    AS ct,
+                  CAST(sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS DOUBLE)
+                    AS cr
+                FROM toks GROUP BY term),
+         tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr,
+                   CAST(count(*) AS DOUBLE) AS v FROM tc),
+         w AS (SELECT term,
+                 round(ln((tc.ct + 1.0) / (tot.tt + tot.v * 1.0)) -
+                       ln((tc.cr + 1.0) / (tot.tr + tot.v * 1.0)), 9) AS w
+               FROM tc CROSS JOIN tot),
+         consts AS (SELECT
+                 round(ln(cls.ndt) - ln(cls.ndr), 9) AS bias,
+                 round(ln(1.0 / (tot.tt + tot.v * 1.0)) -
+                       ln(1.0 / (tot.tr + tot.v * 1.0)), 9) AS dw
+               FROM cls CROSS JOIN tot),
+         dt AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS cnt
+                FROM toks WHERE NOT is_t GROUP BY doc_id, term),
+         sc AS (SELECT dt.doc_id,
+                  round(sum(round(dt.cnt * COALESCE(w.w, consts.dw), 9))
+                    + max(consts.bias), 4) AS nb_logodds
+                FROM dt LEFT JOIN w USING (term) CROSS JOIN consts
+                GROUP BY dt.doc_id)
+       SELECT doc_id, nb_logodds, nb_logodds > 0.0 AS keep FROM sc""",
   )
 }

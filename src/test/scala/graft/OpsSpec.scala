@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Similarity, TextOps, WebOps}
+import graft.ops.{Classify, Dedup, Similarity, TextOps, WebOps}
 
 /** Unit-level contracts for the pipeline operators, on synthetic data with
   * PLANTED structure (the fixture corpora prove the no-false-positive
@@ -2795,5 +2795,62 @@ class OpsSpec extends SparkSpec {
       ("changed", Some("t"), 1L), ("added", Some("t"), 1L),
       ("novel_terms", None, 2L),   // {x, f}
       ("lost_terms", None, 2L)))   // {a, b}
+  }
+
+  test("nbClassifier: hand-computed weights, bias, default and log-odds") {
+    val docs = Seq(
+      (1L, true, "good good"), (2L, true, "good text"),
+      (3L, false, "bad bad"), (4L, false, "bad text"))
+      .toDF("doc_id", "is_t", "text")
+    val m = Classify.fitNbClassifier(docs, "text", col("is_t"))
+    // classes: 2 docs each -> bias ln(2)-ln(2)=0; totals tt=tr=4, V=3;
+    // w(good)=ln(4/7)-ln(1/7)=ln 4; w(text)=0; w(bad)=-ln 4;
+    // default = ln(1/7)-ln(1/7)=0
+    assert(m.bias === 0.0 && m.defaultW === 0.0)
+    val w = m.weights.orderBy("term").as[(String, Double)].collect().toSeq
+    assert(w === Seq(("bad", -1.386294361), ("good", 1.386294361),
+      ("text", 0.0)))
+    val probe = Seq((10L, "good bad bad"), (11L, "good good unseen"))
+      .toDF("doc_id", "text")
+    val out = Classify.nbScore(probe, "doc_id", "text", m)
+      .orderBy("doc_id").as[(Long, Double, Boolean)].collect().toSeq
+    // 10: 1*ln4 + 2*(-ln4) = -1.386294361 -> -1.3863, drop
+    // 11: 2*ln4 + 1*default(0) = 2.772588722 -> 2.7726, keep
+    assert(out === Seq((10L, -1.3863, false), (11L, 2.7726, true)))
+    val e = intercept[IllegalArgumentException] {
+      Classify.fitNbClassifier(docs, "text", lit(true))
+    }
+    assert(e.getMessage.contains("classes"))
+  }
+
+  test("nbClassifier: save -> load -> score equals in-session; stale scheme loud") {
+    val docs = Seq(
+      (1L, true, "alpha beta"), (2L, false, "gamma delta gamma"))
+      .toDF("doc_id", "is_t", "text")
+    val m = Classify.fitNbClassifier(docs, "text", col("is_t"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-nb-").toString
+    Classify.saveNbModel(m, dir)
+    val loaded = Classify.loadNbModel(spark, dir)
+    assert(loaded.bias === m.bias && loaded.defaultW === m.defaultW &&
+      loaded.alpha === m.alpha)
+    val probe = Seq((5L, "alpha gamma zeta")).toDF("doc_id", "text")
+    val a = Classify.nbScore(probe, "doc_id", "text", m)
+      .as[(Long, Double, Boolean)].collect().toSeq
+    val b = Classify.nbScore(probe, "doc_id", "text", loaded)
+      .as[(Long, Double, Boolean)].collect().toSeq
+    assert(a === b)
+    // shuffle-join path agrees with the broadcast path
+    val c = Classify.nbScore(probe, "doc_id", "text", m,
+      broadcastModel = false).as[(Long, Double, Boolean)].collect().toSeq
+    assert(c === a)
+    // stale scheme: rewrite meta with a foreign tokenizer scheme
+    import spark.implicits._
+    Seq((999, m.alpha, m.bias, m.defaultW))
+      .toDF("tokenizer_scheme", "alpha", "bias", "default_w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val e = intercept[IllegalArgumentException] {
+      Classify.loadNbModel(spark, dir)
+    }
+    assert(e.getMessage.contains("tokenizer scheme"))
   }
 }

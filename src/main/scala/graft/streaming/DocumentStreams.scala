@@ -318,4 +318,53 @@ object DocumentStreams {
       .withColumn("dsir", col("__sc._2"))
       .drop("__sc")
   }
+
+  /** Streaming twin of [[graft.ops.Classify.nbScore]] — the seed-set
+    * quality classifier applied at the ingest door: STATELESS, the
+    * [[importanceStream]] posture. The fitted weight table collapses to
+    * a driver map (truncated to the `maxVocab` terms with the LARGEST
+    * `|w − defaultW|`, i.e. the ones whose loss would move scores most,
+    * ties by term); per doc the score is the batch op's exact
+    * round-inside-round chain (9 dp per term contribution over the
+    * doc's own counts, 4 dp on the sum + bias), so stream ≡ batch
+    * EXACTLY whenever the vocabulary fits `maxVocab` (spec-pinned).
+    * Truncation replaces a dropped term's weight with the unseen
+    * default — it biases scores toward the PRIOR, never invents
+    * keep-side evidence.
+    *
+    * A NULL text yields NULL score/keep and the row is KEPT — the
+    * at-the-door contract is to annotate, not silently drop (the batch
+    * explode path drops instead).
+    *
+    * Output: input columns + `nb_logodds`, `keep`.
+    */
+  def nbStream(docs: DataFrame, model: graft.ops.Classify.NbModel,
+               threshold: Double = 0.0,
+               maxVocab: Int = 262144): DataFrame = {
+    require(maxVocab > 0, s"maxVocab must be positive, got $maxVocab")
+    val rows = model.weights
+      .orderBy(abs(col("w") - lit(model.defaultW)).desc, col("term"))
+      .limit(maxVocab).collect()
+    val wMap = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val (bias, defW) = (model.bias, model.defaultW)
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val score = udf { toks: Seq[String] =>
+      if (toks == null) None
+      else {
+        val counts = new scala.collection.mutable.HashMap[String, Long]()
+        toks.foreach(t => counts.update(t, counts.getOrElse(t, 0L) + 1L))
+        var s = 0.0
+        counts.foreach { case (t, c) =>
+          s += r9(c * wMap.getOrElse(t, defW))
+        }
+        Some(r4(s + bias))
+      }
+    }
+    docs
+      .withColumn("nb_logodds", score(TextOps.tokens(col("text"))))
+      .withColumn("keep", col("nb_logodds") > threshold)
+  }
 }

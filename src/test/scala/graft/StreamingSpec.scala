@@ -569,6 +569,67 @@ class StreamingSpec extends SparkSpec {
     assert(state === 0, s"state rows = $state")
   }
 
+  test("nbStream scores in-flight docs identically to the batch classifier, stateless") {
+    val corpus = Seq((1L, "good clean prose", true),
+      (2L, "good words here", true),
+      (3L, "spam spam buy", false), (4L, "buy junk now", false))
+      .toDF("doc_id", "text", "is_t")
+    val model = graft.ops.Classify.fitNbClassifier(corpus, "text",
+      col("is_t"))
+    val ts = Timestamp.valueOf("2024-01-01 10:00:00")
+    val arriving = Seq(
+      Doc(10L, ts, "en", "good clean words"),   // seed-like -> keep
+      Doc(11L, ts, "en", "spam buy buy"),       // crawl-like -> drop
+      Doc(12L, ts, "en", "wholly novel tokens")) // all-default terms
+    val input = MemoryStream[Doc](spark)
+    input.addData(arriving: _*)
+    val q = streaming.DocumentStreams.nbStream(input.toDF(), model)
+      .select("doc_id", "nb_logodds", "keep")
+      .writeStream.format("memory").queryName("nbscore")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("nbscore")
+      .as[(Long, Double, Boolean)].collect().toSet
+    val batch = graft.ops.Classify.nbScore(
+        arriving.toDF().select("doc_id", "text"), "doc_id", "text", model)
+      .as[(Long, Double, Boolean)].collect().toSet
+    assert(streamed === batch)
+    val byId = streamed.map(r => r._1 -> r._2).toMap
+    assert(byId(10L) > 0 && byId(11L) < 0, byId.toString)
+    // stateless
+    val state = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal)).sum
+    assert(state === 0, s"state rows = $state")
+  }
+
+  test("nbStream truncation only biases toward the prior, never invents keep evidence") {
+    // vocab of 4 terms; maxVocab=1 keeps only the strongest weight
+    // ("good", the seed marker). A doc of dropped crawl-markers scores
+    // the default (prior) — not positive.
+    val corpus = Seq((1L, "good good", true), (2L, "spam mild", false))
+      .toDF("doc_id", "text", "is_t")
+    val model = graft.ops.Classify.fitNbClassifier(corpus, "text",
+      col("is_t"))
+    val ts = Timestamp.valueOf("2024-01-01 10:00:00")
+    val arriving = Seq(Doc(20L, ts, "en", "spam mild"))
+    val input = MemoryStream[Doc](spark)
+    input.addData(arriving: _*)
+    val q = streaming.DocumentStreams.nbStream(input.toDF(), model,
+        maxVocab = 1)
+      .select("doc_id", "nb_logodds")
+      .writeStream.format("memory").queryName("nbtrunc")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("nbtrunc").as[(Long, Double)].collect().head
+    val full = graft.ops.Classify.nbScore(
+      arriving.toDF().select("doc_id", "text"), "doc_id", "text", model)
+      .as[(Long, Double, Boolean)].collect().head
+    // truncated score >= full score is NOT promised; toward-the-prior is:
+    // dropped terms contribute defaultW, so the truncated score moved
+    // from the full score TOWARD bias (here 0.0) and stayed non-keep
+    assert(got._2 <= 0.0 && full._2 < got._2)
+  }
+
   test("scrubStream redacts in-flight PII identically to the batch scrub, stateless") {
     val ts = Timestamp.valueOf("2024-01-01 10:00:00")
     val arriving = Seq(

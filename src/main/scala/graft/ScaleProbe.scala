@@ -124,7 +124,19 @@ object ScaleProbe {
     // the ingest-door span scrub: cost must track the BATCH's windows +
     // one semi-join against the stored fp set (fit+save run once in the
     // warmup via the session cache) — never a base re-tokenize
-    "q104_cross_span_scrub")
+    "q104_cross_span_scrub",
+    // this-session arrivals: the URL curation pass (domain-count
+    // aggregate + the heavy-tail-only rank window — light domains must
+    // never enter the window exchange), the fused distinct-n explode
+    // (~3× the token stream through ONE explode, deduped two-phase —
+    // the heaviest new scan), the winsorized z pass (one doc-grain
+    // window per source + two group-bounded broadcast-backs), the
+    // snapshot diff (full-outer join of fingerprint PROJECTIONS — text
+    // never shuffles — + two distinct-term anti-joins), and the NB
+    // classifier (two token passes: class histograms and scoring, with
+    // a vocabulary-key join that must stay broadcast)
+    "q108_domain_cap", "q109_ngram_diversity", "q110_winsorized_z",
+    "q111_corpus_diff", "q113_nb_classifier")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

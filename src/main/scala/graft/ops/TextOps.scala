@@ -2112,11 +2112,17 @@ object TextOps {
     * group has no sample stddev: its z pins to 0.0 (the CASE the
     * oracle mirrors), never NULL/NaN.
     *
-    * Scale shape: ONE rank-window exchange on the group key (the
-    * qualityTopFrac shape), then two group-cardinality-bounded
-    * aggregates (bounds, moments) broadcast back — no corpus-sized
-    * join, no second corpus shuffle: both broadcast joins and the
-    * window reuse the same group hash partitioning.
+    * Scale shape: the OUTPUT branch is a pure scan plus two
+    * group-cardinality broadcast joins — Catalyst prunes the rank
+    * window out of it entirely (the final row needs only the score
+    * expression and the broadcast scalars). The bounds and moments
+    * branches each derive the ranked base through a group-key window
+    * exchange and fold to a G-bounded aggregate broadcast back — two
+    * group-key exchanges of (id, group, score) projections, the
+    * deliberately-divergent-subtree posture of
+    * [[importanceSelect]]: persisting a corpus-sized ranked
+    * intermediate to save the second exchange costs more than the
+    * exchange at corpus scale.
     */
   def winsorizedZScores(df: DataFrame, groupCol: String, idCol: String,
                         score: Column, loPct: Int = 5,

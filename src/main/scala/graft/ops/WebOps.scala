@@ -99,51 +99,37 @@ object WebOps {
     * diversity key the sampling family uses, so byte-identical pages
     * rank adjacently and reruns are byte-identical.
     *
-    * Scale shape — the corpus splits on the per-domain count BEFORE any
-    * ranking work:
-    *   1. per-domain counts: one partial-combined aggregate
-    *      (domain-cardinality rows cross the wire, never doc rows);
-    *   2. counts join back on the domain key (AQE broadcasts when the
-    *      domain table fits);
-    *   3. domains with ≤ n pages — at web scale the overwhelming
-    *      majority — pass through with NO window: their rows never
-    *      enter a rank exchange;
-    *   4. only the heavy tail (cnt > n) pays the per-domain
-    *      `row_number` window, and that exchange carries exactly the
-    *      heavy domains' rows.
-    * The union is semantically identical to ranking everything and
-    * keeping rnk ≤ n (a light domain's ranks are all ≤ cnt ≤ n), which
-    * is how the DuckDB oracle replays it. Unlike
-    * [[TextOps.stratifiedSample]]'s two-phase fingerprint-threshold
-    * prune, this never collects per-stratum counts to the driver —
-    * registered domains at web scale are an UNBOUNDED key (millions),
-    * exactly the cardinality the maxStrata guard there exists to
-    * reject.
+    * Scale shape: ONE corpus scan into a per-domain `row_number` rank
+    * filtered at `n`, which Spark plans with map-side
+    * `WindowGroupLimit(Partial)` — every input partition is pruned to
+    * its own top-`n` per domain BEFORE the single domain-key exchange,
+    * so the shuffle carries at most n×partitions rows per domain
+    * regardless of how crawl-heavy the domain is (the skew that
+    * motivates the cap is exactly the skew the pruning absorbs;
+    * PlanSpec pins the partial/final pair and the single exchange).
+    * Domain cardinality is UNBOUNDED — nothing is counted to the
+    * driver or broadcast (the [[TextOps.stratifiedSample]] two-phase
+    * prune needs its maxStrata driver bound; a per-domain cap at web
+    * scale is precisely the workload that bound exists to reject).
     *
     * Output: the input columns plus `domain`.
     */
   def perDomainCap(df: DataFrame, domain: Column, idCol: String,
                    textCol: String, n: Int): DataFrame = {
     require(n > 0, s"perDomainCap: n must be positive, got $n")
-    val clash = Seq("domain", "__cnt", "__key", "__rnk")
+    val clash = Seq("domain", "__key", "__rnk")
       .filter(df.columns.contains)
     require(clash.isEmpty,
       s"perDomainCap adds columns ${clash.mkString(", ")} that already " +
         "exist in the input — rename or drop them first")
-    val withDom = df.withColumn("domain", domain)
-    val counts = withDom.groupBy(col("domain"))
-      .agg(count(lit(1)).as("__cnt"))
-    val joined = withDom.join(counts, "domain")
-    val light = joined.filter(col("__cnt") <= n).drop("__cnt")
     val key = TextOps.fingerprint(
       concat(lit("domcap:"), coalesce(col(textCol).cast("string"), lit(""))))
     val w = Window.partitionBy(col("domain"))
       .orderBy(col("__key").asc, col(idCol).asc)
-    val heavy = joined.filter(col("__cnt") > n)
+    df.withColumn("domain", domain)
       .withColumn("__key", key)
       .withColumn("__rnk", row_number().over(w))
       .filter(col("__rnk") <= n)
-      .drop("__cnt", "__key", "__rnk")
-    light.unionByName(heavy)
+      .drop("__key", "__rnk")
   }
 }

@@ -1244,13 +1244,12 @@ object PipelineQueries {
     * (userinfo/port/path stripped), public-suffix-aware registered
     * domain, a 2-domain blocklist, then the RefinedWeb-style per-domain
     * cap of 5 chosen by the salted content fingerprint. At sf0.01 the
-    * 500 docs spread over 97 site labels (~5.15 docs/domain), so BOTH
-    * cap branches run: some domains pass through the no-window light
-    * path, others pay the per-domain rank. The oracle rebuilds the
-    * planted URL, extracts the host with the IDENTICAL regex, replays
-    * the suffix CASE, the blocklist, the `domcap:` fingerprint chain and
-    * the global rank-≤-5 filter (provably equivalent to the engine's
-    * light/heavy split: a light domain's ranks are all ≤ cnt ≤ n).
+    * 500 docs spread over 97 site labels (~5.15 docs/domain), so both
+    * cap outcomes occur: some domains keep every page, others are cut
+    * at 5 by the map-side-pruned rank (WindowGroupLimit — PlanSpec).
+    * The oracle rebuilds the planted URL, extracts the host with the
+    * IDENTICAL regex, replays the suffix CASE, the blocklist, the
+    * `domcap:` fingerprint chain and the rank-≤-5 filter.
     */
   def q108(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir)("documents")
@@ -2986,8 +2985,7 @@ FROM o"""
     // byte-for-byte, host via the IDENTICAL regex (java.util.regex and
     // RE2 agree on it — non-capturing groups + negated classes only),
     // the public-suffix CASE, the blocklist, the 'domcap:' fingerprint
-    // chain, and the global per-domain rank-<=-5 filter (equivalent to
-    // the engine's light/heavy split)
+    // chain, and the per-domain rank-<=-5 filter
     "q108_domain_cap" ->
       s"""WITH u AS (SELECT doc_id, text,
              (CASE WHEN doc_id % 3 = 0 THEN 'https://' ELSE 'http://' END) ||

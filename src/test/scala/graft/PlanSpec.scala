@@ -328,6 +328,29 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_"), plan)
   }
 
+  test("q108: per-domain cap prunes map-side (WindowGroupLimit) before ONE exchange") {
+    val plan = planOf("q108_domain_cap")
+    // the rank<=n filter must reach the window as a group limit — the
+    // partial (pre-shuffle) instance is what bounds a crawl-heavy
+    // domain's exchanged rows at n x partitions instead of its page count
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2, plan)
+    // one corpus shuffle (the domain key), no joins, no aggregates
+    assert("""- Exchange \(\d+\)""".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+  }
+
+  test("q113: NB classifier — vocab weights broadcast, both aggs partial-combined") {
+    val plan = planOf("q113_nb_classifier")
+    // the vocabulary-sized weight table joins the doc-term counts as a
+    // broadcast (LeftOuter: unseen terms take the default weight)
+    assert(plan.contains("BroadcastHashJoin LeftOuter"), plan)
+    // token histograms and per-doc sums partial-combine map-side
+    assert(plan.contains("partial_"), plan)
+    // no corpus-sized sort anywhere (the vocab window is vocab-sized)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q08: both filters sit below the joins") {
     val optimized = SparkEntry.queries("q08_join_3way")(spark, sfDir)
       .queryExecution.optimizedPlan.toString

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -101,5 +101,87 @@ object Sketch {
       .filter(col("src_a") < col("src_b"))
       .select(col("src_a"), col("src_b"),
         sketchJaccard(col("sk_a"), col("sk_b"), k).as("est_j"))
+  }
+
+  /** Stored per-group cardinality registry — the Apache DataSketches HLL
+    * sketches Spark ships natively (`hll_sketch_agg`/`hll_union_agg`,
+    * Spark 3.5+), kept as a PERSISTED artifact so "how many distinct
+    * pages/fingerprints/users does each source hold" is maintained
+    * INCREMENTALLY: fitted once per corpus version, each ingest batch
+    * folds in by sketch UNION at batch cost (sketch union is exactly
+    * the merge a re-count over base+batch would converge to — the HLL
+    * mergeability guarantee), and estimates read off the G-row table
+    * with no corpus rescan ever. The sketch sibling of the exact-state
+    * artifacts ([[graft.ops.Dedup.CorpusIndex]], `termFreqs`,
+    * `PostingsIndex`): those answer membership exactly; this answers
+    * cardinality approximately in O(G · 2^lgK) bytes at any corpus
+    * size.
+    *
+    * `keyScheme` is the caller's NAME for how the key column is derived
+    * (e.g. "text-v1", "fp(text)-v1") — the tokenizer-scheme discipline:
+    * a registry fitted on one derivation and extended under another
+    * undercounts silently, so the mismatch fails loudly at extend/load
+    * instead.
+    */
+  case class CardinalityIndex(sketches: DataFrame, lgK: Int,
+                              keyScheme: String)
+
+  /** Fit the registry: one partial-combined aggregate — HLL buffers
+    * merge map-side, G sketch rows cross the wire. */
+  def fitCardinality(df: DataFrame, groupCol: String, key: Column,
+                     keyScheme: String,
+                     lgK: Int = 12): CardinalityIndex = {
+    require(lgK >= 4 && lgK <= 21,
+      s"fitCardinality: lgK must be in [4, 21], got $lgK")
+    CardinalityIndex(
+      df.groupBy(col(groupCol).as("group"))
+        .agg(hll_sketch_agg(key, lit(lgK)).as("sk")),
+      lgK, keyScheme)
+  }
+
+  /** Fold an ingest batch into the registry: sketch the batch at the
+    * SAME lgK, union per group (groups new to the batch appear, groups
+    * absent from it pass through — the full-outer union semantics of
+    * `hll_union_agg` over the stacked rows). Cost: the batch's own
+    * aggregate + a G-bounded union. A foreign key derivation fails
+    * loudly. */
+  def extendCardinality(idx: CardinalityIndex, batch: DataFrame,
+                        groupCol: String, key: Column,
+                        keyScheme: String): CardinalityIndex = {
+    require(keyScheme == idx.keyScheme,
+      s"extendCardinality: registry was fitted under key scheme " +
+        s"'${idx.keyScheme}' but the batch is keyed under '$keyScheme' — " +
+        "refit or re-derive the batch key")
+    val b = batch.groupBy(col(groupCol).as("group"))
+      .agg(hll_sketch_agg(key, lit(idx.lgK)).as("sk"))
+    CardinalityIndex(
+      idx.sketches.unionByName(b)
+        .groupBy(col("group"))
+        .agg(hll_union_agg(col("sk"), lit(false)).as("sk")),
+      idx.lgK, idx.keyScheme)
+  }
+
+  /** Per-group estimates off the registry — G rows, no corpus access. */
+  def estimateCardinality(idx: CardinalityIndex): DataFrame =
+    idx.sketches.select(col("group"),
+      hll_sketch_estimate(col("sk")).as("est"))
+
+  /** Persist the registry (sketches as a parquet BINARY column +
+    * lgK/scheme meta). */
+  def saveCardinality(idx: CardinalityIndex, path: String): Unit = {
+    idx.sketches.write.mode("overwrite").parquet(s"$path/sketches")
+    val spark = idx.sketches.sparkSession
+    import spark.implicits._
+    Seq((idx.lgK, idx.keyScheme)).toDF("lg_k", "key_scheme")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Read a stored registry; the meta rides along so a later
+    * [[extendCardinality]] under a foreign scheme still fails loudly. */
+  def loadCardinality(spark: org.apache.spark.sql.SparkSession,
+                      path: String): CardinalityIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    CardinalityIndex(spark.read.parquet(s"$path/sketches"),
+      meta.getAs[Int]("lg_k"), meta.getAs[String]("key_scheme"))
   }
 }

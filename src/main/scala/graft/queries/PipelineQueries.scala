@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.table
-import graft.ops.{Classify, Dedup, Retrieval, Similarity, TextOps, WebOps}
+import graft.ops.{Classify, Dedup, Retrieval, Similarity, Sketch, TextOps, WebOps}
 
 /** Training-data-pipeline correctness queries over the `documents`,
   * `embeddings` and `events` fixtures: deduplication (exact, MinHash-LSH,
@@ -1316,6 +1316,34 @@ object PipelineQueries {
       "text", m)
   }
 
+  /** Stored cardinality registry ([[graft.ops.Sketch.fitCardinality]] /
+    * extendCardinality): the even-id half of the corpus is the fitted
+    * base, the odd-id half the arriving batch folded in by sketch
+    * union; per source the registry's estimate is gated against the
+    * exact distinct-content count of the FULL corpus (q37's sketch
+    * posture: an estimator is tolerance-bounded, not equal, by
+    * construction — the oracle recomputes the exact side and pins the
+    * gate boolean). 5% relative tolerance; DataSketches HLL at lgK=12
+    * is exact in sparse mode at these cardinalities and ≤ ~1.6% rel.
+    * std. error far beyond them.
+    */
+  def q114(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    val key = coalesce(col("text"), lit(""))
+    val idx = Sketch.fitCardinality(
+      docs.filter(col("doc_id") % 2 === 0), "source", key, "text-v1")
+    val ext = Sketch.extendCardinality(idx,
+      docs.filter(col("doc_id") % 2 === 1), "source", key, "text-v1")
+    val exact = docs.select(col("source"), key.as("__k")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    Sketch.estimateCardinality(ext)
+      .withColumnRenamed("group", "source")
+      .join(exact, Seq("source"))
+      .select(col("source"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <=
+          col("n_exact") * 0.05).as("sketch_ok"))
+  }
+
   /** Session-cached learned merge table for the subword-packing query —
     * the [[storedIvf]] pattern for the tokenizer artifact: production
     * learns the table once per corpus version and every export pass
@@ -1491,6 +1519,7 @@ object PipelineQueries {
     "q110_winsorized_z"   -> (q110 _),
     "q111_corpus_diff"    -> (q111 _),
     "q113_nb_classifier"  -> (q113 _),
+    "q114_cardinality_registry" -> (q114 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -3176,5 +3205,13 @@ FROM o"""
                 FROM dt LEFT JOIN w USING (term) CROSS JOIN consts
                 GROUP BY dt.doc_id)
        SELECT doc_id, nb_logodds, nb_logodds > 0.0 AS keep FROM sc""",
+    // the estimator side is approximate by construction (q37 posture):
+    // the oracle recomputes the EXACT per-source distinct-content count
+    // and pins the tolerance gate boolean the query emits
+    "q114_cardinality_registry" ->
+      """SELECT source,
+           CAST(count(DISTINCT COALESCE(text, '')) AS BIGINT) AS n_exact,
+           true AS sketch_ok
+         FROM documents GROUP BY source""",
   )
 }

@@ -2853,4 +2853,43 @@ class OpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("tokenizer scheme"))
   }
+
+  test("cardinality registry: fit exact on small groups; extend ≡ refit; save/load; scheme loud") {
+    import graft.ops.Sketch
+    val base = Seq(("a", "x1"), ("a", "x2"), ("a", "x1"), ("b", "y1"))
+      .toDF("src", "k")
+    val batch = Seq(("a", "x2"), ("a", "x3"), ("c", "z1")).toDF("src", "k")
+    val idx = Sketch.fitCardinality(base, "src", col("k"), "k-v1")
+    val est0 = Sketch.estimateCardinality(idx)
+      .as[(String, Double)].collect().toMap
+    // DataSketches HLL is exact in sparse mode at these sizes
+    assert(est0 === Map("a" -> 2.0, "b" -> 1.0))
+    val ext = Sketch.extendCardinality(idx, batch, "src", col("k"), "k-v1")
+    val est1 = Sketch.estimateCardinality(ext)
+      .as[(String, Double)].collect().toMap
+    // union semantics: overlap not double-counted, new group appears,
+    // untouched group passes through
+    assert(est1 === Map("a" -> 3.0, "b" -> 1.0, "c" -> 1.0))
+    // extend ≡ refit over base+batch
+    val refit = Sketch.estimateCardinality(
+      Sketch.fitCardinality(base.unionByName(batch), "src", col("k"),
+        "k-v1")).as[(String, Double)].collect().toMap
+    assert(est1 === refit)
+    // save -> load round-trips estimates and meta
+    val dir = java.nio.file.Files.createTempDirectory("graft-card-").toString
+    Sketch.saveCardinality(ext, dir)
+    val loaded = Sketch.loadCardinality(spark, dir)
+    assert(loaded.lgK === ext.lgK && loaded.keyScheme === "k-v1")
+    assert(Sketch.estimateCardinality(loaded)
+      .as[(String, Double)].collect().toMap === est1)
+    // a foreign key derivation fails loudly at extend
+    val e = intercept[IllegalArgumentException] {
+      Sketch.extendCardinality(loaded, batch, "src", col("k"), "fp(k)-v2")
+    }
+    assert(e.getMessage.contains("key scheme"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sketch.fitCardinality(base, "src", col("k"), "k-v1", lgK = 2)
+    }
+    assert(e2.getMessage.contains("lgK"))
+  }
 }

@@ -137,6 +137,15 @@ object GraftSession {
               children(2).eval().asInstanceOf[Number].intValue())
           }))
         ext.injectFunction((
+          FunctionIdentifier("text_canon"),
+          new ExpressionInfo(classOf[graft.expr.TextCanon].getName,
+            "text_canon"),
+          (children: Seq[Expression]) => {
+            require(children.length == 1,
+              s"text_canon requires exactly 1 argument, got ${children.length}")
+            graft.expr.TextCanon(children.head)
+          }))
+        ext.injectFunction((
           FunctionIdentifier("srp_bucket"),
           new ExpressionInfo(classOf[graft.expr.SrpBucket].getName,
             "srp_bucket"),

@@ -113,6 +113,17 @@ object TextOps {
   def fingerprint(text: Column): Column =
     call_function("portable_fingerprint", text)
 
+  /** Canonical text form (NFC → ROOT lowercase → trim → collapse
+    * whitespace runs) — the normalization a web pipeline applies BEFORE
+    * content-keyed dedup/fingerprinting so byte-level noise (decomposed
+    * vs composed accents, case-only edits, reflowed whitespace) cannot
+    * hide duplicates. A native Catalyst expression
+    * ([[graft.expr.TextCanon]], registered by GraftSession) — Spark has
+    * no NFC builtin, and a UDF for just that step would break
+    * whole-stage codegen on the full-corpus pass this feeds.
+    */
+  def canonText(text: Column): Column = call_function("text_canon", text)
+
   /** Deterministic train/val/test assignment, keyed on CONTENT via
     * [[fingerprint]] — the leakage-safe split a training pipeline needs:
     * byte-identical documents always land in the same split (an id- or

@@ -1316,6 +1316,38 @@ object PipelineQueries {
       "text", m)
   }
 
+  /** Normalization-aware dedup ([[TextOps.canonText]], the native
+    * `text_canon` NFC → lowercase → whitespace-collapse expression):
+    * the corpus is doubled with a NOISY replica of every doc — upper-
+    * cased, whitespace reflowed, and carrying the DECOMPOSED form
+    * (`e` + U+0301) of an accent the original carries COMPOSED (é) —
+    * and the per-source distinct counts are taken on the raw text and
+    * on the canonical form. Raw sees ~2× distinct (the noise hides
+    * every duplicate); canonical collapses each replica back onto its
+    * original. The oracle rebuilds both variants with `chr()` code
+    * points and replays the canonicalization as
+    * `nfc_normalize` + `lower` + regex trim/collapse. Both distinct
+    * counts are two-phase (distinct → count), never countDistinct's
+    * Expand.
+    */
+  def q115(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    val base = docs.select(col("doc_id"), col("source"),
+      concat(coalesce(col("text"), lit("")), lit(" Caf\u00e9")).as("t"))
+    val noisy = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      col("source"),
+      concat(upper(coalesce(col("text"), lit(""))),
+        lit("   Cafe\u0301  ")).as("t"))
+    val all = base.unionByName(noisy)
+    val nDocs = all.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val rawD = all.select(col("source"), col("t")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("raw_distinct"))
+    val canD = all.select(col("source"), TextOps.canonText(col("t")).as("c"))
+      .distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("canon_distinct"))
+    nDocs.join(rawD, Seq("source")).join(canD, Seq("source"))
+  }
+
   /** Stored cardinality registry ([[graft.ops.Sketch.fitCardinality]] /
     * extendCardinality): the even-id half of the corpus is the fitted
     * base, the odd-id half the arriving batch folded in by sketch
@@ -1520,6 +1552,7 @@ object PipelineQueries {
     "q111_corpus_diff"    -> (q111 _),
     "q113_nb_classifier"  -> (q113 _),
     "q114_cardinality_registry" -> (q114 _),
+    "q115_canon_dedup"    -> (q115 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -3213,5 +3246,32 @@ FROM o"""
            CAST(count(DISTINCT COALESCE(text, '')) AS BIGINT) AS n_exact,
            true AS sketch_ok
          FROM documents GROUP BY source""",
+    // both planted variants rebuilt with chr() code points (233 = é
+    // composed, 769 = U+0301 combining acute), the canonicalization
+    // replayed as nfc_normalize + lower + regex trim/collapse, both
+    // distinct counts two-phase like the engine
+    "q115_canon_dedup" ->
+      """WITH base AS (SELECT doc_id, source,
+                 COALESCE(text, '') || ' Caf' || chr(233) AS t
+               FROM documents),
+         noisy AS (SELECT doc_id + 1000000 AS doc_id, source,
+                 upper(COALESCE(text, '')) || '   Cafe' || chr(769) || '  '
+                   AS t
+               FROM documents),
+         al AS (SELECT * FROM base UNION ALL SELECT * FROM noisy),
+         canon AS (SELECT source,
+                 regexp_replace(regexp_replace(
+                   lower(nfc_normalize(t)),
+                   '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g') AS c
+               FROM al),
+         nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                FROM al GROUP BY source),
+         rd AS (SELECT source, CAST(count(*) AS BIGINT) AS raw_distinct
+                FROM (SELECT DISTINCT source, t FROM al) GROUP BY source),
+         cd AS (SELECT source, CAST(count(*) AS BIGINT) AS canon_distinct
+                FROM (SELECT DISTINCT source, c FROM canon)
+                GROUP BY source)
+       SELECT source, n_docs, raw_distinct, canon_distinct
+       FROM nd JOIN rd USING (source) JOIN cd USING (source)""",
   )
 }

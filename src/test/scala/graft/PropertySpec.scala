@@ -268,6 +268,33 @@ class PropertySpec extends SparkSpec {
     assert(n0 === 0L && i0 === 0L)
   }
 
+  test("native text_canon == independent Java-regex model; idempotent on arbitrary strings") {
+    // the independent formulation: JDK Normalizer + ROOT lowercase +
+    // java.util.regex trim/collapse (regex \s == the expression's
+    // explicit whitespace set). Pinning the codegen'd loop against this
+    // model is what lets the q115 oracle replay it with nfc_normalize +
+    // lower + regexp_replace in DuckDB
+    def model(s: String): String =
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+        .toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("^\\s+|\\s+$", "").replaceAll("\\s+", " ")
+    val anyText: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.oneOf(" ", "\t", "\n", "  "),
+      Gen.oneOf("é", "é", "Å", "Å", "日", "ß", "X", "QU")))
+      .map(_.mkString)
+    check(anyText, n = 12) { text =>
+      val (nat, again) = Seq(Tuple1(text)).toDF("text")
+        .select(TextOps.canonText($"text"),
+          TextOps.canonText(TextOps.canonText($"text")))
+        .as[(String, String)].head()
+      assert(nat === model(text), s"canon mismatch for ${text.take(40)}")
+      assert(again === nat, "text_canon must be idempotent")
+    }
+    val hand = Seq(Tuple1("  CaFÉ\t \nx ")).toDF("t")
+      .select(TextOps.canonText($"t")).as[String].head()
+    assert(hand === "café x")
+  }
+
   test("native rolling_fingerprints == naive per-window fold on arbitrary token arrays") {
     // the native expression computes stride-1 window fingerprints with an
     // O(tokens) ROLLING update (drop leading token via P^(w-1), shift,

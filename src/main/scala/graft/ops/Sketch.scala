@@ -103,6 +103,75 @@ object Sketch {
         sketchJaccard(col("sk_a"), col("sk_b"), k).as("est_j"))
   }
 
+  /** Misra–Gries frequent-items summary (Misra & Gries 1982; merge rule
+    * from Agarwal et al., "Mergeable Summaries", PODS 2012 — both
+    * public): at most `k` counters per group, O(k) memory regardless of
+    * stream length. Guarantees, for a group of `n` item occurrences —
+    * and these hold for ANY processing order and ANY partitioning, which
+    * is exactly what a distributed aggregate needs:
+    *   - every item with true frequency > n/(k+1) IS in the summary;
+    *   - each estimate is an undercount by at most n/(k+1):
+    *     `f(x) − n/(k+1) ≤ est(x) ≤ f(x)`.
+    * The summary CONTENT for borderline items is order-dependent (two
+    * runs may keep different tail items) — so consumers gate on the
+    * guarantees, not on summary equality (the q116 posture), and the
+    * operator is the bounded-memory "what dominates each source"
+    * screen, not an exact top-k.
+    *
+    * reduce: the classic k-counter update (increment / insert / decrement
+    * all on overflow). merge: sum both summaries' counters, then if more
+    * than k survive, subtract the (k+1)-th largest count from all and
+    * drop the non-positive — the PODS'12 rule that preserves both
+    * bounds under associative, commutative combination, i.e. partial
+    * aggregation: each executor folds its partition into one k-counter
+    * map and only those maps cross the shuffle.
+    */
+  class MisraGries(k: Int, bufEnc: Encoder[Map[String, Long]],
+                   outEnc: Encoder[Map[String, Long]])
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    def zero: Map[String, Long] = Map.empty
+    def reduce(buf: Map[String, Long], item: String): Map[String, Long] =
+      buf.get(item) match {
+        case Some(c) => buf.updated(item, c + 1L)
+        case None if buf.size < k => buf.updated(item, 1L)
+        case None =>
+          buf.view.mapValues(_ - 1L).filter(_._2 > 0L).toMap
+      }
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = b.foldLeft(a) { case (m, (t, c)) =>
+        m.updated(t, m.getOrElse(t, 0L) + c)
+      }
+      if (sum.size <= k) sum
+      else {
+        val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        sum.view.mapValues(_ - cut).filter(_._2 > 0L).toMap
+      }
+    }
+    def finish(buf: Map[String, Long]): Map[String, Long] = buf
+    def bufferEncoder: Encoder[Map[String, Long]] = bufEnc
+    def outputEncoder: Encoder[Map[String, Long]] = outEnc
+  }
+
+  /** Per-group Misra–Gries summaries of an item column: one partial-
+    * combined aggregate, G × k counter entries across the wire — the
+    * bounded-memory dominant-items screen (top domains per crawl, top
+    * terms per source) where an exact top-k would need a full
+    * (group, item) aggregate at vocabulary scale first.
+    * Output: `(group, mg)` with `mg: map<item, est>`.
+    */
+  def heavyHitters(df: DataFrame, groupCol: String, item: Column,
+                   k: Int = 64): DataFrame = {
+    require(k > 0, s"heavyHitters: k must be positive, got $k")
+    val session = df.sparkSession
+    import session.implicits._
+    val mg = udaf(new MisraGries(k,
+      implicitly[Encoder[Map[String, Long]]],
+      implicitly[Encoder[Map[String, Long]]]))
+    df.select(col(groupCol).as("group"), item.as("__item"))
+      .groupBy(col("group"))
+      .agg(mg(col("__item")).as("mg"))
+  }
+
   /** Stored per-group cardinality registry — the Apache DataSketches HLL
     * sketches Spark ships natively (`hll_sketch_agg`/`hll_union_agg`,
     * Spark 3.5+), kept as a PERSISTED artifact so "how many distinct

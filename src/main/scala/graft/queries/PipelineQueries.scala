@@ -1348,6 +1348,37 @@ object PipelineQueries {
     nDocs.join(rawD, Seq("source")).join(canD, Seq("source"))
   }
 
+  /** Misra–Gries heavy hitters ([[Sketch.heavyHitters]], k=24 counters
+    * against a 31-term vocabulary — the summary genuinely overflows, so
+    * decrement and merge-trim both run): for every (source, term) whose
+    * EXACT frequency exceeds the n/(k+1) guarantee threshold, the query
+    * emits the exact count plus the two guarantee booleans — the term
+    * IS in the summary, and its estimate sits in
+    * [exact − n/(k+1), exact] (integer-safe cross-multiplied). Summary
+    * CONTENT is order-dependent for borderline items, so only the
+    * order-invariant guarantees are gated (the q37 sketch posture); the
+    * oracle recomputes the exact heavy set and pins both booleans.
+    */
+  def q116(s: SparkSession, dir: String): DataFrame = {
+    val k = 24
+    val toks = t(s, dir)("documents").select(col("source"),
+      explode(TextOps.tokens(col("text"))).as("term"))
+    val mg = Sketch.heavyHitters(toks, "source", col("term"), k)
+      .withColumnRenamed("group", "source")
+    val exact = toks.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("n_exact"))
+    val totals = toks.groupBy(col("source")).agg(count(lit(1)).as("__n_tot"))
+    val est = try_element_at(col("mg"), col("term"))
+    exact.join(totals, Seq("source"))
+      .filter(col("n_exact") * (k + 1) > col("__n_tot"))
+      .join(mg, Seq("source"))
+      .select(col("source"), col("term"), col("n_exact"),
+        est.isNotNull.as("in_summary"),
+        (coalesce(est, lit(0L)) <= col("n_exact") &&
+          coalesce(est, lit(0L)) * (k + 1) >=
+            col("n_exact") * (k + 1) - col("__n_tot")).as("est_ok"))
+  }
+
   /** Stored cardinality registry ([[graft.ops.Sketch.fitCardinality]] /
     * extendCardinality): the even-id half of the corpus is the fitted
     * base, the odd-id half the arriving batch folded in by sketch
@@ -1553,6 +1584,7 @@ object PipelineQueries {
     "q113_nb_classifier"  -> (q113 _),
     "q114_cardinality_registry" -> (q114 _),
     "q115_canon_dedup"    -> (q115 _),
+    "q116_heavy_hitters"  -> (q116 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -3273,5 +3305,19 @@ FROM o"""
                 GROUP BY source)
        SELECT source, n_docs, raw_distinct, canon_distinct
        FROM nd JOIN rd USING (source) JOIN cd USING (source)""",
+    // the exact heavy set recomputed (cnt*(k+1) > n strict), the two
+    // MG guarantee booleans pinned true — estimator content itself is
+    // order-dependent and deliberately NOT hashed (q37 posture)
+    "q116_heavy_hitters" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS term
+               FROM documents),
+         c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n_exact
+               FROM toks GROUP BY source, term),
+         t AS (SELECT source, CAST(sum(n_exact) AS BIGINT) AS n_tot
+               FROM c GROUP BY source)
+       SELECT c.source, c.term, c.n_exact,
+              true AS in_summary, true AS est_ok
+       FROM c JOIN t USING (source)
+       WHERE c.n_exact * 25 > t.n_tot""",
   )
 }

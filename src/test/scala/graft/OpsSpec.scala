@@ -2892,4 +2892,30 @@ class OpsSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("lgK"))
   }
+
+  test("heavyHitters: MG guarantees hold under every partitioning; size bounded") {
+    import graft.ops.Sketch
+    // 100 'a' + 25 singletons, k=3: n=125, threshold n/(k+1)=31.25 —
+    // 'a' is guaranteed present with est in [69, 100]
+    val rows = (Seq.fill(100)("a") ++ ('b' to 'z').map(_.toString))
+      .map(("g", _))
+    for (parts <- Seq(1, 3, 8)) {
+      val df = spark.createDataFrame(rows).toDF("grp", "item")
+        .repartition(parts)
+      val mg = Sketch.heavyHitters(df, "grp", col("item"), k = 3)
+        .as[(String, Map[String, Long])].collect().head._2
+      assert(mg.size <= 3, s"parts=$parts size=${mg.size}")
+      assert(mg.contains("a"), s"parts=$parts summary=$mg")
+      assert(mg("a") <= 100L && mg("a") >= 69L, s"parts=$parts est=${mg("a")}")
+    }
+    // no overflow (k >= distinct): estimates are exact
+    val small = Seq(("g", "x"), ("g", "x"), ("g", "y")).toDF("grp", "item")
+    val exact = Sketch.heavyHitters(small, "grp", col("item"), k = 8)
+      .as[(String, Map[String, Long])].collect().head._2
+    assert(exact === Map("x" -> 2L, "y" -> 1L))
+    val e = intercept[IllegalArgumentException] {
+      Sketch.heavyHitters(small, "grp", col("item"), k = 0)
+    }
+    assert(e.getMessage.contains("positive"))
+  }
 }

@@ -112,10 +112,10 @@ object StreamBench {
     // in front of its state store, so the two modes bracket the
     // state-light and expression-heavy ends of the streaming surface.
     val mode = sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "sessionize")
-    require(Set("sessionize", "clean", "flag", "score", "scrub", "spanflag")
-        .contains(mode),
+    require(Set("sessionize", "clean", "flag", "score", "scrub", "spanflag",
+        "nbscore").contains(mode),
       s"SPARK_GRAFT_STREAM_MODE must be 'sessionize', 'clean', 'flag', " +
-        s"'score', 'scrub' or 'spanflag', got '$mode'")
+        s"'score', 'scrub', 'spanflag' or 'nbscore', got '$mode'")
     // Hoisted so the JSON line can self-describe the flag-mode config:
     // the r9 evidence runs needed log-filename archaeology to tell a
     // 50k-broadcast row from a 500k-SMJ row, which is exactly the kind
@@ -252,6 +252,39 @@ object StreamBench {
         streaming.DocumentStreams.surprisalStream(docs, freqs)
           .select(col("doc_id"), col("n_tokens"), col("surprisal"))
       }
+      else if (mode == "nbscore") {
+        // Stateless in-flight seed-set classification over a STORED
+        // model: the production round trip (fitNbClassifier → save →
+        // load → nbStream) with a 50k-term vocabulary split into
+        // seed-marked (even) and crawl-marked (odd) halves; arriving
+        // docs draw ~49 tokens across both halves plus one novel token,
+        // so the weight-map hit AND the default-weight path run per row
+        // — the score mode's shape with a per-term map lookup instead
+        // of a frequency join.
+        val vocabDocs = spark.range(50000L)
+          .select((col("id") % 2 === 0).as("is_t"),
+            concat_ws(" ", transform(sequence(lit(0), lit(9)),
+              j => concat(lit("w"), pmod(col("id") * 10 + j, lit(50000L))
+                .cast("string")))).as("text"))
+        val nbDir = java.nio.file.Files
+          .createTempDirectory("graft-nb-model").toString
+        ops.Classify.saveNbModel(
+          ops.Classify.fitNbClassifier(vocabDocs, "text", col("is_t")),
+          nbDir)
+        val model = ops.Classify.loadNbModel(spark, nbDir)
+        val docs = spark.readStream.format("rate")
+          .option("rowsPerSecond", rps)
+          .option("numPartitions", 8)
+          .load()
+          .select(col("timestamp").as("ts"), col("value").as("doc_id"),
+            concat_ws(" ",
+              concat(lit("novel"), col("value").cast("string")),
+              transform(sequence(lit(0), lit(48)),
+                j => concat(lit("w"), pmod(col("value") * 49 + j,
+                  lit(50000L)).cast("string")))).as("text"))
+        streaming.DocumentStreams.nbStream(docs, model)
+          .select(col("doc_id"), col("nb_logodds"), col("keep"))
+      }
       else if (mode == "scrub") {
         // Stateless in-flight PII scrub (scrubStream): ~48-word docs
         // each planting an email, a NANP phone and an IPv4 derived from
@@ -354,6 +387,7 @@ object StreamBench {
       case "clean"      => "stream_clean_docs_per_sec"
       case "score"      => "stream_score_docs_per_sec"
       case "scrub"      => "stream_scrub_docs_per_sec"
+      case "nbscore"    => "stream_nbscore_docs_per_sec"
       case "spanflag"   => "stream_spanflag_windows_per_sec"
       case _            => "stream_flag_pairs_per_sec"
     }

@@ -1348,6 +1348,34 @@ object PipelineQueries {
     nDocs.join(rawD, Seq("source")).join(canD, Seq("source"))
   }
 
+  /** One-call WEB-CURATION composition — the q63/q81 posture for the
+    * web-side stages: blocklist → RefinedWeb per-domain cap → seed-set
+    * NB classifier, with the inter-stage contract that the model is FIT
+    * ON THE CAPPED corpus (a classifier fit before the cap would learn
+    * from exactly the crawl-heavy domains the cap exists to discount).
+    * Output: EVERY capped raw doc with its domain, 4dp log-odds and
+    * keep decision — all ~470 scored rows hash (a keep-only output
+    * left 1 row at this seed/threshold, a near-vacuous gate). The
+    * oracle replays the ENTIRE composition in DuckDB — planted URL,
+    * host regex, suffix CASE, blocklist, fingerprint cap rank, then the
+    * full NB fit (on the capped set) and every doc's 4dp log-odds and
+    * the keep cut.
+    */
+  def q117(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+      .withColumn("host", WebOps.urlHost(plantedUrl))
+    val capped = WebOps.perDomainCap(
+      WebOps.domainBlocklist(docs, WebOps.registeredDomain(col("host")),
+        Seq("site0.com", "site13.co.uk")),
+      WebOps.registeredDomain(col("host")), "doc_id", "text", n = 5)
+    val m = Classify.fitNbClassifier(capped, "text",
+      col("source") === "src1")
+    Classify.nbScore(capped.filter(col("source") =!= "src1"), "doc_id",
+        "text", m)
+      .join(capped.select(col("doc_id"), col("domain")), Seq("doc_id"))
+      .select(col("doc_id"), col("domain"), col("nb_logodds"), col("keep"))
+  }
+
   /** Misra–Gries heavy hitters ([[Sketch.heavyHitters]], k=24 counters
     * against a 31-term vocabulary — the summary genuinely overflows, so
     * decrement and merge-trim both run): for every (source, term) whose
@@ -1585,6 +1613,7 @@ object PipelineQueries {
     "q114_cardinality_registry" -> (q114 _),
     "q115_canon_dedup"    -> (q115 _),
     "q116_heavy_hitters"  -> (q116 _),
+    "q117_web_curation"   -> (q117 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -3319,5 +3348,92 @@ FROM o"""
               true AS in_summary, true AS est_ok
        FROM c JOIN t USING (source)
        WHERE c.n_exact * 25 > t.n_tot""",
+    // the ENTIRE web-curation composition: q108's URL/cap chain, then
+    // q113's NB fit + score REPARAMETERIZED onto the capped corpus (the
+    // inter-stage contract: the model never sees blocked/over-cap docs)
+    "q117_web_curation" ->
+      s"""WITH u AS (SELECT doc_id, text,
+             (CASE WHEN doc_id % 3 = 0 THEN 'https://' ELSE 'http://' END) ||
+             (CASE WHEN doc_id % 11 = 0
+                THEN 'crawler' || CAST(doc_id AS VARCHAR) || ':tok@'
+                ELSE '' END) ||
+             'www.site' || CAST(doc_id % 97 AS VARCHAR) || '.' ||
+             list_value('com', 'co.uk', 'org', 'github.io', 'com.au')
+               [CAST(doc_id % 5 AS BIGINT) + 1] ||
+             (CASE WHEN doc_id % 13 = 0 THEN ':8443' ELSE '' END) ||
+             '/p/' || CAST(doc_id AS VARCHAR) ||
+             '?ref=r' || CAST(doc_id % 4 AS VARCHAR) AS url
+           FROM documents),
+         h AS (SELECT doc_id, text,
+                 lower(regexp_extract(url, '${WebOps.HostPattern}', 1))
+                   AS host
+               FROM u),
+         p AS (SELECT doc_id, text, host,
+                 string_split(host, '.') AS parts FROM h),
+         d AS (SELECT doc_id, text, host,
+                 CASE WHEN len(parts) >= 3
+                        AND (parts[-2] || '.' || parts[-1]) IN
+                          ('co.uk', 'ac.uk', 'gov.uk', 'org.uk', 'co.jp',
+                           'com.au', 'com.br', 'github.io')
+                      THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+                      WHEN len(parts) >= 2
+                      THEN parts[-2] || '.' || parts[-1]
+                      ELSE host END AS domain
+               FROM p),
+         fdom AS (SELECT * FROM d
+               WHERE domain NOT IN ('site0.com', 'site13.co.uk')),
+         kk AS (SELECT doc_id, domain,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(
+                       range(1, length('domcap:' || COALESCE(text, '')) + 1),
+                       i -> CAST(unicode(substr(
+                         'domcap:' || COALESCE(text, ''),
+                         CAST(i AS INT), 1)) AS BIGINT))),
+                   (a, b) -> (a*31 + b) % 1000000007) AS fp
+               FROM fdom),
+         r AS (SELECT doc_id, domain,
+                 row_number() OVER (PARTITION BY domain
+                   ORDER BY fp, doc_id) AS rnk
+               FROM kk),
+         capped AS (SELECT doc_id, domain FROM r WHERE rnk <= 5),
+         lab AS (SELECT c.doc_id, doc.source, doc.text,
+                   doc.source = 'src1' AS is_t
+                 FROM capped c JOIN documents doc USING (doc_id)),
+         cls AS (SELECT
+                   CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE)
+                     AS ndt,
+                   CAST(sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS DOUBLE)
+                     AS ndr
+                 FROM lab),
+         toks AS (SELECT doc_id, is_t,
+                   unnest(string_split(text, ' ')) AS term FROM lab),
+         tc AS (SELECT term,
+                  CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE)
+                    AS ct,
+                  CAST(sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS DOUBLE)
+                    AS cr
+                FROM toks GROUP BY term),
+         tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr,
+                   CAST(count(*) AS DOUBLE) AS v FROM tc),
+         w AS (SELECT term,
+                 round(ln((tc.ct + 1.0) / (tot.tt + tot.v * 1.0)) -
+                       ln((tc.cr + 1.0) / (tot.tr + tot.v * 1.0)), 9) AS w
+               FROM tc CROSS JOIN tot),
+         consts AS (SELECT
+                 round(ln(cls.ndt) - ln(cls.ndr), 9) AS bias,
+                 round(ln(1.0 / (tot.tt + tot.v * 1.0)) -
+                       ln(1.0 / (tot.tr + tot.v * 1.0)), 9) AS dw
+               FROM cls CROSS JOIN tot),
+         dt AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS cnt
+                FROM toks WHERE NOT is_t GROUP BY doc_id, term),
+         sc AS (SELECT dt.doc_id,
+                  round(sum(round(dt.cnt * COALESCE(w.w, consts.dw), 9))
+                    + max(consts.bias), 4) AS nb_logodds
+                FROM dt LEFT JOIN w USING (term) CROSS JOIN consts
+                GROUP BY dt.doc_id)
+       SELECT sc.doc_id, capped.domain, sc.nb_logodds,
+              sc.nb_logodds > 0.0 AS keep
+       FROM sc JOIN capped USING (doc_id)""",
   )
 }

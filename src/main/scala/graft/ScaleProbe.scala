@@ -136,7 +136,14 @@ object ScaleProbe {
     // classifier (two token passes: class histograms and scoring, with
     // a vocabulary-key join that must stay broadcast)
     "q108_domain_cap", "q109_ngram_diversity", "q110_winsorized_z",
-    "q111_corpus_diff", "q113_nb_classifier")
+    "q111_corpus_diff", "q113_nb_classifier",
+    // canonicalization (two distinct passes over the doubled corpus —
+    // the NFC scan must read ≈ bandwidth), the MG heavy-hitters
+    // aggregate (G × k counters across the wire regardless of rows — a
+    // corpus-proportional ratio here means the partial aggregation
+    // broke), and the composed web-curation pipeline (cap + NB fit +
+    // score — the composition must track its parts, not multiply them)
+    "q115_canon_dedup", "q116_heavy_hitters", "q117_web_curation")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -146,6 +146,16 @@ object GraftSession {
             graft.expr.TextCanon(children.head)
           }))
         ext.injectFunction((
+          FunctionIdentifier("cms_query"),
+          new ExpressionInfo(classOf[graft.expr.CmsQuery].getName,
+            "cms_query"),
+          (children: Seq[Expression]) => {
+            require(children.length == 2,
+              s"cms_query requires exactly 2 arguments (sketch, item), " +
+                s"got ${children.length}")
+            graft.expr.CmsQuery(children(0), children(1))
+          }))
+        ext.injectFunction((
           FunctionIdentifier("srp_bucket"),
           new ExpressionInfo(classOf[graft.expr.SrpBucket].getName,
             "srp_bucket"),

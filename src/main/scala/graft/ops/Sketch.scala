@@ -253,4 +253,134 @@ object Sketch {
     CardinalityIndex(spark.read.parquet(s"$path/sketches"),
       meta.getAs[Int]("lg_k"), meta.getAs[String]("key_scheme"))
   }
+
+  /** Typed UDAF: union of serialized Count–Min sketches by counter
+    * addition — `CountMinSketch.mergeInPlace`, which is EXACT: CMS is a
+    * linear sketch (each counter is a sum over the items hashed into
+    * it), so sketch(A) ⊎ sketch(B) is bit-identical to sketch(A ∪ B)
+    * built in one pass (PropertySpec pins the law). Incompatible
+    * width/depth/seed throws from inside the sketch library — the loud
+    * path a silently-wrong union would otherwise hide.
+    *
+    * Only G rows ever enter this aggregate (one per (group, batch-side)
+    * pair after the per-side `count_min_sketch` corpus aggregates), so
+    * the per-merge deserialize cost is registry-sized, never
+    * corpus-sized.
+    */
+  class CmsUnion(bufEnc: Encoder[Array[Byte]], outEnc: Encoder[Array[Byte]])
+      extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    import org.apache.spark.util.sketch.CountMinSketch
+    def zero: Array[Byte] = Array.emptyByteArray
+    private def union(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        val m = CountMinSketch.readFrom(a)
+        m.mergeInPlace(CountMinSketch.readFrom(b))
+        m.toByteArray
+      }
+    def reduce(buf: Array[Byte], sk: Array[Byte]): Array[Byte] = union(buf, sk)
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = union(a, b)
+    def finish(buf: Array[Byte]): Array[Byte] =
+      if (buf.isEmpty) null else buf
+    def bufferEncoder: Encoder[Array[Byte]] = bufEnc
+    def outputEncoder: Encoder[Array[Byte]] = outEnc
+  }
+
+  /** Stored per-group term-frequency registry over Spark's native
+    * Count–Min sketch aggregate — the point-frequency sibling of
+    * [[CardinalityIndex]] (distinct counts) and the OVERcount-bounded
+    * complement of [[heavyHitters]] (Misra–Gries undercounts by
+    * ≤ n/(k+1) and keeps only k items; CMS answers ANY item, never
+    * undercounts, and overcounts by ≤ εn with probability ≥
+    * `confidence`). Maintained incrementally as a persisted artifact:
+    * fit once per corpus version, each ingest batch folds in by counter
+    * addition at batch cost (CMS linearity — extend ≡ refit
+    * BIT-IDENTICAL, spec-pinned, a stronger guarantee than HLL's
+    * convergence), estimates read off the G-row table with no corpus
+    * rescan.
+    *
+    * `eps`/`confidence`/`seed` are frozen at fit time and ride the
+    * meta: a union across differently-shaped sketches is meaningless
+    * and the library throws on it; `itemScheme` is the tokenizer-scheme
+    * discipline shared with every stored artifact here.
+    */
+  case class FreqIndex(sketches: DataFrame, eps: Double, confidence: Double,
+                       seed: Int, itemScheme: String)
+
+  /** Fit the registry: ONE partial-combined corpus aggregate — CMS
+    * buffers merge map-side (counter addition), G sketch rows of
+    * O(depth × width) bytes cross the wire regardless of corpus size. */
+  def fitFreq(df: DataFrame, groupCol: String, item: Column,
+              itemScheme: String, eps: Double = 1e-4,
+              confidence: Double = 0.99, seed: Int = 42): FreqIndex = {
+    require(eps > 0 && eps < 1, s"fitFreq: eps must be in (0, 1), got $eps")
+    require(confidence > 0 && confidence < 1,
+      s"fitFreq: confidence must be in (0, 1), got $confidence")
+    FreqIndex(
+      df.groupBy(col(groupCol).as("group"))
+        .agg(count_min_sketch(item, lit(eps), lit(confidence),
+          lit(seed)).as("sk")),
+      eps, confidence, seed, itemScheme)
+  }
+
+  /** Fold an ingest batch into the registry: sketch the batch under the
+    * SAME (eps, confidence, seed), then union per group by counter
+    * addition — batch-new groups appear, untouched groups pass through.
+    * Cost: the batch's own aggregate + a G-bounded union. A foreign
+    * item derivation fails loudly here; a foreign sketch shape throws
+    * from the union itself. */
+  def extendFreq(idx: FreqIndex, batch: DataFrame, groupCol: String,
+                 item: Column, itemScheme: String): FreqIndex = {
+    require(itemScheme == idx.itemScheme,
+      s"extendFreq: registry was fitted under item scheme " +
+        s"'${idx.itemScheme}' but the batch is keyed under '$itemScheme' — " +
+        "refit or re-derive the batch items")
+    val session = idx.sketches.sparkSession
+    import session.implicits._
+    val b = batch.groupBy(col(groupCol).as("group"))
+      .agg(count_min_sketch(item, lit(idx.eps), lit(idx.confidence),
+        lit(idx.seed)).as("sk"))
+    val cmsUnion = udaf(new CmsUnion(
+      implicitly[Encoder[Array[Byte]]], implicitly[Encoder[Array[Byte]]]))
+    FreqIndex(
+      idx.sketches.unionByName(b)
+        .groupBy(col("group"))
+        .agg(cmsUnion(col("sk")).as("sk")),
+      idx.eps, idx.confidence, idx.seed, idx.itemScheme)
+  }
+
+  /** Estimate frequencies for a probe relation `(groupCol, itemCol)` off
+    * the registry: broadcast the G-row sketch table onto the probes and
+    * read each estimate with the native [[graft.expr.CmsQuery]]
+    * expression — probes × O(sketch bytes), no corpus access. Probes
+    * for groups the registry has never seen estimate NULL (left join),
+    * distinguishing "unknown group" from a true zero count. */
+  def estimateFreq(idx: FreqIndex, probes: DataFrame, groupCol: String,
+                   itemCol: String): DataFrame =
+    probes.select(col(groupCol).as("group"), col(itemCol).as("item"))
+      .join(broadcast(idx.sketches), Seq("group"), "left")
+      .select(col("group"), col("item"),
+        call_function("cms_query", col("sk"), col("item")).as("est"))
+
+  /** Persist the registry (sketches as a parquet BINARY column +
+    * shape/scheme meta). */
+  def saveFreq(idx: FreqIndex, path: String): Unit = {
+    idx.sketches.write.mode("overwrite").parquet(s"$path/sketches")
+    val spark = idx.sketches.sparkSession
+    import spark.implicits._
+    Seq((idx.eps, idx.confidence, idx.seed, idx.itemScheme))
+      .toDF("eps", "confidence", "seed", "item_scheme")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Read a stored registry; the meta rides along so a later
+    * [[extendFreq]] under a foreign scheme still fails loudly. */
+  def loadFreq(spark: org.apache.spark.sql.SparkSession,
+               path: String): FreqIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    FreqIndex(spark.read.parquet(s"$path/sketches"),
+      meta.getAs[Double]("eps"), meta.getAs[Double]("confidence"),
+      meta.getAs[Int]("seed"), meta.getAs[String]("item_scheme"))
+  }
 }

@@ -1407,6 +1407,48 @@ object PipelineQueries {
             col("n_exact") * (k + 1) - col("__n_tot")).as("est_ok"))
   }
 
+  /** Stored Count–Min frequency registry ([[graft.ops.Sketch.fitFreq]] /
+    * extendFreq / estimateFreq): the even-id half of the token stream
+    * is the fitted base, the odd-id half the arriving batch folded in
+    * by counter addition (CMS linearity — extend ≡ refit BIT-IDENTICAL,
+    * spec-pinned); per source the top-40 terms by exact count probe the
+    * registry through the native `cms_query` expression and gate the
+    * two CMS guarantees — the estimate NEVER undercounts (over_ok) and
+    * overcounts by ≤ ε·n_tot (bound_ok, ε = 1e-4) — the q37 sketch
+    * posture: the oracle recomputes the exact side (counts, totals, the
+    * deterministic (n DESC, term) top-40 rank) and pins the booleans.
+    * The OVERcount-bounded complement of q116's Misra–Gries
+    * (undercounts, k items only): together they bracket every frequency
+    * from both sides out of O(G × sketch) state.
+    */
+  def q118(s: SparkSession, dir: String): DataFrame = {
+    val eps = 1e-4
+    val toks = t(s, dir)("documents").select(col("doc_id"), col("source"),
+      explode(TextOps.tokens(col("text"))).as("term"))
+    val idx = Sketch.fitFreq(toks.filter(col("doc_id") % 2 === 0),
+      "source", col("term"), "tok-v1", eps = eps)
+    val ext = Sketch.extendFreq(idx, toks.filter(col("doc_id") % 2 === 1),
+      "source", col("term"), "tok-v1")
+    val exact = toks.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("n_exact"))
+    val totals = toks.groupBy(col("source")).agg(count(lit(1)).as("n_tot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_exact").desc, col("term"))
+    val probes = exact
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= 40).drop("__rk")
+    Sketch.estimateFreq(ext, probes, "source", "term")
+      .withColumnRenamed("group", "source")
+      .withColumnRenamed("item", "term")
+      .join(probes, Seq("source", "term"))
+      .join(totals, Seq("source"))
+      .select(col("source"), col("term"), col("n_exact"),
+        col("est").isNotNull.as("in_registry"),
+        (col("est") >= col("n_exact")).as("over_ok"),
+        (col("est") <= col("n_exact") + col("n_tot") * eps).as("bound_ok"))
+  }
+
   /** Stored cardinality registry ([[graft.ops.Sketch.fitCardinality]] /
     * extendCardinality): the even-id half of the corpus is the fitted
     * base, the odd-id half the arriving batch folded in by sketch
@@ -1614,6 +1656,7 @@ object PipelineQueries {
     "q115_canon_dedup"    -> (q115 _),
     "q116_heavy_hitters"  -> (q116 _),
     "q117_web_curation"   -> (q117 _),
+    "q118_freq_registry"  -> (q118 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -3435,5 +3478,23 @@ FROM o"""
        SELECT sc.doc_id, capped.domain, sc.nb_logodds,
               sc.nb_logodds > 0.0 AS keep
        FROM sc JOIN capped USING (doc_id)""",
+    // CMS registry: the oracle recomputes the exact side — per-(source,
+    // term) counts, per-source totals, the deterministic (n DESC, term)
+    // top-40 rank — and pins the registry booleans: presence (the
+    // registry answers every probe), never-undercount, and the eps·n_tot
+    // overcount bound (the q37/q114/q116 sketch posture; the estimate
+    // itself is sketch-internal and not oracle-reproducible)
+    "q118_freq_registry" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS term
+               FROM documents),
+         c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n_exact
+               FROM toks GROUP BY source, term),
+         r AS (SELECT source, term, n_exact,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_exact DESC, term) AS rk
+               FROM c)
+       SELECT source, term, n_exact,
+              true AS in_registry, true AS over_ok, true AS bound_ok
+       FROM r WHERE rk <= 40""",
   )
 }

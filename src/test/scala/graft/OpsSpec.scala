@@ -2918,4 +2918,90 @@ class OpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("positive"))
   }
+
+  test("freq registry: estimates bounded; extend ≡ refit bit-identical; save/load; scheme loud") {
+    import graft.ops.Sketch
+    val base = (Seq.fill(7)("a") ++ Seq.fill(3)("b") ++ Seq("café"))
+      .map(("g", _)) ++ Seq(("h", "z"))
+    val batch = (Seq.fill(2)("a") ++ Seq("c")).map(("g", _)) ++
+      Seq(("i", "w"))
+    val baseDf = spark.createDataFrame(base).toDF("src", "t")
+    val batchDf = spark.createDataFrame(batch).toDF("src", "t")
+    val idx = Sketch.fitFreq(baseDf, "src", col("t"), "t-v1", eps = 0.01)
+    val ext = Sketch.extendFreq(idx, batchDf, "src", col("t"), "t-v1")
+    val probes = Seq(("g", "a"), ("g", "b"), ("g", "café"), ("g", "c"),
+      ("g", "never"), ("h", "z"), ("i", "w"), ("nogroup", "a"))
+    val est = Sketch.estimateFreq(ext,
+        spark.createDataFrame(probes).toDF("src", "t"), "src", "t")
+      .as[(String, String, Option[Long])].collect()
+      .map { case (g, t, e) => (g, t) -> e }.toMap
+    // exact counts over base+batch; CMS never undercounts, and at this
+    // width (2/eps = 200) with 6 distinct items no collision occurs —
+    // including the accented term, pinning UTF-8-byte hash consistency
+    // between the aggregate's ingest path and cms_query's probe path
+    val exact = Map(("g", "a") -> 9L, ("g", "b") -> 3L,
+      ("g", "café") -> 1L, ("g", "c") -> 1L, ("g", "never") -> 0L,
+      ("h", "z") -> 1L, ("i", "w") -> 1L)
+    exact.foreach { case (k, n) =>
+      assert(est(k) === Some(n), s"probe $k")
+    }
+    // unknown group: NULL, not zero — the left-join contract
+    assert(est(("nogroup", "a")) === None)
+    // linearity: extend ≡ one-shot refit BIT-IDENTICAL on the bytes
+    val refit = Sketch.fitFreq(baseDf.unionByName(batchDf), "src",
+      col("t"), "t-v1", eps = 0.01)
+    val extB = ext.sketches.as[(String, Array[Byte])].collect().toMap
+    val refitB = refit.sketches.as[(String, Array[Byte])].collect().toMap
+    assert(extB.keySet === refitB.keySet)
+    extB.foreach { case (g, bytes) =>
+      assert(java.util.Arrays.equals(bytes, refitB(g)), s"group $g")
+    }
+    // save -> load round-trips estimates and meta
+    val dir = java.nio.file.Files.createTempDirectory("graft-freq-").toString
+    Sketch.saveFreq(ext, dir)
+    val loaded = Sketch.loadFreq(spark, dir)
+    assert(loaded.eps === ext.eps && loaded.confidence === ext.confidence &&
+      loaded.seed === ext.seed && loaded.itemScheme === "t-v1")
+    val estL = Sketch.estimateFreq(loaded,
+        spark.createDataFrame(Seq(("g", "a"))).toDF("src", "t"), "src", "t")
+      .as[(String, String, Option[Long])].collect().head._3
+    assert(estL === Some(9L))
+    // foreign item derivation fails loudly at extend
+    val e = intercept[IllegalArgumentException] {
+      Sketch.extendFreq(loaded, batchDf, "src", col("t"), "fp(t)-v2")
+    }
+    assert(e.getMessage.contains("item scheme"))
+    // foreign sketch SHAPE throws from inside the union itself
+    val wrongShape = Sketch.fitFreq(batchDf, "src", col("t"), "t-v1",
+      eps = 0.5)
+    val e2 = intercept[Exception] {
+      Sketch.extendFreq(
+        FreqShapeProbe.withSketches(loaded, wrongShape.sketches),
+        batchDf, "src", col("t"), "t-v1").sketches.collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("merge") ||
+      e2.getCause != null)
+    // corrupt sketch bytes: NULL estimate, never garbage
+    val corrupt = spark.createDataFrame(Seq(("g", Array[Byte](1, 2, 3))))
+      .toDF("group", "sk")
+    val estC = Sketch.estimateFreq(
+        Sketch.FreqIndex(corrupt, 0.01, 0.99, 42, "t-v1"),
+        spark.createDataFrame(Seq(("g", "a"))).toDF("src", "t"), "src", "t")
+      .as[(String, String, Option[Long])].collect().head._3
+    assert(estC === None)
+    // parameter guards
+    val e3 = intercept[IllegalArgumentException] {
+      Sketch.fitFreq(baseDf, "src", col("t"), "t-v1", eps = 0.0)
+    }
+    assert(e3.getMessage.contains("eps"))
+  }
+}
+
+/** Swaps a [[graft.ops.Sketch.FreqIndex]]'s sketch relation while keeping
+  * its meta — builds the mismatched-shape registry the loud-union test
+  * needs without touching library code. */
+object FreqShapeProbe {
+  def withSketches(idx: graft.ops.Sketch.FreqIndex,
+                   sk: org.apache.spark.sql.DataFrame): graft.ops.Sketch.FreqIndex =
+    idx.copy(sketches = sk)
 }

@@ -197,6 +197,39 @@ object AnalyticQueries {
        JOIN embeddings em ON em.vec_id = d.doc_id
        GROUP BY d.source, e.event_type""")
 
+  /** WITH RECURSIVE through the SQL-text door — Spark 4's recursive CTE
+    * (`UnionLoop`/`UnionLoopRef` physical operators, the last major ANSI
+    * SQL surface the catalog had no evidence for): the transitive-closure
+    * shape (org charts, thread ancestry, link chains) over a DETERMINISTIC
+    * forest planted on doc_id (`parent = id div 7`), walked to the root
+    * with the hop count, then one aggregate over the closure. Every value
+    * is integer arithmetic, so both engines replay it exactly.
+    *
+    * Scale shape: each recursive step is one codegen'd filter+project
+    * over the PREVIOUS step's frontier — no shuffle, no join inside the
+    * loop — and the iteration count is log₇(max id), i.e. bounded by the
+    * log of the KEY DOMAIN, never by corpus size; total work is
+    * ~N·log₇N rows streamed through scans. The one exchange in the whole
+    * query is the final depth aggregate. (A recursion whose step joins
+    * the frontier back to a corpus-sized edge table would instead pay
+    * one shuffle per level — that shape exists in the engine too, but
+    * the planted forest keeps the oracle engine-exact and the evidence
+    * about the LOOP operator, not join noise.)
+    */
+  def q119(s: SparkSession, dir: String): DataFrame = sqlDoor(s, dir,
+    """WITH RECURSIVE anc AS (
+         SELECT CAST(doc_id AS BIGINT) AS start_id,
+                CAST(doc_id AS BIGINT) AS cur,
+                CAST(0 AS BIGINT) AS depth
+         FROM documents
+         UNION ALL
+         SELECT start_id, cur DIV 7 AS cur, depth + CAST(1 AS BIGINT) AS depth
+         FROM anc WHERE cur >= 7
+       )
+       SELECT depth, count(*) AS n, sum(start_id) AS start_sum,
+              sum(cur) AS node_sum
+       FROM anc GROUP BY depth""")
+
   /** Sessionization (gaps-and-islands): a session ends after 30 idle
     * minutes. lag + running sum over a per-user window — one shuffle on
     * user_id; state per row is O(1). Gap math on exact integer micros.
@@ -529,6 +562,7 @@ object AnalyticQueries {
     "q53_tpch_q5"       -> (q53 _),
     "q54_exists_subquery" -> (q54 _),
     "q56_sql_cross_corpus" -> (q56 _),
+    "q119_recursive_cte" -> (q119 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -739,5 +773,22 @@ object AnalyticQueries {
              FROM events
              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) g) s
          GROUP BY user_id""",
+    // same recursion, DuckDB dialect: `//` is its integer division (Spark
+    // spells it DIV); sums cast back to BIGINT because DuckDB widens
+    // sum(BIGINT) to HUGEINT
+    "q119_recursive_cte" ->
+      """WITH RECURSIVE anc AS (
+           SELECT CAST(doc_id AS BIGINT) AS start_id,
+                  CAST(doc_id AS BIGINT) AS cur,
+                  CAST(0 AS BIGINT) AS depth
+           FROM documents
+           UNION ALL
+           SELECT start_id, cur // 7 AS cur, depth + CAST(1 AS BIGINT) AS depth
+           FROM anc WHERE cur >= 7
+         )
+         SELECT depth, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(start_id) AS BIGINT) AS start_sum,
+                CAST(sum(cur) AS BIGINT) AS node_sum
+         FROM anc GROUP BY depth""",
   )
 }

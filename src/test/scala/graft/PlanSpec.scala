@@ -351,6 +351,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q119: recursive CTE runs as UnionLoop; the step is join-free") {
+    val plan = planOf("q119_recursive_cte")
+    // the loop operator itself — not an unrolled union or a rewrite
+    assert(plan.contains("UnionLoop"), plan)
+    assert(plan.contains("UnionLoopRef"), plan)
+    // the recursive step must stay filter+project over the frontier: a
+    // join inside the loop would pay one shuffle PER LEVEL at scale
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      plan)
+  }
+
   test("q08: both filters sit below the joins") {
     val optimized = SparkEntry.queries("q08_join_3way")(spark, sfDir)
       .queryExecution.optimizedPlan.toString

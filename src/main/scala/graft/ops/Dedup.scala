@@ -128,6 +128,88 @@ object Dedup {
           sep).as("text_dedup"))
   }
 
+  /** Line-grain boilerplate document frequencies: for every distinct
+    * unit within a group, the number of DISTINCT documents carrying it —
+    * the audit relation behind [[stripBoilerplate]] (what would be cut,
+    * at what prevalence), exposed separately because curation reviews
+    * the cut list before applying it. Within-document repeats count
+    * once (document frequency, not term frequency — a page that tiles
+    * its own nav bar five times is still ONE carrier). Two corpus
+    * shuffles: the (group, unit, id) distinct, then the partial-
+    * combined carrier count; output is bounded by the group's shared
+    * lines, never the corpus.
+    */
+  def boilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                       groupCol: String, minDf: Long,
+                       sep: String = "\n"): DataFrame = {
+    require(minDf >= 2,
+      s"boilerplateLines: minDf must be >= 2 (1 would cut every line), " +
+        s"got $minDf")
+    df.select(col(groupCol), col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")),
+          java.util.regex.Pattern.quote(sep))).as(Seq("pos", "unit")))
+      .select(col(groupCol), col("unit"), col(idCol)).distinct()
+      .groupBy(col(groupCol), col("unit"))
+      .agg(count(lit(1)).as("line_df"))
+      .filter(col("line_df") >= minDf)
+  }
+
+  /** Boilerplate line REMOVAL — the jusText/CCNet-style cut that
+    * completes the line-grain family: [[lineDedup]] keeps each shared
+    * line's FIRST copy (dedup — the content is worth one occurrence);
+    * this removes EVERY copy of any line carried by ≥ `minDf` distinct
+    * documents within its group (boilerplate — nav bars, cookie
+    * banners, footers are worth zero occurrences, including the first;
+    * a group is typically the domain or source, since boilerplate is
+    * site-templated). [[intraDocDedup]] is the third member: repeats
+    * WITHIN one page only.
+    *
+    * Scale shape: the [[lineDedup]] posture — nothing quadratic, no
+    * corpus-wide window, no driver-side set. The carrier-count side is
+    * the two [[boilerplateLines]] shuffles; the cut list (lines at
+    * df ≥ minDf) is prevalence-bounded and joins back onto the exploded
+    * units by (group, hash, unit) equi-key — broadcast while it fits,
+    * AQE's call beyond — with xxhash64 leading the key so the join
+    * hashes 8-byte longs and the string equality rides as part of the
+    * composite key (no collision residual needed: the key includes the
+    * unit itself). Reassembly is the one id-keyed shuffle, per-group
+    * state bounded by the document's own length.
+    *
+    * Output: (idCol, n_units, n_kept, text_clean) — a doc that was all
+    * boilerplate reassembles to the empty string; NULL text is treated
+    * as empty text so every input id keeps its row (the cleaner
+    * contract shared with [[lineDedup]]).
+    */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       groupCol: String, minDf: Long,
+                       sep: String = "\n"): DataFrame = {
+    require(minDf >= 2,
+      s"stripBoilerplate: minDf must be >= 2 (1 would cut every line), " +
+        s"got $minDf")
+    val units = df.select(col(groupCol), col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")),
+          java.util.regex.Pattern.quote(sep))).as(Seq("pos", "unit")))
+      .withColumn("uh", xxhash64(col("unit")))
+    val cut = units.select(col(groupCol), col("uh"), col("unit"),
+        col(idCol)).distinct()
+      .groupBy(col(groupCol), col("uh"), col("unit"))
+      .agg(count(lit(1)).as("line_df"))
+      .filter(col("line_df") >= minDf)
+      .select(col(groupCol), col("uh"), col("unit"), lit(true).as("__bp"))
+    units.join(cut, Seq(groupCol, "uh", "unit"), "left")
+      .withColumn("keep", col("__bp").isNull)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_units"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("pos"), col("unit"))))),
+            x => x.getField("unit")),
+          sep).as("text_clean"))
+  }
+
   /** Intra-document repetition removal: within EACH document, keep every
     * unit (line / paragraph / word, whatever `sep` yields) only at its
     * first occurrence IN THAT DOCUMENT and reassemble in order — the

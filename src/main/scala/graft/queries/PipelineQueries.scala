@@ -1449,6 +1449,30 @@ object PipelineQueries {
         (col("est") <= col("n_exact") + col("n_tot") * eps).as("bound_ok"))
   }
 
+  /** Boilerplate line removal ([[Dedup.stripBoilerplate]]) — the
+    * remove-ALL-copies cut that completes the line-grain family next to
+    * q62's keep-first lineDedup and q86's within-doc pass: every line
+    * carried by ≥ minDf distinct documents of its source is removed
+    * everywhere, first copy included (nav bars and footers are worth
+    * zero occurrences). The fixture corpus is single-line, so the
+    * boilerplate is PLANTED at line grain: a per-source nav line
+    * (df = the whole source, cut), a promo line cycling on doc_id % 3
+    * (df ≈ source/3, cut at minDf = 20), and a rare line on
+    * doc_id % 67 (df ≈ 1–2, kept) — both sides of the threshold
+    * genuinely exercised, the original text line rides through. The
+    * oracle replays the planting, per-source distinct-carrier counts,
+    * the threshold and every reassembled string.
+    */
+  def q120(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    val planted = docs.select(col("doc_id"), col("source"),
+      concat(coalesce(col("text"), lit("")),
+        lit("\nnav-"), col("source"),
+        lit("\npromo-"), (col("doc_id") % 3).cast("string"),
+        lit("\nrare-"), (col("doc_id") % 67).cast("string")).as("t"))
+    Dedup.stripBoilerplate(planted, "doc_id", "t", "source", minDf = 20)
+  }
+
   /** Stored cardinality registry ([[graft.ops.Sketch.fitCardinality]] /
     * extendCardinality): the even-id half of the corpus is the fitted
     * base, the odd-id half the arriving batch folded in by sketch
@@ -1657,6 +1681,7 @@ object PipelineQueries {
     "q116_heavy_hitters"  -> (q116 _),
     "q117_web_curation"   -> (q117 _),
     "q118_freq_registry"  -> (q118 _),
+    "q120_boilerplate"    -> (q120 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -3478,6 +3503,27 @@ FROM o"""
        SELECT sc.doc_id, capped.domain, sc.nb_logodds,
               sc.nb_logodds > 0.0 AS keep
        FROM sc JOIN capped USING (doc_id)""",
+    // boilerplate strip: planting, per-source DISTINCT-carrier counts,
+    // the minDf threshold and every reassembled string all replayed
+    "q120_boilerplate" ->
+      """WITH d AS (SELECT doc_id, source,
+             coalesce(text, '') || chr(10) || 'nav-' || source || chr(10) ||
+             'promo-' || CAST(doc_id % 3 AS VARCHAR) || chr(10) ||
+             'rare-' || CAST(doc_id % 67 AS VARCHAR) AS t
+           FROM documents),
+         w AS (SELECT doc_id, source, string_split(t, chr(10)) AS ls FROM d),
+         l AS (SELECT doc_id, source, CAST(i - 1 AS INT) AS pos, ls[i] AS unit
+               FROM w, unnest(range(1, len(ls) + 1)) AS t(i)),
+         c AS (SELECT source, unit, count(DISTINCT doc_id) AS line_df
+               FROM l GROUP BY source, unit),
+         k AS (SELECT l.doc_id, l.pos, l.unit, (c.line_df < 20) AS keep
+               FROM l JOIN c ON l.source = c.source AND l.unit = c.unit)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_units,
+              CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_kept,
+              coalesce(string_agg(CASE WHEN keep THEN unit END, chr(10)
+                                  ORDER BY pos), '') AS text_clean
+       FROM k GROUP BY doc_id""",
     // CMS registry: the oracle recomputes the exact side — per-(source,
     // term) counts, per-source totals, the deterministic (n DESC, term)
     // top-40 rank — and pins the registry booleans: presence (the

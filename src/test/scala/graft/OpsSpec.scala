@@ -36,6 +36,50 @@ class OpsSpec extends SparkSpec {
       (3L, 1L, 0L, "")))
   }
 
+  test("boilerplate strip: removes ALL copies above minDf, per group, df is distinct-doc") {
+    val docs = Seq(
+      // group g: "nav" carried by all three docs (df=3 >= 2: cut
+      // everywhere, first copy included); "body1/2/3" unique (kept);
+      // doc 3 tiles "nav" twice WITHIN itself — still ONE carrier,
+      // and both copies are cut
+      (1L, "g", "nav\nbody1"),
+      (2L, "g", "body2\nnav"),
+      (3L, "g", "nav\nbody3\nnav"),
+      // group h: its own "nav" appears in ONE doc only — df=1, kept
+      // (the per-group contract: g's prevalence never bleeds into h)
+      (4L, "h", "nav\nbody4"),
+      (5L, "h", "body5")).toDF("doc_id", "src", "text")
+    val out = Dedup.stripBoilerplate(docs, "doc_id", "text", "src",
+        minDf = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 2L, 1L, "body1"),
+      (2L, 2L, 1L, "body2"),
+      (3L, 3L, 1L, "body3"),
+      (4L, 2L, 2L, "nav\nbody4"),
+      (5L, 1L, 1L, "body5")))
+    // the audit relation agrees with the cut
+    val bp = Dedup.boilerplateLines(docs, "doc_id", "text", "src",
+        minDf = 2)
+      .as[(String, String, Long)].collect().toSeq
+    assert(bp === Seq(("g", "nav", 3L)))
+    // all-boilerplate doc reassembles to "", keeps its row
+    val all = Seq((1L, "g", "nav"), (2L, "g", "nav"),
+      (3L, "g", null.asInstanceOf[String])).toDF("doc_id", "src", "text")
+    val out2 = Dedup.stripBoilerplate(all, "doc_id", "text", "src",
+        minDf = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // NULL text = empty text (one empty unit, df=1 here): row preserved
+    assert(out2 === Seq((1L, 1L, 0L, ""), (2L, 1L, 0L, ""),
+      (3L, 1L, 1L, "")))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.stripBoilerplate(docs, "doc_id", "text", "src", minDf = 1)
+    }
+    assert(e.getMessage.contains("minDf"))
+  }
+
   test("line dedup: regex-special separators are taken literally") {
     val docs = Seq((1L, "a.b.a"), (2L, "b.c")).toDF("doc_id", "text")
     val out = Dedup.lineDedup(docs, "doc_id", "text", sep = ".")

@@ -1371,6 +1371,51 @@ object TextOps {
           .as("chars_per_token"))
   }
 
+  /** Per-group Zipf fit: slope and intercept of the log–log least-squares
+    * line through the top-`topK` (rank, frequency) points of each group's
+    * term distribution — the classic corpus-health screen (natural text
+    * sits near slope −1, Zipf 1949; templated/boilerplate-heavy or
+    * synthetic slices flatten toward 0, OCR/encoding noise steepens the
+    * tail), and the drift check a mixture rebalance runs per source.
+    *
+    * The fit is `regr_slope(ln n, ln rank)` over DETERMINISTIC ranks
+    * (frequency DESC, term — the [[vocabReport]] tie-break, so the rank
+    * assignment is engine-exact) and is cut at the HEAD (`topK`): Zipf
+    * fits are classically head-fits — the tail is where count ties make
+    * rank arbitrary within the tie and where both engines' float
+    * summation orders would otherwise accumulate — and the cut also
+    * bounds the regression input to topK rows per group regardless of
+    * vocabulary size. Outputs round to 4 dp (the q110 moments posture:
+    * sums over ≤ topK ln-values agree across engines far inside 4 dp).
+    *
+    * Scale shape: the term-frequency aggregate partial-combines
+    * map-side (the only corpus-sized stage); the rank window runs on
+    * the (group, term, n) relation — vocabulary-bounded, one exchange
+    * on the group key — and the regression aggregate reduces G × topK
+    * rows. Groups with one distinct term emit NULL slope/intercept
+    * (a vertical fit), preserved rather than dropped.
+    */
+  def zipfReport(df: DataFrame, groupCol: String, textCol: String,
+                 topK: Int = 1024): DataFrame = {
+    require(topK >= 2, s"zipfReport: topK must be >= 2, got $topK")
+    val freqs = df.select(col(groupCol),
+        explode(tokens(col(textCol))).as("__term"))
+      .groupBy(col(groupCol), col("__term"))
+      .agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("__n").desc, col("__term"))
+    freqs.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= topK)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        round(regr_slope(log(col("__n")), log(col("__rk"))), 4)
+          .as("zipf_slope"),
+        round(regr_intercept(log(col("__n")), log(col("__rk"))), 4)
+          .as("zipf_intercept"))
+  }
+
   /** Tokenizer-prep vocabulary + per-document out-of-vocabulary rate:
     * the top `vocabSize` corpus terms by frequency (ties broken by term,
     * so the vocabulary boundary is deterministic cross-engine), then

@@ -1473,6 +1473,17 @@ object PipelineQueries {
     Dedup.stripBoilerplate(planted, "doc_id", "t", "source", minDf = 20)
   }
 
+  /** Per-source Zipf fit ([[TextOps.zipfReport]]): log–log regression
+    * slope/intercept over the deterministic top-256 term ranks — the
+    * corpus-health screen (natural text ≈ −1; templated slices flatten).
+    * topK = 256 keeps the regression input fully inside the head where
+    * ranks are engine-exact; the oracle replays counts, the (n DESC,
+    * term) rank, both regression aggregates and the 4dp rounding.
+    */
+  def q121(s: SparkSession, dir: String): DataFrame =
+    TextOps.zipfReport(t(s, dir)("documents"), "source", "text",
+      topK = 256)
+
   /** Stored cardinality registry ([[graft.ops.Sketch.fitCardinality]] /
     * extendCardinality): the even-id half of the corpus is the fitted
     * base, the odd-id half the arriving batch folded in by sketch
@@ -1682,6 +1693,7 @@ object PipelineQueries {
     "q117_web_curation"   -> (q117 _),
     "q118_freq_registry"  -> (q118 _),
     "q120_boilerplate"    -> (q120 _),
+    "q121_zipf_fit"       -> (q121 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -3524,6 +3536,21 @@ FROM o"""
               coalesce(string_agg(CASE WHEN keep THEN unit END, chr(10)
                                   ORDER BY pos), '') AS text_clean
        FROM k GROUP BY doc_id""",
+    // Zipf fit: counts, the deterministic (n DESC, term) rank, both
+    // regression aggregates and the 4dp rounding all replayed
+    "q121_zipf_fit" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS term
+               FROM documents),
+         c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n
+               FROM toks GROUP BY source, term),
+         r AS (SELECT source, term, n,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n DESC, term) AS rk
+               FROM c)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+              round(regr_slope(ln(n), ln(rk)), 4) AS zipf_slope,
+              round(regr_intercept(ln(n), ln(rk)), 4) AS zipf_intercept
+       FROM r WHERE rk <= 256 GROUP BY source""",
     // CMS registry: the oracle recomputes the exact side — per-(source,
     // term) counts, per-source totals, the deterministic (n DESC, term)
     // top-40 rank — and pins the registry booleans: presence (the

@@ -2963,6 +2963,40 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("positive"))
   }
 
+  test("zipfReport ≡ independent least-squares on exact ranked counts; single-term NULL; guards") {
+    // group g: counts a=8, b=4, c=2, d=1 at ranks 1..4 (ties none);
+    // group h: one distinct term — vertical fit, NULL slope
+    val docs = Seq(
+      ("g", (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++
+        Seq("d")).mkString(" ")),
+      ("h", "z z z")).toDF("src", "text")
+    val out = TextOps.zipfReport(docs, "src", "text", topK = 16)
+      .as[(String, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // independent model: OLS of ln n on ln rank
+    val pts = Seq((1.0, 8.0), (2.0, 4.0), (3.0, 2.0), (4.0, 1.0))
+      .map { case (r, n) => (math.log(r), math.log(n)) }
+    val mx = pts.map(_._1).sum / 4; val my = pts.map(_._2).sum / 4
+    val slope = pts.map { case (x, y) => (x - mx) * (y - my) }.sum /
+      pts.map { case (x, _) => (x - mx) * (x - mx) }.sum
+    val icept = my - slope * mx
+    val (nG, sG, iG) = out("g")
+    assert(nG === 4L)
+    assert(math.abs(sG.get - math.rint(slope * 1e4) / 1e4) < 1e-9)
+    assert(math.abs(iG.get - math.rint(icept * 1e4) / 1e4) < 1e-9)
+    val (nH, sH, iH) = out("h")
+    assert(nH === 1L && sH.isEmpty && iH.isEmpty)
+    // topK cuts the regression input (head-fit): only ranks 1..2 enter
+    val cut = TextOps.zipfReport(docs, "src", "text", topK = 2)
+      .filter(col("src") === "g")
+      .as[(String, Long, Option[Double], Option[Double])].collect().head
+    assert(cut._2 === 2L)
+    val e = intercept[IllegalArgumentException] {
+      TextOps.zipfReport(docs, "src", "text", topK = 1)
+    }
+    assert(e.getMessage.contains("topK"))
+  }
+
   test("freq registry: estimates bounded; extend ≡ refit bit-identical; save/load; scheme loud") {
     import graft.ops.Sketch
     val base = (Seq.fill(7)("a") ++ Seq.fill(3)("b") ++ Seq("café"))

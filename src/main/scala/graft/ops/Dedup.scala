@@ -210,6 +210,125 @@ object Dedup {
           sep).as("text_clean"))
   }
 
+  /** Stored line-frequency histogram — the ingest-door artifact of
+    * [[stripBoilerplate]], completing that operator's continuous-
+    * ingestion lifecycle the way [[SpanIndex]] does for the span pass:
+    * the FULL per-group (line, distinct-carrier count) histogram of the
+    * base corpus, fitted once per corpus version, so each arriving
+    * batch is scrubbed for the batch's own cost (its lines + one
+    * histogram join) — the base is never re-split.
+    *
+    * The histogram is stored UNTHRESHOLDED: `minDf` is a probe-time
+    * knob, because a fit-time cut would freeze the threshold AND make
+    * extension impossible (a line at df = minDf − 1 in the base that
+    * gains carriers in a batch must be able to cross the bar, so its
+    * sub-threshold count has to survive in the artifact). Extension is
+    * integer addition of per-batch distinct-carrier counts — exact,
+    * PROVIDED batch doc ids are new (the extend contract shared with
+    * every stored artifact here; a re-ingested doc would double-count
+    * its carriership).
+    *
+    * `sep` + the hash rides the meta as the derivation scheme — an
+    * index fitted at paragraph grain probed at line grain would
+    * silently miss everything, so the mismatch fails loudly instead.
+    */
+  final case class BoilerplateIndex(lineDf: DataFrame, sep: String,
+                                    scheme: Int = BoilerplateIndex.Scheme) {
+    def save(path: String): Unit = {
+      lineDf.repartitionByRange(col("group"), col("uh"))
+        .sortWithinPartitions(col("group"), col("uh"))
+        .write.mode("overwrite").parquet(s"$path/line_df")
+      val spark = lineDf.sparkSession
+      import spark.implicits._
+      Seq((sep, scheme)).toDF("sep", "scheme")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
+  }
+
+  object BoilerplateIndex {
+    /** Version of the unit split + xxhash64 keying. Bump whenever stored
+      * rows would stop matching what this build computes for the same
+      * text. */
+    val Scheme = 1
+  }
+
+  private def lineCarriers(df: DataFrame, idCol: String, textCol: String,
+                           groupCol: String, sep: String): DataFrame =
+    df.select(col(groupCol).as("group"), col(idCol),
+        explode(split(coalesce(col(textCol), lit("")),
+          java.util.regex.Pattern.quote(sep))).as("unit"))
+      .withColumn("uh", xxhash64(col("unit")))
+      .select(col("group"), col("uh"), col("unit"), col(idCol)).distinct()
+      .groupBy(col("group"), col("uh"), col("unit"))
+      .agg(count(lit(1)).as("line_df"))
+
+  /** Fit the histogram: one exploded scan + the two-phase distinct-
+    * carrier count (the [[boilerplateLines]] shape, unthresholded). */
+  def fitBoilerplateIndex(base: DataFrame, idCol: String, textCol: String,
+                          groupCol: String,
+                          sep: String = "\n"): BoilerplateIndex =
+    BoilerplateIndex(lineCarriers(base, idCol, textCol, groupCol, sep), sep)
+
+  def loadBoilerplateIndex(spark: SparkSession,
+                           path: String): BoilerplateIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val scheme = meta.getAs[Int]("scheme")
+    require(scheme == BoilerplateIndex.Scheme,
+      s"stored boilerplate index uses derivation scheme $scheme; this " +
+        s"build computes scheme ${BoilerplateIndex.Scheme} — refit")
+    BoilerplateIndex(spark.read.parquet(s"$path/line_df"),
+      meta.getAs[String]("sep"), scheme)
+  }
+
+  /** Fold an ingest batch's carriers in: the batch's own histogram,
+    * then integer ADDITION per (group, line) — full-outer union
+    * semantics, batch-new lines appear, untouched lines pass through.
+    * Batch doc ids must be new to the index (see the class contract).
+    */
+  def extendBoilerplateIndex(index: BoilerplateIndex, batch: DataFrame,
+                             idCol: String, textCol: String,
+                             groupCol: String): BoilerplateIndex =
+    BoilerplateIndex(
+      index.lineDf.unionByName(
+          lineCarriers(batch, idCol, textCol, groupCol, index.sep))
+        .groupBy(col("group"), col("uh"), col("unit"))
+        .agg(sum(col("line_df")).as("line_df")),
+      index.sep, index.scheme)
+
+  /** Scrub an arriving batch against the STORED histogram: every batch
+    * line whose indexed carrier count is ≥ `minDf` is cut (all copies —
+    * the [[stripBoilerplate]] rule), the rest reassemble in order. Cost:
+    * the batch's own explode + one (group, uh, unit)-keyed join against
+    * the threshold cut of the histogram + the batch-id reassembly
+    * shuffle — nothing rescans the base corpus. The batch's OWN
+    * prevalence does not contribute (fold it in first via
+    * [[extendBoilerplateIndex]] if it should).
+    */
+  def stripWithBoilerplateIndex(index: BoilerplateIndex, batch: DataFrame,
+                                idCol: String, textCol: String,
+                                groupCol: String, minDf: Long): DataFrame = {
+    require(minDf >= 2,
+      s"stripWithBoilerplateIndex: minDf must be >= 2, got $minDf")
+    val units = batch.select(col(groupCol).as("group"), col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")),
+          java.util.regex.Pattern.quote(index.sep))).as(Seq("pos", "unit")))
+      .withColumn("uh", xxhash64(col("unit")))
+    val cut = index.lineDf.filter(col("line_df") >= minDf)
+      .select(col("group"), col("uh"), col("unit"), lit(true).as("__bp"))
+    units.join(cut, Seq("group", "uh", "unit"), "left")
+      .withColumn("keep", col("__bp").isNull)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_units"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("pos"), col("unit"))))),
+            x => x.getField("unit")),
+          index.sep).as("text_clean"))
+  }
+
   /** Intra-document repetition removal: within EACH document, keep every
     * unit (line / paragraph / word, whatever `sep` yields) only at its
     * first occurrence IN THAT DOCUMENT and reassemble in order — the

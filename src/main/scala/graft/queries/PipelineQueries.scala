@@ -1473,6 +1473,32 @@ object PipelineQueries {
     Dedup.stripBoilerplate(planted, "doc_id", "t", "source", minDf = 20)
   }
 
+  /** Stored boilerplate histogram lifecycle
+    * ([[Dedup.fitBoilerplateIndex]] / extendBoilerplateIndex /
+    * stripWithBoilerplateIndex) — q120's ingest-door form, the q104/q114
+    * even/odd posture: the even-id half of the planted corpus is the
+    * fitted base, the odd-id half the arriving batch folded in by
+    * integer carrier addition, then the SAME odd batch is scrubbed
+    * against the extended histogram at minDf = 15 — the line a batch
+    * pushes over the bar is cut from the batch itself. The oracle
+    * recomputes the full-corpus distinct-carrier counts and every odd
+    * doc's reassembled string.
+    */
+  def q122(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    val planted = docs.select(col("doc_id"), col("source"),
+      concat(coalesce(col("text"), lit("")),
+        lit("\nnav-"), col("source"),
+        lit("\npromo-"), (col("doc_id") % 3).cast("string"),
+        lit("\nrare-"), (col("doc_id") % 67).cast("string")).as("t"))
+    val idx = Dedup.fitBoilerplateIndex(
+      planted.filter(col("doc_id") % 2 === 0), "doc_id", "t", "source")
+    val odd = planted.filter(col("doc_id") % 2 === 1)
+    val ext = Dedup.extendBoilerplateIndex(idx, odd, "doc_id", "t", "source")
+    Dedup.stripWithBoilerplateIndex(ext, odd, "doc_id", "t", "source",
+      minDf = 15)
+  }
+
   /** Per-source Zipf fit ([[TextOps.zipfReport]]): log–log regression
     * slope/intercept over the deterministic top-256 term ranks — the
     * corpus-health screen (natural text ≈ −1; templated slices flatten).
@@ -1694,6 +1720,7 @@ object PipelineQueries {
     "q118_freq_registry"  -> (q118 _),
     "q120_boilerplate"    -> (q120 _),
     "q121_zipf_fit"       -> (q121 _),
+    "q122_boilerplate_stored" -> (q122 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -3530,6 +3557,28 @@ FROM o"""
                FROM l GROUP BY source, unit),
          k AS (SELECT l.doc_id, l.pos, l.unit, (c.line_df < 20) AS keep
                FROM l JOIN c ON l.source = c.source AND l.unit = c.unit)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_units,
+              CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_kept,
+              coalesce(string_agg(CASE WHEN keep THEN unit END, chr(10)
+                                  ORDER BY pos), '') AS text_clean
+       FROM k GROUP BY doc_id""",
+    // stored boilerplate lifecycle: full-corpus carrier counts (fit on
+    // even + extend with odd = the whole corpus), odd batch scrubbed
+    "q122_boilerplate_stored" ->
+      """WITH d AS (SELECT doc_id, source,
+             coalesce(text, '') || chr(10) || 'nav-' || source || chr(10) ||
+             'promo-' || CAST(doc_id % 3 AS VARCHAR) || chr(10) ||
+             'rare-' || CAST(doc_id % 67 AS VARCHAR) AS t
+           FROM documents),
+         w AS (SELECT doc_id, source, string_split(t, chr(10)) AS ls FROM d),
+         l AS (SELECT doc_id, source, CAST(i - 1 AS INT) AS pos, ls[i] AS unit
+               FROM w, unnest(range(1, len(ls) + 1)) AS t(i)),
+         c AS (SELECT source, unit, count(DISTINCT doc_id) AS line_df
+               FROM l GROUP BY source, unit),
+         k AS (SELECT l.doc_id, l.pos, l.unit, (c.line_df < 15) AS keep
+               FROM l JOIN c ON l.source = c.source AND l.unit = c.unit
+               WHERE l.doc_id % 2 = 1)
        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_units,
               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
                 AS n_kept,

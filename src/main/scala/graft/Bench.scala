@@ -28,7 +28,14 @@ import java.nio.file.{Files, Paths}
   *    `polluted`+`attempts` flag the case where no clean pass happened);
   *  - the JSON line is printed to stdout AND written to a file
   *    (SPARK_GRAFT_BENCH_OUT, default ./bench_out.json) so the driver's
-  *    parser doesn't have to fish it out of sbt log noise.
+  *    parser doesn't have to fish it out of sbt log noise;
+  *  - TWO fidelities (round-13 verdict #6): the FILE carries the full
+  *    record — full query names, both median and min maps, numeric `sf`
+  *    — while the stdout line is a COMPACT equivalent (qNN short keys,
+  *    median map only, error messages truncated) sized to fit the
+  *    driver's 2000-char stdout tail window, so BENCH_r{N}.json's
+  *    `parsed` field carries every per-query number standalone instead
+  *    of a truncated string (r10–r13 archived `parsed: null`).
   */
 object Bench {
 
@@ -179,12 +186,27 @@ object Bench {
       f"POLLUTED: bench noise $noise%.2f, ${errors.size}%d errors after " +
         f"$attempt attempts — the total is not comparable to a clean run " +
         "(min_total over the surviving queries only)")
+    // `sf` as a NUMBER parsed from the dir name (…/sf0.1 -> 0.1); the
+    // raw dir rides in `sf_dir` so nothing is lost
+    val sfNum = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir).map(_.group(1))
+    val sfJson = sfNum.getOrElse(Verify.jsonStr(sfDir))
+    val header =
+      f""""metric":"total","value":$total%.3f,"unit":"sec","min_total":$minTotal%.3f,"noise":$noise%.2f,"polluted":$polluted,"failed":$failed,"attempts":$attempt,"sf":$sfJson"""
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","min_total":$minTotal%.3f,"noise":$noise%.2f,"polluted":$polluted,"failed":$failed,"attempts":$attempt,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","errors":$errJson}"""
+      s"""{$header,"sf_dir":${Verify.jsonStr(sfDir)},"queries":$qs,"queries_min":$qsMin,"errors":$errJson}"""
+    // compact stdout twin: qNN keys (the unique name prefix), medians
+    // only, errors clipped — full fidelity lives in the file
+    val qsShort = results.map { case (k, med, _, _, ok) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + (if (ok) f"$med%.2f" else "-1")
+    }.mkString("{", ",", "}")
+    val errShort = errors.map(e => Verify.jsonStr(e.take(80)))
+      .mkString("[", ",", "]")
+    val shortLine =
+      s"""{$header,"queries":$qsShort,"full":"bench_out.json","errors":$errShort}"""
 
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(outPath), line + "\n")
-    println(line)
+    println(shortLine)
     clearCaches(spark)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -59,12 +59,22 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg (dev loop only; the driver passes 2): a
+    // comma-separated query-name filter, substring match
+    val (sfDir, outDir, nameFilter) = args match {
+      case Array(s, o)    => (s, o, None)
+      case Array(s, o, f) => (s, o, Some(f.split(',').toSeq))
+    }
     // Single shared session factory (AQE, UTC, timestamp handling for the
     // events table, broadcast threshold) — round-1 verdict fix #4/#7.
     val spark = GraftSession.local(appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
-    val failures = runQueries(spark, SparkEntry.queries, sfDir, outDir)
+    val selected = nameFilter match {
+      case None => SparkEntry.queries
+      case Some(fs) =>
+        SparkEntry.queries.filter { case (n, _) => fs.exists(n.contains) }
+    }
+    val failures = runQueries(spark, selected, sfDir, outDir)
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       jsonObj(SparkEntry.oracleSql))
     clearCaches(spark)

@@ -71,14 +71,33 @@ case class CmsQuery(left: Expression, right: Expression)
 
 object CmsQuery {
 
+  /** Serialized header: version (4B int) + totalCount (8B long) +
+    * depth (4B int) + width (4B int). A corrupt length/dimension field
+    * would otherwise drive a huge (or negative) table allocation inside
+    * `readFrom` — surfacing as NegativeArraySizeException or OOM rather
+    * than the documented NULL — so the declared shape is sanity-checked
+    * against the byte count BEFORE the library allocates. depth×width
+    * longs must actually be present in the payload (conversely, a
+    * truncated payload fails the same check). */
+  private def shapePlausible(sk: Array[Byte]): Boolean = {
+    if (sk.length < 20) return false
+    val bb = java.nio.ByteBuffer.wrap(sk)
+    bb.getInt; bb.getLong // version, totalCount
+    val depth = bb.getInt
+    val width = bb.getInt
+    depth > 0 && width > 0 &&
+      depth.toLong * width <= (sk.length - 20L) / 8L
+  }
+
   /** Boxed Long so codegen/eval share one null-signaling path. */
   def compute(sk: Array[Byte], item: UTF8String): java.lang.Long =
-    try {
-      java.lang.Long.valueOf(
-        org.apache.spark.util.sketch.CountMinSketch.readFrom(sk)
-          .estimateCount(item.toString))
-    } catch {
-      case _: java.io.IOException => null
-      case _: IndexOutOfBoundsException => null
-    }
+    if (!shapePlausible(sk)) null
+    else
+      try {
+        java.lang.Long.valueOf(
+          org.apache.spark.util.sketch.CountMinSketch.readFrom(sk)
+            .estimateCount(item.toString))
+      } catch {
+        case scala.util.control.NonFatal(_) => null
+      }
 }

@@ -127,22 +127,44 @@ object Classify {
     * keep/drop decision at `threshold`. Cost is the batch's own
     * tokenize+aggregate plus one term-key join against the
     * vocabulary-sized weight table (`broadcastModel` picks broadcast vs
-    * shuffle join). Output: `(doc_id, nb_logodds, keep)`, one row per
-    * doc with ≥1 token.
+    * shuffle join) plus one id-keyed join back onto the input ids.
+    *
+    * Output: `(doc_id, nb_logodds, keep)`, ONE ROW PER INPUT DOC — the
+    * annotate-never-drop contract shared with the streaming twin
+    * ([[graft.streaming.DocumentStreams]].nbStream): a NULL-text doc
+    * scores NULL/NULL (un-scorable, surfaced not silently lost), an
+    * empty-but-non-NULL text scores its one degenerate `""` token like
+    * any other (the [[TextOps.tokens]] edge contract), so compositions
+    * that join scores back to the corpus lose nothing.
+    *
+    * The per-doc sum is ORDER-FREE: each 9dp-rounded contribution is
+    * cast to `DECIMAL(38,9)` (exact, since a 9dp value's nearest double
+    * round-trips through its shortest decimal form at these magnitudes)
+    * and decimal addition is exact integer arithmetic — so the 4dp
+    * log-odds never depends on Spark's aggregation order, and the
+    * streaming twin's per-doc accumulation reproduces it bit-for-bit.
     */
   def nbScore(docs: DataFrame, idCol: String, textCol: String, m: NbModel,
               threshold: Double = 0.0,
               broadcastModel: Boolean = true): DataFrame = {
-    val dt = docs.select(col(idCol).as("doc_id"),
-        explode(TextOps.tokens(col(textCol))).as("term"))
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("__toks"))
+    val dt = base.select(col("doc_id"), explode(col("__toks")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("double").as("__cnt"))
     val wdf = if (broadcastModel) broadcast(m.weights) else m.weights
-    dt.join(wdf, Seq("term"), "left")
+    val scored = dt.join(wdf, Seq("term"), "left")
       .withColumn("__contrib",
-        round(col("__cnt") * coalesce(col("w"), lit(m.defaultW)), 9))
+        round(col("__cnt") * coalesce(col("w"), lit(m.defaultW)), 9)
+          .cast("decimal(38,9)"))
       .groupBy(col("doc_id"))
-      .agg(round(sum(col("__contrib")) + m.bias, 4).as("nb_logodds"))
-      .withColumn("keep", col("nb_logodds") > threshold)
+      .agg(round(sum(col("__contrib")).cast("double") + m.bias, 4)
+        .as("__sc"))
+    base.select(col("doc_id"), col("__toks").isNotNull.as("__scorable"))
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("nb_logodds",
+        when(col("__scorable"), col("__sc")))
+      .select(col("doc_id"), col("nb_logodds"),
+        (col("nb_logodds") > threshold).as("keep"))
   }
 }

@@ -310,7 +310,22 @@ object Sketch {
 
   /** Fit the registry: ONE partial-combined corpus aggregate — CMS
     * buffers merge map-side (counter addition), G sketch rows of
-    * O(depth × width) bytes cross the wire regardless of corpus size. */
+    * O(depth × width) bytes cross the wire regardless of corpus size.
+    *
+    * Memory contract at high group cardinality: each buffer is
+    * ⌈2e/eps⌉ × ⌈ln(1/(1−confidence))⌉ longs (~1.1 MB at the eps = 1e-4
+    * default), but map-side memory is NOT G × that — `count_min_sketch`
+    * is a TypedImperativeAggregate, which plans as ObjectHashAggregate,
+    * and that operator falls back to sort-based aggregation once its
+    * in-memory map reaches `spark.sql.objectHashAggregate.sortBased.
+    * fallbackThreshold` (default 128) distinct groups per task. So a
+    * high-cardinality `groupCol` (registered domain, say) degrades to
+    * sort-agg throughput — one buffer live at a time after the spill —
+    * it does not OOM (plan + behavior pinned in OpsSpec). The costs
+    * that DO scale with G are the registry itself (G × sketch bytes on
+    * shuffle/disk) and [[estimateFreq]]'s broadcast — size eps to the
+    * grain, or pass `broadcastSketches = false` there past ~a few
+    * thousand groups at the default eps. */
   def fitFreq(df: DataFrame, groupCol: String, item: Column,
               itemScheme: String, eps: Double = 1e-4,
               confidence: Double = 0.99, seed: Int = 42): FreqIndex = {
@@ -351,17 +366,27 @@ object Sketch {
   }
 
   /** Estimate frequencies for a probe relation `(groupCol, itemCol)` off
-    * the registry: broadcast the G-row sketch table onto the probes and
+    * the registry: join the G-row sketch table onto the probes and
     * read each estimate with the native [[graft.expr.CmsQuery]]
     * expression — probes × O(sketch bytes), no corpus access. Probes
     * for groups the registry has never seen estimate NULL (left join),
-    * distinguishing "unknown group" from a true zero count. */
+    * distinguishing "unknown group" from a true zero count.
+    *
+    * `broadcastSketches` (the [[graft.ops.Classify]].nbScore
+    * `broadcastModel` posture): each sketch is ~1.1 MB at the default
+    * eps = 1e-4, so a registry of thousands of groups exceeds broadcast
+    * and driver limits — pass `false` to fall back to a shuffle join
+    * (one exchange on each side, each sketch still shipped once per
+    * reducer that probes its group). */
   def estimateFreq(idx: FreqIndex, probes: DataFrame, groupCol: String,
-                   itemCol: String): DataFrame =
+                   itemCol: String,
+                   broadcastSketches: Boolean = true): DataFrame = {
+    val sk = if (broadcastSketches) broadcast(idx.sketches) else idx.sketches
     probes.select(col(groupCol).as("group"), col(itemCol).as("item"))
-      .join(broadcast(idx.sketches), Seq("group"), "left")
+      .join(sk, Seq("group"), "left")
       .select(col("group"), col("item"),
         call_function("cms_query", col("sk"), col("item")).as("est"))
+  }
 
   /** Persist the registry (sketches as a parquet BINARY column +
     * shape/scheme meta). */

@@ -3401,11 +3401,15 @@ FROM o"""
          dt AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS cnt
                 FROM toks WHERE NOT is_t GROUP BY doc_id, term),
          sc AS (SELECT dt.doc_id,
-                  round(sum(round(dt.cnt * COALESCE(w.w, consts.dw), 9))
+                  round(CAST(sum(CAST(
+                      round(dt.cnt * COALESCE(w.w, consts.dw), 9)
+                      AS DECIMAL(38,9))) AS DOUBLE)
                     + max(consts.bias), 4) AS nb_logodds
                 FROM dt LEFT JOIN w USING (term) CROSS JOIN consts
                 GROUP BY dt.doc_id)
-       SELECT doc_id, nb_logodds, nb_logodds > 0.0 AS keep FROM sc""",
+       SELECT l.doc_id, sc.nb_logodds, sc.nb_logodds > 0.0 AS keep
+       FROM (SELECT doc_id FROM lab WHERE NOT is_t) l
+       LEFT JOIN sc USING (doc_id)""",
     // the estimator side is approximate by construction (q37 posture):
     // the oracle recomputes the EXACT per-source distinct-content count
     // and pins the tolerance gate boolean the query emits
@@ -3535,13 +3539,17 @@ FROM o"""
          dt AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS cnt
                 FROM toks WHERE NOT is_t GROUP BY doc_id, term),
          sc AS (SELECT dt.doc_id,
-                  round(sum(round(dt.cnt * COALESCE(w.w, consts.dw), 9))
+                  round(CAST(sum(CAST(
+                      round(dt.cnt * COALESCE(w.w, consts.dw), 9)
+                      AS DECIMAL(38,9))) AS DOUBLE)
                     + max(consts.bias), 4) AS nb_logodds
                 FROM dt LEFT JOIN w USING (term) CROSS JOIN consts
                 GROUP BY dt.doc_id)
-       SELECT sc.doc_id, capped.domain, sc.nb_logodds,
+       SELECT l.doc_id, capped.domain, sc.nb_logodds,
               sc.nb_logodds > 0.0 AS keep
-       FROM sc JOIN capped USING (doc_id)""",
+       FROM (SELECT doc_id FROM lab WHERE NOT is_t) l
+       LEFT JOIN sc USING (doc_id)
+       JOIN capped USING (doc_id)""",
     // boilerplate strip: planting, per-source DISTINCT-carrier counts,
     // the minDf threshold and every reassembled string all replayed
     "q120_boilerplate" ->

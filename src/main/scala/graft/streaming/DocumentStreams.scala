@@ -333,8 +333,9 @@ object DocumentStreams {
     * keep-side evidence.
     *
     * A NULL text yields NULL score/keep and the row is KEPT — the
-    * at-the-door contract is to annotate, not silently drop (the batch
-    * explode path drops instead).
+    * annotate-never-drop contract the batch op shares (its id join-back
+    * emits the same NULL/NULL row). Per-doc sums are exact decimal
+    * accumulations on both sides, so the equivalence is order-free.
     *
     * Output: input columns + `nb_logodds`, `keep`.
     */
@@ -347,8 +348,6 @@ object DocumentStreams {
       .limit(maxVocab).collect()
     val wMap = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
     val (bias, defW) = (model.bias, model.defaultW)
-    def r9(x: Double) = BigDecimal(x)
-      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     def r4(x: Double) = BigDecimal(x)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val score = udf { toks: Seq[String] =>
@@ -356,11 +355,17 @@ object DocumentStreams {
       else {
         val counts = new scala.collection.mutable.HashMap[String, Long]()
         toks.foreach(t => counts.update(t, counts.getOrElse(t, 0L) + 1L))
-        var s = 0.0
+        // exact decimal accumulation of the 9dp contributions — the sum
+        // is independent of HashMap iteration order, exactly as the
+        // batch path's DECIMAL(38,9) aggregation is independent of
+        // Spark's aggregation order, so stream ≡ batch holds bit-for-bit
+        // even for scores landing on a 4dp rounding boundary
+        var s = BigDecimal(0)
         counts.foreach { case (t, c) =>
-          s += r9(c * wMap.getOrElse(t, defW))
+          s += BigDecimal(c * wMap.getOrElse(t, defW))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP)
         }
-        Some(r4(s + bias))
+        Some(r4(s.toDouble + bias))
       }
     }
     docs

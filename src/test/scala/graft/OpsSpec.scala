@@ -80,6 +80,74 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("minDf"))
   }
 
+  test("boilerplate index lifecycle: extend ≡ refit, save→load, stale scheme loud, batch prevalence excluded") {
+    val base = Seq(
+      (1L, "g", "nav\nbody1"),
+      (2L, "g", "nav\nbody2")).toDF("doc_id", "src", "text")
+    val batch = Seq(
+      (3L, "g", "nav\nbody3\npromo"),
+      (4L, "g", "promo\nbody4"),
+      (5L, "h", "nav\nbody5")).toDF("doc_id", "src", "text")
+    def hist(idx: Dedup.BoilerplateIndex) =
+      idx.lineDf.select("group", "unit", "line_df")
+        .as[(String, String, Long)].collect().toSet
+    // extend ≡ refit on the union (integer carrier addition is exact)
+    val idx = Dedup.fitBoilerplateIndex(base, "doc_id", "text", "src")
+    val ext = Dedup.extendBoilerplateIndex(idx, batch, "doc_id", "text", "src")
+    val refit = Dedup.fitBoilerplateIndex(
+      base.unionByName(batch), "doc_id", "text", "src")
+    assert(hist(ext) === hist(refit))
+    // nav in g reached df=3; promo df=2; h's nav stays df=1 (per-group)
+    assert(hist(ext).contains(("g", "nav", 3L)))
+    assert(hist(ext).contains(("g", "promo", 2L)))
+    assert(hist(ext).contains(("h", "nav", 1L)))
+    // save→load round-trips, then scrubbing the batch against the
+    // EXTENDED histogram cuts the lines the batch itself pushed over
+    // the bar (nav df=3, promo df=2 at minDf=2) but not h's nav
+    val dir = java.nio.file.Files.createTempDirectory("graft-bp").toString
+    ext.save(dir)
+    val loaded = Dedup.loadBoilerplateIndex(spark, dir)
+    val out = Dedup.stripWithBoilerplateIndex(loaded, batch,
+        "doc_id", "text", "src", minDf = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (3L, 3L, 1L, "body3"),
+      (4L, 2L, 1L, "body4"),
+      (5L, 2L, 2L, "nav\nbody5")))
+    // probe-time knob: the UNthresholded artifact supports a stricter cut
+    val strict = Dedup.stripWithBoilerplateIndex(loaded, batch,
+        "doc_id", "text", "src", minDf = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(strict === Seq(
+      (3L, 3L, 2L, "body3\npromo"),
+      (4L, 2L, 2L, "promo\nbody4"),
+      (5L, 2L, 2L, "nav\nbody5")))
+    // batch prevalence does NOT contribute unless folded in: against the
+    // UNextended base index, promo (df=0 in base) rides through
+    val noFold = Dedup.stripWithBoilerplateIndex(idx, batch,
+        "doc_id", "text", "src", minDf = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(noFold === Seq(
+      (3L, 3L, 2L, "body3\npromo"),
+      (4L, 2L, 2L, "promo\nbody4"),
+      (5L, 2L, 2L, "nav\nbody5")))
+    // stale derivation scheme fails loudly at load
+    Seq(("\n", 99)).toDF("sep", "scheme")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.loadBoilerplateIndex(spark, dir)
+    }
+    assert(e.getMessage.contains("scheme"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.stripWithBoilerplateIndex(idx, batch, "doc_id", "text", "src",
+        minDf = 1)
+    }
+    assert(e2.getMessage.contains("minDf"))
+  }
+
   test("line dedup: regex-special separators are taken literally") {
     val docs = Seq((1L, "a.b.a"), (2L, "b.c")).toDF("doc_id", "text")
     val out = Dedup.lineDedup(docs, "doc_id", "text", sep = ".")
@@ -2861,6 +2929,15 @@ class OpsSpec extends SparkSpec {
     // 10: 1*ln4 + 2*(-ln4) = -1.386294361 -> -1.3863, drop
     // 11: 2*ln4 + 1*default(0) = 2.772588722 -> 2.7726, keep
     assert(out === Seq((10L, -1.3863, false), (11L, 2.7726, true)))
+    // annotate-never-drop (the nbStream contract): a NULL-text doc keeps
+    // its row with NULL score/keep; empty text scores its degenerate ""
+    // token at the default weight (= bias here)
+    val edge = Seq((20L, null.asInstanceOf[String]), (21L, ""))
+      .toDF("doc_id", "text")
+    val eout = Classify.nbScore(edge, "doc_id", "text", m)
+      .orderBy("doc_id")
+      .as[(Long, Option[Double], Option[Boolean])].collect().toSeq
+    assert(eout === Seq((20L, None, None), (21L, Some(0.0), Some(false))))
     val e = intercept[IllegalArgumentException] {
       Classify.fitNbClassifier(docs, "text", lit(true))
     }
@@ -3072,6 +3149,68 @@ class OpsSpec extends SparkSpec {
       Sketch.fitFreq(baseDf, "src", col("t"), "t-v1", eps = 0.0)
     }
     assert(e3.getMessage.contains("eps"))
+  }
+
+  test("freq registry at high G: ObjectHashAggregate sort-fallback exact; shuffle-join estimates ≡ broadcast") {
+    import graft.ops.Sketch
+    // 60 groups against a FORCED fallback threshold of 2: every task's
+    // hash map overflows almost immediately, so the whole fit runs
+    // through ObjectHashAggregate's sort-based fallback — the path the
+    // fitFreq memory contract says a high-cardinality groupCol takes.
+    // Estimates must be exactly what the hash path yields (no-collision
+    // width, so exact counts).
+    val rows = (0 until 60).flatMap { g =>
+      Seq.fill(g % 5 + 1)((s"g$g", "a")) ++ Seq((s"g$g", "b"))
+    }
+    val df = spark.createDataFrame(rows).toDF("src", "t")
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.get(key)
+    val idx =
+      try {
+        spark.conf.set(key, "2")
+        val i = Sketch.fitFreq(df, "src", col("t"), "t-v1", eps = 0.01)
+        // the aggregate is planned as ObjectHashAggregate (the operator
+        // whose fallback bounds map-side memory), not Sort/HashAggregate
+        val plan = i.sketches.queryExecution.executedPlan.toString
+        assert(plan.contains("ObjectHashAggregate"), plan.take(500))
+        i.sketches.cache().count() // materialize under the forced threshold
+        i
+      } finally spark.conf.set(key, prev)
+    val probes = spark.createDataFrame(
+      (0 until 60).map(g => (s"g$g", "a"))).toDF("src", "t")
+    val viaBcast = Sketch.estimateFreq(idx, probes, "src", "t")
+      .as[(String, String, Option[Long])].collect().toSet
+    (0 until 60).foreach { g =>
+      assert(viaBcast.contains((s"g$g", "a", Some(g % 5 + 1L))), s"g$g")
+    }
+    // the shuffle-join escape hatch: identical estimates, no broadcast
+    // of the sketch relation in the plan (auto-broadcast disabled so
+    // the tiny fixture behaves like the over-threshold registry the
+    // flag exists for — the ScaleSpec posture)
+    val bKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevB = spark.conf.get(bKey)
+    try {
+      spark.conf.set(bKey, "-1")
+      val shuffled = Sketch.estimateFreq(idx, probes, "src", "t",
+        broadcastSketches = false)
+      val sPlan = shuffled.queryExecution.executedPlan.toString
+      assert(!sPlan.contains("BroadcastHashJoin"), sPlan.take(500))
+      assert(shuffled.as[(String, String, Option[Long])].collect().toSet
+        === viaBcast)
+    } finally spark.conf.set(bKey, prevB)
+    idx.sketches.unpersist()
+    // a corrupt sketch HEADER (plausible-looking but absurd declared
+    // dimensions) estimates NULL — never a huge allocation or crash
+    val bb = java.nio.ByteBuffer.allocate(20)
+    bb.putInt(1).putLong(100L).putInt(Int.MaxValue).putInt(Int.MaxValue)
+    val evil = spark.createDataFrame(Seq(("g0", bb.array())))
+      .toDF("group", "sk")
+    val estE = Sketch.estimateFreq(
+        Sketch.FreqIndex(evil, 0.01, 0.99, 42, "t-v1"),
+        spark.createDataFrame(Seq(("g0", "a"))).toDF("src", "t"),
+        "src", "t")
+      .as[(String, String, Option[Long])].collect().head._3
+    assert(estE === None)
   }
 }
 

@@ -580,7 +580,8 @@ class StreamingSpec extends SparkSpec {
     val arriving = Seq(
       Doc(10L, ts, "en", "good clean words"),   // seed-like -> keep
       Doc(11L, ts, "en", "spam buy buy"),       // crawl-like -> drop
-      Doc(12L, ts, "en", "wholly novel tokens")) // all-default terms
+      Doc(12L, ts, "en", "wholly novel tokens"), // all-default terms
+      Doc(13L, ts, "en", null))                 // un-scorable: NULL, kept
     val input = MemoryStream[Doc](spark)
     input.addData(arriving: _*)
     val q = streaming.DocumentStreams.nbStream(input.toDF(), model)
@@ -589,13 +590,15 @@ class StreamingSpec extends SparkSpec {
       .outputMode(OutputMode.Append()).start()
     try q.processAllAvailable() finally q.stop()
     val streamed = spark.table("nbscore")
-      .as[(Long, Double, Boolean)].collect().toSet
+      .as[(Long, Option[Double], Option[Boolean])].collect().toSet
     val batch = graft.ops.Classify.nbScore(
         arriving.toDF().select("doc_id", "text"), "doc_id", "text", model)
-      .as[(Long, Double, Boolean)].collect().toSet
+      .as[(Long, Option[Double], Option[Boolean])].collect().toSet
     assert(streamed === batch)
+    // the NULL-text row survives BOTH paths, annotated not dropped
+    assert(streamed.contains((13L, None, None)))
     val byId = streamed.map(r => r._1 -> r._2).toMap
-    assert(byId(10L) > 0 && byId(11L) < 0, byId.toString)
+    assert(byId(10L).get > 0 && byId(11L).get < 0, byId.toString)
     // stateless
     val state = Option(q.lastProgress).toSeq
       .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal)).sum

@@ -230,6 +230,88 @@ object AnalyticQueries {
               sum(cur) AS node_sum
        FROM anc GROUP BY depth""")
 
+  /** WITH RECURSIVE whose step JOINS a corpus-sized edge TABLE — the
+    * shape real users hit (org charts, thread ancestry, link graphs
+    * stored as an edge relation), and the one q119's planted-forest
+    * walk deliberately avoids: here the parent is NOT computable from
+    * the child, it must be LOOKED UP, so every level pays one join
+    * against the edge table. The edges are planted deterministically
+    * (`child → child div 7` for ids ≥ 7, one row per document) so both
+    * engines replay the closure exactly, but the ENGINE cannot know
+    * that — it sees an opaque relation.
+    *
+    * Scale shape: each iteration joins the current frontier (shrinking
+    * by ~7× per level) against the edge table. Loop/planner interaction
+    * (observed on Spark 4.1, PlanSpec-pinned): `UnionLoopExec` keeps
+    * anchor and step as LOGICAL plans — the formatted explain shows a
+    * generic `Join` under `UnionLoop`, with `AdaptiveSparkPlan`
+    * wrapping only the final aggregate — and executes each level as a
+    * fresh `Dataset` with the frontier substituted for `UnionLoopRef`
+    * (small frontiers inline as a `LocalRelation` up to
+    * `localRelationLimit`). So the join strategy is re-chosen EVERY
+    * level with real frontier statistics: this edge table rides under
+    * the broadcast threshold (one BHJ per level, frontier never
+    * shuffled), while a 100 TB link graph would re-shuffle its edge
+    * side per level under SMJ — the reason a production walk
+    * pre-buckets edges on `child`. Levels are log₇(id domain); each
+    * level also re-scans the edge relation (per-level scan cost is the
+    * price of the loop — nothing persists it implicitly).
+    */
+  def q124(s: SparkSession, dir: String): DataFrame = sqlDoor(s, dir,
+    """WITH RECURSIVE edges AS (
+         SELECT CAST(doc_id AS BIGINT) AS child,
+                CAST(doc_id AS BIGINT) DIV 7 AS parent
+         FROM documents WHERE doc_id >= 7
+       ),
+       anc AS (
+         SELECT CAST(doc_id AS BIGINT) AS start_id,
+                CAST(doc_id AS BIGINT) AS cur,
+                CAST(0 AS BIGINT) AS depth
+         FROM documents
+         UNION ALL
+         SELECT a.start_id, e.parent AS cur,
+                a.depth + CAST(1 AS BIGINT) AS depth
+         FROM anc a JOIN edges e ON a.cur = e.child
+       )
+       SELECT depth, count(*) AS n, sum(start_id) AS start_sum,
+              sum(cur) AS node_sum
+       FROM anc GROUP BY depth""")
+
+  /** LATERAL through the SQL door — both ANSI surfaces users reach for
+    * on array/text columns, in one gated query: a HiveQL table-valued
+    * generator (`LATERAL VIEW posexplode`, the SQL spelling of the
+    * DataFrame explode the pipeline queries use everywhere) and an ANSI
+    * correlated `JOIN LATERAL` subquery with ORDER BY + LIMIT (top-3
+    * terms per source — the per-row-top-k shape that motivates LATERAL
+    * in every engine). Spark decorrelates the LIMIT-ed lateral into a
+    * window rank under the hood — no per-row re-execution, one
+    * aggregate + one rank over the (source, term) relation; the
+    * generator is a codegen'd `Generate` on the scan side of the one
+    * token shuffle. The oracle replays the unnest with an index-range
+    * ordinality and the lateral as DuckDB's own comma-LATERAL.
+    */
+  def q125(s: SparkSession, dir: String): DataFrame = sqlDoor(s, dir,
+    """WITH toks AS (
+         SELECT d.doc_id, d.source, t.pos, t.term
+         FROM documents d
+         LATERAL VIEW posexplode(split(d.text, ' ')) t AS pos, term
+       ),
+       src AS (
+         SELECT source, count(DISTINCT doc_id) AS n_docs,
+                count(*) AS n_toks, sum(pos) AS pos_sum
+         FROM toks GROUP BY source
+       )
+       SELECT s.source, s.n_docs, s.n_toks, s.pos_sum,
+              x.term AS top_term, x.n AS top_n
+       FROM src s
+       JOIN LATERAL (
+         SELECT t.term, count(*) AS n
+         FROM toks t WHERE t.source = s.source
+         GROUP BY t.term
+         ORDER BY n DESC, t.term
+         LIMIT 3
+       ) x""")
+
   /** Sessionization (gaps-and-islands): a session ends after 30 idle
     * minutes. lag + running sum over a per-user window — one shuffle on
     * user_id; state per row is O(1). Gap math on exact integer micros.
@@ -563,6 +645,8 @@ object AnalyticQueries {
     "q54_exists_subquery" -> (q54 _),
     "q56_sql_cross_corpus" -> (q56 _),
     "q119_recursive_cte" -> (q119 _),
+    "q124_recursive_edge_join" -> (q124 _),
+    "q125_lateral" -> (q125 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -790,5 +874,49 @@ object AnalyticQueries {
                 CAST(sum(start_id) AS BIGINT) AS start_sum,
                 CAST(sum(cur) AS BIGINT) AS node_sum
          FROM anc GROUP BY depth""",
+    // same closure through an EDGE-TABLE join per level (DuckDB `//`
+    // integer division; sums cast back from HUGEINT)
+    "q124_recursive_edge_join" ->
+      """WITH RECURSIVE edges AS (
+           SELECT CAST(doc_id AS BIGINT) AS child,
+                  CAST(doc_id AS BIGINT) // 7 AS parent
+           FROM documents WHERE doc_id >= 7
+         ),
+         anc AS (
+           SELECT CAST(doc_id AS BIGINT) AS start_id,
+                  CAST(doc_id AS BIGINT) AS cur,
+                  CAST(0 AS BIGINT) AS depth
+           FROM documents
+           UNION ALL
+           SELECT a.start_id, e.parent AS cur,
+                  a.depth + CAST(1 AS BIGINT) AS depth
+           FROM anc a JOIN edges e ON a.cur = e.child
+         )
+         SELECT depth, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(start_id) AS BIGINT) AS start_sum,
+                CAST(sum(cur) AS BIGINT) AS node_sum
+         FROM anc GROUP BY depth""",
+    // generator replayed as index-range unnest (pos is 0-based like
+    // posexplode); the top-3-per-source lateral as DuckDB comma-LATERAL
+    "q125_lateral" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ls
+               FROM documents),
+         toks AS (SELECT doc_id, source, CAST(i - 1 AS INT) AS pos,
+                    ls[i] AS term
+                  FROM w, unnest(range(1, len(ls) + 1)) AS t(i)),
+         src AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT)
+                     AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_toks,
+                   CAST(sum(pos) AS BIGINT) AS pos_sum
+                 FROM toks GROUP BY source)
+       SELECT s.source, s.n_docs, s.n_toks, s.pos_sum,
+              x.term AS top_term, x.n AS top_n
+       FROM src s, LATERAL (
+         SELECT t.term, CAST(count(*) AS BIGINT) AS n
+         FROM toks t WHERE t.source = s.source
+         GROUP BY t.term
+         ORDER BY n DESC, t.term
+         LIMIT 3
+       ) x""",
   )
 }

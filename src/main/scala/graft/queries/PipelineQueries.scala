@@ -1499,6 +1499,65 @@ object PipelineQueries {
       minDf = 15)
   }
 
+  /** Coarser planted URL for the per-DOMAIN boilerplate pass: 13 site
+    * labels × 5 suffixes = 65 registered domains, so at sf0.01 each
+    * domain carries ~7–8 documents — enough distinct carriers that a
+    * per-domain line frequency can genuinely clear (or miss) a
+    * boilerplate threshold, where [[plantedUrl]]'s 97×5 sweep leaves
+    * ~1 doc per domain (right for the cap/blocklist queries, degenerate
+    * for df counting). Same structural branches — scheme, userinfo,
+    * port — so host extraction is exercised identically.
+    */
+  private def plantedUrlCoarse: Column = concat(
+    when(pmod(col("doc_id"), lit(3L)) === 0, lit("https://"))
+      .otherwise(lit("http://")),
+    when(pmod(col("doc_id"), lit(11L)) === 0,
+      concat(lit("crawler"), col("doc_id"), lit(":tok@"))).otherwise(lit("")),
+    lit("www.hub"), pmod(col("doc_id"), lit(13L)), lit("."),
+    element_at(
+      array(lit("com"), lit("co.uk"), lit("org"), lit("github.io"),
+        lit("com.au")),
+      (pmod(col("doc_id"), lit(5L)) + 1).cast("int")),
+    when(pmod(col("doc_id"), lit(13L)) === 0, lit(":8443"))
+      .otherwise(lit("")),
+    lit("/p/"), col("doc_id"))
+
+  /** Boilerplate removal at REGISTERED-DOMAIN grain — the production
+    * form of q120's cut (RefinedWeb strips nav/footer lines per
+    * registered domain, because boilerplate is site-templated and one
+    * site spans many hosts): [[WebOps.urlHost]] → [[WebOps
+    * .registeredDomain]] (public-suffix-aware) composed with
+    * [[Dedup.stripBoilerplate]] grouped by the domain. The planted nav
+    * line (`nav-<domain>`) is carried by every doc of its domain, so at
+    * minDf = 8 it is cut exactly in the domains holding ≥ 8 docs and
+    * kept in the smaller ones — BOTH threshold outcomes on the SAME
+    * planted line, decided by real per-domain carrier counts (the
+    * 65-domain [[plantedUrlCoarse]] sweep leaves domain sizes
+    * straddling 8 at sf0.01); the per-doc `promo-<id%3>` line stays
+    * under the bar everywhere. The oracle replays URL planting, host
+    * regex, suffix CASE, per-domain distinct-carrier counts, the
+    * threshold and every reassembled string.
+    *
+    * Scale shape: stripBoilerplate's two carrier-count shuffles now key
+    * on an UNBOUNDED-cardinality domain column — safe because the
+    * operator keeps no per-group state beyond the aggregation rows
+    * themselves (contrast the sketch registries' G × sketch-bytes
+    * contract): the first high-G consumer of the line-grain family.
+    */
+  def q123(s: SparkSession, dir: String): DataFrame = {
+    val withDom = t(s, dir)("documents")
+      .withColumn("domain",
+        WebOps.registeredDomain(WebOps.urlHost(plantedUrlCoarse)))
+    val planted = withDom.select(col("doc_id"), col("domain"),
+      concat(coalesce(col("text"), lit("")),
+        lit("\nnav-"), col("domain"),
+        lit("\npromo-"), (col("doc_id") % 3).cast("string")).as("t"))
+    Dedup.stripBoilerplate(planted, "doc_id", "t", "domain", minDf = 8)
+      .join(withDom.select(col("doc_id"), col("domain")), Seq("doc_id"))
+      .select(col("doc_id"), col("domain"), col("n_units"),
+        col("n_kept"), col("text_clean"))
+  }
+
   /** Per-source Zipf fit ([[TextOps.zipfReport]]): log–log regression
     * slope/intercept over the deterministic top-256 term ranks — the
     * corpus-health screen (natural text ≈ −1; templated slices flatten).
@@ -1721,6 +1780,7 @@ object PipelineQueries {
     "q120_boilerplate"    -> (q120 _),
     "q121_zipf_fit"       -> (q121 _),
     "q122_boilerplate_stored" -> (q122 _),
+    "q123_domain_boilerplate" -> (q123 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -3593,6 +3653,57 @@ FROM o"""
               coalesce(string_agg(CASE WHEN keep THEN unit END, chr(10)
                                   ORDER BY pos), '') AS text_clean
        FROM k GROUP BY doc_id""",
+    // per-REGISTERED-DOMAIN boilerplate: the coarse planted URL, the
+    // IDENTICAL host regex, the public-suffix CASE, per-domain
+    // distinct-carrier counts, the minDf threshold and every
+    // reassembled string — the q108/q117 URL chain composed with the
+    // q120 strip replay
+    "q123_domain_boilerplate" ->
+      s"""WITH u AS (SELECT doc_id, text,
+             (CASE WHEN doc_id % 3 = 0 THEN 'https://' ELSE 'http://' END) ||
+             (CASE WHEN doc_id % 11 = 0
+                THEN 'crawler' || CAST(doc_id AS VARCHAR) || ':tok@'
+                ELSE '' END) ||
+             'www.hub' || CAST(doc_id % 13 AS VARCHAR) || '.' ||
+             list_value('com', 'co.uk', 'org', 'github.io', 'com.au')
+               [CAST(doc_id % 5 AS BIGINT) + 1] ||
+             (CASE WHEN doc_id % 13 = 0 THEN ':8443' ELSE '' END) ||
+             '/p/' || CAST(doc_id AS VARCHAR) AS url
+           FROM documents),
+         h AS (SELECT doc_id, text,
+                 lower(regexp_extract(url, '${WebOps.HostPattern}', 1))
+                   AS host
+               FROM u),
+         p AS (SELECT doc_id, text, host,
+                 string_split(host, '.') AS parts FROM h),
+         dom AS (SELECT doc_id, text,
+                 CASE WHEN len(parts) >= 3
+                        AND (parts[-2] || '.' || parts[-1]) IN
+                          ('co.uk', 'ac.uk', 'gov.uk', 'org.uk', 'co.jp',
+                           'com.au', 'com.br', 'github.io')
+                      THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+                      WHEN len(parts) >= 2
+                      THEN parts[-2] || '.' || parts[-1]
+                      ELSE host END AS domain
+               FROM p),
+         d AS (SELECT doc_id, domain,
+             coalesce(text, '') || chr(10) || 'nav-' || domain || chr(10) ||
+             'promo-' || CAST(doc_id % 3 AS VARCHAR) AS t
+           FROM dom),
+         w AS (SELECT doc_id, domain, string_split(t, chr(10)) AS ls FROM d),
+         l AS (SELECT doc_id, domain, CAST(i - 1 AS INT) AS pos, ls[i] AS unit
+               FROM w, unnest(range(1, len(ls) + 1)) AS t(i)),
+         c AS (SELECT domain, unit, count(DISTINCT doc_id) AS line_df
+               FROM l GROUP BY domain, unit),
+         k AS (SELECT l.doc_id, l.domain, l.pos, l.unit,
+                 (c.line_df < 8) AS keep
+               FROM l JOIN c ON l.domain = c.domain AND l.unit = c.unit)
+       SELECT doc_id, domain, CAST(count(*) AS BIGINT) AS n_units,
+              CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_kept,
+              coalesce(string_agg(CASE WHEN keep THEN unit END, chr(10)
+                                  ORDER BY pos), '') AS text_clean
+       FROM k GROUP BY doc_id, domain""",
     // Zipf fit: counts, the deterministic (n DESC, term) rank, both
     // regression aggregates and the 4dp rounding all replayed
     "q121_zipf_fit" ->

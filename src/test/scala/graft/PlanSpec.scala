@@ -362,6 +362,37 @@ class PlanSpec extends SparkSpec {
       plan)
   }
 
+  test("q124: recursive edge-join CTE — UnionLoop with a logical step join, AQE outside the loop") {
+    val plan = planOf("q124_recursive_edge_join")
+    assert(plan.contains("UnionLoop"), plan)
+    assert(plan.contains("UnionLoopRef"), plan)
+    // the step joins the frontier to the edge RELATION — exactly one
+    // join, and it stays LOGICAL inside the loop (UnionLoopExec
+    // re-plans each level with the materialized frontier substituted,
+    // so the physical strategy is chosen per level with real frontier
+    // stats; a compile-time-frozen BHJ/SMJ node here would mean the
+    // loop could never adapt to a shrinking frontier)
+    assert("Join \\(\\d+\\)".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      plan)
+    // adaptive planning wraps only the FINAL aggregate, not the loop
+    val loopIdx = plan.indexOf("UnionLoop")
+    val aqeIdx = plan.indexOf("AdaptiveSparkPlan")
+    assert(aqeIdx >= 0 && aqeIdx < loopIdx, plan)
+  }
+
+  test("q125: LATERAL — generator planned as Generate, LIMIT-ed lateral decorrelated to a pruned rank") {
+    val plan = planOf("q125_lateral")
+    // the LATERAL VIEW posexplode is a Generate on the scan side
+    assert(plan.contains("Generate"), plan)
+    // the ORDER BY+LIMIT lateral subquery decorrelates into a window
+    // rank with WindowGroupLimit map-side pruning — NOT a per-outer-row
+    // re-execution and NOT a cartesian
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q08: both filters sit below the joins") {
     val optimized = SparkEntry.queries("q08_join_3way")(spark, sfDir)
       .queryExecution.optimizedPlan.toString

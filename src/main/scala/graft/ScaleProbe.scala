@@ -143,7 +143,22 @@ object ScaleProbe {
     // corpus-proportional ratio here means the partial aggregation
     // broke), and the composed web-curation pipeline (cap + NB fit +
     // score — the composition must track its parts, not multiply them)
-    "q115_canon_dedup", "q116_heavy_hitters", "q117_web_curation")
+    "q115_canon_dedup", "q116_heavy_hitters", "q117_web_curation",
+    // r13 tail + r14 arrivals (r13 verdict #5): the CMS registry —
+    // two corpus fit/extend aggregates whose shuffled state is
+    // G × sketch bytes regardless of rows (the fit side is
+    // corpus-linear, the registry side ~1×); the remove-all-copies
+    // boilerplate cut (two distinct-carrier shuffles + the cut-list
+    // join-back) at source grain, its stored-histogram lifecycle, and
+    // its registered-domain production form (the high-G consumer);
+    // the Zipf fit (vocab-sized window, the corpus never enters the
+    // rank exchange); the two recursive CTEs (planted-forest walk =
+    // pure per-level scans vs edge-join walk = per-level BHJ probe —
+    // levels grow log₇, so warm ratio should track rows, not depth);
+    // and the LATERAL pair (generator + decorrelated top-k rank)
+    "q118_freq_registry", "q120_boilerplate", "q121_zipf_fit",
+    "q122_boilerplate_stored", "q119_recursive_cte",
+    "q123_domain_boilerplate", "q124_recursive_edge_join", "q125_lateral")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

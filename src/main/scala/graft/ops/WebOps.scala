@@ -132,4 +132,86 @@ object WebOps {
       .filter(col("__rnk") <= n)
       .drop("__key", "__rnk")
   }
+
+  /** Query parameters stripped by [[urlCanonicalize]] — REGEX fragments
+    * matched against the full `key` or `key=value` unit (anchored by the
+    * caller): the common cross-site tracking/attribution params whose
+    * presence hides byte-identical pages from URL-keyed dedup. A
+    * deployment extends the list the way it loads a full public-suffix
+    * list for [[registeredDomain]] — it is config, not code.
+    */
+  val DefaultTrackingParams: Seq[String] = Seq(
+    "utm_[a-z]+", "gclid", "fbclid", "msclkid", "mc_cid", "mc_eid", "ref")
+
+  /** Canonical form of a URL — the key for URL-level deduplication (the
+    * crawl-frontier / CommonCrawl-index dedup that runs BEFORE content
+    * dedup: the same page fetched as `HTTP://Site.com:80/p?utm_source=x#t`
+    * and `http://site.com/p` must collide). Normalizations, each the
+    * standard RFC 3986 §6 safe set plus tracking-param removal:
+    *
+    *  - scheme and host lowercased (case-insensitive per RFC; path and
+    *    query stay case-SENSITIVE and untouched);
+    *  - userinfo stripped (never identifies the resource);
+    *  - default ports dropped (`:80` for http, `:443` for https; any
+    *    other port kept);
+    *  - fragment stripped (client-side only);
+    *  - tracking query params removed (`trackingParams`, matched
+    *    anchored against each `key[=value]` unit), OTHER params kept in
+    *    their original ORDER (param order is significant per RFC — a
+    *    reorder-canonicalization would conflate distinct resources);
+    *  - empty path canonicalized to `/`; a query emptied by the
+    *    tracking cut loses its `?`.
+    *
+    * Non-URLs (no `scheme://`) pass through UNCHANGED — identity, never
+    * an error (the [[urlHost]] posture). One scan of codegen'd regex +
+    * array expressions; the per-unit tracking filter is the only
+    * higher-order function and runs over the handful of params a URL
+    * carries, never the corpus. Every step replays in DuckDB
+    * (regexp_extract / list_filter / list_aggr), so canonical keys are
+    * oracle-pinned byte-for-byte.
+    */
+  def urlCanonicalize(
+      url: Column,
+      trackingParams: Seq[String] = DefaultTrackingParams): Column = {
+    val schemeRe = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+    val scheme = lower(regexp_extract(url, schemeRe, 1))
+    // authority after optional userinfo, WITH any port
+    val auth = regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]+)", 1)
+    val host = lower(regexp_extract(auth, "^([^:]+)", 1))
+    val port = regexp_extract(auth, ":([0-9]+)$", 1)
+    val portPart = when(
+      port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    // everything after the authority: path[?query][#fragment]
+    val rest = regexp_replace(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    val noFrag = regexp_replace(rest, "#.*$", "")
+    val path = regexp_extract(noFrag, "^([^?]*)", 1)
+    val pathC = when(path === "", lit("/")).otherwise(path)
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val trackRe = "^(?:" + trackingParams.mkString("|") + ")(?:=.*)?$"
+    val kept = filter(split(query, "&"),
+      p => p =!= lit("") && !p.rlike(trackRe))
+    val queryPart = when(size(kept) > 0,
+      concat(lit("?"), array_join(kept, "&"))).otherwise(lit(""))
+    when(regexp_extract(url, schemeRe, 1) === "", url)
+      .otherwise(concat(scheme, lit("://"), host, portPart, pathC,
+        queryPart))
+  }
+
+  /** URL-keyed exact dedup: group by [[urlCanonicalize]], keep the
+    * smallest id (the [[graft.ops.Dedup.exactByKey]] keeper rule),
+    * report the copy count. Output: `(canon_url, keeper_id, n_copies)`.
+    * One key shuffle — the crawl-frontier dedup pass at any scale.
+    */
+  def dedupByCanonicalUrl(
+      df: DataFrame, urlCol: String, idCol: String,
+      trackingParams: Seq[String] = DefaultTrackingParams): DataFrame =
+    df.select(urlCanonicalize(col(urlCol), trackingParams).as("canon_url"),
+        col(idCol))
+      .groupBy(col("canon_url"))
+      .agg(min(col(idCol)).as("keeper_id"),
+        count(lit(1)).as("n_copies"))
 }

@@ -1558,6 +1558,55 @@ object PipelineQueries {
         col("n_kept"), col("text_clean"))
   }
 
+  /** URL-keyed dedup under canonicalization ([[WebOps.urlCanonicalize]]
+    * / [[WebOps.dedupByCanonicalUrl]]) — the crawl-frontier pass that
+    * runs BEFORE content dedup: the same page re-fetched under scheme/
+    * host case noise, userinfo, an explicit default port, tracking
+    * params and a fragment must collide on one canonical key. Every doc
+    * plants a clean fetch and a noisy re-fetch of the SAME resource
+    * (uppercased scheme+host, `:80`/`:443` made explicit where the
+    * clean form has no port, `utm_source`/`fbclid`/`ref` wrapped around
+    * the one REAL query param whose order must survive, a fragment) —
+    * so every canonical group has exactly 2 copies with the clean id as
+    * keeper; every 10th doc also plants a non-URL row, which passes
+    * through canonicalization UNCHANGED (identity, n_copies = 1). The
+    * oracle replays the planting and the entire normalization chain —
+    * regex extracts, default-port CASE, anchored tracking filter over
+    * the split param list, reassembly — so each canonical string is
+    * pinned byte-for-byte.
+    */
+  def q126(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    val id = col("doc_id")
+    val sfx = element_at(
+      array(lit("com"), lit("co.uk"), lit("org"), lit("github.io"),
+        lit("com.au")),
+      (pmod(id, lit(5L)) + 1).cast("int"))
+    val clean = docs.select(id.as("id"), concat(
+      when(pmod(id, lit(3L)) === 0, lit("https://")).otherwise(lit("http://")),
+      when(pmod(id, lit(11L)) === 0,
+        concat(lit("fetcher"), id, lit(":tok@"))).otherwise(lit("")),
+      lit("www.page"), pmod(id, lit(37L)), lit("."), sfx,
+      when(pmod(id, lit(13L)) === 0, lit(":8443")).otherwise(lit("")),
+      lit("/a/"), id,
+      lit("?q=t"), pmod(id, lit(6L)), lit("&ref=r"), pmod(id, lit(4L)))
+      .as("url"))
+    val noisy = docs.select((id + 1000000L).as("id"), concat(
+      when(pmod(id, lit(3L)) === 0, lit("HTTPS://")).otherwise(lit("HTTP://")),
+      lit("WWW.PAGE"), pmod(id, lit(37L)), lit("."), upper(sfx),
+      when(pmod(id, lit(13L)) === 0, lit(":8443"))
+        .otherwise(when(pmod(id, lit(3L)) === 0, lit(":443"))
+          .otherwise(lit(":80"))),
+      lit("/a/"), id,
+      lit("?utm_source=feed&q=t"), pmod(id, lit(6L)),
+      lit("&fbclid=x&ref=r9#frag")).as("url"))
+    val nonUrl = docs.filter(id % 10 === 0)
+      .select((id + 2000000L).as("id"),
+        concat(lit("not a url "), id).as("url"))
+    WebOps.dedupByCanonicalUrl(
+      clean.unionByName(noisy).unionByName(nonUrl), "url", "id")
+  }
+
   /** Per-source Zipf fit ([[TextOps.zipfReport]]): log–log regression
     * slope/intercept over the deterministic top-256 term ranks — the
     * corpus-health screen (natural text ≈ −1; templated slices flatten).
@@ -1781,6 +1830,7 @@ object PipelineQueries {
     "q121_zipf_fit"       -> (q121 _),
     "q122_boilerplate_stored" -> (q122 _),
     "q123_domain_boilerplate" -> (q123 _),
+    "q126_url_dedup"      -> (q126 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -3704,6 +3754,78 @@ FROM o"""
               coalesce(string_agg(CASE WHEN keep THEN unit END, chr(10)
                                   ORDER BY pos), '') AS text_clean
        FROM k GROUP BY doc_id, domain""",
+    // URL canonicalization dedup: both planted fetch variants + the
+    // non-URL identity row rebuilt, the WHOLE normalization chain
+    // replayed — scheme/host lowercase, userinfo strip, default-port
+    // CASE, fragment strip, anchored tracking filter over the split
+    // param list (order-preserving), empty-path -> '/' — then the
+    // min-id keeper aggregation
+    "q126_url_dedup" ->
+      """WITH sfx AS (SELECT doc_id,
+             list_value('com', 'co.uk', 'org', 'github.io', 'com.au')
+               [CAST(doc_id % 5 AS BIGINT) + 1] AS s
+           FROM documents),
+         clean AS (SELECT doc_id AS id,
+             (CASE WHEN doc_id % 3 = 0 THEN 'https://' ELSE 'http://' END) ||
+             (CASE WHEN doc_id % 11 = 0
+                THEN 'fetcher' || CAST(doc_id AS VARCHAR) || ':tok@'
+                ELSE '' END) ||
+             'www.page' || CAST(doc_id % 37 AS VARCHAR) || '.' || s ||
+             (CASE WHEN doc_id % 13 = 0 THEN ':8443' ELSE '' END) ||
+             '/a/' || CAST(doc_id AS VARCHAR) ||
+             '?q=t' || CAST(doc_id % 6 AS VARCHAR) ||
+             '&ref=r' || CAST(doc_id % 4 AS VARCHAR) AS url
+           FROM sfx),
+         noisy AS (SELECT doc_id + 1000000 AS id,
+             (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'HTTP://' END) ||
+             'WWW.PAGE' || CAST(doc_id % 37 AS VARCHAR) || '.' || upper(s) ||
+             (CASE WHEN doc_id % 13 = 0 THEN ':8443'
+                   WHEN doc_id % 3 = 0 THEN ':443' ELSE ':80' END) ||
+             '/a/' || CAST(doc_id AS VARCHAR) ||
+             '?utm_source=feed&q=t' || CAST(doc_id % 6 AS VARCHAR) ||
+             '&fbclid=x&ref=r9#frag' AS url
+           FROM sfx),
+         nonurl AS (SELECT doc_id + 2000000 AS id,
+             'not a url ' || CAST(doc_id AS VARCHAR) AS url
+           FROM documents WHERE doc_id % 10 = 0),
+         al AS (SELECT * FROM clean UNION ALL SELECT * FROM noisy
+                UNION ALL SELECT * FROM nonurl),
+         parts AS (SELECT id, url,
+             lower(regexp_extract(url,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+             regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]+)', 1)
+               AS auth,
+             regexp_replace(regexp_replace(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''), '#.*$', '')
+               AS nofrag
+           FROM al),
+         norm AS (SELECT id, url, scheme,
+             lower(regexp_extract(auth, '^([^:]+)', 1)) AS host,
+             regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+             regexp_extract(nofrag, '^([^?]*)', 1) AS pth,
+             list_filter(
+               string_split(regexp_extract(nofrag, '\?(.*)$', 1), '&'),
+               p -> p <> '' AND NOT regexp_matches(p,
+                 '^(?:utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref)(?:=.*)?$'))
+               AS kept
+           FROM parts),
+         canon AS (SELECT id,
+             CASE WHEN regexp_extract(url,
+                    '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1) = '' THEN url
+                  ELSE scheme || '://' || host ||
+                    (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                            OR (scheme = 'https' AND port = '443') THEN ''
+                          ELSE ':' || port END) ||
+                    (CASE WHEN pth = '' THEN '/' ELSE pth END) ||
+                    (CASE WHEN len(kept) > 0
+                          THEN '?' || array_to_string(kept, '&')
+                          ELSE '' END)
+             END AS canon_url
+           FROM norm)
+       SELECT canon_url, CAST(min(id) AS BIGINT) AS keeper_id,
+              CAST(count(*) AS BIGINT) AS n_copies
+       FROM canon GROUP BY canon_url""",
     // Zipf fit: counts, the deterministic (n DESC, term) rank, both
     // regression aggregates and the 4dp rounding all replayed
     "q121_zipf_fit" ->

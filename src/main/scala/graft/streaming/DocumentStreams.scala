@@ -372,4 +372,65 @@ object DocumentStreams {
       .withColumn("nb_logodds", score(TextOps.tokens(col("text"))))
       .withColumn("keep", col("nb_logodds") > threshold)
   }
+
+  /** Boilerplate scrub for ARRIVING documents against a STORED
+    * [[graft.ops.Dedup.BoilerplateIndex]] — the streaming twin of
+    * [[graft.ops.Dedup.stripWithBoilerplateIndex]], completing that
+    * artifact's lifecycle at the ingest door (fit/extend run in the
+    * batch compaction pass; the door only scrubs).
+    *
+    * Completely STATELESS, and — unlike the nb/importance twins — with
+    * NO driver-side map and NO UDF: the batch op's explode → cut-list
+    * join → re-aggregate reassembly is a stream-side shuffle a stream
+    * cannot run, but the SAME decision restates row-locally — collapse
+    * the thresholded cut list to one array per group, stream-static
+    * LEFT-join it on the group key (stateless; the static side re-plans
+    * per micro-batch, so persist the index), and filter the doc's own
+    * split units against it with a higher-order `filter` + `array_join`
+    * reassembly. Per-row work is O(units × cut-lines-of-its-group)
+    * array probes; the cut list is prevalence-bounded (lines carried by
+    * ≥ minDf docs — template-sized, not corpus-sized). `broadcastCuts`
+    * mirrors the [[flagAgainstBaseIndexed]] boundary: true (default —
+    * cut lists are template-sized) broadcasts the G-row array table so
+    * the stream side never shuffles.
+    *
+    * Stream ≡ batch EXACTLY (spec-pinned): unit split, hash-free string
+    * equality, order-preserving reassembly and the NULL-text-as-empty
+    * contract all restate [[graft.ops.Dedup.stripWithBoilerplateIndex]]
+    * per doc; the only difference is WHERE the filter runs (row-local
+    * vs join-side), which cannot change which units match. The batch's
+    * own prevalence never contributes — the door scrubs against the
+    * base the compaction pass last published (the cross-batch contract
+    * shared with [[spanFlagStream]]).
+    *
+    * Output: input columns + `n_units`, `n_kept`, `text_clean`.
+    */
+  def boilerplateScrubStream(docs: DataFrame,
+                             index: Dedup.BoilerplateIndex,
+                             groupCol: String, minDf: Long,
+                             broadcastCuts: Boolean = true): DataFrame = {
+    require(index.scheme == Dedup.BoilerplateIndex.Scheme,
+      s"BoilerplateIndex scheme ${index.scheme} != this build's " +
+        s"${Dedup.BoilerplateIndex.Scheme} — refit the index")
+    require(minDf >= 2,
+      s"boilerplateScrubStream: minDf must be >= 2, got $minDf")
+    val cutsG = index.lineDf.filter(col("line_df") >= minDf)
+      .groupBy(col("group"))
+      .agg(collect_set(col("unit")).as("__cuts"))
+    val cuts = if (broadcastCuts) broadcast(cutsG) else cutsG
+    val sep = index.sep
+    val units = split(coalesce(col("text"), lit("")),
+      java.util.regex.Pattern.quote(sep))
+    docs
+      .withColumn("group", col(groupCol))
+      .join(cuts, Seq("group"), "left")
+      .withColumn("__units", units)
+      .withColumn("__kept", filter(col("__units"),
+        u => !array_contains(coalesce(col("__cuts"),
+          array().cast("array<string>")), u)))
+      .withColumn("n_units", size(col("__units")).cast("long"))
+      .withColumn("n_kept", size(col("__kept")).cast("long"))
+      .withColumn("text_clean", array_join(col("__kept"), sep))
+      .drop("group", "__cuts", "__units", "__kept")
+  }
 }

@@ -2783,6 +2783,51 @@ class OpsSpec extends SparkSpec {
     assert(naive(2) === "co.uk")
   }
 
+  test("urlCanonicalize: RFC-safe normalizations, order-preserved params, non-URL identity") {
+    val urls = Seq(
+      // scheme/host case, userinfo, default port, fragment, tracking cut
+      "HTTP://user:pw@WWW.Example.COM:80/Path/X?utm_source=a&q=1&ref=x#top",
+      // the same resource fetched clean — MUST collide with the above
+      "http://www.example.com/Path/X?q=1",
+      // non-default port kept; https default port dropped
+      "https://site.org:8443/p",
+      "https://site.org:443/p",
+      // empty path -> '/', query emptied by the cut loses its '?'
+      "http://host.net?utm_campaign=x",
+      // param ORDER preserved (b=2&a=1 stays distinct from a=1&b=2)
+      "http://h.io/p?b=2&a=1",
+      "http://h.io/p?a=1&b=2",
+      // path/query case is NOT touched (case-sensitive per RFC)
+      "http://h.io/CaseSensitive?Q=UPPER",
+      // non-URLs pass through unchanged
+      "not a url",
+      "relative/path?x=1").toDF("url")
+    val out = urls.select(WebOps.urlCanonicalize(col("url"))).as[String]
+      .collect().toSeq
+    assert(out === Seq(
+      "http://www.example.com/Path/X?q=1",
+      "http://www.example.com/Path/X?q=1",
+      "https://site.org:8443/p",
+      "https://site.org/p",
+      "http://host.net/",
+      "http://h.io/p?b=2&a=1",
+      "http://h.io/p?a=1&b=2",
+      "http://h.io/CaseSensitive?Q=UPPER",
+      "not a url",
+      "relative/path?x=1"))
+    // NULL url -> NULL, never a crash
+    val n = Seq(Tuple1(null.asInstanceOf[String])).toDF("url")
+      .select(WebOps.urlCanonicalize(col("url"))).collect().head
+    assert(n.isNullAt(0))
+    // dedup keys on the canonical form, min-id keeper
+    val dd = WebOps.dedupByCanonicalUrl(
+      Seq((10L, "http://A.com/x?utm_source=z"), (3L, "http://a.com/x"),
+        (7L, "http://b.com/y")).toDF("id", "url"), "url", "id")
+      .orderBy("canon_url")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(dd === Seq(("http://a.com/x", 3L, 2L), ("http://b.com/y", 7L, 1L)))
+  }
+
   test("domainBlocklistDf: anti-join form equals the literal-IN form") {
     val docs = Seq(
       (1L, "spam.com"), (2L, "good.org"), (3L, "spam.com"), (4L, "ok.net"))

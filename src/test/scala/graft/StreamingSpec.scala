@@ -633,6 +633,56 @@ class StreamingSpec extends SparkSpec {
     assert(got._2 <= 0.0 && full._2 < got._2)
   }
 
+  test("boilerplateScrubStream scrubs in-flight docs identically to the batch strip, stateless") {
+    import graft.ops.Dedup
+    // base corpus: "nav" is boilerplate in lang en (df=2) but NOT in fr
+    // (df=1) — the per-group contract must hold through the stream
+    val base = Seq(
+      (1L, "en", "nav\nbody1"), (2L, "en", "nav\nbody2"),
+      (3L, "fr", "nav\ncorps")).toDF("doc_id", "text_src", "t")
+      .withColumnRenamed("text_src", "lang")
+      .select(col("doc_id"), col("lang"), col("t").as("text"))
+    val idx = Dedup.fitBoilerplateIndex(base, "doc_id", "text", "lang")
+    val ts = Timestamp.valueOf("2024-01-01 10:00:00")
+    val arriving = Seq(
+      Doc(10L, ts, "en", "nav\nfresh1"),      // en nav cut
+      Doc(11L, ts, "fr", "nav\nfrais"),       // fr nav kept (df=1 there)
+      Doc(12L, ts, "de", "nav\nneu"),         // group unknown to index
+      Doc(13L, ts, "en", "nav"),              // all-boilerplate -> ""
+      Doc(14L, ts, "en", null))               // NULL text = empty text
+    val input = MemoryStream[Doc](spark)
+    input.addData(arriving: _*)
+    val q = streaming.DocumentStreams.boilerplateScrubStream(
+        input.toDF(), idx, "lang", minDf = 2)
+      .select("doc_id", "n_units", "n_kept", "text_clean")
+      .writeStream.format("memory").queryName("bpscrub")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("bpscrub")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val batch = Dedup.stripWithBoilerplateIndex(idx,
+        arriving.toDF().select("doc_id", "lang", "text"),
+        "doc_id", "text", "lang", minDf = 2)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed === Set(
+      (10L, 2L, 1L, "fresh1"),
+      (11L, 2L, 2L, "nav\nfrais"),
+      (12L, 2L, 2L, "nav\nneu"),
+      (13L, 1L, 0L, ""),
+      (14L, 1L, 1L, "")))
+    // stateless — no state store rows
+    val state = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal)).sum
+    assert(state === 0, s"state rows = $state")
+    // foreign index scheme is loud
+    val e = intercept[IllegalArgumentException] {
+      streaming.DocumentStreams.boilerplateScrubStream(input.toDF(),
+        idx.copy(scheme = 99), "lang", minDf = 2)
+    }
+    assert(e.getMessage.contains("scheme"))
+  }
+
   test("scrubStream redacts in-flight PII identically to the batch scrub, stateless") {
     val ts = Timestamp.valueOf("2024-01-01 10:00:00")
     val arriving = Seq(

@@ -1803,6 +1803,76 @@ object TextOps {
     round((lenScore + stopScore) / 2.0, 4)
   }
 
+  /** The named public quality-rule sets, as per-document booleans —
+    * Gopher (Rae et al. 2021, the MassiveText filter) and C4 (Raffel et
+    * al. 2020), the two recipes every later pipeline (RefinedWeb, Dolma,
+    * FineWeb) derives from. Complements [[qualityScore]] (a blended
+    * scalar for ranked gates) with the AUDITABLE rule grid a curation
+    * run reports per rule: which rules fire, at what rate, per source.
+    *
+    * Every ratio threshold is evaluated in CROSS-MULTIPLIED integer
+    * arithmetic (`10·sym ≤ wc`, never `sym/wc ≤ 0.1`) so the booleans
+    * are bit-identical in any engine — no float division anywhere.
+    *
+    * Gopher rules (doc level):
+    *  - `g_wc`: 50 ≤ word count ≤ 100 000;
+    *  - `g_mwl`: mean word length in [3, 10] chars (total non-whitespace
+    *    chars vs word count — no per-word pass needed);
+    *  - `g_sym`: symbol-to-word ratio (`#`, `...`, `…`) ≤ 0.1;
+    *  - `g_bullet`: ≤ 90% of lines start with a bullet;
+    *  - `g_ellipsis`: ≤ 30% of lines end with an ellipsis;
+    *  - `g_alpha`: ≥ 80% of words contain an alphabetic character;
+    *  - `g_stop`: ≥ 2 distinct common stopwords present.
+    *
+    * C4 rules (doc level; C4's line-grain cut is [[graft.ops.Dedup
+    * .stripBoilerplate]]'s territory):
+    *  - `c_sent`: ≥ 3 terminal punctuation marks (the sentence floor);
+    *  - `c_lorem`: no `lorem ipsum`; `c_brace`: no `{` (code/JS tell);
+    *  - `c_punct`: every line ends in terminal punctuation.
+    *
+    * `gopher_keep` / `c4_keep` AND their rule sets. One scan, codegen'd
+    * regex counters (`regexp_count` with `(?m)` line anchors) — the one
+    * higher-order function (the alpha-word filter) runs over a doc's own
+    * token array. Empty/NULL text is the degenerate single-`""`-word doc
+    * ([[tokens]]'s contract) and fails `g_wc`/`g_alpha`/`c_sent`.
+    */
+  def gopherC4Flags(df: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val ws = tokens(t)
+    val wc = size(ws).cast("long")
+    val chars = length(regexp_replace(t, "\\s", "")).cast("long")
+    val sym = regexp_count(t, lit("#|\\.\\.\\.|\u2026")).cast("long")
+    val nl = size(split(t, "\n", -1)).cast("long")
+    val bullets = regexp_count(t, lit("(?m)^[ \\t]*[-*\u2022]")).cast("long")
+    val ell = regexp_count(t, lit("(?m)(\\.\\.\\.|\u2026)[ \\t]*$")).cast("long")
+    val alpha = size(filter(ws, w => w.rlike("[a-zA-Z]"))).cast("long")
+    val stops = size(array_intersect(array_distinct(ws),
+      array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        .map(lit): _*))).cast("long")
+    val punctLines = regexp_count(t, lit("(?m)[.!?\"'][ \\t]*$")).cast("long")
+    val sent = regexp_count(t, lit("[.!?]")).cast("long")
+    val gRules = Seq(
+      "g_wc" -> (wc >= 50L && wc <= 100000L),
+      "g_mwl" -> (chars >= wc * 3L && chars <= wc * 10L),
+      "g_sym" -> (sym * 10L <= wc),
+      "g_bullet" -> (bullets * 10L <= nl * 9L),
+      "g_ellipsis" -> (ell * 10L <= nl * 3L),
+      "g_alpha" -> (alpha * 5L >= wc * 4L),
+      "g_stop" -> (stops >= 2L))
+    val cRules = Seq(
+      "c_sent" -> (sent >= 3L),
+      "c_lorem" -> !contains(lower(t), lit("lorem ipsum")),
+      "c_brace" -> !contains(t, lit("{")),
+      "c_punct" -> (punctLines === nl))
+    val all = (gRules ++ cRules).map { case (n, c) => c.as(n) }
+    df.select(col(idCol) +: all: _*)
+      .withColumn("gopher_keep",
+        gRules.map(r => col(r._1)).reduce(_ && _))
+      .withColumn("c4_keep",
+        cRules.map(r => col(r._1)).reduce(_ && _))
+  }
+
   /** Heuristic language ID. Real language ID needs char-n-gram models;
     * this is the deterministic skeleton: CJK codepoints → zh, else
     * stopword density picks en, else unknown. The point is the *shape*

@@ -55,6 +55,25 @@ object AnalyticQueries {
     building.union(rich).distinct().intersect(buyers).except(machinery)
   }
 
+  /** MULTISET set operations — `INTERSECT ALL` / `EXCEPT ALL`, the bag
+    * semantics q18's distinct variants don't exercise (and a different
+    * physical shape: Spark plans the ALL variants as count-paired
+    * aggregates + a Generate replicating each row min(m_a, m_b) /
+    * max(0, m_a − m_b) times, not as semi/anti joins). The operand
+    * relations project a deliberately duplicate-heavy key (l_suppkey
+    * under two lineitem filters), so multiplicities genuinely differ
+    * from the distinct result almost everywhere; both branches ride one
+    * tagged UNION ALL. DuckDB implements the identical SQL-standard bag
+    * semantics, so the oracle is the same algebra verbatim.
+    */
+  def q127(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir)("lineitem")
+    val a = l.filter(col("l_quantity") >= 25).select(col("l_suppkey"))
+    val b = l.filter(col("l_returnflag") === "R").select(col("l_suppkey"))
+    a.intersectAll(b).withColumn("op", lit("intersect_all"))
+      .unionAll(a.exceptAll(b).withColumn("op", lit("except_all")))
+  }
+
   /** Scalar string/date functions over the (previously untouched) timestamp
     * columns: year/month extraction, substring, upper, concat.
     */
@@ -647,6 +666,7 @@ object AnalyticQueries {
     "q119_recursive_cte" -> (q119 _),
     "q124_recursive_edge_join" -> (q124 _),
     "q125_lateral" -> (q125 _),
+    "q127_setops_all" -> (q127 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -918,5 +938,16 @@ object AnalyticQueries {
          ORDER BY n DESC, t.term
          LIMIT 3
        ) x""",
+    // identical SQL-standard bag algebra, verbatim
+    "q127_setops_all" ->
+      """SELECT l_suppkey, 'intersect_all' AS op FROM (
+           SELECT l_suppkey FROM lineitem WHERE l_quantity >= 25
+           INTERSECT ALL
+           SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+         UNION ALL
+         SELECT l_suppkey, 'except_all' AS op FROM (
+           SELECT l_suppkey FROM lineitem WHERE l_quantity >= 25
+           EXCEPT ALL
+           SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R')""",
   )
 }

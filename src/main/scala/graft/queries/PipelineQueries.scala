@@ -1607,6 +1607,35 @@ object PipelineQueries {
       clean.unionByName(noisy).unionByName(nonUrl), "url", "id")
   }
 
+  /** Gopher + C4 quality-rule grid ([[TextOps.gopherC4Flags]]): every
+    * doc's per-rule booleans under the two named public filter recipes.
+    * The fixture corpus is single-line unpunctuated prose, so each
+    * rule's BOTH outcomes are planted from doc_id branches (the q97/q126
+    * posture): two full-replacement docs (a pure bullet list violating
+    * g_bullet/g_mwl/g_alpha; an all-terminal-punct doc passing c_punct/
+    * c_sent) and six append branches (stopwords, `lorem ipsum {`,
+    * bullet items, `###`/ellipsis symbol salad, an ellipsis-ended line,
+    * terminal punctuation) — interacting with the corpus's natural
+    * 10–99 word spread, which straddles Gopher's 50-word floor on its
+    * own. All thresholds are cross-multiplied integers, so the oracle
+    * replays every boolean exactly.
+    */
+  def q128(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val planted = when(id % 17 === 0, lit("- a\n- b\n- c\n- d"))
+      .when(id % 19 === 0, lit("First line.\nSecond line!\nThird?"))
+      .otherwise(concat(
+        coalesce(col("text"), lit("")),
+        when(id % 2 === 0, lit(" the of and that")).otherwise(lit("")),
+        when(id % 3 === 0, lit("\nlorem ipsum {cfg}")).otherwise(lit("")),
+        when(id % 5 === 0, lit("\n- item one\n- item two")).otherwise(lit("")),
+        when(id % 7 === 0, lit(" ### 12345 99 ... …")).otherwise(lit("")),
+        when(id % 11 === 0, lit("\nto be continued...")).otherwise(lit("")),
+        when(id % 13 === 0, lit("\nOne. Two! Three? Go.")).otherwise(lit(""))))
+    TextOps.gopherC4Flags(
+      t(s, dir)("documents").select(id, planted.as("t")), "doc_id", "t")
+  }
+
   /** Per-source Zipf fit ([[TextOps.zipfReport]]): log–log regression
     * slope/intercept over the deterministic top-256 term ranks — the
     * corpus-health screen (natural text ≈ −1; templated slices flatten).
@@ -1831,6 +1860,7 @@ object PipelineQueries {
     "q122_boilerplate_stored" -> (q122 _),
     "q123_domain_boilerplate" -> (q123 _),
     "q126_url_dedup"      -> (q126 _),
+    "q128_quality_rules"  -> (q128 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -3826,6 +3856,80 @@ FROM o"""
        SELECT canon_url, CAST(min(id) AS BIGINT) AS keeper_id,
               CAST(count(*) AS BIGINT) AS n_copies
        FROM canon GROUP BY canon_url""",
+    // Gopher/C4 rule grid: planting + every cross-multiplied integer
+    // threshold replayed; tokens via the regexp-split formulation of the
+    // word_tokens contract (strip then \s+), lines split keeping
+    // trailing empties, regexp counters with (?m) line anchors
+    "q128_quality_rules" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0
+                  THEN '- a' || chr(10) || '- b' || chr(10) || '- c' ||
+                       chr(10) || '- d'
+                  WHEN doc_id % 19 = 0
+                  THEN 'First line.' || chr(10) || 'Second line!' ||
+                       chr(10) || 'Third?'
+                  ELSE coalesce(text, '') ||
+                    (CASE WHEN doc_id % 2 = 0
+                          THEN ' the of and that' ELSE '' END) ||
+                    (CASE WHEN doc_id % 3 = 0
+                          THEN chr(10) || 'lorem ipsum {cfg}' ELSE '' END) ||
+                    (CASE WHEN doc_id % 5 = 0
+                          THEN chr(10) || '- item one' || chr(10) ||
+                               '- item two' ELSE '' END) ||
+                    (CASE WHEN doc_id % 7 = 0
+                          THEN ' ### 12345 99 ... …' ELSE '' END) ||
+                    (CASE WHEN doc_id % 11 = 0
+                          THEN chr(10) || 'to be continued...' ELSE '' END) ||
+                    (CASE WHEN doc_id % 13 = 0
+                          THEN chr(10) || 'One. Two! Three? Go.'
+                          ELSE '' END)
+             END AS t
+           FROM documents),
+         m AS (SELECT doc_id, t,
+             regexp_split_to_array(
+               regexp_replace(t, '^\s+|\s+$', '', 'g'), '\s+') AS ws,
+             CAST(length(regexp_replace(t, '\s', '', 'g')) AS BIGINT)
+               AS chars,
+             CAST(len(regexp_extract_all(t, '#|\.\.\.|…')) AS BIGINT)
+               AS sym,
+             CAST(len(string_split(t, chr(10))) AS BIGINT) AS nl,
+             CAST(len(regexp_extract_all(t, '(?m)^[ \t]*[-*•]')) AS BIGINT)
+               AS bullets,
+             CAST(len(regexp_extract_all(t, '(?m)(\.\.\.|…)[ \t]*$'))
+               AS BIGINT) AS ell,
+             CAST(len(regexp_extract_all(t, '(?m)[.!?"''][ \t]*$'))
+               AS BIGINT) AS punct_lines,
+             CAST(len(regexp_extract_all(t, '[.!?]')) AS BIGINT) AS sent
+           FROM d),
+         f AS (SELECT doc_id, t, chars, sym, nl, bullets, ell,
+             punct_lines, sent,
+             CAST(len(ws) AS BIGINT) AS wc,
+             CAST(len(list_filter(ws,
+               w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS alpha,
+             CAST(len(list_intersect(list_distinct(ws),
+               ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+               AS BIGINT) AS stops
+           FROM m)
+       SELECT doc_id,
+              (wc >= 50 AND wc <= 100000) AS g_wc,
+              (chars >= wc * 3 AND chars <= wc * 10) AS g_mwl,
+              (sym * 10 <= wc) AS g_sym,
+              (bullets * 10 <= nl * 9) AS g_bullet,
+              (ell * 10 <= nl * 3) AS g_ellipsis,
+              (alpha * 5 >= wc * 4) AS g_alpha,
+              (stops >= 2) AS g_stop,
+              (sent >= 3) AS c_sent,
+              NOT contains(lower(t), 'lorem ipsum') AS c_lorem,
+              NOT contains(t, '{') AS c_brace,
+              (punct_lines = nl) AS c_punct,
+              ((wc >= 50 AND wc <= 100000) AND
+               (chars >= wc * 3 AND chars <= wc * 10) AND
+               (sym * 10 <= wc) AND (bullets * 10 <= nl * 9) AND
+               (ell * 10 <= nl * 3) AND (alpha * 5 >= wc * 4) AND
+               (stops >= 2)) AS gopher_keep,
+              ((sent >= 3) AND NOT contains(lower(t), 'lorem ipsum') AND
+               NOT contains(t, '{') AND (punct_lines = nl)) AS c4_keep
+       FROM f""",
     // Zipf fit: counts, the deterministic (n DESC, term) rank, both
     // regression aggregates and the 4dp rounding all replayed
     "q121_zipf_fit" ->

@@ -2783,6 +2783,45 @@ class OpsSpec extends SparkSpec {
     assert(naive(2) === "co.uk")
   }
 
+  test("gopherC4Flags: hand-computed rule grid on crafted docs") {
+    // 60 words x 5 chars, 2 stopwords, 3 sentences, every line punct-
+    // terminated: passes EVERYTHING
+    val good = (Seq.fill(56)("aword") ++ Seq("the", "of", "ending.",
+      "fine!")).mkString(" ") + "\nAll good here?"
+    val docs = Seq(
+      (1L, good),
+      // bullet list: 4/4 lines bulleted (>90%), 1-char words (mwl<3),
+      // half non-alpha
+      (2L, "- a\n- b\n- c\n- d"),
+      // symbol salad: 3 of 8 words are symbols (>10%); lorem + brace
+      (3L, "lorem ipsum {x} y ### alpha beta gamma"),
+      // ellipsis-ended single line (1/1 > 30%)
+      (4L, "to be continued..."),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextOps.gopherC4Flags(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def row(i: Int) = out(i).toSeq.drop(1).map(_ == true)
+    // (g_wc, g_mwl, g_sym, g_bullet, g_ellipsis, g_alpha, g_stop,
+    //  c_sent, c_lorem, c_brace, c_punct, gopher_keep, c4_keep)
+    assert(out(0).getLong(0) === 1L)
+    assert(row(0) === Seq(true, true, true, true, true, true, true,
+      true, true, true, true, true, true))
+    assert(row(1) === Seq(false, false, true, false, true, false, false,
+      false, true, true, false, false, false))
+    // doc 3: 8 words, syms: 3x'#' + 0 ellipsis = 3 -> 30 > 8 fail;
+    // 1 line, no bullets; no sentences; lorem+brace fail; wc fail
+    assert(row(2) === Seq(false, true, false, true, true, true, false,
+      false, false, false, false, false, false))
+    // doc 4: '...' is 3 periods -> c_sent true; ellipsis line 1/1 fails
+    // g_ellipsis; 'to' and 'be' are BOTH stopwords -> g_stop; the line
+    // is punct-terminated -> c_punct, so ALL C4 rules pass
+    assert(row(3) === Seq(false, true, false, true, false, true, true,
+      true, true, true, true, false, true))
+    // NULL text: the degenerate single-"" word doc
+    assert(row(4) === Seq(false, false, true, true, true, false, false,
+      false, true, true, false, false, false))
+  }
+
   test("urlCanonicalize: RFC-safe normalizations, order-preserved params, non-URL identity") {
     val urls = Seq(
       // scheme/host case, userinfo, default port, fragment, tracking cut

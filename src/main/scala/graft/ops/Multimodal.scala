@@ -46,6 +46,7 @@ object Multimodal {
     StructField("height", IntegerType, nullable = true),
     StructField("sample_rate", IntegerType, nullable = true),
     StructField("duration_ms", LongType, nullable = true),
+    StructField("orientation", IntegerType, nullable = true),
     StructField("checksum", LongType, nullable = false)))
 
   /** Real image header decode via `javax.imageio` (JDK built-in, works on
@@ -207,21 +208,87 @@ object Multimodal {
     * real deployment (swap inside this method; the partitioning, batch
     * shape, and schema stay).
     */
+  /** EXIF orientation (tag 0x0112, values 1–8) from a JPEG's APP1
+    * segment — the one piece of image metadata a resize/crop pipeline
+    * MUST honor before any pixel work (a 6/8 value means the stored
+    * raster is rotated; features computed on the unrotated pixels are
+    * silently wrong). `javax.imageio`'s JPEG reader exposes dimensions
+    * but not EXIF without plugin metadata trees, so this is a direct
+    * header walk in the [[videoInfo]] style, JDK byte reads only:
+    * JPEG markers (`FF xx [u16 len]`) scanned to APP1 (`FF E1`) with the
+    * `Exif\0\0` preamble, then the TIFF header (II/MM endianness + the
+    * 42 magic + IFD0 offset), then IFD0's 12-byte entries for tag
+    * 0x0112 (SHORT, value inline in the entry's first two value bytes
+    * under the TIFF byte order). The walk stops at SOS (`FF DA` — after
+    * it comes entropy-coded data, no more metadata) and is bounds-
+    * checked; anything malformed returns None, never a throw (the
+    * [[imageDims]] adversarial-bytes contract). Header-only: cost is
+    * independent of blob size.
+    */
+  private[graft] def exifOrientation(content: Array[Byte]): Option[Int] =
+    try {
+      val n = content.length
+      def u8(i: Int): Int = content(i) & 0xff
+      if (n < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+      var i = 2
+      var out: Option[Int] = None
+      while (out.isEmpty && i + 4 <= n && u8(i) == 0xff) {
+        val marker = u8(i + 1)
+        if (marker == 0xda || marker == 0xd9) return None // SOS/EOI
+        val segLen = (u8(i + 2) << 8) | u8(i + 3)
+        if (segLen < 2 || i + 2 + segLen > n) return None
+        if (marker == 0xe1 && segLen >= 2 + 6 + 8 &&
+            content.slice(i + 4, i + 10).sameElements(
+              Array[Byte]('E', 'x', 'i', 'f', 0, 0))) {
+          val t = i + 10 // TIFF header origin
+          val le = u8(t) == 'I' && u8(t + 1) == 'I'
+          val be = u8(t) == 'M' && u8(t + 1) == 'M'
+          def u16(p: Int): Int =
+            if (le) u8(p) | (u8(p + 1) << 8) else (u8(p) << 8) | u8(p + 1)
+          def u32(p: Int): Long =
+            if (le) u16(p).toLong | (u16(p + 2).toLong << 16)
+            else (u16(p).toLong << 16) | u16(p + 2).toLong
+          if ((le || be) && t + 8 <= n && u16(t + 2) == 42) {
+            val ifd = t + u32(t + 4).toInt
+            if (ifd + 2 <= n) {
+              val count = u16(ifd)
+              var e = 0
+              while (out.isEmpty && e < count &&
+                     ifd + 2 + (e + 1) * 12 <= n) {
+                val p = ifd + 2 + e * 12
+                if (u16(p) == 0x0112 && u16(p + 2) == 3) {
+                  val v = u16(p + 8)
+                  if (v >= 1 && v <= 8) out = Some(v)
+                }
+                e += 1
+              }
+            }
+          }
+        }
+        i += 2 + segLen
+      }
+      out
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+
   private[ops] def decodeStub(kind: String, content: Array[Byte])
-      : (Option[Int], Option[Int], Option[Int], Option[Long], Long) = {
-    val (w, h, sr, dur) = kind match {
+      : (Option[Int], Option[Int], Option[Int], Option[Long], Option[Int],
+         Long) = {
+    val (w, h, sr, dur, ori) = kind match {
       case "image" =>
-        val d = imageDims(content); (d._1, d._2, None, None)
+        val d = imageDims(content)
+        (d._1, d._2, None, None, exifOrientation(content))
       case "audio" =>
-        val a = audioInfo(content); (None, None, a._1, a._2)
+        val a = audioInfo(content); (None, None, a._1, a._2, None)
       case "video" =>
-        val v = videoInfo(content); (v._1, v._2, None, v._3)
-      case _ => (None, None, None, None)
+        val v = videoInfo(content); (v._1, v._2, None, v._3, None)
+      case _ => (None, None, None, None, None)
     }
     var cs = 0L
     var i = 0
     while (i < content.length) { cs = cs * 131 + (content(i) & 0xff); i += 1 }
-    (w, h, sr, dur, cs)
+    (w, h, sr, dur, ori, cs)
   }
 
   /** Per-partition batched feature extraction over binary media columns.
@@ -234,10 +301,10 @@ object Multimodal {
           val id = r.getLong(0)
           val kind = r.getString(1)
           val bytes = r.getAs[Array[Byte]](2)
-          val (w, h, sr, dur, cs) = decodeStub(kind, bytes)
+          val (w, h, sr, dur, ori, cs) = decodeStub(kind, bytes)
           Row(id, kind, bytes.length, w.map(Int.box).orNull,
             h.map(Int.box).orNull, sr.map(Int.box).orNull,
-            dur.map(Long.box).orNull, cs)
+            dur.map(Long.box).orNull, ori.map(Int.box).orNull, cs)
         }
       }, featureSchema)
     out

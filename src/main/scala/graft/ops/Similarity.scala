@@ -56,6 +56,29 @@ object Similarity {
     TopK.perQuery(scored, k)
   }
 
+  /** Matryoshka-truncated exact top-k (Kusupati et al., NeurIPS 2022 —
+    * MRL-trained embeddings pack their information head-first, so the
+    * first `d` dimensions ARE a valid lower-cost embedding): slice both
+    * sides to the leading `d` dims and run the identical exact scan.
+    * The scale story is the point — a 4× truncation cuts broadcast
+    * bytes, scan bandwidth and per-pair FLOPs 4× on the SAME operator
+    * plan, and composes with every index here (an IVF/PQ built over
+    * truncated vectors is just [[fitIvf]] on the projected frame).
+    * Cosine re-normalizes internally, so no explicit re-normalization
+    * step exists to drift from the oracle. Whether truncation PRESERVES
+    * neighbors is a property of the embedding model, not the engine —
+    * measure it by joining against the full-dim top-k (the q129 gate
+    * emits exactly that overlap, computed exactly on both sides).
+    */
+  def truncatedTopK(corpus: DataFrame, queries: DataFrame, k: Int, d: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(d > 0, s"truncatedTopK: d must be positive, got $d")
+    def tr(df: DataFrame) =
+      df.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+    bruteForceTopK(tr(corpus), tr(queries), k, idCol, vecCol)
+  }
+
   /** Hard-negative mining for retrieval/metric training (the public
     * DPR/contrastive-learning recipe, Karpukhin et al. 2020): for each
     * query vector, the top-`k` most cosine-similar corpus vectors whose

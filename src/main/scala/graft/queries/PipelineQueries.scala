@@ -85,6 +85,26 @@ object PipelineQueries {
       .withColumn("sim", round(col("sim"), 4))
   }
 
+  /** Matryoshka truncation search ([[Similarity.truncatedTopK]]): exact
+    * top-5 over the LEADING-16-dim slice of the 64-dim embeddings (the
+    * MRL 4× compression point), each hit annotated with whether the
+    * full-dim exact top-5 also contains it — the truncation-quality
+    * measurement itself, computed exactly on both sides (no recall
+    * tolerance needed: BOTH rankings are deterministic exact scans, so
+    * every row including the overlap boolean is oracle-replayable).
+    */
+  def q129(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir)("embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val full = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("qid"), col("nid"), lit(true).as("__in_full"))
+    Similarity.truncatedTopK(emb, q, k = 5, d = 16)
+      .withColumn("sim", round(col("sim"), 4))
+      .join(full, Seq("qid", "nid"), "left")
+      .select(col("qid"), col("rank"), col("nid"), col("sim"),
+        coalesce(col("__in_full"), lit(false)).as("in_full_topk"))
+  }
+
   /** Approximate ANN via SRP-LSH multiprobe, SELF-GATED (round-2 verdict
     * #6): an approximate index can't equal an exact oracle row-for-row, so
     * the query joins its own output against the in-query exact top-k and
@@ -1861,6 +1881,7 @@ object PipelineQueries {
     "q123_domain_boilerplate" -> (q123 _),
     "q126_url_dedup"      -> (q126 _),
     "q128_quality_rules"  -> (q128 _),
+    "q129_matryoshka"     -> (q129 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -3163,6 +3184,38 @@ FROM o"""
            FROM embeddings q, embeddings c
            WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) t
          WHERE rank <= 5""",
+    // truncated (leading-16-dim) exact top-k + the full-dim overlap
+    // boolean — both rankings exact, the q28 tie-break (sim DESC, nid)
+    "q129_matryoshka" ->
+      """WITH full5 AS (
+           SELECT qid, nid FROM (
+             SELECT q.vec_id AS qid, c.vec_id AS nid,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_cosine_similarity(
+                                 CAST(q.embedding AS DOUBLE[]),
+                                 CAST(c.embedding AS DOUBLE[])) DESC,
+                               c.vec_id) AS rank
+             FROM embeddings q, embeddings c
+             WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) t
+           WHERE rank <= 5),
+         tr AS (
+           SELECT qid, rank, nid, round(sim, 4) AS sim FROM (
+             SELECT q.vec_id AS qid, c.vec_id AS nid,
+                    list_cosine_similarity(
+                      CAST(q.embedding AS DOUBLE[])[1:16],
+                      CAST(c.embedding AS DOUBLE[])[1:16]) AS sim,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_cosine_similarity(
+                                 CAST(q.embedding AS DOUBLE[])[1:16],
+                                 CAST(c.embedding AS DOUBLE[])[1:16]) DESC,
+                               c.vec_id) AS rank
+             FROM embeddings q, embeddings c
+             WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) t
+           WHERE rank <= 5)
+       SELECT tr.qid, tr.rank, tr.nid, tr.sim,
+              (full5.nid IS NOT NULL) AS in_full_topk
+       FROM tr LEFT JOIN full5
+         ON tr.qid = full5.qid AND tr.nid = full5.nid""",
     "q38_token_counts" ->
       """SELECT doc_id,
                 len(regexp_split_to_array(

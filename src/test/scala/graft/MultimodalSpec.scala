@@ -95,8 +95,8 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1L).isNullAt(5)) // image rows carry no audio fields
     // checksum is deterministic across runs
     val again = Multimodal.decodeFeatures(mediaDf).collect()
-      .map(r => r.getLong(0) -> r.getLong(7)).toMap
-    assert(feats.map { case (k, v) => k -> v.getLong(7) } === again)
+      .map(r => r.getLong(0) -> r.getLong(8)).toMap
+    assert(feats.map { case (k, v) => k -> v.getLong(8) } === again)
   }
 
   test("audio decode reads WAV headers and rejects non-audio bytes") {
@@ -158,6 +158,63 @@ class MultimodalSpec extends SparkSpec {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "jpg", out)
     assert(Multimodal.imageDims(out.toByteArray) === (Some(48), Some(24)))
+  }
+
+  test("EXIF orientation: crafted APP1 parsed under both byte orders; malformed bytes degrade") {
+    // minimal JPEG: SOI + APP1(Exif / TIFF / IFD0 with two entries —
+    // a decoy tag then Orientation=6) + EOI
+    def exifJpeg(littleEndian: Boolean, orientation: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(64)
+        .order(if (littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
+               else java.nio.ByteOrder.BIG_ENDIAN)
+      // TIFF header (offsets relative to this buffer)
+      bb.put((if (littleEndian) "II" else "MM").getBytes)
+      bb.putShort(42.toShort)
+      bb.putInt(8) // IFD0 at offset 8
+      bb.putShort(2.toShort) // two entries
+      // decoy entry: ImageWidth (0x0100), LONG
+      bb.putShort(0x0100.toShort).putShort(4.toShort).putInt(1).putInt(99)
+      // Orientation (0x0112), SHORT, count 1, value in first 2 bytes
+      bb.putShort(0x0112.toShort).putShort(3.toShort).putInt(1)
+      bb.putShort(orientation.toShort).putShort(0.toShort)
+      val tiff = java.util.Arrays.copyOf(bb.array(), bb.position())
+      val payload = "Exif".getBytes ++ Array[Byte](0, 0) ++ tiff
+      val segLen = payload.length + 2
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe1.toByte,
+        (segLen >> 8).toByte, (segLen & 0xff).toByte) ++ payload ++
+        Array[Byte](0xff.toByte, 0xd9.toByte)
+    }
+    assert(Multimodal.exifOrientation(exifJpeg(littleEndian = true, 6))
+      === Some(6))
+    assert(Multimodal.exifOrientation(exifJpeg(littleEndian = false, 8))
+      === Some(8))
+    // out-of-range orientation value is rejected, not passed through
+    assert(Multimodal.exifOrientation(exifJpeg(littleEndian = true, 9))
+      === None)
+    // JPEG without APP1 (straight to EOI), non-JPEG, truncated: None
+    assert(Multimodal.exifOrientation(
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte))
+      === None)
+    assert(Multimodal.exifOrientation(Array.fill(32)(7: Byte)) === None)
+    assert(Multimodal.exifOrientation(
+      exifJpeg(littleEndian = true, 6).take(12)) === None)
+    assert(Multimodal.exifOrientation(Array.emptyByteArray) === None)
+    // a JDK-written JPEG (no EXIF) yields None through decodeFeatures,
+    // and the crafted EXIF JPEG yields its orientation
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val rows = Seq(
+      Row(20L, "image", out.toByteArray, Row("image/jpeg", "s")),
+      Row(21L, "image", exifJpeg(littleEndian = true, 6),
+        Row("image/jpeg", "s")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.mediaSchema)
+    val feats = Multimodal.decodeFeatures(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(feats(20L).isNullAt(7))
+    assert(feats(21L).getInt(7) === 6)
   }
 
   test("sampleFrames slices every k-th fixed-size frame of video blobs only") {

@@ -55,6 +55,36 @@ object AnalyticQueries {
     building.union(rich).distinct().intersect(buyers).except(machinery)
   }
 
+  /** Retention cohort matrix — the classic product-analytics surface
+    * over the events table: users cohorted by FIRST-ACTIVE day, each
+    * later day's distinct actives counted per cohort (the D1/D7
+    * retention matrix), with the retention rate against the cohort's
+    * size. Days are exact epoch-day integers (`epoch_us div
+    * 86400000000`) rather than calendar `date_trunc` — deliberately:
+    * day-boundary timezone conventions differ across engines, while
+    * integer division on the shared microsecond clock is bit-identical
+    * everywhere (the q34 posture). Two shuffles — the per-user
+    * first-day aggregate (user-keyed) and the cohort-cell aggregate —
+    * plus the single-distinct two-stage count; the first-day relation
+    * is user-cardinality and joins back broadcast-or-shuffled at
+    * Spark's discretion.
+    */
+  def q130(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"),
+      expr("ts_ns div 1000 div 86400000000").as("d"))
+    val first = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+    val cells = e.join(first, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("d") - col("cohort_day")).as("day_off"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val sizes = first.groupBy(col("cohort_day"))
+      .agg(countDistinct(col("user_id")).as("cohort_size"))
+    cells.join(sizes, Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_off"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") /
+          col("cohort_size").cast("double"), 4).as("retention"))
+  }
+
   /** MULTISET set operations — `INTERSECT ALL` / `EXCEPT ALL`, the bag
     * semantics q18's distinct variants don't exercise (and a different
     * physical shape: Spark plans the ALL variants as count-paired
@@ -667,6 +697,7 @@ object AnalyticQueries {
     "q124_recursive_edge_join" -> (q124 _),
     "q125_lateral" -> (q125 _),
     "q127_setops_all" -> (q127 _),
+    "q130_retention_cohorts" -> (q130 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -949,5 +980,23 @@ object AnalyticQueries {
            SELECT l_suppkey FROM lineitem WHERE l_quantity >= 25
            EXCEPT ALL
            SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R')""",
+    // epoch-day integers on the shared microsecond clock (the q34
+    // posture) — no calendar day-boundary/timezone semantics anywhere
+    "q130_retention_cohorts" ->
+      """WITH e AS (SELECT user_id,
+                 epoch_us(ts) // 86400000000 AS d FROM events),
+         f AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id),
+         cells AS (SELECT f.cohort_day, e.d - f.cohort_day AS day_off,
+                     CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+                   FROM e JOIN f USING (user_id)
+                   GROUP BY f.cohort_day, e.d - f.cohort_day),
+         sz AS (SELECT cohort_day,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_size
+                FROM f GROUP BY cohort_day)
+       SELECT CAST(cells.cohort_day AS BIGINT) AS cohort_day,
+              CAST(day_off AS BIGINT) AS day_off, n_active, cohort_size,
+              round(CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE),
+                4) AS retention
+       FROM cells JOIN sz USING (cohort_day)""",
   )
 }

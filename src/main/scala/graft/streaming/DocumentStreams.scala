@@ -373,6 +373,28 @@ object DocumentStreams {
       .withColumn("keep", col("nb_logodds") > threshold)
   }
 
+  /** Crawl-frontier URL dedup at the ingest door — the streaming twin of
+    * [[graft.ops.WebOps.dedupByCanonicalUrl]]: canonicalize each
+    * arriving URL with the IDENTICAL column expression (one copy of the
+    * normalization, so stream and batch cannot drift) and drop re-fetches
+    * of the same canonical resource inside the watermark via
+    * `dropDuplicatesWithinWatermark` — the [[cleanStream]] content-dedup
+    * posture applied one stage earlier, at the URL grain a fetcher
+    * queue needs (the page needn't be parsed, or even fetched, to be
+    * recognized as already-queued). State is one canonical key per
+    * distinct resource per watermark, evicted as event time advances;
+    * like every watermark-bounded dedup, a re-delivery PAST the
+    * watermark can re-emit — the batch compaction's keyed dedup is the
+    * exact backstop. Keeps the first arrival (micro-batch order), adds
+    * the `canon_url` column.
+    */
+  def urlDedupStream(docs: DataFrame, urlCol: String,
+                     watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("canon_url", graft.ops.WebOps.urlCanonicalize(col(urlCol)))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("canon_url")
+
   /** Boilerplate scrub for ARRIVING documents against a STORED
     * [[graft.ops.Dedup.BoilerplateIndex]] — the streaming twin of
     * [[graft.ops.Dedup.stripWithBoilerplateIndex]], completing that

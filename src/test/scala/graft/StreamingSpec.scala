@@ -633,6 +633,37 @@ class StreamingSpec extends SparkSpec {
     assert(got._2 <= 0.0 && full._2 < got._2)
   }
 
+  test("urlDedupStream drops canonical re-fetches within the watermark, keeps distinct resources") {
+    val ts = Timestamp.valueOf("2024-01-01 10:00:00")
+    // doc text carries the URL (Doc has no url field; the op takes any
+    // string column)
+    val arriving = Seq(
+      Doc(1L, ts, "en", "http://a.com/x?utm_source=z"),
+      Doc(2L, ts, "en", "HTTP://A.com:80/x#frag"), // same canonical page
+      Doc(3L, ts, "en", "http://a.com/y"),         // distinct resource
+      Doc(4L, ts, "en", "not a url"),              // identity key
+      Doc(5L, ts, "en", "http://a.com/x"))         // third re-fetch
+    val input = MemoryStream[Doc](spark)
+    input.addData(arriving: _*)
+    val q = streaming.DocumentStreams.urlDedupStream(input.toDF(), "text")
+      .select("doc_id", "canon_url")
+      .writeStream.format("memory").queryName("urldedup")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("urldedup").as[(Long, String)].collect().toSet
+    // one survivor per canonical resource; ids 2 and 5 deduped against 1
+    assert(out.map(_._2) === Set("http://a.com/x", "http://a.com/y",
+      "not a url"))
+    assert(out.size === 3 && out.exists(_._2 == "http://a.com/x"))
+    // the batch twin agrees on the canonical keys and copy counts
+    val batch = graft.ops.WebOps.dedupByCanonicalUrl(
+        arriving.toDF().select("doc_id", "text"), "text", "doc_id")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(batch === Map("http://a.com/x" -> ((1L, 3L)),
+      "http://a.com/y" -> ((3L, 1L)), "not a url" -> ((4L, 1L))))
+  }
+
   test("boilerplateScrubStream scrubs in-flight docs identically to the batch strip, stateless") {
     import graft.ops.Dedup
     // base corpus: "nav" is boilerplate in lang en (df=2) but NOT in fr

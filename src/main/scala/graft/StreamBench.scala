@@ -113,9 +113,9 @@ object StreamBench {
     // state-light and expression-heavy ends of the streaming surface.
     val mode = sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "sessionize")
     require(Set("sessionize", "clean", "flag", "score", "scrub", "spanflag",
-        "nbscore").contains(mode),
+        "nbscore", "bpscrub").contains(mode),
       s"SPARK_GRAFT_STREAM_MODE must be 'sessionize', 'clean', 'flag', " +
-        s"'score', 'scrub', 'spanflag' or 'nbscore', got '$mode'")
+        s"'score', 'scrub', 'spanflag', 'nbscore' or 'bpscrub', got '$mode'")
     // Hoisted so the JSON line can self-describe the flag-mode config:
     // the r9 evidence runs needed log-filename archaeology to tell a
     // 50k-broadcast row from a 500k-SMJ row, which is exactly the kind
@@ -309,6 +309,39 @@ object StreamBench {
             col("pii.n_phones").as("n_phones"),
             col("pii.n_ipv4").as("n_ipv4"))
       }
+      else if (mode == "bpscrub") {
+        // Stateless in-flight boilerplate scrub over a STORED histogram:
+        // 64 groups × 200 thresholded cut lines each (the template-sized
+        // cut-list contract), broadcast as per-group arrays; every
+        // arriving ~8-line doc carries ONE line from its group's cut
+        // list plus body lines, so each row pays the row-local
+        // array-probe filter (~units × 200 string compares) AND the
+        // reassembly — the HOF-bound end of the streaming surface
+        // (scrub mode is regex-bound, nbscore map-lookup-bound).
+        val lineDf = spark.range(64L * 200L).select(
+            concat(lit("g"), (col("id") % 64).cast("string")).as("group"),
+            concat(lit("bp-"), col("id").cast("string")).as("unit"))
+          .withColumn("uh", xxhash64(col("unit")))
+          .withColumn("line_df", lit(10L))
+        val idx = ops.Dedup.BoilerplateIndex(lineDf, "\n")
+        val docs = spark.readStream.format("rate")
+          .option("rowsPerSecond", rps)
+          .option("numPartitions", 8)
+          .load()
+          .select(col("timestamp").as("ts"), col("value").as("doc_id"),
+            concat(lit("g"), pmod(col("value"), lit(64L)).cast("string"))
+              .as("grp"),
+            concat_ws("\n",
+              // the group-owned boilerplate line: id ≡ grp (mod 64)
+              concat(lit("bp-"),
+                (pmod(col("value"), lit(64L)) +
+                  pmod(col("value"), lit(200L)) * 64L).cast("string")),
+              lit((1 to 7).map(i => s"body line $i").mkString("\n")))
+              .as("text"))
+        streaming.DocumentStreams
+          .boilerplateScrubStream(docs, idx, "grp", minDf = 2)
+          .select(col("doc_id"), col("n_units"), col("n_kept"))
+      }
       else if (mode == "sessionize")
         streaming.EventStreams
           .sessionizeEventTime(spark, events, gapMinutes = 1,
@@ -388,6 +421,7 @@ object StreamBench {
       case "score"      => "stream_score_docs_per_sec"
       case "scrub"      => "stream_scrub_docs_per_sec"
       case "nbscore"    => "stream_nbscore_docs_per_sec"
+      case "bpscrub"    => "stream_bpscrub_docs_per_sec"
       case "spanflag"   => "stream_spanflag_windows_per_sec"
       case _            => "stream_flag_pairs_per_sec"
     }

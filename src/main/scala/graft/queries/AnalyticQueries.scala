@@ -104,6 +104,50 @@ object AnalyticQueries {
       .unionAll(a.exceptAll(b).withColumn("op", lit("except_all")))
   }
 
+  /** Modern ANSI aggregate/window surface through the SQL door, in one
+    * gated query — the three clauses a SQL-door user reaches for that
+    * the catalog had no evidence of: `FILTER (WHERE …)` on aggregates
+    * (conditional aggregation without CASE scaffolding — Spark rewrites
+    * it into the aggregate's own filter, still one partial-combined
+    * pass), ordered-set `percentile_cont`/`percentile_disc WITHIN GROUP`
+    * (exact percentiles with linear interpolation / discrete pick —
+    * both engines use lower + (upper−lower)·frac on the shared doubles,
+    * 4dp-rounded), and a named `WINDOW w AS (…)` clause shared by two
+    * window functions (the rank and the running sum ride ONE window
+    * definition, hence one sort within the one returnflag exchange;
+    * the default ordered-window frame — RANGE UNBOUNDED PRECEDING to
+    * CURRENT ROW, identical in both engines — is exact here because
+    * the (orderkey, linenumber) ordering is unique, so no peer rows
+    * exist; Spark's parser accepts a bare `OVER w` reference but not
+    * a reference-plus-frame `OVER (w ROWS …)`).
+    * QUALIFY is deliberately absent: Spark 4.1's parser does not accept
+    * it, and the decorrelated-lateral (q125) covers the per-group
+    * top-k shape it sugars.
+    */
+  def q131(s: SparkSession, dir: String): DataFrame = sqlDoor(s, dir,
+    """WITH agg AS (
+         SELECT l_returnflag,
+                count(*) AS n,
+                count(*) FILTER (WHERE l_quantity >= 25) AS n_big,
+                sum(CAST(l_quantity AS BIGINT))
+                  FILTER (WHERE l_quantity < 10) AS small_qty,
+                round(percentile_cont(0.5)
+                  WITHIN GROUP (ORDER BY l_quantity), 4) AS med_qty,
+                percentile_disc(0.25)
+                  WITHIN GROUP (ORDER BY l_quantity) AS q1_qty
+         FROM lineitem GROUP BY l_returnflag),
+       wnd AS (
+         SELECT l_returnflag, l_orderkey, l_linenumber,
+                row_number() OVER w AS rn,
+                sum(CAST(l_quantity AS BIGINT)) OVER w AS run_qty
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_returnflag
+                      ORDER BY l_orderkey, l_linenumber))
+       SELECT a.l_returnflag, a.n, a.n_big, a.small_qty, a.med_qty,
+              a.q1_qty, w.l_orderkey, w.l_linenumber, w.rn, w.run_qty
+       FROM agg a JOIN wnd w ON a.l_returnflag = w.l_returnflag
+       WHERE w.rn <= 5""")
+
   /** Scalar string/date functions over the (previously untouched) timestamp
     * columns: year/month extraction, substring, upper, concat.
     */
@@ -698,6 +742,7 @@ object AnalyticQueries {
     "q125_lateral" -> (q125 _),
     "q127_setops_all" -> (q127 _),
     "q130_retention_cohorts" -> (q130 _),
+    "q131_ansi_agg_window" -> (q131 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -998,5 +1043,32 @@ object AnalyticQueries {
               round(CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE),
                 4) AS retention
        FROM cells JOIN sz USING (cohort_day)""",
+    // same ANSI clauses verbatim (FILTER, WITHIN GROUP ordered-set
+    // percentiles, named WINDOW) — engine-neutral by construction
+    "q131_ansi_agg_window" ->
+      """WITH agg AS (
+           SELECT l_returnflag,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(count(*) FILTER (WHERE l_quantity >= 25) AS BIGINT)
+                    AS n_big,
+                  CAST(sum(CAST(l_quantity AS BIGINT))
+                    FILTER (WHERE l_quantity < 10) AS BIGINT) AS small_qty,
+                  round(percentile_cont(0.5)
+                    WITHIN GROUP (ORDER BY l_quantity), 4) AS med_qty,
+                  percentile_disc(0.25)
+                    WITHIN GROUP (ORDER BY l_quantity) AS q1_qty
+           FROM lineitem GROUP BY l_returnflag),
+         wnd AS (
+           SELECT l_returnflag, l_orderkey, l_linenumber,
+                  row_number() OVER w AS rn,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) OVER w
+                    AS BIGINT) AS run_qty
+           FROM lineitem
+           WINDOW w AS (PARTITION BY l_returnflag
+                        ORDER BY l_orderkey, l_linenumber))
+       SELECT a.l_returnflag, a.n, a.n_big, a.small_qty, a.med_qty,
+              a.q1_qty, w.l_orderkey, w.l_linenumber, w.rn, w.run_qty
+       FROM agg a JOIN wnd w ON a.l_returnflag = w.l_returnflag
+       WHERE w.rn <= 5""",
   )
 }

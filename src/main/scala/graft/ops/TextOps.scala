@@ -777,6 +777,69 @@ object TextOps {
         .groupBy(col(sourceCol)).agg(count(lit(1)).as("c"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
 
+  /** TOKEN-budget mixture fill — the allocation a pretraining data plan
+    * actually specifies ("this run sees B tokens, w_s of them from
+    * source s"), distinct from [[rebalanceMixture]]'s DOCUMENT-count
+    * proportions (doc counts misallocate whenever sources' length
+    * distributions differ — a long-doc source at equal doc share
+    * contributes far more than its token share): each weighted source
+    * gets `floor(B · w_s/Σw)` tokens and fills greedily in the
+    * content-fingerprint order every sampling operator here uses
+    * (deterministic, content-keyed, re-run-identical), keeping every
+    * doc whose PRE-doc running total is still under the source's
+    * budget — so the doc that crosses the boundary is kept and a
+    * source overshoots by at most one document (the standard greedy
+    * fill; an exact cut would split a document).
+    *
+    * A weighted source ABSENT from the corpus simply fills none of its
+    * budget — deliberately unlike [[rebalanceMixture]]'s loud
+    * shortfall: a token budget is a CAP, not an achievable-proportion
+    * promise, and under-filling is visible in the output's `tok_cum`.
+    * `Σw` is summed in sorted-source order so the normalization is a
+    * deterministic float expression an oracle replays verbatim.
+    *
+    * Scale shape: one source-keyed window (fingerprint-ordered running
+    * sum) over the weighted subset — a single exchange; no driver
+    * collects, no corpus sort.
+    *
+    * Output: kept docs as `(source, doc_id, n_tokens, tok_cum,
+    * tok_budget)` — `tok_cum` INCLUDES the doc, so the boundary doc is
+    * the one row per source with `tok_cum ≥ tok_budget`.
+    */
+  def tokenBudgetSample(df: DataFrame, sourceCol: String, idCol: String,
+                        textCol: String, weights: Map[String, Double],
+                        budgetTokens: Long): DataFrame = {
+    require(weights.nonEmpty, "tokenBudgetSample needs target weights")
+    require(weights.values.forall(_ > 0),
+      "weights must be strictly positive — omit a source to drop it")
+    require(budgetTokens > 0,
+      s"budgetTokens must be positive, got $budgetTokens")
+    val clash = Seq("n_tokens", "tok_cum", "tok_budget", "__fp")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"tokenBudgetSample adds columns ${clash.mkString(", ")} that " +
+        "already exist in the input — rename or drop them first")
+    val wSum = weights.toSeq.sortBy(_._1).map(_._2).sum
+    val budget = weights.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(0L))) { case (acc, (s, w)) =>
+        acc.when(col(sourceCol) === s,
+          floor(lit(budgetTokens.toDouble) * lit(w / wSum)).cast("long"))
+      }
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(col("__fp").asc, col(idCol).asc)
+    df.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+      .withColumn("__fp",
+        fingerprint(concat(lit("tokbudget:"),
+          coalesce(col(textCol).cast("string"), lit("")))))
+      .withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
+      .withColumn("tok_cum", sum(col("n_tokens")).over(win))
+      .withColumn("tok_budget", budget)
+      .filter(col("tok_cum") - col("n_tokens") < col("tok_budget"))
+      .select(col(sourceCol), col(idCol), col("n_tokens"),
+        col("tok_cum"), col("tok_budget"))
+  }
+
   /** [[rebalanceMixture]] with PRE-COLLECTED per-source counts (must
     * cover every weighted source; extra entries are ignored) — so a
     * caller that already counted, e.g. to derive

@@ -1656,6 +1656,21 @@ object PipelineQueries {
       t(s, dir)("documents").select(id, planted.as("t")), "doc_id", "t")
   }
 
+  /** Token-budget mixture fill ([[TextOps.tokenBudgetSample]]): a
+    * 4000-token budget split 0.5/0.3/0.2 over src1/src2/src3 — sized so
+    * BOTH outcomes occur against the fixture's ~1400 tokens per source:
+    * src1's 2000-token slice exceeds its supply (every doc kept, budget
+    * under-filled — the cap-not-target contract) while src2 (1200) and
+    * src3 (800) genuinely cut mid-list, each with its boundary doc kept
+    * (`tok_cum ≥ tok_budget` on exactly one row). The oracle replays
+    * the salted fingerprint order, the running sums, the float budget
+    * normalization (same literal arithmetic) and the greedy-fill cut.
+    */
+  def q132(s: SparkSession, dir: String): DataFrame =
+    TextOps.tokenBudgetSample(t(s, dir)("documents"), "source", "doc_id",
+      "text", Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2),
+      budgetTokens = 4000L)
+
   /** Per-source Zipf fit ([[TextOps.zipfReport]]): log–log regression
     * slope/intercept over the deterministic top-256 term ranks — the
     * corpus-health screen (natural text ≈ −1; templated slices flatten).
@@ -1882,6 +1897,7 @@ object PipelineQueries {
     "q126_url_dedup"      -> (q126 _),
     "q128_quality_rules"  -> (q128 _),
     "q129_matryoshka"     -> (q129 _),
+    "q132_token_budget"   -> (q132 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -3983,6 +3999,38 @@ FROM o"""
               ((sent >= 3) AND NOT contains(lower(t), 'lorem ipsum') AND
                NOT contains(t, '{') AND (punct_lines = nl)) AS c4_keep
        FROM f""",
+    // token-budget fill: salted fingerprint order, running sums, the
+    // float budget normalization (identical literal arithmetic:
+    // floor(4000.0 * (w / (0.5+0.3+0.2))) summed in sorted-source
+    // order) and the greedy keep-the-boundary-doc cut
+    "q132_token_budget" ->
+      """WITH d AS (SELECT source, doc_id, text FROM documents
+               WHERE source IN ('src1', 'src2', 'src3')),
+         f AS (SELECT source, doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   range(1, length('tokbudget:' || COALESCE(text, '')) + 1),
+                   i -> CAST(unicode(substr(
+                     'tokbudget:' || COALESCE(text, ''),
+                     CAST(i AS INT), 1)) AS BIGINT))),
+               (a, b) -> (a*31 + b) % 1000000007) AS fp,
+             CAST(len(regexp_split_to_array(
+               regexp_replace(COALESCE(text, ''), '^\s+|\s+$', '', 'g'),
+               '\s+')) AS BIGINT) AS n_tokens
+           FROM d),
+         c AS (SELECT source, doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source
+               ORDER BY fp, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS tok_cum,
+             CAST(floor(4000.0 * (CASE source
+                 WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.3
+                 ELSE 0.2 END / (0.5 + 0.3 + 0.2))) AS BIGINT)
+               AS tok_budget
+           FROM f)
+       SELECT source, doc_id, n_tokens, tok_cum, tok_budget
+       FROM c WHERE tok_cum - n_tokens < tok_budget""",
     // Zipf fit: counts, the deterministic (n DESC, term) rank, both
     // regression aggregates and the 4dp rounding all replayed
     "q121_zipf_fit" ->

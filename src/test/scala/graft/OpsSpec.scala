@@ -2783,6 +2783,47 @@ class OpsSpec extends SparkSpec {
     assert(naive(2) === "co.uk")
   }
 
+  test("tokenBudgetSample: greedy fill in fingerprint order, boundary doc kept, cap-not-target") {
+    // deterministic fill order comes from the salted fingerprint; pin
+    // behavior by computing the engine's own order first, then checking
+    // the cut against a hand-walked cumsum
+    val docs = Seq(
+      (1L, "a", "w1 w2 w3 w4"),        // 4 tokens each
+      (2L, "a", "x1 x2 x3 x4"),
+      (3L, "a", "y1 y2 y3 y4"),
+      (4L, "b", "z1 z2"),
+      (5L, "c", "never weighted")).toDF("doc_id", "src", "text")
+    // budget 10 tokens: a gets floor(10*0.8)=8 -> two 4-token docs fill
+    // exactly... third doc's pre-sum is 8, not < 8 -> cut at 2 docs;
+    // b gets floor(10*0.2)=2 -> its one doc kept; c dropped (unweighted)
+    val out = TextOps.tokenBudgetSample(docs, "src", "doc_id", "text",
+        Map("a" -> 0.8, "b" -> 0.2), budgetTokens = 10L)
+      .orderBy("src", "tok_cum")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val aRows = out.filter(_._1 == "a")
+    assert(aRows.length === 2 && aRows.map(_._3).sum === 8L)
+    assert(aRows.last._4 === 8L && aRows.forall(_._5 === 8L))
+    assert(out.filter(_._1 == "b") ===
+      Seq(("b", 4L, 2L, 2L, 2L)))
+    assert(!out.exists(_._1 == "c"))
+    // boundary doc KEPT: budget 7 for a -> docs with pre-sums 0 and 4
+    // both start under 7; the second CROSSES (cum 8 >= 7) and stays
+    val cut = TextOps.tokenBudgetSample(docs, "src", "doc_id", "text",
+        Map("a" -> 1.0), budgetTokens = 7L)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(cut.length === 2 && cut.map(_._4).max === 8L)
+    // cap, not target: a source with less supply than budget keeps all
+    val under = TextOps.tokenBudgetSample(docs, "src", "doc_id", "text",
+        Map("b" -> 1.0), budgetTokens = 1000L)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(under === Seq(("b", 4L, 2L, 2L, 1000L)))
+    val e = intercept[IllegalArgumentException] {
+      TextOps.tokenBudgetSample(docs, "src", "doc_id", "text",
+        Map("a" -> 0.5), budgetTokens = 0L)
+    }
+    assert(e.getMessage.contains("budgetTokens"))
+  }
+
   test("gopherC4Flags: hand-computed rule grid on crafted docs") {
     // 60 words x 5 chars, 2 stopwords, 3 sentences, every line punct-
     // terminated: passes EVERYTHING

@@ -1947,6 +1947,49 @@ object TextOps {
       .when(stopwordRatio(text) >= 0.05, "en")
       .otherwise("unk")
 
+  /** Paragraph-grain language segmentation — the multilingual-corpus
+    * reality check a DOC-level language ID ([[langGuess]], q26) papers
+    * over: web documents mix languages (boilerplate in one, body in
+    * another, quoted passages in a third), and a doc-level guess both
+    * mislabels the minority segments and poisons language-filtered
+    * training mixes. Splits on `sep`, IDs each segment with the SAME
+    * [[langGuess]] expression (one copy of the heuristic — segment and
+    * doc level cannot drift), and aggregates per doc: dominant language
+    * (most segments, ties to the lexicographically first), its 4dp
+    * share, segment count, and the `is_mixed` flag a routing gate cuts
+    * on. Real language ID swaps a char-n-gram model into langGuess; the
+    * segmentation/aggregation shape — the Spark-side deliverable —
+    * stays.
+    *
+    * Scale shape: one exploded scan into a (doc, lang)-keyed count,
+    * then doc-keyed windows over the LANGUAGE-cardinality-bounded count
+    * relation (≤ |langs| rows per doc, not per segment) — the heavy
+    * relation never enters a window.
+    */
+  def langSegments(df: DataFrame, idCol: String, textCol: String,
+                   sep: String = "\n"): DataFrame = {
+    val paras = df.select(col(idCol),
+        explode(split(coalesce(col(textCol), lit("")),
+          java.util.regex.Pattern.quote(sep))).as("para"))
+      .withColumn("plang", langGuess(col("para")))
+    val perDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("np").desc, col("plang").asc)
+    paras.groupBy(col(idCol), col("plang"))
+      .agg(count(lit(1)).as("np"))
+      .withColumn("__rk", row_number().over(rank))
+      .withColumn("n_paras", sum(col("np")).over(perDoc))
+      .withColumn("n_langs", count(lit(1)).over(perDoc))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("plang").as("dominant_lang"),
+        col("n_paras"),
+        round(col("np").cast("double") /
+          col("n_paras").cast("double"), 4).as("dominant_frac"),
+        (col("n_langs") > 1).as("is_mixed"))
+  }
+
   /** Per-source ADAPTIVE quality gate: keep the top `keepPct` percent of
     * every source by [[qualityScore]] — the fixed-threshold gate (q49)
     * treats a curated-archive source and a raw-crawl source identically,

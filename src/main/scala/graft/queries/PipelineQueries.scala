@@ -1671,6 +1671,29 @@ object PipelineQueries {
       "text", Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2),
       budgetTokens = 4000L)
 
+  /** Paragraph-grain language segmentation ([[TextOps.langSegments]]):
+    * the single-line fixture docs get PLANTED paragraphs — a CJK
+    * paragraph on doc_id % 4 (zh), a stopword-dense English one on
+    * % 6 (en), both on multiples of 12, and a pure-zh replacement doc
+    * on % 25 — so all three languages occur as dominants, ties break
+    * lexicographically, and both mixed and pure docs occur. The oracle replays the split, the per-segment langGuess
+    * CASE (CJK codepoint regex + the 0.05 stopword-density cut), the
+    * per-(doc, lang) counts, the (np DESC, lang) rank and the 4dp
+    * share.
+    */
+  def q133(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val planted = t(s, dir)("documents").select(id,
+      when(id % 25 === 0, lit("这是中文段落\n另一个中文段落\n第三段"))
+        .otherwise(concat(
+          coalesce(col("text"), lit("")),
+          when(id % 4 === 0, lit("\n这是中文段落"))
+            .otherwise(lit("")),
+          when(id % 6 === 0, lit("\nthe a an of and is to the and"))
+            .otherwise(lit("")))).as("t"))
+    TextOps.langSegments(planted, "doc_id", "t")
+  }
+
   /** Per-source Zipf fit ([[TextOps.zipfReport]]): log–log regression
     * slope/intercept over the deterministic top-256 term ranks — the
     * corpus-health screen (natural text ≈ −1; templated slices flatten).
@@ -1898,6 +1921,7 @@ object PipelineQueries {
     "q128_quality_rules"  -> (q128 _),
     "q129_matryoshka"     -> (q129 _),
     "q132_token_budget"   -> (q132 _),
+    "q133_lang_segments"  -> (q133 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -4031,6 +4055,47 @@ FROM o"""
            FROM f)
        SELECT source, doc_id, n_tokens, tok_cum, tok_budget
        FROM c WHERE tok_cum - n_tokens < tok_budget""",
+    // paragraph language segmentation: planting, per-segment langGuess
+    // CASE, (doc, lang) counts, the (np DESC, lang) rank, 4dp share
+    "q133_lang_segments" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN doc_id % 25 = 0
+                  THEN '这是中文段落' || chr(10) || '另一个中文段落' ||
+                       chr(10) || '第三段'
+                  ELSE coalesce(text, '') ||
+                    (CASE WHEN doc_id % 4 = 0
+                          THEN chr(10) || '这是中文段落' ELSE '' END) ||
+                    (CASE WHEN doc_id % 6 = 0
+                          THEN chr(10) || 'the a an of and is to the and'
+                          ELSE '' END)
+             END AS t
+           FROM documents),
+         p AS (SELECT doc_id,
+                 unnest(string_split(t, chr(10))) AS para FROM d),
+         l AS (SELECT doc_id,
+                 CASE WHEN regexp_matches(para, '[\x{4e00}-\x{9fff}]')
+                        THEN 'zh'
+                      WHEN CAST(len(list_filter(string_split(para, ' '),
+                          x -> x IN ('the','a','an','of','and','is','to')))
+                          AS DOUBLE)
+                        / greatest(len(string_split(para, ' ')), 1) >= 0.05
+                        THEN 'en'
+                      ELSE 'unk' END AS plang
+               FROM p),
+         c AS (SELECT doc_id, plang, CAST(count(*) AS BIGINT) AS np
+               FROM l GROUP BY doc_id, plang),
+         r AS (SELECT doc_id, plang, np,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY np DESC, plang) AS rk,
+                 CAST(sum(np) OVER (PARTITION BY doc_id) AS BIGINT)
+                   AS n_paras,
+                 count(*) OVER (PARTITION BY doc_id) AS n_langs
+               FROM c)
+       SELECT doc_id, plang AS dominant_lang, n_paras,
+              round(CAST(np AS DOUBLE) / CAST(n_paras AS DOUBLE), 4)
+                AS dominant_frac,
+              (n_langs > 1) AS is_mixed
+       FROM r WHERE rk = 1""",
     // Zipf fit: counts, the deterministic (n DESC, term) rank, both
     // regression aggregates and the 4dp rounding all replayed
     "q121_zipf_fit" ->

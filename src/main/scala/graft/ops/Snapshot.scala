@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Snapshot maintenance for corpora stored as plain parquet — the
+  * MERGE-style change application (CDC compaction / SCD type 1:
+  * latest-version-wins upsert + tombstone delete) that table formats
+  * ship as `MERGE INTO`, expressed Spark-first over format-less files:
+  * a corpus version is a directory, a change batch is a relation of
+  * full rows tagged `(version, deleted)`, and compaction is ONE
+  * id-keyed window over the union — no per-row point lookups, no
+  * transaction log required to RESOLVE (the log's job is concurrency,
+  * not the merge semantics).
+  *
+  * The reference engine has no mutation surface at all; this module is
+  * the ingestion-maintenance sibling of the stored-artifact lifecycles
+  * (CorpusIndex / SpanIndex / FreqIndex extend): those keep INDEXES
+  * current under new data, this keeps the CORPUS itself current under
+  * updates and deletes.
+  */
+object Snapshot {
+
+  /** Apply a change batch to a base snapshot: per id the row with the
+    * HIGHEST `versionCol` wins (a delete tombstone wins ties at the same
+    * version — a change batch that both updates and deletes an id at
+    * one version means delete), and winners flagged `deleteCol` are
+    * dropped entirely (tombstones compact away; they must ride IN
+    * `changes` — physical deletion is exactly what this pass is for).
+    * Inserts are just change rows whose id the base lacks.
+    *
+    * Both inputs must share a schema including `idCol`, an integer-like
+    * `versionCol`, and a boolean `deleteCol`; base rows carry their own
+    * versions, so compaction composes — applying batch B2 to
+    * `applyChanges(base, B1)` equals applying `B1 ∪ B2` to base
+    * (OpsSpec-pinned) — PROVIDED versions are monotone across batches
+    * (every B2 version for an id ≥ every B1 version for it, the normal
+    * CDC sequencing). The caveat is real, not theoretical: a compacted
+    * tombstone is GONE, so a later-arriving row with a STALE version
+    * would win against the compacted snapshot but lose in the merged
+    * replay — out-of-order change feeds must be re-sequenced before
+    * compaction, exactly as every CDC consumer requires.
+    *
+    * Scale shape: one id-keyed window over base ∪ changes — a single
+    * exchange, state one row per id; at 100 TB this is the standard
+    * periodic-compaction job (the read side between compactions can
+    * apply the same window over base ∪ pending-changes views).
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, idCol: String,
+                   versionCol: String = "version",
+                   deleteCol: String = "deleted"): DataFrame = {
+    require(base.columns.sorted.sameElements(changes.columns.sorted),
+      s"applyChanges: base and changes schemas differ — base has " +
+        s"[${base.columns.sorted.mkString(", ")}], changes has " +
+        s"[${changes.columns.sorted.mkString(", ")}]")
+    require(!base.columns.contains("__rn"),
+      "applyChanges adds column __rn which already exists in the input")
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col(versionCol).desc, col(deleteCol).desc)
+    base.unionByName(changes)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col(deleteCol))
+      .drop("__rn")
+  }
+}

@@ -1694,6 +1694,37 @@ object PipelineQueries {
     TextOps.langSegments(planted, "doc_id", "t")
   }
 
+  /** CDC snapshot compaction ([[graft.ops.Snapshot.applyChanges]]): the
+    * base corpus at version 0 takes one change batch — updates (every
+    * 5th doc re-texted at version 1), tombstone deletes (every 7th
+    * doc, version 1), and inserts (new ids) — and compacts to the
+    * latest-wins snapshot with tombstones dropped. Docs with
+    * id % 35 == 0 carry BOTH an update and a delete at the SAME
+    * version — the conflict the (version DESC, deleted DESC) tie-break
+    * resolves as delete-wins, genuinely exercised; the oracle replays
+    * the union, the rank and the tombstone drop.
+    */
+  def q134(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir)("documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        lit(0L).as("version"), lit(false).as("deleted"))
+    val id = col("doc_id")
+    val updates = t(s, dir)("documents")
+      .filter(id % 5 === 0)
+      .select(id, col("source"),
+        concat(coalesce(col("text"), lit("")), lit(" v2-edit")).as("text"),
+        lit(1L).as("version"), lit(false).as("deleted"))
+    val deletes = t(s, dir)("documents").filter(id % 7 === 0)
+      .select(id, col("source"), col("text"),
+        lit(1L).as("version"), lit(true).as("deleted"))
+    val inserts = t(s, dir)("documents").filter(id % 11 === 0)
+      .select((id + 1000000L).as("doc_id"), col("source"),
+        concat(lit("fresh "), coalesce(col("text"), lit(""))).as("text"),
+        lit(1L).as("version"), lit(false).as("deleted"))
+    graft.ops.Snapshot.applyChanges(base,
+      updates.unionByName(deletes).unionByName(inserts), "doc_id")
+  }
+
   /** Per-source Zipf fit ([[TextOps.zipfReport]]): log–log regression
     * slope/intercept over the deterministic top-256 term ranks — the
     * corpus-health screen (natural text ≈ −1; templated slices flatten).
@@ -1922,6 +1953,7 @@ object PipelineQueries {
     "q129_matryoshka"     -> (q129 _),
     "q132_token_budget"   -> (q132 _),
     "q133_lang_segments"  -> (q133 _),
+    "q134_cdc_compaction" -> (q134 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -4096,6 +4128,32 @@ FROM o"""
                 AS dominant_frac,
               (n_langs > 1) AS is_mixed
        FROM r WHERE rk = 1""",
+    // CDC compaction: base + updates + tombstones + inserts unioned,
+    // (version DESC, deleted DESC) rank, tombstones dropped — the
+    // delete-wins tie at id % 35 replayed
+    "q134_cdc_compaction" ->
+      """WITH base AS (SELECT doc_id, source, text,
+             CAST(0 AS BIGINT) AS version, false AS deleted
+           FROM documents),
+         upd AS (SELECT doc_id, source,
+             coalesce(text, '') || ' v2-edit' AS text,
+             CAST(1 AS BIGINT) AS version, false AS deleted
+           FROM documents WHERE doc_id % 5 = 0),
+         del AS (SELECT doc_id, source, text,
+             CAST(1 AS BIGINT) AS version, true AS deleted
+           FROM documents WHERE doc_id % 7 = 0),
+         ins AS (SELECT doc_id + 1000000 AS doc_id, source,
+             'fresh ' || coalesce(text, '') AS text,
+             CAST(1 AS BIGINT) AS version, false AS deleted
+           FROM documents WHERE doc_id % 11 = 0),
+         al AS (SELECT * FROM base UNION ALL SELECT * FROM upd
+                UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY version DESC,
+                          CASE WHEN deleted THEN 1 ELSE 0 END DESC) AS rn
+               FROM al)
+       SELECT doc_id, source, text, version, deleted
+       FROM r WHERE rn = 1 AND NOT deleted""",
     // Zipf fit: counts, the deterministic (n DESC, term) rank, both
     // regression aggregates and the 4dp rounding all replayed
     "q121_zipf_fit" ->

@@ -173,6 +173,45 @@ object AnalyticQueries {
       .agg(count(lit(1)).as("cnt"),
         sum(cents(col("value"))).as("sum_value_c"))
 
+  /** HOPPING (sliding) window aggregation — q20's tumbling twin with
+    * `window(ts, "1 hour", "30 minutes")`: every event lands in
+    * win/hop = 2 overlapping windows, which Spark plans as an Expand
+    * (2 rows per event) feeding the same partial-combined aggregate —
+    * the standard smoothing/trend shape a tumbling window can't
+    * express. Exact integer cents (the q20 contract) and epoch-aligned
+    * window starts; the oracle regenerates both containing windows per
+    * event with integer micros arithmetic.
+    */
+  def q135(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(
+        window(col("ts"), "1 hour", "30 minutes")
+          .getField("start").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(cents(col("value"))).as("sum_value_c"))
+
+  /** The ranking-function family under REAL ties — rank, dense_rank,
+    * percent_rank, cume_dist in one pass (ntile is q98-gated): ordered
+    * by o_orderdate within priority, where date collisions produce
+    * genuine tie classes, so the four functions' tie semantics (gaps vs
+    * no gaps; (rank−1)/(n−1) vs peers≤x/n) all diverge and each is a
+    * pure function of the ORDER KEY — deterministic per row even with
+    * ties (the reason ntile, which splits tie classes arbitrarily, is
+    * gated on a unique ordering elsewhere instead). One window over one
+    * priority exchange; doubles rounded 6dp.
+    */
+  def q136(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderdate"))
+    t(s, dir)("orders").select(col("o_orderkey"), col("o_orderpriority"),
+      col("o_orderdate"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      round(percent_rank().over(w), 6).as("prnk"),
+      round(cume_dist().over(w), 6).as("cd"))
+  }
+
   // ── SQL-text door (reference entry point 1, `main.py:22-23`) ────────────
 
   private lazy val tpchDd: DataDictionary = {
@@ -743,6 +782,8 @@ object AnalyticQueries {
     "q127_setops_all" -> (q127 _),
     "q130_retention_cohorts" -> (q130 _),
     "q131_ansi_agg_window" -> (q131 _),
+    "q135_hopping_window" -> (q135 _),
+    "q136_rank_family" -> (q136 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -858,6 +899,30 @@ object AnalyticQueries {
                 CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
                   AS sum_value_c
          FROM events GROUP BY 1, 2""",
+    // each event regenerated into BOTH containing 1h/30m windows via
+    // integer micros arithmetic (start = (us div hop - i)*hop, i=0,1)
+    "q135_hopping_window" ->
+      """WITH e AS (SELECT event_type,
+                 CAST(round(value*100) AS BIGINT) AS c,
+                 epoch_us(ts) AS us
+           FROM events),
+         x AS (SELECT
+                 make_timestamp((us // 1800000000 - i) * 1800000000)
+                   AS win_start,
+                 event_type, c
+               FROM e, unnest([0, 1]) AS t(i))
+       SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS cnt,
+              CAST(sum(c) AS BIGINT) AS sum_value_c
+       FROM x GROUP BY 1, 2""",
+    // identical ANSI rank semantics under the same tie classes
+    "q136_rank_family" ->
+      """SELECT o_orderkey, o_orderpriority, o_orderdate,
+                CAST(rank() OVER w AS INT) AS rnk,
+                CAST(dense_rank() OVER w AS INT) AS drnk,
+                round(percent_rank() OVER w, 6) AS prnk,
+                round(cume_dist() OVER w, 6) AS cd
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate)""",
     // RANGE frame on exact epoch microseconds; the windowed BIGINT sum
     // widens to HUGEINT in DuckDB -> cast back (the r9 audit rule)
     "q101_range_window" ->

@@ -158,7 +158,19 @@ object ScaleProbe {
     // and the LATERAL pair (generator + decorrelated top-k rank)
     "q118_freq_registry", "q120_boilerplate", "q121_zipf_fit",
     "q122_boilerplate_stored", "q119_recursive_cte",
-    "q123_domain_boilerplate", "q124_recursive_edge_join", "q125_lateral")
+    "q123_domain_boilerplate", "q124_recursive_edge_join", "q125_lateral",
+    // later r14 arrivals, on-arrival per the r7 discipline: URL
+    // canonicalization dedup (regex/array scan + one key shuffle), the
+    // Gopher/C4 rule scan (regexp_count counters + one HOF), retention
+    // cohorts (two distinct aggs + user-keyed join-back), token-budget
+    // fill (one source-keyed window), language segmentation (explode →
+    // (doc,lang) count → lang-bounded windows), CDC compaction (one
+    // id-keyed window over base ∪ changes), and the hopping window
+    // (Expand doubles the aggregate's input — the one op whose input
+    // legitimately exceeds the corpus)
+    "q126_url_dedup", "q128_quality_rules", "q130_retention_cohorts",
+    "q132_token_budget", "q133_lang_segments", "q134_cdc_compaction",
+    "q135_hopping_window")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -170,7 +170,12 @@ object ScaleProbe {
     // legitimately exceeds the corpus)
     "q126_url_dedup", "q128_quality_rules", "q130_retention_cohorts",
     "q132_token_budget", "q133_lang_segments", "q134_cdc_compaction",
-    "q135_hopping_window")
+    "q135_hopping_window",
+    // the iterative-graph shape: K synchronous PageRank iterations,
+    // each a ranks-edges join + a dst-keyed aggregate — per-iteration
+    // cost tracks EDGES, and the edge relation here is corpus-derived,
+    // so the sf1 ratio is the honest Pregel-cost evidence
+    "q137_centrality")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

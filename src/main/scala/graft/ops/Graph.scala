@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality over an edge relation — the web-curation
+  * authority signal (CC-Net / RefinedWeb-style pipelines rank crawl
+  * domains by link centrality before quality cuts; the reference engine
+  * has no graph surface at all, so this is catalog extension, not
+  * parity).
+  *
+  * The rank is classic PageRank, but computed ENTIRELY in scaled
+  * fixed-point integer arithmetic (`Long`s, default scale 1e12): every
+  * per-edge contribution is `((r · dampNum) div dampDen) div outdeg`
+  * with truncating integer division, so each iteration is a sum of
+  * exact integers — order-invariant under Spark's partial aggregation
+  * and bit-identically replayable by any engine with 64-bit integer
+  * division (the DuckDB oracle unrolls the same iterations as CTEs).
+  * Floating-point PageRank cannot be equality-gated across engines
+  * (summation order changes ulps); fixed-point can, at the cost of a
+  * deterministic downward drift of at most one scale-unit per divisor
+  * per term — the total rank mass stays within `nodes + edges` units of
+  * `scale` per iteration (OpsSpec pins the conservation bound and a
+  * hand-walked 3-node graph, dangling node included).
+  *
+  * Dangling mass is redistributed: nodes with no out-edges contribute
+  * `((Σr_dangling · dampNum) div dampDen) div n` to every node, the
+  * standard correction — without it rank mass drains to the teleport
+  * floor and hubs are under-ranked.
+  *
+  * Scale shape: edges are deduplicated once (one shuffle), then each
+  * iteration costs (a) the ranks⨝edges join on `src` — ranks is one row
+  * per NODE, edges dominate; with edges pre-partitioned by src this is
+  * the Pregel message exchange — (b) the contribution aggregate keyed
+  * by `dst`, and (c) a one-row dangling-mass aggregate (its cross join
+  * is a broadcast of a single row, the audited 1-row-totals BNLJ
+  * shape). Nothing is ever collected except the node count `n` — the
+  * one scalar the algorithm's teleport term needs. At real scale set
+  * `checkpointEvery` ≥ 1: each iteration's ranks relation (one row per
+  * node — domain-grain, millions of rows, NOT corpus-grain) is eagerly
+  * localCheckpoint-ed, truncating the lineage so K iterations stay K
+  * stages instead of a 3K-join megaplan; the gated query runs K = 4
+  * with pure lineage so the dumped plan shows the whole dataflow.
+  */
+object Graph {
+
+  /** Fixed-point PageRank. `edges` is any relation with integer-like
+    * `srcCol`/`dstCol`; self-loops and duplicate edges are removed
+    * (the edge set is a SET — outdegree counts distinct targets).
+    * Returns one row per node: (node, outdeg, r_scaled) after `iters`
+    * synchronous iterations from the uniform start `scale div n`.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 4, dampNum: Long = 85L, dampDen: Long = 100L,
+               scale: Long = 1000000000000L,
+               checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"pageRank: need 0 < dampNum < dampDen, got $dampNum/$dampDen")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    // The one driver-side scalar: |V|, needed inside the teleport and
+    // dangling divisors. Domain-grain count, not corpus-grain.
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty graph")
+    val tele = ((dampDen - dampNum) * scale) / dampDen / n
+
+    var ranks = nodes.withColumn("r", lit(scale / n))
+    for (k <- 1 to iters) {
+      val contrib = e
+        .join(ranks.select(col("node").as("src"), col("r")), "src")
+        .join(outdeg.select(col("node").as("src"), col("outdeg")), "src")
+        .select(col("dst").as("node"),
+          expr(s"((r * $dampNum) div $dampDen) div outdeg").as("c"))
+        .groupBy("node").agg(sum("c").as("csum"))
+      val dang = ranks
+        .join(outdeg.select(col("node")), Seq("node"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0L)).as("dm"))
+        .select(expr(s"((dm * $dampNum) div $dampDen) div $n").as("dshare"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(dang)
+        .select(col("node"),
+          (lit(tele) + col("dshare") + coalesce(col("csum"), lit(0L)))
+            .as("r"))
+      if (checkpointEvery > 0 && k % checkpointEvery == 0)
+        ranks = ranks.localCheckpoint(true)
+    }
+    ranks.join(outdeg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        col("r").as("r_scaled"))
+  }
+}

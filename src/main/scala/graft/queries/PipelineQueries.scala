@@ -1725,6 +1725,36 @@ object PipelineQueries {
       updates.unionByName(deletes).unionByName(inserts), "doc_id")
   }
 
+  /** Domain-graph centrality ([[graft.ops.Graph.pageRank]], 4
+    * iterations of fixed-point integer PageRank): the web-curation
+    * authority signal, equality-gated because every iteration is exact
+    * int64 arithmetic — see the Graph scaladoc. The link graph is
+    * planted from doc_id over the 97 site labels (the q108 domain
+    * universe): two arithmetic out-edge rules per document (a site with
+    * several docs gets several distinct targets), a hub rule pouring
+    * every 11th doc's link into site 0 (so ranks are genuinely
+    * non-uniform — the hub must come out on top), and a dangling rule
+    * targeting nodes 97–99 which are never sources (so the
+    * dangling-mass redistribution branch is exercised at EVERY scale
+    * factor, not just small ones). The oracle unrolls the same 4
+    * iterations as materialized CTEs with identical `//` arithmetic.
+    */
+  def q137(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir)("documents")
+      .select(col("doc_id"), (col("doc_id") % 97).as("src"))
+    val e1 = d.select(col("src"),
+      ((col("src") * 31 + 1 + col("doc_id") % 7) % 97).as("dst"))
+    val e2 = d.select(col("src"),
+      ((col("src") + (col("doc_id") % 5) * 13 + 3) % 97).as("dst"))
+    val e3 = d.filter(col("doc_id") % 11 === 0)
+      .select(col("src"), lit(0L).as("dst"))
+    val e4 = d.filter(col("doc_id") % 17 === 0)
+      .select(col("src"), (lit(97L) + col("doc_id") % 3).as("dst"))
+    graft.ops.Graph.pageRank(e1.union(e2).union(e3).union(e4),
+        "src", "dst", iters = 4)
+      .select(col("node").as("domain_id"), col("outdeg"), col("r_scaled"))
+  }
+
   /** Per-source Zipf fit ([[TextOps.zipfReport]]): log–log regression
     * slope/intercept over the deterministic top-256 term ranks — the
     * corpus-health screen (natural text ≈ −1; templated slices flatten).
@@ -1954,6 +1984,7 @@ object PipelineQueries {
     "q132_token_budget"   -> (q132 _),
     "q133_lang_segments"  -> (q133 _),
     "q134_cdc_compaction" -> (q134 _),
+    "q137_centrality"     -> (q137 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -2137,7 +2168,78 @@ FROM o"""
                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
              FROM w)"""
 
+  /** DuckDB replay of [[graft.ops.Graph.pageRank]] over the q137
+    * planted link graph: the `iters` synchronous iterations unrolled as
+    * MATERIALIZED CTEs (each rank relation is referenced by the next
+    * iteration's contribution AND dangling CTEs — inlined chains
+    * re-derive the whole prefix exponentially many times, the bpe
+    * lesson). All arithmetic is int64 `//` matching Spark's `div`
+    * (all values non-negative, so floor ≡ truncate); sums are cast
+    * back to BIGINT immediately because DuckDB's SUM(BIGINT) widens to
+    * HUGEINT, which must never reach the `//` chain or the output
+    * schema.
+    */
+  private def pageRankOracle(iters: Int): String = {
+    val head =
+      """WITH eraw AS (
+           SELECT (doc_id % 97) AS src,
+                  ((doc_id % 97) * 31 + 1 + (doc_id % 7)) % 97 AS dst
+           FROM documents
+           UNION ALL
+           SELECT (doc_id % 97),
+                  ((doc_id % 97) + (doc_id % 5) * 13 + 3) % 97
+           FROM documents
+           UNION ALL
+           SELECT (doc_id % 97), 0 FROM documents WHERE doc_id % 11 = 0
+           UNION ALL
+           SELECT (doc_id % 97), 97 + (doc_id % 3)
+           FROM documents WHERE doc_id % 17 = 0),
+         edges AS MATERIALIZED (
+           SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
+         nodes AS MATERIALIZED (
+           SELECT DISTINCT node FROM (SELECT src AS node FROM edges
+                                      UNION ALL SELECT dst FROM edges)),
+         outdeg AS MATERIALIZED (
+           SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+           FROM edges GROUP BY src),
+         nn AS MATERIALIZED (
+           SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         r0 AS MATERIALIZED (
+           SELECT node,
+                  CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS r
+           FROM nodes)"""
+    val its = (1 to iters).map { k =>
+      s""",
+         c$k AS (SELECT e.dst AS node,
+                  CAST(SUM(((r.r * 85) // 100) // od.outdeg) AS BIGINT)
+                    AS csum
+                FROM edges e
+                JOIN r${k - 1} r ON r.node = e.src
+                JOIN outdeg od ON od.node = e.src
+                GROUP BY e.dst),
+         d$k AS (SELECT CAST(
+                  (CAST(COALESCE((SELECT SUM(r.r) FROM r${k - 1} r
+                                  LEFT JOIN outdeg od ON od.node = r.node
+                                  WHERE od.node IS NULL), 0) AS BIGINT)
+                   * 85 // 100) // (SELECT n FROM nn) AS BIGINT) AS dshare),
+         r$k AS MATERIALIZED (
+           SELECT n.node,
+                  CAST(((15 * 1000000000000 // 100) // (SELECT n FROM nn))
+                       + (SELECT dshare FROM d$k)
+                       + COALESCE(c$k.csum, 0) AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c$k ON c$k.node = n.node)"""
+    }.mkString
+    head + its +
+      s"""
+       SELECT r.node AS domain_id, COALESCE(od.outdeg, 0) AS outdeg,
+              r.r AS r_scaled
+       FROM r$iters r LEFT JOIN outdeg od ON od.node = r.node"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // fixed-point integer PageRank: 4 iterations, dangling nodes
+    // 97-99 redistributed, hub site 0 on top — bit-identical replay
+    "q137_centrality" -> pageRankOracle(4),
     "q21_dedup_keyed" ->
       """SELECT user_id, event_type, min(event_id) AS first_event_id,
                 CAST(count(*) AS BIGINT) AS n_dups

@@ -3373,6 +3373,43 @@ class OpsSpec extends SparkSpec {
       .as[(String, String, Option[Long])].collect().head._3
     assert(estE === None)
   }
+
+  test("pageRank: hand-walked fixed-point iteration with a dangling node") {
+    // edges 1->2, 2->1, 1->3; node 3 dangling. scale=1000, one iteration:
+    //   n=3, r0=333 each, tele=(15*1000/100)/3=50
+    //   node1 (deg 2): (333*85) div 100 = 283; div 2 = 141 -> each of 2,3
+    //   node2 (deg 1): 283 -> node 1
+    //   dangling mass 333: (333*85 div 100) div 3 = 94 to everyone
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("s", "d")
+    val r1 = graft.ops.Graph.pageRank(e, "s", "d", iters = 1, scale = 1000L)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(r1 === Seq((1L, 2L, 427L), (2L, 1L, 285L), (3L, 0L, 285L)))
+    // duplicate edges and self-loops are dropped before outdegree
+    val eDup = e.union(Seq((1L, 2L), (3L, 3L)).toDF("s", "d"))
+    val r1d = graft.ops.Graph.pageRank(eDup, "s", "d", iters = 1,
+        scale = 1000L).as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(r1d === r1)
+    // conservation: mass never exceeds scale; floor losses are bounded
+    // (each of tele/dshare/per-edge contribution drops < 1 unit per
+    // divisor per iteration) and rank stays positive everywhere
+    val r3 = graft.ops.Graph.pageRank(e, "s", "d", iters = 3,
+        scale = 1000000L).as[(Long, Long, Long)].collect().toSeq
+    val total = r3.map(_._3).sum
+    assert(total <= 1000000L && total > 1000000L - 100L)
+    assert(r3.forall(_._3 > 0L))
+    // checkpointEvery must not change values, only lineage
+    val r3c = graft.ops.Graph.pageRank(e, "s", "d", iters = 3,
+        scale = 1000000L, checkpointEvery = 1)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(r3c === r3.sorted)
+    // guards
+    intercept[IllegalArgumentException] {
+      graft.ops.Graph.pageRank(e, "s", "d", iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Graph.pageRank(e, "s", "d", dampNum = 100L)
+    }
+  }
 }
 
 /** Swaps a [[graft.ops.Sketch.FreqIndex]]'s sketch relation while keeping

@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality validation — the Deequ-shaped constraint
+  * report a pipeline runs against every ingest batch before letting it
+  * near training (the reference engine has no profiling surface; this
+  * is catalog extension in the q128 quality-rule spirit, but at TABLE
+  * grain rather than row grain).
+  *
+  * Design for scale: every row-local constraint (completeness,
+  * uniqueness, range, accepted values, size) compiles to aggregate
+  * expressions evaluated in ONE partial-combined pass over the input —
+  * a single scan, no shuffle beyond the one-row final aggregate,
+  * however many checks ride it (the Deequ trick; a naive
+  * one-query-per-check audit scans the corpus C times). Only
+  * referential-integrity checks cost more: one distinct-build plus one
+  * anti-join each, keyed on the child column — the honest price of a
+  * cross-relation constraint. The report itself is check-count-sized.
+  *
+  * Exactness: no floats anywhere. Every metric is an int64 count
+  * (`observed` / `total`), every threshold verdict is a
+  * cross-multiplied integer comparison (`observed · thrDen ≥
+  * thrNum · total`), so the report is bit-identically replayable by
+  * any engine with 64-bit counts — the oracle gate replays each check
+  * as plain COUNT arithmetic.
+  */
+object Validate {
+
+  sealed trait Check { def name: String }
+
+  /** Fraction of non-null values ≥ thrNum/thrDen.
+    * observed = non-null count, total = row count. */
+  final case class Completeness(name: String, column: String,
+      thrNum: Long = 1L, thrDen: Long = 1L) extends Check {
+    require(thrNum >= 0 && thrDen > 0 && thrNum <= thrDen,
+      s"Completeness $name: threshold $thrNum/$thrDen not in [0, 1]")
+  }
+
+  /** Exact key uniqueness: distinct value-combination count == row
+    * count. observed = distinct count (null-containing combinations
+    * count as values, matching a DISTINCT subquery), total = rows. */
+  final case class Uniqueness(name: String, columns: Seq[String])
+      extends Check {
+    require(columns.nonEmpty, s"Uniqueness $name: no columns")
+  }
+
+  /** Every non-null value inside [lo, hi].
+    * observed = violation count (must be 0), total = rows. */
+  final case class InRange(name: String, column: String,
+      lo: Double, hi: Double) extends Check
+
+  /** Every non-null value a member of `values`.
+    * observed = violation count (must be 0), total = rows. */
+  final case class AcceptedValues(name: String, column: String,
+      values: Seq[String]) extends Check {
+    require(values.nonEmpty, s"AcceptedValues $name: empty value set")
+  }
+
+  /** Row count within [lo, hi]. observed = total = row count. */
+  final case class SizeBetween(name: String, lo: Long, hi: Long)
+      extends Check
+
+  /** Every non-null child value present in `parent.parentColumn`
+    * (referential integrity). observed = orphan count (must be 0),
+    * total = non-null child values. */
+  final case class RefIntegrity(name: String, column: String,
+      parent: DataFrame, parentColumn: String) extends Check
+
+  private val kindOf: Check => String = {
+    case _: Completeness   => "completeness"
+    case _: Uniqueness     => "uniqueness"
+    case _: InRange        => "in_range"
+    case _: AcceptedValues => "accepted_values"
+    case _: SizeBetween    => "size_between"
+    case _: RefIntegrity   => "ref_integrity"
+  }
+
+  /** Run `checks` against `df`; returns the tall report
+    * (check_name, kind, observed, total, passed), one row per check,
+    * in no guaranteed order. */
+  def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "Validate.report: no checks")
+    require(checks.map(_.name).distinct.size == checks.size,
+      "Validate.report: duplicate check names: " +
+        checks.map(_.name).diff(checks.map(_.name).distinct).mkString(", "))
+
+    val rowLocal = checks.filter(!_.isInstanceOf[RefIntegrity])
+    val refs = checks.collect { case r: RefIntegrity => r }
+
+    val local: Option[DataFrame] = if (rowLocal.isEmpty) None else {
+      // one aggregate expression bundle per check + the shared total
+      val aggs: Seq[Column] = count(lit(1)).as("__total") +: rowLocal.map {
+        case Completeness(n, c, _, _) =>
+          count(col(c)).as(s"__obs_$n")
+        case Uniqueness(n, cs) =>
+          countDistinct(struct(cs.map(col): _*)).as(s"__obs_$n")
+        case InRange(n, c, lo, hi) =>
+          count(when(col(c) < lo || col(c) > hi, 1)).as(s"__obs_$n")
+        case AcceptedValues(n, c, vs) =>
+          count(when(!col(c).isin(vs.map(lit): _*), 1)).as(s"__obs_$n")
+        case SizeBetween(n, _, _) =>
+          count(lit(1)).as(s"__obs_$n")
+        case r: RefIntegrity =>
+          throw new IllegalStateException(s"unreachable: ${r.name}")
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val structs = rowLocal.map { ch =>
+        val obs = col(s"__obs_${ch.name}")
+        val tot = col("__total")
+        val passed: Column = ch match {
+          case Completeness(_, _, tn, td) => obs * td >= lit(tn) * tot
+          case _: Uniqueness              => obs === tot
+          case _: InRange                 => obs === 0L
+          case _: AcceptedValues          => obs === 0L
+          case SizeBetween(_, lo, hi)     => obs >= lo && obs <= hi
+          case r: RefIntegrity =>
+            throw new IllegalStateException(s"unreachable: ${r.name}")
+        }
+        struct(lit(ch.name).as("check_name"), lit(kindOf(ch)).as("kind"),
+          obs.as("observed"), tot.as("total"), passed.as("passed"))
+      }
+      Some(one.select(explode(array(structs: _*)).as("r")).select("r.*"))
+    }
+
+    val refReports = refs.map { case RefIntegrity(n, c, parent, pc) =>
+      val child = df.select(col(c).as("__k")).filter(col("__k").isNotNull)
+      val orphans = child
+        .join(parent.select(col(pc).as("__k")).distinct(), Seq("__k"),
+          "left_anti")
+        .agg(count(lit(1)).as("observed"))
+      val tot = child.agg(count(lit(1)).as("total"))
+      orphans.crossJoin(tot).select(
+        lit(n).as("check_name"), lit("ref_integrity").as("kind"),
+        col("observed"), col("total"), (col("observed") === 0L).as("passed"))
+    }
+
+    (local.toSeq ++ refReports).reduce(_.unionByName(_))
+  }
+}

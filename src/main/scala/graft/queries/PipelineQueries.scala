@@ -1755,6 +1755,46 @@ object PipelineQueries {
       .select(col("node").as("domain_id"), col("outdeg"), col("r_scaled"))
   }
 
+  /** Table-grain data-quality validation ([[graft.ops.Validate.report]]):
+    * the Deequ-shaped constraint report, three relations composed into
+    * one audit. Every check kind runs BOTH verdicts somewhere:
+    * completeness passes at 9/10 and fails at 19/20 against a planted
+    * 1-in-13 null column (the fixture corpus is fully dense, so the
+    * fail branch must be planted — the q97 posture); uniqueness passes
+    * on orders' key and fails on lineitem's (l_orderkey, l_linenumber),
+    * which this fixture generator deliberately does NOT keep unique;
+    * range/accepted-values/ref-integrity each pair a passing rule with
+    * a failing one (quantity ∈ [1,10]; linestatus = 'O' only; parts
+    * restricted to even keys → ~30k orphans). All metrics are int64
+    * counts, all verdicts cross-multiplied integer comparisons — the
+    * oracle replays every count and boolean.
+    */
+  def q138(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Validate._
+    val li = t(s, dir)("lineitem")
+    val ords = t(s, dir)("orders")
+    val docs = t(s, dir)("documents").withColumn("text_sparse",
+      when(col("doc_id") % 13 === 0, lit(null).cast("string"))
+        .otherwise(col("text")))
+    graft.ops.Validate.report(li, Seq(
+        Completeness("li_qty_complete", "l_quantity"),
+        Uniqueness("li_key_unique", Seq("l_orderkey", "l_linenumber")),
+        InRange("li_qty_1_50", "l_quantity", 1, 50),
+        InRange("li_qty_1_10", "l_quantity", 1, 10),
+        AcceptedValues("li_flag_ran", "l_returnflag", Seq("R", "A", "N")),
+        AcceptedValues("li_status_o", "l_linestatus", Seq("O")),
+        SizeBetween("li_size_band", 1L, 10000000L),
+        RefIntegrity("li_orders_fk", "l_orderkey", ords, "o_orderkey"),
+        RefIntegrity("li_even_parts_fk", "l_partkey",
+          t(s, dir)("part").filter(col("p_partkey") % 2 === 0),
+          "p_partkey")))
+      .unionByName(graft.ops.Validate.report(ords, Seq(
+        Uniqueness("ord_key_unique", Seq("o_orderkey")))))
+      .unionByName(graft.ops.Validate.report(docs, Seq(
+        Completeness("doc_text_90", "text_sparse", 9L, 10L),
+        Completeness("doc_text_95", "text_sparse", 19L, 20L))))
+  }
+
   /** Per-source Zipf fit ([[TextOps.zipfReport]]): log–log regression
     * slope/intercept over the deterministic top-256 term ranks — the
     * corpus-health screen (natural text ≈ −1; templated slices flatten).
@@ -1985,6 +2025,7 @@ object PipelineQueries {
     "q133_lang_segments"  -> (q133 _),
     "q134_cdc_compaction" -> (q134 _),
     "q137_centrality"     -> (q137 _),
+    "q138_validation"     -> (q138 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -2240,6 +2281,79 @@ FROM o"""
     // fixed-point integer PageRank: 4 iterations, dangling nodes
     // 97-99 redistributed, hub site 0 on top — bit-identical replay
     "q137_centrality" -> pageRankOracle(4),
+    // Deequ-shaped validation report: every count and cross-multiplied
+    // verdict replayed as plain SQL COUNT arithmetic
+    "q138_validation" ->
+      """WITH lt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem),
+         c1 AS (SELECT CAST(COUNT(l_quantity) AS BIGINT) AS o
+                FROM lineitem),
+         c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS o FROM
+                (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)),
+         c4 AS (SELECT CAST(COUNT(CASE WHEN l_quantity < 1
+                  OR l_quantity > 50 THEN 1 END) AS BIGINT) AS o
+                FROM lineitem),
+         c5 AS (SELECT CAST(COUNT(CASE WHEN l_quantity < 1
+                  OR l_quantity > 10 THEN 1 END) AS BIGINT) AS o
+                FROM lineitem),
+         c6 AS (SELECT CAST(COUNT(CASE WHEN l_returnflag
+                  NOT IN ('R','A','N') THEN 1 END) AS BIGINT) AS o
+                FROM lineitem),
+         c7 AS (SELECT CAST(COUNT(CASE WHEN l_linestatus
+                  NOT IN ('O') THEN 1 END) AS BIGINT) AS o
+                FROM lineitem),
+         r1o AS (SELECT CAST(COUNT(*) AS BIGINT) AS o FROM lineitem
+                 WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN
+                   (SELECT o_orderkey FROM orders)),
+         r1t AS (SELECT CAST(COUNT(l_orderkey) AS BIGINT) AS n
+                 FROM lineitem),
+         r2o AS (SELECT CAST(COUNT(*) AS BIGINT) AS o FROM lineitem
+                 WHERE l_partkey IS NOT NULL AND l_partkey NOT IN
+                   (SELECT p_partkey FROM part WHERE p_partkey % 2 = 0)),
+         r2t AS (SELECT CAST(COUNT(l_partkey) AS BIGINT) AS n
+                 FROM lineitem),
+         ot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+         ou AS (SELECT CAST(COUNT(*) AS BIGINT) AS o FROM
+                (SELECT DISTINCT o_orderkey FROM orders)),
+         dt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         d1 AS (SELECT CAST(COUNT(CASE WHEN doc_id % 13 = 0
+                  THEN NULL ELSE text END) AS BIGINT) AS o
+                FROM documents)
+       SELECT 'li_qty_complete' AS check_name, 'completeness' AS kind,
+              (SELECT o FROM c1) AS observed, (SELECT n FROM lt) AS total,
+              (SELECT o FROM c1) * 1 >= 1 * (SELECT n FROM lt) AS passed
+       UNION ALL SELECT 'li_key_unique', 'uniqueness',
+              (SELECT o FROM c2), (SELECT n FROM lt),
+              (SELECT o FROM c2) = (SELECT n FROM lt)
+       UNION ALL SELECT 'li_qty_1_50', 'in_range',
+              (SELECT o FROM c4), (SELECT n FROM lt),
+              (SELECT o FROM c4) = 0
+       UNION ALL SELECT 'li_qty_1_10', 'in_range',
+              (SELECT o FROM c5), (SELECT n FROM lt),
+              (SELECT o FROM c5) = 0
+       UNION ALL SELECT 'li_flag_ran', 'accepted_values',
+              (SELECT o FROM c6), (SELECT n FROM lt),
+              (SELECT o FROM c6) = 0
+       UNION ALL SELECT 'li_status_o', 'accepted_values',
+              (SELECT o FROM c7), (SELECT n FROM lt),
+              (SELECT o FROM c7) = 0
+       UNION ALL SELECT 'li_size_band', 'size_between',
+              (SELECT n FROM lt), (SELECT n FROM lt),
+              (SELECT n FROM lt) BETWEEN 1 AND 10000000
+       UNION ALL SELECT 'li_orders_fk', 'ref_integrity',
+              (SELECT o FROM r1o), (SELECT n FROM r1t),
+              (SELECT o FROM r1o) = 0
+       UNION ALL SELECT 'li_even_parts_fk', 'ref_integrity',
+              (SELECT o FROM r2o), (SELECT n FROM r2t),
+              (SELECT o FROM r2o) = 0
+       UNION ALL SELECT 'ord_key_unique', 'uniqueness',
+              (SELECT o FROM ou), (SELECT n FROM ot),
+              (SELECT o FROM ou) = (SELECT n FROM ot)
+       UNION ALL SELECT 'doc_text_90', 'completeness',
+              (SELECT o FROM d1), (SELECT n FROM dt),
+              (SELECT o FROM d1) * 10 >= 9 * (SELECT n FROM dt)
+       UNION ALL SELECT 'doc_text_95', 'completeness',
+              (SELECT o FROM d1), (SELECT n FROM dt),
+              (SELECT o FROM d1) * 20 >= 19 * (SELECT n FROM dt)""",
     "q21_dedup_keyed" ->
       """SELECT user_id, event_type, min(event_id) AS first_event_id,
                 CAST(count(*) AS BIGINT) AS n_dups

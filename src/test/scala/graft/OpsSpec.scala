@@ -3410,6 +3410,51 @@ class OpsSpec extends SparkSpec {
       graft.ops.Graph.pageRank(e, "s", "d", dampNum = 100L)
     }
   }
+
+  test("validation report: every check kind, both verdicts, hand counts") {
+    import graft.ops.Validate._
+    val df = Seq(
+      (1L, Some("a"), 5.0), (2L, Some("a"), 15.0), (3L, None, 7.0),
+      (4L, Some("b"), 9.0)).toDF("id", "cat", "x")
+    val parent = Seq("a").toDF("k")
+    val rep = graft.ops.Validate.report(df, Seq(
+        Completeness("cat_half", "cat", 1L, 2L),      // 3/4 >= 1/2
+        Completeness("cat_all", "cat"),               // 3/4 < 1
+        Uniqueness("id_uniq", Seq("id")),             // 4 = 4
+        Uniqueness("cat_uniq", Seq("cat")),           // 3 distinct (incl null) < 4
+        InRange("x_wide", "x", 0.0, 20.0),            // 0 violations
+        InRange("x_narrow", "x", 0.0, 8.0),           // 15.0, 9.0 violate
+        AcceptedValues("cat_ab", "cat", Seq("a", "b")),  // nulls ignored
+        AcceptedValues("cat_a", "cat", Seq("a")),     // "b" violates
+        SizeBetween("sz_ok", 1L, 10L),
+        SizeBetween("sz_bad", 5L, 10L),
+        RefIntegrity("cat_fk", "cat", parent, "k")))  // "b" orphan; nulls excluded
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(rep("cat_half") === ((3L, 4L, true)))
+    assert(rep("cat_all") === ((3L, 4L, false)))
+    assert(rep("id_uniq") === ((4L, 4L, true)))
+    assert(rep("cat_uniq") === ((3L, 4L, false)))
+    assert(rep("x_wide") === ((0L, 4L, true)))
+    assert(rep("x_narrow") === ((2L, 4L, false)))
+    assert(rep("cat_ab") === ((0L, 4L, true)))
+    assert(rep("cat_a") === ((1L, 4L, false)))
+    assert(rep("sz_ok") === ((4L, 4L, true)))
+    assert(rep("sz_bad") === ((4L, 4L, false)))
+    assert(rep("cat_fk") === ((1L, 3L, false)))
+    assert(rep.size === 11)
+    // guards: duplicate names, empty check list, bad threshold
+    intercept[IllegalArgumentException] {
+      graft.ops.Validate.report(df,
+        Seq(SizeBetween("x", 1L, 2L), SizeBetween("x", 1L, 3L)))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Validate.report(df, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Completeness("bad", "cat", 3L, 2L)
+    }
+  }
 }
 
 /** Swaps a [[graft.ops.Sketch.FreqIndex]]'s sketch relation while keeping

@@ -175,7 +175,10 @@ object ScaleProbe {
     // each a ranks-edges join + a dst-keyed aggregate — per-iteration
     // cost tracks EDGES, and the edge relation here is corpus-derived,
     // so the sf1 ratio is the honest Pregel-cost evidence
-    "q137_centrality")
+    "q137_centrality",
+    // the regex-heaviest per-row scan in the catalog (7 passes over
+    // every document's HTML) — the q128 scan-bound family, priced
+    "q139_html_extract")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

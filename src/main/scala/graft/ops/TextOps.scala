@@ -2446,4 +2446,46 @@ object TextOps {
       .unionByName(termRow("novel_terms", t2, t1))
       .unionByName(termRow("lost_terms", t1, t2))
   }
+
+  /** HTML → text extraction — the first stage of every web-curation
+    * pipeline (the trafilatura/jusText step, reduced to its
+    * deterministic regex core so it equality-gates cross-engine; a real
+    * DOM extractor swaps in here, the downstream line-grain ops don't
+    * change). The whole chain is column expressions — regexp_replace,
+    * split, HOF transform/filter, array_join — so the full-corpus strip
+    * stays inside whole-stage codegen with NO UDF, the same constraint
+    * that shaped `text_canon` and the boilerplate scrubber.
+    *
+    * Contract (in order, each step deliberate):
+    *  1. `<script>`/`<style>` ELEMENTS drop with their CONTENT
+    *     (case-insensitive, dotall — script bodies span lines and
+    *     contain `<`-operators that must not re-open tag parsing);
+    *  2. HTML comments drop with content;
+    *  3. `<br>` and closing block tags (p, div, li, h1–h6, tr)
+    *     become NEWLINES — inline tags must not glue words together,
+    *     but inline `<b>`/`<a>` etc. must not split them either;
+    *  4. every remaining tag strips to nothing;
+    *  5. the 5 ubiquitous entities decode, `&amp;` LAST — decoding it
+    *     first would turn the literal text `&amp;lt;` into `<`, the
+    *     classic double-unescape bug (spec-pinned);
+    *  6. horizontal whitespace collapses, lines trim, empty lines
+    *     drop, surviving lines re-join with `\n`.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>", "")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", "")
+    val breaks = regexp_replace(noComment,
+      "(?i)<br\\s*/?>|</(p|div|li|h[1-6]|tr)\\s*>", "\n")
+    val noTags = regexp_replace(breaks, "<[^>]+>", "")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) =>
+        replace(c, lit(e), lit(v)) }
+    val hsp = regexp_replace(decoded, "[ \\t]+", " ")
+    array_join(
+      filter(transform(split(hsp, "\n"), s => trim(s)),
+        s => length(s) > 0),
+      "\n")
+  }
 }

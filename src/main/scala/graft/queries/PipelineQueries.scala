@@ -1795,6 +1795,38 @@ object PipelineQueries {
         Completeness("doc_text_95", "text_sparse", 19L, 20L))))
   }
 
+  /** HTML → text extraction ([[TextOps.htmlToText]]): the corpus is
+    * wrapped in deterministically planted HTML exercising every
+    * contract branch — script/style elements with `<`-operators and
+    * newlines INSIDE (content must vanish, not re-open tag parsing; a
+    * 1-in-7 branch omits the script so the absent case runs too),
+    * comments holding tag-looking text, `<br>` + block closers that
+    * must become line breaks (1-in-5 branch), inline tags that must
+    * NOT split words, double-escaped `&amp;lt;` that must decode to
+    * the literal text `&lt;` (never `<`), and `&nbsp;`/`&quot;`/
+    * `&#39;` entities. The oracle rebuilds the same HTML and replays
+    * the 7-step chain with RE2 regexes + literal replaces.
+    */
+  def q139(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val html = concat(
+      lit("<html><head><title>D"), id,
+      lit("</title><style type=\"text/css\">p { color: red; }\n.x{}</style>"),
+      when(id % 7 =!= 0, concat(
+        lit("<script>var x = 1 < 2 && doc > 0; //"), id,
+        lit("\n</script>"))).otherwise(lit("")),
+      lit("</head><body><h1>Doc "), id,
+      lit("</h1><!-- comment & <p>not text</p> -->"),
+      lit("<p>"), substring(col("text"), 1, 80),
+      when(id % 5 === 0, lit("<br>line&nbsp;two")).otherwise(lit("")),
+      lit("</p><ul><li>&amp;lt;escaped&gt;</li><li>&quot;q&#39;s&quot;</li></ul>"),
+      lit("<div><a href=\"http://x/"), id,
+      lit("\">link text</a></div></body></html>"))
+    t(s, dir)("documents")
+      .select(id, TextOps.htmlToText(html).as("clean_text"))
+      .withColumn("n_lines", size(split(col("clean_text"), "\n")))
+  }
+
   /** Per-source Zipf fit ([[TextOps.zipfReport]]): log–log regression
     * slope/intercept over the deterministic top-256 term ranks — the
     * corpus-health screen (natural text ≈ −1; templated slices flatten).
@@ -2026,6 +2058,7 @@ object PipelineQueries {
     "q134_cdc_compaction" -> (q134 _),
     "q137_centrality"     -> (q137 _),
     "q138_validation"     -> (q138 _),
+    "q139_html_extract"   -> (q139 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -2281,6 +2314,52 @@ FROM o"""
     // fixed-point integer PageRank: 4 iterations, dangling nodes
     // 97-99 redistributed, hub site 0 on top — bit-identical replay
     "q137_centrality" -> pageRankOracle(4),
+    // HTML strip: planted wrapper rebuilt, the 7-step chain replayed
+    // with RE2 regexes + literal replaces, &amp; decoded LAST
+    "q139_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+           '<html><head><title>D' || doc_id ||
+           '</title><style type="text/css">p { color: red; }' || chr(10)
+           || '.x{}</style>' ||
+           CASE WHEN doc_id % 7 <> 0
+                THEN '<script>var x = 1 < 2 && doc > 0; //' || doc_id
+                     || chr(10) || '</script>' ELSE '' END ||
+           '</head><body><h1>Doc ' || doc_id ||
+           '</h1><!-- comment & <p>not text</p> -->' ||
+           '<p>' || substr(text, 1, 80) ||
+           CASE WHEN doc_id % 5 = 0 THEN '<br>line&nbsp;two'
+                ELSE '' END ||
+           '</p><ul><li>&amp;lt;escaped&gt;</li>' ||
+           '<li>&quot;q&#39;s&quot;</li></ul>' ||
+           '<div><a href="http://x/' || doc_id ||
+           '">link text</a></div></body></html>' AS html
+         FROM documents),
+         s1 AS (SELECT doc_id, regexp_replace(html,
+           '(?is)<(script|style)\b[^>]*>.*?</(script|style)\s*>',
+           '', 'g') AS t FROM h),
+         s2 AS (SELECT doc_id,
+           regexp_replace(t, '(?s)<!--.*?-->', '', 'g') AS t FROM s1),
+         s3 AS (SELECT doc_id, regexp_replace(t,
+           '(?i)<br\s*/?>|</(p|div|li|h[1-6]|tr)\s*>', chr(10), 'g')
+           AS t FROM s2),
+         s4 AS (SELECT doc_id,
+           regexp_replace(t, '<[^>]+>', '', 'g') AS t FROM s3),
+         s5 AS (SELECT doc_id,
+           replace(replace(replace(replace(replace(replace(t,
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+           FROM s4),
+         s6 AS (SELECT doc_id,
+           regexp_replace(t, '[ ' || chr(9) || ']+', ' ', 'g') AS t
+           FROM s5),
+         s7 AS (SELECT doc_id, list_aggr(list_filter(list_transform(
+             string_split(t, chr(10)), x -> trim(x)),
+             x -> length(x) > 0), 'string_agg', chr(10)) AS clean_text
+           FROM s6)
+       SELECT doc_id, clean_text,
+              CAST(length(string_split(clean_text, chr(10))) AS INT)
+                AS n_lines
+       FROM s7""",
     // Deequ-shaped validation report: every count and cross-multiplied
     // verdict replayed as plain SQL COUNT arithmetic
     "q138_validation" ->

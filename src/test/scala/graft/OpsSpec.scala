@@ -3455,6 +3455,28 @@ class OpsSpec extends SparkSpec {
       Completeness("bad", "cat", 3L, 2L)
     }
   }
+
+  test("htmlToText: hand-pinned contract branches") {
+    def strip(h: String): String = {
+      val df = Seq(h).toDF("h")
+        .select(TextOps.htmlToText(col("h")).as("t"))
+      df.collect().head.getString(0)
+    }
+    // script/style content vanishes, even with <-operators and newlines
+    assert(strip("a<script>if (x < 2 && y > 1) {}\nz</script>b") === "ab")
+    assert(strip("a<STYLE media=\"x\">p > q { }</style>b") === "ab")
+    // comments drop with tag-looking content
+    assert(strip("a<!-- <p>hidden</p> -->b") === "ab")
+    // br + block closers become line breaks; inline tags don't split
+    assert(strip("<p>one<br>two</p><div>three</div>") === "one\ntwo\nthree")
+    assert(strip("w<b>or</b>d <a href=\"u\">link</a>") === "word link")
+    // entity decoding, &amp; last: literal &amp;lt; is text "&lt;"
+    assert(strip("&amp;lt;x&gt; &quot;q&#39;s&quot; a&nbsp;b")
+      === "&lt;x> \"q's\" a b")
+    // whitespace collapse, line trim, empty-line drop; empty stays ""
+    assert(strip("  a\t\tb  \n\n   \n c ") === "a b\nc")
+    assert(strip("<p></p>") === "")
+  }
 }
 
 /** Swaps a [[graft.ops.Sketch.FreqIndex]]'s sketch relation while keeping

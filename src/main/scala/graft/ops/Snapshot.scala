@@ -63,4 +63,50 @@ object Snapshot {
       .filter(col("__rn") === 1 && !col(deleteCol))
       .drop("__rn")
   }
+
+  /** SCD type 2 intervalization — [[applyChanges]]'s history-keeping
+    * sibling: instead of compacting to the latest state, turn the FULL
+    * change history into validity intervals, the dimension-table shape
+    * every warehouse keeps for "what did this row say at time t"
+    * queries. Each surviving non-delete event opens an interval
+    * `[valid_from = its version, valid_to = next event's version)`;
+    * the last event of an id leaves `valid_to` NULL with
+    * `is_current = true`; delete tombstones never appear as rows —
+    * they only CLOSE their predecessor's interval. Same-version ties
+    * resolve exactly as [[applyChanges]] (delete wins), and an id can
+    * be revived after a delete — it simply opens a new interval, so an
+    * id's timeline may have gaps (the delete..reinsert span), which is
+    * the honest history.
+    *
+    * Scale shape: ONE exchange on `idCol`. The tie-dedup is a `lag`
+    * comparison inside a window sorted `(version ASC, deleted DESC)`,
+    * and the interval `lead` runs over a window with the SAME
+    * partitioning and a compatible prefix ordering, so Catalyst plans
+    * both Window operators over a single shuffle + sort (no
+    * per-(id, version) second exchange — PlanSpec-visible). State is
+    * one row per change event, never corpus-sized history in memory.
+    */
+  def scdIntervals(history: DataFrame, idCol: String,
+                   versionCol: String = "version",
+                   deleteCol: String = "deleted"): DataFrame = {
+    require(!history.columns.exists(Set("__keep", "valid_from",
+        "valid_to", "is_current")),
+      "scdIntervals adds __keep/valid_from/valid_to/is_current which " +
+        "already exist in the input")
+    val wDedup = Window.partitionBy(col(idCol))
+      .orderBy(col(versionCol).asc, col(deleteCol).desc)
+    val wLead = Window.partitionBy(col(idCol)).orderBy(col(versionCol))
+    val attrs = history.columns
+      .filter(c => c != versionCol && c != deleteCol)
+    history
+      .withColumn("__keep",
+        lag(col(versionCol), 1).over(wDedup).isNull ||
+          lag(col(versionCol), 1).over(wDedup) =!= col(versionCol))
+      .filter(col("__keep"))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(wLead))
+      .filter(!col(deleteCol))
+      .select(attrs.map(col) ++ Seq(
+        col(versionCol).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current")): _*)
+  }
 }

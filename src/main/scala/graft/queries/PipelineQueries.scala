@@ -1827,6 +1827,41 @@ object PipelineQueries {
       .withColumn("n_lines", size(split(col("clean_text"), "\n")))
   }
 
+  /** SCD2 intervalization ([[graft.ops.Snapshot.scdIntervals]]) over a
+    * 5-wave planted change history extending q134's feed: base v0,
+    * update v1 (÷5), delete v1 (÷7 — ties with the update at ÷35,
+    * delete wins, the q134 tie), insert v1 (new ids, ÷11), update v2
+    * (÷10), REVIVE v3 (÷35 — reopens after the v1 delete, so those
+    * timelines carry a genuine gap), delete v4 (÷21 — closes ÷105
+    * ids' revived interval). Exercises: closed + open intervals,
+    * tombstones closing without appearing, same-version ties, revive
+    * gaps, single-interval inserts. The oracle replays the whole
+    * history, the tie-rank, the lead() and the NOT-deleted cut.
+    */
+  def q140(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    val id = col("doc_id")
+    def wave(f: Column => Column, ver: Long, del: Boolean,
+             text: Column, idExpr: Column => Column = identity) =
+      docs.filter(f(id)).select(idExpr(id).as("doc_id"), col("source"),
+        text.as("text"), lit(ver).as("version"), lit(del).as("deleted"))
+    val base = docs.select(id, col("source"), col("text"),
+      lit(0L).as("version"), lit(false).as("deleted"))
+    val txt = coalesce(col("text"), lit(""))
+    val hist = base
+      .unionByName(wave(_ % 5 === 0, 1L, del = false,
+        concat(txt, lit(" v2-edit"))))
+      .unionByName(wave(_ % 7 === 0, 1L, del = true, col("text")))
+      .unionByName(wave(_ % 11 === 0, 1L, del = false,
+        concat(lit("fresh "), txt), _ + 1000000L))
+      .unionByName(wave(_ % 10 === 0, 2L, del = false,
+        concat(txt, lit(" v3-edit"))))
+      .unionByName(wave(_ % 35 === 0, 3L, del = false,
+        concat(lit("revived "), txt)))
+      .unionByName(wave(_ % 21 === 0, 4L, del = true, col("text")))
+    graft.ops.Snapshot.scdIntervals(hist, "doc_id")
+  }
+
   /** Per-source Zipf fit ([[TextOps.zipfReport]]): log–log regression
     * slope/intercept over the deterministic top-256 term ranks — the
     * corpus-health screen (natural text ≈ −1; templated slices flatten).
@@ -2059,6 +2094,7 @@ object PipelineQueries {
     "q137_centrality"     -> (q137 _),
     "q138_validation"     -> (q138 _),
     "q139_html_extract"   -> (q139 _),
+    "q140_scd_intervals"  -> (q140 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -2314,6 +2350,50 @@ FROM o"""
     // fixed-point integer PageRank: 4 iterations, dangling nodes
     // 97-99 redistributed, hub site 0 on top — bit-identical replay
     "q137_centrality" -> pageRankOracle(4),
+    // SCD2: 5-wave history replayed — tie-rank dedup (delete wins),
+    // lead() intervals, tombstones close but never appear, revive gap
+    "q140_scd_intervals" ->
+      """WITH base AS (SELECT doc_id, source, text,
+             CAST(0 AS BIGINT) AS version, false AS deleted
+           FROM documents),
+         u1 AS (SELECT doc_id, source,
+             coalesce(text, '') || ' v2-edit' AS text,
+             CAST(1 AS BIGINT), false
+           FROM documents WHERE doc_id % 5 = 0),
+         d1 AS (SELECT doc_id, source, text, CAST(1 AS BIGINT), true
+           FROM documents WHERE doc_id % 7 = 0),
+         i1 AS (SELECT doc_id + 1000000 AS doc_id, source,
+             'fresh ' || coalesce(text, '') AS text,
+             CAST(1 AS BIGINT), false
+           FROM documents WHERE doc_id % 11 = 0),
+         u2 AS (SELECT doc_id, source,
+             coalesce(text, '') || ' v3-edit' AS text,
+             CAST(2 AS BIGINT), false
+           FROM documents WHERE doc_id % 10 = 0),
+         r3 AS (SELECT doc_id, source,
+             'revived ' || coalesce(text, '') AS text,
+             CAST(3 AS BIGINT), false
+           FROM documents WHERE doc_id % 35 = 0),
+         d4 AS (SELECT doc_id, source, text, CAST(4 AS BIGINT), true
+           FROM documents WHERE doc_id % 21 = 0),
+         hist AS (SELECT * FROM base UNION ALL SELECT * FROM u1
+           UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM i1
+           UNION ALL SELECT * FROM u2 UNION ALL SELECT * FROM r3
+           UNION ALL SELECT * FROM d4),
+         ded AS (SELECT *, row_number() OVER (
+             PARTITION BY doc_id, version
+             ORDER BY CASE WHEN deleted THEN 1 ELSE 0 END DESC) AS rn
+           FROM hist),
+         ev AS (SELECT doc_id, source, text, version, deleted
+           FROM ded WHERE rn = 1),
+         iv AS (SELECT doc_id, source, text, version AS valid_from,
+             deleted,
+             lead(version) OVER (PARTITION BY doc_id
+                                 ORDER BY version) AS valid_to
+           FROM ev)
+       SELECT doc_id, source, text, valid_from, valid_to,
+              valid_to IS NULL AS is_current
+       FROM iv WHERE NOT deleted""",
     // HTML strip: planted wrapper rebuilt, the 7-step chain replayed
     // with RE2 regexes + literal replaces, &amp; decoded LAST
     "q139_html_extract" ->

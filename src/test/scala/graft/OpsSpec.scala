@@ -3477,6 +3477,35 @@ class OpsSpec extends SparkSpec {
     assert(strip("  a\t\tb  \n\n   \n c ") === "a b\nc")
     assert(strip("<p></p>") === "")
   }
+
+  test("scdIntervals: tie goes to delete, tombstones close, revive gaps, one exchange") {
+    val hist = Seq(
+      // id 1: base, update+delete tie at v1 (delete wins -> closes
+      // [0,1)), revive at v3 -> open interval after a gap
+      (1L, "a0", 0L, false), (1L, "a1", 1L, false), (1L, "aX", 1L, true),
+      (1L, "a3", 3L, false),
+      // id 2: single event, never touched
+      (2L, "b0", 0L, false),
+      // id 3: delete-only history -> no output at all
+      (3L, "c0", 2L, true)
+    ).toDF("id", "payload", "version", "deleted")
+    val out = graft.ops.Snapshot.scdIntervals(hist, "id")
+      .as[(Long, String, Long, Option[Long], Boolean)]
+      .collect().toSeq.sortBy(r => (r._1, r._3))
+    assert(out === Seq(
+      (1L, "a0", 0L, Some(1L), false),
+      (1L, "a3", 3L, None, true),
+      (2L, "b0", 0L, None, true)))
+    // scale contract: both window passes ride ONE shuffle
+    val plan = graft.ops.Snapshot.scdIntervals(hist, "id")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size === 1, plan)
+    // column-clash guard
+    intercept[IllegalArgumentException] {
+      graft.ops.Snapshot.scdIntervals(
+        hist.withColumn("valid_to", lit(1)), "id")
+    }
+  }
 }
 
 /** Swaps a [[graft.ops.Sketch.FreqIndex]]'s sketch relation while keeping

@@ -1862,6 +1862,37 @@ object PipelineQueries {
     graft.ops.Snapshot.scdIntervals(hist, "doc_id")
   }
 
+  /** Blocked edit-distance near-dup join
+    * ([[graft.ops.Dedup.editDistancePairs]], maxDist = 2, blocked by
+    * `source`): the short-string fuzzy matcher the shingle family
+    * can't do. Titles are the whitespace-collapsed first 40 chars;
+    * typo variants are planted at CHARACTER grain — a 1-in-9 arm
+    * deletes the char at a doc-dependent position, a 1-in-12 arm
+    * inserts an 'x' — so true distances are exactly 1, inside the
+    * band, while unrelated titles sit far outside it (and truncation
+    * collisions yield honest dist-0 pairs both engines agree on). The
+    * oracle is the UNBLOCKED all-pairs levenshtein inside each source
+    * — the hash-match is the proof the length-band candidate
+    * generation lost no pair.
+    */
+  def q141(s: SparkSession, dir: String): DataFrame = {
+    val tl = t(s, dir)("documents").select(col("doc_id"), col("source"),
+      substring(regexp_replace(col("text"), "\\s+", " "), 1, 40).as("t"))
+    val pDel = col("doc_id") % 15 + 2
+    val pIns = col("doc_id") % 10 + 3
+    val titles = tl.select(col("doc_id").as("id"), col("source"), col("t"))
+      .unionByName(tl.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 500000L).as("id"), col("source"),
+          concat(col("t").substr(lit(1), pDel - 1),
+            col("t").substr(pDel + 1, lit(100))).as("t")))
+      .unionByName(tl.filter(col("doc_id") % 12 === 0)
+        .select((col("doc_id") + 800000L).as("id"), col("source"),
+          concat(col("t").substr(lit(1), pIns), lit("x"),
+            col("t").substr(pIns + 1, lit(100))).as("t")))
+    graft.ops.Dedup.editDistancePairs(titles, "id", "t", maxDist = 2,
+      blockCols = Seq("source"))
+  }
+
   /** Per-source Zipf fit ([[TextOps.zipfReport]]): log–log regression
     * slope/intercept over the deterministic top-256 term ranks — the
     * corpus-health screen (natural text ≈ −1; templated slices flatten).
@@ -2095,6 +2126,7 @@ object PipelineQueries {
     "q138_validation"     -> (q138 _),
     "q139_html_extract"   -> (q139 _),
     "q140_scd_intervals"  -> (q140 _),
+    "q141_edit_distance"  -> (q141 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -2350,6 +2382,29 @@ FROM o"""
     // fixed-point integer PageRank: 4 iterations, dangling nodes
     // 97-99 redistributed, hub site 0 on top — bit-identical replay
     "q137_centrality" -> pageRankOracle(4),
+    // blocked edit-distance join: oracle is the UNBLOCKED all-pairs
+    // levenshtein per source — hash-match proves lossless blocking
+    "q141_edit_distance" ->
+      """WITH tl AS (SELECT doc_id, source,
+           substr(regexp_replace(text, '\s+', ' ', 'g'), 1, 40) AS t
+         FROM documents),
+         titles AS (
+           SELECT doc_id AS id, source, t FROM tl
+           UNION ALL
+           SELECT doc_id + 500000, source,
+                  substr(t, 1, (doc_id % 15 + 2) - 1)
+                  || substr(t, doc_id % 15 + 3, 100)
+           FROM tl WHERE doc_id % 9 = 0
+           UNION ALL
+           SELECT doc_id + 800000, source,
+                  substr(t, 1, doc_id % 10 + 3) || 'x'
+                  || substr(t, doc_id % 10 + 4, 100)
+           FROM tl WHERE doc_id % 12 = 0)
+       SELECT a.id AS id_a, b.id AS id_b,
+              CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+       FROM titles a JOIN titles b
+         ON a.source = b.source AND a.id < b.id
+       WHERE levenshtein(a.t, b.t) <= 2""",
     // SCD2: 5-wave history replayed — tie-rank dedup (delete wins),
     // lead() intervals, tombstones close but never appear, revive gap
     "q140_scd_intervals" ->

@@ -3506,6 +3506,35 @@ class OpsSpec extends SparkSpec {
         hist.withColumn("valid_to", lit(1)), "id")
     }
   }
+
+  test("editDistancePairs: cross-bucket recall, block isolation, exact distances, no dup pairs") {
+    val df = Seq(
+      (1L, "g", "abcdef"),  // len 6 -> bucket 2 at w=3
+      (2L, "g", "abcde"),   // len 5 -> bucket 1, emits {1,2}: the
+                            // qualifying pair (1,2) straddles a bucket
+                            // boundary — found via the +1 emission
+      (3L, "g", "xyzzy"),   // > 2 edits from everything
+      (4L, "h", "abcdef"),  // same string, other block -> never paired
+      (5L, "g", "abcdef")   // identical -> dist 0
+    ).toDF("id", "blk", "s")
+    val out = graft.ops.Dedup.editDistancePairs(df, "id", "s", 2,
+        Seq("blk"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(out === Seq((1L, 2L, 1L), (1L, 5L, 0L), (2L, 5L, 1L)))
+    // a constant block is the documented all-pairs escape hatch:
+    // cross-block pair (1,4) now appears, as dist 0
+    val all = graft.ops.Dedup.editDistancePairs(
+        df.withColumn("one", lit(1)), "id", "s", 2, Seq("one"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(all === Seq((1L, 2L, 1L), (1L, 4L, 0L), (1L, 5L, 0L),
+      (2L, 4L, 1L), (2L, 5L, 1L), (4L, 5L, 0L)))
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.editDistancePairs(df, "id", "s", -1, Seq("blk"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.editDistancePairs(df, "id", "s", 2, Seq.empty)
+    }
+  }
 }
 
 /** Swaps a [[graft.ops.Sketch.FreqIndex]]'s sketch relation while keeping

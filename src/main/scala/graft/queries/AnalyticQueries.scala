@@ -85,6 +85,61 @@ object AnalyticQueries {
           col("cohort_size").cast("double"), 4).as("retention"))
   }
 
+  /** Ordered k-step funnel — the sequential generalization of q48's
+    * two-step conversion: view → click → purchase where every step
+    * must be STRICTLY after the previous one in event time, plus a
+    * 1-day conversion window from the first view (over a planted
+    * first-3-days slice of the stream, so every funnel level — no
+    * view / view-no-click / click-no-purchase / converted-late /
+    * converted — is genuinely populated: 150/115/66/37/13 at sf0.01). The sequencing is
+    * two chained window passes over ONE user-keyed exchange: a
+    * strictly-before RANGE frame (`UNBOUNDED PRECEDING .. -1 μs`)
+    * carries the running earliest qualifying prior step, so a step-2
+    * event qualifies iff SOME view precedes it, and a step-3 event
+    * iff some QUALIFYING click precedes it — the earliest-chain
+    * semantics, immune to purchases that precede views (q48's trap) —
+    * and because the frame is a TIME range, same-microsecond ties
+    * resolve identically in any engine regardless of row order. The
+    * per-user aggregate rides the window's partitioning (no second
+    * user exchange); the report is one row of exact counts + 4dp
+    * rates. All time arithmetic on exact epoch micros (q34 posture).
+    */
+  def q142(s: SparkSession, dir: String): DataFrame = {
+    val winUs = 86400000000L // 1 day of microseconds
+    val e = events(s, dir).select(col("user_id"), col("event_type"),
+      expr("ts_ns div 1000").as("ts_us"))
+      // first-3-days slice: thins each user's stream so every funnel
+      // level genuinely drops (full-month fixtures convert everyone)
+      .filter(col("ts_us") < 1704326400000000L)
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val withQ2 = e.withColumn("t2cand",
+      when(col("event_type") === "click" &&
+        min(when(col("event_type") === "view", col("ts_us"))).over(wPrev)
+          .isNotNull,
+        col("ts_us")))
+    val perUser = withQ2.withColumn("t3cand",
+        when(col("event_type") === "purchase" &&
+          min(col("t2cand")).over(wPrev).isNotNull, col("ts_us")))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts_us"))).as("t1"),
+        min(col("t2cand")).as("t2"),
+        min(col("t3cand")).as("t3"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      count(col("t1")).as("n_view"),
+      count(col("t2")).as("n_view_click"),
+      count(col("t3")).as("n_full_funnel"),
+      count(when(col("t3") - col("t1") <= winUs, 1)).as("n_converted_1d"))
+      .select(col("n_users"), col("n_view"), col("n_view_click"),
+        col("n_full_funnel"), col("n_converted_1d"),
+        round(col("n_full_funnel").cast("double") /
+          col("n_view").cast("double"), 4).as("cr_funnel"),
+        round(col("n_converted_1d").cast("double") /
+          col("n_view").cast("double"), 4).as("cr_1d"))
+  }
+
   /** MULTISET set operations — `INTERSECT ALL` / `EXCEPT ALL`, the bag
     * semantics q18's distinct variants don't exercise (and a different
     * physical shape: Spark plans the ALL variants as count-paired
@@ -784,9 +839,47 @@ object AnalyticQueries {
     "q131_ansi_agg_window" -> (q131 _),
     "q135_hopping_window" -> (q135 _),
     "q136_rank_family" -> (q136 _),
+    "q142_funnel_steps" -> (q142 _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // k-step funnel: identical strictly-before RANGE frames, exact
+    // micros, one-row report — time-range ties engine-neutral
+    "q142_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type,
+             epoch_us(ts) AS ts_us FROM events
+           WHERE epoch_us(ts) < 1704326400000000),
+         s1 AS (SELECT *,
+             min(CASE WHEN event_type = 'view' THEN ts_us END)
+               OVER (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING) AS r1
+           FROM e),
+         s2 AS (SELECT *, CASE WHEN event_type = 'click'
+             AND r1 IS NOT NULL THEN ts_us END AS t2cand FROM s1),
+         s3 AS (SELECT *,
+             min(t2cand) OVER (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING) AS r2
+           FROM s2),
+         s4 AS (SELECT *, CASE WHEN event_type = 'purchase'
+             AND r2 IS NOT NULL THEN ts_us END AS t3cand FROM s3),
+         pu AS (SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts_us END) AS t1,
+             min(t2cand) AS t2, min(t3cand) AS t3
+           FROM s4 GROUP BY user_id)
+       SELECT CAST(count(*) AS BIGINT) AS n_users,
+              CAST(count(t1) AS BIGINT) AS n_view,
+              CAST(count(t2) AS BIGINT) AS n_view_click,
+              CAST(count(t3) AS BIGINT) AS n_full_funnel,
+              CAST(count(CASE WHEN t3 - t1 <= 86400000000 THEN 1 END)
+                AS BIGINT) AS n_converted_1d,
+              round(CAST(count(t3) AS DOUBLE)
+                / CAST(count(t1) AS DOUBLE), 4) AS cr_funnel,
+              round(CAST(count(CASE WHEN t3 - t1 <= 86400000000
+                  THEN 1 END) AS DOUBLE)
+                / CAST(count(t1) AS DOUBLE), 4) AS cr_1d
+       FROM pu""",
     "q35_semi_anti" ->
       """SELECT n_nationkey, n_name FROM nation
          WHERE n_nationkey IN

@@ -126,6 +126,25 @@ object DocumentStreams {
       .withColumn("pii", TextOps.piiCounts(col("text")))
       .withColumn("text", TextOps.redactPii(col("text")))
 
+  /** HTML → text extraction for ARRIVING documents — the streaming
+    * twin of [[graft.ops.TextOps.htmlToText]] at the crawl door, the
+    * [[scrubStream]] posture: the SAME column-expression chain (one
+    * copy of the regex contract — stream and batch cannot drift),
+    * stateless, no watermark, runs at scan speed per micro-batch.
+    * Extract-at-the-door is the production order for a crawl: every
+    * downstream stage (dedup fingerprints, quality gates, packing)
+    * must see TEXT, never markup, and re-extracting in batch wastes a
+    * full corpus pass. `n_raw_chars` keeps the pre-strip size so the
+    * markup-overhead ratio (a crawl-health signal) survives the strip.
+    */
+  def htmlExtractStream(docs: DataFrame,
+                        htmlCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_raw_chars",
+        length(coalesce(col(htmlCol), lit(""))).cast("long"))
+      .withColumn(htmlCol,
+        TextOps.htmlToText(coalesce(col(htmlCol), lit(""))))
+
   /** Span flags for ARRIVING documents against a STORED
     * [[graft.ops.Dedup.SpanIndex]] — the streaming twin of
     * [[graft.ops.Dedup.crossRepeatedSpans]]: each arriving doc's

@@ -778,6 +778,40 @@ class StreamingSpec extends SparkSpec {
     assert(state === 0, s"state rows = $state")
   }
 
+  test("htmlExtractStream strips in-flight docs identically to the batch expression, stateless") {
+    val ts = Timestamp.valueOf("2024-01-01 10:00:00")
+    val arriving = Seq(
+      Doc(1L, ts, "en", "<p>one<br>two</p><script>x<2</script>"),
+      Doc(2L, ts, "en", "&amp;lt;kept&gt; w<b>or</b>d"),
+      Doc(3L, ts, "en", "<div></div>"),   // all-markup -> ""
+      Doc(4L, ts, "en", null))            // NULL html -> "" (and 0 raw chars)
+    val input = MemoryStream[Doc](spark)
+    input.addData(arriving: _*)
+    val q = streaming.DocumentStreams.htmlExtractStream(input.toDF())
+      .select("doc_id", "n_raw_chars", "text")
+      .writeStream.format("memory").queryName("htmlx")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("htmlx")
+      .as[(Long, Long, String)].collect().toSet
+    val batch = arriving.toDF()
+      .select(col("doc_id"),
+        length(coalesce(col("text"), lit(""))).cast("long")
+          .as("n_raw_chars"),
+        ops.TextOps.htmlToText(coalesce(col("text"), lit("")))
+          .as("text"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed === Set(
+      (1L, 37L, "one\ntwo"),
+      (2L, 28L, "&lt;kept> word"),
+      (3L, 11L, ""),
+      (4L, 0L, "")))
+    val state = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal)).sum
+    assert(state === 0, s"state rows = $state")
+  }
+
   test("mapGroupsWithState keeps running per-user counts") {
     val input = MemoryStream[Ev](spark)
     input.addData(ev(7, 0, "click", 1.0), ev(14, 1, "view", 1.0),

@@ -138,4 +138,41 @@ object Validate {
 
     (local.toSeq ++ refReports).reduce(_.unionByName(_))
   }
+
+  /** Equi-width histogram — the distribution half of profiling, next
+    * to [[report]]'s pass/fail half. One scan + one bin-keyed
+    * aggregate (bins-cardinality, never row-cardinality); empty bins
+    * are absent (densify at render time — a 10k-bin histogram of a
+    * narrow column must not emit 10k zeros per partition).
+    *
+    * Determinism across engines: the bin index is
+    * `floor((x − lo) · nBins / (hi − lo))` evaluated left-to-right in
+    * IEEE doubles, clamped to [0, nBins−1] — identical operand order
+    * gives bit-identical doubles, hence identical bins, in any IEEE
+    * engine (the oracle replays the formula verbatim). Values below
+    * `lo` land in bin −1, above `hi` in bin `nBins`; `x = hi` joins
+    * the top bin (the numpy right-inclusive-last-edge convention).
+    * NULLs are skipped — completeness is [[report]]'s job. Bin edges
+    * ride the output (NULL on the two overflow bins).
+    */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+                nBins: Int): DataFrame = {
+    require(nBins > 0, s"histogram: nBins $nBins <= 0")
+    require(hi > lo, s"histogram: empty range [$lo, $hi)")
+    val x = col(valueCol).cast("double")
+    val step = (hi - lo) / nBins
+    val inBin = least(greatest(
+      floor((x - lo) * nBins / (hi - lo)).cast("long"), lit(0L)),
+      lit(nBins - 1L))
+    val inRange = col("bin") >= 0L && col("bin") < nBins.toLong
+    df.filter(x.isNotNull)
+      .select(when(x < lo, lit(-1L)).when(x > hi, lit(nBins.toLong))
+        .otherwise(inBin).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        when(inRange, lit(lo) + col("bin") * lit(step)).as("bin_lo"),
+        when(inRange, lit(lo) + (col("bin") + 1L) * lit(step))
+          .as("bin_hi"),
+        col("n"))
+  }
 }

@@ -1893,6 +1893,27 @@ object PipelineQueries {
       blockCols = Seq("source"))
   }
 
+  /** Equi-width histograms ([[graft.ops.Validate.histogram]]) — the
+    * distribution half of the q138 profiling family, two columns in
+    * one report: quantity over [5, 45)×20 populates the underflow
+    * (−1) and overflow (20) bins AND the x = hi top-bin convention
+    * (quantity hits 45 exactly), while totalprice over [0, 100000)×7
+    * has a non-terminating step (100000/7), so the hash-match proves
+    * the left-to-right IEEE double binning formula replays
+    * bit-identically cross-engine — the float-determinism posture
+    * behind the q110 moments, applied to bin INDICES.
+    */
+  def q143(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Validate.histogram(t(s, dir)("lineitem"), "l_quantity",
+        5.0, 45.0, 20)
+      .select(lit("qty").as("metric"), col("bin"), col("bin_lo"),
+        col("bin_hi"), col("n"))
+      .unionByName(
+        graft.ops.Validate.histogram(t(s, dir)("orders"), "o_totalprice",
+            0.0, 100000.0, 7)
+          .select(lit("totalprice").as("metric"), col("bin"),
+            col("bin_lo"), col("bin_hi"), col("n")))
+
   /** Per-source Zipf fit ([[TextOps.zipfReport]]): log–log regression
     * slope/intercept over the deterministic top-256 term ranks — the
     * corpus-health screen (natural text ≈ −1; templated slices flatten).
@@ -2127,6 +2148,7 @@ object PipelineQueries {
     "q139_html_extract"   -> (q139 _),
     "q140_scd_intervals"  -> (q140 _),
     "q141_edit_distance"  -> (q141 _),
+    "q143_histogram"      -> (q143 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -2382,6 +2404,38 @@ FROM o"""
     // fixed-point integer PageRank: 4 iterations, dangling nodes
     // 97-99 redistributed, hub site 0 on top — bit-identical replay
     "q137_centrality" -> pageRankOracle(4),
+    // equi-width histograms: the identical left-to-right IEEE binning
+    // formula, under/overflow bins, right-inclusive top edge
+    "q143_histogram" ->
+      """WITH qb AS (SELECT CASE WHEN l_quantity < 5.0 THEN -1
+                 WHEN l_quantity > 45.0 THEN 20
+                 ELSE least(greatest(CAST(floor(
+                   (l_quantity - 5.0) * 20 / (45.0 - 5.0)) AS BIGINT),
+                   0), 19) END AS bin
+           FROM lineitem WHERE l_quantity IS NOT NULL),
+         qh AS (SELECT bin, CAST(count(*) AS BIGINT) AS n
+                FROM qb GROUP BY bin),
+         tb AS (SELECT CASE WHEN o_totalprice < 0.0 THEN -1
+                 WHEN o_totalprice > 100000.0 THEN 7
+                 ELSE least(greatest(CAST(floor(
+                   (o_totalprice - 0.0) * 7 / (100000.0 - 0.0))
+                   AS BIGINT), 0), 6) END AS bin
+           FROM orders WHERE o_totalprice IS NOT NULL),
+         th AS (SELECT bin, CAST(count(*) AS BIGINT) AS n
+                FROM tb GROUP BY bin)
+       SELECT 'qty' AS metric, bin,
+              CASE WHEN bin >= 0 AND bin < 20
+                THEN 5.0 + bin * ((45.0 - 5.0) / 20) END AS bin_lo,
+              CASE WHEN bin >= 0 AND bin < 20
+                THEN 5.0 + (bin + 1) * ((45.0 - 5.0) / 20) END AS bin_hi,
+              n FROM qh
+       UNION ALL
+       SELECT 'totalprice', bin,
+              CASE WHEN bin >= 0 AND bin < 7
+                THEN 0.0 + bin * ((100000.0 - 0.0) / 7) END,
+              CASE WHEN bin >= 0 AND bin < 7
+                THEN 0.0 + (bin + 1) * ((100000.0 - 0.0) / 7) END,
+              n FROM th""",
     // blocked edit-distance join: oracle is the UNBLOCKED all-pairs
     // levenshtein per source — hash-match proves lossless blocking
     "q141_edit_distance" ->

@@ -3535,6 +3535,31 @@ class OpsSpec extends SparkSpec {
       graft.ops.Dedup.editDistancePairs(df, "id", "s", 2, Seq.empty)
     }
   }
+
+  test("histogram: hand bins, edges, overflow conventions, null skip, sparse bins") {
+    val df = Seq(Some(-1.0), Some(0.0), Some(2.5), Some(5.0),
+      Some(9.99), Some(10.0), Some(11.0), None).toDF("x")
+    // [0, 10) in 4 bins of width 2.5: -1 underflows; 0 -> bin 0;
+    // 2.5 -> bin 1; 5.0 -> bin 2; 9.99 -> bin 3; 10.0 = hi -> TOP bin
+    // (right-inclusive last edge); 11 overflows; NULL skipped; bin 1
+    // has exactly one row and no bin is emitted empty
+    val out = graft.ops.Validate.histogram(df, "x", 0.0, 10.0, 4)
+      .as[(Long, Option[Double], Option[Double], Long)]
+      .collect().toSeq.sortBy(_._1)
+    assert(out === Seq(
+      (-1L, None, None, 1L),
+      (0L, Some(0.0), Some(2.5), 1L),
+      (1L, Some(2.5), Some(5.0), 1L),
+      (2L, Some(5.0), Some(7.5), 1L),
+      (3L, Some(7.5), Some(10.0), 2L),
+      (4L, None, None, 1L)))
+    intercept[IllegalArgumentException] {
+      graft.ops.Validate.histogram(df, "x", 0.0, 10.0, 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Validate.histogram(df, "x", 10.0, 10.0, 4)
+    }
+  }
 }
 
 /** Swaps a [[graft.ops.Sketch.FreqIndex]]'s sketch relation while keeping

@@ -203,6 +203,28 @@ object AnalyticQueries {
        FROM agg a JOIN wnd w ON a.l_returnflag = w.l_returnflag
        WHERE w.rn <= 5""")
 
+  /** Modern-SQL ergonomics through the SQL door — `GROUP BY ALL` /
+    * `ORDER BY ALL`, the DuckDB-pioneered shorthand Spark 4 adopted
+    * (group by every non-aggregate select item INCLUDING computed
+    * expressions, order by every output column left-to-right): the
+    * q131 posture one step further — here the ENTIRE text, not just
+    * the clauses, is engine-identical byte for byte, so the oracle IS
+    * the query string. min/max/count only (order statistics of stored
+    * doubles are exact — no float summation enters the hash).
+    */
+  private val q144Sql =
+    """SELECT substr(o_orderpriority, 1, 1) AS pri_band,
+              o_orderstatus AS st,
+              count(*) AS n,
+              min(o_totalprice) AS min_price,
+              max(o_totalprice) AS max_price
+       FROM orders
+       GROUP BY ALL
+       ORDER BY ALL"""
+
+  def q144(s: SparkSession, dir: String): DataFrame =
+    sqlDoor(s, dir, q144Sql)
+
   /** Scalar string/date functions over the (previously untouched) timestamp
     * columns: year/month extraction, substring, upper, concat.
     */
@@ -840,9 +862,13 @@ object AnalyticQueries {
     "q135_hopping_window" -> (q135 _),
     "q136_rank_family" -> (q136 _),
     "q142_funnel_steps" -> (q142 _),
+    "q144_group_by_all" -> (q144 _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle IS the query text — GROUP BY ALL / ORDER BY ALL are
+    // engine-identical byte for byte
+    "q144_group_by_all" -> q144Sql,
     // k-step funnel: identical strictly-before RANGE frames, exact
     // micros, one-row report — time-range ties engine-neutral
     "q142_funnel_steps" ->

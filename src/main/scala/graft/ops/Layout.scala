@@ -79,4 +79,66 @@ object Layout {
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     colNames.indices.map(i => (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
   }
+
+  /** Per-shard export manifest — the file-statistics relation a data
+    * lake keeps next to every export (zone maps + integrity): for each
+    * shard, row count, the `idCol` zone map (min/max — the stats a
+    * reader uses to SKIP shards, exactly the parquet row-group
+    * trick at shard grain), total content chars, and an
+    * ORDER-INVARIANT content checksum: `bit_xor` of the portable
+    * per-row fingerprint. XOR — not sum — because it cannot overflow
+    * at any corpus size and any row order / partitioning produces the
+    * same value, so manifests computed by different engines or at
+    * different parallelism agree bit-for-bit (the fingerprint is the
+    * portable mod-1e9+7 hash, DuckDB-replayable; a cryptographic
+    * digest would be stronger against adversaries but is not
+    * replayable as a column expression — this manifest detects
+    * corruption and drift, not malice, like parquet column stats).
+    * One shard-keyed aggregate; manifest cardinality = shard count.
+    */
+  def exportManifest(df: DataFrame, shardCol: String, idCol: String,
+                     textCol: String): DataFrame =
+    df.groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"),
+        expr(s"bit_xor(${fpExprSql(textCol)})").as("checksum"),
+        sum(length(coalesce(col(textCol), lit("")))).cast("long")
+          .as("n_chars"))
+
+  private def fpExprSql(textCol: String): String =
+    s"portable_fingerprint(concat('manifest:', coalesce($textCol, '')))"
+
+  /** Verify a (possibly tampered / partially lost) copy against a
+    * stored manifest: recompute [[exportManifest]] on the copy and
+    * full-join per shard, emitting one row per shard with each
+    * invariant's verdict — rows / zone map / checksum / chars — plus
+    * presence booleans (a shard in the manifest but absent from the
+    * copy is LOST, the reverse is FOREIGN data; both must surface,
+    * which is why the join is FULL, never inner). Cost: one aggregate
+    * over the copy + a shard-cardinality join — verification never
+    * rescans more than the manifest pass did.
+    */
+  def verifyManifest(df: DataFrame, manifest: DataFrame,
+                     shardCol: String, idCol: String,
+                     textCol: String): DataFrame = {
+    val re = exportManifest(df, shardCol, idCol, textCol)
+      .select(col(shardCol), col("n_rows").as("a_rows"),
+        col("min_id").as("a_min"), col("max_id").as("a_max"),
+        col("checksum").as("a_sum"), col("n_chars").as("a_chars"))
+    val exp = manifest.select(col(shardCol), col("n_rows").as("e_rows"),
+      col("min_id").as("e_min"), col("max_id").as("e_max"),
+      col("checksum").as("e_sum"), col("n_chars").as("e_chars"))
+    re.join(exp, Seq(shardCol), "full")
+      .select(col(shardCol),
+        col("a_rows").isNotNull.as("in_copy"),
+        col("e_rows").isNotNull.as("in_manifest"),
+        coalesce(col("a_rows") === col("e_rows"), lit(false))
+          .as("rows_ok"),
+        coalesce(col("a_min") === col("e_min") &&
+          col("a_max") === col("e_max"), lit(false)).as("zone_ok"),
+        coalesce(col("a_sum") === col("e_sum"), lit(false))
+          .as("checksum_ok"),
+        coalesce(col("a_chars") === col("e_chars"), lit(false))
+          .as("chars_ok"))
+  }
 }

@@ -1903,6 +1903,31 @@ object PipelineQueries {
     * bit-identically cross-engine — the float-determinism posture
     * behind the q110 moments, applied to bin INDICES.
     */
+  /** Export manifest + integrity verify
+    * ([[graft.ops.Layout.exportManifest]] /
+    * [[graft.ops.Layout.verifyManifest]]): the corpus is sharded
+    * (doc_id mod 8), a manifest is taken, then a TAMPERED copy — one
+    * doc's text edited (shard 2: checksum + chars fail, rows + zone
+    * hold) and one doc dropped (shard 7: everything fails, the zone
+    * map's min moves) — is verified against it; the other six shards
+    * pass every invariant, so both verdicts of all four invariants are
+    * genuinely exercised. The oracle rebuilds both manifests with the
+    * portable per-row fingerprint (list_reduce replay) and DuckDB's
+    * own bit_xor, and replays the full-join verdicts.
+    */
+  def q145(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+      .withColumn("shard", pmod(col("doc_id"), lit(8L)))
+    val manifest = graft.ops.Layout.exportManifest(docs, "shard",
+      "doc_id", "text")
+    val tampered = docs.filter(col("doc_id") =!= 7)
+      .withColumn("text", when(col("doc_id") === 42,
+        concat(coalesce(col("text"), lit("")), lit(" TAMPERED")))
+        .otherwise(col("text")))
+    graft.ops.Layout.verifyManifest(tampered, manifest, "shard",
+      "doc_id", "text")
+  }
+
   def q143(s: SparkSession, dir: String): DataFrame =
     graft.ops.Validate.histogram(t(s, dir)("lineitem"), "l_quantity",
         5.0, 45.0, 20)
@@ -2149,6 +2174,7 @@ object PipelineQueries {
     "q140_scd_intervals"  -> (q140 _),
     "q141_edit_distance"  -> (q141 _),
     "q143_histogram"      -> (q143 _),
+    "q145_export_manifest" -> (q145 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -2404,6 +2430,47 @@ FROM o"""
     // fixed-point integer PageRank: 4 iterations, dangling nodes
     // 97-99 redistributed, hub site 0 on top — bit-identical replay
     "q137_centrality" -> pageRankOracle(4),
+    // manifest + verify: both manifests rebuilt with the portable
+    // fingerprint replay + bit_xor, full-join verdicts replayed
+    "q145_export_manifest" ->
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+             COALESCE(text, '') AS t FROM documents),
+         fp AS (SELECT doc_id, shard, t,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length('manifest:' || t) + 1),
+                 i -> CAST(unicode(substr('manifest:' || t,
+                   CAST(i AS INT), 1)) AS BIGINT))),
+               (a, b) -> (a*31 + b) % 1000000007) AS f
+           FROM d),
+         man AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+             min(doc_id) AS min_id, max(doc_id) AS max_id,
+             bit_xor(f) AS checksum,
+             CAST(sum(length(t)) AS BIGINT) AS n_chars
+           FROM fp GROUP BY shard),
+         td AS (SELECT doc_id, shard,
+             CASE WHEN doc_id = 42 THEN t || ' TAMPERED' ELSE t END AS t
+           FROM d WHERE doc_id <> 7),
+         tfp AS (SELECT doc_id, shard, t,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length('manifest:' || t) + 1),
+                 i -> CAST(unicode(substr('manifest:' || t,
+                   CAST(i AS INT), 1)) AS BIGINT))),
+               (a, b) -> (a*31 + b) % 1000000007) AS f
+           FROM td),
+         tman AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+             min(doc_id) AS min_id, max(doc_id) AS max_id,
+             bit_xor(f) AS checksum,
+             CAST(sum(length(t)) AS BIGINT) AS n_chars
+           FROM tfp GROUP BY shard)
+       SELECT COALESCE(a.shard, e.shard) AS shard,
+              a.shard IS NOT NULL AS in_copy,
+              e.shard IS NOT NULL AS in_manifest,
+              COALESCE(a.n_rows = e.n_rows, false) AS rows_ok,
+              COALESCE(a.min_id = e.min_id AND a.max_id = e.max_id,
+                false) AS zone_ok,
+              COALESCE(a.checksum = e.checksum, false) AS checksum_ok,
+              COALESCE(a.n_chars = e.n_chars, false) AS chars_ok
+       FROM tman a FULL JOIN man e ON a.shard = e.shard""",
     // equi-width histograms: the identical left-to-right IEEE binning
     // formula, under/overflow bins, right-inclusive top edge
     "q143_histogram" ->

@@ -3560,6 +3560,35 @@ class OpsSpec extends SparkSpec {
       graft.ops.Validate.histogram(df, "x", 10.0, 10.0, 4)
     }
   }
+
+  test("exportManifest/verifyManifest: order-invariant checksum, lost and foreign shards surface") {
+    import graft.ops.Layout
+    val docs = Seq((1L, 0L, "alpha"), (2L, 0L, "beta"), (3L, 1L, "gamma"),
+      (4L, 2L, "delta")).toDF("id", "shard", "text")
+    val man = Layout.exportManifest(docs, "shard", "id", "text")
+    // checksum is order/partitioning-invariant: bit_xor of per-row
+    // fingerprints — any shuffle of the same rows reproduces it
+    val manShuffled = Layout.exportManifest(
+      docs.repartition(7, col("id")).sortWithinPartitions(desc("text")),
+      "shard", "id", "text")
+    assert(man.orderBy("shard").collect().toSeq ===
+      manShuffled.orderBy("shard").collect().toSeq)
+    // intact copy: every invariant passes on every shard
+    val ok = Layout.verifyManifest(docs, man, "shard", "id", "text")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().toSeq
+    assert(ok.size === 3 && ok.forall(r =>
+      r._2 && r._3 && r._4 && r._5 && r._6 && r._7))
+    // copy loses shard 1 entirely and grows a foreign shard 9
+    val copy = docs.filter(col("shard") =!= 1L)
+      .unionByName(Seq((9L, 9L, "intruder")).toDF("id", "shard", "text"))
+    val v = Layout.verifyManifest(copy, man, "shard", "id", "text")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(v(1L) === ((1L, false, true, false, false, false, false)))
+    assert(v(9L) === ((9L, true, false, false, false, false, false)))
+    assert(v(0L)._4 && v(0L)._6 && v(2L)._4 && v(2L)._6)
+  }
 }
 
 /** Swaps a [[graft.ops.Sketch.FreqIndex]]'s sketch relation while keeping

@@ -108,6 +108,30 @@ object Layout {
   private def fpExprSql(textCol: String): String =
     s"portable_fingerprint(concat('manifest:', coalesce($textCol, '')))"
 
+  /** Zone-map pruned scan — the CONSUMPTION side of
+    * [[exportManifest]]: given a range predicate on `idCol`, consult
+    * the manifest's per-shard min/max and scan ONLY shards whose zone
+    * `[min_id, max_id]` intersects `[lo, hi]`, then apply the residual
+    * row filter. The shard list is a broadcast semi-join (manifest
+    * cardinality, never corpus); on a file-per-shard layout the same
+    * list prunes PATHS before any IO — this relational form is the
+    * engine-checkable equivalent, and the one a 100 TB reader uses
+    * through partition values. Soundness, not tightness: a shard with
+    * stale-wide zones costs a scan but never wrongness — pruned output
+    * ≡ the plain filter (the q146 oracle gates exactly that identity),
+    * while the SAVINGS show up as absent shards, not absent rows.
+    */
+  def pruneByManifest(df: DataFrame, manifest: DataFrame,
+                      shardCol: String, idCol: String,
+                      lo: Long, hi: Long): DataFrame = {
+    require(lo <= hi, s"pruneByManifest: empty range [$lo, $hi]")
+    val live = manifest
+      .filter(col("max_id") >= lo && col("min_id") <= hi)
+      .select(col(shardCol))
+    df.join(broadcast(live), Seq(shardCol), "left_semi")
+      .filter(col(idCol) >= lo && col(idCol) <= hi)
+  }
+
   /** Verify a (possibly tampered / partially lost) copy against a
     * stored manifest: recompute [[exportManifest]] on the copy and
     * full-join per shard, emitting one row per shard with each

@@ -1928,6 +1928,28 @@ object PipelineQueries {
       "doc_id", "text")
   }
 
+  /** Zone-map pruned scan ([[graft.ops.Layout.pruneByManifest]]):
+    * range-contiguous shards (doc_id div 64) give TIGHT zone maps —
+    * the predicate [100, 199] intersects exactly shards 1–3 — and the
+    * oracle is the PLAIN range filter with no manifest at all: the
+    * hash-match is the zone-pruning soundness proof (no row lost to a
+    * skipped shard), while the savings are plan-visible (the broadcast
+    * semi-join against the 3-row live-shard list; spec asserts the
+    * non-overlapping shards never appear). Completes q145's lifecycle:
+    * manifest at export, integrity at ingest, pruning at read.
+    */
+  def q146(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+      .withColumn("shard", floor(col("doc_id") / 64).cast("long"))
+    val manifest = graft.ops.Layout.exportManifest(docs, "shard",
+      "doc_id", "text")
+    graft.ops.Layout.pruneByManifest(docs, manifest, "shard", "doc_id",
+        100L, 199L)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("lo_id"),
+        max(col("doc_id")).as("hi_id"))
+  }
+
   def q143(s: SparkSession, dir: String): DataFrame =
     graft.ops.Validate.histogram(t(s, dir)("lineitem"), "l_quantity",
         5.0, 45.0, 20)
@@ -2175,6 +2197,7 @@ object PipelineQueries {
     "q141_edit_distance"  -> (q141 _),
     "q143_histogram"      -> (q143 _),
     "q145_export_manifest" -> (q145 _),
+    "q146_zone_prune"     -> (q146 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -2430,6 +2453,13 @@ FROM o"""
     // fixed-point integer PageRank: 4 iterations, dangling nodes
     // 97-99 redistributed, hub site 0 on top — bit-identical replay
     "q137_centrality" -> pageRankOracle(4),
+    // zone pruning soundness: the oracle is the PLAIN range filter —
+    // equality proves no row was lost to a skipped shard
+    "q146_zone_prune" ->
+      """SELECT doc_id // 64 AS shard, CAST(count(*) AS BIGINT) AS n,
+              min(doc_id) AS lo_id, max(doc_id) AS hi_id
+       FROM documents WHERE doc_id BETWEEN 100 AND 199
+       GROUP BY doc_id // 64""",
     // manifest + verify: both manifests rebuilt with the portable
     // fingerprint replay + bit_xor, full-join verdicts replayed
     "q145_export_manifest" ->

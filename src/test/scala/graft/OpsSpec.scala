@@ -3589,6 +3589,32 @@ class OpsSpec extends SparkSpec {
     assert(v(9L) === ((9L, true, false, false, false, false, false)))
     assert(v(0L)._4 && v(0L)._6 && v(2L)._4 && v(2L)._6)
   }
+
+  test("pruneByManifest: only intersecting shards survive, soundness ≡ plain filter, stale zones safe") {
+    import graft.ops.Layout
+    val docs = Seq.tabulate(40)(i => (i.toLong, i.toLong / 10, s"d$i"))
+      .toDF("id", "shard", "text")
+    val man = Layout.exportManifest(docs, "shard", "id", "text")
+    val pruned = Layout.pruneByManifest(docs, man, "shard", "id", 12L, 27L)
+    // soundness: identical rows to the direct range filter
+    val direct = docs.filter(col("id") >= 12L && col("id") <= 27L)
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq ===
+      direct.select("id").as[Long].collect().sorted.toSeq)
+    // pruning: shards 0 and 3 never reach the scan's output
+    assert(pruned.select("shard").distinct().as[Long].collect().toSet
+      === Set(1L, 2L))
+    // a stale-WIDE zone map (claims [0, 1000] for every shard) stops
+    // pruning but never correctness
+    val stale = man.withColumn("min_id", lit(0L))
+      .withColumn("max_id", lit(1000L))
+    val noPrune = Layout.pruneByManifest(docs, stale, "shard", "id",
+      12L, 27L)
+    assert(noPrune.select("id").as[Long].collect().sorted.toSeq ===
+      direct.select("id").as[Long].collect().sorted.toSeq)
+    intercept[IllegalArgumentException] {
+      Layout.pruneByManifest(docs, man, "shard", "id", 5L, 4L)
+    }
+  }
 }
 
 /** Swaps a [[graft.ops.Sketch.FreqIndex]]'s sketch relation while keeping

@@ -86,6 +86,38 @@ object Snapshot {
     * per-(id, version) second exchange — PlanSpec-visible). State is
     * one row per change event, never corpus-sized history in memory.
     */
+  /** Schema-evolution union — read N corpus versions whose schemas
+    * DRIFTED (columns added or retired between exports) as one
+    * relation: missing columns null-pad (`unionByName` with
+    * allowMissingColumns — name-keyed, never positional), output
+    * column order is first-appearance order across the versions, and a
+    * shared name whose TYPE differs across versions fails LOUDLY
+    * before any union is built — the silent-coercion footgun (int
+    * widened to string, timestamp to string) is exactly how a decade
+    * of schema drift corrupts a lakehouse, so the engine refuses
+    * rather than guesses. Cost: zero — this is plan surgery, the scans
+    * union without any shuffle.
+    */
+  def unionEvolved(versions: Seq[DataFrame]): DataFrame = {
+    require(versions.nonEmpty, "unionEvolved: no inputs")
+    val types = scala.collection.mutable.LinkedHashMap[String,
+      org.apache.spark.sql.types.DataType]()
+    versions.zipWithIndex.foreach { case (v, i) =>
+      v.schema.fields.foreach { f =>
+        types.get(f.name) match {
+          case Some(t) if t != f.dataType =>
+            throw new IllegalArgumentException(
+              s"unionEvolved: column '${f.name}' is $t in an earlier " +
+                s"version but ${f.dataType} in version $i — evolve " +
+                "types explicitly before unioning")
+          case None => types(f.name) = f.dataType
+          case _ =>
+        }
+      }
+    }
+    versions.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   def scdIntervals(history: DataFrame, idCol: String,
                    versionCol: String = "version",
                    deleteCol: String = "deleted"): DataFrame = {

@@ -133,6 +133,26 @@ object TextOps {
     * sampling pass, works identically on 100 TB. `trainPct`/`valPct` are
     * integer percents; the remainder is "test".
     */
+  /** Temporal embargo (purged) split — [[splitAssign]]'s TIME-keyed
+    * sibling for event/time-series data, where the content-hash split
+    * leaks by construction (a model trained on Monday's rows must not
+    * be validated on Monday evening's): `train` is everything at or
+    * before `cutUs`, `test` everything strictly after `cutUs +
+    * embargoUs`, and the embargo interval `(cut, cut+embargo]` is
+    * assigned `embargo` — rows a leakage-free evaluation must DROP,
+    * kept visible (not silently deleted) so the count audit can prove
+    * the gap exists. Exact integer microseconds, boundary rows
+    * spec-pinned on both edges; a pure column expression — zero cost
+    * on the scan it rides.
+    */
+  def timeEmbargoSplit(tsUs: Column, cutUs: Long,
+                       embargoUs: Long): Column = {
+    require(embargoUs >= 0, s"timeEmbargoSplit: embargo $embargoUs < 0")
+    when(tsUs <= cutUs, "train")
+      .when(tsUs <= cutUs + embargoUs, "embargo")
+      .otherwise("test")
+  }
+
   def splitAssign(text: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
     require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"invalid split percents: train=$trainPct val=$valPct")

@@ -1950,6 +1950,45 @@ object PipelineQueries {
         max(col("doc_id")).as("hi_id"))
   }
 
+  /** Schema-evolution union ([[graft.ops.Snapshot.unionEvolved]]):
+    * two corpus versions with drifted schemas — v2 RETIRES `lang` and
+    * ADDS a computed `n_tokens` — read as one relation; the per-version
+    * presence counts prove the null-padding went to the right rows
+    * (v1: every lang, zero n_tokens; v2: the reverse). The oracle
+    * replays the union with explicit NULL padding and the identical
+    * token count.
+    */
+  def q147(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir)("documents")
+    val v1 = d.select(lit("v1").as("ver"), col("doc_id"), col("source"),
+      col("lang"), col("text"))
+    val v2 = d.select(lit("v2").as("ver"),
+      (col("doc_id") + 1000000L).as("doc_id"), col("source"), col("text"),
+      size(split(coalesce(col("text"), lit("")), " ")).as("n_tokens"))
+    graft.ops.Snapshot.unionEvolved(Seq(v1, v2))
+      .groupBy(col("ver"))
+      .agg(count(lit(1)).as("n"), count(col("lang")).as("n_lang"),
+        count(col("n_tokens")).as("n_tok"))
+  }
+
+  /** Temporal embargo split ([[TextOps.timeEmbargoSplit]], cut =
+    * 2024-01-15T00:00Z, embargo = 2 days): the leakage-free
+    * time-series split — train ≤ cut, the embargo gap kept VISIBLE as
+    * its own bucket so the audit proves the gap exists, test strictly
+    * after cut+embargo. Exact epoch-micros integers throughout (q34
+    * posture); the per-bucket min/max are the machine-checkable
+    * no-overlap evidence.
+    */
+  def q148(s: SparkSession, dir: String): DataFrame =
+    graft.events(s, dir)
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("split", TextOps.timeEmbargoSplit(col("ts_us"),
+        1705276800000000L, 172800000000L))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"), min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us"),
+        countDistinct(col("user_id")).as("n_users"))
+
   def q143(s: SparkSession, dir: String): DataFrame =
     graft.ops.Validate.histogram(t(s, dir)("lineitem"), "l_quantity",
         5.0, 45.0, 20)
@@ -2198,6 +2237,8 @@ object PipelineQueries {
     "q143_histogram"      -> (q143 _),
     "q145_export_manifest" -> (q145 _),
     "q146_zone_prune"     -> (q146 _),
+    "q147_schema_evolution" -> (q147 _),
+    "q148_time_embargo"   -> (q148 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -2453,6 +2494,34 @@ FROM o"""
     // fixed-point integer PageRank: 4 iterations, dangling nodes
     // 97-99 redistributed, hub site 0 on top — bit-identical replay
     "q137_centrality" -> pageRankOracle(4),
+    // schema evolution: union with explicit NULL padding replayed
+    "q147_schema_evolution" ->
+      """WITH v1 AS (SELECT 'v1' AS ver, doc_id, source, lang, text,
+             CAST(NULL AS INT) AS n_tokens FROM documents),
+         v2 AS (SELECT 'v2' AS ver, doc_id + 1000000 AS doc_id, source,
+             CAST(NULL AS VARCHAR) AS lang, text,
+             CAST(len(string_split(COALESCE(text, ''), ' ')) AS INT)
+               AS n_tokens
+           FROM documents),
+         u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+       SELECT ver, CAST(count(*) AS BIGINT) AS n,
+              CAST(count(lang) AS BIGINT) AS n_lang,
+              CAST(count(n_tokens) AS BIGINT) AS n_tok
+       FROM u GROUP BY ver""",
+    // embargo split: CASE on exact micros, per-bucket extrema are the
+    // no-overlap evidence
+    "q148_time_embargo" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+         s AS (SELECT user_id, ts_us,
+             CASE WHEN ts_us <= 1705276800000000 THEN 'train'
+                  WHEN ts_us <= 1705276800000000 + 172800000000
+                    THEN 'embargo'
+                  ELSE 'test' END AS split
+           FROM e)
+       SELECT split, CAST(count(*) AS BIGINT) AS n,
+              min(ts_us) AS min_ts_us, max(ts_us) AS max_ts_us,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM s GROUP BY split""",
     // zone pruning soundness: the oracle is the PLAIN range filter —
     // equality proves no row was lost to a skipped shard
     "q146_zone_prune" ->

@@ -3615,6 +3615,43 @@ class OpsSpec extends SparkSpec {
       Layout.pruneByManifest(docs, man, "shard", "id", 5L, 4L)
     }
   }
+
+  test("unionEvolved: null-padding, first-appearance column order, loud type conflict") {
+    val v1 = Seq((1L, "en", "a")).toDF("id", "lang", "text")
+    val v2 = Seq((2L, "b", 5)).toDF("id", "text", "n_tokens")
+    val u = graft.ops.Snapshot.unionEvolved(Seq(v1, v2))
+    assert(u.columns.toSeq === Seq("id", "lang", "text", "n_tokens"))
+    val rows = u.orderBy("id")
+      .as[(Long, Option[String], String, Option[Int])].collect().toSeq
+    assert(rows === Seq((1L, Some("en"), "a", None),
+      (2L, None, "b", Some(5))))
+    // shared name, drifted type -> refuse loudly, never coerce
+    val v3 = Seq((3L, 7L, "c")).toDF("id", "lang", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Snapshot.unionEvolved(Seq(v1, v3))
+    }
+    assert(e.getMessage.contains("lang"))
+    intercept[IllegalArgumentException] {
+      graft.ops.Snapshot.unionEvolved(Seq.empty)
+    }
+  }
+
+  test("timeEmbargoSplit: both boundary microseconds pinned, zero embargo collapses") {
+    val df = Seq(99L, 100L, 101L, 150L, 151L)
+      .toDF("ts") // cut = 100, embargo = 50
+    val got = df.withColumn("s",
+        TextOps.timeEmbargoSplit(col("ts"), 100L, 50L))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(99L -> "train", 100L -> "train",
+      101L -> "embargo", 150L -> "embargo", 151L -> "test"))
+    // embargo = 0: the gap vanishes, cut stays train-inclusive
+    val z = df.withColumn("s", TextOps.timeEmbargoSplit(col("ts"), 100L, 0L))
+      .as[(Long, String)].collect().toMap
+    assert(z(100L) === "train" && z(101L) === "test")
+    intercept[IllegalArgumentException] {
+      TextOps.timeEmbargoSplit(col("ts"), 100L, -1L)
+    }
+  }
 }
 
 /** Swaps a [[graft.ops.Sketch.FreqIndex]]'s sketch relation while keeping

@@ -2467,6 +2467,63 @@ object TextOps {
       .unionByName(termRow("lost_terms", t1, t2))
   }
 
+  /** Dialogue turn parsing — the SFT-data door (the pretraining ops
+    * here all treat a document as one text; instruction-tuning corpora
+    * are TURN-structured, and every downstream step — loss masking,
+    * chat-template packing, role-conditional filtering — needs the
+    * turn relation, not the blob). One `posexplode` over the separator
+    * split, role recognized by an anchored prefix regex built from the
+    * caller's role list (validated to be regex-safe — a role name with
+    * metacharacters would silently change the pattern), body = the
+    * line with the prefix stripped; a line with NO recognized role
+    * parses as role `unknown` with the full line as body — kept, not
+    * dropped, because malformed lines are exactly what a curation
+    * audit needs to see. Cost: one generate over the corpus, no
+    * shuffle.
+    */
+  def parseTurns(df: DataFrame, idCol: String, textCol: String,
+                 roles: Seq[String] = Seq("User", "Assistant"),
+                 sep: String = "\n"): DataFrame = {
+    require(roles.nonEmpty, "parseTurns: empty role list")
+    roles.foreach(r => require(r.matches("[A-Za-z0-9_]+"),
+      s"parseTurns: role '$r' is not regex-safe ([A-Za-z0-9_]+ only)"))
+    val pat = "^(" + roles.mkString("|") + "): "
+    val role = regexp_extract(col("line"), pat, 1)
+    df.select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), sep))
+          .as(Seq("turn_idx", "line")))
+      .select(col(idCol), col("turn_idx"),
+        when(role =!= "", role).otherwise(lit("unknown")).as("role"),
+        when(role =!= "", regexp_replace(col("line"), pat, ""))
+          .otherwise(col("line")).as("body"))
+  }
+
+  /** Loss-mask statistics over a [[parseTurns]] relation — the SFT
+    * packing prep: per dialogue, turn counts, whitespace-token counts
+    * total and under the loss mask (only `targetRole` turns train),
+    * and the 4dp mask ratio — the signal that catches assistant-silent
+    * dialogues (nothing to learn) and user-silent ones (no context)
+    * before they reach a trainer. Empty bodies count zero tokens (a
+    * bare role line is a real artifact, not a one-token turn). One
+    * dialogue-keyed aggregate.
+    */
+  def sftLossMaskStats(turns: DataFrame, idCol: String,
+                       targetRole: String = "Assistant"): DataFrame = {
+    val toks = when(length(col("body")) === 0, lit(0L))
+      .otherwise(size(split(col("body"), " ")).cast("long"))
+    turns.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_turns"),
+        count(when(col("role") === targetRole, 1)).as("n_target_turns"),
+        sum(toks).as("n_tokens"),
+        coalesce(sum(when(col("role") === targetRole, toks)), lit(0L))
+          .as("n_target_tokens"))
+      .select(col(idCol), col("n_turns"), col("n_target_turns"),
+        col("n_tokens"), col("n_target_tokens"),
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(round(col("n_target_tokens").cast("double") /
+            col("n_tokens").cast("double"), 4)).as("mask_ratio"))
+  }
+
   /** HTML → text extraction — the first stage of every web-curation
     * pipeline (the trafilatura/jusText step, reduced to its
     * deterministic regex core so it equality-gates cross-engine; a real

@@ -1989,6 +1989,51 @@ object PipelineQueries {
         max(col("ts_us")).as("max_ts_us"),
         countDistinct(col("user_id")).as("n_users"))
 
+  /** The planted SFT dialogue shared by q149/q150: 2 turns per doc, a
+    * 1-in-13 MALFORMED line (no role prefix — must surface as
+    * `unknown`, not vanish) and a 1-in-3 second round; `concat_ws`
+    * skips the NULL arms, so no phantom empty lines exist in either
+    * engine.
+    */
+  private def plantedDialogue: Column = {
+    val id = col("doc_id")
+    val tx = regexp_replace(coalesce(col("text"), lit("")), "\\s+", " ")
+    concat_ws("\n",
+      concat(lit("User: q"), id, lit(" "), tx.substr(lit(1), lit(30))),
+      concat(lit("Assistant: a"), id, lit(" "),
+        tx.substr(lit(31), lit(40))),
+      when(id % 13 === 0, concat(lit("system note "), id)),
+      when(id % 3 === 0, lit("User: follow-up please")),
+      when(id % 3 === 0, lit("Assistant: done")))
+  }
+
+  /** Dialogue turn parsing ([[TextOps.parseTurns]]) over the planted
+    * SFT corpus — the turn relation every instruction-tuning step
+    * consumes. The malformed 1-in-13 arm exercises the
+    * `unknown`-role contract. Oracle replays the planting, the
+    * split-with-ordinality, the anchored role regex and the prefix
+    * strip.
+    */
+  def q149(s: SparkSession, dir: String): DataFrame =
+    TextOps.parseTurns(
+      t(s, dir)("documents").select(col("doc_id"),
+        plantedDialogue.as("dlg")),
+      "doc_id", "dlg")
+
+  /** Loss-mask statistics ([[TextOps.sftLossMaskStats]]) over the
+    * q149 parse: per dialogue, total and masked token counts + the
+    * 4dp mask ratio — the 1-in-3 second round and 1-in-13 unknown
+    * lines move the ratio, so the grid of distinct values is planted,
+    * not accidental. Oracle replays parse + counts + ratio.
+    */
+  def q150(s: SparkSession, dir: String): DataFrame =
+    TextOps.sftLossMaskStats(
+      TextOps.parseTurns(
+        t(s, dir)("documents").select(col("doc_id"),
+          plantedDialogue.as("dlg")),
+        "doc_id", "dlg"),
+      "doc_id")
+
   def q143(s: SparkSession, dir: String): DataFrame =
     graft.ops.Validate.histogram(t(s, dir)("lineitem"), "l_quantity",
         5.0, 45.0, 20)
@@ -2239,6 +2284,8 @@ object PipelineQueries {
     "q146_zone_prune"     -> (q146 _),
     "q147_schema_evolution" -> (q147 _),
     "q148_time_embargo"   -> (q148 _),
+    "q149_parse_turns"    -> (q149 _),
+    "q150_loss_mask"      -> (q150 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -2490,10 +2537,67 @@ FROM o"""
        FROM r$iters r LEFT JOIN outdeg od ON od.node = r.node"""
   }
 
+  /** Shared DuckDB replay of [[plantedDialogue]] + [[TextOps.parseTurns]]
+    * (CTEs `d` → `pr`), used by the q149 and q150 oracles. */
+  private val turnParseCtes =
+    """WITH d AS (SELECT doc_id,
+           concat_ws(chr(10),
+             'User: q' || doc_id || ' ' ||
+               substr(regexp_replace(COALESCE(text, ''), '\s+', ' ',
+                 'g'), 1, 30),
+             'Assistant: a' || doc_id || ' ' ||
+               substr(regexp_replace(COALESCE(text, ''), '\s+', ' ',
+                 'g'), 31, 40),
+             CASE WHEN doc_id % 13 = 0
+               THEN 'system note ' || doc_id END,
+             CASE WHEN doc_id % 3 = 0
+               THEN 'User: follow-up please' END,
+             CASE WHEN doc_id % 3 = 0
+               THEN 'Assistant: done' END) AS dlg
+         FROM documents),
+         ls AS (SELECT doc_id, string_split(dlg, chr(10)) AS lines
+           FROM d),
+         ix AS (SELECT doc_id, unnest(range(1, len(lines) + 1)) AS i,
+             lines FROM ls),
+         tn AS (SELECT doc_id, CAST(i - 1 AS INT) AS turn_idx,
+             lines[CAST(i AS INT)] AS line FROM ix),
+         pr AS (SELECT doc_id, turn_idx,
+             CASE WHEN regexp_extract(line,
+                 '^(User|Assistant): ', 1) <> ''
+               THEN regexp_extract(line, '^(User|Assistant): ', 1)
+               ELSE 'unknown' END AS role,
+             CASE WHEN regexp_extract(line,
+                 '^(User|Assistant): ', 1) <> ''
+               THEN regexp_replace(line, '^(User|Assistant): ', '')
+               ELSE line END AS body
+           FROM tn)"""
+
   val oracleSql: Map[String, String] = Map(
     // fixed-point integer PageRank: 4 iterations, dangling nodes
     // 97-99 redistributed, hub site 0 on top — bit-identical replay
     "q137_centrality" -> pageRankOracle(4),
+    // turn parse: planting, split-with-ordinality, anchored role
+    // regex + prefix strip all replayed
+    "q149_parse_turns" -> (turnParseCtes +
+      "\n       SELECT doc_id, turn_idx, role, body FROM pr"),
+    // loss mask: parse + per-dialogue token counts + 4dp ratio
+    "q150_loss_mask" -> (turnParseCtes +
+      """,
+         tk AS (SELECT doc_id, role,
+             CASE WHEN length(body) = 0 THEN 0
+                  ELSE len(string_split(body, ' ')) END AS toks
+           FROM pr)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_turns,
+              CAST(count(CASE WHEN role = 'Assistant' THEN 1 END)
+                AS BIGINT) AS n_target_turns,
+              CAST(sum(toks) AS BIGINT) AS n_tokens,
+              CAST(COALESCE(sum(CASE WHEN role = 'Assistant'
+                THEN toks END), 0) AS BIGINT) AS n_target_tokens,
+              CASE WHEN sum(toks) = 0 THEN 0.0
+                   ELSE round(CAST(COALESCE(sum(CASE WHEN role =
+                     'Assistant' THEN toks END), 0) AS DOUBLE)
+                     / CAST(sum(toks) AS DOUBLE), 4) END AS mask_ratio
+       FROM tk GROUP BY doc_id"""),
     // schema evolution: union with explicit NULL padding replayed
     "q147_schema_evolution" ->
       """WITH v1 AS (SELECT 'v1' AS ver, doc_id, source, lang, text,

@@ -3652,6 +3652,40 @@ class OpsSpec extends SparkSpec {
       TextOps.timeEmbargoSplit(col("ts"), 100L, -1L)
     }
   }
+
+  test("parseTurns + sftLossMaskStats: roles, malformed lines, masks — hand-walked") {
+    val dlg = Seq(
+      (1L, "User: hi there\nAssistant: hello friend back\nstray line\nUser: ok"),
+      (2L, "Assistant:no-space stays unknown\nUser: solo"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("id", "dlg")
+    val turns = TextOps.parseTurns(dlg, "id", "dlg")
+      .as[(Long, Int, String, String)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(turns === Seq(
+      (1L, 0, "User", "hi there"),
+      (1L, 1, "Assistant", "hello friend back"),
+      (1L, 2, "unknown", "stray line"),
+      (1L, 3, "User", "ok"),
+      (2L, 0, "unknown", "Assistant:no-space stays unknown"),
+      (2L, 1, "User", "solo"),
+      (3L, 0, "unknown", "")))
+    val stats = TextOps.sftLossMaskStats(
+        TextOps.parseTurns(dlg, "id", "dlg"), "id")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: 4 turns, 1 assistant; tokens 2+3+2+1 = 8, masked 3
+    assert(stats(1L) === ((1L, 4L, 1L, 8L, 3L, 0.375)))
+    // doc 2: no assistant turn -> masked 0, ratio 0
+    assert(stats(2L) === ((2L, 2L, 0L, 4L, 0L, 0.0)))
+    // doc 3: null text -> one unknown empty turn, ZERO tokens (bare
+    // lines are artifacts, not one-token turns), ratio pins 0 not NaN
+    assert(stats(3L) === ((3L, 1L, 0L, 0L, 0L, 0.0)))
+    // regex-unsafe role name refused loudly
+    intercept[IllegalArgumentException] {
+      TextOps.parseTurns(dlg, "id", "dlg", roles = Seq("User|.*"))
+    }
+  }
 }
 
 /** Swaps a [[graft.ops.Sketch.FreqIndex]]'s sketch relation while keeping

@@ -167,4 +167,32 @@ object Classify {
       .select(col("doc_id"), col("nb_logodds"),
         (col("nb_logodds") > threshold).as("keep"))
   }
+
+  /** Preference-pair construction — the DPO/RLHF data-prep shape: a
+    * pool of scored candidate responses per prompt becomes one
+    * (chosen, rejected) pair — chosen = the score-max candidate,
+    * rejected = the score-min — with DETERMINISTIC tie-breaking baked
+    * into the aggregate itself: candidates compare as the struct
+    * (score, id), so equal scores resolve by id identically on any
+    * partitioning (`max_by`/`min_by` would be nondeterministic under
+    * ties, the classic silent-flakiness source in preference
+    * pipelines). A pair is emitted only when chosen_score STRICTLY
+    * exceeds rejected_score — a preference pair requires a preference,
+    * so singleton pools and all-equal-score pools emit nothing (a
+    * 0-margin pair teaches a DPO objective nothing and a noisy-label
+    * risk besides). One prompt-keyed aggregate, no window, no
+    * self-join; margin is exact when scores are integers.
+    */
+  def preferencePairs(scored: DataFrame, promptCol: String,
+                      idCol: String, scoreCol: String): DataFrame = {
+    val cand = struct(col(scoreCol).as("s"), col(idCol).as("i"))
+    scored.groupBy(col(promptCol))
+      .agg(max(cand).as("ch"), min(cand).as("rj"),
+        count(lit(1)).as("pool_n"))
+      .filter(col("ch.s") > col("rj.s"))
+      .select(col(promptCol), col("ch.i").as("chosen_id"),
+        col("rj.i").as("rejected_id"), col("ch.s").as("chosen_score"),
+        col("rj.s").as("rejected_score"),
+        (col("ch.s") - col("rj.s")).as("margin"), col("pool_n"))
+  }
 }

@@ -2524,6 +2524,38 @@ object TextOps {
             col("n_tokens").cast("double"), 4)).as("mask_ratio"))
   }
 
+  /** Chat-template span table — the third SFT stage after
+    * [[parseTurns]] and [[sftLossMaskStats]]: what a trainer actually
+    * consumes is not the text but the TOKEN SPANS — per turn, where in
+    * the rendered sequence it starts and ends and whether the loss
+    * applies. Rendering contract (deliberately simple so it
+    * equality-gates; a real tokenizer swaps into the length
+    * expression, the span algebra stays): each turn renders as
+    * `<|role|> body <|end|>` and costs `2 + bodyTokens` tokens (one
+    * marker, one end, whitespace tokens in between; empty bodies cost
+    * just the 2). Offsets are a running sum in turn order — ONE
+    * dialogue-keyed exchange, the window's partitioning carried from
+    * parse if already shuffled. `is_target` marks the turns that
+    * train.
+    */
+  def chatTemplateSpans(turns: DataFrame, idCol: String,
+                        targetRole: String = "Assistant"): DataFrame = {
+    val toks = when(length(col("body")) === 0, lit(0L))
+      .otherwise(size(split(col("body"), " ")).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("turn_idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    turns
+      .withColumn("tok_len", toks + 2L)
+      .withColumn("tok_start",
+        coalesce(sum(col("tok_len")).over(w), lit(0L)))
+      .select(col(idCol), col("turn_idx"), col("role"),
+        col("tok_start"), (col("tok_start") + col("tok_len"))
+          .as("tok_end"),
+        (col("role") === targetRole).as("is_target"))
+  }
+
   /** HTML → text extraction — the first stage of every web-curation
     * pipeline (the trafilatura/jusText step, reduced to its
     * deterministic regex core so it equality-gates cross-engine; a real

@@ -2034,6 +2034,39 @@ object PipelineQueries {
         "doc_id", "dlg"),
       "doc_id")
 
+  /** Chat-template span table ([[TextOps.chatTemplateSpans]]) over the
+    * q149 parse — the loss-mask SPAN relation a trainer consumes:
+    * running token offsets per turn (marker + body + end = 2 +
+    * bodyTokens), is_target on assistant turns. Oracle replays the
+    * token arithmetic and the strictly-before ROWS-frame running sum.
+    */
+  def q151(s: SparkSession, dir: String): DataFrame =
+    TextOps.chatTemplateSpans(
+      TextOps.parseTurns(
+        t(s, dir)("documents").select(col("doc_id"),
+          plantedDialogue.as("dlg")),
+        "doc_id", "dlg"),
+      "doc_id")
+
+  /** Preference-pair construction
+    * ([[graft.ops.Classify.preferencePairs]]): 4-candidate pools
+    * (prompt = doc_id div 4) scored by a planted small-range integer
+    * (n_chars mod 7 — ties inside pools are COMMON, exercising the
+    * struct tie-break), with every 10th pool forced all-equal so the
+    * no-preference-no-pair branch genuinely drops pools. Oracle
+    * replays the pools and the (score, id)-ordered rank-1 picks from
+    * both ends.
+    */
+  def q152(s: SparkSession, dir: String): DataFrame = {
+    val pid = expr("doc_id div 4")
+    val pool = t(s, dir)("documents").select(pid.as("prompt_id"),
+      col("doc_id"),
+      when(pid % 10 === 0, lit(5L))
+        .otherwise(pmod(col("n_chars"), lit(7L))).as("score"))
+    graft.ops.Classify.preferencePairs(pool, "prompt_id", "doc_id",
+      "score")
+  }
+
   def q143(s: SparkSession, dir: String): DataFrame =
     graft.ops.Validate.histogram(t(s, dir)("lineitem"), "l_quantity",
         5.0, 45.0, 20)
@@ -2286,6 +2319,8 @@ object PipelineQueries {
     "q148_time_embargo"   -> (q148 _),
     "q149_parse_turns"    -> (q149 _),
     "q150_loss_mask"      -> (q150 _),
+    "q151_chat_spans"     -> (q151 _),
+    "q152_preference_pairs" -> (q152 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -2576,6 +2611,49 @@ FROM o"""
     // fixed-point integer PageRank: 4 iterations, dangling nodes
     // 97-99 redistributed, hub site 0 on top — bit-identical replay
     "q137_centrality" -> pageRankOracle(4),
+    // chat spans: token arithmetic + strictly-before ROWS running sum
+    "q151_chat_spans" -> (turnParseCtes +
+      """,
+         tk AS (SELECT doc_id, turn_idx, role,
+             CASE WHEN length(body) = 0 THEN 0
+                  ELSE len(string_split(body, ' ')) END + 2 AS tok_len
+           FROM pr),
+         sp AS (SELECT doc_id, turn_idx, role, tok_len,
+             COALESCE(sum(tok_len) OVER (PARTITION BY doc_id
+                 ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS tok_start
+           FROM tk)
+       SELECT doc_id, turn_idx, role,
+              CAST(tok_start AS BIGINT) AS tok_start,
+              CAST(tok_start + tok_len AS BIGINT) AS tok_end,
+              role = 'Assistant' AS is_target
+       FROM sp"""),
+    // preference pairs: both-end rank-1 picks under (score, id) order,
+    // strict-margin cut, all-equal pools dropped
+    "q152_preference_pairs" ->
+      """WITH pool AS (SELECT doc_id // 4 AS prompt_id, doc_id,
+             CAST(CASE WHEN (doc_id // 4) % 10 = 0 THEN 5
+                  ELSE n_chars % 7 END AS BIGINT) AS score
+           FROM documents),
+         ch AS (SELECT prompt_id, doc_id AS chosen_id,
+             score AS chosen_score,
+             row_number() OVER (PARTITION BY prompt_id
+               ORDER BY score DESC, doc_id DESC) AS rn
+           FROM pool),
+         rj AS (SELECT prompt_id, doc_id AS rejected_id,
+             score AS rejected_score,
+             row_number() OVER (PARTITION BY prompt_id
+               ORDER BY score ASC, doc_id ASC) AS rn
+           FROM pool),
+         pn AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS pool_n
+           FROM pool GROUP BY prompt_id)
+       SELECT c.prompt_id, chosen_id, rejected_id, chosen_score,
+              rejected_score, chosen_score - rejected_score AS margin,
+              pool_n
+       FROM ch c
+       JOIN rj r ON c.prompt_id = r.prompt_id AND r.rn = 1
+       JOIN pn ON pn.prompt_id = c.prompt_id
+       WHERE c.rn = 1 AND chosen_score > rejected_score""",
     // turn parse: planting, split-with-ordinality, anchored role
     // regex + prefix strip all replayed
     "q149_parse_turns" -> (turnParseCtes +

@@ -3686,6 +3686,50 @@ class OpsSpec extends SparkSpec {
       TextOps.parseTurns(dlg, "id", "dlg", roles = Seq("User|.*"))
     }
   }
+
+  test("chatTemplateSpans: hand offsets, contiguity, empty body costs 2") {
+    val turns = Seq(
+      (1L, 0, "User", "hi there"),        // len 2+2 = 4 -> [0, 4)
+      (1L, 1, "Assistant", ""),           // empty body -> [4, 6)
+      (1L, 2, "User", "ok"),              // [6, 9)
+      (2L, 0, "Assistant", "a b c"))      // [0, 5)
+      .toDF("id", "turn_idx", "role", "body")
+    val spans = TextOps.chatTemplateSpans(turns, "id")
+      .as[(Long, Int, String, Long, Long, Boolean)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(spans === Seq(
+      (1L, 0, "User", 0L, 4L, false),
+      (1L, 1, "Assistant", 4L, 6L, true),
+      (1L, 2, "User", 6L, 9L, false),
+      (2L, 0, "Assistant", 0L, 5L, true)))
+    // contiguity: each turn starts where the previous ended
+    spans.groupBy(_._1).values.foreach { g =>
+      g.sortBy(_._2).sliding(2).foreach {
+        case Seq(a, b) => assert(a._5 === b._4)
+        case _ =>
+      }
+    }
+  }
+
+  test("preferencePairs: struct tie-breaks, strict margin, degenerate pools drop") {
+    import graft.ops.Classify
+    val pool = Seq(
+      (1L, 10L, 3L), (1L, 11L, 7L), (1L, 12L, 7L), (1L, 13L, 3L),
+      // pool 1: chosen = max(7, id) = 12; rejected = min(3, id) = 10
+      (2L, 20L, 5L), (2L, 21L, 5L),   // all-equal -> no pair
+      (3L, 30L, 9L))                  // singleton -> no pair
+      .toDF("prompt_id", "cand_id", "score")
+    val out = Classify.preferencePairs(pool, "prompt_id", "cand_id",
+        "score")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 12L, 10L, 7L, 3L, 4L, 4L)))
+    // determinism under repartition: same pair, any layout
+    val out2 = Classify.preferencePairs(
+        pool.repartition(5, col("score")), "prompt_id", "cand_id",
+        "score")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out2 === out)
+  }
 }
 
 /** Swaps a [[graft.ops.Sketch.FreqIndex]]'s sketch relation while keeping

@@ -212,6 +212,12 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val small = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val big = args.lift(1).getOrElse("localdata/sf1")
+    // optional 3rd arg: comma-separated substring filter (the Verify
+    // dev-loop convention) — re-probe a touched operator without
+    // re-running the whole 70+ probe sweep
+    val nameFilter: Seq[String] = args.lift(2)
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
     // pre-run load flag (same rationale as StreamBench): a probe run on
     // a busy machine inflates warm ratios and once misdiagnosed a
     // rewrite as a non-improvement this round
@@ -250,7 +256,10 @@ object ScaleProbe {
     def timeTwice(name: String, dir: String): (Double, Double) =
       timeThunk(() => SparkEntry.queries(name)(spark, dir))
 
-    val results = probes.map { name =>
+    val selected =
+      if (nameFilter.isEmpty) probes
+      else probes.filter(n => nameFilter.exists(n.contains))
+    val results = selected.map { name =>
       val fpS = fingerprint(SparkEntry.queries(name)(spark, small))
       // clearCaches between fingerprinting and timing: constructing
       // q46's frame eagerly derives and persists the shared near-dup
@@ -302,8 +311,13 @@ object ScaleProbe {
         Similarity.loadIvf(spark, vDir), batchE,
         Similarity.loadPq(spark, pDir))
     }
-    val (idxS, batchDS, docsS, ivfS, batchES, pqS) = maintSetup(small)
-    val (idxB, batchDB, docsB, ivfB, batchEB, pqB) = maintSetup(big)
+    // a filtered run skips the maintenance family unless asked for it
+    // by substring, same contract as the query probes
+    val runMaint = nameFilter.isEmpty || nameFilter.exists("maint".contains)
+    val (idxS, batchDS, docsS, ivfS, batchES, pqS) =
+      if (runMaint) maintSetup(small) else (null, null, null, null, null, null)
+    val (idxB, batchDB, docsB, ivfB, batchEB, pqB) =
+      if (runMaint) maintSetup(big) else (null, null, null, null, null, null)
     val maintProbes: Seq[(String, () => org.apache.spark.sql.DataFrame,
         () => org.apache.spark.sql.DataFrame)] = Seq(
       ("maint_extend_dedup_index",
@@ -343,7 +357,10 @@ object ScaleProbe {
           table(spark, small, "embeddings"), iters = 1).assigned,
         () => Similarity.refineIvf(ivfB,
           table(spark, big, "embeddings"), iters = 1).assigned))
-    val maintResults = maintProbes.map { case (name, mkS, mkB) =>
+    val maintResults = (if (runMaint) maintProbes
+      else Seq.empty[(String, () => org.apache.spark.sql.DataFrame,
+        () => org.apache.spark.sql.DataFrame)]).map {
+      case (name, mkS, mkB) =>
       val fpS = fingerprint(mkS())
       val (coldS, warmS) = timeThunk(mkS)
       val fpB = fingerprint(mkB())
@@ -356,9 +373,31 @@ object ScaleProbe {
     val all = results ++ maintResults
 
     val anyChanged = all.exists(_.changed)
-    val line =
-      f"""{"metric":"scale_probe","small":"$small","big":"$big","plan_changes":$anyChanged,"preload":$preload%.1f,"load_band":"$loadBand","polluted":$polluted,"queries":{${all.map(_.json).mkString(",")}}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "scale_probe.json")
+    // A FILTERED run merges into the existing file instead of
+    // truncating the sweep to the filtered rows: keep every stored
+    // probe body whose key was not re-probed (string-level splice —
+    // the stored bodies are re-emitted verbatim, so untouched rows
+    // stay bit-identical and provenance-auditable).
+    val merged: String =
+      if (nameFilter.isEmpty) all.map(_.json).mkString(",")
+      else {
+        val prior = if (Files.exists(Paths.get(outPath))) {
+          val txt = Files.readString(Paths.get(outPath)).trim
+          val qStart = txt.indexOf("\"queries\":{")
+          val body = txt.substring(qStart + "\"queries\":{".length,
+            txt.lastIndexOf("}}"))
+          // split top-level probe entries: "name":{...}
+          """"([a-z0-9_]+)":\{[^{}]*\{[^{}]*\}[^{}]*\{[^{}]*\}[^{}]*\}"""
+            .r.findAllIn(body).toSeq
+        } else Seq.empty
+        val reprobed = all.map(_.name).toSet
+        val kept = prior.filterNot(e =>
+          reprobed.exists(n => e.startsWith("\"" + n + "\":")))
+        (kept ++ all.map(_.json)).mkString(",")
+      }
+    val line =
+      f"""{"metric":"scale_probe","small":"$small","big":"$big","plan_changes":$anyChanged,"preload":$preload%.1f,"load_band":"$loadBand","polluted":$polluted,"queries":{$merged}}"""
     Files.writeString(Paths.get(outPath), line + "\n")
     println(line)
     spark.stop()

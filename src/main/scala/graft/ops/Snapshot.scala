@@ -86,6 +86,38 @@ object Snapshot {
     * per-(id, version) second exchange — PlanSpec-visible). State is
     * one row per change event, never corpus-sized history in memory.
     */
+  /** Right-to-be-forgotten propagation — apply a deletion list (the
+    * GDPR/CCPA forget set) to a keyed relation and return the AUDIT
+    * row the compliance log requires: rows before, rows deleted, rows
+    * after, and distinct forgotten keys actually present (a forget
+    * list routinely names keys a table never had — the audit must
+    * distinguish "nothing to delete" from "delete failed"). The scrub
+    * itself is [[scrubForgotten]] (one anti-join, forget side
+    * broadcast when small); this audit is ONE aggregate over a
+    * left-join membership flag — the before/deleted/after counts come
+    * from a single pass, never three scans.
+    */
+  def forgetAudit(df: DataFrame, keyCol: String, forget: DataFrame,
+                  forgetKeyCol: String, tableName: String): DataFrame = {
+    val f = forget.select(col(forgetKeyCol).as("__fk")).distinct()
+    df.join(broadcast(f), col(keyCol) === col("__fk"), "left")
+      .agg(count(lit(1)).as("n_before"),
+        count(col("__fk")).as("n_deleted"),
+        countDistinct(col("__fk")).as("n_keys_hit"))
+      .select(lit(tableName).as("table_name"), col("n_before"),
+        col("n_deleted"), (col("n_before") - col("n_deleted"))
+          .as("n_after"), col("n_keys_hit"))
+  }
+
+  /** The scrub half of [[forgetAudit]]: drop every row whose key is on
+    * the forget list. One anti-join; run the audit FIRST (the deleted
+    * rows are gone afterwards, by design). */
+  def scrubForgotten(df: DataFrame, keyCol: String, forget: DataFrame,
+                     forgetKeyCol: String): DataFrame =
+    df.join(broadcast(forget.select(col(forgetKeyCol).as("__fk"))
+        .distinct()),
+      col(keyCol) === col("__fk"), "left_anti")
+
   /** Schema-evolution union — read N corpus versions whose schemas
     * DRIFTED (columns added or retired between exports) as one
     * relation: missing columns null-pad (`unionByName` with

@@ -140,6 +140,76 @@ object AnalyticQueries {
           col("n_view").cast("double"), 4).as("cr_1d"))
   }
 
+  /** Two-proportion A/B z-test — the experiment-analysis surface over
+    * events: users split by `user_id mod 2`, converted = has a view
+    * AND a purchase; the report is one row of exact integer counts +
+    * 6dp rates + the pooled-variance z at 4dp. The float path is
+    * engine-neutral because every input is an exact int64 count and
+    * the formula is written in ONE fixed operand order on both sides
+    * (IEEE ops incl. sqrt are correctly rounded, so identical order ⇒
+    * identical bits — the q143 binning posture applied to a test
+    * statistic). Two user-keyed aggregates collapsing to a 1-row
+    * report.
+    */
+  def q153(s: SparkSession, dir: String): DataFrame = {
+    val perUser = events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+      // first-3-days slice (the q142 planting): on the full month every
+      // user converts, pooled variance hits 0 and z is undefined
+      .filter(col("ts_us") < 1704326800000000L)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "view", 1).otherwise(0))
+          .as("hv"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("hp"))
+      .select((pmod(col("user_id"), lit(2L)) === 0).as("isA"),
+        (col("hv") === 1 && col("hp") === 1).as("conv"))
+    val agg = perUser.agg(
+      count(when(col("isA"), 1)).as("n_a"),
+      count(when(col("isA") && col("conv"), 1)).as("conv_a"),
+      count(when(!col("isA"), 1)).as("n_b"),
+      count(when(!col("isA") && col("conv"), 1)).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a").cast("double") +
+        lit(1.0) / col("n_b").cast("double")))
+    agg.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+      // degenerate experiments (pooled rate 0 or 1) have no z — NULL,
+      // never a divide-by-zero (ANSI mode) or an Infinity
+      when(se =!= 0.0, round((pa - pb) / se, 4)).as("z"))
+  }
+
+  /** Event-transition matrix — the Markov view of user journeys: per
+    * user, consecutive event pairs under the deterministic
+    * (ts, event_id) order (raw ts collides; the unique id makes the
+    * lead engine-neutral), counted per (from, to) with the 4dp
+    * row-share. One user exchange for the lead, one pair-keyed
+    * aggregate, one from-keyed window over the 25-row matrix — the
+    * windows after the aggregate run on matrix-cardinality data,
+    * never events.
+    */
+  def q155(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val pairs = events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val cnt = pairs
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy(col("from_type"))
+    cnt.select(col("from_type"), col("to_type"), col("n"),
+      round(col("n").cast("double") /
+        sum(col("n")).over(wf).cast("double"), 4).as("from_share"))
+  }
+
   /** MULTISET set operations — `INTERSECT ALL` / `EXCEPT ALL`, the bag
     * semantics q18's distinct variants don't exercise (and a different
     * physical shape: Spark plans the ALL variants as count-paired
@@ -863,12 +933,71 @@ object AnalyticQueries {
     "q136_rank_family" -> (q136 _),
     "q142_funnel_steps" -> (q142 _),
     "q144_group_by_all" -> (q144 _),
+    "q153_ab_ztest" -> (q153 _),
+    "q155_transition_matrix" -> (q155 _),
   )
 
   val oracleSql: Map[String, String] = Map(
     // the oracle IS the query text — GROUP BY ALL / ORDER BY ALL are
     // engine-identical byte for byte
     "q144_group_by_all" -> q144Sql,
+    // A/B z-test: exact counts + the identical fixed-operand-order
+    // float formula (sqrt is correctly rounded — same order, same bits)
+    "q153_ab_ztest" ->
+      """WITH pu AS (SELECT user_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS hp
+           FROM events
+           WHERE epoch_us(ts) < 1704326800000000
+           GROUP BY user_id),
+         fl AS (SELECT user_id % 2 = 0 AS isA,
+             hv = 1 AND hp = 1 AS conv FROM pu),
+         ag AS (SELECT
+             CAST(count(CASE WHEN isA THEN 1 END) AS BIGINT) AS n_a,
+             CAST(count(CASE WHEN isA AND conv THEN 1 END) AS BIGINT)
+               AS conv_a,
+             CAST(count(CASE WHEN NOT isA THEN 1 END) AS BIGINT) AS n_b,
+             CAST(count(CASE WHEN NOT isA AND conv THEN 1 END)
+               AS BIGINT) AS conv_b
+           FROM fl)
+       SELECT n_a, conv_a, n_b, conv_b,
+              round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+                AS p_a,
+              round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+                AS p_b,
+              CASE WHEN sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                        / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                        / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 / CAST(n_a AS DOUBLE)
+                     + 1.0 / CAST(n_b AS DOUBLE))) <> 0.0
+              THEN round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                     - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                        / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                        / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 / CAST(n_a AS DOUBLE)
+                     + 1.0 / CAST(n_b AS DOUBLE))), 4) END AS z
+       FROM ag""",
+    // transition matrix: deterministic (ts, event_id) lead + 4dp
+    // row share over the matrix-cardinality relation
+    "q155_transition_matrix" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+             epoch_us(ts) AS ts_us FROM events),
+         p AS (SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id) AS to_type
+           FROM e),
+         c AS (SELECT from_type, to_type,
+             CAST(count(*) AS BIGINT) AS n
+           FROM p WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+       SELECT from_type, to_type, n,
+              round(CAST(n AS DOUBLE) / CAST(sum(n)
+                OVER (PARTITION BY from_type) AS DOUBLE), 4)
+                AS from_share
+       FROM c""",
     // k-step funnel: identical strictly-before RANGE frames, exact
     // micros, one-row report — time-range ties engine-neutral
     "q142_funnel_steps" ->

@@ -1738,6 +1738,13 @@ object PipelineQueries {
     * dangling-mass redistribution branch is exercised at EVERY scale
     * factor, not just small ones). The oracle unrolls the same 4
     * iterations as materialized CTEs with identical `//` arithmetic.
+    * Runs with `checkpointEvery = 1` — the dupClusters discipline:
+    * each iteration's node-grain ranks materialize eagerly, so the
+    * executed plan (and the probe's plan fingerprint) is ONE
+    * iteration's dataflow, not a 4-level inlined pyramid whose
+    * fingerprint multiplies every exchange and 1-row cross join by
+    * the replication count (values are bit-identical either way —
+    * OpsSpec pins that).
     */
   def q137(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir)("documents")
@@ -1751,7 +1758,7 @@ object PipelineQueries {
     val e4 = d.filter(col("doc_id") % 17 === 0)
       .select(col("src"), (lit(97L) + col("doc_id") % 3).as("dst"))
     graft.ops.Graph.pageRank(e1.union(e2).union(e3).union(e4),
-        "src", "dst", iters = 4)
+        "src", "dst", iters = 4, checkpointEvery = 1)
       .select(col("node").as("domain_id"), col("outdeg"), col("r_scaled"))
   }
 
@@ -2067,6 +2074,34 @@ object PipelineQueries {
       "score")
   }
 
+  /** Right-to-be-forgotten propagation
+    * ([[graft.ops.Snapshot.forgetAudit]] / scrubForgotten): a planted
+    * forget list (every 17th user) applied across TWO differently-keyed
+    * relations — events by user_id, documents by a planted owner —
+    * plus a third audit row over the SCRUBBED events proving the scrub
+    * removed everything (n_deleted = 0, n_keys_hit = 0 afterwards).
+    * The forget list names users the documents table may not have —
+    * n_keys_hit vs list size is the "nothing to delete" vs "delete
+    * failed" distinction the compliance log needs. Oracle replays
+    * membership counts and the post-scrub re-audit.
+    */
+  def q154(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.events(s, dir)
+      .select(col("user_id"), col("event_id"))
+    val forget = ev.select(col("user_id")).distinct()
+      .filter(pmod(col("user_id"), lit(17L)) === 0)
+    val docs = t(s, dir)("documents")
+      .withColumn("owner_id", pmod(col("doc_id"), lit(150L)))
+    graft.ops.Snapshot.forgetAudit(ev, "user_id", forget, "user_id",
+        "events")
+      .unionByName(graft.ops.Snapshot.forgetAudit(docs, "owner_id",
+        forget, "user_id", "documents"))
+      .unionByName(graft.ops.Snapshot.forgetAudit(
+        graft.ops.Snapshot.scrubForgotten(ev, "user_id", forget,
+          "user_id"),
+        "user_id", forget, "user_id", "events_scrubbed"))
+  }
+
   def q143(s: SparkSession, dir: String): DataFrame =
     graft.ops.Validate.histogram(t(s, dir)("lineitem"), "l_quantity",
         5.0, 45.0, 20)
@@ -2321,6 +2356,7 @@ object PipelineQueries {
     "q150_loss_mask"      -> (q150 _),
     "q151_chat_spans"     -> (q151 _),
     "q152_preference_pairs" -> (q152 _),
+    "q154_forget_audit"   -> (q154 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -2611,6 +2647,41 @@ FROM o"""
     // fixed-point integer PageRank: 4 iterations, dangling nodes
     // 97-99 redistributed, hub site 0 on top — bit-identical replay
     "q137_centrality" -> pageRankOracle(4),
+    // forget-list propagation: membership counts per table + the
+    // post-scrub re-audit (0 deleted, 0 keys hit)
+    "q154_forget_audit" ->
+      """WITH fg AS (SELECT DISTINCT user_id FROM events
+           WHERE user_id % 17 = 0),
+         ev AS (SELECT user_id FROM events),
+         dc AS (SELECT doc_id % 150 AS owner_id FROM documents),
+         sc AS (SELECT user_id FROM events
+           WHERE user_id NOT IN (SELECT user_id FROM fg))
+       SELECT 'events' AS table_name,
+              CAST(count(*) AS BIGINT) AS n_before,
+              CAST(count(CASE WHEN user_id IN
+                (SELECT user_id FROM fg) THEN 1 END) AS BIGINT)
+                AS n_deleted,
+              CAST(count(*) - count(CASE WHEN user_id IN
+                (SELECT user_id FROM fg) THEN 1 END) AS BIGINT)
+                AS n_after,
+              CAST(count(DISTINCT CASE WHEN user_id IN
+                (SELECT user_id FROM fg) THEN user_id END) AS BIGINT)
+                AS n_keys_hit
+       FROM ev
+       UNION ALL
+       SELECT 'documents', CAST(count(*) AS BIGINT),
+              CAST(count(CASE WHEN owner_id IN
+                (SELECT user_id FROM fg) THEN 1 END) AS BIGINT),
+              CAST(count(*) - count(CASE WHEN owner_id IN
+                (SELECT user_id FROM fg) THEN 1 END) AS BIGINT),
+              CAST(count(DISTINCT CASE WHEN owner_id IN
+                (SELECT user_id FROM fg) THEN owner_id END) AS BIGINT)
+       FROM dc
+       UNION ALL
+       SELECT 'events_scrubbed', CAST(count(*) AS BIGINT),
+              CAST(0 AS BIGINT), CAST(count(*) AS BIGINT),
+              CAST(0 AS BIGINT)
+       FROM sc""",
     // chat spans: token arithmetic + strictly-before ROWS running sum
     "q151_chat_spans" -> (turnParseCtes +
       """,

@@ -3730,6 +3730,27 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
     assert(out2 === out)
   }
+
+  test("forgetAudit/scrubForgotten: hand counts, dup and absent forget keys, scrub completeness") {
+    import graft.ops.Snapshot
+    val df = Seq((1L, "x"), (17L, "y"), (17L, "z"), (34L, "w"))
+      .toDF("uid", "v")
+    // duplicate key must not double-count; absent key (99) must not
+    // inflate n_keys_hit — that's the "nothing to delete" signal
+    val forget = Seq(17L, 17L, 99L).toDF("fk")
+    val audit = Snapshot.forgetAudit(df, "uid", forget, "fk", "t")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(audit === Seq(("t", 4L, 2L, 2L, 1L)))
+    val kept = Snapshot.scrubForgotten(df, "uid", forget, "fk")
+      .select("uid").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 34L))
+    // re-audit of the scrubbed table: nothing left to delete
+    val re = Snapshot.forgetAudit(
+        Snapshot.scrubForgotten(df, "uid", forget, "fk"),
+        "uid", forget, "fk", "t2")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(re === Seq(("t2", 2L, 0L, 2L, 0L)))
+  }
 }
 
 /** Swaps a [[graft.ops.Sketch.FreqIndex]]'s sketch relation while keeping

@@ -133,6 +133,34 @@ object TextOps {
     * sampling pass, works identically on 100 TB. `trainPct`/`valPct` are
     * integer percents; the remainder is "test".
     */
+  /** Balanced class downsample — the classifier-prep staple: every
+    * label kept at exactly the MINORITY class's count, members chosen
+    * by the salted content fingerprint (then id) so the selection is
+    * content-keyed and engine-replayable, never random-seed-dependent
+    * — the splitAssign determinism rule applied to class balancing.
+    * Cost: one label-keyed window (rank within class), a
+    * label-cardinality count relation, and a 1-row global-min
+    * broadcast (the audited 1-row shape) — the corpus is scanned once.
+    * Returns the kept rows with their within-class rank; the caller
+    * keeps columns.
+    */
+  def balanceClasses(df: DataFrame, labelCol: String, idCol: String,
+                     textCol: String): DataFrame = {
+    require(!df.columns.contains("rnk"),
+      "balanceClasses adds column rnk which already exists in the input")
+    val fp = fingerprint(concat(lit("balance:"),
+      coalesce(col(textCol).cast("string"), lit(""))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(labelCol)).orderBy(fp, col(idCol))
+    val ranked = df.withColumn("rnk", row_number().over(w))
+    val m = ranked.groupBy(col(labelCol))
+      .agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n")).as("__m"))
+    ranked.crossJoin(broadcast(m))
+      .filter(col("rnk") <= col("__m"))
+      .drop("__m")
+  }
+
   /** Temporal embargo (purged) split — [[splitAssign]]'s TIME-keyed
     * sibling for event/time-series data, where the content-hash split
     * leaks by construction (a model trained on Monday's rows must not

@@ -2102,6 +2102,54 @@ object PipelineQueries {
         "user_id", forget, "user_id", "events_scrubbed"))
   }
 
+  /** Balanced class downsample ([[TextOps.balanceClasses]] on the lang
+    * label): every language kept at the minority class's count (64 at
+    * sf0.01 — en drops from 218), members chosen by the salted content
+    * fingerprint so selection is content-keyed, engine-replayable and
+    * seed-free. Oracle replays the fingerprint, the within-class rank
+    * and the global min.
+    */
+  def q156(s: SparkSession, dir: String): DataFrame =
+    TextOps.balanceClasses(
+        t(s, dir)("documents").select(col("doc_id"), col("lang"),
+          col("text")),
+        "lang", "doc_id", "text")
+      .select(col("doc_id"), col("lang"), col("rnk"))
+
+  /** JSON dead-letter channel — the ingestion error surface every
+    * pipeline needs next to q41's happy-path extraction: `from_json`
+    * with an explicit corrupt-record column routes each row to
+    * exactly one of three statuses — `ok`, `bad_field` (valid JSON,
+    * field fails the schema type) and `malformed` (not JSON at all) —
+    * and the audit keeps exact k extremes over the ok rows. Both
+    * failure arms are planted (1-in-19 malformed, 1-in-23 wrong-typed
+    * field) since the fixture stream is fully clean. The oracle
+    * replays the routing with json_valid + try_cast.
+    */
+  def q157(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.events(s, dir).select(col("event_id"), col("props"))
+    val planted = ev.withColumn("p",
+      when(col("event_id") % 19 === 0, lit("not json {"))
+        .when(col("event_id") % 23 === 0, lit("{\"k\": \"oops\"}"))
+        .otherwise(col("props")))
+    val parsed = planted.withColumn("j",
+      from_json(col("p"), "k INT, _bad STRING",
+        Map("columnNameOfCorruptRecord" -> "_bad")))
+    parsed
+      // PERMISSIVE routes BOTH failure kinds into the corrupt column
+      // (a type-failed field corrupts the whole record) — the JSON-vs
+      // -schema distinction comes from get_json_object, which parses
+      // any valid JSON regardless of schema
+      .withColumn("status",
+        when(col("j._bad").isNull, "ok")
+          .when(get_json_object(col("p"), "$").isNotNull, "bad_field")
+          .otherwise("malformed"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        min(col("j.k")).cast("long").as("min_k"),
+        max(col("j.k")).cast("long").as("max_k"))
+  }
+
   def q143(s: SparkSession, dir: String): DataFrame =
     graft.ops.Validate.histogram(t(s, dir)("lineitem"), "l_quantity",
         5.0, 45.0, 20)
@@ -2357,6 +2405,8 @@ object PipelineQueries {
     "q151_chat_spans"     -> (q151 _),
     "q152_preference_pairs" -> (q152 _),
     "q154_forget_audit"   -> (q154 _),
+    "q156_balance_classes" -> (q156 _),
+    "q157_dead_letter"    -> (q157 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -2647,6 +2697,46 @@ FROM o"""
     // fixed-point integer PageRank: 4 iterations, dangling nodes
     // 97-99 redistributed, hub site 0 on top — bit-identical replay
     "q137_centrality" -> pageRankOracle(4),
+    // balanced downsample: fingerprint rank within class, global min
+    "q156_balance_classes" ->
+      """WITH fp AS (SELECT doc_id, lang,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 range(1, length('balance:' || COALESCE(text, '')) + 1),
+                 i -> CAST(unicode(substr('balance:'
+                   || COALESCE(text, ''), CAST(i AS INT), 1))
+                   AS BIGINT))),
+               (a, b) -> (a*31 + b) % 1000000007) AS f
+           FROM documents),
+         r AS (SELECT doc_id, lang,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY f, doc_id) AS INT) AS rnk
+           FROM fp),
+         m AS (SELECT CAST(min(n) AS BIGINT) AS mn FROM
+           (SELECT count(*) AS n FROM r GROUP BY lang))
+       SELECT doc_id, lang, rnk FROM r
+       WHERE rnk <= (SELECT mn FROM m)""",
+    // dead-letter routing: json_valid + try_cast replay of the three
+    // statuses, exact k extremes on the ok rows
+    "q157_dead_letter" ->
+      """WITH pl AS (SELECT event_id,
+             CASE WHEN event_id % 19 = 0 THEN 'not json {'
+                  WHEN event_id % 23 = 0 THEN '{"k": "oops"}'
+                  ELSE props END AS p
+           FROM events),
+         jx AS (SELECT event_id, p,
+             CASE WHEN json_valid(p) THEN p END AS pv FROM pl),
+         st AS (SELECT event_id,
+             CASE WHEN pv IS NULL THEN 'malformed'
+                  WHEN try_cast(json_extract_string(pv, '$.k') AS INT)
+                    IS NULL THEN 'bad_field'
+                  ELSE 'ok' END AS status,
+             try_cast(json_extract_string(pv, '$.k') AS INT) AS k
+           FROM jx)
+       SELECT status, CAST(count(*) AS BIGINT) AS n,
+              CAST(min(k) AS BIGINT) AS min_k,
+              CAST(max(k) AS BIGINT) AS max_k
+       FROM st GROUP BY status""",
     // forget-list propagation: membership counts per table + the
     // post-scrub re-audit (0 deleted, 0 keys hit)
     "q154_forget_audit" ->

@@ -3751,6 +3751,28 @@ class OpsSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long)].collect().toSeq
     assert(re === Seq(("t2", 2L, 0L, 2L, 0L)))
   }
+
+  test("balanceClasses: every class cut to the minority count, content-keyed, deterministic") {
+    val df = Seq(
+      (1L, "a", "t1"), (2L, "a", "t2"), (3L, "a", "t3"),
+      (4L, "b", "t4"), (5L, "b", "t5"),
+      (6L, "c", "t6")).toDF("id", "lbl", "text")
+    val kept = TextOps.balanceClasses(df, "lbl", "id", "text")
+    val byLbl = kept.groupBy("lbl").count()
+      .as[(String, Long)].collect().toMap
+    assert(byLbl === Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+    assert(kept.select("rnk").as[Int].collect().forall(_ === 1))
+    // deterministic under repartition — content-keyed, not random
+    val again = TextOps.balanceClasses(df.repartition(7), "lbl", "id",
+        "text")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again ===
+      kept.select("id").as[Long].collect().sorted.toSeq)
+    intercept[IllegalArgumentException] {
+      TextOps.balanceClasses(df.withColumn("rnk", lit(1)), "lbl", "id",
+        "text")
+    }
+  }
 }
 
 /** Swaps a [[graft.ops.Sketch.FreqIndex]]'s sketch relation while keeping

@@ -1416,6 +1416,34 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jacc"), 4).as("jacc"))
   }
 
+  /** Windowed keyed dedup — the BATCH backstop of the streaming
+    * `dropDuplicatesWithinWatermark` contract (cleanStream's scaladoc
+    * promises it; this is the promise kept): within each tumbling
+    * event-time window of `windowUs` microseconds, keep the FIRST
+    * occurrence of each key combination — first by exact event time,
+    * then by the caller's tie column, so re-deliveries and re-crawls
+    * inside a window collapse deterministically on any engine. Window
+    * identity is integer division on the shared microsecond clock
+    * (the q34 posture), never calendar truncation. One exchange on
+    * (keys, window); survivors keep their window id so downstream
+    * audits can count collapsed duplicates per window.
+    */
+  def dedupWithinWindows(df: DataFrame, keyCols: Seq[String],
+                         tsUsCol: String, windowUs: Long,
+                         tieCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "dedupWithinWindows: no key columns")
+    require(windowUs > 0, s"dedupWithinWindows: window $windowUs <= 0")
+    require(!df.columns.exists(Set("win_id", "__rn")),
+      "dedupWithinWindows adds win_id/__rn which already exist")
+    val withWin = df.withColumn("win_id",
+      expr(s"$tsUsCol div ${windowUs}L"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((keyCols.map(col) :+ col("win_id")): _*)
+      .orderBy(col(tsUsCol), col(tieCol))
+    withWin.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Blocked edit-distance pair join — the near-dup detector for SHORT
     * strings (titles, product names, author fields) where the
     * shingle-based family degenerates: a 1-char typo moves k shingles

@@ -210,6 +210,50 @@ object AnalyticQueries {
         sum(col("n")).over(wf).cast("double"), 4).as("from_share"))
   }
 
+  /** Higher-order array functions through the SQL door — the lambda
+    * surface (`transform` / `filter` / `aggregate` / `exists` /
+    * `array_max`) a SQL user reaches for on array columns; these are
+    * the codegen-friendly primitives the whole pipeline catalog is
+    * built from, here exposed and gated AS SQL. DuckDB's list lambdas
+    * express the identical semantics under different names
+    * (list_transform / list_filter / list_sum / list_contains /
+    * list_max), so the oracle is a dialect translation, not a
+    * semantic approximation — integer outputs keep the comparison
+    * exact.
+    */
+  def q158(s: SparkSession, dir: String): DataFrame = sqlDoor(s, dir,
+    """SELECT doc_id,
+              size(filter(split(coalesce(text, ''), ' '),
+                x -> length(x) >= 5)) AS n_long,
+              aggregate(transform(split(coalesce(text, ''), ' '),
+                x -> length(x)), 0, (a, x) -> a + x) AS total_chars,
+              exists(split(coalesce(text, ''), ' '),
+                x -> x = 'the') AS has_the,
+              array_max(transform(split(coalesce(text, ''), ' '),
+                x -> length(x))) AS max_len
+       FROM documents""")
+
+  /** Cumulative user-growth curve — first-active HOUR per user (exact
+    * epoch-hour integers, the q34/q130 posture; hour grain because the
+    * fixture's population is fully active within two days — day grain
+    * would leave a 2-point curve), new users per hour, and the running
+    * total: the product-analytics headline chart. One user-keyed
+    * aggregate, one hour-keyed count, then a window over the
+    * HOUR-cardinality relation — never over events.
+    */
+  def q160(s: SparkSession, dir: String): DataFrame = {
+    val first = events(s, dir)
+      .select(col("user_id"), expr("ts_ns div 1000 div 3600000000")
+        .as("h"))
+      .groupBy(col("user_id")).agg(min(col("h")).as("first_hour"))
+    val perHour = first.groupBy(col("first_hour"))
+      .agg(countDistinct(col("user_id")).as("n_new"))
+    val w = Window.orderBy(col("first_hour"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perHour.select(col("first_hour"), col("n_new"),
+      sum(col("n_new")).over(w).as("n_cum"))
+  }
+
   /** MULTISET set operations — `INTERSECT ALL` / `EXCEPT ALL`, the bag
     * semantics q18's distinct variants don't exercise (and a different
     * physical shape: Spark plans the ALL variants as count-paired
@@ -935,12 +979,43 @@ object AnalyticQueries {
     "q144_group_by_all" -> (q144 _),
     "q153_ab_ztest" -> (q153 _),
     "q155_transition_matrix" -> (q155 _),
+    "q158_sql_hof" -> (q158 _),
+    "q160_growth_curve" -> (q160 _),
   )
 
   val oracleSql: Map[String, String] = Map(
     // the oracle IS the query text — GROUP BY ALL / ORDER BY ALL are
     // engine-identical byte for byte
     "q144_group_by_all" -> q144Sql,
+    // SQL-door HOFs: DuckDB list lambdas are the dialect translation
+    // of transform/filter/aggregate/exists — integer outputs exact
+    "q158_sql_hof" ->
+      """SELECT doc_id,
+              CAST(len(list_filter(string_split(COALESCE(text, ''),
+                ' '), x -> length(x) >= 5)) AS INT) AS n_long,
+              CAST(COALESCE(list_sum(list_transform(
+                string_split(COALESCE(text, ''), ' '),
+                x -> length(x))), 0) AS INT) AS total_chars,
+              list_contains(string_split(COALESCE(text, ''), ' '),
+                'the') AS has_the,
+              CAST(list_max(list_transform(
+                string_split(COALESCE(text, ''), ' '),
+                x -> length(x))) AS INT) AS max_len
+       FROM documents""",
+    // growth curve: epoch-day first-active + running total over the
+    // day-cardinality relation
+    "q160_growth_curve" ->
+      """WITH f AS (SELECT user_id,
+             min(epoch_us(ts) // 3600000000) AS first_hour
+           FROM events GROUP BY user_id),
+         ph AS (SELECT first_hour,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_new
+           FROM f GROUP BY first_hour)
+       SELECT first_hour, n_new,
+              CAST(sum(n_new) OVER (ORDER BY first_hour
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_cum
+       FROM ph""",
     // A/B z-test: exact counts + the identical fixed-operand-order
     // float formula (sqrt is correctly rounded — same order, same bits)
     "q153_ab_ztest" ->

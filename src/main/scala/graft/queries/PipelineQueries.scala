@@ -2150,6 +2150,21 @@ object PipelineQueries {
         max(col("j.k")).cast("long").as("max_k"))
   }
 
+  /** Windowed keyed dedup ([[graft.ops.Dedup.dedupWithinWindows]],
+    * 1-hour tumbling windows on (user, event_type)): the batch
+    * backstop cleanStream's scaladoc promises for re-deliveries past
+    * the watermark. Survivors keep their window id; the oracle replays
+    * the epoch-hour division and the (ts, event_id) first-occurrence
+    * rank.
+    */
+  def q159(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.dedupWithinWindows(
+        graft.events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), expr("ts_ns div 1000").as("ts_us")),
+        Seq("user_id", "event_type"), "ts_us", 3600000000L, "event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("win_id"))
+
   def q143(s: SparkSession, dir: String): DataFrame =
     graft.ops.Validate.histogram(t(s, dir)("lineitem"), "l_quantity",
         5.0, 45.0, 20)
@@ -2407,6 +2422,7 @@ object PipelineQueries {
     "q154_forget_audit"   -> (q154 _),
     "q156_balance_classes" -> (q156 _),
     "q157_dead_letter"    -> (q157 _),
+    "q159_windowed_dedup" -> (q159 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -2697,6 +2713,18 @@ FROM o"""
     // fixed-point integer PageRank: 4 iterations, dangling nodes
     // 97-99 redistributed, hub site 0 on top — bit-identical replay
     "q137_centrality" -> pageRankOracle(4),
+    // windowed dedup: epoch-hour division + first-occurrence rank
+    "q159_windowed_dedup" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+             epoch_us(ts) AS ts_us FROM events),
+         r AS (SELECT event_id, user_id, event_type,
+             ts_us // 3600000000 AS win_id,
+             row_number() OVER (PARTITION BY user_id, event_type,
+                 ts_us // 3600000000
+               ORDER BY ts_us, event_id) AS rn
+           FROM e)
+       SELECT event_id, user_id, event_type, win_id
+       FROM r WHERE rn = 1""",
     // balanced downsample: fingerprint rank within class, global min
     "q156_balance_classes" ->
       """WITH fp AS (SELECT doc_id, lang,

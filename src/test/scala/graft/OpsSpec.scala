@@ -3773,6 +3773,30 @@ class OpsSpec extends SparkSpec {
         "text")
     }
   }
+
+  test("dedupWithinWindows: first-in-window survives, boundary splits, ties by tie col") {
+    import graft.ops.Dedup
+    val df = Seq(
+      (1L, "u1", "click", 50L),   // window 0: first u1-click
+      (2L, "u1", "click", 80L),   // window 0: dup -> dropped
+      (3L, "u1", "click", 150L),  // window 1 (>=100): kept again
+      (4L, "u1", "view", 60L),    // different key: kept
+      (5L, "u2", "click", 50L),   // same-microsecond tie with id 6
+      (6L, "u2", "click", 50L)    // tie loses by event id
+    ).toDF("event_id", "user_id", "event_type", "ts_us")
+    val kept = Dedup.dedupWithinWindows(df, Seq("user_id", "event_type"),
+        "ts_us", 100L, "event_id")
+      .select("event_id", "win_id").as[(Long, Long)]
+      .collect().toSeq.sorted
+    assert(kept === Seq((1L, 0L), (3L, 1L), (4L, 0L), (5L, 0L)))
+    intercept[IllegalArgumentException] {
+      Dedup.dedupWithinWindows(df, Seq.empty, "ts_us", 100L, "event_id")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.dedupWithinWindows(df, Seq("user_id"), "ts_us", 0L,
+        "event_id")
+    }
+  }
 }
 
 /** Swaps a [[graft.ops.Sketch.FreqIndex]]'s sketch relation while keeping

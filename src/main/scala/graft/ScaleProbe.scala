@@ -178,7 +178,11 @@ object ScaleProbe {
     "q137_centrality",
     // the regex-heaviest per-row scan in the catalog (7 passes over
     // every document's HTML) — the q128 scan-bound family, priced
-    "q139_html_extract")
+    "q139_html_extract",
+    // blocked edit-distance join: the one deliberately-quadratic-
+    // WITHIN-BLOCK shape — its sf1 ratio prices the block-size²
+    // growth the blocking contract is supposed to bound
+    "q141_edit_distance")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -2165,6 +2165,66 @@ object PipelineQueries {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("win_id"))
 
+  /** Documents with deterministically planted in-text hyperlinks —
+    * the q161/q162 input: a 10-in-11 plain-`.com` link, a 1-in-3
+    * userinfo+port `.co.uk` link (host extraction must strip both), a
+    * 1-in-13 `github.io` link whose site number is 97–99 (multi-label
+    * suffix AND a dangling graph node), and a 1-in-11 NO-link arm.
+    */
+  private def plantedLinkText: Column = {
+    val id = col("doc_id")
+    concat(coalesce(col("text"), lit("")),
+      when(id % 11 =!= 0, concat(lit(" see http://www.site"),
+        (id * 7 + 3) % 97, lit(".com/p/"), id)).otherwise(lit("")),
+      when(id % 3 === 0, concat(lit(" and https://crawler"), id,
+        lit(":tok@site"), (id * 5 + 11) % 97,
+        lit(".co.uk:8443/x?a=1"))).otherwise(lit("")),
+      when(id % 13 === 0, concat(lit(" plus http://site"),
+        lit(97L) + id % 3, lit(".github.io/d"))).otherwise(lit("")))
+  }
+
+  /** In-text hyperlink extraction — the crawl step that turns a text
+    * corpus into a LINK relation (`regexp_extract_all` + posexplode,
+    * one Generate, no shuffle): the front door of the whole web-graph
+    * family. The 1-in-11 no-link arm emits zero rows (absent, not
+    * null). Oracle replays the planting, the extraction regex and the
+    * ordinality.
+    */
+  def q161(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("documents")
+      .select(col("doc_id"), plantedLinkText.as("txt"))
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(col("txt"),
+          lit("(https?://\\S+)"), lit(1))).as(Seq("pos", "url")))
+
+  /** The web-graph loop CLOSED end to end: q161's extracted links →
+    * [[graft.ops.WebOps.urlHost]] (userinfo/port stripped) →
+    * public-suffix registered domain → site number → distinct edge
+    * relation → 3 iterations of q137's fixed-point integer PageRank.
+    * Unlike q137's arithmetic edges, this graph comes out of the TEXT,
+    * so the oracle replays extraction, host regex, suffix CASE, the
+    * site-number parse AND the PageRank iterations — the full
+    * production chain in one hash. Dangling nodes 97–99 arrive via
+    * the github.io arm.
+    */
+  def q162(s: SparkSession, dir: String): DataFrame = {
+    val links = t(s, dir)("documents")
+      .select(col("doc_id"), plantedLinkText.as("txt"))
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("txt"),
+          lit("(https?://\\S+)"), lit(1))).as("url"))
+    val site = regexp_extract(
+      WebOps.registeredDomain(WebOps.urlHost(col("url"))),
+      "site([0-9]+)", 1)
+    val edges = links.select((col("doc_id") % 97).as("src"),
+      when(site =!= "", site).cast("long").as("dst"))
+      .filter(col("dst").isNotNull)
+    graft.ops.Graph.pageRank(edges, "src", "dst", iters = 3,
+        checkpointEvery = 1)
+      .select(col("node").as("domain_id"), col("outdeg"),
+        col("r_scaled"))
+  }
+
   def q143(s: SparkSession, dir: String): DataFrame =
     graft.ops.Validate.histogram(t(s, dir)("lineitem"), "l_quantity",
         5.0, 45.0, 20)
@@ -2423,6 +2483,8 @@ object PipelineQueries {
     "q156_balance_classes" -> (q156 _),
     "q157_dead_letter"    -> (q157 _),
     "q159_windowed_dedup" -> (q159 _),
+    "q161_link_extract"   -> (q161 _),
+    "q162_link_pagerank"  -> (q162 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -2617,9 +2679,10 @@ FROM o"""
     * HUGEINT, which must never reach the `//` chain or the output
     * schema.
     */
-  private def pageRankOracle(iters: Int): String = {
-    val head =
-      """WITH eraw AS (
+  /** The q137 planted arithmetic link graph as the `WITH … edges`
+    * prefix [[pageRankOracle]] consumes. */
+  private val q137EdgesSql =
+    """WITH eraw AS (
            SELECT (doc_id % 97) AS src,
                   ((doc_id % 97) * 31 + 1 + (doc_id % 7)) % 97 AS dst
            FROM documents
@@ -2633,7 +2696,12 @@ FROM o"""
            SELECT (doc_id % 97), 97 + (doc_id % 3)
            FROM documents WHERE doc_id % 17 = 0),
          edges AS MATERIALIZED (
-           SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
+           SELECT DISTINCT src, dst FROM eraw WHERE src <> dst)"""
+
+  private def pageRankOracle(iters: Int,
+                             edgesHead: String = q137EdgesSql): String = {
+    val head = edgesHead +
+      """,
          nodes AS MATERIALIZED (
            SELECT DISTINCT node FROM (SELECT src AS node FROM edges
                                       UNION ALL SELECT dst FROM edges)),
@@ -2709,10 +2777,77 @@ FROM o"""
                ELSE line END AS body
            FROM tn)"""
 
+  /** DuckDB replay of [[plantedLinkText]] (CTE body, aliased `txt`). */
+  private val linkTextSql =
+    """SELECT doc_id,
+         COALESCE(text, '')
+         || CASE WHEN doc_id % 11 <> 0
+              THEN ' see http://www.site'
+                || CAST((doc_id * 7 + 3) % 97 AS VARCHAR)
+                || '.com/p/' || CAST(doc_id AS VARCHAR)
+              ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+              THEN ' and https://crawler' || CAST(doc_id AS VARCHAR)
+                || ':tok@site'
+                || CAST((doc_id * 5 + 11) % 97 AS VARCHAR)
+                || '.co.uk:8443/x?a=1'
+              ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+              THEN ' plus http://site'
+                || CAST(97 + doc_id % 3 AS VARCHAR) || '.github.io/d'
+              ELSE '' END AS txt
+       FROM documents"""
+
+  /** q162's edge relation as the `WITH … edges` prefix for
+    * [[pageRankOracle]]: extraction → host regex → public-suffix CASE
+    * → site-number parse → distinct edges. */
+  private def linkEdgesSql: String =
+    s"""WITH lt AS ($linkTextSql),
+         ux AS (SELECT doc_id,
+             unnest(regexp_extract_all(txt, '(https?://\\S+)', 1))
+               AS url
+           FROM lt),
+         hh AS (SELECT doc_id,
+             lower(regexp_extract(url, '${WebOps.HostPattern}', 1))
+               AS host
+           FROM ux),
+         pp AS (SELECT doc_id, host, string_split(host, '.') AS parts
+           FROM hh),
+         dd AS (SELECT doc_id,
+             CASE WHEN len(parts) >= 3
+                    AND (parts[-2] || '.' || parts[-1]) IN
+                      ('co.uk', 'ac.uk', 'gov.uk', 'org.uk', 'co.jp',
+                       'com.au', 'com.br', 'github.io')
+                  THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+                  WHEN len(parts) >= 2
+                  THEN parts[-2] || '.' || parts[-1]
+                  ELSE host END AS domain
+           FROM pp),
+         en AS (SELECT doc_id % 97 AS src,
+             try_cast(nullif(regexp_extract(domain, 'site([0-9]+)', 1),
+               '') AS BIGINT) AS dst
+           FROM dd),
+         edges AS MATERIALIZED (
+           SELECT DISTINCT src, dst FROM en
+           WHERE dst IS NOT NULL AND src <> dst)"""
+
   val oracleSql: Map[String, String] = Map(
     // fixed-point integer PageRank: 4 iterations, dangling nodes
     // 97-99 redistributed, hub site 0 on top — bit-identical replay
     "q137_centrality" -> pageRankOracle(4),
+    // link extraction: planting + regex + ordinality replayed
+    "q161_link_extract" -> (s"""WITH lt AS ($linkTextSql),
+         ls AS (SELECT doc_id,
+             regexp_extract_all(txt, '(https?://\\S+)', 1) AS us
+           FROM lt),
+         ix AS (SELECT doc_id, unnest(range(1, len(us) + 1)) AS i, us
+           FROM ls)
+       SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+              us[CAST(i AS INT)] AS url
+       FROM ix"""),
+    // the full chain: extraction -> host -> registered domain -> site
+    // number -> distinct edges -> 3 integer-PageRank iterations
+    "q162_link_pagerank" -> pageRankOracle(3, linkEdgesSql),
     // windowed dedup: epoch-hour division + first-occurrence rank
     "q159_windowed_dedup" ->
       """WITH e AS (SELECT event_id, user_id, event_type,

@@ -254,6 +254,52 @@ object AnalyticQueries {
       sum(col("n_new")).over(w).as("n_cum"))
   }
 
+  /** Join-strategy HINTS through the SQL door — the knob a SQL user
+    * actually turns when the optimizer guesses wrong at 100 TB: the
+    * same nation⨝customer aggregate twice, once under
+    * `/*+ BROADCAST(nation) */` and once under `/*+ MERGE(nation) */`
+    * (which also blocks AQE's runtime broadcast demotion — the hint
+    * contract). Values are identical by construction — hints steer
+    * strategy, never semantics — so BOTH branches gate against the
+    * same unhinted DuckDB text (comments, so the oracle text IS the
+    * Spark text), while PlanSpec pins that the plan really contains
+    * one BroadcastHashJoin AND one SortMergeJoin.
+    */
+  def q163(s: SparkSession, dir: String): DataFrame = sqlDoor(s, dir,
+    """SELECT /*+ BROADCAST(nation) */ 'bcast' AS strategy, n_name,
+              count(*) AS n
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name
+       UNION ALL
+       SELECT /*+ MERGE(nation) */ 'merge', n_name, count(*)
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name""")
+
+  /** Three-valued NULL semantics, gated over DATA (the divergence
+    * ledger's territory made executable): a planted 1-in-7 NULL
+    * status, then per status group — NULLs form their OWN group in
+    * both engines — the counts that only come out right if the engine
+    * implements 3VL exactly: `count(*)` vs `count(s)`, `IN` (NULL row
+    * never true), `NOT IN` against a list (NULL row never true — the
+    * classic trap), `(s = 'O') IS NULL` (comparison with NULL is
+    * UNKNOWN, not false), and the ANSI null-safe comparator
+    * `IS NOT DISTINCT FROM` (true exactly on the NULL group).
+    */
+  def q164(s: SparkSession, dir: String): DataFrame = sqlDoor(s, dir,
+    """WITH t AS (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_orderstatus END AS s
+                  FROM orders)
+       SELECT s, count(*) AS n, count(s) AS n_nonnull,
+              sum(CASE WHEN s IN ('O', 'F') THEN 1 ELSE 0 END)
+                AS in_true,
+              sum(CASE WHEN s NOT IN ('O', 'X') THEN 1 ELSE 0 END)
+                AS notin_true,
+              sum(CASE WHEN (s = 'O') IS NULL THEN 1 ELSE 0 END)
+                AS cmp_unknown,
+              sum(CASE WHEN s IS NOT DISTINCT FROM NULL THEN 1 ELSE 0
+                END) AS nullsafe_null
+       FROM t GROUP BY s""")
+
   /** MULTISET set operations — `INTERSECT ALL` / `EXCEPT ALL`, the bag
     * semantics q18's distinct variants don't exercise (and a different
     * physical shape: Spark plans the ALL variants as count-paired
@@ -981,12 +1027,42 @@ object AnalyticQueries {
     "q155_transition_matrix" -> (q155 _),
     "q158_sql_hof" -> (q158 _),
     "q160_growth_curve" -> (q160 _),
+    "q163_join_hints" -> (q163 _),
+    "q164_null_semantics" -> (q164 _),
   )
 
   val oracleSql: Map[String, String] = Map(
     // the oracle IS the query text — GROUP BY ALL / ORDER BY ALL are
     // engine-identical byte for byte
     "q144_group_by_all" -> q144Sql,
+    // hints steer strategy, never semantics: the oracle is the SAME
+    // aggregate unhinted, twice
+    "q163_join_hints" ->
+      """SELECT 'bcast' AS strategy, n_name,
+              CAST(count(*) AS BIGINT) AS n
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name
+       UNION ALL
+       SELECT 'merge', n_name, CAST(count(*) AS BIGINT)
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name""",
+    // 3VL parity over data: IN/NOT IN/UNKNOWN/null-safe comparator,
+    // NULL group included
+    "q164_null_semantics" ->
+      """WITH t AS (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_orderstatus END AS s
+                  FROM orders)
+       SELECT s, CAST(count(*) AS BIGINT) AS n,
+              CAST(count(s) AS BIGINT) AS n_nonnull,
+              CAST(sum(CASE WHEN s IN ('O', 'F') THEN 1 ELSE 0 END)
+                AS BIGINT) AS in_true,
+              CAST(sum(CASE WHEN s NOT IN ('O', 'X') THEN 1 ELSE 0
+                END) AS BIGINT) AS notin_true,
+              CAST(sum(CASE WHEN (s = 'O') IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS cmp_unknown,
+              CAST(sum(CASE WHEN s IS NOT DISTINCT FROM NULL THEN 1
+                ELSE 0 END) AS BIGINT) AS nullsafe_null
+       FROM t GROUP BY s""",
     // SQL-door HOFs: DuckDB list lambdas are the dialect translation
     // of transform/filter/aggregate/exists — integer outputs exact
     "q158_sql_hof" ->

@@ -393,6 +393,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q163: join hints honored — BroadcastHashJoin AND SortMergeJoin coexist as hinted") {
+    val plan = planOf("q163_join_hints")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the MERGE hint must survive even though nation is broadcastable
+    // (and AQE would otherwise demote the SMJ at runtime)
+    assert(plan.contains("SortMergeJoin"), plan)
+  }
+
   test("q08: both filters sit below the joins") {
     val optimized = SparkEntry.queries("q08_join_3way")(spark, sfDir)
       .queryExecution.optimizedPlan.toString

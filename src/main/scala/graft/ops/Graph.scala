@@ -57,15 +57,24 @@ object Graph {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     require(dampNum > 0 && dampNum < dampDen,
       s"pageRank: need 0 < dampNum < dampDen, got $dampNum/$dampDen")
+    // The edge set, node set and outdegree relation are loop
+    // INVARIANTS consumed by every iteration (and, under
+    // checkpointEvery, by every eager materialization) — localCheckpoint
+    // them once so the edge-distinct shuffle and the degree aggregate
+    // run exactly once, not once per iteration action. All three are
+    // graph-grain (nodes/edges), never corpus-grain.
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
     // The one driver-side scalar: |V|, needed inside the teleport and
     // dangling divisors. Domain-grain count, not corpus-grain.
     val n = nodes.count()

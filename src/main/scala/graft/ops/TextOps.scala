@@ -133,6 +133,84 @@ object TextOps {
     * sampling pass, works identically on 100 TB. `trainPct`/`valPct` are
     * integer percents; the remainder is "test".
     */
+  /** Character trigrams of the normalized text — the shared expression
+    * under [[fitLangProfiles]] and [[langIdScore]] (one copy: model
+    * and scorer cannot drift). Normalization = lowercase + whitespace
+    * collapse; a text shorter than 3 chars yields an empty array. */
+  private def charTrigrams(text: Column): Column = {
+    val norm = lower(regexp_replace(coalesce(text, lit("")),
+      "\\s+", " "))
+    transform(sequence(lit(1), greatest(length(norm) - 2, lit(0))),
+      i => norm.substr(i, lit(3)))
+  }
+
+  /** Cavnar–Trenkle character-n-gram language identification, fit
+    * half — the REAL model [[langGuess]]'s scaladoc promises can swap
+    * in without moving the pipeline shape (1994's "N-Gram-Based Text
+    * Categorization", still the core of every classic langid tool):
+    * per language, the top-`profileK` character trigrams by frequency
+    * form a RANKED profile. Everything is integer counts and
+    * deterministic (count DESC, gram) ranks, so fit replays exactly
+    * cross-engine. One corpus-grain (lang, gram) aggregate + a window
+    * over the vocabulary-sized count relation; the model is
+    * languages × profileK rows — broadcast-sized by construction.
+    */
+  def fitLangProfiles(docs: DataFrame, langCol: String, textCol: String,
+                      profileK: Int = 50): DataFrame = {
+    require(profileK >= 1, s"fitLangProfiles: profileK $profileK < 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol))
+      .orderBy(col("__n").desc, col("gram"))
+    docs.select(col(langCol).as("lang"),
+        explode(charTrigrams(col(textCol))).as("gram"))
+      .groupBy(col("lang"), col("gram"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("mrank", row_number().over(w))
+      .filter(col("mrank") <= profileK)
+      .select(col("lang"), col("gram"), col("mrank"))
+  }
+
+  /** Cavnar–Trenkle scoring half: each document's top-`docM` ranked
+    * trigrams are compared to every language profile with the
+    * OUT-OF-PLACE measure — per doc gram, `|doc rank − profile rank|`
+    * when the profile carries the gram, the `profileK` penalty when it
+    * does not; the predicted language minimizes the summed distance
+    * (ties break to the lexicographically first language, baked into
+    * the argmin struct). All-integer arithmetic end to end. Scale
+    * shape: one (doc, gram) aggregate + a doc-keyed rank window on the
+    * same exchange, then the doc's ≤ docM grams cross the
+    * language-cardinality list and broadcast-join the model — per-doc
+    * work is docM × |languages|, corpus-independent. Documents with no
+    * trigram (< 3 chars) emit nothing — the caller left-joins if
+    * absent must surface. Returns (id, pred_lang, dist).
+    */
+  def langIdScore(docs: DataFrame, model: DataFrame, idCol: String,
+                  textCol: String, docM: Int = 30): DataFrame = {
+    require(docM >= 1, s"langIdScore: docM $docM < 1")
+    val profileK = model.agg(max(col("mrank"))).head().getInt(0)
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("__n").desc, col("gram"))
+    val docGrams = docs.select(col(idCol),
+        explode(charTrigrams(col(textCol))).as("gram"))
+      .groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("drank", row_number().over(wDoc))
+      .filter(col("drank") <= docM)
+      .select(col(idCol), col("gram"), col("drank"))
+    val langs = model.select(col("lang")).distinct()
+    val dists = docGrams
+      .crossJoin(broadcast(langs))
+      .join(broadcast(model), Seq("lang", "gram"), "left")
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(coalesce(abs(col("drank") - col("mrank")),
+        lit(profileK.toLong))).as("dist"))
+    dists.groupBy(col(idCol))
+      .agg(min(struct(col("dist"), col("lang"))).as("best"))
+      .select(col(idCol), col("best.lang").as("pred_lang"),
+        col("best.dist").as("dist"))
+  }
+
   /** Balanced class downsample — the classifier-prep staple: every
     * label kept at exactly the MINORITY class's count, members chosen
     * by the salted content fingerprint (then id) so the selection is

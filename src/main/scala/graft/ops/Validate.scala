@@ -139,6 +139,47 @@ object Validate {
     (local.toSeq ++ refReports).reduce(_.unionByName(_))
   }
 
+  /** k-anonymity audit — the re-identification screen a governance
+    * pass runs before a dataset leaves the house: group by the
+    * QUASI-IDENTIFIER columns (the attributes an attacker can link —
+    * zip/age-band/gender in the classic study) and flag every
+    * combination carried by fewer than k rows; those rows are
+    * re-identifiable by linkage and must be suppressed or generalized
+    * before release. One group-keyed aggregate; the audit relation is
+    * combination-cardinality. NULL quasi-values group together (SQL
+    * grouping semantics — engine-neutral) and are just as linkable,
+    * so they are audited like any value. [[suppressSmallGroups]] is
+    * the enforcement half: drop every at-risk row (an anti-join
+    * against the at-risk combinations — broadcast, they are few by
+    * definition).
+    */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+                      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityAudit: no quasi columns")
+    require(k >= 2, s"kAnonymityAudit: k = $k is no protection")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", col("n") < k)
+  }
+
+  /** Drop every row whose quasi-identifier combination is carried by
+    * fewer than k rows — run [[kAnonymityAudit]] FIRST for the audit
+    * trail; after this pass it returns zero at-risk groups. The
+    * anti-join is NULL-SAFE (`<=>` per quasi column): NULL quasi
+    * values form an auditable group like any other, and a plain
+    * equi-anti-join would silently keep them (NULL never equals NULL
+    * in a join) — the exact leak this pass exists to stop
+    * (spec-pinned). */
+  def suppressSmallGroups(df: DataFrame, quasiCols: Seq[String],
+                          k: Long): DataFrame = {
+    val risky = kAnonymityAudit(df, quasiCols, k)
+      .filter(col("at_risk"))
+      .select(quasiCols.map(c => col(c).as(s"__r_$c")): _*)
+    val cond = quasiCols.map(c => col(c) <=> col(s"__r_$c"))
+      .reduce(_ && _)
+    df.join(broadcast(risky), cond, "left_anti")
+  }
+
   /** Equi-width histogram — the distribution half of profiling, next
     * to [[report]]'s pass/fail half. One scan + one bin-keyed
     * aggregate (bins-cardinality, never row-cardinality); empty bins

@@ -2225,6 +2225,70 @@ object PipelineQueries {
         col("r_scaled"))
   }
 
+  /** k-anonymity audit ([[graft.ops.Validate.kAnonymityAudit]], k = 5)
+    * over the quasi-identifier triple (source, lang, 200-char size
+    * band): the re-identification screen before a dataset leaves the
+    * house. The 5×5×band grid at sf0.01 leaves both verdicts heavily
+    * populated. Oracle replays the grouping and the threshold.
+    */
+  def q165(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Validate.kAnonymityAudit(
+      t(s, dir)("documents").select(col("source"), col("lang"),
+        expr("n_chars div 200").as("size_band")),
+      Seq("source", "lang", "size_band"), k = 5L)
+
+  /** The language-planted corpus shared by q166: each doc gets its
+    * label's function-word suffix ×3 (the trigram signal a char-n-gram
+    * model keys on — the raw fixture text is the SAME synthetic
+    * vocabulary under every label, so without planting there is
+    * nothing to learn), and a 1-in-29 ADVERSARIAL arm replaces the
+    * text with German function words while keeping the original
+    * label, guaranteeing mispredictions so `correct` exercises both
+    * verdicts.
+    */
+  private def langPlantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val suffix = when(col("lang") === "en",
+        lit("the and of to in that it is was for the with as"))
+      .when(col("lang") === "de",
+        lit("der die das und ist nicht ein eine mit von zu für"))
+      .when(col("lang") === "fr",
+        lit("le la les et est dans une des que pour avec sur"))
+      .when(col("lang") === "es",
+        lit("el la los las y es en una del que por con para"))
+      .when(col("lang") === "zh",
+        lit("这是中文的测试文本 语言识别 中文字符 这是 中文 测试"))
+      .otherwise(lit(""))
+    t(s, dir)("documents").select(id, col("lang"),
+      when(id % 29 === 0,
+        lit("der die das und ist nicht ein eine mit von zu für der"))
+        .otherwise(concat(coalesce(col("text"), lit("")), lit(" "),
+          repeat(concat(suffix, lit(" ")), 3))).as("t"))
+  }
+
+  /** Cavnar–Trenkle char-trigram language ID
+    * ([[TextOps.fitLangProfiles]] / [[TextOps.langIdScore]]): the REAL
+    * model langGuess's scaladoc promised could swap in — fit ranked
+    * top-50 trigram profiles on the even-id half, score the odd-id
+    * half with the out-of-place measure (docM = 30, all-integer), and
+    * compare to the true label. The adversarial 1-in-29 arm
+    * guarantees both `correct` verdicts. The oracle replays planting,
+    * trigram extraction, both rank windows, the penalty-50 distance
+    * and the (dist, lang) argmin.
+    */
+  def q166(s: SparkSession, dir: String): DataFrame = {
+    val planted = langPlantedDocs(s, dir)
+    val model = TextOps.fitLangProfiles(
+      planted.filter(col("doc_id") % 2 === 0), "lang", "t", profileK = 50)
+    TextOps.langIdScore(planted.filter(col("doc_id") % 2 === 1), model,
+        "doc_id", "t", docM = 30)
+      .join(planted.select(col("doc_id"), col("lang").as("true_lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("true_lang"), col("pred_lang"),
+        col("dist"), (col("pred_lang") === col("true_lang"))
+          .as("correct"))
+  }
+
   def q143(s: SparkSession, dir: String): DataFrame =
     graft.ops.Validate.histogram(t(s, dir)("lineitem"), "l_quantity",
         5.0, 45.0, 20)
@@ -2485,6 +2549,8 @@ object PipelineQueries {
     "q159_windowed_dedup" -> (q159 _),
     "q161_link_extract"   -> (q161 _),
     "q162_link_pagerank"  -> (q162 _),
+    "q165_k_anonymity"    -> (q165 _),
+    "q166_lang_id_model"  -> (q166 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -2835,6 +2901,65 @@ FROM o"""
     // fixed-point integer PageRank: 4 iterations, dangling nodes
     // 97-99 redistributed, hub site 0 on top — bit-identical replay
     "q137_centrality" -> pageRankOracle(4),
+    // k-anonymity: grouping + threshold replayed
+    "q165_k_anonymity" ->
+      """SELECT source, lang, n_chars // 200 AS size_band,
+              CAST(count(*) AS BIGINT) AS n,
+              count(*) < 5 AS at_risk
+       FROM documents GROUP BY source, lang, n_chars // 200""",
+    // Cavnar–Trenkle: planting, trigrams, both rank windows, the
+    // penalty-50 out-of-place distance, the (dist, lang) argmin
+    "q166_lang_id_model" ->
+      """WITH pl AS MATERIALIZED (SELECT doc_id, lang,
+             CASE WHEN doc_id % 29 = 0
+               THEN 'der die das und ist nicht ein eine mit von zu für der'
+               ELSE COALESCE(text, '') || ' ' || repeat(
+                 CASE lang
+                   WHEN 'en' THEN 'the and of to in that it is was for the with as'
+                   WHEN 'de' THEN 'der die das und ist nicht ein eine mit von zu für'
+                   WHEN 'fr' THEN 'le la les et est dans une des que pour avec sur'
+                   WHEN 'es' THEN 'el la los las y es en una del que por con para'
+                   WHEN 'zh' THEN '这是中文的测试文本 语言识别 中文字符 这是 中文 测试'
+                   ELSE '' END || ' ', 3) END AS t
+           FROM documents),
+         nm AS (SELECT doc_id, lang,
+             lower(regexp_replace(t, '\s+', ' ', 'g')) AS norm
+           FROM pl),
+         gr AS MATERIALIZED (SELECT doc_id, lang,
+             unnest(list_transform(
+               range(1, greatest(length(norm) - 2, 0) + 1),
+               i -> substr(norm, CAST(i AS INT), 3))) AS gram
+           FROM nm),
+         mc AS (SELECT lang, gram, count(*) AS n FROM gr
+           WHERE doc_id % 2 = 0 GROUP BY lang, gram),
+         model AS MATERIALIZED (SELECT lang, gram, mrank FROM
+           (SELECT lang, gram, CAST(row_number() OVER (
+               PARTITION BY lang ORDER BY n DESC, gram) AS INT)
+               AS mrank
+            FROM mc) WHERE mrank <= 50),
+         dc AS (SELECT doc_id, gram, count(*) AS n FROM gr
+           WHERE doc_id % 2 = 1 GROUP BY doc_id, gram),
+         dg AS (SELECT doc_id, gram, drank FROM
+           (SELECT doc_id, gram, CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY n DESC, gram) AS INT)
+               AS drank
+            FROM dc) WHERE drank <= 30),
+         langs AS (SELECT DISTINCT lang FROM model),
+         ds AS (SELECT dg.doc_id, langs.lang,
+             CAST(sum(COALESCE(abs(dg.drank - model.mrank), 50))
+               AS BIGINT) AS dist
+           FROM dg CROSS JOIN langs
+           LEFT JOIN model ON model.lang = langs.lang
+             AND model.gram = dg.gram
+           GROUP BY dg.doc_id, langs.lang),
+         best AS (SELECT doc_id, lang AS pred_lang, dist,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY dist, lang) AS rn
+           FROM ds)
+       SELECT b.doc_id, p.lang AS true_lang, b.pred_lang, b.dist,
+              b.pred_lang = p.lang AS correct
+       FROM best b JOIN pl p ON p.doc_id = b.doc_id
+       WHERE b.rn = 1""",
     // link extraction: planting + regex + ordinality replayed
     "q161_link_extract" -> (s"""WITH lt AS ($linkTextSql),
          ls AS (SELECT doc_id,

@@ -3797,6 +3797,57 @@ class OpsSpec extends SparkSpec {
         "event_id")
     }
   }
+
+  test("kAnonymityAudit/suppressSmallGroups: thresholds, NULL quasi group, post-suppression zero risk") {
+    import graft.ops.Validate
+    val df = Seq(
+      ("z1", "a"), ("z1", "b"), ("z1", "c"),      // group of 3: safe at k=3
+      ("z2", "d"), ("z2", "e"),                   // group of 2: at risk
+      (null.asInstanceOf[String], "f"),           // NULL group of 1: at risk
+      (null.asInstanceOf[String], "g")            // ... of 2 actually
+    ).toDF("zip", "v")
+    val audit = Validate.kAnonymityAudit(df, Seq("zip"), 3L)
+      .as[(Option[String], Long, Boolean)].collect().toSet
+    assert(audit === Set(
+      (Some("z1"), 3L, false), (Some("z2"), 2L, true),
+      (None, 2L, true)))
+    val kept = Validate.suppressSmallGroups(df, Seq("zip"), 3L)
+    assert(kept.select("v").as[String].collect().sorted.toSeq
+      === Seq("a", "b", "c"))
+    val re = Validate.kAnonymityAudit(kept, Seq("zip"), 3L)
+      .filter(col("at_risk")).count()
+    assert(re === 0L)
+    intercept[IllegalArgumentException] {
+      Validate.kAnonymityAudit(df, Seq("zip"), 1L)
+    }
+  }
+
+  test("langId: profiles rank by frequency, out-of-place distance with penalty, argmin ties to first lang") {
+    val train = Seq(
+      ("aa", "xxx xxx yyy"),   // lang aa: top grams from x-runs
+      ("bb", "zzz zzz www")    // lang bb: z-runs
+    ).toDF("lang", "t")
+    val model = TextOps.fitLangProfiles(train, "lang", "t", profileK = 8)
+      .as[(String, String, Int)].collect()
+    // profile ranks are (count DESC, gram): 'xxx ' text gives gram
+    // counts deterministic — spot-pin the top gram per lang
+    val top = model.filter(_._3 == 1).map(m => m._1 -> m._2).toMap
+    assert(top("aa") === "xx ")   // appears twice ("xxx xxx") ties won by lexicographic
+    val docs = Seq((1L, "xxx xxx yyy"), (2L, "zzz www zzz"),
+      (3L, "qqq qqq qqq")).toDF("id", "t")
+    val scored = TextOps.langIdScore(docs, model = TextOps
+        .fitLangProfiles(train, "lang", "t", profileK = 8),
+        "id", "t", docM = 8)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(scored(1L)._2 === "aa")
+    assert(scored(2L)._2 === "bb")
+    // doc 3 shares nothing with either profile: every gram costs the
+    // full penalty for BOTH langs -> tie -> lexicographically first
+    assert(scored(3L)._2 === "aa")
+    intercept[IllegalArgumentException] {
+      TextOps.fitLangProfiles(train, "lang", "t", profileK = 0)
+    }
+  }
 }
 
 /** Swaps a [[graft.ops.Sketch.FreqIndex]]'s sketch relation while keeping

@@ -170,6 +170,35 @@ object TextOps {
       .select(col("lang"), col("gram"), col("mrank"))
   }
 
+  /** Version of the trigram/normalization recipe riding stored
+    * language profiles — bump when [[charTrigrams]] changes, so a
+    * profile fit under an old recipe fails LOUDLY at load instead of
+    * silently scoring with drifted grams. */
+  val LangIdScheme: Int = 1
+
+  /** Persist a fitted language-profile model (profiles + scheme/K
+    * meta) — fit once per corpus version, score every batch. */
+  def saveLangProfiles(model: DataFrame, path: String): Unit = {
+    val k = model.agg(max(col("mrank"))).head().getInt(0)
+    model.write.mode("overwrite").parquet(s"$path/profiles")
+    model.sparkSession.createDataFrame(Seq((LangIdScheme, k)))
+      .toDF("trigram_scheme", "profile_k")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Read stored language profiles; a foreign trigram scheme fails
+    * loudly — scoring with profiles whose gram recipe drifted is
+    * silent wrongness, the lifecycle contract everywhere here. */
+  def loadLangProfiles(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val scheme = meta.getAs[Int]("trigram_scheme")
+    require(scheme == LangIdScheme,
+      s"stored language profiles at $path use trigram scheme $scheme " +
+        s"but this build is scheme $LangIdScheme — refit")
+    spark.read.parquet(s"$path/profiles")
+  }
+
   /** Cavnar–Trenkle scoring half: each document's top-`docM` ranked
     * trigrams are compared to every language profile with the
     * OUT-OF-PLACE measure — per doc gram, `|doc rank − profile rank|`

@@ -3848,6 +3848,37 @@ class OpsSpec extends SparkSpec {
       TextOps.fitLangProfiles(train, "lang", "t", profileK = 0)
     }
   }
+
+  test("langId profiles: save -> load -> score equals in-session; foreign scheme loud") {
+    val train = Seq(("aa", "xxx xxx yyy"), ("bb", "zzz zzz www"))
+      .toDF("lang", "t")
+    val docs = Seq((1L, "xxx yyy xxx"), (2L, "www zzz zzz"))
+      .toDF("id", "t")
+    val model = TextOps.fitLangProfiles(train, "lang", "t", profileK = 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("langid-model").toString
+    TextOps.saveLangProfiles(model, dir)
+    val reloaded = TextOps.loadLangProfiles(spark, dir)
+    val a = TextOps.langIdScore(docs, model, "id", "t", docM = 8)
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    val b = TextOps.langIdScore(docs, reloaded, "id", "t", docM = 8)
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(a === b)
+    assert(a.map(r => r._1 -> r._2).toMap === Map(1L -> "aa", 2L -> "bb"))
+    // foreign scheme must refuse
+    spark.createDataFrame(Seq((LangSchemeProbe.next, 8)))
+      .toDF("trigram_scheme", "profile_k")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.loadLangProfiles(spark, dir)
+    }
+    assert(e.getMessage.contains("scheme"))
+  }
+}
+
+/** The not-this-build scheme value the loud-load test writes. */
+object LangSchemeProbe {
+  def next: Int = graft.ops.TextOps.LangIdScheme + 1
 }
 
 /** Swaps a [[graft.ops.Sketch.FreqIndex]]'s sketch relation while keeping

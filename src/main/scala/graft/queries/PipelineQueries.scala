@@ -2319,6 +2319,34 @@ object PipelineQueries {
           .as("target_toks"))
   }
 
+  /** Classifier AUC ([[graft.ops.Classify.aucReport]]): fit the q113
+    * seed-set NB model on the pair-parity train half (source is
+    * doc_id mod 20, so any id-parity inside a block keeps each
+    * source on one side; BLOCK parity — doc_id div 20 — alternates
+    * every source across the halves), score the HELD-OUT other half (label = the same src1
+    * criterion), and report the exact
+    * rank-statistic AUC — ties are real (4dp score rounding), NULL
+    * scores impossible here so n_null pins 0. The oracle refits the
+    * model, rescores, and replays the doubled-midrank cumulative
+    * arithmetic — hard to do unless BOTH engines agree on every
+    * weight, every score, every rank.
+    */
+  def q168(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    // the split key: source is doc_id mod 20, so id parity correlates
+    // with the label — BLOCK parity (div 20) puts one doc of every
+    // source in each alternating block
+    val m = Classify.fitNbClassifier(
+      docs.filter(expr("doc_id div 20") % 2 === 0),
+      "text", col("source") === "src1")
+    val scored = Classify.nbScore(
+        docs.filter(expr("doc_id div 20") % 2 === 1),
+        "doc_id", "text", m)
+      .join(docs.select(col("doc_id"),
+        (col("source") === "src1").as("is_pos")), Seq("doc_id"))
+    graft.ops.Classify.aucReport(scored, "nb_logodds", "is_pos")
+  }
+
   def q143(s: SparkSession, dir: String): DataFrame =
     graft.ops.Validate.histogram(t(s, dir)("lineitem"), "l_quantity",
         5.0, 45.0, 20)
@@ -2582,6 +2610,7 @@ object PipelineQueries {
     "q165_k_anonymity"    -> (q165 _),
     "q166_lang_id_model"  -> (q166 _),
     "q167_sft_pipeline"   -> (q167 _),
+    "q168_classifier_auc" -> (q168 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -2932,6 +2961,75 @@ FROM o"""
     // fixed-point integer PageRank: 4 iterations, dangling nodes
     // 97-99 redistributed, hub site 0 on top — bit-identical replay
     "q137_centrality" -> pageRankOracle(4),
+    // held-out AUC: the q113 fit/score replay on the split halves,
+    // then the doubled-midrank cumulative rank arithmetic
+    "q168_classifier_auc" ->
+      """WITH lab AS (SELECT doc_id, text, source = 'src1' AS is_t
+           FROM documents WHERE (doc_id // 20) % 2 = 0),
+         cls AS (SELECT
+               CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE)
+                 AS ndt,
+               CAST(sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END)
+                 AS DOUBLE) AS ndr
+             FROM lab),
+         toks AS (SELECT doc_id, is_t,
+               unnest(string_split(text, ' ')) AS term FROM lab),
+         tc AS (SELECT term,
+               CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE)
+                 AS ct,
+               CAST(sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END)
+                 AS DOUBLE) AS cr
+             FROM toks GROUP BY term),
+         tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr,
+               CAST(count(*) AS DOUBLE) AS v FROM tc),
+         w AS (SELECT term,
+               round(ln((tc.ct + 1.0) / (tot.tt + tot.v * 1.0)) -
+                     ln((tc.cr + 1.0) / (tot.tr + tot.v * 1.0)), 9)
+                 AS w
+             FROM tc CROSS JOIN tot),
+         consts AS (SELECT
+               round(ln(cls.ndt) - ln(cls.ndr), 9) AS bias,
+               round(ln(1.0 / (tot.tt + tot.v * 1.0)) -
+                     ln(1.0 / (tot.tr + tot.v * 1.0)), 9) AS dw
+             FROM cls CROSS JOIN tot),
+         od AS (SELECT doc_id, text, source = 'src1' AS is_pos
+           FROM documents WHERE (doc_id // 20) % 2 = 1),
+         otoks AS (SELECT doc_id,
+               unnest(string_split(text, ' ')) AS term FROM od),
+         dt AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS cnt
+             FROM otoks GROUP BY doc_id, term),
+         sc AS (SELECT dt.doc_id,
+               round(CAST(sum(CAST(
+                   round(dt.cnt * COALESCE(w.w, consts.dw), 9)
+                   AS DECIMAL(38,9))) AS DOUBLE)
+                 + max(consts.bias), 4) AS s
+             FROM dt LEFT JOIN w USING (term) CROSS JOIN consts
+             GROUP BY dt.doc_id),
+         joined AS (SELECT od.doc_id, sc.s, od.is_pos
+             FROM od LEFT JOIN sc USING (doc_id)),
+         nn AS (SELECT CAST(count(CASE WHEN s IS NULL THEN 1 END)
+               AS BIGINT) AS n_null FROM joined),
+         g AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(CASE WHEN is_pos THEN 1 END) AS BIGINT)
+                 AS np
+             FROM joined WHERE s IS NOT NULL GROUP BY s),
+         cw AS (SELECT s, n, np,
+               CAST(COALESCE(sum(n) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) AS prev
+             FROM g),
+         ag AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+               CAST(sum(n) - sum(np) AS BIGINT) AS n_neg,
+               CAST(count(CASE WHEN n > 1 THEN 1 END) AS BIGINT)
+                 AS n_tied_scores,
+               CAST(sum(np * (prev * 2 + n + 1)) AS BIGINT) AS s2
+             FROM cw)
+       SELECT n_pos, n_neg, n_tied_scores,
+              (SELECT n_null FROM nn) AS n_null,
+              CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN round(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+                  / CAST(n_pos * 2 * n_neg AS DOUBLE), 6) END AS auc
+       FROM ag""",
     // the SFT chain in one hash: parse + mask stats + 4dp-ratio gate
     // + spans for survivors + packing summary
     "q167_sft_pipeline" -> (turnParseCtes +

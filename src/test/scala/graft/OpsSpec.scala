@@ -3874,6 +3874,35 @@ class OpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("scheme"))
   }
+
+  test("aucReport: hand-walked midrank ties, perfect/anti separation, degenerate and null handling") {
+    import graft.ops.Classify
+    // pos {3, 1}, neg {1, 2}: the tied pair at score 1 takes midrank
+    // 1.5; pairwise AUC = (1 + 1 + 0.5 + 0) / 4 = 0.625
+    val tied = Seq((3.0, true), (1.0, true), (1.0, false), (2.0, false))
+      .toDF("s", "y")
+    val r = Classify.aucReport(tied, "s", "y")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    assert(r === ((2L, 2L, 1L, 0L, Some(0.625))))
+    // perfect and inverted separation pin the endpoints
+    val perfect = Seq((5.0, true), (4.0, true), (1.0, false))
+      .toDF("s", "y")
+    assert(Classify.aucReport(perfect, "s", "y")
+      .select("auc").as[Double].head() === 1.0)
+    val inverted = Seq((1.0, true), (5.0, false)).toDF("s", "y")
+    assert(Classify.aucReport(inverted, "s", "y")
+      .select("auc").as[Double].head() === 0.0)
+    // single-class -> NULL auc, never a divide-by-zero; null scores
+    // excluded from ranking but counted
+    val oneClass = Seq((1.0, true), (2.0, true)).toDF("s", "y")
+    assert(Classify.aucReport(oneClass, "s", "y")
+      .select("auc").as[Option[Double]].head().isEmpty)
+    val withNull = Seq((Some(3.0), true), (None, true), (Some(1.0), false))
+      .toDF("s", "y")
+    val rn = Classify.aucReport(withNull, "s", "y")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    assert(rn === ((1L, 1L, 0L, 1L, Some(1.0))))
+  }
 }
 
 /** The not-this-build scheme value the loud-load test writes. */

@@ -2347,6 +2347,34 @@ object PipelineQueries {
     graft.ops.Classify.aucReport(scored, "nb_logodds", "is_pos")
   }
 
+  /** Skip-gram co-occurrence counts — q74's bigram PMI sees only
+    * ADJACENT pairs; embedding-training pipelines count co-occurrence
+    * inside a window (word2vec's skip-gram), and the distance-tagged
+    * counts are its input. JOIN-FREE by construction: each distance d
+    * pairs the token array with its own d-shifted slice via `zip_with`
+    * (two array ops per row, one Generate), so the only exchange is
+    * the final (w, c, d) count — the corpus is never self-joined.
+    * The ≥ 20 floor keeps the relation vocabulary-bounded; the oracle
+    * replays the slices with index ranges.
+    */
+  def q169(s: SparkSession, dir: String): DataFrame = {
+    val tk = split(regexp_replace(coalesce(col("text"), lit("")),
+      "\\s+", " "), " ")
+    def pairsAt(t: Column, d: Int): Column =
+      zip_with(
+        slice(t, lit(1), greatest(size(t) - d, lit(0))),
+        slice(t, lit(d + 1), greatest(size(t) - d, lit(0))),
+        (a, b) => struct(a.as("w"), b.as("c"), lit(d).as("d")))
+    t(s, dir)("documents")
+      .select(tk.as("t"))
+      .select(explode(flatten(array(pairsAt(col("t"), 1),
+        pairsAt(col("t"), 2)))).as("p"))
+      .select(col("p.w"), col("p.c"), col("p.d"))
+      .groupBy(col("w"), col("c"), col("d"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 20)
+  }
+
   def q143(s: SparkSession, dir: String): DataFrame =
     graft.ops.Validate.histogram(t(s, dir)("lineitem"), "l_quantity",
         5.0, 45.0, 20)
@@ -2611,6 +2639,7 @@ object PipelineQueries {
     "q166_lang_id_model"  -> (q166 _),
     "q167_sft_pipeline"   -> (q167 _),
     "q168_classifier_auc" -> (q168 _),
+    "q169_skipgram"       -> (q169 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -2961,6 +2990,22 @@ FROM o"""
     // fixed-point integer PageRank: 4 iterations, dangling nodes
     // 97-99 redistributed, hub site 0 on top — bit-identical replay
     "q137_centrality" -> pageRankOracle(4),
+    // skip-gram pairs: d-shifted slice zips replayed with index ranges
+    "q169_skipgram" ->
+      """WITH tk AS (SELECT string_split(regexp_replace(
+             COALESCE(text, ''), '\s+', ' ', 'g'), ' ') AS t
+           FROM documents),
+         p AS (
+           SELECT t[CAST(j AS INT)] AS w, t[CAST(j + 1 AS INT)] AS c,
+                  1 AS d
+           FROM tk, unnest(range(1, greatest(len(t) - 1, 0) + 1))
+             AS u(j)
+           UNION ALL
+           SELECT t[CAST(j AS INT)], t[CAST(j + 2 AS INT)], 2
+           FROM tk, unnest(range(1, greatest(len(t) - 2, 0) + 1))
+             AS u(j))
+       SELECT w, c, CAST(d AS INT) AS d, CAST(count(*) AS BIGINT) AS n
+       FROM p GROUP BY w, c, d HAVING count(*) >= 20""",
     // held-out AUC: the q113 fit/score replay on the split halves,
     // then the doubled-midrank cumulative rank arithmetic
     "q168_classifier_auc" ->

@@ -300,6 +300,35 @@ object AnalyticQueries {
                 END) AS nullsafe_null
        FROM t GROUP BY s""")
 
+  /** Exact order-statistic percentile summary (P50/P90/P99 per event
+    * type over `value`) — the observability surface every latency
+    * dashboard reads, computed the q110 way: the rank-k ORDER
+    * STATISTIC, never interpolation (percentile_cont's interpolation
+    * arithmetic is not engine-exact; the k-th smallest VALUE is).
+    * Ranks are pure integers — ceil(n·p/100) = (n·p + 99) div 100 —
+    * and the selected value is deterministic under ties because a
+    * sorted multiset's k-th element doesn't care how equal values are
+    * ordered among themselves. One exchange: a (type)-keyed window
+    * provides rank and count in the same pass, conditional aggregates
+    * pick the three ranks out.
+    */
+  def q170(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    def rankFor(p: Int): org.apache.spark.sql.Column = expr(s"(__n * $p + 99) div 100")
+    events(s, dir).select(col("event_type"), col("event_id"),
+        col("value"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(max(col("__n")).as("n"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"),
+        max(when(col("__rn") === rankFor(50), col("value"))).as("p50"),
+        max(when(col("__rn") === rankFor(90), col("value"))).as("p90"),
+        max(when(col("__rn") === rankFor(99), col("value"))).as("p99"))
+  }
+
   /** MULTISET set operations — `INTERSECT ALL` / `EXCEPT ALL`, the bag
     * semantics q18's distinct variants don't exercise (and a different
     * physical shape: Spark plans the ALL variants as count-paired
@@ -1029,12 +1058,31 @@ object AnalyticQueries {
     "q160_growth_curve" -> (q160 _),
     "q163_join_hints" -> (q163 _),
     "q164_null_semantics" -> (q164 _),
+    "q170_percentile_summary" -> (q170 _),
   )
 
   val oracleSql: Map[String, String] = Map(
     // the oracle IS the query text — GROUP BY ALL / ORDER BY ALL are
     // engine-identical byte for byte
     "q144_group_by_all" -> q144Sql,
+    // order-statistic percentiles: integer ceil ranks, k-th smallest
+    // value — tie-proof, interpolation-free
+    "q170_percentile_summary" ->
+      """WITH e AS (SELECT event_type, event_id, value FROM events),
+         r AS (SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM e)
+       SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+              min(value) AS min_v, max(value) AS max_v,
+              max(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END)
+                AS p50,
+              max(CASE WHEN rn = (n * 90 + 99) // 100 THEN value END)
+                AS p90,
+              max(CASE WHEN rn = (n * 99 + 99) // 100 THEN value END)
+                AS p99
+       FROM r GROUP BY event_type""",
     // hints steer strategy, never semantics: the oracle is the SAME
     // aggregate unhinted, twice
     "q163_join_hints" ->

@@ -320,9 +320,16 @@ object ScaleProbe {
         Similarity.loadIvf(spark, vDir), batchE,
         Similarity.loadPq(spark, pDir))
     }
-    // a filtered run skips the maintenance family unless asked for it
-    // by substring, same contract as the query probes
-    val runMaint = nameFilter.isEmpty || nameFilter.exists("maint".contains)
+    // a filtered run skips the maintenance family unless a filter
+    // substring matches one of the probe NAMES — the same
+    // `name.contains(filter)` contract as the query probes (names
+    // declared here because setup must run before the probe table is
+    // built; kept in sync by the require against maintProbes below)
+    val maintNames = Seq("maint_extend_dedup_index",
+      "maint_rebuild_dedup_index", "maint_extend_ivf",
+      "maint_encode_pq", "maint_refine_ivf")
+    val runMaint = nameFilter.isEmpty ||
+      maintNames.exists(n => nameFilter.exists(n.contains))
     val (idxS, batchDS, docsS, ivfS, batchES, pqS) =
       if (runMaint) maintSetup(small) else (null, null, null, null, null, null)
     val (idxB, batchDB, docsB, ivfB, batchEB, pqB) =
@@ -366,6 +373,9 @@ object ScaleProbe {
           table(spark, small, "embeddings"), iters = 1).assigned,
         () => Similarity.refineIvf(ivfB,
           table(spark, big, "embeddings"), iters = 1).assigned))
+    require(maintProbes.map(_._1) == maintNames,
+      s"maintNames out of sync with maintProbes: " +
+        s"$maintNames vs ${maintProbes.map(_._1)}")
     val maintResults = (if (runMaint) maintProbes
       else Seq.empty[(String, () => org.apache.spark.sql.DataFrame,
         () => org.apache.spark.sql.DataFrame)]).map {

@@ -120,15 +120,26 @@ object Layout {
     * stale-wide zones costs a scan but never wrongness — pruned output
     * ≡ the plain filter (the q146 oracle gates exactly that identity),
     * while the SAVINGS show up as absent shards, not absent rows.
+    *
+    * The pruning join is ANTI against the shards the manifest
+    * POSITIVELY rules out (`max_id < lo` or `min_id > hi`), never SEMI
+    * against the ones it rules in — the difference is exactly what
+    * happens to a shard the manifest does not cover (new data landed
+    * after the manifest pass, a lost manifest row): under anti-dead it
+    * is scanned and residual-filtered (a missed saving, still ≡ the
+    * plain filter); under semi-live it would be silently DROPPED (a
+    * stale manifest producing wrong answers, the one failure mode a
+    * pruning layer must never have). NULL zones likewise fail the dead
+    * test and stay scanned. LayoutSpec pins the uncovered-shard case.
     */
   def pruneByManifest(df: DataFrame, manifest: DataFrame,
                       shardCol: String, idCol: String,
                       lo: Long, hi: Long): DataFrame = {
     require(lo <= hi, s"pruneByManifest: empty range [$lo, $hi]")
-    val live = manifest
-      .filter(col("max_id") >= lo && col("min_id") <= hi)
+    val dead = manifest
+      .filter(col("max_id") < lo || col("min_id") > hi)
       .select(col(shardCol))
-    df.join(broadcast(live), Seq(shardCol), "left_semi")
+    df.join(broadcast(dead), Seq(shardCol), "left_anti")
       .filter(col(idCol) >= lo && col(idCol) <= hi)
   }
 

@@ -136,7 +136,14 @@ object TextOps {
   /** The (id-ish col, gram) exploded relation under
     * [[fitLangProfiles]] and [[langIdScore]] (ONE copy: model and
     * scorer cannot drift). Normalization = lowercase + whitespace
-    * collapse; a text shorter than 3 chars yields no rows.
+    * collapse; a text shorter than 3 chars yields no rows — enforced by
+    * a `length >= 3` filter BEFORE the generator, because Spark's
+    * `sequence(1, hi)` is DESCENDING when `hi < 1` (`sequence(1, 0)` =
+    * `[1, 0]`, not empty), so an unguarded `sequence(1, len - 2)` emits
+    * phantom `""`/short grams for sub-3-char texts that would pollute
+    * [[fitLangProfiles]] counts and make [[langIdScore]] predict for
+    * docs the contract says yield nothing (TextOpsSpec pins the empty/
+    * 1/2/3-char boundary).
     *
     * Shape matters: the normalized text is projected to an ATTRIBUTE
     * first and the trigram lambda slices THAT — inlining the
@@ -148,8 +155,9 @@ object TextOps {
     val norm = lower(regexp_replace(coalesce(col(textCol), lit("")),
       "\\s+", " "))
     df.select(col(keyCol), norm.as("__norm"))
+      .filter(length(col("__norm")) >= 3)
       .select(col(keyCol), explode(transform(
-        sequence(lit(1), greatest(length(col("__norm")) - 2, lit(0))),
+        sequence(lit(1), length(col("__norm")) - 2),
         i => col("__norm").substr(i, lit(3)))).as("gram"))
   }
 
@@ -2648,19 +2656,33 @@ object TextOps {
           .otherwise(col("line")).as("body"))
   }
 
+  /** Whitespace-token count of a [[parseTurns]] `body` — [[tokens]]
+    * (the shared `\s+` tokenizer) with the empty-body zero guard (the
+    * tokenizer's one degenerate case is `[""]` for empty input, and a
+    * bare role line must count 0, not 1). ONE definition under both
+    * [[sftLossMaskStats]] and [[chatTemplateSpans]]: mask ratios and
+    * span offsets cannot drift from each other or from the corpus-wide
+    * token accounting. */
+  private def turnTokens: Column =
+    when(length(col("body")) === 0, lit(0L))
+      .otherwise(size(tokens(col("body"))).cast("long"))
+
   /** Loss-mask statistics over a [[parseTurns]] relation — the SFT
     * packing prep: per dialogue, turn counts, whitespace-token counts
     * total and under the loss mask (only `targetRole` turns train),
     * and the 4dp mask ratio — the signal that catches assistant-silent
     * dialogues (nothing to learn) and user-silent ones (no context)
     * before they reach a trainer. Empty bodies count zero tokens (a
-    * bare role line is a real artifact, not a one-token turn). One
-    * dialogue-keyed aggregate.
+    * bare role line is a real artifact, not a one-token turn); non-empty
+    * bodies count [[tokens]] (the one `\s+` tokenizer every other
+    * token-counting operator shares — a literal-space split would count
+    * phantom tokens for space runs and miss tabs, drifting from the
+    * corpus-wide token accounting these stats feed). One dialogue-keyed
+    * aggregate.
     */
   def sftLossMaskStats(turns: DataFrame, idCol: String,
                        targetRole: String = "Assistant"): DataFrame = {
-    val toks = when(length(col("body")) === 0, lit(0L))
-      .otherwise(size(split(col("body"), " ")).cast("long"))
+    val toks = turnTokens
     turns.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_turns"),
         count(when(col("role") === targetRole, 1)).as("n_target_turns"),
@@ -2690,8 +2712,7 @@ object TextOps {
     */
   def chatTemplateSpans(turns: DataFrame, idCol: String,
                         targetRole: String = "Assistant"): DataFrame = {
-    val toks = when(length(col("body")) === 0, lit(0L))
-      .otherwise(size(split(col("body"), " ")).cast("long"))
+    val toks = turnTokens
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("turn_idx"))
       .rowsBetween(org.apache.spark.sql.expressions.Window

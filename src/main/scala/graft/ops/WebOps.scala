@@ -160,7 +160,11 @@ object WebOps {
     *    their original ORDER (param order is significant per RFC — a
     *    reorder-canonicalization would conflate distinct resources);
     *  - empty path canonicalized to `/`; a query emptied by the
-    *    tracking cut loses its `?`.
+    *    tracking cut loses its `?`;
+    *  - bracketed IPv6 authorities (`[2001:db8::1]`, with or without a
+    *    port) keep the whole bracketed literal as the host — the
+    *    address's colons are never mistaken for the port delimiter, so
+    *    distinct IPv6 hosts never conflate (OpsSpec pins it).
     *
     * Non-URLs (no `scheme://`) pass through UNCHANGED — identity, never
     * an error (the [[urlHost]] posture). One scan of codegen'd regex +
@@ -178,7 +182,11 @@ object WebOps {
     // authority after optional userinfo, WITH any port
     val auth = regexp_extract(url,
       "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]+)", 1)
-    val host = lower(regexp_extract(auth, "^([^:]+)", 1))
+    // bracketed IPv6 authorities first ([2001:db8::1] — the colons are
+    // the address, not a port delimiter), else everything to the first
+    // ':'; alternation order is match preference in both Java regex and
+    // DuckDB's RE2, so the one pattern replays identically
+    val host = lower(regexp_extract(auth, "^(\\[[^\\]]*\\]|[^:]+)", 1))
     val port = regexp_extract(auth, ":([0-9]+)$", 1)
     val portPart = when(
       port === "" ||

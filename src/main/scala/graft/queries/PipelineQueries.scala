@@ -1589,7 +1589,11 @@ object PipelineQueries {
     * the one REAL query param whose order must survive, a fragment) —
     * so every canonical group has exactly 2 copies with the clean id as
     * keeper; every 10th doc also plants a non-URL row, which passes
-    * through canonicalization UNCHANGED (identity, n_copies = 1). The
+    * through canonicalization UNCHANGED (identity, n_copies = 1); every
+    * 7th doc also plants a bracketed-IPv6 pair (clean + case/default-
+    * port/tracking-noisy) — the address's colons must never parse as a
+    * port delimiter, so the pair collides while distinct addresses stay
+    * distinct. The
     * oracle replays the planting and the entire normalization chain —
     * regex extracts, default-port CASE, anchored tracking filter over
     * the split param list, reassembly — so each canonical string is
@@ -1623,8 +1627,22 @@ object PipelineQueries {
     val nonUrl = docs.filter(id % 10 === 0)
       .select((id + 2000000L).as("id"),
         concat(lit("not a url "), id).as("url"))
+    // bracketed IPv6 authorities (every 7th doc): the clean fetch and a
+    // case/default-port/tracking-noisy re-fetch MUST collide, while the
+    // address's own colons never parse as a port — distinct addresses
+    // (id % 9 spreads them) keep distinct canonical keys
+    val v6c = docs.filter(id % 7 === 0)
+      .select((id + 3000000L).as("id"),
+        concat(lit("http://[2001:db8::"), pmod(id, lit(9L)),
+          lit("]/v/"), id, lit("?q=t"), pmod(id, lit(6L))).as("url"))
+    val v6n = docs.filter(id % 7 === 0)
+      .select((id + 4000000L).as("id"),
+        concat(lit("HTTP://[2001:DB8::"), pmod(id, lit(9L)),
+          lit("]:80/v/"), id, lit("?utm_source=z&q=t"),
+          pmod(id, lit(6L)), lit("#frag")).as("url"))
     WebOps.dedupByCanonicalUrl(
-      clean.unionByName(noisy).unionByName(nonUrl), "url", "id")
+      clean.unionByName(noisy).unionByName(nonUrl)
+        .unionByName(v6c).unionByName(v6n), "url", "id")
   }
 
   /** Gopher + C4 quality-rule grid ([[TextOps.gopherC4Flags]]): every
@@ -3081,7 +3099,8 @@ FROM o"""
       """,
          tk0 AS (SELECT doc_id, role,
              CASE WHEN length(body) = 0 THEN 0
-                  ELSE len(string_split(body, ' ')) END AS toks
+                  ELSE len(regexp_split_to_array(regexp_replace(body,
+                    '^\s+|\s+$', '', 'g'), '\s+')) END AS toks
            FROM pr),
          st AS (SELECT doc_id,
              CAST(count(CASE WHEN role = 'Assistant' THEN 1 END)
@@ -3096,7 +3115,8 @@ FROM o"""
                BETWEEN 0.45 AND 0.58),
          sl AS (SELECT doc_id, turn_idx, role,
              CASE WHEN length(body) = 0 THEN 0
-                  ELSE len(string_split(body, ' ')) END + 2 AS tok_len
+                  ELSE len(regexp_split_to_array(regexp_replace(body,
+                    '^\s+|\s+$', '', 'g'), '\s+')) END + 2 AS tok_len
            FROM pr),
          sp AS (SELECT doc_id, turn_idx, role, tok_len,
              COALESCE(sum(tok_len) OVER (PARTITION BY doc_id
@@ -3276,7 +3296,8 @@ FROM o"""
       """,
          tk AS (SELECT doc_id, turn_idx, role,
              CASE WHEN length(body) = 0 THEN 0
-                  ELSE len(string_split(body, ' ')) END + 2 AS tok_len
+                  ELSE len(regexp_split_to_array(regexp_replace(body,
+                    '^\s+|\s+$', '', 'g'), '\s+')) END + 2 AS tok_len
            FROM pr),
          sp AS (SELECT doc_id, turn_idx, role, tok_len,
              COALESCE(sum(tok_len) OVER (PARTITION BY doc_id
@@ -3323,7 +3344,8 @@ FROM o"""
       """,
          tk AS (SELECT doc_id, role,
              CASE WHEN length(body) = 0 THEN 0
-                  ELSE len(string_split(body, ' ')) END AS toks
+                  ELSE len(regexp_split_to_array(regexp_replace(body,
+                    '^\s+|\s+$', '', 'g'), '\s+')) END AS toks
            FROM pr)
        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_turns,
               CAST(count(CASE WHEN role = 'Assistant' THEN 1 END)
@@ -5435,8 +5457,21 @@ FROM o"""
          nonurl AS (SELECT doc_id + 2000000 AS id,
              'not a url ' || CAST(doc_id AS VARCHAR) AS url
            FROM documents WHERE doc_id % 10 = 0),
+         v6c AS (SELECT doc_id + 3000000 AS id,
+             'http://[2001:db8::' || CAST(doc_id % 9 AS VARCHAR) ||
+             ']/v/' || CAST(doc_id AS VARCHAR) ||
+             '?q=t' || CAST(doc_id % 6 AS VARCHAR) AS url
+           FROM documents WHERE doc_id % 7 = 0),
+         v6n AS (SELECT doc_id + 4000000 AS id,
+             'HTTP://[2001:DB8::' || CAST(doc_id % 9 AS VARCHAR) ||
+             ']:80/v/' || CAST(doc_id AS VARCHAR) ||
+             '?utm_source=z&q=t' || CAST(doc_id % 6 AS VARCHAR) ||
+             '#frag' AS url
+           FROM documents WHERE doc_id % 7 = 0),
          al AS (SELECT * FROM clean UNION ALL SELECT * FROM noisy
-                UNION ALL SELECT * FROM nonurl),
+                UNION ALL SELECT * FROM nonurl
+                UNION ALL SELECT * FROM v6c
+                UNION ALL SELECT * FROM v6n),
          parts AS (SELECT id, url,
              lower(regexp_extract(url,
                '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
@@ -5448,7 +5483,7 @@ FROM o"""
                AS nofrag
            FROM al),
          norm AS (SELECT id, url, scheme,
-             lower(regexp_extract(auth, '^([^:]+)', 1)) AS host,
+             lower(regexp_extract(auth, '^(\[[^\]]*\]|[^:]+)', 1)) AS host,
              regexp_extract(auth, ':([0-9]+)$', 1) AS port,
              regexp_extract(nofrag, '^([^?]*)', 1) AS pth,
              list_filter(

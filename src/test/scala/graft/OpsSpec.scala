@@ -2917,7 +2917,14 @@ class OpsSpec extends SparkSpec {
       "http://h.io/CaseSensitive?Q=UPPER",
       // non-URLs pass through unchanged
       "not a url",
-      "relative/path?x=1").toDF("url")
+      "relative/path?x=1",
+      // bracketed IPv6: address colons are NOT a port delimiter — two
+      // different hosts with the same path must stay distinct
+      "http://[2001:db8::1]/p",
+      "http://[2001:db8::2]/p",
+      // explicit default port dropped, non-default kept, case folded
+      "HTTP://[2001:DB8::1]:80/p",
+      "https://[::1]:8443/q?utm_source=x&k=v#f").toDF("url")
     val out = urls.select(WebOps.urlCanonicalize(col("url"))).as[String]
       .collect().toSeq
     assert(out === Seq(
@@ -2930,7 +2937,11 @@ class OpsSpec extends SparkSpec {
       "http://h.io/p?a=1&b=2",
       "http://h.io/CaseSensitive?Q=UPPER",
       "not a url",
-      "relative/path?x=1"))
+      "relative/path?x=1",
+      "http://[2001:db8::1]/p",
+      "http://[2001:db8::2]/p",
+      "http://[2001:db8::1]/p",
+      "https://[::1]:8443/q?k=v"))
     // NULL url -> NULL, never a crash
     val n = Seq(Tuple1(null.asInstanceOf[String])).toDF("url")
       .select(WebOps.urlCanonicalize(col("url"))).collect().head
@@ -3611,6 +3622,15 @@ class OpsSpec extends SparkSpec {
       12L, 27L)
     assert(noPrune.select("id").as[Long].collect().sorted.toSeq ===
       direct.select("id").as[Long].collect().sorted.toSeq)
+    // a shard the manifest does NOT cover (data landed after the
+    // manifest pass) is SCANNED, never dropped — pruning is an
+    // anti-join against positively-dead shards, so an incomplete
+    // manifest costs a missed saving, not missing rows
+    val partial = man.filter(col("shard") =!= 1L)
+    val uncovered = Layout.pruneByManifest(docs, partial, "shard", "id",
+      12L, 27L)
+    assert(uncovered.select("id").as[Long].collect().sorted.toSeq ===
+      direct.select("id").as[Long].collect().sorted.toSeq)
     intercept[IllegalArgumentException] {
       Layout.pruneByManifest(docs, man, "shard", "id", 5L, 4L)
     }
@@ -3685,6 +3705,26 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextOps.parseTurns(dlg, "id", "dlg", roles = Seq("User|.*"))
     }
+  }
+
+  test("SFT token counts use the shared \\s+ tokenizer: space runs and tabs never drift the mask") {
+    // "a  b" (double space) is 2 tokens, "x\ty" (tab) is 2, trailing
+    // spaces add nothing — a literal-space split would count 3 / 1 / 3
+    val turns = Seq(
+      (1L, 0, "User", "a  b"),
+      (1L, 1, "Assistant", "x\ty"),
+      (2L, 0, "Assistant", "one two  ")).toDF("id", "turn_idx", "role", "body")
+    val stats = TextOps.sftLossMaskStats(turns, "id")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(stats(1L) === ((1L, 2L, 1L, 4L, 2L, 0.5)))
+    assert(stats(2L) === ((2L, 1L, 1L, 2L, 2L, 1.0)))
+    // spans share the SAME tokenizer: tok_len = tokens + 2
+    val spans = TextOps.chatTemplateSpans(turns, "id")
+      .as[(Long, Int, String, Long, Long, Boolean)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(spans.map(s => (s._1, s._2, s._4, s._5)) ===
+      Seq((1L, 0, 0L, 4L), (1L, 1, 4L, 8L), (2L, 0, 0L, 4L)))
   }
 
   test("chatTemplateSpans: hand offsets, contiguity, empty body costs 2") {
@@ -3847,6 +3887,29 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextOps.fitLangProfiles(train, "lang", "t", profileK = 0)
     }
+  }
+
+  test("langId trigrams: texts shorter than 3 chars yield NO rows (no phantom grams from sequence(1,0))") {
+    // Spark's sequence(1, hi) is DESCENDING for hi < 1 — an unguarded
+    // sequence(1, len-2) emits [1, 0] for empty text, i.e. two phantom
+    // "" grams. Pin the whole boundary: "", 1, 2 chars -> nothing;
+    // 3 chars -> exactly one gram; null -> nothing.
+    val train = Seq(("aa", ""), ("aa", "x"), ("aa", "xy"),
+      ("aa", null.asInstanceOf[String]), ("bb", "abc"))
+      .toDF("lang", "t")
+    val model = TextOps.fitLangProfiles(train, "lang", "t", profileK = 8)
+      .as[(String, String, Int)].collect().toSeq
+    assert(model === Seq(("bb", "abc", 1)))
+    // scoring: a sub-3-char doc emits NO prediction (contract: yields
+    // no trigram rows, so no (doc, lang) distance exists)
+    val docs = Seq((1L, "ab"), (2L, ""), (3L, "abc"),
+      (4L, "  x ")) // normalizes to " x " (3 chars) -> one gram
+      .toDF("id", "t")
+    val scored = TextOps.langIdScore(docs,
+        TextOps.fitLangProfiles(Seq(("bb", "abc")).toDF("lang", "t"),
+          "lang", "t", profileK = 8), "id", "t", docM = 8)
+      .as[(Long, String, Long)].collect().toSeq.map(_._1).sorted
+    assert(scored === Seq(3L, 4L))
   }
 
   test("langId profiles: save -> load -> score equals in-session; foreign scheme loud") {

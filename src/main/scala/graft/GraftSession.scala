@@ -65,6 +65,15 @@ object GraftSession {
             graft.expr.PortableFingerprint(children.head)
           }))
         ext.injectFunction((
+          FunctionIdentifier("jaro_winkler"),
+          new ExpressionInfo(classOf[graft.expr.JaroWinkler].getName,
+            "jaro_winkler"),
+          (children: Seq[Expression]) => {
+            require(children.length == 2,
+              s"jaro_winkler requires exactly 2 arguments, got ${children.length}")
+            graft.expr.JaroWinkler(children(0), children(1))
+          }))
+        ext.injectFunction((
           FunctionIdentifier("word_tokens"),
           new ExpressionInfo(classOf[graft.expr.WordTokens].getName,
             "word_tokens"),

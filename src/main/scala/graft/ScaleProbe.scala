@@ -187,7 +187,18 @@ object ScaleProbe {
     // model — the heaviest scan-bound arrival of the session — and
     // the extracted-link PageRank composition (extraction scan +
     // node-grain iterations)
-    "q166_lang_id_model", "q162_link_pagerank")
+    "q166_lang_id_model", "q162_link_pagerank",
+    // r15 arrivals, on-arrival: rolling actives (user-day dedup + the
+    // fixed ×7 coverage explode — the explode factor is the WINDOW, so
+    // its ratio must track rows); MAD outliers (two window passes over
+    // the SAME event_type partitioning — the exchange reuse is the
+    // probe); fuzzy linkage (blocked quadratic like q141, digit-block
+    // bounded, plus the native jaro_winkler scan); the agg-state merge
+    // (two key-grain states + a rollup-sized outer join — its ratio
+    // should track the corpus aggregates, the merge itself is free);
+    // and the snapshot diff (id-keyed full-outer at corpus grain)
+    "q171_rolling_actives", "q173_mad_outliers", "q176_fuzzy_linkage",
+    "q175_agg_state_merge", "q179_snapshot_diff")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -173,4 +173,41 @@ object Snapshot {
         col(versionCol).as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current")): _*)
   }
+
+  /** Snapshot diff — the audit BETWEEN corpus versions the mutation ops
+    * above produce: per id, `added` / `removed` / `changed` /
+    * `unchanged`, and for changed rows the sorted comma-joined list of
+    * columns that differ (null-safe `<=>` comparison, so NULL→value and
+    * value→NULL both register as changes, never as matches). This is
+    * what a release review actually reads — "what did re-crawling touch"
+    * — and the input to incremental downstream refresh (recompute only
+    * `added ∪ changed`, drop `removed`). One id-keyed full-outer join,
+    * per-column comparison as flat codegen'd expressions; output is
+    * id grain with no wide payloads unless the caller keeps them.
+    *
+    * Both inputs must share a schema; compared columns = all but the id.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   idCol: String): DataFrame = {
+    require(oldDf.columns.sorted.sameElements(newDf.columns.sorted),
+      s"snapshotDiff: schemas differ — old has " +
+        s"[${oldDf.columns.sorted.mkString(", ")}], new has " +
+        s"[${newDf.columns.sorted.mkString(", ")}]")
+    val cmp = oldDf.columns.filterNot(_ == idCol).sorted.toSeq
+    val o = oldDf.select(col(idCol) +:
+      (lit(true).as("__in_old") +: cmp.map(c => col(c).as(s"__o_$c"))): _*)
+    val n = newDf.select(col(idCol) +:
+      (lit(true).as("__in_new") +: cmp.map(c => col(c).as(s"__n_$c"))): _*)
+    val diffs = cmp.map(c =>
+      when(!(col(s"__o_$c") <=> col(s"__n_$c")), lit(c)))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(diffs.map(_.isNotNull).reduce(_ || _), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        when(col("__in_old").isNotNull && col("__in_new").isNotNull,
+          concat_ws(",", diffs: _*)).otherwise(lit(""))
+          .as("changed_cols"))
+  }
 }

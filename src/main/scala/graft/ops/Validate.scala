@@ -216,4 +216,29 @@ object Validate {
           .as("bin_hi"),
         col("n"))
   }
+
+  /** Pre-join blast-radius audit — run BEFORE an equi-join whose output
+    * size you cannot bound: per key, both sides' cardinalities and their
+    * product (the key's exact contribution to the join's output rows).
+    * The audit never materializes the join it prices: each side
+    * aggregates to key grain first (partial-combined, one shuffle each),
+    * and the audit join runs at KEY cardinality — pricing a 10^12-row
+    * blowup costs two aggregates, not 10^12 rows. `Σ est_rows` over the
+    * result is the join's exact inner-equi output size (bag semantics,
+    * single-key NULL-skipping equality on both engines); the head of an
+    * `est_rows DESC` sort is the hot-key list a skew mitigation
+    * (salting, AQE skew split, key blacklist) consumes. Keys appearing
+    * on only one side contribute nothing to an inner join and are
+    * omitted — by the same inner audit join.
+    */
+  def joinExplosionAudit(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String): DataFrame = {
+    val lc = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("key")).agg(count(lit(1)).as("n_left"))
+    val rc = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("key")).agg(count(lit(1)).as("n_right"))
+    lc.join(rc, Seq("key"))
+      .select(col("key"), col("n_left"), col("n_right"),
+        (col("n_left") * col("n_right")).as("est_rows"))
+  }
 }

@@ -1015,6 +1015,146 @@ object AnalyticQueries {
         count(lit(1)).as("n_items"))
   }
 
+  /** Rolling 7-day distinct actives (DAU / WAU / stickiness) — the
+    * sliding-window generalization of q130's cohort counting, and the
+    * one daily dashboard every events pipeline serves. Windowed
+    * COUNT(DISTINCT) has no direct window-function form in any engine;
+    * the scalable shape is coverage explosion: dedup to (user, day)
+    * FIRST (one shuffle, corpus → user-day grain), explode each
+    * user-day to the 7 future report days it covers (a FIXED ×7 — the
+    * window length, never the corpus), then one distinct-count
+    * aggregate per report day. Days are exact epoch-day integers (the
+    * q130 posture); report days are restricted to days that actually
+    * occur, so the tail past the last event day never fabricates
+    * cells. Cost: 2 key shuffles + the two-stage distinct — at 100 TB
+    * the ×7 coverage relation is user-day-grain, orders of magnitude
+    * below event grain.
+    */
+  def q171(s: SparkSession, dir: String): DataFrame = {
+    val ud = events(s, dir).select(col("user_id"),
+      expr("ts_ns div 1000 div 86400000000").as("d")).distinct()
+    val days = ud.select(col("d")).distinct()
+    val dau = ud.groupBy(col("d")).agg(countDistinct(col("user_id")).as("dau"))
+    val wau = ud.select(col("user_id"),
+        explode(sequence(col("d"), col("d") + 6)).as("rd"))
+      .join(days.withColumnRenamed("d", "rd"), Seq("rd"))
+      .groupBy(col("rd"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, dau("d") === wau("rd"))
+      .select(col("d").as("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 4)
+          .as("stickiness"))
+  }
+
+  /** Exponentially-weighted engagement score per user, exact dyadic
+    * arithmetic — the freshness/decay weighting a pipeline applies to
+    * user signals, posed so it hash-gates: α = 1/2 over each user's
+    * `K = min(n, 16)` most recent events (ordered by time, event_id
+    * tie-break). The classic EWMA recursion `s ← x/2 + s/2` with
+    * `s₁ = x₁` gives the oldest in-window event weight `(1/2)^(K-1)` —
+    * so `s · 2^(K-1)` is an INTEGER dot product of cents against
+    * power-of-two weights: `num = x₁ + Σ_{i≥2} 2^(i-2)·xᵢ` (oldest →
+    * newest). Emitting the exact `(num, shift)` pair plus the 4dp
+    * decimal keeps every row bit-stable at any parallelism — a naive
+    * double EWMA would hash-drift on summation order. The 16-event
+    * truncation bounds both the weight magnitude (2^14 · cents ≪ 2^63)
+    * and the scan: one per-user window (rank + filter), one aggregate.
+    */
+  def q172(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    val wAll = Window.partitionBy(col("user_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ns"),
+        cents(col("value")).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("k", least(count(lit(1)).over(wAll), lit(16L)))
+      .filter(col("rn") <= col("k"))
+      // rn = 1 is the NEWEST event: weight 2^(k-1-rn) for rn < k, and
+      // the oldest in-window event (rn = k) shares 2^0 — weights sum
+      // to exactly 2^(k-1), the EWMA denominator
+      .withColumn("coef", when(col("rn") === col("k"), lit(1L))
+        .otherwise(expr("shiftleft(1L, cast(k - 1 - rn as int))")))
+      .groupBy(col("user_id"))
+      .agg(max(col("k")).as("k"),
+        sum(col("c") * col("coef")).as("ewma_num"))
+      .select(col("user_id"), col("k").as("n_used"),
+        col("ewma_num"), (col("k") - 1L).as("ewma_shift"),
+        round(col("ewma_num").cast("double") /
+          pow(lit(2.0), (col("k") - 1L).cast("double")), 4).as("ewma"))
+  }
+
+  /** Robust (median/MAD) outlier screen per event type — the
+    * anomaly-detection companion to q170's exact percentiles: mean/σ
+    * z-scores are themselves dragged by the outliers they hunt, so the
+    * robust form uses the median and the Median Absolute Deviation,
+    * both EXACT order statistics kept in scaled-integer space so the
+    * result hashes: `med2 = lo + hi` (the two middle cents order
+    * stats; = 2·median for both parities), `d2 = |2·x − med2|`
+    * (= 2·deviation, integer), `m2d = lo + hi` over d2 (= 4·MAD), and
+    * the flag `dev > 3·MAD` cross-multiplies to `2·d2 > 3·m2d` — no
+    * division anywhere. Two window passes over the SAME event_type
+    * partitioning (one exchange, reused) + the broadcast-sized
+    * per-type medians joined back; the value at a rank is
+    * deterministic under duplicate values regardless of tie order.
+    */
+  def q173(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_type"),
+      col("event_id"), cents(col("value")).as("c"))
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("c"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val ranked = e.withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val med = ranked.groupBy(col("event_type")).agg(
+      max(col("n")).as("n"),
+      sum(when(col("rn") === expr("(n + 1) div 2"), col("c"))
+        .otherwise(lit(0L)) +
+        when(col("rn") === expr("n div 2 + 1"), col("c"))
+          .otherwise(lit(0L))).as("med2"))
+    val dev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("d2", abs(col("c") * 2L - col("med2")))
+    val wD = Window.partitionBy(col("event_type"))
+      .orderBy(col("d2"), col("event_id"))
+    val mad = dev.withColumn("rn", row_number().over(wD))
+      .groupBy(col("event_type")).agg(
+        sum(when(col("rn") === expr("(n + 1) div 2"), col("d2"))
+          .otherwise(lit(0L)) +
+          when(col("rn") === expr("n div 2 + 1"), col("d2"))
+            .otherwise(lit(0L))).as("m2d"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("med2")).as("med2"),
+        max(col("m2d")).as("m2d"),
+        count(when(col("d2") * 2L > col("m2d") * 3L, 1)).as("n_outliers"),
+        max(col("d2")).as("max_d2"))
+  }
+
+  /** Hour-of-week seasonality profile — the load-shape audit behind
+    * capacity planning and anomaly baselining: per (event type, hour
+    * of week) the event count, its deviation from the uniform
+    * expectation, and a peak flag, ALL in cross-multiplied integers
+    * (`dev168 = 168·n − T`, peak ⟺ `168·n > 2·T`) so nothing ever
+    * divides. Hour-of-week = `epoch_hours mod 168` on the shared
+    * microsecond clock (hour 0 = Thursday 00:00 UTC, the epoch anchor
+    * — an integer convention both engines share for free, where
+    * calendar `dayofweek` conventions differ). One corpus aggregate to
+    * the ≤ types×168 cell grid, then a cells-grain rollup join.
+    */
+  def q178(s: SparkSession, dir: String): DataFrame = {
+    val cells = events(s, dir)
+      .select(col("event_type"),
+        expr("(ts_ns div 1000 div 3600000000) % 168").as("how"))
+      .groupBy(col("event_type"), col("how"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("t"))
+    cells.join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("how"), col("n"),
+        (col("n") * 168L - col("t")).as("dev168"),
+        (col("n") * 168L > col("t") * 2L).as("is_peak"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q16_topk"          -> (q16 _),
     "q17_window_rownum" -> (q17 _),
@@ -1059,9 +1199,99 @@ object AnalyticQueries {
     "q163_join_hints" -> (q163 _),
     "q164_null_semantics" -> (q164 _),
     "q170_percentile_summary" -> (q170 _),
+    "q171_rolling_actives" -> (q171 _),
+    "q172_ewma_engagement" -> (q172 _),
+    "q173_mad_outliers" -> (q173 _),
+    "q178_seasonality" -> (q178 _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // rolling actives: user-day dedup -> 7-day coverage explosion ->
+    // distinct count per occurring day; integer epoch days
+    "q171_rolling_actives" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS d FROM events),
+         days AS (SELECT DISTINCT d FROM ud),
+         dau AS (SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+           FROM ud GROUP BY d),
+         cover AS (SELECT ud.user_id, ud.d + x.x AS rd
+           FROM ud, (SELECT unnest(range(0, 7)) AS x) x),
+         wau AS (SELECT c.rd, CAST(count(DISTINCT c.user_id) AS BIGINT)
+               AS wau
+           FROM cover c JOIN days ON days.d = c.rd GROUP BY c.rd)
+       SELECT dau.d AS day, dau.dau, wau.wau,
+              round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 4)
+                AS stickiness
+       FROM dau JOIN wau ON wau.rd = dau.d""",
+    // dyadic EWMA: newest-first rank, K = min(n, 16), integer
+    // power-of-two dot product, exact numerator + 4dp decimal
+    "q172_ewma_engagement" ->
+      """WITH e AS (SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+           FROM events),
+         k AS (SELECT user_id, event_id, c, rn,
+             CASE WHEN n > 16 THEN 16 ELSE n END AS k FROM e),
+         w AS (SELECT user_id, k, c,
+             CASE WHEN rn = k THEN CAST(1 AS BIGINT)
+                  ELSE CAST(1 AS BIGINT) << CAST(k - 1 - rn AS INT)
+             END AS coef
+           FROM k WHERE rn <= k)
+       SELECT user_id, CAST(max(k) AS BIGINT) AS n_used,
+              CAST(sum(c * coef) AS BIGINT) AS ewma_num,
+              CAST(max(k) - 1 AS BIGINT) AS ewma_shift,
+              round(CAST(sum(c * coef) AS DOUBLE)
+                / (2 ** CAST(max(k) - 1 AS DOUBLE)), 4) AS ewma
+       FROM w GROUP BY user_id""",
+    // median/MAD outliers: exact order statistics in scaled-integer
+    // space (med2 = 2·median, m2d = 4·MAD), cross-multiplied flag
+    "q173_mad_outliers" ->
+      """WITH e AS (SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c FROM events),
+         r AS (SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY c, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM e),
+         med AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN c ELSE 0 END)
+               + sum(CASE WHEN rn = n // 2 + 1 THEN c ELSE 0 END)
+               AS BIGINT) AS med2
+           FROM r GROUP BY event_type),
+         dv AS (SELECT e.event_type, e.event_id, med.n, med.med2,
+             abs(e.c * 2 - med.med2) AS d2
+           FROM e JOIN med ON med.event_type = e.event_type),
+         rd AS (SELECT event_type, n, d2,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY d2, event_id) AS rn
+           FROM dv),
+         mad AS (SELECT event_type,
+             CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN d2 ELSE 0 END)
+               + sum(CASE WHEN rn = n // 2 + 1 THEN d2 ELSE 0 END)
+               AS BIGINT) AS m2d
+           FROM rd GROUP BY event_type)
+       SELECT dv.event_type, CAST(max(dv.n) AS BIGINT) AS n,
+              max(dv.med2) AS med2, max(mad.m2d) AS m2d,
+              CAST(count(CASE WHEN dv.d2 * 2 > mad.m2d * 3 THEN 1 END)
+                AS BIGINT) AS n_outliers,
+              max(dv.d2) AS max_d2
+       FROM dv JOIN mad ON mad.event_type = dv.event_type
+       GROUP BY dv.event_type""",
+    // seasonality: integer hour-of-week cells, cross-multiplied
+    // deviation and peak flag
+    "q178_seasonality" ->
+      """WITH cells AS (SELECT event_type,
+             (epoch_us(ts) // 3600000000) % 168 AS how,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY event_type,
+             (epoch_us(ts) // 3600000000) % 168),
+         tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t
+           FROM cells GROUP BY event_type)
+       SELECT c.event_type, c.how, c.n, c.n * 168 - t.t AS dev168,
+              c.n * 168 > t.t * 2 AS is_peak
+       FROM cells c JOIN tot t ON t.event_type = c.event_type""",
     // the oracle IS the query text — GROUP BY ALL / ORDER BY ALL are
     // engine-identical byte for byte
     "q144_group_by_all" -> q144Sql,

@@ -2545,6 +2545,130 @@ object PipelineQueries {
       "text", Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2))
       .select(col("source"), col("rnk"), col("doc_id"))
 
+  /** Pre-join blast-radius audit ([[graft.ops.Validate.joinExplosionAudit]])
+    * on the classic accident — a clickstream self-joined on user_id: per
+    * user both sides' event counts and their product, i.e. the user's
+    * EXACT contribution to the join's output rows, priced WITHOUT running
+    * the join (two key-grain aggregates; the audit join is
+    * user-cardinality). `Σ est_rows` here is ~67× the input rows at
+    * every sf — the audit's warning. The oracle replays the counts.
+    */
+  def q174(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir)("events")
+    graft.ops.Validate.joinExplosionAudit(e, e, "user_id", "user_id")
+  }
+
+  /** Incremental aggregate maintenance
+    * ([[graft.ops.Incremental.aggState]]/[[graft.ops.Incremental.merge]]):
+    * the (event_type, epoch-day) revenue rollup maintained the
+    * materialized-view way — state on the base (days before Jan 16),
+    * state on the delta batch (the rest), MERGED at key grain — proven
+    * ≡ recomputing the rollup over the full corpus, because the oracle
+    * IS the full recompute. Counts/sums add, extrema take
+    * least/greatest, avg derives at read from (sum, n). At 100 TB the
+    * merge touches only the rollup, never yesterday's corpus.
+    */
+  def q175(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Incremental
+    val e = graft.events(s, dir).select(col("event_type"),
+      expr("ts_ns div 1000 div 86400000000").as("day"),
+      graft.cents(col("value")).as("c"))
+    val base = Incremental.aggState(
+      e.filter(col("day") < 19738L), Seq("event_type", "day"), "c")
+    val delta = Incremental.aggState(
+      e.filter(col("day") >= 19738L), Seq("event_type", "day"), "c")
+    Incremental.withAvg(
+      Incremental.merge(base, delta, Seq("event_type", "day")))
+  }
+
+  /** Fuzzy record linkage with the native codegen'd `jaro_winkler`
+    * expression: entity names planted with high-entropy digit blocks at
+    * BOTH ends (`ddd-word-ddd`, unique per id), a deletion typo planted
+    * for every 4th id, candidate pairs from TWO blocking keys (first-3
+    * and last-3 chars — a single-char edit can break one end but never
+    * both), scored and kept at jw ≥ 0.9. The blocking-union-distinct →
+    * score → threshold shape is the linkage pipeline at any scale:
+    * pair volume is Σ|block|² over ~1000-cardinality digit blocks, the
+    * quadratic confined to blocks the key design keeps small. DuckDB's
+    * jaro_winkler_similarity is the oracle — the expression's semantics
+    * are pinned value-for-value against an independent implementation.
+    */
+  def q176(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val word = element_at(array(lit("alpha"), lit("bravo"), lit("carbon"),
+      lit("delta"), lit("ember"), lit("falcon"), lit("granite"),
+      lit("harbor")), (pmod(id, lit(8L)) + 1).cast("int"))
+    val name = concat(lpad(pmod(id, lit(997L)).cast("string"), 3, "0"),
+      lit("-"), word, lit("-"),
+      lpad(pmod(id * 31L, lit(997L)).cast("string"), 3, "0"))
+    val base = t(s, dir)("documents").select(id.as("rec_id"),
+      name.as("name"))
+    val variants = t(s, dir)("documents").filter(id % 4 === 0)
+      .select((id + 1000000L).as("rec_id"), name.as("name"),
+        pmod(id, length(name)).as("p"))
+      .select(col("rec_id"), expr(
+        "concat(substr(name, 1, cast(p as int))," +
+          " substr(name, cast(p as int) + 2))").as("name"))
+    val all = base.unionByName(variants)
+    def keyed(k: Column) = all.select(col("rec_id"), col("name"),
+      k.as("bk"))
+    val blocks = keyed(substring(col("name"), 1, 3))
+      .unionByName(keyed(substring(col("name"), -3, 3)))
+    val l = blocks.select(col("bk"), col("rec_id").as("id1"),
+      col("name").as("n1"))
+    val r = blocks.select(col("bk"), col("rec_id").as("id2"),
+      col("name").as("n2"))
+    l.join(r, Seq("bk")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("n1"), col("n2")).distinct()
+      .withColumn("jw", expr("jaro_winkler(n1, n2)"))
+      .filter(col("jw") >= 0.9)
+      .select(col("id1"), col("id2"), col("n1"), col("n2"),
+        round(col("jw"), 4).as("jw"))
+  }
+
+  /** Largest-remainder (Hamilton) quota allocation
+    * ([[graft.ops.Sampling.hamiltonAllocation]]): a 1000-row sample
+    * budget split across document sources exactly proportionally —
+    * floor shares plus one extra for the largest remainders, remainder
+    * ties broken by source ascending, `Σ quota = 1000` exactly. The
+    * design step upstream of every stratified sampler; all int64, the
+    * oracle replays the floors, remainders and the rank cut.
+    */
+  def q177(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.hamiltonAllocation(
+      t(s, dir)("documents"), "source", 1000L)
+
+  /** Snapshot diff ([[graft.ops.Snapshot.snapshotDiff]]) between a
+    * corpus version and its re-crawl: every 13th doc dropped (removed),
+    * every 7th re-extracted with new text AND the n_chars that follows
+    * it (changed, column list "n_chars,text"), every 17th loses its
+    * lang tag (changed via null-safe compare — NULL→value transitions
+    * must register, never match), every 11th gains a fresh doc (added).
+    * One id-keyed full-outer join; the oracle replays the planting and
+    * the per-column null-safe comparisons.
+    */
+  def q179(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    val id = col("doc_id")
+    val newText = when(id % 7 === 0,
+      concat(lit("re-extracted v2: "), substring(coalesce(col("text"),
+        lit("")), 1, 40))).otherwise(col("text"))
+    val mutated = docs.filter(id % 13 =!= 0)
+      .select(id, newText.as("text"),
+        when(id % 17 === 0, lit(null).cast("string"))
+          .otherwise(col("lang")).as("lang"),
+        col("source"),
+        when(id % 7 === 0, length(concat(lit("re-extracted v2: "),
+          substring(coalesce(col("text"), lit("")), 1, 40))).cast("long"))
+          .otherwise(col("n_chars")).as("n_chars"))
+      .unionByName(docs.filter(id % 11 === 0)
+        .select((id + 1000000L).as("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars")))
+    graft.ops.Snapshot.snapshotDiff(
+      docs.select("doc_id", "text", "lang", "source", "n_chars"),
+      mutated, "doc_id")
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_dedup_keyed"     -> (q21 _),
     "q22_dedup_text_exact" -> (q22 _),
@@ -2658,6 +2782,11 @@ object PipelineQueries {
     "q167_sft_pipeline"   -> (q167 _),
     "q168_classifier_auc" -> (q168 _),
     "q169_skipgram"       -> (q169 _),
+    "q174_join_explosion" -> (q174 _),
+    "q175_agg_state_merge" -> (q175 _),
+    "q176_fuzzy_linkage"  -> (q176 _),
+    "q177_quota_allocation" -> (q177 _),
+    "q179_snapshot_diff"  -> (q179 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -3005,6 +3134,103 @@ FROM o"""
            WHERE dst IS NOT NULL AND src <> dst)"""
 
   val oracleSql: Map[String, String] = Map(
+    // join-explosion audit: per-key counts and products, never the join
+    "q174_join_explosion" ->
+      """WITH c AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
+           FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
+       SELECT key, n AS n_left, n AS n_right, n * n AS est_rows FROM c""",
+    // incremental agg maintenance: the oracle IS the full recompute the
+    // merge must equal
+    "q175_agg_state_merge" ->
+      """WITH e AS (SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(round(value * 100) AS BIGINT) AS c FROM events)
+       SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(c) AS BIGINT) AS sum_v, min(c) AS min_v,
+              max(c) AS max_v,
+              round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+                AS avg_v
+       FROM e GROUP BY event_type, day""",
+    // fuzzy linkage: planting, two blocking keys, union-distinct pairs,
+    // DuckDB's own jaro_winkler_similarity as the independent scorer
+    "q176_fuzzy_linkage" ->
+      """WITH base AS (SELECT doc_id AS rec_id,
+             lpad(CAST(doc_id % 997 AS VARCHAR), 3, '0') || '-' ||
+             list_value('alpha','bravo','carbon','delta','ember',
+               'falcon','granite','harbor')[CAST(doc_id % 8 AS BIGINT) + 1]
+             || '-' ||
+             lpad(CAST((doc_id * 31) % 997 AS VARCHAR), 3, '0') AS name
+           FROM documents),
+         vr AS (SELECT rec_id + 1000000 AS rec_id,
+             substr(name, 1, CAST((rec_id % len(name)) AS INT)) ||
+             substr(name, CAST((rec_id % len(name)) AS INT) + 2) AS name
+           FROM base WHERE rec_id % 4 = 0),
+         al AS (SELECT * FROM base UNION ALL SELECT * FROM vr),
+         bl AS (SELECT rec_id, name, substr(name, 1, 3) AS bk FROM al
+                UNION ALL
+                SELECT rec_id, name, substr(name, -3, 3) AS bk FROM al),
+         pr AS (SELECT DISTINCT l.rec_id AS id1, r.rec_id AS id2,
+             l.name AS n1, r.name AS n2
+           FROM bl l JOIN bl r ON l.bk = r.bk AND l.rec_id < r.rec_id),
+         sc AS (SELECT id1, id2, n1, n2,
+             jaro_winkler_similarity(n1, n2) AS jw FROM pr)
+       SELECT id1, id2, n1, n2, round(jw, 4) AS jw
+       FROM sc WHERE jw >= 0.9""",
+    // Hamilton allocation: floors, remainders, rank cut — all int64
+    "q177_quota_allocation" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY source),
+         s AS (SELECT source, n, (SELECT sum(n) FROM c) AS t FROM c),
+         b AS (SELECT source, n, (1000 * n) // t AS base,
+             (1000 * n) % t AS rem,
+             1000 - sum((1000 * n) // t) OVER () AS extra,
+             row_number() OVER (ORDER BY (1000 * n) % t DESC, source ASC)
+               AS rk
+           FROM s)
+       SELECT source, n,
+              CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+       FROM b""",
+    // snapshot diff: planting + null-safe per-column comparison, column
+    // list in sorted name order
+    "q179_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, text, lang, source, n_chars
+           FROM documents),
+         m AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN 're-extracted v2: ' ||
+               substr(COALESCE(text, ''), 1, 40) ELSE text END AS text,
+             CASE WHEN doc_id % 17 = 0 THEN NULL ELSE lang END AS lang,
+             source,
+             CASE WHEN doc_id % 7 = 0 THEN CAST(length('re-extracted v2: '
+               || substr(COALESCE(text, ''), 1, 40)) AS BIGINT)
+               ELSE n_chars END AS n_chars
+           FROM documents WHERE doc_id % 13 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000, text, lang, source, n_chars
+           FROM documents WHERE doc_id % 11 = 0),
+         j AS (SELECT COALESCE(o.doc_id, m.doc_id) AS doc_id,
+             o.doc_id IS NOT NULL AS in_old,
+             m.doc_id IS NOT NULL AS in_new,
+             NOT (o.lang IS NOT DISTINCT FROM m.lang) AS d_lang,
+             NOT (o.n_chars IS NOT DISTINCT FROM m.n_chars) AS d_nchars,
+             NOT (o.source IS NOT DISTINCT FROM m.source) AS d_source,
+             NOT (o.text IS NOT DISTINCT FROM m.text) AS d_text
+           FROM o FULL OUTER JOIN m ON m.doc_id = o.doc_id)
+       SELECT doc_id,
+              CASE WHEN NOT in_old THEN 'added'
+                   WHEN NOT in_new THEN 'removed'
+                   WHEN d_lang OR d_nchars OR d_source OR d_text
+                     THEN 'changed'
+                   ELSE 'unchanged' END AS status,
+              CASE WHEN in_old AND in_new THEN
+                COALESCE(array_to_string(list_filter(list_value(
+                  CASE WHEN d_lang THEN 'lang' END,
+                  CASE WHEN d_nchars THEN 'n_chars' END,
+                  CASE WHEN d_source THEN 'source' END,
+                  CASE WHEN d_text THEN 'text' END), x -> x IS NOT NULL),
+                  ','), '')
+                ELSE '' END AS changed_cols
+       FROM j""",
     // fixed-point integer PageRank: 4 iterations, dangling nodes
     // 97-99 redistributed, hub site 0 on top — bit-identical replay
     "q137_centrality" -> pageRankOracle(4),

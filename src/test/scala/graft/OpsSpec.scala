@@ -3966,6 +3966,137 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Option[Double])].collect().head
     assert(rn === ((1L, 1L, 0L, 1L, Some(1.0))))
   }
+
+  test("jaro_winkler: textbook values, floor-halved transpositions, boost gate, empty convention") {
+    import spark.implicits._
+    def jw(a: String, b: String): Double =
+      Seq((a, b)).toDF("a", "b")
+        .selectExpr("jaro_winkler(a, b)").as[Double].head()
+    // Winkler's own canonical example: m=6, t_full=2, prefix 3
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-12)
+    // prefix 2, boost applied
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-12)
+    // jaro <= 0.7: NO boost even with a common prefix
+    assert(math.abs(jw("crane", "atract") - 0.41111111111111115) < 1e-12)
+    // ODD out-of-order count: floor-halved (the fractional-half variant
+    // would give 0.9596 here — the r15 divergence this test pins)
+    assert(math.abs(jw("108-ember-357", "108-mber-357")
+      - 0.967948717948718) < 1e-12)
+    // equal -> 1; either side empty -> 0 (DuckDB convention); no match -> 0
+    assert(jw("abc", "abc") === 1.0)
+    assert(jw("abc", "") === 0.0)
+    assert(jw("", "") === 0.0)
+    assert(jw("a", "b") === 0.0)
+    // null propagates
+    val n = Seq((Some("x"), None: Option[String])).toDF("a", "b")
+      .selectExpr("jaro_winkler(a, b)").collect().head
+    assert(n.isNullAt(0))
+    // symmetric
+    assert(jw("dwayne", "duane") === jw("duane", "dwayne"))
+  }
+
+  test("Incremental: merge(state(A), state(B)) == state(A ++ B); commutative; null groups don't poison extrema") {
+    import graft.ops.Incremental
+    val a = Seq(("x", 1L, 10L), ("x", 1L, 20L), ("y", 2L, 5L))
+      .toDF("k", "d", "v")
+    val b = Seq(("x", 1L, 7L), ("z", 3L, 100L)).toDF("k", "d", "v")
+    val keys = Seq("k", "d")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k", "d").as[(String, Long, Long, Long, Long, Long)]
+        .collect().toSeq
+    val merged = Incremental.merge(
+      Incremental.aggState(a, keys, "v"),
+      Incremental.aggState(b, keys, "v"), keys)
+    val full = Incremental.aggState(a.unionByName(b), keys, "v")
+    assert(canon(merged) === canon(full))
+    val swapped = Incremental.merge(
+      Incremental.aggState(b, keys, "v"),
+      Incremental.aggState(a, keys, "v"), keys)
+    assert(canon(swapped) === canon(full))
+    assert(canon(merged) === Seq(("x", 1L, 3L, 37L, 7L, 20L),
+      ("y", 2L, 1L, 5L, 5L, 5L), ("z", 3L, 1L, 100L, 100L, 100L)))
+    // a group whose values are all NULL: n counts, stats stay null and
+    // never poison the other side's extrema
+    val an = Seq(("x", Some(4L)), ("w", None: Option[Long]))
+      .toDF("k", "v")
+    val bn = Seq(("w", Some(9L))).toDF("k", "v")
+    val mn = Incremental.merge(Incremental.aggState(an, Seq("k"), "v"),
+        Incremental.aggState(bn, Seq("k"), "v"), Seq("k"))
+      .orderBy("k")
+      .as[(String, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(mn === Seq(("w", 2L, Some(9L), Some(9L), Some(9L)),
+      ("x", 1L, Some(4L), Some(4L), Some(4L))))
+    // avg derives at read
+    val av = Incremental.withAvg(merged).filter(col("k") === "x")
+      .select("avg_v").as[Double].head()
+    assert(av === 12.3333)
+    intercept[IllegalArgumentException] {
+      Incremental.merge(a, b, Seq("k"))   // not a state relation
+    }
+  }
+
+  test("hamiltonAllocation: floors + largest remainders, Σquota = budget, tie by stratum asc") {
+    import graft.ops.Sampling
+    // counts 5, 3, 2 over budget 7: exact shares 3.5, 2.1, 1.4 ->
+    // floors 3, 2, 1 (sum 6), one extra to the largest remainder .5
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .toDF("s")
+    val q = Sampling.hamiltonAllocation(df, "s", 7L)
+      .orderBy("s").as[(String, Long, Long)].collect().toSeq
+    assert(q === Seq(("a", 5L, 4L), ("b", 3L, 2L), ("c", 2L, 1L)))
+    assert(q.map(_._3).sum === 7L)
+    // remainder TIE: counts 1,1 budget 1 -> both rem 1/2, stratum asc wins
+    val tie = Sampling.hamiltonAllocation(
+      Seq("b", "a").toDF("s"), "s", 1L)
+      .orderBy("s").as[(String, Long, Long)].collect().toSeq
+    assert(tie === Seq(("a", 1L, 1L), ("b", 1L, 0L)))
+    // budget = total -> every stratum gets exactly its count
+    val all = Sampling.hamiltonAllocation(df, "s", 10L)
+      .as[(String, Long, Long)].collect()
+    assert(all.forall(r => r._2 === r._3))
+    intercept[IllegalArgumentException] {
+      Sampling.hamiltonAllocation(df, "s", -1L)
+    }
+  }
+
+  test("snapshotDiff: added/removed/changed/unchanged, null-safe columns, loud schema mismatch") {
+    import graft.ops.Snapshot
+    val o = Seq((1L, Some("a"), 10L), (2L, Some("b"), 20L),
+      (3L, Some("c"), 30L), (4L, None: Option[String], 40L))
+      .toDF("id", "tag", "n")
+    val n = Seq((1L, Some("a"), 10L),            // unchanged
+      (2L, Some("B"), 20L),                      // changed: tag
+      (4L, Some("d"), 41L),                      // changed: n, tag (null -> value)
+      (5L, Some("e"), 50L))                      // added; 3 removed
+      .toDF("id", "tag", "n")
+    val d = Snapshot.snapshotDiff(o, n, "id")
+      .orderBy("id").as[(Long, String, String)].collect().toSeq
+    assert(d === Seq(
+      (1L, "unchanged", ""),
+      (2L, "changed", "tag"),
+      (3L, "removed", ""),
+      (4L, "changed", "n,tag"),
+      (5L, "added", "")))
+    intercept[IllegalArgumentException] {
+      Snapshot.snapshotDiff(o, n.withColumnRenamed("n", "m"), "id")
+    }
+  }
+
+  test("joinExplosionAudit: per-key products without the join, null keys and one-sided keys drop") {
+    import graft.ops.Validate
+    val l = Seq(Some(1L), Some(1L), Some(1L), Some(2L), None)
+      .toDF("k")
+    val r = Seq(Some(1L), Some(2L), Some(2L), Some(3L), None)
+      .toDF("j")
+    val audit = Validate.joinExplosionAudit(l, r, "k", "j")
+      .orderBy("key").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(audit === Seq((1L, 3L, 1L, 3L), (2L, 1L, 2L, 2L)))
+    // Σ est_rows equals the real inner join's size
+    val real = l.filter(col("k").isNotNull)
+      .join(r, col("k") === col("j")).count()
+    assert(audit.map(_._4).sum === real)
+  }
 }
 
 /** The not-this-build scheme value the loud-load test writes. */

@@ -198,7 +198,12 @@ object ScaleProbe {
     // should track the corpus aggregates, the merge itself is free);
     // and the snapshot diff (id-keyed full-outer at corpus grain)
     "q171_rolling_actives", "q173_mad_outliers", "q176_fuzzy_linkage",
-    "q175_agg_state_merge", "q179_snapshot_diff")
+    "q175_agg_state_merge", "q179_snapshot_diff",
+    // batch-2 r15 arrivals: the column profile's ×5 multi-distinct
+    // Expand is the priced cost (corpus × profiled columns through one
+    // aggregate), and the PIT enrichment's user-keyed equi-join with
+    // the residual interval filter must never degrade to a range scan
+    "q182_column_profile", "q184_pit_enrichment")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -217,6 +217,37 @@ object Validate {
         col("n"))
   }
 
+  /** One-pass column profile — the first thing anyone asks of an
+    * unfamiliar table: per column, rows / nulls / EXACT distincts /
+    * lexicographic min–max of the string CAST (a deliberate profile
+    * convention: one comparable domain for every type, identical in any
+    * engine — "99" > "100" lexicographically, and that's fine for a
+    * profile whose job is drift detection, not arithmetic). All metrics
+    * ride ONE aggregate scan; the multiple exact COUNT(DISTINCT)s cost
+    * an Expand of ×|cols| over the scan (the honest price of exactness
+    * — swap in approx_count_distinct per column when profiling 100 TB
+    * interactively, the shape is unchanged). Output is column-grain:
+    * one row per profiled column.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns: no columns")
+    cols.foreach(c => require(df.columns.contains(c),
+      s"profileColumns: no column '$c' in [${df.columns.mkString(", ")}]"))
+    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: cols.flatMap(c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c).cast("string")).as(s"__mn_$c"),
+        max(col(c).cast("string")).as(s"__mx_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"), col("n_rows"),
+        (col("n_rows") - col(s"__nn_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_s"),
+        col(s"__mx_$c").as("max_s"))): _*)).as("p"))
+      .select("p.*")
+  }
+
   /** Pre-join blast-radius audit — run BEFORE an equi-join whose output
     * size you cannot bound: per key, both sides' cardinalities and their
     * product (the key's exact contribution to the join's output rows).

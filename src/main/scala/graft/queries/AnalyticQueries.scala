@@ -1155,6 +1155,40 @@ object AnalyticQueries {
         (col("n") * 168L > col("t") * 2L).as("is_peak"))
   }
 
+  /** Chi-square goodness-of-fit against hour-of-week uniformity — the
+    * TEST that turns q178's per-cell deviations into one per-type
+    * verdict, kept engine-exact by scaling instead of dividing: with
+    * `E = T/168`, `χ² = Σ(O−E)²/E = [Σ(168·O − T)²] / (168·T)` — the
+    * numerator is a pure integer sum over OBSERVED cells plus `T²` for
+    * each of the `168 − m` never-observed hours (zero cells are real
+    * evidence; dropping them biases the test toward uniformity), the
+    * denominator an integer product, and only the final 4dp report
+    * divides. df = 167 always. Magnitudes: numerator ≤ 168·(168·T)², so
+    * int64 holds through T ≈ 10⁷ events per type — beyond that the
+    * cells themselves are the report. Same two aggregates as q178.
+    */
+  def q180(s: SparkSession, dir: String): DataFrame = {
+    val cells = events(s, dir)
+      .select(col("event_type"),
+        expr("(ts_ns div 1000 div 3600000000) % 168").as("how"))
+      .groupBy(col("event_type"), col("how"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("t"))
+    cells.join(broadcast(tot), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("t")).as("t"), count(lit(1)).as("n_cells"),
+        sum((col("n") * 168L - col("t")) * (col("n") * 168L - col("t")))
+          .as("__s2"))
+      .select(col("event_type"), col("t"), col("n_cells"),
+        (col("__s2") + (lit(168L) - col("n_cells")) * col("t") * col("t"))
+          .as("chi2_num"),
+        (col("t") * 168L).as("chi2_den"),
+        round((col("__s2") + (lit(168L) - col("n_cells")) * col("t") *
+          col("t")).cast("double") / (col("t") * 168L).cast("double"), 4)
+          .as("chi2"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q16_topk"          -> (q16 _),
     "q17_window_rownum" -> (q17 _),
@@ -1203,6 +1237,7 @@ object AnalyticQueries {
     "q172_ewma_engagement" -> (q172 _),
     "q173_mad_outliers" -> (q173 _),
     "q178_seasonality" -> (q178 _),
+    "q180_chi_square" -> (q180 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1279,6 +1314,28 @@ object AnalyticQueries {
               max(dv.d2) AS max_d2
        FROM dv JOIN mad ON mad.event_type = dv.event_type
        GROUP BY dv.event_type""",
+    // chi-square GOF: scaled-integer numerator incl. zero cells,
+    // integer denominator, one 4dp division at the end
+    "q180_chi_square" ->
+      """WITH cells AS (SELECT event_type,
+             (epoch_us(ts) // 3600000000) % 168 AS how,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY event_type,
+             (epoch_us(ts) // 3600000000) % 168),
+         tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t
+           FROM cells GROUP BY event_type),
+         agg AS (SELECT c.event_type, max(t.t) AS t,
+             CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum((c.n * 168 - t.t) * (c.n * 168 - t.t)) AS BIGINT)
+               AS s2
+           FROM cells c JOIN tot t ON t.event_type = c.event_type
+           GROUP BY c.event_type)
+       SELECT event_type, t, n_cells,
+              s2 + (168 - n_cells) * t * t AS chi2_num,
+              t * 168 AS chi2_den,
+              round(CAST(s2 + (168 - n_cells) * t * t AS DOUBLE)
+                / CAST(t * 168 AS DOUBLE), 4) AS chi2
+       FROM agg""",
     // seasonality: integer hour-of-week cells, cross-multiplied
     // deviation and peak flag
     "q178_seasonality" ->

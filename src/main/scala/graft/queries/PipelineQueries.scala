@@ -2669,6 +2669,94 @@ object PipelineQueries {
       mutated, "doc_id")
   }
 
+  /** Classifier calibration (reliability) table — the evaluation q168's
+    * AUC cannot see: AUC only ranks; a trainer THRESHOLDING the score
+    * needs to know whether score deciles track positive rates. Same NB
+    * fit/score split as q168, held-out scores cut into 10 equal-depth
+    * rank buckets (`(rn−1)·10 div n` over the (score, doc_id) order —
+    * ntile's remainder placement is engine-defined, integer rank
+    * arithmetic is not), then per bucket: n, positives, 4dp positive
+    * rate, and the mean score computed from an EXACT DECIMAL(18,4) sum
+    * of the already-4dp scores — a double sum would hash-drift on
+    * order. The global rank window is eval-set-grain by construction
+    * (calibration runs on held-out EVAL sets, never the corpus).
+    */
+  def q181(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    val m = Classify.fitNbClassifier(
+      docs.filter(expr("doc_id div 20") % 2 === 0),
+      "text", col("source") === "src1")
+    val sc = Classify.nbScore(
+        docs.filter(expr("doc_id div 20") % 2 === 1),
+        "doc_id", "text", m)
+      .join(docs.select(col("doc_id"),
+        (col("source") === "src1").as("is_pos")), Seq("doc_id"))
+      .filter(col("nb_logodds").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("nb_logodds"), col("doc_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    sc.withColumn("rn", row_number().over(w))
+      .withColumn("nn", count(lit(1)).over(wAll))
+      .withColumn("bucket", expr("((rn - 1) * 10) div nn"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("is_pos"), 1)).as("n_pos"),
+        sum(col("nb_logodds").cast("decimal(18,4)")).as("__s"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 4)
+          .as("pos_rate"),
+        round(col("__s").cast("double") / col("n").cast("double"), 4)
+          .as("mean_score"))
+  }
+
+  /** One-pass column profile ([[graft.ops.Validate.profileColumns]])
+    * of the documents table — rows / nulls / exact distincts /
+    * lexicographic string-cast min–max per column, all riding one
+    * aggregate scan (the multi-distinct Expand is the priced cost).
+    * The oracle replays each column's metrics as plain aggregates.
+    */
+  def q182(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Validate.profileColumns(t(s, dir)("documents"),
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+
+  /** Point-in-time (PIT) enrichment through the SCD2 door — the
+    * dimensional-correctness join every warehouse needs: a planted
+    * user-tier HISTORY (bronze at day 19723 for everyone; an upgrade at
+    * 19733 for users not divisible by 3; platinum at 19743 for every
+    * 5th) intervalized by [[graft.ops.Snapshot.scdIntervals]], then
+    * every event joined to the tier valid AT ITS event day —
+    * `user_id` equality carries the join (one key shuffle), the
+    * interval test `day ∈ [valid_from, valid_to)` is a residual
+    * filter, so this is an equi-join at any scale, never a range scan.
+    * Rolled up to (tier, event_type) so the hash pins every event's
+    * tier attribution; every event matches exactly one interval (the
+    * intervals partition each user's timeline from day 19723).
+    */
+  def q184(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.events(s, dir).select(col("user_id"),
+      col("event_type"),
+      expr("ts_ns div 1000 div 86400000000").as("day"))
+    val users = e.select(col("user_id")).distinct()
+    def tierRows(flt: Column, day: Long, tier: Column) =
+      users.filter(flt).select(col("user_id"),
+        lit(day).as("version"), lit(false).as("deleted"),
+        tier.as("tier"))
+    val hist = tierRows(lit(true), 19723L, lit("bronze"))
+      .unionByName(tierRows(col("user_id") % 3 =!= 0, 19733L,
+        when(col("user_id") % 2 === 0, "silver").otherwise("gold")))
+      .unionByName(tierRows(col("user_id") % 5 === 0, 19743L,
+        lit("platinum")))
+    val dim = graft.ops.Snapshot.scdIntervals(hist, "user_id")
+      .select(col("user_id").as("d_uid"), col("tier"),
+        col("valid_from"), col("valid_to"))
+    e.join(dim, col("user_id") === col("d_uid") &&
+        col("day") >= col("valid_from") &&
+        (col("valid_to").isNull || col("day") < col("valid_to")))
+      .groupBy(col("tier"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_dedup_keyed"     -> (q21 _),
     "q22_dedup_text_exact" -> (q22 _),
@@ -2787,6 +2875,9 @@ object PipelineQueries {
     "q176_fuzzy_linkage"  -> (q176 _),
     "q177_quota_allocation" -> (q177 _),
     "q179_snapshot_diff"  -> (q179 _),
+    "q181_calibration"    -> (q181 _),
+    "q182_column_profile" -> (q182 _),
+    "q184_pit_enrichment" -> (q184 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -3133,7 +3224,107 @@ FROM o"""
            SELECT DISTINCT src, dst FROM en
            WHERE dst IS NOT NULL AND src <> dst)"""
 
+  /** Shared DuckDB replay of the NB fit-on-even-blocks / score-held-out
+    * pipeline (q168 and q181 consume it): CTEs through `joined`
+    * = (doc_id, s, is_pos) over the held-out half, s NULL when the
+    * doc has no tokens. */
+  private val nbHeldoutCtes: String =
+    """WITH lab AS (SELECT doc_id, text, source = 'src1' AS is_t
+           FROM documents WHERE (doc_id // 20) % 2 = 0),
+         cls AS (SELECT
+               CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE)
+                 AS ndt,
+               CAST(sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END)
+                 AS DOUBLE) AS ndr
+             FROM lab),
+         toks AS (SELECT doc_id, is_t,
+               unnest(string_split(text, ' ')) AS term FROM lab),
+         tc AS (SELECT term,
+               CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE)
+                 AS ct,
+               CAST(sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END)
+                 AS DOUBLE) AS cr
+             FROM toks GROUP BY term),
+         tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr,
+               CAST(count(*) AS DOUBLE) AS v FROM tc),
+         w AS (SELECT term,
+               round(ln((tc.ct + 1.0) / (tot.tt + tot.v * 1.0)) -
+                     ln((tc.cr + 1.0) / (tot.tr + tot.v * 1.0)), 9)
+                 AS w
+             FROM tc CROSS JOIN tot),
+         consts AS (SELECT
+               round(ln(cls.ndt) - ln(cls.ndr), 9) AS bias,
+               round(ln(1.0 / (tot.tt + tot.v * 1.0)) -
+                     ln(1.0 / (tot.tr + tot.v * 1.0)), 9) AS dw
+             FROM cls CROSS JOIN tot),
+         od AS (SELECT doc_id, text, source = 'src1' AS is_pos
+           FROM documents WHERE (doc_id // 20) % 2 = 1),
+         otoks AS (SELECT doc_id,
+               unnest(string_split(text, ' ')) AS term FROM od),
+         dt AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS cnt
+             FROM otoks GROUP BY doc_id, term),
+         sc AS (SELECT dt.doc_id,
+               round(CAST(sum(CAST(
+                   round(dt.cnt * COALESCE(w.w, consts.dw), 9)
+                   AS DECIMAL(38,9))) AS DOUBLE)
+                 + max(consts.bias), 4) AS s
+             FROM dt LEFT JOIN w USING (term) CROSS JOIN consts
+             GROUP BY dt.doc_id),
+         joined AS (SELECT od.doc_id, sc.s, od.is_pos
+             FROM od LEFT JOIN sc USING (doc_id))"""
+
   val oracleSql: Map[String, String] = Map(
+    // calibration: NB replay + integer rank buckets + exact decimal sum
+    "q181_calibration" -> (nbHeldoutCtes +
+      """,
+         v AS (SELECT doc_id, s, is_pos FROM joined WHERE s IS NOT NULL),
+         r AS (SELECT s, is_pos,
+             row_number() OVER (ORDER BY s, doc_id) AS rn,
+             count(*) OVER () AS nn
+           FROM v),
+         b AS (SELECT ((rn - 1) * 10) // nn AS bucket, s, is_pos FROM r)
+       SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+              CAST(count(CASE WHEN is_pos THEN 1 END) AS BIGINT)
+                AS n_pos,
+              round(CAST(count(CASE WHEN is_pos THEN 1 END) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE), 4) AS pos_rate,
+              round(CAST(sum(CAST(s AS DECIMAL(18,4))) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE), 4) AS mean_score
+       FROM b GROUP BY bucket"""),
+    // column profile: per-column aggregates, string-cast min/max
+    "q182_column_profile" -> Seq("doc_id", "text", "lang", "source",
+      "n_chars").map(c =>
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(*) - count($c) AS BIGINT) AS n_null,
+              CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+              min(CAST($c AS VARCHAR)) AS min_s,
+              max(CAST($c AS VARCHAR)) AS max_s
+       FROM documents""").mkString("\n       UNION ALL\n"),
+    // PIT enrichment: planted tier history intervalized via lead(),
+    // residual interval filter over the user_id equi-join
+    "q184_pit_enrichment" ->
+      """WITH e AS (SELECT user_id, event_type,
+             epoch_us(ts) // 86400000000 AS day FROM events),
+         u AS (SELECT DISTINCT user_id FROM e),
+         hist AS (
+           SELECT user_id, 19723 AS version, 'bronze' AS tier FROM u
+           UNION ALL
+           SELECT user_id, 19733,
+             CASE WHEN user_id % 2 = 0 THEN 'silver' ELSE 'gold' END
+           FROM u WHERE user_id % 3 <> 0
+           UNION ALL
+           SELECT user_id, 19743, 'platinum' FROM u
+           WHERE user_id % 5 = 0),
+         dim AS (SELECT user_id AS d_uid, tier, version AS valid_from,
+             lead(version) OVER (PARTITION BY user_id ORDER BY version)
+               AS valid_to
+           FROM hist)
+       SELECT d.tier, e.event_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+       FROM e JOIN dim d ON d.d_uid = e.user_id
+         AND e.day >= d.valid_from
+         AND (d.valid_to IS NULL OR e.day < d.valid_to)
+       GROUP BY d.tier, e.event_type""",
     // join-explosion audit: per-key counts and products, never the join
     "q174_join_explosion" ->
       """WITH c AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
@@ -3252,50 +3443,8 @@ FROM o"""
        FROM p GROUP BY w, c, d HAVING count(*) >= 20""",
     // held-out AUC: the q113 fit/score replay on the split halves,
     // then the doubled-midrank cumulative rank arithmetic
-    "q168_classifier_auc" ->
-      """WITH lab AS (SELECT doc_id, text, source = 'src1' AS is_t
-           FROM documents WHERE (doc_id // 20) % 2 = 0),
-         cls AS (SELECT
-               CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE)
-                 AS ndt,
-               CAST(sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END)
-                 AS DOUBLE) AS ndr
-             FROM lab),
-         toks AS (SELECT doc_id, is_t,
-               unnest(string_split(text, ' ')) AS term FROM lab),
-         tc AS (SELECT term,
-               CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE)
-                 AS ct,
-               CAST(sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END)
-                 AS DOUBLE) AS cr
-             FROM toks GROUP BY term),
-         tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr,
-               CAST(count(*) AS DOUBLE) AS v FROM tc),
-         w AS (SELECT term,
-               round(ln((tc.ct + 1.0) / (tot.tt + tot.v * 1.0)) -
-                     ln((tc.cr + 1.0) / (tot.tr + tot.v * 1.0)), 9)
-                 AS w
-             FROM tc CROSS JOIN tot),
-         consts AS (SELECT
-               round(ln(cls.ndt) - ln(cls.ndr), 9) AS bias,
-               round(ln(1.0 / (tot.tt + tot.v * 1.0)) -
-                     ln(1.0 / (tot.tr + tot.v * 1.0)), 9) AS dw
-             FROM cls CROSS JOIN tot),
-         od AS (SELECT doc_id, text, source = 'src1' AS is_pos
-           FROM documents WHERE (doc_id // 20) % 2 = 1),
-         otoks AS (SELECT doc_id,
-               unnest(string_split(text, ' ')) AS term FROM od),
-         dt AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS cnt
-             FROM otoks GROUP BY doc_id, term),
-         sc AS (SELECT dt.doc_id,
-               round(CAST(sum(CAST(
-                   round(dt.cnt * COALESCE(w.w, consts.dw), 9)
-                   AS DECIMAL(38,9))) AS DOUBLE)
-                 + max(consts.bias), 4) AS s
-             FROM dt LEFT JOIN w USING (term) CROSS JOIN consts
-             GROUP BY dt.doc_id),
-         joined AS (SELECT od.doc_id, sc.s, od.is_pos
-             FROM od LEFT JOIN sc USING (doc_id)),
+    "q168_classifier_auc" -> (nbHeldoutCtes +
+      """,
          nn AS (SELECT CAST(count(CASE WHEN s IS NULL THEN 1 END)
                AS BIGINT) AS n_null FROM joined),
          g AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
@@ -3318,7 +3467,7 @@ FROM o"""
               CASE WHEN n_pos > 0 AND n_neg > 0
                 THEN round(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
                   / CAST(n_pos * 2 * n_neg AS DOUBLE), 6) END AS auc
-       FROM ag""",
+       FROM ag"""),
     // the SFT chain in one hash: parse + mask stats + 4dp-ratio gate
     // + spans for survivors + packing summary
     "q167_sft_pipeline" -> (turnParseCtes +

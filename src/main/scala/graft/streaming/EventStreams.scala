@@ -114,6 +114,28 @@ object EventStreams {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("cnt"), col("sum_value_c"))
 
+  /** Per-(event type, epoch day) algebraic rollup state — the streaming
+    * twin of [[graft.ops.Incremental.aggState]] (q175): the SAME four
+    * mergeable aggregates (n / sum / min / max of exact cents) grouped
+    * by a daily event-time window, so the stream IS incremental
+    * maintenance — each micro-batch folds into state exactly as
+    * `Incremental.merge` folds a delta batch into a stored rollup, and
+    * StreamingSpec pins stream ≡ batch-state equality. Day is the
+    * window's start projected to the integer epoch day AFTER the
+    * aggregation (the [[hourlyByType]] watermark-metadata rule).
+    */
+  def rollupByTypeDay(events: DataFrame,
+                      watermark: String = "2 hours"): DataFrame =
+    tzAware(events)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_v"),
+        min(cents(col("value"))).as("min_v"),
+        max(cents(col("value"))).as("max_v"))
+      .select(col("event_type"),
+        expr("unix_micros(w.start) div 86400000000").as("day"),
+        col("n"), col("sum_v"), col("min_v"), col("max_v"))
+
   /** Stream-static enrichment: each streaming event inner-joined to a
     * STATIC dimension table on `joinKeys` — the standard "annotate the
     * event stream with reference data" pattern. Structured Streaming

@@ -4083,6 +4083,24 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("profileColumns: rows/nulls/exact distincts/lexicographic string min-max in one pass; loud unknown column") {
+    import graft.ops.Validate
+    val df = Seq((1L, Some("a"), 100L), (2L, Some("a"), 99L),
+      (3L, None: Option[String], 2L)).toDF("id", "tag", "v")
+    val p = Validate.profileColumns(df, Seq("id", "tag", "v"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, String, String)].collect().toSeq
+    assert(p === Seq(
+      ("id", 3L, 0L, 3L, "1", "3"),
+      ("tag", 3L, 1L, 1L, "a", "a"),
+      // lexicographic on the CAST: "99" > "100" — the documented
+      // profile convention, identical in DuckDB
+      ("v", 3L, 0L, 3L, "100", "99")))
+    intercept[IllegalArgumentException] {
+      Validate.profileColumns(df, Seq("nope"))
+    }
+  }
+
   test("joinExplosionAudit: per-key products without the join, null keys and one-sided keys drop") {
     import graft.ops.Validate
     val l = Seq(Some(1L), Some(1L), Some(1L), Some(2L), None)

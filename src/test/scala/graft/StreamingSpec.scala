@@ -824,4 +824,42 @@ class StreamingSpec extends SparkSpec {
     assert(counts(0L) === 3) // users 7,14,21 → user_id 0 (id % 7)
     assert(counts(1L) === 1) // user 8 → user_id 1
   }
+
+  test("streaming rollup state == batch aggState == merge of per-batch states (q175 triangle)") {
+    import graft.ops.Incremental
+    def at(id: Long, day: String, typ: String, v: Double) =
+      Ev(id, Timestamp.valueOf(s"$day 10:00:00"), id % 7, typ, v)
+    val b1 = Seq(at(1, "2024-01-01", "click", 1.50),
+      at(2, "2024-01-01", "click", 2.25), at(3, "2024-01-02", "view", 4.00))
+    val b2 = Seq(at(4, "2024-01-01", "click", 0.25),
+      at(5, "2024-01-03", "view", 9.99))
+    val input = MemoryStream[Ev](spark)
+    input.addData(b1: _*)
+    // Complete mode: the memory table IS the full state after each
+    // trigger — exactly the stored rollup a maintenance job keeps
+    val q = EventStreams.rollupByTypeDay(input.toDF())
+      .writeStream.format("memory").queryName("rollup")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("rollup")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    def state(evs: Seq[Ev]) = Incremental.aggState(
+      evs.toDF().select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        cents(col("value")).as("c")),
+      Seq("event_type", "day"), "c")
+    val batch = state(b1 ++ b2)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val merged = Incremental.merge(state(b1), state(b2),
+        Seq("event_type", "day"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(merged === batch)
+    // spot-pin: Jan 1 clicks fold across batches — 3 events, 400 cents
+    assert(streamed.contains(("click", 19723L, 3L, 400L, 25L, 225L)))
+  }
 }

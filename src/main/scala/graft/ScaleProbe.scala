@@ -203,7 +203,12 @@ object ScaleProbe {
     // Expand is the priced cost (corpus × profiled columns through one
     // aggregate), and the PIT enrichment's user-keyed equi-join with
     // the residual interval filter must never degrade to a range scan
-    "q182_column_profile", "q184_pit_enrichment")
+    "q182_column_profile", "q184_pit_enrichment",
+    // batch-3 r15 arrivals: session paths ride the q34 user window plus
+    // a session-keyed aggregate (the array_sort is per-session-bounded);
+    // link components price the star-contraction rounds on a
+    // corpus-derived graph (log² rounds, edge-proportional per round)
+    "q185_session_paths", "q188_link_components")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -1189,6 +1189,105 @@ object AnalyticQueries {
           .as("chi2"))
   }
 
+  /** Session path analysis — the navigation report on top of q34's
+    * gap-sessionization (same 30-minute rule, same (ts, event_id)
+    * ordering): each session's first THREE event types joined into a
+    * path string, counted per path. The path build is deterministic end
+    * to end — rank inside the session window, `array_sort` on (rn,
+    * type) structs before the join (collect_list alone has no order
+    * contract), so the same sessions give the same strings at any
+    * parallelism. Costs the q34 user window + one session-keyed
+    * aggregate + the path-grain count; paths are ≤ |types|³ + |types|²
+    * + |types| distinct.
+    */
+  def q185(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val sess = events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("is_new",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(perUser)
+          > 1800000000L, 1)
+          .when(lag(col("ts_us"), 1).over(perUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("sess", sum(col("is_new")).over(
+        perUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wSess = Window.partitionBy(col("user_id"), col("sess"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    sess.withColumn("rn", row_number().over(wSess))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"), col("sess"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        x => x.getField("event_type")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+  }
+
+  /** Daily-count correlation matrix between event types — "do errors
+    * co-move with purchases?": each type's day×count vector over the
+    * FULL day grid (missing days are REAL zeros — left-joining the
+    * grid, not the sparse counts, is what makes the correlation
+    * honest), Pearson r per unordered type pair computed from five
+    * int64 sums (Σx, Σy, Σxy, Σx², Σy² — exact at any parallelism) with
+    * ONE double expression at the end, 4dp; zero-variance series emit
+    * NULL, never a division error. The grid is days×types cells — tiny
+    * at any corpus scale; the corpus is touched once for the counts.
+    */
+  def q186(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_type"),
+      expr("ts_ns div 1000 div 86400000000").as("d"))
+    val counts = e.groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n"))
+    val days = e.select(col("d")).distinct()
+    val types = e.select(col("event_type")).distinct()
+    val grid = days.crossJoin(types)
+      .join(counts, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val a = grid.select(col("d"), col("event_type").as("type_a"),
+      col("n").as("x"))
+    val b = grid.select(col("d"), col("event_type").as("type_b"),
+      col("n").as("y"))
+    val sums = a.join(b, Seq("d")).filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    sums.select(col("type_a"), col("type_b"), col("n_days"),
+      round((col("n_days") * col("sxy") - col("sx") * col("sy"))
+        .cast("double") /
+        sqrt(((col("n_days") * col("sxx") - col("sx") * col("sx")) *
+          (col("n_days") * col("syy") - col("sy") * col("sy")))
+          .cast("double")), 4).as("r"))
+  }
+
+  /** Bag-semantics set operations through the SQL door — q18 covers the
+    * DISTINCT set ops; INTERSECT ALL / EXCEPT ALL are the multiset
+    * forms (copies matter: a supplier shipping 3 cheap + 2 discounted
+    * lots intersects twice), and both engines implement ANSI bag
+    * semantics, so the IDENTICAL query text is the oracle. Rolled up to
+    * (op, key, n) so the hash pins every multiplicity.
+    */
+  def q187(s: SparkSession, dir: String): DataFrame =
+    sqlDoor(s, dir, BagSetOpsSql)
+
+  private val BagSetOpsSql: String =
+    """WITH a AS (SELECT l_suppkey AS v FROM lineitem
+         WHERE l_quantity < 10),
+       b AS (SELECT l_suppkey AS v FROM lineitem
+         WHERE l_discount > 0.05),
+       i AS (SELECT 'intersect_all' AS op, v
+         FROM (SELECT v FROM a INTERSECT ALL SELECT v FROM b)),
+       e AS (SELECT 'except_all' AS op, v
+         FROM (SELECT v FROM a EXCEPT ALL SELECT v FROM b))
+     SELECT op, v, CAST(count(*) AS BIGINT) AS n
+     FROM (SELECT * FROM i UNION ALL SELECT * FROM e)
+     GROUP BY op, v"""
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q16_topk"          -> (q16 _),
     "q17_window_rownum" -> (q17 _),
@@ -1238,6 +1337,9 @@ object AnalyticQueries {
     "q173_mad_outliers" -> (q173 _),
     "q178_seasonality" -> (q178 _),
     "q180_chi_square" -> (q180 _),
+    "q185_session_paths" -> (q185 _),
+    "q186_type_correlation" -> (q186 _),
+    "q187_bag_set_ops" -> (q187 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1314,6 +1416,58 @@ object AnalyticQueries {
               max(dv.d2) AS max_d2
        FROM dv JOIN mad ON mad.event_type = dv.event_type
        GROUP BY dv.event_type""",
+    // session paths: gap sessionization + in-session ordered string_agg
+    "q185_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS ts_us FROM events),
+         g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+               WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+               ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id
+             ORDER BY ts_us, event_id)),
+         s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id
+               ROWS UNBOUNDED PRECEDING) AS sess
+           FROM g),
+         r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sess
+               ORDER BY ts_us, event_id) AS rn
+           FROM s),
+         p AS (SELECT user_id, sess,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+           FROM r WHERE rn <= 3 GROUP BY user_id, sess)
+       SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+       FROM p GROUP BY path""",
+    // correlation matrix: full day grid (real zeros), five int64 sums,
+    // one double expression
+    "q186_type_correlation" ->
+      """WITH e AS (SELECT event_type,
+             epoch_us(ts) // 86400000000 AS d FROM events),
+         c AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n
+           FROM e GROUP BY event_type, d),
+         days AS (SELECT DISTINCT d FROM e),
+         ty AS (SELECT DISTINCT event_type FROM e),
+         grid AS (SELECT ty.event_type, days.d,
+             COALESCE(c.n, 0) AS n
+           FROM days CROSS JOIN ty
+           LEFT JOIN c ON c.event_type = ty.event_type AND c.d = days.d),
+         pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.n AS x, b.n AS y
+           FROM grid a JOIN grid b ON a.d = b.d
+             AND a.event_type < b.event_type),
+         sm AS (SELECT type_a, type_b,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+           FROM pr GROUP BY type_a, type_b)
+       SELECT type_a, type_b, n_days,
+              round(CAST(n_days * sxy - sx * sy AS DOUBLE) /
+                sqrt(CAST((n_days * sxx - sx * sx)
+                  * (n_days * syy - sy * sy) AS DOUBLE)), 4) AS r
+       FROM sm""",
+    // bag set ops: the IDENTICAL ANSI text runs on both engines
+    "q187_bag_set_ops" -> BagSetOpsSql,
     // chi-square GOF: scaled-integer numerator incl. zero cells,
     // integer denominator, one 4dp division at the end
     "q180_chi_square" ->

@@ -2757,6 +2757,49 @@ object PipelineQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Weakly-connected components over the extracted link graph — the
+    * community/partition structure q162's PageRank ranks within, via
+    * the SAME star-contraction machinery that clusters duplicate docs
+    * (one algorithm, two graphs — the q46 posture): undirected the
+    * directed edges, contract to each component's minimum node in
+    * O(log²) rounds, label every node with its component root and size.
+    * The oracle computes the transitive closure with a recursive CTE
+    * and takes each node's minimum reachable node — a different
+    * algorithm arriving at the same fixpoint, which is exactly what a
+    * components gate should pin.
+    */
+  def q188(s: SparkSession, dir: String): DataFrame = {
+    val links = t(s, dir)("documents")
+      .select(col("doc_id"), plantedLinkText.as("txt"))
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("txt"),
+          lit("(https?://\\S+)"), lit(1))).as("url"))
+    val site = regexp_extract(
+      WebOps.registeredDomain(WebOps.urlHost(col("url"))),
+      "site([0-9]+)", 1)
+    val extracted = links.select((col("doc_id") % 97).as("a_id"),
+        when(site =!= "", site).cast("long").as("b_id"))
+      .filter(col("b_id").isNotNull && col("a_id") =!= col("b_id"))
+    // the extracted graph alone is a single expander component (max
+    // degree 13, still connected under hub cuts — measured), so five
+    // DISJOINT 10-node chains are planted in the 1000+ id range: the
+    // output pins one giant component AND five small ones with sizes,
+    // not just "everything same label"
+    val id = col("doc_id")
+    val chains = t(s, dir)("documents").select(
+      (lit(1000L) + pmod(id, lit(5L)) * 10L + pmod(id, lit(9L)))
+        .as("a_id"),
+      (lit(1000L) + pmod(id, lit(5L)) * 10L + pmod(id, lit(9L)) + 1L)
+        .as("b_id"))
+    val pairs = extracted.unionByName(chains).distinct()
+    val labels = Dedup.dupClusters(pairs, starContraction = true)
+    val sizes = labels.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("comp_size"))
+    labels.join(sizes, Seq("cluster"))
+      .select(col("id").as("node"), col("cluster").as("comp"),
+        col("comp_size"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_dedup_keyed"     -> (q21 _),
     "q22_dedup_text_exact" -> (q22 _),
@@ -2878,6 +2921,7 @@ object PipelineQueries {
     "q181_calibration"    -> (q181 _),
     "q182_column_profile" -> (q182 _),
     "q184_pit_enrichment" -> (q184 _),
+    "q188_link_components" -> (q188 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -3274,6 +3318,30 @@ FROM o"""
              FROM od LEFT JOIN sc USING (doc_id))"""
 
   val oracleSql: Map[String, String] = Map(
+    // link components: transitive closure via recursive CTE, min
+    // reachable node per node — a DIFFERENT algorithm than the engine's
+    // star contraction, same fixpoint
+    "q188_link_components" -> ("WITH RECURSIVE " +
+      linkEdgesSql.stripPrefix("WITH ") +
+      """,
+         pl AS (SELECT DISTINCT
+             1000 + (doc_id % 5) * 10 + (doc_id % 9) AS src,
+             1000 + (doc_id % 5) * 10 + (doc_id % 9) + 1 AS dst
+           FROM documents),
+         alledges AS (SELECT src, dst FROM edges
+                UNION SELECT src, dst FROM pl),
+         ue AS (SELECT src AS a, dst AS b FROM alledges
+                UNION SELECT dst, src FROM alledges),
+         nodes AS (SELECT DISTINCT a AS node FROM ue),
+         reach(node, r) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT ue.b, reach.r FROM reach JOIN ue ON ue.a = reach.node),
+         comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+         sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS comp_size
+           FROM comp GROUP BY comp)
+       SELECT c.node, c.comp, sz.comp_size
+       FROM comp c JOIN sz ON sz.comp = c.comp"""),
     // calibration: NB replay + integer rank buckets + exact decimal sum
     "q181_calibration" -> (nbHeldoutCtes +
       """,

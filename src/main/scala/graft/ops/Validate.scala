@@ -217,6 +217,37 @@ object Validate {
         col("n"))
   }
 
+  /** Functional-dependency audit with exceptions — "does lhs determine
+    * rhs, and if not, how badly": per lhs value, the row count, the
+    * distinct-rhs count, the MAJORITY rhs (count desc, rhs value asc —
+    * a pure function of the data, no tie luck) and the violation count
+    * (rows disagreeing with the majority — the minimum repairs to make
+    * the FD hold, the standard CFD-repair measure). `holds` flags the
+    * clean groups. Cost: one (lhs, rhs)-grain aggregate, then windows
+    * over the cell relation — the corpus enters one shuffle; the cell
+    * relation is domain-sized. NULL rhs counts as a value (an FD that
+    * "holds" by nulling its rhs is a lie worth seeing).
+    */
+  def fdAudit(df: DataFrame, lhsCol: String, rhsCol: String): DataFrame = {
+    val cells = df.groupBy(col(lhsCol), col(rhsCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(lhsCol))
+      .orderBy(col("__cnt").desc,
+        col(rhsCol).cast("string").asc_nulls_last)
+    cells.withColumn("__rk", row_number().over(w))
+      .groupBy(col(lhsCol))
+      .agg(sum(col("__cnt")).as("n"),
+        count(lit(1)).as("n_distinct_rhs"),
+        max(when(col("__rk") === 1, col(rhsCol).cast("string")))
+          .as("majority_rhs"),
+        max(when(col("__rk") === 1, col("__cnt"))).as("majority_n"))
+      .select(col(lhsCol), col("n"), col("n_distinct_rhs"),
+        col("majority_rhs"),
+        (col("n") - col("majority_n")).as("n_violations"),
+        (col("n_distinct_rhs") === 1L).as("holds"))
+  }
+
   /** One-pass column profile — the first thing anyone asks of an
     * unfamiliar table: per column, rows / nulls / EXACT distincts /
     * lexicographic min–max of the string CAST (a deliberate profile

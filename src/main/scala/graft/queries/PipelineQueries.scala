@@ -2800,6 +2800,81 @@ object PipelineQueries {
         col("comp_size"))
   }
 
+  /** Reciprocal-best-match linkage — the entity-resolution refinement
+    * on q176's thresholded pairs: each side's BEST counterpart under
+    * (jw desc, id asc), kept only when MUTUAL (a's best is b AND b's
+    * best is a) — the standard reciprocal-best-hit rule that turns a
+    * many-many candidate cloud into confident 1:1 links without a
+    * global matching solve. Directionalize the undirected pairs, one
+    * rank window per direction (same partitioning), semi-join the two
+    * argmaxes. Pair-relation-sized throughout.
+    */
+  def q189(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q176(s, dir)
+    val directed = pairs.select(col("id1").as("a"), col("id2").as("b"),
+        col("jw"))
+      .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b"),
+        col("jw")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a")).orderBy(col("jw").desc, col("b").asc)
+    val best = directed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("a"), col("b"), col("jw"))
+    val back = best.select(col("a").as("b2"), col("b").as("a2"))
+    best.join(back, col("a") === col("a2") && col("b") === col("b2"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("id1"), col("b").as("id2"), col("jw"))
+  }
+
+  /** Functional-dependency audit ([[graft.ops.Validate.fdAudit]]) of
+    * source → lang over the documents corpus — the data-quality
+    * question "is language determined by source, and if not, what's
+    * the minimum repair": per source, rows / distinct langs / the
+    * deterministic majority lang / violations (rows off the majority)
+    * / the holds flag. The synthetic corpus spreads every lang across
+    * every source, so violations are real and the majority rule's
+    * (count desc, value asc) tie-break is exercised. Oracle replays
+    * cells + the rank window.
+    */
+  def q190(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Validate.fdAudit(t(s, dir)("documents"), "source", "lang")
+
+  /** Inter-arrival-time percentiles per event type — the latency-style
+    * summary (q170's exact order-statistic posture) applied to a
+    * DERIVED series: per-type deltas between consecutive events (lag
+    * over the (ts, event_id) order, first event excluded), then exact
+    * rank-k P50/P90/P99 in integer microseconds. Two windows over the
+    * SAME event_type partitioning — the lag and the rank share one
+    * exchange.
+    */
+  def q191(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val deltas = graft.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("delta_us",
+        col("ts_us") - lag(col("ts_us"), 1).over(wOrd))
+      .filter(col("delta_us").isNotNull)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("delta_us").asc, col("event_id").asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    deltas.withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        min(col("delta_us")).as("min_us"),
+        max(col("delta_us")).as("max_us"),
+        max(when(col("rn") === expr("(n * 50 + 99) div 100"),
+          col("delta_us"))).as("p50_us"),
+        max(when(col("rn") === expr("(n * 90 + 99) div 100"),
+          col("delta_us"))).as("p90_us"),
+        max(when(col("rn") === expr("(n * 99 + 99) div 100"),
+          col("delta_us"))).as("p99_us"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_dedup_keyed"     -> (q21 _),
     "q22_dedup_text_exact" -> (q22 _),
@@ -2922,6 +2997,9 @@ object PipelineQueries {
     "q182_column_profile" -> (q182 _),
     "q184_pit_enrichment" -> (q184 _),
     "q188_link_components" -> (q188 _),
+    "q189_mutual_best"    -> (q189 _),
+    "q190_fd_audit"       -> (q190 _),
+    "q191_interarrival"   -> (q191 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -3317,7 +3395,86 @@ FROM o"""
          joined AS (SELECT od.doc_id, sc.s, od.is_pos
              FROM od LEFT JOIN sc USING (doc_id))"""
 
+  /** Shared DuckDB replay of the q176 blocking + jaro_winkler scoring
+    * pipeline (q176 and q189 consume it): emits the thresholded
+    * (id1, id2, n1, n2, jw) pair relation. */
+  private val fuzzyLinkageSql: String =
+    """WITH base AS (SELECT doc_id AS rec_id,
+             lpad(CAST(doc_id % 997 AS VARCHAR), 3, '0') || '-' ||
+             list_value('alpha','bravo','carbon','delta','ember',
+               'falcon','granite','harbor')[CAST(doc_id % 8 AS BIGINT) + 1]
+             || '-' ||
+             lpad(CAST((doc_id * 31) % 997 AS VARCHAR), 3, '0') AS name
+           FROM documents),
+         vr AS (SELECT rec_id + 1000000 AS rec_id,
+             substr(name, 1, CAST((rec_id % len(name)) AS INT)) ||
+             substr(name, CAST((rec_id % len(name)) AS INT) + 2) AS name
+           FROM base WHERE rec_id % 4 = 0),
+         al AS (SELECT * FROM base UNION ALL SELECT * FROM vr),
+         bl AS (SELECT rec_id, name, substr(name, 1, 3) AS bk FROM al
+                UNION ALL
+                SELECT rec_id, name, substr(name, -3, 3) AS bk FROM al),
+         pr AS (SELECT DISTINCT l.rec_id AS id1, r.rec_id AS id2,
+             l.name AS n1, r.name AS n2
+           FROM bl l JOIN bl r ON l.bk = r.bk AND l.rec_id < r.rec_id),
+         sc AS (SELECT id1, id2, n1, n2,
+             jaro_winkler_similarity(n1, n2) AS jw FROM pr)
+       SELECT id1, id2, n1, n2, round(jw, 4) AS jw
+       FROM sc WHERE jw >= 0.9"""
+
   val oracleSql: Map[String, String] = Map(
+    // reciprocal best: directionalized argmax per side, mutual keep
+    "q189_mutual_best" -> (s"WITH pairs AS ($fuzzyLinkageSql)," +
+      """
+         d AS (SELECT id1 AS a, id2 AS b, jw FROM pairs
+               UNION ALL SELECT id2, id1, jw FROM pairs),
+         r AS (SELECT a, b, jw, row_number() OVER (PARTITION BY a
+               ORDER BY jw DESC, b ASC) AS rn
+           FROM d),
+         best AS (SELECT a, b, jw FROM r WHERE rn = 1)
+       SELECT x.a AS id1, x.b AS id2, x.jw
+       FROM best x JOIN best y ON y.a = x.b AND y.b = x.a
+       WHERE x.a < x.b"""),
+    // FD audit: (lhs, rhs) cells + deterministic majority rank window
+    "q190_fd_audit" ->
+      """WITH cells AS (SELECT source, lang,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM documents GROUP BY source, lang),
+         r AS (SELECT *, row_number() OVER (PARTITION BY source
+               ORDER BY cnt DESC, CAST(lang AS VARCHAR) ASC NULLS LAST)
+               AS rk
+           FROM cells)
+       SELECT source, CAST(sum(cnt) AS BIGINT) AS n,
+              CAST(count(*) AS BIGINT) AS n_distinct_rhs,
+              max(CASE WHEN rk = 1 THEN CAST(lang AS VARCHAR) END)
+                AS majority_rhs,
+              CAST(sum(cnt) - max(CASE WHEN rk = 1 THEN cnt END)
+                AS BIGINT) AS n_violations,
+              count(*) = 1 AS holds
+       FROM r GROUP BY source""",
+    // inter-arrival percentiles: lag deltas + exact integer rank picks
+    "q191_interarrival" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us
+           FROM events),
+         d AS (SELECT event_type, event_id,
+             ts_us - lag(ts_us) OVER (PARTITION BY event_type
+               ORDER BY ts_us, event_id) AS delta_us
+           FROM e),
+         f AS (SELECT * FROM d WHERE delta_us IS NOT NULL),
+         r AS (SELECT event_type, delta_us,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY delta_us, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM f)
+       SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+              min(delta_us) AS min_us, max(delta_us) AS max_us,
+              max(CASE WHEN rn = (n * 50 + 99) // 100
+                THEN delta_us END) AS p50_us,
+              max(CASE WHEN rn = (n * 90 + 99) // 100
+                THEN delta_us END) AS p90_us,
+              max(CASE WHEN rn = (n * 99 + 99) // 100
+                THEN delta_us END) AS p99_us
+       FROM r GROUP BY event_type""",
     // link components: transitive closure via recursive CTE, min
     // reachable node per node — a DIFFERENT algorithm than the engine's
     // star contraction, same fixpoint
@@ -3412,29 +3569,7 @@ FROM o"""
        FROM e GROUP BY event_type, day""",
     // fuzzy linkage: planting, two blocking keys, union-distinct pairs,
     // DuckDB's own jaro_winkler_similarity as the independent scorer
-    "q176_fuzzy_linkage" ->
-      """WITH base AS (SELECT doc_id AS rec_id,
-             lpad(CAST(doc_id % 997 AS VARCHAR), 3, '0') || '-' ||
-             list_value('alpha','bravo','carbon','delta','ember',
-               'falcon','granite','harbor')[CAST(doc_id % 8 AS BIGINT) + 1]
-             || '-' ||
-             lpad(CAST((doc_id * 31) % 997 AS VARCHAR), 3, '0') AS name
-           FROM documents),
-         vr AS (SELECT rec_id + 1000000 AS rec_id,
-             substr(name, 1, CAST((rec_id % len(name)) AS INT)) ||
-             substr(name, CAST((rec_id % len(name)) AS INT) + 2) AS name
-           FROM base WHERE rec_id % 4 = 0),
-         al AS (SELECT * FROM base UNION ALL SELECT * FROM vr),
-         bl AS (SELECT rec_id, name, substr(name, 1, 3) AS bk FROM al
-                UNION ALL
-                SELECT rec_id, name, substr(name, -3, 3) AS bk FROM al),
-         pr AS (SELECT DISTINCT l.rec_id AS id1, r.rec_id AS id2,
-             l.name AS n1, r.name AS n2
-           FROM bl l JOIN bl r ON l.bk = r.bk AND l.rec_id < r.rec_id),
-         sc AS (SELECT id1, id2, n1, n2,
-             jaro_winkler_similarity(n1, n2) AS jw FROM pr)
-       SELECT id1, id2, n1, n2, round(jw, 4) AS jw
-       FROM sc WHERE jw >= 0.9""",
+    "q176_fuzzy_linkage" -> fuzzyLinkageSql,
     // Hamilton allocation: floors, remainders, rank cut — all int64
     "q177_quota_allocation" ->
       """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n

@@ -136,6 +136,27 @@ object EventStreams {
         expr("unix_micros(w.start) div 86400000000").as("day"),
         col("n"), col("sum_v"), col("min_v"), col("max_v"))
 
+  /** Sliding-window distinct actives — the streaming twin of q171's
+    * rolling 7-day WAU: every event lands in 7 overlapping daily-slide
+    * windows, per-window distinct users via stateful dedup on
+    * (user, window), then the window count — the chained
+    * stateful-operator shape (dedup → agg) Spark supports in APPEND
+    * mode, so only watermark-finalized windows emit, exactly the
+    * at-most-once-per-user-per-window contract the batch coverage
+    * explosion computes. `day` is the last day the window covers
+    * (start + 6), matching q171's report-day convention.
+    */
+  def rollingActives(events: DataFrame,
+                     watermark: String = "2 hours"): DataFrame =
+    tzAware(events)
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), window(col("ts"), "7 days", "1 day").as("w"))
+      .dropDuplicates("user_id", "w")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("wau"))
+      .select((expr("unix_micros(w.start) div 86400000000") + 6L)
+        .as("day"), col("wau"))
+
   /** Stream-static enrichment: each streaming event inner-joined to a
     * STATIC dimension table on `joinKeys` — the standard "annotate the
     * event stream with reference data" pattern. Structured Streaming

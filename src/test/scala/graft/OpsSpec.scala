@@ -4101,6 +4101,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("fdAudit: majority with deterministic tie-break, violations = minimum repairs, NULL rhs is a value") {
+    import graft.ops.Validate
+    val df = Seq(
+      ("s1", Some("en")), ("s1", Some("en")), ("s1", Some("de")),
+      // s2: 2-2 tie -> value asc wins ("de")
+      ("s2", Some("en")), ("s2", Some("en")), ("s2", Some("de")),
+      ("s2", Some("de")),
+      ("s3", Some("fr")),
+      // s4: NULL rhs is a real value and a real violation
+      ("s4", Some("en")), ("s4", None)).toDF("src", "lang")
+    val a = Validate.fdAudit(df, "src", "lang")
+      .orderBy("src")
+      .as[(String, Long, Long, String, Long, Boolean)].collect().toSeq
+    assert(a === Seq(
+      ("s1", 3L, 2L, "en", 1L, false),
+      ("s2", 4L, 2L, "de", 2L, false),
+      ("s3", 1L, 1L, "fr", 0L, true),
+      ("s4", 2L, 2L, "en", 1L, false)))
+  }
+
   test("joinExplosionAudit: per-key products without the join, null keys and one-sided keys drop") {
     import graft.ops.Validate
     val l = Seq(Some(1L), Some(1L), Some(1L), Some(2L), None)

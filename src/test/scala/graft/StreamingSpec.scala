@@ -862,4 +862,38 @@ class StreamingSpec extends SparkSpec {
     // spot-pin: Jan 1 clicks fold across batches — 3 events, 400 cents
     assert(streamed.contains(("click", 19723L, 3L, 400L, 25L, 225L)))
   }
+
+  test("streaming rolling actives: finalized sliding windows match the batch coverage explosion (q171 twin)") {
+    def at(id: Long, day: String, uid: Long) =
+      Ev(id, Timestamp.valueOf(s"$day 12:00:00"), uid, "click", 1.0)
+    // users 1,2 active Jan 1; user 1 again Jan 3; user 3 Jan 5
+    val evs = Seq(at(1, "2024-01-01", 1), at(2, "2024-01-01", 2),
+      at(3, "2024-01-03", 1), at(4, "2024-01-05", 3))
+    val input = MemoryStream[Ev](spark)
+    input.addData(evs: _*)
+    val q = EventStreams.rollingActives(input.toDF())
+      .writeStream.format("memory").queryName("wau")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // a far-future clock event finalizes every January window
+      input.addData(at(99, "2024-03-01", 9))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("wau").as[(Long, Long)].collect().toSet
+    // batch twin: coverage explosion over (user, day), every covered
+    // report day (ALL slide positions, matching window()'s semantics)
+    val batch = evs.toDF()
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("d"))
+      .distinct()
+      .select(col("user_id"), explode(expr("sequence(d, d + 6)")).as("rd"))
+      .groupBy(col("rd"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    // spot-pin: Jan 5 (epoch day 19727) sees user 1 (from Jan 3),
+    // user 3 (that day) — user 2's Jan 1 is still in the 7-day window
+    assert(streamed.contains((19727L, 3L)))
+  }
 }

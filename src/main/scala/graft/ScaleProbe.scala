@@ -208,7 +208,12 @@ object ScaleProbe {
     // a session-keyed aggregate (the array_sort is per-session-bounded);
     // link components price the star-contraction rounds on a
     // corpus-derived graph (log² rounds, edge-proportional per round)
-    "q185_session_paths", "q188_link_components")
+    "q185_session_paths", "q188_link_components",
+    // batch-5 r15 arrivals: the reconciliation join (line-side
+    // aggregate + header join — both corpus-grain) and the time-travel
+    // sweep (5 epoch reads over the ~1.5×-corpus history, each one
+    // version-filtered id window — production runs ONE)
+    "q193_reconciliation", "q194_time_travel")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

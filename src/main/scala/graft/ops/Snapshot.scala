@@ -174,6 +174,29 @@ object Snapshot {
         col("valid_to").isNull.as("is_current")): _*)
   }
 
+  /** Time-travel read: the corpus AS OF `at` — the reproducibility
+    * move behind "re-run the experiment on exactly the data the model
+    * saw": restrict the change history to versions ≤ `at`, keep each
+    * id's winner under the [[applyChanges]] rule (highest version,
+    * delete wins ties), drop tombstoned winners. Pure function of
+    * (history, at) — the same `at` always reads the same corpus. One
+    * id-keyed window over the version-filtered history; the filter
+    * prunes before the exchange, so reading an old snapshot costs the
+    * history UP TO IT, never the full log.
+    */
+  def asOf(history: DataFrame, idCol: String, at: Long,
+           versionCol: String = "version",
+           deleteCol: String = "deleted"): DataFrame = {
+    require(!history.columns.contains("__rn"),
+      "asOf adds column __rn which already exists in the input")
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col(versionCol).desc, col(deleteCol).desc)
+    history.filter(col(versionCol) <= at)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col(deleteCol))
+      .drop("__rn")
+  }
+
   /** Snapshot diff — the audit BETWEEN corpus versions the mutation ops
     * above produce: per id, `added` / `removed` / `changed` /
     * `unchanged`, and for changed rows the sorted comma-joined list of

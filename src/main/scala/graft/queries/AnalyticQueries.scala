@@ -1288,6 +1288,59 @@ object AnalyticQueries {
      FROM (SELECT * FROM i UNION ALL SELECT * FROM e)
      GROUP BY op, v"""
 
+  /** Pareto / ABC classification of suppliers by revenue — the
+    * concentration report behind every "top vendors drive 80%"
+    * statement: revenue cents per supplier, cumulative share in
+    * descending-revenue order (supplier asc breaks revenue ties), class
+    * A while cum ≤ 80% of total, B to 95%, else C — thresholds
+    * CROSS-MULTIPLIED (`cum·5 ≤ total·4`, `cum·20 ≤ total·19`), so the
+    * class is a pure integer function. One corpus aggregate to supplier
+    * grain, then windows over the supplier-cardinality relation (the
+    * global cum window never sees the corpus).
+    */
+  def q192(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir)("lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("rev_c"))
+    val wCum = Window.orderBy(col("rev_c").desc, col("l_suppkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    rev.withColumn("cum_c", sum(col("rev_c")).over(wCum))
+      .withColumn("total_c", sum(col("rev_c")).over(wAll))
+      .select(col("l_suppkey"), col("rev_c"), col("cum_c"),
+        when(col("cum_c") * 5L <= col("total_c") * 4L, "A")
+          .when(col("cum_c") * 20L <= col("total_c") * 19L, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
+  /** Cross-table reconciliation audit — does the order header's total
+    * agree with its lines? The warehouse-integrity check run after
+    * every load: per order status, order count, headers disagreeing
+    * with the exact-cents line sum (orders with NO lines reconcile
+    * against 0 — absence is a statement, not a skip), the summed and
+    * maximum absolute deviation. All integer cents; one line-side
+    * aggregate + one header join. The synthetic fixture disagrees
+    * everywhere — the audit's job is to SAY so, pinned by hash.
+    */
+  def q193(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir)("lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("li_c"))
+    t(s, dir)("orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("o_c"))
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderstatus"),
+        (col("o_c") - coalesce(col("li_c"), lit(0L))).as("dev"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(when(col("dev") =!= 0L, 1)).as("n_mismatched"),
+        sum(abs(col("dev"))).as("sum_abs_dev_c"),
+        max(abs(col("dev"))).as("max_abs_dev_c"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q16_topk"          -> (q16 _),
     "q17_window_rownum" -> (q17 _),
@@ -1340,6 +1393,8 @@ object AnalyticQueries {
     "q185_session_paths" -> (q185 _),
     "q186_type_correlation" -> (q186 _),
     "q187_bag_set_ops" -> (q187 _),
+    "q192_pareto_abc" -> (q192 _),
+    "q193_reconciliation" -> (q193 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1416,6 +1471,39 @@ object AnalyticQueries {
               max(dv.d2) AS max_d2
        FROM dv JOIN mad ON mad.event_type = dv.event_type
        GROUP BY dv.event_type""",
+    // Pareto/ABC: cumulative share in (rev desc, key asc) order,
+    // cross-multiplied 80/95 cuts
+    "q192_pareto_abc" ->
+      """WITH rev AS (SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+               * 100) AS BIGINT)) AS BIGINT) AS rev_c
+           FROM lineitem GROUP BY l_suppkey),
+         c AS (SELECT l_suppkey, rev_c,
+             sum(rev_c) OVER (ORDER BY rev_c DESC, l_suppkey ASC
+               ROWS UNBOUNDED PRECEDING) AS cum_c,
+             sum(rev_c) OVER () AS total_c
+           FROM rev)
+       SELECT l_suppkey, rev_c, CAST(cum_c AS BIGINT) AS cum_c,
+              CASE WHEN cum_c * 5 <= total_c * 4 THEN 'A'
+                   WHEN cum_c * 20 <= total_c * 19 THEN 'B'
+                   ELSE 'C' END AS abc_class
+       FROM c""",
+    // reconciliation: exact-cents line sums vs header, no-lines -> 0
+    "q193_reconciliation" ->
+      """WITH li AS (SELECT l_orderkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+               * 100) AS BIGINT)) AS BIGINT) AS li_c
+           FROM lineitem GROUP BY l_orderkey),
+         d AS (SELECT o.o_orderstatus,
+             CAST(round(o.o_totalprice * 100) AS BIGINT)
+               - COALESCE(li.li_c, 0) AS dev
+           FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey)
+       SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(count(CASE WHEN dev <> 0 THEN 1 END) AS BIGINT)
+                AS n_mismatched,
+              CAST(sum(abs(dev)) AS BIGINT) AS sum_abs_dev_c,
+              CAST(max(abs(dev)) AS BIGINT) AS max_abs_dev_c
+       FROM d GROUP BY o_orderstatus""",
     // session paths: gap sessionization + in-session ordered string_agg
     "q185_session_paths" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

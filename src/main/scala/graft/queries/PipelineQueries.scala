@@ -1863,7 +1863,13 @@ object PipelineQueries {
     * gaps, single-interval inserts. The oracle replays the whole
     * history, the tie-rank, the lead() and the NOT-deleted cut.
     */
-  def q140(s: SparkSession, dir: String): DataFrame = {
+  def q140(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Snapshot.scdIntervals(q140Hist(s, dir), "doc_id")
+
+  /** The planted change history shared by q140 (SCD2 intervalization)
+    * and q194 (as-of time travel): six waves of edits, deletes, inserts
+    * and revivals over the documents corpus. */
+  private def q140Hist(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir)("documents")
     val id = col("doc_id")
     def wave(f: Column => Column, ver: Long, del: Boolean,
@@ -1873,7 +1879,7 @@ object PipelineQueries {
     val base = docs.select(id, col("source"), col("text"),
       lit(0L).as("version"), lit(false).as("deleted"))
     val txt = coalesce(col("text"), lit(""))
-    val hist = base
+    base
       .unionByName(wave(_ % 5 === 0, 1L, del = false,
         concat(txt, lit(" v2-edit"))))
       .unionByName(wave(_ % 7 === 0, 1L, del = true, col("text")))
@@ -1884,7 +1890,6 @@ object PipelineQueries {
       .unionByName(wave(_ % 35 === 0, 3L, del = false,
         concat(lit("revived "), txt)))
       .unionByName(wave(_ % 21 === 0, 4L, del = true, col("text")))
-    graft.ops.Snapshot.scdIntervals(hist, "doc_id")
   }
 
   /** Blocked edit-distance near-dup join
@@ -2875,6 +2880,29 @@ object PipelineQueries {
           col("delta_us"))).as("p99_us"))
   }
 
+  /** Time-travel reads ([[graft.ops.Snapshot.asOf]]) across every
+    * version of the q140 change history — the reproducibility
+    * guarantee: "the corpus the model saw" is a pure function of
+    * (history, at). One summary row per `at` ∈ 0..4 — doc count, total
+    * text length, version sum — so the hash pins each epoch's exact
+    * membership AND content provenance; a production read runs ONE
+    * `at`, the 5-way union here is the gate sweeping every epoch,
+    * including the delete wave (at=1 shrinks), the revival (at=3
+    * grows), and the second delete (at=4).
+    */
+  def q194(s: SparkSession, dir: String): DataFrame = {
+    val hist = q140Hist(s, dir)
+    (0L to 4L).map { at =>
+      graft.ops.Snapshot.asOf(hist, "doc_id", at)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(coalesce(col("text"), lit("")))).cast("long")
+            .as("sum_len"),
+          sum(col("version")).as("sum_ver"))
+        .select(lit(at).as("at"), col("n_docs"), col("sum_len"),
+          col("sum_ver"))
+    }.reduce(_ unionByName _)
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_dedup_keyed"     -> (q21 _),
     "q22_dedup_text_exact" -> (q22 _),
@@ -3000,6 +3028,7 @@ object PipelineQueries {
     "q189_mutual_best"    -> (q189 _),
     "q190_fd_audit"       -> (q190 _),
     "q191_interarrival"   -> (q191 _),
+    "q194_time_travel"    -> (q194 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -3422,7 +3451,54 @@ FROM o"""
        SELECT id1, id2, n1, n2, round(jw, 4) AS jw
        FROM sc WHERE jw >= 0.9"""
 
+  /** Shared DuckDB replay of the q140 change-history planting (q140
+    * and q194 consume it): CTEs through `hist` = (doc_id, source,
+    * text, version, deleted). */
+  private val q140HistCtes: String =
+    """WITH base AS (SELECT doc_id, source, text,
+             CAST(0 AS BIGINT) AS version, false AS deleted
+           FROM documents),
+         u1 AS (SELECT doc_id, source,
+             coalesce(text, '') || ' v2-edit' AS text,
+             CAST(1 AS BIGINT), false
+           FROM documents WHERE doc_id % 5 = 0),
+         d1 AS (SELECT doc_id, source, text, CAST(1 AS BIGINT), true
+           FROM documents WHERE doc_id % 7 = 0),
+         i1 AS (SELECT doc_id + 1000000 AS doc_id, source,
+             'fresh ' || coalesce(text, '') AS text,
+             CAST(1 AS BIGINT), false
+           FROM documents WHERE doc_id % 11 = 0),
+         u2 AS (SELECT doc_id, source,
+             coalesce(text, '') || ' v3-edit' AS text,
+             CAST(2 AS BIGINT), false
+           FROM documents WHERE doc_id % 10 = 0),
+         r3 AS (SELECT doc_id, source,
+             'revived ' || coalesce(text, '') AS text,
+             CAST(3 AS BIGINT), false
+           FROM documents WHERE doc_id % 35 = 0),
+         d4 AS (SELECT doc_id, source, text, CAST(4 AS BIGINT), true
+           FROM documents WHERE doc_id % 21 = 0),
+         hist AS (SELECT * FROM base UNION ALL SELECT * FROM u1
+           UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM i1
+           UNION ALL SELECT * FROM u2 UNION ALL SELECT * FROM r3
+           UNION ALL SELECT * FROM d4),"""
+
   val oracleSql: Map[String, String] = Map(
+    // time travel: per-at winners under the merge rule, tombstones out
+    "q194_time_travel" -> (q140HistCtes +
+      """
+         ats AS (SELECT unnest(range(0, 5)) AS at),
+         hv AS (SELECT a.at, h.* FROM hist h JOIN ats a
+             ON h.version <= a.at),
+         r AS (SELECT *, row_number() OVER (PARTITION BY at, doc_id
+               ORDER BY version DESC,
+                 CASE WHEN deleted THEN 1 ELSE 0 END DESC) AS rn
+           FROM hv),
+         w AS (SELECT * FROM r WHERE rn = 1 AND NOT deleted)
+       SELECT at, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS sum_len,
+              CAST(sum(version) AS BIGINT) AS sum_ver
+       FROM w GROUP BY at"""),
     // reciprocal best: directionalized argmax per side, mutual keep
     "q189_mutual_best" -> (s"WITH pairs AS ($fuzzyLinkageSql)," +
       """
@@ -4069,34 +4145,8 @@ FROM o"""
        WHERE levenshtein(a.t, b.t) <= 2""",
     // SCD2: 5-wave history replayed — tie-rank dedup (delete wins),
     // lead() intervals, tombstones close but never appear, revive gap
-    "q140_scd_intervals" ->
-      """WITH base AS (SELECT doc_id, source, text,
-             CAST(0 AS BIGINT) AS version, false AS deleted
-           FROM documents),
-         u1 AS (SELECT doc_id, source,
-             coalesce(text, '') || ' v2-edit' AS text,
-             CAST(1 AS BIGINT), false
-           FROM documents WHERE doc_id % 5 = 0),
-         d1 AS (SELECT doc_id, source, text, CAST(1 AS BIGINT), true
-           FROM documents WHERE doc_id % 7 = 0),
-         i1 AS (SELECT doc_id + 1000000 AS doc_id, source,
-             'fresh ' || coalesce(text, '') AS text,
-             CAST(1 AS BIGINT), false
-           FROM documents WHERE doc_id % 11 = 0),
-         u2 AS (SELECT doc_id, source,
-             coalesce(text, '') || ' v3-edit' AS text,
-             CAST(2 AS BIGINT), false
-           FROM documents WHERE doc_id % 10 = 0),
-         r3 AS (SELECT doc_id, source,
-             'revived ' || coalesce(text, '') AS text,
-             CAST(3 AS BIGINT), false
-           FROM documents WHERE doc_id % 35 = 0),
-         d4 AS (SELECT doc_id, source, text, CAST(4 AS BIGINT), true
-           FROM documents WHERE doc_id % 21 = 0),
-         hist AS (SELECT * FROM base UNION ALL SELECT * FROM u1
-           UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM i1
-           UNION ALL SELECT * FROM u2 UNION ALL SELECT * FROM r3
-           UNION ALL SELECT * FROM d4),
+    "q140_scd_intervals" -> (q140HistCtes +
+      """
          ded AS (SELECT *, row_number() OVER (
              PARTITION BY doc_id, version
              ORDER BY CASE WHEN deleted THEN 1 ELSE 0 END DESC) AS rn
@@ -4110,7 +4160,7 @@ FROM o"""
            FROM ev)
        SELECT doc_id, source, text, valid_from, valid_to,
               valid_to IS NULL AS is_current
-       FROM iv WHERE NOT deleted""",
+       FROM iv WHERE NOT deleted"""),
     // HTML strip: planted wrapper rebuilt, the 7-step chain replayed
     // with RE2 regexes + literal replaces, &amp; decoded LAST
     "q139_html_extract" ->

@@ -4101,6 +4101,24 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("asOf: each epoch reads its exact corpus — edits supersede, tombstones drop, same-version delete wins") {
+    import graft.ops.Snapshot
+    val hist = Seq(
+      (1L, "a0", 0L, false), (1L, "a1", 1L, false),  // edited at 1
+      (2L, "b0", 0L, false), (2L, "b0", 2L, true),   // deleted at 2
+      (3L, "c1", 1L, false),                          // inserted at 1
+      // id 4: update AND delete at the same version -> delete wins
+      (4L, "d0", 0L, false), (4L, "d1", 1L, false), (4L, "d1", 1L, true))
+      .toDF("id", "text", "version", "deleted")
+    def read(at: Long) = Snapshot.asOf(hist, "id", at)
+      .select("id", "text").as[(Long, String)].collect().toSet
+    assert(read(0L) === Set((1L, "a0"), (2L, "b0"), (4L, "d0")))
+    assert(read(1L) === Set((1L, "a1"), (2L, "b0"), (3L, "c1")))
+    assert(read(2L) === Set((1L, "a1"), (3L, "c1")))
+    // reproducibility: the same `at` twice is bit-identical
+    assert(read(1L) === read(1L))
+  }
+
   test("fdAudit: majority with deterministic tie-break, violations = minimum repairs, NULL rhs is a value") {
     import graft.ops.Validate
     val df = Seq(

@@ -190,9 +190,9 @@ object ScaleProbe {
     "q166_lang_id_model", "q162_link_pagerank",
     // r15 arrivals, on-arrival: rolling actives (user-day dedup + the
     // fixed ×7 coverage explode — the explode factor is the WINDOW, so
-    // its ratio must track rows); MAD outliers (two window passes over
-    // the SAME event_type partitioning — the exchange reuse is the
-    // probe); fuzzy linkage (blocked quadratic like q141, digit-block
+    // its ratio must track rows); MAD outliers (three corpus passes,
+    // the exact-MAD floor — its ratio prices the multi-pass honestly);
+    // fuzzy linkage (blocked quadratic like q141, digit-block
     // bounded, plus the native jaro_winkler scan); the agg-state merge
     // (two key-grain states + a rollup-sized outer join — its ratio
     // should track the corpus aggregates, the merge itself is free);

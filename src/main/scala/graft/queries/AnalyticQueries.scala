@@ -1093,10 +1093,13 @@ object AnalyticQueries {
     * stats; = 2·median for both parities), `d2 = |2·x − med2|`
     * (= 2·deviation, integer), `m2d = lo + hi` over d2 (= 4·MAD), and
     * the flag `dev > 3·MAD` cross-multiplies to `2·d2 > 3·m2d` — no
-    * division anywhere. Two window passes over the SAME event_type
-    * partitioning (one exchange, reused) + the broadcast-sized
-    * per-type medians joined back; the value at a rank is
-    * deterministic under duplicate values regardless of tie order.
+    * division anywhere. Cost: three corpus passes (value ranks →
+    * deviation ranks → the flag count), which is the honest floor for
+    * EXACT MAD — the deviations don't exist until the median does, and
+    * the flag needs the deviations' median; each pass shuffles on
+    * event_type once, the per-type medians travel by broadcast. The
+    * value at a rank is deterministic under duplicate values
+    * regardless of tie order.
     */
   def q173(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir).select(col("event_type"),

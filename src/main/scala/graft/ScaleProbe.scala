@@ -213,7 +213,11 @@ object ScaleProbe {
     // aggregate + header join — both corpus-grain) and the time-travel
     // sweep (5 epoch reads over the ~1.5×-corpus history, each one
     // version-filtered id window — production runs ONE)
-    "q193_reconciliation", "q194_time_travel")
+    "q193_reconciliation", "q194_time_travel",
+    // batch-6 r15 arrival: session baskets ride the q34 user window,
+    // the (session, type) dedup shuffle and the per-session ≤|types|²
+    // pair join — its ratio must track the event stream
+    "q198_session_baskets")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

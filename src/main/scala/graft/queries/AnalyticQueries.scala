@@ -1344,6 +1344,125 @@ object AnalyticQueries {
         max(abs(col("dev"))).as("max_abs_dev_c"))
   }
 
+  /** Daily-count anomaly screen — q173's robust median/MAD machinery
+    * applied at DAY grain: per event type, the exact scaled-integer
+    * median (med2) and MAD (m2d) of its daily counts over the full day
+    * grid (missing days are real zeros, the q186 rule), then every
+    * day flagged where `|count − median| > 3·MAD`, cross-multiplied to
+    * `2·d2 > 3·m2d`. The output is day-grain (type, day, n, d2,
+    * is_anomaly) so the hash pins every day's verdict; all windows run
+    * over the days×types grid, corpus touched once for the counts.
+    */
+  def q196(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_type"),
+      expr("ts_ns div 1000 div 86400000000").as("d"))
+    val counts = e.groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n"))
+    val grid = e.select(col("d")).distinct()
+      .crossJoin(e.select(col("event_type")).distinct())
+      .join(counts, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("n").asc, col("d").asc)
+    val wAll = Window.partitionBy(col("event_type"))
+    val ranked = grid.withColumn("rn", row_number().over(wOrd))
+      .withColumn("m", count(lit(1)).over(wAll))
+    val med = ranked.groupBy(col("event_type")).agg(
+      sum(when(col("rn") === expr("(m + 1) div 2"), col("n"))
+        .otherwise(lit(0L)) +
+        when(col("rn") === expr("m div 2 + 1"), col("n"))
+          .otherwise(lit(0L))).as("med2"))
+    val dev = grid.join(broadcast(med), Seq("event_type"))
+      .withColumn("d2", abs(col("n") * 2L - col("med2")))
+    val wD = Window.partitionBy(col("event_type"))
+      .orderBy(col("d2").asc, col("d").asc)
+    val wM = Window.partitionBy(col("event_type"))
+    val mad = dev.withColumn("rn", row_number().over(wD))
+      .withColumn("m", count(lit(1)).over(wM))
+      .groupBy(col("event_type")).agg(
+        sum(when(col("rn") === expr("(m + 1) div 2"), col("d2"))
+          .otherwise(lit(0L)) +
+          when(col("rn") === expr("m div 2 + 1"), col("d2"))
+            .otherwise(lit(0L))).as("m2d"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_type"), col("d").as("day"), col("n"),
+        col("d2"), (col("d2") * 2L > col("m2d") * 3L).as("is_anomaly"))
+  }
+
+  /** Cumulative-distinct growth curve — "total distinct users to date"
+    * per day, the audience-growth line every dashboard draws. The
+    * scalable shape: distinct users collapse to their FIRST-ACTIVE day
+    * (one user-keyed aggregate — the q130 cohort relation), new-user
+    * counts per first day, then ONE running sum over the day-grain
+    * relation joined to the observed-day grid (days with no new users
+    * still report the running total). The corpus enters one shuffle;
+    * the cumulative window never sees it.
+    */
+  def q197(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"),
+      expr("ts_ns div 1000 div 86400000000").as("d"))
+    val firstDay = e.groupBy(col("user_id")).agg(min(col("d")).as("fd"))
+      .groupBy(col("fd")).agg(count(lit(1)).as("new_users"))
+    val days = e.select(col("d")).distinct()
+    val wCum = Window.orderBy(col("d").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(firstDay, col("d") === col("fd"), "left")
+      .select(col("d"), coalesce(col("new_users"), lit(0L))
+        .as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(wCum))
+      .select(col("d").as("day"), col("new_users"), col("cum_users"))
+  }
+
+  /** Session-basket association (support / confidence / lift) between
+    * event types — market-basket analysis with q34's gap sessions as
+    * baskets: for every ordered type pair (a ≠ b), sessions containing
+    * both / either, confidence = P(b ∈ s | a ∈ s) and lift =
+    * P(a,b) / (P(a)·P(b)), each a 4dp division of exact int64 counts
+    * (`lift = n_ab·n_sessions / (n_a·n_b)` computed as ONE double
+    * expression from integers — no chained rounding). Baskets dedup to
+    * (session, type) first, so pair counts are session-grain; the pair
+    * join is per-session |types|² ≤ 25, never corpus².
+    */
+  def q198(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val sess = events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("is_new",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(perUser)
+          > 1800000000L, 1)
+          .when(lag(col("ts_us"), 1).over(perUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("sess", sum(col("is_new")).over(
+        perUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("sess"), col("event_type")).distinct()
+    val tot = sess.select(col("user_id"), col("sess")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val typeN = sess.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_t"))
+    val a = sess.select(col("user_id"), col("sess"),
+      col("event_type").as("type_a"))
+    val b = sess.select(col("user_id"), col("sess"),
+      col("event_type").as("type_b"))
+    a.join(b, Seq("user_id", "sess"))
+      .filter(col("type_a") =!= col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(typeN.select(col("event_type").as("type_a"),
+        col("n_t").as("n_a"))), Seq("type_a"))
+      .join(broadcast(typeN.select(col("event_type").as("type_b"),
+        col("n_t").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        round(col("n_ab").cast("double") / col("n_a").cast("double"), 4)
+          .as("confidence"),
+        round((col("n_ab") * col("n_sessions")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 4).as("lift"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q16_topk"          -> (q16 _),
     "q17_window_rownum" -> (q17 _),
@@ -1398,6 +1517,9 @@ object AnalyticQueries {
     "q187_bag_set_ops" -> (q187 _),
     "q192_pareto_abc" -> (q192 _),
     "q193_reconciliation" -> (q193 _),
+    "q196_daily_anomalies" -> (q196 _),
+    "q197_growth_cumulative" -> (q197 _),
+    "q198_session_baskets" -> (q198 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1474,6 +1596,86 @@ object AnalyticQueries {
               max(dv.d2) AS max_d2
        FROM dv JOIN mad ON mad.event_type = dv.event_type
        GROUP BY dv.event_type""",
+    // daily MAD anomalies: full grid, scaled-integer median/MAD at day
+    // grain, cross-multiplied flag per day
+    "q196_daily_anomalies" ->
+      """WITH e AS (SELECT event_type,
+             epoch_us(ts) // 86400000000 AS d FROM events),
+         c AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n
+           FROM e GROUP BY event_type, d),
+         grid AS (SELECT t.event_type, days.d, COALESCE(c.n, 0) AS n
+           FROM (SELECT DISTINCT d FROM e) days
+           CROSS JOIN (SELECT DISTINCT event_type FROM e) t
+           LEFT JOIN c ON c.event_type = t.event_type AND c.d = days.d),
+         r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+               ORDER BY n, d) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS m
+           FROM grid),
+         med AS (SELECT event_type,
+             CAST(sum(CASE WHEN rn = (m + 1) // 2 THEN n ELSE 0 END)
+               + sum(CASE WHEN rn = m // 2 + 1 THEN n ELSE 0 END)
+               AS BIGINT) AS med2
+           FROM r GROUP BY event_type),
+         dv AS (SELECT g.event_type, g.d, g.n,
+             abs(g.n * 2 - med.med2) AS d2
+           FROM grid g JOIN med ON med.event_type = g.event_type),
+         rd AS (SELECT *, row_number() OVER (PARTITION BY event_type
+               ORDER BY d2, d) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS m
+           FROM dv),
+         mad AS (SELECT event_type,
+             CAST(sum(CASE WHEN rn = (m + 1) // 2 THEN d2 ELSE 0 END)
+               + sum(CASE WHEN rn = m // 2 + 1 THEN d2 ELSE 0 END)
+               AS BIGINT) AS m2d
+           FROM rd GROUP BY event_type)
+       SELECT dv.event_type, dv.d AS day, dv.n, dv.d2,
+              dv.d2 * 2 > mad.m2d * 3 AS is_anomaly
+       FROM dv JOIN mad ON mad.event_type = dv.event_type""",
+    // cumulative distinct growth: first-active day + one running sum
+    "q197_growth_cumulative" ->
+      """WITH e AS (SELECT user_id,
+             epoch_us(ts) // 86400000000 AS d FROM events),
+         fd AS (SELECT user_id, min(d) AS fd FROM e GROUP BY user_id),
+         nu AS (SELECT fd, CAST(count(*) AS BIGINT) AS new_users
+           FROM fd GROUP BY fd),
+         days AS (SELECT DISTINCT d FROM e)
+       SELECT days.d AS day, COALESCE(nu.new_users, 0) AS new_users,
+              CAST(sum(COALESCE(nu.new_users, 0)) OVER (ORDER BY days.d
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+       FROM days LEFT JOIN nu ON nu.fd = days.d""",
+    // session baskets: sessionize, dedup to (session, type), pair join,
+    // exact-count lift in one double expression
+    "q198_session_baskets" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS ts_us FROM events),
+         g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+               WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+               ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id
+             ORDER BY ts_us, event_id)),
+         s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id
+               ROWS UNBOUNDED PRECEDING) AS sess
+           FROM g),
+         bk AS (SELECT DISTINCT user_id, sess, event_type FROM s),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions
+           FROM (SELECT DISTINCT user_id, sess FROM bk)),
+         tn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+           FROM bk GROUP BY event_type),
+         pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+           FROM bk a JOIN bk b ON a.user_id = b.user_id
+             AND a.sess = b.sess AND a.event_type <> b.event_type
+           GROUP BY a.event_type, b.event_type)
+       SELECT pr.type_a, pr.type_b, pr.n_ab,
+              ta.n_t AS n_a, tb.n_t AS n_b,
+              round(CAST(pr.n_ab AS DOUBLE) / CAST(ta.n_t AS DOUBLE), 4)
+                AS confidence,
+              round(CAST(pr.n_ab * tot.n_sessions AS DOUBLE)
+                / CAST(ta.n_t * tb.n_t AS DOUBLE), 4) AS lift
+       FROM pr JOIN tn ta ON ta.event_type = pr.type_a
+       JOIN tn tb ON tb.event_type = pr.type_b
+       CROSS JOIN tot""",
     // Pareto/ABC: cumulative share in (rev desc, key asc) order,
     // cross-multiplied 80/95 cuts
     "q192_pareto_abc" ->

@@ -2903,6 +2903,45 @@ object PipelineQueries {
     }.reduce(_ unionByName _)
   }
 
+  /** Weight-of-evidence / information-value binning — the classic
+    * credit-scoring read of q181's calibration buckets: per score
+    * decile, `WOE = ln((pos_share)/(neg_share))` with 0.5 Laplace
+    * smoothing per bucket (a zero-positive bucket must score finitely),
+    * and the bucket's IV term `(pos_share − neg_share)·WOE`. Every
+    * share is a ratio of int64 counts; WOE and IV are each ONE double
+    * expression over those integers (no chained rounding), 6dp. Same
+    * NB fit/score split and integer rank buckets as q181.
+    */
+  def q195(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    val m = Classify.fitNbClassifier(
+      docs.filter(expr("doc_id div 20") % 2 === 0),
+      "text", col("source") === "src1")
+    val sc = Classify.nbScore(
+        docs.filter(expr("doc_id div 20") % 2 === 1),
+        "doc_id", "text", m)
+      .join(docs.select(col("doc_id"),
+        (col("source") === "src1").as("is_pos")), Seq("doc_id"))
+      .filter(col("nb_logodds").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("nb_logodds"), col("doc_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val buckets = sc.withColumn("rn", row_number().over(w))
+      .withColumn("nn", count(lit(1)).over(wAll))
+      .withColumn("bucket", expr("((rn - 1) * 10) div nn"))
+      .groupBy(col("bucket"))
+      .agg(count(when(col("is_pos"), 1)).as("n_pos"),
+        count(when(!col("is_pos"), 1)).as("n_neg"))
+    val tot = buckets.agg(sum(col("n_pos")).as("tp"),
+      sum(col("n_neg")).as("tn"))
+    val pShare = (col("n_pos") + 0.5) / (col("tp") + 5.0)
+    val nShare = (col("n_neg") + 0.5) / (col("tn") + 5.0)
+    buckets.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_pos"), col("n_neg"),
+        round(log(pShare / nShare), 6).as("woe"),
+        round((pShare - nShare) * log(pShare / nShare), 6).as("iv_term"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_dedup_keyed"     -> (q21 _),
     "q22_dedup_text_exact" -> (q22 _),
@@ -3029,6 +3068,7 @@ object PipelineQueries {
     "q190_fd_audit"       -> (q190 _),
     "q191_interarrival"   -> (q191 _),
     "q194_time_travel"    -> (q194 _),
+    "q195_woe_binning"    -> (q195 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -3484,6 +3524,30 @@ FROM o"""
            UNION ALL SELECT * FROM d4),"""
 
   val oracleSql: Map[String, String] = Map(
+    // WOE/IV: NB replay + rank buckets + smoothed shares, each metric
+    // one double expression over int64 counts
+    "q195_woe_binning" -> (nbHeldoutCtes +
+      """,
+         v AS (SELECT doc_id, s, is_pos FROM joined WHERE s IS NOT NULL),
+         rk AS (SELECT s, is_pos,
+             row_number() OVER (ORDER BY s, doc_id) AS rn,
+             count(*) OVER () AS nn
+           FROM v),
+         b AS (SELECT ((rn - 1) * 10) // nn AS bucket,
+             CAST(count(CASE WHEN is_pos THEN 1 END) AS BIGINT)
+               AS n_pos,
+             CAST(count(CASE WHEN NOT is_pos THEN 1 END) AS BIGINT)
+               AS n_neg
+           FROM rk GROUP BY ((rn - 1) * 10) // nn),
+         t AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM b)
+       SELECT bucket, n_pos, n_neg,
+              round(ln(((n_pos + 0.5) / (tp + 5.0))
+                / ((n_neg + 0.5) / (tn + 5.0))), 6) AS woe,
+              round(((n_pos + 0.5) / (tp + 5.0)
+                - (n_neg + 0.5) / (tn + 5.0))
+                * ln(((n_pos + 0.5) / (tp + 5.0))
+                  / ((n_neg + 0.5) / (tn + 5.0))), 6) AS iv_term
+       FROM b CROSS JOIN t"""),
     // time travel: per-at winners under the merge rule, tombstones out
     "q194_time_travel" -> (q140HistCtes +
       """

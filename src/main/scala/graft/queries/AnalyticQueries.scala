@@ -1463,6 +1463,70 @@ object AnalyticQueries {
           (col("n_a") * col("n_b")).cast("double"), 4).as("lift"))
   }
 
+  /** 2-D skyline (Pareto frontier) — the parts no other part beats on
+    * BOTH price (minimize, exact cents) and size (maximize): p is
+    * dominated iff some q has (price < p's ∧ size ≥ p's) or
+    * (price ≤ p's ∧ size > p's). For two dimensions the frontier falls
+    * out of ONE sort: two RANGE-frame running maxima over the integer
+    * price ordering — `m1` = best size strictly cheaper (RANGE …
+    * AND 1 PRECEDING on cents), `m2` = best size at-or-cheaper — and
+    * the dominance test is two integer comparisons; equal-(price, size)
+    * rows are all frontier (no strict beat), the weak-dominance
+    * convention both engines replay. One exchange; the n² definition
+    * never executes.
+    */
+  def q199(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir)("part").select(col("p_partkey"),
+      cents(col("p_retailprice")).as("price_c"),
+      col("p_size").cast("long").as("size"))
+    val wLt = Window.orderBy(col("price_c"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wLe = Window.orderBy(col("price_c"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    p.withColumn("m1", max(col("size")).over(wLt))
+      .withColumn("m2", max(col("size")).over(wLe))
+      .filter(!(coalesce(col("m1") >= col("size"), lit(false)) ||
+        col("m2") > col("size")))
+      .select(col("p_partkey"), col("price_c"), col("size"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic — "do clicks and
+    * views spend from the same distribution?": D = max |F₁ − F₂| over
+    * the pooled support, cross-multiplied to stay integral —
+    * `D_num = max |cum₁·n₂ − cum₂·n₁|`, `D = D_num / (n₁·n₂)` — so the
+    * max runs over exact int64 and only the final 6dp report divides
+    * (int64 holds through n ≈ 3·10⁹ per side; past that the same
+    * algebra runs in decimal). Cumulative counts advance at DISTINCT
+    * value grain, so ties contribute after their full mass, the
+    * textbook ECDF convention. One value-grain aggregate + one ordered
+    * window over the distinct-value relation.
+    */
+  def q200(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), cents(col("value")).as("c"))
+    val cells = e.groupBy(col("c")).agg(
+      count(when(col("event_type") === "click", 1)).as("n1c"),
+      count(when(col("event_type") === "view", 1)).as("n2c"))
+    val wCum = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    cells
+      .withColumn("cum1", sum(col("n1c")).over(wCum))
+      .withColumn("cum2", sum(col("n2c")).over(wCum))
+      .withColumn("n1", sum(col("n1c")).over(wAll))
+      .withColumn("n2", sum(col("n2c")).over(wAll))
+      .select(col("n1"), col("n2"),
+        abs(col("cum1") * col("n2") - col("cum2") * col("n1"))
+          .as("num"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(col("num")).as("d_num"))
+      .select(col("n1"), col("n2"), col("d_num"),
+        (col("n1") * col("n2")).as("d_den"),
+        round(col("d_num").cast("double") /
+          (col("n1") * col("n2")).cast("double"), 6).as("d"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q16_topk"          -> (q16 _),
     "q17_window_rownum" -> (q17 _),
@@ -1520,6 +1584,8 @@ object AnalyticQueries {
     "q196_daily_anomalies" -> (q196 _),
     "q197_growth_cumulative" -> (q197 _),
     "q198_session_baskets" -> (q198 _),
+    "q199_skyline" -> (q199 _),
+    "q200_ks_test" -> (q200 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1596,6 +1662,47 @@ object AnalyticQueries {
               max(dv.d2) AS max_d2
        FROM dv JOIN mad ON mad.event_type = dv.event_type
        GROUP BY dv.event_type""",
+    // skyline: two RANGE-frame running maxima over the price ordering,
+    // weak-dominance in two integer comparisons
+    "q199_skyline" ->
+      """WITH p AS (SELECT p_partkey,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+             CAST(p_size AS BIGINT) AS size FROM part),
+         m AS (SELECT *,
+             max(size) OVER (ORDER BY price_c
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS m1,
+             max(size) OVER (ORDER BY price_c
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS m2
+           FROM p)
+       SELECT p_partkey, price_c, size FROM m
+       WHERE NOT (COALESCE(m1 >= size, false) OR m2 > size)""",
+    // KS: distinct-value ECDF, cross-multiplied integer numerator,
+    // one 6dp division at the end
+    "q200_ks_test" ->
+      """WITH e AS (SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS c
+           FROM events WHERE event_type IN ('click', 'view')),
+         cells AS (SELECT c,
+             CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+               AS BIGINT) AS n1c,
+             CAST(count(CASE WHEN event_type = 'view' THEN 1 END)
+               AS BIGINT) AS n2c
+           FROM e GROUP BY c),
+         cum AS (SELECT
+             sum(n1c) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+               AS cum1,
+             sum(n2c) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+               AS cum2,
+             sum(n1c) OVER () AS n1, sum(n2c) OVER () AS n2
+           FROM cells)
+       SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+              CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+              CAST(n1 * n2 AS BIGINT) AS d_den,
+              round(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+                / CAST(n1 * n2 AS DOUBLE), 6) AS d
+       FROM cum GROUP BY n1, n2""",
     // daily MAD anomalies: full grid, scaled-integer median/MAD at day
     // grain, cross-multiplied flag per day
     "q196_daily_anomalies" ->

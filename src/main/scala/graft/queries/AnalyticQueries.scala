@@ -1527,6 +1527,125 @@ object AnalyticQueries {
           (col("n1") * col("n2")).cast("double"), 6).as("d"))
   }
 
+  /** Weighted median per group — the order statistic where each row
+    * carries mass (median line price weighted by quantity, the "what
+    * does the median UNIT sell at" question the unweighted q170 median
+    * can't answer): rank within group by (price, orderkey, linenumber),
+    * running weight, and the weighted median is the FIRST value whose
+    * doubled cumulative weight reaches the total (`2·cumw ≥ totw`) —
+    * all int64, no interpolation, deterministic under value ties
+    * because equal values are interchangeable at a rank. One
+    * group-keyed exchange carrying both windows.
+    */
+  def q201(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir)("lineitem").select(col("l_returnflag"),
+      cents(col("l_extendedprice")).as("price_c"),
+      col("l_quantity").cast("long").as("w"),
+      col("l_orderkey"), col("l_linenumber"))
+    val wOrd = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("price_c").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    li.withColumn("cumw", sum(col("w")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("totw", sum(col("w")).over(wAll))
+      .filter(col("cumw") * 2L >= col("totw"))
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("totw"),
+        col("price_c").as("wmedian_c"))
+  }
+
+  /** Gini concentration index over supplier revenue — the inequality
+    * number behind q192's ABC classes: with revenues sorted ascending,
+    * `G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)` — numerator and denominator
+    * exact int64 (value ties commute: swapping equal x across ranks
+    * leaves Σ i·xᵢ unchanged, so the tie-break never shows), one 6dp
+    * division at the end. Supplier-cardinality windows after one
+    * corpus aggregate.
+    */
+  def q202(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir)("lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("rev_c"))
+    val wOrd = Window.orderBy(col("rev_c").asc, col("l_suppkey").asc)
+    rev.withColumn("i", row_number().over(wOrd))
+      .agg(count(lit(1)).as("n"), sum(col("rev_c")).as("sum_c"),
+        sum(col("i") * col("rev_c")).as("iwsum"))
+      .select(col("n"), col("sum_c"),
+        (col("iwsum") * 2L - (col("n") + 1L) * col("sum_c"))
+          .as("gini_num"),
+        (col("n") * col("sum_c")).as("gini_den"),
+        round((col("iwsum") * 2L - (col("n") + 1L) * col("sum_c"))
+          .cast("double") /
+          (col("n") * col("sum_c")).cast("double"), 6).as("gini"))
+  }
+
+  /** Per-type linear trend of daily counts — "is traffic growing":
+    * OLS slope / intercept / r² per event type over the full day grid
+    * (x = day − first day, y = count incl. real zeros), every
+    * coefficient ONE double expression over five exact int64 sums
+    * (Σx, Σy, Σxy, Σx², Σy² — the q186 posture), 6dp; zero-variance
+    * series emit NULL. Grid-grain arithmetic after one corpus
+    * aggregate.
+    */
+  def q203(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_type"),
+      expr("ts_ns div 1000 div 86400000000").as("d"))
+    val counts = e.groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n"))
+    val d0 = e.agg(min(col("d")).as("d0"))
+    val grid = e.select(col("d")).distinct()
+      .crossJoin(e.select(col("event_type")).distinct())
+      .join(counts, Seq("event_type", "d"), "left")
+      .crossJoin(broadcast(d0))
+      .select(col("event_type"), (col("d") - col("d0")).as("x"),
+        coalesce(col("n"), lit(0L)).as("y"))
+    val sums = grid.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val slopeNum = (col("m") * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val slopeDen = (col("m") * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val r2den = ((col("m") * col("sxx") - col("sx") * col("sx")) *
+      (col("m") * col("syy") - col("sy") * col("sy"))).cast("double")
+    sums.select(col("event_type"), col("m").as("n_days"),
+      round(slopeNum / slopeDen, 6).as("slope"),
+      round((col("sy").cast("double") - (slopeNum / slopeDen) *
+        col("sx").cast("double")) / col("m").cast("double"), 6)
+        .as("intercept"),
+      round(slopeNum * slopeNum / r2den, 6).as("r2"))
+  }
+
+  /** Benford first-digit screen on order totals — the fraud-analytics
+    * classic: leading-digit counts of `o_totalprice` cents vs Benford's
+    * expectation log₁₀(1 + 1/d). Counts are exact int64; the observed
+    * share is one 4dp division, the expected share a CONSTANT per digit
+    * (both engines evaluate the same literal expression), and the
+    * deviation their 4dp difference. One corpus aggregate to 9 rows.
+    */
+  def q204(s: SparkSession, dir: String): DataFrame = {
+    val digit = substring(cents(col("o_totalprice")).cast("string"), 1, 1)
+      .cast("long")
+    val counts = t(s, dir)("orders")
+      .select(digit.as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("t"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("d"), col("n"),
+        round(col("n").cast("double") / col("t").cast("double"), 4)
+          .as("share"),
+        round(log(10.0, lit(1.0) + lit(1.0) / col("d")
+          .cast("double")), 4).as("benford"),
+        round(col("n").cast("double") / col("t").cast("double") -
+          log(10.0, lit(1.0) + lit(1.0) / col("d").cast("double")),
+          4).as("dev"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q16_topk"          -> (q16 _),
     "q17_window_rownum" -> (q17 _),
@@ -1586,6 +1705,10 @@ object AnalyticQueries {
     "q198_session_baskets" -> (q198 _),
     "q199_skyline" -> (q199 _),
     "q200_ks_test" -> (q200 _),
+    "q201_weighted_median" -> (q201 _),
+    "q202_gini" -> (q202 _),
+    "q203_trend_ols" -> (q203 _),
+    "q204_benford" -> (q204 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1662,6 +1785,88 @@ object AnalyticQueries {
               max(dv.d2) AS max_d2
        FROM dv JOIN mad ON mad.event_type = dv.event_type
        GROUP BY dv.event_type""",
+    // weighted median: doubled cumulative weight reaches total, first
+    // qualifying value per group
+    "q201_weighted_median" ->
+      """WITH li AS (SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+           FROM lineitem),
+         c AS (SELECT *,
+             sum(w) OVER (PARTITION BY l_returnflag
+               ORDER BY price_c, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS cumw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS totw
+           FROM li),
+         f AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY price_c, l_orderkey, l_linenumber) AS rn
+           FROM c WHERE cumw * 2 >= totw)
+       SELECT l_returnflag, CAST(totw AS BIGINT) AS totw,
+              price_c AS wmedian_c
+       FROM f WHERE rn = 1""",
+    // Gini: exact integer numerator/denominator, ascending rank sum
+    "q202_gini" ->
+      """WITH rev AS (SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+               * 100) AS BIGINT)) AS BIGINT) AS rev_c
+           FROM lineitem GROUP BY l_suppkey),
+         r AS (SELECT rev_c, row_number() OVER (ORDER BY rev_c ASC,
+               l_suppkey ASC) AS i
+           FROM rev),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rev_c) AS BIGINT) AS sum_c,
+             CAST(sum(i * rev_c) AS BIGINT) AS iwsum
+           FROM r)
+       SELECT n, sum_c, iwsum * 2 - (n + 1) * sum_c AS gini_num,
+              n * sum_c AS gini_den,
+              round(CAST(iwsum * 2 - (n + 1) * sum_c AS DOUBLE)
+                / CAST(n * sum_c AS DOUBLE), 6) AS gini
+       FROM a""",
+    // OLS trend: full grid, five int64 sums, one double expression per
+    // coefficient
+    "q203_trend_ols" ->
+      """WITH e AS (SELECT event_type,
+             epoch_us(ts) // 86400000000 AS d FROM events),
+         c AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n
+           FROM e GROUP BY event_type, d),
+         d0 AS (SELECT min(d) AS d0 FROM e),
+         grid AS (SELECT t.event_type, days.d - d0.d0 AS x,
+             COALESCE(c.n, 0) AS y
+           FROM (SELECT DISTINCT d FROM e) days
+           CROSS JOIN (SELECT DISTINCT event_type FROM e) t
+           CROSS JOIN d0
+           LEFT JOIN c ON c.event_type = t.event_type AND c.d = days.d),
+         s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+           FROM grid GROUP BY event_type)
+       SELECT event_type, m AS n_days,
+              round(CAST(m * sxy - sx * sy AS DOUBLE)
+                / CAST(m * sxx - sx * sx AS DOUBLE), 6) AS slope,
+              round((CAST(sy AS DOUBLE) - (CAST(m * sxy - sx * sy
+                AS DOUBLE) / CAST(m * sxx - sx * sx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / CAST(m AS DOUBLE), 6)
+                AS intercept,
+              round(CAST(m * sxy - sx * sy AS DOUBLE)
+                * CAST(m * sxy - sx * sy AS DOUBLE)
+                / CAST((m * sxx - sx * sx) * (m * syy - sy * sy)
+                  AS DOUBLE), 6) AS r2
+       FROM s""",
+    // Benford: exact counts, constant expectation per digit, 4dp
+    "q204_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice
+             * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d
+           FROM orders),
+         c AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY d),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
+       SELECT d, n,
+              round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 4) AS share,
+              round(log10(1.0 + 1.0 / CAST(d AS DOUBLE)), 4) AS benford,
+              round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+                - log10(1.0 + 1.0 / CAST(d AS DOUBLE)), 4) AS dev
+       FROM c CROSS JOIN t""",
     // skyline: two RANGE-frame running maxima over the price ordering,
     // weak-dominance in two integer comparisons
     "q199_skyline" ->

@@ -217,7 +217,12 @@ object ScaleProbe {
     // batch-6 r15 arrival: session baskets ride the q34 user window,
     // the (session, type) dedup shuffle and the per-session ≤|types|²
     // pair join — its ratio must track the event stream
-    "q198_session_baskets")
+    "q198_session_baskets",
+    // batch-8 r15 arrival: the weighted median is the one new op whose
+    // windows run at CORPUS grain (cumweight + rank per return flag) —
+    // its ratio must track lineitem rows; the other statistics land on
+    // supplier/grid/digit-grain relations after one aggregate
+    "q201_weighted_median")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -1646,6 +1646,66 @@ object AnalyticQueries {
           4).as("dev"))
   }
 
+  /** Ordered group concatenation — the "one readable cell per group"
+    * report surface (per source: its distinct languages as one sorted
+    * comma list + counts): built deterministic-by-construction —
+    * collect_set has NO order contract, so the list is array_sort-ed
+    * BEFORE the join, making the string a pure function of the set at
+    * any parallelism (DuckDB replays it as `string_agg(DISTINCT …
+    * ORDER BY …)`). One key shuffle; list size = per-group distinct
+    * cardinality, bounded here by the language domain.
+    */
+  def q205(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        array_join(array_sort(collect_set(col("lang"))), ",")
+          .as("langs"))
+
+  /** max_by / min_by (argmax) parity — "which event carried the
+    * biggest spend": per event type the event_id of the largest and
+    * smallest value, with the orderer made UNIQUE by composition
+    * (`cents·10⁶ + event_id`) because argmax under ties is
+    * engine-arbitrary — the composite makes the picked row a pure
+    * function of the data on both engines. One partial-combined
+    * aggregate; max_by/min_by state is a single (orderer, value) pair.
+    */
+  def q206(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        (cents(col("value")) * 1000000L + col("event_id")).as("ord"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("max_by(event_id, ord)").as("max_spend_event"),
+        expr("min_by(event_id, ord)").as("min_spend_event"))
+
+  /** TRY_CAST dirty-ingestion parity — the error-free typed-landing
+    * pass every raw feed needs: planted dirty numerics (clean,
+    * whitespace-padded, trailing garbage, empty, int64 overflow,
+    * negative) TRY_CAST to BIGINT, per-pattern success counts and the
+    * exact sum of parsed values. Patterns stick to INTEGER strings —
+    * where the engines provably agree ('3.9' would round in DuckDB and
+    * truncate in Spark, a real divergence this query deliberately
+    * fences out and documents. One scan to a 6-row report.
+    */
+  def q207(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val pat = (pmod(id, lit(6L))).cast("int")
+    val sVal = when(pat === 0, id.cast("string"))
+      .when(pat === 1, concat(lit("  "), id.cast("string"), lit(" ")))
+      .when(pat === 2, concat(id.cast("string"), lit("x")))
+      .when(pat === 3, lit(""))
+      .when(pat === 4, lit("99999999999999999999"))
+      .otherwise(concat(lit("-"), id.cast("string")))
+    t(s, dir)("documents")
+      .select(pat.as("pattern"), sVal.as("s"))
+      .select(col("pattern"), expr("try_cast(s AS BIGINT)").as("v"))
+      .groupBy(col("pattern"))
+      .agg(count(lit(1)).as("n"), count(col("v")).as("n_parsed"),
+        sum(col("v")).as("sum_v"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q16_topk"          -> (q16 _),
     "q17_window_rownum" -> (q17 _),
@@ -1709,6 +1769,9 @@ object AnalyticQueries {
     "q202_gini" -> (q202 _),
     "q203_trend_ols" -> (q203 _),
     "q204_benford" -> (q204 _),
+    "q205_group_concat" -> (q205 _),
+    "q206_argmax_parity" -> (q206 _),
+    "q207_try_cast" -> (q207 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1785,6 +1848,39 @@ object AnalyticQueries {
               max(dv.d2) AS max_d2
        FROM dv JOIN mad ON mad.event_type = dv.event_type
        GROUP BY dv.event_type""",
+    // ordered group concat: sorted-before-join, engine-agnostic string
+    "q205_group_concat" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+              string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+       FROM documents GROUP BY source""",
+    // argmax parity: composite unique orderer, engine-deterministic
+    "q206_argmax_parity" ->
+      """WITH e AS (SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) * 1000000 + event_id
+               AS ord
+           FROM events)
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              max_by(event_id, ord) AS max_spend_event,
+              min_by(event_id, ord) AS min_spend_event
+       FROM e GROUP BY event_type""",
+    // try_cast: integer-string patterns where engines provably agree
+    "q207_try_cast" ->
+      """WITH d AS (SELECT doc_id % 6 AS pattern,
+             CASE doc_id % 6
+               WHEN 0 THEN CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN '  ' || CAST(doc_id AS VARCHAR) || ' '
+               WHEN 2 THEN CAST(doc_id AS VARCHAR) || 'x'
+               WHEN 3 THEN ''
+               WHEN 4 THEN '99999999999999999999'
+               ELSE '-' || CAST(doc_id AS VARCHAR) END AS s
+           FROM documents),
+         v AS (SELECT CAST(pattern AS INT) AS pattern,
+             try_cast(s AS BIGINT) AS v FROM d)
+       SELECT pattern, CAST(count(*) AS BIGINT) AS n,
+              CAST(count(v) AS BIGINT) AS n_parsed,
+              CAST(sum(v) AS BIGINT) AS sum_v
+       FROM v GROUP BY pattern""",
     // weighted median: doubled cumulative weight reaches total, first
     // qualifying value per group
     "q201_weighted_median" ->

@@ -634,4 +634,35 @@ class PropertySpec extends SparkSpec {
       assert(native === hof)
     }
   }
+
+  test("jaro_winkler laws: range, symmetry, identity iff equal, empty convention, codegen == object method") {
+    import graft.expr.JaroWinkler
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      JaroWinkler.compute(UTF8String.fromString(a),
+        UTF8String.fromString(b))
+    val strs = Gen.listOfN(2,
+      Gen.stringOf(Gen.oneOf(('a' to 'e') ++ Seq('-', '1', '2'))))
+    check(strs, n = 40) { case List(a, b) =>
+      val s = jw(a, b)
+      // range
+      assert(s >= 0.0 && s <= 1.0, s"jw('$a','$b') = $s out of [0,1]")
+      // symmetry — matching is greedy but the measure is symmetric
+      assert(s === jw(b, a), s"asymmetric on '$a'/'$b'")
+      // identity on nonempty; DuckDB's empty convention otherwise
+      if (a.nonEmpty) assert(jw(a, a) === 1.0)
+      if (a.isEmpty || b.isEmpty) assert(s === 0.0)
+      // equality detection: 1.0 only for equal strings
+      if (s == 1.0 && a.nonEmpty) assert(a === b)
+      case _ =>
+    }
+    // the expression matches the object method through codegen
+    val pairs = (1 to 20).map(i =>
+      (sample(strs, 0xBEEFL + i): @unchecked) match {
+        case List(a, b) => (a, b)
+      })
+    val viaExpr = pairs.toDF("a", "b")
+      .selectExpr("jaro_winkler(a, b)").as[Double].collect().toSeq
+    assert(viaExpr === pairs.map(p => jw(p._1, p._2)))
+  }
 }

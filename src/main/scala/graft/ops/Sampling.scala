@@ -28,7 +28,16 @@ object Sampling {
     *
     * Cost: one key shuffle to stratum grain, then window passes over
     * the STRATA-cardinality relation — the corpus is touched once.
-    * Output: `(stratumCol, n, quota)` with `Σ quota = N` exactly.
+    * Output: `(stratumCol, n, quota)` with `Σ quota = N` exactly —
+    * over a NONEMPTY input. Two edge contracts made explicit (r15
+    * advice): an EMPTY input returns an empty allocation (there is no
+    * stratum to carry a quota, so `Σ quota = 0`, not `N` — callers
+    * that must allocate a positive budget need a nonempty population);
+    * and `N > T` is permitted arithmetic (quotas are still each
+    * stratum's exact proportional share of N, floor-or-ceil) but
+    * over-allocates strata beyond their populations (`q_i > n_i`), so
+    * a SAMPLER consuming the design must cap at `n_i` or treat the
+    * design as a target, not a draw count.
     */
   def hamiltonAllocation(df: DataFrame, stratumCol: String,
                          total: Long): DataFrame = {

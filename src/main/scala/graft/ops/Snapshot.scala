@@ -209,6 +209,12 @@ object Snapshot {
     * id grain with no wide payloads unless the caller keeps them.
     *
     * Both inputs must share a schema; compared columns = all but the id.
+    * Precondition (r15 advice): both sides must be at UNIQUE id grain —
+    * this is a diff between snapshot VERSIONS, and a snapshot with
+    * duplicate ids isn't one; a duplicated id would fan out through the
+    * full-outer join (m×n rows per id, each labeled independently).
+    * Collapse with [[asOf]]/[[applyChanges]] first. Reserved working
+    * columns are guarded the same way asOf guards `__rn`.
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
                    idCol: String): DataFrame = {
@@ -216,6 +222,11 @@ object Snapshot {
       s"snapshotDiff: schemas differ — old has " +
         s"[${oldDf.columns.sorted.mkString(", ")}], new has " +
         s"[${newDf.columns.sorted.mkString(", ")}]")
+    val clash = oldDf.columns.filter(c => c == "__in_old" || c == "__in_new" ||
+      c.startsWith("__o_") || c.startsWith("__n_"))
+    require(clash.isEmpty,
+      s"snapshotDiff reserves __in_old/__in_new/__o_*/__n_* working " +
+        s"columns, which the input already carries: [${clash.mkString(", ")}]")
     val cmp = oldDf.columns.filterNot(_ == idCol).sorted.toSeq
     val o = oldDf.select(col(idCol) +:
       (lit(true).as("__in_old") +: cmp.map(c => col(c).as(s"__o_$c"))): _*)

@@ -1472,18 +1472,43 @@ object AnalyticQueries {
     * AND 1 PRECEDING on cents), `m2` = best size at-or-cheaper — and
     * the dominance test is two integer comparisons; equal-(price, size)
     * rows are all frontier (no strict beat), the weak-dominance
-    * convention both engines replay. One exchange; the n² definition
-    * never executes.
+    * convention both engines replay.
+    *
+    * Scale shape (r15 advice: the global RANGE windows are a
+    * single-partition sort, and running them over the RAW relation
+    * collapses the corpus into one task): a LOSSLESS partitioned
+    * pre-reduction runs first — per $100 price band (integer
+    * `price_c div 10000`, one partial-combined aggregate), the max
+    * size; a row whose size is ≤ the running max over STRICTLY lower
+    * bands is already beaten by a strictly-cheaper row and can never
+    * be frontier, so only rows ABOVE their band-prefix max enter the
+    * global pass. Exactness: every pruned row is dominated by a chain
+    * ending in a SURVIVOR that is strictly cheaper with ≥ size, so
+    * the survivors' running maxima still reject every truly-dominated
+    * survivor, and survivor maxima ≤ full maxima means no frontier row
+    * is ever rejected — the green hash against the naive oracle is the
+    * proof. The single-partition sort now touches the pruned set
+    * (frontier-sized + band stragglers), the bands relation is
+    * band-cardinality and broadcast back.
     */
   def q199(s: SparkSession, dir: String): DataFrame = {
     val p = t(s, dir)("part").select(col("p_partkey"),
       cents(col("p_retailprice")).as("price_c"),
       col("p_size").cast("long").as("size"))
+      .withColumn("band", expr("price_c div 10000"))
+    val bands = p.groupBy(col("band")).agg(max(col("size")).as("bmax"))
+    val wB = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prev = bands
+      .withColumn("prev_max", max(col("bmax")).over(wB))
+      .select(col("band"), col("prev_max"))
+    val pruned = p.join(broadcast(prev), Seq("band"), "left")
+      .filter(col("prev_max").isNull || col("prev_max") < col("size"))
     val wLt = Window.orderBy(col("price_c"))
       .rangeBetween(Window.unboundedPreceding, -1)
     val wLe = Window.orderBy(col("price_c"))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    p.withColumn("m1", max(col("size")).over(wLt))
+    pruned.withColumn("m1", max(col("size")).over(wLt))
       .withColumn("m2", max(col("size")).over(wLe))
       .filter(!(coalesce(col("m1") >= col("size"), lit(false)) ||
         col("m2") > col("size")))
@@ -1665,20 +1690,27 @@ object AnalyticQueries {
 
   /** max_by / min_by (argmax) parity — "which event carried the
     * biggest spend": per event type the event_id of the largest and
-    * smallest value, with the orderer made UNIQUE by composition
-    * (`cents·10⁶ + event_id`) because argmax under ties is
-    * engine-arbitrary — the composite makes the picked row a pure
-    * function of the data on both engines. One partial-combined
-    * aggregate; max_by/min_by state is a single (orderer, value) pair.
+    * smallest value, with the orderer made UNIQUE by a STRUCT
+    * composite `(cents, event_id)` because argmax under ties is
+    * engine-arbitrary. r15 advice: the arithmetic composite
+    * `cents·10⁶ + event_id` silently assumed `event_id < 10⁶` — past
+    * that the id term carries into the cents term and max_by can
+    * return an event that does NOT carry the max spend; the struct
+    * orderer is lexicographic at any scale, no bound. Tie-break is
+    * therefore "largest event_id among max-spend rows" (and smallest
+    * among min-spend). DuckDB's max_by rejects struct orderers, so
+    * the oracle replays the same semantics as max(c) → equi-join →
+    * max(event_id). One partial-combined aggregate; max_by/min_by
+    * state is a single (orderer, value) pair.
     */
   def q206(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .select(col("event_type"), col("event_id"),
-        (cents(col("value")) * 1000000L + col("event_id")).as("ord"))
+        cents(col("value")).as("c"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        expr("max_by(event_id, ord)").as("max_spend_event"),
-        expr("min_by(event_id, ord)").as("min_spend_event"))
+        expr("max_by(event_id, struct(c, event_id))").as("max_spend_event"),
+        expr("min_by(event_id, struct(c, event_id))").as("min_spend_event"))
 
   /** TRY_CAST dirty-ingestion parity — the error-free typed-landing
     * pass every raw feed needs: planted dirty numerics (clean,
@@ -1854,16 +1886,23 @@ object AnalyticQueries {
               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
               string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
        FROM documents GROUP BY source""",
-    // argmax parity: composite unique orderer, engine-deterministic
+    // argmax parity: struct orderer on the Spark side (scale-safe, no
+    // 10^6 id bound); DuckDB max_by can't take a struct, so the oracle
+    // replays the identical semantics as max(c) -> equi-join -> max(id)
     "q206_argmax_parity" ->
       """WITH e AS (SELECT event_type, event_id,
-             CAST(round(value * 100) AS BIGINT) * 1000000 + event_id
-               AS ord
-           FROM events)
-       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-              max_by(event_id, ord) AS max_spend_event,
-              min_by(event_id, ord) AS min_spend_event
-       FROM e GROUP BY event_type""",
+             CAST(round(value * 100) AS BIGINT) AS c FROM events),
+         g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                      max(c) AS mxc, min(c) AS mnc
+               FROM e GROUP BY event_type)
+       SELECT g.event_type, g.n,
+              (SELECT max(event_id) FROM e
+                WHERE e.event_type = g.event_type AND e.c = g.mxc)
+                AS max_spend_event,
+              (SELECT min(event_id) FROM e
+                WHERE e.event_type = g.event_type AND e.c = g.mnc)
+                AS min_spend_event
+       FROM g""",
     // try_cast: integer-string patterns where engines provably agree
     "q207_try_cast" ->
       """WITH d AS (SELECT doc_id % 6 AS pattern,

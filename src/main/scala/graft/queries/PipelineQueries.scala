@@ -268,6 +268,8 @@ object PipelineQueries {
     if (post != null) retireDir(post._3)
     val spanIdx = spanIdxCache.remove(s)
     if (spanIdx != null) retireDir(spanIdx._3)
+    val langM = langModelCache.remove(s)
+    if (langM != null) retireDir(langM._3)
     mergesCache.remove(s): Unit
     fit16Cache.remove(s): Unit
   }
@@ -1903,7 +1905,13 @@ object PipelineQueries {
     * collisions yield honest dist-0 pairs both engines agree on). The
     * oracle is the UNBLOCKED all-pairs levenshtein inside each source
     * — the hash-match is the proof the length-band candidate
-    * generation lost no pair.
+    * generation lost no pair. The r16 degenerate-block cap (maxBlock
+    * 1000, the CappedIdSetAgg tombstone for this family) is sized to
+    * never bind at the gate SFs (~30 rows per (source, band) at
+    * sf0.01, ~300 at sf0.1) and to BIND at the sf1 probe (~3000),
+    * where the capped run drops the degenerate bands loudly
+    * (editDistanceBlockAudit lists them) instead of going quadratic —
+    * the 17.4×-at-10×-rows signature this cap exists to kill.
     */
   def q141(s: SparkSession, dir: String): DataFrame = {
     val tl = t(s, dir)("documents").select(col("doc_id"), col("source"),
@@ -2312,6 +2320,56 @@ object PipelineQueries {
           .as("correct"))
   }
 
+  /** Session-cached STORED language-profile model — [[storedPostings]]'s
+    * pattern for q166's Cavnar–Trenkle profiles (r15 verdict #2: the
+    * lifecycle `saveLangProfiles`/`loadLangProfiles` existed but no
+    * gated query paid the stored-path cost): first use runs the full
+    * production lifecycle (fit on the even-id half →
+    * [[TextOps.saveLangProfiles]] → [[TextOps.loadLangProfiles]], scheme
+    * gate included) into a temp dir; every later use — including every
+    * timed bench pass of q208 — reads the stored languages×50 profile
+    * table and pays ONLY the score half. q166 stays the fit-in-query
+    * comparator (5.3 s bench head for exactly this reason); q208 is the
+    * production shape.
+    */
+  private val langModelCache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, (String, DataFrame, String)]
+
+  private def storedLangModel(s: SparkSession, dir: String): DataFrame =
+    langModelCache.compute(s, (sess, cached) =>
+      if (cached != null && cached._1 == dir) cached
+      else {
+        if (cached != null) retireDir(cached._3)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-langmodel-stored-").toString
+        TextOps.saveLangProfiles(TextOps.fitLangProfiles(
+          langPlantedDocs(sess, dir).filter(col("doc_id") % 2 === 0),
+          "lang", "t", profileK = 50), path)
+        (dir, TextOps.loadLangProfiles(sess, path), path)
+      })._2
+
+  /** Language ID over the STORED profile model ([[storedLangModel]]) —
+    * the fit-once-score-per-batch production path of q166: the scored
+    * half and the true-label join are identical, but the model comes
+    * from the persisted artifact, so the per-call cost is the score
+    * half alone (the doc-grain trigram aggregate + docM×|languages|
+    * distance join) — no corpus fit pass. Scored at docM = 25 (vs
+    * q166's 30) so the two rows can never share a cached result. The
+    * oracle refits in SQL (the artifact is exact, so fit-then-load ≡
+    * fit); the hash-match proves the save/load round-trip preserved
+    * every (lang, gram, rank) row.
+    */
+  def q208(s: SparkSession, dir: String): DataFrame = {
+    val planted = langPlantedDocs(s, dir)
+    TextOps.langIdScore(planted.filter(col("doc_id") % 2 === 1),
+        storedLangModel(s, dir), "doc_id", "t", docM = 25)
+      .join(planted.select(col("doc_id"), col("lang").as("true_lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("true_lang"), col("pred_lang"),
+        col("dist"), (col("pred_lang") === col("true_lang"))
+          .as("correct"))
+  }
+
   /** The SFT curation chain composed end to end (the q117/q63
     * composition posture applied to the instruction-tuning family):
     * parse the planted dialogues → loss-mask statistics → quality
@@ -2597,6 +2655,12 @@ object PipelineQueries {
     * quadratic confined to blocks the key design keeps small. DuckDB's
     * jaro_winkler_similarity is the oracle — the expression's semantics
     * are pinned value-for-value against an independent implementation.
+    * The blocking rides [[graft.ops.Dedup.capBlockRows]] (r15 verdict:
+    * the blocked-pair family needed the same degenerate-block tombstone
+    * CappedIdSetAgg gives LSH buckets) — a block past 1000 rows emits
+    * no pairs instead of exploding; at the gate SFs every block is
+    * ≲100 rows (997-cardinality digit keys), so the guard is
+    * oracle-invisible here and only bites a real degenerate key.
     */
   def q176(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
@@ -2617,8 +2681,10 @@ object PipelineQueries {
     val all = base.unionByName(variants)
     def keyed(k: Column) = all.select(col("rec_id"), col("name"),
       k.as("bk"))
-    val blocks = keyed(substring(col("name"), 1, 3))
-      .unionByName(keyed(substring(col("name"), -3, 3)))
+    val blocks = graft.ops.Dedup.capBlockRows(
+      keyed(substring(col("name"), 1, 3))
+        .unionByName(keyed(substring(col("name"), -3, 3))),
+      Seq("bk"), maxBlock = 1000)
     val l = blocks.select(col("bk"), col("rec_id").as("id1"),
       col("name").as("n1"))
     val r = blocks.select(col("bk"), col("rec_id").as("id2"),
@@ -3069,6 +3135,7 @@ object PipelineQueries {
     "q191_interarrival"   -> (q191 _),
     "q194_time_travel"    -> (q194 _),
     "q195_woe_binning"    -> (q195 _),
+    "q208_lang_id_stored" -> (q208 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -3281,6 +3348,66 @@ FROM o"""
            FROM documents WHERE doc_id % 17 = 0),
          edges AS MATERIALIZED (
            SELECT DISTINCT src, dst FROM eraw WHERE src <> dst)"""
+
+  /** Shared DuckDB replay of the Cavnar–Trenkle fit + score pipeline
+    * (q166 consumes it at docM = 30, the stored-model q208 at 25):
+    * planting, trigram extraction, both rank windows, the penalty-50
+    * out-of-place distance and the (dist, lang) argmin. The fit half
+    * is always refit in SQL — the stored artifact is exact, so
+    * fit-then-save-then-load ≡ fit, and a q208 hash-match is the
+    * round-trip proof.
+    */
+  private def langIdOracle(docM: Int): String =
+    raw"""WITH pl AS MATERIALIZED (SELECT doc_id, lang,
+             CASE WHEN doc_id % 29 = 0
+               THEN 'der die das und ist nicht ein eine mit von zu für der'
+               ELSE COALESCE(text, '') || ' ' || repeat(
+                 CASE lang
+                   WHEN 'en' THEN 'the and of to in that it is was for the with as'
+                   WHEN 'de' THEN 'der die das und ist nicht ein eine mit von zu für'
+                   WHEN 'fr' THEN 'le la les et est dans une des que pour avec sur'
+                   WHEN 'es' THEN 'el la los las y es en una del que por con para'
+                   WHEN 'zh' THEN '这是中文的测试文本 语言识别 中文字符 这是 中文 测试'
+                   ELSE '' END || ' ', 3) END AS t
+           FROM documents),
+         nm AS (SELECT doc_id, lang,
+             lower(regexp_replace(t, '\s+', ' ', 'g')) AS norm
+           FROM pl),
+         gr AS MATERIALIZED (SELECT doc_id, lang,
+             unnest(list_transform(
+               range(1, greatest(length(norm) - 2, 0) + 1),
+               i -> substr(norm, CAST(i AS INT), 3))) AS gram
+           FROM nm),
+         mc AS (SELECT lang, gram, count(*) AS n FROM gr
+           WHERE doc_id % 2 = 0 GROUP BY lang, gram),
+         model AS MATERIALIZED (SELECT lang, gram, mrank FROM
+           (SELECT lang, gram, CAST(row_number() OVER (
+               PARTITION BY lang ORDER BY n DESC, gram) AS INT)
+               AS mrank
+            FROM mc) WHERE mrank <= 50),
+         dc AS (SELECT doc_id, gram, count(*) AS n FROM gr
+           WHERE doc_id % 2 = 1 GROUP BY doc_id, gram),
+         dg AS (SELECT doc_id, gram, drank FROM
+           (SELECT doc_id, gram, CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY n DESC, gram) AS INT)
+               AS drank
+            FROM dc) WHERE drank <= $docM),
+         langs AS (SELECT DISTINCT lang FROM model),
+         ds AS (SELECT dg.doc_id, langs.lang,
+             CAST(sum(COALESCE(abs(dg.drank - model.mrank), 50))
+               AS BIGINT) AS dist
+           FROM dg CROSS JOIN langs
+           LEFT JOIN model ON model.lang = langs.lang
+             AND model.gram = dg.gram
+           GROUP BY dg.doc_id, langs.lang),
+         best AS (SELECT doc_id, lang AS pred_lang, dist,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY dist, lang) AS rn
+           FROM ds)
+       SELECT b.doc_id, p.lang AS true_lang, b.pred_lang, b.dist,
+              b.pred_lang = p.lang AS correct
+       FROM best b JOIN pl p ON p.doc_id = b.doc_id
+       WHERE b.rn = 1"""
 
   private def pageRankOracle(iters: Int,
                              edgesHead: String = q137EdgesSql): String = {
@@ -3858,57 +3985,11 @@ FROM o"""
        FROM documents GROUP BY source, lang, n_chars // 200""",
     // Cavnar–Trenkle: planting, trigrams, both rank windows, the
     // penalty-50 out-of-place distance, the (dist, lang) argmin
-    "q166_lang_id_model" ->
-      """WITH pl AS MATERIALIZED (SELECT doc_id, lang,
-             CASE WHEN doc_id % 29 = 0
-               THEN 'der die das und ist nicht ein eine mit von zu für der'
-               ELSE COALESCE(text, '') || ' ' || repeat(
-                 CASE lang
-                   WHEN 'en' THEN 'the and of to in that it is was for the with as'
-                   WHEN 'de' THEN 'der die das und ist nicht ein eine mit von zu für'
-                   WHEN 'fr' THEN 'le la les et est dans une des que pour avec sur'
-                   WHEN 'es' THEN 'el la los las y es en una del que por con para'
-                   WHEN 'zh' THEN '这是中文的测试文本 语言识别 中文字符 这是 中文 测试'
-                   ELSE '' END || ' ', 3) END AS t
-           FROM documents),
-         nm AS (SELECT doc_id, lang,
-             lower(regexp_replace(t, '\s+', ' ', 'g')) AS norm
-           FROM pl),
-         gr AS MATERIALIZED (SELECT doc_id, lang,
-             unnest(list_transform(
-               range(1, greatest(length(norm) - 2, 0) + 1),
-               i -> substr(norm, CAST(i AS INT), 3))) AS gram
-           FROM nm),
-         mc AS (SELECT lang, gram, count(*) AS n FROM gr
-           WHERE doc_id % 2 = 0 GROUP BY lang, gram),
-         model AS MATERIALIZED (SELECT lang, gram, mrank FROM
-           (SELECT lang, gram, CAST(row_number() OVER (
-               PARTITION BY lang ORDER BY n DESC, gram) AS INT)
-               AS mrank
-            FROM mc) WHERE mrank <= 50),
-         dc AS (SELECT doc_id, gram, count(*) AS n FROM gr
-           WHERE doc_id % 2 = 1 GROUP BY doc_id, gram),
-         dg AS (SELECT doc_id, gram, drank FROM
-           (SELECT doc_id, gram, CAST(row_number() OVER (
-               PARTITION BY doc_id ORDER BY n DESC, gram) AS INT)
-               AS drank
-            FROM dc) WHERE drank <= 30),
-         langs AS (SELECT DISTINCT lang FROM model),
-         ds AS (SELECT dg.doc_id, langs.lang,
-             CAST(sum(COALESCE(abs(dg.drank - model.mrank), 50))
-               AS BIGINT) AS dist
-           FROM dg CROSS JOIN langs
-           LEFT JOIN model ON model.lang = langs.lang
-             AND model.gram = dg.gram
-           GROUP BY dg.doc_id, langs.lang),
-         best AS (SELECT doc_id, lang AS pred_lang, dist,
-             row_number() OVER (PARTITION BY doc_id
-               ORDER BY dist, lang) AS rn
-           FROM ds)
-       SELECT b.doc_id, p.lang AS true_lang, b.pred_lang, b.dist,
-              b.pred_lang = p.lang AS correct
-       FROM best b JOIN pl p ON p.doc_id = b.doc_id
-       WHERE b.rn = 1""",
+    "q166_lang_id_model" -> langIdOracle(docM = 30),
+    // the stored-model production sibling: identical replay at docM=25
+    // (the artifact is exact, so SQL refits; the hash-match proves the
+    // save/load round-trip preserved every (lang, gram, rank) row)
+    "q208_lang_id_stored" -> langIdOracle(docM = 25),
     // link extraction: planting + regex + ordinality replayed
     "q161_link_extract" -> (s"""WITH lt AS ($linkTextSql),
          ls AS (SELECT doc_id,

@@ -144,7 +144,16 @@ object EventStreams {
     * mode, so only watermark-finalized windows emit, exactly the
     * at-most-once-per-user-per-window contract the batch coverage
     * explosion computes. `day` is the last day the window covers
-    * (start + 6), matching q171's report-day convention.
+    * (start + 6) — only q171's day-LABELING convention, not its
+    * report-day SET (r15 advice made this precise): q171 joins its
+    * coverage explosion to the days that actually carry events, so it
+    * emits exactly one row per occurring day, while the sliding
+    * window here emits every window that holds ≥ 1 event — including
+    * windows labeled by empty trailing days after a burst. A consumer
+    * wanting q171's exact row set semi-joins this output to its
+    * occurring-day relation; the StreamingSpec twin proves equality
+    * on the shared windows by deliberately omitting that join on the
+    * batch side.
     */
   def rollingActives(events: DataFrame,
                      watermark: String = "2 hours"): DataFrame =

@@ -3545,6 +3545,42 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.ops.Dedup.editDistancePairs(df, "id", "s", 2, Seq.empty)
     }
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.editDistancePairs(df, "id", "s", 2, Seq("blk"),
+        maxBlock = 1)
+    }
+  }
+
+  test("editDistancePairs: a planted degenerate block is capped-not-exploded, audited loudly") {
+    // The r15 scale-killer shape: one block of ALL-IDENTICAL short
+    // titles (200 rows -> 19,900 candidate pairs uncapped) next to a
+    // healthy block. With maxBlock = 50 the degenerate block must
+    // emit ZERO pairs — its (block, band) groups are tombstoned, the
+    // same contract CappedIdSetAgg gives LSH buckets — while the
+    // healthy block's pairs survive untouched.
+    val degenerate = (1L to 200L).map(i => (i, "hot", "same title"))
+    val healthy = Seq((901L, "ok", "abcdef"), (902L, "ok", "abcdez"))
+    val df = (degenerate ++ healthy).toDF("id", "blk", "s")
+    val out = graft.ops.Dedup.editDistancePairs(df, "id", "s", 2,
+        Seq("blk"), maxBlock = 50)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(out === Seq((901L, 902L, 1L)),
+      "degenerate block leaked pairs past the cap")
+    // The loud half: the audit relation lists exactly the dropped
+    // (block, band) groups with their true sizes. "same title" is
+    // len 10 -> bands 3 and 4, 200 rows each.
+    val audit = graft.ops.Dedup.editDistanceBlockAudit(df, "id", "s", 2,
+        Seq("blk"), maxBlock = 50)
+      .select("blk", "len_band", "n_rows")
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(audit === Seq(("hot", 3L, 200L), ("hot", 4L, 200L)))
+    // Uncapped (cap above the block) the same input explodes to the
+    // full quadratic — the behavior the cap exists to forbid.
+    val uncapped = graft.ops.Dedup.editDistancePairs(df, "id", "s", 2,
+      Seq("blk"), maxBlock = 500).count()
+    assert(uncapped === 200L * 199L / 2 + 1)
+    assert(graft.ops.Dedup.editDistanceBlockAudit(df, "id", "s", 2,
+      Seq("blk"), maxBlock = 500).isEmpty)
   }
 
   test("histogram: hand bins, edges, overflow conventions, null skip, sparse bins") {

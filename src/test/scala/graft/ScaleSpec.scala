@@ -84,6 +84,90 @@ class ScaleSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS g_cust_b")
   }
 
+  test("bucketed edge table drops the per-level edge-side exchange inside a recursive CTE") {
+    // r15 verdict #6: q124's scaladoc prescribes "pre-bucket edges on
+    // `child`" for a 100 TB link graph, where the per-level SMJ would
+    // otherwise re-shuffle the edge side on EVERY recursion level.
+    // UnionLoopExec executes each level as a fresh Dataset (the q124
+    // re-planning behavior), so the per-level physical plans are
+    // observable through a QueryExecutionListener — this pin runs the
+    // same edge-join recursion against a plain and a child-bucketed
+    // edge table under forced SMJ and asserts the bucketed layout's
+    // level joins carry NO exchange keyed on the edge side (`child`),
+    // while the plain layout pays one per level.
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import org.apache.spark.sql.execution.QueryExecution
+    spark.sql("DROP TABLE IF EXISTS g_edges_b")
+    spark.sql("DROP TABLE IF EXISTS g_edges_p")
+    val edges = table(spark, sfDir, "documents")
+      .filter(col("doc_id") >= 7)
+      .select(col("doc_id").cast("long").as("child"),
+        expr("cast(doc_id as bigint) div 7").as("parent"))
+    edges.write.mode("overwrite").bucketBy(4, "child").sortBy("child")
+      .saveAsTable("g_edges_b")
+    edges.write.mode("overwrite").saveAsTable("g_edges_p")
+    def recursion(edgeTable: String) =
+      s"""WITH RECURSIVE anc AS (
+           SELECT CAST(doc_id AS BIGINT) AS start_id,
+                  CAST(doc_id AS BIGINT) AS cur,
+                  CAST(0 AS BIGINT) AS depth
+           FROM parquet.`$sfDir/documents.parquet`
+           UNION ALL
+           SELECT /*+ MERGE(e) */ a.start_id, e.parent AS cur,
+                  a.depth + CAST(1 AS BIGINT) AS depth
+           FROM anc a JOIN $edgeTable e ON a.cur = e.child
+         )
+         SELECT depth, count(*) AS n FROM anc GROUP BY depth"""
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val listener = new QueryExecutionListener {
+      def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    def levelJoinPlans(edgeTable: String): (Seq[String], Seq[(Long, Long)]) =
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+        plans.clear()
+        val rows = spark.sql(recursion(edgeTable))
+          .as[(Long, Long)].collect().toSeq.sorted
+        // listener delivery is async (listenerBus is private[spark]) —
+        // poll until the captured-plan count settles
+        var settled = false
+        var tries = 0
+        while (!settled && tries < 20) {
+          val n = plans.size
+          Thread.sleep(300)
+          settled = plans.size == n && n > 0
+          tries += 1
+        }
+        import scala.jdk.CollectionConverters._
+        (plans.asScala.toSeq.filter(p =>
+          p.contains("SortMergeJoin") && p.contains(edgeTable)), rows)
+      } finally spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    val (bLevels, bRows) = levelJoinPlans("g_edges_b")
+    val (pLevels, pRows) = levelJoinPlans("g_edges_p")
+    spark.listenerManager.unregister(listener)
+    assert(bRows === pRows, "bucketed and plain closures must agree")
+    assert(bRows.nonEmpty && bRows.map(_._2).sum > table(
+      spark, sfDir, "documents").count(), "recursion must have walked")
+    assert(bLevels.nonEmpty, "no per-level SMJ observed on bucketed run")
+    assert(pLevels.nonEmpty, "no per-level SMJ observed on plain run")
+    // the pin itself: an exchange keyed on the edge-side join key
+    // exists at every observed plain level and at NO bucketed level
+    // (the frontier side's exchange, keyed on `cur`, remains in both)
+    assert(pLevels.forall(_.contains("Exchange hashpartitioning(child")),
+      s"plain edge table lost its edge-side exchange?\n${pLevels.head}")
+    assert(bLevels.forall(!_.contains("Exchange hashpartitioning(child")),
+      s"bucketed edge table still shuffles the edge side:\n${bLevels.head}")
+    assert(bLevels.forall(_.contains("SelectedBucketsCount")),
+      "bucketed run must scan buckets")
+    spark.sql("DROP TABLE IF EXISTS g_edges_b")
+    spark.sql("DROP TABLE IF EXISTS g_edges_p")
+  }
+
   test("bucketed stored CorpusIndex: probe joins shuffle ONLY the batch side") {
     import graft.ops.Dedup
     val names = Seq("gt_idx_bands", "gt_idx_shingles", "gt_idx_meta")

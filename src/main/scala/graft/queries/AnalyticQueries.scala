@@ -1738,6 +1738,91 @@ object AnalyticQueries {
         sum(col("v")).as("sum_v"))
   }
 
+  /** Binned weighted median — q201's PRODUCTION sibling in the q68
+    * exact/approx dual posture (r15 verdict #8): q201's exact order
+    * statistic needs a corpus-grain sort per group; at 100 TB the
+    * cheap path bins price into fixed $100 integer bins (one
+    * partial-combined aggregate, the only corpus pass), then finds
+    * the first bin whose doubled cumulative weight reaches the total
+    * — a window over BIN grain (~1000 rows/group), never corpus
+    * grain. The answer is an INTERVAL `[wmed_lo_c, wmed_hi_c]`
+    * guaranteed to contain q201's exact weighted median (bin width =
+    * the error bound, OpsSpec pins containment against the exact on
+    * the fixture) — and unlike percentile_approx's sketch, the binned
+    * statistic is a pure integer function of the data, so the oracle
+    * replays it bit-for-bit: the approx path gets a FULL hash gate,
+    * not a tolerance check.
+    */
+  def q209(s: SparkSession, dir: String): DataFrame = {
+    val h = t(s, dir)("lineitem").select(col("l_returnflag"),
+        cents(col("l_extendedprice")).as("price_c"),
+        col("l_quantity").cast("long").as("w"))
+      .withColumn("bin", expr("price_c div 10000"))
+      .groupBy(col("l_returnflag"), col("bin"))
+      .agg(sum(col("w")).as("bw"))
+    val wOrd = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    h.withColumn("cumw", sum(col("bw")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("totw", sum(col("bw")).over(wAll))
+      .filter(col("cumw") * 2L >= col("totw"))
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("totw"), col("bin"),
+        (col("bin") * 10000L).as("wmed_lo_c"),
+        ((col("bin") + 1L) * 10000L - 1L).as("wmed_hi_c"))
+  }
+
+  /** Binned median/MAD outlier screen — q173's PRODUCTION sibling
+    * (r15 verdict #8, same dual posture as q209): exact MAD is three
+    * corpus passes by construction; the binned form touches the
+    * corpus ONCE ($10 integer bins per event type, one
+    * partial-combined aggregate) and runs everything else at bin
+    * grain — binned median = first bin with doubled cumulative count
+    * ≥ total, binned deviations = |bin − med_bin| weighted by bin
+    * counts, binned MAD = their weighted median, and the outlier
+    * count re-reads the HISTOGRAM (`|bin−mbin| > 3·mad_bins`), not
+    * the corpus. Reported values are lower bin edges: med within one
+    * bin width of exact, MAD within two (deviation binning compounds
+    * the median's bound). All-integer → full oracle hash gate; q173
+    * stays the exact comparator at its honest three-pass floor.
+    */
+  def q210(s: SparkSession, dir: String): DataFrame = {
+    val h = events(s, dir)
+      .select(col("event_type"),
+        expr("cast(round(value * 100) as bigint) div 1000").as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val med = h.withColumn("cum", sum(col("n")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("n")).over(wAll))
+      .filter(col("cum") * 2L >= col("tot"))
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("tot"), col("bin").as("mbin"))
+    val dev = h.join(broadcast(med), Seq("event_type"))
+      .withColumn("dbin", abs(col("bin") - col("mbin")))
+    val dh = dev.groupBy(col("event_type"), col("mbin"), col("tot"),
+        col("dbin"))
+      .agg(sum(col("n")).as("dn"))
+    val wD = Window.partitionBy(col("event_type")).orderBy(col("dbin"))
+    val mad = dh.withColumn("cum", sum(col("dn")).over(
+        wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") * 2L >= col("tot"))
+      .withColumn("rn", row_number().over(wD))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("dbin").as("madbin"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("tot")).as("n"),
+        (max(col("mbin")) * 1000L).as("med_lo_c"),
+        (max(col("madbin")) * 1000L).as("mad_lo_c"),
+        sum(when(col("dbin") > col("madbin") * 3L, col("n"))
+          .otherwise(lit(0L))).as("n_outliers_binned"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q16_topk"          -> (q16 _),
     "q17_window_rownum" -> (q17 _),
@@ -1804,6 +1889,8 @@ object AnalyticQueries {
     "q205_group_concat" -> (q205 _),
     "q206_argmax_parity" -> (q206 _),
     "q207_try_cast" -> (q207 _),
+    "q209_wmedian_binned" -> (q209 _),
+    "q210_mad_binned" -> (q210 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1939,6 +2026,59 @@ object AnalyticQueries {
        SELECT l_returnflag, CAST(totw AS BIGINT) AS totw,
               price_c AS wmedian_c
        FROM f WHERE rn = 1""",
+    // binned weighted median: $100 integer bins, bin-grain cumulative
+    // window — the deterministic approx path replayed bit-for-bit
+    "q209_wmedian_binned" ->
+      """WITH li AS (SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) // 10000 AS bin,
+             CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+         h AS (SELECT l_returnflag, bin, sum(w) AS bw
+           FROM li GROUP BY l_returnflag, bin),
+         c AS (SELECT l_returnflag, bin, bw,
+             sum(bw) OVER (PARTITION BY l_returnflag ORDER BY bin
+               ROWS UNBOUNDED PRECEDING) AS cumw,
+             sum(bw) OVER (PARTITION BY l_returnflag) AS totw FROM h),
+         f AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY bin) AS rn
+           FROM c WHERE cumw * 2 >= totw)
+       SELECT l_returnflag, CAST(totw AS BIGINT) AS totw, bin,
+              CAST(bin * 10000 AS BIGINT) AS wmed_lo_c,
+              CAST((bin + 1) * 10000 - 1 AS BIGINT) AS wmed_hi_c
+       FROM f WHERE rn = 1""",
+    // binned median/MAD: one corpus aggregate, bin-grain everything
+    // else — the histogram replayed through both weighted medians
+    "q210_mad_binned" ->
+      """WITH e AS (SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) // 1000 AS bin FROM events),
+         h AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+           FROM e GROUP BY event_type, bin),
+         c AS (SELECT event_type, bin, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bin
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS tot FROM h),
+         m AS (SELECT event_type, tot, bin AS mbin, row_number() OVER (
+               PARTITION BY event_type ORDER BY bin) AS rn
+           FROM c WHERE cum * 2 >= tot),
+         m1 AS (SELECT event_type, CAST(tot AS BIGINT) AS tot, mbin
+           FROM m WHERE rn = 1),
+         d AS (SELECT h.event_type, h.bin, h.n, m1.tot, m1.mbin,
+             abs(h.bin - m1.mbin) AS dbin
+           FROM h JOIN m1 ON h.event_type = m1.event_type),
+         dh AS (SELECT event_type, mbin, tot, dbin, sum(n) AS dn
+           FROM d GROUP BY event_type, mbin, tot, dbin),
+         dc AS (SELECT *, sum(dn) OVER (PARTITION BY event_type
+               ORDER BY dbin ROWS UNBOUNDED PRECEDING) AS cum FROM dh),
+         md AS (SELECT event_type, dbin AS madbin, row_number() OVER (
+               PARTITION BY event_type ORDER BY dbin) AS rn
+           FROM dc WHERE cum * 2 >= tot),
+         md1 AS (SELECT event_type, madbin FROM md WHERE rn = 1)
+       SELECT d.event_type, CAST(max(d.tot) AS BIGINT) AS n,
+              CAST(max(d.mbin) * 1000 AS BIGINT) AS med_lo_c,
+              CAST(max(md1.madbin) * 1000 AS BIGINT) AS mad_lo_c,
+              CAST(sum(CASE WHEN d.dbin > md1.madbin * 3
+                THEN d.n ELSE 0 END) AS BIGINT) AS n_outliers_binned
+       FROM d JOIN md1 ON d.event_type = md1.event_type
+       GROUP BY d.event_type""",
     // Gini: exact integer numerator/denominator, ascending rank sum
     "q202_gini" ->
       """WITH rev AS (SELECT l_suppkey,

@@ -2819,6 +2819,48 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("schemas differ"))
   }
 
+  test("binned weighted-median/MAD siblings: intervals contain the exact statistics") {
+    // the q68 dual-posture law for the r16 approx siblings: the binned
+    // production path's reported interval/edges must bracket the exact
+    // corpus-grain statistic it approximates. Exact values recomputed
+    // here from first principles (not via q201/q173) so the law does
+    // not share code with either side it checks.
+    val q209 = SparkEntry.queries("q209_wmedian_binned")(spark, sfDir)
+      .select("l_returnflag", "wmed_lo_c", "wmed_hi_c")
+      .as[(String, Long, Long)].collect()
+      .map { case (k, lo, hi) => (k, (lo, hi)) }.toMap
+    val li = table(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), cents(col("l_extendedprice")).as("c"),
+        col("l_quantity").cast("long").as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    for ((flag, rows) <- li.groupBy(_._1)) {
+      val sorted = rows.sortBy(r => (r._2, r._4, r._5))
+      val tot = sorted.map(_._3).sum
+      var cum = 0L
+      val exact = sorted.find { r => cum += r._3; cum * 2 >= tot }.get._2
+      val (lo, hi) = q209(flag)
+      assert(lo <= exact && exact <= hi,
+        s"$flag: exact weighted median $exact outside [$lo, $hi]")
+    }
+    val q210 = SparkEntry.queries("q210_mad_binned")(spark, sfDir)
+      .select("event_type", "med_lo_c", "mad_lo_c")
+      .as[(String, Long, Long)].collect()
+    val ev = graft.events(spark, sfDir)
+      .select(col("event_type"), cents(col("value")).as("c"))
+      .as[(String, Long)].collect()
+    for ((typ, medLo, madLo) <- q210) {
+      val cs = ev.filter(_._1 == typ).map(_._2).sorted
+      val lower = cs((cs.length + 1) / 2 - 1) // lower middle order stat
+      assert(medLo <= lower && lower < medLo + 1000,
+        s"$typ: exact lower-median $lower outside bin [$medLo, ${medLo + 1000})")
+      val devs = cs.map(c => math.abs(c - lower)).sorted
+      val dLower = devs((devs.length + 1) / 2 - 1)
+      assert(math.abs(madLo - dLower) <= 2000,
+        s"$typ: binned MAD edge $madLo more than 2 bins from exact $dLower")
+    }
+  }
+
   test("MERGE INTO through the SQL door: divergence pinned loud, applyChanges carries the semantics") {
     // r15 verdict #5 resolution, the QUALIFY posture: Spark 4's SQL
     // door REJECTS `MERGE INTO` against any table the built-in catalog

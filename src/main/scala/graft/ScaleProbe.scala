@@ -222,7 +222,35 @@ object ScaleProbe {
     // windows run at CORPUS grain (cumweight + rank per return flag) —
     // its ratio must track lineitem rows; the other statistics land on
     // supplier/grid/digit-grain relations after one aggregate
-    "q201_weighted_median")
+    "q201_weighted_median",
+    // r15 verdict #3: the 22 r15 arrivals that shipped without an sf1
+    // row — the arrival-discipline backfill. Most window only AFTER a
+    // corpus aggregate lands on grid/group/user grain (q177 quotas,
+    // q178 seasonality cells, q180 chi-square, q181 calibration
+    // deciles, q186/q203 scalar totals, q190 FD audit, q191
+    // interarrival type-windows, q192 Pareto suppliers, q195 WOE bins,
+    // q197 monthly grid, q200 KS distinct-value grid, q202 Gini
+    // suppliers, q204 Benford digits, q205 group concat, q206 argmax,
+    // q207 try_cast) and should probe ≈ the scan/aggregate ratio;
+    // q172's EWMA and q174's blast-radius ride user/order-keyed
+    // windows (corpus-grain but key-parallel); q187's bag/set ops and
+    // q189's reciprocal-best ride key shuffles; q199's skyline is the
+    // one global-window op — its r16 band pre-reduction is exactly
+    // what this probe prices
+    "q172_ewma_engagement", "q174_join_explosion",
+    "q177_quota_allocation", "q178_seasonality", "q180_chi_square",
+    "q181_calibration", "q186_type_correlation", "q187_bag_set_ops",
+    "q189_mutual_best", "q190_fd_audit", "q191_interarrival",
+    "q192_pareto_abc", "q195_woe_binning", "q197_growth_cumulative",
+    "q199_skyline", "q200_ks_test", "q202_gini", "q203_trend_ols",
+    "q204_benford", "q205_group_concat", "q206_argmax_parity",
+    "q207_try_cast",
+    // r16 arrivals, on-arrival: the stored-model language ID (score
+    // half only — its ratio vs q166's fit+score prices the lifecycle),
+    // and the binned weighted-median/MAD production siblings (one
+    // partial-combined aggregate + bin-grain windows — both should
+    // probe ≈ the aggregate ratio, far under their exact comparators)
+    "q208_lang_id_stored", "q209_wmedian_binned", "q210_mad_binned")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -1823,6 +1823,105 @@ object AnalyticQueries {
           .otherwise(lit(0L))).as("n_outliers_binned"))
   }
 
+  /** CUSUM drift detection over daily event counts — the
+    * change-point screen that catches a SUSTAINED small shift the
+    * per-day q196 MAD screen is blind to (ten days each 1.5σ high
+    * never trip a 3σ day test; their cumulative sum does). The
+    * recursive textbook form `S_d = max(0, S_{d-1} + dev_d)` is not
+    * window-expressible, but its closed form is: `S_d = cum_d −
+    * min(0, min_{j≤d} cum_j)` — ONE running sum + ONE running min
+    * over the day grid. Deviations stay integral by
+    * cross-multiplication: `dev = n·D − T` (n·D ≈ 10¹²·10⁴ at 100 TB,
+    * inside int64), so `s_num` is exact and the alarm
+    * `s_num > 2·T` (cumulative excess above twice a mean day's mass,
+    * in the same ·D units) never divides. Corpus touched once for the
+    * counts; all windows run over the types×days grid with real
+    * zeros (the q196 rule).
+    */
+  def q213(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_type"),
+      expr("ts_ns div 1000 div 86400000000").as("d"))
+    val counts = e.groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n"))
+    val grid = e.select(col("d")).distinct()
+      .crossJoin(e.select(col("event_type")).distinct())
+      .join(counts, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("t", sum(col("n")).over(wAll))
+      .withColumn("nd", count(lit(1)).over(wAll))
+      .withColumn("cum", sum(col("n") * col("nd") - col("t")).over(wCum))
+      .withColumn("s_num",
+        col("cum") - least(lit(0L), min(col("cum")).over(wCum)))
+      .select(col("event_type"), col("d").as("day"), col("n"),
+        col("s_num"), (col("s_num") > col("t") * 2L).as("alarm"))
+  }
+
+  /** RFM (recency / frequency / monetary) quintile scoring — the
+    * classic customer segmentation: per user the last-active day,
+    * event count and exact cents spend, each bucketed into quintiles
+    * by the ntile-FREE integer rank rule `q = ((rk−1)·5) div n + 1`
+    * (ntile's remainder placement is engine-defined — the r15 parity
+    * trap; this rule is a pure function of (rank, n) on both engines),
+    * rank ties broken by user_id so every bucket edge is
+    * deterministic. One corpus aggregate to user grain; the three
+    * rank windows run over USERS, not events.
+    */
+  def q214(s: SparkSession, dir: String): DataFrame = {
+    val u = events(s, dir)
+      .select(col("user_id"), expr("ts_ns div 1000 div 86400000000").as("d"),
+        cents(col("value")).as("c"))
+      .groupBy(col("user_id"))
+      .agg(max(col("d")).as("r_day"), count(lit(1)).as("f"),
+        sum(col("c")).as("m_c"))
+    val wAll = Window.partitionBy()
+    val wR = Window.orderBy(col("r_day").asc, col("user_id").asc)
+    val wF = Window.orderBy(col("f").asc, col("user_id").asc)
+    val wM = Window.orderBy(col("m_c").asc, col("user_id").asc)
+    u.withColumn("n_u", count(lit(1)).over(wAll))
+      .withColumn("rank_r", row_number().over(wR))
+      .withColumn("rank_f", row_number().over(wF))
+      .withColumn("rank_m", row_number().over(wM))
+      .select(col("user_id"), col("r_day"), col("f"), col("m_c"),
+        expr("((rank_r - 1) * 5) div n_u + 1").as("r_q"),
+        expr("((rank_f - 1) * 5) div n_u + 1").as("f_q"),
+        expr("((rank_m - 1) * 5) div n_u + 1").as("m_q"))
+      .withColumn("rfm_code",
+        col("r_q") * 100L + col("f_q") * 10L + col("m_q"))
+  }
+
+  /** First-touch conversion lag — per user the time from the FIRST
+    * view to the first purchase AT OR AFTER it (purchases before any
+    * view are not conversions of one): the attribution number funnels
+    * (q48) and session paths (q185) don't give. Two user-grain
+    * aggregates: first-view per user, then the conditional min over
+    * purchases gated on `ts ≥ first_view` after a user-keyed join —
+    * the corpus is scanned twice but shuffles only to user grain, and
+    * the lag arithmetic is exact integer microseconds on the shared
+    * epoch clock (never timestamp subtraction with engine-specific
+    * interval types). Users who never convert report NULL lag — the
+    * left join keeps them so the hash pins the non-converts too.
+    */
+  def q215(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"), col("event_type"),
+      expr("ts_ns div 1000").as("us"))
+    val fv = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("first_view_us"))
+    val fp = e.filter(col("event_type") === "purchase")
+      .join(fv, Seq("user_id"))
+      .filter(col("us") >= col("first_view_us"))
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("first_purchase_us"))
+    fv.join(fp, Seq("user_id"), "left")
+      .select(col("user_id"), col("first_view_us"),
+        col("first_purchase_us"),
+        (col("first_purchase_us") - col("first_view_us")).as("lag_us"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q16_topk"          -> (q16 _),
     "q17_window_rownum" -> (q17 _),
@@ -1891,9 +1990,76 @@ object AnalyticQueries {
     "q207_try_cast" -> (q207 _),
     "q209_wmedian_binned" -> (q209 _),
     "q210_mad_binned" -> (q210 _),
+    "q213_cusum_drift" -> (q213 _),
+    "q214_rfm_scores" -> (q214 _),
+    "q215_conversion_lag" -> (q215 _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // CUSUM: closed form cum - min(0, running-min cum) over the grid,
+    // integer deviations n*D - T
+    "q213_cusum_drift" ->
+      """WITH e AS (SELECT event_type,
+             epoch_us(ts) // 86400000000 AS d FROM events),
+         counts AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n
+           FROM e GROUP BY event_type, d),
+         grid AS (SELECT t.event_type, days.d, COALESCE(c.n, 0) AS n
+           FROM (SELECT DISTINCT d FROM e) days
+           CROSS JOIN (SELECT DISTINCT event_type FROM e) t
+           LEFT JOIN counts c ON c.event_type = t.event_type
+             AND c.d = days.d),
+         g AS (SELECT event_type, d, n,
+             CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS t,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd
+           FROM grid),
+         cs AS (SELECT event_type, d, n, t,
+             CAST(sum(n * nd - t) OVER (PARTITION BY event_type
+               ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM g),
+         s AS (SELECT event_type, d, n, t, cum,
+             cum - least(CAST(0 AS BIGINT), min(cum) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS UNBOUNDED PRECEDING)) AS s_num
+           FROM cs)
+       SELECT event_type, d AS day, n, CAST(s_num AS BIGINT) AS s_num,
+              s_num > t * 2 AS alarm
+       FROM s""",
+    // RFM: user-grain aggregate, ntile-free integer quintile rule
+    "q214_rfm_scores" ->
+      """WITH u AS (SELECT user_id,
+             max(epoch_us(ts) // 86400000000) AS r_day,
+             CAST(count(*) AS BIGINT) AS f,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS m_c
+           FROM events GROUP BY user_id),
+         r AS (SELECT *,
+             CAST(count(*) OVER () AS BIGINT) AS n_u,
+             row_number() OVER (ORDER BY r_day, user_id) AS rank_r,
+             row_number() OVER (ORDER BY f, user_id) AS rank_f,
+             row_number() OVER (ORDER BY m_c, user_id) AS rank_m
+           FROM u)
+       SELECT user_id, r_day, f, m_c,
+              CAST((rank_r - 1) * 5 // n_u + 1 AS BIGINT) AS r_q,
+              CAST((rank_f - 1) * 5 // n_u + 1 AS BIGINT) AS f_q,
+              CAST((rank_m - 1) * 5 // n_u + 1 AS BIGINT) AS m_q,
+              CAST(((rank_r - 1) * 5 // n_u + 1) * 100
+                + ((rank_f - 1) * 5 // n_u + 1) * 10
+                + ((rank_m - 1) * 5 // n_u + 1) AS BIGINT) AS rfm_code
+       FROM r""",
+    // conversion lag: first view, first purchase at/after it, exact
+    // integer microsecond difference; non-converts keep NULLs
+    "q215_conversion_lag" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+           FROM events),
+         fv AS (SELECT user_id, min(us) AS first_view_us FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+         fp AS (SELECT e.user_id, min(e.us) AS first_purchase_us
+           FROM e JOIN fv ON e.user_id = fv.user_id
+           WHERE e.event_type = 'purchase' AND e.us >= fv.first_view_us
+           GROUP BY e.user_id)
+       SELECT fv.user_id, fv.first_view_us, fp.first_purchase_us,
+              fp.first_purchase_us - fv.first_view_us AS lag_us
+       FROM fv LEFT JOIN fp ON fv.user_id = fp.user_id""",
     // rolling actives: user-day dedup -> 7-day coverage explosion ->
     // distinct count per occurring day; integer epoch days
     "q171_rolling_actives" ->

@@ -2370,6 +2370,98 @@ object PipelineQueries {
           .as("correct"))
   }
 
+  /** Smoothed target (mean) encoding — the feature-engineering staple
+    * for high-cardinality categoricals: per source the empirical
+    * P(lang = 'en') shrunk toward the global prior with weight m = 20,
+    * `enc = (n_pos + m·P/N) / (n + m)`, kept EXACT by
+    * cross-multiplication — `enc_num = n_pos·N + m·P`,
+    * `enc_den = N·(n + m)` — with ONE 6dp division at the end (the
+    * q186/q202 posture). int64 holds through n_pos·N ≈ 3·10⁹ per side
+    * (the q200 bound); past that the same algebra runs in decimal.
+    * One corpus aggregate to source grain + a 1-row global broadcast
+    * (the audited 1-row BNLJ shape). Leakage note baked into the
+    * docstring: production fits the encoding on the TRAIN split only
+    * (compose with splitAssign); the gate encodes the full corpus
+    * because the oracle pins arithmetic, not protocol.
+    */
+  def q211(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir)("documents").select(col("source"),
+      (col("lang") === "en").cast("long").as("y"))
+    val bySrc = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    val g = d.agg(count(lit(1)).as("n_tot"), sum(col("y")).as("p_tot"))
+    bySrc.crossJoin(broadcast(g))
+      .select(col("source"), col("n"), col("n_pos"),
+        (col("n_pos") * col("n_tot") + lit(20L) * col("p_tot"))
+          .as("enc_num"),
+        (col("n_tot") * (col("n") + 20L)).as("enc_den"),
+        round((col("n_pos") * col("n_tot") + lit(20L) * col("p_tot"))
+          .cast("double") /
+          (col("n_tot") * (col("n") + 20L)).cast("double"), 6).as("enc"))
+  }
+
+  /** Deterministic GROUP k-fold assignment — cross-validation folds
+    * where every row of a group lands in ONE fold (the leakage rule
+    * group k-fold exists for: near-identical docs from one source must
+    * never straddle a train/eval fold boundary): fold = salted content
+    * fingerprint of the GROUP KEY mod k, so the assignment is a pure
+    * function of the key — engine-replayable, rerun-stable, and
+    * independent of the q55 split and q59 mixture salts by its own
+    * salt. Source-grain output pins every group's fold and size; the
+    * fold integrity claim is by CONSTRUCTION (fold is a function of
+    * source alone), which the oracle re-derives per group.
+    */
+  def q212(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        pmod(TextOps.fingerprint(concat(lit("fold:"), col("source"))),
+          lit(5L)).as("fold"))
+
+  /** Per-source percentile-rank normalization — mapping a raw feature
+    * (n_chars) onto its within-source percentile so sources with
+    * different length distributions become comparable (the
+    * quantile-normalization step before cross-source quality cuts):
+    * midrank basis points `pr_bp = (2·rk − 1)·5000 div n` ∈ [0, 10000),
+    * rank ties broken by doc_id — all integer, no division. The rank
+    * window is per-source DOC grain (the q68 exact-rank family); the
+    * q217 min-max sibling is the window-free contrast.
+    */
+  def q216(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    t(s, dir)("documents").select(col("doc_id"), col("source"),
+        col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr("(2 * rk - 1) * 5000 div n").as("pr_bp"))
+  }
+
+  /** Per-source min-max feature scaling to integer basis points —
+    * q216's WINDOW-FREE sibling: `scaled = (x − min)·10000 div
+    * (max − min)` with the degenerate max = min source pinned to 0.
+    * One partial-combined aggregate to source grain, extremes
+    * broadcast back onto the scan — no per-source sort anywhere, the
+    * shape that survives a hot source with 10¹⁰ rows. Integer div
+    * keeps it exact cross-engine.
+    */
+  def q217(s: SparkSession, dir: String): DataFrame = {
+    val ext = t(s, dir)("documents").groupBy(col("source"))
+      .agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+    t(s, dir)("documents").select(col("doc_id"), col("source"),
+        col("n_chars"))
+      .join(broadcast(ext), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(expr("(n_chars - mn) * 10000 div (mx - mn)"))
+          .as("scaled_bp"))
+  }
+
   /** The SFT curation chain composed end to end (the q117/q63
     * composition posture applied to the instruction-tuning family):
     * parse the planted dialogues → loss-mask statistics → quality
@@ -3136,6 +3228,10 @@ object PipelineQueries {
     "q194_time_travel"    -> (q194 _),
     "q195_woe_binning"    -> (q195 _),
     "q208_lang_id_stored" -> (q208 _),
+    "q211_target_encoding" -> (q211 _),
+    "q212_group_kfold"    -> (q212 _),
+    "q216_percentile_norm" -> (q216 _),
+    "q217_minmax_scale"   -> (q217 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -3990,6 +4086,51 @@ FROM o"""
     // (the artifact is exact, so SQL refits; the hash-match proves the
     // save/load round-trip preserved every (lang, gram, rank) row)
     "q208_lang_id_stored" -> langIdOracle(docM = 25),
+    // target encoding: cross-multiplied smoothing, one 6dp division
+    "q211_target_encoding" ->
+      """WITH d AS (SELECT source,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+         s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(y) AS BIGINT) AS n_pos
+               FROM d GROUP BY source),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n_tot,
+                      CAST(sum(y) AS BIGINT) AS p_tot FROM d)
+       SELECT source, n, n_pos,
+              CAST(n_pos * n_tot + 20 * p_tot AS BIGINT) AS enc_num,
+              CAST(n_tot * (n + 20) AS BIGINT) AS enc_den,
+              round(CAST(n_pos * n_tot + 20 * p_tot AS DOUBLE)
+                / CAST(n_tot * (n + 20) AS DOUBLE), 6) AS enc
+       FROM s CROSS JOIN g""",
+    // group k-fold: the portable polynomial fingerprint of the salted
+    // GROUP key mod k, re-derived per group
+    "q212_group_kfold" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, length('fold:' || source) + 1),
+                    i -> CAST(unicode(substr('fold:' || source,
+                      CAST(i AS INT), 1)) AS BIGINT))),
+                (a, b) -> (a*31 + b) % 1000000007) % 5 AS BIGINT) AS fold
+       FROM documents GROUP BY source""",
+    // percentile normalization: midrank basis points, integer div
+    "q216_percentile_norm" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars, doc_id) AS rk,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+           FROM documents)
+       SELECT doc_id, source, n_chars,
+              CAST((2 * rk - 1) * 5000 // n AS BIGINT) AS pr_bp
+       FROM r""",
+    // min-max scaling: per-source extremes, integer basis points
+    "q217_minmax_scale" ->
+      """WITH ext AS (SELECT source, min(n_chars) AS mn,
+             max(n_chars) AS mx FROM documents GROUP BY source)
+       SELECT d.doc_id, d.source, d.n_chars,
+              CAST(CASE WHEN ext.mx = ext.mn THEN 0
+                ELSE (d.n_chars - ext.mn) * 10000 // (ext.mx - ext.mn)
+                END AS BIGINT) AS scaled_bp
+       FROM documents d JOIN ext ON d.source = ext.source""",
     // link extraction: planting + regex + ordinality replayed
     "q161_link_extract" -> (s"""WITH lt AS ($linkTextSql),
          ls AS (SELECT doc_id,

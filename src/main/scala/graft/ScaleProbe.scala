@@ -250,7 +250,19 @@ object ScaleProbe {
     // and the binned weighted-median/MAD production siblings (one
     // partial-combined aggregate + bin-grain windows — both should
     // probe ≈ the aggregate ratio, far under their exact comparators)
-    "q208_lang_id_stored", "q209_wmedian_binned", "q210_mad_binned")
+    "q208_lang_id_stored", "q209_wmedian_binned", "q210_mad_binned",
+    // r16 batch-2 arrivals: CUSUM/RFM/lag/growth/skew ride one corpus
+    // aggregate each to grid/user/day grain (q214's quintile windows
+    // run over USERS — corpus-grain only through the aggregate; q215
+    // scans twice to user grain; q218's sketch union is days²-bounded
+    // after the per-day sketch aggregate); q216's per-source rank
+    // window is the one doc-grain window (the q68 exact-rank family),
+    // q217 its window-free broadcast-extremes contrast; q211/q212/q220
+    // land on source-grain cells immediately
+    "q211_target_encoding", "q212_group_kfold", "q213_cusum_drift",
+    "q214_rfm_scores", "q215_conversion_lag", "q216_percentile_norm",
+    "q217_minmax_scale", "q218_sketch_growth", "q219_skew_profile",
+    "q220_source_entropy")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

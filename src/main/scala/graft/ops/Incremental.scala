@@ -77,4 +77,99 @@ object Incremental {
   def withAvg(state: DataFrame): DataFrame =
     state.withColumn("avg_v",
       round(col("sum_v").cast("double") / col("n").cast("double"), 4))
+
+  /** Histogram (binned-count) state — the mergeable state behind the
+    * binned order-statistic family (q209/q210): per
+    * `(keys, bin = value div binWidth)` the row count. Counts are the
+    * ONLY state, so the merge is pure addition — and counts per bin
+    * are enough to answer any binned quantile/median/MAD AT READ
+    * ([[binnedMedMad]]), which is exactly what exact order statistics
+    * can never do incrementally (a median has no algebraic state; a
+    * binned median's state is this histogram). NULL values carry no
+    * bin and are dropped, matching rank semantics over non-null
+    * values. One partial-combined shuffle per batch; state size is
+    * keys × occupied bins, corpus-independent.
+    */
+  def histState(df: DataFrame, keys: Seq[String], valueCol: String,
+                binWidth: Long): DataFrame = {
+    require(keys.nonEmpty, "histState: no grouping keys")
+    require(binWidth > 0, s"histState: binWidth $binWidth <= 0")
+    require(!keys.contains("bin") && !keys.contains("n"),
+      "histState: keys collide with the bin/n state columns")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy((keys.map(col) :+
+        expr(s"$valueCol div ${binWidth}L").as("bin")): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge two histogram states with the same keys: per (keys, bin)
+    * the counts ADD — full-outer so bins present in only one state
+    * survive. Associative and commutative (OpsSpec pins
+    * state(a ∪ b) ≡ merge(state(a), state(b)) and the read-side
+    * equality on top of it).
+    */
+  def mergeHist(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "mergeHist: no grouping keys")
+    Seq(a, b).foreach(s => Seq("bin", "n").foreach(c =>
+      require(s.columns.contains(c),
+        s"mergeHist: input lacks state column '$c'")))
+    val bb = b.select((keys.map(col) :+ col("bin") :+
+      col("n").as("__b_n")): _*)
+    a.join(bb, keys :+ "bin", "full_outer")
+      .select((keys.map(col) :+ col("bin") :+
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__b_n"), lit(0L)))
+          .as("n")): _*)
+  }
+
+  /** Read-side binned median/MAD report from a histogram state — the
+    * q210 screen computed WITHOUT touching the corpus: binned median =
+    * first bin whose doubled cumulative count reaches the total,
+    * binned deviations = |bin − med_bin| weighted by bin counts,
+    * binned MAD = their weighted median, outlier mass = histogram
+    * count where |bin − mbin| > 3·mad_bins. Reported edges are lower
+    * bin edges (`· binWidth`); med within one bin width of the exact
+    * statistic, MAD within two (OpsSpec containment laws). Everything
+    * runs at bin grain — a stored histogram state answers this with
+    * zero corpus passes, the incremental path exact MAD (three corpus
+    * passes, q173) can never have.
+    */
+  def binnedMedMad(hist: DataFrame, keys: Seq[String],
+                   binWidth: Long): DataFrame = {
+    require(keys.nonEmpty, "binnedMedMad: no grouping keys")
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("bin"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    val med = hist.withColumn("cum", sum(col("n")).over(
+        wOrd.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+      .withColumn("tot", sum(col("n")).over(wAll))
+      .filter(col("cum") * 2L >= col("tot"))
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("rn") === 1)
+      .select((keys.map(col) :+ col("tot") :+ col("bin").as("mbin")): _*)
+    val dev = hist.join(broadcast(med), keys)
+      .withColumn("dbin", abs(col("bin") - col("mbin")))
+    val dh = dev.groupBy((keys.map(col) :+ col("mbin") :+ col("tot") :+
+        col("dbin")): _*)
+      .agg(sum(col("n")).as("dn"))
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("dbin"))
+    val mad = dh.withColumn("cum", sum(col("dn")).over(
+        wD.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+      .filter(col("cum") * 2L >= col("tot"))
+      .withColumn("rn", row_number().over(wD))
+      .filter(col("rn") === 1)
+      .select((keys.map(col) :+ col("dbin").as("madbin")): _*)
+    dev.join(broadcast(mad), keys)
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("tot")).as("n"),
+        (max(col("mbin")) * binWidth).as("med_lo_c"),
+        (max(col("madbin")) * binWidth).as("mad_lo_c"),
+        sum(when(col("dbin") > col("madbin") * 3L, col("n"))
+          .otherwise(lit(0L))).as("n_outliers_binned"))
+  }
 }

@@ -1786,41 +1786,21 @@ object AnalyticQueries {
     * bin width of exact, MAD within two (deviation binning compounds
     * the median's bound). All-integer → full oracle hash gate; q173
     * stays the exact comparator at its honest three-pass floor.
+    *
+    * Expressed as the library pair [[graft.ops.Incremental.histState]]
+    * → [[graft.ops.Incremental.binnedMedMad]]: the histogram is a
+    * MERGEABLE state (counts add), so a stored per-batch histogram
+    * answers this report with zero corpus passes — the incremental
+    * path no exact order statistic can have (OpsSpec pins the
+    * state(a∪b) ≡ merge(state(a), state(b)) law and the read-side
+    * equality on top of it).
     */
   def q210(s: SparkSession, dir: String): DataFrame = {
-    val h = events(s, dir)
-      .select(col("event_type"),
-        expr("cast(round(value * 100) as bigint) div 1000").as("bin"))
-      .groupBy(col("event_type"), col("bin"))
-      .agg(count(lit(1)).as("n"))
-    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("bin"))
-    val wAll = Window.partitionBy(col("event_type"))
-    val med = h.withColumn("cum", sum(col("n")).over(
-        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("tot", sum(col("n")).over(wAll))
-      .filter(col("cum") * 2L >= col("tot"))
-      .withColumn("rn", row_number().over(wOrd))
-      .filter(col("rn") === 1)
-      .select(col("event_type"), col("tot"), col("bin").as("mbin"))
-    val dev = h.join(broadcast(med), Seq("event_type"))
-      .withColumn("dbin", abs(col("bin") - col("mbin")))
-    val dh = dev.groupBy(col("event_type"), col("mbin"), col("tot"),
-        col("dbin"))
-      .agg(sum(col("n")).as("dn"))
-    val wD = Window.partitionBy(col("event_type")).orderBy(col("dbin"))
-    val mad = dh.withColumn("cum", sum(col("dn")).over(
-        wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter(col("cum") * 2L >= col("tot"))
-      .withColumn("rn", row_number().over(wD))
-      .filter(col("rn") === 1)
-      .select(col("event_type"), col("dbin").as("madbin"))
-    dev.join(broadcast(mad), Seq("event_type"))
-      .groupBy(col("event_type"))
-      .agg(max(col("tot")).as("n"),
-        (max(col("mbin")) * 1000L).as("med_lo_c"),
-        (max(col("madbin")) * 1000L).as("mad_lo_c"),
-        sum(when(col("dbin") > col("madbin") * 3L, col("n"))
-          .otherwise(lit(0L))).as("n_outliers_binned"))
+    val e = events(s, dir).select(col("event_type"),
+      cents(col("value")).as("c"))
+    graft.ops.Incremental.binnedMedMad(
+      graft.ops.Incremental.histState(e, Seq("event_type"), "c", 1000L),
+      Seq("event_type"), 1000L)
   }
 
   /** CUSUM drift detection over daily event counts — the
@@ -1922,6 +1902,86 @@ object AnalyticQueries {
         (col("first_purchase_us") - col("first_view_us")).as("lag_us"))
   }
 
+  /** Sketch-based audience growth — q197's PRODUCTION sibling at
+    * 100 TB, where the exact first-active-day pass needs a user-keyed
+    * shuffle of the full history: per-day HLL sketches
+    * (`hll_sketch_agg`, the mergeable Datasketches state Spark ships)
+    * union-merged cumulatively at DAY grain — the day×day triangle
+    * join is days²-bounded, never corpus-bounded, and a stored per-day
+    * sketch table makes every later report a sketch-merge, no history
+    * re-scan (the q175 incremental-state posture applied to DISTINCT
+    * counting, which no exact algebraic state can do). Gated in the
+    * q45 estimator posture: the output carries the EXACT cumulative
+    * count and a tolerance verdict (HLL lgK=12 ⇒ σ ≈ 1.6%, gate at
+    * max(5, 5%)); the oracle replays the exact side and pins
+    * `within_tol = TRUE`, so a drifting estimator fails the hash.
+    */
+  def q218(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"),
+      expr("ts_ns div 1000 div 86400000000").as("d"))
+    val exact = {
+      val firstDay = e.groupBy(col("user_id")).agg(min(col("d")).as("fd"))
+        .groupBy(col("fd")).agg(count(lit(1)).as("new_users"))
+      val wCum = Window.orderBy(col("d").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.select(col("d")).distinct()
+        .join(firstDay, col("d") === col("fd"), "left")
+        .select(col("d"), coalesce(col("new_users"), lit(0L)).as("nu"))
+        .withColumn("exact_cum", sum(col("nu")).over(wCum))
+        .select(col("d"), col("exact_cum"))
+    }
+    val daily = e.groupBy(col("d"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val est = daily.select(col("d").as("d2"), col("sk"))
+      .join(exact.select(col("d")), col("d2") <= col("d"))
+      .groupBy(col("d"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    exact.join(est, Seq("d"))
+      .select(col("d").as("day"), col("exact_cum"),
+        (abs(col("est") - col("exact_cum")) <=
+          greatest(lit(5L), col("exact_cum") / 20L)).as("within_tol"))
+  }
+
+  /** Key-skew profile as a GATED query ([[graft.ops.Skew
+    * .keySkewProfile]] was spec-only): the top-10 hottest user keys
+    * with counts and their load share in basis points vs a uniform
+    * key — the report that decides whether a join needs q-style
+    * salting BEFORE it falls over at 100 TB. One partial-combined
+    * aggregate + TakeOrderedAndProject; ties broken by key so the
+    * boundary is deterministic. share_bp = n·10⁴·K/T cross-multiplied
+    * (a uniform key reads 10000).
+    */
+  def q219(s: SparkSession, dir: String): DataFrame = {
+    val prof = graft.ops.Skew.keySkewProfile(
+      events(s, dir).select(col("user_id")), "user_id", topN = 10)
+    val tot = events(s, dir)
+      .agg(count(lit(1)).as("t"), countDistinct(col("user_id")).as("k"))
+    prof.crossJoin(broadcast(tot))
+      .select(col("user_id"), col("n"),
+        expr("n * 10000 * k div t").as("share_bp"))
+  }
+
+  /** Shannon entropy of each source's language mix — the diversity
+    * number a mixture designer reads next to q59's weights: from
+    * exact (source, lang) counts, `H = ln(n) − Σ c·ln(c) / n` in one
+    * 4dp double expression over int64 counts (the q186 posture —
+    * exact integers until a single final float step, margins ≫ ulp so
+    * IEEE doubles agree cross-engine). Uniform-mix sources read
+    * ln(n_langs); single-language sources read exactly 0. Cells
+    * relation is sources×languages; the corpus enters one aggregate.
+    */
+  def q220(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir)("documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    cells.groupBy(col("source"))
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_langs"),
+        round(log(sum(col("c")).cast("double")) -
+          sum(col("c").cast("double") * log(col("c").cast("double"))) /
+            sum(col("c")).cast("double"), 4).as("entropy"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q16_topk"          -> (q16 _),
     "q17_window_rownum" -> (q17 _),
@@ -1993,9 +2053,46 @@ object AnalyticQueries {
     "q213_cusum_drift" -> (q213 _),
     "q214_rfm_scores" -> (q214 _),
     "q215_conversion_lag" -> (q215 _),
+    "q218_sketch_growth" -> (q218 _),
+    "q219_skew_profile" -> (q219 _),
+    "q220_source_entropy" -> (q220 _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // sketch growth: the q45 estimator posture — oracle replays the
+    // EXACT cumulative-distinct side and pins within_tol TRUE
+    "q218_sketch_growth" ->
+      """WITH e AS (SELECT user_id,
+             epoch_us(ts) // 86400000000 AS d FROM events),
+         fd AS (SELECT user_id, min(d) AS fd FROM e GROUP BY user_id),
+         nu AS (SELECT fd AS d, CAST(count(*) AS BIGINT) AS nu
+           FROM fd GROUP BY fd),
+         days AS (SELECT DISTINCT d FROM e)
+       SELECT days.d AS day,
+              CAST(sum(COALESCE(nu.nu, 0)) OVER (ORDER BY days.d
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS exact_cum,
+              TRUE AS within_tol
+       FROM days LEFT JOIN nu ON nu.d = days.d""",
+    // skew profile: exact top-10 by (n desc, key asc), share in bp
+    "q219_skew_profile" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY user_id),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS t,
+                      CAST(count(*) AS BIGINT) AS k FROM c)
+       SELECT c.user_id, c.n,
+              CAST(c.n * 10000 * t.k // t.t AS BIGINT) AS share_bp
+       FROM c CROSS JOIN t
+       ORDER BY c.n DESC, c.user_id LIMIT 10""",
+    // entropy: exact cells, one 4dp double expression
+    "q220_source_entropy" ->
+      """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT)
+             AS c FROM documents GROUP BY source, lang)
+       SELECT source, CAST(sum(c) AS BIGINT) AS n,
+              CAST(count(*) AS BIGINT) AS n_langs,
+              round(ln(CAST(sum(c) AS DOUBLE)) -
+                sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                  / CAST(sum(c) AS DOUBLE), 4) AS entropy
+       FROM cells GROUP BY source""",
     // CUSUM: closed form cum - min(0, running-min cum) over the grid,
     // integer deviations n*D - T
     "q213_cusum_drift" ->

@@ -2819,6 +2819,43 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("schemas differ"))
   }
 
+  test("histogram state: merge triangle and read-side equality (the q210 incremental law)") {
+    import graft.ops.Incremental
+    // planted values spanning several bins per key, with a NULL (no
+    // bin) and a key present in only one batch (full-outer survival)
+    val a = Seq(("x", Some(150L)), ("x", Some(151L)), ("x", Some(2050L)),
+      ("y", Some(10L)), ("x", None)).toDF("k", "v")
+      .select(col("k"), col("v").cast("long").as("v"))
+    val b = Seq(("x", Some(160L)), ("x", Some(9000L)), ("z", Some(5L)),
+      ("y", None)).toDF("k", "v")
+      .select(col("k"), col("v").cast("long").as("v"))
+    val keys = Seq("k")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "bin", "n").as[(String, Long, Long)]
+        .collect().toSeq.sorted
+    val merged = Incremental.mergeHist(
+      Incremental.histState(a, keys, "v", 100L),
+      Incremental.histState(b, keys, "v", 100L), keys)
+    val direct = Incremental.histState(a.unionByName(b), keys, "v", 100L)
+    assert(canon(merged) === canon(direct),
+      "merge(state(a), state(b)) != state(a ∪ b)")
+    // read-side: the report over the merged state equals the report
+    // over the directly-built state (and is deterministic)
+    def report(df: org.apache.spark.sql.DataFrame) =
+      Incremental.binnedMedMad(df, keys, 100L)
+        .select("k", "n", "med_lo_c", "mad_lo_c", "n_outliers_binned")
+        .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(report(merged) === report(direct))
+    // hand-check one key: x values 150,151,160,2050,9000 -> bins
+    // 1,1,1,20,90; median bin = 1 (cum 3 of 5), deviations 0,19,89
+    // weighted (3,1,1) -> mad bin = 0; outliers: dbin > 0 -> mass 2
+    val x = report(direct).find(_._1 == "x").get
+    assert(x === (("x", 5L, 100L, 0L, 2L)))
+    intercept[IllegalArgumentException] {
+      Incremental.histState(a, keys, "v", 0L)
+    }
+  }
+
   test("binned weighted-median/MAD siblings: intervals contain the exact statistics") {
     // the q68 dual-posture law for the r16 approx siblings: the binned
     // production path's reported interval/edges must bracket the exact

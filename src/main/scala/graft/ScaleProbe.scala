@@ -262,7 +262,13 @@ object ScaleProbe {
     "q211_target_encoding", "q212_group_kfold", "q213_cusum_drift",
     "q214_rfm_scores", "q215_conversion_lag", "q216_percentile_norm",
     "q217_minmax_scale", "q218_sketch_growth", "q219_skew_profile",
-    "q220_source_entropy")
+    "q220_source_entropy",
+    // r16 batch-3 arrivals: the null-safe join is one hash shuffle
+    // (EqualNullSafe keys plan like `=`); triangles price the oriented
+    // wedge join (Σ outdeg² — the planted graph keeps degrees bounded,
+    // so the ratio must track edges); PSI lands on bin cells after one
+    // corpus aggregate
+    "q221_nullsafe_join", "q222_triangles", "q223_psi_drift")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

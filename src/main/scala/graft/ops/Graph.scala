@@ -106,4 +106,60 @@ object Graph {
       .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
         col("r").as("r_scaled"))
   }
+
+  /** Triangle enumeration by degree-ordered orientation — the
+    * clustering-coefficient / spam-farm-detection primitive (a link
+    * farm is triangle-dense; organic link graphs are triangle-sparse).
+    * The naive 3-way self-join touches Σ deg(v)² pairs and dies on the
+    * first hub; the standard fix (Schank & Wagner 2005; the
+    * vertex-ordering form in Suri & Vassilvitskii, WWW 2011) orients
+    * every undirected edge from the LOWER-(degree, node) endpoint to
+    * the higher, making every out-degree O(√m), then joins oriented
+    * wedges `a→b, a→c (b < c by the same order)` against the oriented
+    * edge set `b→c` — each triangle is found EXACTLY once, and the
+    * wedge relation is Σ outdeg(v)² = O(m^1.5) worst-case instead of
+    * hub-quadratic. Input edges are symmetrized and deduped first, so
+    * callers can pass either directed or undirected relations;
+    * self-loops are dropped. Returns the per-triangle relation
+    * `(n_a, n_b, n_c)` with `n_a < n_b < n_c` — callers count or
+    * aggregate per node. Three key shuffles total (degree, wedge join,
+    * closing join).
+    */
+  def triangles(edges: DataFrame, srcCol: String,
+                dstCol: String): DataFrame = {
+    val und = edges
+      .select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("n"))
+      .unionAll(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient by (degree, node) — a total order, so exactly one
+    // direction per edge; broadcast degrees when they fit, else the
+    // join shuffles on the node key like everything here
+    val withDeg = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")), col("u"))
+        .otherwise(col("v")).as("lo"),
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")), col("v"))
+        .otherwise(col("u")).as("hi"))
+    val wedges = oriented.select(col("lo").as("a"), col("hi").as("b"))
+      .join(oriented.select(col("lo").as("a"), col("hi").as("c")), Seq("a"))
+      .filter(col("b") < col("c"))
+    wedges.join(
+        oriented.select(col("lo").as("b2"), col("hi").as("c2"))
+          .unionAll(oriented.select(col("hi").as("b2"), col("lo").as("c2"))),
+        col("b") === col("b2") && col("c") === col("c2"))
+      .select(least(col("a"), col("b"), col("c")).as("n_a"),
+        (col("a") + col("b") + col("c") - least(col("a"), col("b"),
+          col("c")) - greatest(col("a"), col("b"), col("c"))).as("n_b"),
+        greatest(col("a"), col("b"), col("c")).as("n_c"))
+  }
 }

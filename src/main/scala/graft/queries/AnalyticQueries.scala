@@ -1982,6 +1982,98 @@ object AnalyticQueries {
             sum(col("c")).cast("double"), 4).as("entropy"))
   }
 
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — the join
+    * semantics gap every equi-join silently hides: NULL keys NEVER
+    * match under `=` (3VL), so rows with unknown keys vanish from an
+    * inner join; the null-safe operator makes NULL a real join class.
+    * Planted NULL keys on both sides (every 7th doc), even/odd halves
+    * joined on `k <=> k` with k = (doc_id div 2) mod 50 so every key
+    * class spans BOTH halves (a parity-correlated key would leave the
+    * NULL class the only matching one and gate nothing else — caught
+    * at gate time, 1 row → 51), pair counts per key INCLUDING the
+    * NULL key row — the hash pins that NULL·NULL matched (the class
+    * `=` drops) alongside the 50 ordinary classes. Same hash-shuffle plan as a plain
+    * equi-join: Spark plans `<=>` as an EqualNullSafe key, not a
+    * nested loop — which is exactly why it's the production spelling
+    * of "join on possibly-missing keys" at 100 TB.
+    */
+  def q221(s: SparkSession, dir: String): DataFrame = {
+    def half(parity: Int) = t(s, dir)("documents")
+      .filter(pmod(col("doc_id"), lit(2L)) === parity)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit(null).cast("long"))
+          .otherwise(pmod(expr("doc_id div 2"), lit(50L))).as("k"))
+    val a = half(0).select(col("k"), col("doc_id").as("id_a"))
+    val b = half(1).select(col("k").as("kb"), col("doc_id").as("id_b"))
+    a.join(b, col("k") <=> col("kb"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("id_a")).as("min_a"),
+        max(col("id_b")).as("max_b"))
+  }
+
+  /** Triangle counting ([[graft.ops.Graph.triangles]], degree-ordered
+    * orientation — Schank–Wagner / Suri–Vassilvitskii): the planted
+    * graph puts a disjoint triangle on every id triple (3k, 3k+1,
+    * 3k+2), chains triples with (3k+2, 3k+3), and closes every 15th
+    * chain link into a SECOND, edge-sharing triangle (3k, 3k+2, 3k+3)
+    * via shortcut edges — so shared-edge triangles, reversed duplicate
+    * edges (every 6th, exercising symmetrization) and self-loops
+    * (every 11th, dropped) are all planted. Output is the per-triangle
+    * relation with n_a < n_b < n_c; the oracle replays the planting
+    * and the canonical a<b<c three-way join, so the hash proves the
+    * oriented-wedge algorithm finds EXACTLY the definitional triangle
+    * set — nothing double-counted across the shared edges.
+    */
+  def q222(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir)("documents").select(col("doc_id"))
+    def sel(m: Long, u: org.apache.spark.sql.Column,
+            v: org.apache.spark.sql.Column) =
+      d.filter(col("doc_id") % m === 0).select(u.as("s"), v.as("t"))
+    val id = col("doc_id")
+    val edges = sel(3, id, id + 1L)
+      .unionByName(sel(3, id + 1L, id + 2L))
+      .unionByName(sel(3, id, id + 2L))
+      .unionByName(sel(3, id + 2L, id + 3L))
+      .unionByName(sel(15, id, id + 3L))
+      .unionByName(sel(6, id + 1L, id))
+      .unionByName(sel(11, id, id))
+    graft.ops.Graph.triangles(edges, "s", "t")
+  }
+
+  /** Population Stability Index — the model-monitoring standard for
+    * "has the score distribution drifted between training and
+    * serving": the corpus halves (doc_id parity) play expected vs
+    * actual, n_chars binned at fixed width 200 (the q165 band
+    * convention), and per bin `psi_term = (p − q)·ln(p/q)` with
+    * add-one smoothing over the UNION bin set (an empty bin on one
+    * side is exactly where PSI blows up un-smoothed — planting decides
+    * nothing the oracle doesn't replay). Counts exact int64; p, q and
+    * the 6dp term are the single final float step (q186 posture).
+    * Bin-grain output so the hash pins every term; the consumer sums
+    * terms ≥ 0.2 ⇒ investigate, the classic rule.
+    */
+  def q223(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir)("documents").select(
+      pmod(col("doc_id"), lit(2L)).as("h"),
+      expr("n_chars div 200").as("bin"))
+    val cells = d.groupBy(col("bin"))
+      .agg(sum(when(col("h") === 0, 1L).otherwise(0L)).as("n_exp"),
+        sum(when(col("h") === 1, 1L).otherwise(0L)).as("n_act"))
+    val tot = cells.agg(sum(col("n_exp")).as("te"),
+      sum(col("n_act")).as("ta"), count(lit(1)).as("nb"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_exp"), col("n_act"),
+        round((((col("n_exp") + 1L).cast("double") /
+          (col("te") + col("nb")).cast("double")) -
+          ((col("n_act") + 1L).cast("double") /
+            (col("ta") + col("nb")).cast("double"))) *
+          log(((col("n_exp") + 1L).cast("double") /
+            (col("te") + col("nb")).cast("double")) /
+            ((col("n_act") + 1L).cast("double") /
+              (col("ta") + col("nb")).cast("double"))), 6)
+          .as("psi_term"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q16_topk"          -> (q16 _),
     "q17_window_rownum" -> (q17 _),
@@ -2056,9 +2148,63 @@ object AnalyticQueries {
     "q218_sketch_growth" -> (q218 _),
     "q219_skew_profile" -> (q219 _),
     "q220_source_entropy" -> (q220 _),
+    "q221_nullsafe_join" -> (q221 _),
+    "q222_triangles" -> (q222 _),
+    "q223_psi_drift" -> (q223 _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // null-safe join: IS NOT DISTINCT FROM, the NULL key is a class
+    "q221_nullsafe_join" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN NULL
+                  ELSE (doc_id // 2) % 50 END AS k FROM documents),
+         a AS (SELECT k, doc_id AS id_a FROM d WHERE doc_id % 2 = 0),
+         b AS (SELECT k AS kb, doc_id AS id_b FROM d WHERE doc_id % 2 = 1)
+       SELECT a.k, CAST(count(*) AS BIGINT) AS n_pairs,
+              min(a.id_a) AS min_a, max(b.id_b) AS max_b
+       FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.kb
+       GROUP BY a.k""",
+    // triangles: planting + symmetrize/dedup + canonical a<b<c 3-way
+    "q222_triangles" ->
+      """WITH b3 AS (SELECT doc_id AS d FROM documents WHERE doc_id % 3 = 0),
+         raw AS (
+           SELECT d AS u, d + 1 AS v FROM b3
+           UNION ALL SELECT d + 1, d + 2 FROM b3
+           UNION ALL SELECT d, d + 2 FROM b3
+           UNION ALL SELECT d + 2, d + 3 FROM b3
+           UNION ALL SELECT doc_id, doc_id + 3 FROM documents
+             WHERE doc_id % 15 = 0
+           UNION ALL SELECT doc_id + 1, doc_id FROM documents
+             WHERE doc_id % 6 = 0
+           UNION ALL SELECT doc_id, doc_id FROM documents
+             WHERE doc_id % 11 = 0),
+         e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+           FROM raw WHERE u <> v)
+       SELECT e1.u AS n_a, e1.v AS n_b, e2.v AS n_c
+       FROM e e1 JOIN e e2 ON e1.v = e2.u
+       JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""",
+    // PSI: exact cells, add-one smoothing over the union bin set, one
+    // 6dp double term per bin
+    "q223_psi_drift" ->
+      """WITH d AS (SELECT doc_id % 2 AS h, n_chars // 200 AS bin
+           FROM documents),
+         cells AS (SELECT bin,
+             CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exp,
+             CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_act
+           FROM d GROUP BY bin),
+         tot AS (SELECT CAST(sum(n_exp) AS BIGINT) AS te,
+                        CAST(sum(n_act) AS BIGINT) AS ta,
+                        CAST(count(*) AS BIGINT) AS nb FROM cells)
+       SELECT bin, n_exp, n_act,
+              round((CAST(n_exp + 1 AS DOUBLE) / CAST(te + nb AS DOUBLE)
+                - CAST(n_act + 1 AS DOUBLE) / CAST(ta + nb AS DOUBLE))
+                * ln((CAST(n_exp + 1 AS DOUBLE) / CAST(te + nb AS DOUBLE))
+                  / (CAST(n_act + 1 AS DOUBLE) / CAST(ta + nb AS DOUBLE))),
+                6) AS psi_term
+       FROM cells CROSS JOIN tot""",
     // sketch growth: the q45 estimator posture — oracle replays the
     // EXACT cumulative-distinct side and pins within_tol TRUE
     "q218_sketch_growth" ->

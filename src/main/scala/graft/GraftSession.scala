@@ -249,6 +249,34 @@ object GraftSession {
             graft.expr.RollingFingerprints(children(0),
               children(1).eval().asInstanceOf[Number].intValue())
           }))
+        // Spark's own Bloom pair is Catalyst-internal (only the
+        // runtime-filter rule plants it); register it so the stored
+        // Bloom-scrub lifecycle (q227) can fit/probe through SQL —
+        // same public-Expression posture as the 19 graft expressions.
+        ext.injectFunction((
+          FunctionIdentifier("bloom_filter_agg"),
+          new ExpressionInfo(classOf[
+            org.apache.spark.sql.catalyst.expressions.aggregate
+              .BloomFilterAggregate].getName, "bloom_filter_agg"),
+          (children: Seq[Expression]) => {
+            require(children.length == 3,
+              "bloom_filter_agg requires (value, estimatedNumItems, " +
+                s"numBits), got ${children.length} arguments")
+            new org.apache.spark.sql.catalyst.expressions.aggregate
+              .BloomFilterAggregate(children(0), children(1), children(2))
+              .toAggregateExpression()
+          }))
+        ext.injectFunction((
+          FunctionIdentifier("might_contain"),
+          new ExpressionInfo(classOf[
+            org.apache.spark.sql.catalyst.expressions
+              .BloomFilterMightContain].getName, "might_contain"),
+          (children: Seq[Expression]) => {
+            require(children.length == 2,
+              s"might_contain requires (filter, value), got ${children.length}")
+            org.apache.spark.sql.catalyst.expressions
+              .BloomFilterMightContain(children(0), children(1))
+          }))
       }
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")

@@ -268,7 +268,15 @@ object ScaleProbe {
     // wedge join (Σ outdeg² — the planted graph keeps degrees bounded,
     // so the ratio must track edges); PSI lands on bin cells after one
     // corpus aggregate
-    "q221_nullsafe_join", "q222_triangles", "q223_psi_drift")
+    "q221_nullsafe_join", "q222_triangles", "q223_psi_drift",
+    // r16 batch-4 arrivals: phrase search prices the positional
+    // token-stream index + k−1 (doc, pos) equi-joins; ref-integrity is
+    // two anti-join directions with a distinct-ed parent side; linear
+    // interpolation is the hourly aggregate + spine-grain windows;
+    // the bloom scrub is one scan against a scalar-subquery filter
+    // (fit runs once in warmup via the session cache)
+    "q224_phrase_search", "q225_ref_integrity", "q226_linear_interp",
+    "q227_bloom_scrub")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

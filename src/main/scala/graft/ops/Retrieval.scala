@@ -408,4 +408,42 @@ object Retrieval {
       index.nDocs + batch.nDocs, index.sumDlen + batch.sumDlen,
       index.scheme)
   }
+
+  /** Positional postings — the index structure PHRASE queries need
+    * (tf-only postings can say two terms co-occur, never that they
+    * are ADJACENT): one row per (doc, term, position) over the shared
+    * `\s+` tokenization, positions 0-based. Term-partitionable like
+    * the BM25 postings; size is the token stream, the honest floor
+    * for positional search.
+    */
+  def fitPositional(docs: DataFrame, docId: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    docs.select(col(docId).as("d_id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "term")))
+      .select(col("d_id"), col("term"), col("pos").cast("long").as("pos"))
+
+  /** Exact phrase match over positional postings: a document matches
+    * the phrase `[t₀ … t_{k−1}]` iff some start position p has every
+    * tᵢ at p+i. Plan shape: the first term's postings anchor the
+    * candidate (doc, p) set, then each subsequent term equi-joins on
+    * the (d_id, pos+i) compound key — k−1 joins, each restricted to
+    * ONE term's postings (a term `IN` pushdown on a term-sorted
+    * stored layout, the q102 posture, makes each a pruned indexed
+    * read). Candidate volume is bounded by the rarest prefix term the
+    * phrase happens to start with — intersection shrinks
+    * monotonically, never grows. Returns
+    * (d_id, pos) of every occurrence; `count` per doc gives phrase
+    * tf. NULL-free by construction.
+    */
+  def phraseMatch(positional: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseMatch: empty phrase")
+    val anchor = positional.filter(col("term") === phrase.head)
+      .select(col("d_id"), col("pos"))
+    phrase.zipWithIndex.drop(1).foldLeft(anchor) {
+      case (acc, (term, i)) =>
+        acc.join(positional.filter(col("term") === term)
+            .select(col("d_id"), (col("pos") - i).as("pos")),
+          Seq("d_id", "pos"))
+    }
+  }
 }

@@ -303,4 +303,33 @@ object Validate {
       .select(col("key"), col("n_left"), col("n_right"),
         (col("n_left") * col("n_right")).as("est_rows"))
   }
+
+  /** Referential-integrity audit — the FK check every star schema
+    * needs before a join is trusted: child rows whose key has no
+    * parent (orphans — an inner join silently DROPS them, which is
+    * how fact rows vanish from revenue reports) and parents with no
+    * children (childless — expected for slow dimensions, a red flag
+    * for mandatory ones). One row out:
+    * `(n_child, n_orphan_child, n_parent, n_childless_parent)`.
+    * Cost: the parent key set is DISTINCT (dimension-sized) before
+    * the child-side left join — the child table is scanned once and
+    * never distinct-ed; the parent-side childless check runs at
+    * key-set grain both sides. NULL child keys count as orphans
+    * (they match no parent under `=` — the q221 null-safe family
+    * documents the alternative).
+    */
+  def refIntegrity(child: DataFrame, parent: DataFrame,
+                   childKey: String, parentKey: String): DataFrame = {
+    val pd = parent.select(col(parentKey).as("k")).distinct()
+    val childSide = child.select(col(childKey).as("k"))
+      .join(pd.withColumn("__p", lit(1)), Seq("k"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        count(when(col("__p").isNull, 1)).as("n_orphan_child"))
+    val cd = child.select(col(childKey).as("k")).distinct()
+    val parentSide = pd
+      .join(cd.withColumn("__c", lit(1)), Seq("k"), "left")
+      .agg(count(lit(1)).as("n_parent"),
+        count(when(col("__c").isNull, 1)).as("n_childless_parent"))
+    childSide.crossJoin(parentSide)
+  }
 }

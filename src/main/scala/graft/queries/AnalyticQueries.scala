@@ -2074,6 +2074,56 @@ object AnalyticQueries {
           .as("psi_term"))
   }
 
+  /** Linear interpolation over the hourly spine — q107's OTHER fill
+    * convention: forward-fill repeats the last observation (right for
+    * state-like series); a flow-like series wants the straight line
+    * between the neighbors, `interp = prev + (next − prev)·(h − hp)
+    * div (hn − hp)` — integer division truncating toward zero on BOTH
+    * engines (empirically pinned; see the inline note), so the filled
+    * value is exact int64 with no float slope. prev/hp
+    * ride one `last(ignoreNulls)` window ascending, next/hn the
+    * mirrored `first` descending, both on the SAME event_type
+    * exchange; observed hours pass through untouched, and the spine
+    * spans each type's own [min, max] hour so edges always have both
+    * neighbors. Corpus enters the hourly aggregate once; everything
+    * else is spine-grain.
+    */
+  def q226(s: SparkSession, dir: String): DataFrame = {
+    val hourly = events(s, dir)
+      .select(col("event_type"),
+        expr("(ts_ns div 1000) div 3600000000").as("hr"),
+        cents(col("value")).as("__c"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(sum(col("__c")).as("rev"))
+    val spine = hourly.groupBy(col("event_type"))
+      .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("hr"))
+    val wB = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wF = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    spine.join(hourly, Seq("event_type", "hr"), "left")
+      .withColumn("pv", last(col("rev"), ignoreNulls = true).over(wB))
+      .withColumn("ph", last(when(col("rev").isNotNull, col("hr")),
+        ignoreNulls = true).over(wB))
+      .withColumn("nv", first(col("rev"), ignoreNulls = true).over(wF))
+      .withColumn("nh", first(when(col("rev").isNotNull, col("hr")),
+        ignoreNulls = true).over(wF))
+      .select(col("event_type"), col("hr"),
+        col("rev").isNull.as("was_gap"),
+        // integer-division parity note: the numerator goes NEGATIVE on
+        // every decreasing segment, so the rounding rule matters —
+        // verified empirically that BOTH engines truncate toward zero
+        // here (Spark `div` and DuckDB `//`: (-7)//2 = -3), so plain
+        // div replays exactly; a floor-division engine would need the
+        // pmod spelling
+        when(col("rev").isNotNull, col("rev"))
+          .otherwise(expr(
+            "pv + (nv - pv) * (hr - ph) div (nh - ph)"))
+          .as("rev_interp"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q16_topk"          -> (q16 _),
     "q17_window_rownum" -> (q17 _),
@@ -2151,9 +2201,43 @@ object AnalyticQueries {
     "q221_nullsafe_join" -> (q221 _),
     "q222_triangles" -> (q222 _),
     "q223_psi_drift" -> (q223 _),
+    "q226_linear_interp" -> (q226 _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // linear interpolation: prev/next neighbors on the dense spine,
+    // truncating integer slope — replayed with the same two windows
+    "q226_linear_interp" ->
+      """WITH hourly AS (SELECT event_type,
+             epoch_us(ts) // 3600000000 AS hr,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+           FROM events GROUP BY event_type, epoch_us(ts) // 3600000000),
+         spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS hr
+           FROM (SELECT event_type, min(hr) AS lo, max(hr) AS hi
+                 FROM hourly GROUP BY event_type)),
+         j AS (SELECT s.event_type, s.hr, h.rev
+           FROM spine s LEFT JOIN hourly h
+             ON h.event_type = s.event_type AND h.hr = s.hr),
+         w AS (SELECT event_type, hr, rev,
+             last_value(rev IGNORE NULLS) OVER (PARTITION BY event_type
+               ORDER BY hr ROWS UNBOUNDED PRECEDING) AS pv,
+             last_value(CASE WHEN rev IS NOT NULL THEN hr END
+               IGNORE NULLS) OVER (PARTITION BY event_type
+               ORDER BY hr ROWS UNBOUNDED PRECEDING) AS ph,
+             first_value(rev IGNORE NULLS) OVER (PARTITION BY event_type
+               ORDER BY hr ROWS BETWEEN CURRENT ROW AND UNBOUNDED
+               FOLLOWING) AS nv,
+             first_value(CASE WHEN rev IS NOT NULL THEN hr END
+               IGNORE NULLS) OVER (PARTITION BY event_type
+               ORDER BY hr ROWS BETWEEN CURRENT ROW AND UNBOUNDED
+               FOLLOWING) AS nh
+           FROM j)
+       SELECT event_type, hr, rev IS NULL AS was_gap,
+              CAST(CASE WHEN rev IS NOT NULL THEN rev
+                ELSE pv + CAST((nv - pv) * (hr - ph) AS BIGINT)
+                  // (nh - ph) END AS BIGINT) AS rev_interp
+       FROM w""",
     // null-safe join: IS NOT DISTINCT FROM, the NULL key is a class
     "q221_nullsafe_join" ->
       """WITH d AS (SELECT doc_id,

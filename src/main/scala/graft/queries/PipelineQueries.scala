@@ -270,6 +270,8 @@ object PipelineQueries {
     if (spanIdx != null) retireDir(spanIdx._3)
     val langM = langModelCache.remove(s)
     if (langM != null) retireDir(langM._3)
+    val bloom = bloomCache.remove(s)
+    if (bloom != null) retireDir(bloom._2)
     mergesCache.remove(s): Unit
     fit16Cache.remove(s): Unit
   }
@@ -2462,6 +2464,103 @@ object PipelineQueries {
           .as("scaled_bp"))
   }
 
+  /** Exact phrase search over positional postings
+    * ([[Retrieval.fitPositional]] → [[Retrieval.phraseMatch]]): the
+    * capability tf-only postings (q69/q102) cannot express — terms
+    * must be ADJACENT, not merely co-occurring. The fixture plants
+    * "alpha beta gamma" on every 9th doc, the DECOY prefix
+    * "alpha beta" (no gamma) on every 13th, and a SECOND full phrase
+    * on every 27th — so partial matches are excluded and
+    * multi-occurrence docs emit one row per position. Output is every
+    * (doc, start position); the oracle replays tokenization with
+    * range-indexed positions and the adjacency predicate directly.
+    */
+  def q224(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val planted = t(s, dir)("documents").select(id,
+      concat(coalesce(col("text"), lit("")),
+        when(id % 9 === 0, lit(" alpha beta gamma")).otherwise(lit("")),
+        when(id % 13 === 0, lit(" alpha beta")).otherwise(lit("")),
+        when(id % 27 === 0, lit(" alpha beta gamma")).otherwise(lit("")))
+        .as("t"))
+    Retrieval.phraseMatch(
+      Retrieval.fitPositional(planted, "doc_id", "t"),
+      Seq("alpha", "beta", "gamma"))
+  }
+
+  /** Referential-integrity audit ([[graft.ops.Validate
+    * .refIntegrity]]) of lineitem → orders with planted breakage
+    * (every 5th order dropped from the parent side, so ~1/5 of
+    * lineitems become orphans an inner join would silently eat, and
+    * childless orders are the fixture's natural no-lineitem tail):
+    * one row — child count, orphan count, parent count, childless
+    * count. The oracle replays both anti-join directions.
+    */
+  def q225(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Validate.refIntegrity(
+      t(s, dir)("lineitem"),
+      t(s, dir)("orders").filter(col("o_orderkey") % 5 =!= 0),
+      "l_orderkey", "o_orderkey")
+
+  /** Stored Bloom-filter membership scrub — the q80/q102/q208
+    * fit-once lifecycle applied to Spark's own `bloom_filter_agg` /
+    * `might_contain` pair: fit a filter over the BASE half's content
+    * fingerprints, persist the one-row binary artifact, reload, and
+    * probe the full corpus. Gated on the two claims a Bloom filter
+    * actually makes: ZERO false negatives (every true member hits —
+    * the guarantee; `n_false_neg` is pinned 0 by the oracle) and a
+    * bounded false-positive rate (`fpr_ok`: FPs ≤ 5% of
+    * non-members — sized 10⁴ bits for ~250 members, the measured FPR
+    * is far under; the exact FP count is bloom-internal and
+    * deliberately NOT in the output, the q45 estimator rule). The
+    * production shape: the stored filter broadcast-scrubs an ingest
+    * batch without touching the base corpus.
+    */
+  def q227(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    val fp = TextOps.fingerprint(concat(lit("bloom:"),
+      coalesce(col("text"), lit(""))))
+    // might_contain requires a CONSTANT or scalar-subquery filter (the
+    // engine refuses a join column so the bloom can be bound once per
+    // plan, not per row) — probe through a scalar subquery over the
+    // stored one-row artifact
+    val bfPath = s"${storedBloom(s, dir)}/filter"
+    val probed = docs.select(col("doc_id"), fp.as("f"),
+        (col("doc_id") % 2 === 0).as("is_member"))
+      .select(col("doc_id"), col("is_member"),
+        expr(s"might_contain((select bf from parquet.`$bfPath`), f)")
+          .as("hit"))
+    probed.agg(count(lit(1)).as("n_batch"),
+      count(when(col("is_member"), 1)).as("n_members"),
+      count(when(col("is_member") && !col("hit"), 1)).as("n_false_neg"),
+      (count(when(!col("is_member") && col("hit"), 1)) * 20L <=
+        count(when(!col("is_member"), 1))).as("fpr_ok"))
+  }
+
+  /** Session-cached stored Bloom filter over the even-id half's
+    * fingerprints — [[storedPostings]]'s pattern for q227: fit +
+    * persist once, every later call (every timed bench pass) reads
+    * the one-row binary artifact and pays only the probe.
+    */
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, (String, String)]
+
+  private def storedBloom(s: SparkSession, dir: String): String =
+    bloomCache.compute(s, (sess, cached) =>
+      if (cached != null && cached._1 == dir) cached
+      else {
+        if (cached != null) retireDir(cached._2)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-bloom-stored-").toString
+        val fp = TextOps.fingerprint(concat(lit("bloom:"),
+          coalesce(col("text"), lit(""))))
+        t(sess, dir)("documents").filter(col("doc_id") % 2 === 0)
+          .select(fp.as("f"))
+          .agg(expr("bloom_filter_agg(f, 300L, 10000L)").as("bf"))
+          .write.mode("overwrite").parquet(s"$path/filter")
+        (dir, path)
+      })._2
+
   /** The SFT curation chain composed end to end (the q117/q63
     * composition posture applied to the instruction-tuning family):
     * parse the planted dialogues → loss-mask statistics → quality
@@ -3232,6 +3331,9 @@ object PipelineQueries {
     "q212_group_kfold"    -> (q212 _),
     "q216_percentile_norm" -> (q216 _),
     "q217_minmax_scale"   -> (q217 _),
+    "q224_phrase_search"  -> (q224 _),
+    "q225_ref_integrity"  -> (q225 _),
+    "q227_bloom_scrub"    -> (q227 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -4086,6 +4188,55 @@ FROM o"""
     // (the artifact is exact, so SQL refits; the hash-match proves the
     // save/load round-trip preserved every (lang, gram, rank) row)
     "q208_lang_id_stored" -> langIdOracle(docM = 25),
+    // phrase search: tokenization + range-indexed positions + the
+    // adjacency predicate replayed directly
+    "q224_phrase_search" ->
+      """WITH pl AS (SELECT doc_id, COALESCE(text, '')
+             || CASE WHEN doc_id % 9 = 0 THEN ' alpha beta gamma'
+                  ELSE '' END
+             || CASE WHEN doc_id % 13 = 0 THEN ' alpha beta'
+                  ELSE '' END
+             || CASE WHEN doc_id % 27 = 0 THEN ' alpha beta gamma'
+                  ELSE '' END AS t
+           FROM documents),
+         tok AS (SELECT doc_id, regexp_split_to_array(
+             regexp_replace(t, '^\s+|\s+$', '', 'g'), '\s+') AS a
+           FROM pl),
+         p AS (SELECT doc_id, unnest(range(1, len(a) + 1)) AS i, a
+           FROM tok)
+       SELECT doc_id AS d_id, CAST(i - 1 AS BIGINT) AS pos
+       FROM p
+       WHERE i + 2 <= len(a)
+         AND a[CAST(i AS INT)] = 'alpha'
+         AND a[CAST(i + 1 AS INT)] = 'beta'
+         AND a[CAST(i + 2 AS INT)] = 'gamma'""",
+    // referential integrity: both anti-join directions replayed
+    "q225_ref_integrity" ->
+      """WITH par AS (SELECT DISTINCT o_orderkey AS k FROM orders
+           WHERE o_orderkey % 5 <> 0),
+         cs AS (SELECT CAST(count(*) AS BIGINT) AS n_child,
+             CAST(count(CASE WHEN par.k IS NULL THEN 1 END) AS BIGINT)
+               AS n_orphan_child
+           FROM lineitem l LEFT JOIN par ON l.l_orderkey = par.k),
+         cd AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+         ps AS (SELECT CAST(count(*) AS BIGINT) AS n_parent,
+             CAST(count(CASE WHEN cd.k IS NULL THEN 1 END) AS BIGINT)
+               AS n_childless_parent
+           FROM par LEFT JOIN cd ON par.k = cd.k)
+       SELECT cs.n_child, cs.n_orphan_child, ps.n_parent,
+              ps.n_childless_parent
+       FROM cs CROSS JOIN ps""",
+    // bloom scrub: the q45 estimator posture — the oracle pins the
+    // membership cardinalities, the zero-false-negative guarantee and
+    // the bounded-FPR verdict; the bloom's internal FP count is
+    // deliberately absent from the output
+    "q227_bloom_scrub" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_batch,
+              CAST(count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS BIGINT)
+                AS n_members,
+              CAST(0 AS BIGINT) AS n_false_neg,
+              TRUE AS fpr_ok
+       FROM documents""",
     // target encoding: cross-multiplied smoothing, one 6dp division
     "q211_target_encoding" ->
       """WITH d AS (SELECT source,

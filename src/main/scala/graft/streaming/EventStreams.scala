@@ -136,6 +136,31 @@ object EventStreams {
         expr("unix_micros(w.start) div 86400000000").as("day"),
         col("n"), col("sum_v"), col("min_v"), col("max_v"))
 
+  /** Per-(event type, epoch day, value bin) histogram state — the
+    * streaming twin of [[graft.ops.Incremental.histState]] (the q210
+    * binned-median/MAD family): bin counts are the ONLY state and
+    * counts ADD, so the stream IS incremental histogram maintenance —
+    * each micro-batch folds into the stored histogram exactly as
+    * `Incremental.mergeHist` folds a delta batch, and a read-side
+    * [[graft.ops.Incremental.binnedMedMad]] over the table gives the
+    * day's robust outlier screen with zero corpus passes
+    * (StreamingSpec pins stream ≡ batch-state ≡ merged-state). Bin is
+    * integer cents div `binWidthC` on the shared clock conventions;
+    * day projects from the window start AFTER aggregation (the
+    * [[hourlyByType]] watermark-metadata rule).
+    */
+  def histByTypeDay(events: DataFrame, binWidthC: Long = 1000L,
+                    watermark: String = "2 hours"): DataFrame =
+    tzAware(events)
+      .withWatermark("ts", watermark)
+      .withColumn("__c", cents(col("value")))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"),
+        expr(s"__c div ${binWidthC}L").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        expr("unix_micros(w.start) div 86400000000").as("day"),
+        col("bin"), col("n"))
+
   /** Sliding-window distinct actives — the streaming twin of q171's
     * rolling 7-day WAU: every event lands in 7 overlapping daily-slide
     * windows, per-window distinct users via stateful dedup on

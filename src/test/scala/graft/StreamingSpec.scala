@@ -863,6 +863,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.contains(("click", 19723L, 3L, 400L, 25L, 225L)))
   }
 
+  test("streaming histogram state == batch histState == merged per-batch states (q210 triangle)") {
+    import graft.ops.Incremental
+    def at(id: Long, day: String, typ: String, v: Double) =
+      Ev(id, Timestamp.valueOf(s"$day 10:00:00"), id % 7, typ, v)
+    // values chosen to straddle a $10 bin edge (999 vs 1000 cents) and
+    // to repeat a (type, day, bin) cell across batches so the merge
+    // has real addition to do
+    val b1 = Seq(at(1, "2024-01-01", "click", 9.99),
+      at(2, "2024-01-01", "click", 10.00), at(3, "2024-01-02", "view", 25.50))
+    val b2 = Seq(at(4, "2024-01-01", "click", 10.01),
+      at(5, "2024-01-02", "view", 3.00))
+    val input = MemoryStream[Ev](spark)
+    input.addData(b1: _*)
+    val q = EventStreams.histByTypeDay(input.toDF())
+      .writeStream.format("memory").queryName("hist")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hist")
+      .as[(String, Long, Long, Long)].collect().toSet
+    def state(evs: Seq[Ev]) = Incremental.histState(
+      evs.toDF().select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        cents(col("value")).as("c")),
+      Seq("event_type", "day"), "c", 1000L)
+      .select("event_type", "day", "bin", "n")
+    val batch = state(b1 ++ b2).as[(String, Long, Long, Long)]
+      .collect().toSet
+    val merged = Incremental.mergeHist(state(b1), state(b2),
+        Seq("event_type", "day"))
+      .select("event_type", "day", "bin", "n")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(merged === batch)
+    // spot-pin: Jan 1 clicks — 999c in bin 0; 1000c and 1001c fold
+    // across batches into bin 1
+    assert(streamed.contains(("click", 19723L, 0L, 1L)))
+    assert(streamed.contains(("click", 19723L, 1L, 2L)))
+  }
+
   test("streaming rolling actives: finalized sliding windows match the batch coverage explosion (q171 twin)") {
     def at(id: Long, day: String, uid: Long) =
       Ev(id, Timestamp.valueOf(s"$day 12:00:00"), uid, "click", 1.0)

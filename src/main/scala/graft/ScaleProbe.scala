@@ -276,7 +276,10 @@ object ScaleProbe {
     // the bloom scrub is one scan against a scalar-subquery filter
     // (fit runs once in warmup via the session cache)
     "q224_phrase_search", "q225_ref_integrity", "q226_linear_interp",
-    "q227_bloom_scrub")
+    "q227_bloom_scrub",
+    // r16 batch-5: the binary-column scan (encode+concat+substring —
+    // the byte-bandwidth shape) and the user-day islands window
+    "q228_magic_sniff", "q229_longest_streak")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

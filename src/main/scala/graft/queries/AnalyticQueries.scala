@@ -2124,6 +2124,31 @@ object AnalyticQueries {
           .as("rev_interp"))
   }
 
+  /** Gaps-and-islands longest streak — "how many CONSECUTIVE days was
+    * each user active": the classic island key `day − rank(day)` is
+    * constant exactly within a run of consecutive days (both advance
+    * by 1), so islands fall out of one distinct-day relation + one
+    * user-keyed window, and the longest streak is the max island
+    * size. The SCD2/span families use the same gaps-and-islands move
+    * on intervals; this is its canonical day-grain form, user-grain
+    * output. Corpus enters the user-day distinct once.
+    */
+  def q229(s: SparkSession, dir: String): DataFrame = {
+    val ud = events(s, dir)
+      .select(col("user_id"),
+        expr("ts_ns div 1000 div 86400000000").as("d"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val islands = ud
+      .withColumn("isl", col("d") - row_number().over(w))
+      .groupBy(col("user_id"), col("isl"))
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_days"),
+        max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_islands"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q16_topk"          -> (q16 _),
     "q17_window_rownum" -> (q17 _),
@@ -2202,9 +2227,24 @@ object AnalyticQueries {
     "q222_triangles" -> (q222 _),
     "q223_psi_drift" -> (q223 _),
     "q226_linear_interp" -> (q226 _),
+    "q229_longest_streak" -> (q229 _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // gaps-and-islands: day - row_number island key, max island size
+    "q229_longest_streak" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS d FROM events),
+         isl AS (SELECT user_id,
+             d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+               AS isl
+           FROM ud),
+         runs AS (SELECT user_id, isl, CAST(count(*) AS BIGINT) AS len
+           FROM isl GROUP BY user_id, isl)
+       SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days,
+              CAST(max(len) AS BIGINT) AS longest_streak,
+              CAST(count(*) AS BIGINT) AS n_islands
+       FROM runs GROUP BY user_id""",
     // linear interpolation: prev/next neighbors on the dense spine,
     // truncating integer slope — replayed with the same two windows
     "q226_linear_interp" ->

@@ -2561,6 +2561,42 @@ object PipelineQueries {
         (dir, path)
       })._2
 
+  /** Binary magic-byte sniffing — the first GATED query on a BINARY
+    * column (the multimodal family was spec-only): payloads planted
+    * as real magic prefixes (PNG/JPEG/RIFF/GIF, one per doc_id mod 4)
+    * concatenated with the document's UTF-8 bytes, then classified
+    * from the BYTES — `hex(substring(payload, 1, 4))` against the
+    * magic table, the format-dispatch step every multimodal ingest
+    * runs before a decoder is chosen (ops/Multimodal.scala does the
+    * full header parse; this gates the Spark-side binary plumbing:
+    * unhex/concat/encode/substring-on-binary/hex/octet_length).
+    * DuckDB cannot slice blobs, so the oracle derives the class from
+    * the PLANTING rule and the byte length from
+    * `octet_length(encode(text))` — agreement proves Spark's binary
+    * path read the planted bytes back exactly. One scan to a 4-row
+    * report, zero joins.
+    */
+  def q228(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val magic = element_at(array(lit("89504E47"), lit("FFD8FFE0"),
+      lit("52494646"), lit("47494638")), (pmod(id, lit(4L)) + 1).cast("int"))
+    val payload = concat(unhex(magic),
+      encode(coalesce(col("text"), lit("")), "UTF-8"))
+    t(s, dir)("documents")
+      .select(id, payload.as("p"))
+      .select(id,
+        when(hex(substring(col("p"), 1, 4)) === "89504E47", "png")
+          .when(hex(substring(col("p"), 1, 4)) === "FFD8FFE0", "jpeg")
+          .when(hex(substring(col("p"), 1, 4)) === "52494646", "riff")
+          .when(hex(substring(col("p"), 1, 4)) === "47494638", "gif")
+          .otherwise("unknown").as("format"),
+        octet_length(col("p")).cast("long").as("n_bytes"))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_bytes")).as("sum_bytes"),
+        min(col("n_bytes")).as("min_bytes"),
+        max(col("n_bytes")).as("max_bytes"))
+  }
+
   /** The SFT curation chain composed end to end (the q117/q63
     * composition posture applied to the instruction-tuning family):
     * parse the planted dialogues → loss-mask statistics → quality
@@ -3334,6 +3370,7 @@ object PipelineQueries {
     "q224_phrase_search"  -> (q224 _),
     "q225_ref_integrity"  -> (q225 _),
     "q227_bloom_scrub"    -> (q227 _),
+    "q228_magic_sniff"    -> (q228 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -4237,6 +4274,20 @@ FROM o"""
               CAST(0 AS BIGINT) AS n_false_neg,
               TRUE AS fpr_ok
        FROM documents""",
+    // magic sniff: class from the planting rule, bytes from
+    // octet_length(encode()) — DuckDB can't slice blobs, Spark must
+    // read the planted bytes back to agree
+    "q228_magic_sniff" ->
+      """WITH d AS (SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+               WHEN 2 THEN 'riff' ELSE 'gif' END AS format,
+             4 + octet_length(encode(COALESCE(text, ''))) AS n_bytes
+           FROM documents)
+       SELECT format, CAST(count(*) AS BIGINT) AS n_files,
+              CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+              CAST(min(n_bytes) AS BIGINT) AS min_bytes,
+              CAST(max(n_bytes) AS BIGINT) AS max_bytes
+       FROM d GROUP BY format""",
     // target encoding: cross-multiplied smoothing, one 6dp division
     "q211_target_encoding" ->
       """WITH d AS (SELECT source,

@@ -1260,11 +1260,21 @@ object AnalyticQueries {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
+    // r16 scale fix (caught by the sf1 probe, ARITHMETIC_OVERFLOW):
+    // each variance term n·sxx − sx² is exact int64, but their PRODUCT
+    // is not — the sf1 fixture's 2-day event collapse pushes it past
+    // 2^63. DuckDB widens BIGINT·BIGINT to HUGEINT then casts the
+    // exact product to double; Spark must instead cast EACH term to
+    // double before multiplying — identical IEEE result as long as
+    // each term is exactly representable (< 2^53 ≈ 9·10¹⁵; one
+    // correctly-rounded multiply of exact inputs ≡ one rounding of the
+    // exact product), the documented bound, decimal beyond.
     sums.select(col("type_a"), col("type_b"), col("n_days"),
       round((col("n_days") * col("sxy") - col("sx") * col("sy"))
         .cast("double") /
-        sqrt(((col("n_days") * col("sxx") - col("sx") * col("sx")) *
-          (col("n_days") * col("syy") - col("sy") * col("sy")))
+        sqrt((col("n_days") * col("sxx") - col("sx") * col("sx"))
+          .cast("double") *
+          (col("n_days") * col("syy") - col("sy") * col("sy"))
           .cast("double")), 4).as("r"))
   }
 
@@ -1849,7 +1859,13 @@ object AnalyticQueries {
     * trap; this rule is a pure function of (rank, n) on both engines),
     * rank ties broken by user_id so every bucket edge is
     * deterministic. One corpus aggregate to user grain; the three
-    * rank windows run over USERS, not events.
+    * rank windows run over USERS, not events — and they are GLOBAL
+    * (unpartitioned) windows, i.e. one sort task over the user
+    * relation: honest at dimension scale, a single-partition cost at
+    * 10⁹ users, where the production form swaps the exact ranks for
+    * binned quantile cuts (the q209/q210 histogram machinery — value
+    * cuts from one partial-combined aggregate) at the price of
+    * bucket-edge ties landing by VALUE instead of by rank.
     */
   def q214(s: SparkSession, dir: String): DataFrame = {
     val u = events(s, dir)

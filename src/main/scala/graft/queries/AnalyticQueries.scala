@@ -1596,8 +1596,12 @@ object AnalyticQueries {
     * `G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)` — numerator and denominator
     * exact int64 (value ties commute: swapping equal x across ranks
     * leaves Σ i·xᵢ unchanged, so the tie-break never shows), one 6dp
-    * division at the end. Supplier-cardinality windows after one
-    * corpus aggregate.
+    * division at the end. int64 bound: n·Σx < 2^63 holds through ~10⁶
+    * suppliers × 10¹² total cents; past that the identical algebra
+    * runs in DECIMAL(38) (the q186/q203 overflow-class note — those
+    * two multiplied VARIANCE terms and needed the double path; here
+    * the factors are a count and a sum, so the bound is far looser).
+    * Supplier-cardinality windows after one corpus aggregate.
     */
   def q202(s: SparkSession, dir: String): DataFrame = {
     val rev = t(s, dir)("lineitem")
@@ -1646,8 +1650,13 @@ object AnalyticQueries {
       .cast("double")
     val slopeDen = (col("m") * col("sxx") - col("sx") * col("sx"))
       .cast("double")
-    val r2den = ((col("m") * col("sxx") - col("sx") * col("sx")) *
-      (col("m") * col("syy") - col("sy") * col("sy"))).cast("double")
+    // same int64-product class as the q186 sf1 overflow: each variance
+    // term is exact int64, their product is not — multiply as doubles
+    // (exact through |term| < 2^53, identical to DuckDB's
+    // cast-of-HUGEINT-product in that range)
+    val r2den = (col("m") * col("sxx") - col("sx") * col("sx"))
+      .cast("double") *
+      (col("m") * col("syy") - col("sy") * col("sy")).cast("double")
     sums.select(col("event_type"), col("m").as("n_days"),
       round(slopeNum / slopeDen, 6).as("slope"),
       round((col("sy").cast("double") - (slopeNum / slopeDen) *

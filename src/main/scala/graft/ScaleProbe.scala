@@ -279,7 +279,10 @@ object ScaleProbe {
     "q227_bloom_scrub",
     // r16 batch-5: the binary-column scan (encode+concat+substring —
     // the byte-bandwidth shape) and the user-day islands window
-    "q228_magic_sniff", "q229_longest_streak")
+    "q228_magic_sniff", "q229_longest_streak",
+    // r16 batch-6: golden-record survivorship is ONE id-keyed
+    // partial-combined aggregate over the ~1.8x-corpus history
+    "q230_golden_record")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

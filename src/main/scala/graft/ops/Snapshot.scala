@@ -244,4 +244,37 @@ object Snapshot {
           concat_ws(",", diffs: _*)).otherwise(lit(""))
           .as("changed_cols"))
   }
+
+  /** Golden-record survivorship — the MDM / entity-consolidation move
+    * [[applyChanges]] deliberately does NOT make: applyChanges keeps
+    * the latest ROW wholesale (a newer row with a NULL field erases an
+    * older row's good value), while a golden record survives
+    * PER COLUMN — each attribute takes its value from the latest
+    * version where it is NON-NULL (per-column last observation
+    * carried forward across the duplicate cluster). Implemented as
+    * one aggregate per id with a lexicographic
+    * `max(struct(has_value, version, value))` per column — the
+    * (1, v) > (0, v') comparison decides before the value field is
+    * ever compared, so NULL values never poison the struct ordering —
+    * plus `n_versions` and the surviving max version. ONE id-keyed
+    * partial-combined shuffle, no windows, no self-joins: the same
+    * plan at any scale. Columns all NULL across the cluster survive
+    * as NULL. Version ties are the caller's contract (same as
+    * applyChanges: versions are unique per id).
+    */
+  def goldenRecord(history: DataFrame, idCol: String, versionCol: String,
+                   cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "goldenRecord: no survivor columns")
+    require(!cols.contains(idCol) && !cols.contains(versionCol),
+      "goldenRecord: survivor columns must exclude the id/version keys")
+    val picks = cols.map { c =>
+      max(struct(col(c).isNotNull.cast("int").as("has"),
+        col(versionCol).as("v"), col(c).as("x")))
+        .getField("x").as(c)
+    }
+    history.groupBy(col(idCol))
+      .agg(picks.head, (picks.tail :+
+        count(lit(1)).as("n_versions") :+
+        max(col(versionCol)).as("latest_version")): _*)
+  }
 }

@@ -2597,6 +2597,34 @@ object PipelineQueries {
         max(col("n_bytes")).as("max_bytes"))
   }
 
+  /** Golden-record survivorship ([[graft.ops.Snapshot.goldenRecord]])
+    * — per-COLUMN latest-non-null consolidation across a duplicate
+    * cluster, the MDM semantics [[graft.ops.Snapshot.applyChanges]]
+    * deliberately lacks (latest-ROW-wins erases an older row's good
+    * value with a newer NULL). The planted history interleaves the
+    * nulls: v1 (every 2nd id) updates source but NULLs lang, v2
+    * (every 3rd id) updates lang but NULLs source — so on ids
+    * divisible by 6 the golden record is a genuine CROSS-VERSION
+    * stitch (lang from v2, source from v1) neither input row carries.
+    * The oracle replays each column's pick as an ordered-first
+    * aggregate over (has_value DESC, version DESC).
+    */
+  def q230(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir)("documents").select(col("doc_id"), col("lang"),
+      col("source"))
+    val v0 = d.withColumn("version", lit(0L))
+    val v1 = d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), lit(null).cast("string").as("lang"),
+        concat(col("source"), lit("-v1")).as("source"),
+        lit(1L).as("version"))
+    val v2 = d.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), lit("zz").as("lang"),
+        lit(null).cast("string").as("source"), lit(2L).as("version"))
+    graft.ops.Snapshot.goldenRecord(
+      v0.unionByName(v1).unionByName(v2), "doc_id", "version",
+      Seq("lang", "source"))
+  }
+
   /** The SFT curation chain composed end to end (the q117/q63
     * composition posture applied to the instruction-tuning family):
     * parse the planted dialogues → loss-mask statistics → quality
@@ -3371,6 +3399,7 @@ object PipelineQueries {
     "q225_ref_integrity"  -> (q225 _),
     "q227_bloom_scrub"    -> (q227 _),
     "q228_magic_sniff"    -> (q228 _),
+    "q230_golden_record"  -> (q230 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -4225,6 +4254,24 @@ FROM o"""
     // (the artifact is exact, so SQL refits; the hash-match proves the
     // save/load round-trip preserved every (lang, gram, rank) row)
     "q208_lang_id_stored" -> langIdOracle(docM = 25),
+    // golden record: per-column ordered-first over
+    // (has_value DESC, version DESC)
+    "q230_golden_record" ->
+      """WITH h AS (
+           SELECT doc_id, lang, source, CAST(0 AS BIGINT) AS version
+           FROM documents
+           UNION ALL SELECT doc_id, NULL, source || '-v1',
+             CAST(1 AS BIGINT) FROM documents WHERE doc_id % 2 = 0
+           UNION ALL SELECT doc_id, 'zz', NULL, CAST(2 AS BIGINT)
+           FROM documents WHERE doc_id % 3 = 0)
+       SELECT doc_id,
+              first(lang ORDER BY (lang IS NOT NULL) DESC, version DESC)
+                AS lang,
+              first(source ORDER BY (source IS NOT NULL) DESC,
+                version DESC) AS source,
+              CAST(count(*) AS BIGINT) AS n_versions,
+              CAST(max(version) AS BIGINT) AS latest_version
+       FROM h GROUP BY doc_id""",
     // phrase search: tokenization + range-indexed positions + the
     // adjacency predicate replayed directly
     "q224_phrase_search" ->

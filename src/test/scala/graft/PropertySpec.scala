@@ -25,6 +25,82 @@ class PropertySpec extends SparkSpec {
   private val rows: Gen[List[(Long, Int)]] =
     Gen.listOf(Gen.zip(Gen.choose(0L, 5L), Gen.choose(0, 9)))
 
+  test("triangles: degree-ordered orientation == naive 3-way join on random graphs") {
+    // the scalable algorithm must find EXACTLY the definitional
+    // triangle set on arbitrary graphs — duplicates, self-loops and
+    // both edge directions included in the generator so symmetrize/
+    // dedup is exercised, and small node domain (0..9) forces dense
+    // random graphs with many shared-edge triangles
+    val edges: Gen[List[(Long, Long)]] =
+      Gen.listOf(Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
+    check(edges) { es =>
+      val df = es.toDF("s", "t")
+      val fast = graft.ops.Graph.triangles(df, "s", "t")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      // naive definition: canonical undirected edge set, a < b < c
+      val canon = es.filter { case (u, v) => u != v }
+        .map { case (u, v) => (math.min(u, v), math.max(u, v)) }.toSet
+      val nodes = canon.flatMap { case (u, v) => Set(u, v) }.toSeq.sorted
+      val naive = for {
+        a <- nodes; b <- nodes if a < b && canon((a, b))
+        c <- nodes if b < c && canon((b, c)) && canon((a, c))
+      } yield (a, b, c)
+      assert(fast === naive.sorted)
+    }
+  }
+
+  test("capBlockRows: oversized groups vanish, survivors pass untouched, audit is the exact complement") {
+    val rows: Gen[List[(String, Long)]] =
+      Gen.listOf(Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(0L, 99L)))
+    check(rows) { rs =>
+      val df = rs.toDF("blk", "id")
+      val maxBlock = 4
+      val sizes = rs.groupBy(_._1).view.mapValues(_.size).toMap
+      val kept = Dedup.capBlockRows(df, Seq("blk"), maxBlock)
+        .as[(String, Long)].collect().toSeq.sorted
+      val expected = rs.filter(r => sizes(r._1) <= maxBlock).sorted
+      assert(kept === expected)
+      val audit = Dedup.oversizedBlocks(df, Seq("blk"), maxBlock)
+        .as[(String, Long)].collect().toMap
+      assert(audit === sizes.filter(_._2 > maxBlock)
+        .map { case (k, v) => (k, v.toLong) })
+    }
+  }
+
+  test("goldenRecord: per-column latest-non-null, independent of row order") {
+    // each id gets versioned rows with randomly-null payloads; the
+    // golden value per column must be the value at the highest version
+    // where it is non-null, regardless of input order (aggregate
+    // commutativity — the shuffle can deliver rows in any order)
+    val hist: Gen[List[(Long, Long, Option[String])]] =
+      Gen.listOf(Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 9L),
+        Gen.option(Gen.oneOf("x", "y", "z"))))
+    check(hist) { h0 =>
+      // versions unique per id (the documented caller contract)
+      val h = h0.groupBy(r => (r._1, r._2)).values.map(_.head).toList
+      val df = h.toDF("id", "version", "payload")
+      val out = graft.ops.Snapshot
+        .goldenRecord(df, "id", "version", Seq("payload"))
+        .select("id", "payload", "n_versions", "latest_version")
+        .as[(Long, Option[String], Long, Long)].collect().toSeq.sorted
+      val expect = h.groupBy(_._1).toSeq.map { case (id, rows) =>
+        val nonNull = rows.filter(_._3.isDefined)
+        val pick = if (nonNull.isEmpty) None
+          else nonNull.maxBy(_._2)._3
+        (id, pick, rows.size.toLong, rows.map(_._2).max)
+      }.sorted
+      assert(out === expect)
+      val shuffled = scala.util.Random.javaRandomToRandom(
+        new java.util.Random(42)).shuffle(h)
+      val out2 = graft.ops.Snapshot
+        .goldenRecord(shuffled.toDF("id", "version", "payload"),
+          "id", "version", Seq("payload"))
+        .select("id", "payload", "n_versions", "latest_version")
+        .as[(Long, Option[String], Long, Long)].collect().toSeq.sorted
+      assert(out2 === out)
+    }
+  }
+
   test("filter-then-join == join-then-filter (selection pushdown soundness)") {
     check(Gen.zip(rows, rows)) { case (l, r) =>
       val lf = l.toDF("k", "v")

@@ -11,6 +11,43 @@ class PlanSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
+  test("q209: binned weighted median is ONE corpus aggregate + bin-grain windows, no join") {
+    val plan = planOf("q209_wmedian_binned")
+    assert(!plan.contains("Join"), plan)
+    // exactly two exchanges: the partial-combined (flag, bin) aggregate
+    // and the bin-grain window repartition — the corpus enters one.
+    // (count node headers — the formatted details repeat node names)
+    val n = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(n == 2, s"expected 2 exchanges, got $n:\n$plan")
+    assert(plan.contains("partial_sum"), plan)
+  }
+
+  test("q221: the null-safe join plans as a hash join on an EqualNullSafe key, never a nested loop") {
+    val plan = planOf("q221_nullsafe_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("knownfloatingpointnormalized") ||
+      plan.contains("coalesce") || plan.contains("<=>"),
+      s"null-safe key shape missing:\n$plan")
+  }
+
+  test("q227: the bloom probe is a scan + scalar subquery — the corpus never joins the filter") {
+    val plan = planOf("q227_bloom_scrub")
+    assert(plan.contains("Subquery") || plan.contains("scalar-subquery"),
+      plan)
+    assert(plan.contains("might_contain"), plan)
+    // one corpus aggregate for the summary — no join operator at all
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("q230: golden record is one partial-combined id aggregate — no window, no join") {
+    val plan = planOf("q230_golden_record")
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+    assert(plan.contains("partial_max"), plan)
+  }
+
   test("q02: equality filter is pushed into the parquet scan") {
     val plan = planOf("q02_filter_eq")
     assert(plan.contains("PushedFilters"), plan)

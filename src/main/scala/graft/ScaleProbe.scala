@@ -282,7 +282,10 @@ object ScaleProbe {
     "q228_magic_sniff", "q229_longest_streak",
     // r16 batch-6: golden-record survivorship is ONE id-keyed
     // partial-combined aggregate over the ~1.8x-corpus history
-    "q230_golden_record")
+    "q230_golden_record",
+    // r16 batch-7: the real-decoder pass — mapPartitions over the scan,
+    // bytes never shuffle; ratio must read ≈ the per-row decode cost
+    "q231_png_header_decode")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

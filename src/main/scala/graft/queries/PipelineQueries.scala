@@ -2597,6 +2597,37 @@ object PipelineQueries {
         max(col("n_bytes")).as("max_bytes"))
   }
 
+  /** REAL image-header decode, gated ([[graft.ops.Multimodal
+    * .decodeFeatures]] — the r15 "header-only multimodal decode"
+    * visibility item, now with oracle evidence): every document gets a
+    * VALID planted PNG — true signature, a 13-byte IHDR with
+    * doc_id-derived width/height, and the chunk's real CRC32 computed
+    * in-plan by Spark's `crc32` — and the features come back through
+    * the actual `javax.imageio` decoder on the executor (mapPartitions
+    * over the scan, bytes never shuffled), NOT from string math on the
+    * plan side. The oracle replays width/height from the planting rule
+    * and n_bytes from the fixed 33-byte layout: agreement means the
+    * real decoder parsed the real bytes to the planted answer for all
+    * 500 images. (q228 gates format DISPATCH from magic bytes; this
+    * gates field-level header decode.)
+    */
+  def q231(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val w = (lit(16L) + pmod(id, lit(256L))).cast("long")
+    val h = (lit(16L) + pmod(id * 7L, lit(256L))).cast("long")
+    def be32(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 8, "0"))
+    val ihdrBody = concat(unhex(lit("49484452")), be32(w), be32(h),
+      unhex(lit("0802000000")))
+    val png = concat(unhex(lit("89504E470D0A1A0A")),
+      unhex(lit("0000000D")), ihdrBody, be32(crc32(ihdrBody)))
+    graft.ops.Multimodal.decodeFeatures(
+        t(s, dir)("documents").select(id.as("media_id"),
+          lit("image").as("kind"), png.as("content")))
+      .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+  }
+
   /** Golden-record survivorship ([[graft.ops.Snapshot.goldenRecord]])
     * — per-COLUMN latest-non-null consolidation across a duplicate
     * cluster, the MDM semantics [[graft.ops.Snapshot.applyChanges]]
@@ -3400,6 +3431,7 @@ object PipelineQueries {
     "q227_bloom_scrub"    -> (q227 _),
     "q228_magic_sniff"    -> (q228 _),
     "q230_golden_record"  -> (q230 _),
+    "q231_png_header_decode" -> (q231 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -4254,6 +4286,14 @@ FROM o"""
     // (the artifact is exact, so SQL refits; the hash-match proves the
     // save/load round-trip preserved every (lang, gram, rank) row)
     "q208_lang_id_stored" -> langIdOracle(docM = 25),
+    // png header decode: the oracle replays the PLANTING rule — the
+    // Spark side must get the same numbers out of real bytes through
+    // the real javax.imageio decoder
+    "q231_png_header_decode" ->
+      """SELECT doc_id AS media_id, CAST(33 AS BIGINT) AS n_bytes,
+              CAST(16 + doc_id % 256 AS BIGINT) AS width,
+              CAST(16 + (doc_id * 7) % 256 AS BIGINT) AS height
+       FROM documents""",
     // golden record: per-column ordered-first over
     // (has_value DESC, version DESC)
     "q230_golden_record" ->

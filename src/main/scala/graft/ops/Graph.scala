@@ -122,8 +122,12 @@ object Graph {
     * callers can pass either directed or undirected relations;
     * self-loops are dropped. Returns the per-triangle relation
     * `(n_a, n_b, n_c)` with `n_a < n_b < n_c` — callers count or
-    * aggregate per node. Three key shuffles total (degree, wedge join,
-    * closing join).
+    * aggregate per node. Honest shuffle inventory (all edge-shaped,
+    * none corpus-quadratic): the symmetrize-distinct, the degree
+    * aggregate, the two degree joins (broadcast when degrees fit), the
+    * wedge self-join on the apex and the closing join on (b, c) — six
+    * key-grain exchanges worst-case, of which only the wedge and
+    * closing joins carry the O(m^1.5) bound above.
     */
   def triangles(edges: DataFrame, srcCol: String,
                 dstCol: String): DataFrame = {

@@ -285,7 +285,11 @@ object ScaleProbe {
     "q230_golden_record",
     // r16 batch-7: the real-decoder pass — mapPartitions over the scan,
     // bytes never shuffle; ratio must read ≈ the per-row decode cost
-    "q231_png_header_decode")
+    "q231_png_header_decode",
+    // r16 batch-8: the stored positional probe (pruned indexed reads +
+    // (doc,pos) equi-joins; fit runs once in warmup via the session
+    // cache) and the LE-packed WAV decode scan (javax.sound per row)
+    "q232_phrase_stored", "q233_wav_header_decode")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -272,6 +272,8 @@ object PipelineQueries {
     if (langM != null) retireDir(langM._3)
     val bloom = bloomCache.remove(s)
     if (bloom != null) retireDir(bloom._2)
+    val positional = positionalCache.remove(s)
+    if (positional != null) retireDir(positional._2)
     mergesCache.remove(s): Unit
     fit16Cache.remove(s): Unit
   }
@@ -2475,17 +2477,100 @@ object PipelineQueries {
     * (doc, start position); the oracle replays tokenization with
     * range-indexed positions and the adjacency predicate directly.
     */
-  def q224(s: SparkSession, dir: String): DataFrame = {
+  def q224(s: SparkSession, dir: String): DataFrame =
+    Retrieval.phraseMatch(
+      Retrieval.fitPositional(phrasePlantedDocs(s, dir), "doc_id", "t"),
+      Seq("alpha", "beta", "gamma"))
+
+  /** The phrase-planted corpus shared by q224 (in-query fit) and q232
+    * (stored-index probe): full phrase every 9th doc, decoy prefix
+    * every 13th, a second full phrase every 27th. */
+  private def phrasePlantedDocs(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
-    val planted = t(s, dir)("documents").select(id,
+    t(s, dir)("documents").select(id,
       concat(coalesce(col("text"), lit("")),
         when(id % 9 === 0, lit(" alpha beta gamma")).otherwise(lit("")),
         when(id % 13 === 0, lit(" alpha beta")).otherwise(lit("")),
         when(id % 27 === 0, lit(" alpha beta gamma")).otherwise(lit("")))
         .as("t"))
+  }
+
+  /** Session-cached STORED positional postings over the phrase-planted
+    * corpus — [[storedPostings]]'s pattern for q224's positional index:
+    * fit once, write TERM-CLUSTERED parquet (repartition on term +
+    * within-partition sort), every later call probes the stored layout
+    * where [[Retrieval.phraseMatch]]'s per-term equality predicates
+    * push into the scan as PushedFilters — the q102 indexed-read
+    * posture for the positional structure.
+    */
+  private val positionalCache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, (String, String)]
+
+  private def storedPositional(s: SparkSession, dir: String): String =
+    positionalCache.compute(s, (sess, cached) =>
+      if (cached != null && cached._1 == dir) cached
+      else {
+        if (cached != null) retireDir(cached._2)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-positional-stored-").toString
+        Retrieval.fitPositional(phrasePlantedDocs(sess, dir), "doc_id", "t")
+          .repartition(col("term"))
+          .sortWithinPartitions("term", "d_id", "pos")
+          .write.parquet(s"$path/postings")
+        (dir, path)
+      })._2
+
+  /** Phrase search over the STORED positional index — q224's
+    * production sibling (the q102/q208/q227 fit-once posture): the
+    * per-call cost is k pruned indexed reads of one term's postings
+    * each (term equality pushed into the term-clustered parquet) plus
+    * the k−1 (doc, pos) equi-joins; the corpus is never re-tokenized.
+    * Probes a DIFFERENT phrase ("alpha beta", the 2-term prefix) so
+    * the two rows never share a result: it matches every planted arm
+    * incl. the decoys, and double-plant docs emit multiple positions.
+    */
+  def q232(s: SparkSession, dir: String): DataFrame =
     Retrieval.phraseMatch(
-      Retrieval.fitPositional(planted, "doc_id", "t"),
-      Seq("alpha", "beta", "gamma"))
+      s.read.parquet(s"${storedPositional(s, dir)}/postings"),
+      Seq("alpha", "beta"))
+
+  /** REAL audio-header decode, gated — q231's WAV sibling: a VALID
+    * 44-byte PCM WAV header (RIFF/fmt/data chunks, all LITTLE-endian —
+    * packed by byte-reversing `hex`/`unhex`, the one place the engine
+    * needs LE byte order) with doc_id-derived sample rate and frame
+    * count plus real zero-sample payload, decoded by the actual
+    * `javax.sound.sampled` reader on the executors. frames =
+    * (doc_id%10+1)·rate/100 makes the reported duration_ms exactly
+    * (doc_id%10+1)·10 — integral on both engines; the oracle replays
+    * rate/duration/byte-count from the planting rule, so agreement
+    * means the real audio decoder parsed the real header fields.
+    */
+  def q233(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    def leBytes(c: org.apache.spark.sql.Column, n: Int)
+        : org.apache.spark.sql.Column = {
+      val b = unhex(lpad(hex(c), n * 2, "0"))
+      concat((n to 1 by -1).map(i => substring(b, i, 1)): _*)
+    }
+    val rate = (lit(8000L) * (lit(1L) + pmod(id, lit(4L)))).cast("long")
+    val fr = (pmod(id, lit(10L)) + 1L) * expr("(8000 * (1 + doc_id % 4)) div 100")
+    val dataLen = fr * 2L
+    val wav = concat(
+      lit("RIFF").cast("binary"), leBytes(dataLen + 36L, 4),
+      lit("WAVE").cast("binary"),
+      lit("fmt ").cast("binary"), leBytes(lit(16L), 4),
+      leBytes(lit(1L), 2), leBytes(lit(1L), 2),
+      leBytes(rate, 4), leBytes(rate * 2L, 4),
+      leBytes(lit(2L), 2), leBytes(lit(16L), 2),
+      lit("data").cast("binary"), leBytes(dataLen, 4),
+      unhex(expr("repeat('00', cast(2 * ((doc_id % 10 + 1) * " +
+        "((8000 * (1 + doc_id % 4)) div 100)) as int))")))
+    graft.ops.Multimodal.decodeFeatures(
+        t(s, dir)("documents").select(id.as("media_id"),
+          lit("audio").as("kind"), wav.as("content")))
+      .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("duration_ms"))
   }
 
   /** Referential-integrity audit ([[graft.ops.Validate
@@ -3432,6 +3517,8 @@ object PipelineQueries {
     "q228_magic_sniff"    -> (q228 _),
     "q230_golden_record"  -> (q230 _),
     "q231_png_header_decode" -> (q231 _),
+    "q232_phrase_stored"  -> (q232 _),
+    "q233_wav_header_decode" -> (q233 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -4286,6 +4373,36 @@ FROM o"""
     // (the artifact is exact, so SQL refits; the hash-match proves the
     // save/load round-trip preserved every (lang, gram, rank) row)
     "q208_lang_id_stored" -> langIdOracle(docM = 25),
+    // stored phrase: same replay at the 2-term prefix — decoys match
+    "q232_phrase_stored" ->
+      """WITH pl AS (SELECT doc_id, COALESCE(text, '')
+             || CASE WHEN doc_id % 9 = 0 THEN ' alpha beta gamma'
+                  ELSE '' END
+             || CASE WHEN doc_id % 13 = 0 THEN ' alpha beta'
+                  ELSE '' END
+             || CASE WHEN doc_id % 27 = 0 THEN ' alpha beta gamma'
+                  ELSE '' END AS t
+           FROM documents),
+         tok AS (SELECT doc_id, regexp_split_to_array(
+             regexp_replace(t, '^\s+|\s+$', '', 'g'), '\s+') AS a
+           FROM pl),
+         p AS (SELECT doc_id, unnest(range(1, len(a) + 1)) AS i, a
+           FROM tok)
+       SELECT doc_id AS d_id, CAST(i - 1 AS BIGINT) AS pos
+       FROM p
+       WHERE i + 1 <= len(a)
+         AND a[CAST(i AS INT)] = 'alpha'
+         AND a[CAST(i + 1 AS INT)] = 'beta'""",
+    // wav header decode: the oracle replays the planting rule — rate,
+    // exact duration and the 44-byte-header + 2-bytes-per-frame layout
+    "q233_wav_header_decode" ->
+      """SELECT doc_id AS media_id,
+              CAST(44 + 2 * ((doc_id % 10 + 1)
+                * ((8000 * (1 + doc_id % 4)) // 100)) AS BIGINT)
+                AS n_bytes,
+              CAST(8000 * (1 + doc_id % 4) AS BIGINT) AS sample_rate,
+              CAST((doc_id % 10 + 1) * 10 AS BIGINT) AS duration_ms
+       FROM documents""",
     // png header decode: the oracle replays the PLANTING rule — the
     // Spark side must get the same numbers out of real bytes through
     // the real javax.imageio decoder

@@ -80,15 +80,23 @@ object Incremental {
 
   /** Histogram (binned-count) state — the mergeable state behind the
     * binned order-statistic family (q209/q210): per
-    * `(keys, bin = value div binWidth)` the row count. Counts are the
-    * ONLY state, so the merge is pure addition — and counts per bin
-    * are enough to answer any binned quantile/median/MAD AT READ
+    * `(keys, bin = floor(value / binWidth))` the row count. Counts are
+    * the ONLY state, so the merge is pure addition — and counts per
+    * bin are enough to answer any binned quantile/median/MAD AT READ
     * ([[binnedMedMad]]), which is exactly what exact order statistics
     * can never do incrementally (a median has no algebraic state; a
-    * binned median's state is this histogram). NULL values carry no
-    * bin and are dropped, matching rank semantics over non-null
-    * values. One partial-combined shuffle per batch; state size is
-    * keys × occupied bins, corpus-independent.
+    * binned median's state is this histogram). Binning is exact int64
+    * FLOOR division (`(v − pmod(v, w)) div w` — truncating `div` would
+    * give bin 0 double width around zero and break the lower-edge
+    * contract for negative values), so `bin · binWidth` is a true
+    * lower edge over the whole long range, negatives included; for
+    * non-negative values floor ≡ truncation, so the q209/q210 oracles
+    * replay unchanged. The value column is resolved with the Column
+    * API (not spliced into SQL text), so names needing backticks —
+    * spaces, dots — work like every neighboring operator. NULL values
+    * carry no bin and are dropped, matching rank semantics over
+    * non-null values. One partial-combined shuffle per batch; state
+    * size is keys × occupied bins, corpus-independent.
     */
   def histState(df: DataFrame, keys: Seq[String], valueCol: String,
                 binWidth: Long): DataFrame = {
@@ -96,11 +104,29 @@ object Incremental {
     require(binWidth > 0, s"histState: binWidth $binWidth <= 0")
     require(!keys.contains("bin") && !keys.contains("n"),
       "histState: keys collide with the bin/n state columns")
-    df.filter(col(valueCol).isNotNull)
-      .groupBy((keys.map(col) :+
-        expr(s"$valueCol div ${binWidth}L").as("bin")): _*)
+    require(!keys.contains("__v"),
+      "histState: keys collide with the internal __v projection")
+    // quote the raw name so dots/spaces stay a single identifier
+    // (functions.col would parse `a.b` as struct-field access)
+    val v = col("`" + valueCol.replace("`", "``") + "`")
+    df.filter(v.isNotNull)
+      .withColumn("__v", v.cast("long"))
+      .groupBy((keys.map(col) :+ binOf("__v", binWidth).as("bin")): _*)
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Exact int64 floor-division bin id over an already-projected SIMPLE
+    * column name: `(v − pmod(v, w)) div w`. The numerator is the
+    * largest multiple of `w` ≤ v (pmod returns the non-negative
+    * remainder), so the `div` is exact — no double round-trip, valid
+    * over the whole long range, and floor (not truncate-toward-zero)
+    * for negative v. Callers project their value column to an internal
+    * name first (Column API), which is how arbitrary user column names
+    * — spaces, dots, backticks — stay out of the SQL text.
+    */
+  private[graft] def binOf(vName: String, binWidth: Long)
+      : org.apache.spark.sql.Column =
+    expr(s"($vName - pmod($vName, ${binWidth}L)) div ${binWidth}L")
 
   /** Merge two histogram states with the same keys: per (keys, bin)
     * the counts ADD — full-outer so bins present in only one state

@@ -1974,7 +1974,12 @@ object AnalyticQueries {
     * salting BEFORE it falls over at 100 TB. One partial-combined
     * aggregate + TakeOrderedAndProject; ties broken by key so the
     * boundary is deterministic. share_bp = n·10⁴·K/T cross-multiplied
-    * (a uniform key reads 10000).
+    * (a uniform key reads 10000). int64 bound (the q202/q211
+    * convention): the product n·10⁴·K must stay under 2⁶³, i.e.
+    * n·K < 9.2·10¹⁴ — a corpus with 10⁹ distinct keys overflows once
+    * the hottest key passes ~10⁶ rows; past that envelope compute
+    * share_bp = n·10⁴ div (t div k) instead (loses ≤ k/t relative
+    * precision, immaterial when t ≫ k).
     */
   def q219(s: SparkSession, dir: String): DataFrame = {
     val prof = graft.ops.Skew.keySkewProfile(

@@ -2428,9 +2428,13 @@ object PipelineQueries {
     * different length distributions become comparable (the
     * quantile-normalization step before cross-source quality cuts):
     * midrank basis points `pr_bp = (2·rk − 1)·5000 div n` ∈ [0, 10000),
-    * rank ties broken by doc_id — all integer, no division. The rank
-    * window is per-source DOC grain (the q68 exact-rank family); the
-    * q217 min-max sibling is the window-free contrast.
+    * rank ties broken by doc_id — all integer, no division. rk is cast
+    * to BIGINT before the product (row_number returns 32-bit INT, so
+    * the uncast spelling would wrap past ~214k rows per source under
+    * non-ANSI mode — the q186/q206 int64-bound class); int64 then
+    * holds to ~9.2·10¹⁴ rows per source. The rank window is per-source
+    * DOC grain (the q68 exact-rank family); the q217 min-max sibling
+    * is the window-free contrast.
     */
   def q216(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -2443,7 +2447,7 @@ object PipelineQueries {
       .withColumn("rk", row_number().over(w))
       .withColumn("n", count(lit(1)).over(wAll))
       .select(col("doc_id"), col("source"), col("n_chars"),
-        expr("(2 * rk - 1) * 5000 div n").as("pr_bp"))
+        expr("(2 * cast(rk as bigint) - 1) * 5000 div n").as("pr_bp"))
   }
 
   /** Per-source min-max feature scaling to integer basis points —
@@ -2594,12 +2598,14 @@ object PipelineQueries {
     * probe the full corpus. Gated on the two claims a Bloom filter
     * actually makes: ZERO false negatives (every true member hits —
     * the guarantee; `n_false_neg` is pinned 0 by the oracle) and a
-    * bounded false-positive rate (`fpr_ok`: FPs ≤ 5% of
-    * non-members — sized 10⁴ bits for ~250 members, the measured FPR
-    * is far under; the exact FP count is bloom-internal and
-    * deliberately NOT in the output, the q45 estimator rule). The
-    * production shape: the stored filter broadcast-scrubs an ingest
-    * batch without touching the base corpus.
+    * bounded false-positive rate (`fpr_ok`: FPs ≤ 5% of non-members —
+    * the filter is sized FROM the fitted member count at 20 bits/item
+    * (theoretical FPR ≈ 5·10⁻⁵), so the claim holds at any SF instead
+    * of saturating past the fixture size; the exact FP count is
+    * bloom-internal and deliberately NOT in the output, the q45
+    * estimator rule). The production shape: the stored filter
+    * broadcast-scrubs an ingest batch without touching the base
+    * corpus.
     */
   def q227(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir)("documents")
@@ -2637,11 +2643,20 @@ object PipelineQueries {
         if (cached != null) retireDir(cached._2)
         val path = java.nio.file.Files
           .createTempDirectory("graft-bloom-stored-").toString
+        val members = t(sess, dir)("documents")
+          .filter(col("doc_id") % 2 === 0)
+        // Size the filter FROM the member count (r16 advice: a static
+        // 300-item/10⁴-bit sizing saturates past sf0.01 and silently
+        // inverts q227's fpr_ok claim at bigger SFs). The count is one
+        // cheap driver scalar paid once per session at fit time; 20
+        // bits/item puts the theoretical FPR near 5·10⁻⁵ — two orders
+        // under the 5% gate at ANY corpus size.
+        val nMembers = math.max(1L, members.count())
         val fp = TextOps.fingerprint(concat(lit("bloom:"),
           coalesce(col("text"), lit(""))))
-        t(sess, dir)("documents").filter(col("doc_id") % 2 === 0)
-          .select(fp.as("f"))
-          .agg(expr("bloom_filter_agg(f, 300L, 10000L)").as("bf"))
+        members.select(fp.as("f"))
+          .agg(expr(s"bloom_filter_agg(f, ${nMembers}L, " +
+            s"${nMembers * 20L}L)").as("bf"))
           .write.mode("overwrite").parquet(s"$path/filter")
         (dir, path)
       })._2

@@ -145,9 +145,11 @@ object EventStreams {
     * [[graft.ops.Incremental.binnedMedMad]] over the table gives the
     * day's robust outlier screen with zero corpus passes
     * (StreamingSpec pins stream ≡ batch-state ≡ merged-state). Bin is
-    * integer cents div `binWidthC` on the shared clock conventions;
-    * day projects from the window start AFTER aggregation (the
-    * [[hourlyByType]] watermark-metadata rule).
+    * the SAME exact int64 floor-division as the batch state
+    * ([[graft.ops.Incremental.binOf]] — shared expression, so the
+    * stream ≡ batch triangle holds for negative cents too) on the
+    * shared clock conventions; day projects from the window start
+    * AFTER aggregation (the [[hourlyByType]] watermark-metadata rule).
     */
   def histByTypeDay(events: DataFrame, binWidthC: Long = 1000L,
                     watermark: String = "2 hours"): DataFrame =
@@ -155,7 +157,7 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .withColumn("__c", cents(col("value")))
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"),
-        expr(s"__c div ${binWidthC}L").as("bin"))
+        graft.ops.Incremental.binOf("__c", binWidthC).as("bin"))
       .agg(count(lit(1)).as("n"))
       .select(col("event_type"),
         expr("unix_micros(w.start) div 86400000000").as("day"),

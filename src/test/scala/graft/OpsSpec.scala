@@ -2856,6 +2856,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("histState bins by FLOOR division: negative values get true lower edges (r16 advice)") {
+    import graft.ops.Incremental
+    // truncating `div` would fold (-99..99) into one double-width bin 0
+    // and make bin*binWidth exceed the values it labels; floor division
+    // must put -1 in bin -1 (edge -100), -100 in bin -1, -101 in bin -2
+    val vals = Seq(-250L, -101L, -100L, -99L, -1L, 0L, 1L, 99L, 100L, 250L)
+    val df = vals.map(v => ("k", v)).toDF("k", "v")
+    val bins = Incremental.histState(df, Seq("k"), "v", 100L)
+      .select("bin", "n").as[(Long, Long)].collect().toMap
+    assert(bins === Map(-3L -> 1L, -2L -> 1L, -1L -> 3L, 0L -> 3L,
+      1L -> 1L, 2L -> 1L))
+    // lower-edge contract: every value v lands in a bin whose edge
+    // satisfies bin*w <= v < (bin+1)*w — for negatives too
+    val w = 100L
+    val binOfEach = Incremental.histState(
+        vals.zipWithIndex.map { case (v, i) => (i.toString, v) }
+          .toDF("k", "v"), Seq("k"), "v", w)
+      .select("k", "bin").as[(String, Long)].collect()
+    binOfEach.foreach { case (k, b) =>
+      val v = vals(k.toInt)
+      assert(b * w <= v && v < (b + 1) * w, s"value $v in bin $b")
+    }
+    // a column name needing backticks resolves via the Column API path
+    val odd = vals.map(v => ("k", v)).toDF("k", "value col.odd")
+    val oddBins = Incremental.histState(odd, Seq("k"), "value col.odd", 100L)
+      .select("bin", "n").as[(Long, Long)].collect().toMap
+    assert(oddBins === bins)
+    // the streaming twin's bin expression is the SAME shared floor
+    // (EventStreams.histByTypeDay delegates to Incremental.binOf)
+  }
+
   test("binned weighted-median/MAD siblings: intervals contain the exact statistics") {
     // the q68 dual-posture law for the r16 approx siblings: the binned
     // production path's reported interval/edges must bracket the exact

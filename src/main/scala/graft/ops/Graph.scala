@@ -122,38 +122,75 @@ object Graph {
     * callers can pass either directed or undirected relations;
     * self-loops are dropped. Returns the per-triangle relation
     * `(n_a, n_b, n_c)` with `n_a < n_b < n_c` — callers count or
-    * aggregate per node. Honest shuffle inventory (all edge-shaped,
-    * none corpus-quadratic): the symmetrize-distinct, the degree
-    * aggregate, the two degree joins (broadcast when degrees fit), the
-    * wedge self-join on the apex and the closing join on (b, c) — six
-    * key-grain exchanges worst-case, of which only the wedge and
-    * closing joins carry the O(m^1.5) bound above.
+    * aggregate per node.
+    *
+    * The symmetrized edge set, the degree relation and the oriented
+    * edge relation are loop-invariant inputs referenced MULTIPLE times
+    * downstream (oriented four times: the wedge self-join twice, the
+    * closing-join union twice) — each is eagerly localCheckpoint-ed
+    * once, the [[pageRank]]/dupClusters discipline (r16 verdict #1:
+    * the pure-lineage form re-derived the whole
+    * symmetrize+degree+orient pyramid per reference — 120 parquet
+    * scans and 38 exchanges in q222's executed plan where the
+    * inventory promises six). Honest shuffle inventory, each paid
+    * EXACTLY ONCE (all edge-shaped, none corpus-quadratic): the
+    * symmetrize-distinct, the degree aggregate, the two degree joins
+    * (broadcast when degrees fit) — those four land inside the three
+    * checkpoint materializations — then the wedge self-join on the
+    * apex and the closing join on (b, c) in the final executed plan,
+    * which scans ONLY the checkpointed oriented relation (PlanSpec
+    * pins the exchange/scan ceiling). Only the wedge and closing
+    * joins carry the O(m^1.5) bound above.
     */
   def triangles(edges: DataFrame, srcCol: String,
                 dstCol: String): DataFrame = {
-    val und = edges
+    val und = symmetrized(edges, srcCol, dstCol)
+    trianglesOf(orientedOf(und, degreesOf(und)))
+  }
+
+  /** Symmetrize + dedup to the canonical undirected edge set (u < v),
+    * self-loops dropped; eagerly materialized (one distinct shuffle,
+    * paid once however many times downstream reads it). */
+  private def symmetrized(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame =
+    edges
       .select(col(srcCol).cast("long").as("u"),
         col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .distinct()
-    val deg = und.select(col("u").as("n"))
+      .localCheckpoint(true)
+
+  /** Undirected degree per node from the symmetrized edge set; node
+    * grain, eagerly materialized. */
+  private def degreesOf(und: DataFrame): DataFrame =
+    und.select(col("u").as("n"))
       .unionAll(und.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    // orient by (degree, node) — a total order, so exactly one
-    // direction per edge; broadcast degrees when they fit, else the
-    // join shuffles on the node key like everything here
-    val withDeg = und
+      .localCheckpoint(true)
+
+  /** Orient each undirected edge from the lower-(degree, node)
+    * endpoint to the higher — a total order, so exactly one direction
+    * per edge; broadcast degrees when they fit, else the join shuffles
+    * on the node key. Eagerly materialized: downstream reads it four
+    * times. */
+  private def orientedOf(und: DataFrame, deg: DataFrame): DataFrame =
+    und
       .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
-    val oriented = withDeg.select(
-      when(col("du") < col("dv") ||
-        (col("du") === col("dv") && col("u") < col("v")), col("u"))
-        .otherwise(col("v")).as("lo"),
-      when(col("du") < col("dv") ||
-        (col("du") === col("dv") && col("u") < col("v")), col("v"))
-        .otherwise(col("u")).as("hi"))
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("lo"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("hi"))
+      .localCheckpoint(true)
+
+  /** Oriented-wedge enumeration + closing join over an already
+    * materialized oriented edge relation. */
+  private def trianglesOf(oriented: DataFrame): DataFrame = {
     val wedges = oriented.select(col("lo").as("a"), col("hi").as("b"))
       .join(oriented.select(col("lo").as("a"), col("hi").as("c")), Seq("a"))
       .filter(col("b") < col("c"))
@@ -165,5 +202,40 @@ object Graph {
         (col("a") + col("b") + col("c") - least(col("a"), col("b"),
           col("c")) - greatest(col("a"), col("b"), col("c"))).as("n_b"),
         greatest(col("a"), col("b"), col("c")).as("n_c"))
+  }
+
+  /** Per-node graph health report — the link-farm screen the
+    * [[triangles]] scaladoc motivates, composed from the SAME
+    * materialized relations (symmetrized edges → degrees → oriented →
+    * triangles, each checkpointed once): per node its undirected
+    * degree, its triangle count (each triangle credits all three
+    * corners) and its local clustering coefficient in integer basis
+    * points, `cc_bp = 10⁴ · 2·T(v) div (d·(d−1))` — 10000 means every
+    * neighbor pair is closed (clique-like, the spam-farm signature on
+    * a link graph), 0 means a pure star/tree neighborhood. Degree-1
+    * and isolated-in-triangle-terms nodes report cc_bp = 0 (no
+    * neighbor pair exists to close). All integer arithmetic: int64
+    * holds while 2·10⁴·T(v) < 2⁶³ — T(v) ≤ d(d−1)/2 makes that
+    * 10⁴·d² < 2⁶³, i.e. safe to degree ~9.6·10⁸, far past any real
+    * node. Shuffle shape on top of [[triangles]]' inventory: one
+    * explode-to-corner aggregate at node grain plus the final
+    * node-keyed join — both node-shaped, never edge-quadratic.
+    */
+  def nodeHealth(edges: DataFrame, srcCol: String,
+                 dstCol: String): DataFrame = {
+    val und = symmetrized(edges, srcCol, dstCol)
+    val deg = degreesOf(und)
+    val tri = trianglesOf(orientedOf(und, deg))
+    val perNode = tri
+      .select(explode(array(col("n_a"), col("n_b"), col("n_c")))
+        .as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.select(col("n").as("node"), col("d"))
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), col("d"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("d") >= 2,
+          expr("(20000 * coalesce(n_tri, 0L)) div (d * (d - 1))"))
+          .otherwise(lit(0L)).as("cc_bp"))
   }
 }

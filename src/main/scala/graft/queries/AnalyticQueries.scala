@@ -2054,21 +2054,42 @@ object AnalyticQueries {
     * oriented-wedge algorithm finds EXACTLY the definitional triangle
     * set — nothing double-counted across the shared edges.
     */
-  def q222(s: SparkSession, dir: String): DataFrame = {
+  def q222(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.triangles(plantedGraphEdges(s, dir), "s", "t")
+
+  /** The q222/q238 planted link graph: disjoint triangles on id
+    * triples, chained, every 15th chain link closed into a second
+    * edge-sharing triangle, plus reversed duplicates (symmetrization)
+    * and self-loops (dropped). Shared so the triangle relation and the
+    * per-node health report gate the SAME graph. */
+  private def plantedGraphEdges(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir)("documents").select(col("doc_id"))
     def sel(m: Long, u: org.apache.spark.sql.Column,
             v: org.apache.spark.sql.Column) =
       d.filter(col("doc_id") % m === 0).select(u.as("s"), v.as("t"))
     val id = col("doc_id")
-    val edges = sel(3, id, id + 1L)
+    sel(3, id, id + 1L)
       .unionByName(sel(3, id + 1L, id + 2L))
       .unionByName(sel(3, id, id + 2L))
       .unionByName(sel(3, id + 2L, id + 3L))
       .unionByName(sel(15, id, id + 3L))
       .unionByName(sel(6, id + 1L, id))
       .unionByName(sel(11, id, id))
-    graft.ops.Graph.triangles(edges, "s", "t")
   }
+
+  /** Per-node graph health ([[graft.ops.Graph.nodeHealth]]) over the
+    * SAME planted graph as q222 — degree, triangle count and local
+    * clustering coefficient in integer basis points per node, the
+    * link-farm screen composed from the materialized oriented-edge
+    * relation (r16 verdict #5): a chain-interior node with both its
+    * planted triangles closed reads cc high; a pure chain node reads
+    * 0. The oracle replays the NAIVE definition — canonical a<b<c
+    * three-way join, corner-credit counts, `cc = 2T div (d(d−1))` —
+    * so the hash proves the oriented-wedge composition equals the
+    * definitional statistic node by node, zeros included.
+    */
+  def q238(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.nodeHealth(plantedGraphEdges(s, dir), "s", "t")
 
   /** Population Stability Index — the model-monitoring standard for
     * "has the score distribution drifted between training and
@@ -2258,6 +2279,7 @@ object AnalyticQueries {
     "q223_psi_drift" -> (q223 _),
     "q226_linear_interp" -> (q226 _),
     "q229_longest_streak" -> (q229 _),
+    "q238_graph_health" -> (q238 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2338,6 +2360,39 @@ object AnalyticQueries {
        SELECT e1.u AS n_a, e1.v AS n_b, e2.v AS n_c
        FROM e e1 JOIN e e2 ON e1.v = e2.u
        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""",
+    // per-node graph health: same planting, naive per-corner triangle
+    // credit + integer clustering coefficient
+    "q238_graph_health" ->
+      """WITH b3 AS (SELECT doc_id AS d FROM documents WHERE doc_id % 3 = 0),
+         raw AS (
+           SELECT d AS u, d + 1 AS v FROM b3
+           UNION ALL SELECT d + 1, d + 2 FROM b3
+           UNION ALL SELECT d, d + 2 FROM b3
+           UNION ALL SELECT d + 2, d + 3 FROM b3
+           UNION ALL SELECT doc_id, doc_id + 3 FROM documents
+             WHERE doc_id % 15 = 0
+           UNION ALL SELECT doc_id + 1, doc_id FROM documents
+             WHERE doc_id % 6 = 0
+           UNION ALL SELECT doc_id, doc_id FROM documents
+             WHERE doc_id % 11 = 0),
+         e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+           FROM raw WHERE u <> v),
+         deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+           FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+           GROUP BY n),
+         tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           FROM e e1 JOIN e e2 ON e1.v = e2.u
+           JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         tn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+           FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+                 UNION ALL SELECT c FROM tri)
+           GROUP BY node)
+       SELECT deg.n AS node, deg.d,
+              CAST(COALESCE(tn.n_tri, 0) AS BIGINT) AS n_tri,
+              CAST(CASE WHEN deg.d >= 2 THEN
+                  (20000 * COALESCE(tn.n_tri, 0)) // (deg.d * (deg.d - 1))
+                ELSE 0 END AS BIGINT) AS cc_bp
+       FROM deg LEFT JOIN tn ON tn.node = deg.n""",
     // PSI: exact cells, add-one smoothing over the union bin set, one
     // 6dp double term per bin
     "q223_psi_drift" ->

@@ -22,6 +22,39 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), plan)
   }
 
+  test("q222: triangles' executed plan reads ONE materialized oriented relation (r16 verdict #1)") {
+    val plan = planOf("q222_triangles")
+    // the r16 weak: the pure-lineage form re-derived the
+    // symmetrize+degree+orient pyramid per reference — 120 parquet
+    // scans / 38 exchanges. With the oriented relation checkpointed
+    // once, the executed plan is only the wedge + closing stage: zero
+    // parquet scans (the one edge derivation ran in the checkpoint
+    // jobs), every leaf a scan of the SAME checkpointed RDD, and at
+    // most 7 edge-shaped exchanges (verdict ceiling; actual: 4 — two
+    // wedge sides, the wedge repartition on (b,c), the closing union)
+    assert(!plan.contains("Scan parquet"),
+      s"triangles re-derived its edge relation from the source:\n$plan")
+    val rddScans = "Scan ExistingRDD".r.findAllIn(plan).size
+    assert(rddScans >= 1, plan)
+    assert(plan.contains("localCheckpoint at Graph.scala"), plan)
+    // ONE materialized relation feeds every leaf: a single distinct
+    // checkpointed RDD id across all ExistingRDD scans
+    val rddIds = "MapPartitionsRDD\\[\\d+\\]".r.findAllIn(plan).toSet
+    assert(rddIds.size == 1,
+      s"expected one checkpointed relation, saw $rddIds:\n$plan")
+    val n = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(n <= 7, s"expected <= 7 exchanges, got $n:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q238: node health composes on the same materialized relations — no parquet re-derivation") {
+    val plan = planOf("q238_graph_health")
+    assert(!plan.contains("Scan parquet"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q221: the null-safe join plans as a hash join on an EqualNullSafe key, never a nested loop") {
     val plan = planOf("q221_nullsafe_join")
     assert(!plan.contains("BroadcastNestedLoopJoin") &&

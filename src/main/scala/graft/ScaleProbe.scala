@@ -289,7 +289,15 @@ object ScaleProbe {
     // r16 batch-8: the stored positional probe (pruned indexed reads +
     // (doc,pos) equi-joins; fit runs once in warmup via the session
     // cache) and the LE-packed WAV decode scan (javax.sound per row)
-    "q232_phrase_stored", "q233_wav_header_decode")
+    "q232_phrase_stored", "q233_wav_header_decode",
+    // r17 arrivals: triangles' materialized sibling — per-node health
+    // composes the same checkpointed oriented relation plus one
+    // node-grain corner aggregate, so its ratio must track q222's
+    "q238_graph_health",
+    // r17 arrivals: the last two real-decoder scans (javax.imageio
+    // JPEG SOF0 + the ISO-BMFF box walker per row) — like
+    // q231/q233, mapPartitions on the scan, ratio ≈ per-row decode
+    "q234_jpeg_header_decode", "q235_mp4_header_decode")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -2577,6 +2577,96 @@ object PipelineQueries {
         col("duration_ms"))
   }
 
+  /** REAL JPEG frame-header decode, gated — the q231/q233 pattern on
+    * the LAST imageio format that was spec-only (r16 verdict #2): a
+    * VALID minimal JPEG — SOI, a 3-component baseline SOF0 frame
+    * header with doc_id-derived height/width (height FIRST in SOF,
+    * the classic transposition trap the gate would catch), a minimal
+    * SOS (the JDK's native reader refuses to report dimensions until
+    * the header stream reaches SOS — empirically pinned, a bare
+    * SOI+SOF0 throws "missing SOS marker"), EOI — decoded by the
+    * actual `javax.imageio` JPEG reader on the executors
+    * ([[graft.ops.Multimodal.decodeFeatures]], mapPartitions over the
+    * scan, bytes never shuffled). Dimensions span past 255 so the
+    * high byte of the u16 fields is exercised, not just the low. The
+    * oracle replays the planting rule and the fixed 37-byte layout:
+    * agreement means the real decoder parsed the real SOF0 fields.
+    */
+  def q234(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    def be16(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 4, "0"))
+    val w = (lit(16L) + pmod(id * 3L, lit(512L))).cast("long")
+    val h = (lit(16L) + pmod(id * 5L, lit(512L))).cast("long")
+    val jpeg = concat(
+      unhex(lit("FFD8")),                       // SOI
+      unhex(lit("FFC0001108")), be16(h), be16(w), // SOF0: len 17, prec 8
+      unhex(lit("03012200021101031101")),       // 3 components (4:2:0)
+      unhex(lit("FFDA000C03010002100310003F00")), // SOS, 3 components
+      unhex(lit("FFD9")))                       // EOI
+    graft.ops.Multimodal.decodeFeatures(
+        t(s, dir)("documents").select(id.as("media_id"),
+          lit("image").as("kind"), jpeg.as("content")))
+      .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+  }
+
+  /** REAL MP4 container decode, gated — the last spec-only decoder
+    * (r16 verdict #2): a VALID minimal ISO-BMFF file — `ftyp(isom)`,
+    * `moov` holding a full-size spec-shaped `mvhd` (timescale 1000,
+    * doc_id-derived duration ticks, unity rate/matrix, 100-byte v0
+    * payload) and one video `trak/tkhd` (16.16 fixed-point width/
+    * height in the LAST 8 payload bytes after the 36-byte transform
+    * matrix, the v0 offset arithmetic [[graft.ops.Multimodal
+    * .videoInfo]] walks) — parsed by the real box walker on the
+    * executors. All fields big-endian (`hex`/`lpad`/`unhex` packs BE
+    * natively — the WAV gate q233 owns the LE contrast). Width spans
+    * past 255 AND past the 16.16 fraction point; duration exercises
+    * the tick→ms rescale (ticks = ms at timescale 1000 — integral on
+    * both engines). The oracle replays the planting rule and the
+    * fixed 232-byte layout.
+    */
+  def q235(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    def be32(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 8, "0"))
+    val durTicks = ((pmod(id, lit(10L)) + 1L) * 500L).cast("long")
+    val w = (lit(128L) + pmod(id * 3L, lit(1024L))).cast("long")
+    val h = (lit(96L) + pmod(id * 7L, lit(512L))).cast("long")
+    val unityMatrix = "00010000" + "00000000" * 3 + "00010000" +
+      "00000000" * 3 + "40000000"
+    val mvhd = concat(
+      unhex(lit("0000006C6D766864")),           // size 108, 'mvhd'
+      unhex(lit("00000000" + "00000000" + "00000000" + "000003E8")),
+      be32(durTicks),                           // duration (ticks)
+      unhex(lit("00010000" + "01000000")),      // rate 1.0, volume 1.0
+      unhex(lit("00000000" + "00000000")),      // reserved
+      unhex(lit(unityMatrix)),
+      unhex(lit("00000000" * 6)),               // pre_defined
+      unhex(lit("00000002")))                   // next_track_ID
+    val tkhd = concat(
+      unhex(lit("0000005C746B6864")),           // size 92, 'tkhd'
+      unhex(lit("00000007" + "00000000" + "00000000" + "00000001" +
+        "00000000")),                           // flags, times, id, rsvd
+      be32(durTicks),
+      unhex(lit("00000000" + "00000000")),      // reserved[2]
+      unhex(lit("0000" + "0000" + "0000" + "0000")), // layer/alt/vol/rsvd
+      unhex(lit(unityMatrix)),
+      be32(w * 65536L), be32(h * 65536L))       // 16.16 fixed point
+    val mp4 = concat(
+      unhex(lit("000000106674797069736F6D00000200")), // ftyp isom
+      unhex(lit("000000D86D6F6F76")),           // moov size 216
+      mvhd,
+      unhex(lit("000000647472616B")),           // trak size 100
+      tkhd)
+    graft.ops.Multimodal.decodeFeatures(
+        t(s, dir)("documents").select(id.as("media_id"),
+          lit("video").as("kind"), mp4.as("content")))
+      .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("duration_ms"))
+  }
+
   /** Referential-integrity audit ([[graft.ops.Validate
     * .refIntegrity]]) of lineitem → orders with planted breakage
     * (every 5th order dropped from the parent side, so ~1/5 of
@@ -3534,6 +3624,8 @@ object PipelineQueries {
     "q231_png_header_decode" -> (q231 _),
     "q232_phrase_stored"  -> (q232 _),
     "q233_wav_header_decode" -> (q233 _),
+    "q234_jpeg_header_decode" -> (q234 _),
+    "q235_mp4_header_decode" -> (q235 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -4417,6 +4509,21 @@ FROM o"""
                 AS n_bytes,
               CAST(8000 * (1 + doc_id % 4) AS BIGINT) AS sample_rate,
               CAST((doc_id % 10 + 1) * 10 AS BIGINT) AS duration_ms
+       FROM documents""",
+    // jpeg frame-header decode: the oracle replays the planting rule —
+    // SOF0 height/width and the fixed SOI+SOF0+SOS+EOI 37-byte layout
+    "q234_jpeg_header_decode" ->
+      """SELECT doc_id AS media_id, CAST(37 AS BIGINT) AS n_bytes,
+              CAST(16 + (doc_id * 3) % 512 AS BIGINT) AS width,
+              CAST(16 + (doc_id * 5) % 512 AS BIGINT) AS height
+       FROM documents""",
+    // mp4 container decode: planting rule — tkhd 16.16 dims, mvhd
+    // ticks at timescale 1000 (= ms), fixed ftyp+moov 232-byte layout
+    "q235_mp4_header_decode" ->
+      """SELECT doc_id AS media_id, CAST(232 AS BIGINT) AS n_bytes,
+              CAST(128 + (doc_id * 3) % 1024 AS BIGINT) AS width,
+              CAST(96 + (doc_id * 7) % 512 AS BIGINT) AS height,
+              CAST((doc_id % 10 + 1) * 500 AS BIGINT) AS duration_ms
        FROM documents""",
     // png header decode: the oracle replays the PLANTING rule — the
     // Spark side must get the same numbers out of real bytes through

@@ -297,7 +297,10 @@ object ScaleProbe {
     // r17 arrivals: the last two real-decoder scans (javax.imageio
     // JPEG SOF0 + the ISO-BMFF box walker per row) — like
     // q231/q233, mapPartitions on the scan, ratio ≈ per-row decode
-    "q234_jpeg_header_decode", "q235_mp4_header_decode")
+    "q234_jpeg_header_decode", "q235_mp4_header_decode",
+    // r17: incremental join maintenance — three delta-keyed joins plus
+    // the stored-view union; all terms key-shuffled, none base×base
+    "q236_delta_join")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -3120,6 +3120,38 @@ object PipelineQueries {
       Incremental.merge(base, delta, Seq("event_type", "day")))
   }
 
+  /** Incremental JOIN maintenance
+    * ([[graft.ops.Incremental.deltaJoin]] — r16 verdict #3, the
+    * materialized-view family's missing member): the
+    * lineitem ⨝ orders view maintained the insert-only way. Both
+    * relations split into base/delta on DIFFERENT moduli (lineitem by
+    * l_orderkey % 4, orders by % 3) so all four provenance classes
+    * are planted non-empty — base⨝base in the stored view, ΔA⨝B
+    * (keys ≡ 0 mod 4 only), A⨝ΔB (≡ 0 mod 3 only) and ΔA⨝ΔB
+    * (≡ 0 mod 12) in the delta result — and the maintained view
+    * (stored ∪ delta rows) is gated against the oracle's FULL
+    * recompute of the join, row grain, by hash: the identity
+    * (A∪ΔA)⨝(B∪ΔB) = A⨝B ∪ ΔA⨝B ∪ A⨝ΔB ∪ ΔA⨝ΔB proven over real
+    * data, duplicates and all (an order's several lineitems multiply
+    * through every class). Per batch only the delta terms run —
+    * base⨝base, the 100 TB term, is never re-joined.
+    */
+  def q236(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Incremental
+    val li = t(s, dir)("lineitem").select(col("l_orderkey").as("okey"),
+      col("l_linenumber"), graft.cents(col("l_extendedprice")).as("price_c"))
+    val ord = t(s, dir)("orders").select(col("o_orderkey").as("okey"),
+      col("o_custkey"), col("o_orderpriority"))
+    val (liBase, liDelta) = (li.filter(col("okey") % 4 =!= 0),
+      li.filter(col("okey") % 4 === 0))
+    val (ordBase, ordDelta) = (ord.filter(col("okey") % 3 =!= 0),
+      ord.filter(col("okey") % 3 === 0))
+    val stored = liBase.join(ordBase, Seq("okey"))
+    stored.unionByName(
+      Incremental.deltaJoin(liBase, liDelta, ordBase, ordDelta,
+        Seq("okey")))
+  }
+
   /** Fuzzy record linkage with the native codegen'd `jaro_winkler`
     * expression: entity names planted with high-entropy digit blocks at
     * BOTH ends (`ddd-word-ddd`, unique per id), a deletion typo planted
@@ -3626,6 +3658,7 @@ object PipelineQueries {
     "q233_wav_header_decode" -> (q233 _),
     "q234_jpeg_header_decode" -> (q234 _),
     "q235_mp4_header_decode" -> (q235 _),
+    "q236_delta_join" -> (q236 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -4324,6 +4357,13 @@ FROM o"""
               round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
                 AS avg_v
        FROM e GROUP BY event_type, day""",
+    // incremental join maintenance: the oracle IS the full recompute
+    // the maintained view (stored ∪ delta terms) must equal by hash
+    "q236_delta_join" ->
+      """SELECT l_orderkey AS okey, l_linenumber,
+              CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+              o_custkey, o_orderpriority
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
     // fuzzy linkage: planting, two blocking keys, union-distinct pairs,
     // DuckDB's own jaro_winkler_similarity as the independent scorer
     "q176_fuzzy_linkage" -> fuzzyLinkageSql,

@@ -2856,6 +2856,62 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("deltaJoin: maintained view == full recompute; sequential fold == combined batch (q236 laws)") {
+    import graft.ops.Incremental
+    def bag(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "av", "bv").as[(Long, String, String)]
+        .collect().toSeq.sorted
+    // duplicate keys on BOTH sides so the bag semantics are exercised
+    // (k=1 twice in a-base x twice in b-base = 4 rows), plus keys that
+    // land in every provenance class: base-only, dA-only, dB-only, both
+    def A(rows: (Long, String)*) = rows.toDF("k", "av")
+    def B(rows: (Long, String)*) = rows.toDF("k", "bv")
+    val a  = A(1L -> "a1", 1L -> "a1b", 2L -> "a2", 5L -> "a5")
+    val dA = A(2L -> "a2d", 3L -> "a3d", 3L -> "a3d2", 6L -> "a6d")
+    val b  = B(1L -> "b1", 1L -> "b1b", 3L -> "b3", 7L -> "b7")
+    val dB = B(2L -> "b2d", 3L -> "b3d", 5L -> "b5d")
+    val maintained = a.join(b, Seq("k"))
+      .unionByName(Incremental.deltaJoin(a, dA, b, dB, Seq("k")))
+    val recomputed = a.unionByName(dA).join(b.unionByName(dB), Seq("k"))
+    assert(bag(maintained) === bag(recomputed),
+      "stored ∪ delta terms != full recompute")
+    assert(bag(maintained).nonEmpty)
+    // every provenance class non-empty in the DELTA result
+    val delta = Incremental.deltaJoin(a, dA, b, dB, Seq("k"))
+    assert(bag(delta.filter(col("av").endsWith("d") &&
+      !col("bv").endsWith("d"))).nonEmpty, "ΔA ⨝ B class empty")
+    assert(bag(delta.filter(!col("av").endsWith("d") &&
+      col("bv").endsWith("d"))).nonEmpty, "A ⨝ ΔB class empty")
+    assert(bag(delta.filter(col("av").endsWith("d") ||
+      col("av").endsWith("d2")).filter(col("bv").endsWith("d")))
+      .nonEmpty, "ΔA ⨝ ΔB class empty")
+    // sequential fold: maintaining through (d1 then d2) == maintaining
+    // through (d1 ∪ d2) == recomputing — the associativity that lets a
+    // week of ingest batches fold in arrival order
+    val d2A = A(7L -> "a7e", 1L -> "a1e")
+    val d2B = B(6L -> "b6e")
+    val folded = maintained.unionByName(
+      Incremental.deltaJoin(a.unionByName(dA), d2A,
+        b.unionByName(dB), d2B, Seq("k")))
+    val oneShot = a.join(b, Seq("k")).unionByName(
+      Incremental.deltaJoin(a, dA.unionByName(d2A),
+        b, dB.unionByName(d2B), Seq("k")))
+    val full2 = a.unionByName(dA).unionByName(d2A)
+      .join(b.unionByName(dB).unionByName(d2B), Seq("k"))
+    assert(bag(folded) === bag(full2), "two-batch fold != recompute")
+    assert(bag(oneShot) === bag(full2), "combined batch != recompute")
+    // empty deltas are the identity
+    assert(Incremental.deltaJoin(a, A(), b, B(), Seq("k")).count() === 0L)
+    // guardrails: schema drift and ambiguous non-key columns refuse
+    intercept[IllegalArgumentException] {
+      Incremental.deltaJoin(a, B(1L -> "x"), b, dB, Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      Incremental.deltaJoin(a, dA,
+        a.select(col("k"), col("av")), dA, Seq("k"))
+    }
+  }
+
   test("histState bins by FLOOR division: negative values get true lower edges (r16 advice)") {
     import graft.ops.Incremental
     // truncating `div` would fold (-99..99) into one double-width bin 0

@@ -300,7 +300,10 @@ object ScaleProbe {
     "q234_jpeg_header_decode", "q235_mp4_header_decode",
     // r17: incremental join maintenance — three delta-keyed joins plus
     // the stored-view union; all terms key-shuffled, none base×base
-    "q236_delta_join")
+    "q236_delta_join",
+    // r17: the native session_window — one user-keyed exchange, open-
+    // session state per partition; ratio must track q34's manual twin
+    "q237_session_window")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

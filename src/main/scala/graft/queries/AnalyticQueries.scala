@@ -2077,6 +2077,32 @@ object AnalyticQueries {
       .unionByName(sel(11, id, id))
   }
 
+  /** Spark's NATIVE `session_window(ts, gap)` through the SQL door —
+    * the built-in surface for q34's gap sessionization, which q34
+    * assembles manually from lag + running sum (r16 verdict #4: the
+    * function had no evidence row). Boundary semantics empirically
+    * pinned IDENTICAL to q34's rule: Spark merges sessions whose
+    * windows touch (next.start ≤ prev.end), so an event exactly `gap`
+    * after its predecessor CONTINUES the session — the same
+    * "new session when diff > gap" strict inequality q34 spells, and
+    * what the DuckDB oracle replays (session start = min ts, end =
+    * last ts + gap, both exact micros). Session grain (finer than
+    * q34's user rollup, so the hash pins every window's start/end).
+    * Scale shape: one user-keyed exchange; Spark's
+    * UpdatingSessionsIterator assembles windows per partition with
+    * state = the open session — the same O(1)-per-row cost as the
+    * manual window, but AQE-placeable and usable in streaming
+    * unchanged (StreamingSpec runs this exact expression under a
+    * watermark and pins stream ≡ batch on finalized sessions).
+    */
+  def q237(s: SparkSession, dir: String): DataFrame = sqlDoor(s, dir,
+    """SELECT user_id,
+              unix_micros(session_window.start) AS start_us,
+              unix_micros(session_window.end) AS end_us,
+              count(*) AS n_events
+       FROM events
+       GROUP BY user_id, session_window(ts, '30 minutes')""")
+
   /** Per-node graph health ([[graft.ops.Graph.nodeHealth]]) over the
     * SAME planted graph as q222 — degree, triangle count and local
     * clustering coefficient in integer basis points per node, the
@@ -2279,6 +2305,7 @@ object AnalyticQueries {
     "q223_psi_drift" -> (q223 _),
     "q226_linear_interp" -> (q226 _),
     "q229_longest_streak" -> (q229 _),
+    "q237_session_window" -> (q237 _),
     "q238_graph_health" -> (q238 _),
   )
 
@@ -2360,6 +2387,27 @@ object AnalyticQueries {
        SELECT e1.u AS n_a, e1.v AS n_b, e2.v AS n_c
        FROM e e1 JOIN e e2 ON e1.v = e2.u
        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""",
+    // native session_window: the oracle replays the gap rule (new
+    // session when diff > gap — Spark merges touching windows, pinned
+    // empirically), start = min ts, end = last ts + gap, exact micros
+    "q237_session_window" ->
+      """WITH g AS (
+           SELECT user_id, epoch_us(ts) AS us,
+                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+                       WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            > 1800000000 THEN 1
+                       ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, us,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                    ROWS UNBOUNDED PRECEDING) AS sess
+           FROM g)
+       SELECT user_id, min(us) AS start_us,
+              max(us) + 1800000000 AS end_us,
+              CAST(count(*) AS BIGINT) AS n_events
+       FROM s GROUP BY user_id, sess""",
     // per-node graph health: same planting, naive per-corner triangle
     // credit + integer clustering coefficient
     "q238_graph_health" ->

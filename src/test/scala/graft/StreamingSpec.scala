@@ -906,6 +906,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.contains(("click", 19723L, 1L, 2L)))
   }
 
+  test("streaming session_window: finalized sessions match the batch expression (q237 twin)") {
+    // the NATIVE session_window under a watermark, Append mode — the
+    // r16 verdict #4 surface: the same expression q237 runs through
+    // the SQL door, unchanged in streaming. Sessions emit only once
+    // the watermark passes their end; a far-future horizon event
+    // finalizes every planted session (its own stays open and must
+    // NOT emit — that absence is part of the pin).
+    def at(id: Long, hm: String, uid: Long) =
+      Ev(id, Timestamp.valueOf(s"2024-01-01 $hm"), uid, "click", 1.0)
+    val evs = Seq(
+      at(1, "10:00:00", 1), at(2, "10:29:00", 1), // one session (gap 29m)
+      at(3, "11:00:00", 1),                       // 31m gap -> new session
+      at(4, "10:00:00", 2), at(5, "10:30:00", 2), // exactly 30m: MERGES
+      at(6, "12:00:00", 2))
+    val horizon = at(99, "23:00:00", 9)
+    def sessions(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("s"),
+        unix_micros(col("w.end")).as("e"), col("n"))
+    val input = MemoryStream[Ev](spark)
+    input.addData(evs: _*)
+    val q = sessions(input.toDF().withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      input.addData(horizon)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sess")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = sessions(evs.toDF())
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed === batch, "finalized sessions != batch sessions")
+    // the exactly-30m pair merged into ONE session of 2 (the q237
+    // boundary rule), and user 1 split at the 31m gap
+    assert(batch.count(_._1 == 2L) === 2)
+    assert(batch.find(t => t._1 == 2L && t._4 == 2L).isDefined)
+    assert(batch.count(_._1 == 1L) === 2)
+    // the horizon session is still open: not emitted
+    assert(!streamed.exists(_._1 == 9L))
+  }
+
   test("streaming rolling actives: finalized sliding windows match the batch coverage explosion (q171 twin)") {
     def at(id: Long, day: String, uid: Long) =
       Ev(id, Timestamp.valueOf(s"$day 12:00:00"), uid, "click", 1.0)

@@ -325,14 +325,38 @@ object ScaleProbe {
 
   private case class Probe(name: String, coldS: Double, warmS: Double,
                            coldB: Double, warmB: Double,
-                           fpS: Map[String, Int], fpB: Map[String, Int]) {
+                           fpS: Map[String, Int], fpB: Map[String, Int],
+                           gates: Seq[String]) {
     def ratio: Double = if (warmS > 0) warmB / warmS else 0.0
     def changed: Boolean = fpS != fpB
     private def fpJson(fp: Map[String, Int]) =
       s"""{"exchange":${fp("exchange")},"smj":${fp("smj")},"bhj":${fp("bhj")},"cartesian":${fp("cartesian")}}"""
+    private def gatesJson: String =
+      gates.map(g => s""""$g"""").mkString("[", ",", "]")
     def json: String =
-      f""""$name":{"small_cold":$coldS%.2f,"small_warm":$warmS%.2f,"big_cold":$coldB%.2f,"big_warm":$warmB%.2f,"warm_ratio":$ratio%.1f,"plan_small":${fpJson(fpS)},"plan_big":${fpJson(fpB)},"plan_changed":$changed}"""
+      f""""$name":{"gates":$gatesJson,"small_cold":$coldS%.2f,"small_warm":$warmS%.2f,"big_cold":$coldB%.2f,"big_warm":$warmB%.2f,"warm_ratio":$ratio%.1f,"plan_small":${fpJson(fpS)},"plan_big":${fpJson(fpB)},"plan_changed":$changed}"""
   }
+
+  /** The CORRECTNESS query name(s) each probe row's evidence belongs to
+    * (r16 verdict #6: probe keys, bench keys and correctness keys must
+    * join mechanically — every row now carries its gated-query names,
+    * and `tools/check_probe_gates.py` validates the mapping against
+    * the SparkEntry contract). Query probes gate themselves — the
+    * probe name IS the queries key. The maintenance probes time
+    * lifecycle halves (extend/rebuild/encode/refine) whose READ halves
+    * are the gated queries of the same stored-index family listed
+    * here.
+    */
+  private def gatesOf(name: String): Seq[String] =
+    if (name.startsWith("q")) Seq(name)
+    else name match {
+      case "maint_extend_dedup_index" | "maint_rebuild_dedup_index" =>
+        Seq("q64_incremental_dedup")
+      case "maint_extend_ivf" | "maint_refine_ivf" =>
+        Seq("q51_ann_ivf", "q80_hybrid_ann_stored")
+      case "maint_encode_pq" => Seq("q92_ann_pq", "q95_ann_ivfpq")
+      case other => sys.error(s"gatesOf: unmapped probe '$other'")
+    }
 
   def main(args: Array[String]): Unit = {
     val small = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -397,7 +421,7 @@ object ScaleProbe {
       clearCaches(spark)
       val (coldB, warmB) = timeTwice(name, big)
       clearCaches(spark)
-      val p = Probe(name, coldS, warmS, coldB, warmB, fpS, fpB)
+      val p = Probe(name, coldS, warmS, coldB, warmB, fpS, fpB, gatesOf(name))
       // progress is useful on a 10-minute run
       println(f"[probe] $name small=${p.warmS}%.2fs big=${p.warmB}%.2fs " +
         f"ratio=${p.ratio}%.1fx planChanged=${p.changed}")
@@ -500,7 +524,7 @@ object ScaleProbe {
       val (coldS, warmS) = timeThunk(mkS)
       val fpB = fingerprint(mkB())
       val (coldB, warmB) = timeThunk(mkB)
-      val p = Probe(name, coldS, warmS, coldB, warmB, fpS, fpB)
+      val p = Probe(name, coldS, warmS, coldB, warmB, fpS, fpB, gatesOf(name))
       println(f"[probe] $name small=${p.warmS}%.2fs big=${p.warmB}%.2fs " +
         f"ratio=${p.ratio}%.1fx planChanged=${p.changed}")
       p

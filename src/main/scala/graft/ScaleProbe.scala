@@ -303,7 +303,10 @@ object ScaleProbe {
     "q236_delta_join",
     // r17: the native session_window — one user-keyed exchange, open-
     // session state per partition; ratio must track q34's manual twin
-    "q237_session_window")
+    "q237_session_window",
+    // r17: the APP1/TIFF walk rides the same real-decoder scan as
+    // q234 (javax.imageio dims + the direct IFD0 read per row)
+    "q239_exif_orientation")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

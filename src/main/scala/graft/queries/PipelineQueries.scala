@@ -2667,6 +2667,52 @@ object PipelineQueries {
         col("duration_ms"))
   }
 
+  /** REAL EXIF-orientation decode, gated — the q234 JPEG with a VALID
+    * APP1/Exif segment planted ahead of the SOF0 frame, so ONE pass of
+    * [[graft.ops.Multimodal.decodeFeatures]] exercises BOTH real
+    * readers on the same bytes: `javax.imageio` reports the SOF0
+    * dimensions while the direct TIFF walk
+    * ([[graft.ops.Multimodal.exifOrientation]]) pulls tag 0x0112 from
+    * IFD0. Orientation = doc_id%8+1 covers all eight legal values;
+    * doc_id parity flips the TIFF byte order (II little-endian vs MM
+    * big-endian — the inline SHORT value sits in the FIRST two value
+    * bytes under either order, the classic endianness trap this gate
+    * would catch). Fixed 73-byte layout: 37-byte q234 frame + 36-byte
+    * APP1 (len 0x22: Exif\0\0 preamble + 8-byte TIFF header + 18-byte
+    * single-entry IFD0). The oracle replays the planting rule; header
+    * walk cost is independent of blob size, bytes never shuffled.
+    */
+  def q239(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    def be16(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 4, "0"))
+    val w = (lit(16L) + pmod(id * 3L, lit(512L))).cast("long")
+    val h = (lit(16L) + pmod(id * 5L, lit(512L))).cast("long")
+    val vv = lpad(hex(pmod(id, lit(8L)) + 1L), 2, "0")
+    val tiffHex = when(pmod(id, lit(2L)) === 0L,
+      // II: 8-byte LE header (magic 42, IFD0@8), count=1,
+      // entry tag 0x0112 type SHORT count 1, value [v,0,0,0], next=0
+      concat(lit("49492A0008000000" + "0100" + "12010300" + "01000000"),
+        vv, lit("000000" + "00000000")))
+      .otherwise(
+        concat(lit("4D4D002A00000008" + "0001" + "01120003" + "00000001"
+          + "00"), vv, lit("0000" + "00000000")))
+    val jpeg = concat(
+      unhex(lit("FFD8")),                         // SOI
+      unhex(lit("FFE10022" + "457869660000")),    // APP1 len 34, Exif\0\0
+      unhex(tiffHex),                             // TIFF header + IFD0
+      unhex(lit("FFC0001108")), be16(h), be16(w), // SOF0
+      unhex(lit("03012200021101031101")),
+      unhex(lit("FFDA000C03010002100310003F00")), // SOS
+      unhex(lit("FFD9")))                         // EOI
+    graft.ops.Multimodal.decodeFeatures(
+        t(s, dir)("documents").select(id.as("media_id"),
+          lit("image").as("kind"), jpeg.as("content")))
+      .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("orientation").cast("long").as("orientation"))
+  }
+
   /** Referential-integrity audit ([[graft.ops.Validate
     * .refIntegrity]]) of lineitem → orders with planted breakage
     * (every 5th order dropped from the parent side, so ~1/5 of
@@ -3659,6 +3705,7 @@ object PipelineQueries {
     "q234_jpeg_header_decode" -> (q234 _),
     "q235_mp4_header_decode" -> (q235 _),
     "q236_delta_join" -> (q236 _),
+    "q239_exif_orientation" -> (q239 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -4549,6 +4596,15 @@ FROM o"""
                 AS n_bytes,
               CAST(8000 * (1 + doc_id % 4) AS BIGINT) AS sample_rate,
               CAST((doc_id % 10 + 1) * 10 AS BIGINT) AS duration_ms
+       FROM documents""",
+    // exif orientation decode: the oracle replays the planting rule —
+    // tag 0x0112 = doc_id%8+1 (endianness alternates by parity and
+    // must not change the answer), q234's SOF0 dims, 73-byte layout
+    "q239_exif_orientation" ->
+      """SELECT doc_id AS media_id, CAST(73 AS BIGINT) AS n_bytes,
+              CAST(16 + (doc_id * 3) % 512 AS BIGINT) AS width,
+              CAST(16 + (doc_id * 5) % 512 AS BIGINT) AS height,
+              CAST(doc_id % 8 + 1 AS BIGINT) AS orientation
        FROM documents""",
     // jpeg frame-header decode: the oracle replays the planting rule —
     // SOF0 height/width and the fixed SOI+SOF0+SOS+EOI 37-byte layout

@@ -306,7 +306,11 @@ object ScaleProbe {
     "q237_session_window",
     // r17: the APP1/TIFF walk rides the same real-decoder scan as
     // q234 (javax.imageio dims + the direct IFD0 read per row)
-    "q239_exif_orientation")
+    "q239_exif_orientation",
+    // r17: ranking metrics — one (query,doc)-keyed left join, one
+    // query-keyed window, one query-grain aggregate; run-sized, never
+    // corpus-sized, so the ratio must track the row count
+    "q240_ranking_metrics")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -446,4 +446,67 @@ object Retrieval {
           Seq("d_id", "pos"))
     }
   }
+
+  /** Retrieval-quality evaluation — per-query ranking metrics of a run
+    * against relevance judgments, the harness every retrieval component
+    * here (BM25, RRF, hybrid ANN, hard-negative mining) needs before
+    * its output feeds training data: a run whose MRR/recall regressed
+    * is how a bad index rebuild is actually caught. Standard metrics
+    * (Manning et al., *Introduction to Information Retrieval* ch. 8) in
+    * EXACT integer basis points — every division is integer `div` on
+    * 10⁴-scaled counts, so any two engines agree bit-for-bit (the
+    * engine-wide cents posture; doubles would make the gate flaky):
+    *
+    *  - `p_at_k_bp`  = 10000·|relevant ∩ top-k| div k
+    *  - `r_at_k_bp`  = 10000·|relevant ∩ top-k| div |relevant|
+    *  - `rr_bp`      = 10000 div (rank of first relevant in top-k), 0
+    *                   if none — mean over queries = MRR
+    *  - `ap_bp`      = (Σ over relevant ranks r ≤ k of
+    *                   10000·relcount@r div r) div |relevant| — AP with
+    *                   per-term basis-point truncation (documented
+    *                   divergence from float AP: each precision term is
+    *                   floored to 1 bp before the mean; the metric
+    *                   stays in [0, 10000] and ordering-faithful)
+    *
+    * Inputs: `run` = (query_id, doc_id, rank) with rank 1-based dense
+    * within query (a top-k retrieval output); `qrels` = (query_id,
+    * doc_id) positive judgments. Queries with no relevant docs are
+    * dropped (metrics undefined — the TREC convention).
+    *
+    * Scale shape: one equi-join of the run on (query_id, doc_id)
+    * against qrels (LEFT — unjudged retrieved docs count as
+    * non-relevant), a query-keyed window for relcount@r, and one
+    * query-grain aggregate. Runs are |queries|·k rows — tiny next to
+    * the corpus that produced them — and qrels broadcast when small;
+    * nothing is ever corpus-sized. int64 bound: 10⁴·relcount@r ≤
+    * 10⁴·k per term, summed over ≤ k terms ⇒ ≤ 10⁴k², overflow-free
+    * for any real k.
+    */
+  def rankingMetrics(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"rankingMetrics: k must be >= 1, got $k")
+    val judged = run.filter(col("rank") <= k)
+      .join(qrels.select(col("query_id"), col("doc_id"),
+          lit(1L).as("rel")),
+        Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("rank"),
+        coalesce(col("rel"), lit(0L)).as("rel"))
+    val w = Window.partitionBy("query_id").orderBy("rank")
+    val nRel = qrels.groupBy("query_id")
+      .agg(count(lit(1)).as("n_rel"))
+    judged
+      .withColumn("relcount", sum(col("rel")).over(w))
+      .groupBy("query_id")
+      .agg(
+        sum(col("rel")).as("hits_at_k"),
+        min(when(col("rel") === 1L, col("rank"))).as("first_rel"),
+        sum(when(col("rel") === 1L,
+          expr("10000 * relcount div rank")).otherwise(lit(0L)))
+          .as("ap_num"))
+      .join(nRel, Seq("query_id"))
+      .select(col("query_id"), col("n_rel"), col("hits_at_k"),
+        expr(s"10000 * hits_at_k div $k").as("p_at_k_bp"),
+        expr("10000 * hits_at_k div n_rel").as("r_at_k_bp"),
+        coalesce(expr("10000 div first_rel"), lit(0L)).as("rr_bp"),
+        expr("ap_num div n_rel").as("ap_bp"))
+  }
 }

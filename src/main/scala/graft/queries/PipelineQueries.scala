@@ -2713,6 +2713,32 @@ object PipelineQueries {
         col("orientation").cast("long").as("orientation"))
   }
 
+  /** Retrieval-quality evaluation ([[graft.ops.Retrieval
+    * .rankingMetrics]]) — per-query MRR / P@k / R@k / truncated-AP in
+    * exact integer basis points over a planted run: every doc scores
+    * into its `doc_id % 20` query at rank = row_number by the
+    * deterministic score `(doc_id·7919) % 1000` (desc, doc_id asc
+    * tiebreak), judgments are `doc_id % 7 < 2` (~29% relevant, so
+    * P@10 and R@10 land strictly inside (0,1) and first-relevant
+    * ranks scatter across 1..k). k=10. The oracle replays the
+    * planting, the window, and each basis-point formula with DuckDB's
+    * `//` ≡ Spark's `div`; a float AP would not hash — the integer
+    * truncation is the gate's point.
+    */
+  def q240(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir)("documents").select(col("doc_id"))
+    val run = d.select(pmod(col("doc_id"), lit(20L)).as("query_id"),
+        col("doc_id"),
+        pmod(col("doc_id") * 7919L, lit(1000L)).as("score"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .drop("score")
+    val qrels = d.filter(pmod(col("doc_id"), lit(7L)) < 2L)
+      .select(pmod(col("doc_id"), lit(20L)).as("query_id"), col("doc_id"))
+    graft.ops.Retrieval.rankingMetrics(run, qrels, k = 10)
+  }
+
   /** Referential-integrity audit ([[graft.ops.Validate
     * .refIntegrity]]) of lineitem → orders with planted breakage
     * (every 5th order dropped from the parent side, so ~1/5 of
@@ -3706,6 +3732,7 @@ object PipelineQueries {
     "q235_mp4_header_decode" -> (q235 _),
     "q236_delta_join" -> (q236 _),
     "q239_exif_orientation" -> (q239 _),
+    "q240_ranking_metrics" -> (q240 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -4597,6 +4624,47 @@ FROM o"""
               CAST(8000 * (1 + doc_id % 4) AS BIGINT) AS sample_rate,
               CAST((doc_id % 10 + 1) * 10 AS BIGINT) AS duration_ms
        FROM documents""",
+    // ranking metrics: planting + window + every basis-point formula
+    // replayed; DuckDB // ≡ Spark div on non-negative ints throughout
+    "q240_ranking_metrics" ->
+      """WITH run AS (
+           SELECT doc_id % 20 AS query_id, doc_id,
+                  (doc_id * 7919) % 1000 AS score,
+                  CAST(row_number() OVER (PARTITION BY doc_id % 20
+                    ORDER BY (doc_id * 7919) % 1000 DESC, doc_id ASC)
+                    AS BIGINT) AS rank
+           FROM documents),
+         qrels AS (
+           SELECT doc_id % 20 AS query_id, doc_id FROM documents
+           WHERE doc_id % 7 < 2),
+         judged AS (
+           SELECT r.query_id, r.rank,
+                  CASE WHEN q.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+           FROM run r LEFT JOIN qrels q
+             ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+           WHERE r.rank <= 10),
+         cum AS (
+           SELECT query_id, rank, rel,
+                  sum(rel) OVER (PARTITION BY query_id ORDER BY rank)
+                    AS relcount
+           FROM judged),
+         agg AS (
+           SELECT query_id,
+                  CAST(sum(rel) AS BIGINT) AS hits_at_k,
+                  min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+                  CAST(coalesce(sum(CASE WHEN rel = 1
+                    THEN 10000 * relcount // rank END), 0) AS BIGINT)
+                    AS ap_num
+           FROM cum GROUP BY query_id),
+         nrel AS (
+           SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+           FROM qrels GROUP BY query_id)
+       SELECT a.query_id, n.n_rel, a.hits_at_k,
+              CAST(10000 * a.hits_at_k // 10 AS BIGINT) AS p_at_k_bp,
+              CAST(10000 * a.hits_at_k // n.n_rel AS BIGINT) AS r_at_k_bp,
+              CAST(coalesce(10000 // a.first_rel, 0) AS BIGINT) AS rr_bp,
+              CAST(a.ap_num // n.n_rel AS BIGINT) AS ap_bp
+       FROM agg a JOIN nrel n ON a.query_id = n.query_id""",
     // exif orientation decode: the oracle replays the planting rule —
     // tag 0x0112 = doc_id%8+1 (endianness alternates by parity and
     // must not change the answer), q234's SOF0 dims, 73-byte layout

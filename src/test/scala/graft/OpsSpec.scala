@@ -4386,6 +4386,46 @@ class OpsSpec extends SparkSpec {
       ("s4", 2L, 2L, "en", 1L, false)))
   }
 
+  test("rankingMetrics: hand-computed MRR/P@k/R@k/AP, unjudged = non-relevant, no-rel queries drop, k cutoff") {
+    import graft.ops.Retrieval
+    // qA: rel at ranks 1 and 3 of 5 retrieved, 2 rel total
+    //   P@5 = 2/5 -> 4000; R@5 = 2/2 -> 10000; RR = 1/1 -> 10000
+    //   AP = (10000*1 div 1 + 10000*2 div 3) div 2 = (10000+6666) div 2 = 8333
+    // qB: rel only at rank 4, 3 rel total (2 never retrieved)
+    //   P@5 = 1/5 -> 2000; R@5 = 1/3 -> 3333; RR = 10000 div 4 = 2500
+    //   AP = (10000*1 div 4) div 3 = 2500 div 3 = 833
+    // qC: judged rel exists but outside top-k (rank 7) -> zeros
+    // qD: retrieved but NO qrels row -> dropped entirely
+    val run = Seq(
+      ("qA", 101L, 1L), ("qA", 102L, 2L), ("qA", 103L, 3L),
+      ("qA", 104L, 4L), ("qA", 105L, 5L),
+      ("qB", 201L, 1L), ("qB", 202L, 2L), ("qB", 203L, 3L),
+      ("qB", 204L, 4L), ("qB", 205L, 5L),
+      ("qC", 301L, 1L), ("qC", 302L, 7L),
+      ("qD", 401L, 1L)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq(
+      ("qA", 101L), ("qA", 103L),
+      ("qB", 204L), ("qB", 998L), ("qB", 999L),
+      ("qC", 302L)).toDF("query_id", "doc_id")
+    val m = Retrieval.rankingMetrics(run, qrels, k = 5)
+      .orderBy("query_id")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(m === Seq(
+      ("qA", 2L, 2L, 4000L, 10000L, 10000L, 8333L),
+      ("qB", 3L, 1L, 2000L, 3333L, 2500L, 833L),
+      ("qC", 1L, 0L, 0L, 0L, 0L, 0L)))
+    // laws: every metric in [0, 10000]; k=1 degenerates to "first hit"
+    m.foreach { r => Seq(r._4, r._5, r._6, r._7).foreach { v =>
+      assert(v >= 0L && v <= 10000L) } }
+    val m1 = Retrieval.rankingMetrics(run, qrels, k = 1)
+      .filter(col("query_id") === "qA")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(m1 === ("qA", 2L, 1L, 10000L, 5000L, 10000L, 5000L))
+    intercept[IllegalArgumentException] {
+      Retrieval.rankingMetrics(run, qrels, k = 0)
+    }
+  }
+
   test("joinExplosionAudit: per-key products without the join, null keys and one-sided keys drop") {
     import graft.ops.Validate
     val l = Seq(Some(1L), Some(1L), Some(1L), Some(2L), None)

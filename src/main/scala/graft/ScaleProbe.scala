@@ -310,7 +310,11 @@ object ScaleProbe {
     // r17: ranking metrics — one (query,doc)-keyed left join, one
     // query-keyed window, one query-grain aggregate; run-sized, never
     // corpus-sized, so the ratio must track the row count
-    "q240_ranking_metrics")
+    "q240_ranking_metrics",
+    // r17: the grid-bucketed interval join — one cell-keyed exchange
+    // per side; pairs are time-local so the ratio must track rows,
+    // and the ≤2-cells-per-interval explode keeps the fan-in flat
+    "q241_overlap_join")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

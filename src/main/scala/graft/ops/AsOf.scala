@@ -77,4 +77,59 @@ object AsOf {
                 loCol: String, hiCol: String): DataFrame =
     fact.join(broadcast(ranges),
       col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
+
+  /** Interval-overlap join for TWO LARGE sides — the bucketed shape
+    * [[rangeJoin]]'s docstring defers to: pairs (a, b) whose half-open
+    * integer intervals `[start, end)` intersect, i.e.
+    * `a.start < b.end AND b.start < a.end` (strict: touching intervals
+    * do NOT overlap). The workhorse behind session-vs-session attribution,
+    * ad-impression/visit matching, and validity-interval reconciliation —
+    * jobs where neither side broadcasts and a naive range join is a
+    * cartesian per time region.
+    *
+    * Plan shape: each interval explodes to the grid cells of width
+    * `gridWidth` it touches (`⌊start/g⌋ .. ⌊(end−1)/g⌋` — exact integer
+    * floor division via the pmod identity, so negative coordinates bucket
+    * correctly, no doubles anywhere), the sides equi-join on the cell,
+    * and each qualifying pair is emitted ONLY in the cell containing
+    * `max(a.start, b.start)` — the classic grid-join anchor trick
+    * (DeWitt et al., spatial partitioned join): every overlapping pair
+    * shares that cell by construction, so no post-join `DISTINCT` and
+    * its extra pair-grain shuffle. One equi-shuffle per side, join cost
+    * Σ per-cell |A|·|B|.
+    *
+    * Sizing `gridWidth` is the caller's lever: explode factor per row is
+    * `span/g + 1` (pick g ≈ the median span to keep it ≤ 2), while
+    * per-cell occupancy bounds the quadratic term (pick g small enough
+    * that a cell holds thousands, not millions — with AQE skew-split on
+    * the cell shuffle absorbing hot cells). Degenerate intervals
+    * (`end ≤ start`) cannot overlap anything under the strict predicate
+    * and are dropped before the explode (an ascending-cell guard too:
+    * Spark's `sequence` would happily count DOWN). Column names must be
+    * disjoint across the two inputs (loud `require`); both bound columns
+    * must be integral. int64 bound: cell ids live at coordinate/g scale,
+    * overflow-free wherever the coordinates themselves fit.
+    */
+  def overlapJoin(a: DataFrame, b: DataFrame,
+                  aStart: String, aEnd: String,
+                  bStart: String, bEnd: String,
+                  gridWidth: Long): DataFrame = {
+    require(gridWidth >= 1, s"overlapJoin: gridWidth must be >= 1, got $gridWidth")
+    val dup = a.columns.toSet.intersect(b.columns.toSet)
+    require(dup.isEmpty,
+      s"overlapJoin: column names must be disjoint, both sides carry " +
+        dup.toSeq.sorted.mkString(", "))
+    // exact int64 floor division (truncating `div` on the pmod-floored
+    // numerator — never a double, so the full long range buckets right)
+    def fdiv(x: String) =
+      expr(s"cast((($x) - pmod(($x), $gridWidth)) div $gridWidth as bigint)")
+    def cells(df: DataFrame, sC: String, eC: String) = df
+      .filter(col(eC) > col(sC))
+      .withColumn("_g_cell",
+        explode(sequence(fdiv(s"`$sC`"), fdiv(s"`$eC` - 1"))))
+    cells(a, aStart, aEnd).join(cells(b, bStart, bEnd), Seq("_g_cell"))
+      .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd) &&
+        col("_g_cell") === fdiv(s"greatest(`$aStart`, `$bStart`)"))
+      .drop("_g_cell")
+  }
 }

@@ -2739,6 +2739,36 @@ object PipelineQueries {
     graft.ops.Retrieval.rankingMetrics(run, qrels, k = 10)
   }
 
+  /** Interval-overlap join ([[graft.ops.AsOf.overlapJoin]]) between two
+    * LARGE planted interval sets — the grid-bucketed shape rangeJoin's
+    * broadcast path can't reach: events split by event_id mod 3 into an
+    * `a` side (spans 1–50 min) and a `b` side (spans 2–41 min), both at
+    * epoch-micro grain, grid = 1 hour so every interval touches ≤ 2
+    * cells. Pair grain (a_id, b_id, overlap_us) pins the strict
+    * half-open predicate AND the no-duplicate anchor-cell emission — a
+    * pair straddling a shared cell boundary would hash twice if the
+    * anchor trick were wrong. The oracle is the naive range join
+    * (a.s < b.e AND b.s < a.e) DuckDB runs directly; overlap density is
+    * time-local, so pairs scale with rows, not rows² (13k at sf0.01).
+    */
+  def q241(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.events(s, dir).select(col("event_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val a = ev.filter(pmod(col("event_id"), lit(3L)) === 0L)
+      .select(col("event_id").as("a_id"), col("ts_us").as("a_start"),
+        (col("ts_us") + (pmod(col("event_id"), lit(50L)) + 1L) * 60000000L)
+          .as("a_end"))
+    val b = ev.filter(pmod(col("event_id"), lit(3L)) === 1L)
+      .select(col("event_id").as("b_id"), col("ts_us").as("b_start"),
+        (col("ts_us") + (pmod(col("event_id"), lit(40L)) + 2L) * 60000000L)
+          .as("b_end"))
+    graft.ops.AsOf.overlapJoin(a, b, "a_start", "a_end",
+        "b_start", "b_end", gridWidth = 3600000000L)
+      .select(col("a_id"), col("b_id"),
+        (least(col("a_end"), col("b_end")) -
+          greatest(col("a_start"), col("b_start"))).as("overlap_us"))
+  }
+
   /** Referential-integrity audit ([[graft.ops.Validate
     * .refIntegrity]]) of lineitem → orders with planted breakage
     * (every 5th order dropped from the parent side, so ~1/5 of
@@ -3733,6 +3763,7 @@ object PipelineQueries {
     "q236_delta_join" -> (q236 _),
     "q239_exif_orientation" -> (q239 _),
     "q240_ranking_metrics" -> (q240 _),
+    "q241_overlap_join" -> (q241 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -4624,6 +4655,22 @@ FROM o"""
               CAST(8000 * (1 + doc_id % 4) AS BIGINT) AS sample_rate,
               CAST((doc_id % 10 + 1) * 10 AS BIGINT) AS duration_ms
        FROM documents""",
+    // overlap join: the oracle is the NAIVE range join — agreement
+    // proves the grid-cell + anchor-cell machinery adds and drops
+    // nothing (epoch_us(ts) ≡ Spark's unix_micros on [us] parquet)
+    "q241_overlap_join" ->
+      """WITH a AS (
+           SELECT event_id AS a_id, epoch_us(ts) AS a_start,
+                  epoch_us(ts) + (event_id % 50 + 1) * 60000000 AS a_end
+           FROM events WHERE event_id % 3 = 0),
+         b AS (
+           SELECT event_id AS b_id, epoch_us(ts) AS b_start,
+                  epoch_us(ts) + (event_id % 40 + 2) * 60000000 AS b_end
+           FROM events WHERE event_id % 3 = 1)
+       SELECT a_id, b_id,
+              CAST(least(a_end, b_end) - greatest(a_start, b_start)
+                AS BIGINT) AS overlap_us
+       FROM a JOIN b ON a_start < b_end AND b_start < a_end""",
     // ranking metrics: planting + window + every basis-point formula
     // replayed; DuckDB // ≡ Spark div on non-negative ints throughout
     "q240_ranking_metrics" ->

@@ -4426,6 +4426,48 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("overlapJoin: strict half-open semantics, exactly-once across cell boundaries, negative coords, degenerate drop") {
+    import graft.ops.AsOf
+    val a = Seq(
+      (1L, 0L, 10L),    // overlaps b1 (5..15) and b2 (contained 2..4)
+      (2L, 10L, 20L),   // touches b1 at 15? [10,20) vs [5,15): overlap 10..15
+      (3L, 20L, 30L),   // touches b3 [30,40) exactly -> NO overlap
+      (4L, 95L, 205L),  // spans 3 cells; overlaps b4 [100,110)
+      (5L, -25L, -5L),  // negative coords; overlaps b5 [-10,0)
+      (6L, 50L, 50L),   // degenerate -> dropped
+      (7L, 60L, 55L))   // inverted -> dropped
+      .toDF("a_id", "a_start", "a_end")
+    val b = Seq(
+      (1L, 5L, 15L), (2L, 2L, 4L), (3L, 30L, 40L),
+      (4L, 100L, 110L), (5L, -10L, 0L), (6L, 55L, 55L))
+      .toDF("b_id", "b_start", "b_end")
+    // grid width 10 puts several pairs across shared cell boundaries —
+    // the exactly-once claim is only tested if pairs share >1 cell
+    val pairs = AsOf.overlapJoin(a, b, "a_start", "a_end",
+        "b_start", "b_end", gridWidth = 10L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(pairs.size === pairs.distinct.size, "pair emitted twice")
+    assert(pairs.toSet === Set(
+      (1L, 1L), (1L, 2L), (2L, 1L), (4L, 4L), (5L, 5L)))
+    // a huge grid (one cell for everything) must give the same answer
+    val one = AsOf.overlapJoin(a, b, "a_start", "a_end",
+        "b_start", "b_end", gridWidth = 1000000L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(one.toSet === pairs.toSet && one.size === pairs.size)
+    // grid 1 (every point its own cell) too — the other extreme
+    val fine = AsOf.overlapJoin(a, b, "a_start", "a_end",
+        "b_start", "b_end", gridWidth = 1L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(fine.toSet === pairs.toSet && fine.size === pairs.size)
+    intercept[IllegalArgumentException] {
+      AsOf.overlapJoin(a, b, "a_start", "a_end", "b_start", "b_end", 0L)
+    }
+    intercept[IllegalArgumentException] {   // overlapping column names
+      AsOf.overlapJoin(a, a.withColumnRenamed("a_id", "b_id"),
+        "a_start", "a_end", "a_start", "a_end", 10L)
+    }
+  }
+
   test("joinExplosionAudit: per-key products without the join, null keys and one-sided keys drop") {
     import graft.ops.Validate
     val l = Seq(Some(1L), Some(1L), Some(1L), Some(2L), None)

@@ -314,7 +314,10 @@ object ScaleProbe {
     // r17: the grid-bucketed interval join — one cell-keyed exchange
     // per side; pairs are time-local so the ratio must track rows,
     // and the ≤2-cells-per-interval explode keeps the fan-in flat
-    "q241_overlap_join")
+    "q241_overlap_join",
+    // r17: ACF — one day-grain corpus aggregate, then days-sized lag
+    // joins with scalar broadcasts; the ratio must read ≈ the scan
+    "q242_autocorrelation")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

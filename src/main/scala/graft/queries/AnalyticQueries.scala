@@ -1158,6 +1158,56 @@ object AnalyticQueries {
         (col("n") * 168L > col("t") * 2L).as("is_peak"))
   }
 
+  /** Autocorrelation function of the daily event-count series at lags
+    * 1–7 — the time-series diagnostic that tells a pipeline whether its
+    * traffic has day-over-day memory and weekly periodicity (a lag-7
+    * spike = weekly seasonality, confirming q178's hour-of-week read
+    * from a different angle) before anyone fits a forecast on it.
+    * Engine-exact by the q180 scaling trick: with `n` days and
+    * `S = Σx`, the n²-scaled deviations `d_t = n·x_t − S` are pure
+    * integers, `acf(l) = Σ_{t≥l} d_t·d_{t−l} / Σ_t d_t²` needs no
+    * float until the 10⁴-scaled report, and `10000·num div den`
+    * truncates toward zero identically in Spark and DuckDB (negative
+    * numerators are fine — the q226 pin). The day spine is ZERO-FILLED
+    * from min to max day (a silent gap would misalign every lag after
+    * it); day numbers are `unix_micros(date_trunc(day)) div 86400e6`,
+    * no calendar arithmetic. Scale shape: one day-grain aggregate from
+    * the corpus, then everything is days-sized (the lag join explodes
+    * 7× at day grain); the three scalar relations (bounds, S, den)
+    * broadcast. int64 bound: |d_t| ≤ n·x_max so the report needs
+    * 10⁴·n³·x_max² < 2⁶³ — holds through ~3·10⁴ days at 10⁶
+    * events/day; past that, pre-scale counts (x div 10³ changes acf_bp
+    * by < 1 bp when x_max ≥ 10⁵) — the q186 overflow class, bounded
+    * here by design.
+    */
+  def q242(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .select(expr("unix_micros(date_trunc('DAY', ts)) div 86400000000")
+        .as("dnum"))
+      .groupBy("dnum").agg(count(lit(1)).as("n"))
+    val b = daily.agg(min(col("dnum")).as("d0"),
+      (max(col("dnum")) - min(col("dnum"))).as("span"))
+    val spine = b.select(explode(sequence(lit(0L), col("span"))).as("t"))
+    val indexed = daily.crossJoin(broadcast(b))
+      .select((col("dnum") - col("d0")).as("t"), col("n"))
+    val x = spine.join(indexed, Seq("t"), "left")
+      .select(col("t"), coalesce(col("n"), lit(0L)).as("x"))
+    val st = x.agg(count(lit(1)).as("nn"), sum(col("x")).as("sx"))
+    val dev = x.crossJoin(broadcast(st))
+      .select(col("t"), (col("nn") * col("x") - col("sx")).as("d"),
+        col("nn"))
+    val den = dev.agg(sum(col("d") * col("d")).as("den"))
+    val cur = dev.select(explode(sequence(lit(1L), lit(7L))).as("lag"),
+      col("t"), col("d"), col("nn"))
+    val prev = dev.select(col("t").as("pt"), col("d").as("pd"))
+    cur.join(prev, cur("t") - cur("lag") === prev("pt"))
+      .groupBy(col("lag"), col("nn"))
+      .agg(sum(col("d") * col("pd")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("nn").as("n_days"),
+        expr("10000 * num div den").as("acf_bp"))
+  }
+
   /** Chi-square goodness-of-fit against hour-of-week uniformity — the
     * TEST that turns q178's per-cell deviations into one per-type
     * verdict, kept engine-exact by scaling instead of dividing: with
@@ -2307,6 +2357,7 @@ object AnalyticQueries {
     "q229_longest_streak" -> (q229 _),
     "q237_session_window" -> (q237 _),
     "q238_graph_health" -> (q238 _),
+    "q242_autocorrelation" -> (q242 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2441,6 +2492,34 @@ object AnalyticQueries {
                   (20000 * COALESCE(tn.n_tri, 0)) // (deg.d * (deg.d - 1))
                 ELSE 0 END AS BIGINT) AS cc_bp
        FROM deg LEFT JOIN tn ON tn.node = deg.n""",
+    // autocorrelation: zero-filled day spine, n²-scaled integer
+    // deviations, truncating div on the 10⁴-scaled report (q226 pin)
+    "q242_autocorrelation" ->
+      """WITH daily AS (
+           SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS dnum,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+         b AS (SELECT min(dnum) AS d0, max(dnum) - min(dnum) AS span
+           FROM daily),
+         spine AS (SELECT unnest(range(0, span + 1)) AS t FROM b),
+         x AS (SELECT s.t, CAST(coalesce(d.n, 0) AS BIGINT) AS x
+           FROM spine s LEFT JOIN
+             (SELECT dnum - (SELECT d0 FROM b) AS t, n FROM daily) d
+             ON s.t = d.t),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+                       CAST(sum(x) AS BIGINT) AS sx FROM x),
+         dev AS (SELECT t, nn * x - sx AS d FROM x, st),
+         den AS (SELECT sum(d * d) AS den FROM dev),
+         lags AS (SELECT unnest(range(1, 8)) AS lag),
+         num AS (
+           SELECT l.lag, sum(c.d * p.d) AS num
+           FROM lags l JOIN dev c ON c.t >= l.lag
+           JOIN dev p ON p.t = c.t - l.lag
+           GROUP BY l.lag)
+       SELECT CAST(n.lag AS BIGINT) AS lag,
+              (SELECT nn FROM st) AS n_days,
+              CAST(10000 * n.num // d.den AS BIGINT) AS acf_bp
+       FROM num n, den d""",
     // PSI: exact cells, add-one smoothing over the union bin set, one
     // 6dp double term per bin
     "q223_psi_drift" ->

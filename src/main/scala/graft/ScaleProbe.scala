@@ -317,7 +317,10 @@ object ScaleProbe {
     "q241_overlap_join",
     // r17: ACF — one day-grain corpus aggregate, then days-sized lag
     // joins with scalar broadcasts; the ratio must read ≈ the scan
-    "q242_autocorrelation")
+    "q242_autocorrelation",
+    // r17: l-diversity — one group-keyed two-level partial aggregate
+    // (distinct rides the same shuffle); ratio ≈ the scan
+    "q243_l_diversity")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -180,6 +180,35 @@ object Validate {
     df.join(broadcast(risky), cond, "left_anti")
   }
 
+  /** l-diversity audit — the screen k-anonymity famously misses
+    * (Machanavajjhala et al., *l-Diversity: Privacy Beyond
+    * k-Anonymity*, ICDE 2006): a quasi-identifier group can be large
+    * (k-anonymous) yet carry ONE sensitive value, so linkage still
+    * discloses it — the classic homogeneity attack. Groups by the
+    * quasi columns and counts DISTINCT sensitive values; a group with
+    * fewer than `l` is at risk. NULL handling mirrors
+    * [[kAnonymityAudit]]: NULL quasi values group together and are
+    * audited; a NULL sensitive value COUNTS as a value (distinct-count
+    * semantics would drop it, but "lang unknown" is a disclosure like
+    * any other — spec-pinned via the has-null max-flag, engine-neutral
+    * on both sides of the oracle). One group-keyed aggregate; the
+    * distinct rides the same shuffle as a two-level partial aggregate.
+    */
+  def lDiversityAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversityAudit: no quasi columns")
+    require(!quasiCols.contains(sensitiveCol),
+      s"lDiversityAudit: sensitive column '$sensitiveCol' is also a " +
+        "quasi column — its diversity within the group is 1 by definition")
+    require(l >= 2, s"lDiversityAudit: l = $l is no protection")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        (countDistinct(col(sensitiveCol)) +
+          max(when(col(sensitiveCol).isNull, 1L).otherwise(0L)))
+          .as("n_sensitive"))
+      .withColumn("at_risk", col("n_sensitive") < l)
+  }
+
   /** Equi-width histogram — the distribution half of profiling, next
     * to [[report]]'s pass/fail half. One scan + one bin-keyed
     * aggregate (bins-cardinality, never row-cardinality); empty bins

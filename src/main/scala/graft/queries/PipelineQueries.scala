@@ -2272,6 +2272,21 @@ object PipelineQueries {
         expr("n_chars div 200").as("size_band")),
       Seq("source", "lang", "size_band"), k = 5L)
 
+  /** l-diversity audit ([[graft.ops.Validate.lDiversityAudit]], l = 3)
+    * over quasi pair (source, 200-char size band) with `lang` as the
+    * sensitive attribute — the homogeneity-attack screen on the SAME
+    * release q165 k-anonymity-audits: a (source, band) cell can hold
+    * dozens of rows yet one language, and linkage then discloses it.
+    * With 5 langs per source most cells read diverse and the sparse
+    * band tails read at-risk, so both verdicts populate. The oracle
+    * replays the grouping, the distinct count and the threshold.
+    */
+  def q243(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Validate.lDiversityAudit(
+      t(s, dir)("documents").select(col("source"),
+        expr("n_chars div 200").as("size_band"), col("lang")),
+      Seq("source", "size_band"), "lang", l = 3L)
+
   /** The language-planted corpus shared by q166: each doc gets its
     * label's function-word suffix ×3 (the trigram signal a char-n-gram
     * model keys on — the raw fixture text is the SAME synthetic
@@ -3764,6 +3779,7 @@ object PipelineQueries {
     "q239_exif_orientation" -> (q239 _),
     "q240_ranking_metrics" -> (q240 _),
     "q241_overlap_join" -> (q241 _),
+    "q243_l_diversity" -> (q243 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -4618,6 +4634,15 @@ FROM o"""
               CAST(count(*) AS BIGINT) AS n,
               count(*) < 5 AS at_risk
        FROM documents GROUP BY source, lang, n_chars // 200""",
+    // l-diversity: grouping + distinct-count + threshold replayed
+    // (lang is never NULL in the fixture, so count(DISTINCT) suffices;
+    // the NULL-counts-as-a-value rule is OpsSpec-pinned)
+    "q243_l_diversity" ->
+      """SELECT source, n_chars // 200 AS size_band,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(count(DISTINCT lang) AS BIGINT) AS n_sensitive,
+              count(DISTINCT lang) < 3 AS at_risk
+       FROM documents GROUP BY source, n_chars // 200""",
     // Cavnar–Trenkle: planting, trigrams, both rank windows, the
     // penalty-50 out-of-place distance, the (dist, lang) argmin
     "q166_lang_id_model" -> langIdOracle(docM = 30),

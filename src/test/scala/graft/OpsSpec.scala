@@ -4468,6 +4468,32 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("lDiversityAudit: homogeneity flagged, NULL sensitive counts as a value, NULL quasi groups audit, guards") {
+    import graft.ops.Validate
+    val df = Seq(
+      // g1: 3 rows, all "en" -> homogeneous, at risk at l=2
+      ("g1", Some("en")), ("g1", Some("en")), ("g1", Some("en")),
+      // g2: en + de -> 2 distinct, safe at l=2
+      ("g2", Some("en")), ("g2", Some("de")),
+      // g3: en + NULL -> NULL is a disclosure, 2 "values", safe at l=2
+      ("g3", Some("en")), ("g3", None),
+      // NULL quasi group: one value -> at risk
+      (null.asInstanceOf[String], Some("fr")))
+      .toDF("quasi", "lang")
+    val a = Validate.lDiversityAudit(df, Seq("quasi"), "lang", l = 2L)
+      .as[(Option[String], Long, Long, Boolean)].collect()
+      .map(r => (r._1.getOrElse("<null>"), r._2, r._3, r._4)).toSet
+    assert(a === Set(
+      ("g1", 3L, 1L, true), ("g2", 2L, 2L, false),
+      ("g3", 2L, 2L, false), ("<null>", 1L, 1L, true)))
+    intercept[IllegalArgumentException] {
+      Validate.lDiversityAudit(df, Seq("quasi", "lang"), "lang", 2L)
+    }
+    intercept[IllegalArgumentException] {
+      Validate.lDiversityAudit(df, Seq("quasi"), "lang", 1L)
+    }
+  }
+
   test("joinExplosionAudit: per-key products without the join, null keys and one-sided keys drop") {
     import graft.ops.Validate
     val l = Seq(Some(1L), Some(1L), Some(1L), Some(2L), None)

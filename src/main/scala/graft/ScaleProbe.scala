@@ -320,7 +320,11 @@ object ScaleProbe {
     "q242_autocorrelation",
     // r17: l-diversity — one group-keyed two-level partial aggregate
     // (distinct rides the same shuffle); ratio ≈ the scan
-    "q243_l_diversity")
+    "q243_l_diversity",
+    // r17: k-core peel — per round one edge-grain degree aggregate +
+    // two semi-joins, checkpointed; rounds are data-bounded (tendril
+    // depth 3 + fixed-point exit), so the ratio prices rounds×edges
+    "q244_kcore_peel")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

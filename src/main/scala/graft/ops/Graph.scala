@@ -148,6 +148,60 @@ object Graph {
     trianglesOf(orientedOf(und, degreesOf(und)))
   }
 
+  /** Bounded-round k-core peel — the degeneracy screen next to
+    * [[triangles]] in the link-quality toolbox: the k-core (maximal
+    * subgraph where every node keeps degree ≥ k; Seidman, *Network
+    * structure and minimum degree*, 1983) separates densely-embedded
+    * hubs from tendrils and isolated chains, and "core number small"
+    * is the standard cheap filter before anything pair-expensive runs.
+    * Computed by synchronous peeling: each round drops every node
+    * whose CURRENT degree is below k and restricts the edge set to
+    * survivors — removals cascade (a tendril of length t needs t
+    * rounds).
+    *
+    * Semantics are the R-ROUND RESIDUAL, the [[pageRank]] posture:
+    * output = (node, degree) of the graph left after exactly `rounds`
+    * peels, which equals the true k-core whenever the cascade has
+    * converged within the budget (the loop exits EARLY at the fixed
+    * point — an edge-count-unchanged round proves node set and edge
+    * set both stable, and every later round is a no-op, so
+    * bounded-round ≡ unrolled-R replays exactly in an oracle at any
+    * data size). Scale shape: per round one degree aggregate + two
+    * semi-joins, all edge-grain and localCheckpoint-ed so each round's
+    * executed plan is ONE round's dataflow (the r16 triangles lesson);
+    * the early-exit count is a driver scalar on the checkpointed edge
+    * relation. Worst-case rounds for full convergence is the graph's
+    * degeneracy ordering length — callers bound it explicitly, the
+    * loop never hides an unbounded iteration.
+    */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+                k: Long, rounds: Int): DataFrame = {
+    require(k >= 1, s"kCorePeel: k must be >= 1, got $k")
+    require(rounds >= 1, s"kCorePeel: rounds must be >= 1, got $rounds")
+    var und = symmetrized(edges, srcCol, dstCol)
+    var prevEdges = und.count()
+    var r = 0
+    var converged = prevEdges == 0L
+    while (r < rounds && !converged) {
+      val keep = und.select(col("u").as("n"))
+        .unionAll(und.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select(col("n"))
+      und = und
+        .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint(true)
+      val nowEdges = und.count()
+      converged = nowEdges == prevEdges
+      prevEdges = nowEdges
+      r += 1
+    }
+    und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+  }
+
   /** Symmetrize + dedup to the canonical undirected edge set (u < v),
     * self-loops dropped; eagerly materialized (one distinct shuffle,
     * paid once however many times downstream reads it). */

@@ -2167,6 +2167,72 @@ object AnalyticQueries {
   def q238(s: SparkSession, dir: String): DataFrame =
     graft.ops.Graph.nodeHealth(plantedGraphEdges(s, dir), "s", "t")
 
+  /** Bounded-round k-core peel ([[graft.ops.Graph.kCorePeel]], k = 2,
+    * rounds = 6) over the SAME planted graph as q222/q238 EXTENDED
+    * with length-3 tendrils hanging off every 5th doc node (fresh ids
+    * at +10⁶/+2·10⁶/+3·10⁶ — disjoint from doc ids at every probed
+    * SF): the cascade needs 3 rounds to eat a tendril tip-to-root, so
+    * the gate exercises multi-round peeling, and the 6-round budget
+    * with the fixed-point early exit must land on the SAME residual
+    * as the oracle's 6 unrolled rounds — every triangle/chain node
+    * keeps degree ≥ 2 and survives, every tendril node peels. Output
+    * is the residual (node, degree) relation, zeros impossible by
+    * construction.
+    */
+  def q244(s: SparkSession, dir: String): DataFrame = {
+    val d5 = t(s, dir)("documents")
+      .filter(pmod(col("doc_id"), lit(5L)) === 0L)
+      .select(col("doc_id").as("d"))
+    val tendrils = d5.select(col("d").as("s"), (col("d") + 1000000L).as("t"))
+      .unionByName(d5.select((col("d") + 1000000L).as("s"),
+        (col("d") + 2000000L).as("t")))
+      .unionByName(d5.select((col("d") + 2000000L).as("s"),
+        (col("d") + 3000000L).as("t")))
+    graft.ops.Graph.kCorePeel(
+      plantedGraphEdges(s, dir).unionByName(tendrils), "s", "t",
+      k = 2L, rounds = 6)
+  }
+
+  /** DuckDB replay of [[graft.ops.Graph.kCorePeel]] — `rounds` peels
+    * unrolled as MATERIALIZED CTEs (the bpeMerges lesson: each round
+    * reads the previous twice for the semi-joins plus twice for the
+    * degree union, so inlined CTEs re-derive exponentially). */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val peels = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (
+            SELECT n FROM (SELECT u AS n FROM e${i - 1}
+                           UNION ALL SELECT v FROM e${i - 1})
+            GROUP BY n HAVING count(*) >= $k),
+          e$i AS MATERIALIZED (
+            SELECT e.u, e.v FROM e${i - 1} e
+            JOIN k$i a ON e.u = a.n JOIN k$i b ON e.v = b.n)"""
+    }.mkString(",\n")
+    s"""WITH b3 AS (SELECT doc_id AS d FROM documents WHERE doc_id % 3 = 0),
+        d5 AS (SELECT doc_id AS d FROM documents WHERE doc_id % 5 = 0),
+        raw AS (
+          SELECT d AS u, d + 1 AS v FROM b3
+          UNION ALL SELECT d + 1, d + 2 FROM b3
+          UNION ALL SELECT d, d + 2 FROM b3
+          UNION ALL SELECT d + 2, d + 3 FROM b3
+          UNION ALL SELECT doc_id, doc_id + 3 FROM documents
+            WHERE doc_id % 15 = 0
+          UNION ALL SELECT doc_id + 1, doc_id FROM documents
+            WHERE doc_id % 6 = 0
+          UNION ALL SELECT doc_id, doc_id FROM documents
+            WHERE doc_id % 11 = 0
+          UNION ALL SELECT d, d + 1000000 FROM d5
+          UNION ALL SELECT d + 1000000, d + 2000000 FROM d5
+          UNION ALL SELECT d + 2000000, d + 3000000 FROM d5),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+          FROM raw WHERE u <> v),
+        $peels
+      SELECT node, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT u AS node FROM e$rounds
+            UNION ALL SELECT v FROM e$rounds)
+      GROUP BY node"""
+  }
+
   /** Population Stability Index — the model-monitoring standard for
     * "has the score distribution drifted between training and
     * serving": the corpus halves (doc_id parity) play expected vs
@@ -2358,6 +2424,7 @@ object AnalyticQueries {
     "q237_session_window" -> (q237 _),
     "q238_graph_health" -> (q238 _),
     "q242_autocorrelation" -> (q242 _),
+    "q244_kcore_peel" -> (q244 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2492,6 +2559,10 @@ object AnalyticQueries {
                   (20000 * COALESCE(tn.n_tri, 0)) // (deg.d * (deg.d - 1))
                 ELSE 0 END AS BIGINT) AS cc_bp
        FROM deg LEFT JOIN tn ON tn.node = deg.n""",
+    // k-core peel: 6 rounds unrolled as materialized CTEs over the
+    // tendril-extended q222 planting; the engine's early exit must be
+    // residual-identical to the full unroll
+    "q244_kcore_peel" -> kCoreOracle(k = 2, rounds = 6),
     // autocorrelation: zero-filled day spine, n²-scaled integer
     // deviations, truncating div on the 10⁴-scaled report (q226 pin)
     "q242_autocorrelation" ->

@@ -3633,6 +3633,33 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("kCorePeel: multi-round cascade, rounds-cap residual, early-exit ≡ extra rounds, guards") {
+    import graft.ops.Graph
+    // triangle {1,2,3} + tendril 3-4-5-6 + isolated edge 7-8
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (7L, 8L)).toDF("s", "t")
+    def run(k: Long, rounds: Int) =
+      Graph.kCorePeel(e, "s", "t", k, rounds)
+        .as[(Long, Long)].collect().toSeq.sorted
+    // k=2 full cascade: round1 drops 6,7,8; round2 drops 5; round3
+    // drops 4 -> residual = the triangle, every degree 2
+    assert(run(2L, 10) === Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // rounds capped at 1: only the CURRENT-degree-<2 nodes go (6,7,8);
+    // 4 and 5 still look fine this round -> partially peeled residual
+    assert(run(2L, 1) ===
+      Seq((1L, 2L), (2L, 2L), (3L, 3L), (4L, 2L), (5L, 1L)))
+    // exactly at convergence (3) ≡ any larger budget (early exit)
+    assert(run(2L, 3) === run(2L, 10))
+    // k=3: triangle degrees are 2 -> everything peels, empty residual
+    assert(run(3L, 10) === Seq.empty)
+    // symmetrization: directed duplicates + self-loops don't inflate
+    val eDup = e.union(Seq((2L, 1L), (3L, 3L)).toDF("s", "t"))
+    assert(Graph.kCorePeel(eDup, "s", "t", 2L, 10)
+      .as[(Long, Long)].collect().toSeq.sorted === run(2L, 10))
+    intercept[IllegalArgumentException] { Graph.kCorePeel(e, "s", "t", 0L, 3) }
+    intercept[IllegalArgumentException] { Graph.kCorePeel(e, "s", "t", 2L, 0) }
+  }
+
   test("validation report: every check kind, both verdicts, hand counts") {
     import graft.ops.Validate._
     val df = Seq(

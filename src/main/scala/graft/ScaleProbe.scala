@@ -324,7 +324,10 @@ object ScaleProbe {
     // r17: k-core peel — per round one edge-grain degree aggregate +
     // two semi-joins, checkpointed; rounds are data-bounded (tendril
     // depth 3 + fixed-point exit), so the ratio prices rounds×edges
-    "q244_kcore_peel")
+    "q244_kcore_peel",
+    // r17: readability — one scan, zero exchanges, three codegen'd
+    // regex/array counters per row; ratio ≈ the text-bandwidth scan
+    "q245_readability")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

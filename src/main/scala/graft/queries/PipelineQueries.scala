@@ -2287,6 +2287,22 @@ object PipelineQueries {
         expr("n_chars div 200").as("size_band"), col("lang")),
       Seq("source", "size_band"), "lang", l = 3L)
 
+  /** Readability statistics ([[graft.ops.TextOps.readability]]) over
+    * the corpus with PLANTED sentence boundaries (the fixture text has
+    * no punctuation, so `n_sents` would floor at 1 corpus-wide): plain
+    * non-regex `replace` turns every 'table' into 'table.' and every
+    * 'query' into 'query?' — replace-all in both engines — giving
+    * docs a spread of sentence counts, word/sentence rates and
+    * vowel-group syllable totals. Per-doc grain pins every count and
+    * every truncating division of the milli-point Flesch formula.
+    */
+  def q245(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextOps.readability(
+      t(s, dir)("documents").select(col("doc_id"),
+        expr("replace(replace(coalesce(text, ''), 'table', 'table.')," +
+          " 'query', 'query?')").as("text")),
+      "doc_id", "text")
+
   /** The language-planted corpus shared by q166: each doc gets its
     * label's function-word suffix ×3 (the trigram signal a char-n-gram
     * model keys on — the raw fixture text is the SAME synthetic
@@ -3780,6 +3796,7 @@ object PipelineQueries {
     "q240_ranking_metrics" -> (q240 _),
     "q241_overlap_join" -> (q241 _),
     "q243_l_diversity" -> (q243 _),
+    "q245_readability" -> (q245 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -4634,6 +4651,32 @@ FROM o"""
               CAST(count(*) AS BIGINT) AS n,
               count(*) < 5 AS at_risk
        FROM documents GROUP BY source, lang, n_chars // 200""",
+    // readability: planted punctuation, the three counters and every
+    // truncating division replayed (DuckDB // ≡ Spark div, q226 pin)
+    "q245_readability" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  replace(replace(coalesce(text, ''), 'table', 'table.'),
+                    'query', 'query?') AS text
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+                  greatest(len(list_filter(
+                    regexp_split_to_array(text, '\s+'), w -> w <> '')),
+                    1) AS n_words,
+                  greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                    AS n_sents,
+                  len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS n_syll
+           FROM p)
+       SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+              CAST(n_sents AS BIGINT) AS n_sents,
+              CAST(n_syll AS BIGINT) AS n_syll,
+              CAST(10000 * n_words // n_sents AS BIGINT) AS wps_bp,
+              CAST(10000 * n_syll // n_words AS BIGINT) AS spw_bp,
+              CAST(206835 - 1015 * n_words // n_sents
+                - 84600 * n_syll // n_words AS BIGINT) AS fre_milli
+       FROM c""",
     // l-diversity: grouping + distinct-count + threshold replayed
     // (lang is never NULL in the fixture, so count(DISTINCT) suffices;
     // the NULL-counts-as-a-value rule is OpsSpec-pinned)

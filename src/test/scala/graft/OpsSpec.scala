@@ -3071,6 +3071,30 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("budgetTokens"))
   }
 
+  test("readability: hand counts, floors on empty/unpunctuated text, consonant-only words, punctuation runs") {
+    // "See spot run. Run spot run! Why??" ->
+    //   words 7, sents 3 ('.', '!', '??' runs), syllables: see(1: 'ee')
+    //   spot(1) run(1) run(1) spot(1) run(1) why(1: 'y') = 7
+    //   wps = 10000*7 div 3 = 23333; spw = 10000*7 div 7 = 10000
+    //   fre = 206835 - 1015*7 div 3 - 84600*7 div 7
+    //       = 206835 - 2368 - 84600 = 119867
+    val df = Seq(
+      (1L, "See spot run. Run spot run! Why??"),
+      (2L, ""),                    // degenerate: floors -> 1 word, 1 sent
+      (3L, "tsk tsk hmm"),         // consonant-only: 0 syllables
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = graft.ops.TextOps.readability(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+    assert(r(0) === ((1L, 7L, 3L, 7L, 23333L, 10000L, 119867L)))
+    assert(r(1) === ((2L, 1L, 1L, 0L, 10000L, 0L, 205820L)))
+    // 3 words, 1 sentence, 0 syllables:
+    //   fre = 206835 - 1015*3 - 0 = 203790
+    assert(r(2) === ((3L, 3L, 1L, 0L, 30000L, 0L, 203790L)))
+    assert(r(3) === r(1).copy(_1 = 4L))  // NULL ≡ empty
+  }
+
   test("gopherC4Flags: hand-computed rule grid on crafted docs") {
     // 60 words x 5 chars, 2 stopwords, 3 sentences, every line punct-
     // terminated: passes EVERYTHING

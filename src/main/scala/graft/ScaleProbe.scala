@@ -327,7 +327,10 @@ object ScaleProbe {
     "q244_kcore_peel",
     // r17: readability — one scan, zero exchanges, three codegen'd
     // regex/array counters per row; ratio ≈ the text-bandwidth scan
-    "q245_readability")
+    "q245_readability",
+    // r17: compaction plan — one partition-keyed sort window at file-
+    // METADATA grain + two group-grain rollups; ratio ≈ the sort
+    "q246_compaction_plan")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

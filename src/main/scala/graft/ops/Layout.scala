@@ -176,4 +176,46 @@ object Layout {
         coalesce(col("a_chars") === col("e_chars"), lit(false))
           .as("chars_ok"))
   }
+
+  /** Compaction plan for the small-files problem — THE operational
+    * disease of a 100 TB lakehouse (a day of streaming egress leaves
+    * millions of KB-sized files; every downstream scan then pays an
+    * open/seek per file and the NameNode/manifest pays the metadata):
+    * assign each file to a compaction group of ≈ `targetBytes`, one
+    * group = one rewrite task. Deterministic first-fit in ID order
+    * WITHIN each partition column value (compaction never merges
+    * across partitions): `group = exclusive-prefix-sum(bytes) div
+    * targetBytes` — the classic streaming bin-pack: a file joins the
+    * group of the targetBytes-stripe its first byte lands in on the
+    * partition's cumulative byte axis. Guarantees that matter for the
+    * rewrite fleet: group count ≤ ⌈partition bytes / targetBytes⌉ (the
+    * axis has that many stripes), so the MEAN rewrite is ≥ targetBytes
+    * and the task list is bounded; a group is underfilled only by the
+    * previous file's overhang into its stripe (< that one file), never
+    * by systematic fragmentation. No float, no collect: one window over
+    * (partition, id) — file METADATA grain (millions of rows for
+    * billions of data rows), where a global sort is free next to one
+    * data scan. Output keeps (file, bytes, group) plus the group's
+    * rewrite size so the executor sizing is read off the plan.
+    * int64 bound: prefix sums live at total-bytes scale — 2⁶³ bytes
+    * = 8 EB, four orders past the fleet.
+    */
+  def compactionPlan(files: DataFrame, partCol: String, fileCol: String,
+                     bytesCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1,
+      s"compactionPlan: targetBytes must be >= 1, got $targetBytes")
+    import org.apache.spark.sql.expressions.Window
+    val prefix = Window.partitionBy(col(partCol)).orderBy(col(fileCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val group = Window.partitionBy(col(partCol), col("grp"))
+    files
+      .select(col(partCol), col(fileCol),
+        col(bytesCol).cast("long").as("f_bytes"))
+      .withColumn("cum_prev",
+        coalesce(sum(col("f_bytes")).over(prefix), lit(0L)))
+      .withColumn("grp", expr(s"cum_prev div $targetBytes"))
+      .drop("cum_prev")
+      .withColumn("grp_bytes", sum(col("f_bytes")).over(group))
+      .withColumn("grp_files", count(lit(1)).over(group))
+  }
 }

@@ -2303,6 +2303,21 @@ object PipelineQueries {
           " 'query', 'query?')").as("text")),
       "doc_id", "text")
 
+  /** Compaction plan ([[graft.ops.Layout.compactionPlan]]) treating
+    * each document as a small file (bytes = n_chars) partitioned by
+    * source, target 3 000 bytes — the small-files remedy: the plan
+    * assigns every file to a ≈target-sized rewrite group by
+    * exclusive-prefix-sum striping in id order within its partition,
+    * and the oracle replays the window frame, the truncating stripe
+    * division and both group-grain rollups verbatim. File grain pins
+    * every assignment, not just group counts.
+    */
+  def q246(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Layout.compactionPlan(
+      t(s, dir)("documents").select(col("source"), col("doc_id"),
+        col("n_chars")),
+      "source", "doc_id", "n_chars", targetBytes = 3000L)
+
   /** The language-planted corpus shared by q166: each doc gets its
     * label's function-word suffix ×3 (the trigram signal a char-n-gram
     * model keys on — the raw fixture text is the SAME synthetic
@@ -3797,6 +3812,7 @@ object PipelineQueries {
     "q241_overlap_join" -> (q241 _),
     "q243_l_diversity" -> (q243 _),
     "q245_readability" -> (q245 _),
+    "q246_compaction_plan" -> (q246 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -4651,6 +4667,21 @@ FROM o"""
               CAST(count(*) AS BIGINT) AS n,
               count(*) < 5 AS at_risk
        FROM documents GROUP BY source, lang, n_chars // 200""",
+    // compaction plan: the exclusive prefix window, stripe division
+    // and group rollups replayed verbatim
+    "q246_compaction_plan" ->
+      """WITH f AS (
+           SELECT source, doc_id, CAST(n_chars AS BIGINT) AS f_bytes,
+                  coalesce(sum(n_chars) OVER (PARTITION BY source
+                    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) // 3000 AS grp
+           FROM documents)
+       SELECT source, doc_id, f_bytes, CAST(grp AS BIGINT) AS grp,
+              CAST(sum(f_bytes) OVER (PARTITION BY source, grp)
+                AS BIGINT) AS grp_bytes,
+              CAST(count(*) OVER (PARTITION BY source, grp)
+                AS BIGINT) AS grp_files
+       FROM f""",
     // readability: planted punctuation, the three counters and every
     // truncating division replayed (DuckDB // ≡ Spark div, q226 pin)
     "q245_readability" ->

@@ -3071,6 +3071,34 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("budgetTokens"))
   }
 
+  test("compactionPlan: stripe assignment, group-count ceiling, oversize file isolation, partition independence") {
+    import graft.ops.Layout
+    // partition p: files 9,9,9 at target 10 -> cum_prev 0,9,18 ->
+    // groups 0,0,1 (the straddler underfills group 1 — documented)
+    // partition q: 1,1,25,1 -> cum_prev 0,1,2,27 -> groups 0,0,0,2
+    val files = Seq(
+      ("p", 1L, 9L), ("p", 2L, 9L), ("p", 3L, 9L),
+      ("q", 1L, 1L), ("q", 2L, 1L), ("q", 3L, 25L), ("q", 4L, 1L))
+      .toDF("part", "file", "bytes")
+    val plan = Layout.compactionPlan(files, "part", "file", "bytes", 10L)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(plan === Seq(
+      ("p", 1L, 9L, 0L, 18L, 2L), ("p", 2L, 9L, 0L, 18L, 2L),
+      ("p", 3L, 9L, 1L, 9L, 1L),
+      ("q", 1L, 1L, 0L, 27L, 3L), ("q", 2L, 1L, 0L, 27L, 3L),
+      ("q", 3L, 25L, 0L, 27L, 3L), ("q", 4L, 1L, 2L, 1L, 1L)))
+    // law: per partition, group count <= ceil(total / target)
+    Seq(("p", 27L, 2L), ("q", 28L, 2L)).foreach { case (pt, tot, gN) =>
+      assert(gN <= (tot + 9L) / 10L)
+      assert(plan.filter(_._1 == pt).map(_._4).distinct.size === gN)
+    }
+    // law: bytes conserved — every file in exactly one group
+    assert(plan.map(_._3).sum === 27L + 28L)
+    intercept[IllegalArgumentException] {
+      Layout.compactionPlan(files, "part", "file", "bytes", 0L)
+    }
+  }
+
   test("readability: hand counts, floors on empty/unpunctuated text, consonant-only words, punctuation runs") {
     // "See spot run. Run spot run! Why??" ->
     //   words 7, sents 3 ('.', '!', '??' runs), syllables: see(1: 'ee')

@@ -330,7 +330,11 @@ object ScaleProbe {
     "q245_readability",
     // r17: compaction plan — one partition-keyed sort window at file-
     // METADATA grain + two group-grain rollups; ratio ≈ the sort
-    "q246_compaction_plan")
+    "q246_compaction_plan",
+    // r17: HITS — per iteration two edge-grain join+aggregate half-
+    // steps with scalar-max broadcasts, invariants checkpointed (the
+    // pageRank discipline); ratio prices iters×edges
+    "q247_hits")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -148,6 +148,74 @@ object Graph {
     trianglesOf(orientedOf(und, degreesOf(und)))
   }
 
+  /** HITS hubs-and-authorities (Kleinberg, *Authoritative sources in a
+    * hyperlinked environment*, JACM 1999) — the DIRECTED companion to
+    * [[pageRank]]: a good hub points at good authorities, a good
+    * authority is pointed at by good hubs. On a crawl's link graph the
+    * two scores separate directories/link-farms (hubby) from canonical
+    * content (authoritative) — a different screen than PageRank's
+    * single stationary score, and the pair is what a curation gate
+    * wants (farm = high hub, low authority).
+    *
+    * Integer semantics, the [[pageRank]] posture: synchronous
+    * iterations from the uniform start `scale`, each half-step
+    * max-normalized back to `scale` in pure int64 —
+    * `a' = (Σ_{u→v} h(u)) · scale div max` then
+    * `h' = (Σ_{u→v} a'(v)) · scale div max` — so a fixed-iteration
+    * unroll replays exactly in any engine (truncating div both sides,
+    * the q226 pin). L∞ normalization instead of the textbook L2: no
+    * square roots exist in integer arithmetic, and scale-invariant
+    * RANKING is what consumers read off the scores. Edge set is
+    * deduped DIRECTED pairs, self-loops dropped; nodes with no
+    * in-edges (pure hubs) keep authority 0, no out-edges keep hub 0.
+    *
+    * Scale shape: per iteration two edge-grain join+aggregate
+    * half-steps plus two scalar max aggregates; edges/nodes are
+    * loop-invariant localCheckpoint-ed once, per-round scores
+    * checkpointed so each action executes one round's dataflow.
+    * int64 bound: Σ h ≤ maxdeg·scale and the rescale multiplies by
+    * scale, so maxdeg·scale² < 2⁶³ — at the default scale 10⁶ that
+    * allows in/out-degrees to 9·10⁶; shrink scale for hotter hubs
+    * (ranking is scale-invariant).
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 3, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"hits: iters must be >= 1, got $iters")
+    require(scale >= 1, s"hits: scale must be >= 1, got $scale")
+    val e = edges
+      .select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct()
+      .localCheckpoint(true)
+    require(nodes.limit(1).count() > 0, "hits: empty graph")
+    var h = nodes.withColumn("s", lit(scale))
+    var a = nodes.withColumn("s", lit(0L))
+    for (_ <- 1 to iters) {
+      val aRaw = nodes.join(
+          e.join(h.select(col("node").as("u"), col("s")), "u")
+            .groupBy(col("v").as("node")).agg(sum(col("s")).as("raw")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
+      a = aRaw.crossJoin(broadcast(aRaw.agg(max(col("raw")).as("mx"))))
+        .select(col("node"), expr(s"raw * $scale div mx").as("s"))
+        .localCheckpoint(true)
+      val hRaw = nodes.join(
+          e.join(a.select(col("node").as("v"), col("s")), "v")
+            .groupBy(col("u").as("node")).agg(sum(col("s")).as("raw")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
+      h = hRaw.crossJoin(broadcast(hRaw.agg(max(col("raw")).as("mx"))))
+        .select(col("node"), expr(s"raw * $scale div mx").as("s"))
+        .localCheckpoint(true)
+    }
+    h.select(col("node"), col("s").as("hub_scaled"))
+      .join(a.select(col("node"), col("s").as("auth_scaled")), Seq("node"))
+  }
+
   /** Bounded-round k-core peel — the degeneracy screen next to
     * [[triangles]] in the link-quality toolbox: the k-core (maximal
     * subgraph where every node keeps degree ≥ k; Seidman, *Network

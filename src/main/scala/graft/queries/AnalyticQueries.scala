@@ -2193,6 +2193,64 @@ object AnalyticQueries {
       k = 2L, rounds = 6)
   }
 
+  /** HITS ([[graft.ops.Graph.hits]], 3 iterations, scale 10⁶) over the
+    * DIRECTED planted relation (the same raw edges q222/q238/q244
+    * symmetrize — here direction survives, so the chain edges make
+    * id+2 nodes hubby and id+3 nodes authoritative while triangle
+    * corners balance). The oracle unrolls all six half-steps with the
+    * L∞ renormalization's truncating division replayed exactly; node
+    * grain pins every score, pure-hub zeros included.
+    */
+  def q247(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.hits(plantedGraphEdges(s, dir), "s", "t",
+      iters = 3, scale = 1000000L)
+
+  /** DuckDB replay of [[graft.ops.Graph.hits]] — `iters` iterations
+    * (two half-steps each) unrolled as MATERIALIZED CTEs, L∞
+    * renormalization via scalar-subquery max. */
+  private def hitsOracle(iters: Int, scale: Long): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (
+            SELECT n.node, coalesce(t.raw, 0) AS raw FROM nodes n
+            LEFT JOIN (SELECT e.v AS node, sum(h.s) AS raw
+                       FROM e0 e JOIN h${i - 1} h ON e.u = h.node
+                       GROUP BY e.v) t ON n.node = t.node),
+          a$i AS MATERIALIZED (
+            SELECT node, raw * $scale // (SELECT max(raw) FROM ar$i)
+              AS s FROM ar$i),
+          hr$i AS MATERIALIZED (
+            SELECT n.node, coalesce(t.raw, 0) AS raw FROM nodes n
+            LEFT JOIN (SELECT e.u AS node, sum(a.s) AS raw
+                       FROM e0 e JOIN a$i a ON e.v = a.node
+                       GROUP BY e.u) t ON n.node = t.node),
+          h$i AS MATERIALIZED (
+            SELECT node, raw * $scale // (SELECT max(raw) FROM hr$i)
+              AS s FROM hr$i)"""
+    }.mkString(",\n")
+    s"""WITH b3 AS (SELECT doc_id AS d FROM documents WHERE doc_id % 3 = 0),
+        raw AS (
+          SELECT d AS u, d + 1 AS v FROM b3
+          UNION ALL SELECT d + 1, d + 2 FROM b3
+          UNION ALL SELECT d, d + 2 FROM b3
+          UNION ALL SELECT d + 2, d + 3 FROM b3
+          UNION ALL SELECT doc_id, doc_id + 3 FROM documents
+            WHERE doc_id % 15 = 0
+          UNION ALL SELECT doc_id + 1, doc_id FROM documents
+            WHERE doc_id % 6 = 0
+          UNION ALL SELECT doc_id, doc_id FROM documents
+            WHERE doc_id % 11 = 0),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT u, v FROM raw WHERE u <> v),
+        nodes AS MATERIALIZED (
+          SELECT u AS node FROM e0 UNION SELECT v FROM e0),
+        h0 AS MATERIALIZED (
+          SELECT node, CAST($scale AS BIGINT) AS s FROM nodes),
+        $rounds
+      SELECT h$iters.node, CAST(h$iters.s AS BIGINT) AS hub_scaled,
+             CAST(a$iters.s AS BIGINT) AS auth_scaled
+      FROM h$iters JOIN a$iters ON h$iters.node = a$iters.node"""
+  }
+
   /** DuckDB replay of [[graft.ops.Graph.kCorePeel]] — `rounds` peels
     * unrolled as MATERIALIZED CTEs (the bpeMerges lesson: each round
     * reads the previous twice for the semi-joins plus twice for the
@@ -2425,6 +2483,7 @@ object AnalyticQueries {
     "q238_graph_health" -> (q238 _),
     "q242_autocorrelation" -> (q242 _),
     "q244_kcore_peel" -> (q244 _),
+    "q247_hits" -> (q247 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2563,6 +2622,8 @@ object AnalyticQueries {
     // tendril-extended q222 planting; the engine's early exit must be
     // residual-identical to the full unroll
     "q244_kcore_peel" -> kCoreOracle(k = 2, rounds = 6),
+    // HITS: six half-steps unrolled, L∞ renorm divisions replayed
+    "q247_hits" -> hitsOracle(iters = 3, scale = 1000000L),
     // autocorrelation: zero-filled day spine, n²-scaled integer
     // deviations, truncating div on the 10⁴-scaled report (q226 pin)
     "q242_autocorrelation" ->

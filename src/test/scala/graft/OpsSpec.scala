@@ -3712,6 +3712,40 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Graph.kCorePeel(e, "s", "t", 2L, 0) }
   }
 
+  test("hits: hand-walked iteration, pure hub/authority zeros, duplicate+self-loop drop, guards") {
+    import graft.ops.Graph
+    // star: 1->3, 2->3, 3->4  (1,2 pure hubs; 4 pure authority)
+    // iter1, scale 1000:
+    //   aRaw: 3 <- h1+h2 = 2000; 4 <- h3 = 1000; max 2000
+    //     a: 3=1000, 4=500, 1=0, 2=0
+    //   hRaw: 1 -> a3 = 1000; 2 -> 1000; 3 -> a4 = 500; max 1000
+    //     h: 1=1000, 2=1000, 3=500, 4=0
+    val e = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val r1 = Graph.hits(e, "s", "d", iters = 1, scale = 1000L)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(r1 === Seq((1L, 1000L, 0L), (2L, 1000L, 0L),
+      (3L, 500L, 1000L), (4L, 0L, 500L)))
+    // iter2: aRaw: 3 <- 2000, 4 <- 500; a: 3=1000, 4=250
+    //        hRaw: 1=1000, 2=1000, 3=250; h: 1=1000, 2=1000, 3=250
+    val r2 = Graph.hits(e, "s", "d", iters = 2, scale = 1000L)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(r2 === Seq((1L, 1000L, 0L), (2L, 1000L, 0L),
+      (3L, 250L, 1000L), (4L, 0L, 250L)))
+    // duplicate directed edges and self-loops change nothing
+    val eDup = e.union(Seq((1L, 3L), (4L, 4L)).toDF("s", "d"))
+    assert(Graph.hits(eDup, "s", "d", iters = 2, scale = 1000L)
+      .as[(Long, Long, Long)].collect().toSeq.sorted === r2)
+    // direction matters (hand-walked on the reversed star: a-half first
+    // makes 1,2,3 all full authorities, then 3 the only real hub)
+    val rRev = Graph.hits(e.select(col("d").as("s"), col("s").as("d")),
+        "s", "d", iters = 1, scale = 1000L)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(rRev === Seq((1L, 0L, 1000L), (2L, 0L, 1000L),
+      (3L, 1000L, 1000L), (4L, 500L, 0L)))
+    intercept[IllegalArgumentException] { Graph.hits(e, "s", "d", iters = 0) }
+    intercept[IllegalArgumentException] { Graph.hits(e, "s", "d", scale = 0L) }
+  }
+
   test("validation report: every check kind, both verdicts, hand counts") {
     import graft.ops.Validate._
     val df = Seq(

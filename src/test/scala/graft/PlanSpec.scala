@@ -55,6 +55,45 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q241: overlap join is an equi-join on the grid cell — no nested loop, one exchange per side") {
+    val plan = planOf("q241_overlap_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join fell back to a nested loop:\n$plan")
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    val n = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(n <= 2, s"expected <= 2 exchanges (one per side), got $n:\n$plan")
+  }
+
+  test("q245: readability is scan-only — zero exchanges, zero joins") {
+    val plan = planOf("q245_readability")
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("q246: compaction plan is two sort windows, no join") {
+    val plan = planOf("q246_compaction_plan")
+    assert(!plan.contains("Join"), plan)
+    val n = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(n <= 2, s"expected <= 2 exchanges (the two window keys), got $n:\n$plan")
+  }
+
+  test("q244/q247: iterative graph ops execute on checkpointed relations — no parquet re-derivation") {
+    for (name <- Seq("q244_kcore_peel", "q247_hits")) {
+      val plan = planOf(name)
+      assert(!plan.contains("Scan parquet"),
+        s"$name re-derived its graph from the source:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+    }
+  }
+
+  test("q240: ranking metrics join hash-wise and aggregate at query grain — no nested loop") {
+    val plan = planOf("q240_ranking_metrics")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q221: the null-safe join plans as a hash join on an EqualNullSafe key, never a nested loop") {
     val plan = planOf("q221_nullsafe_join")
     assert(!plan.contains("BroadcastNestedLoopJoin") &&

@@ -2072,21 +2072,23 @@ object TextOps {
     * bound: 84600·SY overflows only past ~10¹⁴ syllables per doc —
     * unreachable (a doc that size fails every length gate first).
     */
-  def readability(df: DataFrame, idCol: String,
-                  textCol: String): DataFrame = {
+  def readability(df: DataFrame, idCol: String, textCol: String,
+                  keepCols: Seq[String] = Nil): DataFrame = {
     val txt = coalesce(col(textCol), lit(""))
-    df.select(col(idCol),
+    val keep = keepCols.map(col)
+    df.select(col(idCol) +: keep ++: Seq(
         greatest(size(filter(tokens(txt), t => t =!= "")), lit(1))
           .cast("long").as("n_words"),
         greatest(size(regexp_extract_all(txt, lit("[.!?]+"), lit(0))),
           lit(1)).cast("long").as("n_sents"),
         size(regexp_extract_all(lower(txt), lit("[aeiouy]+"), lit(0)))
-          .cast("long").as("n_syll"))
-      .select(col(idCol), col("n_words"), col("n_sents"), col("n_syll"),
+          .cast("long").as("n_syll")): _*)
+      .select(col(idCol) +: keep ++: Seq(
+        col("n_words"), col("n_sents"), col("n_syll"),
         expr("10000 * n_words div n_sents").as("wps_bp"),
         expr("10000 * n_syll div n_words").as("spw_bp"),
         expr("206835 - 1015 * n_words div n_sents" +
-          " - 84600 * n_syll div n_words").as("fre_milli"))
+          " - 84600 * n_syll div n_words").as("fre_milli")): _*)
   }
 
   /** The named public quality-rule sets, as per-document booleans —

@@ -121,6 +121,20 @@ object DocumentStreams {
     * exports) sees only redacted text, so no raw PII ever lands in a
     * stored artifact.
     */
+  /** In-flight readability scoring — the streaming twin of
+    * [[graft.ops.TextOps.readability]]: completely STATELESS (three
+    * codegen'd regex/array counters and integer divisions per row — no
+    * shuffle, no state store, no watermark), so a reading-ease gate
+    * can route template spam at the ingest door with the SAME integer
+    * milli-points the batch pass reports (StreamingSpec pins stream ≡
+    * batch row-for-row; the shared implementation makes disagreement
+    * structurally impossible). Passthrough of ts/lang so downstream
+    * windows still see event time.
+    */
+  def readabilityStream(docs: DataFrame): DataFrame =
+    graft.ops.TextOps.readability(docs, "doc_id", "text",
+      keepCols = Seq("ts", "lang"))
+
   def scrubStream(docs: DataFrame): DataFrame =
     docs
       .withColumn("pii", TextOps.piiCounts(col("text")))

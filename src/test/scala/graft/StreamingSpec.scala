@@ -748,6 +748,37 @@ class StreamingSpec extends SparkSpec {
     assert(state === 0, s"state rows = $state")
   }
 
+  test("readabilityStream scores in-flight docs identically to the batch op, stateless") {
+    val ts = Timestamp.valueOf("2024-01-01 10:00:00")
+    val arriving = Seq(
+      Doc(1L, ts, "en", "See spot run. Run spot run! Why??"),
+      Doc(2L, ts, "en", ""),
+      Doc(3L, ts, "de", "tsk tsk hmm"))
+    val input = MemoryStream[Doc](spark)
+    input.addData(arriving: _*)
+    val q = streaming.DocumentStreams.readabilityStream(input.toDF())
+      .writeStream.format("memory").queryName("readab")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("readab")
+      .select("doc_id", "lang", "n_words", "n_sents", "n_syll",
+        "wps_bp", "spw_bp", "fre_milli")
+      .as[(Long, String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    val batch = graft.ops.TextOps.readability(
+        arriving.toDF(), "doc_id", "text", keepCols = Seq("lang"))
+      .select("doc_id", "lang", "n_words", "n_sents", "n_syll",
+        "wps_bp", "spw_bp", "fre_milli")
+      .as[(Long, String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(streamed === batch)
+    assert(streamed.find(_._1 == 1L).get ===
+      ((1L, "en", 7L, 3L, 7L, 23333L, 10000L, 119867L)))
+    val state = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal)).sum
+    assert(state === 0, s"state rows = $state")
+  }
+
   test("encodePqBatch encodes an embedding stream identically to batch, stateless") {
     // PQ ingest is a pure codegen'd projection against codebook literals,
     // so the SAME operator runs unchanged on a stream — no twin needed;

@@ -147,7 +147,17 @@ print(f"embeddings: {emb.num_rows} rows", flush=True)
 # ── events x10 ──────────────────────────────────────────────────────────
 src = pq.read_table(f"{SRC}/events.parquet")
 n_ev = src.num_rows
-ts = src.column("ts").cast(pa.int64()).to_numpy()  # epoch nanos
+# The sf0.1 fixture stores timestamp[us]; cast through timestamp("ns")
+# FIRST so the int64 values are real epoch nanos. (r17 fix: casting the
+# us column straight to int64 kept micro values that were then stamped
+# as nanos — a 1000x timeline compression that turned every event-time
+# density assumption upside down at sf1: 1M events in 7 wall-clock
+# hours instead of 10 months. Only q241's overlap join was
+# density-sensitive enough to blow up on it — 11.6e9 pairs — but every
+# session/window probe before it was silently measuring a timeline
+# that no production stream has.)
+ts = (src.column("ts").cast(pa.timestamp("ns"))
+      .cast(pa.int64()).to_numpy())  # epoch nanos
 span = int(ts.max() - ts.min()) + 10**9
 ev_id = src.column("event_id").to_numpy()
 user = src.column("user_id").to_numpy()

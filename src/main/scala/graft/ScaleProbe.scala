@@ -334,7 +334,11 @@ object ScaleProbe {
     // r17: HITS — per iteration two edge-grain join+aggregate half-
     // steps with scalar-max broadcasts, invariants checkpointed (the
     // pageRank discipline); ratio prices iters×edges
-    "q247_hits")
+    "q247_hits",
+    // r17: the quantile-normalization pair — q248 carries the
+    // documented GLOBAL row sort (exact comparator), q249 the
+    // bin-grain production path; their ratio gap IS the evidence
+    "q248_quantile_norm", "q249_quantile_norm_binned")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

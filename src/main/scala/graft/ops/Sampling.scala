@@ -62,4 +62,91 @@ object Sampling {
         (col("base") + when(col("rk") <= col("extra"), 1L)
           .otherwise(0L)).as("quota"))
   }
+
+  /** Exact quantile normalization — map every group's value
+    * distribution onto the POOLED distribution (the microarray-lineage
+    * standard; Bolstad et al., *Bioinformatics* 2003): a row at
+    * within-group rank `r` of `n_g` takes the pooled order statistic
+    * at position `⌈r·N/n_g⌉` (computed as `max(1, (r·N) div n_g)` —
+    * pure integers). After it, every group has THE SAME value
+    * distribution (up to rank granularity), which is what cross-source
+    * score calibration needs before thresholds can be shared — q216's
+    * percentile norm makes ranks comparable, this makes the VALUES
+    * comparable.
+    *
+    * Ranks are deterministic: (value, id) ordering on both the group
+    * and pooled side, so ties replay identically anywhere. Cost
+    * shape, stated honestly (the q201 posture): the group rank is a
+    * key-partitioned window (fine at any scale), but the pooled order
+    * statistics need a GLOBAL row sort — a single-partition window at
+    * corpus grain, the exact-comparator half of this pair. Production
+    * at 100 TB runs [[quantileNormalizeBinned]], which replaces the
+    * global sort with one bin-grain aggregate (the q209/q210
+    * exact-vs-binned discipline). int64 bound: `r·N < 2⁶³` holds
+    * through N ≈ 3·10⁹ rows; past that the binned sibling is the only
+    * sane path anyway.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                        idCol: String): DataFrame = {
+    val wg = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(idCol))
+    val wgAll = Window.partitionBy(col(groupCol))
+    val pooled = df
+      .select(col(valueCol).as("pv"), col(idCol).as("pid"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy().orderBy(col("pv"), col("pid"))).cast("long"))
+      .select(col("pos"), col("pv"))
+    df.select(col(groupCol), col(idCol), col(valueCol))
+      .withColumn("r", row_number().over(wg).cast("long"))
+      .withColumn("n_g", count(lit(1)).over(wgAll))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("nn"))))
+      .withColumn("pos", expr("greatest(1L, (r * nn) div n_g)"))
+      .join(pooled, Seq("pos"))
+      .select(col(groupCol), col(idCol), col(valueCol),
+        col("pv").as("norm_value"))
+  }
+
+  /** Binned quantile normalization — the production sibling of
+    * [[quantileNormalize]] (the q209/q210 discipline): pooled order
+    * statistics come from ONE bin-grain histogram aggregate instead of
+    * a global row sort, and a row maps to the LOWER EDGE of the pooled
+    * bin containing its target position (error bounded by one bin
+    * width, the documented trade). The group-rank window is unchanged
+    * — key-partitioned, scales — and the bins-cardinality cumulative
+    * table broadcasts into a range join, so nothing corpus-sized ever
+    * sorts globally or single-partitions. Same deterministic tie
+    * order, same integer position arithmetic.
+    */
+  def quantileNormalizeBinned(df: DataFrame, groupCol: String,
+                              valueCol: String, idCol: String,
+                              binWidth: Long): DataFrame = {
+    require(binWidth >= 1,
+      s"quantileNormalizeBinned: binWidth must be >= 1, got $binWidth")
+    val wg = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(idCol))
+    val wgAll = Window.partitionBy(col(groupCol))
+    // bin-grain pooled histogram -> cumulative position ranges
+    // (floor-division binning: the Incremental.histState convention,
+    // negative values bin correctly; the cumulative windows run at
+    // BINS cardinality, where a single partition is the point)
+    val bins = df
+      .select(expr(s"(`$valueCol` - pmod(`$valueCol`, $binWidth))" +
+        s" div $binWidth").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("bn"))
+      .withColumn("cum", sum(col("bn")).over(
+        Window.partitionBy().orderBy(col("bin"))))
+      .withColumn("cum_prev", coalesce(sum(col("bn")).over(
+        Window.partitionBy().orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bin"), col("cum_prev"), col("cum"))
+    val ranked = df.select(col(groupCol), col(idCol), col(valueCol))
+      .withColumn("r", row_number().over(wg).cast("long"))
+      .withColumn("n_g", count(lit(1)).over(wgAll))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("nn"))))
+      .withColumn("pos", expr("greatest(1L, (r * nn) div n_g)"))
+    ranked.join(broadcast(bins),
+        col("pos") > col("cum_prev") && col("pos") <= col("cum"))
+      .select(col(groupCol), col(idCol), col(valueCol),
+        (col("bin") * binWidth).as("norm_value"))
+  }
 }

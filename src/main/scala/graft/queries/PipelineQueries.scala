@@ -2318,6 +2318,35 @@ object PipelineQueries {
         col("n_chars")),
       "source", "doc_id", "n_chars", targetBytes = 3000L)
 
+  /** Exact quantile normalization ([[graft.ops.Sampling
+    * .quantileNormalize]]) of n_chars across sources — after it every
+    * source carries the POOLED length distribution, the calibration
+    * step before a shared length threshold means the same thing in
+    * every source (q216 makes ranks comparable; this makes VALUES
+    * comparable). The oracle replays both rank windows, the integer
+    * position map and the order-statistic join. This is the exact
+    * comparator half; q249 is the production sibling (the q209/q210
+    * discipline).
+    */
+  def q248(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.quantileNormalize(
+      t(s, dir)("documents").select(col("source"), col("doc_id"),
+        col("n_chars")),
+      "source", "n_chars", "doc_id")
+
+  /** Binned quantile normalization ([[graft.ops.Sampling
+    * .quantileNormalizeBinned]], bin width 100) — q248's production
+    * sibling: pooled order statistics from one bin-grain histogram
+    * instead of the global row sort, rows map to pooled-bin lower
+    * edges (error ≤ one bin width). Same grouping, same fixture, so
+    * the probe pair prices exactly the global-sort delta.
+    */
+  def q249(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.quantileNormalizeBinned(
+      t(s, dir)("documents").select(col("source"), col("doc_id"),
+        col("n_chars")),
+      "source", "n_chars", "doc_id", binWidth = 100L)
+
   /** The language-planted corpus shared by q166: each doc gets its
     * label's function-word suffix ×3 (the trigram signal a char-n-gram
     * model keys on — the raw fixture text is the SAME synthetic
@@ -3813,6 +3842,8 @@ object PipelineQueries {
     "q243_l_diversity" -> (q243 _),
     "q245_readability" -> (q245 _),
     "q246_compaction_plan" -> (q246 _),
+    "q248_quantile_norm" -> (q248 _),
+    "q249_quantile_norm_binned" -> (q249 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -4667,6 +4698,52 @@ FROM o"""
               CAST(count(*) AS BIGINT) AS n,
               count(*) < 5 AS at_risk
        FROM documents GROUP BY source, lang, n_chars // 200""",
+    // exact quantile normalization: both rank windows, the integer
+    // position map and the order-statistic join replayed
+    "q248_quantile_norm" ->
+      """WITH g AS (
+           SELECT source, doc_id, n_chars,
+                  CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+                  CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+                    AS n_g
+           FROM documents),
+         p AS (
+           SELECT CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+                    AS BIGINT) AS pos,
+                  n_chars AS pv
+           FROM documents),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents)
+       SELECT g.source, g.doc_id, g.n_chars, p.pv AS norm_value
+       FROM g CROSS JOIN t
+       JOIN p ON p.pos = greatest(1, (g.r * t.nn) // g.n_g)""",
+    // binned quantile normalization: bin histogram, cumulative ranges
+    // and the lower-edge map replayed (n_chars >= 0, so // binning
+    // equals the engine's pmod floor form)
+    "q249_quantile_norm_binned" ->
+      """WITH b0 AS (
+           SELECT n_chars // 100 AS bin, CAST(count(*) AS BIGINT) AS bn
+           FROM documents GROUP BY 1),
+         b AS (
+           SELECT bin,
+                  CAST(coalesce(sum(bn) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS cum_prev,
+                  CAST(sum(bn) OVER (ORDER BY bin) AS BIGINT) AS cum
+           FROM b0),
+         g AS (
+           SELECT source, doc_id, n_chars,
+                  CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+                  CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+                    AS n_g
+           FROM documents),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents)
+       SELECT g.source, g.doc_id, g.n_chars,
+              CAST(b.bin * 100 AS BIGINT) AS norm_value
+       FROM g CROSS JOIN t
+       JOIN b ON greatest(1, (g.r * t.nn) // g.n_g) > b.cum_prev
+             AND greatest(1, (g.r * t.nn) // g.n_g) <= b.cum""",
     // compaction plan: the exclusive prefix window, stripe division
     // and group rollups replayed verbatim
     "q246_compaction_plan" ->

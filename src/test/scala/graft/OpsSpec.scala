@@ -3071,6 +3071,42 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("budgetTokens"))
   }
 
+  test("quantileNormalize: pooled distribution law, deterministic ties, binned sibling within one bin width") {
+    import graft.ops.Sampling
+    // two groups with very different scales
+    val df = (Seq.tabulate(8)(i => ("a", i.toLong, (i + 1) * 10L)) ++
+      Seq.tabulate(4)(i => ("b", 100L + i, (i + 1) * 1000L)))
+      .toDF("g", "id", "v")
+    val ex = Sampling.quantileNormalize(df, "g", "v", "id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // law: after normalization, group b's values are pooled order
+    // statistics at positions (r*12) div 4 = 3,6,9,12 -> the pooled
+    // sorted values at those ranks
+    val pooledSorted = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L,
+      1000L, 2000L, 3000L, 4000L)
+    val bVals = ex.filter(_._1 == "b").sortBy(_._2).map(_._4)
+    assert(bVals === Seq(pooledSorted(2), pooledSorted(5),
+      pooledSorted(8), pooledSorted(11)))
+    // group a (r*12 div 8 = 1,3,4,6,7,9,10,12)
+    val aVals = ex.filter(_._1 == "a").sortBy(_._2).map(_._4)
+    assert(aVals === Seq(0, 2, 3, 5, 6, 8, 9, 11).map(pooledSorted))
+    // monotone within group: higher value never maps lower
+    assert(aVals === aVals.sorted && bVals === bVals.sorted)
+    // binned sibling: norm_value is the exact pick's bin lower edge
+    val bn = Sampling.quantileNormalizeBinned(df, "g", "v", "id", 100L)
+      .as[(String, Long, Long, Long)].collect().toSeq
+      .map(r => (r._1, r._2) -> r._4).toMap
+    ex.foreach { case (g, id, _, exact) =>
+      val b = bn((g, id))
+      assert(b <= exact && exact - b < 100L,
+        s"binned $b vs exact $exact for ($g, $id)")
+      assert(b % 100L === 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.quantileNormalizeBinned(df, "g", "v", "id", 0L)
+    }
+  }
+
   test("compactionPlan: stripe assignment, group-count ceiling, oversize file isolation, partition independence") {
     import graft.ops.Layout
     // partition p: files 9,9,9 at target 10 -> cum_prev 0,9,18 ->

@@ -338,7 +338,11 @@ object ScaleProbe {
     // r17: the quantile-normalization pair — q248 carries the
     // documented GLOBAL row sort (exact comparator), q249 the
     // bin-grain production path; their ratio gap IS the evidence
-    "q248_quantile_norm", "q249_quantile_norm_binned")
+    "q248_quantile_norm", "q249_quantile_norm_binned",
+    // r17: co-occurrence — capped Σ|basket|² self-join after one
+    // basket-keyed shuffle; the audit is one aggregate. Ratio tracks
+    // baskets because the cap bounds the per-basket quadratic term
+    "q250_cooccurrence", "q251_cooccurrence_audit")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

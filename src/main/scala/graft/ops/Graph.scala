@@ -270,6 +270,51 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
   }
 
+  /** Bipartite co-occurrence projection — items that share a basket
+    * (order/session/document), counted per pair: the market-basket /
+    * co-citation primitive behind "parts ordered together", related-
+    * query mining and co-link spam screens. The projection of the
+    * user–item bipartite graph onto items.
+    *
+    * Σ|basket|² is THE hazard (one crawler-bot basket of 10⁶ items is
+    * 10¹² pairs): baskets larger than `maxBasket` are DROPPED WHOLE
+    * before the self-join, the [[graft.ops.Dedup]] cap posture — a
+    * truncated basket would silently undercount pairs, and an
+    * over-cap basket is by definition not co-occurrence signal (a bot,
+    * a catalog dump, a reserved sentinel key). [[cooccurrenceAudit]]
+    * is the loud twin listing what the cap dropped; run both, alert
+    * on the audit. Cost after the cap: one basket-keyed shuffle of
+    * the deduped pairs + the within-basket self-join, ≤ maxBasket²/2
+    * per basket, then one (a, b)-keyed count aggregate. Canonical
+    * `item_a < item_b`, duplicate (basket, item) rows deduped first
+    * so a re-delivered line never doubles a pair.
+    */
+  def cooccurrence(pairs: DataFrame, basketCol: String, itemCol: String,
+                   maxBasket: Int): DataFrame = {
+    require(maxBasket >= 2,
+      s"cooccurrence: maxBasket must be >= 2, got $maxBasket")
+    val base = pairs.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
+    val kept = base.withColumn("__bn", count(lit(1)).over(w))
+      .filter(col("__bn") <= maxBasket).drop("__bn")
+    kept.join(kept.select(col("b"), col("i").as("j")), Seq("b"))
+      .filter(col("i") < col("j"))
+      .groupBy(col("i").as("item_a"), col("j").as("item_b"))
+      .agg(count(lit(1)).as("n_baskets"))
+  }
+
+  /** Audit twin of [[cooccurrence]]: the baskets the cap dropped, with
+    * their sizes — alert when it is non-empty, raise `maxBasket`
+    * deliberately or blocklist the key. */
+  def cooccurrenceAudit(pairs: DataFrame, basketCol: String,
+                        itemCol: String, maxBasket: Int): DataFrame =
+    pairs.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .distinct()
+      .groupBy(col("b").as(basketCol))
+      .agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items") > maxBasket)
+
   /** Symmetrize + dedup to the canonical undirected edge set (u < v),
     * self-loops dropped; eagerly materialized (one distinct shuffle,
     * paid once however many times downstream reads it). */

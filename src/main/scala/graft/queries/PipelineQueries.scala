@@ -2347,6 +2347,27 @@ object PipelineQueries {
         col("n_chars")),
       "source", "n_chars", "doc_id", binWidth = 100L)
 
+  /** Market-basket co-occurrence ([[graft.ops.Graph.cooccurrence]])
+    * of parts within orders, basket cap 6 — TPC-H orders carry 1–7
+    * lineitems, so the cap genuinely drops the 7-item tail (q251
+    * audits exactly those) while the kept baskets project onto
+    * canonical part pairs. Pair grain pins the cap, the dedup, the
+    * i<j orientation and every count; the oracle replays the whole
+    * pipeline naively.
+    */
+  def q250(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.cooccurrence(
+      t(s, dir)("lineitem").select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", maxBasket = 6)
+
+  /** The loud twin ([[graft.ops.Graph.cooccurrenceAudit]]): every
+    * order the q250 cap dropped, with its distinct-part size — the
+    * relation an operator alerts on before raising the cap. */
+  def q251(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.cooccurrenceAudit(
+      t(s, dir)("lineitem").select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", maxBasket = 6)
+
   /** The language-planted corpus shared by q166: each doc gets its
     * label's function-word suffix ×3 (the trigram signal a char-n-gram
     * model keys on — the raw fixture text is the SAME synthetic
@@ -3844,6 +3865,8 @@ object PipelineQueries {
     "q246_compaction_plan" -> (q246 _),
     "q248_quantile_norm" -> (q248 _),
     "q249_quantile_norm_binned" -> (q249 _),
+    "q250_cooccurrence" -> (q250 _),
+    "q251_cooccurrence_audit" -> (q251 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -4698,6 +4721,24 @@ FROM o"""
               CAST(count(*) AS BIGINT) AS n,
               count(*) < 5 AS at_risk
        FROM documents GROUP BY source, lang, n_chars // 200""",
+    // co-occurrence: dedup, cap, self-join, orientation and counts
+    // replayed naively
+    "q250_cooccurrence" ->
+      """WITH base AS (
+           SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+         sz AS (SELECT b, count(*) AS n FROM base GROUP BY b),
+         kept AS (SELECT base.b, base.i FROM base
+                  JOIN sz ON base.b = sz.b WHERE sz.n <= 6)
+       SELECT k1.i AS item_a, k2.i AS item_b,
+              CAST(count(*) AS BIGINT) AS n_baskets
+       FROM kept k1 JOIN kept k2 ON k1.b = k2.b AND k1.i < k2.i
+       GROUP BY 1, 2""",
+    // co-occurrence audit: the dropped baskets with sizes
+    "q251_cooccurrence_audit" ->
+      """SELECT b AS l_orderkey, CAST(n AS BIGINT) AS n_items
+       FROM (SELECT l_orderkey AS b, count(DISTINCT l_partkey) AS n
+             FROM lineitem GROUP BY 1)
+       WHERE n > 6""",
     // exact quantile normalization: both rank windows, the integer
     // position map and the order-statistic join replayed
     "q248_quantile_norm" ->

@@ -3071,6 +3071,28 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("budgetTokens"))
   }
 
+  test("cooccurrence: hand-counted pairs, whole-basket cap, re-delivered line dedup, audit twin") {
+    import graft.ops.Graph
+    val rows = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),       // basket of 3
+      (2L, 10L), (2L, 20L), (2L, 20L),       // re-delivered 20: dedup
+      (3L, 10L), (3L, 20L), (3L, 30L), (3L, 40L), // size 4 > cap 3: drop
+      (4L, 50L))                              // singleton: no pairs
+      .toDF("b", "i")
+    val co = Graph.cooccurrence(rows, "b", "i", maxBasket = 3)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(co === Seq((10L, 20L, 2L), (10L, 30L, 1L), (20L, 30L, 1L)))
+    val audit = Graph.cooccurrenceAudit(rows, "b", "i", maxBasket = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(audit === Seq((3L, 4L)))
+    // pair conservation: kept baskets contribute exactly C(n,2) pairs
+    val totalPairs = co.map(_._3).sum
+    assert(totalPairs === 3L + 1L + 0L) // C(3,2) + C(2,2->1 pair) + 0
+    intercept[IllegalArgumentException] {
+      Graph.cooccurrence(rows, "b", "i", maxBasket = 1)
+    }
+  }
+
   test("quantileNormalize: pooled distribution law, deterministic ties, binned sibling within one bin width") {
     import graft.ops.Sampling
     // two groups with very different scales

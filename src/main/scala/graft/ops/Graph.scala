@@ -315,6 +315,68 @@ object Graph {
       .agg(count(lit(1)).as("n_items"))
       .filter(col("n_items") > maxBasket)
 
+  /** Bounded-round label propagation — the COMMUNITY screen next to
+    * [[pageRank]]'s centrality and [[kCorePeel]]'s density (Raghavan,
+    * Albert & Kumara, *Near linear time algorithm to detect community
+    * structures in large-scale networks*, Phys. Rev. E 2007): nodes
+    * adopt the label most common among their neighbors, and after a
+    * few rounds label plateaus ARE the communities — mirror-domain
+    * clusters and link-farm rings on a crawl graph, duplicate-cluster
+    * super-groups downstream of [[graft.ops.Dedup]]. No modularity
+    * objective, no resolution parameter: cost per round is one
+    * edge-grain join + two aggregates, which is why it is the only
+    * community algorithm anyone runs at web scale.
+    *
+    * The textbook algorithm is nondeterministic twice over (random
+    * update order, random tie-break) — useless under a hash gate and
+    * irreproducible across reruns at ANY scale. This is the
+    * DETERMINISTIC synchronous variant: every node updates each round
+    * from the round-(k−1) labels, and the new label is the neighbor
+    * label with the highest count, ties broken by SMALLEST label — a
+    * pure function of the edge set, bit-replayable by an unrolled
+    * oracle. (Synchronous LPA can two-color-oscillate on bipartite
+    * regions — Raghavan §IV's known artifact; the bounded round count
+    * makes that a defined output, not a hang, and the min-label
+    * tie-break damps the common cases.) Labels start as node ids, so
+    * a finished community is named by a member id, min-reachable in
+    * round-count hops. Semantics are the R-ROUND SNAPSHOT, the
+    * [[kCorePeel]] posture: output = (node, label) after exactly
+    * `rounds` synchronous updates.
+    *
+    * Scale shape: the neighbor relation (symmetrized both directions,
+    * 2m rows) is loop-invariant and localCheckpoint-ed once; each
+    * round is one join of labels (node-grain) onto neighbors
+    * (edge-grain, shuffle on the label key), one (node, label) count,
+    * one per-node arg-max — all edge-shaped, checkpointed per round so
+    * R rounds stay R dataflows ([[pageRank]]'s `checkpointEvery`
+    * discipline, always on here since every round feeds the next).
+    * The arg-max is `max(struct(count, -label))`: one partial-
+    * aggregable pass, no per-node sort.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1,
+      s"labelPropagation: rounds must be >= 1, got $rounds")
+    val und = symmetrized(edges, srcCol, dstCol)
+    val nbr = und.select(col("u").as("node"), col("v").as("nb"))
+      .unionAll(und.select(col("v").as("node"), col("u").as("nb")))
+      .localCheckpoint(true)
+    var labels = nbr.select(col("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = nbr
+        .join(labels.select(col("node").as("nb"), col("lbl")), "nb")
+        .groupBy(col("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("node"), col("lbl").as("label"))
+  }
+
   /** Symmetrize + dedup to the canonical undirected edge set (u < v),
     * self-loops dropped; eagerly materialized (one distinct shuffle,
     * paid once however many times downstream reads it). */

@@ -2205,6 +2205,63 @@ object AnalyticQueries {
     graft.ops.Graph.hits(plantedGraphEdges(s, dir), "s", "t",
       iters = 3, scale = 1000000L)
 
+  /** Deterministic label propagation ([[graft.ops.Graph
+    * .labelPropagation]], 4 synchronous rounds, min-label tie-break)
+    * over the SAME planted graph as q222/q238 — the community screen:
+    * the planting chains a triangle onto every id triple, so labels
+    * flow down-chain toward small ids and the 4-round snapshot
+    * captures the plateau fronts mid-merge (far richer than the
+    * converged all-one-label fixture would be: interior, boundary and
+    * shortcut-edge nodes all read differently). The oracle unrolls
+    * all 4 rounds — neighbor join, (node, label) count, arg-max with
+    * the (count DESC, label ASC) tie — as materialized CTEs; node
+    * grain pins every label, so the hash proves the synchronous
+    * update rule, both tie-break legs and the round count all match.
+    */
+  def q252(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.labelPropagation(plantedGraphEdges(s, dir), "s", "t",
+      rounds = 4)
+
+  /** DuckDB replay of [[graft.ops.Graph.labelPropagation]] — `rounds`
+    * synchronous updates unrolled as MATERIALIZED CTEs (count + window
+    * arg-max per round; `row_number` with the same (c DESC, lbl ASC)
+    * order replays the engine's max(struct(c, -lbl)) exactly). */
+  private def lpaOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (
+            SELECT n.node, l.lbl, count(*) AS c
+            FROM nbr n JOIN l${i - 1} l ON n.nb = l.node
+            GROUP BY n.node, l.lbl),
+          l$i AS MATERIALIZED (
+            SELECT node, lbl FROM (
+              SELECT node, lbl, row_number() OVER (PARTITION BY node
+                ORDER BY c DESC, lbl ASC) AS rn FROM c$i)
+            WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""WITH b3 AS (SELECT doc_id AS d FROM documents WHERE doc_id % 3 = 0),
+        raw AS (
+          SELECT d AS u, d + 1 AS v FROM b3
+          UNION ALL SELECT d + 1, d + 2 FROM b3
+          UNION ALL SELECT d, d + 2 FROM b3
+          UNION ALL SELECT d + 2, d + 3 FROM b3
+          UNION ALL SELECT doc_id, doc_id + 3 FROM documents
+            WHERE doc_id % 15 = 0
+          UNION ALL SELECT doc_id + 1, doc_id FROM documents
+            WHERE doc_id % 6 = 0
+          UNION ALL SELECT doc_id, doc_id FROM documents
+            WHERE doc_id % 11 = 0),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+          FROM raw WHERE u <> v),
+        nbr AS MATERIALIZED (
+          SELECT u AS node, v AS nb FROM e0
+          UNION ALL SELECT v, u FROM e0),
+        l0 AS MATERIALIZED (
+          SELECT DISTINCT node, node AS lbl FROM nbr),
+        $steps
+      SELECT node, lbl AS label FROM l$rounds"""
+  }
+
   /** DuckDB replay of [[graft.ops.Graph.hits]] — `iters` iterations
     * (two half-steps each) unrolled as MATERIALIZED CTEs, L∞
     * renormalization via scalar-subquery max. */
@@ -2484,6 +2541,7 @@ object AnalyticQueries {
     "q242_autocorrelation" -> (q242 _),
     "q244_kcore_peel" -> (q244 _),
     "q247_hits" -> (q247 _),
+    "q252_label_prop" -> (q252 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2624,6 +2682,9 @@ object AnalyticQueries {
     "q244_kcore_peel" -> kCoreOracle(k = 2, rounds = 6),
     // HITS: six half-steps unrolled, L∞ renorm divisions replayed
     "q247_hits" -> hitsOracle(iters = 3, scale = 1000000L),
+    // label propagation: 4 synchronous rounds unrolled, arg-max with
+    // the (count DESC, label ASC) tie replayed per round
+    "q252_label_prop" -> lpaOracle(rounds = 4),
     // autocorrelation: zero-filled day spine, n²-scaled integer
     // deviations, truncating div on the 10⁴-scaled report (q226 pin)
     "q242_autocorrelation" ->

@@ -3804,6 +3804,36 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Graph.hits(e, "s", "d", scale = 0L) }
   }
 
+  test("labelPropagation: hand-walked rounds, count-beats-min tie order, convergence, guards") {
+    import graft.ops.Graph
+    // triangle {1,2,3} + tail 3-4-5; synchronous min-tie LPA hand-walk:
+    //   l1 = (1→2, 2→1, 3→1, 4→3, 5→4)
+    //   l2 = (1→1, 2→1, 3→1, 4→1, 5→3)
+    //   l3 = all 1 (converged)
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("s", "t")
+    def run(edges: org.apache.spark.sql.DataFrame, rounds: Int) =
+      Graph.labelPropagation(edges, "s", "t", rounds)
+        .as[(Long, Long)].collect().toSeq.sorted
+    assert(run(e, 1) === Seq((1L, 2L), (2L, 1L), (3L, 1L), (4L, 3L),
+      (5L, 4L)))
+    assert(run(e, 2) === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (5L, 3L)))
+    assert(run(e, 3) === run(e, 7)) // fixed point: extra rounds no-op
+    assert(run(e, 3).forall(_._2 == 1L))
+    // count BEATS the min label: after round 1 node 20's neighborhood
+    // reads labels {9, 9, 3} -> majority 9 wins over smaller 3
+    val e2 = Seq((20L, 7L), (20L, 8L), (20L, 2L), (7L, 9L), (7L, 10L),
+      (8L, 9L), (8L, 11L), (2L, 3L)).toDF("s", "t")
+    assert(run(e2, 2).find(_._1 == 20L).map(_._2) === Some(9L))
+    // duplicate directed edges and self-loops change nothing
+    val eDup = e.union(Seq((2L, 1L), (3L, 3L), (1L, 2L)).toDF("s", "t"))
+    assert(run(eDup, 2) === run(e, 2))
+    intercept[IllegalArgumentException] {
+      Graph.labelPropagation(e, "s", "t", 0)
+    }
+  }
+
   test("validation report: every check kind, both verdicts, hand counts") {
     import graft.ops.Validate._
     val df = Seq(

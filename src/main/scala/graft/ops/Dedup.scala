@@ -1548,6 +1548,122 @@ object Dedup {
     * the join's own key, so AQE plans it as the join's shuffle, not an
     * extra corpus pass.
     */
+  /** EXACT set-similarity join by prefix filtering (SSJoin/PPJoin:
+    * Chaudhuri, Ganti & Kaushik, ICDE 2006; Xiao, Wang, Lin & Yu,
+    * WWW 2008) — the deterministic complement to [[nearDupMinhash]]:
+    * MinHash-LSH is probabilistic (recall < 1 by construction), while
+    * this returns EXACTLY `{(a, b) : J(a, b) ≥ t}` with no all-pairs
+    * stage, the contract an eval-set decontamination or a legal-hold
+    * dedup needs ("every pair", not "almost every pair").
+    *
+    * The prefix-filter theorem: order the token universe once (here
+    * ascending document frequency, ties by token — rare-first, the
+    * pruning-optimal order), sort each doc's tokens by that order, and
+    * keep only its first `p = n − ⌈t·n⌉ + 1` tokens (the PREFIX). Any
+    * pair with J ≥ t must overlap ≥ ⌈t·n⌉ tokens of each side, so
+    * skipping a full prefix cannot happen: two qualifying docs SHARE a
+    * prefix token. Candidate generation is therefore the self-join of
+    * the tiny prefix-posting relation, completed by the lossless size
+    * filter `min(n_a, n_b)·10⁴ ≥ t_bp·max(n_a, n_b)` (J ≥ t forces it),
+    * then exact verification on the full token sets. At t = 0.9 a
+    * 30-token doc posts 4 tokens instead of 30, and they are its
+    * RAREST 4 — posting lists stay short precisely because common
+    * tokens never reach a prefix (they sort last).
+    *
+    * All-integer thresholding (`thresholdBp` in basis points,
+    * `⌈t·n⌉ = (t_bp·n + 9999) div 10⁴`, verify keeps
+    * `inter·10⁴ div union ≥ t_bp`) so any engine replays the boundary
+    * bit-exactly — the DuckDB oracle runs the NAIVE all-pairs join and
+    * the hash match IS the completeness theorem verified over data.
+    *
+    * Scale shape: one explode + one vocab-grain frequency aggregate,
+    * one doc-partitioned window pass (rank within doc by (df, token) —
+    * never a global sort), the capped posting self-join, and the
+    * verify joins. The hazard is a degenerate token whose posting
+    * stays long even rare-first (a corpus of near-identical docs):
+    * postings longer than `maxPosting` are DROPPED from candidate
+    * generation with [[jaccardJoinAudit]] as the loud twin — a pair is
+    * lost ONLY if every prefix token it shares is over-cap, and the
+    * audit lists exactly those tokens. Run both; alert on the audit.
+    *
+    * Output: `(id_a, id_b, n_inter, jaccard_bp)` with `id_a < id_b`.
+    */
+  def jaccardJoin(df: DataFrame, idCol: String, tokensCol: String,
+                  thresholdBp: Long, maxPosting: Int = 1000): DataFrame = {
+    require(thresholdBp >= 1 && thresholdBp <= 10000,
+      s"jaccardJoin: thresholdBp must be in [1, 10000], got $thresholdBp")
+    require(maxPosting >= 2,
+      s"jaccardJoin: maxPosting must be >= 2, got $maxPosting")
+    val base = df.select(col(idCol).cast("long").as("id"),
+        array_distinct(col(tokensCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+    // the posting self-join reads this relation twice — materialize the
+    // (small, prefix-grain) result once so the executed plan carries ONE
+    // explode+frequency+window derivation, not two (the r16 triangles
+    // lesson; the verify joins still read `base` per side, the
+    // candidatesToVerified family norm)
+    val pfx = capBlockRows(
+      prefixTokens(base, thresholdBp), Seq("tk"), maxPosting)
+      .localCheckpoint(true)
+    val cand = pfx.select(col("tk"), col("id").as("a_id"),
+        col("n").as("na"))
+      .join(pfx.select(col("tk"), col("id").as("b_id"), col("n").as("nb")),
+        Seq("tk"))
+      .filter(col("a_id") < col("b_id") &&
+        least(col("na"), col("nb")) * 10000L >=
+          lit(thresholdBp) * greatest(col("na"), col("nb")))
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(base.select(col("id").as("a_id"), col("toks").as("ta")),
+        Seq("a_id"))
+      .join(base.select(col("id").as("b_id"), col("toks").as("tb")),
+        Seq("b_id"))
+      .select(col("a_id").as("id_a"), col("b_id").as("id_b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long")
+          .as("n_inter"),
+        (size(col("ta")) + size(col("tb"))).cast("long").as("nu"))
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        expr(s"n_inter * 10000L div (nu - n_inter)").as("jaccard_bp"))
+      .filter(col("jaccard_bp") >= thresholdBp)
+  }
+
+  /** Audit twin of [[jaccardJoin]]: the prefix-posting lists longer
+    * than `maxPosting` — `(token, posting_len)` — built from the SAME
+    * prefix generator (the [[baseOcc]] discipline: one copy of the
+    * derivation, so join and audit can never disagree on what a
+    * prefix is). Non-empty means the cap is biting: raise it
+    * deliberately or blocklist the degenerate token.
+    */
+  def jaccardJoinAudit(df: DataFrame, idCol: String, tokensCol: String,
+                       thresholdBp: Long, maxPosting: Int): DataFrame = {
+    require(thresholdBp >= 1 && thresholdBp <= 10000,
+      s"jaccardJoinAudit: thresholdBp must be in [1, 10000], got " +
+        s"$thresholdBp")
+    val base = df.select(col(idCol).cast("long").as("id"),
+        array_distinct(col(tokensCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+    oversizedBlocks(prefixTokens(base, thresholdBp), Seq("tk"), maxPosting)
+      .select(col("tk").as("token"), col("n_rows").as("posting_len"))
+  }
+
+  /** Shared prefix generator for [[jaccardJoin]]/[[jaccardJoinAudit]]:
+    * explode to (id, token), attach document frequency, rank within
+    * each doc by (df ASC, token ASC) and keep ranks ≤ n − ⌈t·n⌉ + 1.
+    * Returns (id, tk, n) at prefix-token grain. */
+  private def prefixTokens(base: DataFrame, thresholdBp: Long): DataFrame = {
+    val tok = base.select(col("id"), explode(col("toks")).as("tk"))
+    val freq = tok.groupBy(col("tk")).agg(count(lit(1)).as("df_t"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df_t"), col("tk"))
+    val wN = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    tok.join(freq, Seq("tk"))
+      .withColumn("__rn", row_number().over(wDoc))
+      .withColumn("n", count(lit(1)).over(wN).cast("long"))
+      .filter(col("__rn") <=
+        col("n") - expr(s"($thresholdBp * n + 9999L) div 10000L") + 1L)
+      .select(col("id"), col("tk"), col("n"))
+  }
+
   private[graft] def capBlockRows(rows: DataFrame, keyCols: Seq[String],
                                   maxBlock: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -2368,6 +2368,38 @@ object PipelineQueries {
       t(s, dir)("lineitem").select(col("l_orderkey"), col("l_partkey")),
       "l_orderkey", "l_partkey", maxBasket = 6)
 
+  /** EXACT set-similarity self-join by prefix filtering
+    * ([[graft.ops.Dedup.jaccardJoin]], bigram shingles, t = 0.90,
+    * posting cap 500 — 5× fixture headroom, inactive here) — the
+    * deterministic complement to q23's MinHash-LSH: same corpus, same
+    * similarity, but the output is the COMPLETE pair set, proven by
+    * the oracle running the NAIVE all-pairs join — hash equality IS
+    * the prefix-filter completeness theorem (Chaudhuri ICDE'06 /
+    * Xiao WWW'08) verified over data. At t = 0.9 each ~25-shingle doc
+    * posts only its 3–4 rarest shingles, collapsing 125 k naive pairs
+    * to ≤ 21 k candidates before the exact verify; integer basis
+    * points end to end so the threshold boundary replays bit-exactly.
+    */
+  def q253(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.jaccardJoin(
+      t(s, dir)("documents").select(col("doc_id"),
+        TextOps.shingles(col("text"), 2).as("sh")),
+      "doc_id", "sh", thresholdBp = 9000L, maxPosting = 500)
+
+  /** The loud twin ([[graft.ops.Dedup.jaccardJoinAudit]]) at cap 18,
+    * which the fixture's common-shingle postings DO exceed — the
+    * relation an operator alerts on before raising q253's cap. The
+    * oracle re-derives the per-doc (df ASC, token ASC) prefix rule
+    * itself, so the hash ALSO pins the prefix derivation — q253 then
+    * proves completeness, this proves the filter is exactly the
+    * published one.
+    */
+  def q254(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.jaccardJoinAudit(
+      t(s, dir)("documents").select(col("doc_id"),
+        TextOps.shingles(col("text"), 2).as("sh")),
+      "doc_id", "sh", thresholdBp = 9000L, maxPosting = 18)
+
   /** The language-planted corpus shared by q166: each doc gets its
     * label's function-word suffix ×3 (the trigram signal a char-n-gram
     * model keys on — the raw fixture text is the SAME synthetic
@@ -3867,6 +3899,8 @@ object PipelineQueries {
     "q249_quantile_norm_binned" -> (q249 _),
     "q250_cooccurrence" -> (q250 _),
     "q251_cooccurrence_audit" -> (q251 _),
+    "q253_jaccard_join" -> (q253 _),
+    "q254_jaccard_join_audit" -> (q254 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -4733,6 +4767,49 @@ FROM o"""
               CAST(count(*) AS BIGINT) AS n_baskets
        FROM kept k1 JOIN kept k2 ON k1.b = k2.b AND k1.i < k2.i
        GROUP BY 1, 2""",
+    // exact jaccard join: the NAIVE all-pairs comparator — hash match
+    // is the prefix-filter completeness theorem over data
+    "q253_jaccard_join" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+         s AS (SELECT doc_id, list_distinct(list_transform(
+                 range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS sh
+               FROM w),
+         sz AS (SELECT doc_id, len(sh) AS n FROM s WHERE len(sh) > 0),
+         tok AS (SELECT doc_id, unnest(sh) AS tk FROM s
+                 WHERE len(sh) > 0),
+         inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 count(*) AS i
+           FROM tok a JOIN tok b
+             ON a.tk = b.tk AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+       SELECT a_id AS id_a, b_id AS id_b, CAST(i AS BIGINT) AS n_inter,
+              CAST(i * 10000 // (sa.n + sb.n - i) AS BIGINT)
+                AS jaccard_bp
+       FROM inter
+       JOIN sz sa ON sa.doc_id = inter.a_id
+       JOIN sz sb ON sb.doc_id = inter.b_id
+       WHERE i * 10000 // (sa.n + sb.n - i) >= 9000""",
+    // jaccard join audit: the (df ASC, token ASC) per-doc prefix rule
+    // re-derived, over-cap postings listed
+    "q254_jaccard_join_audit" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+         s AS (SELECT doc_id, list_distinct(list_transform(
+                 range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS sh
+               FROM w),
+         tok AS (SELECT doc_id, unnest(sh) AS tk FROM s
+                 WHERE len(sh) > 0),
+         freq AS (SELECT tk, count(*) AS df FROM tok GROUP BY tk),
+         r AS (SELECT t.doc_id, t.tk,
+                 row_number() OVER (PARTITION BY t.doc_id
+                   ORDER BY f.df, t.tk) AS rn,
+                 count(*) OVER (PARTITION BY t.doc_id) AS n
+               FROM tok t JOIN freq f USING (tk)),
+         pfx AS (SELECT doc_id, tk FROM r
+                 WHERE rn <= n - ((9000 * n + 9999) // 10000) + 1)
+       SELECT tk AS token, CAST(count(*) AS BIGINT) AS posting_len
+       FROM pfx GROUP BY tk HAVING count(*) > 18""",
     // co-occurrence audit: the dropped baskets with sizes
     "q251_cooccurrence_audit" ->
       """SELECT b AS l_orderkey, CAST(n AS BIGINT) AS n_items

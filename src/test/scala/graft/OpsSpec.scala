@@ -3804,6 +3804,47 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Graph.hits(e, "s", "d", scale = 0L) }
   }
 
+  test("jaccardJoin: completeness vs hand pairs, boundary bp, size filter, cap + audit, guards") {
+    import graft.ops.Dedup
+    // A={p,q,r,s} B={p,q,r,t} C=A D={x,y}: J(A,B)=J(B,C)=3/5=6000bp,
+    // J(A,C)=10000, D disjoint and size-filtered vs the 4-sets
+    val df = Seq(
+      (1L, Seq("p", "q", "r", "s")), (2L, Seq("p", "q", "r", "t")),
+      (3L, Seq("p", "q", "r", "s")), (4L, Seq("x", "y")))
+      .toDF("id", "toks")
+    def run(bp: Long, cap: Int) =
+      Dedup.jaccardJoin(df, "id", "toks", bp, cap)
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(run(6000L, 100) === Seq((1L, 2L, 3L, 6000L),
+      (1L, 3L, 4L, 10000L), (2L, 3L, 3L, 6000L)))
+    // boundary is exact: 6001 excludes the 6000bp pairs
+    assert(run(6001L, 100) === Seq((1L, 3L, 4L, 10000L)))
+    // prefixes at t=0.6: A/C post {s,p}, B posts {t,p}, D posts {x}
+    // (rare-first df order) — cap 2 drops p's posting (len 3), losing
+    // exactly the pairs whose ONLY shared prefix token is p
+    assert(run(6000L, 2) === Seq((1L, 3L, 4L, 10000L)))
+    val audit = Dedup.jaccardJoinAudit(df, "id", "toks", 6000L, 2)
+      .as[(String, Long)].collect().toSeq
+    assert(audit === Seq(("p", 3L)))
+    assert(Dedup.jaccardJoinAudit(df, "id", "toks", 6000L, 3)
+      .count() === 0L)
+    // duplicate tokens inside one doc don't double-count (set semantics)
+    val dup = Seq((1L, Seq("p", "p", "q")), (2L, Seq("p", "q", "q")))
+      .toDF("id", "toks")
+    assert(Dedup.jaccardJoin(dup, "id", "toks", 9000L, 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq ===
+      Seq((1L, 2L, 2L, 10000L)))
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardJoin(df, "id", "toks", 0L, 10)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardJoin(df, "id", "toks", 10001L, 10)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardJoin(df, "id", "toks", 5000L, 1)
+    }
+  }
+
   test("labelPropagation: hand-walked rounds, count-beats-min tie order, convergence, guards") {
     import graft.ops.Graph
     // triangle {1,2,3} + tail 3-4-5; synchronous min-tie LPA hand-walk:

@@ -2222,6 +2222,32 @@ object AnalyticQueries {
     graft.ops.Graph.labelPropagation(plantedGraphEdges(s, dir), "s", "t",
       rounds = 4)
 
+  /** Multi-touch attribution ([[graft.ops.Attribution.touchCredit]]):
+    * every purchase's click/view touches in the 7 preceding days, with
+    * first/last/linear credit in basis points on ONE touch-grain
+    * relation (per-conversion credits sum to exactly 10⁴ by the
+    * remainder-to-last rule). The fixture is rich here: ~1 900
+    * conversions carrying 1–14 touches each, so single-touch (all
+    * three models coincide), long-tail and remainder-bearing rows all
+    * populate. The oracle replays the strict-before window predicate,
+    * both ranking windows and the truncating credit arithmetic; the
+    * user cap (200) is 7× the fixture's densest user, inactive by
+    * design — q256 is the loud twin at a biting cap.
+    */
+  def q255(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Attribution.touchCredit(events(s, dir), "user_id", "ts",
+      "event_id", "event_type", convType = "purchase",
+      touchTypes = Seq("click", "view"), lookbackUs = 604800000000L,
+      maxUserTouches = 200)
+
+  /** The audit twin ([[graft.ops.Attribution.touchCreditAudit]]) at
+    * cap 20, which the fixture's denser users DO exceed — the bot
+    * screen an operator alerts on before raising q255's cap. */
+  def q256(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Attribution.touchCreditAudit(events(s, dir), "user_id",
+      "event_type", touchTypes = Seq("click", "view"),
+      maxUserTouches = 20)
+
   /** DuckDB replay of [[graft.ops.Graph.labelPropagation]] — `rounds`
     * synchronous updates unrolled as MATERIALIZED CTEs (count + window
     * arg-max per round; `row_number` with the same (c DESC, lbl ASC)
@@ -2542,6 +2568,8 @@ object AnalyticQueries {
     "q244_kcore_peel" -> (q244 _),
     "q247_hits" -> (q247 _),
     "q252_label_prop" -> (q252 _),
+    "q255_attribution" -> (q255 _),
+    "q256_attribution_audit" -> (q256 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2685,6 +2713,41 @@ object AnalyticQueries {
     // label propagation: 4 synchronous rounds unrolled, arg-max with
     // the (count DESC, label ASC) tie replayed per round
     "q252_label_prop" -> lpaOracle(rounds = 4),
+    // attribution: strict-before 7-day window join, both ranking
+    // windows and the truncating credit arithmetic replayed
+    "q255_attribution" ->
+      """WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS us,
+             event_id AS eid, event_type AS ty FROM events),
+         tn AS (SELECT u, us, eid, ty,
+             count(*) OVER (PARTITION BY u) AS n
+           FROM ev WHERE ty IN ('click', 'view')),
+         tch AS (SELECT u, us, eid, ty FROM tn WHERE n <= 200),
+         conv AS (SELECT u, us AS cus, eid AS conv_id FROM ev
+                  WHERE ty = 'purchase'),
+         j AS (SELECT c.u, c.conv_id, t.eid AS touch_id,
+                 t.ty AS touch_type, t.us AS tus
+           FROM conv c JOIN tch t ON t.u = c.u
+             AND t.us < c.cus AND t.us >= c.cus - 604800000000),
+         p AS (SELECT u, conv_id, touch_id, touch_type,
+                 row_number() OVER (PARTITION BY conv_id
+                   ORDER BY tus, touch_id) AS pos,
+                 count(*) OVER (PARTITION BY conv_id) AS n
+               FROM j)
+       SELECT u AS user_id, conv_id, touch_id, touch_type,
+              CAST(pos AS BIGINT) AS pos, CAST(n AS BIGINT) AS n_touches,
+              CAST(CASE WHEN pos = 1 THEN 10000 ELSE 0 END AS BIGINT)
+                AS first_bp,
+              CAST(CASE WHEN pos = n THEN 10000 ELSE 0 END AS BIGINT)
+                AS last_bp,
+              CAST(10000 // n + CASE WHEN pos = n
+                  THEN 10000 - n * (10000 // n) ELSE 0 END AS BIGINT)
+                AS linear_bp
+       FROM p""",
+    // attribution audit: over-cap users with their touch counts
+    "q256_attribution_audit" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_touches
+       FROM events WHERE event_type IN ('click', 'view')
+       GROUP BY user_id HAVING count(*) > 20""",
     // autocorrelation: zero-filled day spine, n²-scaled integer
     // deviations, truncating div on the 10⁴-scaled report (q226 pin)
     "q242_autocorrelation" ->

@@ -3804,6 +3804,59 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Graph.hits(e, "s", "d", scale = 0L) }
   }
 
+  test("touchCredit: hand-walked windows, remainder-to-last, conservation, cap + audit, guards") {
+    import graft.ops.Attribution
+    def us(sec: Long) = sec * 1000000L
+    val ev = Seq(
+      (1L, us(10), 100L, "click"), (1L, us(20), 101L, "view"),
+      (1L, us(30), 102L, "click"),
+      (1L, us(25), 200L, "purchase"), (1L, us(30), 201L, "purchase"),
+      (1L, us(5), 202L, "purchase"), (1L, us(35), 203L, "purchase"),
+      (2L, us(50), 300L, "view"), (2L, us(55), 301L, "purchase"))
+      .toDF("user_id", "usec", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("usec"))).drop("usec")
+    def run(lookbackSec: Long, cap: Int = 100) =
+      Attribution.touchCredit(ev, "user_id", "ts", "event_id",
+          "event_type", "purchase", Seq("click", "view"),
+          us(lookbackSec), cap)
+        .select("conv_id", "touch_id", "pos", "n_touches", "first_bp",
+          "last_bp", "linear_bp")
+        .as[(Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSeq.sorted
+    // lookback 15s: conv 200 (t=25) sees touches at 10 (boundary
+    // INCLUSIVE) and 20; conv 201 (t=30) sees only 20 — the t=30 touch
+    // is excluded by the STRICT before rule; conv 202 sees none
+    assert(run(15L).filter(_._1 <= 202L) === Seq(
+      (200L, 100L, 1L, 2L, 10000L, 0L, 5000L),
+      (200L, 101L, 2L, 2L, 0L, 10000L, 5000L),
+      (201L, 101L, 1L, 1L, 10000L, 10000L, 10000L)))
+    // n=3 remainder: 10000 div 3 = 3333, remainder 1 goes to the LAST
+    assert(run(40L).filter(_._1 == 203L).map(_._7) ===
+      Seq(3333L, 3333L, 3334L))
+    // conservation: every model sums to exactly 10^4 per conversion
+    val sums = Attribution.touchCredit(ev, "user_id", "ts", "event_id",
+        "event_type", "purchase", Seq("click", "view"), us(40L), 100)
+      .groupBy("conv_id")
+      .agg(sum("first_bp").as("f"), sum("last_bp").as("l"),
+        sum("linear_bp").as("n"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(sums.forall(r => r._2 == 10000L && r._3 == 10000L &&
+      r._4 == 10000L))
+    // cap 2 drops user 1 (3 touches) whole; user 2 survives
+    assert(run(40L, cap = 2).map(_._1) === Seq(301L))
+    assert(Attribution.touchCreditAudit(ev, "user_id", "event_type",
+        Seq("click", "view"), 2).as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 3L)))
+    intercept[IllegalArgumentException] {
+      Attribution.touchCredit(ev, "user_id", "ts", "event_id",
+        "event_type", "purchase", Seq("purchase"), us(1), 10)
+    }
+    intercept[IllegalArgumentException] {
+      Attribution.touchCredit(ev, "user_id", "ts", "event_id",
+        "event_type", "purchase", Seq("click"), 0L, 10)
+    }
+  }
+
   test("jaccardJoin: completeness vs hand pairs, boundary bp, size filter, cap + audit, guards") {
     import graft.ops.Dedup
     // A={p,q,r,s} B={p,q,r,t} C=A D={x,y}: J(A,B)=J(B,C)=3/5=6000bp,

@@ -310,6 +310,230 @@ object Multimodal {
     out
   }
 
+  /** Lossless 8-bit grayscale PNG encode via `javax.imageio` (JDK
+    * built-in) — the write half of the [[averageHash]] round-trip:
+    * fixture planting, thumbnail export, golden-image tests. `pixels`
+    * is row-major, values 0–255, length w·h. PNG is lossless, so
+    * decode(encode(p)) ≡ p exactly — the property the q258 gate
+    * exploits (an oracle can replay PIXEL ARITHMETIC but never PNG
+    * bytes; identity round-trip makes the two meet).
+    */
+  private[graft] def encodeGrayPng(pixels: Array[Int], w: Int,
+                                   h: Int): Array[Byte] = {
+    require(pixels.length == w * h,
+      s"encodeGrayPng: ${pixels.length} pixels for ${w}x$h")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < pixels.length) {
+      raster.setSample(i % w, i / w, 0, pixels(i) & 0xff)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Full-raster decode to row-major integer gray values (0–255):
+    * single-band rasters read their sample directly (gray PNG —
+    * bit-exact round-trip with [[encodeGrayPng]]); multi-band images
+    * reduce via the integer ITU-R BT.601 luma `(299R + 587G + 114B)
+    * div 1000`. None for bytes no reader understands. Unlike
+    * [[imageDims]] this DOES materialize the raster — it is the
+    * content-level decode step, priced accordingly (callers decode on
+    * the scan partition and ship only the 16-byte hash downstream).
+    */
+  private[graft] def decodeGray(content: Array[Byte])
+      : Option[(Int, Int, Array[Int])] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Int](w * h)
+        if (img.getRaster.getNumBands == 1) {
+          var i = 0
+          while (i < out.length) {
+            out(i) = img.getRaster.getSample(i % w, i / w, 0)
+            i += 1
+          }
+        } else {
+          var i = 0
+          while (i < out.length) {
+            val rgb = img.getRGB(i % w, i / w)
+            out(i) = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+              + 114 * (rgb & 0xff)) / 1000
+            i += 1
+          }
+        }
+        Some((w, h, out))
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** 64-bit average perceptual hash (aHash — the standard cheap member
+    * of the pHash family; see Zauner, *Implementation and benchmarking
+    * of perceptual image hash functions*, 2010): integer box-filter the
+    * gray raster to an 8×8 grid, then bit(i) = cell(i) > mean. Returns
+    * (hi, lo) 32-bit halves so EVERY engine can replay it in signed
+    * int64 arithmetic (a single 64-bit hash with bit 63 set is negative
+    * in one engine and unsigned in another — the split dodges the whole
+    * class). All divisions truncate: cell = Σgray div boxArea over the
+    * exact integer box [r·h div 8, (r+1)·h div 8) × [c·w div 8,
+    * (c+1)·w div 8), mean = Σcells div 64 — so the hash is a pure
+    * integer function of the pixels, replayable cell by cell.
+    */
+  private[graft] def aHash64(w: Int, h: Int,
+                             gray: Array[Int]): Option[(Long, Long)] = {
+    if (w < 8 || h < 8) return None
+    val cells = new Array[Long](64)
+    var r = 0
+    while (r < 8) {
+      val y0 = r * h / 8; val y1 = (r + 1) * h / 8
+      var c = 0
+      while (c < 8) {
+        val x0 = c * w / 8; val x1 = (c + 1) * w / 8
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += gray(y * w + x); x += 1 }
+          y += 1
+        }
+        cells(r * 8 + c) = s / ((y1 - y0).toLong * (x1 - x0))
+        c += 1
+      }
+      r += 1
+    }
+    var total = 0L
+    var i = 0
+    while (i < 64) { total += cells(i); i += 1 }
+    val mean = total / 64
+    var hi = 0L; var lo = 0L
+    i = 0
+    while (i < 64) {
+      if (cells(i) > mean) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    Some((hi, lo))
+  }
+
+  /** Content-level image fingerprinting over binary media columns: REAL
+    * full-raster decode ([[decodeGray]], `javax.imageio`) on the scan
+    * partitions, then the [[aHash64]] integer hash — the perceptual
+    * near-dup signal (two re-encodes/resizes of one image hash within a
+    * few bits; unrelated images differ in ~32). Output per row:
+    * `(media_id, width, height, ahash_hi, ahash_lo)`, hash columns NULL
+    * when no reader understands the bytes or the image is smaller than
+    * the 8×8 grid. Scale shape: mapPartitions on the scan — the bytes
+    * never shuffle; what moves downstream is 20 bytes per image.
+    */
+  def averageHash(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("ahash_hi", LongType, nullable = true),
+      StructField("ahash_lo", LongType, nullable = true)))
+    media.sparkSession.createDataFrame(
+      media.select("media_id", "content").rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          decodeGray(r.getAs[Array[Byte]](1)) match {
+            case Some((w, h, gray)) =>
+              aHash64(w, h, gray) match {
+                case Some((hi, lo)) => Row(id, w, h, hi, lo)
+                case None => Row(id, w, h, null, null)
+              }
+            case None => Row(id, null, null, null, null)
+          }
+        }
+      }, schema)
+  }
+
+  /** Near-duplicate image pairs by banded Hamming join over
+    * [[averageHash]] fingerprints — the [[graft.ops.Dedup
+    * .nearDupSimhash]] criterion transplanted to pixels: the 64 hash
+    * bits split into four 16-bit bands, and by pigeonhole any pair
+    * within Hamming distance 3 agrees on ≥ 1 band, so the (band,
+    * value) bucket join is a COMPLETE candidate generator for
+    * `maxDist ≤ 3` — exactly `{pairs : hamming ≤ maxDist}`, no
+    * all-pairs stage. Degenerate bands (flat-color corpora: every
+    * white page shares all four) are capped at `maxBucket` ids per
+    * bucket — over-cap buckets are dropped whole; a pair is lost only
+    * if EVERY band it shares is over-cap (the [[graft.ops.Dedup
+    * .jaccardJoin]] posting posture). Verification is two `xor` +
+    * `bit_count` expressions — codegen'd, exact. Output:
+    * `(id_a, id_b, hamming)` with `id_a < id_b`; NULL hashes drop out.
+    */
+  def aHashNearDup(hashes: DataFrame, idCol: String, hiCol: String,
+                   loCol: String, maxDist: Int,
+                   maxBucket: Int = 1000): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"aHashNearDup: banding is complete only for maxDist <= 3, " +
+        s"got $maxDist")
+    require(maxBucket >= 2,
+      s"aHashNearDup: maxBucket must be >= 2, got $maxBucket")
+    val base = hashes.select(col(idCol).cast("long").as("id"),
+        col(hiCol).cast("long").as("hi"), col(loCol).cast("long").as("lo"))
+      .filter(col("hi").isNotNull && col("lo").isNotNull)
+    val banded = bandRelation(base)
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b"), col("v"))
+    val kept = banded.withColumn("__n", count(lit(1)).over(wB))
+      .filter(col("__n") <= maxBucket).drop("__n")
+    val cand = kept.select(col("b"), col("v"), col("id").as("a_id"))
+      .join(kept.select(col("b"), col("v"), col("id").as("b_id")),
+        Seq("b", "v"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(base.select(col("id").as("a_id"), col("hi").as("ha"),
+        col("lo").as("la")), Seq("a_id"))
+      .join(base.select(col("id").as("b_id"), col("hi").as("hb"),
+        col("lo").as("lb")), Seq("b_id"))
+      .select(col("a_id").as("id_a"), col("b_id").as("id_b"),
+        (bit_count(expr("ha ^ hb")) + bit_count(expr("la ^ lb")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Audit twin of [[aHashNearDup]]: the (band, value) buckets larger
+    * than `maxBucket` — the flat-color/boilerplate-image screen, built
+    * from the SAME band generator so join and audit can never disagree.
+    * Alert when non-empty; raise the cap deliberately or pre-filter
+    * the degenerate images. */
+  def aHashNearDupAudit(hashes: DataFrame, idCol: String, hiCol: String,
+                        loCol: String, maxBucket: Int): DataFrame = {
+    require(maxBucket >= 2,
+      s"aHashNearDupAudit: maxBucket must be >= 2, got $maxBucket")
+    val base = hashes.select(col(idCol).cast("long").as("id"),
+        col(hiCol).cast("long").as("hi"), col(loCol).cast("long").as("lo"))
+      .filter(col("hi").isNotNull && col("lo").isNotNull)
+    bandRelation(base)
+      .groupBy(col("b").as("band"), col("v").as("band_value"))
+      .agg(count(lit(1)).as("n_ids"))
+      .filter(col("n_ids") > maxBucket)
+  }
+
+  /** The four 16-bit band keys per hash, shared by
+    * [[aHashNearDup]]/[[aHashNearDupAudit]]. Halves are non-negative
+    * (32-bit values in int64), so `%`/`div` are exact bit slices. */
+  private def bandRelation(base: DataFrame): DataFrame =
+    base.select(col("id"), explode(array(
+        struct(lit(0).as("b"), (col("lo") % 65536L).as("v")),
+        struct(lit(1).as("b"), expr("lo div 65536L").as("v")),
+        struct(lit(2).as("b"), (col("hi") % 65536L).as("v")),
+        struct(lit(3).as("b"), expr("hi div 65536L").as("v"))))
+        .as("bv"))
+      .select(col("id"), col("bv.b").as("b"), col("bv.v").as("v"))
+
   /** Deterministic frame sampling for video blobs: every k-th fixed-size
     * frame slice, exploded to one row per sampled frame — the Spark-side
     * shape of a real frame extractor (which would seek keyframes instead).

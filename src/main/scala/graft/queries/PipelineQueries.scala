@@ -2400,6 +2400,69 @@ object PipelineQueries {
         TextOps.shingles(col("text"), 2).as("sh")),
       "doc_id", "sh", thresholdBp = 9000L, maxPosting = 18)
 
+  /** The q258/q259 planted image corpus: one REAL 16×16 grayscale PNG
+    * per document, pixel(i) = (base·31 + i·17 + i²·7
+    * + base·i·13) mod 256 with base = doc_id div 2 — consecutive ids
+    * are SIBLINGS sharing a base pattern, the base·i cross-term
+    * decorrelates DIFFERENT bases (without it every image is the same
+    * pattern up to brightness, which the mean-relative hash ignores —
+    * the whole corpus collides) — and odd ids get one pixel bumped +3 mod 256 (a
+    * near-duplicate perturbation: usually 0–1 hash bits move, and the
+    * mod-256 wraparound occasionally flips more — both regimes real).
+    * Encoded with the real `javax.imageio` PNG writer on the
+    * executors; PNG is lossless, so the decode side recovers these
+    * exact pixels and an arithmetic oracle can meet it. */
+  private def plantedPngs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir)("documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val base = id / 2
+          val bump = (base % 256).toInt
+          val px = Array.tabulate(256) { i =>
+            val p0 = ((base * 31 + i.toLong * 17 + i.toLong * i * 7 +
+              base * i * 13) % 256).toInt
+            if (id % 2 == 1 && i == bump) (p0 + 3) % 256 else p0
+          }
+          (id, graft.ops.Multimodal.encodeGrayPng(px, 16, 16))
+        }
+      }.toDF("media_id", "content")
+  }
+
+  /** REAL full-raster image decode + perceptual hash, gated
+    * ([[graft.ops.Multimodal.averageHash]]): q231 gated HEADER decode;
+    * this gates CONTENT decode — every document's planted PNG goes
+    * through the real `ImageIO.read` raster path on the executor and
+    * comes back as the 64-bit integer aHash (32-bit halves, the
+    * signed-int64 dodge), and the oracle replays the pixel-planting
+    * rule, the 2×2 integer box-filter, the truncating mean and the
+    * bit assembly in pure SQL arithmetic. Agreement means the real
+    * encoder and the real decoder round-tripped 128 000 pixels
+    * bit-exactly AND the hash arithmetic matches cell by cell — the
+    * multimodal family's strongest gate.
+    */
+  def q258(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.averageHash(plantedPngs(s, dir))
+      .select(col("media_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("ahash_hi"), col("ahash_lo"))
+
+  /** Perceptual near-dup pairs over the q258 hashes ([[graft.ops
+    * .Multimodal.aHashNearDup]], Hamming ≤ 3, four 16-bit bands —
+    * pigeonhole-complete at this radius): the planted siblings (2k,
+    * 2k+1) land within 0–1 bits except where the mod-256 wraparound
+    * kicks them out, and unrelated patterns sit ~32 bits apart, so the
+    * output is exactly the surviving sibling set — and the oracle
+    * proves it by brute force: recompute every hash from the planting
+    * rule and join ALL pairs at bit_count(xor) ≤ 3. Hash equality =
+    * the banding lost nothing (the q253 completeness posture on
+    * pixels).
+    */
+  def q259(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.aHashNearDup(
+      graft.ops.Multimodal.averageHash(plantedPngs(s, dir)),
+      "media_id", "ahash_hi", "ahash_lo", maxDist = 3, maxBucket = 100)
+
   /** The language-planted corpus shared by q166: each doc gets its
     * label's function-word suffix ×3 (the trigram signal a char-n-gram
     * model keys on — the raw fixture text is the SAME synthetic
@@ -3901,6 +3964,8 @@ object PipelineQueries {
     "q251_cooccurrence_audit" -> (q251 _),
     "q253_jaccard_join" -> (q253 _),
     "q254_jaccard_join_audit" -> (q254 _),
+    "q258_ahash_decode" -> (q258 _),
+    "q259_ahash_neardup" -> (q259 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -4810,6 +4875,68 @@ FROM o"""
                  WHERE rn <= n - ((9000 * n + 9999) // 10000) + 1)
        SELECT tk AS token, CAST(count(*) AS BIGINT) AS posting_len
        FROM pfx GROUP BY tk HAVING count(*) > 18""",
+    // aHash: pixel planting rule + 2x2 integer box filter + truncating
+    // mean + bit assembly replayed in pure SQL arithmetic
+    "q258_ahash_decode" ->
+      """WITH pix AS (
+           SELECT doc_id, g.i,
+             CASE WHEN doc_id % 2 = 1 AND g.i = (doc_id // 2) % 256
+               THEN ((doc_id // 2) * 31 + g.i * 17 + g.i * g.i * 7
+                     + (doc_id // 2) * g.i * 13 + 3) % 256
+               ELSE ((doc_id // 2) * 31 + g.i * 17 + g.i * g.i * 7
+                     + (doc_id // 2) * g.i * 13) % 256 END AS p
+           FROM documents
+           CROSS JOIN (SELECT unnest(range(0, 256)) AS i) g),
+         cells AS (
+           SELECT doc_id,
+                  ((i // 16) // 2) * 8 + ((i % 16) // 2) AS ci,
+                  sum(p) // 4 AS cv
+           FROM pix GROUP BY 1, 2),
+         m AS (SELECT doc_id, sum(cv) // 64 AS mean
+               FROM cells GROUP BY 1)
+       SELECT c.doc_id AS media_id, CAST(16 AS BIGINT) AS width,
+              CAST(16 AS BIGINT) AS height,
+              CAST(coalesce(sum(CASE WHEN ci >= 32 AND cv > mean
+                THEN (CAST(1 AS BIGINT) << (ci - 32)) END), 0)
+                AS BIGINT) AS ahash_hi,
+              CAST(coalesce(sum(CASE WHEN ci < 32 AND cv > mean
+                THEN (CAST(1 AS BIGINT) << ci) END), 0)
+                AS BIGINT) AS ahash_lo
+       FROM cells c JOIN m USING (doc_id) GROUP BY 1""",
+    // aHash near-dup: brute-force all-pairs hamming over the replayed
+    // hashes — banding completeness proven by hash equality
+    "q259_ahash_neardup" ->
+      """WITH pix AS (
+           SELECT doc_id, g.i,
+             CASE WHEN doc_id % 2 = 1 AND g.i = (doc_id // 2) % 256
+               THEN ((doc_id // 2) * 31 + g.i * 17 + g.i * g.i * 7
+                     + (doc_id // 2) * g.i * 13 + 3) % 256
+               ELSE ((doc_id // 2) * 31 + g.i * 17 + g.i * g.i * 7
+                     + (doc_id // 2) * g.i * 13) % 256 END AS p
+           FROM documents
+           CROSS JOIN (SELECT unnest(range(0, 256)) AS i) g),
+         cells AS (
+           SELECT doc_id,
+                  ((i // 16) // 2) * 8 + ((i % 16) // 2) AS ci,
+                  sum(p) // 4 AS cv
+           FROM pix GROUP BY 1, 2),
+         m AS (SELECT doc_id, sum(cv) // 64 AS mean
+               FROM cells GROUP BY 1),
+         hsh AS (
+           SELECT c.doc_id,
+                  CAST(coalesce(sum(CASE WHEN ci >= 32 AND cv > mean
+                    THEN (CAST(1 AS BIGINT) << (ci - 32)) END), 0)
+                    AS BIGINT) AS hi,
+                  CAST(coalesce(sum(CASE WHEN ci < 32 AND cv > mean
+                    THEN (CAST(1 AS BIGINT) << ci) END), 0)
+                    AS BIGINT) AS lo
+           FROM cells c JOIN m USING (doc_id) GROUP BY 1)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(bit_count(xor(a.hi, b.hi)) +
+                   bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+       FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+             <= 3""",
     // co-occurrence audit: the dropped baskets with sizes
     "q251_cooccurrence_audit" ->
       """SELECT b AS l_orderkey, CAST(n AS BIGINT) AS n_items

@@ -217,6 +217,89 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(21L).getInt(7) === 6)
   }
 
+  test("averageHash: lossless round-trip, hand-computed hash, RGB luma, tiny-image nulls") {
+    import graft.ops.Multimodal
+    // PNG is lossless: decode(encode(p)) == p exactly
+    val px = Array.tabulate(256)(i => (i * 37 + 11) % 256)
+    val rt = Multimodal.decodeGray(Multimodal.encodeGrayPng(px, 16, 16))
+    assert(rt.map(_._1) === Some(16) && rt.map(_._2) === Some(16))
+    assert(rt.get._3.toSeq === px.toSeq)
+    // 8x8 column ramp (1x1 boxes): pixel(x,y)=30x, mean=105, bits set
+    // where 30x > 105 -> columns 4..7 -> 0xF0 per row-byte both halves
+    val ramp = Array.tabulate(64)(i => (i % 8) * 30)
+    val df = Seq((1L, Multimodal.encodeGrayPng(ramp, 8, 8)))
+      .toDF("media_id", "content")
+    val got = Multimodal.averageHash(df)
+      .as[(Long, Option[Int], Option[Int], Option[Long], Option[Long])]
+      .collect().head
+    assert(got === ((1L, Some(8), Some(8), Some(0xF0F0F0F0L),
+      Some(0xF0F0F0F0L))))
+    // RGB branch: pure red -> BT.601 luma 299*255 div 1000 = 76
+    val rgb = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) rgb.setRGB(x, y, 0xff0000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgb, "png", bos)
+    val red = Multimodal.decodeGray(bos.toByteArray).get
+    assert(red._3.forall(_ == 76))
+    // flat image: no cell exceeds the mean -> hash (0, 0)
+    val flat = Multimodal.averageHash(
+        Seq((2L, bos.toByteArray)).toDF("media_id", "content"))
+      .as[(Long, Option[Int], Option[Int], Option[Long], Option[Long])]
+      .collect().head
+    assert(flat._4 === Some(0L) && flat._5 === Some(0L))
+    // smaller than the 8x8 grid: dims survive, hash columns NULL
+    val tiny = Multimodal.averageHash(
+        Seq((3L, Multimodal.encodeGrayPng(Array.fill(16)(9), 4, 4)))
+          .toDF("media_id", "content"))
+      .as[(Long, Option[Int], Option[Int], Option[Long], Option[Long])]
+      .collect().head
+    assert(tiny === ((3L, Some(4), Some(4), None, None)))
+    // non-image bytes: everything NULL, no task failure
+    val junk = Multimodal.averageHash(
+        Seq((4L, Array[Byte](1, 2, 3))).toDF("media_id", "content"))
+      .as[(Long, Option[Int], Option[Int], Option[Long], Option[Long])]
+      .collect().head
+    assert(junk === ((4L, None, None, None, None)))
+  }
+
+  test("aHashNearDup: hamming boundary, banding completeness at 3, cap + audit, guards") {
+    import graft.ops.Multimodal
+    // ids 1,2 identical; 3 differs from them in exactly 3 lo-bits
+    // (kept at maxDist 3); 4 differs in 4 bits (excluded); 5 far away
+    val h = Seq(
+      (1L, 0x12340000L, 0x00FF00AAL), (2L, 0x12340000L, 0x00FF00AAL),
+      (3L, 0x12340000L, 0x00FF00ADL),            // lo ^ = 0x07 -> 3 bits
+      (4L, 0x12340000L, 0x00FF00A5L),            // lo ^ = 0x0F -> 4 bits
+      (5L, 0x7777AAAAL, 0x55551111L))
+      .toDF("id", "hi", "lo")
+    def run(maxDist: Int, cap: Int = 100) =
+      Multimodal.aHashNearDup(h, "id", "hi", "lo", maxDist, cap)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(run(3) === Seq((1L, 2L, 0L), (1L, 3L, 3L), (2L, 3L, 3L),
+      (3L, 4L, 1L))) // 3^4 touch only in lo bit 3 (0xAD^0xA5 = 0x08)
+    assert(run(0) === Seq((1L, 2L, 0L)))
+    // cap 2: the three bands ids 1-4 all share are over-cap (buckets
+    // of 4) and drop; 1,2 still share their under-cap b0 bucket (size
+    // 2) so (1,2) survives, while 3 shares ONLY over-cap bands with
+    // 1/2 -> (1,3),(2,3) are the audited loss
+    assert(run(3, cap = 2) === Seq((1L, 2L, 0L)))
+    val audit = Multimodal.aHashNearDupAudit(h, "id", "hi", "lo", 2)
+      .as[(Int, Long, Long)].collect().toSeq.sorted
+    assert(audit === Seq((1, 255L, 4L), (2, 0L, 4L), (3, 4660L, 4L)))
+    // NULL hashes drop out silently
+    val withNull = h.union(Seq((6L, null.asInstanceOf[java.lang.Long],
+      null.asInstanceOf[java.lang.Long])).toDF("id", "hi", "lo"))
+    assert(run(3) === Multimodal.aHashNearDup(withNull, "id", "hi", "lo",
+      3, 100).as[(Long, Long, Long)].collect().toSeq.sorted)
+    intercept[IllegalArgumentException] {
+      Multimodal.aHashNearDup(h, "id", "hi", "lo", 4, 100)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.aHashNearDup(h, "id", "hi", "lo", 3, 1)
+    }
+  }
+
   test("sampleFrames slices every k-th fixed-size frame of video blobs only") {
     val frames = Multimodal.sampleFrames(mediaDf, frameBytes = 10, every = 2)
       .as[(Long, Int, Array[Byte])].collect()

@@ -1715,6 +1715,63 @@ object AnalyticQueries {
       round(slopeNum * slopeNum / r2den, 6).as("r2"))
   }
 
+  /** Theil–Sen robust trend of daily counts per event type — q203's
+    * OLS sibling with a 29.3% breakdown point (Theil 1950; Sen, *JASA*
+    * 1968): slope = MEDIAN of all pairwise day-slopes, intercept =
+    * median of the per-point residual intercepts, so a bot burst or an
+    * outage day cannot drag the trend the way it drags OLS (one wild
+    * day moves n−1 of the ~n²/2 pair slopes — the median barely
+    * budges; it moves EVERY OLS sum). All-integer: pair slopes in
+    * micro-units/day with truncating `div` (negative numerators
+    * truncate toward zero in BOTH engines — the q226 pin), medians are
+    * the LOWER median (rank ⌊(n+1)/2⌋ by value — rank-k VALUES are
+    * tie-deterministic), int64 envelope |Δcount|·10⁶ < 2⁶³ holds to
+    * 9·10⁹ events/day/type. Scale shape: the pair join is DAY-GRID
+    * grain, never corpus — a decade is 3 653 days → 6.7 M pairs per
+    * series, embarrassingly parallel after one corpus day-count
+    * aggregate; the grid is localCheckpoint-ed once (it feeds the pair
+    * self-join twice plus the residual pass — the r16 triangles
+    * lesson). The calendar bounds the quadratic BY CONSTRUCTION, the
+    * reason this needs no cap/audit twin.
+    */
+  def q257(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_type"),
+      expr("ts_ns div 1000 div 86400000000").as("d"))
+    val counts = e.groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n"))
+    val d0 = e.agg(min(col("d")).as("d0"))
+    val grid = e.select(col("d")).distinct()
+      .crossJoin(e.select(col("event_type")).distinct())
+      .join(counts, Seq("event_type", "d"), "left")
+      .crossJoin(broadcast(d0))
+      .select(col("event_type"), (col("d") - col("d0")).as("x"),
+        coalesce(col("n"), lit(0L)).as("y"))
+      .localCheckpoint(true)
+    val pairs = grid.select(col("event_type"), col("x").as("x1"),
+        col("y").as("y1"))
+      .join(grid.select(col("event_type"), col("x").as("x2"),
+        col("y").as("y2")), Seq("event_type"))
+      .filter(col("x1") < col("x2"))
+      .select(col("event_type"),
+        expr("(y2 - y1) * 1000000L div (x2 - x1)").as("sm"))
+    val wS = Window.partitionBy(col("event_type")).orderBy(col("sm"))
+    val wT = Window.partitionBy(col("event_type"))
+    val slope = pairs.withColumn("rn", row_number().over(wS))
+      .withColumn("np", count(lit(1)).over(wT))
+      .filter(col("rn") === expr("(np + 1L) div 2L"))
+      .select(col("event_type"), col("sm").as("slope_micro"),
+        col("np").as("n_pairs"))
+    val res = grid.join(slope, Seq("event_type"))
+      .select(col("event_type"), col("slope_micro"), col("n_pairs"),
+        (col("y") * 1000000L - col("slope_micro") * col("x")).as("r"))
+    val wR = Window.partitionBy(col("event_type")).orderBy(col("r"))
+    res.withColumn("rn", row_number().over(wR))
+      .withColumn("nd", count(lit(1)).over(wT))
+      .filter(col("rn") === expr("(nd + 1L) div 2L"))
+      .select(col("event_type"), col("nd").as("n_days"), col("n_pairs"),
+        col("slope_micro"), col("r").as("intercept_micro"))
+  }
+
   /** Benford first-digit screen on order totals — the fraud-analytics
     * classic: leading-digit counts of `o_totalprice` cents vs Benford's
     * expectation log₁₀(1 + 1/d). Counts are exact int64; the observed
@@ -2570,6 +2627,7 @@ object AnalyticQueries {
     "q252_label_prop" -> (q252 _),
     "q255_attribution" -> (q255 _),
     "q256_attribution_audit" -> (q256 _),
+    "q257_theil_sen" -> (q257 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2748,6 +2806,45 @@ object AnalyticQueries {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_touches
        FROM events WHERE event_type IN ('click', 'view')
        GROUP BY user_id HAVING count(*) > 20""",
+    // Theil–Sen: zero-filled day grid, all pairwise truncating integer
+    // slopes, LOWER median twice (slope, then residual intercept)
+    "q257_theil_sen" ->
+      """WITH e AS (SELECT event_type,
+             epoch_us(ts) // 86400000000 AS d FROM events),
+         counts AS (SELECT event_type, d, count(*) AS n
+                    FROM e GROUP BY 1, 2),
+         b AS (SELECT min(d) AS d0 FROM e),
+         grid AS (SELECT t.event_type,
+                 dd.d - (SELECT d0 FROM b) AS x,
+                 CAST(coalesce(c.n, 0) AS BIGINT) AS y
+           FROM (SELECT DISTINCT d FROM e) dd
+           CROSS JOIN (SELECT DISTINCT event_type FROM e) t
+           LEFT JOIN counts c
+             ON c.event_type = t.event_type AND c.d = dd.d),
+         pr AS (SELECT a.event_type,
+                 (b2.y - a.y) * 1000000 // (b2.x - a.x) AS sm
+           FROM grid a JOIN grid b2
+             ON a.event_type = b2.event_type AND a.x < b2.x),
+         ps AS (SELECT event_type, sm,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY sm) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS np
+               FROM pr),
+         sl AS (SELECT event_type, sm AS slope_micro, np FROM ps
+                WHERE rn = (np + 1) // 2),
+         res AS (SELECT g.event_type, s.np, s.slope_micro,
+                 g.y * 1000000 - s.slope_micro * g.x AS r
+           FROM grid g JOIN sl s USING (event_type)),
+         rs AS (SELECT event_type, np, slope_micro, r,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY r) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS nd
+               FROM res)
+       SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+              CAST(np AS BIGINT) AS n_pairs,
+              CAST(slope_micro AS BIGINT) AS slope_micro,
+              CAST(r AS BIGINT) AS intercept_micro
+       FROM rs WHERE rn = (nd + 1) // 2""",
     // autocorrelation: zero-filled day spine, n²-scaled integer
     // deviations, truncating div on the 10⁴-scaled report (q226 pin)
     "q242_autocorrelation" ->

@@ -342,7 +342,27 @@ object ScaleProbe {
     // r17: co-occurrence — capped Σ|basket|² self-join after one
     // basket-keyed shuffle; the audit is one aggregate. Ratio tracks
     // baskets because the cap bounds the per-basket quadratic term
-    "q250_cooccurrence", "q251_cooccurrence_audit")
+    "q250_cooccurrence", "q251_cooccurrence_audit",
+    // r17: label propagation — `rounds` synchronous neighbor-join +
+    // (node,label)-count + arg-max steps, labels checkpointed per
+    // round (the pageRank discipline); ratio prices rounds×edges
+    "q252_label_prop",
+    // r17: Jaccard join — per-doc sorted-shingle prefix explode, then
+    // the capped posting self-join (Σ|posting|² bounded by the cap)
+    // and exact verify on candidates only; the audit is one aggregate
+    "q253_jaccard_join", "q254_jaccard_join_audit",
+    // r17: attribution — one lookback-bounded range join at touch
+    // grain + two ranking windows; the user cap bounds per-key fan-in,
+    // so the ratio tracks conversions × average touches
+    "q255_attribution", "q256_attribution_audit",
+    // r17: Theil-Sen — the pair self-join runs at DAY-GRID grain
+    // (calendar-bounded quadratic, never corpus rows), grid
+    // localCheckpoint'd once; ratio ≈ the day-count aggregate
+    "q257_theil_sen",
+    // r17: aHash — real ImageIO raster decode on the scan partitions
+    // (bytes never shuffle; 20 bytes/image move downstream), then the
+    // capped 16-bit-band Hamming self-join over the hashes
+    "q258_ahash_decode", "q259_ahash_neardup")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

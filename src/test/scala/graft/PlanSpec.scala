@@ -88,6 +88,88 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q249: binned quantile normalization never sorts the corpus — no rangepartitioning") {
+    val plan = planOf("q249_quantile_norm_binned")
+    // q248 is the documented global-sort comparator; the production
+    // sibling must keep the corpus out of a range exchange entirely
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"binned path picked up a global sort:\n$plan")
+    // the two BroadcastNestedLoopJoins are the documented bounded
+    // class: a 1-row scalar-total broadcast and the BINS-cardinality
+    // cumulative table broadcast into the position range join — the
+    // corpus side never builds
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q250: co-occurrence self-joins hash-wise on the basket key — no nested loop") {
+    val plan = planOf("q250_cooccurrence")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"basket self-join fell back to a nested loop:\n$plan")
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q252: label propagation executes on checkpointed relations — no parquet re-derivation") {
+    val plan = planOf("q252_label_prop")
+    assert(!plan.contains("Scan parquet"),
+      s"label propagation re-derived its graph from the source:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q253: jaccard join reads ONE checkpointed prefix relation, joins hash-wise") {
+    val plan = planOf("q253_jaccard_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the posting self-join's two sides scan the SAME materialized
+    // prefix relation (the r16 triangles lesson applied on arrival)
+    assert(plan.contains("localCheckpoint at Dedup.scala"), plan)
+    val rddIds = "MapPartitionsRDD\\[\\d+\\]".r.findAllIn(plan).toSet
+    assert(rddIds.size == 1,
+      s"expected one checkpointed prefix relation, saw $rddIds:\n$plan")
+  }
+
+  test("q255: attribution is one equi-join on the user key plus ranking windows — no nested loop") {
+    val plan = planOf("q255_attribution")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"lookback predicate must ride the user equi-join as a filter:\n$plan")
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q257: Theil-Sen's pair join runs on the checkpointed day grid, never the corpus") {
+    val plan = planOf("q257_theil_sen")
+    // the corpus day-count aggregate ran inside the localCheckpoint
+    // jobs; the executed plan's quadratic stage reads only the
+    // materialized DAY-GRID relation
+    assert(!plan.contains("Scan parquet"),
+      s"pair join re-derived the grid from the source:\n$plan")
+    assert(plan.contains("localCheckpoint at AnalyticQueries.scala"), plan)
+    val rddIds = "MapPartitionsRDD\\[\\d+\\]".r.findAllIn(plan).toSet
+    assert(rddIds.size == 1,
+      s"expected one checkpointed grid, saw $rddIds:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q258: aHash decode is scan-shaped — zero exchanges, zero joins, bytes never shuffle") {
+    val plan = planOf("q258_ahash_decode")
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange"),
+      s"image bytes crossed an exchange:\n$plan")
+  }
+
+  test("q259: aHash near-dup joins hash-wise on the 16-bit bands — no nested loop") {
+    val plan = planOf("q259_ahash_neardup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"band bucket join fell back to a nested loop:\n$plan")
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q240: ranking metrics join hash-wise and aggregate at query grain — no nested loop") {
     val plan = planOf("q240_ranking_metrics")
     assert(!plan.contains("CartesianProduct") &&

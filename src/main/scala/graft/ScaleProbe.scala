@@ -362,7 +362,11 @@ object ScaleProbe {
     // r17: aHash — real ImageIO raster decode on the scan partitions
     // (bytes never shuffle; 20 bytes/image move downstream), then the
     // capped 16-bit-band Hamming self-join over the hashes
-    "q258_ahash_decode", "q259_ahash_neardup")
+    "q258_ahash_decode", "q259_ahash_neardup",
+    // r17: audio fingerprint — real javax.sound PCM decode on the
+    // scan partitions (28 bytes/clip move downstream), then the SAME
+    // capped banded Hamming join the image family uses
+    "q260_audio_fingerprint", "q261_audio_neardup")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -457,9 +457,10 @@ object Multimodal {
       }, schema)
   }
 
-  /** Near-duplicate image pairs by banded Hamming join over
-    * [[averageHash]] fingerprints — the [[graft.ops.Dedup
-    * .nearDupSimhash]] criterion transplanted to pixels: the 64 hash
+  /** Near-duplicate pairs by banded Hamming join over any 64-bit
+    * fingerprint split into 32-bit halves — [[averageHash]] for images,
+    * [[audioEnergyHash]] for audio — the [[graft.ops.Dedup
+    * .nearDupSimhash]] criterion transplanted to media: the 64 hash
     * bits split into four 16-bit bands, and by pigeonhole any pair
     * within Hamming distance 3 agrees on ≥ 1 band, so the (band,
     * value) bucket join is a COMPLETE candidate generator for
@@ -472,14 +473,14 @@ object Multimodal {
     * `bit_count` expressions — codegen'd, exact. Output:
     * `(id_a, id_b, hamming)` with `id_a < id_b`; NULL hashes drop out.
     */
-  def aHashNearDup(hashes: DataFrame, idCol: String, hiCol: String,
+  def hammingNearDup(hashes: DataFrame, idCol: String, hiCol: String,
                    loCol: String, maxDist: Int,
                    maxBucket: Int = 1000): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
-      s"aHashNearDup: banding is complete only for maxDist <= 3, " +
+      s"hammingNearDup: banding is complete only for maxDist <= 3, " +
         s"got $maxDist")
     require(maxBucket >= 2,
-      s"aHashNearDup: maxBucket must be >= 2, got $maxBucket")
+      s"hammingNearDup: maxBucket must be >= 2, got $maxBucket")
     val base = hashes.select(col(idCol).cast("long").as("id"),
         col(hiCol).cast("long").as("hi"), col(loCol).cast("long").as("lo"))
       .filter(col("hi").isNotNull && col("lo").isNotNull)
@@ -504,15 +505,15 @@ object Multimodal {
       .filter(col("hamming") <= maxDist)
   }
 
-  /** Audit twin of [[aHashNearDup]]: the (band, value) buckets larger
+  /** Audit twin of [[hammingNearDup]]: the (band, value) buckets larger
     * than `maxBucket` — the flat-color/boilerplate-image screen, built
     * from the SAME band generator so join and audit can never disagree.
     * Alert when non-empty; raise the cap deliberately or pre-filter
     * the degenerate images. */
-  def aHashNearDupAudit(hashes: DataFrame, idCol: String, hiCol: String,
+  def hammingNearDupAudit(hashes: DataFrame, idCol: String, hiCol: String,
                         loCol: String, maxBucket: Int): DataFrame = {
     require(maxBucket >= 2,
-      s"aHashNearDupAudit: maxBucket must be >= 2, got $maxBucket")
+      s"hammingNearDupAudit: maxBucket must be >= 2, got $maxBucket")
     val base = hashes.select(col(idCol).cast("long").as("id"),
         col(hiCol).cast("long").as("hi"), col(loCol).cast("long").as("lo"))
       .filter(col("hi").isNotNull && col("lo").isNotNull)
@@ -523,7 +524,7 @@ object Multimodal {
   }
 
   /** The four 16-bit band keys per hash, shared by
-    * [[aHashNearDup]]/[[aHashNearDupAudit]]. Halves are non-negative
+    * [[hammingNearDup]]/[[hammingNearDupAudit]]. Halves are non-negative
     * (32-bit values in int64), so `%`/`div` are exact bit slices. */
   private def bandRelation(base: DataFrame): DataFrame =
     base.select(col("id"), explode(array(
@@ -533,6 +534,146 @@ object Multimodal {
         struct(lit(3).as("b"), expr("hi div 65536L").as("v"))))
         .as("bv"))
       .select(col("id"), col("bv.b").as("b"), col("bv.v").as("v"))
+
+  /** Minimal 44-byte PCM WAV encode (16-bit LE signed mono) — the write
+    * half of the [[audioEnergyHash]] round-trip, like [[encodeGrayPng]]
+    * for images: fixture planting and golden-audio tests. PCM is raw
+    * sample storage, so decode(encode(s)) ≡ s exactly. Samples must fit
+    * a signed 16-bit range.
+    */
+  private[graft] def encodePcmWav(samples: Array[Int],
+                                  sampleRate: Int): Array[Byte] = {
+    require(samples.forall(v => v >= -32768 && v <= 32767),
+      "encodePcmWav: sample out of 16-bit range")
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(v => bb.putShort(v.toShort))
+    bb.array()
+  }
+
+  /** Real PCM sample decode via `javax.sound.sampled` — the content-
+    * level audio step where [[audioInfo]] stops at the header: streams
+    * the full `AudioInputStream`, accepts 16-bit signed PCM in either
+    * byte order (the format family every WAV/AIFF PCM file carries),
+    * and reduces multi-channel frames to their integer channel MEAN
+    * with truncating division (deterministic, replayable — the BT.601
+    * posture on channels). None for non-audio bytes or non-16-bit
+    * encodings. Costs the full sample scan by design — callers hash on
+    * the scan partition and ship 20 bytes downstream.
+    */
+  private[graft] def decodePcm(content: Array[Byte])
+      : Option[(Int, Array[Int])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16 || fmt.getChannels < 1) None
+        else {
+          val bytes = ais.readAllBytes()
+          val ch = fmt.getChannels
+          val n = bytes.length / (2 * ch)
+          val bb = java.nio.ByteBuffer.wrap(bytes).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            var s = 0L
+            var c = 0
+            while (c < ch) { s += bb.getShort(); c += 1 }
+            out(i) = (s / ch).toInt
+            i += 1
+          }
+          Some((math.round(fmt.getSampleRate), out))
+        }
+      } finally ais.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** 64-bit average energy hash — [[aHash64]]'s audio twin: integer
+    * frame energies over the exact 64-frame grid (frame f spans samples
+    * [f·n div 64, (f+1)·n div 64), energy = Σ s² div frameLen), then
+    * bit(f) = energy(f) > mean with mean = Σ energies div 64. Loudness-
+    * pattern shaped: a re-encode or small edit moves few bits; unrelated
+    * audio differs in ~32. Same (hi, lo) 32-bit-half split, same pure-
+    * integer replayability. int64 envelope: Σ s² per frame < 2⁶³ holds
+    * to ~8·10⁹ samples/frame (s² ≤ 2³⁰). None under 64 samples.
+    */
+  private[graft] def energyHash64(samples: Array[Int])
+      : Option[(Long, Long)] = {
+    val n = samples.length
+    if (n < 64) return None
+    val energies = new Array[Long](64)
+    var f = 0
+    while (f < 64) {
+      val i0 = f * n / 64; val i1 = (f + 1) * n / 64
+      var s = 0L
+      var i = i0
+      while (i < i1) {
+        s += samples(i).toLong * samples(i); i += 1
+      }
+      energies(f) = s / (i1 - i0)
+      f += 1
+    }
+    var total = 0L
+    var i = 0
+    while (i < 64) { total += energies(i); i += 1 }
+    val mean = total / 64
+    var hi = 0L; var lo = 0L
+    i = 0
+    while (i < 64) {
+      if (energies(i) > mean) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    Some((hi, lo))
+  }
+
+  /** Content-level audio fingerprinting over binary media columns —
+    * [[averageHash]]'s audio sibling: REAL full-sample decode
+    * ([[decodePcm]], `javax.sound.sampled`) on the scan partitions,
+    * then the [[energyHash64]] integer fingerprint. Output per row:
+    * `(media_id, sample_rate, n_samples, fp_hi, fp_lo)`; hash columns
+    * NULL when the bytes aren't 16-bit PCM audio or carry fewer than 64
+    * samples. Scale shape: mapPartitions on the scan — the audio bytes
+    * never shuffle; 28 bytes per clip move downstream. Near-dup pairs
+    * via [[hammingNearDup]], shared with the image family.
+    */
+  def audioEnergyHash(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("n_samples", IntegerType, nullable = true),
+      StructField("fp_hi", LongType, nullable = true),
+      StructField("fp_lo", LongType, nullable = true)))
+    media.sparkSession.createDataFrame(
+      media.select("media_id", "content").rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          decodePcm(r.getAs[Array[Byte]](1)) match {
+            case Some((rate, samples)) =>
+              energyHash64(samples) match {
+                case Some((hi, lo)) =>
+                  Row(id, rate, samples.length, hi, lo)
+                case None => Row(id, rate, samples.length, null, null)
+              }
+            case None => Row(id, null, null, null, null)
+          }
+        }
+      }, schema)
+  }
 
   /** Deterministic frame sampling for video blobs: every k-th fixed-size
     * frame slice, exploded to one row per sampled frame — the Spark-side

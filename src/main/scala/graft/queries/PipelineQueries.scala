@@ -2401,14 +2401,20 @@ object PipelineQueries {
       "doc_id", "sh", thresholdBp = 9000L, maxPosting = 18)
 
   /** The q258/q259 planted image corpus: one REAL 16×16 grayscale PNG
-    * per document, pixel(i) = (base·31 + i·17 + i²·7
-    * + base·i·13) mod 256 with base = doc_id div 2 — consecutive ids
-    * are SIBLINGS sharing a base pattern, the base·i cross-term
-    * decorrelates DIFFERENT bases (without it every image is the same
-    * pattern up to brightness, which the mean-relative hash ignores —
-    * the whole corpus collides) — and odd ids get one pixel bumped +3 mod 256 (a
-    * near-duplicate perturbation: usually 0–1 hash bits move, and the
-    * mod-256 wraparound occasionally flips more — both regimes real).
+    * per document, pixel(i) = (base·31 + i·17 + i²·7 + base·i·13
+    * + (base div 256)·i²·11) mod 256 with base = doc_id div 2 —
+    * consecutive ids are SIBLINGS sharing a base pattern, the base·i
+    * cross-term decorrelates DIFFERENT bases (without it every image
+    * is the same pattern up to brightness, which the mean-relative
+    * hash ignores — the whole corpus collides), and the (base div
+    * 256) second-digit term keeps that true past 256 bases: a
+    * polynomial in base taken mod 256 depends on base mod 256 ONLY,
+    * so without it the sf1 corpus (25k bases) degenerates into ~100
+    * identical images per residue class — fixture entropy is
+    * explicitly base mod 2¹⁶, documented ahead of any larger SF.
+    * Odd ids get one pixel bumped +3 mod 256 (a near-duplicate
+    * perturbation: usually 0–1 hash bits move, and the mod-256
+    * wraparound occasionally flips more — both regimes real).
     * Encoded with the real `javax.imageio` PNG writer on the
     * executors; PNG is lossless, so the decode side recovers these
     * exact pixels and an arithmetic oracle can meet it. */
@@ -2421,7 +2427,7 @@ object PipelineQueries {
           val bump = (base % 256).toInt
           val px = Array.tabulate(256) { i =>
             val p0 = ((base * 31 + i.toLong * 17 + i.toLong * i * 7 +
-              base * i * 13) % 256).toInt
+              base * i * 13 + (base / 256) * i * i * 11) % 256).toInt
             if (id % 2 == 1 && i == bump) (p0 + 3) % 256 else p0
           }
           (id, graft.ops.Multimodal.encodeGrayPng(px, 16, 16))
@@ -2448,7 +2454,7 @@ object PipelineQueries {
         col("ahash_hi"), col("ahash_lo"))
 
   /** Perceptual near-dup pairs over the q258 hashes ([[graft.ops
-    * .Multimodal.aHashNearDup]], Hamming ≤ 3, four 16-bit bands —
+    * .Multimodal.hammingNearDup]], Hamming ≤ 3, four 16-bit bands —
     * pigeonhole-complete at this radius): the planted siblings (2k,
     * 2k+1) land within 0–1 bits except where the mod-256 wraparound
     * kicks them out, and unrelated patterns sit ~32 bits apart, so the
@@ -2459,9 +2465,73 @@ object PipelineQueries {
     * pixels).
     */
   def q259(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Multimodal.aHashNearDup(
+    graft.ops.Multimodal.hammingNearDup(
       graft.ops.Multimodal.averageHash(plantedPngs(s, dir)),
       "media_id", "ahash_hi", "ahash_lo", maxDist = 3, maxBucket = 100)
+
+  /** The q260/q261 planted audio corpus — the q258 scheme on sound: one
+    * REAL 256-sample 8 kHz 16-bit PCM WAV per document, sample(i) =
+    * (base·37 + i·13 + i²·3 + base·i·7 + (base div 2001)·i·19)
+    * mod 2001 − 1000 with base = doc_id div 2 (range ±1000, well
+    * inside 16-bit; the base·i cross-term decorrelates bases and the
+    * (base div 2001) second-digit term keeps that true past 2001
+    * bases — the plantedPngs lesson: a base-polynomial mod m depends
+    * on base mod m only, so fixture entropy is explicitly base mod
+    * 2001², documented ahead of any larger SF). Consecutive ids are
+    * SIBLINGS; odd ids get one sample bumped +50 inside the mod
+    * (usually 0–1 fingerprint bits move; the mod-2001 wraparound
+    * occasionally flips more — both regimes real). Written with the
+    * real RIFF encoder on the executors; PCM is raw storage, so the
+    * real `javax.sound` decode recovers these exact integers and the
+    * oracle meets it. */
+  private def plantedWavs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir)("documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val base = id / 2
+          val bump = (base % 256).toInt
+          val smp = Array.tabulate(256) { i =>
+            val x = base * 37 + i.toLong * 13 + i.toLong * i * 3 +
+              base * i * 7 + (base / 2001) * i * 19
+            val y = if (id % 2 == 1 && i == bump) x + 50 else x
+            (y % 2001).toInt - 1000
+          }
+          (id, graft.ops.Multimodal.encodePcmWav(smp, 8000))
+        }
+      }.toDF("media_id", "content")
+  }
+
+  /** REAL full-sample audio decode + energy fingerprint, gated
+    * ([[graft.ops.Multimodal.audioEnergyHash]]): q233 gated the WAV
+    * HEADER; this gates CONTENT — every document's planted PCM goes
+    * through the real `javax.sound` AudioInputStream on the executor
+    * and comes back as the 64-frame integer energy hash, and the
+    * oracle replays the sample-planting rule, the 4-sample frame
+    * energies, the truncating mean and the bit assembly in pure SQL.
+    * Agreement means encoder and decoder round-tripped 128 000 PCM
+    * samples bit-exactly AND the fingerprint arithmetic matches frame
+    * by frame — the audio twin of q258.
+    */
+  def q260(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.audioEnergyHash(plantedWavs(s, dir))
+      .select(col("media_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_samples").cast("long").as("n_samples"),
+        col("fp_hi"), col("fp_lo"))
+
+  /** Perceptual near-dup pairs over the q260 audio fingerprints — the
+    * SAME [[graft.ops.Multimodal.hammingNearDup]] banded join the image
+    * family uses (one pair generator for every 64-bit media
+    * fingerprint): planted siblings land within the radius except
+    * where the mod-2001 wraparound kicks them out, and the oracle
+    * proves banding completeness by brute force over the replayed
+    * hashes (the q259 posture on sound).
+    */
+  def q261(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.hammingNearDup(
+      graft.ops.Multimodal.audioEnergyHash(plantedWavs(s, dir)),
+      "media_id", "fp_hi", "fp_lo", maxDist = 3, maxBucket = 100)
 
   /** The language-planted corpus shared by q166: each doc gets its
     * label's function-word suffix ×3 (the trigram signal a char-n-gram
@@ -3966,6 +4036,8 @@ object PipelineQueries {
     "q254_jaccard_join_audit" -> (q254 _),
     "q258_ahash_decode" -> (q258 _),
     "q259_ahash_neardup" -> (q259 _),
+    "q260_audio_fingerprint" -> (q260 _),
+    "q261_audio_neardup" -> (q261 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -4882,9 +4954,11 @@ FROM o"""
            SELECT doc_id, g.i,
              CASE WHEN doc_id % 2 = 1 AND g.i = (doc_id // 2) % 256
                THEN ((doc_id // 2) * 31 + g.i * 17 + g.i * g.i * 7
-                     + (doc_id // 2) * g.i * 13 + 3) % 256
+                     + (doc_id // 2) * g.i * 13
+                     + (doc_id // 2 // 256) * g.i * g.i * 11 + 3) % 256
                ELSE ((doc_id // 2) * 31 + g.i * 17 + g.i * g.i * 7
-                     + (doc_id // 2) * g.i * 13) % 256 END AS p
+                     + (doc_id // 2) * g.i * 13
+                     + (doc_id // 2 // 256) * g.i * g.i * 11) % 256 END AS p
            FROM documents
            CROSS JOIN (SELECT unnest(range(0, 256)) AS i) g),
          cells AS (
@@ -4910,9 +4984,11 @@ FROM o"""
            SELECT doc_id, g.i,
              CASE WHEN doc_id % 2 = 1 AND g.i = (doc_id // 2) % 256
                THEN ((doc_id // 2) * 31 + g.i * 17 + g.i * g.i * 7
-                     + (doc_id // 2) * g.i * 13 + 3) % 256
+                     + (doc_id // 2) * g.i * 13
+                     + (doc_id // 2 // 256) * g.i * g.i * 11 + 3) % 256
                ELSE ((doc_id // 2) * 31 + g.i * 17 + g.i * g.i * 7
-                     + (doc_id // 2) * g.i * 13) % 256 END AS p
+                     + (doc_id // 2) * g.i * 13
+                     + (doc_id // 2 // 256) * g.i * g.i * 11) % 256 END AS p
            FROM documents
            CROSS JOIN (SELECT unnest(range(0, 256)) AS i) g),
          cells AS (
@@ -4931,6 +5007,64 @@ FROM o"""
                     THEN (CAST(1 AS BIGINT) << ci) END), 0)
                     AS BIGINT) AS lo
            FROM cells c JOIN m USING (doc_id) GROUP BY 1)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(bit_count(xor(a.hi, b.hi)) +
+                   bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+       FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+             <= 3""",
+    // audio energy hash: sample planting rule + 4-sample frame
+    // energies + truncating mean + bit assembly in pure SQL
+    "q260_audio_fingerprint" ->
+      """WITH smp AS (
+           SELECT doc_id, g.i,
+             CASE WHEN doc_id % 2 = 1 AND g.i = (doc_id // 2) % 256
+               THEN ((doc_id // 2) * 37 + g.i * 13 + g.i * g.i * 3
+                     + (doc_id // 2) * g.i * 7
+                     + (doc_id // 2 // 2001) * g.i * 19 + 50) % 2001 - 1000
+               ELSE ((doc_id // 2) * 37 + g.i * 13 + g.i * g.i * 3
+                     + (doc_id // 2) * g.i * 7
+                     + (doc_id // 2 // 2001) * g.i * 19) % 2001 - 1000 END AS s
+           FROM documents
+           CROSS JOIN (SELECT unnest(range(0, 256)) AS i) g),
+         fr AS (SELECT doc_id, i // 4 AS f, sum(s * s) // 4 AS e
+                FROM smp GROUP BY 1, 2),
+         m AS (SELECT doc_id, sum(e) // 64 AS mean FROM fr GROUP BY 1)
+       SELECT fr.doc_id AS media_id, CAST(8000 AS BIGINT) AS sample_rate,
+              CAST(256 AS BIGINT) AS n_samples,
+              CAST(coalesce(sum(CASE WHEN f >= 32 AND e > mean
+                THEN (CAST(1 AS BIGINT) << (f - 32)) END), 0)
+                AS BIGINT) AS fp_hi,
+              CAST(coalesce(sum(CASE WHEN f < 32 AND e > mean
+                THEN (CAST(1 AS BIGINT) << f) END), 0)
+                AS BIGINT) AS fp_lo
+       FROM fr JOIN m USING (doc_id) GROUP BY 1""",
+    // audio near-dup: brute-force all-pairs hamming over the replayed
+    // fingerprints — banding completeness proven by hash equality
+    "q261_audio_neardup" ->
+      """WITH smp AS (
+           SELECT doc_id, g.i,
+             CASE WHEN doc_id % 2 = 1 AND g.i = (doc_id // 2) % 256
+               THEN ((doc_id // 2) * 37 + g.i * 13 + g.i * g.i * 3
+                     + (doc_id // 2) * g.i * 7
+                     + (doc_id // 2 // 2001) * g.i * 19 + 50) % 2001 - 1000
+               ELSE ((doc_id // 2) * 37 + g.i * 13 + g.i * g.i * 3
+                     + (doc_id // 2) * g.i * 7
+                     + (doc_id // 2 // 2001) * g.i * 19) % 2001 - 1000 END AS s
+           FROM documents
+           CROSS JOIN (SELECT unnest(range(0, 256)) AS i) g),
+         fr AS (SELECT doc_id, i // 4 AS f, sum(s * s) // 4 AS e
+                FROM smp GROUP BY 1, 2),
+         m AS (SELECT doc_id, sum(e) // 64 AS mean FROM fr GROUP BY 1),
+         hsh AS (
+           SELECT fr.doc_id,
+                  CAST(coalesce(sum(CASE WHEN f >= 32 AND e > mean
+                    THEN (CAST(1 AS BIGINT) << (f - 32)) END), 0)
+                    AS BIGINT) AS hi,
+                  CAST(coalesce(sum(CASE WHEN f < 32 AND e > mean
+                    THEN (CAST(1 AS BIGINT) << f) END), 0)
+                    AS BIGINT) AS lo
+           FROM fr JOIN m USING (doc_id) GROUP BY 1)
        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
               CAST(bit_count(xor(a.hi, b.hi)) +
                    bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming

@@ -263,7 +263,7 @@ class MultimodalSpec extends SparkSpec {
     assert(junk === ((4L, None, None, None, None)))
   }
 
-  test("aHashNearDup: hamming boundary, banding completeness at 3, cap + audit, guards") {
+  test("hammingNearDup: hamming boundary, banding completeness at 3, cap + audit, guards") {
     import graft.ops.Multimodal
     // ids 1,2 identical; 3 differs from them in exactly 3 lo-bits
     // (kept at maxDist 3); 4 differs in 4 bits (excluded); 5 far away
@@ -274,7 +274,7 @@ class MultimodalSpec extends SparkSpec {
       (5L, 0x7777AAAAL, 0x55551111L))
       .toDF("id", "hi", "lo")
     def run(maxDist: Int, cap: Int = 100) =
-      Multimodal.aHashNearDup(h, "id", "hi", "lo", maxDist, cap)
+      Multimodal.hammingNearDup(h, "id", "hi", "lo", maxDist, cap)
         .as[(Long, Long, Long)].collect().toSeq.sorted
     assert(run(3) === Seq((1L, 2L, 0L), (1L, 3L, 3L), (2L, 3L, 3L),
       (3L, 4L, 1L))) // 3^4 touch only in lo bit 3 (0xAD^0xA5 = 0x08)
@@ -284,19 +284,73 @@ class MultimodalSpec extends SparkSpec {
     // 2) so (1,2) survives, while 3 shares ONLY over-cap bands with
     // 1/2 -> (1,3),(2,3) are the audited loss
     assert(run(3, cap = 2) === Seq((1L, 2L, 0L)))
-    val audit = Multimodal.aHashNearDupAudit(h, "id", "hi", "lo", 2)
+    val audit = Multimodal.hammingNearDupAudit(h, "id", "hi", "lo", 2)
       .as[(Int, Long, Long)].collect().toSeq.sorted
     assert(audit === Seq((1, 255L, 4L), (2, 0L, 4L), (3, 4660L, 4L)))
     // NULL hashes drop out silently
     val withNull = h.union(Seq((6L, null.asInstanceOf[java.lang.Long],
       null.asInstanceOf[java.lang.Long])).toDF("id", "hi", "lo"))
-    assert(run(3) === Multimodal.aHashNearDup(withNull, "id", "hi", "lo",
+    assert(run(3) === Multimodal.hammingNearDup(withNull, "id", "hi", "lo",
       3, 100).as[(Long, Long, Long)].collect().toSeq.sorted)
     intercept[IllegalArgumentException] {
-      Multimodal.aHashNearDup(h, "id", "hi", "lo", 4, 100)
+      Multimodal.hammingNearDup(h, "id", "hi", "lo", 4, 100)
     }
     intercept[IllegalArgumentException] {
-      Multimodal.aHashNearDup(h, "id", "hi", "lo", 3, 1)
+      Multimodal.hammingNearDup(h, "id", "hi", "lo", 3, 1)
+    }
+  }
+
+  test("audioEnergyHash: lossless PCM round-trip, hand-computed fingerprint, channel mean, guards") {
+    // PCM is raw storage: decode(encode(s)) == s exactly, rate preserved
+    val smp = Array.tabulate(256)(i => ((i * 97 + 31) % 2001) - 1000)
+    val rt = Multimodal.decodePcm(Multimodal.encodePcmWav(smp, 8000))
+    assert(rt.map(_._1) === Some(8000))
+    assert(rt.get._2.toSeq === smp.toSeq)
+    // 64 samples (1/frame): energy = s², mean = Σs² div 64; alternating
+    // 0/±100 -> energies alternate 0/10000, mean 5000, bits at odd f
+    val alt = Array.tabulate(64)(i => if (i % 2 == 1) 100 else 0)
+    val got = Multimodal.audioEnergyHash(
+        Seq((1L, Multimodal.encodePcmWav(alt, 8000)))
+          .toDF("media_id", "content"))
+      .as[(Long, Option[Int], Option[Int], Option[Long], Option[Long])]
+      .collect().head
+    assert(got === ((1L, Some(8000), Some(64), Some(0xAAAAAAAAL),
+      Some(0xAAAAAAAAL))))
+    // silence: every energy equals the mean, no bit strictly exceeds it
+    val flat = Multimodal.audioEnergyHash(
+        Seq((2L, Multimodal.encodePcmWav(Array.fill(128)(7), 8000)))
+          .toDF("media_id", "content"))
+      .as[(Long, Option[Int], Option[Int], Option[Long], Option[Long])]
+      .collect().head
+    assert(flat._4 === Some(0L) && flat._5 === Some(0L))
+    // fewer than 64 samples: header fields survive, hash NULL
+    val tiny = Multimodal.audioEnergyHash(
+        Seq((3L, Multimodal.encodePcmWav(Array.fill(10)(5), 8000)))
+          .toDF("media_id", "content"))
+      .as[(Long, Option[Int], Option[Int], Option[Long], Option[Long])]
+      .collect().head
+    assert(tiny === ((3L, Some(8000), Some(10), None, None)))
+    // non-audio bytes: all NULL, no task failure
+    val junk = Multimodal.audioEnergyHash(
+        Seq((4L, Array[Byte](9, 9, 9))).toDF("media_id", "content"))
+      .as[(Long, Option[Int], Option[Int], Option[Long], Option[Long])]
+      .collect().head
+    assert(junk === ((4L, None, None, None, None)))
+    // multi-channel reduces to the integer channel mean: stereo frames
+    // (L=100, R=200) -> mono 150. Hand-pack a 2-channel LE WAV.
+    val n = 64
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + n * 4).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16).putShort(1).putShort(2)
+      .putInt(8000).putInt(8000 * 4).putShort(4).putShort(16)
+      .put("data".getBytes).putInt(n * 4)
+    for (_ <- 0 until n) { bb.putShort(100); bb.putShort(200) }
+    val stereo = Multimodal.decodePcm(bb.array()).get
+    assert(stereo._2.length === n && stereo._2.forall(_ == 150))
+    // 16-bit range guard on the encoder
+    intercept[IllegalArgumentException] {
+      Multimodal.encodePcmWav(Array(40000), 8000)
     }
   }
 

@@ -170,6 +170,18 @@ class PlanSpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q260/q261: audio fingerprint is scan-shaped; its near-dup joins hash-wise") {
+    val plan260 = planOf("q260_audio_fingerprint")
+    assert(!plan260.contains("Join"), plan260)
+    assert(!plan260.contains("Exchange"),
+      s"audio bytes crossed an exchange:\n$plan260")
+    val plan261 = planOf("q261_audio_neardup")
+    assert(!plan261.contains("CartesianProduct") &&
+      !plan261.contains("BroadcastNestedLoopJoin"), plan261)
+    assert(plan261.contains("SortMergeJoin") ||
+      plan261.contains("BroadcastHashJoin"), plan261)
+  }
+
   test("q240: ranking metrics join hash-wise and aggregate at query grain — no nested loop") {
     val plan = planOf("q240_ranking_metrics")
     assert(!plan.contains("CartesianProduct") &&

@@ -366,7 +366,10 @@ object ScaleProbe {
     // r17: audio fingerprint — real javax.sound PCM decode on the
     // scan partitions (28 bytes/clip move downstream), then the SAME
     // capped banded Hamming join the image family uses
-    "q260_audio_fingerprint", "q261_audio_neardup")
+    "q260_audio_fingerprint", "q261_audio_neardup",
+    // r17: annotation agreement — one pair-grain partial-combined
+    // aggregate; everything after runs at labels² grain
+    "q262_cohen_kappa", "q263_agreement_confusion")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -236,4 +236,71 @@ object Classify {
           (col("n_pos") * 2 * col("n_neg")).cast("double"), 6))
         .as("auc"))
   }
+
+  /** Inter-annotator confusion matrix — the relation a labeling-QA
+    * operator actually reads before trusting preference/SFT labels:
+    * one row per (label_a, label_b) with its count. Rows where either
+    * side is NULL (unlabeled) are dropped; the companion
+    * [[cohenKappa]] summarizes this matrix into one chance-corrected
+    * number. ONE pair-grain partial-combined aggregate; output is
+    * labels²-grain, never corpus-grain.
+    */
+  def agreementConfusion(df: DataFrame, aCol: String,
+                         bCol: String): DataFrame =
+    df.select(col(aCol).cast("string").as("label_a"),
+        col(bCol).cast("string").as("label_b"))
+      .filter(col("label_a").isNotNull && col("label_b").isNotNull)
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Cohen's kappa (Cohen, *Educational and Psychological Measurement*
+    * 1960) — chance-corrected two-rater agreement over categorical
+    * labels, the standard QA gate on double-annotated preference/SFT
+    * data (raw percent agreement rewards annotators who both spam the
+    * majority class; kappa subtracts the marginal-product chance
+    * rate). All-integer in basis points, truncating `div` at every
+    * step so any engine replays it bit-for-bit:
+    *
+    *  - `po_bp = n_agree·10⁴ div n` (observed agreement);
+    *  - `pe_bp = (Σ_k nA(k)·nB(k))·10⁴ div n²` (chance agreement from
+    *    the marginals);
+    *  - `kappa_bp = (po_bp − pe_bp)·10⁴ div (10⁴ − pe_bp)`, NULL when
+    *    `pe_bp = 10⁴` (both raters constant on the same class — kappa
+    *    is undefined there; po is 10⁴ and says it all).
+    *
+    * kappa_bp is negative when agreement is below chance (truncation
+    * on the negative numerator matches both engines — the q226 pin).
+    * NULL labels on either side drop (unlabeled rows are not
+    * disagreement). int64 envelope: ΣnA·nB·10⁴ ≤ n²·10⁴ < 2⁶³ holds
+    * to n ≈ 3·10⁷ double-annotated rows — beyond any human-labeled
+    * set by orders of magnitude (the q202 bound-note convention;
+    * pre-scaling marginals by 10³ extends it if ever needed).
+    *
+    * Scale shape: one pair-grain aggregate ([[agreementConfusion]]),
+    * then label-grain marginals and 1-row scalar joins — nothing
+    * corpus-sized moves after the first shuffle.
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // the marginals, the agreement total and the chance product all
+    // read the confusion matrix — materialize the labels²-grain
+    // relation once so the CORPUS aggregate runs once, not four times
+    // (the r16 triangles lesson)
+    val conf = agreementConfusion(df, aCol, bCol).localCheckpoint(true)
+    val na = conf.groupBy(col("label_a").as("k"))
+      .agg(sum(col("n")).as("na"))
+    val nb = conf.groupBy(col("label_b").as("k"))
+      .agg(sum(col("n")).as("nb"))
+    val pe = na.join(nb, Seq("k"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("pe_num"))
+    val tot = conf.agg(sum(col("n")).as("n"),
+      coalesce(sum(when(col("label_a") === col("label_b"), col("n"))),
+        lit(0L)).as("n_agree"))
+    tot.crossJoin(broadcast(pe))
+      .withColumn("po_bp", expr("n_agree * 10000L div n"))
+      .withColumn("pe_bp", expr("pe_num * 10000L div (n * n)"))
+      .select(col("n"), col("n_agree"), col("po_bp"), col("pe_bp"),
+        when(col("pe_bp") < 10000L,
+          expr("(po_bp - pe_bp) * 10000L div (10000L - pe_bp)"))
+          .as("kappa_bp"))
+  }
 }

@@ -2109,6 +2109,41 @@ object PipelineQueries {
       "score")
   }
 
+  /** The q262/q263 double-annotation surface: two deterministic
+    * "raters" over the documents — rater A buckets by n_chars (div
+    * 200, capped at 3), rater B by the space count (div 30, capped at
+    * 3) — correlated but imperfect, so agreement lands in the
+    * meaningful middle where kappa actually corrects for chance; a
+    * 1-in-17 arm leaves rater B NULL (unlabeled), exercising the
+    * NULL-drop rule over data. Both raters are pure integer functions
+    * of fixture columns, so the oracle replays them exactly. */
+  private def dualAnnotated(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("documents").select(
+      least(expr("n_chars div 200"), lit(3L)).as("rater_a"),
+      when(pmod(col("doc_id"), lit(17L)) =!= 0L,
+        least(expr("(length(text) - length(replace(text, ' ', '')))" +
+          " div 30"), lit(3L))).as("rater_b"))
+
+  /** Cohen's kappa over the double-annotated surface
+    * ([[graft.ops.Classify.cohenKappa]]): the labeling-QA gate run
+    * before trusting preference/SFT labels — chance-corrected
+    * agreement in exact basis points, every division truncating, NULL
+    * (unlabeled) rows dropped. The oracle replays rater derivation,
+    * marginal chance product and all three basis-point divisions.
+    */
+  def q262(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Classify.cohenKappa(dualAnnotated(s, dir), "rater_a",
+      "rater_b")
+
+  /** The confusion matrix behind q262
+    * ([[graft.ops.Classify.agreementConfusion]]) — the labels²-grain
+    * relation an annotation lead actually reads to find WHERE raters
+    * disagree (adjacent-bucket vs far-bucket confusion read very
+    * differently). */
+  def q263(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Classify.agreementConfusion(dualAnnotated(s, dir),
+      "rater_a", "rater_b")
+
   /** Right-to-be-forgotten propagation
     * ([[graft.ops.Snapshot.forgetAudit]] / scrubForgotten): a planted
     * forget list (every 17th user) applied across TWO differently-keyed
@@ -4038,6 +4073,8 @@ object PipelineQueries {
     "q259_ahash_neardup" -> (q259 _),
     "q260_audio_fingerprint" -> (q260 _),
     "q261_audio_neardup" -> (q261 _),
+    "q262_cohen_kappa" -> (q262 _),
+    "q263_agreement_confusion" -> (q263 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -5071,6 +5108,48 @@ FROM o"""
        FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
              <= 3""",
+    // Cohen's kappa: rater derivation + marginal chance product +
+    // three truncating basis-point divisions replayed exactly
+    "q262_cohen_kappa" ->
+      """WITH lab AS (
+           SELECT CAST(least(n_chars // 200, 3) AS VARCHAR) AS a,
+                  CASE WHEN doc_id % 17 <> 0 THEN
+                    CAST(least((length(text) -
+                      length(replace(text, ' ', ''))) // 30, 3)
+                      AS VARCHAR) END AS b
+           FROM documents),
+         f AS (SELECT a, b FROM lab
+               WHERE a IS NOT NULL AND b IS NOT NULL),
+         conf AS (SELECT a, b, count(*) AS n FROM f GROUP BY 1, 2),
+         na AS (SELECT a AS k, sum(n) AS na FROM conf GROUP BY 1),
+         nb AS (SELECT b AS k, sum(n) AS nb FROM conf GROUP BY 1),
+         pe AS (SELECT coalesce(sum(na * nb), 0) AS pe_num
+                FROM na JOIN nb USING (k)),
+         tot AS (SELECT sum(n) AS n,
+                   coalesce(sum(CASE WHEN a = b THEN n END), 0)
+                     AS n_agree FROM conf)
+       SELECT CAST(n AS BIGINT) AS n,
+              CAST(n_agree AS BIGINT) AS n_agree,
+              CAST(n_agree * 10000 // n AS BIGINT) AS po_bp,
+              CAST(pe_num * 10000 // (n * n) AS BIGINT) AS pe_bp,
+              CAST(CASE WHEN pe_num * 10000 // (n * n) < 10000 THEN
+                ((n_agree * 10000 // n) - (pe_num * 10000 // (n * n)))
+                  * 10000 // (10000 - pe_num * 10000 // (n * n)) END
+                AS BIGINT) AS kappa_bp
+       FROM tot CROSS JOIN pe""",
+    // agreement confusion matrix: labels-squared grain, NULLs dropped
+    "q263_agreement_confusion" ->
+      """WITH lab AS (
+           SELECT CAST(least(n_chars // 200, 3) AS VARCHAR) AS a,
+                  CASE WHEN doc_id % 17 <> 0 THEN
+                    CAST(least((length(text) -
+                      length(replace(text, ' ', ''))) // 30, 3)
+                      AS VARCHAR) END AS b
+           FROM documents)
+       SELECT a AS label_a, b AS label_b,
+              CAST(count(*) AS BIGINT) AS n
+       FROM lab WHERE a IS NOT NULL AND b IS NOT NULL
+       GROUP BY 1, 2""",
     // co-occurrence audit: the dropped baskets with sizes
     "q251_cooccurrence_audit" ->
       """SELECT b AS l_orderkey, CAST(n AS BIGINT) AS n_items

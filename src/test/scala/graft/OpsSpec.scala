@@ -3804,6 +3804,45 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Graph.hits(e, "s", "d", scale = 0L) }
   }
 
+  test("cohenKappa: hand-computed kappa, NULL drop, below-chance negative, degenerate NULL kappa") {
+    import graft.ops.Classify
+    // hand-walked 2x2, n=60: cells yy=25, ny=10, yn=15, nn=10.
+    // agree=25+10=35 -> po_bp = 35*10^4 div 60 = 5833.
+    // marginals na=(y:40, n:20), nb=(y:35, n:25) ->
+    // pe_num = 40*35 + 20*25 = 1900 -> pe_bp = 1900*10^4 div 60^2
+    // = 5277. kappa_bp = (5833-5277)*10^4 div (10^4-5277)
+    // = 5560000 div 4723 = 1177.
+    val rows =
+      Seq.fill(25)(("y", "y")) ++ Seq.fill(10)(("n", "y")) ++
+      Seq.fill(15)(("y", "n")) ++ Seq.fill(10)(("n", "n"))
+    val df = rows.toDF("a", "b")
+    val k = Classify.cohenKappa(df, "a", "b")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    assert(k === ((60L, 35L, 5833L, 5277L, Some(1177L))))
+    // NULL labels drop: adding unlabeled rows changes nothing
+    val withNulls = df.union(Seq(("y", null), (null, "n"))
+      .toDF("a", "b"))
+    assert(Classify.cohenKappa(withNulls, "a", "b")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head === k)
+    // below-chance agreement -> negative kappa (truncation on the
+    // negative numerator, the q226 pin)
+    val anti = (Seq.fill(10)(("y", "n")) ++ Seq.fill(10)(("n", "y")) ++
+      Seq.fill(2)(("y", "y")) ++ Seq.fill(2)(("n", "n"))).toDF("a", "b")
+    val ka = Classify.cohenKappa(anti, "a", "b")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    assert(ka._5.get < 0L)
+    // both raters constant on the same class: pe_bp = 10^4 -> NULL
+    val const = Seq.fill(5)(("y", "y")).toDF("a", "b")
+    val kc = Classify.cohenKappa(const, "a", "b")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    assert(kc === ((5L, 5L, 10000L, 10000L, None)))
+    // confusion matrix matches the planted cells
+    val conf = Classify.agreementConfusion(df, "a", "b")
+      .as[(String, String, Long)].collect().toSeq.sorted
+    assert(conf === Seq(("n", "n", 10L), ("n", "y", 10L),
+      ("y", "n", 15L), ("y", "y", 25L)))
+  }
+
   test("touchCredit: hand-walked windows, remainder-to-last, conservation, cap + audit, guards") {
     import graft.ops.Attribution
     def us(sec: Long) = sec * 1000000L

@@ -182,6 +182,21 @@ class PlanSpec extends SparkSpec {
       plan261.contains("BroadcastHashJoin"), plan261)
   }
 
+  test("q262: kappa is ONE corpus aggregate; everything after runs at label grain") {
+    val plan = planOf("q262_cohen_kappa")
+    // the only corpus-sized structure is the (label_a, label_b)
+    // partial-combined aggregate; marginals/joins are labels²-grain
+    // the corpus scan+aggregate ran once inside the localCheckpoint
+    // job; the executed plan reads the labels²-grain matrix only
+    assert(!plan.contains("Scan parquet"),
+      s"kappa re-derived the confusion matrix from the source:\n$plan")
+    assert(plan.contains("localCheckpoint at Classify.scala"), plan)
+    val rddIds = "MapPartitionsRDD\\[\\d+\\]".r.findAllIn(plan).toSet
+    assert(rddIds.size == 1,
+      s"expected one checkpointed matrix, saw $rddIds:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q240: ranking metrics join hash-wise and aggregate at query grain — no nested loop") {
     val plan = planOf("q240_ranking_metrics")
     assert(!plan.contains("CartesianProduct") &&

@@ -369,7 +369,12 @@ object ScaleProbe {
     "q260_audio_fingerprint", "q261_audio_neardup",
     // r17: annotation agreement — one pair-grain partial-combined
     // aggregate; everything after runs at labels² grain
-    "q262_cohen_kappa", "q263_agreement_confusion")
+    "q262_cohen_kappa", "q263_agreement_confusion",
+    // r17: containment join — capped asymmetric posting join (left
+    // prefix × right full postings); the full-postings side caps by
+    // design at this scale (its audit is the screen), so the ratio
+    // prices the SURVIVING posting product, not the raw df²
+    "q264_containment_join", "q265_containment_join_audit")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

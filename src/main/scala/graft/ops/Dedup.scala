@@ -1646,6 +1646,94 @@ object Dedup {
       .select(col("tk").as("token"), col("n_rows").as("posting_len"))
   }
 
+  /** Prefix-filtered exact CONTAINMENT join — [[jaccardJoin]]'s
+    * asymmetric sibling: pairs (a, b) with `|A∩B| ≥ t·|A|` — "a's
+    * token set is mostly inside b's" — the quote / boilerplate-reuse /
+    * sub-document-copy detector symmetric Jaccard misses by
+    * construction (a 40-shingle quote inside a 4 000-shingle article
+    * has Jaccard ≈ 0.01 but containment 1.0). Candidate generation is
+    * the containment prefix scheme (the SSJoin family — Chaudhuri et
+    * al., ICDE 2006): a qualifying pair can miss at most
+    * `|A| − ⌈t·|A|⌉` of A's tokens in B, so A's first
+    * `|A| − ⌈t·|A|⌉ + 1` tokens in the global (df ASC, token ASC)
+    * order must hit B — the LEFT side indexes only that prefix
+    * ([[jaccardJoin]]'s exact rule), while the RIGHT side must index
+    * ALL its tokens (containment gives no bound on `|B|`, so no
+    * right-prefix exists — the asymmetry is structural, not an
+    * implementation choice). Verification is exact
+    * `array_intersect` arithmetic on candidates only, in basis points
+    * with truncating div. Both posting families are capped at
+    * `maxPosting` ids per token (over-cap postings dropped WHOLE — the
+    * [[jaccardJoin]] posture; a pair is lost only if EVERY prefix
+    * token it shares is over-cap on either side), bounding the join at
+    * `Σ_tk |L(tk)|·|R(tk)| ≤ maxPosting²·|tokens|`. The full-postings
+    * side caps FIRST at common tokens (stopword shingles) — size the
+    * cap from the df profile and watch [[containmentJoinAudit]], the
+    * loud twin. Output: `(id_a, id_b, n_inter, containment_bp)` where
+    * id_a is the CONTAINED side; self-pairs excluded, empty token
+    * sets drop.
+    */
+  def containmentJoin(df: DataFrame, idCol: String, tokensCol: String,
+                      thresholdBp: Long,
+                      maxPosting: Int = 1000): DataFrame = {
+    require(thresholdBp >= 1 && thresholdBp <= 10000,
+      s"containmentJoin: thresholdBp must be in [1, 10000], got " +
+        s"$thresholdBp")
+    require(maxPosting >= 2,
+      s"containmentJoin: maxPosting must be >= 2, got $maxPosting")
+    val base = df.select(col(idCol).cast("long").as("id"),
+        array_distinct(col(tokensCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val pfx = capBlockRows(
+      prefixTokens(base, thresholdBp), Seq("tk"), maxPosting)
+    val post = capBlockRows(
+      base.select(col("id"), explode(col("toks")).as("tk")),
+      Seq("tk"), maxPosting)
+    val cand = pfx.select(col("tk"), col("id").as("a_id"))
+      .join(post.select(col("tk"), col("id").as("b_id")), Seq("tk"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(base.select(col("id").as("a_id"), col("toks").as("ta")),
+        Seq("a_id"))
+      .join(base.select(col("id").as("b_id"), col("toks").as("tb")),
+        Seq("b_id"))
+      .select(col("a_id").as("id_a"), col("b_id").as("id_b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long")
+          .as("n_inter"),
+        size(col("ta")).cast("long").as("na"))
+      .filter(col("n_inter") * 10000L >= lit(thresholdBp) * col("na"))
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        expr("n_inter * 10000L div na").as("containment_bp"))
+  }
+
+  /** Audit twin of [[containmentJoin]]: the over-cap postings on
+    * EITHER side — `(side, token, posting_len)` with side ∈
+    * {'prefix', 'postings'} — built from the same generators so join
+    * and audit can never disagree. The postings side saturating on
+    * stopword-shaped tokens is the expected signal; alert, then raise
+    * the cap deliberately or stoplist the token. */
+  def containmentJoinAudit(df: DataFrame, idCol: String,
+                           tokensCol: String, thresholdBp: Long,
+                           maxPosting: Int): DataFrame = {
+    require(thresholdBp >= 1 && thresholdBp <= 10000,
+      s"containmentJoinAudit: thresholdBp must be in [1, 10000], got " +
+        s"$thresholdBp")
+    val base = df.select(col(idCol).cast("long").as("id"),
+        array_distinct(col(tokensCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+    oversizedBlocks(prefixTokens(base, thresholdBp), Seq("tk"),
+        maxPosting)
+      .select(lit("prefix").as("side"), col("tk").as("token"),
+        col("n_rows").as("posting_len"))
+      .unionAll(
+        oversizedBlocks(
+          base.select(col("id"), explode(col("toks")).as("tk")),
+          Seq("tk"), maxPosting)
+          .select(lit("postings").as("side"), col("tk").as("token"),
+            col("n_rows").as("posting_len")))
+  }
+
   /** Shared prefix generator for [[jaccardJoin]]/[[jaccardJoinAudit]]:
     * explode to (id, token), attach document frequency, rank within
     * each doc by (df ASC, token ASC) and keep ranks ≤ n − ⌈t·n⌉ + 1.

@@ -2435,6 +2435,34 @@ object PipelineQueries {
         TextOps.shingles(col("text"), 2).as("sh")),
       "doc_id", "sh", thresholdBp = 9000L, maxPosting = 18)
 
+  /** EXACT containment join ([[graft.ops.Dedup.containmentJoin]],
+    * bigram shingles, t = 0.85, cap 64) — q253's ASYMMETRIC sibling:
+    * pairs where one doc's shingle set sits ≥ 85% inside another's,
+    * the quote/boilerplate-reuse screen Jaccard misses (the fixture's
+    * short-doc-inside-long-doc pairs appear HERE and not in q253).
+    * The oracle is the naive all-ordered-pairs intersection join —
+    * hash equality is the containment-prefix completeness theorem
+    * over data. Cap 64 clears the fixture's max bigram df of 46, so
+    * nothing drops at gate scale (fixture-bound sizing, the q227
+    * posture — at sf1 the postings side caps by design and q265 is
+    * the screen that says so).
+    */
+  def q264(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.containmentJoin(
+      t(s, dir)("documents").select(col("doc_id"),
+        TextOps.shingles(col("text"), 2).as("sh")),
+      "doc_id", "sh", thresholdBp = 8500L, maxPosting = 64)
+
+  /** The loud twin ([[graft.ops.Dedup.containmentJoinAudit]]) at cap
+    * 24, which the fixture's common shingles DO exceed on the
+    * full-postings side — both sides re-derived by the oracle, so the
+    * hash pins the prefix rule AND the side attribution. */
+  def q265(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.containmentJoinAudit(
+      t(s, dir)("documents").select(col("doc_id"),
+        TextOps.shingles(col("text"), 2).as("sh")),
+      "doc_id", "sh", thresholdBp = 8500L, maxPosting = 24)
+
   /** The q258/q259 planted image corpus: one REAL 16×16 grayscale PNG
     * per document, pixel(i) = (base·31 + i·17 + i²·7 + base·i·13
     * + (base div 256)·i²·11) mod 256 with base = doc_id div 2 —
@@ -4075,6 +4103,8 @@ object PipelineQueries {
     "q261_audio_neardup" -> (q261 _),
     "q262_cohen_kappa" -> (q262 _),
     "q263_agreement_confusion" -> (q263 _),
+    "q264_containment_join" -> (q264 _),
+    "q265_containment_join_audit" -> (q265 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -4984,6 +5014,52 @@ FROM o"""
                  WHERE rn <= n - ((9000 * n + 9999) // 10000) + 1)
        SELECT tk AS token, CAST(count(*) AS BIGINT) AS posting_len
        FROM pfx GROUP BY tk HAVING count(*) > 18""",
+    // containment join: naive all-ordered-pairs intersection —
+    // hash equality is the containment-prefix completeness theorem
+    "q264_containment_join" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+         s AS (SELECT doc_id, list_distinct(list_transform(
+                 range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS sh
+               FROM w),
+         sz AS (SELECT doc_id, len(sh) AS n FROM s WHERE len(sh) > 0),
+         tok AS (SELECT doc_id, unnest(sh) AS tk FROM s
+                 WHERE len(sh) > 0),
+         inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 count(*) AS i
+           FROM tok a JOIN tok b
+             ON a.tk = b.tk AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2)
+       SELECT a_id AS id_a, b_id AS id_b, CAST(i AS BIGINT) AS n_inter,
+              CAST(i * 10000 // sa.n AS BIGINT) AS containment_bp
+       FROM inter JOIN sz sa ON sa.doc_id = inter.a_id
+       WHERE i * 10000 >= 8500 * sa.n""",
+    // containment audit: both posting families re-derived — the
+    // (df ASC, token ASC) prefix rule AND the full postings — with
+    // side attribution
+    "q265_containment_join_audit" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+         s AS (SELECT doc_id, list_distinct(list_transform(
+                 range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS sh
+               FROM w),
+         tok AS (SELECT doc_id, unnest(sh) AS tk FROM s
+                 WHERE len(sh) > 0),
+         freq AS (SELECT tk, count(*) AS df FROM tok GROUP BY tk),
+         r AS (SELECT t.doc_id, t.tk,
+                 row_number() OVER (PARTITION BY t.doc_id
+                   ORDER BY f.df, t.tk) AS rn,
+                 count(*) OVER (PARTITION BY t.doc_id) AS n
+               FROM tok t JOIN freq f USING (tk)),
+         pfx AS (SELECT doc_id, tk FROM r
+                 WHERE rn <= n - ((8500 * n + 9999) // 10000) + 1)
+       SELECT 'prefix' AS side, tk AS token,
+              CAST(count(*) AS BIGINT) AS posting_len
+       FROM pfx GROUP BY tk HAVING count(*) > 24
+       UNION ALL
+       SELECT 'postings' AS side, tk AS token,
+              CAST(count(*) AS BIGINT) AS posting_len
+       FROM tok GROUP BY tk HAVING count(*) > 24""",
     // aHash: pixel planting rule + 2x2 integer box filter + truncating
     // mean + bit assembly replayed in pure SQL arithmetic
     "q258_ahash_decode" ->

@@ -3937,6 +3937,55 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("containmentJoin: asymmetry, boundary bp, Jaccard-miss pair, cap + side audit, guards") {
+    import graft.ops.Dedup
+    // 1={a,b,c,d} fully inside 2={a..j}; 3={a,b,c,x} is 3/4 inside
+    // 1, 2 and vice versa for 1->3; 4={z} disjoint
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")),
+      (3L, Seq("a", "b", "c", "x")), (4L, Seq("z")))
+      .toDF("id", "toks")
+    def run(bp: Long, cap: Int = 100) =
+      Dedup.containmentJoin(df, "id", "toks", bp, cap)
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    // asymmetric: (1 in 2) = 4/4 but (2 in 1) = 4/10 — only the
+    // contained direction emits; (1,3) and (3,1) BOTH emit at 7500
+    assert(run(7500L) === Seq((1L, 2L, 4L, 10000L),
+      (1L, 3L, 3L, 7500L), (3L, 1L, 3L, 7500L), (3L, 2L, 3L, 7500L)))
+    // boundary exact: 7501 excludes the 7500bp pairs
+    assert(run(7501L) === Seq((1L, 2L, 4L, 10000L)))
+    // the Jaccard-miss witness: J(1,2) = 4/10 = 4000bp — jaccardJoin
+    // at the same 7500 threshold cannot see the quote-inside-article
+    assert(!Dedup.jaccardJoin(df, "id", "toks", 7500L, 100)
+      .as[(Long, Long, Long, Long)].collect()
+      .exists(p => p._1 == 1L && p._2 == 2L))
+    // cap 2: full postings a/b/c (len 3) drop whole; prefixes at
+    // t=0.75 are 1->[d,a] 2->[e,f,g] 3->[x,a] 4->[z], so the only
+    // surviving candidate edge is d: {1}x{1,2} -> (1,2); the pairs
+    // whose every shared prefix token is over-cap on the postings
+    // side are the documented loss
+    assert(run(7500L, cap = 2) === Seq((1L, 2L, 4L, 10000L)))
+    val audit = Dedup.containmentJoinAudit(df, "id", "toks", 7500L, 2)
+      .as[(String, String, Long)].collect().toSeq.sorted
+    assert(audit === Seq(("postings", "a", 3L), ("postings", "b", 3L),
+      ("postings", "c", 3L)))
+    assert(Dedup.containmentJoinAudit(df, "id", "toks", 7500L, 3)
+      .count() === 0L)
+    // duplicate tokens: set semantics on both sides
+    val dup = Seq((1L, Seq("p", "p", "q")), (2L, Seq("p", "q", "q", "r")))
+      .toDF("id", "toks")
+    assert(Dedup.containmentJoin(dup, "id", "toks", 10000L, 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq ===
+      Seq((1L, 2L, 2L, 10000L)))
+    intercept[IllegalArgumentException] {
+      Dedup.containmentJoin(df, "id", "toks", 0L, 10)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.containmentJoin(df, "id", "toks", 5000L, 1)
+    }
+  }
+
   test("labelPropagation: hand-walked rounds, count-beats-min tie order, convergence, guards") {
     import graft.ops.Graph
     // triangle {1,2,3} + tail 3-4-5; synchronous min-tie LPA hand-walk:

@@ -197,6 +197,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q264: containment join is hash joins on the token key — no nested loop") {
+    val plan = planOf("q264_containment_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"posting join fell back to a nested loop:\n$plan")
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q240: ranking metrics join hash-wise and aggregate at query grain — no nested loop") {
     val plan = planOf("q240_ranking_metrics")
     assert(!plan.contains("CartesianProduct") &&

@@ -675,6 +675,43 @@ object Multimodal {
       }, schema)
   }
 
+  /** Magic-byte dispatch + the matching REAL content decode + 64-bit
+    * fingerprint, per blob — the shared core behind
+    * [[graft.streaming.DocumentStreams.mediaFingerprintStream]] and
+    * batch callers that want one column pair across modalities:
+    * image magics (PNG/JPEG/GIF/BMP) route to [[decodeGray]] →
+    * [[aHash64]], audio magics (RIFF-WAVE/FORM-AIFF/.snd) to
+    * [[decodePcm]] → [[energyHash64]]. Returns (kind, Option[(hi,
+    * lo)]): kind is what the MAGIC said ("image"/"audio"/"unknown");
+    * the hash is None when the magic lied or the decoder gave up —
+    * the two failure reads ("claimed image, rotten bytes" vs "not
+    * media at all") that a crawl-health screen must distinguish.
+    * Dispatch-then-decode, never try-every-decoder: at ingest rates
+    * the failed-attempt cost dominates otherwise (the q228 rationale,
+    * executed).
+    */
+  private[graft] def fingerprint(bytes: Array[Byte])
+      : (String, Option[(Long, Long)]) = {
+    def at(i: Int) = bytes(i) & 0xff
+    if (bytes == null || bytes.length < 12) ("unknown", None)
+    else if ((at(0) == 0x89 && at(1) == 0x50 && at(2) == 0x4e &&
+        at(3) == 0x47) ||
+      (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) ||
+      (at(0) == 0x47 && at(1) == 0x49 && at(2) == 0x46 && at(3) == 0x38) ||
+      (at(0) == 0x42 && at(1) == 0x4d))
+      ("image", decodeGray(bytes).flatMap { case (w, h, g) =>
+        aHash64(w, h, g) })
+    else if ((at(0) == 0x52 && at(1) == 0x49 && at(2) == 0x46 &&
+        at(3) == 0x46 && at(8) == 0x57 && at(9) == 0x41 &&
+        at(10) == 0x56 && at(11) == 0x45) ||
+      (at(0) == 0x46 && at(1) == 0x4f && at(2) == 0x52 && at(3) == 0x4d &&
+        at(8) == 0x41 && at(9) == 0x49 && at(10) == 0x46 &&
+        at(11) == 0x46) ||
+      (at(0) == 0x2e && at(1) == 0x73 && at(2) == 0x6e && at(3) == 0x64))
+      ("audio", decodePcm(bytes).flatMap(p => energyHash64(p._2)))
+    else ("unknown", None)
+  }
+
   /** Deterministic frame sampling for video blobs: every k-th fixed-size
     * frame slice, exploded to one row per sampled frame — the Spark-side
     * shape of a real frame extractor (which would seek keyframes instead).

@@ -488,4 +488,42 @@ object DocumentStreams {
       .withColumn("text_clean", array_join(col("__kept"), sep))
       .drop("group", "__cuts", "__units", "__kept")
   }
+
+  /** Media fingerprinting at the ingest door — the streaming twin of
+    * the batch [[graft.ops.Multimodal.averageHash]] /
+    * [[graft.ops.Multimodal.audioEnergyHash]] pair, for a mixed blob
+    * stream (schema: media_id, content + passthrough): magic-byte
+    * dispatch picks the modality, the REAL decoder
+    * (`javax.imageio` / `javax.sound`) runs on the micro-batch's scan
+    * partitions, and each blob leaves as
+    * `(media_id, media_kind, fp_hi, fp_lo)` — 64-bit fingerprint as
+    * 32-bit halves, NULL when the magic lied or the blob is
+    * undecodable, kind `unknown` for non-media bytes (the two
+    * crawl-health reads kept distinct). Downstream, near-dup flagging
+    * joins these 20-byte rows against a persisted fingerprint
+    * relation ([[graft.ops.Multimodal.hammingNearDup]] in the batch
+    * compaction pass, or a stream-static band join — the
+    * [[flagAgainstBase]] posture); the BYTES never cross an exchange
+    * in either half.
+    *
+    * Shape: completely STATELESS — typed `mapPartitions` (the one
+    * construct that puts an imperative decoder inside a streaming
+    * plan without a state store), no watermark, no shuffle; the
+    * fingerprint internals are the SAME private functions the batch
+    * operators call, so stream and batch cannot disagree on a blob
+    * they both hash.
+    */
+  def mediaFingerprintStream(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (kind, fp) = graft.ops.Multimodal.fingerprint(bytes)
+          (id, kind, fp.map(_._1), fp.map(_._2))
+        }
+      }
+      .toDF("media_id", "media_kind", "fp_hi", "fp_lo")
+  }
 }

@@ -779,6 +779,57 @@ class StreamingSpec extends SparkSpec {
     assert(state === 0, s"state rows = $state")
   }
 
+  test("mediaFingerprintStream hashes a mixed blob stream identically to the batch ops, stateless") {
+    import graft.ops.Multimodal
+    // one real PNG, one real WAV, one junk blob — all through the door
+    val png = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (i <- 0 until 256)
+        img.getRaster.setSample(i % 16, i / 16, 0, (i * 37 + 11) % 256)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val wav = {
+      val n = 128
+      val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + n * 2).put("WAVE".getBytes)
+        .put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(16000).putShort(2).putShort(16)
+        .put("data".getBytes).putInt(n * 2)
+      for (i <- 0 until n) bb.putShort((((i * 97 + 31) % 2001) - 1000).toShort)
+      bb.array()
+    }
+    val blobs = Seq((1L, png), (2L, wav),
+      (3L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13)))
+    val input = MemoryStream[(Long, Array[Byte])](spark)
+    input.addData(blobs: _*)
+    val q = streaming.DocumentStreams.mediaFingerprintStream(
+        input.toDF().toDF("media_id", "content"))
+      .writeStream.format("memory").queryName("mediafp")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("mediafp")
+      .as[(Long, String, Option[Long], Option[Long])].collect().toSet
+    // batch comparators: the SAME hashes from the modality-specific ops
+    val img = Multimodal.averageHash(Seq((1L, png)).toDF("media_id", "content"))
+      .as[(Long, Option[Int], Option[Int], Option[Long], Option[Long])]
+      .collect().head
+    val aud = Multimodal.audioEnergyHash(Seq((2L, wav)).toDF("media_id", "content"))
+      .as[(Long, Option[Int], Option[Int], Option[Long], Option[Long])]
+      .collect().head
+    assert(streamed === Set(
+      (1L, "image", img._4, img._5),
+      (2L, "audio", aud._4, aud._5),
+      (3L, "unknown", None, None)))
+    assert(img._4.nonEmpty && aud._4.nonEmpty)
+    val state = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal)).sum
+    assert(state === 0, s"state rows = $state")
+  }
+
   test("encodePqBatch encodes an embedding stream identically to batch, stateless") {
     // PQ ingest is a pure codegen'd projection against codebook literals,
     // so the SAME operator runs unchanged on a stream — no twin needed;

@@ -374,7 +374,11 @@ object ScaleProbe {
     // prefix × right full postings); the full-postings side caps by
     // design at this scale (its audit is the screen), so the ratio
     // prices the SURVIVING posting product, not the raw df²
-    "q264_containment_join", "q265_containment_join_audit")
+    "q264_containment_join", "q265_containment_join_audit",
+    // r17: image dedup capstone — decode+hash scan, capped band join,
+    // star-contraction rounds (log² component), one survivor join;
+    // every stage's own probe exists, this prices the composition
+    "q266_image_dedup")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

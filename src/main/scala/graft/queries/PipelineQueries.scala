@@ -2596,6 +2596,34 @@ object PipelineQueries {
       graft.ops.Multimodal.audioEnergyHash(plantedWavs(s, dir)),
       "media_id", "fp_hi", "fp_lo", maxDist = 3, maxBucket = 100)
 
+  /** End-to-end IMAGE DEDUP — the multimodal family's capstone
+    * composition, every stage already gated alone: real raster decode
+    * + aHash (q258) → banded Hamming pairs (q259) →
+    * [[graft.ops.Dedup.dupClusters]] star-contraction components (the
+    * q46 engine) → canonical survivor = min media_id per component,
+    * singletons self-canonical. One relation answers the only
+    * question a dedup pass exists to answer: per image, KEEP or point
+    * at whom. The oracle replays hashes arithmetically, brute-forces
+    * the pair graph, walks components with a recursive CTE and takes
+    * the same min — agreement pins the WHOLE pipeline, including that
+    * banding and star-contraction lost nothing between the stages.
+    */
+  def q266(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.ops.Multimodal.hammingNearDup(
+        graft.ops.Multimodal.averageHash(plantedPngs(s, dir)),
+        "media_id", "ahash_hi", "ahash_lo", maxDist = 3, maxBucket = 100)
+      .select(col("id_a").as("a_id"), col("id_b").as("b_id"))
+    val clusters = graft.ops.Dedup.dupClusters(pairs,
+      starContraction = true)
+    plantedPngs(s, dir).select(col("media_id"))
+      .join(clusters.select(col("id").as("media_id"),
+        col("cluster")), Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("cluster"), col("media_id")).as("canonical_id"))
+      .withColumn("is_kept", (col("media_id") === col("canonical_id"))
+        .cast("boolean"))
+  }
+
   /** The language-planted corpus shared by q166: each doc gets its
     * label's function-word suffix ×3 (the trigram signal a char-n-gram
     * model keys on — the raw fixture text is the SAME synthetic
@@ -4105,6 +4133,7 @@ object PipelineQueries {
     "q263_agreement_confusion" -> (q263 _),
     "q264_containment_join" -> (q264 _),
     "q265_containment_join_audit" -> (q265 _),
+    "q266_image_dedup" -> (q266 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -5060,6 +5089,51 @@ FROM o"""
        SELECT 'postings' AS side, tk AS token,
               CAST(count(*) AS BIGINT) AS posting_len
        FROM tok GROUP BY tk HAVING count(*) > 24""",
+    // image dedup capstone: replayed hashes -> brute-force pairs ->
+    // recursive-CTE components -> min-id canonical, singletons self
+    "q266_image_dedup" ->
+      """WITH RECURSIVE pix AS (
+           SELECT doc_id, g.i,
+             CASE WHEN doc_id % 2 = 1 AND g.i = (doc_id // 2) % 256
+               THEN ((doc_id // 2) * 31 + g.i * 17 + g.i * g.i * 7
+                     + (doc_id // 2) * g.i * 13
+                     + (doc_id // 2 // 256) * g.i * g.i * 11 + 3) % 256
+               ELSE ((doc_id // 2) * 31 + g.i * 17 + g.i * g.i * 7
+                     + (doc_id // 2) * g.i * 13
+                     + (doc_id // 2 // 256) * g.i * g.i * 11) % 256 END AS p
+           FROM documents
+           CROSS JOIN (SELECT unnest(range(0, 256)) AS i) g),
+         cells AS (
+           SELECT doc_id,
+                  ((i // 16) // 2) * 8 + ((i % 16) // 2) AS ci,
+                  sum(p) // 4 AS cv
+           FROM pix GROUP BY 1, 2),
+         m AS (SELECT doc_id, sum(cv) // 64 AS mean
+               FROM cells GROUP BY 1),
+         hsh AS (
+           SELECT c.doc_id,
+                  CAST(coalesce(sum(CASE WHEN ci >= 32 AND cv > mean
+                    THEN (CAST(1 AS BIGINT) << (ci - 32)) END), 0)
+                    AS BIGINT) AS hi,
+                  CAST(coalesce(sum(CASE WHEN ci < 32 AND cv > mean
+                    THEN (CAST(1 AS BIGINT) << ci) END), 0)
+                    AS BIGINT) AS lo
+           FROM cells c JOIN m USING (doc_id) GROUP BY 1),
+         p2 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.hi, b.hi)) +
+                 bit_count(xor(a.lo, b.lo)) <= 3),
+         e AS (SELECT a_id AS src, b_id AS dst FROM p2
+               UNION ALL SELECT b_id, a_id FROM p2),
+         reach AS (
+           SELECT src AS id, src AS r FROM e
+           UNION
+           SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+       SELECT d.doc_id AS media_id,
+              coalesce(c.cluster, d.doc_id) AS canonical_id,
+              d.doc_id = coalesce(c.cluster, d.doc_id) AS is_kept
+       FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""",
     // aHash: pixel planting rule + 2x2 integer box filter + truncating
     // mean + bit assembly replayed in pure SQL arithmetic
     "q258_ahash_decode" ->

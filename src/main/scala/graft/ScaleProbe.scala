@@ -378,7 +378,11 @@ object ScaleProbe {
     // r17: image dedup capstone — decode+hash scan, capped band join,
     // star-contraction rounds (log² component), one survivor join;
     // every stage's own probe exists, this prices the composition
-    "q266_image_dedup")
+    "q266_image_dedup",
+    // r17: retraction — two corpus histState aggregates + one
+    // state-grain full-outer; the retraction itself never touches
+    // corpus rows, so the ratio prices the histogram builds
+    "q267_retract_hist", "q268_retract_audit")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

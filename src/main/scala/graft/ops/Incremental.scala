@@ -251,4 +251,69 @@ object Incremental {
         sum(when(col("dbin") > col("madbin") * 3L, col("n"))
           .otherwise(lit(0L))).as("n_outliers_binned"))
   }
+
+  /** RETRACT a delete batch from a histogram state — the delete half
+    * of incremental maintenance, and the reason the delete path is
+    * histogram-shaped at all: bin counts subtract exactly
+    * (`retractHist(mergeHist(s, d), d) ≡ s` — OpsSpec pins the law),
+    * where the algebraic [[aggState]] CANNOT honestly take deletes —
+    * `n`/`sum_v` invert, but `min_v`/`max_v` are NON-INVERTIBLE
+    * (deleting the current extremum leaves no record of the
+    * runner-up; any "maintained" extremum after a delete is a bound,
+    * not a value). So the division of labor is: insert-only flows use
+    * [[aggState]]/[[merge]] (richer state, q175/q236), flows with
+    * deletes route through [[histState]]/[[mergeHist]]/this — counts
+    * and every binned order statistic ([[binnedMedMad]]) stay EXACT
+    * under retraction, extrema are answered at read as the occupied
+    * min/max bin edge (±binWidth, like every binned read).
+    *
+    * `deletes` is itself a [[histState]] of the deleted rows — state
+    * retracts state, so a day of deletes folds once, not row by row.
+    * Bins that reach zero drop (state never grows from deleting);
+    * bins driven NEGATIVE — a delete for a row never inserted, the
+    * CDC out-of-order / double-delete signal — are EXCLUDED here and
+    * listed loudly by [[retractHistAudit]]: run the audit on the same
+    * inputs before trusting a retraction (the cap/audit posture; a
+    * silent clamp would hide pipeline corruption as data).
+    */
+  def retractHist(state: DataFrame, deletes: DataFrame,
+                  keys: Seq[String]): DataFrame = {
+    val joined = retractJoined(state, deletes, keys)
+    joined
+      .select((keys.map(col) :+ col("bin") :+
+        (col("__s_n") - col("__d_n")).as("n")): _*)
+      .filter(col("n") > 0L)
+  }
+
+  /** Audit twin of [[retractHist]]: the (keys, bin) rows where the
+    * delete batch exceeds the state — phantom deletes. Non-empty
+    * means the CDC feed re-delivered a delete or deleted an
+    * un-inserted row; the retraction is untrustworthy until the feed
+    * is reconciled. `(keys…, bin, n_state, n_deleted)`. */
+  def retractHistAudit(state: DataFrame, deletes: DataFrame,
+                       keys: Seq[String]): DataFrame = {
+    val joined = retractJoined(state, deletes, keys)
+    joined.filter(col("__d_n") > col("__s_n"))
+      .select((keys.map(col) :+ col("bin") :+
+        col("__s_n").as("n_state") :+
+        col("__d_n").as("n_deleted")): _*)
+  }
+
+  /** Shared full-outer alignment for [[retractHist]]/
+    * [[retractHistAudit]] — one derivation, so the retraction and its
+    * audit can never disagree about a bin. */
+  private def retractJoined(state: DataFrame, deletes: DataFrame,
+                            keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "retractHist: no grouping keys")
+    Seq(("state", state), ("deletes", deletes)).foreach { case (nm, s) =>
+      Seq("bin", "n").foreach(c => require(s.columns.contains(c),
+        s"retractHist: $nm lacks state column '$c'"))
+    }
+    val d = deletes.select((keys.map(col) :+ col("bin") :+
+      col("n").as("__dd_n")): _*)
+    state.join(d, keys :+ "bin", "full_outer")
+      .select((keys.map(col) :+ col("bin") :+
+        coalesce(col("n"), lit(0L)).as("__s_n") :+
+        coalesce(col("__dd_n"), lit(0L)).as("__d_n")): _*)
+  }
 }

@@ -3606,6 +3606,48 @@ object PipelineQueries {
         Seq("okey")))
   }
 
+  /** Retraction-aware incremental maintenance
+    * ([[graft.ops.Incremental.retractHist]] — the DELETE half the
+    * materialized-view family lacked; q175/q236 are insert-only): the
+    * per-type value-cents histogram with every 5th event retracted as
+    * a folded delete batch (state minus histState(deletes)), proven ≡
+    * recomputing the histogram over the complement because the oracle
+    * IS the complement recompute. The histogram is the honest delete
+    * path: bin counts subtract exactly where aggState's min/max are
+    * non-invertible — and every binned order statistic (q209/q210's
+    * reads) stays exact on the retracted state. Per batch the
+    * retraction touches state-sized relations only, never the corpus.
+    */
+  def q267(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Incremental
+    val e = graft.events(s, dir).select(col("event_type"),
+      col("event_id"), graft.cents(col("value")).as("c"))
+    val full = Incremental.histState(e, Seq("event_type"), "c", 1000L)
+    val dels = Incremental.histState(
+      e.filter(pmod(col("event_id"), lit(5L)) === 0L),
+      Seq("event_type"), "c", 1000L)
+    Incremental.retractHist(full, dels, Seq("event_type"))
+  }
+
+  /** The loud twin ([[graft.ops.Incremental.retractHistAudit]]) with
+    * phantom deletes PLANTED: the state excludes signup events but the
+    * delete batch doesn't, so every signup delete is a delete of a row
+    * never inserted — the CDC re-delivery/out-of-order signal the
+    * audit exists to catch, exercised over data (non-signup deletes
+    * are true subsets and stay silent). */
+  def q268(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Incremental
+    val e = graft.events(s, dir).select(col("event_type"),
+      col("event_id"), graft.cents(col("value")).as("c"))
+    val state = Incremental.histState(
+      e.filter(col("event_type") =!= "signup"),
+      Seq("event_type"), "c", 1000L)
+    val dels = Incremental.histState(
+      e.filter(pmod(col("event_id"), lit(5L)) === 0L),
+      Seq("event_type"), "c", 1000L)
+    Incremental.retractHistAudit(state, dels, Seq("event_type"))
+  }
+
   /** Fuzzy record linkage with the native codegen'd `jaro_winkler`
     * expression: entity names planted with high-entropy digit blocks at
     * BOTH ends (`ddd-word-ddd`, unique per id), a deletion typo planted
@@ -4134,6 +4176,8 @@ object PipelineQueries {
     "q264_containment_join" -> (q264 _),
     "q265_containment_join_audit" -> (q265 _),
     "q266_image_dedup" -> (q266 _),
+    "q267_retract_hist" -> (q267 _),
+    "q268_retract_audit" -> (q268 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -5089,6 +5133,29 @@ FROM o"""
        SELECT 'postings' AS side, tk AS token,
               CAST(count(*) AS BIGINT) AS posting_len
        FROM tok GROUP BY tk HAVING count(*) > 24""",
+    // retraction: maintained state == recompute on the complement
+    "q267_retract_hist" ->
+      """WITH e AS (SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) // 1000 AS bin
+           FROM events)
+       SELECT event_type, CAST(bin AS BIGINT) AS bin,
+              CAST(count(*) AS BIGINT) AS n
+       FROM e WHERE event_id % 5 <> 0 GROUP BY 1, 2""",
+    // phantom-delete audit: deletes exceeding state, with both counts
+    "q268_retract_audit" ->
+      """WITH e AS (SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) // 1000 AS bin
+           FROM events),
+         st AS (SELECT event_type, bin, count(*) AS n FROM e
+                WHERE event_type <> 'signup' GROUP BY 1, 2),
+         de AS (SELECT event_type, bin, count(*) AS n FROM e
+                WHERE event_id % 5 = 0 GROUP BY 1, 2)
+       SELECT d.event_type, CAST(d.bin AS BIGINT) AS bin,
+              CAST(coalesce(s.n, 0) AS BIGINT) AS n_state,
+              CAST(d.n AS BIGINT) AS n_deleted
+       FROM de d LEFT JOIN st s
+         ON s.event_type = d.event_type AND s.bin = d.bin
+       WHERE d.n > coalesce(s.n, 0)""",
     // image dedup capstone: replayed hashes -> brute-force pairs ->
     // recursive-CTE components -> min-id canonical, singletons self
     "q266_image_dedup" ->

@@ -2856,6 +2856,48 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("retractHist: inverse law, complement equality, zero-bin drop, phantom audit (q267 laws)") {
+    import graft.ops.Incremental
+    val keys = Seq("k")
+    val base = Seq(("x", 150L), ("x", 151L), ("x", 2050L), ("y", 10L),
+      ("y", 20L)).toDF("k", "v")
+    val dels = Seq(("x", 151L), ("y", 10L), ("y", 20L)).toDF("k", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "bin", "n").as[(String, Long, Long)]
+        .collect().toSeq.sorted
+    val sB = Incremental.histState(base, keys, "v", 100L)
+    val sD = Incremental.histState(dels, keys, "v", 100L)
+    // inverse law: retract(merge(s, d), d) == s
+    assert(canon(Incremental.retractHist(
+      Incremental.mergeHist(sB, sD, keys), sD, keys)) === canon(sB))
+    // complement equality: retract(state(all), state(deleted)) ==
+    // state(all \ deleted); y's bin 0 (both rows deleted) DROPS
+    val retracted = Incremental.retractHist(sB, sD, keys)
+    assert(canon(retracted) === canon(Incremental.histState(
+      Seq(("x", 150L), ("x", 2050L)).toDF("k", "v"), keys, "v", 100L)))
+    assert(!canon(retracted).exists(_._1 == "y"))
+    // binned read stays exact on the retracted state
+    assert(Incremental.binnedMedMad(retracted, keys, 100L)
+      .select("k", "n").as[(String, Long)].collect().toSeq ===
+      Seq(("x", 2L)))
+    // phantom deletes: never-inserted (z) and over-deleted (x bin 1
+    // twice) rows are EXCLUDED from the retraction and LISTED by the
+    // audit with both counts
+    val phantom = Incremental.histState(
+      Seq(("x", 151L), ("x", 152L), ("x", 153L), ("z", 5L))
+        .toDF("k", "v"), keys, "v", 100L)
+    val audit = Incremental.retractHistAudit(sB, phantom, keys)
+      .select("k", "bin", "n_state", "n_deleted")
+      .as[(String, Long, Long, Long)].collect().toSeq.sorted
+    assert(audit === Seq(("x", 1L, 2L, 3L), ("z", 0L, 0L, 1L)))
+    val afterPhantom = canon(Incremental.retractHist(sB, phantom, keys))
+    assert(!afterPhantom.exists(r => r._1 == "x" && r._2 == 1L))
+    assert(!afterPhantom.exists(_._1 == "z"))
+    intercept[IllegalArgumentException] {
+      Incremental.retractHist(sB, sD.drop("bin"), keys)
+    }
+  }
+
   test("deltaJoin: maintained view == full recompute; sequential fold == combined batch (q236 laws)") {
     import graft.ops.Incremental
     def bag(df: org.apache.spark.sql.DataFrame) =

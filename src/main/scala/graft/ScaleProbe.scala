@@ -382,7 +382,10 @@ object ScaleProbe {
     // r17: retraction — two corpus histState aggregates + one
     // state-grain full-outer; the retraction itself never touches
     // corpus rows, so the ratio prices the histogram builds
-    "q267_retract_hist", "q268_retract_audit")
+    "q267_retract_hist", "q268_retract_audit",
+    // r17: robust outliers — one corpus day-count aggregate, then two
+    // rank windows at GROUP-SERIES (days × types) grain; ratio ≈ scan
+    "q269_robust_outliers")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -361,4 +361,65 @@ object Validate {
         count(when(col("__c").isNull, 1)).as("n_childless_parent"))
     childSide.crossJoin(parentSide)
   }
+
+  /** Per-row robust outlier flags by the MODIFIED z-score
+    * (Iglewicz & Hoaglin, *How to Detect and Handle Outliers*, 1993):
+    * `M = 0.6745·(x − median) / MAD`, flag `|M| > 3.5` — the screen
+    * that survives the outliers it hunts, where a mean/stddev z-score
+    * is dragged by them (one 10⁹ burst day inflates σ until nothing
+    * flags). All-integer: median and MAD are LOWER medians (rank
+    * ⌊(n+1)/2⌋ by value — the q257 tie-deterministic convention), and
+    * since 0.6745 = 6745/10⁴, `mz_bp = M·10⁴ = 6745·(x − med) div
+    * mad` EXACTLY in int64 (truncating div, negative numerators
+    * truncate toward zero on both engines — the q226 pin), with the
+    * 3.5 cut as the integer predicate `|6745·(x−med)| > 35000·mad`.
+    * Degenerate `MAD = 0` (more than half the group at the median):
+    * mz_bp is NULL and any deviation at all flags — the honest
+    * reading of "spread is zero". int64 envelope: 6745·|x−med| < 2⁶³
+    * holds to |x−med| ≈ 1.4·10¹⁵. Output: input columns + `med`,
+    * `mad`, `mz_bp`, `is_outlier`; NULL values pass through unflagged
+    * with NULL stats. Scale shape: two rank windows per key group (the
+    * exact-order-statistic cost, stated honestly — the binned sibling
+    * for corpus-grain values is [[graft.ops.Incremental.binnedMedMad]];
+    * this runs at GROUP-SERIES grain, e.g. days × types, where the
+    * sort is nothing).
+    */
+  def robustOutliers(df: DataFrame, keys: Seq[String],
+                     valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "robustOutliers: no grouping keys")
+    val v = col(valueCol).cast("long")
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("__v"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    val nn = df.filter(v.isNotNull)
+      .withColumn("__v", v)
+    val med = nn
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__rn") === expr("(__n + 1L) div 2L"))
+      .select((keys.map(col) :+ col("__v").as("med")): _*)
+    val wDev = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("__ad"))
+    val mad = nn.join(med, keys)
+      .withColumn("__ad", abs(col("__v") - col("med")))
+      .withColumn("__rn", row_number().over(wDev))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__rn") === expr("(__n + 1L) div 2L"))
+      .select((keys.map(col) :+ col("__ad").as("mad")): _*)
+    // the value column enters the SQL text only as the internal
+    // `__dev` projection (Column API resolution — names needing
+    // backticks work, the histState convention)
+    df.join(med, keys, "left").join(mad, keys, "left")
+      .withColumn("__dev", v - col("med"))
+      .withColumn("mz_bp",
+        when(v.isNotNull && col("mad") > 0L,
+          expr("6745L * __dev div mad")))
+      .withColumn("is_outlier",
+        when(v.isNull, lit(false))
+          .when(col("mad") > 0L,
+            abs(lit(6745L) * col("__dev")) > lit(35000L) * col("mad"))
+          .otherwise(col("__dev") =!= 0L))
+      .drop("__dev")
+  }
 }

@@ -1772,6 +1772,34 @@ object AnalyticQueries {
         col("slope_micro"), col("r").as("intercept_micro"))
   }
 
+  /** Per-day robust outlier flags over the daily event series
+    * ([[graft.ops.Validate.robustOutliers]]): modified z-score in
+    * exact basis points per (event_type, day) — the anomaly screen an
+    * operator actually pages on, where q200's KS and q213's CUSUM
+    * summarize. Observed days only (a type absent on a day is a spine
+    * question — q257/q242 own the zero-filled grid; mixing the two
+    * conventions would double-flag gaps as bursts). The fixture's
+    * daily counts are synthetic-uniform — nothing real clears 3.5
+    * robust z at any SF — so days with day ≡ 7 (mod 30) carry a
+    * PLANTED +100 000 burst (the q262 planted-arm convention),
+    * populating BOTH verdicts over data while the clean days pin the
+    * no-flag arm. The oracle replays the burst rule, both lower
+    * medians and the 6745/35000 integer predicate.
+    */
+  def q269(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .select(col("event_type"),
+        expr("ts_ns div 1000 div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg((count(lit(1)) +
+        when(pmod(col("day"), lit(30L)) === 7L, lit(100000L))
+          .otherwise(lit(0L))).as("n_events"))
+    graft.ops.Validate.robustOutliers(daily, Seq("event_type"),
+        "n_events")
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("med"), col("mad"), col("mz_bp"), col("is_outlier"))
+  }
+
   /** Benford first-digit screen on order totals — the fraud-analytics
     * classic: leading-digit counts of `o_totalprice` cents vs Benford's
     * expectation log₁₀(1 + 1/d). Counts are exact int64; the observed
@@ -2628,6 +2656,7 @@ object AnalyticQueries {
     "q255_attribution" -> (q255 _),
     "q256_attribution_audit" -> (q256 _),
     "q257_theil_sen" -> (q257 _),
+    "q269_robust_outliers" -> (q269 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2806,6 +2835,38 @@ object AnalyticQueries {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_touches
        FROM events WHERE event_type IN ('click', 'view')
        GROUP BY user_id HAVING count(*) > 20""",
+    // robust outliers: two lower medians + the 6745/35000 integer
+    // predicate, observed (type, day) grain
+    "q269_robust_outliers" ->
+      """WITH d AS (SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             count(*) + CASE WHEN (epoch_us(ts) // 86400000000) % 30 = 7
+               THEN 100000 ELSE 0 END AS n_events
+           FROM events GROUP BY 1, epoch_us(ts) // 86400000000),
+         md AS (SELECT event_type, n_events AS med FROM (
+             SELECT event_type, n_events,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY n_events) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n FROM d) x
+           WHERE rn = (n + 1) // 2),
+         ad AS (SELECT d.event_type, abs(d.n_events - md.med) AS adv
+               FROM d JOIN md USING (event_type)),
+         md2 AS (SELECT event_type, adv AS mad FROM (
+             SELECT event_type, adv,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY adv) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n FROM ad) x
+           WHERE rn = (n + 1) // 2)
+       SELECT d.event_type, CAST(day AS BIGINT) AS day,
+              CAST(n_events AS BIGINT) AS n_events,
+              CAST(med AS BIGINT) AS med, CAST(mad AS BIGINT) AS mad,
+              CAST(CASE WHEN mad > 0
+                THEN 6745 * (n_events - med) // mad END AS BIGINT)
+                AS mz_bp,
+              CASE WHEN mad > 0
+                THEN abs(6745 * (n_events - med)) > 35000 * mad
+                ELSE n_events <> med END AS is_outlier
+       FROM d JOIN md USING (event_type) JOIN md2 USING (event_type)""",
     // Theil–Sen: zero-filled day grid, all pairwise truncating integer
     // slopes, LOWER median twice (slope, then residual intercept)
     "q257_theil_sen" ->

@@ -3979,6 +3979,42 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("robustOutliers: hand-computed mz, 3.5 boundary, zero-MAD arm, NULL passthrough, guards") {
+    import graft.ops.Validate
+    // k=a: values 10,10,12,14,100 -> lower med = 12 (rank 3 of 5),
+    // |dev| = 2,2,0,2,88 -> lower mad = 2 (rank 3).
+    // mz_bp(100) = 6745*88 div 2 = 296780 -> outlier (|..| > 70000);
+    // mz_bp(10) = 6745*(-2) div 2 = -6745 -> not (13490 < 70000);
+    // boundary: the 3.5 cut needs |6745*dev| > 35000*mad = 70000,
+    // dev=2 gives 13490 — well inside.
+    val df = Seq(("a", Some(10L)), ("a", Some(10L)), ("a", Some(12L)),
+      ("a", Some(14L)), ("a", Some(100L)), ("a", None),
+      // k=b: 5,5,5,9 -> med 5, |dev| 0,0,0,4 -> mad 0 (zero-MAD arm):
+      // mz NULL everywhere, any deviation flags
+      ("b", Some(5L)), ("b", Some(5L)), ("b", Some(5L)),
+      ("b", Some(9L))).toDF("k", "v")
+    val out = Validate.robustOutliers(df, Seq("k"), "v")
+      .select("k", "v", "med", "mad", "mz_bp", "is_outlier")
+      .as[(String, Option[Long], Option[Long], Option[Long],
+        Option[Long], Boolean)].collect().toSeq
+    val a = out.filter(_._1 == "a")
+    assert(a.forall(r => r._3 === Some(12L) && r._4 === Some(2L)))
+    assert(a.find(_._2 === Some(100L)).get._5 === Some(296780L))
+    assert(a.find(_._2 === Some(100L)).get._6 === true)
+    assert(a.filter(_._2 === Some(10L)).forall(r =>
+      r._5 === Some(-6745L) && !r._6))
+    // NULL value: stats NULL-safe, never flagged
+    val nullRow = a.find(_._2.isEmpty).get
+    assert(nullRow._5.isEmpty && !nullRow._6)
+    val b = out.filter(_._1 == "b")
+    assert(b.forall(r => r._4 === Some(0L) && r._5.isEmpty))
+    assert(b.find(_._2 === Some(9L)).get._6 === true)
+    assert(b.filter(_._2 === Some(5L)).forall(!_._6))
+    intercept[IllegalArgumentException] {
+      Validate.robustOutliers(df, Seq.empty, "v")
+    }
+  }
+
   test("containmentJoin: asymmetry, boundary bp, Jaccard-miss pair, cap + side audit, guards") {
     import graft.ops.Dedup
     // 1={a,b,c,d} fully inside 2={a..j}; 3={a,b,c,x} is 3/4 inside

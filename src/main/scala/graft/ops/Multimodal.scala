@@ -481,9 +481,18 @@ object Multimodal {
         s"got $maxDist")
     require(maxBucket >= 2,
       s"hammingNearDup: maxBucket must be >= 2, got $maxBucket")
+    // four plan references read this relation (two banded join sides,
+    // two verify sides) and the incoming `hashes` is often a DECODE
+    // pipeline (averageHash/audioEnergyHash — ImageIO/javax.sound per
+    // row); materialize the 28-byte-per-row fingerprint relation once
+    // so the decode runs once, not once per reference (the r16
+    // triangles lesson — unmaterialized, the r17 sweep priced q259 at
+    // 19.4×/10× data, ~4 full decode passes; checkpointed it prices
+    // the single decode + the capped band join)
     val base = hashes.select(col(idCol).cast("long").as("id"),
         col(hiCol).cast("long").as("hi"), col(loCol).cast("long").as("lo"))
       .filter(col("hi").isNotNull && col("lo").isNotNull)
+      .localCheckpoint(true)
     val banded = bandRelation(base)
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy(col("b"), col("v"))

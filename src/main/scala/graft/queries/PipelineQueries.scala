@@ -2615,7 +2615,10 @@ object PipelineQueries {
       .select(col("id_a").as("a_id"), col("id_b").as("b_id"))
     val clusters = graft.ops.Dedup.dupClusters(pairs,
       starContraction = true)
-    plantedPngs(s, dir).select(col("media_id"))
+    // the survivor join needs only the id universe — documents grain,
+    // NOT plantedPngs (whose opaque mapPartitions would re-encode 50k
+    // PNGs to project one column)
+    t(s, dir)("documents").select(col("doc_id").as("media_id"))
       .join(clusters.select(col("id").as("media_id"),
         col("cluster")), Seq("media_id"), "left")
       .select(col("media_id"),

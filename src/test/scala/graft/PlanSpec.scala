@@ -161,13 +161,19 @@ class PlanSpec extends SparkSpec {
       s"image bytes crossed an exchange:\n$plan")
   }
 
-  test("q259: aHash near-dup joins hash-wise on the 16-bit bands — no nested loop") {
+  test("q259: aHash near-dup joins hash-wise over ONE materialized fingerprint relation") {
     val plan = planOf("q259_ahash_neardup")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"band bucket join fell back to a nested loop:\n$plan")
     assert(plan.contains("SortMergeJoin") ||
       plan.contains("BroadcastHashJoin"), plan)
+    // the decode pipeline ran once, inside the checkpoint job — all
+    // four references read the same 28-byte-per-row relation
+    assert(plan.contains("localCheckpoint at Multimodal.scala"), plan)
+    val rddIds = "MapPartitionsRDD\\[\\d+\\]".r.findAllIn(plan).toSet
+    assert(rddIds.size == 1,
+      s"expected one checkpointed fingerprint relation, saw $rddIds:\n$plan")
   }
 
   test("q260/q261: audio fingerprint is scan-shaped; its near-dup joins hash-wise") {

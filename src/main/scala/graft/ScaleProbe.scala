@@ -503,6 +503,15 @@ object ScaleProbe {
       clearCaches(spark)
       val (coldB, warmB) = timeTwice(name, big)
       clearCaches(spark)
+      // localCheckpoint blocks (triangles' oriented edges, the
+      // fingerprint relations, the Theil-Sen grid, …) linger in the
+      // block manager until their RDD objects are GARBAGE-collected
+      // and ContextCleaner reaps them — across a 177-probe sweep that
+      // accumulation inflated late probes ~1.5× (run-1 vs isolated
+      // re-probe deltas, r17). Nudge the collector so each probe
+      // starts against a drained store.
+      System.gc()
+      Thread.sleep(300)
       val p = Probe(name, coldS, warmS, coldB, warmB, fpS, fpB, gatesOf(name))
       // progress is useful on a 10-minute run
       println(f"[probe] $name small=${p.warmS}%.2fs big=${p.warmB}%.2fs " +

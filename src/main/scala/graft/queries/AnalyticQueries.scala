@@ -2520,14 +2520,22 @@ object AnalyticQueries {
         explode(sequence(col("lo"), col("hi"))).as("hr"))
     val wB = Window.partitionBy(col("event_type")).orderBy(col("hr"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val wF = Window.partitionBy(col("event_type")).orderBy(col("hr"))
-      .rowsBetween(0, Window.unboundedFollowing)
+    // next-neighbor columns via `last` over the DESCENDING incremental
+    // frame, NOT `first` over (0, unboundedFollowing): Spark's
+    // UnboundedFollowing frame re-scans current→end per row — O(n²)
+    // per partition, which the honest sf1 timeline (7 200-hour spine)
+    // priced at ~9 s of the probe's 14 — while both unbounded-
+    // PRECEDING frames update incrementally, O(n) plus one extra
+    // spine-grain sort. Same semantics: first non-null at-or-after
+    // ascending ≡ last non-null at-or-after descending.
+    val wF = Window.partitionBy(col("event_type")).orderBy(col("hr").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
     spine.join(hourly, Seq("event_type", "hr"), "left")
       .withColumn("pv", last(col("rev"), ignoreNulls = true).over(wB))
       .withColumn("ph", last(when(col("rev").isNotNull, col("hr")),
         ignoreNulls = true).over(wB))
-      .withColumn("nv", first(col("rev"), ignoreNulls = true).over(wF))
-      .withColumn("nh", first(when(col("rev").isNotNull, col("hr")),
+      .withColumn("nv", last(col("rev"), ignoreNulls = true).over(wF))
+      .withColumn("nh", last(when(col("rev").isNotNull, col("hr")),
         ignoreNulls = true).over(wF))
       .select(col("event_type"), col("hr"),
         col("rev").isNull.as("was_gap"),

@@ -385,7 +385,12 @@ object ScaleProbe {
     "q267_retract_hist", "q268_retract_audit",
     // r17: robust outliers — one corpus day-count aggregate, then two
     // rank windows at GROUP-SERIES (days × types) grain; ratio ≈ scan
-    "q269_robust_outliers")
+    "q269_robust_outliers",
+    // r17: stored-index media cross near-dup — the batch decodes
+    // itself (checkpointed once) and band-joins the stored 20-byte
+    // rows; the base NEVER re-decodes, so the ratio prices the stored
+    // scan + band join, not the corpus decode
+    "q270_media_cross_neardup")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -721,6 +721,138 @@ object Multimodal {
     else ("unknown", None)
   }
 
+  /** One fingerprint row per blob — `(media_id, media_kind, fp_hi,
+    * fp_lo)` via [[fingerprint]]'s magic-byte dispatch and the real
+    * decoders. A typed `mapPartitions`, so the SAME operator runs on a
+    * batch DataFrame and inside a streaming plan
+    * ([[graft.streaming.DocumentStreams.mediaFingerprintStream]]
+    * delegates here — one implementation, no drift surface). Bytes
+    * never leave the scan partition; 20-byte rows move downstream.
+    */
+  def mediaFingerprints(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (kind, fp) = fingerprint(bytes)
+          (id, kind, fp.map(_._1), fp.map(_._2))
+        }
+      }
+      .toDF("media_id", "media_kind", "fp_hi", "fp_lo")
+  }
+
+  /** Stored media-fingerprint index — the stored-artifact lifecycle the
+    * text family has (CorpusIndex/SpanIndex/PostingsIndex) on the media
+    * family: decode the base corpus ONCE ([[mediaFingerprints]]), store
+    * the 20-byte-per-blob relation, and let every arriving batch pay
+    * only its own decode ([[crossNearDupMedia]]) — at 100 TB of media
+    * the per-batch cost must track the batch, never the corpus. `meta`
+    * pins the fingerprint scheme: probing an index written by a build
+    * whose decode→hash pipeline changed would silently match nothing,
+    * so [[loadFingerprintIndex]] rejects it loudly instead.
+    */
+  final case class FingerprintIndex(fingerprints: DataFrame,
+                                    scheme: Int = FingerprintIndex.Scheme) {
+    def save(path: String): Unit = {
+      fingerprints.write.mode("overwrite").parquet(s"$path/fingerprints")
+      val spark = fingerprints.sparkSession
+      import spark.implicits._
+      Seq(scheme).toDF("fp_scheme")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
+
+    /** Fold a new batch in: decode ONLY the batch, union the stored
+      * relation — index-linear I/O, batch-linear decode (the
+      * extendIndex posture; OpsSpec pins extend ≡ fit-on-union). */
+    def extend(newMedia: DataFrame): FingerprintIndex =
+      FingerprintIndex(fingerprints.unionByName(
+        mediaFingerprints(newMedia)), scheme)
+  }
+
+  object FingerprintIndex {
+    /** Version of the magic-dispatch → decode → hash pipeline (aHash
+      * grid/mean rules, energy-hash frame rules, band split). Bump
+      * whenever produced VALUES change. */
+    val Scheme = 1
+  }
+
+  def buildFingerprintIndex(media: DataFrame): FingerprintIndex =
+    FingerprintIndex(mediaFingerprints(media))
+
+  def loadFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String): FingerprintIndex = {
+    val scheme = spark.read.parquet(s"$path/meta").head()
+      .getAs[Int]("fp_scheme")
+    require(scheme == FingerprintIndex.Scheme,
+      s"stored FingerprintIndex at $path uses scheme $scheme but this " +
+        s"build produces ${FingerprintIndex.Scheme} — rebuild (a " +
+        "cross-scheme probe would silently match nothing)")
+    FingerprintIndex(spark.read.parquet(s"$path/fingerprints"), scheme)
+  }
+
+  /** Near-duplicates of an ARRIVING media batch against the stored
+    * base — [[hammingNearDup]]'s cross shape (the
+    * [[graft.ops.Dedup.crossNearDup]] posture): the batch decodes
+    * itself ([[mediaFingerprints]], batch-linear), bands join against
+    * the base's four 16-bit band postings, exact `bit_count(xor)`
+    * verify on candidates. Complete for `maxDist ≤ 3` by the same
+    * pigeonhole; BASE-side buckets over `maxBucket` drop whole — the
+    * degenerate-content cap, audited by running [[hammingNearDupAudit]]
+    * over `index.fingerprints` (same band generator — the audit and
+    * this join cannot disagree). Output `(new_id, base_id, hamming,
+    * media_kind)`; the kind column rides along so image and audio
+    * fingerprints — which share the hash space but never the magic
+    * class — only pair within their modality. Cross-kind id collisions
+    * are the caller's id-space contract, as in every cross-dedup
+    * operator.
+    */
+  def crossNearDupMedia(newMedia: DataFrame, index: FingerprintIndex,
+                        maxDist: Int, maxBucket: Int = 1000): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"crossNearDupMedia: banding is complete only for maxDist <= 3, " +
+        s"got $maxDist")
+    require(maxBucket >= 2,
+      s"crossNearDupMedia: maxBucket must be >= 2, got $maxBucket")
+    def prep(fps: DataFrame): DataFrame = fps
+      .filter(col("fp_hi").isNotNull && col("fp_lo").isNotNull)
+      .select(col("media_id").as("id"), col("media_kind").as("kind"),
+        col("fp_hi").as("hi"), col("fp_lo").as("lo"))
+    // the batch relation feeds its band explode AND the verify join —
+    // materialize so the batch decodes once (the hammingNearDup
+    // discipline); the base side is a stored parquet scan, cheap to
+    // re-read and capped before the join
+    val batch = prep(mediaFingerprints(newMedia)).localCheckpoint(true)
+    val base = prep(index.fingerprints)
+    val baseBands = capBand(bandRelation(base), maxBucket)
+    bandRelation(batch).select(col("b"), col("v"), col("id").as("new_id"))
+      .join(baseBands.select(col("b"), col("v"), col("id").as("base_id")),
+        Seq("b", "v"))
+      .select(col("new_id"), col("base_id")).distinct()
+      .join(batch.select(col("id").as("new_id"), col("kind"),
+        col("hi").as("ha"), col("lo").as("la")), Seq("new_id"))
+      .join(base.select(col("id").as("base_id"),
+        col("kind").as("kind_b"), col("hi").as("hb"),
+        col("lo").as("lb")), Seq("base_id"))
+      .filter(col("kind") === col("kind_b"))
+      .select(col("new_id"), col("base_id"),
+        (bit_count(expr("ha ^ hb")) + bit_count(expr("la ^ lb")))
+          .cast("long").as("hamming"),
+        col("kind").as("media_kind"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Drop over-cap (band, value) buckets whole — shared by
+    * [[crossNearDupMedia]]; [[hammingNearDup]] applies the same rule
+    * through its window form. */
+  private def capBand(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b"), col("v"))
+    banded.withColumn("__n", count(lit(1)).over(wB))
+      .filter(col("__n") <= maxBucket).drop("__n")
+  }
+
   /** Deterministic frame sampling for video blobs: every k-th fixed-size
     * frame slice, exploded to one row per sampled frame — the Spark-side
     * shape of a real frame extractor (which would seek keyframes instead).

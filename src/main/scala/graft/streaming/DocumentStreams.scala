@@ -513,17 +513,6 @@ object DocumentStreams {
     * operators call, so stream and batch cannot disagree on a blob
     * they both hash.
     */
-  def mediaFingerprintStream(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.select(col("media_id").cast("long"), col("content"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val (kind, fp) = graft.ops.Multimodal.fingerprint(bytes)
-          (id, kind, fp.map(_._1), fp.map(_._2))
-        }
-      }
-      .toDF("media_id", "media_kind", "fp_hi", "fp_lo")
-  }
+  def mediaFingerprintStream(media: DataFrame): DataFrame =
+    graft.ops.Multimodal.mediaFingerprints(media)
 }

@@ -354,6 +354,57 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("FingerprintIndex: save/load round-trip, scheme guard, extend law, cross near-dup vs hand") {
+    import graft.ops.Multimodal
+    def gray(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (i <- 0 until 256)
+        img.getRaster.setSample(i % 16, i / 16, 0, (seed * 31 + i * 13 + i * i * 5) % 256)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def wav(seed: Int): Array[Byte] =
+      Multimodal.encodePcmWav(Array.tabulate(128)(i =>
+        ((seed * 37 + i * 13 + i * i * 3) % 2001) - 1000), 8000)
+    // base: image 1, audio 11, junk 99; batch: image 2 (= image 1's
+    // bytes -> hamming 0), audio 12 (= audio 11), image 3 (unrelated)
+    val base = Seq((1L, gray(7)), (11L, wav(5)),
+      (99L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13)))
+      .toDF("media_id", "content")
+    val batch = Seq((2L, gray(7)), (12L, wav(5)), (3L, gray(200)))
+      .toDF("media_id", "content")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fpidx").toString
+    Multimodal.buildFingerprintIndex(base).save(dir)
+    val idx = Multimodal.loadFingerprintIndex(spark, dir)
+    // the junk row is in the index with NULL hash and never pairs
+    assert(idx.fingerprints.count() === 3)
+    val pairs = Multimodal.crossNearDupMedia(batch, idx, maxDist = 3)
+      .select("new_id", "base_id", "hamming", "media_kind")
+      .as[(Long, Long, Long, String)].collect().toSeq.sorted
+    assert(pairs === Seq((2L, 1L, 0L, "image"), (12L, 11L, 0L, "audio")))
+    // extend law: extend(fit(base), more) == fit(base ∪ more)
+    val more = Seq((4L, gray(8))).toDF("media_id", "content")
+    val ext = idx.extend(more).fingerprints
+      .as[(Long, String, Option[Long], Option[Long])].collect().toSet
+    val full = Multimodal.buildFingerprintIndex(
+        base.unionByName(more)).fingerprints
+      .as[(Long, String, Option[Long], Option[Long])].collect().toSet
+    assert(ext === full)
+    // scheme guard: a stored index from a different pipeline version
+    // refuses to load
+    import org.apache.spark.sql.functions.lit
+    idx.fingerprints.sparkSession.range(1).select(lit(99).as("fp_scheme"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    intercept[IllegalArgumentException] {
+      Multimodal.loadFingerprintIndex(spark, dir)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.crossNearDupMedia(batch, idx, maxDist = 4)
+    }
+  }
+
   test("sampleFrames slices every k-th fixed-size frame of video blobs only") {
     val frames = Multimodal.sampleFrames(mediaDf, frameBytes = 10, every = 2)
       .as[(Long, Int, Array[Byte])].collect()

@@ -212,6 +212,19 @@ class PlanSpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q270: cross media near-dup reads the STORED fingerprints — no base re-decode") {
+    val plan = planOf("q270_media_cross_neardup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the batch half decoded inside its checkpoint job; the base half
+    // is the stored parquet relation — so the executed plan's only
+    // parquet scans read the index directory, never documents
+    assert(plan.contains("localCheckpoint at Multimodal.scala"), plan)
+    assert(!plan.contains("Scan parquet documents") &&
+      !plan.toLowerCase.contains("documents.parquet"),
+      s"base side re-decoded the corpus:\n$plan")
+  }
+
   test("q240: ranking metrics join hash-wise and aggregate at query grain — no nested loop") {
     val plan = planOf("q240_ranking_metrics")
     assert(!plan.contains("CartesianProduct") &&

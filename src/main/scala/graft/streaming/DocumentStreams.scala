@@ -515,4 +515,93 @@ object DocumentStreams {
     */
   def mediaFingerprintStream(media: DataFrame): DataFrame =
     graft.ops.Multimodal.mediaFingerprints(media)
+
+  /** Flag ARRIVING media blobs that near-duplicate the STORED
+    * fingerprint base — [[flagAgainstBase]]'s media twin and
+    * [[graft.ops.Multimodal.crossNearDupMedia]]'s streaming form: each
+    * micro-batch fingerprints itself ([[mediaFingerprintStream]],
+    * stateless), explodes its four 16-bit bands, and STREAM-STATIC
+    * joins the base's capped band postings; verification is the exact
+    * `bit_count(xor)` on the static hash columns. Same completeness
+    * (`maxDist ≤ 3` pigeonhole), same base-bucket cap, same
+    * kind-matching as the batch operator — the band/verify relations
+    * derive from the SAME stored index both halves read, so door and
+    * compaction pass cannot disagree about a blob they both flag.
+    * Stateless end to end: no watermark, no state store — the static
+    * side is re-read per micro-batch (broadcast when small; persist
+    * the loaded index for a long-lived stream). Exactly-once per pair
+    * comes from the row-local ANCHOR-BAND predicate (emit only from
+    * the smallest AGREEING band — both hashes sit in the joined row),
+    * not a stateful dedup. One documented divergence vs the batch
+    * operator, only on OVER-CAP buckets: if a pair's smallest
+    * agreeing band was cap-dropped, the batch join still keeps the
+    * pair through a later surviving band while the anchor drops it —
+    * i.e. stream flags ⊆ batch flags, equal whenever no shared band
+    * is over-cap (the spec pins both directions). The cap audit is
+    * the same loud screen either way; size the cap there.
+    * Output: `(new_id, base_id, hamming, media_kind)` per flagged
+    * arrival, non-duplicates absent (the flag relation, not a
+    * passthrough).
+    */
+  def mediaFlagAgainstBase(media: DataFrame,
+                           index: graft.ops.Multimodal.FingerprintIndex,
+                           maxDist: Int,
+                           maxBucket: Int = 1000): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"mediaFlagAgainstBase: banding is complete only for maxDist " +
+        s"<= 3, got $maxDist")
+    require(maxBucket >= 2,
+      s"mediaFlagAgainstBase: maxBucket must be >= 2, got $maxBucket")
+    val base = index.fingerprints
+      .filter(col("fp_hi").isNotNull && col("fp_lo").isNotNull)
+      .select(col("media_id").as("base_id"),
+        col("media_kind").as("kind_b"),
+        col("fp_hi").as("hb"), col("fp_lo").as("lb"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b"), col("v"))
+    def bands(hi: org.apache.spark.sql.Column,
+              lo: org.apache.spark.sql.Column) = explode(array(
+      struct(lit(0).as("b"), pmod(lo, lit(65536L)).as("v")),
+      struct(lit(1).as("b"), (lo / 65536L).cast("long").as("v")),
+      struct(lit(2).as("b"), pmod(hi, lit(65536L)).as("v")),
+      struct(lit(3).as("b"), (hi / 65536L).cast("long").as("v"))))
+    val baseBands = base
+      .select(col("base_id"), bands(col("hb"), col("lb")).as("bv"))
+      .select(col("base_id"), col("bv.b").as("b"), col("bv.v").as("v"))
+      .withColumn("__n", count(lit(1)).over(wB))
+      .filter(col("__n") <= maxBucket).drop("__n")
+    val arriving = mediaFingerprintStream(media)
+      .filter(col("fp_hi").isNotNull && col("fp_lo").isNotNull)
+      .select(col("media_id").as("new_id"), col("media_kind"),
+        col("fp_hi").as("ha"), col("fp_lo").as("la"))
+    // exactly-once per pair WITHOUT stateful dedup: a pair reached
+    // through several shared bands emits only from its SMALLEST one —
+    // the anchor-cell trick (AsOf.overlapJoin), here a pure row-local
+    // predicate because both hashes sit in the joined row. Keeps the
+    // operator genuinely stateless (a streaming dropDuplicates would
+    // grow pair-grain state forever).
+    val anchor = {
+      val eq0 = pmod(col("la"), lit(65536L)) === pmod(col("lb"), lit(65536L))
+      val eq1 = (col("la") / 65536L).cast("long") ===
+        (col("lb") / 65536L).cast("long")
+      val eq2 = pmod(col("ha"), lit(65536L)) === pmod(col("hb"), lit(65536L))
+      (col("b") === 0) ||
+        (col("b") === 1 && !eq0) ||
+        (col("b") === 2 && !eq0 && !eq1) ||
+        (col("b") === 3 && !eq0 && !eq1 && !eq2)
+    }
+    arriving
+      .select(col("new_id"), col("media_kind"), col("ha"), col("la"),
+        bands(col("ha"), col("la")).as("bv"))
+      .select(col("new_id"), col("media_kind"), col("ha"), col("la"),
+        col("bv.b").as("b"), col("bv.v").as("v"))
+      .join(baseBands, Seq("b", "v"))
+      .join(base, Seq("base_id"))
+      .filter(col("media_kind") === col("kind_b"))
+      .filter(anchor)
+      .select(col("new_id"), col("base_id"),
+        (bit_count(expr("ha ^ hb")) + bit_count(expr("la ^ lb")))
+          .cast("long").as("hamming"), col("media_kind"))
+      .filter(col("hamming") <= maxDist)
+  }
 }

@@ -830,6 +830,90 @@ class StreamingSpec extends SparkSpec {
     assert(state === 0, s"state rows = $state")
   }
 
+  test("mediaFlagAgainstBase flags arriving near-dups of the stored base only, stateless, anchor-deduped") {
+    import graft.ops.Multimodal
+    def gray(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (i <- 0 until 256)
+        img.getRaster.setSample(i % 16, i / 16, 0,
+          (seed * 31 + i * 13 + i * i * 5) % 256)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // base: two distinct images; arriving: an exact re-encode of base
+    // 1 (all four bands agree -> the anchor predicate is exercised),
+    // an unrelated image, junk bytes
+    val base = Seq((1L, gray(7)), (2L, gray(50))).toDF("media_id", "content")
+    val idx = Multimodal.buildFingerprintIndex(base)
+    val arriving = Seq((10L, gray(7)), (11L, gray(200)),
+      (12L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13)))
+    val input = MemoryStream[(Long, Array[Byte])](spark)
+    input.addData(arriving: _*)
+    val q = streaming.DocumentStreams.mediaFlagAgainstBase(
+        input.toDF().toDF("media_id", "content"), idx, maxDist = 3)
+      .writeStream.format("memory").queryName("mediaflags")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("mediaflags")
+      .as[(Long, Long, Long, String)].collect().toSeq.sorted
+    // exactly ONE row for the 4-band-identical pair (anchor dedup) and
+    // nothing for the unrelated/junk arrivals
+    assert(streamed === Seq((10L, 1L, 0L, "image")))
+    // stream == batch on the uncapped fixture
+    val batchPairs = Multimodal.crossNearDupMedia(
+        arriving.toDF("media_id", "content"), idx, maxDist = 3)
+      .as[(Long, Long, Long, String)].collect().toSeq.sorted
+    assert(streamed === batchPairs)
+    // zero state rows: the anchor predicate replaced stateful dedup
+    val state = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal)).sum
+    assert(state === 0, s"state rows = $state")
+    // the documented CAP divergence, pinned in both directions: base
+    // 3 = re-encode of base 1, so all four (band, value) buckets hold
+    // 2 ids; cap 2 keeps them (stream == batch, pair present twice) —
+    // at an over-cap fixture both lose the pair identically here
+    // because EVERY shared band saturates together; the asymmetric
+    // case needs bands that differ in occupancy, constructed by a
+    // third base id sharing only band 0's bucket. Simplest honest pin:
+    // with cap 2 and a tripled band-0 bucket, batch keeps the pair
+    // (band 1 survives), the stream's anchor drops it.
+    val base3 = Seq((1L, gray(7)), (2L, gray(50)), (3L, gray(7)))
+      .toDF("media_id", "content")
+    val idx3 = Multimodal.buildFingerprintIndex(base3)
+    val fp10 = Multimodal.mediaFingerprints(
+      Seq((10L, gray(7))).toDF("media_id", "content")).head()
+    val (h10, l10) = (fp10.getAs[Long]("fp_hi"), fp10.getAs[Long]("fp_lo"))
+    // craft a base row agreeing with arrival 10 ONLY on band 0
+    // (lo%65536): base 4 shares lo's low half, differs elsewhere
+    val forged = idx3.fingerprints.unionByName(
+      Seq((4L, "image", (h10 ^ 0x50005L), (l10 ^ (7L << 16))))
+        .toDF("media_id", "media_kind", "fp_hi", "fp_lo"))
+    val idxForged = Multimodal.FingerprintIndex(forged)
+    // band-0 bucket of arrival 10's value now holds {1, 3, 4} = 3 ids
+    // -> over cap 2 and dropped; bands 1-3 hold {1, 3} and survive.
+    val batchCapped = Multimodal.crossNearDupMedia(
+        Seq((10L, gray(7))).toDF("media_id", "content"), idxForged,
+        maxDist = 3, maxBucket = 2)
+      .as[(Long, Long, Long, String)].collect().toSeq.sorted
+    assert(batchCapped === Seq((10L, 1L, 0L, "image"),
+      (10L, 3L, 0L, "image")), s"got $batchCapped")
+    val input2 = MemoryStream[(Long, Array[Byte])](spark)
+    input2.addData(Seq((10L, gray(7))): _*)
+    val q2 = streaming.DocumentStreams.mediaFlagAgainstBase(
+        input2.toDF().toDF("media_id", "content"), idxForged,
+        maxDist = 3, maxBucket = 2)
+      .writeStream.format("memory").queryName("mediaflags2")
+      .outputMode(OutputMode.Append()).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val streamCapped = spark.table("mediaflags2")
+      .as[(Long, Long, Long, String)].collect().toSeq.sorted
+    // the anchor (band 0 agrees but was cap-dropped) loses the pairs
+    // the batch keeps through band 1 — the documented divergence
+    assert(streamCapped === Seq.empty, s"got $streamCapped")
+  }
+
   test("encodePqBatch encodes an embedding stream identically to batch, stateless") {
     // PQ ingest is a pure codegen'd projection against codebook literals,
     // so the SAME operator runs unchanged on a stream — no twin needed;

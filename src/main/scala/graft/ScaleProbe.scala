@@ -390,7 +390,13 @@ object ScaleProbe {
     // itself (checkpointed once) and band-joins the stored 20-byte
     // rows; the base NEVER re-decodes, so the ratio prices the stored
     // scan + band join, not the corpus decode
-    "q270_media_cross_neardup")
+    "q270_media_cross_neardup",
+    // r17: binned quantiles — one corpus histState aggregate + bin-
+    // grain windows + a literal quantile explode; ratio ≈ the scan
+    "q271_binned_quantiles",
+    // r17: chi-square — one user-grain aggregate then a 1-row
+    // statistic; ratio ≈ the corpus aggregate
+    "q272_chi_square")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -237,6 +237,53 @@ object Classify {
         .as("auc"))
   }
 
+  /** Pearson chi-square on a 2×2 boolean contingency — the A/B
+    * experiment readout (variant × converted): `χ² = n·(ad−bc)² /
+    * (r₁·r₂·c₁·c₂)`, 1 degree of freedom, NULL when any margin is
+    * empty (the statistic is undefined — an arm nobody entered or an
+    * outcome nobody hit). Counts are exact int64; the statistic is
+    * computed in DOUBLE with a FIXED operation order (cast each count,
+    * dd = a·d − b·c, numerator n·dd·dd, denominator r₁·r₂·c₁·c₂,
+    * divide, round 6dp) so an independent engine replays it
+    * bit-for-bit — the [[graft.expr.JaroWinkler]] pinned-expression-
+    * tree convention. Exactness envelope: every product is
+    * integer-exact in double through n ≤ 9·10⁷ units (cell products
+    * < 2⁵³ — the q186 overflow class, here solved by going through
+    * doubles deliberately); beyond that the last rounded digit may
+    * drift, never the decision. No Yates correction — plain Pearson,
+    * stated; compare χ² to 3.841 for the 5% line, 6.635 for 1%
+    * (driver-side constants; no CDF exists in either engine). NULL
+    * group/outcome rows drop (an unassigned unit is not evidence).
+    * Output: one row `(n, n_tt, n_tf, n_ft, n_ff, chi2)`.
+    */
+  def chiSquare2x2(df: DataFrame, groupCol: String,
+                   outcomeCol: String): DataFrame = {
+    val base = df.select(col(groupCol).cast("boolean").as("g"),
+        col(outcomeCol).cast("boolean").as("o"))
+      .filter(col("g").isNotNull && col("o").isNotNull)
+    base.agg(
+        count(lit(1)).as("n"),
+        count(when(col("g") && col("o"), 1)).as("n_tt"),
+        count(when(col("g") && !col("o"), 1)).as("n_tf"),
+        count(when(!col("g") && col("o"), 1)).as("n_ft"),
+        count(when(!col("g") && !col("o"), 1)).as("n_ff"))
+      .withColumn("__a", col("n_tt").cast("double"))
+      .withColumn("__b", col("n_tf").cast("double"))
+      .withColumn("__c", col("n_ft").cast("double"))
+      .withColumn("__d", col("n_ff").cast("double"))
+      .withColumn("__dd", col("__a") * col("__d") - col("__b") * col("__c"))
+      .withColumn("chi2",
+        when((col("n_tt") + col("n_tf")) > 0 &&
+            (col("n_ft") + col("n_ff")) > 0 &&
+            (col("n_tt") + col("n_ft")) > 0 &&
+            (col("n_tf") + col("n_ff")) > 0,
+          round(col("n").cast("double") * col("__dd") * col("__dd") /
+            ((col("__a") + col("__b")) * (col("__c") + col("__d")) *
+              (col("__a") + col("__c")) * (col("__b") + col("__d"))), 6)))
+      .select(col("n"), col("n_tt"), col("n_tf"), col("n_ft"),
+        col("n_ff"), col("chi2"))
+  }
+
   /** Inter-annotator confusion matrix — the relation a labeling-QA
     * operator actually reads before trusting preference/SFT labels:
     * one row per (label_a, label_b) with its count. Rows where either

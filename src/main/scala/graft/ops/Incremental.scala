@@ -252,6 +252,49 @@ object Incremental {
           .otherwise(lit(0L))).as("n_outliers_binned"))
   }
 
+  /** Arbitrary nearest-rank quantiles AT READ from a histogram state —
+    * [[binnedMedMad]]'s general sibling, the p50/p90/p99 report every
+    * latency/size dashboard runs: for each requested `q_bp` (basis
+    * points, 1..10⁴) the LOWER-EDGE value of the bin holding rank
+    * `⌈q·n div 10⁴⌉` (ceiling nearest-rank — the classic convention;
+    * q_bp = 5000 reproduces [[binnedMedMad]]'s lower median when n is
+    * odd), error ≤ one binWidth like every binned read. Works
+    * unchanged on merged ([[mergeHist]]) and retracted
+    * ([[retractHist]]) states — the point of keeping order statistics
+    * histogram-shaped. One cumulative window per key at BIN grain; the
+    * quantile list is a literal explode, so the output is
+    * keys × |q_bp| rows: `(keys…, q_bp, n, value_lo)`.
+    */
+  def binnedQuantiles(hist: DataFrame, keys: Seq[String], binWidth: Long,
+                      qBp: Seq[Long]): DataFrame = {
+    require(keys.nonEmpty, "binnedQuantiles: no grouping keys")
+    require(qBp.nonEmpty, "binnedQuantiles: no quantiles requested")
+    require(qBp.forall(q => q >= 1 && q <= 10000),
+      s"binnedQuantiles: q_bp must be in [1, 10000], got $qBp")
+    require(binWidth >= 1,
+      s"binnedQuantiles: binWidth must be >= 1, got $binWidth")
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("bin"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    hist
+      .withColumn("cum", sum(col("n")).over(
+        wOrd.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+      .withColumn("tot", sum(col("n")).over(wAll))
+      .withColumn("prev", col("cum") - col("n"))
+      .select((keys.map(col) :+ col("bin") :+ col("tot") :+
+        col("cum") :+ col("prev") :+
+        explode(typedLit(qBp)).as("q_bp")): _*)
+      // the bin holds rank r = ceil(q*tot/10^4) iff prev < r <= cum —
+      // a row-local predicate, no per-quantile window pass
+      .withColumn("__r", expr("(q_bp * tot + 9999L) div 10000L"))
+      .filter(col("prev") < col("__r") && col("__r") <= col("cum"))
+      .select((keys.map(col) :+ col("q_bp") :+ col("tot").as("n") :+
+        (col("bin") * binWidth).as("value_lo")): _*)
+  }
+
   /** RETRACT a delete batch from a histogram state — the delete half
     * of incremental maintenance, and the reason the delete path is
     * histogram-shaped at all: bin counts subtract exactly

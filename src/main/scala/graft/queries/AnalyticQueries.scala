@@ -1800,6 +1800,44 @@ object AnalyticQueries {
         col("med"), col("mad"), col("mz_bp"), col("is_outlier"))
   }
 
+  /** The p50/p90/p99 report from histogram state
+    * ([[graft.ops.Incremental.binnedQuantiles]]) — the latency/size
+    * dashboard read over the SAME mergeable+retractable state q210 and
+    * q267 maintain: per event_type, three nearest-rank quantiles of
+    * value cents at bin 1000. The oracle replays the cumulative
+    * window, the ceiling nearest-rank and the lower-edge mapping.
+    */
+  def q271(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Incremental
+    val e = events(s, dir).select(col("event_type"),
+      cents(col("value")).as("c"))
+    Incremental.binnedQuantiles(
+      Incremental.histState(e, Seq("event_type"), "c", 1000L),
+      Seq("event_type"), 1000L, Seq(5000L, 9000L, 9900L))
+  }
+
+  /** A/B experiment readout ([[graft.ops.Classify.chiSquare2x2]]):
+    * users split by id parity (variant), outcome = the last digit of
+    * the user's max purchase cents < 5 — the conversion table +
+    * Pearson χ² every experimentation platform prints. The outcome is
+    * deliberately a fixture-ENTROPY predicate (the synthetic corpus is
+    * so dense every user purchases, so "made a purchase" is
+    * degenerate-true at every SF; a cents digit splits ~50/50 at any
+    * scale), uncorrelated with parity, so the fixture χ² is honestly
+    * small — the no-effect reading, with a DEFINED statistic,
+    * exercised over data. Cells and the fixed-order double replay
+    * exactly; users with no purchase would drop via the NULL rule.
+    */
+  def q272(s: SparkSession, dir: String): DataFrame = {
+    val users = events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(cents(col("value"))).as("mx"))
+      .select((pmod(col("user_id"), lit(2L)) === 0L).as("variant"),
+        (pmod(col("mx"), lit(10L)) < 5L).as("converted"))
+    graft.ops.Classify.chiSquare2x2(users, "variant", "converted")
+  }
+
   /** Benford first-digit screen on order totals — the fraud-analytics
     * classic: leading-digit counts of `o_totalprice` cents vs Benford's
     * expectation log₁₀(1 + 1/d). Counts are exact int64; the observed
@@ -2665,6 +2703,8 @@ object AnalyticQueries {
     "q256_attribution_audit" -> (q256 _),
     "q257_theil_sen" -> (q257 _),
     "q269_robust_outliers" -> (q269 _),
+    "q271_binned_quantiles" -> (q271 _),
+    "q272_chi_square" -> (q272 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2843,6 +2883,53 @@ object AnalyticQueries {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_touches
        FROM events WHERE event_type IN ('click', 'view')
        GROUP BY user_id HAVING count(*) > 20""",
+    // binned quantiles: cumulative window + ceiling nearest-rank +
+    // lower-edge mapping, bin grain
+    "q271_binned_quantiles" ->
+      """WITH e AS (SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) // 1000 AS bin
+           FROM events),
+         h AS (SELECT event_type, bin, count(*) AS n
+               FROM e GROUP BY 1, 2),
+         c AS (SELECT event_type, bin, n,
+               sum(n) OVER (PARTITION BY event_type ORDER BY bin)
+                 AS cum,
+               sum(n) OVER (PARTITION BY event_type) AS tot FROM h),
+         q AS (SELECT unnest([5000, 9000, 9900]) AS q_bp)
+       SELECT event_type, CAST(q_bp AS BIGINT) AS q_bp,
+              CAST(tot AS BIGINT) AS n,
+              CAST(bin * 1000 AS BIGINT) AS value_lo
+       FROM c CROSS JOIN q
+       WHERE (cum - n) < (q_bp * tot + 9999) // 10000
+         AND (q_bp * tot + 9999) // 10000 <= cum""",
+    // chi-square 2x2: exact cells + the fixed-order double statistic
+    "q272_chi_square" ->
+      """WITH u AS (SELECT user_id,
+             max(CAST(round(value * 100) AS BIGINT)) AS mx
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         t AS (SELECT (user_id % 2 = 0) AS g, (mx % 10 < 5) AS o
+               FROM u),
+         cells AS (SELECT count(*) AS n,
+             count(*) FILTER (WHERE g AND o) AS a,
+             count(*) FILTER (WHERE g AND NOT o) AS b,
+             count(*) FILTER (WHERE NOT g AND o) AS c,
+             count(*) FILTER (WHERE NOT g AND NOT o) AS d FROM t)
+       SELECT CAST(n AS BIGINT) AS n, CAST(a AS BIGINT) AS n_tt,
+              CAST(b AS BIGINT) AS n_tf, CAST(c AS BIGINT) AS n_ft,
+              CAST(d AS BIGINT) AS n_ff,
+              CASE WHEN a + b > 0 AND c + d > 0
+                    AND a + c > 0 AND b + d > 0 THEN
+                round(CAST(n AS DOUBLE) *
+                  (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                    - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) *
+                  (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                    - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) /
+                  ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) *
+                   (CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) *
+                   (CAST(a AS DOUBLE) + CAST(c AS DOUBLE)) *
+                   (CAST(b AS DOUBLE) + CAST(d AS DOUBLE))), 6)
+              END AS chi2
+       FROM cells""",
     // robust outliers: two lower medians + the 6745/35000 integer
     // predicate, observed (type, day) grain
     "q269_robust_outliers" ->

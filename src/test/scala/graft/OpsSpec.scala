@@ -2856,6 +2856,80 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("binnedQuantiles: nearest-rank by hand, edges, median parity, merged/retracted states, guards") {
+    import graft.ops.Incremental
+    val keys = Seq("k")
+    // ten unit bins: rank r lands in bin r-1; p50 -> rank 5 -> bin 4,
+    // p99 -> rank ceil(9.9) = 10 -> bin 9, q=1bp -> rank 1 -> bin 0
+    val ten = Incremental.histState(
+      (0L to 9L).map(v => ("x", v)).toDF("k", "v"), keys, "v", 1L)
+    def q(hist: org.apache.spark.sql.DataFrame, binW: Long, qs: Seq[Long]) =
+      Incremental.binnedQuantiles(hist, keys, binW, qs)
+        .select("k", "q_bp", "n", "value_lo")
+        .as[(String, Long, Long, Long)].collect().toSeq.sorted
+    assert(q(ten, 1L, Seq(1L, 5000L, 9900L, 10000L)) === Seq(
+      ("x", 1L, 10L, 0L), ("x", 5000L, 10L, 4L),
+      ("x", 9900L, 10L, 9L), ("x", 10000L, 10L, 9L)))
+    // weighted bins: counts (5, 3, 2) on bins 0/1/2 width 100 -> cum
+    // (5, 8, 10): p50 rank 5 -> bin 0, p90 rank 9 -> bin 2
+    val w = Incremental.histState(
+      (Seq.fill(5)(10L) ++ Seq.fill(3)(150L) ++ Seq.fill(2)(250L))
+        .map(("x", _)).toDF("k", "v"), keys, "v", 100L)
+    assert(q(w, 100L, Seq(5000L, 9000L)) === Seq(
+      ("x", 5000L, 10L, 0L), ("x", 9000L, 10L, 200L)))
+    // median parity with binnedMedMad on odd n
+    val odd = Incremental.histState(
+      Seq(1L, 2L, 3L, 400L, 500L).map(("x", _)).toDF("k", "v"),
+      keys, "v", 100L)
+    val med = Incremental.binnedMedMad(odd, keys, 100L)
+      .select("med_lo_c").as[Long].collect().head
+    assert(q(odd, 100L, Seq(5000L)).head._4 === med)
+    // read is exact on merged AND retracted state (same bin width)
+    val w1 = Incremental.histState(
+      Seq(10L, 150L, 250L).map(("x", _)).toDF("k", "v"), keys, "v", 1L)
+    val m = Incremental.mergeHist(ten, w1, keys)
+    assert(q(m, 1L, Seq(10000L)).head._4 === 250L)
+    val r = Incremental.retractHist(m, w1, keys)
+    assert(q(r, 1L, Seq(10000L)) === q(ten, 1L, Seq(10000L)))
+    intercept[IllegalArgumentException] {
+      Incremental.binnedQuantiles(ten, keys, 1L, Seq(0L))
+    }
+    intercept[IllegalArgumentException] {
+      Incremental.binnedQuantiles(ten, keys, 1L, Seq.empty)
+    }
+  }
+
+  test("chiSquare2x2: textbook value, no-effect zero, empty-margin NULL, NULL drop") {
+    import graft.ops.Classify
+    // a=10 b=20 c=30 d=40: dd = 400-600 = -200, chi2 =
+    // 100*40000/(30*70*40*60) = 0.793651 (6dp)
+    val df = (Seq.fill(10)((true, true)) ++ Seq.fill(20)((true, false)) ++
+      Seq.fill(30)((false, true)) ++ Seq.fill(40)((false, false)))
+      .toDF("g", "o")
+    val r = Classify.chiSquare2x2(df, "g", "o")
+      .as[(Long, Long, Long, Long, Long, Option[Double])].collect().head
+    assert(r === ((100L, 10L, 20L, 30L, 40L, Some(0.793651))))
+    // perfectly proportional cells -> chi2 exactly 0
+    val prop = (Seq.fill(10)((true, true)) ++ Seq.fill(10)((true, false)) ++
+      Seq.fill(20)((false, true)) ++ Seq.fill(20)((false, false)))
+      .toDF("g", "o")
+    assert(Classify.chiSquare2x2(prop, "g", "o")
+      .as[(Long, Long, Long, Long, Long, Option[Double])]
+      .collect().head._6 === Some(0.0))
+    // one empty margin (nobody in variant false) -> chi2 NULL
+    val oneArm = Seq((true, true), (true, false)).toDF("g", "o")
+    assert(Classify.chiSquare2x2(oneArm, "g", "o")
+      .as[(Long, Long, Long, Long, Long, Option[Double])]
+      .collect().head._6 === None)
+    // NULL group/outcome rows drop from every count
+    val withNull = df.union(
+      Seq((None: Option[Boolean], Some(true)),
+        (Some(true), None: Option[Boolean])).toDF("g", "o"))
+    assert(Classify.chiSquare2x2(withNull, "g", "o")
+      .as[(Long, Long, Long, Long, Long, Option[Double])]
+      .collect().head === r)
+  }
+
   test("retractHist: inverse law, complement equality, zero-bin drop, phantom audit (q267 laws)") {
     import graft.ops.Incremental
     val keys = Seq("k")

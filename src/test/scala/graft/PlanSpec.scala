@@ -225,6 +225,15 @@ class PlanSpec extends SparkSpec {
       s"base side re-decoded the corpus:\n$plan")
   }
 
+  test("q271: binned quantiles is ONE corpus aggregate + bin-grain windows, no join") {
+    val plan = planOf("q271_binned_quantiles")
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"quantile read picked up a global sort:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      plan)
+  }
+
   test("q240: ranking metrics join hash-wise and aggregate at query grain — no nested loop") {
     val plan = planOf("q240_ranking_metrics")
     assert(!plan.contains("CartesianProduct") &&

@@ -741,4 +741,56 @@ class PropertySpec extends SparkSpec {
       .selectExpr("jaro_winkler(a, b)").as[Double].collect().toSeq
     assert(viaExpr === pairs.map(p => jw(p._1, p._2)))
   }
+
+  test("hammingNearDup == brute force at every radius <= 3 on random fingerprints") {
+    import graft.ops.Multimodal
+    // random 64-bit hashes as 32-bit halves, biased to collide (few
+    // distinct values) so pairs at every distance 0..3+ populate
+    val hashes: Gen[List[(Long, Long, Long)]] =
+      Gen.listOf(Gen.zip(Gen.choose(0L, 30L),
+        Gen.choose(0L, 15L).map(_ * 0x11111111L % 0xFFFFFFFFL),
+        Gen.oneOf(Seq(0L, 1L, 2L, 3L, 7L, 0x10000L, 0x30001L,
+          0xFFFFFFFFL, 0xAAAA5555L))))
+    check(hashes, n = 8) { rows =>
+      // one row per id (the operator's id contract)
+      val byId = rows.groupBy(_._1).map(_._2.head).toList
+      val df = byId.toDF("id", "hi", "lo")
+      for (d <- 0L to 3L) {
+        val got = Multimodal.hammingNearDup(df, "id", "hi", "lo",
+            d.toInt, maxBucket = 10000)
+          .as[(Long, Long, Long)].collect().toSet
+        val want = (for {
+          a <- byId; b <- byId if a._1 < b._1
+          h = java.lang.Long.bitCount(a._2 ^ b._2) +
+            java.lang.Long.bitCount(a._3 ^ b._3)
+          if h <= d
+        } yield (a._1, b._1, h.toLong)).toSet
+        assert(got === want,
+          s"radius $d mismatch on ${byId.size} fingerprints")
+      }
+    }
+  }
+
+  test("containmentJoin == brute force at random thresholds on random token sets") {
+    import graft.ops.Dedup
+    val sets: Gen[(List[(Long, List[String])], Long)] = Gen.zip(
+      Gen.listOf(Gen.zip(Gen.choose(0L, 12L),
+        Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f")))),
+      Gen.choose(1L, 10000L))
+    check(sets, n = 8) { case (rows, bp) =>
+      val byId = rows.groupBy(_._1).map(_._2.head).toList
+        .map { case (id, ts) => (id, ts.distinct) }
+        .filter(_._2.nonEmpty)
+      val df = byId.toDF("id", "toks")
+      val got = Dedup.containmentJoin(df, "id", "toks", bp,
+          maxPosting = 10000)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val want = (for {
+        a <- byId; b <- byId if a._1 != b._1
+        i = a._2.toSet.intersect(b._2.toSet).size.toLong
+        if i * 10000L >= bp * a._2.size
+      } yield (a._1, b._1, i, i * 10000L / a._2.size)).toSet
+      assert(got === want, s"bp=$bp mismatch on ${byId.size} sets")
+    }
+  }
 }

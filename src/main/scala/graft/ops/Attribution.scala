@@ -46,7 +46,11 @@ object Attribution {
   /** Touch-grain attribution: one row per (conversion, in-window touch)
     * with `(user, conv_id, touch_id, touch_type, pos, n_touches,
     * first_bp, last_bp, linear_bp)`. `idCol` must be unique per event
-    * (the deterministic tie and the join identity). */
+    * (the deterministic tie and the join identity) and is carried at its
+    * NATIVE type — no silent numeric cast (r17 advice: a `cast("long")`
+    * here turned every non-numeric id into NULL, collapsing the conv_id
+    * window partitions into one NULL group with the contract violated
+    * invisibly; any orderable id type ties deterministically as-is). */
   def touchCredit(events: DataFrame, userCol: String, tsCol: String,
                   idCol: String, typeCol: String, convType: String,
                   touchTypes: Seq[String], lookbackUs: Long,
@@ -59,7 +63,7 @@ object Attribution {
     require(maxUserTouches >= 1,
       s"touchCredit: maxUserTouches must be >= 1, got $maxUserTouches")
     val ev = events.select(col(userCol).as("u"),
-      unix_micros(col(tsCol)).as("us"), col(idCol).cast("long").as("eid"),
+      unix_micros(col(tsCol)).as("us"), col(idCol).as("eid"),
       col(typeCol).as("ty"))
     val wU = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
     val touches = ev.filter(col("ty").isin(touchTypes: _*))

@@ -205,10 +205,17 @@ object Classify {
     * scores tie, and ties are REAL here because scores round to 4 dp.
     * Scale shape: one score-keyed aggregate (distinct-score
     * cardinality), then a cumulative window over THAT relation — the
-    * corpus enters one exchange, the window never sees it. NULL scores
-    * are excluded and counted (`n_null`) — a scorer that refuses a row
-    * must be visible in its evaluation. Degenerate single-class inputs
-    * emit NULL auc, never a divide-by-zero.
+    * corpus enters one exchange, the window never sees it. THE BOUND
+    * (r17 verdict): the cumulative window is GLOBAL (single partition),
+    * so this is exact-and-cheap only while distinct scores stay far
+    * below corpus grain — true of every gated caller (scores quantized
+    * to basis points / 4 dp, ≤ 10⁴–10⁶ distinct); a CONTINUOUS scorer
+    * makes the window degenerate to corpus rows on one partition —
+    * quantize first ([[aucReportBinned]], the q209/q249 binned-sibling
+    * posture). NULL scores are excluded and counted (`n_null`) — a
+    * scorer that refuses a row must be visible in its evaluation.
+    * Degenerate single-class inputs emit NULL auc, never a
+    * divide-by-zero.
     */
   def aucReport(scored: DataFrame, scoreCol: String,
                 labelCol: String): DataFrame = {
@@ -235,6 +242,31 @@ object Classify {
           .cast("double") /
           (col("n_pos") * 2 * col("n_neg")).cast("double"), 6))
         .as("auc"))
+  }
+
+  /** [[aucReport]]'s binned sibling for CONTINUOUS scorers — the
+    * q209/q249 posture on evaluation: quantize the score to integer
+    * buckets `round(score · scale)` FIRST (the [[graft.cents]]
+    * convention — round, NOT floor, so a score that IS a multiple of
+    * 1/scale lands in its own bucket even when the double product
+    * reads 56.999…), then run the same Mann–Whitney midrank machinery
+    * at bucket grain, so the global cumulative window sees at most
+    * `scale · score-range` rows however many distinct raw scores the
+    * corpus carries. The result is the exact AUC OF THE QUANTIZED
+    * SCORES (midranks absorb the new ties), which brackets the
+    * raw-score AUC within the mass that moved across bucket
+    * boundaries; when scores are already quantized at `scale` (every
+    * gated caller), binned ≡ exact bit-for-bit — the OpsSpec law.
+    * `scale` in units per score point (10⁴ = basis-point buckets).
+    */
+  def aucReportBinned(scored: DataFrame, scoreCol: String,
+                      labelCol: String, scale: Long = 10000L): DataFrame = {
+    require(scale >= 1, s"aucReportBinned: scale must be >= 1, got $scale")
+    aucReport(
+      scored.withColumn("__sbin",
+        when(col(scoreCol).isNotNull,
+          round(col(scoreCol).cast("double") * scale).cast("long"))),
+      "__sbin", labelCol)
   }
 
   /** Pearson chi-square on a 2×2 boolean contingency — the A/B

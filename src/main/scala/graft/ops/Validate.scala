@@ -378,7 +378,10 @@ object Validate {
     * reading of "spread is zero". int64 envelope: 6745·|x−med| < 2⁶³
     * holds to |x−med| ≈ 1.4·10¹⁵. Output: input columns + `med`,
     * `mad`, `mz_bp`, `is_outlier`; NULL values pass through unflagged
-    * with NULL stats. Scale shape: two rank windows per key group (the
+    * with NULL stats, and so do NULL-KEY rows (a NULL grouping key
+    * joins its group stats null-unsafely, so med/mad are absent —
+    * `is_outlier` is pinned false there, never a NULL boolean).
+    * Scale shape: two rank windows per key group (the
     * exact-order-statistic cost, stated honestly — the binned sibling
     * for corpus-grain values is [[graft.ops.Incremental.binnedMedMad]];
     * this runs at GROUP-SERIES grain, e.g. days × types, where the
@@ -417,6 +420,12 @@ object Validate {
           expr("6745L * __dev div mad")))
       .withColumn("is_outlier",
         when(v.isNull, lit(false))
+          // a NULL grouping key joins med/mad null-unsafely, so its
+          // stats come back absent — flag FALSE, never NULL (r17
+          // advice: the otherwise-branch `__dev =!= 0L` evaluated to
+          // NULL there, a boolean that is neither true nor false);
+          // NULL-key rows carry NULL med/mad/mz_bp like NULL values do
+          .when(col("med").isNull || col("mad").isNull, lit(false))
           .when(col("mad") > 0L,
             abs(lit(6745L) * col("__dev")) > lit(35000L) * col("mad"))
           .otherwise(col("__dev") =!= 0L))

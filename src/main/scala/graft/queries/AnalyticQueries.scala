@@ -2884,11 +2884,15 @@ object AnalyticQueries {
        FROM events WHERE event_type IN ('click', 'view')
        GROUP BY user_id HAVING count(*) > 20""",
     // binned quantiles: cumulative window + ceiling nearest-rank +
-    // lower-edge mapping, bin grain
+    // lower-edge mapping, bin grain. Binning replays the engine's FLOOR
+    // division explicitly ((c - pmod(c, w)) // w) — DuckDB's bare `//`
+    // truncates toward zero and would disagree on negative cents
+    // (r17 advice; fixture cents are non-negative, values unchanged).
     "q271_binned_quantiles" ->
-      """WITH e AS (SELECT event_type,
-             CAST(round(value * 100) AS BIGINT) // 1000 AS bin
-           FROM events),
+      """WITH v AS (SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS c FROM events),
+         e AS (SELECT event_type,
+             (c - ((c % 1000) + 1000) % 1000) // 1000 AS bin FROM v),
          h AS (SELECT event_type, bin, count(*) AS n
                FROM e GROUP BY 1, 2),
          c AS (SELECT event_type, bin, n,
@@ -3281,11 +3285,16 @@ object AnalyticQueries {
               price_c AS wmedian_c
        FROM f WHERE rn = 1""",
     // binned weighted median: $100 integer bins, bin-grain cumulative
-    // window — the deterministic approx path replayed bit-for-bit
+    // window — the deterministic approx path replayed bit-for-bit.
+    // Floor binning replayed explicitly (engine binOf floors; DuckDB
+    // `//` truncates — differs on negative cents).
     "q209_wmedian_binned" ->
-      """WITH li AS (SELECT l_returnflag,
-             CAST(round(l_extendedprice * 100) AS BIGINT) // 10000 AS bin,
+      """WITH li0 AS (SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
              CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+         li AS (SELECT l_returnflag,
+             (c - ((c % 10000) + 10000) % 10000) // 10000 AS bin, w
+           FROM li0),
          h AS (SELECT l_returnflag, bin, sum(w) AS bw
            FROM li GROUP BY l_returnflag, bin),
          c AS (SELECT l_returnflag, bin, bw,
@@ -3300,10 +3309,14 @@ object AnalyticQueries {
               CAST((bin + 1) * 10000 - 1 AS BIGINT) AS wmed_hi_c
        FROM f WHERE rn = 1""",
     // binned median/MAD: one corpus aggregate, bin-grain everything
-    // else — the histogram replayed through both weighted medians
+    // else — the histogram replayed through both weighted medians.
+    // Floor binning replayed explicitly (engine binOf floors; DuckDB
+    // `//` truncates — differs on negative cents).
     "q210_mad_binned" ->
-      """WITH e AS (SELECT event_type,
-             CAST(round(value * 100) AS BIGINT) // 1000 AS bin FROM events),
+      """WITH v AS (SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS c FROM events),
+         e AS (SELECT event_type,
+             (c - ((c % 1000) + 1000) % 1000) // 1000 AS bin FROM v),
          h AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
            FROM e GROUP BY event_type, bin),
          c AS (SELECT event_type, bin, n,

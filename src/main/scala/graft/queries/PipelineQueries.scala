@@ -5180,19 +5180,24 @@ FROM o"""
        SELECT 'postings' AS side, tk AS token,
               CAST(count(*) AS BIGINT) AS posting_len
        FROM tok GROUP BY tk HAVING count(*) > 24""",
-    // retraction: maintained state == recompute on the complement
+    // retraction: maintained state == recompute on the complement.
+    // Floor binning replayed explicitly (engine binOf floors; DuckDB
+    // `//` truncates — differs on negative cents; r17 advice).
     "q267_retract_hist" ->
-      """WITH e AS (SELECT event_type, event_id,
-             CAST(round(value * 100) AS BIGINT) // 1000 AS bin
-           FROM events)
+      """WITH v AS (SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c FROM events),
+         e AS (SELECT event_type, event_id,
+             (c - ((c % 1000) + 1000) % 1000) // 1000 AS bin FROM v)
        SELECT event_type, CAST(bin AS BIGINT) AS bin,
               CAST(count(*) AS BIGINT) AS n
        FROM e WHERE event_id % 5 <> 0 GROUP BY 1, 2""",
-    // phantom-delete audit: deletes exceeding state, with both counts
+    // phantom-delete audit: deletes exceeding state, with both counts.
+    // Floor binning replayed explicitly (the q267 note).
     "q268_retract_audit" ->
-      """WITH e AS (SELECT event_type, event_id,
-             CAST(round(value * 100) AS BIGINT) // 1000 AS bin
-           FROM events),
+      """WITH v AS (SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c FROM events),
+         e AS (SELECT event_type, event_id,
+             (c - ((c % 1000) + 1000) % 1000) // 1000 AS bin FROM v),
          st AS (SELECT event_type, bin, count(*) AS n FROM e
                 WHERE event_type <> 'signup' GROUP BY 1, 2),
          de AS (SELECT event_type, bin, count(*) AS n FROM e

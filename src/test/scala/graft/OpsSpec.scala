@@ -4749,6 +4749,35 @@ class OpsSpec extends SparkSpec {
     assert(rn === ((1L, 1L, 0L, 1L, Some(1.0))))
   }
 
+  test("aucReportBinned: binned == exact on already-quantized scores; coarse bins tie everything to 0.5") {
+    import graft.ops.Classify
+    // randomized law (the r17 verdict's distinct-score-grain bound):
+    // scores quantized at scale 100 (2 dp) — binning at the SAME scale
+    // must reproduce aucReport bit-for-bit, new ties and all
+    val rnd = new scala.util.Random(20260816)
+    val rows = Seq.tabulate(200)(i =>
+      (rnd.nextInt(100) / 100.0, rnd.nextBoolean()))
+    val df = rows.toDF("s", "y")
+    val exact = Classify.aucReport(df, "s", "y")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    val binned = Classify.aucReportBinned(df, "s", "y", scale = 100L)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    assert(binned === exact)
+    // a scale that buckets every score together degenerates to the
+    // all-tied midrank: auc exactly 0.5, one tied bucket (scores all
+    // inside (-0.5, 0.5) so round(s·1) is 0 everywhere)
+    val tiny = rows.map { case (s, y) => (s / 10.0, y) }.toDF("s", "y")
+    val onebin = Classify.aucReportBinned(tiny, "s", "y", scale = 1L)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    assert(onebin._3 === 1L && onebin._5 === Some(0.5))
+    // null scores stay excluded-and-counted through the quantization
+    val withNull = Seq((Some(3.0), true), (None, false), (Some(1.0), false))
+      .toDF("s", "y")
+    val rn = Classify.aucReportBinned(withNull, "s", "y")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    assert(rn === ((1L, 1L, 0L, 1L, Some(1.0))))
+  }
+
   test("jaro_winkler: textbook values, floor-halved transpositions, boost gate, empty convention") {
     import spark.implicits._
     def jw(a: String, b: String): Double =

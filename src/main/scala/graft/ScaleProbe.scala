@@ -396,7 +396,22 @@ object ScaleProbe {
     "q271_binned_quantiles",
     // r17: chi-square — one user-grain aggregate then a 1-row
     // statistic; ratio ≈ the corpus aggregate
-    "q272_chi_square")
+    "q272_chi_square",
+    // r18 arrivals: video fingerprint — frame slicing + per-frame hash
+    // on the scan partitions (2 KB of video bytes per doc never
+    // shuffle), then ONE media-keyed 64-counter vote aggregate; the
+    // near-dup twin adds the capped banded join over the fingerprints
+    "q273_video_fingerprint", "q274_video_neardup",
+    // r17 verdict #3 backfill: the five >1 s bench rows whose probe
+    // rows predate the gates: convention — re-probed so the current
+    // sweep alone answers the scale question. q72 fuses the two probed
+    // corpus components (BM25 + brute cosine, top-N-bounded fusion);
+    // q85 rides the semantic-pair generator at survivor grain; q87 is
+    // the multi-probe IVF cell join (Σ|cell|² ≈ n^1.5, maxCell-capped);
+    // q138 is one partial-combined validation pass per relation; q168
+    // is the NB fit + heldout score + distinct-score-grain AUC window
+    "q72_hybrid_rrf", "q85_keepbest_survivors", "q87_semantic_dedup",
+    "q138_validation", "q168_classifier_auc")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

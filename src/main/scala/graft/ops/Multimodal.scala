@@ -872,4 +872,95 @@ object Multimodal {
           .as("f"))
       .select(col("media_id"), col("f.frame_no").as("frame_no"),
         col("f.frame").as("frame"))
+
+  /** Per-sampled-frame 64-bit perceptual hash for video blobs — the
+    * CONTENT-grain step [[sampleFrames]] stops short of (r17 verdict
+    * #1: video was the one modality with header-only evidence):
+    * every `every`-th `w·h`-byte frame slice is interpreted as a
+    * row-major 8-bit gray raster and hashed with the SAME [[aHash64]]
+    * integer scheme the image family uses. The raw-raster
+    * interpretation IS the codec stand-in — no H.264 decoder exists in
+    * this container, so the "decode" is the identity on planted
+    * raw-gray frames (the brief's deterministic-fake rule), while
+    * everything around it — the columnar frame slicing, the
+    * mapPartitions-on-the-scan shape, the hash arithmetic, the banded
+    * near-dup join downstream — is the real 100 TB plumbing a real
+    * frame decoder would drop into (swap the gray loop for the codec
+    * call; nothing else changes). Frames shorter than `w·h` bytes (a
+    * trailing partial slice) hash NULL. Output: `(media_id, frame_no,
+    * fh_hi, fh_lo)` — 20 bytes per sampled frame move downstream; the
+    * video bytes never shuffle.
+    */
+  def videoFrameHashes(media: DataFrame, w: Int, h: Int,
+                       every: Int): DataFrame = {
+    require(w >= 8 && h >= 8,
+      s"videoFrameHashes: frame raster must be at least 8x8, got ${w}x$h")
+    require(every >= 1,
+      s"videoFrameHashes: every must be >= 1, got $every")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("fh_hi", LongType, nullable = true),
+      StructField("fh_lo", LongType, nullable = true)))
+    media.sparkSession.createDataFrame(
+      sampleFrames(media, w * h, every)
+        .select(col("media_id").cast("long"), col("frame_no").cast("int"),
+          col("frame"))
+        .rdd.mapPartitions { it =>
+          val n = w * h
+          it.map { r =>
+            val id = r.getLong(0)
+            val f = r.getInt(1)
+            val bytes = r.getAs[Array[Byte]](2)
+            if (bytes == null || bytes.length < n) Row(id, f, null, null)
+            else {
+              val gray = new Array[Int](n)
+              var i = 0
+              while (i < n) { gray(i) = bytes(i) & 0xff; i += 1 }
+              aHash64(w, h, gray) match {
+                case Some((hi, lo)) => Row(id, f, hi, lo)
+                case None => Row(id, f, null, null)
+              }
+            }
+          }
+        }, schema)
+  }
+
+  /** Per-VIDEO 64-bit fingerprint by strict per-bit majority vote over
+    * its sampled frame hashes ([[videoFrameHashes]]): bit b of the
+    * video fingerprint is set iff MORE than half of the hashed frames
+    * set bit b (ties clear — deterministic, replayable). Majority is
+    * the right reduction for near-dup: a re-encode that perturbs one
+    * frame moves at most the bits where the vote was marginal, where
+    * an XOR fold would flip every perturbed bit and a concatenation
+    * would break the shared 64-bit near-dup machinery. Output:
+    * `(media_id, n_frames, vfp_hi, vfp_lo)` in the same 32-bit-half
+    * split as [[aHash64]]/[[energyHash64]], so near-dup pairs run
+    * through the SAME [[hammingNearDup]] banded generator as images
+    * and audio — one pair generator for every 64-bit media
+    * fingerprint. Videos with zero hashable frames drop out. Scale
+    * shape: frames hash on the scan partitions; the only exchange is
+    * the media_id-keyed vote aggregate over 20-byte rows, with the 64
+    * bit-counters partial-combined map-side.
+    */
+  def videoFingerprint(media: DataFrame, w: Int, h: Int,
+                       every: Int): DataFrame = {
+    val fh = videoFrameHashes(media, w, h, every)
+      .filter(col("fh_hi").isNotNull && col("fh_lo").isNotNull)
+    // halves are non-negative 32-bit values in int64, so shiftright is
+    // an exact bit slice
+    val bitSums = (0 until 64).map { b =>
+      val bit = if (b < 32) expr(s"shiftright(fh_lo, $b) & 1")
+        else expr(s"shiftright(fh_hi, ${b - 32}) & 1")
+      sum(bit).as(s"__b$b")
+    }
+    val agg = fh.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"), bitSums: _*)
+    def assemble(bits: Range, off: Int) =
+      bits.map(b => when(col(s"__b$b") * 2L > col("n_frames"),
+        lit(1L << (b - off))).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col("media_id"), col("n_frames"),
+      assemble(32 until 64, 32).as("vfp_hi"),
+      assemble(0 until 32, 0).as("vfp_lo"))
+  }
 }

@@ -2670,6 +2670,82 @@ object PipelineQueries {
       graft.ops.Multimodal.loadFingerprintIndex(s, storedFpIndex(s, dir)),
       maxDist = 3, maxBucket = 100)
 
+  /** The q273/q274 planted video corpus — the q258 planting discipline
+    * on MOVING pictures: one 8-frame "video" per document, each frame a
+    * raw 16×16 row-major gray raster (256 bytes; 2048 bytes per blob,
+    * `kind = "video"`), pixel(f, i) = (base·31 + f·41 + i·17 + i²·7
+    * + base·i·13 + f·i·5 + (base div 256)·i²·11) mod 256 with base =
+    * doc_id div 2. The base·i cross-term decorrelates bases, the
+    * (base div 256) second-digit term keeps that true past 256 bases
+    * (the plantedPngs lesson — fixture entropy is explicitly base mod
+    * 2¹⁶), and the NEW f·41 + f·i·5 terms decorrelate FRAMES within a
+    * video so the majority vote has real per-frame variation to vote
+    * over. Consecutive ids are SIBLINGS; odd ids get the same pixel
+    * index bumped +3 mod 256 in EVERY frame (per-frame the usual 0–1
+    * hash bits move; the majority vote then flips exactly the bits
+    * where the vote was marginal — usually 0–2 fingerprint bits, the
+    * wraparound occasionally more, both regimes real). Raw raster is
+    * storage, not codec — the decode side recovers these exact bytes
+    * and a pure-arithmetic oracle can meet it.
+    */
+  private def plantedVideos(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir)("documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val base = id / 2
+          val bump = (base % 256).toInt
+          val bytes = new Array[Byte](8 * 256)
+          var f = 0
+          while (f < 8) {
+            var i = 0
+            while (i < 256) {
+              val p0 = ((base * 31 + f.toLong * 41 + i.toLong * 17 +
+                i.toLong * i * 7 + base * i * 13 + f.toLong * i * 5 +
+                (base / 256) * i * i * 11) % 256).toInt
+              val p = if (id % 2 == 1 && i == bump) (p0 + 3) % 256 else p0
+              bytes(f * 256 + i) = p.toByte
+              i += 1
+            }
+            f += 1
+          }
+          (id, "video", bytes)
+        }
+      }.toDF("media_id", "kind", "content")
+  }
+
+  /** VIDEO content fingerprint, gated ([[graft.ops.Multimodal
+    * .videoFingerprint]] — r17 verdict #1: q235 gated the MP4 header
+    * and [[graft.ops.Multimodal.sampleFrames]] sliced frames, but no
+    * content-grain video gate existed while image q258 and audio q260
+    * both did): every other 256-byte frame of each planted video
+    * (frames 0, 2, 4, 6) is interpreted as a 16×16 gray raster, hashed
+    * with the SAME integer aHash the image family gates, and the four
+    * frame hashes reduce to one 64-bit fingerprint by strict per-bit
+    * majority. The oracle replays the pixel-planting rule, the 2×2
+    * box filter, the per-frame truncating mean, the bit votes and the
+    * majority assembly in pure SQL arithmetic — agreement pins the
+    * frame slicing (substring grid), the per-frame hash and the vote
+    * reduction in one hash.
+    */
+  def q273(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.videoFingerprint(plantedVideos(s, dir),
+      w = 16, h = 16, every = 2)
+
+  /** Perceptual near-dup pairs over the q273 video fingerprints — the
+    * SAME [[graft.ops.Multimodal.hammingNearDup]] banded join images
+    * (q259) and audio (q261) use, completing the one-pair-generator-
+    * for-every-modality design: planted sibling videos land within
+    * the radius except where the mod-256 wraparound moves a majority,
+    * and the oracle proves banding completeness by brute force over
+    * the replayed fingerprints (the q259 posture at video grain).
+    */
+  def q274(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.hammingNearDup(
+      graft.ops.Multimodal.videoFingerprint(plantedVideos(s, dir),
+        w = 16, h = 16, every = 2),
+      "media_id", "vfp_hi", "vfp_lo", maxDist = 3, maxBucket = 100)
+
   /** The language-planted corpus shared by q166: each doc gets its
     * label's function-word suffix ×3 (the trigram signal a char-n-gram
     * model keys on — the raw fixture text is the SAME synthetic
@@ -4225,6 +4301,8 @@ object PipelineQueries {
     "q267_retract_hist" -> (q267 _),
     "q268_retract_audit" -> (q268 _),
     "q270_media_cross_neardup" -> (q270 _),
+    "q273_video_fingerprint" -> (q273 _),
+    "q274_video_neardup" -> (q274 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -5245,6 +5323,88 @@ FROM o"""
        FROM hsh n JOIN hsh b
          ON n.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
        WHERE bit_count(xor(n.hi, b.hi)) + bit_count(xor(n.lo, b.lo))
+             <= 3""",
+    // video fingerprint: frame-planting rule + per-frame aHash cells
+    // + truncating per-frame mean + per-bit majority vote over the
+    // sampled frames (0, 2, 4, 6), assembled in pure SQL arithmetic
+    "q273_video_fingerprint" ->
+      """WITH pix AS (
+           SELECT doc_id, fr.f, g.i,
+             CASE WHEN doc_id % 2 = 1 AND g.i = (doc_id // 2) % 256
+               THEN ((doc_id // 2) * 31 + fr.f * 41 + g.i * 17
+                     + g.i * g.i * 7 + (doc_id // 2) * g.i * 13
+                     + fr.f * g.i * 5
+                     + (doc_id // 2 // 256) * g.i * g.i * 11 + 3) % 256
+               ELSE ((doc_id // 2) * 31 + fr.f * 41 + g.i * 17
+                     + g.i * g.i * 7 + (doc_id // 2) * g.i * 13
+                     + fr.f * g.i * 5
+                     + (doc_id // 2 // 256) * g.i * g.i * 11) % 256
+             END AS p
+           FROM documents
+           CROSS JOIN (SELECT unnest([0, 2, 4, 6]) AS f) fr
+           CROSS JOIN (SELECT unnest(range(0, 256)) AS i) g),
+         cells AS (
+           SELECT doc_id, f,
+                  ((i // 16) // 2) * 8 + ((i % 16) // 2) AS ci,
+                  sum(p) // 4 AS cv
+           FROM pix GROUP BY 1, 2, 3),
+         m AS (SELECT doc_id, f, sum(cv) // 64 AS mean
+               FROM cells GROUP BY 1, 2),
+         vote AS (
+           SELECT c.doc_id, ci,
+                  sum(CASE WHEN cv > mean THEN 1 ELSE 0 END) AS cnt
+           FROM cells c JOIN m USING (doc_id, f) GROUP BY 1, 2)
+       SELECT doc_id AS media_id, CAST(4 AS BIGINT) AS n_frames,
+              CAST(coalesce(sum(CASE WHEN ci >= 32 AND cnt * 2 > 4
+                THEN (CAST(1 AS BIGINT) << (ci - 32)) END), 0)
+                AS BIGINT) AS vfp_hi,
+              CAST(coalesce(sum(CASE WHEN ci < 32 AND cnt * 2 > 4
+                THEN (CAST(1 AS BIGINT) << ci) END), 0)
+                AS BIGINT) AS vfp_lo
+       FROM vote GROUP BY 1""",
+    // video near-dup: brute-force all-pairs hamming over the replayed
+    // majority fingerprints — banding completeness by hash equality
+    "q274_video_neardup" ->
+      """WITH pix AS (
+           SELECT doc_id, fr.f, g.i,
+             CASE WHEN doc_id % 2 = 1 AND g.i = (doc_id // 2) % 256
+               THEN ((doc_id // 2) * 31 + fr.f * 41 + g.i * 17
+                     + g.i * g.i * 7 + (doc_id // 2) * g.i * 13
+                     + fr.f * g.i * 5
+                     + (doc_id // 2 // 256) * g.i * g.i * 11 + 3) % 256
+               ELSE ((doc_id // 2) * 31 + fr.f * 41 + g.i * 17
+                     + g.i * g.i * 7 + (doc_id // 2) * g.i * 13
+                     + fr.f * g.i * 5
+                     + (doc_id // 2 // 256) * g.i * g.i * 11) % 256
+             END AS p
+           FROM documents
+           CROSS JOIN (SELECT unnest([0, 2, 4, 6]) AS f) fr
+           CROSS JOIN (SELECT unnest(range(0, 256)) AS i) g),
+         cells AS (
+           SELECT doc_id, f,
+                  ((i // 16) // 2) * 8 + ((i % 16) // 2) AS ci,
+                  sum(p) // 4 AS cv
+           FROM pix GROUP BY 1, 2, 3),
+         m AS (SELECT doc_id, f, sum(cv) // 64 AS mean
+               FROM cells GROUP BY 1, 2),
+         vote AS (
+           SELECT c.doc_id, ci,
+                  sum(CASE WHEN cv > mean THEN 1 ELSE 0 END) AS cnt
+           FROM cells c JOIN m USING (doc_id, f) GROUP BY 1, 2),
+         hsh AS (
+           SELECT doc_id,
+                  CAST(coalesce(sum(CASE WHEN ci >= 32 AND cnt * 2 > 4
+                    THEN (CAST(1 AS BIGINT) << (ci - 32)) END), 0)
+                    AS BIGINT) AS hi,
+                  CAST(coalesce(sum(CASE WHEN ci < 32 AND cnt * 2 > 4
+                    THEN (CAST(1 AS BIGINT) << ci) END), 0)
+                    AS BIGINT) AS lo
+           FROM vote GROUP BY 1)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(bit_count(xor(a.hi, b.hi)) +
+                   bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+       FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
              <= 3""",
     // image dedup capstone: replayed hashes -> brute-force pairs ->
     // recursive-CTE components -> min-id canonical, singletons self

@@ -412,4 +412,52 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_._2).sorted.toSeq === Seq(0, 2)) // frames 0 and 2 of 4
     assert(frames.forall(_._3.length === 10))
   }
+
+  test("videoFrameHashes: raw-raster frames hash to the exact aHash64; partial trailing frames hash NULL") {
+    // two full 16x16 frames with different deterministic patterns, plus
+    // a 100-byte trailing partial slice
+    def raster(seed: Int): Array[Byte] =
+      Array.tabulate(256)(i => ((seed * 31 + i * 17 + i * i * 7) % 256).toByte)
+    val full0 = raster(1); val full1 = raster(2)
+    // a trailing partial slice is dropped by sampleFrames' full-frame
+    // grid; a blob SHORTER than one frame still emits frame 0, whose
+    // short slice must hash NULL, never throw
+    val blob = full0 ++ full1 ++ Array.fill(100)(7.toByte)
+    val media = Seq((5L, "video", blob),
+      (6L, "video", Array.fill(100)(7.toByte)))
+      .toDF("media_id", "kind", "content")
+    val got = Multimodal.videoFrameHashes(media, 16, 16, every = 1)
+      .as[(Long, Int, Option[Long], Option[Long])].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    def expected(bytes: Array[Byte]): (Long, Long) =
+      Multimodal.aHash64(16, 16, bytes.map(_ & 0xff)).get
+    assert(got.map(r => (r._1, r._2)) === Seq((5L, 0), (5L, 1), (6L, 0)))
+    assert((got(0)._3.get, got(0)._4.get) === expected(full0))
+    assert((got(1)._3.get, got(1)._4.get) === expected(full1))
+    assert(got(2)._3.isEmpty && got(2)._4.isEmpty) // sub-frame blob
+    // guards: sub-8x8 grids and every < 1 rejected loudly
+    intercept[IllegalArgumentException](
+      Multimodal.videoFrameHashes(media, 4, 16, 1))
+    intercept[IllegalArgumentException](
+      Multimodal.videoFrameHashes(media, 16, 16, 0))
+  }
+
+  test("videoFingerprint: identical frames reproduce the frame hash; strict majority over a 2-2 split is the AND") {
+    def half(right: Boolean): Array[Byte] = Array.tabulate(256) { i =>
+      val on = if (right) i % 16 >= 8 else i / 16 >= 8
+      if (on) 255.toByte else 0.toByte
+    }
+    val a = half(right = true); val b = half(right = false)
+    val (ahi, alo) = Multimodal.aHash64(16, 16, a.map(_ & 0xff)).get
+    val (bhi, blo) = Multimodal.aHash64(16, 16, b.map(_ & 0xff)).get
+    val media = Seq(
+      (1L, "video", a ++ a ++ a),          // identical frames
+      (2L, "video", a ++ a ++ b ++ b)      // 2-2 split: no strict majority
+    ).toDF("media_id", "kind", "content")
+    val fp = Multimodal.videoFingerprint(media, 16, 16, every = 1)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(fp(0) === ((1L, 3L, ahi, alo)))
+    // a bit survives the 2-2 vote only when BOTH patterns set it
+    assert(fp(1) === ((2L, 4L, ahi & bhi, alo & blo)))
+  }
 }

@@ -188,6 +188,31 @@ class PlanSpec extends SparkSpec {
       plan261.contains("BroadcastHashJoin"), plan261)
   }
 
+  test("q273/q274: video fingerprint is one partial-combined vote aggregate; its near-dup joins hash-wise over ONE materialized relation") {
+    val plan273 = planOf("q273_video_fingerprint")
+    assert(!plan273.contains("Join"), plan273)
+    // the frame bytes never shuffle: slicing and hashing run on the
+    // scan partitions, and the ONLY exchange is the media-keyed vote
+    // aggregate over 20-byte hash rows, 64 counters partial-combined
+    val n = "\\(\\d+\\) Exchange".r.findAllIn(plan273).size
+    assert(n == 1, s"expected 1 exchange (the vote aggregate), got $n:\n$plan273")
+    assert(plan273.contains("partial_sum") ||
+      plan273.contains("partial_count"), plan273)
+    val plan274 = planOf("q274_video_neardup")
+    assert(!plan274.contains("CartesianProduct") &&
+      !plan274.contains("BroadcastNestedLoopJoin"),
+      s"band bucket join fell back to a nested loop:\n$plan274")
+    assert(plan274.contains("SortMergeJoin") ||
+      plan274.contains("BroadcastHashJoin"), plan274)
+    // the slice+hash+vote pipeline ran once, inside the checkpoint job
+    // (the hammingNearDup discipline) — all four references read the
+    // same 28-byte-per-row fingerprint relation
+    assert(plan274.contains("localCheckpoint at Multimodal.scala"), plan274)
+    val rddIds = "MapPartitionsRDD\\[\\d+\\]".r.findAllIn(plan274).toSet
+    assert(rddIds.size == 1,
+      s"expected one checkpointed fingerprint relation, saw $rddIds:\n$plan274")
+  }
+
   test("q262: kappa is ONE corpus aggregate; everything after runs at label grain") {
     val plan = planOf("q262_cohen_kappa")
     // the only corpus-sized structure is the (label_a, label_b)

@@ -411,7 +411,13 @@ object ScaleProbe {
     // q138 is one partial-combined validation pass per relation; q168
     // is the NB fit + heldout score + distinct-score-grain AUC window
     "q72_hybrid_rrf", "q85_keepbest_survivors", "q87_semantic_dedup",
-    "q138_validation", "q168_classifier_auc")
+    "q138_validation", "q168_classifier_auc",
+    // r18: retraction-aware join maintenance — three delta-keyed
+    // signed joins + the value-grain delta aggregate + ONE null-safe
+    // full-outer state merge; base x base never re-joins, so the
+    // ratio prices the stored-view build + delta terms, and the audit
+    // twin rides the same alignment
+    "q275_retract_join", "q276_retract_join_audit")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -168,6 +168,155 @@ object Incremental {
       .unionByName(deltaA.join(deltaB, keys))
   }
 
+  /** Retraction-aware incremental equi-join maintenance — the DELETE
+    * path [[deltaJoin]] honestly refused (r17 verdict #2: the family
+    * had insert-only joins and retractable HISTOGRAMS, but no
+    * delete-path join). The trick that makes deletes exact for
+    * duplicate-bearing bags is the DBSP/differential-dataflow move:
+    * represent each side's change as a SIGNED bag (inserts weight +1,
+    * deletes −1) and use that the bag equi-join is BILINEAR over
+    * signed multiplicities:
+    *
+    *   (A + dA) ⨝ (B + dB) = A⨝B + dA⨝B + A⨝dB + dA⨝dB
+    *
+    * with joined weights MULTIPLYING (a deleted-left × deleted-right
+    * pair re-ADDS: (−1)·(−1) = +1 — the term a subtract-both-sides
+    * scheme double-counts). This returns that signed view delta,
+    * aggregated to view-value grain: `(a-columns…, b-non-key
+    * columns…, w)` with `w ≠ 0` = the net multiplicity change of that
+    * row value. Apply it to a [[bagState]]-form stored view with
+    * [[applyBagDelta]]; q275 gates maintained ≡ recomputed by hash
+    * and OpsSpec pins the fold law.
+    *
+    * Same contracts as [[deltaJoin]]: key columns same-named on both
+    * sides, non-key columns disjoint, each side's base/deletes/inserts
+    * schema-identical; deletes are POSITIVE bags of rows to remove
+    * (`delsA ⊆ a` for exactness — a delete of a row the view never
+    * had is a PHANTOM, clamped and listed by [[bagDeltaAudit]], the
+    * retractHist posture). `w`/`n` are reserved output names.
+    *
+    * Scale shape per batch: the delta terms shuffle the DELTAS fully
+    * but the base sides only by join key (bucketed bases lose even
+    * that — the deltaJoin note); the value-grain aggregate runs over
+    * delta-sized join results. Nothing ever re-joins base × base, and
+    * the apply half never touches it either — per-batch cost tracks
+    * the batch and the touched state slice, never the view.
+    */
+  def deltaJoinRetract(a: DataFrame, delsA: DataFrame, insA: DataFrame,
+                       b: DataFrame, delsB: DataFrame, insB: DataFrame,
+                       keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "deltaJoinRetract: no join keys")
+    Seq(("a", a, delsA, insA), ("b", b, delsB, insB)).foreach {
+      case (side, base, dels, ins) =>
+        Seq(("deletes", dels), ("inserts", ins)).foreach { case (nm, d) =>
+          require(base.columns.toSeq == d.columns.toSeq,
+            s"deltaJoinRetract: $side and its $nm disagree on schema " +
+              s"(${base.columns.mkString(",")} vs ${d.columns.mkString(",")})")
+        }
+    }
+    val overlap = (a.columns.toSet -- keys).intersect(
+      b.columns.toSet -- keys)
+    require(overlap.isEmpty,
+      s"deltaJoinRetract: non-key columns overlap across sides: $overlap")
+    require(!(a.columns ++ b.columns).exists(c => c == "w" || c == "n"),
+      "deltaJoinRetract: input columns collide with the w/n state names")
+    val dA = delsA.withColumn("__wa", lit(-1L))
+      .unionByName(insA.withColumn("__wa", lit(1L)))
+    val dB = delsB.withColumn("__wb", lit(-1L))
+      .unionByName(insB.withColumn("__wb", lit(1L)))
+    val out = (a.columns ++ b.columns.filterNot(keys.contains)).map(col)
+    val t1 = dA.join(b, keys)
+      .select(out :+ col("__wa").as("w"): _*)
+    val t2 = a.join(dB, keys)
+      .select(out :+ col("__wb").as("w"): _*)
+    val t3 = dA.join(dB, keys)
+      .select(out :+ (col("__wa") * col("__wb")).as("w"): _*)
+    t1.unionByName(t2).unionByName(t3)
+      .groupBy(out: _*).agg(sum(col("w")).as("w"))
+      .filter(col("w") =!= 0L)
+  }
+
+  /** A bag relation in stored MULTIPLICITY form: `(columns…, n)` with
+    * `n = count(*)` per distinct row value — the state shape the
+    * retraction family maintains (histState's generalization from
+    * (bin, n) to whole-row values). [[explodeBag]] reconstructs the
+    * row-grain bag; [[applyBagDelta]] folds a signed delta in at
+    * state grain. GROUP BY is null-safe, so NULL-bearing data columns
+    * merge correctly into one value row.
+    */
+  def bagState(df: DataFrame): DataFrame = {
+    require(!df.columns.contains("n"),
+      "bagState: input columns collide with the n state name")
+    df.groupBy(df.columns.map(col): _*).agg(count(lit(1)).as("n"))
+  }
+
+  /** Row-grain bag from a [[bagState]] relation: each value row
+    * replicated `n` times (an in-plan `explode(sequence(…))` — no
+    * driver loop). The read-side inverse: `explodeBag(bagState(df)) ≡
+    * df` as multisets (OpsSpec law). */
+  def explodeBag(state: DataFrame): DataFrame = {
+    require(state.columns.contains("n"),
+      "explodeBag: input lacks the n state column")
+    val dataCols = state.columns.filterNot(_ == "n")
+    state.filter(col("n") > 0L)
+      .withColumn("__i", explode(sequence(lit(1L), col("n"))))
+      .select(dataCols.map(col): _*)
+  }
+
+  /** Fold a signed [[deltaJoinRetract]] delta into a [[bagState]]-form
+    * stored view: null-safe full-outer on the data columns (`<=>`
+    * keys hash-join like `=` — the q221 pin), `n' = n + w`, zero rows
+    * drop (a fully-retracted value leaves no tombstone), NEGATIVE
+    * results clamp to zero after [[bagDeltaAudit]]'s loud listing —
+    * the [[retractHist]] phantom posture: a phantom delete (CDC
+    * re-delivery, delete-before-insert arrival) must neither corrupt
+    * the state into negative counts nor vanish silently. Cost is
+    * state-slice ∪ delta grain — the view's rows never re-join their
+    * bases.
+    */
+  def applyBagDelta(state: DataFrame, delta: DataFrame): DataFrame = {
+    val dataCols = state.columns.filterNot(_ == "n")
+    require(state.columns.contains("n"),
+      "applyBagDelta: state lacks the n column")
+    require(delta.columns.filterNot(_ == "w").sorted.toSeq ==
+      dataCols.sorted.toSeq && delta.columns.contains("w"),
+      s"applyBagDelta: delta columns (${delta.columns.mkString(",")}) " +
+        s"do not match state data columns (${dataCols.mkString(",")}) + w")
+    val s = state.alias("s")
+    val d = delta.alias("d")
+    val cond = dataCols.map(c => col(s"s.$c") <=> col(s"d.$c"))
+      .reduce(_ && _)
+    s.join(d, cond, "full_outer")
+      .select(dataCols.map(c =>
+        coalesce(col(s"s.$c"), col(s"d.$c")).as(c)) :+
+        greatest(coalesce(col("s.n"), lit(0L)) +
+          coalesce(col("d.w"), lit(0L)), lit(0L)).as("n"): _*)
+      .filter(col("n") > 0L)
+  }
+
+  /** Audit twin of [[applyBagDelta]]: the view-value rows a delta
+    * would drive NEGATIVE — phantom retractions, `(columns…, n_state,
+    * w_delta)` with `n_state + w_delta < 0` — derived from the SAME
+    * null-safe alignment so apply and audit can never disagree.
+    * Non-empty means the change feed retracted rows the view does not
+    * hold (re-delivered or out-of-order deletes): fix the feed or
+    * accept the clamp knowingly. */
+  def bagDeltaAudit(state: DataFrame, delta: DataFrame): DataFrame = {
+    val dataCols = state.columns.filterNot(_ == "n")
+    require(state.columns.contains("n"),
+      "bagDeltaAudit: state lacks the n column")
+    val s = state.alias("s")
+    val d = delta.alias("d")
+    val cond = dataCols.map(c => col(s"s.$c") <=> col(s"d.$c"))
+      .reduce(_ && _)
+    s.join(d, cond, "full_outer")
+      .select(dataCols.map(c =>
+        coalesce(col(s"s.$c"), col(s"d.$c")).as(c)) :+
+        coalesce(col("s.n"), lit(0L)).as("n_state") :+
+        coalesce(col("d.w"), lit(0L)).as("w_delta"): _*)
+      .filter(col("n_state") + col("w_delta") < 0L)
+  }
+
   /** Exact int64 floor-division bin id over an already-projected SIMPLE
     * column name: `(v − pmod(v, w)) div w`. The numerator is the
     * largest multiple of `w` ≤ v (pmod returns the non-negative

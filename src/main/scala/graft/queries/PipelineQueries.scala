@@ -3770,6 +3770,77 @@ object PipelineQueries {
     Incremental.retractHistAudit(state, dels, Seq("event_type"))
   }
 
+  /** The q275/q276 base/change split of the lineitem ⨝ orders view —
+    * q236's insert-only planting EXTENDED with delete batches, and the
+    * lineitem side deliberately projected to `(okey, flag)` so row
+    * values DUPLICATE (an order's lineitems share return flags — the
+    * bag-multiplicity case a row-identity scheme cannot maintain):
+    * lineitem splits base/inserts on okey % 4, deletes = the % 5
+    * slice OF THE BASE; orders splits on % 3 with deletes = the % 7
+    * slice of its base — different moduli so every signed provenance
+    * class (±dA⨝B, A⨝±dB, all four dA⨝dB sign products) is planted
+    * non-empty. */
+  private def bagViewParts(s: SparkSession, dir: String) = {
+    val li = t(s, dir)("lineitem").select(col("l_orderkey").as("okey"),
+      col("l_returnflag").as("flag"))
+    val ord = t(s, dir)("orders").select(col("o_orderkey").as("okey"),
+      col("o_orderpriority").as("prio"))
+    val liBase = li.filter(col("okey") % 4 =!= 0)
+    val liIns = li.filter(col("okey") % 4 === 0)
+    val liDels = liBase.filter(col("okey") % 5 === 0)
+    val ordBase = ord.filter(col("okey") % 3 =!= 0)
+    val ordIns = ord.filter(col("okey") % 3 === 0)
+    val ordDels = ordBase.filter(col("okey") % 7 === 0)
+    (liBase, liDels, liIns, ordBase, ordDels, ordIns)
+  }
+
+  /** Retraction-aware incremental JOIN maintenance
+    * ([[graft.ops.Incremental.deltaJoinRetract]] /
+    * [[graft.ops.Incremental.applyBagDelta]] — r17 verdict #2, the
+    * DELETE path q236 honestly refused): the lineitem ⨝ orders view
+    * stored in bag-multiplicity form and maintained through a batch
+    * carrying deletes AND inserts on BOTH sides, via the signed
+    * bilinear delta (deleted-left × deleted-right re-ADDS — the
+    * (−1)·(−1) term a subtract-only scheme double-counts, planted
+    * non-empty here by the % 5 × % 7 overlap). Proven ≡ recomputing
+    * the join of the post-change relations at value grain, duplicates
+    * and all, because the oracle IS that recompute. Per batch only
+    * delta-keyed joins and a state-grain merge run — base ⨝ base, the
+    * 100 TB term, is never re-joined, and the apply never explodes
+    * the view.
+    */
+  def q275(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Incremental
+    val (liBase, liDels, liIns, ordBase, ordDels, ordIns) =
+      bagViewParts(s, dir)
+    val stored = Incremental.bagState(liBase.join(ordBase, Seq("okey")))
+    Incremental.applyBagDelta(stored,
+      Incremental.deltaJoinRetract(liBase, liDels, liIns,
+        ordBase, ordDels, ordIns, Seq("okey")))
+  }
+
+  /** The loud twin ([[graft.ops.Incremental.bagDeltaAudit]]) with
+    * phantom retractions PLANTED: the lineitem delete batch carries
+    * flag `'Z'` — a value the stored view never held — so every
+    * Z-delete drives its view row negative by (its lineitem
+    * multiplicity) × (the post-change orders multiplicity), and the
+    * audit must list exactly those rows with `n_state = 0` and the
+    * signed product as `w_delta`. The oracle derives the same rows
+    * from the planting arithmetic — phantom detection proven over
+    * data, not just by spec.
+    */
+  def q276(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Incremental
+    val (liBase, _, liIns, ordBase, ordDels, ordIns) =
+      bagViewParts(s, dir)
+    val phantomDels = liBase.filter(col("okey") % 5 === 0)
+      .withColumn("flag", lit("Z"))
+    val stored = Incremental.bagState(liBase.join(ordBase, Seq("okey")))
+    Incremental.bagDeltaAudit(stored,
+      Incremental.deltaJoinRetract(liBase, phantomDels, liIns,
+        ordBase, ordDels, ordIns, Seq("okey")))
+  }
+
   /** Fuzzy record linkage with the native codegen'd `jaro_winkler`
     * expression: entity names planted with high-entropy digit blocks at
     * BOTH ends (`ddd-word-ddd`, unique per id), a deletion typo planted
@@ -4303,6 +4374,8 @@ object PipelineQueries {
     "q270_media_cross_neardup" -> (q270 _),
     "q273_video_fingerprint" -> (q273 _),
     "q274_video_neardup" -> (q274 _),
+    "q275_retract_join" -> (q275 _),
+    "q276_retract_join_audit" -> (q276 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -5269,6 +5342,38 @@ FROM o"""
        SELECT event_type, CAST(bin AS BIGINT) AS bin,
               CAST(count(*) AS BIGINT) AS n
        FROM e WHERE event_id % 5 <> 0 GROUP BY 1, 2""",
+    // retraction-aware join maintenance: the maintained bag state ==
+    // the value-grain recompute of the post-change join — the oracle
+    // IS the recompute, duplicates and all
+    "q275_retract_join" ->
+      """WITH li AS (SELECT l_orderkey AS okey, l_returnflag AS flag
+             FROM lineitem
+             WHERE (l_orderkey % 4 <> 0 AND l_orderkey % 5 <> 0)
+                OR l_orderkey % 4 = 0),
+         o AS (SELECT o_orderkey AS okey, o_orderpriority AS prio
+               FROM orders
+               WHERE (o_orderkey % 3 <> 0 AND o_orderkey % 7 <> 0)
+                  OR o_orderkey % 3 = 0)
+       SELECT okey, flag, prio, CAST(count(*) AS BIGINT) AS n
+       FROM li JOIN o USING (okey) GROUP BY 1, 2, 3""",
+    // phantom-retraction audit: the planted Z-deletes drive their view
+    // rows negative by (lineitem multiplicity) x (post-change orders
+    // multiplicity) — the audit rows derived from the same arithmetic
+    "q276_retract_join_audit" ->
+      """WITH z AS (SELECT l_orderkey AS okey, count(*) AS cz
+             FROM lineitem
+             WHERE l_orderkey % 4 <> 0 AND l_orderkey % 5 = 0
+             GROUP BY 1),
+         op AS (SELECT o_orderkey AS okey, o_orderpriority AS prio,
+                  count(*) AS cb
+                FROM orders
+                WHERE (o_orderkey % 3 <> 0 AND o_orderkey % 7 <> 0)
+                   OR o_orderkey % 3 = 0
+                GROUP BY 1, 2)
+       SELECT z.okey, 'Z' AS flag, prio,
+              CAST(0 AS BIGINT) AS n_state,
+              CAST(-(cz * cb) AS BIGINT) AS w_delta
+       FROM z JOIN op USING (okey)""",
     // phantom-delete audit: deletes exceeding state, with both counts.
     // Floor binning replayed explicitly (the q267 note).
     "q268_retract_audit" ->

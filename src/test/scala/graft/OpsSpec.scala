@@ -3028,6 +3028,87 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("deltaJoinRetract/applyBagDelta: maintained == recompute with deletes on both sides; fold, explode, phantom clamp + audit (q275/q276 laws)") {
+    import graft.ops.Incremental
+    def A(rows: (Long, String)*) = rows.toDF("k", "av")
+    def B(rows: (Long, String)*) = rows.toDF("k", "bv")
+    def canonState(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "av", "bv", "n").as[(Long, String, String, Long)]
+        .collect().toSeq.sorted
+    def stateOf(df: org.apache.spark.sql.DataFrame) =
+      canonState(Incremental.bagState(df))
+    // duplicates on both sides (k=1 twice x twice), deletes that hit
+    // duplicate-bearing values, inserts, and a deleted-left x
+    // deleted-right overlap at k=2 — the (-1)*(-1) re-add term
+    val a = A(1L -> "a1", 1L -> "a1", 1L -> "a1x", 2L -> "a2", 5L -> "a5")
+    val delsA = A(1L -> "a1", 2L -> "a2")
+    val insA = A(3L -> "a3i", 1L -> "a1i")
+    val b = B(1L -> "b1", 1L -> "b1b", 2L -> "b2", 3L -> "b3", 5L -> "b5")
+    val delsB = B(2L -> "b2", 1L -> "b1b")
+    val insB = B(5L -> "b5i", 3L -> "b3i")
+    val aPost = Seq(1L -> "a1", 1L -> "a1x", 5L -> "a5",
+      3L -> "a3i", 1L -> "a1i").toDF("k", "av")
+    val bPost = Seq(1L -> "b1", 3L -> "b3", 5L -> "b5",
+      5L -> "b5i", 3L -> "b3i").toDF("k", "bv")
+    val stored = Incremental.bagState(a.join(b, Seq("k")))
+    val delta = Incremental.deltaJoinRetract(a, delsA, insA,
+      b, delsB, insB, Seq("k"))
+    val maintained = Incremental.applyBagDelta(stored, delta)
+    assert(canonState(maintained) === stateOf(aPost.join(bPost, Seq("k"))),
+      "maintained bag state != post-change recompute")
+    assert(maintained.count() > 0)
+    // no phantoms planted: the audit is empty and nothing clamped
+    assert(Incremental.bagDeltaAudit(stored, delta).count() === 0L)
+    // the deleted x deleted re-add really fired: k=2 had exactly one
+    // (a2, b2) pair, one delete on each side — subtract-both-sides
+    // would leave -1; the bilinear form leaves the value absent
+    assert(maintained.filter(col("k") === 2L).count() === 0L)
+    // sequential fold: batch 2 computed against the POST-batch-1
+    // relations folds to the same state as recomputing after both
+    val dels2A = A(5L -> "a5")
+    val ins2B = B(7L -> "b7i")
+    val folded = Incremental.applyBagDelta(maintained,
+      Incremental.deltaJoinRetract(aPost, dels2A, A(),
+        bPost, B(), ins2B, Seq("k")))
+    val aPost2 = aPost.join(dels2A, Seq("k"), "left_anti")
+    val bPost2 = bPost.unionByName(ins2B)
+    assert(canonState(folded) === stateOf(aPost2.join(bPost2, Seq("k"))),
+      "two-batch fold != recompute")
+    // explodeBag is bagState's inverse at row grain
+    val roundTrip = Incremental.explodeBag(Incremental.bagState(
+      a.join(b, Seq("k")))).as[(Long, String, String)].collect().toSeq
+    assert(roundTrip.sorted ===
+      a.join(b, Seq("k")).as[(Long, String, String)].collect().toSeq.sorted)
+    // phantom retraction: deleting a row value the view never held
+    // clamps at zero (never a negative count) and the audit lists it
+    // with the signed product, from the same alignment
+    val phantom = Incremental.deltaJoinRetract(a,
+      A(1L -> "zz", 1L -> "zz"), A(), b, B(), B(), Seq("k"))
+    val audit = Incremental.bagDeltaAudit(stored, phantom)
+      .as[(Long, String, String, Long, Long)].collect().toSeq.sorted
+    // (zz x b1) and (zz x b1b): n_state 0, w = -2 each
+    assert(audit === Seq((1L, "zz", "b1", 0L, -2L),
+      (1L, "zz", "b1b", 0L, -2L)))
+    val clamped = Incremental.applyBagDelta(stored, phantom)
+    assert(clamped.filter(col("n") <= 0L).count() === 0L)
+    assert(clamped.filter(col("av") === "zz").count() === 0L)
+    // guards: schema drift, non-key overlap, reserved names, shape
+    intercept[IllegalArgumentException] {
+      Incremental.deltaJoinRetract(a, B(1L -> "x"), insA,
+        b, delsB, insB, Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      Incremental.deltaJoinRetract(a, delsA, insA,
+        a.select(col("k"), col("av")), delsA, insA, Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      Incremental.bagState(Seq((1L, 2L)).toDF("k", "n"))
+    }
+    intercept[IllegalArgumentException] {
+      Incremental.applyBagDelta(stored, stored)
+    }
+  }
+
   test("histState bins by FLOOR division: negative values get true lower edges (r16 advice)") {
     import graft.ops.Incremental
     // truncating `div` would fold (-99..99) into one double-width bin 0

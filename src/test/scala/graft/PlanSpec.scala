@@ -213,6 +213,15 @@ class PlanSpec extends SparkSpec {
       s"expected one checkpointed fingerprint relation, saw $rddIds:\n$plan274")
   }
 
+  test("q275: retraction-join maintenance plans hash joins only — the null-safe state merge never nests") {
+    val plan = planOf("q275_retract_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"a delta term or the <=> state merge fell back to a nested loop:\n$plan")
+    // the apply half is ONE full-outer merge at state grain
+    assert(plan.contains("FullOuter"), plan)
+  }
+
   test("q262: kappa is ONE corpus aggregate; everything after runs at label grain") {
     val plan = planOf("q262_cohen_kappa")
     // the only corpus-sized structure is the (label_a, label_b)

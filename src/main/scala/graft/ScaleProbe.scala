@@ -417,7 +417,14 @@ object ScaleProbe {
     // full-outer state merge; base x base never re-joins, so the
     // ratio prices the stored-view build + delta terms, and the audit
     // twin rides the same alignment
-    "q275_retract_join", "q276_retract_join_audit")
+    "q275_retract_join", "q276_retract_join_audit",
+    // r18: stored-index cross Jaccard — the batch shingles itself and
+    // computes prefixes under the PINNED stored ordering (one df JOIN,
+    // never the base's df aggregate — fit+save run once in warmup via
+    // the session cache, the q102/q270 posture), then the capped
+    // posting join + exact verify against stored token sets; ratio
+    // must price the batch + stored-postings scan, not a base refit
+    "q277_cross_jaccard_stored")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -1740,16 +1740,224 @@ object Dedup {
     * Returns (id, tk, n) at prefix-token grain. */
   private def prefixTokens(base: DataFrame, thresholdBp: Long): DataFrame = {
     val tok = base.select(col("id"), explode(col("toks")).as("tk"))
-    val freq = tok.groupBy(col("tk")).agg(count(lit(1)).as("df_t"))
+    prefixTokensWithFreq(base,
+      tok.groupBy(col("tk")).agg(count(lit(1)).as("df_t")), thresholdBp)
+  }
+
+  /** [[prefixTokens]] under a CALLER-SUPPLIED frequency ordering —
+    * the one shared derivation behind the self-join prefixes (freq
+    * derived from the input) and the stored-index prefixes (freq
+    * PINNED at fit time, [[JaccardIndex]]). Tokens absent from `freq`
+    * order as df 0 (before every seen token, ties by token) — the
+    * prefix-filter theorem needs only a FIXED total order common to
+    * both join sides, never a current one, so an arbitrary freq
+    * snapshot keeps candidate generation COMPLETE; staleness costs
+    * pruning efficiency only. */
+  private def prefixTokensWithFreq(base: DataFrame, freq: DataFrame,
+                                   thresholdBp: Long): DataFrame = {
+    val tok = base.select(col("id"), explode(col("toks")).as("tk"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("df_t"), col("tk"))
     val wN = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-    tok.join(freq, Seq("tk"))
+    tok.join(freq, Seq("tk"), "left")
+      .withColumn("df_t", coalesce(col("df_t"), lit(0L)))
       .withColumn("__rn", row_number().over(wDoc))
       .withColumn("n", count(lit(1)).over(wN).cast("long"))
       .filter(col("__rn") <=
         col("n") - expr(s"($thresholdBp * n + 9999L) div 10000L") + 1L)
       .select(col("id"), col("tk"), col("n"))
+  }
+
+  /** (id, toks) normalization shared by the exact set-similarity
+    * family: long ids, distinct token arrays, empty sets drop. */
+  private def normTokenSets(df: DataFrame, idCol: String,
+                            tokensCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        array_distinct(col(tokensCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+
+  /** Stored prefix-posting index for the EXACT set-similarity family —
+    * the CorpusIndex/PostingsIndex/FingerprintIndex lifecycle on
+    * [[jaccardJoin]] (r17 verdict #3: every call re-paid the corpus
+    * document-frequency aggregate, so ingest-door exact
+    * decontamination re-scanned the base per batch). Fit ONCE over the
+    * base corpus at `thresholdBp`:
+    *
+    *  - `tokens`   (base_id, toks) — the distinct token sets, the
+    *    exact-verify side;
+    *  - `prefixes` (tk, base_id, n) — the base prefix postings in the
+    *    (df ASC, token ASC) global order;
+    *  - `dfTable`  (tk, df_t) — THE PINNED ORDERING. Correctness never
+    *    depends on df being current: the prefix-filter theorem holds
+    *    for ANY fixed total token order shared by both sides, so
+    *    probes and [[extend]] reuse this snapshot verbatim (unseen
+    *    tokens order as df 0). What drifts with corpus drift is
+    *    PRUNING efficiency — newly-common tokens keep df 0 and crowd
+    *    prefixes — so refit on a drift cadence (the refineIvf
+    *    posture), never because results could go wrong.
+    *
+    * `thresholdBp` is the fit threshold: stored prefixes have length
+    * n − ⌈t·n⌉ + 1, which SHRINKS as t grows, so any probe at
+    * `t' ≥ t` finds its (shorter) required prefix inside the stored
+    * one — [[crossJaccardJoin]] accepts `t' ≥ t` and rejects lower
+    * thresholds loudly. `meta` pins the prefix scheme;
+    * [[Dedup.loadJaccardIndex]] rejects a mismatched build rather
+    * than silently matching nothing.
+    */
+  final case class JaccardIndex(tokens: DataFrame, prefixes: DataFrame,
+                                dfTable: DataFrame, thresholdBp: Long,
+                                scheme: Int = JaccardIndex.Scheme) {
+    def save(path: String): Unit = {
+      tokens.write.mode("overwrite").parquet(s"$path/tokens")
+      prefixes.write.mode("overwrite").parquet(s"$path/prefixes")
+      dfTable.write.mode("overwrite").parquet(s"$path/df")
+      val spark = tokens.sparkSession
+      import spark.implicits._
+      Seq((thresholdBp, scheme)).toDF("threshold_bp", "prefix_scheme")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
+
+    /** Fold an admitted batch in: the batch's prefixes computed under
+      * the PINNED ordering union the stored postings, its token sets
+      * union the stored sets — batch-linear work, the index is only
+      * APPENDED to (the df snapshot deliberately does not move; see
+      * the class note). OpsSpec pins that probes against an extended
+      * index stay brute-force-complete. */
+    def extend(newDocs: DataFrame, idCol: String,
+               tokensCol: String): JaccardIndex = {
+      val nb = normTokenSets(newDocs, idCol, tokensCol)
+      copy(
+        tokens = tokens.unionByName(
+          nb.select(col("id").as("base_id"), col("toks"))),
+        prefixes = prefixes.unionByName(
+          prefixTokensWithFreq(nb, dfTable, thresholdBp)
+            .select(col("tk"), col("id").as("base_id"), col("n"))))
+    }
+  }
+
+  object JaccardIndex {
+    /** Version of the tokenize → (df ASC, token ASC) order → prefix
+      * rule. Bump whenever stored prefix CONTENT would change. */
+    val Scheme = 1
+  }
+
+  def buildJaccardIndex(docs: DataFrame, idCol: String, tokensCol: String,
+                        thresholdBp: Long): JaccardIndex = {
+    require(thresholdBp >= 1 && thresholdBp <= 10000,
+      s"buildJaccardIndex: thresholdBp must be in [1, 10000], got " +
+        s"$thresholdBp")
+    val base = normTokenSets(docs, idCol, tokensCol)
+    val freq = base.select(col("id"), explode(col("toks")).as("tk"))
+      .groupBy(col("tk")).agg(count(lit(1)).as("df_t"))
+    JaccardIndex(
+      base.select(col("id").as("base_id"), col("toks")),
+      prefixTokensWithFreq(base, freq, thresholdBp)
+        .select(col("tk"), col("id").as("base_id"), col("n")),
+      freq, thresholdBp)
+  }
+
+  /** Read a [[JaccardIndex]] written by [[JaccardIndex.save]].
+    * Parameters come from the stored meta row, never the caller; a
+    * prefix-scheme mismatch fails loudly here rather than silently
+    * finding zero duplicates at probe time. */
+  def loadJaccardIndex(spark: SparkSession, path: String): JaccardIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val scheme = meta.getAs[Int]("prefix_scheme")
+    require(scheme == JaccardIndex.Scheme,
+      s"stored JaccardIndex at $path uses prefix scheme $scheme but " +
+        s"this build produces ${JaccardIndex.Scheme} — rebuild the " +
+        "index (a cross-scheme probe would silently match nothing)")
+    JaccardIndex(
+      spark.read.parquet(s"$path/tokens"),
+      spark.read.parquet(s"$path/prefixes"),
+      spark.read.parquet(s"$path/df"),
+      meta.getAs[Long]("threshold_bp"), scheme)
+  }
+
+  /** EXACT Jaccard pairs of an ARRIVING batch against the STORED base
+    * — [[jaccardJoin]]'s cross shape over a [[JaccardIndex]] (the
+    * [[crossNearDup]]/[[crossNearDupMedia]] posture, now for the
+    * exact family): the batch tokenizes itself and computes its
+    * prefixes under the index's PINNED ordering (batch-linear — the
+    * base's df aggregate is never re-paid, the whole point), prefix
+    * postings join against the stored base postings, the lossless
+    * size filter prunes, and exact `array_intersect` verification
+    * runs on candidates only against the stored token sets. COMPLETE
+    * at `thresholdBp ≥` the fit threshold (shorter required prefixes
+    * sit inside the stored ones — rejected loudly below it); both
+    * posting families capped at `maxPosting` with whole-posting drops,
+    * [[crossJaccardAudit]] the loud twin. Output: `(new_id, base_id,
+    * n_inter, jaccard_bp)` — cross pairs ONLY, never batch×batch or
+    * base×base (run [[jaccardJoin]] within a corpus for those); id
+    * collisions across the two id spaces are the caller's contract,
+    * as in every cross-dedup operator.
+    */
+  def crossJaccardJoin(batch: DataFrame, index: JaccardIndex,
+                       idCol: String, tokensCol: String,
+                       thresholdBp: Long,
+                       maxPosting: Int = 1000): DataFrame = {
+    require(thresholdBp >= 1 && thresholdBp <= 10000,
+      s"crossJaccardJoin: thresholdBp must be in [1, 10000], got " +
+        s"$thresholdBp")
+    require(thresholdBp >= index.thresholdBp,
+      s"crossJaccardJoin: probe threshold $thresholdBp is below the " +
+        s"index's fit threshold ${index.thresholdBp} — stored prefixes " +
+        "are too short to stay complete there; refit the index at the " +
+        "lower threshold")
+    require(maxPosting >= 2,
+      s"crossJaccardJoin: maxPosting must be >= 2, got $maxPosting")
+    // the batch relation feeds its prefix derivation AND the verify
+    // join — materialize once so a decode/shingle pipeline upstream
+    // runs once (the crossNearDupMedia discipline); the stored side is
+    // a parquet scan, cheap to re-read
+    val nb = normTokenSets(batch, idCol, tokensCol).localCheckpoint(true)
+    val bPfx = capBlockRows(
+      prefixTokensWithFreq(nb, index.dfTable, thresholdBp),
+      Seq("tk"), maxPosting)
+    val sPfx = capBlockRows(index.prefixes, Seq("tk"), maxPosting)
+    val cand = bPfx.select(col("tk"), col("id").as("new_id"),
+        col("n").as("nn"))
+      .join(sPfx.select(col("tk"), col("base_id"), col("n").as("nb")),
+        Seq("tk"))
+      .filter(least(col("nn"), col("nb")) * 10000L >=
+        lit(thresholdBp) * greatest(col("nn"), col("nb")))
+      .select(col("new_id"), col("base_id")).distinct()
+    cand
+      .join(nb.select(col("id").as("new_id"), col("toks").as("ta")),
+        Seq("new_id"))
+      .join(index.tokens.select(col("base_id"), col("toks").as("tb")),
+        Seq("base_id"))
+      .select(col("new_id"), col("base_id"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long")
+          .as("n_inter"),
+        (size(col("ta")) + size(col("tb"))).cast("long").as("nu"))
+      .select(col("new_id"), col("base_id"), col("n_inter"),
+        expr("n_inter * 10000L div (nu - n_inter)").as("jaccard_bp"))
+      .filter(col("jaccard_bp") >= thresholdBp)
+  }
+
+  /** Audit twin of [[crossJaccardJoin]]: the over-cap posting lists on
+    * EITHER side — `(side, token, posting_len)` with side ∈
+    * {'batch', 'stored'} — from the SAME generators, so probe and
+    * audit can never disagree on what dropped. The stored side
+    * saturating means the base has drifted degenerate tokens into its
+    * prefixes: raise the cap deliberately, stoplist, or refit. */
+  def crossJaccardAudit(batch: DataFrame, index: JaccardIndex,
+                        idCol: String, tokensCol: String,
+                        thresholdBp: Long, maxPosting: Int): DataFrame = {
+    require(thresholdBp >= index.thresholdBp,
+      s"crossJaccardAudit: probe threshold $thresholdBp is below the " +
+        s"index's fit threshold ${index.thresholdBp}")
+    val nb = normTokenSets(batch, idCol, tokensCol)
+    oversizedBlocks(
+        prefixTokensWithFreq(nb, index.dfTable, thresholdBp),
+        Seq("tk"), maxPosting)
+      .select(lit("batch").as("side"), col("tk").as("token"),
+        col("n_rows").as("posting_len"))
+      .unionAll(
+        oversizedBlocks(index.prefixes, Seq("tk"), maxPosting)
+          .select(lit("stored").as("side"), col("tk").as("token"),
+            col("n_rows").as("posting_len")))
   }
 
   private[graft] def capBlockRows(rows: DataFrame, keyCols: Seq[String],

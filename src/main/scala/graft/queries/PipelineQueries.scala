@@ -2746,6 +2746,57 @@ object PipelineQueries {
         w = 16, h = 16, every = 2),
       "media_id", "vfp_hi", "vfp_lo", maxDist = 3, maxBucket = 100)
 
+  /** The q277 stored Jaccard prefix index: fit ONCE per (session,
+    * sfDir) on the base slice (doc_id % 10 ≠ 0) of the bigram-shingled
+    * documents at t = 8000 bp, written through the real save/load
+    * round-trip so the gate proves the STORED form answers (the
+    * q102/q208/q270 fit-once posture). */
+  private val jacIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, (String, String)]
+
+  private def storedJacIndex(s: SparkSession, dir: String): String =
+    jacIndexCache.compute(s, (sess, cached) =>
+      if (cached != null && cached._1 == dir) cached
+      else {
+        if (cached != null) retireDir(cached._2)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-jac-index-").toString
+        graft.ops.Dedup.buildJaccardIndex(
+          t(sess, dir)("documents")
+            .filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
+            .select(col("doc_id"),
+              TextOps.shingles(col("text"), 2).as("sh")),
+          "doc_id", "sh", thresholdBp = 8000L)
+          .save(path)
+        (dir, path)
+      })._2
+
+  /** Batch-vs-base EXACT Jaccard join over the STORED prefix index
+    * ([[graft.ops.Dedup.crossJaccardJoin]] — r17 verdict #3: the
+    * exact set-similarity family was the one stored-artifact hole, so
+    * every ingest-door decontamination call re-paid the corpus df
+    * aggregate): the base slice's shingle sets, df ordering and
+    * prefix postings fitted ONCE at 8000 bp into a saved
+    * [[graft.ops.Dedup.JaccardIndex]], then the arriving batch
+    * (doc_id % 10 = 0) shingles itself, computes its prefixes under
+    * the PINNED stored ordering, and probes at the STRICTER 9000 bp —
+    * exercising the fit-once-probe-tighter contract (stored prefixes
+    * are supersets of what any t' ≥ t needs). The oracle brute-forces
+    * every batch × base pair with exact integer Jaccard — hash
+    * equality is the cross-prefix completeness theorem AND the
+    * save/load round-trip in one gate. Cap 1000 clears the fixture's
+    * posting profile, so nothing drops at gate scale (the q264
+    * fixture-bound sizing; at drifted corpora [[graft.ops.Dedup
+    * .crossJaccardAudit]] is the screen).
+    */
+  def q277(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.crossJaccardJoin(
+      t(s, dir)("documents")
+        .filter(pmod(col("doc_id"), lit(10L)) === 0L)
+        .select(col("doc_id"), TextOps.shingles(col("text"), 2).as("sh")),
+      graft.ops.Dedup.loadJaccardIndex(s, storedJacIndex(s, dir)),
+      "doc_id", "sh", thresholdBp = 9000L, maxPosting = 1000)
+
   /** The language-planted corpus shared by q166: each doc gets its
     * label's function-word suffix ×3 (the trigram signal a char-n-gram
     * model keys on — the raw fixture text is the SAME synthetic
@@ -4376,6 +4427,7 @@ object PipelineQueries {
     "q274_video_neardup" -> (q274 _),
     "q275_retract_join" -> (q275 _),
     "q276_retract_join_audit" -> (q276 _),
+    "q277_cross_jaccard_stored" -> (q277 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -5342,6 +5394,30 @@ FROM o"""
        SELECT event_type, CAST(bin AS BIGINT) AS bin,
               CAST(count(*) AS BIGINT) AS n
        FROM e WHERE event_id % 5 <> 0 GROUP BY 1, 2""",
+    // stored-index cross Jaccard: naive all batch x base pairs with
+    // exact integer jaccard — completeness theorem + save/load + the
+    // probe-tighter-than-fit contract pinned by hash equality
+    "q277_cross_jaccard_stored" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+         s AS (SELECT doc_id, list_distinct(list_transform(
+                 range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS sh
+               FROM w),
+         sz AS (SELECT doc_id, len(sh) AS n FROM s WHERE len(sh) > 0),
+         tok AS (SELECT doc_id, unnest(sh) AS tk FROM s
+                 WHERE len(sh) > 0),
+         inter AS (SELECT a.doc_id AS new_id, b.doc_id AS base_id,
+                 count(*) AS i
+           FROM tok a JOIN tok b
+             ON a.tk = b.tk AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+           GROUP BY 1, 2)
+       SELECT new_id, base_id, CAST(i AS BIGINT) AS n_inter,
+              CAST(i * 10000 // (sa.n + sb.n - i) AS BIGINT)
+                AS jaccard_bp
+       FROM inter
+       JOIN sz sa ON sa.doc_id = new_id
+       JOIN sz sb ON sb.doc_id = base_id
+       WHERE i * 10000 // (sa.n + sb.n - i) >= 9000""",
     // retraction-aware join maintenance: the maintained bag state ==
     // the value-grain recompute of the post-change join — the oracle
     // IS the recompute, duplicates and all

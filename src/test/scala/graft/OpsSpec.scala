@@ -3109,6 +3109,80 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("JaccardIndex: stored cross join == brute force, probe-tighter contract, extend completeness, scheme + threshold guards, cap audit (q277 laws)") {
+    import graft.ops.Dedup
+    // deterministic token sets with planted cross near-dups: batch doc
+    // 100+i shares most tokens with base doc i
+    def toks(seed: Int, n: Int): Seq[String] =
+      Seq.tabulate(n)(j => s"t${(seed * 31 + j * 7) % 97}").distinct
+    val base = Seq.tabulate(20)(i => (i.toLong, toks(i, 12 + i % 5)))
+      .toDF("id", "sh")
+    val batch = Seq.tabulate(8)(i =>
+        ((100 + i).toLong,
+          if (i % 2 == 0) toks(i, 12 + i % 5) // exact clone of base i
+          else toks(i, 12 + i % 5) :+ s"x$i")) // near-clone, one extra
+      .toDF("id", "sh")
+    def brute(thr: Long): Set[(Long, Long, Long, Long)] = {
+      val b = base.as[(Long, Seq[String])].collect()
+      val q = batch.as[(Long, Seq[String])].collect()
+      (for {
+        (qi, qt) <- q; (bi, bt) <- b
+        inter = qt.toSet.intersect(bt.toSet).size.toLong
+        uni = (qt.toSet ++ bt.toSet).size.toLong
+        j = inter * 10000L / uni
+        if j >= thr
+      } yield (qi, bi, inter, j)).toSet
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("jac-idx-spec").toString
+    Dedup.buildJaccardIndex(base, "id", "sh", thresholdBp = 7000L)
+      .save(dir)
+    val idx = Dedup.loadJaccardIndex(spark, dir)
+    // completeness through the REAL save/load round-trip, at the fit
+    // threshold and at a STRICTER probe threshold
+    for (thr <- Seq(7000L, 9000L)) {
+      val got = Dedup.crossJaccardJoin(batch, idx, "id", "sh", thr)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === brute(thr), s"cross join != brute force at $thr")
+      assert(got.nonEmpty, s"degenerate fixture at $thr")
+    }
+    // probing BELOW the fit threshold refuses loudly (stored prefixes
+    // too short to stay complete there)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.crossJaccardJoin(batch, idx, "id", "sh", 5000L)
+    }
+    assert(e.getMessage.contains("fit threshold"))
+    // extend: admitted docs (carrying tokens UNSEEN by the pinned df
+    // snapshot) are found by later probes, still brute-force-complete
+    val extra = Seq((50L, toks(3, 14) :+ "brandnew1" :+ "brandnew2"))
+      .toDF("id", "sh")
+    val idx2 = idx.extend(extra, "id", "sh")
+    val batch2 = Seq((200L, toks(3, 14) :+ "brandnew1" :+ "brandnew2"))
+      .toDF("id", "sh")
+    val got2 = Dedup.crossJaccardJoin(batch2, idx2, "id", "sh", 9000L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got2.exists(p => p._1 === 200L && p._2 === 50L &&
+      p._4 === 10000L), s"extend lost the admitted doc: $got2")
+    // stale-scheme rejection: a meta row from a different build refuses
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((7000L, Dedup.JaccardIndex.Scheme + 1))
+      .toDF("threshold_bp", "prefix_scheme")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.loadJaccardIndex(spark, dir)
+    }
+    assert(e2.getMessage.contains("scheme"))
+    // cap + audit: a tiny cap drops postings and the audit lists them
+    // from the same generators, side-attributed
+    val audit = Dedup.crossJaccardAudit(batch, idx, "id", "sh",
+        thresholdBp = 7000L, maxPosting = 2)
+      .as[(String, String, Long)].collect()
+    assert(audit.nonEmpty && audit.forall(_._3 > 2L))
+    assert(audit.map(_._1).toSet.subsetOf(Set("batch", "stored")))
+    graft.deleteRecursively(new java.io.File(dir))
+  }
+
   test("histState bins by FLOOR division: negative values get true lower edges (r16 advice)") {
     import graft.ops.Incremental
     // truncating `div` would fold (-99..99) into one double-width bin 0

@@ -424,7 +424,11 @@ object ScaleProbe {
     // the session cache, the q102/q270 posture), then the capped
     // posting join + exact verify against stored token sets; ratio
     // must price the batch + stored-postings scan, not a base refit
-    "q277_cross_jaccard_stored")
+    "q277_cross_jaccard_stored",
+    // r18: t-closeness — one cell-grain corpus aggregate, a group
+    // window + domain-sized value join at CELL grain, one 1-row total
+    // broadcast; ratio ≈ the corpus aggregate (the q243 family)
+    "q278_t_closeness")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

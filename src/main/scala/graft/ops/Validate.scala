@@ -209,6 +209,70 @@ object Validate {
       .withColumn("at_risk", col("n_sensitive") < l)
   }
 
+  /** t-closeness audit — the third member of the release-screen trio
+    * (Li, Li & Venkatasubramanian, *t-Closeness: Privacy Beyond
+    * k-Anonymity and l-Diversity*, ICDE 2007), catching the attack
+    * l-diversity misses: a group can carry `l` distinct sensitive
+    * values yet a SKEWED distribution (99% one disease) — linkage then
+    * discloses with near-certainty while the group reads "diverse".
+    * The screen: distance between each quasi-group's sensitive-value
+    * distribution and the GLOBAL one must stay ≤ t. For categorical
+    * sensitive attributes with equal ground distance the paper's EMD
+    * IS total variation distance, ½·Σᵥ |p_g(v) − p(v)| — computed here
+    * EXACTLY in basis points by cross-multiplication, no floating
+    * division until the single final truncating div:
+    *
+    *   tvd_bp = (10⁴ · Σᵥ |n_gv·N − n_v·n_g|) div (2·n_g·N)
+    *
+    * where the sum over values ABSENT from the group folds into one
+    * closed term (N − Σ_{v∈g} n_v)·n_g — so everything runs at CELL
+    * grain (group × present-value), never group × domain. NULL
+    * sensitive values count as a value (the [[lDiversityAudit]]
+    * posture — "unknown" is a disclosure too) and NULL quasi values
+    * group together and are audited. int64 envelope: the scaled sum is
+    * ≤ 2·10⁴·n_g·N, exact while `n_g·N < 4.6·10¹⁴` (e.g. any group
+    * ≤ 4×10⁶ rows against a 10⁸-row release — the q262 envelope
+    * convention; beyond it, audit a stratified sample). Scale shape:
+    * one cell-grain aggregate, a group-keyed window for n_g, a
+    * value-grain join (domain-sized), one 1-row total broadcast —
+    * the corpus enters one exchange. Output: `(quasiCols…, n,
+    * tvd_bp, at_risk)`.
+    */
+  def tClosenessAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, tBp: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "tClosenessAudit: no quasi columns")
+    require(!quasiCols.contains(sensitiveCol),
+      s"tClosenessAudit: sensitive column '$sensitiveCol' is also a " +
+        "quasi column — its in-group distribution is degenerate")
+    require(tBp >= 1 && tBp <= 10000,
+      s"tClosenessAudit: tBp must be in [1, 10000], got $tBp")
+    val base = df.select((quasiCols.map(col) :+
+      col(sensitiveCol).as("__v")): _*)
+    val cells = base.groupBy((quasiCols.map(col) :+ col("__v")): _*)
+      .agg(count(lit(1)).as("__ngv"))
+    val vals = cells.groupBy(col("__v")).agg(sum(col("__ngv")).as("__nv"))
+    val total = vals.agg(sum(col("__nv")).as("__N"))
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*)
+    cells.withColumn("n", sum(col("__ngv")).over(wG))
+      // null-SAFE value join: the NULL sensitive value is a value row
+      // in `vals`, and a plain USING join would silently drop its
+      // cells from the present sum (the suppressSmallGroups lesson)
+      .join(vals.withColumnRenamed("__v", "__v2"),
+        col("__v") <=> col("__v2"))
+      .crossJoin(broadcast(total))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(max(col("n")).as("n"),
+        sum(abs(col("__ngv") * col("__N") - col("__nv") * col("n")))
+          .as("__sp"),
+        sum(col("__nv")).as("__cov"),
+        max(col("__N")).as("__Nm"))
+      .select((quasiCols.map(col) :+ col("n") :+
+        expr("(10000L * (__sp + (__Nm - __cov) * n)) div (2L * n * __Nm)")
+          .as("tvd_bp")): _*)
+      .withColumn("at_risk", col("tvd_bp") > tBp)
+  }
+
   /** Equi-width histogram — the distribution half of profiling, next
     * to [[report]]'s pass/fail half. One scan + one bin-keyed
     * aggregate (bins-cardinality, never row-cardinality); empty bins

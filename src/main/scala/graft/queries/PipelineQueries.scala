@@ -2324,6 +2324,23 @@ object PipelineQueries {
         expr("n_chars div 200").as("size_band"), col("lang")),
       Seq("source", "size_band"), "lang", l = 3L)
 
+  /** t-closeness audit ([[graft.ops.Validate.tClosenessAudit]],
+    * t = 3000 bp) over the SAME release surface as q165/q243 —
+    * completing the screen trio with the attack l-diversity misses: a
+    * (source, band) cell can carry all five languages (l-diverse) yet
+    * a skewed mix, and linkage still discloses with high confidence.
+    * Exact integer total-variation distance in basis points
+    * (cross-multiplied, one truncating div); at sf0.01 the thin band
+    * tails skew hard and the fat cells track the global mix, so both
+    * verdicts populate (22/38 at fixture scale). The oracle replays
+    * cells, marginals, the absent-value closed term and the division.
+    */
+  def q278(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Validate.tClosenessAudit(
+      t(s, dir)("documents").select(col("source"),
+        expr("n_chars div 200").as("size_band"), col("lang")),
+      Seq("source", "size_band"), "lang", tBp = 3000L)
+
   /** Readability statistics ([[graft.ops.TextOps.readability]]) over
     * the corpus with PLANTED sentence boundaries (the fixture text has
     * no punctuation, so `n_sents` would floor at 1 corpus-wide): plain
@@ -4428,6 +4445,7 @@ object PipelineQueries {
     "q275_retract_join" -> (q275 _),
     "q276_retract_join_audit" -> (q276 _),
     "q277_cross_jaccard_stored" -> (q277 _),
+    "q278_t_closeness" -> (q278 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -5394,6 +5412,30 @@ FROM o"""
        SELECT event_type, CAST(bin AS BIGINT) AS bin,
               CAST(count(*) AS BIGINT) AS n
        FROM e WHERE event_id % 5 <> 0 GROUP BY 1, 2""",
+    // t-closeness: cells, marginals, the absent-value closed term and
+    // the single truncating division replayed exactly (names ng/nv/nn
+    // because DuckDB identifiers are case-insensitive — `N` would
+    // collide with a group-count `n`)
+    "q278_t_closeness" ->
+      """WITH cells AS (SELECT source, n_chars // 200 AS size_band,
+             lang, count(*) AS ngv
+           FROM documents GROUP BY 1, 2, 3),
+         g AS (SELECT source, size_band, sum(ngv) AS ng
+               FROM cells GROUP BY 1, 2),
+         v AS (SELECT lang, sum(ngv) AS nv FROM cells GROUP BY 1),
+         tot AS (SELECT sum(nv) AS nn FROM v),
+         pres AS (SELECT c.source, c.size_band,
+             sum(abs(c.ngv * nn - v.nv * g.ng)) AS sp,
+             sum(v.nv) AS cov, max(g.ng) AS ng, max(nn) AS nn
+           FROM cells c JOIN g USING (source, size_band)
+           JOIN v USING (lang) CROSS JOIN tot
+           GROUP BY 1, 2)
+       SELECT source, size_band, CAST(ng AS BIGINT) AS n,
+              CAST((10000 * (sp + (nn - cov) * ng)) // (2 * ng * nn)
+                AS BIGINT) AS tvd_bp,
+              (10000 * (sp + (nn - cov) * ng)) // (2 * ng * nn) > 3000
+                AS at_risk
+       FROM pres""",
     // stored-index cross Jaccard: naive all batch x base pairs with
     // exact integer jaccard — completeness theorem + save/load + the
     // probe-tighter-than-fit contract pinned by hash equality

@@ -3183,6 +3183,41 @@ class OpsSpec extends SparkSpec {
     graft.deleteRecursively(new java.io.File(dir))
   }
 
+  test("tClosenessAudit: hand-computed TVD, absent-value term, NULL-counts-as-value, mirror group zero, guards (q278 laws)") {
+    import graft.ops.Validate
+    // global {a:3, b:1}, N=4. g1=[a,a,b]: TVD = (|2/3-3/4|+|1/3-1/4|)/2
+    // = 1/12 -> 833 bp (truncating). g2=[a]: b is ABSENT from the
+    // group, the closed term fires -> TVD = 1/4 -> 2500 bp.
+    val df = Seq(("g1", "a"), ("g1", "a"), ("g1", "b"), ("g2", "a"))
+      .toDF("q", "s")
+    val got = Validate.tClosenessAudit(df, Seq("q"), "s", tBp = 1000L)
+      .select("q", "n", "tvd_bp", "at_risk")
+      .as[(String, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(("g1", 3L, 833L, false), ("g2", 1L, 2500L, true)))
+    // a group mirroring the global mix exactly reads zero distance
+    val mirror = Seq(("m1", "a"), ("m1", "b"), ("m2", "a"), ("m2", "b"))
+      .toDF("q", "s")
+    assert(Validate.tClosenessAudit(mirror, Seq("q"), "s", 1L)
+      .select("tvd_bp").as[Long].collect().toSeq === Seq(0L, 0L))
+    // NULL sensitive counts as a value (the l-diversity posture): an
+    // all-NULL group vs a no-NULL group must read maximal distance,
+    // not collapse
+    val withNull = Seq(("n1", Some("a")), ("n2", None), ("n2", None))
+      .toDF("q", "s")
+    val gotN = Validate.tClosenessAudit(withNull, Seq("q"), "s", 5000L)
+      .select("q", "tvd_bp").as[(String, Long)].collect().toMap
+    // global {a:1, NULL:2}, N=3; n1=[a]: TVD = (|1-1/3|+|0-2/3|)/2 =
+    // 2/3 -> 6666 bp; n2=[NULL,NULL]: TVD = 1/3 -> 3333 bp
+    assert(gotN === Map("n1" -> 6666L, "n2" -> 3333L))
+    // guards
+    intercept[IllegalArgumentException](
+      Validate.tClosenessAudit(df, Seq("q", "s"), "s", 100L))
+    intercept[IllegalArgumentException](
+      Validate.tClosenessAudit(df, Seq("q"), "s", 0L))
+    intercept[IllegalArgumentException](
+      Validate.tClosenessAudit(df, Seq.empty, "s", 100L))
+  }
+
   test("histState bins by FLOOR division: negative values get true lower edges (r16 advice)") {
     import graft.ops.Incremental
     // truncating `div` would fold (-99..99) into one double-width bin 0

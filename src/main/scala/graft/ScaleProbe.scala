@@ -428,7 +428,11 @@ object ScaleProbe {
     // r18: t-closeness — one cell-grain corpus aggregate, a group
     // window + domain-sized value join at CELL grain, one 1-row total
     // broadcast; ratio ≈ the corpus aggregate (the q243 family)
-    "q278_t_closeness")
+    "q278_t_closeness",
+    // r18: video dedup capstone — slice+hash+vote scan, capped band
+    // join, star-contraction rounds, one survivor join; the q266
+    // composition pricing at video grain
+    "q279_video_dedup")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -2763,6 +2763,38 @@ object PipelineQueries {
         w = 16, h = 16, every = 2),
       "media_id", "vfp_hi", "vfp_lo", maxDist = 3, maxBucket = 100)
 
+  /** End-to-end VIDEO DEDUP — the q266 capstone composition at the
+    * video grain, closing the modality symmetrically (image q266 has
+    * one, audio shares every stage): frame slicing + per-frame aHash +
+    * majority vote (q273) → banded Hamming pairs (q274) →
+    * [[graft.ops.Dedup.dupClusters]] star-contraction components →
+    * canonical survivor = min media_id per component, singletons
+    * self-canonical. The oracle replays the vote fingerprints
+    * arithmetically, brute-forces the pair graph, walks components
+    * with a recursive CTE and takes the same min — the whole
+    * slice→hash→vote→band→contract pipeline pinned end-to-end by one
+    * hash.
+    */
+  def q279(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.ops.Multimodal.hammingNearDup(
+        graft.ops.Multimodal.videoFingerprint(plantedVideos(s, dir),
+          w = 16, h = 16, every = 2),
+        "media_id", "vfp_hi", "vfp_lo", maxDist = 3, maxBucket = 100)
+      .select(col("id_a").as("a_id"), col("id_b").as("b_id"))
+    val clusters = graft.ops.Dedup.dupClusters(pairs,
+      starContraction = true)
+    // survivor join over the id universe at documents grain — never
+    // plantedVideos (whose opaque mapPartitions would re-encode every
+    // blob to project one column; the q266 lesson)
+    t(s, dir)("documents").select(col("doc_id").as("media_id"))
+      .join(clusters.select(col("id").as("media_id"),
+        col("cluster")), Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("cluster"), col("media_id")).as("canonical_id"))
+      .withColumn("is_kept", (col("media_id") === col("canonical_id"))
+        .cast("boolean"))
+  }
+
   /** The q277 stored Jaccard prefix index: fit ONCE per (session,
     * sfDir) on the base slice (doc_id % 10 ≠ 0) of the bigram-shingled
     * documents at t = 8000 bp, written through the real save/load
@@ -4446,6 +4478,7 @@ object PipelineQueries {
     "q276_retract_join_audit" -> (q276 _),
     "q277_cross_jaccard_stored" -> (q277 _),
     "q278_t_closeness" -> (q278 _),
+    "q279_video_dedup" -> (q279 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -5629,6 +5662,59 @@ FROM o"""
        FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
              <= 3""",
+    // video dedup capstone: replayed vote fingerprints -> brute-force
+    // pairs -> recursive-CTE components -> min-id canonical
+    "q279_video_dedup" ->
+      """WITH RECURSIVE pix AS (
+           SELECT doc_id, fr.f, g.i,
+             CASE WHEN doc_id % 2 = 1 AND g.i = (doc_id // 2) % 256
+               THEN ((doc_id // 2) * 31 + fr.f * 41 + g.i * 17
+                     + g.i * g.i * 7 + (doc_id // 2) * g.i * 13
+                     + fr.f * g.i * 5
+                     + (doc_id // 2 // 256) * g.i * g.i * 11 + 3) % 256
+               ELSE ((doc_id // 2) * 31 + fr.f * 41 + g.i * 17
+                     + g.i * g.i * 7 + (doc_id // 2) * g.i * 13
+                     + fr.f * g.i * 5
+                     + (doc_id // 2 // 256) * g.i * g.i * 11) % 256
+             END AS p
+           FROM documents
+           CROSS JOIN (SELECT unnest([0, 2, 4, 6]) AS f) fr
+           CROSS JOIN (SELECT unnest(range(0, 256)) AS i) g),
+         cells AS (
+           SELECT doc_id, f,
+                  ((i // 16) // 2) * 8 + ((i % 16) // 2) AS ci,
+                  sum(p) // 4 AS cv
+           FROM pix GROUP BY 1, 2, 3),
+         m AS (SELECT doc_id, f, sum(cv) // 64 AS mean
+               FROM cells GROUP BY 1, 2),
+         vote AS (
+           SELECT c.doc_id, ci,
+                  sum(CASE WHEN cv > mean THEN 1 ELSE 0 END) AS cnt
+           FROM cells c JOIN m USING (doc_id, f) GROUP BY 1, 2),
+         hsh AS (
+           SELECT doc_id,
+                  CAST(coalesce(sum(CASE WHEN ci >= 32 AND cnt * 2 > 4
+                    THEN (CAST(1 AS BIGINT) << (ci - 32)) END), 0)
+                    AS BIGINT) AS hi,
+                  CAST(coalesce(sum(CASE WHEN ci < 32 AND cnt * 2 > 4
+                    THEN (CAST(1 AS BIGINT) << ci) END), 0)
+                    AS BIGINT) AS lo
+           FROM vote GROUP BY 1),
+         p2 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.hi, b.hi)) +
+                 bit_count(xor(a.lo, b.lo)) <= 3),
+         e AS (SELECT a_id AS src, b_id AS dst FROM p2
+               UNION ALL SELECT b_id, a_id FROM p2),
+         reach AS (
+           SELECT src AS id, src AS r FROM e
+           UNION
+           SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+       SELECT d.doc_id AS media_id,
+              coalesce(c.cluster, d.doc_id) AS canonical_id,
+              d.doc_id = coalesce(c.cluster, d.doc_id) AS is_kept
+       FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""",
     // image dedup capstone: replayed hashes -> brute-force pairs ->
     // recursive-CTE components -> min-id canonical, singletons self
     "q266_image_dedup" ->

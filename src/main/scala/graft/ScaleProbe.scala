@@ -432,7 +432,12 @@ object ScaleProbe {
     // r18: video dedup capstone — slice+hash+vote scan, capped band
     // join, star-contraction rounds, one survivor join; the q266
     // composition pricing at video grain
-    "q279_video_dedup")
+    "q279_video_dedup",
+    // r18: link prediction — the capped wedge self-join through each
+    // center (Σ min(deg, cap)², the q250 shape) + the non-edge
+    // anti-join; planted degrees bounded, so the ratio must track
+    // edges, and the audit is one degree aggregate
+    "q280_link_prediction", "q281_link_prediction_audit")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -2250,6 +2250,31 @@ object AnalyticQueries {
       .unionByName(sel(11, id, id))
   }
 
+  /** Link prediction ([[graft.ops.Graph.linkPrediction]]) over the
+    * q222/q238 planted graph: every non-edge pair sharing a neighbor,
+    * scored by common-neighbor count and the integer
+    * resource-allocation index (Σ 10⁴ div deg(z) over shared z — the
+    * Adamic–Adar sibling that stays int64-exact). The planted
+    * triangles + chain links + shortcut closures give a rich wedge
+    * structure: chain pairs like (3k+1, 3k+3) share corner 3k+2, the
+    * every-15th shortcut turns some of those INTO edges (so the
+    * anti-join visibly removes them), and multi-neighbor pairs
+    * populate cn ≥ 2. Cap 1000 clears the planted degree profile
+    * (max ≈ 6), so nothing drops at gate scale; q281 is the biting-cap
+    * screen. The oracle replays symmetrization, the wedge self-join,
+    * true-degree RA terms and the non-edge anti-join.
+    */
+  def q280(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.linkPrediction(plantedGraphEdges(s, dir), "s", "t",
+      maxNeighbors = 1000)
+
+  /** The loud twin ([[graft.ops.Graph.linkPredictionAudit]]) at cap 2,
+    * which the planted chain corners DO exceed — the hub screen with
+    * both engines re-deriving degree from the same raw edge list. */
+  def q281(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.linkPredictionAudit(plantedGraphEdges(s, dir),
+      "s", "t", maxNeighbors = 2)
+
   /** Spark's NATIVE `session_window(ts, gap)` through the SQL door —
     * the built-in surface for q34's gap sessionization, which q34
     * assembles manually from lag + running sum (r16 verdict #4: the
@@ -2690,6 +2715,8 @@ object AnalyticQueries {
     "q220_source_entropy" -> (q220 _),
     "q221_nullsafe_join" -> (q221 _),
     "q222_triangles" -> (q222 _),
+    "q280_link_prediction" -> (q280 _),
+    "q281_link_prediction_audit" -> (q281 _),
     "q223_psi_drift" -> (q223 _),
     "q226_linear_interp" -> (q226 _),
     "q229_longest_streak" -> (q229 _),
@@ -2785,6 +2812,56 @@ object AnalyticQueries {
        SELECT e1.u AS n_a, e1.v AS n_b, e2.v AS n_c
        FROM e e1 JOIN e e2 ON e1.v = e2.u
        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""",
+    // link prediction: same planted edges, full adjacency wedge
+    // self-join, true-degree RA terms, non-edge anti-join
+    "q280_link_prediction" ->
+      """WITH b3 AS (SELECT doc_id AS d FROM documents WHERE doc_id % 3 = 0),
+         raw AS (
+           SELECT d AS u, d + 1 AS v FROM b3
+           UNION ALL SELECT d + 1, d + 2 FROM b3
+           UNION ALL SELECT d, d + 2 FROM b3
+           UNION ALL SELECT d + 2, d + 3 FROM b3
+           UNION ALL SELECT doc_id, doc_id + 3 FROM documents
+             WHERE doc_id % 15 = 0
+           UNION ALL SELECT doc_id + 1, doc_id FROM documents
+             WHERE doc_id % 6 = 0
+           UNION ALL SELECT doc_id, doc_id FROM documents
+             WHERE doc_id % 11 = 0),
+         e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+           FROM raw WHERE u <> v),
+         adj AS (SELECT u AS z, v AS nb FROM e
+                 UNION ALL SELECT v, u FROM e),
+         deg AS (SELECT z, count(*) AS d FROM adj GROUP BY 1),
+         w AS (SELECT a1.z, a1.nb AS a, a2.nb AS b
+               FROM adj a1 JOIN adj a2
+                 ON a1.z = a2.z AND a1.nb < a2.nb),
+         sc AS (SELECT a, b, count(*) AS cn, sum(10000 // d) AS ra
+                FROM w JOIN deg USING (z) GROUP BY 1, 2)
+       SELECT sc.a AS id_a, sc.b AS id_b,
+              CAST(cn AS BIGINT) AS common_neighbors,
+              CAST(ra AS BIGINT) AS ra_bp
+       FROM sc LEFT JOIN e ON e.u = sc.a AND e.v = sc.b
+       WHERE e.u IS NULL""",
+    // link-prediction audit: over-cap hubs with true degree
+    "q281_link_prediction_audit" ->
+      """WITH b3 AS (SELECT doc_id AS d FROM documents WHERE doc_id % 3 = 0),
+         raw AS (
+           SELECT d AS u, d + 1 AS v FROM b3
+           UNION ALL SELECT d + 1, d + 2 FROM b3
+           UNION ALL SELECT d, d + 2 FROM b3
+           UNION ALL SELECT d + 2, d + 3 FROM b3
+           UNION ALL SELECT doc_id, doc_id + 3 FROM documents
+             WHERE doc_id % 15 = 0
+           UNION ALL SELECT doc_id + 1, doc_id FROM documents
+             WHERE doc_id % 6 = 0
+           UNION ALL SELECT doc_id, doc_id FROM documents
+             WHERE doc_id % 11 = 0),
+         e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+           FROM raw WHERE u <> v),
+         adj AS (SELECT u AS z, v AS nb FROM e
+                 UNION ALL SELECT v, u FROM e)
+       SELECT z AS node, CAST(count(*) AS BIGINT) AS degree
+       FROM adj GROUP BY z HAVING count(*) > 2""",
     // native session_window: the oracle replays the gap rule (new
     // session when diff > gap — Spark merges touching windows, pinned
     // empirically), start = min ts, end = last ts + gap, exact micros

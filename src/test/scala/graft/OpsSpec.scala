@@ -3183,6 +3183,40 @@ class OpsSpec extends SparkSpec {
     graft.deleteRecursively(new java.io.File(dir))
   }
 
+  test("linkPrediction: hand-walked path/square/triangle, RA truncation, edge exclusion, cap + audit, guards (q280/q281 laws)") {
+    import graft.ops.Graph
+    def lp(edges: Seq[(Long, Long)], cap: Int = 1000) =
+      Graph.linkPrediction(edges.toDF("s", "t"), "s", "t", cap)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    // path 1-2-3: the one non-edge pair (1,3) shares corner 2 of
+    // degree 2 -> cn 1, ra 10000 div 2 = 5000
+    assert(lp(Seq(1L -> 2L, 2L -> 3L)) === Set((1L, 3L, 1L, 5000L)))
+    // square 1-2-3-4-1: both diagonals, two shared corners each of
+    // degree 2 -> cn 2, ra 10000; no existing edge appears
+    assert(lp(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L)) ===
+      Set((1L, 3L, 2L, 10000L), (2L, 4L, 2L, 10000L)))
+    // triangle: every wedge pair is already an edge -> empty
+    assert(lp(Seq(1L -> 2L, 2L -> 3L, 1L -> 3L)) === Set.empty)
+    // RA truncation: corner of degree 3 contributes 3333, not 10000/3
+    // (path 1-2-3 plus pendant 2-4: (1,3)/(1,4)/(3,4) each via corner
+    // 2 of degree 3)
+    assert(lp(Seq(1L -> 2L, 2L -> 3L, 2L -> 4L)) ===
+      Set((1L, 3L, 1L, 3333L), (1L, 4L, 1L, 3333L),
+        (3L, 4L, 1L, 3333L)))
+    // reversed duplicates and self-loops collapse before anything
+    assert(lp(Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 3L)) ===
+      Set((1L, 3L, 1L, 5000L)))
+    // cap: a star center above maxNeighbors drops WHOLE (no partial
+    // evidence) and the audit lists it with its true degree
+    assert(lp(Seq(0L -> 1L, 0L -> 2L, 0L -> 3L), cap = 2) === Set.empty)
+    val audit = Graph.linkPredictionAudit(
+        Seq(0L -> 1L, 0L -> 2L, 0L -> 3L).toDF("s", "t"), "s", "t", 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(audit === Seq((0L, 3L)))
+    intercept[IllegalArgumentException](
+      Graph.linkPrediction(Seq(1L -> 2L).toDF("s", "t"), "s", "t", 1))
+  }
+
   test("tClosenessAudit: hand-computed TVD, absent-value term, NULL-counts-as-value, mirror group zero, guards (q278 laws)") {
     import graft.ops.Validate
     // global {a:3, b:1}, N=4. g1=[a,a,b]: TVD = (|2/3-3/4|+|1/3-1/4|)/2

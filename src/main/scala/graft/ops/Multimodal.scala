@@ -943,6 +943,86 @@ object Multimodal {
     * the media_id-keyed vote aggregate over 20-byte rows, with the 64
     * bit-counters partial-combined map-side.
     */
+  /** Row-local form of the [[videoFingerprint]] computation: slice,
+    * hash and majority-vote ONE blob's frames entirely in the JVM —
+    * the same frame grid as [[sampleFrames]] (every `every`-th full
+    * `w·h`-byte slice; a trailing partial slice never hashes) and the
+    * same [[aHash64]] + strict-majority rule, so the columnar
+    * aggregate and this inline form compute the SAME function
+    * (StreamingSpec pins stream ≡ batch over data). None when no
+    * frame hashes. Shared by [[videoFingerprintInline]] and the
+    * streaming twin. */
+  private[graft] def videoFingerprintOf(bytes: Array[Byte], w: Int,
+      h: Int, every: Int): Option[(Long, Long, Long)] = {
+    val fb = w * h
+    if (bytes == null || bytes.length < fb) return None
+    val nFrames = bytes.length / fb
+    val votes = new Array[Long](64)
+    var used = 0L
+    var f = 0
+    while (f < nFrames) {
+      val gray = new Array[Int](fb)
+      var i = 0
+      while (i < fb) { gray(i) = bytes(f * fb + i) & 0xff; i += 1 }
+      aHash64(w, h, gray) match {
+        case Some((hi, lo)) =>
+          used += 1
+          var b = 0
+          while (b < 64) {
+            val bit = if (b < 32) (lo >> b) & 1L else (hi >> (b - 32)) & 1L
+            votes(b) += bit
+            b += 1
+          }
+        case None => ()
+      }
+      f += every
+    }
+    if (used == 0) None
+    else {
+      var hi = 0L; var lo = 0L
+      var b = 0
+      while (b < 64) {
+        if (votes(b) * 2 > used) {
+          if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+        }
+        b += 1
+      }
+      Some((used, hi, lo))
+    }
+  }
+
+  /** [[videoFingerprint]]'s ZERO-EXCHANGE sibling: because a video
+    * blob arrives whole, the per-bit vote is row-local — slice, hash
+    * and reduce inside one typed `mapPartitions` on the scan
+    * partitions, no shuffle at all (the q258 scan shape; the columnar
+    * aggregate form remains the shape for frames that arrive as
+    * SEPARATE rows from a real frame-extractor service). Identical
+    * output relation; videos with no hashable frame drop. Also the
+    * core of [[graft.streaming.DocumentStreams.videoFingerprintStream]]
+    * — a stateless mapPartitions runs unchanged inside a streaming
+    * plan, the mediaFingerprintStream posture.
+    */
+  def videoFingerprintInline(media: DataFrame, w: Int, h: Int,
+                             every: Int): DataFrame = {
+    require(w >= 8 && h >= 8,
+      s"videoFingerprintInline: frame raster must be at least 8x8, " +
+        s"got ${w}x$h")
+    require(every >= 1,
+      s"videoFingerprintInline: every must be >= 1, got $every")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          videoFingerprintOf(bytes, w, h, every).map {
+            case (n, hi, lo) => (id, n, hi, lo)
+          }
+        }
+      }
+      .toDF("media_id", "n_frames", "vfp_hi", "vfp_lo")
+  }
+
   def videoFingerprint(media: DataFrame, w: Int, h: Int,
                        every: Int): DataFrame = {
     val fh = videoFrameHashes(media, w, h, every)

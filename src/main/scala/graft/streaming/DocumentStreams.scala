@@ -516,6 +516,26 @@ object DocumentStreams {
   def mediaFingerprintStream(media: DataFrame): DataFrame =
     graft.ops.Multimodal.mediaFingerprints(media)
 
+  /** Video fingerprinting at the ingest door —
+    * [[mediaFingerprintStream]]'s twin for raw-frame video blobs
+    * (which carry no magic bytes, so the dispatch stream cannot route
+    * them): each arriving blob slices its frame grid, hashes every
+    * sampled frame and majority-votes the 64-bit fingerprint
+    * ROW-LOCALLY ([[graft.ops.Multimodal.videoFingerprintInline]] —
+    * the blob arrives whole, so the vote needs no aggregate), leaving
+    * as `(media_id, n_frames, vfp_hi, vfp_lo)` — the exact relation
+    * the batch [[graft.ops.Multimodal.videoFingerprint]] emits, so
+    * downstream near-dup flagging (stream-static band join against a
+    * stored fingerprint relation, the [[mediaFlagAgainstBase]]
+    * posture) is shared verbatim. Completely STATELESS: typed
+    * mapPartitions, no watermark, no shuffle; the slice/hash/vote
+    * internals are the same private function, and StreamingSpec pins
+    * stream ≡ batch over planted blobs.
+    */
+  def videoFingerprintStream(media: DataFrame, w: Int, h: Int,
+                             every: Int): DataFrame =
+    graft.ops.Multimodal.videoFingerprintInline(media, w, h, every)
+
   /** Flag ARRIVING media blobs that near-duplicate the STORED
     * fingerprint base — [[flagAgainstBase]]'s media twin and
     * [[graft.ops.Multimodal.crossNearDupMedia]]'s streaming form: each

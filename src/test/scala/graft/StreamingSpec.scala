@@ -830,6 +830,44 @@ class StreamingSpec extends SparkSpec {
     assert(state === 0, s"state rows = $state")
   }
 
+  test("videoFingerprintStream votes identically to the batch columnar aggregate, stateless") {
+    import graft.ops.Multimodal
+    // three 4-frame raw-gray videos (one with a bumped sibling
+    // pattern), one sub-frame blob that must drop silently
+    def video(base: Int, bump: Boolean): Array[Byte] =
+      Array.tabulate(4 * 256) { j =>
+        val f = j / 256; val i = j % 256
+        val p = (base * 31 + f * 41 + i * 17 + i * i * 7 + f * i * 5) % 256
+        (if (bump && i == base % 256) (p + 3) % 256 else p).toByte
+      }
+    val blobs = Seq((1L, video(1, bump = false)),
+      (2L, video(1, bump = true)), (3L, video(9, bump = false)),
+      (4L, Array.fill(100)(7.toByte)))
+    val input = MemoryStream[(Long, Array[Byte])](spark)
+    input.addData(blobs: _*)
+    val q = streaming.DocumentStreams.videoFingerprintStream(
+        input.toDF().toDF("media_id", "content"), w = 16, h = 16,
+        every = 2)
+      .writeStream.format("memory").queryName("videofp")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("videofp")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the batch comparator is the COLUMNAR form (sampleFrames explode
+    // + vote aggregate) — equality pins that the row-local inline
+    // vote computes the same function, frame grid and all
+    val batch = Multimodal.videoFingerprint(
+        blobs.toDF("media_id", "content").withColumn("kind", lit("video")),
+        w = 16, h = 16, every = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.map(_._1) === Set(1L, 2L, 3L)) // sub-frame blob dropped
+    assert(streamed.forall(_._2 === 2L)) // frames 0 and 2 of 4 sampled
+    val state = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal)).sum
+    assert(state === 0, s"state rows = $state")
+  }
+
   test("mediaFlagAgainstBase flags arriving near-dups of the stored base only, stateless, anchor-deduped") {
     import graft.ops.Multimodal
     def gray(seed: Int): Array[Byte] = {

@@ -437,7 +437,11 @@ object ScaleProbe {
     // center (Σ min(deg, cap)², the q250 shape) + the non-edge
     // anti-join; planted degrees bounded, so the ratio must track
     // edges, and the audit is one degree aggregate
-    "q280_link_prediction", "q281_link_prediction_audit")
+    "q280_link_prediction", "q281_link_prediction_audit",
+    // r18: Mann–Kendall — the q257 day-grid pair join (calendar-
+    // bounded quadratic, grid checkpointed) + one value-grain tie
+    // aggregate; ratio must track q257's
+    "q282_mann_kendall")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

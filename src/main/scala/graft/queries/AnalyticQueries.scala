@@ -1772,6 +1772,62 @@ object AnalyticQueries {
         col("slope_micro"), col("r").as("intercept_micro"))
   }
 
+  /** Mann–Kendall trend test + Kendall τ-a over the daily series —
+    * q257's DETECTION companion (Mann 1945; Kendall 1975; the
+    * classic pairing: Mann–Kendall answers "is there a monotonic
+    * trend", Theil–Sen estimates its slope — hydrology/ops run them
+    * together): over the SAME zero-filled day grid, per event type,
+    * S = Σ_{i<j} sign(y_j − y_i) from concordant/discordant pair
+    * counts, τ_a_bp = S·10⁴ div n_pairs (truncating, negative values
+    * truncate toward zero in both engines — the q226 pin), and the
+    * tie-corrected variance EXACTLY as its ×18 multiple:
+    * `var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)` over tie groups t
+    * (the sqrt/z step stays driver-side against 1.96 — no CDF in
+    * either engine, the q272 posture; var18 is int64-exact to
+    * n ≈ 2·10⁶ days, centuries past any calendar). Scale shape: one
+    * corpus day-count aggregate, then the pair join at DAY-GRID grain
+    * (the q257 calendar-bounded quadratic, grid checkpointed once)
+    * plus a tie aggregate at value grain. A burst day flips at most
+    * n−1 of the ~n²/2 pair signs — the robustness OLS r² lacks.
+    */
+  def q282(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_type"),
+      expr("ts_ns div 1000 div 86400000000").as("d"))
+    val counts = e.groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n"))
+    val d0 = e.agg(min(col("d")).as("d0"))
+    val grid = e.select(col("d")).distinct()
+      .crossJoin(e.select(col("event_type")).distinct())
+      .join(counts, Seq("event_type", "d"), "left")
+      .crossJoin(broadcast(d0))
+      .select(col("event_type"), (col("d") - col("d0")).as("x"),
+        coalesce(col("n"), lit(0L)).as("y"))
+      .localCheckpoint(true)
+    val pairStats = grid.select(col("event_type"), col("x").as("x1"),
+        col("y").as("y1"))
+      .join(grid.select(col("event_type"), col("x").as("x2"),
+        col("y").as("y2")), Seq("event_type"))
+      .filter(col("x1") < col("x2"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("y2") > col("y1"), 1L).otherwise(0L)).as("c"),
+        sum(when(col("y2") < col("y1"), 1L).otherwise(0L)).as("disc"))
+    val ties = grid.groupBy(col("event_type"), col("y"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_values"),
+        sum(col("t")).as("n_days"),
+        sum(col("t") * (col("t") - 1L) * (col("t") * 2L + 5L))
+          .as("tie18"))
+    pairStats.join(ties, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        (col("c") - col("disc")).as("s_stat"),
+        (col("n_pairs") - col("c") - col("disc")).as("n_tied_pairs"),
+        expr("(c - disc) * 10000L div n_pairs").as("tau_a_bp"),
+        (col("n_days") * (col("n_days") - 1L) *
+          (col("n_days") * 2L + 5L) - col("tie18")).as("var18"))
+  }
+
   /** Per-day robust outlier flags over the daily event series
     * ([[graft.ops.Validate.robustOutliers]]): modified z-score in
     * exact basis points per (event_type, day) — the anomaly screen an
@@ -2729,6 +2785,7 @@ object AnalyticQueries {
     "q255_attribution" -> (q255 _),
     "q256_attribution_audit" -> (q256 _),
     "q257_theil_sen" -> (q257 _),
+    "q282_mann_kendall" -> (q282 _),
     "q269_robust_outliers" -> (q269 _),
     "q271_binned_quantiles" -> (q271 _),
     "q272_chi_square" -> (q272 _),
@@ -3082,6 +3139,41 @@ object AnalyticQueries {
               CAST(slope_micro AS BIGINT) AS slope_micro,
               CAST(r AS BIGINT) AS intercept_micro
        FROM rs WHERE rn = (nd + 1) // 2""",
+    // Mann-Kendall: same zero-filled grid, pair sign counts, value-
+    // grain tie groups, exact x18 variance; truncating tau div (both
+    // engines truncate negative quotients toward zero — the q226 pin)
+    "q282_mann_kendall" ->
+      """WITH e AS (SELECT event_type,
+             epoch_us(ts) // 86400000000 AS d FROM events),
+         counts AS (SELECT event_type, d, count(*) AS n
+                    FROM e GROUP BY 1, 2),
+         b AS (SELECT min(d) AS d0 FROM e),
+         grid AS (SELECT t.event_type,
+                 dd.d - (SELECT d0 FROM b) AS x,
+                 CAST(coalesce(c.n, 0) AS BIGINT) AS y
+           FROM (SELECT DISTINCT d FROM e) dd
+           CROSS JOIN (SELECT DISTINCT event_type FROM e) t
+           LEFT JOIN counts c
+             ON c.event_type = t.event_type AND c.d = dd.d),
+         pp AS (SELECT a.event_type, count(*) AS np,
+                 sum(CASE WHEN b2.y > a.y THEN 1 ELSE 0 END) AS c,
+                 sum(CASE WHEN b2.y < a.y THEN 1 ELSE 0 END) AS disc
+           FROM grid a JOIN grid b2
+             ON a.event_type = b2.event_type AND a.x < b2.x
+           GROUP BY 1),
+         tg AS (SELECT event_type, y, count(*) AS t
+                FROM grid GROUP BY 1, 2),
+         tt AS (SELECT event_type, sum(t) AS nd,
+                 sum(t * (t - 1) * (t * 2 + 5)) AS tie18
+               FROM tg GROUP BY 1)
+       SELECT p.event_type, CAST(nd AS BIGINT) AS n_days,
+              CAST(np AS BIGINT) AS n_pairs,
+              CAST(c - disc AS BIGINT) AS s_stat,
+              CAST(np - c - disc AS BIGINT) AS n_tied_pairs,
+              CAST((c - disc) * 10000 // np AS BIGINT) AS tau_a_bp,
+              CAST(nd * (nd - 1) * (nd * 2 + 5) - tie18 AS BIGINT)
+                AS var18
+       FROM pp p JOIN tt USING (event_type)""",
     // autocorrelation: zero-filled day spine, n²-scaled integer
     // deviations, truncating div on the 10⁴-scaled report (q226 pin)
     "q242_autocorrelation" ->

@@ -441,7 +441,11 @@ object ScaleProbe {
     // r18: Mann–Kendall — the q257 day-grid pair join (calendar-
     // bounded quadratic, grid checkpointed) + one value-grain tie
     // aggregate; ratio must track q257's
-    "q282_mann_kendall")
+    "q282_mann_kendall",
+    // r18: stored-postings containment door — batch prefix (one df
+    // join) x stored FULL postings, both capped; the base is never
+    // re-exploded, so the ratio prices batch + stored-postings scan
+    "q283_cross_containment_stored")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -1787,6 +1787,11 @@ object Dedup {
     *    exact-verify side;
     *  - `prefixes` (tk, base_id, n) — the base prefix postings in the
     *    (df ASC, token ASC) global order;
+    *  - `postings` (tk, base_id) — the FULL posting lists, the
+    *    right side the CONTAINMENT door needs (containment gives no
+    *    bound on |B|, so no right-prefix exists — the
+    *    [[containmentJoin]] asymmetry; storing them once is what
+    *    keeps [[crossContainmentJoin]] batch-linear per probe);
     *  - `dfTable`  (tk, df_t) — THE PINNED ORDERING. Correctness never
     *    depends on df being current: the prefix-filter theorem holds
     *    for ANY fixed total token order shared by both sides, so
@@ -1805,11 +1810,13 @@ object Dedup {
     * than silently matching nothing.
     */
   final case class JaccardIndex(tokens: DataFrame, prefixes: DataFrame,
-                                dfTable: DataFrame, thresholdBp: Long,
+                                postings: DataFrame, dfTable: DataFrame,
+                                thresholdBp: Long,
                                 scheme: Int = JaccardIndex.Scheme) {
     def save(path: String): Unit = {
       tokens.write.mode("overwrite").parquet(s"$path/tokens")
       prefixes.write.mode("overwrite").parquet(s"$path/prefixes")
+      postings.write.mode("overwrite").parquet(s"$path/postings")
       dfTable.write.mode("overwrite").parquet(s"$path/df")
       val spark = tokens.sparkSession
       import spark.implicits._
@@ -1818,11 +1825,12 @@ object Dedup {
     }
 
     /** Fold an admitted batch in: the batch's prefixes computed under
-      * the PINNED ordering union the stored postings, its token sets
-      * union the stored sets — batch-linear work, the index is only
-      * APPENDED to (the df snapshot deliberately does not move; see
-      * the class note). OpsSpec pins that probes against an extended
-      * index stay brute-force-complete. */
+      * the PINNED ordering union the stored prefix postings, its full
+      * postings and token sets union the stored relations —
+      * batch-linear work, the index is only APPENDED to (the df
+      * snapshot deliberately does not move; see the class note).
+      * OpsSpec pins that probes against an extended index stay
+      * brute-force-complete. */
     def extend(newDocs: DataFrame, idCol: String,
                tokensCol: String): JaccardIndex = {
       val nb = normTokenSets(newDocs, idCol, tokensCol)
@@ -1831,7 +1839,10 @@ object Dedup {
           nb.select(col("id").as("base_id"), col("toks"))),
         prefixes = prefixes.unionByName(
           prefixTokensWithFreq(nb, dfTable, thresholdBp)
-            .select(col("tk"), col("id").as("base_id"), col("n"))))
+            .select(col("tk"), col("id").as("base_id"), col("n"))),
+        postings = postings.unionByName(
+          nb.select(explode(col("toks")).as("tk"),
+            col("id").as("base_id"))))
     }
   }
 
@@ -1853,6 +1864,7 @@ object Dedup {
       base.select(col("id").as("base_id"), col("toks")),
       prefixTokensWithFreq(base, freq, thresholdBp)
         .select(col("tk"), col("id").as("base_id"), col("n")),
+      base.select(explode(col("toks")).as("tk"), col("id").as("base_id")),
       freq, thresholdBp)
   }
 
@@ -1870,6 +1882,7 @@ object Dedup {
     JaccardIndex(
       spark.read.parquet(s"$path/tokens"),
       spark.read.parquet(s"$path/prefixes"),
+      spark.read.parquet(s"$path/postings"),
       spark.read.parquet(s"$path/df"),
       meta.getAs[Long]("threshold_bp"), scheme)
   }
@@ -1934,6 +1947,81 @@ object Dedup {
       .select(col("new_id"), col("base_id"), col("n_inter"),
         expr("n_inter * 10000L div (nu - n_inter)").as("jaccard_bp"))
       .filter(col("jaccard_bp") >= thresholdBp)
+  }
+
+  /** EXACT containment of an ARRIVING batch inside the STORED base —
+    * [[containmentJoin]]'s cross shape over a [[JaccardIndex]]: pairs
+    * (new, base) with `|A∩B| ≥ t·|A|` where A is the BATCH doc — the
+    * ingest-door quote/copy/boilerplate screen ("is this arriving doc
+    * mostly inside something we already hold"; the reverse direction,
+    * base-inside-batch, is a different question — run the batch as a
+    * corpus for it). The batch computes its CONTAINMENT prefix
+    * (`n − ⌈t·n⌉ + 1` rarest tokens under the index's PINNED
+    * ordering — left-prefix completeness needs no size filter and no
+    * relation to the index's fit threshold, so ANY `thresholdBp`
+    * probes correctly); candidates join the STORED full postings —
+    * the relation the index keeps precisely because no right-prefix
+    * exists — and exact `array_intersect` verification runs against
+    * the stored token sets. Both posting families capped at
+    * `maxPosting` with whole-posting drops;
+    * [[crossContainmentAudit]] the loud twin (the stored side caps
+    * FIRST at stopword-shaped tokens — size from the df profile).
+    * Per-batch cost: batch tokenize + prefix (one df join) + capped
+    * posting join + candidate verify — the base is never re-exploded
+    * or re-aggregated. Output: `(new_id, base_id, n_inter,
+    * containment_bp)`.
+    */
+  def crossContainmentJoin(batch: DataFrame, index: JaccardIndex,
+                           idCol: String, tokensCol: String,
+                           thresholdBp: Long,
+                           maxPosting: Int = 1000): DataFrame = {
+    require(thresholdBp >= 1 && thresholdBp <= 10000,
+      s"crossContainmentJoin: thresholdBp must be in [1, 10000], got " +
+        s"$thresholdBp")
+    require(maxPosting >= 2,
+      s"crossContainmentJoin: maxPosting must be >= 2, got $maxPosting")
+    val nb = normTokenSets(batch, idCol, tokensCol).localCheckpoint(true)
+    val bPfx = capBlockRows(
+      prefixTokensWithFreq(nb, index.dfTable, thresholdBp),
+      Seq("tk"), maxPosting)
+    val sPost = capBlockRows(index.postings, Seq("tk"), maxPosting)
+    val cand = bPfx.select(col("tk"), col("id").as("new_id"))
+      .join(sPost.select(col("tk"), col("base_id")), Seq("tk"))
+      .select(col("new_id"), col("base_id")).distinct()
+    cand
+      .join(nb.select(col("id").as("new_id"), col("toks").as("ta")),
+        Seq("new_id"))
+      .join(index.tokens.select(col("base_id"), col("toks").as("tb")),
+        Seq("base_id"))
+      .select(col("new_id"), col("base_id"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long")
+          .as("n_inter"),
+        size(col("ta")).cast("long").as("na"))
+      .filter(col("n_inter") * 10000L >= lit(thresholdBp) * col("na"))
+      .select(col("new_id"), col("base_id"), col("n_inter"),
+        expr("n_inter * 10000L div na").as("containment_bp"))
+  }
+
+  /** Audit twin of [[crossContainmentJoin]]: over-cap lists on either
+    * side — `(side, token, posting_len)`, side ∈ {'batch', 'stored'} —
+    * from the SAME generators. */
+  def crossContainmentAudit(batch: DataFrame, index: JaccardIndex,
+                            idCol: String, tokensCol: String,
+                            thresholdBp: Long,
+                            maxPosting: Int): DataFrame = {
+    require(thresholdBp >= 1 && thresholdBp <= 10000,
+      s"crossContainmentAudit: thresholdBp must be in [1, 10000], got " +
+        s"$thresholdBp")
+    val nb = normTokenSets(batch, idCol, tokensCol)
+    oversizedBlocks(
+        prefixTokensWithFreq(nb, index.dfTable, thresholdBp),
+        Seq("tk"), maxPosting)
+      .select(lit("batch").as("side"), col("tk").as("token"),
+        col("n_rows").as("posting_len"))
+      .unionAll(
+        oversizedBlocks(index.postings, Seq("tk"), maxPosting)
+          .select(lit("stored").as("side"), col("tk").as("token"),
+            col("n_rows").as("posting_len")))
   }
 
   /** Audit twin of [[crossJaccardJoin]]: the over-cap posting lists on

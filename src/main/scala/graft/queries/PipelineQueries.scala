@@ -2846,6 +2846,26 @@ object PipelineQueries {
       graft.ops.Dedup.loadJaccardIndex(s, storedJacIndex(s, dir)),
       "doc_id", "sh", thresholdBp = 9000L, maxPosting = 1000)
 
+  /** Batch-vs-base EXACT containment over the SAME stored index
+    * ([[graft.ops.Dedup.crossContainmentJoin]] — the q277 artifact
+    * answering the OTHER exact question at the door: "is this
+    * arriving doc ≥ 85% inside something the base already holds").
+    * The stored FULL postings — kept precisely because containment
+    * admits no right-prefix — join the batch's containment prefixes
+    * computed under the pinned ordering; the probe threshold is FREE
+    * of the fit threshold (left-prefix completeness is one-sided).
+    * The oracle brute-forces every batch × base ordered pair with
+    * exact integer containment — completeness + storage in one hash,
+    * the q277 posture on the asymmetric screen.
+    */
+  def q283(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.crossContainmentJoin(
+      t(s, dir)("documents")
+        .filter(pmod(col("doc_id"), lit(10L)) === 0L)
+        .select(col("doc_id"), TextOps.shingles(col("text"), 2).as("sh")),
+      graft.ops.Dedup.loadJaccardIndex(s, storedJacIndex(s, dir)),
+      "doc_id", "sh", thresholdBp = 8500L, maxPosting = 1000)
+
   /** The language-planted corpus shared by q166: each doc gets its
     * label's function-word suffix ×3 (the trigram signal a char-n-gram
     * model keys on — the raw fixture text is the SAME synthetic
@@ -4479,6 +4499,7 @@ object PipelineQueries {
     "q277_cross_jaccard_stored" -> (q277 _),
     "q278_t_closeness" -> (q278 _),
     "q279_video_dedup" -> (q279 _),
+    "q283_cross_containment_stored" -> (q283 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -5493,6 +5514,26 @@ FROM o"""
        JOIN sz sa ON sa.doc_id = new_id
        JOIN sz sb ON sb.doc_id = base_id
        WHERE i * 10000 // (sa.n + sb.n - i) >= 9000""",
+    // stored-index cross containment: naive all ordered batch x base
+    // pairs with exact integer containment of the BATCH side
+    "q283_cross_containment_stored" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+         s AS (SELECT doc_id, list_distinct(list_transform(
+                 range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS sh
+               FROM w),
+         sz AS (SELECT doc_id, len(sh) AS n FROM s WHERE len(sh) > 0),
+         tok AS (SELECT doc_id, unnest(sh) AS tk FROM s
+                 WHERE len(sh) > 0),
+         inter AS (SELECT a.doc_id AS new_id, b.doc_id AS base_id,
+                 count(*) AS i
+           FROM tok a JOIN tok b
+             ON a.tk = b.tk AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+           GROUP BY 1, 2)
+       SELECT new_id, base_id, CAST(i AS BIGINT) AS n_inter,
+              CAST(i * 10000 // sa.n AS BIGINT) AS containment_bp
+       FROM inter JOIN sz sa ON sa.doc_id = new_id
+       WHERE i * 10000 // sa.n >= 8500""",
     // retraction-aware join maintenance: the maintained bag state ==
     // the value-grain recompute of the post-change join — the oracle
     // IS the recompute, duplicates and all

@@ -3183,6 +3183,53 @@ class OpsSpec extends SparkSpec {
     graft.deleteRecursively(new java.io.File(dir))
   }
 
+  test("crossContainmentJoin: stored-postings door == brute force, threshold free of fit, quote-in-long witness, cap audit (q283 laws)") {
+    import graft.ops.Dedup
+    // base doc 1 is a long article; batch doc 100 is a short quote
+    // fully inside it (containment 10000, Jaccard tiny — the pair the
+    // symmetric door structurally misses); batch doc 101 is unrelated
+    val article = Seq.tabulate(40)(j => s"w$j")
+    val base = Seq((1L, article), (2L, Seq("a", "b", "c")))
+      .toDF("id", "sh")
+    val batch = Seq((100L, article.take(5)),
+      (101L, Seq("x1", "x2", "x3", "x4"))).toDF("id", "sh")
+    val idx = Dedup.buildJaccardIndex(base, "id", "sh",
+      thresholdBp = 9000L)
+    def brute(thr: Long): Set[(Long, Long, Long, Long)] = {
+      val b = base.as[(Long, Seq[String])].collect()
+      val q = batch.as[(Long, Seq[String])].collect()
+      (for {
+        (qi, qt) <- q; (bi, bt) <- b
+        inter = qt.toSet.intersect(bt.toSet).size.toLong
+        c = inter * 10000L / qt.toSet.size
+        if c >= thr
+      } yield (qi, bi, inter, c)).toSet
+    }
+    // the probe threshold 6000 sits BELOW the 9000 fit threshold —
+    // legal for containment (left-prefix completeness is one-sided)
+    for (thr <- Seq(6000L, 8500L, 10000L)) {
+      val got = Dedup.crossContainmentJoin(batch, idx, "id", "sh", thr)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === brute(thr), s"cross containment != brute at $thr")
+    }
+    assert(Dedup.crossContainmentJoin(batch, idx, "id", "sh", 10000L)
+      .as[(Long, Long, Long, Long)].collect().toSet ===
+      Set((100L, 1L, 5L, 10000L)), "quote-in-article witness lost")
+    // extend: admitted base docs answer containment probes too
+    val idx2 = idx.extend(Seq((50L, Seq("q1", "q2", "q3", "q4")))
+      .toDF("id", "sh"), "id", "sh")
+    val got2 = Dedup.crossContainmentJoin(
+        Seq((200L, Seq("q1", "q2"))).toDF("id", "sh"), idx2,
+        "id", "sh", 10000L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got2 === Set((200L, 50L, 2L, 10000L)))
+    // cap + audit from the same generators, side-attributed
+    val audit = Dedup.crossContainmentAudit(batch, idx, "id", "sh",
+        thresholdBp = 6000L, maxPosting = 2)
+      .as[(String, String, Long)].collect()
+    assert(audit.forall(_._3 > 2L))
+  }
+
   test("linkPrediction: hand-walked path/square/triangle, RA truncation, edge exclusion, cap + audit, guards (q280/q281 laws)") {
     import graft.ops.Graph
     def lp(edges: Seq[(Long, Long)], cap: Int = 1000) =

@@ -344,6 +344,35 @@ object EventStreams {
       }
   }
 
+  /** Streaming materialized bag view over a CDC change stream — the
+    * streaming half of the retraction family
+    * ([[graft.ops.Incremental.deltaJoinRetract]] /
+    * [[graft.ops.Incremental.applyBagDelta]] are the batch half):
+    * change rows arrive as (value columns…, `opCol` ∈ {+1 insert,
+    * −1 delete}) and the running view is NOTHING BUT Spark's native
+    * streaming aggregate over the signed weights — the Spark-first
+    * answer to the delete path: a sum of ±1 is retractable by
+    * construction, so no custom state operator exists to write.
+    * Run in Update (or Complete) output mode; read-side filter
+    * `n > 0` (a fully-retracted value sits at 0 until state reaps
+    * it), and `n < 0` IS the phantom screen — the
+    * [[graft.ops.Incremental.bagDeltaAudit]] read at stream time,
+    * visible in the running state instead of clamped (StreamingSpec
+    * pins both). For a maintained JOIN view, compute the signed join
+    * delta per micro-batch with `deltaJoinRetract` inside
+    * `foreachBatch` and feed the delta rows here — the batch and
+    * stream halves share the same algebra by construction.
+    * State is O(distinct view values), hash-partitioned on them.
+    */
+  def cdcBagViewStream(changes: DataFrame, keyCols: Seq[String],
+                       opCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "cdcBagViewStream: no value columns")
+    require(!keyCols.contains("n") && opCol != "n",
+      "cdcBagViewStream: columns collide with the n state name")
+    changes.groupBy(keyCols.map(col): _*)
+      .agg(sum(col(opCol).cast("long")).as("n"))
+  }
+
   /** Running per-user event counter with typed state
     * (mapGroupsWithState) — the custom-state escape hatch for logic
     * windows can't express. State per user is O(1); pass

@@ -830,6 +830,47 @@ class StreamingSpec extends SparkSpec {
     assert(state === 0, s"state rows = $state")
   }
 
+  test("cdcBagViewStream: running signed aggregate == batch bag algebra; full retraction at 0, phantom visible at -1") {
+    import graft.ops.Incremental
+    // batch 1: inserts (k=a twice — a duplicate-bearing value);
+    // batch 2: delete one copy of a, fully retract b, insert c, and a
+    // PHANTOM delete of d (never inserted)
+    val ins = Seq(("a", 1L, 1L), ("a", 1L, 1L), ("b", 2L, 1L))
+    val ch2 = Seq(("a", 1L, -1L), ("b", 2L, -1L), ("c", 3L, 1L),
+      ("d", 9L, -1L))
+    val input = MemoryStream[(String, Long, Long)](spark)
+    val q = streaming.EventStreams.cdcBagViewStream(
+        input.toDF().toDF("k", "v", "op"), Seq("k", "v"), "op")
+      .writeStream.format("memory").queryName("bagview")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(ins: _*)
+      q.processAllAvailable()
+      input.addData(ch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("bagview")
+      .as[(String, Long, Long)].collect().toSet
+    // raw state: duplicate net 1, full retraction visible at 0,
+    // phantom visible at -1 (the stream-time audit read)
+    assert(streamed === Set(("a", 1L, 1L), ("b", 2L, 0L),
+      ("c", 3L, 1L), ("d", 9L, -1L)))
+    // the n > 0 read == the BATCH family's clamped apply over the
+    // same split (bagState of the inserts + the signed batch-2 delta)
+    val stored = Incremental.bagState(
+      ins.map(r => (r._1, r._2)).toDF("k", "v"))
+    val delta = ch2.map(r => (r._1, r._2, r._3)).toDF("k", "v", "w")
+      .groupBy("k", "v").agg(sum("w").as("w"))
+    val batchView = Incremental.applyBagDelta(stored, delta)
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed.filter(_._3 > 0L) === batchView)
+    // and the phantom the stream shows at -1 is exactly what the
+    // batch audit lists
+    val audit = Incremental.bagDeltaAudit(stored, delta)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(audit === Set(("d", 9L, 0L, -1L)))
+  }
+
   test("videoFingerprintStream votes identically to the batch columnar aggregate, stateless") {
     import graft.ops.Multimodal
     // three 4-frame raw-gray videos (one with a bumped sibling

@@ -406,10 +406,14 @@ object ScaleProbe {
     // rows predate the gates: convention — re-probed so the current
     // sweep alone answers the scale question. q72 fuses the two probed
     // corpus components (BM25 + brute cosine, top-N-bounded fusion);
-    // q85 rides the semantic-pair generator at survivor grain; q87 is
-    // the multi-probe IVF cell join (Σ|cell|² ≈ n^1.5, maxCell-capped);
-    // q138 is one partial-combined validation pass per relation; q168
-    // is the NB fit + heldout score + distinct-score-grain AUC window
+    // q85 rides the text near-dup pair generator at survivor grain;
+    // q87 is the recall gate whose cost IS its exact all-pairs
+    // comparator (deliberately quadratic — the q166 fit-in-query
+    // posture; this backfill row CAUGHT the pinned-nlist n²/16 approx
+    // side, fixed to auto-sized ≈ n^1.5, and the prod_semantic_pairs
+    // row below prices the production path alone); q138 is one
+    // partial-combined validation pass per relation; q168 is the NB
+    // fit + heldout score + distinct-score-grain AUC window
     "q72_hybrid_rrf", "q85_keepbest_survivors", "q87_semantic_dedup",
     "q138_validation", "q168_classifier_auc",
     // r18: retraction-aware join maintenance — three delta-keyed
@@ -497,6 +501,7 @@ object ScaleProbe {
       case "maint_extend_ivf" | "maint_refine_ivf" =>
         Seq("q51_ann_ivf", "q80_hybrid_ann_stored")
       case "maint_encode_pq" => Seq("q92_ann_pq", "q95_ann_ivfpq")
+      case "prod_semantic_pairs" => Seq("q87_semantic_dedup")
       case other => sys.error(s"gatesOf: unmapped probe '$other'")
     }
 
@@ -618,7 +623,7 @@ object ScaleProbe {
     // built; kept in sync by the require against maintProbes below)
     val maintNames = Seq("maint_extend_dedup_index",
       "maint_rebuild_dedup_index", "maint_extend_ivf",
-      "maint_encode_pq", "maint_refine_ivf")
+      "maint_encode_pq", "maint_refine_ivf", "prod_semantic_pairs")
     val runMaint = nameFilter.isEmpty ||
       maintNames.exists(n => nameFilter.exists(n.contains))
     val (idxS, batchDS, docsS, ivfS, batchES, pqS) =
@@ -663,7 +668,17 @@ object ScaleProbe {
         () => Similarity.refineIvf(ivfS,
           table(spark, small, "embeddings"), iters = 1).assigned,
         () => Similarity.refineIvf(ivfB,
-          table(spark, big, "embeddings"), iters = 1).assigned))
+          table(spark, big, "embeddings"), iters = 1).assigned),
+      ("prod_semantic_pairs",
+        // the PRODUCTION path of the q87 recall gate: semanticPairs
+        // alone — auto-sized cells, two-probe assignment, capped cell
+        // pair join, NO exact comparator (q87's quadratic half is the
+        // gate's evidence, not the user's cost). Ratio should read
+        // ≈ n^1.5 / amortized fit, far under the gate row's
+        () => Similarity.semanticPairs(
+          table(spark, small, "embeddings"), threshold = 0.4),
+        () => Similarity.semanticPairs(
+          table(spark, big, "embeddings"), threshold = 0.4)))
     require(maintProbes.map(_._1) == maintNames,
       s"maintNames out of sync with maintProbes: " +
         s"$maintNames vs ${maintProbes.map(_._1)}")

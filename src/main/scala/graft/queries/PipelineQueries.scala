@@ -903,19 +903,26 @@ object PipelineQueries {
 
   /** SemDeDup-style semantic dedup pairs ([[Similarity.semanticPairs]]):
     * k-means-cell-bounded cosine pairs with the default two-probe
-    * assignment, self-gated (the q29/q51 posture) against the exact
-    * all-pairs comparator [[Similarity.exactCosinePairs]] inside the
-    * query. This fixture is the ADVERSARIAL case — near-random vectors,
-    * threshold 0.4 barely above the 0.51 corpus max, no cluster
-    * structure — and two-probe still measures recall 0.86 (single-probe
-    * 0.39; floor 0.5 leaves margin); OpsSpec pins ≥0.9 with zero false
-    * positives on planted clusters, the actual SemDeDup regime. The
-    * oracle pins the exact-side pair count (DuckDB all-pairs cosine)
-    * and the gate boolean.
+    * assignment and AUTO-SIZED nlist (the r18 q87-probe lesson: a
+    * pinned nlist makes Σ|cell|² grow n²/nlist — the sf1 backfill
+    * probe priced it 92.6× at 10× rows; auto-sizing restores the
+    * documented ≈ n^1.5 cell-join cost, re-probed 32×, all of it the
+    * comparator below), self-gated (the q29/q51 posture) against the
+    * exact all-pairs comparator [[Similarity.exactCosinePairs]] inside
+    * the query — the DELIBERATELY quadratic half this gate exists to
+    * run (the q166 fit-in-query posture: the probe row prices the
+    * comparator; the `prod_semantic_pairs` probe row prices the
+    * production path alone, ~n^1.5). This fixture is the ADVERSARIAL
+    * case — near-random vectors, threshold 0.4 barely above the 0.51
+    * corpus max, no cluster structure — and two-probe still clears the
+    * 0.5 recall floor; OpsSpec pins ≥0.9 with zero false positives on
+    * planted clusters, the actual SemDeDup regime. The oracle pins the
+    * exact-side pair count (DuckDB all-pairs cosine) and the gate
+    * boolean.
     */
   def q87(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir)("embeddings")
-    val approx = Similarity.semanticPairs(emb, threshold = 0.4, nlist = 16)
+    val approx = Similarity.semanticPairs(emb, threshold = 0.4)
       .select(col("a_id"), col("b_id"))
     val exact = Similarity.exactCosinePairs(emb, threshold = 0.4)
       .select(col("a_id"), col("b_id"))

@@ -449,7 +449,15 @@ object ScaleProbe {
     // r18: stored-postings containment door — batch prefix (one df
     // join) x stored FULL postings, both capped; the base is never
     // re-exploded, so the ratio prices batch + stored-postings scan
-    "q283_cross_containment_stored")
+    "q283_cross_containment_stored",
+    // r18: novelty — batch explode + ONE vocab-grain distinct over the
+    // stored postings + a token-keyed left join; ratio prices batch +
+    // index-linear vocab scan, never a base re-tokenize
+    "q284_novelty_score",
+    // r18: ER capstone — blocked jw pairs (q176's probed shape) +
+    // star-contraction rounds + one universe survivor join; prices the
+    // composition like q266/q279 do for media
+    "q285_entity_resolution")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

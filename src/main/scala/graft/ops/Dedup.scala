@@ -2024,6 +2024,38 @@ object Dedup {
             col("n_rows").as("posting_len")))
   }
 
+  /** Per-document NOVELTY against the STORED base — the
+    * memorization/contamination complement of the cross-dedup doors:
+    * for each arriving doc, the fraction of its token set the base
+    * vocabulary has NEVER seen, `novelty_bp = 10⁴·|toks ∖ V_base| div
+    * |toks|` (truncating — exact, engine-replayable). Low novelty =
+    * likely duplicate/quote/memorized content (route to the
+    * [[crossJaccardJoin]]/[[crossContainmentJoin]] pair doors for the
+    * per-pair verdict); high novelty = genuinely new text worth
+    * admitting. The base vocabulary derives from the index's stored
+    * POSTINGS (`SELECT DISTINCT tk`) — deliberately NOT the pinned
+    * dfTable snapshot, so [[JaccardIndex.extend]]-admitted batches
+    * count as seen (the dfTable is an ORDERING, frozen by design; the
+    * vocabulary must be current). Scale shape: batch explode + one
+    * vocab-grain distinct over the stored postings (index-linear
+    * scan, no base re-tokenize) + one token-keyed left join; output
+    * is batch-grain. Output: `(new_id, n_tokens, n_novel,
+    * novelty_bp)`.
+    */
+  def noveltyScore(batch: DataFrame, index: JaccardIndex, idCol: String,
+                   tokensCol: String): DataFrame = {
+    val nb = normTokenSets(batch, idCol, tokensCol)
+    val vocab = index.postings.select(col("tk")).distinct()
+      .withColumn("__seen", lit(1L))
+    nb.select(col("id"), explode(col("toks")).as("tk"))
+      .join(vocab, Seq("tk"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("id").as("new_id"), col("n_tokens"), col("n_novel"),
+        expr("n_novel * 10000L div n_tokens").as("novelty_bp"))
+  }
+
   /** Audit twin of [[crossJaccardJoin]]: the over-cap posting lists on
     * EITHER side — `(side, token, posting_len)` with side ∈
     * {'batch', 'stored'} — from the SAME generators, so probe and

@@ -2873,6 +2873,24 @@ object PipelineQueries {
       graft.ops.Dedup.loadJaccardIndex(s, storedJacIndex(s, dir)),
       "doc_id", "sh", thresholdBp = 8500L, maxPosting = 1000)
 
+  /** Per-doc novelty of the arriving batch against the STORED base
+    * vocabulary ([[graft.ops.Dedup.noveltyScore]] — the q277/q283
+    * artifact's third door: where those answer "which base doc am I a
+    * near-copy of", this answers the cheaper routing question "how
+    * much of me has the base simply never seen"). Batch docs are
+    * near-dups of base siblings, so their shingle sets are almost
+    * fully covered — low novelty — and the integer division boundary
+    * is exercised by the partial-coverage tail. The oracle replays
+    * the base-vocabulary distinct and the per-doc count split.
+    */
+  def q284(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.noveltyScore(
+      t(s, dir)("documents")
+        .filter(pmod(col("doc_id"), lit(10L)) === 0L)
+        .select(col("doc_id"), TextOps.shingles(col("text"), 2).as("sh")),
+      graft.ops.Dedup.loadJaccardIndex(s, storedJacIndex(s, dir)),
+      "doc_id", "sh")
+
   /** The language-planted corpus shared by q166: each doc gets its
     * label's function-word suffix ×3 (the trigram signal a char-n-gram
     * model keys on — the raw fixture text is the SAME synthetic
@@ -3986,7 +4004,16 @@ object PipelineQueries {
     * ≲100 rows (997-cardinality digit keys), so the guard is
     * oracle-invisible here and only bites a real degenerate key.
     */
-  def q176(s: SparkSession, dir: String): DataFrame = {
+  def q176(s: SparkSession, dir: String): DataFrame =
+    fuzzyPairs(s, dir)
+
+  /** The q176/q285 planted fuzzy-linkage surface: structured
+    * `nnn-word-nnn` names per doc plus single-char-deletion variants
+    * for every 4th id, two-key blocking (first-3/last-3), capped
+    * blocks, native jaro_winkler ≥ 0.9. One derivation shared so the
+    * pair gate and the ER capstone can never disagree on what a
+    * candidate pair is. */
+  private def fuzzyPairs(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
     val word = element_at(array(lit("alpha"), lit("bravo"), lit("carbon"),
       lit("delta"), lit("ember"), lit("falcon"), lit("granite"),
@@ -4019,6 +4046,35 @@ object PipelineQueries {
       .filter(col("jw") >= 0.9)
       .select(col("id1"), col("id2"), col("n1"), col("n2"),
         round(col("jw"), 4).as("jw"))
+  }
+
+  /** End-to-end ENTITY RESOLUTION — the fuzzy family's capstone
+    * composition, every stage already gated alone (the q266/q279
+    * posture on RECORDS instead of media): blocked jaro_winkler pairs
+    * (q176) → [[graft.ops.Dedup.dupClusters]] star-contraction
+    * components (the q46 engine) → canonical survivor = min rec_id
+    * per component, singletons self-canonical — per record, KEEP or
+    * point-at-whom, the master-data answer. The oracle replays the
+    * planting, the blocking, DuckDB's own jaro_winkler, walks
+    * components with a recursive CTE and takes the same min —
+    * blocking, scoring and contraction pinned end-to-end in one hash.
+    */
+  def q285(s: SparkSession, dir: String): DataFrame = {
+    val pairs = fuzzyPairs(s, dir)
+      .select(col("id1").as("a_id"), col("id2").as("b_id"))
+    val clusters = graft.ops.Dedup.dupClusters(pairs,
+      starContraction = true)
+    val d = t(s, dir)("documents")
+    val universe = d.select(col("doc_id").as("rec_id"))
+      .unionByName(d.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000000L).as("rec_id")))
+    universe
+      .join(clusters.select(col("id").as("rec_id"), col("cluster")),
+        Seq("rec_id"), "left")
+      .select(col("rec_id"),
+        coalesce(col("cluster"), col("rec_id")).as("canonical_id"))
+      .withColumn("is_kept", (col("rec_id") === col("canonical_id"))
+        .cast("boolean"))
   }
 
   /** Largest-remainder (Hamilton) quota allocation
@@ -4507,6 +4563,8 @@ object PipelineQueries {
     "q278_t_closeness" -> (q278 _),
     "q279_video_dedup" -> (q279 _),
     "q283_cross_containment_stored" -> (q283 _),
+    "q284_novelty_score" -> (q284 _),
+    "q285_entity_resolution" -> (q285 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -5497,6 +5555,64 @@ FROM o"""
               (10000 * (sp + (nn - cov) * ng)) // (2 * ng * nn) > 3000
                 AS at_risk
        FROM pres""",
+    // novelty: base-vocabulary distinct + per-doc seen/unseen split +
+    // the truncating bp division, replayed
+    "q284_novelty_score" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+         s AS (SELECT doc_id, list_distinct(list_transform(
+                 range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS sh
+               FROM w),
+         tok AS (SELECT doc_id, unnest(sh) AS tk FROM s
+                 WHERE len(sh) > 0),
+         vocab AS (SELECT DISTINCT tk FROM tok WHERE doc_id % 10 <> 0)
+       SELECT t.doc_id AS new_id,
+              CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+              CAST(sum(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) AS novelty_bp
+       FROM tok t LEFT JOIN vocab v ON v.tk = t.tk
+       WHERE t.doc_id % 10 = 0
+       GROUP BY 1""",
+    // ER capstone: planting + blocking + DuckDB's own jaro_winkler +
+    // recursive-CTE components + min-id canonical, singletons self
+    "q285_entity_resolution" ->
+      """WITH RECURSIVE base AS (SELECT doc_id AS rec_id,
+             lpad(CAST(doc_id % 997 AS VARCHAR), 3, '0') || '-' ||
+             list_value('alpha','bravo','carbon','delta','ember',
+               'falcon','granite','harbor')[CAST(doc_id % 8 AS BIGINT) + 1]
+             || '-' ||
+             lpad(CAST((doc_id * 31) % 997 AS VARCHAR), 3, '0') AS name
+           FROM documents),
+         vr AS (SELECT rec_id + 1000000 AS rec_id,
+             substr(name, 1, CAST((rec_id % len(name)) AS INT)) ||
+             substr(name, CAST((rec_id % len(name)) AS INT) + 2) AS name
+           FROM base WHERE rec_id % 4 = 0),
+         al AS (SELECT * FROM base UNION ALL SELECT * FROM vr),
+         bl AS (SELECT rec_id, name, substr(name, 1, 3) AS bk FROM al
+                UNION ALL
+                SELECT rec_id, name, substr(name, -3, 3) AS bk FROM al),
+         pr AS (SELECT DISTINCT l.rec_id AS id1, r.rec_id AS id2,
+             l.name AS n1, r.name AS n2
+           FROM bl l JOIN bl r ON l.bk = r.bk AND l.rec_id < r.rec_id),
+         sc AS (SELECT id1, id2 FROM pr
+                WHERE jaro_winkler_similarity(n1, n2) >= 0.9),
+         e AS (SELECT id1 AS src, id2 AS dst FROM sc
+               UNION ALL SELECT id2, id1 FROM sc),
+         reach AS (
+           SELECT src AS id, src AS r FROM e
+           UNION
+           SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         uni AS (SELECT doc_id AS rec_id FROM documents
+                 UNION ALL
+                 SELECT doc_id + 1000000 FROM documents
+                 WHERE doc_id % 4 = 0)
+       SELECT u.rec_id,
+              coalesce(c.cluster, u.rec_id) AS canonical_id,
+              u.rec_id = coalesce(c.cluster, u.rec_id) AS is_kept
+       FROM uni u LEFT JOIN comp c ON c.id = u.rec_id""",
     // stored-index cross Jaccard: naive all batch x base pairs with
     // exact integer jaccard — completeness theorem + save/load + the
     // probe-tighter-than-fit contract pinned by hash equality

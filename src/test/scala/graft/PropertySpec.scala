@@ -793,4 +793,105 @@ class PropertySpec extends SparkSpec {
       assert(got === want, s"bp=$bp mismatch on ${byId.size} sets")
     }
   }
+
+  test("deltaJoinRetract/applyBagDelta == bag recompute on random bags with random sub-bag deletes") {
+    import graft.ops.Incremental
+    // random duplicate-bearing bags on a small key domain; deletes are
+    // random SUB-BAGS of each base (element-indexed take, so duplicate
+    // copies delete partially); inserts arbitrary — every signed
+    // provenance class appears across the seeds
+    val gen: Gen[(List[(Long, Int)], List[(Long, Int)],
+        List[(Long, Int)], List[(Long, Int)], Int, Int)] =
+      Gen.zip(
+        Gen.listOf(Gen.zip(Gen.choose(0L, 4L), Gen.choose(0, 3))),
+        Gen.listOf(Gen.zip(Gen.choose(0L, 4L), Gen.choose(0, 3))),
+        Gen.listOf(Gen.zip(Gen.choose(0L, 4L), Gen.choose(0, 3))),
+        Gen.listOf(Gen.zip(Gen.choose(0L, 4L), Gen.choose(0, 3))),
+        Gen.choose(0, 100), Gen.choose(0, 100))
+    check(gen, n = 8) { case (a0, b0, insA0, insB0, pctA, pctB) =>
+      def bagJoin(x: List[(Long, String)], y: List[(Long, String)]) =
+        for ((k1, av) <- x; (k2, bv) <- y if k1 == k2)
+          yield (k1, av, bv)
+      def counts(rows: List[(Long, String, String)]) =
+        rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val a = a0.map { case (k, v) => (k, s"a$v") }
+      val b = b0.map { case (k, v) => (k, s"b$v") }
+      val insA = insA0.map { case (k, v) => (k, s"ai$v") }
+      val insB = insB0.map { case (k, v) => (k, s"bi$v") }
+      val delsA = a.take(a.size * pctA / 100)
+      val delsB = b.take(b.size * pctB / 100)
+      val aPost = a.diff(delsA) ++ insA
+      val bPost = b.diff(delsB) ++ insB
+      val stored = Incremental.bagState(a.toDF("k", "av").join(
+        b.toDF("k", "bv"), Seq("k")))
+      val delta = Incremental.deltaJoinRetract(
+        a.toDF("k", "av"), delsA.toDF("k", "av"), insA.toDF("k", "av"),
+        b.toDF("k", "bv"), delsB.toDF("k", "bv"), insB.toDF("k", "bv"),
+        Seq("k"))
+      val maintained = Incremental.applyBagDelta(stored, delta)
+        .as[(Long, String, String, Long)].collect()
+        .map(r => ((r._1, r._2, r._3), r._4)).toMap
+      assert(maintained === counts(bagJoin(aPost, bPost)),
+        s"maintained != recompute (|a|=${a.size} |b|=${b.size} " +
+          s"dels=${delsA.size}/${delsB.size})")
+      // deletes are genuine sub-bags -> no phantoms anywhere
+      assert(Incremental.bagDeltaAudit(stored, delta).count() === 0L)
+    }
+  }
+
+  test("videoFingerprintInline == columnar videoFingerprint on random blobs of random lengths") {
+    import graft.ops.Multimodal
+    // random byte blobs: some multi-frame, some with trailing partial
+    // slices, some below one frame — the inline row-local vote and the
+    // sampleFrames-explode + aggregate form must compute the same
+    // function on all of them (8x8 frames, every in {1, 2})
+    val gen: Gen[(List[(Long, List[Int])], Int)] = Gen.zip(
+      Gen.listOf(Gen.zip(Gen.choose(0L, 20L),
+        Gen.listOfN(200, Gen.choose(0, 255)))),
+      Gen.choose(1, 2))
+    check(gen, n = 6) { case (rows, every) =>
+      val blobs = rows.groupBy(_._1).map(_._2.head).toList
+        .map { case (id, px) =>
+          // vary length by id so partial and sub-frame blobs appear
+          val len = (id % 4 match {
+            case 0 => 0      // empty
+            case 1 => 40     // sub-frame (< 64)
+            case 2 => 150    // 2 frames + partial
+            case _ => 192    // exactly 3 frames
+          }).toInt
+          (id, px.take(len).map(_.toByte).toArray)
+        }
+      val df = blobs.toDF("media_id", "content")
+        .withColumn("kind", org.apache.spark.sql.functions.lit("video"))
+      val inline = Multimodal.videoFingerprintInline(df, 8, 8, every)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val columnar = Multimodal.videoFingerprint(df, 8, 8, every)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(inline === columnar,
+        s"inline != columnar at every=$every on ${blobs.size} blobs")
+    }
+  }
+
+  test("linkPrediction == naive neighborhood arithmetic on random graphs") {
+    import graft.ops.Graph
+    val edges: Gen[List[(Long, Long)]] =
+      Gen.listOf(Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
+    check(edges, n = 8) { es =>
+      val got = Graph.linkPrediction(es.toDF("s", "t"), "s", "t",
+          maxNeighbors = 1000)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val canon = es.filter { case (u, v) => u != v }
+        .map { case (u, v) => (math.min(u, v), math.max(u, v)) }.toSet
+      val nb = canon.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val nodes = nb.keys.toSeq.sorted
+      val want = (for {
+        a <- nodes; b <- nodes if a < b && !canon((a, b))
+        shared = nb(a).intersect(nb(b))
+        if shared.nonEmpty
+      } yield (a, b, shared.size.toLong,
+        shared.toSeq.map(z => 10000L / nb(z).size).sum)).toSet
+      assert(got === want, s"mismatch on ${canon.size} edges")
+    }
+  }
 }

@@ -3183,6 +3183,32 @@ class OpsSpec extends SparkSpec {
     graft.deleteRecursively(new java.io.File(dir))
   }
 
+  test("noveltyScore: hand-computed split, extend-admitted docs count as seen, empty sets drop (q284 laws)") {
+    import graft.ops.Dedup
+    val base = Seq((1L, Seq("a", "b", "c")), (2L, Seq("c", "d")))
+      .toDF("id", "sh")
+    val idx = Dedup.buildJaccardIndex(base, "id", "sh", 8000L)
+    val batch = Seq((10L, Seq("a", "x", "y")),   // 2 of 3 novel -> 6666
+      (11L, Seq("a", "b", "c", "d")),            // fully seen -> 0
+      (12L, Seq("z")),                           // fully novel -> 10000
+      (13L, Seq.empty[String]))                  // empty set drops
+      .toDF("id", "sh")
+    val got = Dedup.noveltyScore(batch, idx, "id", "sh")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((10L, 3L, 2L, 6666L), (11L, 4L, 0L, 0L),
+      (12L, 1L, 1L, 10000L)))
+    // THE design choice under test: the vocabulary derives from stored
+    // POSTINGS, not the frozen df-ordering snapshot — so a doc admitted
+    // by extend() makes its tokens SEEN for later batches
+    val idx2 = idx.extend(Seq((3L, Seq("z", "w"))).toDF("id", "sh"),
+      "id", "sh")
+    val got2 = Dedup.noveltyScore(
+        Seq((20L, Seq("z", "w", "q"))).toDF("id", "sh"), idx2, "id", "sh")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got2 === Set((20L, 3L, 1L, 3333L)),
+      "extend-admitted tokens must count as seen")
+  }
+
   test("crossContainmentJoin: stored-postings door == brute force, threshold free of fit, quote-in-long witness, cap audit (q283 laws)") {
     import graft.ops.Dedup
     // base doc 1 is a long article; batch doc 100 is a short quote

@@ -246,6 +246,14 @@ object Validate {
         "quasi column — its in-group distribution is degenerate")
     require(tBp >= 1 && tBp <= 10000,
       s"tClosenessAudit: tBp must be in [1, 10000], got $tBp")
+    // the histState reserved-name convention: a quasi column named
+    // like an output or internal column would be clobbered silently
+    val reserved = Set("n", "tvd_bp", "at_risk", "__v", "__v2",
+      "__ngv", "__nv", "__N", "__Nm", "__sp", "__cov")
+    val clash = quasiCols.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"tClosenessAudit: quasi columns collide with reserved names: " +
+        s"${clash.mkString(", ")}")
     val base = df.select((quasiCols.map(col) :+
       col(sensitiveCol).as("__v")): _*)
     val cells = base.groupBy((quasiCols.map(col) :+ col("__v")): _*)

@@ -3323,6 +3323,10 @@ class OpsSpec extends SparkSpec {
       Validate.tClosenessAudit(df, Seq("q"), "s", 0L))
     intercept[IllegalArgumentException](
       Validate.tClosenessAudit(df, Seq.empty, "s", 100L))
+    // reserved-name collision refuses loudly instead of clobbering
+    intercept[IllegalArgumentException](
+      Validate.tClosenessAudit(
+        df.withColumnRenamed("q", "n"), Seq("n"), "s", 100L))
   }
 
   test("histState bins by FLOOR division: negative values get true lower edges (r16 advice)") {

@@ -1830,9 +1830,32 @@ object Dedup {
       * batch-linear work, the index is only APPENDED to (the df
       * snapshot deliberately does not move; see the class note).
       * OpsSpec pins that probes against an extended index stay
-      * brute-force-complete. */
+      * brute-force-complete.
+      *
+      * ID OVERLAP guard (`verifyIds`, default true — the
+      * [[Similarity.extendIvf]] posture): re-admitting an id already
+      * in the index would append a SECOND token set / prefix /
+      * posting row per id, so every later
+      * [[crossJaccardJoin]]/[[crossContainmentJoin]] probe emits
+      * duplicate pair rows and [[noveltyScore]] double-counts seen
+      * tokens — silently. One eager batch⋈tokens semi-join on id
+      * columns only, paid on the periodic extend, never on a probe.
+      * Disable for bulk loads whose id-disjointness is guaranteed
+      * upstream. */
     def extend(newDocs: DataFrame, idCol: String,
-               tokensCol: String): JaccardIndex = {
+               tokensCol: String,
+               verifyIds: Boolean = true): JaccardIndex = {
+      if (verifyIds) {
+        val overlap = newDocs.select(col(idCol).as("base_id"))
+          .join(tokens.select(col("base_id")), Seq("base_id"), "left_semi")
+          .limit(5).collect()
+        require(overlap.isEmpty,
+          s"JaccardIndex.extend: batch ids already present in the " +
+            s"stored token sets (e.g. " +
+            s"${overlap.map(_.get(0)).mkString(", ")}) — probes would " +
+            "emit duplicate pairs and noveltyScore would double-count; " +
+            "dedup the batch or rebuild first")
+      }
       val nb = normTokenSets(newDocs, idCol, tokensCol)
       copy(
         tokens = tokens.unionByName(

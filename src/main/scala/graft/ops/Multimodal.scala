@@ -902,10 +902,23 @@ object Multimodal {
       StructField("frame_no", IntegerType, nullable = false),
       StructField("fh_hi", LongType, nullable = true),
       StructField("fh_lo", LongType, nullable = true)))
+    // The hand-built schema declares media_id/frame_no non-nullable, so a
+    // NULL or non-numeric id sneaking through the cast would put a null
+    // into a non-nullable field via createDataFrame — undefined behavior
+    // downstream rather than a loud failure. Fail loudly instead: an
+    // assert_true rides the cast codegen (zero extra jobs — the
+    // extendIvf dimension-guard posture; the videoFingerprintInline
+    // typed path already fails via its Long encoder).
     media.sparkSession.createDataFrame(
       sampleFrames(media, w * h, every)
-        .select(col("media_id").cast("long"), col("frame_no").cast("int"),
-          col("frame"))
+        .select(col("media_id").cast("long").as("media_id"),
+          col("frame_no").cast("int").as("frame_no"), col("frame"))
+        .select(
+          when(assert_true(col("media_id").isNotNull,
+            lit("videoFrameHashes: media_id is NULL or non-numeric — " +
+              "fix the media ids upstream")).isNull, col("media_id"))
+            .as("media_id"),
+          col("frame_no"), col("frame"))
         .rdd.mapPartitions { it =>
           val n = w * h
           it.map { r =>
@@ -926,23 +939,6 @@ object Multimodal {
         }, schema)
   }
 
-  /** Per-VIDEO 64-bit fingerprint by strict per-bit majority vote over
-    * its sampled frame hashes ([[videoFrameHashes]]): bit b of the
-    * video fingerprint is set iff MORE than half of the hashed frames
-    * set bit b (ties clear — deterministic, replayable). Majority is
-    * the right reduction for near-dup: a re-encode that perturbs one
-    * frame moves at most the bits where the vote was marginal, where
-    * an XOR fold would flip every perturbed bit and a concatenation
-    * would break the shared 64-bit near-dup machinery. Output:
-    * `(media_id, n_frames, vfp_hi, vfp_lo)` in the same 32-bit-half
-    * split as [[aHash64]]/[[energyHash64]], so near-dup pairs run
-    * through the SAME [[hammingNearDup]] banded generator as images
-    * and audio — one pair generator for every 64-bit media
-    * fingerprint. Videos with zero hashable frames drop out. Scale
-    * shape: frames hash on the scan partitions; the only exchange is
-    * the media_id-keyed vote aggregate over 20-byte rows, with the 64
-    * bit-counters partial-combined map-side.
-    */
   /** Row-local form of the [[videoFingerprint]] computation: slice,
     * hash and majority-vote ONE blob's frames entirely in the JVM —
     * the same frame grid as [[sampleFrames]] (every `every`-th full
@@ -1023,6 +1019,23 @@ object Multimodal {
       .toDF("media_id", "n_frames", "vfp_hi", "vfp_lo")
   }
 
+  /** Per-VIDEO 64-bit fingerprint by strict per-bit majority vote over
+    * its sampled frame hashes ([[videoFrameHashes]]): bit b of the
+    * video fingerprint is set iff MORE than half of the hashed frames
+    * set bit b (ties clear — deterministic, replayable). Majority is
+    * the right reduction for near-dup: a re-encode that perturbs one
+    * frame moves at most the bits where the vote was marginal, where
+    * an XOR fold would flip every perturbed bit and a concatenation
+    * would break the shared 64-bit near-dup machinery. Output:
+    * `(media_id, n_frames, vfp_hi, vfp_lo)` in the same 32-bit-half
+    * split as [[aHash64]]/[[energyHash64]], so near-dup pairs run
+    * through the SAME [[hammingNearDup]] banded generator as images
+    * and audio — one pair generator for every 64-bit media
+    * fingerprint. Videos with zero hashable frames drop out. Scale
+    * shape: frames hash on the scan partitions; the only exchange is
+    * the media_id-keyed vote aggregate over 20-byte rows, with the 64
+    * bit-counters partial-combined map-side.
+    */
   def videoFingerprint(media: DataFrame, w: Int, h: Int,
                        every: Int): DataFrame = {
     val fh = videoFrameHashes(media, w, h, every)

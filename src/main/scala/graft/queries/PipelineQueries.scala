@@ -5547,7 +5547,11 @@ FROM o"""
              sum(abs(c.ngv * nn - v.nv * g.ng)) AS sp,
              sum(v.nv) AS cov, max(g.ng) AS ng, max(nn) AS nn
            FROM cells c JOIN g USING (source, size_band)
-           JOIN v USING (lang) CROSS JOIN tot
+           -- null-safe: the engine joins values with <=> so NULL lang
+           -- counts as a sensitive value (r18 advice — a plain USING
+           -- join would drop NULL-lang cells if the fixture ever
+           -- carries them)
+           JOIN v ON c.lang IS NOT DISTINCT FROM v.lang CROSS JOIN tot
            GROUP BY 1, 2)
        SELECT source, size_band, CAST(ng AS BIGINT) AS n,
               CAST((10000 * (sp + (nn - cov) * ng)) // (2 * ng * nn)

@@ -3163,6 +3163,17 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got2.exists(p => p._1 === 200L && p._2 === 50L &&
       p._4 === 10000L), s"extend lost the admitted doc: $got2")
+    // id-overlap guard (r18 advice): re-admitting a stored base_id
+    // would silently append duplicate token/prefix/posting rows —
+    // probes would emit duplicate pairs; verifyIds=false bypasses for
+    // upstream-guaranteed bulk loads (the extendIvf posture)
+    val eid = intercept[IllegalArgumentException] {
+      idx2.extend(Seq((50L, Seq("again"))).toDF("id", "sh"), "id", "sh")
+    }
+    assert(eid.getMessage.contains("already present"))
+    assert(idx2.extend(Seq((50L, Seq("again"))).toDF("id", "sh"),
+      "id", "sh", verifyIds = false).tokens
+      .filter(col("base_id") === 50L).count() === 2L)
     // stale-scheme rejection: a meta row from a different build refuses
     val spark2 = spark
     import spark2.implicits._

@@ -457,7 +457,15 @@ object ScaleProbe {
     // r18: ER capstone — blocked jw pairs (q176's probed shape) +
     // star-contraction rounds + one universe survivor join; prices the
     // composition like q266/q279 do for media
-    "q285_entity_resolution")
+    "q285_entity_resolution",
+    // r19: stored-IVF semantic door — the batch routes itself through
+    // the stored centroids (codegen'd map, zero routing exchanges) and
+    // joins the capped stored inverted file; fit+save run once in
+    // warmup via the session cache (the q277 posture), so the ratio
+    // prices batch routing + the stored-file cell join, never a refit.
+    // The audit twin re-runs the door capped/uncapped + the except
+    // alignment — gate machinery, priced as such
+    "q286_cross_semantic", "q287_cross_semantic_audit")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

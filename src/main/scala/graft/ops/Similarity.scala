@@ -769,6 +769,119 @@ object Similarity {
       .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
   }
 
+  /** SemDeDup at the INGEST DOOR: semantic near-duplicate pairs of an
+    * ARRIVING batch against a STORED [[IvfIndex]] — [[semanticPairs]]'
+    * cross shape (r18 verdict #1: every other dedup family has its
+    * stored door — [[graft.ops.Dedup.crossNearDup]],
+    * [[graft.ops.Dedup.crossNearDupMedia]],
+    * [[graft.ops.Dedup.crossJaccardJoin]] — while SemDeDup still paid
+    * a within-corpus [[fitIvf]] per batch). The batch routes itself
+    * through the stored coarse quantizer (the native
+    * [[graft.expr.VecNearestK]] codegen loop over a centers literal —
+    * `probes` nearest cells per vector, batch-linear, ZERO exchanges
+    * for routing, the base corpus is never re-clustered), candidates
+    * are the stored inverted-file rows of exactly those cells, and
+    * exact cosine verifies candidates only against the STORED base
+    * vectors riding the inverted file.
+    *
+    * Completeness contract: a cross pair is found iff the base row's
+    * assigned cell is among the batch vector's `probes` nearest stored
+    * cells. For the SemDeDup regime — near-clones at high thresholds,
+    * far inside their cell — the nearest cell of a clone IS its
+    * sibling's assigned cell, so recall is structural (OpsSpec pins
+    * brute-force equality on planted clones and ≥0.9 recall on planted
+    * clusters); boundary stragglers are what `probes` > 1 buys,
+    * measured by the q87 adversarial gate on the within-corpus twin.
+    *
+    * Cross-only by construction: nothing pairs the base with itself
+    * (its cells are stored, never re-joined) and nothing pairs the
+    * batch with itself (run [[semanticPairs]] on the batch for those).
+    * Each base id sits in exactly ONE stored cell, so a (new, base)
+    * pair arises at most once — no dedup shuffle anywhere.
+    *
+    * Scale shape: per-batch cost tracks the BATCH — routing is a
+    * codegen'd map, the candidate join is batch-cells ⋈ stored file on
+    * the nlist-keyed cluster column, and the only base-sized work is
+    * the column-pruned cell-size count that enforces `maxCell` (one
+    * cheap pass, same cadence as the probe itself — the standard IVF
+    * probe model already streams the inverted file). A degenerate cell
+    * (mass duplication collapsing a corpus region onto one centroid)
+    * would make the join fan-out O(|cell|) per routed row, so cells
+    * past `maxCell` are tombstoned — dropped LOUDLY, listed by
+    * [[crossSemanticAudit]] from the same generator (the bucketPairs
+    * cap posture). Dimension mismatches fail loudly via the same
+    * per-row assert as [[extendIvf]] (a truncated/padded routing loop
+    * would land in an arbitrary cell).
+    *
+    * Output: (new_id, base_id, sim), cosine at 4 dp, sim ≥ `threshold`.
+    * Composes with [[graft.ops.Dedup.survivors]] for the drop decision.
+    */
+  def crossSemanticPairs(batch: DataFrame, index: IvfIndex,
+                         threshold: Double, probes: Int = 2,
+                         maxCell: Int = 10000,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame =
+    crossSemanticCandidates(batch, index, probes, maxCell, idCol, vecCol)
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .filter(col("sim") >= threshold)
+      .select(col("new_id"), col("base_id"),
+        round(col("sim"), 4).as("sim"))
+
+  /** [[crossSemanticPairs]]' loud half: the stored cells the `maxCell`
+    * tombstone would DROP — (cluster, cell_rows) for every inverted-file
+    * cell past the cap, from the same cell-size generator the door
+    * filters with (the crossJaccardAudit discipline: the cap never
+    * silently narrows the screen; this is the screen on the screen).
+    * Empty means the door ran uncapped. Cost: one column-pruned count
+    * of the stored file.
+    */
+  def crossSemanticAudit(index: IvfIndex, maxCell: Int = 10000): DataFrame = {
+    require(maxCell >= 1, s"crossSemanticAudit: maxCell must be >= 1, " +
+      s"got $maxCell")
+    cellSizes(index).filter(col("cell_rows") > maxCell)
+  }
+
+  /** Shared candidate generator for the semantic door: batch routed to
+    * its `probes` nearest stored cells, joined against the capped
+    * stored inverted file. Columns: (new_id, qv, cluster, base_id, cv).
+    */
+  private def crossSemanticCandidates(batch: DataFrame, index: IvfIndex,
+                                      probes: Int, maxCell: Int,
+                                      idCol: String,
+                                      vecCol: String): DataFrame = {
+    require(index.scheme == IvfIndex.Scheme,
+      s"IvfIndex fit scheme ${index.scheme} != this build's " +
+        s"${IvfIndex.Scheme} — rebuild the index")
+    require(probes >= 1, s"crossSemanticPairs needs probes >= 1, got " +
+      s"$probes")
+    require(maxCell >= 1, s"crossSemanticPairs: maxCell must be >= 1, " +
+      s"got $maxCell")
+    val routed = batch
+      .select(col(idCol).as("new_id"), asDouble(col(vecCol)).as("qv"))
+      .where(coalesce(
+        assert_true(size(col("qv")) === index.dim,
+          lit(s"crossSemanticPairs: batch vector dimension != index " +
+            s"dim ${index.dim} — a mismatched vector would route to an " +
+            "arbitrary cell")),
+        lit(true)))
+      .select(col("new_id"), col("qv"),
+        explode(call_function("vec_nearest_k", col("qv"),
+          typedLit(index.centersArray.toSeq), lit(probes))).as("cluster"))
+    val kept = cellSizes(index).filter(col("cell_rows") <= maxCell)
+      .select(col("cluster"))
+    index.assigned
+      .select(col("id").as("base_id"), col("v").as("cv"), col("cluster"))
+      .join(broadcast(kept), Seq("cluster"), "left_semi")
+      .join(routed, Seq("cluster"))
+  }
+
+  /** Inverted-file cell populations — (cluster, cell_rows), nlist rows
+    * out of one column-pruned aggregate; the [[crossSemanticPairs]] cap
+    * predicate and the [[crossSemanticAudit]] listing. */
+  private def cellSizes(index: IvfIndex): DataFrame =
+    index.assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cell_rows"))
+
   /** Per-group centroid outliers — the embedding-space quality screen: for
     * each `groupCol` value (label, source, language) compute the group's
     * mean vector, then surface the `n` members FARTHEST from their own

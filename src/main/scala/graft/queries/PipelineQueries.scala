@@ -264,6 +264,8 @@ object PipelineQueries {
     if (cached != null) cached._3.unpersist(blocking = false)
     val ivf = ivfCache.remove(s)
     if (ivf != null) retireDir(ivf._3)
+    val embIvf = embIvfCache.remove(s)
+    if (embIvf != null) retireDir(embIvf._3)
     val post = postingsCache.remove(s)
     if (post != null) retireDir(post._3)
     val spanIdx = spanIdxCache.remove(s)
@@ -2891,6 +2893,100 @@ object PipelineQueries {
       graft.ops.Dedup.loadJaccardIndex(s, storedJacIndex(s, dir)),
       "doc_id", "sh")
 
+  /** The q286 stored SEMANTIC index: [[Similarity.fitIvf]] (auto-sized
+    * nlist) over the base slice (vec_id % 5 ≠ 0) of the embeddings
+    * table, written through the real save/load round-trip ONCE per
+    * (session, sfDir) — the storedJacIndex discipline applied to the
+    * semantic door's coarse quantizer. */
+  private val embIvfCache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, (String, Similarity.IvfIndex, String)]
+
+  private def storedEmbIvf(s: SparkSession, dir: String): Similarity.IvfIndex =
+    embIvfCache.compute(s, (sess, cached) =>
+      if (cached != null && cached._1 == dir) cached
+      else {
+        if (cached != null) retireDir(cached._3)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-emb-ivf-").toString
+        Similarity.fitIvf(
+          t(sess, dir)("embeddings").filter(col("vec_id") % 5 =!= 0L)).save(path)
+        (dir, Similarity.loadIvf(sess, path), path)
+      })._2
+
+  /** The q286/q287 arriving batch: the held-out slice (vec_id % 5 = 0 —
+    * genuinely new vectors, nothing semantically close in the base)
+    * UNION planted EXACT clones of base rows (vec_id % 7 = 0 ∧ % 5 ≠ 0,
+    * re-tagged +10000 into a disjoint id namespace) — the re-crawl
+    * shape: most arrivals are new, some are literal re-fetches of
+    * corpus content the door must catch. */
+  private def embBatch(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir)("embeddings")
+    e.filter(col("vec_id") % 5 === 0L)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(e.filter(col("vec_id") % 7 === 0L &&
+          col("vec_id") % 5 =!= 0L)
+        .select((col("vec_id") + 10000L).as("vec_id"), col("embedding")))
+  }
+
+  /** SemDeDup at the ingest door over the STORED IVF index
+    * ([[Similarity.crossSemanticPairs]] — r18 verdict #1: every other
+    * dedup family had its stored door while SemDeDup re-paid a
+    * within-corpus fit per batch): the base slice's coarse quantizer
+    * and inverted file fitted once into a saved
+    * [[Similarity.IvfIndex]], then the arriving batch routes itself
+    * through the stored centroids (two probes, batch-linear) and
+    * exact cosine verifies candidates only. The planted clones make
+    * completeness STRUCTURAL at 0.95 — an exact clone's nearest cell
+    * is its sibling's assigned cell — so the oracle brute-forces every
+    * batch × base pair in DuckDB (the q64/q277 posture: cell-routing
+    * completeness AND the save/load round-trip in one hash), while the
+    * held-out arrivals exercise the no-match path (corpus max
+    * cross-cosine ≈ 0.51, far under threshold).
+    */
+  def q286(s: SparkSession, dir: String): DataFrame =
+    Similarity.crossSemanticPairs(embBatch(s, dir), storedEmbIvf(s, dir),
+      threshold = 0.95)
+
+  /** The semantic door's cap conservation law ([[Similarity
+    * .crossSemanticAudit]] — the q254/q265 audit-twin posture where
+    * the generator itself is SQL-replayable; here the k-means cells
+    * are not, so the law self-gates in-engine (the q87 posture) and
+    * the oracle pins the replayable anchor): at maxCell = 3 nearly
+    * every inverted-file cell tombstones (audit_fired), and the capped
+    * door's pairs plus the uncapped pairs whose base row sits in an
+    * audited cell EXACTLY partition the uncapped pairs — nothing
+    * silently lost, nothing double-reported (conservation_ok, verified
+    * by exceptAll/intersect in-engine). n_pairs — the uncapped door's
+    * output, structurally complete on this fixture — is re-derived by
+    * DuckDB's all-pairs cross-cosine.
+    */
+  def q287(s: SparkSession, dir: String): DataFrame = {
+    val idx = storedEmbIvf(s, dir)
+    val batch = embBatch(s, dir)
+    val cap = 3
+    val uncapped = Similarity.crossSemanticPairs(batch, idx, 0.95)
+    val capped = Similarity.crossSemanticPairs(batch, idx, 0.95,
+      maxCell = cap)
+    val audit = Similarity.crossSemanticAudit(idx, cap)
+    val droppedPairs = uncapped
+      .join(idx.assigned.select(col("id").as("base_id"), col("cluster")),
+        Seq("base_id"))
+      .join(audit.select(col("cluster")), Seq("cluster"), "left_semi")
+      .select(col("new_id"), col("base_id"), col("sim"))
+    val recombined = capped.unionByName(droppedPairs)
+    uncapped.agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(audit.agg(count(lit(1)).as("na")))
+      .crossJoin(uncapped.exceptAll(recombined)
+        .agg(count(lit(1)).as("m1")))
+      .crossJoin(recombined.exceptAll(uncapped)
+        .agg(count(lit(1)).as("m2")))
+      .crossJoin(capped.intersect(droppedPairs)
+        .agg(count(lit(1)).as("m3")))
+      .select(col("n_pairs"), (col("na") > 0).as("audit_fired"),
+        (col("m1") === 0 && col("m2") === 0 && col("m3") === 0)
+          .as("conservation_ok"))
+  }
+
   /** The language-planted corpus shared by q166: each doc gets its
     * label's function-word suffix ×3 (the trigram signal a char-n-gram
     * model keys on — the raw fixture text is the SAME synthetic
@@ -4565,6 +4661,8 @@ object PipelineQueries {
     "q283_cross_containment_stored" -> (q283 _),
     "q284_novelty_score" -> (q284 _),
     "q285_entity_resolution" -> (q285 _),
+    "q286_cross_semantic" -> (q286 _),
+    "q287_cross_semantic_audit" -> (q287 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -5617,6 +5715,36 @@ FROM o"""
               coalesce(c.cluster, u.rec_id) AS canonical_id,
               u.rec_id = coalesce(c.cluster, u.rec_id) AS is_kept
        FROM uni u LEFT JOIN comp c ON c.id = u.rec_id""",
+    // stored-IVF semantic door: naive all batch x base cross-cosine —
+    // cell-routing completeness on planted clones + save/load in one
+    // hash (the q64/q277 posture on the embedding family)
+    "q286_cross_semantic" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         base AS (SELECT vec_id, v FROM e WHERE vec_id % 5 <> 0),
+         batch AS (SELECT vec_id AS new_id, v FROM e WHERE vec_id % 5 = 0
+                   UNION ALL
+                   SELECT vec_id + 10000, v FROM e
+                   WHERE vec_id % 7 = 0 AND vec_id % 5 <> 0)
+       SELECT b.new_id, ba.vec_id AS base_id,
+              round(list_cosine_similarity(b.v, ba.v), 4) AS sim
+       FROM batch b JOIN base ba
+         ON list_cosine_similarity(b.v, ba.v) >= 0.95""",
+    // the door's cap conservation law self-gates in-engine (k-means
+    // cells are not SQL-replayable — the q87 posture); the oracle pins
+    // the replayable anchor (uncapped pair count) and the booleans
+    "q287_cross_semantic_audit" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         base AS (SELECT vec_id, v FROM e WHERE vec_id % 5 <> 0),
+         batch AS (SELECT vec_id AS new_id, v FROM e WHERE vec_id % 5 = 0
+                   UNION ALL
+                   SELECT vec_id + 10000, v FROM e
+                   WHERE vec_id % 7 = 0 AND vec_id % 5 <> 0)
+       SELECT CAST(count(*) AS BIGINT) AS n_pairs, TRUE AS audit_fired,
+              TRUE AS conservation_ok
+       FROM batch b JOIN base ba
+         ON list_cosine_similarity(b.v, ba.v) >= 0.95""",
     // stored-index cross Jaccard: naive all batch x base pairs with
     // exact integer jaccard — completeness theorem + save/load + the
     // probe-tighter-than-fit contract pinned by hash equality

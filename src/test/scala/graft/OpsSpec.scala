@@ -758,6 +758,114 @@ class OpsSpec extends SparkSpec {
     assert(extended >= 0.5, s"extend-only recall $extended fell off a cliff")
   }
 
+  test("crossSemanticPairs: stored door == brute force on planted clusters through save/load; extend ≡ refit on door content (q286 laws)") {
+    // base: 10 well-separated clusters; batch: near-clones (0.05 jitter)
+    // of base members under NEW ids — the SemDeDup regime (pairs far
+    // inside their cell), where cell-routing completeness is structural
+    def jit(c: Int, i: Int): (Long, Seq[Float]) = {
+      val r = new scala.util.Random(c * 7000 + i)
+      ((c * 100 + i).toLong,
+        v(c).map(x => (x + 0.05 * r.nextGaussian()).toFloat))
+    }
+    val base = (for (c <- 0 until 10; i <- 0 until 20) yield jit(c, i))
+      .toDF("vec_id", "embedding")
+    val batch = (for (c <- 0 until 10; i <- 50 until 54) yield jit(c, i))
+      .toDF("vec_id", "embedding")
+    def brute(b: org.apache.spark.sql.DataFrame,
+              q: org.apache.spark.sql.DataFrame,
+              thr: Double): Set[(Long, Long)] = {
+      val bs = b.as[(Long, Seq[Float])].collect()
+      val qs = q.as[(Long, Seq[Float])].collect()
+      def cos(x: Seq[Float], y: Seq[Float]): Double = {
+        val d = x.zip(y).map { case (a, c) => a.toDouble * c }.sum
+        d / (math.sqrt(x.map(a => a.toDouble * a).sum) *
+          math.sqrt(y.map(a => a.toDouble * a).sum))
+      }
+      (for { (qi, qv) <- qs; (bi, bv) <- bs if cos(qv, bv) >= thr }
+        yield (qi, bi)).toSet
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-xsem").toString
+    Similarity.fitIvf(base, nlist = 10).save(dir)
+    val idx = Similarity.loadIvf(spark, dir)
+    val expected = brute(base, batch, 0.9)
+    val got = Similarity.crossSemanticPairs(batch, idx, 0.9)
+      .select("new_id", "base_id").as[(Long, Long)].collect()
+    assert(got.length === got.toSet.size, "a (new, base) pair arose twice")
+    assert(got.toSet === expected, "door != brute force on planted clusters")
+    assert(expected.nonEmpty, "degenerate fixture")
+    // extend ≡ refit on door CONTENT: admit a drifted slice as new base
+    // rows, probe with their clones — the extended index and a full
+    // refit must both answer brute-force-complete (what differs under
+    // drift is cell BALANCE, the overgrowth signal's job, never results)
+    val admitted = (for (c <- 0 until 10; i <- 60 until 63) yield {
+      val (id, vec) = jit(c, i)
+      (id, vec.map(x => x + 0.35f))
+    }).toDF("vec_id", "embedding")
+    val probe2 = (for (c <- 0 until 10; i <- 70 until 72) yield {
+      val r = new scala.util.Random(c * 7000 + i)
+      ((c * 100 + i).toLong,
+        v(c).map(x => (x + 0.35 + 0.03 * r.nextGaussian()).toFloat))
+    }).toDF("vec_id", "embedding")
+    val extended = Similarity.extendIvf(idx, admitted)
+    val refit = Similarity.fitIvf(base.unionByName(admitted), nlist = 10)
+    val expect2 = brute(base.unionByName(admitted), probe2, 0.9)
+    val gotExt = Similarity.crossSemanticPairs(probe2, extended, 0.9)
+      .select("new_id", "base_id").as[(Long, Long)].collect().toSet
+    val gotRefit = Similarity.crossSemanticPairs(probe2, refit, 0.9)
+      .select("new_id", "base_id").as[(Long, Long)].collect().toSet
+    assert(gotExt === expect2, "extended door lost admitted-row pairs")
+    assert(gotRefit === expect2, "refit door != brute force")
+    graft.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("crossSemanticPairs: maxCell tombstone conservation, audit twin, guards (q287 laws)") {
+    def jit(c: Int, i: Int): (Long, Seq[Float]) = {
+      val r = new scala.util.Random(c * 9000 + i)
+      ((c * 100 + i).toLong,
+        v(c).map(x => (x + 0.05 * r.nextGaussian()).toFloat))
+    }
+    // cluster 0 is DEGENERATE (30 members), others hold 5 — a cap of 10
+    // tombstones exactly cell 0's content
+    val base = ((for (i <- 0 until 30) yield jit(0, i)) ++
+      (for (c <- 1 until 6; i <- 0 until 5) yield jit(c, i)))
+      .toDF("vec_id", "embedding")
+    val batch = (for (c <- 0 until 6) yield jit(c, 90))
+      .toDF("vec_id", "embedding")
+    val idx = Similarity.fitIvf(base, nlist = 6)
+    val uncapped = Similarity.crossSemanticPairs(batch, idx, 0.9)
+      .select("new_id", "base_id").as[(Long, Long)].collect().toSet
+    val capped = Similarity.crossSemanticPairs(batch, idx, 0.9, maxCell = 10)
+      .select("new_id", "base_id").as[(Long, Long)].collect().toSet
+    val audit = Similarity.crossSemanticAudit(idx, maxCell = 10)
+      .as[(Int, Long)].collect()
+    assert(audit.nonEmpty && audit.forall(_._2 > 10L),
+      s"audit must list exactly the dropped cells, got ${audit.toSeq}")
+    val droppedCells = audit.map(_._1).toSet
+    val cellOf = idx.assigned.select($"id", $"cluster")
+      .as[(Long, Int)].collect().toMap
+    val dropped = uncapped.filter(p => droppedCells(cellOf(p._2)))
+    assert(capped === (uncapped -- dropped),
+      "capped door must equal uncapped minus audited-cell pairs")
+    assert(dropped.nonEmpty, "cap never fired — degenerate fixture")
+    // guards: stale scheme, dim mismatch loud, parameter requires
+    intercept[IllegalArgumentException] {
+      Similarity.crossSemanticPairs(batch, idx.copy(scheme = 999), 0.9)
+    }
+    val bad = Seq((999L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.crossSemanticPairs(bad, idx, 0.9).collect()
+    }
+    assert(exceptionChain(e).contains("crossSemanticPairs"),
+      s"expected the loud dim guard, got: ${exceptionChain(e)}")
+    intercept[IllegalArgumentException] {
+      Similarity.crossSemanticPairs(batch, idx, 0.9, probes = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.crossSemanticPairs(batch, idx, 0.9, maxCell = 0)
+    }
+  }
+
   test("refineIvf: distributed rounds equal driver rounds when the sample covers the corpus") {
     // integer-valued vectors: every per-cluster sum is exact in floating
     // point REGARDLESS of summation order, so the distributed

@@ -288,6 +288,96 @@ object DocumentStreams {
         round(col("jacc"), 4).as("jacc"), col("ts"))
   }
 
+  /** EXACT Jaccard flags for ARRIVING documents against the STORED
+    * [[graft.ops.Dedup.JaccardIndex]] — the streaming twin of
+    * [[graft.ops.Dedup.crossJaccardJoin]] (r18 verdict #2: the exact
+    * set-similarity doors were the one stored-artifact family without
+    * an ingest-stream shape). Same answers as the batch door, stream
+    * plumbing like [[flagAgainstBaseIndexed]]: the whole candidate
+    * path is stream-static joins against the stored relations
+    * (stateless — Spark re-plans the static side per micro-batch), and
+    * the only streaming state is the watermark-bounded pair dedup.
+    *
+    * One STRUCTURAL divergence from the batch door, pinned by
+    * StreamingSpec: the batch side's prefix derivation is a per-doc
+    * rank window, which a streaming plan cannot run — so the stream
+    * uses the ONE-SIDED prefix filter (batch tokens × STORED prefixes
+    * only). One-sided filtering is still COMPLETE above the fit
+    * threshold (a qualifying pair must share a token in the stored
+    * doc's prefix — the same theorem, half applied), it just prunes
+    * less: candidate volume is bounded by the stored prefixes' fan-out
+    * instead of both sides'. Under a biting `maxPosting` cap the two
+    * generators can therefore diverge in exactly ONE direction —
+    * every capped-batch pair is a capped-stream pair (the stream
+    * applies the SAME stored-side cap and no batch-side one), never
+    * the reverse; uncapped they are EQUAL (both exact-verified).
+    *
+    * The doc's token set rides the explode fan-out (|toks|× per doc
+    * within a micro-batch) — the price of verifying exactly without a
+    * second pass; exact `array_intersect` runs on the first-arrival
+    * candidate row only, after the pair dedup. `docs` must carry the
+    * SAME tokenization the index was fitted with (the batch door's
+    * contract — [[graft.ops.Dedup.JaccardIndex]] stores token sets,
+    * not a tokenizer). `broadcastIndex` is [[flagAgainstBaseIndexed]]'s
+    * trade verbatim: true pins both stored relations broadcast so the
+    * stream side never shuffles; false (default) lets the planner
+    * shuffle the micro-batch against a base too big to broadcast.
+    *
+    * Emits `(new_id, base_id, n_inter, jaccard_bp, ts)` — the batch
+    * door's columns plus event time.
+    */
+  def jaccardFlagStream(docs: DataFrame, index: Dedup.JaccardIndex,
+                        thresholdBp: Long,
+                        watermark: String = "10 minutes",
+                        maxPosting: Int = 1000,
+                        broadcastIndex: Boolean = false,
+                        idCol: String = "doc_id",
+                        tokensCol: String = "toks"): DataFrame = {
+    require(index.scheme == Dedup.JaccardIndex.Scheme,
+      s"JaccardIndex prefix scheme ${index.scheme} != this build's " +
+        s"${Dedup.JaccardIndex.Scheme} — rebuild the index")
+    require(thresholdBp >= 1 && thresholdBp <= 10000,
+      s"jaccardFlagStream: thresholdBp must be in [1, 10000], got " +
+        s"$thresholdBp")
+    require(thresholdBp >= index.thresholdBp,
+      s"jaccardFlagStream: probe threshold $thresholdBp is below the " +
+        s"index's fit threshold ${index.thresholdBp} — stored prefixes " +
+        "are too short to stay complete there; refit the index at the " +
+        "lower threshold")
+    require(maxPosting >= 2,
+      s"jaccardFlagStream: maxPosting must be >= 2, got $maxPosting")
+    val sPfx0 = Dedup.capBlockRows(index.prefixes, Seq("tk"), maxPosting)
+      .select(col("tk"), col("base_id"), col("n").as("nb"))
+    val (sPfx, sTok) =
+      if (broadcastIndex) (broadcast(sPfx0), broadcast(index.tokens))
+      else (sPfx0, index.tokens)
+    docs
+      .withWatermark("ts", watermark)
+      .select(col(idCol).cast("long").as("new_id"), col("ts"),
+        array_distinct(col(tokensCol)).as("ta"))
+      .filter(size(col("ta")) > 0)
+      .select(col("new_id"), col("ts"), col("ta"),
+        explode(col("ta")).as("tk"))
+      .join(sPfx, Seq("tk"))
+      // the lossless size filter prunes before the pair dedup's state:
+      // J(A,B) >= t forces min(|A|,|B|) >= t * max(|A|,|B|)
+      .filter(least(size(col("ta")).cast("long"), col("nb")) * 10000L >=
+        lit(thresholdBp) *
+          greatest(size(col("ta")).cast("long"), col("nb")))
+      .dropDuplicatesWithinWatermark("new_id", "base_id")
+      .join(sTok.select(col("base_id"), col("toks").as("tb")),
+        Seq("base_id"))
+      .select(col("new_id"), col("base_id"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long")
+          .as("n_inter"),
+        (size(col("ta")) + size(col("tb"))).cast("long").as("nu"),
+        col("ts"))
+      .select(col("new_id"), col("base_id"), col("n_inter"),
+        expr("n_inter * 10000L div (nu - n_inter)").as("jaccard_bp"),
+        col("ts"))
+      .filter(col("jaccard_bp") >= thresholdBp)
+  }
+
   /** In-flight DSIR importance scoring against a STORED
     * [[graft.ops.TextOps.ImportanceModel]] — the streaming twin of
     * [[graft.ops.TextOps.importanceScore]], for routing target-like

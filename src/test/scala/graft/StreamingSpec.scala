@@ -215,6 +215,97 @@ class StreamingSpec extends SparkSpec {
       "merging the stream's window flags reproduces the batch spans")
   }
 
+  test("jaccardFlagStream: stream ≡ batch crossJaccardJoin uncapped; capped divergence is one-directional (stream ⊇ batch)") {
+    import graft.ops.Dedup
+    // base: three docs; stream doc 1 is a near-dup of base 100
+    // (J = 5/6 ≈ 8333 bp), doc 2 matches nothing, doc 3 is an exact
+    // clone of base 101
+    def toks(s: String): Seq[String] = s.split(" ").toSeq
+    val base = Seq(
+      (100L, toks("a b c d e f")),
+      (101L, toks("p q r s")),
+      (102L, toks("u v w x y z"))).toDF("doc_id", "sh")
+    val idx = Dedup.buildJaccardIndex(base, "doc_id", "sh",
+      thresholdBp = 7000L)
+    def doc(id: Long, minute: Int, t: String) =
+      Doc(id, Timestamp.valueOf(f"2024-01-01 10:${minute}%02d:00"), "en", t)
+    val arriving = Seq(
+      doc(1, 0, "a b c d e x9"),
+      doc(2, 1, "n1 n2 n3 n4"),
+      doc(3, 2, "p q r s"))
+    val input = MemoryStream[Doc](spark)
+    input.addData(arriving: _*)
+    val q = graft.streaming.DocumentStreams.jaccardFlagStream(
+        input.toDF().select($"doc_id", $"ts",
+          split($"text", " ").as("toks")),
+        idx, thresholdBp = 7000L, broadcastIndex = true)
+      .writeStream.format("memory").queryName("jac_flags")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamPairs = spark.table("jac_flags")
+      .select("new_id", "base_id", "n_inter", "jaccard_bp")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batchPairs = Dedup.crossJaccardJoin(
+        arriving.map(d => (d.doc_id, toks(d.text)))
+          .toDF("doc_id", "sh"),
+        idx, "doc_id", "sh", thresholdBp = 7000L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamPairs === batchPairs,
+      s"stream $streamPairs != batch $batchPairs")
+    assert(streamPairs === Set((1L, 100L, 5L, 7142L),
+      (3L, 101L, 4L, 10000L)), s"got $streamPairs")
+
+    // capped divergence, pinned in its ONE direction: the batch door
+    // also caps its OWN prefix postings, so three batch docs sharing a
+    // rare prefix token overflow a cap of 2 and the batch drops their
+    // pairs — the stream (one-sided filter: no batch-side prefix, same
+    // stored-side cap) still flags them. batch ⊆ stream always.
+    // three exact clones of base 100: every trio prefix is {a, b}, so
+    // BOTH batch-side prefix blocks overflow the cap of 2 and the batch
+    // door drops all three pairs; the stored-side postings for a/b hold
+    // ONE base doc each — under the stream's cap, so the stream keeps
+    // flagging
+    val trio = Seq(
+      doc(11, 0, "a b c d e f"),
+      doc(12, 1, "a b c d e f"),
+      doc(13, 2, "a b c d e f"))
+    val trioDf = trio.map(d => (d.doc_id, toks(d.text)))
+      .toDF("doc_id", "sh")
+    val batchCapped = Dedup.crossJaccardJoin(trioDf, idx, "doc_id", "sh",
+        thresholdBp = 7000L, maxPosting = 2)
+      .select("new_id", "base_id").as[(Long, Long)].collect().toSet
+    val input2 = MemoryStream[Doc](spark)
+    input2.addData(trio: _*)
+    val q2 = graft.streaming.DocumentStreams.jaccardFlagStream(
+        input2.toDF().select($"doc_id", $"ts",
+          split($"text", " ").as("toks")),
+        idx, thresholdBp = 7000L, maxPosting = 2, broadcastIndex = true)
+      .writeStream.format("memory").queryName("jac_flags_capped")
+      .outputMode(OutputMode.Append()).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val streamCapped = spark.table("jac_flags_capped")
+      .select("new_id", "base_id").as[(Long, Long)].collect().toSet
+    assert(batchCapped.subsetOf(streamCapped),
+      s"capped batch $batchCapped must be a subset of stream $streamCapped")
+    assert(streamCapped === Set((11L, 100L), (12L, 100L), (13L, 100L)),
+      s"stream must keep the capped-batch pairs, got $streamCapped")
+    assert(batchCapped.isEmpty,
+      s"fixture must make the batch-side cap bite, got $batchCapped")
+
+    // guards: below-fit probe threshold and stale scheme refuse loudly
+    intercept[IllegalArgumentException] {
+      graft.streaming.DocumentStreams.jaccardFlagStream(
+        input.toDF().select($"doc_id", $"ts",
+          split($"text", " ").as("toks")), idx, thresholdBp = 5000L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.DocumentStreams.jaccardFlagStream(
+        input.toDF().select($"doc_id", $"ts",
+          split($"text", " ").as("toks")),
+        idx.copy(scheme = 999), thresholdBp = 7000L)
+    }
+  }
+
   test("dropDuplicatesWithinWatermark removes re-delivered event ids") {
     val input = MemoryStream[Ev](spark)
     input.addData(ev(1, 0, "click", 1.0), ev(1, 0, "click", 1.0),

@@ -465,7 +465,12 @@ object ScaleProbe {
     // prices batch routing + the stored-file cell join, never a refit.
     // The audit twin re-runs the door capped/uncapped + the except
     // alignment — gate machinery, priced as such
-    "q286_cross_semantic", "q287_cross_semantic_audit")
+    "q286_cross_semantic", "q287_cross_semantic_audit",
+    // r19: delete path — the q277 door over the lazily-shrunk index
+    // (three id anti-joins ride the stored-relation scans; save() is
+    // the compaction, not paid here), so the ratio must track q277's;
+    // the phantom audit is one id anti-join at retraction grain
+    "q288_cross_jaccard_removed", "q289_remove_phantom_audit")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -899,6 +899,45 @@ object Dedup {
         .toDF("shingle_n", "k", "n_bands", "hash_scheme")
         .write.mode("overwrite").saveAsTable(s"${name}_meta")
     }
+
+    /** RETRACT base docs from the index — the delete path (r18 verdict
+      * #3; the [[graft.ops.Dedup.JaccardIndex.remove]] posture on the
+      * LSH artifact): shingles anti-join the retracted ids; live band
+      * buckets explode, anti-join, and re-group — buckets left EMPTY
+      * drop (as a rebuild would drop them), buckets merely thinned
+      * keep their surviving members. The tombstone IS Spark laziness —
+      * a remove costs nothing now, probes pay the filtered plan, and
+      * [[save]] materializes the shrink (merge-time compaction).
+      *
+      * OVERFLOWED buckets stay tombstoned: their membership was
+      * discarded at cap time, so "would it still overflow without the
+      * removed ids" is unanswerable from the artifact — the honest
+      * semantics is once-tombstoned-always (exactly [[extendIndex]]'s
+      * pin on re-created buckets), diverging from a full rebuild only
+      * where the cap already bit; refit on the compaction cadence
+      * reclaims them. Phantom ids are state no-ops, listed by
+      * [[removeAudit]]. */
+    def remove(ids: DataFrame, idCol: String): CorpusIndex = {
+      val rm = ids.select(col(idCol).as("base_id")).distinct()
+      val tombstones = bands.filter(col("overflow"))
+      val thinned = bands.filter(!col("overflow"))
+        .select(col("band"), col("band_hash"),
+          explode(col("base_ids")).as("base_id"))
+        .join(rm, Seq("base_id"), "left_anti")
+        .groupBy(col("band"), col("band_hash"))
+        .agg(sort_array(collect_list(col("base_id"))).as("base_ids"))
+        .select(col("band"), col("band_hash"), col("base_ids"),
+          lit(false).as("overflow"))
+      copy(bands = thinned.unionByName(tombstones),
+        shingles = shingles.join(rm, Seq("base_id"), "left_anti"))
+    }
+
+    /** [[remove]]'s phantom screen: retraction ids absent from the
+      * stored shingle sets, listed from the same relation the remove
+      * filters. */
+    def removeAudit(ids: DataFrame, idCol: String): DataFrame =
+      ids.select(col(idCol).as("base_id")).distinct()
+        .join(shingles.select(col("base_id")), Seq("base_id"), "left_anti")
   }
 
   object CorpusIndex {
@@ -1867,6 +1906,41 @@ object Dedup {
           nb.select(explode(col("toks")).as("tk"),
             col("id").as("base_id"))))
     }
+
+    /** RETRACT base docs from the index — the delete path every stored
+      * artifact was missing (r18 verdict #3; the retractHist posture
+      * applied to the index lifecycle): all three posting relations
+      * anti-join the retracted ids. The tombstone IS Spark laziness:
+      * a remove costs NOTHING now (plan composition), every later
+      * probe pays one id anti-join against the retraction set, and
+      * [[save]] — which materializes the filtered relations — is the
+      * merge-time compaction that makes the shrink physical. The
+      * pinned df ordering deliberately does NOT move (same reason
+      * extend doesn't move it: any FIXED order is complete; staleness
+      * costs pruning only), so door RESULTS over a removed index equal
+      * a full rebuild on the survivors exactly (OpsSpec law), while
+      * the prefix RELATION equals the rebuild's only under the same
+      * snapshot — refit on the usual drift cadence.
+      *
+      * Ids absent from the index are NO-OPS for state (an anti-join of
+      * nothing) but never silent: [[removeAudit]] lists them from the
+      * same relation this filters — the phantom screen, audit-then-
+      * clamp exactly like retraction histograms. */
+    def remove(ids: DataFrame, idCol: String): JaccardIndex = {
+      val rm = ids.select(col(idCol).cast("long").as("base_id")).distinct()
+      copy(
+        tokens = tokens.join(rm, Seq("base_id"), "left_anti"),
+        prefixes = prefixes.join(rm, Seq("base_id"), "left_anti"),
+        postings = postings.join(rm, Seq("base_id"), "left_anti"))
+    }
+
+    /** [[remove]]'s phantom screen: the retraction ids NOT present in
+      * the stored token sets — CDC re-deliveries, double-removes and
+      * typo'd ids, listed (base_id rows) from the same relation the
+      * remove filters so screen and delete cannot disagree. */
+    def removeAudit(ids: DataFrame, idCol: String): DataFrame =
+      ids.select(col(idCol).cast("long").as("base_id")).distinct()
+        .join(tokens.select(col("base_id")), Seq("base_id"), "left_anti")
   }
 
   object JaccardIndex {

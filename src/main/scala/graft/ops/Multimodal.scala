@@ -769,6 +769,24 @@ object Multimodal {
     def extend(newMedia: DataFrame): FingerprintIndex =
       FingerprintIndex(fingerprints.unionByName(
         mediaFingerprints(newMedia)), scheme)
+
+    /** RETRACT media from the index — the delete path (r18 verdict #3;
+      * the [[graft.ops.Dedup.JaccardIndex.remove]] posture): one id
+      * anti-join on the 20-byte relation. Lazy until [[save]] — which
+      * IS the merge-time compaction. Phantom ids are state no-ops,
+      * listed by [[removeAudit]]. remove ≡ rebuild exactly here (no
+      * caps, no pinned ordering — the relation is row-per-media). */
+    def remove(ids: DataFrame, idCol: String): FingerprintIndex =
+      copy(fingerprints = fingerprints.join(
+        ids.select(col(idCol).as("media_id")).distinct(),
+        Seq("media_id"), "left_anti"))
+
+    /** [[remove]]'s phantom screen: retraction ids absent from the
+      * stored fingerprints. */
+    def removeAudit(ids: DataFrame, idCol: String): DataFrame =
+      ids.select(col(idCol).as("media_id")).distinct()
+        .join(fingerprints.select(col("media_id")),
+          Seq("media_id"), "left_anti")
   }
 
   object FingerprintIndex {

@@ -231,6 +231,26 @@ object Similarity {
       */
     def overgrowth: Double =
       assigned.select(col("id")).count().toDouble / (nlist.toLong * nlist)
+
+    /** RETRACT vectors from the inverted file — the delete path (r18
+      * verdict #3; the [[graft.ops.Dedup.JaccardIndex.remove]] posture
+      * on the ANN artifact): one id anti-join on the stored file; the
+      * centroids deliberately do NOT move (the [[Similarity.extendIvf]]
+      * symmetry — the quantizer is frozen between refits, so remove ≡
+      * rebuild-on-survivors for probe RESULTS under the same centers,
+      * while cell balance drifts toward the refit cadence exactly as
+      * extends do). Lazy until [[save]], which IS the merge-time
+      * compaction. Phantom ids are state no-ops, listed by
+      * [[removeAudit]]. */
+    def remove(ids: DataFrame, idCol: String): IvfIndex =
+      copy(assigned = assigned.join(
+        ids.select(col(idCol).as("id")).distinct(), Seq("id"), "left_anti"))
+
+    /** [[remove]]'s phantom screen: retraction ids absent from the
+      * stored inverted file. */
+    def removeAudit(ids: DataFrame, idCol: String): DataFrame =
+      ids.select(col(idCol).as("id")).distinct()
+        .join(assigned.select(col("id")), Seq("id"), "left_anti")
   }
 
   object IvfIndex {

@@ -2987,6 +2987,49 @@ object PipelineQueries {
           .as("conservation_ok"))
   }
 
+  /** The exact-Jaccard door over the SHRUNK stored index
+    * ([[graft.ops.Dedup.JaccardIndex.remove]] — r18 verdict #3, the
+    * delete path every stored artifact was missing): the q277 stored
+    * index RETRACTS its doc_id % 3 = 0 base slice (lazy anti-join
+    * tombstones — save() would be the merge-time compaction), then the
+    * same batch probes at 9000 bp. Two of q277's six pairs die with
+    * their retracted base docs (447, 393), four survive untouched —
+    * the oracle brute-forces batch × SURVIVING base, so retraction
+    * completeness (nothing stale answers) AND retraction minimality
+    * (nothing else disappears) pin in one hash.
+    */
+  def q288(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir)("documents")
+    Dedup.crossJaccardJoin(
+      d.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+        .select(col("doc_id"), TextOps.shingles(col("text"), 2).as("sh")),
+      Dedup.loadJaccardIndex(s, storedJacIndex(s, dir))
+        .remove(d.filter(col("doc_id") % 10 =!= 0 &&
+          col("doc_id") % 3 === 0).select(col("doc_id")), "doc_id"),
+      "doc_id", "sh", thresholdBp = 9000L, maxPosting = 1000)
+  }
+
+  /** The delete path's phantom screen
+    * ([[graft.ops.Dedup.JaccardIndex.removeAudit]] — the
+    * bagDeltaAudit posture on the index lifecycle): the retraction
+    * set deliberately carries ids the index never held — the whole
+    * batch slice (doc_id % 10 = 0, never fitted) riding along with
+    * the real base retractions — and the audit lists exactly those
+    * from the same relation the remove filters. The oracle replays
+    * membership: fitted = non-empty bigram sets on the base slice;
+    * phantoms = the retraction set minus fitted (which also catches
+    * any base doc too short to shingle — absent from the index by
+    * the normTokenSets contract, so removing it IS a phantom).
+    */
+  def q289(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir)("documents")
+    val retractions = d.filter((col("doc_id") % 10 =!= 0 &&
+        col("doc_id") % 3 === 0) || col("doc_id") % 10 === 0)
+      .select(col("doc_id"))
+    Dedup.loadJaccardIndex(s, storedJacIndex(s, dir))
+      .removeAudit(retractions, "doc_id")
+  }
+
   /** The language-planted corpus shared by q166: each doc gets its
     * label's function-word suffix ×3 (the trigram signal a char-n-gram
     * model keys on — the raw fixture text is the SAME synthetic
@@ -4663,6 +4706,8 @@ object PipelineQueries {
     "q285_entity_resolution" -> (q285 _),
     "q286_cross_semantic" -> (q286 _),
     "q287_cross_semantic_audit" -> (q287 _),
+    "q288_cross_jaccard_removed" -> (q288 _),
+    "q289_remove_phantom_audit" -> (q289 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -5745,6 +5790,46 @@ FROM o"""
               TRUE AS conservation_ok
        FROM batch b JOIN base ba
          ON list_cosine_similarity(b.v, ba.v) >= 0.95""",
+    // delete path: the q277 brute force over the SURVIVING base only —
+    // retraction completeness + minimality in one hash
+    "q288_cross_jaccard_removed" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+         s AS (SELECT doc_id, list_distinct(list_transform(
+                 range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS sh
+               FROM w),
+         sz AS (SELECT doc_id, len(sh) AS n FROM s WHERE len(sh) > 0),
+         tok AS (SELECT doc_id, unnest(sh) AS tk FROM s
+                 WHERE len(sh) > 0),
+         inter AS (SELECT a.doc_id AS new_id, b.doc_id AS base_id,
+                 count(*) AS i
+           FROM tok a JOIN tok b
+             ON a.tk = b.tk AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+               AND b.doc_id % 3 <> 0
+           GROUP BY 1, 2)
+       SELECT new_id, base_id, CAST(i AS BIGINT) AS n_inter,
+              CAST(i * 10000 // (sa.n + sb.n - i) AS BIGINT)
+                AS jaccard_bp
+       FROM inter
+       JOIN sz sa ON sa.doc_id = new_id
+       JOIN sz sb ON sb.doc_id = base_id
+       WHERE i * 10000 // (sa.n + sb.n - i) >= 9000""",
+    // phantom screen: retraction ids minus the FITTED base ids (docs
+    // too short to shingle were never fitted — normTokenSets)
+    "q289_remove_phantom_audit" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+         s AS (SELECT doc_id, list_distinct(list_transform(
+                 range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS sh
+               FROM w),
+         fitted AS (SELECT doc_id FROM s
+                    WHERE len(sh) > 0 AND doc_id % 10 <> 0),
+         r AS (SELECT doc_id FROM documents
+               WHERE (doc_id % 10 <> 0 AND doc_id % 3 = 0)
+                  OR doc_id % 10 = 0)
+       SELECT r.doc_id AS base_id FROM r
+       LEFT JOIN fitted f ON f.doc_id = r.doc_id
+       WHERE f.doc_id IS NULL""",
     // stored-index cross Jaccard: naive all batch x base pairs with
     // exact integer jaccard — completeness theorem + save/load + the
     // probe-tighter-than-fit contract pinned by hash equality

@@ -3302,6 +3302,136 @@ class OpsSpec extends SparkSpec {
     graft.deleteRecursively(new java.io.File(dir))
   }
 
+  test("stored-index delete path: extend+remove ≡ rebuild, posting shrink survives save/load, phantom audit (JaccardIndex/FingerprintIndex, q288/q289 laws)") {
+    import graft.ops.{Dedup, Multimodal}
+    def toks(seed: Int, n: Int): Seq[String] =
+      Seq.tabulate(n)(j => s"t${(seed * 31 + j * 7) % 97}").distinct
+    val base = Seq.tabulate(12)(i => (i.toLong, toks(i, 12))).toDF("id", "sh")
+    val late = Seq((20L, toks(3, 12)), (21L, toks(5, 12))).toDF("id", "sh")
+    val rmIds = Seq(3L, 20L).toDF("id") // one fitted, one extended
+    val survivors = base.filter(!col("id").isin(3L))
+      .unionByName(late.filter(col("id") =!= 20L))
+    val idx = Dedup.buildJaccardIndex(base, "id", "sh", 8000L)
+      .extend(late, "id", "sh").remove(rmIds, "id")
+    // clones of removed docs find NOTHING stale; clones of survivors
+    // still answer — door results ≡ rebuild on survivors exactly
+    val probes = Seq((100L, toks(3, 12)), (101L, toks(5, 12)),
+      (102L, toks(7, 12))).toDF("id", "sh")
+    def pairs(i: Dedup.JaccardIndex): Set[(Long, Long)] =
+      Dedup.crossJaccardJoin(probes, i, "id", "sh", 9000L)
+        .select("new_id", "base_id").as[(Long, Long)].collect().toSet
+    val rebuilt = Dedup.buildJaccardIndex(survivors, "id", "sh", 8000L)
+    assert(pairs(idx) === pairs(rebuilt),
+      "door over removed index != door over rebuild on survivors")
+    assert(!pairs(idx).exists(p => p._2 === 3L || p._2 === 20L),
+      "a retracted base doc answered a probe")
+    assert(pairs(idx).exists(_._2 === 21L), "survivor stopped answering")
+    // posting shrink is PHYSICAL after save (merge-time compaction):
+    // the stored relations hold zero rows for removed ids
+    val dir = java.nio.file.Files
+      .createTempDirectory("jac-rm-spec").toString
+    idx.save(dir)
+    val loaded = Dedup.loadJaccardIndex(spark, dir)
+    for ((rel, name) <- Seq((loaded.tokens, "tokens"),
+        (loaded.prefixes, "prefixes"), (loaded.postings, "postings"))) {
+      assert(rel.filter(col("base_id").isin(3L, 20L)).count() === 0L,
+        s"compacted $name still holds removed ids")
+    }
+    assert(loaded.postings.count() ===
+      rebuilt.postings.count(), "posting shrink != rebuild's postings")
+    // phantom audit: absent ids listed, present ids not; remove of a
+    // phantom is a state no-op (idempotent double-remove)
+    val phantoms = Seq(3L, 999L, 21L).toDF("id")
+    assert(idx.removeAudit(phantoms, "id").as[Long].collect().toSet
+      === Set(3L, 999L), "audit must list exactly the absent ids")
+    assert(idx.remove(Seq(3L, 999L).toDF("id"), "id").tokens.count()
+      === idx.tokens.count(), "phantom remove must be a state no-op")
+    graft.deleteRecursively(new java.io.File(dir))
+
+    // FingerprintIndex: remove ≡ rebuild EXACTLY (row-per-media, no
+    // caps, no pinned ordering)
+    def gray(seed: Int): Array[Byte] =
+      Multimodal.encodeGrayPng(
+        Array.tabulate(64)(i => (seed * 31 + i * 13) % 256), 8, 8)
+    val media = (1L to 6L).map(id => (id, gray(id.toInt)))
+      .toDF("media_id", "content")
+    val fpIdx = Multimodal.buildFingerprintIndex(media)
+      .remove(Seq(2L, 4L).toDF("media_id"), "media_id")
+    val fpRebuilt = Multimodal.buildFingerprintIndex(
+      media.filter(!col("media_id").isin(2L, 4L)))
+    assert(fpIdx.fingerprints.collect().toSet ===
+      fpRebuilt.fingerprints.collect().toSet,
+      "FingerprintIndex remove != rebuild")
+    // the already-removed id 2 IS absent now, so the audit lists it
+    // alongside the never-present 99; survivor 5 is not listed
+    assert(fpIdx.removeAudit(Seq(2L, 99L, 5L).toDF("media_id"),
+        "media_id").as[Long].collect().toSet === Set(2L, 99L),
+      "FingerprintIndex phantom audit wrong")
+  }
+
+  test("stored-index delete path: CorpusIndex thins buckets (tombstones persist), IvfIndex never returns removed ids (q288 family laws)") {
+    import graft.ops.Dedup
+    def text(seed: Int): String =
+      (1 to 40).map(i => s"w${(seed * 13 + i) % 200}").mkString(" ")
+    val base = Seq.tabulate(10)(i => (i.toLong, text(i)))
+      .toDF("doc_id", "text")
+    val idx = Dedup.buildIndex(base, "doc_id", "text")
+    val removed = idx.remove(Seq(3L, 7L).toDF("doc_id"), "doc_id")
+    val rebuilt = Dedup.buildIndex(
+      base.filter(!col("doc_id").isin(3L, 7L)), "doc_id", "text")
+    // near-clone probes: door over removed ≡ door over rebuild (the
+    // fixture raises no overflow tombstones, so equality is exact)
+    val probes = Seq((100L, text(3)), (101L, text(5)))
+      .toDF("doc_id", "text")
+    def flags(i: Dedup.CorpusIndex): Set[(Long, Long)] =
+      Dedup.crossNearDupIndexed(probes, i, "doc_id", "text",
+          threshold = 0.9)
+        .select("new_id", "base_id").as[(Long, Long)].collect().toSet
+    assert(flags(removed) === flags(rebuilt),
+      "CorpusIndex door over removed != rebuild")
+    assert(flags(removed) === Set((101L, 5L)),
+      s"expected only the survivor clone pair, got ${flags(removed)}")
+    // bucket hygiene: no live bucket carries a removed id; emptied
+    // buckets drop like a rebuild's
+    assert(removed.bands.filter(!col("overflow"))
+      .select(explode(col("base_ids")).as("id"))
+      .filter(col("id").isin(3L, 7L)).count() === 0L)
+    assert(removed.bands.filter(size(col("base_ids")) === 0 &&
+      !col("overflow")).count() === 0L, "empty live buckets must drop")
+    // overflow tombstones persist through remove (once tombstoned,
+    // always — the extendIndex pin)
+    val tiny = Dedup.buildIndex(
+      Seq.tabulate(6)(i => (i.toLong, text(0))).toDF("doc_id", "text"),
+      "doc_id", "text", maxBucket = 3)
+    val nTomb = tiny.bands.filter(col("overflow")).count()
+    assert(nTomb > 0, "fixture must overflow")
+    assert(tiny.remove(Seq(0L).toDF("doc_id"), "doc_id")
+      .bands.filter(col("overflow")).count() === nTomb,
+      "tombstones must survive remove")
+    // phantom audit
+    assert(removed.removeAudit(Seq(3L, 5L).toDF("doc_id"), "doc_id")
+      .as[Long].collect().toSet === Set(3L),
+      "CorpusIndex phantom audit wrong")
+
+    // IvfIndex: removed ids never probe back; assigned file holds
+    // exactly the survivors; centroids untouched; phantom audit
+    val emb = (1L to 20L).map(i => (i, v(i.toInt)))
+      .toDF("vec_id", "embedding")
+    val ivf = Similarity.fitIvf(emb, nlist = 4)
+    val ivfRm = ivf.remove(Seq(5L, 9L).toDF("vec_id"), "vec_id")
+    assert(ivfRm.centroids eq ivf.centroids)
+    assert(ivfRm.assigned.select("id").as[Long].collect().toSet ===
+      ((1L to 20L).toSet -- Set(5L, 9L)))
+    val got = Similarity.probeIvf(ivfRm, emb.filter($"vec_id" === 5L),
+        k = 19, nprobe = 4)
+      .select("nid").as[Long].collect().toSet
+    assert(!got.contains(5L) && !got.contains(9L),
+      "a removed vector answered a probe")
+    assert(ivfRm.removeAudit(Seq(5L, 10L, 77L).toDF("vec_id"), "vec_id")
+      .as[Long].collect().toSet === Set(5L, 77L),
+      "IvfIndex phantom audit wrong")
+  }
+
   test("noveltyScore: hand-computed split, extend-admitted docs count as seen, empty sets drop (q284 laws)") {
     import graft.ops.Dedup
     val base = Seq((1L, Seq("a", "b", "c")), (2L, Seq("c", "d")))

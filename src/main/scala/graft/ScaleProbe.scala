@@ -470,7 +470,13 @@ object ScaleProbe {
     // (three id anti-joins ride the stored-relation scans; save() is
     // the compaction, not paid here), so the ratio must track q277's;
     // the phantom audit is one id anti-join at retraction grain
-    "q288_cross_jaccard_removed", "q289_remove_phantom_audit")
+    "q288_cross_jaccard_removed", "q289_remove_phantom_audit",
+    // r19: stored-registry ER door — batch keys itself (row-local) and
+    // equi-joins the stored records' key projection; the registry is
+    // resolved + saved once in warmup via the session cache, so the
+    // ratio prices batch keying + the capped block join + the
+    // canonical attach, never a re-resolve
+    "q290_entity_link_stored")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

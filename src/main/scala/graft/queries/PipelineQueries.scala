@@ -266,6 +266,8 @@ object PipelineQueries {
     if (ivf != null) retireDir(ivf._3)
     val embIvf = embIvfCache.remove(s)
     if (embIvf != null) retireDir(embIvf._3)
+    val erReg = erRegistryCache.remove(s)
+    if (erReg != null) retireDir(erReg._3)
     val post = postingsCache.remove(s)
     if (post != null) retireDir(post._3)
     val spanIdx = spanIdxCache.remove(s)
@@ -4152,23 +4154,78 @@ object PipelineQueries {
     * blocks, native jaro_winkler ≥ 0.9. One derivation shared so the
     * pair gate and the ER capstone can never disagree on what a
     * candidate pair is. */
-  private def fuzzyPairs(s: SparkSession, dir: String): DataFrame = {
-    val id = col("doc_id")
+  /** The q176/q285/q290 planted name per doc:
+    * `lpad(id%997)-word-lpad(id*31%997)` — high-entropy digit blocks at
+    * BOTH ends, unique per id. */
+  private def plantedName(id: Column): Column = {
     val word = element_at(array(lit("alpha"), lit("bravo"), lit("carbon"),
       lit("delta"), lit("ember"), lit("falcon"), lit("granite"),
       lit("harbor")), (pmod(id, lit(8L)) + 1).cast("int"))
-    val name = concat(lpad(pmod(id, lit(997L)).cast("string"), 3, "0"),
+    concat(lpad(pmod(id, lit(997L)).cast("string"), 3, "0"),
       lit("-"), word, lit("-"),
       lpad(pmod(id * 31L, lit(997L)).cast("string"), 3, "0"))
-    val base = t(s, dir)("documents").select(id.as("rec_id"),
-      name.as("name"))
-    val variants = t(s, dir)("documents").filter(id % 4 === 0)
-      .select((id + 1000000L).as("rec_id"), name.as("name"),
-        pmod(id, length(name)).as("p"))
+  }
+
+  /** One planted record per document — the ER families' BASE corpus. */
+  private def plantedBaseRecords(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("documents").select(col("doc_id").as("rec_id"),
+      plantedName(col("doc_id")).as("name"))
+
+  /** The single-char-deletion variants (every 4th id, re-tagged
+    * +1000000) — the ER families' ARRIVING batch. */
+  private def plantedVariantRecords(s: SparkSession,
+                                    dir: String): DataFrame = {
+    val id = col("doc_id")
+    t(s, dir)("documents").filter(id % 4 === 0)
+      .select((id + 1000000L).as("rec_id"),
+        plantedName(id).as("name"), pmod(id, length(plantedName(id)))
+          .as("p"))
       .select(col("rec_id"), expr(
         "concat(substr(name, 1, cast(p as int))," +
           " substr(name, cast(p as int) + 2))").as("name"))
-    val all = base.unionByName(variants)
+  }
+
+  /** The q290 stored ENTITY registry: [[graft.ops.Entity.buildRegistry]]
+    * over the planted base records at jw ≥ 0.9 / prefix 3, written
+    * through the real save/load round-trip ONCE per (session, sfDir) —
+    * the storedJacIndex discipline on the master-data artifact. */
+  private val erRegistryCache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, (String, graft.ops.Entity.EntityRegistry, String)]
+
+  private def storedErRegistry(s: SparkSession,
+                               dir: String): graft.ops.Entity.EntityRegistry =
+    erRegistryCache.compute(s, (sess, cached) =>
+      if (cached != null && cached._1 == dir) cached
+      else {
+        if (cached != null) retireDir(cached._3)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-er-registry-").toString
+        graft.ops.Entity.buildRegistry(plantedBaseRecords(sess, dir),
+          "rec_id", "name", threshold = 0.9, prefixLen = 3).save(path)
+        (dir, graft.ops.Entity.loadRegistry(sess, path), path)
+      })._2
+
+  /** Blocked jaro_winkler linkage of the ARRIVING variant records
+    * against the STORED entity registry
+    * ([[graft.ops.Entity.crossLinkage]] — r18 verdict #4: q285 resolves
+    * batch-wise; production master data links each new record against
+    * the registry it already holds): the base records resolve ONCE into
+    * a saved [[graft.ops.Entity.EntityRegistry]] (canonical = min
+    * rec_id per jw-component), then the deletion-typo variants key
+    * themselves on the PINNED first-3/last-3 blocks and score with the
+    * same native jaro_winkler at the PINNED 0.9. The oracle replays the
+    * planting, the blocking, DuckDB's own jaro_winkler_similarity AND
+    * the registry's canonical walk (recursive CTE over base-only
+    * pairs) — blocking, scoring, storage and canonical plumbing pinned
+    * in one hash.
+    */
+  def q290(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Entity.crossLinkage(plantedVariantRecords(s, dir),
+      storedErRegistry(s, dir), "rec_id", "name")
+
+  private def fuzzyPairs(s: SparkSession, dir: String): DataFrame = {
+    val all = plantedBaseRecords(s, dir)
+      .unionByName(plantedVariantRecords(s, dir))
     def keyed(k: Column) = all.select(col("rec_id"), col("name"),
       k.as("bk"))
     val blocks = graft.ops.Dedup.capBlockRows(
@@ -4708,6 +4765,7 @@ object PipelineQueries {
     "q287_cross_semantic_audit" -> (q287 _),
     "q288_cross_jaccard_removed" -> (q288 _),
     "q289_remove_phantom_audit" -> (q289 _),
+    "q290_entity_link_stored" -> (q290 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -5790,6 +5848,53 @@ FROM o"""
               TRUE AS conservation_ok
        FROM batch b JOIN base ba
          ON list_cosine_similarity(b.v, ba.v) >= 0.95""",
+    // stored-registry cross linkage: planting + blocking + DuckDB's own
+    // jaro_winkler + the registry's canonical walk (recursive CTE over
+    // BASE-only pairs) — blocking, scoring, storage and canonical
+    // plumbing in one hash
+    "q290_entity_link_stored" ->
+      """WITH RECURSIVE base AS (SELECT doc_id AS rec_id,
+             lpad(CAST(doc_id % 997 AS VARCHAR), 3, '0') || '-' ||
+             list_value('alpha','bravo','carbon','delta','ember',
+               'falcon','granite','harbor')[CAST(doc_id % 8 AS BIGINT) + 1]
+             || '-' ||
+             lpad(CAST((doc_id * 31) % 997 AS VARCHAR), 3, '0') AS name
+           FROM documents),
+         vr AS (SELECT rec_id + 1000000 AS rec_id,
+             substr(name, 1, CAST((rec_id % len(name)) AS INT)) ||
+             substr(name, CAST((rec_id % len(name)) AS INT) + 2) AS name
+           FROM base WHERE rec_id % 4 = 0),
+         kb AS (SELECT rec_id, name, substr(name, 1, 3) AS bk FROM base
+                UNION ALL
+                SELECT rec_id, name, substr(name, -3, 3) AS bk FROM base),
+         pr AS (SELECT DISTINCT l.rec_id AS id1, r.rec_id AS id2,
+             l.name AS n1, r.name AS n2
+           FROM kb l JOIN kb r ON l.bk = r.bk AND l.rec_id < r.rec_id),
+         sc AS (SELECT id1, id2 FROM pr
+                WHERE jaro_winkler_similarity(n1, n2) >= 0.9),
+         e AS (SELECT id1 AS src, id2 AS dst FROM sc
+               UNION ALL SELECT id2, id1 FROM sc),
+         reach AS (
+           SELECT src AS id, src AS r FROM e
+           UNION
+           SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         reg AS (SELECT b.rec_id, b.name,
+             coalesce(c.cluster, b.rec_id) AS canonical_id
+           FROM base b LEFT JOIN comp c ON c.id = b.rec_id),
+         kv AS (SELECT rec_id, name, substr(name, 1, 3) AS bk FROM vr
+                UNION ALL
+                SELECT rec_id, name, substr(name, -3, 3) AS bk FROM vr),
+         kr AS (SELECT rec_id, name, substr(name, 1, 3) AS bk FROM reg
+                UNION ALL
+                SELECT rec_id, name, substr(name, -3, 3) AS bk FROM reg),
+         cand AS (SELECT DISTINCT v.rec_id AS new_id, r.rec_id AS rec_id,
+             v.name AS nv, r.name AS nb
+           FROM kv v JOIN kr r ON v.bk = r.bk)
+       SELECT c.new_id, c.rec_id, g.canonical_id,
+              round(jaro_winkler_similarity(c.nv, c.nb), 4) AS jw
+       FROM cand c JOIN reg g ON g.rec_id = c.rec_id
+       WHERE jaro_winkler_similarity(c.nv, c.nb) >= 0.9""",
     // delete path: the q277 brute force over the SURVIVING base only —
     // retraction completeness + minimality in one hash
     "q288_cross_jaccard_removed" ->

@@ -3302,6 +3302,93 @@ class OpsSpec extends SparkSpec {
     graft.deleteRecursively(new java.io.File(dir))
   }
 
+  test("EntityRegistry: save/load/admit lifecycle, best-match admit-or-merge, no-merge divergence pin, cap audit, guards (q290 laws)") {
+    import graft.ops.Entity
+    // two clear entities + a singleton; names carry the q176 two-ended
+    // key structure
+    val base = Seq(
+      (1L, "111-alpha-333"), (2L, "111-alpha-33"),   // entity {1,2}
+      (10L, "555-bravo-777"), (11L, "555-bravo-77"), // entity {10,11}
+      (20L, "999-delta-888")                          // singleton
+    ).toDF("rec_id", "name")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-er-spec").toString
+    Entity.buildRegistry(base, "rec_id", "name", threshold = 0.9,
+      prefixLen = 3).save(dir)
+    val reg = Entity.loadRegistry(spark, dir)
+    assert((reg.threshold, reg.prefixLen) === (0.9, 3))
+    val canon = reg.records.select("rec_id", "canonical_id")
+      .as[(Long, Long)].collect().toMap
+    assert(canon === Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L), s"got $canon")
+    // cross door: a typo'd variant of rec 2 links to BOTH members of
+    // its entity (blocking via the intact end), carrying canonical 1;
+    // an unrelated name links to nothing
+    val batch = Seq((100L, "111-alpha-3"), (101L, "000-zzzzz-000"))
+      .toDF("rec_id", "name")
+    val links = Entity.crossLinkage(batch, reg, "rec_id", "name")
+      .select("new_id", "rec_id", "canonical_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(links.nonEmpty && links.forall(l => l._1 === 100L &&
+      l._3 === 1L), s"got $links")
+    // admit-or-merge: 100 joins entity 1 (best match), 101 becomes its
+    // own canonical; the registry EXTENDS and answers later probes
+    val admitted = Entity.admitBatch(batch, reg, "rec_id", "name")
+    val canon2 = admitted.records.select("rec_id", "canonical_id")
+      .as[(Long, Long)].collect().toMap
+    assert(canon2(100L) === 1L && canon2(101L) === 101L)
+    assert(canon2.size === 7)
+    val probe2 = Entity.crossLinkage(
+        Seq((200L, "000-zzzzz-00")).toDF("rec_id", "name"),
+      admitted, "rec_id", "name")
+      .select("rec_id", "canonical_id").as[(Long, Long)].collect().toSet
+    assert(probe2 === Set((101L, 101L)),
+      s"admitted record must answer later probes, got $probe2")
+    // the honest incremental divergence, PINNED: a bridging record
+    // close to two existing entities links to its single best match —
+    // the registry's two entities do NOT merge (buildRegistry over all
+    // records is the compaction that would merge them)
+    val bridge = Seq((300L, "111-alpha-333")).toDF("rec_id", "name")
+    val admitted2 = Entity.admitBatch(bridge, admitted, "rec_id", "name")
+    val canon3 = admitted2.records.select("rec_id", "canonical_id")
+      .as[(Long, Long)].collect().toMap
+    assert(canon3(300L) === 1L)
+    assert(canon3(10L) === 10L && canon3(11L) === 10L,
+      "admitBatch must never merge existing entities")
+    // id-overlap guard (the extendIvf posture) + bypass
+    val e = intercept[IllegalArgumentException] {
+      Entity.admitBatch(Seq((20L, "x")).toDF("rec_id", "name"),
+        admitted, "rec_id", "name")
+    }
+    assert(e.getMessage.contains("already present"))
+    assert(Entity.admitBatch(Seq((20L, "xy")).toDF("rec_id", "name"),
+      admitted, "rec_id", "name", verifyIds = false)
+      .records.filter(col("rec_id") === 20L).count() === 2L)
+    // cap audit: a degenerate block (shared key) is listed
+    // side-attributed from the same generators the door caps with
+    val flood = (400L to 440L).map(i => (i, s"111-x$i-111"))
+      .toDF("rec_id", "name")
+    val audit = Entity.crossLinkageAudit(flood, reg, "rec_id", "name",
+        maxBlock = 10)
+      .as[(String, String, Long)].collect()
+    assert(audit.exists(a => a._1 === "batch" && a._2 === "111" &&
+      a._3 > 10L), s"got ${audit.toSeq}")
+    // stale scheme rejected at load and at probe
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((0.9, 3, Entity.EntityRegistry.Scheme + 1))
+      .toDF("threshold", "prefix_len", "er_scheme")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val e2 = intercept[IllegalArgumentException] {
+      Entity.loadRegistry(spark, dir)
+    }
+    assert(e2.getMessage.contains("scheme"))
+    intercept[IllegalArgumentException] {
+      Entity.crossLinkage(batch, reg.copy(scheme = 999), "rec_id", "name")
+    }
+    graft.deleteRecursively(new java.io.File(dir))
+  }
+
   test("stored-index delete path: extend+remove ≡ rebuild, posting shrink survives save/load, phantom audit (JaccardIndex/FingerprintIndex, q288/q289 laws)") {
     import graft.ops.{Dedup, Multimodal}
     def toks(seed: Int, n: Int): Seq[String] =

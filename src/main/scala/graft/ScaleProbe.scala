@@ -108,7 +108,18 @@ object ScaleProbe {
     "q95_ann_ivfpq",
     // late-r13 arrivals: the PII scrub (five regex engines per row on a
     // zero-exchange scan — the pure-bandwidth shape, like q93 but
-    // regex-bound), CCNet perplexity buckets (q73's token passes + ONE
+    // regex-bound). Its ratio reads AT the scan band's 10× edge (10.3
+    // in the r18 sweep, the one non-comparator row above 10 — r18
+    // verdict watch item #1, diagnosed r19): per-row text volume is
+    // IDENTICAL at both SFs (avg 297 chars, driver fixture), rows are
+    // exactly 10×, and the plan is one codegen'd scan with zero joins —
+    // so the regex work is exactly corpus-linear BY DESIGN and the
+    // reading is honest cost plus sweep noise (re-measured standalone
+    // at 5.6×: the 15 MB sf1 file splits into 2 input partitions and
+    // parallelizes where the 1.5 MB file cannot; at production scale
+    // file count supplies the parallelism). Not a plan artifact —
+    // pinned like q201/q87's comparator notes. Then CCNet perplexity
+    // buckets (q73's token passes + ONE
     // doc-grain window exchange per source — the per-group sort must
     // stay doc-grain), and weighted sampling (corpus scan +
     // TakeOrderedAndProject — the cheapest exact-n pass; its ratio

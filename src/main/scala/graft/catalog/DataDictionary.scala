@@ -17,8 +17,8 @@ final case class DataDictionary(relations: Map[String, StructType]) {
 
   /** Register every relation as a temp view over its file, making the whole
     * dd queryable via `spark.sql`. Supported layouts: parquet (preferred),
-    * ORC, headered CSV, JSON lines, tagged-JSON (MR wire format), and
-    * TPC-H `.tbl`.
+    * ORC, Avro container files, headered CSV, JSON lines, tagged-JSON
+    * (MR wire format), and TPC-H `.tbl`.
     */
   def register(spark: SparkSession, dataDir: String,
                format: String = "parquet"): Unit =
@@ -62,6 +62,62 @@ final case class DataDictionary(relations: Map[String, StructType]) {
         val raw = spark.read.option("sep", "|").csv(s"$dataDir/$rel.tbl")
         raw.select(st.fields.zipWithIndex.map { case (f, i) =>
           col(s"_c$i").cast(f.dataType).as(f.name) }.toIndexedSeq: _*)
+      case "avro" =>
+        // Avro container files (the one mainstream wire format the
+        // matrix lacked — r18 verdict #7). The spark-avro CONNECTOR is
+        // an external module not on this classpath, but the Avro
+        // libraries themselves ship with Spark (avro + avro-mapred),
+        // so the source is built on Hadoop's splittable
+        // AvroKeyInputFormat — records decode ON the scan partitions,
+        // container blocks split at sync markers exactly like any
+        // production Avro scan, no driver-side reads. Values surface
+        // as STRINGS and cast through the dd (the CSV discipline:
+        // Avro's Utf8/number toString round-trips exactly for the
+        // dd's primitive types, and dd/file drift surfaces at scan
+        // time). Non-primitive dd columns refuse loudly — flat
+        // records are what the dd declares (reference:
+        // `pizza_set.json`/`tpc-h.json` are flat), not a silent
+        // partial decode. A field MISSING from the writer schema also
+        // refuses per record batch rather than turning into an
+        // all-null column.
+        st.fields.foreach(f => require(f.dataType match {
+          case _: ArrayType | _: StructType | _: MapType |
+               BinaryType => false
+          case _ => true
+        }, s"avro dd source: non-primitive dd column ${f.name} " +
+          s"(${f.dataType.simpleString}) — flat records only"))
+        val names = st.fields.map(_.name).toIndexedSeq
+        val rows = spark.sparkContext.newAPIHadoopFile(
+            s"$dataDir/$rel.avro",
+            classOf[org.apache.avro.mapreduce.AvroKeyInputFormat[
+              org.apache.avro.generic.GenericRecord]],
+            classOf[org.apache.avro.mapred.AvroKey[
+              org.apache.avro.generic.GenericRecord]],
+            classOf[org.apache.hadoop.io.NullWritable])
+          .mapPartitions { it =>
+            var checked = false
+            it.map { case (k, _) =>
+              val rec = k.datum()
+              if (!checked) {
+                val absent = names.filter(rec.getSchema.getField(_) == null)
+                require(absent.isEmpty,
+                  s"avro dd source: writer schema for $rel lacks dd " +
+                    s"column(s) ${absent.mkString(", ")}")
+                checked = true
+              }
+              // copy out IMMEDIATELY: Hadoop input formats reuse the
+              // record object across iterator steps
+              org.apache.spark.sql.Row.fromSeq(names.map { n =>
+                val v = rec.get(n)
+                if (v == null) null else v.toString
+              })
+            }
+          }
+        val raw = spark.createDataFrame(rows,
+          StructType(st.fields.map(f => StructField(f.name, StringType,
+            nullable = true))))
+        raw.select(st.fields.map(f =>
+          raw(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
       case "tagged-json" =>
         // The reference's MR wire format: `<relname>\t<json>` per line
         // with `Rel.attr` keys (`ra2mr/ra2mr.py:144-146`,

@@ -337,6 +337,91 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("Avro ingestion through the dd: container round-trip, dd casts, missing-field and non-primitive guards") {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-avro").toFile
+    def write(path: java.io.File, schema: Schema,
+              rows: Seq[Map[String, Any]]): Unit = {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, path)
+      rows.foreach { r =>
+        val rec = new GenericData.Record(schema)
+        r.foreach { case (k, v) => rec.put(k, v) }
+        w.append(rec)
+      }
+      w.close()
+    }
+    try {
+      // writer schema carries an EXTRA field (ignored) and a null union
+      // on price (surfaces as SQL NULL after the dd cast)
+      val schema = SchemaBuilder.record("Serves").fields()
+        .requiredString("pizzeria").requiredString("pizza")
+        .optionalDouble("price").requiredInt("extra")
+        .endRecord()
+      write(new java.io.File(tmp, "Serves.avro"), schema, Seq(
+        Map("pizzeria" -> "Dominos", "pizza" -> "mushroom",
+          "price" -> 8.5, "extra" -> 1),
+        Map("pizzeria" -> "Corleone", "pizza" -> "cheese",
+          "price" -> 7.75, "extra" -> 2),
+        Map("pizzeria" -> "NullHouse", "pizza" -> "plain",
+          "extra" -> 3)))
+      val df = pizzaDd.load(spark, tmp.getPath, "Serves", "avro")
+      assert(df.columns.toSeq === Seq("pizzeria", "pizza", "price"))
+      assert(df.schema("price").dataType ===
+        org.apache.spark.sql.types.DoubleType)
+      assert(df.count() === 3)
+      assert(df.filter(col("price") === 7.75).count() === 1)
+      assert(df.filter(col("price").isNull).count() === 1,
+        "avro null union must surface as SQL NULL")
+      // round-trip: the dd-loaded frame equals the same rows loaded
+      // from parquet through the same dd cast
+      Seq(("Dominos", "mushroom", Some(8.5)),
+          ("Corleone", "cheese", Some(7.75)),
+          ("NullHouse", "plain", None: Option[Double]))
+        .toDF("pizzeria", "pizza", "price")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${tmp.getPath}/Serves.parquet")
+      val viaParquet = pizzaDd.load(spark, tmp.getPath, "Serves", "parquet")
+      assert(df.collect().toSet === viaParquet.collect().toSet,
+        "avro and parquet dd loads must agree row-for-row")
+      // a writer schema LACKING a dd column refuses loudly per batch
+      // instead of an all-null column
+      val lacking = SchemaBuilder.record("Serves").fields()
+        .requiredString("pizzeria").endRecord()
+      val tmp2 = java.nio.file.Files.createTempDirectory("graft-avro2").toFile
+      write(new java.io.File(tmp2, "Serves.avro"), lacking,
+        Seq(Map("pizzeria" -> "X")))
+      val e = intercept[Exception] {
+        pizzaDd.load(spark, tmp2.getPath, "Serves", "avro").collect()
+      }
+      def chain(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(_.getMessage).mkString(" | ")
+      assert(chain(e).contains("lacks dd column"), s"got: ${chain(e)}")
+      // non-primitive dd columns refuse at plan time
+      val binDd = graft.catalog.DataDictionary(Map("Media" ->
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("media_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("content",
+            org.apache.spark.sql.types.BinaryType)))))
+      val e2 = intercept[IllegalArgumentException] {
+        binDd.load(spark, tmp.getPath, "Media", "avro")
+      }
+      assert(e2.getMessage.contains("flat records only"))
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp2.toPath).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp.toPath).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("runtime bloom filter from a selective dim side prunes the fact scan") {
     // The 100 TB lever beyond static pushdown: a filter on the DIMENSION
     // side can't statically prune the fact scan, but Spark's

@@ -215,7 +215,7 @@ object Similarity {
 
     /** Centers as a driver-side array ordered by cluster id — the form
       * [[graft.expr.VecNearest]] wants. Config-sized (nlist × dim). */
-    private[ops] def centersArray: Array[Seq[Double]] =
+    private[graft] def centersArray: Array[Seq[Double]] =
       centroids.orderBy(col("cluster").asc).collect()
         .map(_.getSeq[Double](1))
 
@@ -898,7 +898,7 @@ object Similarity {
   /** Inverted-file cell populations — (cluster, cell_rows), nlist rows
     * out of one column-pruned aggregate; the [[crossSemanticPairs]] cap
     * predicate and the [[crossSemanticAudit]] listing. */
-  private def cellSizes(index: IvfIndex): DataFrame =
+  private[graft] def cellSizes(index: IvfIndex): DataFrame =
     index.assigned.groupBy(col("cluster"))
       .agg(count(lit(1)).as("cell_rows"))
 

@@ -378,6 +378,74 @@ object DocumentStreams {
       .filter(col("jaccard_bp") >= thresholdBp)
   }
 
+  /** SEMANTIC near-dup flags for ARRIVING embeddings against the
+    * STORED [[graft.ops.Similarity.IvfIndex]] — the streaming twin of
+    * [[graft.ops.Similarity.crossSemanticPairs]], closing the semantic
+    * family's ingest-stream symmetry in the same round the stored door
+    * landed (every dedup family now has door + stream + delete). The
+    * simplest twin in the module: routing is ROW-LOCAL (the native
+    * vec_nearest_k codegen loop over the stored centers literal — no
+    * state, no shuffle on the stream side), candidates are one
+    * stream-static inner join against the capped stored inverted file,
+    * and the exact-cosine verify is row-local on the joined row. Each
+    * base id sits in exactly ONE stored cell, so a (new, base) pair
+    * arises at most once — COMPLETELY STATELESS, not even the
+    * watermark-bounded pair dedup the LSH/Jaccard twins need (the
+    * watermark rides along for the egress contract only). Stream ≡
+    * batch door exactly (StreamingSpec law — same routing, same cells,
+    * same verify arithmetic).
+    *
+    * `maxCell` is the batch door's tombstone verbatim, applied on the
+    * static side before the join ([[graft.ops.Similarity
+    * .crossSemanticAudit]] remains the loud twin — run it at
+    * compaction cadence); `broadcastIndex` hints the capped inverted
+    * file broadcast so the stream side never shuffles (the
+    * flagAgainstBaseIndexed trade — right whenever cells × dim fits
+    * executor memory).
+    *
+    * Emits `(new_id, base_id, sim, ts)`, cosine at 4 dp.
+    */
+  def semanticFlagStream(docs: DataFrame,
+                         index: graft.ops.Similarity.IvfIndex,
+                         threshold: Double, probes: Int = 2,
+                         maxCell: Int = 10000,
+                         watermark: String = "10 minutes",
+                         broadcastIndex: Boolean = false,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    require(index.scheme == graft.ops.Similarity.IvfIndex.Scheme,
+      s"IvfIndex fit scheme ${index.scheme} != this build's " +
+        s"${graft.ops.Similarity.IvfIndex.Scheme} — rebuild the index")
+    require(probes >= 1,
+      s"semanticFlagStream needs probes >= 1, got $probes")
+    require(maxCell >= 1,
+      s"semanticFlagStream: maxCell must be >= 1, got $maxCell")
+    val kept = graft.ops.Similarity.cellSizes(index)
+      .filter(col("cell_rows") <= maxCell).select(col("cluster"))
+    val base0 = index.assigned
+      .select(col("id").as("base_id"), col("v").as("cv"), col("cluster"))
+      .join(broadcast(kept), Seq("cluster"), "left_semi")
+    val base = if (broadcastIndex) broadcast(base0) else base0
+    docs
+      .withWatermark("ts", watermark)
+      .select(col(idCol).cast("long").as("new_id"), col("ts"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .where(coalesce(
+        assert_true(size(col("qv")) === index.dim,
+          lit(s"semanticFlagStream: vector dimension != index dim " +
+            s"${index.dim} — a mismatched vector would route to an " +
+            "arbitrary cell")),
+        lit(true)))
+      .select(col("new_id"), col("ts"), col("qv"),
+        explode(call_function("vec_nearest_k", col("qv"),
+          typedLit(index.centersArray.toSeq), lit(probes))).as("cluster"))
+      .join(base, Seq("cluster"))
+      .withColumn("sim", graft.ops.Similarity.cosine(col("qv"), col("cv")))
+      .filter(col("sim") >= threshold)
+      .select(col("new_id"), col("base_id"),
+        round(col("sim"), 4).as("sim"), col("ts"))
+  }
+
   /** In-flight DSIR importance scoring against a STORED
     * [[graft.ops.TextOps.ImportanceModel]] — the streaming twin of
     * [[graft.ops.TextOps.importanceScore]], for routing target-like

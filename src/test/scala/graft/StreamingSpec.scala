@@ -13,6 +13,7 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 
 case class Doc(doc_id: Long, ts: Timestamp, lang: String, text: String)
 case class Vec(vec_id: Long, embedding: Seq[Float])
+case class EmbRow(vec_id: Long, ts: Timestamp, embedding: Seq[Float])
 
 /** Structured Streaming contracts: the streaming pipelines produce the
   * same answers as their batch twins, and watermarks/dedup state behave.
@@ -303,6 +304,68 @@ class StreamingSpec extends SparkSpec {
         input.toDF().select($"doc_id", $"ts",
           split($"text", " ").as("toks")),
         idx.copy(scheme = 999), thresholdBp = 7000L)
+    }
+  }
+
+  test("semanticFlagStream: stream ≡ batch crossSemanticPairs exactly; cap consistency; guards") {
+    import graft.ops.Similarity
+    def v(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(16)(r.nextGaussian().toFloat)
+    }
+    def jit(c: Int, i: Int): (Long, Seq[Float]) = {
+      val r = new scala.util.Random(c * 5000 + i)
+      ((c * 100 + i).toLong, v(c).map(x => (x + 0.05 * r.nextGaussian()).toFloat))
+    }
+    val base = (for (c <- 0 until 5; i <- 0 until 8) yield jit(c, i))
+      .toDF("vec_id", "embedding")
+    val idx = Similarity.fitIvf(base, nlist = 5)
+    val arriving = for (c <- 0 until 5) yield jit(c, 90)
+    val batchDf = arriving.toDF("vec_id", "embedding")
+    val expected = Similarity.crossSemanticPairs(batchDf, idx, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.nonEmpty, "degenerate fixture")
+    val input = MemoryStream[EmbRow](spark)
+    input.addData(arriving.zipWithIndex.map { case ((id, vec), i) =>
+      EmbRow(id, Timestamp.valueOf(f"2024-01-01 10:${i}%02d:00"), vec)
+    }: _*)
+    val q = graft.streaming.DocumentStreams.semanticFlagStream(
+        input.toDF(), idx, threshold = 0.9, broadcastIndex = true)
+      .writeStream.format("memory").queryName("sem_flags")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sem_flags").select("new_id", "base_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    assert(got.length === got.toSet.size,
+      "a (new, base) pair arose twice — the one-cell-per-base law broke")
+    assert(got.toSet === expected, s"stream ${got.toSet} != batch $expected")
+    // cap consistency: the same tombstone drops the same pairs in both
+    val expectedCapped = Similarity.crossSemanticPairs(batchDf, idx, 0.9,
+        maxCell = 3).as[(Long, Long, Double)].collect().toSet
+    val input2 = MemoryStream[EmbRow](spark)
+    input2.addData(arriving.zipWithIndex.map { case ((id, vec), i) =>
+      EmbRow(id, Timestamp.valueOf(f"2024-01-01 10:${i}%02d:00"), vec)
+    }: _*)
+    val q2 = graft.streaming.DocumentStreams.semanticFlagStream(
+        input2.toDF(), idx, threshold = 0.9, maxCell = 3,
+        broadcastIndex = true)
+      .writeStream.format("memory").queryName("sem_flags_capped")
+      .outputMode(OutputMode.Append()).start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.table("sem_flags_capped")
+      .select("new_id", "base_id", "sim")
+      .as[(Long, Long, Double)].collect().toSet === expectedCapped,
+      "capped stream != capped batch door")
+    assert(expectedCapped !== expected,
+      "cap must bite on this fixture (every cell holds 8 > 3)")
+    // guards
+    intercept[IllegalArgumentException] {
+      graft.streaming.DocumentStreams.semanticFlagStream(
+        input.toDF(), idx.copy(scheme = 999), 0.9)
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.DocumentStreams.semanticFlagStream(
+        input.toDF(), idx, 0.9, probes = 0)
     }
   }
 

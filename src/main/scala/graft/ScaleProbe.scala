@@ -487,7 +487,11 @@ object ScaleProbe {
     // resolved + saved once in warmup via the session cache, so the
     // ratio prices batch keying + the capped block join + the
     // canonical attach, never a re-resolve
-    "q290_entity_link_stored")
+    "q290_entity_link_stored",
+    // r19: admit-or-merge — q290's links + one batch-grain argmax
+    // window + the registry union; same stored side, so the ratio
+    // must track q290's
+    "q291_entity_admit")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -4223,6 +4223,30 @@ object PipelineQueries {
     graft.ops.Entity.crossLinkage(plantedVariantRecords(s, dir),
       storedErRegistry(s, dir), "rec_id", "name")
 
+  /** Admit-or-merge through the STORED registry
+    * ([[graft.ops.Entity.admitBatch]] — q290's door completed to the
+    * decision: per arriving record, JOIN your best-matching entity or
+    * become your own): the arriving batch is the deletion-typo
+    * variants (every one links — admit) UNION a novel slice with
+    * structurally unblockable names (no registry key collides — each
+    * becomes self-canonical), so both verdicts populate. Best match =
+    * max rounded jw, ties by min canonical_id — deterministic, and the
+    * oracle replays the whole chain: blocking, DuckDB's own
+    * jaro_winkler, the registry's canonical walk, the (jw DESC,
+    * canonical ASC) argmax window and the self-canonical fallback.
+    */
+  def q291(s: SparkSession, dir: String): DataFrame = {
+    val novel = t(s, dir)("documents").filter(col("doc_id") % 4 === 2)
+      .select((col("doc_id") + 2000000L).as("rec_id"),
+        concat(lit("xx-"), col("doc_id"), lit("-zz")).as("name"))
+    val admitted = graft.ops.Entity.admitBatch(
+      plantedVariantRecords(s, dir).unionByName(novel),
+      storedErRegistry(s, dir), "rec_id", "name")
+    admitted.records.filter(col("rec_id") >= 1000000L)
+      .select(col("rec_id"), col("canonical_id"),
+        (col("rec_id") === col("canonical_id")).as("is_new"))
+  }
+
   private def fuzzyPairs(s: SparkSession, dir: String): DataFrame = {
     val all = plantedBaseRecords(s, dir)
       .unionByName(plantedVariantRecords(s, dir))
@@ -4766,6 +4790,7 @@ object PipelineQueries {
     "q288_cross_jaccard_removed" -> (q288 _),
     "q289_remove_phantom_audit" -> (q289 _),
     "q290_entity_link_stored" -> (q290 _),
+    "q291_entity_admit" -> (q291 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -5895,6 +5920,65 @@ FROM o"""
               round(jaro_winkler_similarity(c.nv, c.nb), 4) AS jw
        FROM cand c JOIN reg g ON g.rec_id = c.rec_id
        WHERE jaro_winkler_similarity(c.nv, c.nb) >= 0.9""",
+    // admit-or-merge: q290's links + the (rounded-jw DESC, canonical
+    // ASC) argmax window + the self-canonical fallback for the novel
+    // slice, replayed end-to-end
+    "q291_entity_admit" ->
+      """WITH RECURSIVE base AS (SELECT doc_id AS rec_id,
+             lpad(CAST(doc_id % 997 AS VARCHAR), 3, '0') || '-' ||
+             list_value('alpha','bravo','carbon','delta','ember',
+               'falcon','granite','harbor')[CAST(doc_id % 8 AS BIGINT) + 1]
+             || '-' ||
+             lpad(CAST((doc_id * 31) % 997 AS VARCHAR), 3, '0') AS name
+           FROM documents),
+         vr AS (SELECT rec_id + 1000000 AS rec_id,
+             substr(name, 1, CAST((rec_id % len(name)) AS INT)) ||
+             substr(name, CAST((rec_id % len(name)) AS INT) + 2) AS name
+           FROM base WHERE rec_id % 4 = 0),
+         novel AS (SELECT doc_id + 2000000 AS rec_id,
+             'xx-' || doc_id || '-zz' AS name
+           FROM documents WHERE doc_id % 4 = 2),
+         allb AS (SELECT * FROM vr UNION ALL SELECT * FROM novel),
+         kb AS (SELECT rec_id, name, substr(name, 1, 3) AS bk FROM base
+                UNION ALL
+                SELECT rec_id, name, substr(name, -3, 3) AS bk FROM base),
+         pr AS (SELECT DISTINCT l.rec_id AS id1, r.rec_id AS id2,
+             l.name AS n1, r.name AS n2
+           FROM kb l JOIN kb r ON l.bk = r.bk AND l.rec_id < r.rec_id),
+         sc AS (SELECT id1, id2 FROM pr
+                WHERE jaro_winkler_similarity(n1, n2) >= 0.9),
+         e AS (SELECT id1 AS src, id2 AS dst FROM sc
+               UNION ALL SELECT id2, id1 FROM sc),
+         reach AS (
+           SELECT src AS id, src AS r FROM e
+           UNION
+           SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         reg AS (SELECT b.rec_id, b.name,
+             coalesce(c.cluster, b.rec_id) AS canonical_id
+           FROM base b LEFT JOIN comp c ON c.id = b.rec_id),
+         kv AS (SELECT rec_id, name, substr(name, 1, 3) AS bk FROM allb
+                UNION ALL
+                SELECT rec_id, name, substr(name, -3, 3) AS bk FROM allb),
+         kr AS (SELECT rec_id, name, substr(name, 1, 3) AS bk FROM reg
+                UNION ALL
+                SELECT rec_id, name, substr(name, -3, 3) AS bk FROM reg),
+         cand AS (SELECT DISTINCT v.rec_id AS new_id, r.rec_id AS rec_id,
+             v.name AS nv, r.name AS nb
+           FROM kv v JOIN kr r ON v.bk = r.bk),
+         links AS (SELECT c.new_id, g.canonical_id,
+             round(jaro_winkler_similarity(c.nv, c.nb), 4) AS jw
+           FROM cand c JOIN reg g ON g.rec_id = c.rec_id
+           WHERE jaro_winkler_similarity(c.nv, c.nb) >= 0.9),
+         best AS (SELECT new_id, canonical_id FROM (
+             SELECT new_id, canonical_id, row_number() OVER (
+               PARTITION BY new_id
+               ORDER BY jw DESC, canonical_id ASC) AS rn
+             FROM links) WHERE rn = 1)
+       SELECT b.rec_id,
+              coalesce(best.canonical_id, b.rec_id) AS canonical_id,
+              b.rec_id = coalesce(best.canonical_id, b.rec_id) AS is_new
+       FROM allb b LEFT JOIN best ON best.new_id = b.rec_id""",
     // delete path: the q277 brute force over the SURVIVING base only —
     // retraction completeness + minimality in one hash
     "q288_cross_jaccard_removed" ->

@@ -491,7 +491,15 @@ object ScaleProbe {
     // r19: admit-or-merge — q290's links + one batch-grain argmax
     // window + the registry union; same stored side, so the ratio
     // must track q290's
-    "q291_entity_admit")
+    "q291_entity_admit",
+    // r19: semantic dedup capstone — within-corpus cell-bounded pairs
+    // (the prod_semantic_pairs shape) + star-contraction rounds + one
+    // survivor join; the q266/q279/q285 composition pricing on vectors
+    "q292_semantic_dedup_capstone",
+    // r19: assortativity — one symmetrize+distinct shuffle, a degree
+    // aggregate, two degree joins and ONE global int64 sum; ratio ≈
+    // the edge-scan ratio, no per-node state beyond degrees
+    "q293_degree_assortativity")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -536,4 +536,50 @@ object Graph {
         Seq("z"), maxNeighbors)
       .select(col("z").as("node"), col("n_rows").as("degree"))
   }
+
+  /** Degree assortativity (Newman, PRL 2002) — the one-number answer to
+    * "do hubs link to hubs": the Pearson correlation of endpoint
+    * degrees over all ORIENTED edge incidences of the simple undirected
+    * graph (each edge sampled in both directions, the standard
+    * treatment, so the two marginals coincide). Crawl graphs and social
+    * graphs separate cleanly on its sign — disassortative (-) webs vs
+    * assortative (+) collaboration networks — which makes it the
+    * summary statistic a link-graph health report leads with, next to
+    * [[clusteringHealth]]'s per-node view.
+    *
+    * Exactness: the four sufficient statistics are pure int64 sums over
+    * edges (x = du, y = dv): with m2 = 2·|E|,
+    * r = (m2·Σxy − (Σx)²) / (m2·Σx² − (Σx)²) — both terms exact
+    * integers; only the final division runs in double (4 dp), the
+    * [[graft.ops.Classify.chiSquare2x2]] fixed-order posture, so two
+    * engines computing from equal integers agree bitwise. Regular
+    * graphs (zero degree variance) emit NULL — the correlation is
+    * undefined, never 0-by-convention. int64 envelope: m2·Σx² ≤
+    * 4·|E|²·dmax² must stay under 2⁶³ (|E|·dmax ≲ 1.5·10⁹ — document
+    * scale, not fixture scale; beyond it, pre-scale degrees).
+    *
+    * Scale shape: one symmetrize+distinct shuffle, one degree
+    * aggregate, two degree joins (broadcast when the node table fits),
+    * ONE global aggregate — no per-node state beyond the degree table.
+    * Output: a single row (n_edges, s_x, s_xy, s_xx, assortativity).
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val und = symmetrized(edges, srcCol, dstCol)
+    val deg = degreesOf(und)
+    val m2 = col("n_edges") * 2L
+    val num = m2 * col("s_xy") - col("s_x") * col("s_x")
+    val den = m2 * col("s_xx") - col("s_x") * col("s_x")
+    und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("du") + col("dv")).as("s_x"),
+        (sum(col("du") * col("dv")) * 2L).as("s_xy"),
+        sum(col("du") * col("du") + col("dv") * col("dv")).as("s_xx"))
+      .select(col("n_edges"), col("s_x"), col("s_xy"), col("s_xx"),
+        when(den === 0 || col("s_x").isNull, lit(null).cast("double"))
+          .otherwise(round(num.cast("double") / den.cast("double"), 4))
+          .as("assortativity"))
+  }
 }

@@ -2286,6 +2286,23 @@ object AnalyticQueries {
   def q222(s: SparkSession, dir: String): DataFrame =
     graft.ops.Graph.triangles(plantedGraphEdges(s, dir), "s", "t")
 
+  /** Degree assortativity over the SAME planted graph the triangle /
+    * health / link-prediction family gates
+    * ([[graft.ops.Graph.degreeAssortativity]] — Newman's hubs-link-to-
+    * hubs Pearson over oriented edge incidences, the summary statistic
+    * a link-graph health report leads with): all four sufficient
+    * statistics are exact int64 sums, only the final division runs in
+    * double at 4 dp (the chiSquare2x2 fixed-order posture), so the
+    * oracle replays the planting, the symmetrize+dedup, the degree
+    * table, the sums AND the division bit-for-bit. The chained-triangle
+    * structure mixes degree-2 corners with degree-3+ chain joints, so
+    * the statistic lands strictly inside (−1, 1) — both the NULL
+    * regular-graph guard and the ±1 degenerate pins live in OpsSpec.
+    */
+  def q293(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.degreeAssortativity(plantedGraphEdges(s, dir),
+      "s", "t")
+
   /** The q222/q238 planted link graph: disjoint triangles on id
     * triples, chained, every 15th chain link closed into a second
     * edge-sharing triangle, plus reversed duplicates (symmetrization)
@@ -2771,6 +2788,7 @@ object AnalyticQueries {
     "q220_source_entropy" -> (q220 _),
     "q221_nullsafe_join" -> (q221 _),
     "q222_triangles" -> (q222 _),
+    "q293_degree_assortativity" -> (q293 _),
     "q280_link_prediction" -> (q280 _),
     "q281_link_prediction_audit" -> (q281 _),
     "q223_psi_drift" -> (q223 _),
@@ -2869,6 +2887,41 @@ object AnalyticQueries {
        SELECT e1.u AS n_a, e1.v AS n_b, e2.v AS n_c
        FROM e e1 JOIN e e2 ON e1.v = e2.u
        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""",
+    // assortativity: same planted edges; degrees, the four int64 sums
+    // and the one double division replayed (CASTs per the widening
+    // audit; the division replays Spark's cast-then-round exactly)
+    "q293_degree_assortativity" ->
+      """WITH b3 AS (SELECT doc_id AS d FROM documents WHERE doc_id % 3 = 0),
+         raw AS (
+           SELECT d AS u, d + 1 AS v FROM b3
+           UNION ALL SELECT d + 1, d + 2 FROM b3
+           UNION ALL SELECT d, d + 2 FROM b3
+           UNION ALL SELECT d + 2, d + 3 FROM b3
+           UNION ALL SELECT doc_id, doc_id + 3 FROM documents
+             WHERE doc_id % 15 = 0
+           UNION ALL SELECT doc_id + 1, doc_id FROM documents
+             WHERE doc_id % 6 = 0
+           UNION ALL SELECT doc_id, doc_id FROM documents
+             WHERE doc_id % 11 = 0),
+         e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+           FROM raw WHERE u <> v),
+         deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+           FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+           GROUP BY n),
+         j AS (SELECT a.d AS du, b.d AS dv
+           FROM e JOIN deg a ON a.n = e.u JOIN deg b ON b.n = e.v),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(sum(du + dv) AS BIGINT) AS s_x,
+             CAST(2 * sum(du * dv) AS BIGINT) AS s_xy,
+             CAST(sum(du * du + dv * dv) AS BIGINT) AS s_xx
+           FROM j)
+       SELECT n_edges, s_x, s_xy, s_xx,
+              CASE WHEN 2 * n_edges * s_xx - s_x * s_x = 0 THEN NULL
+                   ELSE round(
+                     CAST(2 * n_edges * s_xy - s_x * s_x AS DOUBLE) /
+                     CAST(2 * n_edges * s_xx - s_x * s_x AS DOUBLE), 4)
+              END AS assortativity
+       FROM st""",
     // link prediction: same planted edges, full adjacency wedge
     // self-join, true-degree RA terms, non-edge anti-join
     "q280_link_prediction" ->

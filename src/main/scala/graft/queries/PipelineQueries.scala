@@ -3032,6 +3032,39 @@ object PipelineQueries {
       .removeAudit(retractions, "doc_id")
   }
 
+  /** End-to-end SEMANTIC dedup — the capstone composition on the
+    * embedding modality, closing the capstone symmetry (image q266,
+    * video q279, records q285, now vectors): planted exact clones
+    * (vec_id % 7 = 0 re-tagged +10⁴) union the corpus,
+    * [[Similarity.semanticPairs]] finds the clone pairs at 0.95
+    * (structural completeness — a clone and its sibling route to the
+    * same cells under the SAME quantizer, the q286 argument applied
+    * within-corpus), [[graft.ops.Dedup.dupClusters]] star-contracts
+    * them, canonical survivor = min vec_id, singletons self-canonical.
+    * Per vector, KEEP or point-at-whom — SemDeDup's drop decision as
+    * one relation. The oracle replays the planting, brute-force
+    * all-pairs cosine, recursive-CTE components and the same min, so
+    * clustering AND contraction losing nothing between stages pins in
+    * one hash.
+    */
+  def q292(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir)("embeddings")
+    val corpus = e.select(col("vec_id"), col("embedding"))
+      .unionByName(e.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 10000L).as("vec_id"), col("embedding")))
+    val pairs = Similarity.semanticPairs(corpus, threshold = 0.95)
+      .select(col("a_id"), col("b_id"))
+    val clusters = graft.ops.Dedup.dupClusters(pairs,
+      starContraction = true)
+    corpus.select(col("vec_id"))
+      .join(clusters.select(col("id").as("vec_id"), col("cluster")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster"), col("vec_id")).as("canonical_id"))
+      .withColumn("is_kept", (col("vec_id") === col("canonical_id"))
+        .cast("boolean"))
+  }
+
   /** The language-planted corpus shared by q166: each doc gets its
     * label's function-word suffix ×3 (the trigram signal a char-n-gram
     * model keys on — the raw fixture text is the SAME synthetic
@@ -4791,6 +4824,7 @@ object PipelineQueries {
     "q289_remove_phantom_audit" -> (q289 _),
     "q290_entity_link_stored" -> (q290 _),
     "q291_entity_admit" -> (q291 _),
+    "q292_semantic_dedup_capstone" -> (q292 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -5843,6 +5877,29 @@ FROM o"""
               coalesce(c.cluster, u.rec_id) AS canonical_id,
               u.rec_id = coalesce(c.cluster, u.rec_id) AS is_kept
        FROM uni u LEFT JOIN comp c ON c.id = u.rec_id""",
+    // semantic dedup capstone: planting + brute-force all-pairs cosine
+    // + recursive-CTE components + the same min — the q266/q279/q285
+    // replay on vectors
+    "q292_semantic_dedup_capstone" ->
+      """WITH RECURSIVE e0 AS (SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         corpus AS (SELECT vec_id, v FROM e0
+                    UNION ALL
+                    SELECT vec_id + 10000, v FROM e0 WHERE vec_id % 7 = 0),
+         sc AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+           FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.v, b.v) >= 0.95),
+         ed AS (SELECT id1 AS src, id2 AS dst FROM sc
+                UNION ALL SELECT id2, id1 FROM sc),
+         reach AS (
+           SELECT src AS id, src AS r FROM ed
+           UNION
+           SELECT ed.src, reach.r FROM ed JOIN reach ON ed.dst = reach.id),
+         comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+       SELECT c.vec_id,
+              coalesce(p.cluster, c.vec_id) AS canonical_id,
+              c.vec_id = coalesce(p.cluster, c.vec_id) AS is_kept
+       FROM corpus c LEFT JOIN comp p ON p.id = c.vec_id""",
     // stored-IVF semantic door: naive all batch x base cross-cosine —
     // cell-routing completeness on planted clones + save/load in one
     // hash (the q64/q277 posture on the embedding family)

@@ -3302,6 +3302,47 @@ class OpsSpec extends SparkSpec {
     graft.deleteRecursively(new java.io.File(dir))
   }
 
+  test("degreeAssortativity: star/path hit -1 exactly, regular graph NULL, random graph equals brute-force Pearson, symmetrize hygiene (q293 laws)") {
+    import graft.ops.Graph
+    def r(edges: Seq[(Long, Long)]): Option[Double] =
+      Graph.degreeAssortativity(edges.toDF("s", "t"), "s", "t")
+        .select("assortativity").as[Option[Double]].head()
+    // star S3: the hub's degree anti-correlates with every leaf — -1
+    assert(r(Seq((0L, 1L), (0L, 2L), (0L, 3L))) === Some(-1.0))
+    // path P3: same
+    assert(r(Seq((0L, 1L), (1L, 2L))) === Some(-1.0))
+    // K3 is regular: zero degree variance — NULL, never 0-by-convention
+    assert(r(Seq((0L, 1L), (1L, 2L), (0L, 2L))) === None)
+    // triangle + pendant, hand-checked: m2=8, sx=18, sxy=38, sxx=44
+    // -> (8*38-324)/(8*44-324) = -20/28 = -0.7143
+    assert(r(Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L)))
+      === Some(-0.7143))
+    // random graph: equals the brute-force Pearson over oriented
+    // incidences computed independently in Scala
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 60).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val und = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct
+    val deg = und.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val xs = und.flatMap(e => Seq((deg(e._1), deg(e._2)),
+      (deg(e._2), deg(e._1))))
+    val n = xs.size.toDouble
+    val sx = xs.map(_._1).sum.toDouble
+    val sxy = xs.map(p => p._1 * p._2).sum.toDouble
+    val sxx = xs.map(p => p._1 * p._1).sum.toDouble
+    val expected = BigDecimal((n * sxy - sx * sx) / (n * sxx - sx * sx))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(edges) === Some(expected))
+    // hygiene: self-loops and reversed duplicates change nothing
+    assert(r(edges ++ Seq((5L, 5L)) ++ edges.map(_.swap))
+      === Some(expected))
+    // empty graph: NULL, not a crash
+    assert(r(Seq.empty[(Long, Long)]) === None)
+  }
+
   test("EntityRegistry: save/load/admit lifecycle, best-match admit-or-merge, no-merge divergence pin, cap audit, guards (q290 laws)") {
     import graft.ops.Entity
     // two clear entities + a singleton; names carry the q176 two-ended

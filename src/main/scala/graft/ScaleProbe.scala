@@ -499,7 +499,12 @@ object ScaleProbe {
     // r19: assortativity — one symmetrize+distinct shuffle, a degree
     // aggregate, two degree joins and ONE global int64 sum; ratio ≈
     // the edge-scan ratio, no per-node state beyond degrees
-    "q293_degree_assortativity")
+    "q293_degree_assortativity",
+    // r19: delete-path doors on the OTHER two stored families — the
+    // shrunk-IVF probe rides q286's shape plus one id anti-join on
+    // the inverted file; the shrunk-band probe pays the q64 fit (the
+    // fit-in-query posture) plus the bucket-thinning regroup
+    "q294_cross_semantic_removed", "q295_cross_neardup_removed")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -3065,6 +3065,46 @@ object PipelineQueries {
         .cast("boolean"))
   }
 
+  /** The semantic door over the SHRUNK stored IVF index
+    * ([[Similarity.IvfIndex.remove]] — the q288 retraction gate on the
+    * SECOND stored family, so the delete path is oracle-gated on both
+    * posting-shaped and inverted-file-shaped artifacts): the q286
+    * stored index retracts its vec_id % 3 = 0 base slice (lazy
+    * anti-join on the inverted file, centroids frozen), then the same
+    * batch probes at 0.95. 19 of q286's 57 clone pairs die with their
+    * retracted base vectors, 38 survive — the oracle brute-forces
+    * batch × SURVIVING base, retraction completeness + minimality in
+    * one hash.
+    */
+  def q294(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir)("embeddings")
+    Similarity.crossSemanticPairs(embBatch(s, dir),
+      storedEmbIvf(s, dir).remove(
+        e.filter(col("vec_id") % 5 =!= 0L && col("vec_id") % 3 === 0L)
+          .select(col("vec_id")), "vec_id"),
+      threshold = 0.95)
+  }
+
+  /** The LSH near-dup door over the SHRUNK band index
+    * ([[Dedup.CorpusIndex.remove]] — the retraction gate on the THIRD
+    * stored family, the bucket-thinning shape: live buckets explode,
+    * anti-join, regroup; emptied buckets drop like a rebuild's): the
+    * q64 base slice's index retracts its doc_id % 3 = 0 docs, then the
+    * same arriving batch probes at 0.5. Eight of q64's twelve pairs
+    * die with their retracted base docs, four survive — the oracle
+    * replays exact Jaccard over batch × SURVIVING base.
+    */
+  def q295(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    val base = docs.filter(length(col("source")) <= 4)
+    Dedup.crossNearDupIndexed(
+      docs.filter(length(col("source")) > 4),
+      Dedup.buildIndex(base, "doc_id", "text")
+        .remove(base.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id")), "doc_id"),
+      "doc_id", "text", threshold = 0.5)
+  }
+
   /** The language-planted corpus shared by q166: each doc gets its
     * label's function-word suffix ×3 (the trigram signal a char-n-gram
     * model keys on — the raw fixture text is the SAME synthetic
@@ -4825,6 +4865,8 @@ object PipelineQueries {
     "q290_entity_link_stored" -> (q290 _),
     "q291_entity_admit" -> (q291 _),
     "q292_semantic_dedup_capstone" -> (q292 _),
+    "q294_cross_semantic_removed" -> (q294 _),
+    "q295_cross_neardup_removed" -> (q295 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -5900,6 +5942,21 @@ FROM o"""
               coalesce(p.cluster, c.vec_id) AS canonical_id,
               c.vec_id = coalesce(p.cluster, c.vec_id) AS is_kept
        FROM corpus c LEFT JOIN comp p ON p.id = c.vec_id""",
+    // semantic delete path: the q286 brute force over the SURVIVING
+    // base only (vec_id % 3 <> 0)
+    "q294_cross_semantic_removed" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         base AS (SELECT vec_id, v FROM e
+                  WHERE vec_id % 5 <> 0 AND vec_id % 3 <> 0),
+         batch AS (SELECT vec_id AS new_id, v FROM e WHERE vec_id % 5 = 0
+                   UNION ALL
+                   SELECT vec_id + 10000, v FROM e
+                   WHERE vec_id % 7 = 0 AND vec_id % 5 <> 0)
+       SELECT b.new_id, ba.vec_id AS base_id,
+              round(list_cosine_similarity(b.v, ba.v), 4) AS sim
+       FROM batch b JOIN base ba
+         ON list_cosine_similarity(b.v, ba.v) >= 0.95""",
     // stored-IVF semantic door: naive all batch x base cross-cosine —
     // cell-routing completeness on planted clones + save/load in one
     // hash (the q64/q277 posture on the embedding family)
@@ -7456,6 +7513,20 @@ FROM o"""
          SELECT doc_id, source FROM documents
          WHERE source <> 'src0'
            AND doc_id NOT IN (SELECT doc_id FROM flagged)"""),
+    // LSH delete path: the q64 exact-Jaccard replay over the SURVIVING
+    // base only (doc_id % 3 <> 0)
+    "q295_cross_neardup_removed" -> (shingleCte +
+      """, d AS (SELECT s.doc_id, doc.source, s.sh
+                 FROM s JOIN documents doc ON s.doc_id = doc.doc_id)
+         SELECT n.doc_id AS new_id, b.doc_id AS base_id,
+                round(CAST(len(list_intersect(n.sh, b.sh)) AS DOUBLE)
+                      / len(list_distinct(n.sh || b.sh)), 4) AS jacc
+         FROM d n JOIN d b
+           ON length(n.source) > 4 AND length(b.source) <= 4
+             AND b.doc_id % 3 <> 0
+         WHERE len(n.sh) > 0 AND len(b.sh) > 0
+           AND CAST(len(list_intersect(n.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(n.sh || b.sh)) >= 0.5"""),
     "q64_incremental_dedup" -> (shingleCte +
       """, d AS (SELECT s.doc_id, doc.source, s.sh
                  FROM s JOIN documents doc ON s.doc_id = doc.doc_id)

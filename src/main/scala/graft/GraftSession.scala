@@ -278,6 +278,18 @@ object GraftSession {
               .BloomFilterMightContain(children(0), children(1))
           }))
       }
+      // ANSI mode stays OFF — a deliberate posture, pinned here (r19
+      // verdict #1): the engine's doors lean on non-ANSI cast semantics
+      // (string→long NULLs feed dead-letter screens, TRY_CAST parity,
+      // the dd's drift-surfaces-as-NULL contract), and a mid-query
+      // ArithmeticException on a 100 TB job is a worse failure mode
+      // than a screened NULL. The COROLLARY is that long×long products
+      // WRAP silently — so any operator whose intermediate can exceed
+      // 2⁶³ at document scale must widen explicitly (decimal(38,0) or
+      // double) rather than rely on the session to catch it:
+      // degreeAssortativity's bilinear terms are the audited example
+      // (ops/Graph.scala), chiSquare2x2/OLS run in double by design,
+      // and per-edge/count sums are envelope-documented at their sites.
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -80,12 +80,20 @@ final case class DataDictionary(relations: Map[String, StructType]) {
         // partial decode. A field MISSING from the writer schema also
         // refuses per record batch rather than turning into an
         // all-null column.
+        // Date/Timestamp refuse alongside the nested types (r19
+        // advice): Avro logical date/timestamp values surface through
+        // GenericRecord as raw int/long, whose toString ("19000") then
+        // casts to date/timestamp as a silent NULL under the non-ANSI
+        // session — the opposite of the "drift surfaces at scan time"
+        // contract. Store temporals in parquet/orc/json, or declare
+        // the column as the long epoch it physically is.
         st.fields.foreach(f => require(f.dataType match {
           case _: ArrayType | _: StructType | _: MapType |
-               BinaryType => false
+               BinaryType | DateType | TimestampType => false
           case _ => true
         }, s"avro dd source: non-primitive dd column ${f.name} " +
-          s"(${f.dataType.simpleString}) — flat records only"))
+          s"(${f.dataType.simpleString}) — flat records only, and " +
+          "temporal columns would decode as silent NULLs"))
         val names = st.fields.map(_.name).toIndexedSeq
         val rows = spark.sparkContext.newAPIHadoopFile(
             s"$dataDir/$rel.avro",

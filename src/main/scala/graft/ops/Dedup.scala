@@ -1885,7 +1885,12 @@ object Dedup {
                tokensCol: String,
                verifyIds: Boolean = true): JaccardIndex = {
       if (verifyIds) {
-        val overlap = newDocs.select(col(idCol).as("base_id"))
+        // cast to long FIRST — the id space normTokenSets actually
+        // stores (r19 advice): a raw string/decimal id compared against
+        // the stored bigint coerces both sides to double, so ids past
+        // 2^53 or differently-formatted numerics could evade the guard
+        // yet collide after the cast below
+        val overlap = newDocs.select(col(idCol).cast("long").as("base_id"))
           .join(tokens.select(col("base_id")), Seq("base_id"), "left_semi")
           .limit(5).collect()
         require(overlap.isEmpty,

@@ -85,7 +85,11 @@ object Entity {
     * [[Dedup.dupClusters]] star-contraction → canonical = min rec_id
     * per component, singletons self-canonical. This IS the compaction
     * pass of the incremental lifecycle: it merges what
-    * [[admitBatch]]'s single-link admissions cannot. */
+    * [[admitBatch]]'s single-link admissions cannot. Records with
+    * NULL/empty names are unresolvable and excluded — run
+    * [[nameDropAudit]] over the same corpus to list them (the phantom
+    * screen; admitBatch refuses them loudly instead because its batch
+    * is guard-sized). */
   def buildRegistry(records: DataFrame, idCol: String, nameCol: String,
                     threshold: Double = 0.9, prefixLen: Int = 3,
                     maxBlock: Int = 1000): EntityRegistry = {
@@ -186,6 +190,19 @@ object Entity {
   def admitBatch(batch: DataFrame, registry: EntityRegistry,
                  idCol: String, nameCol: String, maxBlock: Int = 1000,
                  verifyIds: Boolean = true): EntityRegistry = {
+    // NULL/empty names refuse LOUDLY here (r19 advice): norm's filter
+    // would otherwise drop them — neither admitted, linked, nor listed
+    // by any audit, a silently lost master-data record. The guard is
+    // batch-sized and eager, the verifyIds posture; corpus-scale
+    // buildRegistry keeps the lazy [[nameDropAudit]] twin instead.
+    val unnamed = batch
+      .filter(col(nameCol).isNull || length(col(nameCol)) === 0)
+      .select(col(idCol)).limit(5).collect()
+    require(unnamed.isEmpty,
+      s"admitBatch: batch records with NULL/empty $nameCol (e.g. id " +
+        s"${unnamed.map(_.get(0)).mkString(", ")}) — unresolvable " +
+        "records would vanish from the registry; screen them upstream " +
+        "(nameDropAudit lists them) or repair the names")
     val b = norm(batch, idCol, nameCol)
     if (verifyIds) {
       val overlap = b.select(col("rec_id"))
@@ -212,6 +229,20 @@ object Entity {
           coalesce(col("canonical_id"), col("rec_id"))
             .as("canonical_id"))))
   }
+
+  /** The phantom screen for [[buildRegistry]]'s name filter: records a
+    * resolve pass cannot block or score — NULL/empty `nameCol` —
+    * listed (rec_id, name) from the SAME predicate norm drops by, so
+    * screen and build cannot disagree. buildRegistry stays lazy over
+    * the corpus (an eager guard there would add a full scan at 100 TB);
+    * this twin makes the drop auditable, and [[admitBatch]] — where the
+    * batch is small — refuses loudly instead. */
+  def nameDropAudit(records: DataFrame, idCol: String,
+                    nameCol: String): DataFrame =
+    records
+      .filter(col(nameCol).isNull || length(col(nameCol)) === 0)
+      .select(col(idCol).cast("long").as("rec_id"),
+        col(nameCol).as("name"))
 
   private def norm(df: DataFrame, idCol: String,
                    nameCol: String): DataFrame =

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Link-graph centrality over an edge relation — the web-curation
@@ -549,14 +549,26 @@ object Graph {
     *
     * Exactness: the four sufficient statistics are pure int64 sums over
     * edges (x = du, y = dv): with m2 = 2·|E|,
-    * r = (m2·Σxy − (Σx)²) / (m2·Σx² − (Σx)²) — both terms exact
-    * integers; only the final division runs in double (4 dp), the
-    * [[graft.ops.Classify.chiSquare2x2]] fixed-order posture, so two
-    * engines computing from equal integers agree bitwise. Regular
-    * graphs (zero degree variance) emit NULL — the correlation is
-    * undefined, never 0-by-convention. int64 envelope: m2·Σx² ≤
-    * 4·|E|²·dmax² must stay under 2⁶³ (|E|·dmax ≲ 1.5·10⁹ — document
-    * scale, not fixture scale; beyond it, pre-scale degrees).
+    * r = (m2·Σxy − (Σx)²) / (m2·Σx² − (Σx)²) — the two bilinear
+    * combinations run in DECIMAL(38,0), exact to 10³⁸ (r19 verdict #1:
+    * the session is deliberately non-ANSI, so a long×long product here
+    * would WRAP silently past 2⁶³ while an exact-integer oracle keeps
+    * going — wrong-but-plausible r on one engine only; decimal widening
+    * removes the trap instead of documenting it). Only the final
+    * division runs in double (4 dp), the
+    * [[graft.ops.Classify.chiSquare2x2]] fixed-order posture; a
+    * decimal→double cast rounds to nearest exactly like an
+    * exact-integer→double cast, so two engines computing from equal
+    * integers still agree bitwise. Regular graphs (zero degree
+    * variance) emit NULL — the correlation is undefined, never
+    * 0-by-convention. Envelope: the published int64 SUMS need
+    * Σx² ≤ 2·|E|·dmax² < 2⁶³ and the decimal combination
+    * m2·Σx² ≈ 4·|E|²·dmax² < 10³⁸ — i.e. |E|·dmax² ≲ 4.6·10¹⁸ and
+    * |E|·dmax ≲ 5·10¹⁸ — web-crawl scale with nine digits to spare
+    * (the old long envelope died at |E|·dmax ≈ 1.5·10⁹, one moderate
+    * crawl graph); past even that, decimal overflow NULLs under the
+    * non-ANSI session rather than wrapping (OpsSpec plants a star past
+    * 2⁶³ and pins r = −1 exactly).
     *
     * Scale shape: one symmetrize+distinct shuffle, one degree
     * aggregate, two degree joins (broadcast when the node table fits),
@@ -567,9 +579,12 @@ object Graph {
                           dstCol: String): DataFrame = {
     val und = symmetrized(edges, srcCol, dstCol)
     val deg = degreesOf(und)
-    val m2 = col("n_edges") * 2L
-    val num = m2 * col("s_xy") - col("s_x") * col("s_x")
-    val den = m2 * col("s_xx") - col("s_x") * col("s_x")
+    // decimal(20,0) inputs → decimal(38,0) products: exact where the
+    // old long×long wrapped (r19 verdict #1); scale-0 ops lose nothing
+    def dec(c: Column) = c.cast("decimal(20,0)")
+    val m2 = dec(col("n_edges") * 2L)
+    val num = m2 * dec(col("s_xy")) - dec(col("s_x")) * dec(col("s_x"))
+    val den = m2 * dec(col("s_xx")) - dec(col("s_x")) * dec(col("s_x"))
     und
       .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))

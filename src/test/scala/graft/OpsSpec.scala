@@ -3279,6 +3279,19 @@ class OpsSpec extends SparkSpec {
       idx2.extend(Seq((50L, Seq("again"))).toDF("id", "sh"), "id", "sh")
     }
     assert(eid.getMessage.contains("already present"))
+    // ...and the guard compares in the STORED long id space (r19
+    // advice): a string "50" or a double 50.9 normalizes to stored 50
+    // via normTokenSets' cast — the old raw-column compare coerced
+    // both sides to double and let differently-formatted numerics
+    // evade the guard yet collide after the cast
+    val eidStr = intercept[IllegalArgumentException] {
+      idx2.extend(Seq(("50", Seq("again"))).toDF("id", "sh"), "id", "sh")
+    }
+    assert(eidStr.getMessage.contains("already present"))
+    val eidDec = intercept[IllegalArgumentException] {
+      idx2.extend(Seq((50.9, Seq("again"))).toDF("id", "sh"), "id", "sh")
+    }
+    assert(eidDec.getMessage.contains("already present"))
     assert(idx2.extend(Seq((50L, Seq("again"))).toDF("id", "sh"),
       "id", "sh", verifyIds = false).tokens
       .filter(col("base_id") === 50L).count() === 2L)
@@ -3341,6 +3354,19 @@ class OpsSpec extends SparkSpec {
       === Some(expected))
     // empty graph: NULL, not a crash
     assert(r(Seq.empty[(Long, Long)]) === None)
+    // int64-envelope law (r19 verdict #1): a 50k-leaf star drives the
+    // bilinear term m2·Σx² = 2d·(d³+d) ≈ 1.25·10¹⁹ past 2⁶³ ≈
+    // 9.22·10¹⁸ — the old long×long combination wrapped it negative
+    // under the non-ANSI session and emitted a plausible-but-wrong r;
+    // the decimal(38,0) widen keeps the star's exact r = −1. BigInt
+    // replays the claim: the wrapped denominator really differs.
+    val d = 50000L
+    val m2B = BigInt(2 * d); val sxxB = BigInt(d) * (d * d + 1)
+    val sxB = BigInt(d) * (d + 1)
+    assert((m2B * sxxB - sxB * sxB).isValidLong === false ||
+      (m2B * sxxB).isValidLong === false,
+      "fixture must actually exceed the int64 envelope")
+    assert(r((1L to d).map(l => (0L, l))) === Some(-1.0))
   }
 
   test("EntityRegistry: save/load/admit lifecycle, best-match admit-or-merge, no-merge divergence pin, cap audit, guards (q290 laws)") {
@@ -3405,6 +3431,28 @@ class OpsSpec extends SparkSpec {
     assert(Entity.admitBatch(Seq((20L, "xy")).toDF("rec_id", "name"),
       admitted, "rec_id", "name", verifyIds = false)
       .records.filter(col("rec_id") === 20L).count() === 2L)
+    // NULL/empty names refuse LOUDLY at admit (r19 advice): they are
+    // unresolvable — the old path silently dropped them from the
+    // registry with no audit; nameDropAudit is the corpus-scale twin
+    // listing exactly what buildRegistry's filter excludes
+    val eNull = intercept[IllegalArgumentException] {
+      Entity.admitBatch(
+        Seq((500L, null.asInstanceOf[String]), (501L, "fine-name-ok"))
+          .toDF("rec_id", "name"), admitted, "rec_id", "name")
+    }
+    assert(eNull.getMessage.contains("NULL/empty"))
+    val eEmpty = intercept[IllegalArgumentException] {
+      Entity.admitBatch(Seq((502L, "")).toDF("rec_id", "name"),
+        admitted, "rec_id", "name")
+    }
+    assert(eEmpty.getMessage.contains("NULL/empty"))
+    val dropCorpus = Seq((600L, "good-name"), (601L, ""),
+      (602L, null.asInstanceOf[String])).toDF("rec_id", "name")
+    assert(Entity.nameDropAudit(dropCorpus, "rec_id", "name")
+      .select("rec_id").as[Long].collect().toSet === Set(601L, 602L))
+    assert(Entity.buildRegistry(dropCorpus, "rec_id", "name")
+      .records.select("rec_id").as[Long].collect().toSet === Set(600L),
+      "buildRegistry excludes exactly what nameDropAudit lists")
     // cap audit: a degenerate block (shared key) is listed
     // side-attributed from the same generators the door caps with
     val flood = (400L to 440L).map(i => (i, s"111-x$i-111"))

@@ -412,6 +412,22 @@ class ScaleSpec extends SparkSpec {
         binDd.load(spark, tmp.getPath, "Media", "avro")
       }
       assert(e2.getMessage.contains("flat records only"))
+      // ...and so do temporal dd columns (r19 advice): Avro logical
+      // date/timestamp values surface as raw int/long, whose toString
+      // would cast to a silent NULL under the non-ANSI session —
+      // refuse at plan time instead
+      for (t <- Seq(org.apache.spark.sql.types.DateType,
+                    org.apache.spark.sql.types.TimestampType)) {
+        val tempDd = graft.catalog.DataDictionary(Map("Ev" ->
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("ev_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("ts", t)))))
+        val e3 = intercept[IllegalArgumentException] {
+          tempDd.load(spark, tmp.getPath, "Ev", "avro")
+        }
+        assert(e3.getMessage.contains("silent NULLs"), s"$t: ${e3.getMessage}")
+      }
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(tmp2.toPath).iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))

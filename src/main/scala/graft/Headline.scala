@@ -48,18 +48,21 @@ object Headline {
       "cartesian" -> (n("\\bCartesianProduct") + n("\\bBroadcastNestedLoopJoin")))
   }
 
+  private def loadNow(): Double = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean.getSystemLoadAverage
+
+  private def bandOf(preload: Double): String = {
+    val cpus = Runtime.getRuntime.availableProcessors
+    val cleanCut = math.min(2.0, cpus * 0.25)
+    if (preload <= cleanCut) "clean"
+    else if (preload <= math.max(cpus * 0.25, 2 * cleanCut)) "loaded"
+    else "polluted"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("localdata/sf1")
     val exportDir = args.lift(1).getOrElse(
       Files.createTempDirectory("graft-headline").toString)
-    val preload = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
-    val cpus = Runtime.getRuntime.availableProcessors
-    val cleanCut = math.min(2.0, cpus * 0.25)
-    val loadBand =
-      if (preload <= cleanCut) "clean"
-      else if (preload <= math.max(cpus * 0.25, 2 * cleanCut)) "loaded"
-      else "polluted"
     val spark = GraftSession.local(appName = "graft-headline")
 
     val nShards = 32
@@ -95,10 +98,26 @@ object Headline {
     }
 
     // one warm-load pass (JVM/codegen warmup — the Bench discipline),
-    // then the timed pass
+    // then N timed attempts, archiving the MINIMUM wall with each
+    // attempt's pre-run load (r19 verdict #6: a single timed pass
+    // swung 2× intra-day two rounds running on container noise alone,
+    // so the tripwire could no longer see a real 2× stage regression;
+    // min-of-attempts is the same discipline Bench already applies)
+    val attempts = sys.env.getOrElse("SPARK_GRAFT_HEADLINE_ATTEMPTS", "3")
+      .toInt.max(1)
     val _ = runOnce()
     clearCaches(spark)
-    val (wall, fp) = runOnce()
+    val runs = (1 to attempts).map { i =>
+      val pl = loadNow()
+      val (w, f) = runOnce()
+      clearCaches(spark)
+      System.gc(); Thread.sleep(300)
+      println(f"[headline] attempt $i/$attempts wall=$w%.2fs " +
+        f"preload=$pl%.1f (${bandOf(pl)})")
+      (w, f, pl)
+    }
+    val (wall, fp, preload) = runs.minBy(_._1)
+    val loadBand = bandOf(preload)
 
     // row accounting AFTER the clock, from the committed files
     val exported = spark.read.parquet(exportDir)
@@ -110,8 +129,10 @@ object Headline {
 
     val fpJson = s"""{"exchange":${fp("exchange")},"smj":${fp("smj")},""" +
       s""""bhj":${fp("bhj")},"cartesian":${fp("cartesian")}}"""
+    val wallsJson = runs.map(r => f"${r._1}%.2f").mkString("[", ",", "]")
+    val preloadsJson = runs.map(r => f"${r._3}%.1f").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"headline_pipeline","wall_sec":$wall%.2f,"sf_dir":${Verify.jsonStr(sfDir)},"rows_in":$rowsIn,"rows_exported":$rowsExported,"n_seqs":$nSeqs,"n_shards":$nShards,"ctx_tokens":$ctxTokens,"census":$fpJson,"load_band":"$loadBand","preload":$preload%.2f}"""
+      f"""{"metric":"headline_pipeline","wall_sec":$wall%.2f,"attempts":$attempts,"walls":$wallsJson,"preloads":$preloadsJson,"sf_dir":${Verify.jsonStr(sfDir)},"rows_in":$rowsIn,"rows_exported":$rowsExported,"n_seqs":$nSeqs,"n_shards":$nShards,"ctx_tokens":$ctxTokens,"census":$fpJson,"load_band":"$loadBand","preload":$preload%.2f}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_HEADLINE_OUT",
       "headline_out.json")
     Files.writeString(Paths.get(outPath), line + "\n")

@@ -534,9 +534,114 @@ object ScaleProbe {
       s"""{"exchange":${fp("exchange")},"smj":${fp("smj")},"bhj":${fp("bhj")},"cartesian":${fp("cartesian")}}"""
     private def gatesJson: String =
       gates.map(g => s""""$g"""").mkString("[", ",", "]")
+    private def noteJson: String =
+      noteOf.get(name).map(n => s""","note":"$n"""").getOrElse("")
     def json: String =
-      f""""$name":{"gates":$gatesJson,"small_cold":$coldS%.2f,"small_warm":$warmS%.2f,"big_cold":$coldB%.2f,"big_warm":$warmB%.2f,"warm_ratio":$ratio%.1f,"plan_small":${fpJson(fpS)},"plan_big":${fpJson(fpB)},"plan_changed":$changed}"""
+      f""""$name":{"gates":$gatesJson$noteJson,"small_cold":$coldS%.2f,"small_warm":$warmS%.2f,"big_cold":$coldB%.2f,"big_warm":$warmB%.2f,"warm_ratio":$ratio%.1f,"plan_small":${fpJson(fpS)},"plan_big":${fpJson(fpB)},"plan_changed":$changed}"""
   }
+
+  /** Machine-checkable outlier documentation (r19 verdict #5): the
+    * high-band pins used to live only in BASELINE prose, so
+    * "outlier-must-be-documented" was a narrative, not a gate. Every
+    * probe row expected to read above 5× at 10× rows carries its note
+    * HERE, the note ships inside the row's JSON, and
+    * `tools/check_probe_gates.py` REFUSES an artifact with an
+    * unannotated >5× row (and a polluted banner — r19 verdict #2).
+    * Classes, not prose-per-row: at 10× rows a corpus-linear pass
+    * honestly reads anywhere up to ~10×, so the whole scan/decode band
+    * shares one note; the genuinely super-linear rows (deliberate
+    * comparators) get their own. Coverage is deliberately generous
+    * (every row that read >4× in the last clean sweep) so run-to-run
+    * noise across the 5× line can't fail a clean artifact. */
+  private val ScanNote = "scan band: corpus-linear by design — one " +
+    "codegen'd scan (+ key-grain aggregates/windows) whose per-row " +
+    "work is constant, so 10x rows honestly reads up to ~10x; see " +
+    "this row's shape comment in ScaleProbe.probes"
+  private val DecodeNote = "decode-scan band: real per-row media " +
+    "decode on the scan partitions (bytes never shuffle), " +
+    "corpus-linear by design — 10x rows honestly reads up to ~10x"
+  private val PairGenNote = "capped candidate-pair generator: cost " +
+    "tracks surviving posting/band products under the documented " +
+    "caps, between linear and the cap bound — super-linearity past " +
+    "the band would show as a plan change, not a ratio drift"
+  private val noteOf: Map[String, String] = Map(
+    "q87_semantic_dedup" -> ("recall GATE, not the production path: " +
+      "its cost IS the deliberate exact all-pairs comparator " +
+      "(fit-in-query posture) that prices recall; production is " +
+      "prod_semantic_pairs (~n^1.5 auto-sized cells) and the stored " +
+      "door q286"),
+    "q166_lang_id_model" -> ("fit-in-query comparator: trains the " +
+      "trigram model INSIDE the query to price the lifecycle; " +
+      "production is the stored-model twin q208"),
+    "maint_rebuild_dedup_index" -> ("the deliberate base-proportional " +
+      "CONTRAST row: rebuild re-reads the full corpus so ~10x is its " +
+      "designed reading — maint_extend_dedup_index must beat it, and " +
+      "does"),
+    "maint_refine_ivf" -> ("deliberately corpus-proportional: one " +
+      "Lloyd round over the FULL corpus (the scheduled-refit cost); " +
+      "the per-batch path is maint_extend_ivf"),
+    "prod_semantic_pairs" -> ("auto-sized IVF cells give ~n^1.5 pair " +
+      "growth — sub-quadratic by design; contrast with the q87 gate " +
+      "row whose exact comparator is the quadratic half"),
+    "q97_pii_redact" -> (ScanNote + "; sf1's single 15 MB file " +
+      "splits into only 2 input partitions locally (re-measured " +
+      "standalone 5.6x) — at production scale file count supplies " +
+      "the parallelism"),
+    "q208_lang_id_stored" -> ScanNote,
+    "q201_weighted_median" -> ("exact comparator of the binned pair: " +
+      "corpus-grain cumweight/rank windows (rows x log sort) — the " +
+      "production sibling is q209_wmedian_binned"),
+    "q248_quantile_norm" -> ("exact comparator: the documented GLOBAL " +
+      "row sort; production is q249_quantile_norm_binned"),
+    "q67_split_leakage" -> PairGenNote,
+    "q45_sketch_similarity" -> PairGenNote,
+    "q254_jaccard_join_audit" -> PairGenNote,
+    "q265_containment_join_audit" -> PairGenNote,
+    "q264_containment_join" -> PairGenNote,
+    "q253_jaccard_join" -> PairGenNote,
+    "q250_cooccurrence" -> PairGenNote,
+    "q30_embed_neardup" -> PairGenNote,
+    "q259_ahash_neardup" -> (DecodeNote + "; plus the capped " +
+      "16-bit-band Hamming join over the 20-byte hashes"),
+    "q261_audio_neardup" -> (DecodeNote + "; plus the capped banded " +
+      "Hamming join over the 28-byte fingerprints"),
+    "q270_media_cross_neardup" -> DecodeNote,
+    "q266_image_dedup" -> (DecodeNote + "; capstone composition — " +
+      "each stage has its own probe row"),
+    "q274_video_neardup" -> DecodeNote,
+    "q258_ahash_decode" -> DecodeNote,
+    "q260_audio_fingerprint" -> DecodeNote,
+    "q231_png_header_decode" -> DecodeNote,
+    "q233_wav_header_decode" -> DecodeNote,
+    "q234_jpeg_header_decode" -> DecodeNote,
+    "q235_mp4_header_decode" -> DecodeNote,
+    "q239_exif_orientation" -> DecodeNote,
+    "q139_html_extract" -> ScanNote,
+    "q128_quality_rules" -> ScanNote,
+    "q245_readability" -> ScanNote,
+    "q93_tokenizer_fertility" -> ScanNote,
+    "q98_perplexity_buckets" -> ScanNote,
+    "q109_ngram_diversity" -> ScanNote,
+    "q38_token_counts" -> ScanNote,
+    "q58_repetition" -> ScanNote,
+    "q60_chunking" -> ScanNote,
+    "q73_unigram_surprisal" -> ScanNote,
+    "q71_vocab_oov" -> ScanNote,
+    "q99_weighted_sample" -> ScanNote,
+    "q91_stupid_backoff" -> ScanNote,
+    "q74_bigram_pmi" -> ScanNote,
+    "q116_heavy_hitters" -> ScanNote,
+    "q62_line_dedup" -> ScanNote,
+    "q103_span_dedup" -> ScanNote,
+    "q64_incremental_dedup" -> ScanNote,
+    "q108_domain_cap" -> ScanNote,
+    "q221_nullsafe_join" -> ScanNote,
+    "q224_phrase_search" -> ScanNote,
+    "q123_domain_boilerplate" -> ScanNote,
+    "q176_fuzzy_linkage" -> ("blocked quadratic WITHIN digit-bounded " +
+      "blocks (the q141 family) + the native jaro_winkler scan — " +
+      "block caps bound the pair product, so the ratio prices " +
+      "block-size growth, not corpus^2"))
 
   /** The CORRECTNESS query name(s) each probe row's evidence belongs to
     * (r16 verdict #6: probe keys, bench keys and correctness keys must

@@ -7,9 +7,15 @@ bench's bare names by the gate's `qNNN` prefix. Usage:
 
     python3 tools/check_probe_gates.py [scale_probe.json]
 
-Exit 1 on: a row without gates, an unknown gate name, or a query-named
-probe whose gates differ from itself. The contract keys are parsed from
-the Scala sources exactly like tools/gen_api_md.py does."""
+Exit 1 on: a row without gates, an unknown gate name, a query-named
+probe whose gates differ from itself, a polluted artifact banner
+(r19 verdict #2: the committed evidence file must itself certify it
+ran idle — a loaded sweep can't be papered over by a round-row
+claim), or a row with warm_ratio > 5 and no `note` field (r19
+verdict #5: outlier-must-be-documented is a gate, not narrative —
+the notes live in ScaleProbe.noteOf and ship inside the row JSON).
+The contract keys are parsed from the Scala sources exactly like
+tools/gen_api_md.py does."""
 import json
 import os
 import re
@@ -36,6 +42,11 @@ def main():
     queries = doc["queries"]
     known = contract_names()
     bad = []
+    if doc.get("polluted"):
+        bad.append(
+            f"artifact banner is polluted (preload {doc.get('preload')}, "
+            f"band {doc.get('load_band')}) — re-run the sweep idle; a "
+            "loaded sweep is not round evidence")
     for name, row in queries.items():
         gates = row.get("gates")
         if not gates:
@@ -46,6 +57,10 @@ def main():
                 bad.append(f"{name}: gate '{g}' is not a SparkEntry query")
         if name.startswith("q") and gates != [name]:
             bad.append(f"{name}: query probe must gate itself, got {gates}")
+        if row.get("warm_ratio", 0) > 5 and not row.get("note"):
+            bad.append(
+                f"{name}: warm_ratio {row['warm_ratio']} > 5 with no note "
+                "— document the outlier in ScaleProbe.noteOf")
     if bad:
         print(f"FAIL {path}: {len(bad)} mapping problems")
         for b in bad:

@@ -504,7 +504,17 @@ object ScaleProbe {
     // shrunk-IVF probe rides q286's shape plus one id anti-join on
     // the inverted file; the shrunk-band probe pays the q64 fit (the
     // fit-in-query posture) plus the bucket-thinning regroup
-    "q294_cross_semantic_removed", "q295_cross_neardup_removed")
+    "q294_cross_semantic_removed", "q295_cross_neardup_removed",
+    // r20: the delete path on the last two families — the media door
+    // rides q270's shape plus one id anti-join on the 20-byte stored
+    // relation (the batch still pays its own decode, the base never
+    // re-decodes), and the registry retraction pays q291's admit shape
+    // plus one anti-join and ONE canonical-grain re-election
+    // aggregate; both phantom audits are one id anti-join at
+    // retraction grain
+    "q296_media_cross_removed", "q297_media_remove_phantom_audit",
+    "q298_registry_remove_reelect",
+    "q299_registry_remove_phantom_audit")
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -47,6 +47,47 @@ object Entity {
   final case class EntityRegistry(records: DataFrame, threshold: Double,
                                   prefixLen: Int,
                                   scheme: Int = EntityRegistry.Scheme) {
+
+    /** RETRACT records from the registry — the delete path the other
+      * stored families got in r19 (r19 verdict #4), with the one
+      * wrinkle unique to master data: removing a CANONICAL record
+      * must RE-ELECT the canonical among its surviving members. Rule
+      * (deterministic, replayable): a surviving canonical stays
+      * canonical — downstream systems hold its id, so it never moves
+      * while alive; a removed canonical's component re-elects the MIN
+      * surviving rec_id (the fit-time election rule applied to the
+      * survivors); a fully-retracted component vanishes. Lazy like
+      * every other remove (one anti-join + one canonical-grain
+      * aggregate ride the stored-relation scan; [[save]] is the
+      * compaction).
+      *
+      * The honest divergence, pinned (the admitBatch no-merge twin):
+      * remove NEVER RE-SPLITS a component. Membership comes from the
+      * STORED canonical assignment, so retracting a bridge record
+      * that alone held two name-clusters together at fit time leaves
+      * the survivors in one component, where [[Entity.buildRegistry]]
+      * over the survivors would split them. Same trade, same remedy:
+      * rebuild on the refit cadence. Phantom ids are state no-ops,
+      * listed by [[removeAudit]]. */
+    def remove(ids: DataFrame, idCol: String): EntityRegistry = {
+      val rm = ids.select(col(idCol).cast("long").as("rec_id")).distinct()
+      val surv = records.join(rm, Seq("rec_id"), "left_anti")
+      val reelect = surv.groupBy(col("canonical_id"))
+        .agg(coalesce(
+          min(when(col("rec_id") === col("canonical_id"), col("rec_id"))),
+          min(col("rec_id"))).as("__new_canonical"))
+      copy(records = surv.join(reelect, Seq("canonical_id"))
+        .select(col("rec_id"), col("name"),
+          col("__new_canonical").as("canonical_id")))
+    }
+
+    /** [[remove]]'s phantom screen: retraction ids absent from the
+      * stored records — CDC re-deliveries, double-removes, typo'd ids
+      * — listed from the same relation the remove anti-joins. */
+    def removeAudit(ids: DataFrame, idCol: String): DataFrame =
+      ids.select(col(idCol).cast("long").as("rec_id")).distinct()
+        .join(records.select(col("rec_id")), Seq("rec_id"), "left_anti")
+
     def save(path: String): Unit = {
       records.write.mode("overwrite").parquet(s"$path/records")
       val spark = records.sparkSession

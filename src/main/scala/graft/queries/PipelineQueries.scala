@@ -3105,6 +3105,112 @@ object PipelineQueries {
       "doc_id", "text", threshold = 0.5)
   }
 
+  /** The media cross door over the SHRUNK fingerprint index
+    * ([[graft.ops.Multimodal.FingerprintIndex.remove]] — r19 verdict
+    * #3: the FOURTH and last stored family's delete path was spec-only
+    * while Jaccard/IVF/LSH got doors q288/q294/q295): the q270 stored
+    * index retracts its doc_id % 3 = 0 base slice (one lazy id
+    * anti-join on the 20-byte relation — save() is the compaction, not
+    * paid here), then the same arriving batch decodes itself and
+    * band-joins the survivors. Pairs whose base sibling was retracted
+    * die, the rest survive untouched — the oracle replays the hashes
+    * arithmetically and brute-forces batch × SURVIVING base, so
+    * retraction completeness (nothing stale answers) and minimality
+    * (nothing else disappears) pin in one hash, the q288 posture on
+    * the media family.
+    */
+  def q296(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir)("documents")
+    graft.ops.Multimodal.crossNearDupMedia(
+      plantedPngs(s, dir)
+        .filter(pmod(col("media_id"), lit(10L)) === 0L),
+      graft.ops.Multimodal
+        .loadFingerprintIndex(s, storedFpIndex(s, dir))
+        .remove(d.filter(col("doc_id") % 10 =!= 0 &&
+          col("doc_id") % 3 === 0).select(col("doc_id")), "doc_id"),
+      maxDist = 3, maxBucket = 100)
+  }
+
+  /** [[q296]]'s phantom screen ([[graft.ops.Multimodal
+    * .FingerprintIndex.removeAudit]] — the q289 posture on the media
+    * family): the retraction set deliberately carries the whole batch
+    * slice (doc_id % 10 = 0, never fitted) alongside the real base
+    * retractions, and the audit lists exactly the never-fitted ids
+    * from the same relation the remove anti-joins. Unlike the Jaccard
+    * family there is no too-short-to-fit arm — [[graft.ops.Multimodal
+    * .mediaFingerprints]] emits a row per media (undecodable blobs
+    * keep a null-fingerprint row), so the fitted set IS the base
+    * slice and the oracle is pure membership arithmetic.
+    */
+  def q297(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir)("documents")
+    val retractions = d.filter((col("doc_id") % 10 =!= 0 &&
+        col("doc_id") % 3 === 0) || col("doc_id") % 10 === 0)
+      .select(col("doc_id"))
+    graft.ops.Multimodal
+      .loadFingerprintIndex(s, storedFpIndex(s, dir))
+      .removeAudit(retractions, "doc_id")
+  }
+
+  /** Registry retraction with CANONICAL RE-ELECTION
+    * ([[graft.ops.Entity.EntityRegistry.remove]] — r19 verdict #4:
+    * the one stored artifact where deletion is non-trivial, because
+    * removing a canonical record must re-elect among survivors): the
+    * q290 stored registry retracts its rec_id % 3 = 0 base slice —
+    * which hits MANY fit-time canonicals (canonical = min component
+    * id, and a third of all mins are divisible by 3) — and every
+    * surviving record reports its post-retraction canonical plus
+    * whether it moved. The oracle replays the registry's whole
+    * derivation (planting, blocking, DuckDB's jaro_winkler, the
+    * recursive-CTE canonical walk), then the retraction and the
+    * election rule (surviving canonical stays; else min surviving
+    * member) in plain SQL — delete, stability and re-election pinned
+    * in one hash.
+    *
+    * Fixture (the planted base components are singletons at gate SF,
+    * so a bare modulo slice retires records without ever electing
+    * anyone): the variant records ADMIT first (q291's flow — each
+    * links to its base canonical, making real ≥2-member components),
+    * then the retraction set is exactly the base canonicals the
+    * variants acquired (every one forces a re-election: the
+    * surviving variant inherits) plus the rec_id % 3 = 0 base slice
+    * (plain removals). Both arms derive from the planted id spaces /
+    * the admit chain the q291 oracle already replays exactly.
+    */
+  def q298(s: SparkSession, dir: String): DataFrame = {
+    val admitted = graft.ops.Entity.admitBatch(
+      plantedVariantRecords(s, dir), storedErRegistry(s, dir),
+      "rec_id", "name")
+    val acquired = admitted.records
+      .filter(col("rec_id") >= 1000000L && col("canonical_id") < 1000000L)
+      .select(col("canonical_id").as("rec_id")).distinct()
+    val shrunk = admitted.remove(
+      plantedBaseRecords(s, dir).filter(col("rec_id") % 3 === 0)
+        .select(col("rec_id")).unionByName(acquired), "rec_id")
+    shrunk.records
+      .join(admitted.records.select(col("rec_id"),
+        col("canonical_id").as("__old")), Seq("rec_id"))
+      .select(col("rec_id"), col("name"), col("canonical_id"),
+        (col("canonical_id") =!= col("__old")).as("re_elected"))
+  }
+
+  /** [[q298]]'s phantom screen ([[graft.ops.Entity.EntityRegistry
+    * .removeAudit]] — the q289/q297 posture on the records family):
+    * the retraction set carries the variant records (rec_id ≥ 10⁶,
+    * never admitted to the stored registry) alongside the real base
+    * retractions; the audit lists exactly the never-admitted ids from
+    * the same relation the remove anti-joins. Every base record is in
+    * the registry (buildRegistry's left-join + self-canonical
+    * fallback covers singletons), so the oracle is pure membership
+    * arithmetic over the planted id spaces.
+    */
+  def q299(s: SparkSession, dir: String): DataFrame =
+    storedErRegistry(s, dir).removeAudit(
+      plantedBaseRecords(s, dir).filter(col("rec_id") % 3 === 0)
+        .select(col("rec_id"))
+        .unionByName(plantedVariantRecords(s, dir).select(col("rec_id"))),
+      "rec_id")
+
   /** The language-planted corpus shared by q166: each doc gets its
     * label's function-word suffix ×3 (the trigram signal a char-n-gram
     * model keys on — the raw fixture text is the SAME synthetic
@@ -4867,6 +4973,10 @@ object PipelineQueries {
     "q292_semantic_dedup_capstone" -> (q292 _),
     "q294_cross_semantic_removed" -> (q294 _),
     "q295_cross_neardup_removed" -> (q295 _),
+    "q296_media_cross_removed" -> (q296 _),
+    "q297_media_remove_phantom_audit" -> (q297 _),
+    "q298_registry_remove_reelect" -> (q298 _),
+    "q299_registry_remove_phantom_audit" -> (q299 _),
   )
 
   /** Queries that legitimately have no equality oracle — none since
@@ -6093,6 +6203,82 @@ FROM o"""
               coalesce(best.canonical_id, b.rec_id) AS canonical_id,
               b.rec_id = coalesce(best.canonical_id, b.rec_id) AS is_new
        FROM allb b LEFT JOIN best ON best.new_id = b.rec_id""",
+    // registry retraction: q291's admit chain replayed, then the
+    // retraction (acquired canonicals + the % 3 slice) and the
+    // re-election rule (surviving canonical stays; else min
+    // surviving member) in plain SQL
+    "q298_registry_remove_reelect" ->
+      """WITH RECURSIVE base AS (SELECT doc_id AS rec_id,
+             lpad(CAST(doc_id % 997 AS VARCHAR), 3, '0') || '-' ||
+             list_value('alpha','bravo','carbon','delta','ember',
+               'falcon','granite','harbor')[CAST(doc_id % 8 AS BIGINT) + 1]
+             || '-' ||
+             lpad(CAST((doc_id * 31) % 997 AS VARCHAR), 3, '0') AS name
+           FROM documents),
+         vr AS (SELECT rec_id + 1000000 AS rec_id,
+             substr(name, 1, CAST((rec_id % len(name)) AS INT)) ||
+             substr(name, CAST((rec_id % len(name)) AS INT) + 2) AS name
+           FROM base WHERE rec_id % 4 = 0),
+         kb AS (SELECT rec_id, name, substr(name, 1, 3) AS bk FROM base
+                UNION ALL
+                SELECT rec_id, name, substr(name, -3, 3) AS bk FROM base),
+         pr AS (SELECT DISTINCT l.rec_id AS id1, r.rec_id AS id2,
+             l.name AS n1, r.name AS n2
+           FROM kb l JOIN kb r ON l.bk = r.bk AND l.rec_id < r.rec_id),
+         sc AS (SELECT id1, id2 FROM pr
+                WHERE jaro_winkler_similarity(n1, n2) >= 0.9),
+         e AS (SELECT id1 AS src, id2 AS dst FROM sc
+               UNION ALL SELECT id2, id1 FROM sc),
+         reach AS (
+           SELECT src AS id, src AS r FROM e
+           UNION
+           SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         reg AS (SELECT b.rec_id, b.name,
+             coalesce(c.cluster, b.rec_id) AS canonical_id
+           FROM base b LEFT JOIN comp c ON c.id = b.rec_id),
+         kv AS (SELECT rec_id, name, substr(name, 1, 3) AS bk FROM vr
+                UNION ALL
+                SELECT rec_id, name, substr(name, -3, 3) AS bk FROM vr),
+         kr AS (SELECT rec_id, name, substr(name, 1, 3) AS bk FROM reg
+                UNION ALL
+                SELECT rec_id, name, substr(name, -3, 3) AS bk FROM reg),
+         cand AS (SELECT DISTINCT v.rec_id AS new_id, r.rec_id AS rec_id,
+             v.name AS nv, r.name AS nb
+           FROM kv v JOIN kr r ON v.bk = r.bk),
+         links AS (SELECT c.new_id, g.canonical_id,
+             round(jaro_winkler_similarity(c.nv, c.nb), 4) AS jw
+           FROM cand c JOIN reg g ON g.rec_id = c.rec_id
+           WHERE jaro_winkler_similarity(c.nv, c.nb) >= 0.9),
+         best AS (SELECT new_id, canonical_id FROM (
+             SELECT new_id, canonical_id, row_number() OVER (
+               PARTITION BY new_id
+               ORDER BY jw DESC, canonical_id ASC) AS rn
+             FROM links) WHERE rn = 1),
+         adm AS (SELECT v.rec_id, v.name,
+             coalesce(best.canonical_id, v.rec_id) AS canonical_id
+           FROM vr v LEFT JOIN best ON best.new_id = v.rec_id),
+         reg2 AS (SELECT * FROM reg UNION ALL SELECT * FROM adm),
+         rmset AS (SELECT rec_id FROM base WHERE rec_id % 3 = 0
+                   UNION
+                   SELECT DISTINCT canonical_id FROM adm
+                   WHERE canonical_id < 1000000),
+         surv AS (SELECT * FROM reg2
+                  WHERE rec_id NOT IN (SELECT rec_id FROM rmset)),
+         nc AS (SELECT canonical_id,
+             coalesce(min(CASE WHEN rec_id = canonical_id
+                            THEN rec_id END),
+                      min(rec_id)) AS new_c
+           FROM surv GROUP BY canonical_id)
+       SELECT s.rec_id, s.name, nc.new_c AS canonical_id,
+              s.canonical_id <> nc.new_c AS re_elected
+       FROM surv s JOIN nc ON nc.canonical_id = s.canonical_id""",
+    // registry delete phantom screen: every base record is admitted
+    // (left-join + self-canonical fallback), so phantoms are exactly
+    // the never-admitted variant ids riding the retraction set
+    "q299_registry_remove_phantom_audit" ->
+      """SELECT doc_id + 1000000 AS rec_id FROM documents
+         WHERE doc_id % 4 = 0""",
     // delete path: the q277 brute force over the SURVIVING base only —
     // retraction completeness + minimality in one hash
     "q288_cross_jaccard_removed" ->
@@ -6264,6 +6450,51 @@ FROM o"""
          ON n.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
        WHERE bit_count(xor(n.hi, b.hi)) + bit_count(xor(n.lo, b.lo))
              <= 3""",
+    // media delete path: q270's hash replay, batch x SURVIVING base
+    // only (base slice minus the doc_id % 3 = 0 retractions)
+    "q296_media_cross_removed" ->
+      """WITH pix AS (
+           SELECT doc_id, g.i,
+             CASE WHEN doc_id % 2 = 1 AND g.i = (doc_id // 2) % 256
+               THEN ((doc_id // 2) * 31 + g.i * 17 + g.i * g.i * 7
+                     + (doc_id // 2) * g.i * 13
+                     + (doc_id // 2 // 256) * g.i * g.i * 11 + 3) % 256
+               ELSE ((doc_id // 2) * 31 + g.i * 17 + g.i * g.i * 7
+                     + (doc_id // 2) * g.i * 13
+                     + (doc_id // 2 // 256) * g.i * g.i * 11) % 256 END AS p
+           FROM documents
+           CROSS JOIN (SELECT unnest(range(0, 256)) AS i) g),
+         cells AS (
+           SELECT doc_id,
+                  ((i // 16) // 2) * 8 + ((i % 16) // 2) AS ci,
+                  sum(p) // 4 AS cv
+           FROM pix GROUP BY 1, 2),
+         m AS (SELECT doc_id, sum(cv) // 64 AS mean
+               FROM cells GROUP BY 1),
+         hsh AS (
+           SELECT c.doc_id,
+                  CAST(coalesce(sum(CASE WHEN ci >= 32 AND cv > mean
+                    THEN (CAST(1 AS BIGINT) << (ci - 32)) END), 0)
+                    AS BIGINT) AS hi,
+                  CAST(coalesce(sum(CASE WHEN ci < 32 AND cv > mean
+                    THEN (CAST(1 AS BIGINT) << ci) END), 0)
+                    AS BIGINT) AS lo
+           FROM cells c JOIN m USING (doc_id) GROUP BY 1)
+       SELECT n.doc_id AS new_id, b.doc_id AS base_id,
+              CAST(bit_count(xor(n.hi, b.hi)) +
+                   bit_count(xor(n.lo, b.lo)) AS BIGINT) AS hamming,
+              'image' AS media_kind
+       FROM hsh n JOIN hsh b
+         ON n.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+            AND b.doc_id % 3 <> 0
+       WHERE bit_count(xor(n.hi, b.hi)) + bit_count(xor(n.lo, b.lo))
+             <= 3""",
+    // media delete phantom screen: the fitted set is the whole base
+    // slice (one fingerprint row per media, nulls kept), so phantoms
+    // are exactly the never-fitted batch ids in the retraction set
+    "q297_media_remove_phantom_audit" ->
+      """SELECT doc_id AS media_id FROM documents
+         WHERE doc_id % 10 = 0""",
     // video fingerprint: frame-planting rule + per-frame aHash cells
     // + truncating per-frame mean + per-bit majority vote over the
     // sampled frames (0, 2, 4, 6), assembled in pure SQL arithmetic

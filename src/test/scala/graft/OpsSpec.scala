@@ -3545,6 +3545,72 @@ class OpsSpec extends SparkSpec {
       "FingerprintIndex phantom audit wrong")
   }
 
+  test("EntityRegistry.remove: re-election + stability, remove ≡ rebuild on survivors, bridge no-split pin, phantom audit (q298/q299 laws)") {
+    import graft.ops.Entity
+    val base = Seq(
+      (1L, "111-alpha-333"), (2L, "111-alpha-33"),   // entity {1,2}, canon 1
+      (10L, "555-bravo-777"), (11L, "555-bravo-77"), // entity {10,11}, canon 10
+      (20L, "999-delta-888")                          // singleton
+    ).toDF("rec_id", "name")
+    val reg = Entity.buildRegistry(base, "rec_id", "name",
+      threshold = 0.9, prefixLen = 3)
+    def canonOf(r: Entity.EntityRegistry): Map[Long, Long] =
+      r.records.select("rec_id", "canonical_id")
+        .as[(Long, Long)].collect().toMap
+    // removing the CANONICAL re-elects the min surviving member;
+    // untouched components don't move; the removed id is gone
+    val r1 = reg.remove(Seq(1L).toDF("id"), "id")
+    assert(canonOf(r1) === Map(2L -> 2L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L))
+    // remove ≡ rebuild on the survivors when no bridge was removed
+    val rebuilt = Entity.buildRegistry(base.filter(col("rec_id") =!= 1L),
+      "rec_id", "name", threshold = 0.9, prefixLen = 3)
+    assert(r1.records.exceptAll(rebuilt.records).count() === 0L &&
+      rebuilt.records.exceptAll(r1.records).count() === 0L,
+      "remove must equal a rebuild over the survivors here")
+    // canonical STABILITY: admit a member with a SMALLER id than its
+    // canonical, then remove a sibling — the surviving canonical stays
+    // canonical (downstream ids must not move while alive), even
+    // though the naive min-member rule would elect the newcomer
+    val withZero = Entity.admitBatch(
+      Seq((0L, "555-bravo-7777")).toDF("rec_id", "name"), reg,
+      "rec_id", "name")
+    assert(canonOf(withZero)(0L) === 10L, "fixture: 0 must link to 10")
+    val r2 = withZero.remove(Seq(11L).toDF("id"), "id")
+    assert(canonOf(r2)(0L) === 10L && canonOf(r2)(10L) === 10L)
+    // ...and when THAT canonical goes, the min survivor takes over
+    val r3 = withZero.remove(Seq(10L).toDF("id"), "id")
+    assert(canonOf(r3)(0L) === 0L && canonOf(r3)(11L) === 0L)
+    // full component retirement vanishes without a trace
+    assert(reg.remove(Seq(10L, 11L).toDF("id"), "id").records
+      .filter(col("canonical_id") === 10L).count() === 0L)
+    // the honest divergence, PINNED (the admitBatch no-merge twin):
+    // A~B share a first-3 block, B~C share a last-3 block, A and C
+    // share NO block — B is the bridge. remove(B) keeps {A, C} in one
+    // component (membership is the STORED assignment); a rebuild over
+    // the survivors never even pairs them and splits
+    val bridged = Seq((100L, "111-alpha-222"), (101L, "111-alpha-999"),
+      (102L, "333-alpha-999")).toDF("rec_id", "name")
+    val bReg = Entity.buildRegistry(bridged, "rec_id", "name",
+      threshold = 0.8, prefixLen = 3)
+    assert(canonOf(bReg) === Map(100L -> 100L, 101L -> 100L,
+      102L -> 100L), "fixture: the bridge must unite all three")
+    val bRemoved = bReg.remove(Seq(101L).toDF("id"), "id")
+    assert(canonOf(bRemoved) === Map(100L -> 100L, 102L -> 100L),
+      "remove never re-splits a component")
+    val bRebuilt = Entity.buildRegistry(
+      bridged.filter(col("rec_id") =!= 101L), "rec_id", "name",
+      threshold = 0.8, prefixLen = 3)
+    assert(canonOf(bRebuilt) === Map(100L -> 100L, 102L -> 102L),
+      "rebuild splits what the bridge held together — the pin")
+    // phantom screen: never-admitted ids listed, real ones not; and
+    // phantom removes are state no-ops
+    assert(reg.removeAudit(Seq(999L, 1L).toDF("id"), "id")
+      .as[Long].collect().toSeq === Seq(999L))
+    assert(canonOf(reg.remove(Seq(999L).toDF("id"), "id"))
+      === canonOf(reg))
+  }
+
   test("stored-index delete path: CorpusIndex thins buckets (tombstones persist), IvfIndex never returns removed ids (q288 family laws)") {
     import graft.ops.Dedup
     def text(seed: Int): String =

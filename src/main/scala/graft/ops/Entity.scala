@@ -293,8 +293,11 @@ object Entity {
 
   /** The two positional blocking keys — (rec_id, name, bk), two rows
     * per record. A single-character edit can break one end's key but
-    * never both, the q176 design. */
-  private def blockKeys(recs: DataFrame, prefixLen: Int): DataFrame = {
+    * never both, the q176 design. `private[graft]` so the streaming
+    * twin ([[graft.streaming.DocumentStreams.entityFlagStream]]) keys
+    * the STORED side with the exact same generator — one copy of the
+    * blocking rule, no drift surface. */
+  private[graft] def blockKeys(recs: DataFrame, prefixLen: Int): DataFrame = {
     def keyed(k: Column) = recs.select(col("rec_id"), col("name"),
       k.as("bk"))
     keyed(substring(col("name"), 1, prefixLen))

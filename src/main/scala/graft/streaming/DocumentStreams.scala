@@ -446,6 +446,82 @@ object DocumentStreams {
         round(col("sim"), 4).as("sim"), col("ts"))
   }
 
+  /** ENTITY-LINKAGE flags for ARRIVING records against the STORED
+    * [[graft.ops.Entity.EntityRegistry]] — the streaming twin of
+    * [[graft.ops.Entity.crossLinkage]], closing the records family's
+    * ingest-stream symmetry (r19 verdict #7: every other cross family
+    * had one — jaccardFlagStream, semanticFlagStream,
+    * flagAgainstBase, mediaFlagAgainstBase). The master-data use: flag
+    * each arriving record's plausible existing entities AT the door,
+    * so a human-or-policy admit decision can run before
+    * [[graft.ops.Entity.admitBatch]] commits it.
+    *
+    * Shape — the [[semanticFlagStream]] posture: the stream side keys
+    * itself ROW-LOCALLY (the registry's pinned first/last-`prefixLen`
+    * blocks, exploded from a 2-element literal array — no state, no
+    * stream-side shuffle), candidates are ONE stream-static equi-join
+    * against the stored records' capped key projection, and the
+    * native codegen'd `jaro_winkler` scores the joined row at the
+    * registry's PINNED threshold. The blocking generator is
+    * [[graft.ops.Entity.blockKeys]] itself on the stored side — one
+    * copy of the rule, no drift surface. The only state is the
+    * watermark-bounded pair dedup (a record can meet a registry row
+    * through BOTH its keys — the batch door's `.distinct()`, bounded
+    * here like the LSH/Jaccard twins').
+    *
+    * Divergences from the batch door, both pinned in StreamingSpec:
+    * the cap applies to the STORED side only (capping the arriving
+    * side needs a per-key micro-batch aggregate — a shuffle the door
+    * stays stateless by skipping), so under a biting cap the stream
+    * flags a SUPERSET of the batch door (batch ⊆ stream, the
+    * jaccardFlagStream direction — never a silent miss); and NULL or
+    * empty names emit no pairs (nothing to block or score —
+    * [[graft.ops.Entity.admitBatch]] is where they refuse loudly).
+    *
+    * Emits `(new_id, rec_id, canonical_id, jw, ts)` — the batch
+    * door's columns plus event time, jw at 4 dp.
+    */
+  def entityFlagStream(records: DataFrame,
+                       registry: graft.ops.Entity.EntityRegistry,
+                       watermark: String = "10 minutes",
+                       maxBlock: Int = 1000,
+                       broadcastRegistry: Boolean = false,
+                       idCol: String = "rec_id",
+                       nameCol: String = "name"): DataFrame = {
+    require(registry.scheme == graft.ops.Entity.EntityRegistry.Scheme,
+      s"EntityRegistry scheme ${registry.scheme} != this build's " +
+        s"${graft.ops.Entity.EntityRegistry.Scheme} — rebuild the " +
+        "registry")
+    require(maxBlock >= 2,
+      s"entityFlagStream: maxBlock must be >= 2, got $maxBlock")
+    val rKeys0 = Dedup.capBlockRows(
+        graft.ops.Entity.blockKeys(
+          registry.records.select(col("rec_id"), col("name")),
+          registry.prefixLen),
+        Seq("bk"), maxBlock)
+      .join(registry.records.select(col("rec_id"), col("canonical_id")),
+        Seq("rec_id"))
+      .select(col("bk"), col("rec_id"), col("name").as("nb"),
+        col("canonical_id"))
+    val rKeys = if (broadcastRegistry) broadcast(rKeys0) else rKeys0
+    records
+      .withWatermark("ts", watermark)
+      .select(col(idCol).cast("long").as("new_id"), col("ts"),
+        col(nameCol).as("nv"))
+      .filter(col("nv").isNotNull && length(col("nv")) > 0)
+      .select(col("new_id"), col("ts"), col("nv"),
+        explode(array(
+          substring(col("nv"), 1, registry.prefixLen),
+          substring(col("nv"), -registry.prefixLen, registry.prefixLen)))
+          .as("bk"))
+      .join(rKeys, Seq("bk"))
+      .dropDuplicatesWithinWatermark("new_id", "rec_id")
+      .withColumn("jw", expr("jaro_winkler(nv, nb)"))
+      .filter(col("jw") >= registry.threshold)
+      .select(col("new_id"), col("rec_id"), col("canonical_id"),
+        round(col("jw"), 4).as("jw"), col("ts"))
+  }
+
   /** In-flight DSIR importance scoring against a STORED
     * [[graft.ops.TextOps.ImportanceModel]] — the streaming twin of
     * [[graft.ops.TextOps.importanceScore]], for routing target-like

@@ -14,6 +14,7 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 case class Doc(doc_id: Long, ts: Timestamp, lang: String, text: String)
 case class Vec(vec_id: Long, embedding: Seq[Float])
 case class EmbRow(vec_id: Long, ts: Timestamp, embedding: Seq[Float])
+case class Rec(rec_id: Long, ts: Timestamp, name: String)
 
 /** Structured Streaming contracts: the streaming pipelines produce the
   * same answers as their batch twins, and watermarks/dedup state behave.
@@ -304,6 +305,91 @@ class StreamingSpec extends SparkSpec {
         input.toDF().select($"doc_id", $"ts",
           split($"text", " ").as("toks")),
         idx.copy(scheme = 999), thresholdBp = 7000L)
+    }
+  }
+
+  test("entityFlagStream: stream ≡ batch crossLinkage uncapped; capped divergence one-directional (stream ⊇ batch); unnamed records emit nothing; guards") {
+    import graft.ops.Entity
+    val base = Seq(
+      (100L, "111-alpha-333"), (101L, "111-alpha-33"),
+      (110L, "555-bravo-777"), (120L, "999-delta-888"))
+      .toDF("rec_id", "name")
+    val reg = Entity.buildRegistry(base, "rec_id", "name",
+      threshold = 0.9, prefixLen = 3)
+    def rec(id: Long, minute: Int, n: String) =
+      Rec(id, Timestamp.valueOf(f"2024-01-01 10:${minute}%02d:00"), n)
+    val arriving = Seq(
+      rec(1, 0, "111-alpha-3333"), // links to entity {100, 101}
+      rec(2, 1, "zzz-none-qqq"),   // no block collides
+      rec(3, 2, "555-bravo-777"))  // exact clone of 110
+    val input = MemoryStream[Rec](spark)
+    input.addData(arriving: _*)
+    val q = graft.streaming.DocumentStreams.entityFlagStream(
+        input.toDF(), reg, broadcastRegistry = true)
+      .writeStream.format("memory").queryName("ent_flags")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamRows = spark.table("ent_flags")
+      .select("new_id", "rec_id", "canonical_id", "jw")
+      .as[(Long, Long, Long, Double)].collect()
+    // record 1 meets registry 100 through BOTH its keys (first-3
+    // "111" and last-3 "333") — the watermark-bounded pair dedup must
+    // collapse them
+    assert(streamRows.length === streamRows.toSet.size,
+      "a (new, rec) pair arose twice — the pair dedup broke")
+    val batchRows = Entity.crossLinkage(
+        arriving.map(r => (r.rec_id, r.name)).toDF("rec_id", "name"),
+        reg, "rec_id", "name")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(streamRows.toSet === batchRows,
+      s"stream ${streamRows.toSet} != batch $batchRows")
+    assert(streamRows.map(_._1).toSet === Set(1L, 3L) &&
+      batchRows.nonEmpty, s"fixture: got ${streamRows.toSet}")
+    // capped divergence, pinned in its ONE direction: the batch door
+    // caps BOTH sides, so three arrivals sharing their blocks overflow
+    // a batch-side cap of 2 and the batch drops every pair — the
+    // stream (stored-side cap only, registry blocks hold ≤ 2 rows)
+    // still flags them. batch ⊆ stream always.
+    val trio = Seq(rec(11, 0, "111-alpha-333"),
+      rec(12, 1, "111-alpha-333"), rec(13, 2, "111-alpha-333"))
+    val batchCapped = Entity.crossLinkage(
+        trio.map(r => (r.rec_id, r.name)).toDF("rec_id", "name"),
+        reg, "rec_id", "name", maxBlock = 2)
+      .select("new_id", "rec_id").as[(Long, Long)].collect().toSet
+    val input2 = MemoryStream[Rec](spark)
+    input2.addData(trio: _*)
+    val q2 = graft.streaming.DocumentStreams.entityFlagStream(
+        input2.toDF(), reg, maxBlock = 2, broadcastRegistry = true)
+      .writeStream.format("memory").queryName("ent_flags_capped")
+      .outputMode(OutputMode.Append()).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val streamCapped = spark.table("ent_flags_capped")
+      .select("new_id", "rec_id").as[(Long, Long)].collect().toSet
+    assert(batchCapped.isEmpty,
+      s"fixture must make the batch-side cap bite, got $batchCapped")
+    assert(batchCapped.subsetOf(streamCapped) &&
+      streamCapped.map(_._1) === Set(11L, 12L, 13L),
+      s"stream must keep the capped-batch pairs, got $streamCapped")
+    // NULL/empty names emit no pairs (nothing to block or score —
+    // admitBatch is where they refuse loudly), named rows still flag
+    val input3 = MemoryStream[Rec](spark)
+    input3.addData(rec(21, 0, null), rec(22, 1, ""),
+      rec(23, 2, "555-bravo-777"))
+    val q3 = graft.streaming.DocumentStreams.entityFlagStream(
+        input3.toDF(), reg, broadcastRegistry = true)
+      .writeStream.format("memory").queryName("ent_flags_unnamed")
+      .outputMode(OutputMode.Append()).start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(spark.table("ent_flags_unnamed").select("new_id")
+      .as[Long].collect().toSet === Set(23L))
+    // guards: stale scheme and degenerate cap refuse loudly
+    intercept[IllegalArgumentException] {
+      graft.streaming.DocumentStreams.entityFlagStream(
+        input.toDF(), reg.copy(scheme = 999))
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.DocumentStreams.entityFlagStream(
+        input.toDF(), reg, maxBlock = 1)
     }
   }
 

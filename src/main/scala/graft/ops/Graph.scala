@@ -509,6 +509,10 @@ object Graph {
       .filter(col("a") < col("b"))
       .join(deg.select(col("n").as("z"), col("d")), Seq("z"))
       .groupBy(col("a"), col("b"))
+      // int64 audit (r19 verdict #1 sibling pass): per-term 10000/d ≤
+      // 10⁴ and the sum runs over ≤ min(deg,cap) shared neighbors per
+      // pair, so ra_bp ≤ 10⁴·cap ≤ 10⁷ at the default cap — five
+      // orders under 2⁶³; counts likewise. No widening needed here.
       .agg(count(lit(1)).as("common_neighbors"),
         sum(expr("10000L div d")).as("ra_bp"))
       .join(und.select(col("u").as("a"), col("v").as("b")),

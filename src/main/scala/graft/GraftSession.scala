@@ -278,18 +278,26 @@ object GraftSession {
               .BloomFilterMightContain(children(0), children(1))
           }))
       }
-      // ANSI mode stays OFF — a deliberate posture, pinned here (r19
-      // verdict #1): the engine's doors lean on non-ANSI cast semantics
-      // (string→long NULLs feed dead-letter screens, TRY_CAST parity,
-      // the dd's drift-surfaces-as-NULL contract), and a mid-query
-      // ArithmeticException on a 100 TB job is a worse failure mode
-      // than a screened NULL. The COROLLARY is that long×long products
-      // WRAP silently — so any operator whose intermediate can exceed
-      // 2⁶³ at document scale must widen explicitly (decimal(38,0) or
-      // double) rather than rely on the session to catch it:
-      // degreeAssortativity's bilinear terms are the audited example
-      // (ops/Graph.scala), chiSquare2x2/OLS run in double by design,
-      // and per-edge/count sums are envelope-documented at their sites.
+      // ANSI posture, pinned here and VERIFIED against the live session
+      // (r20 audit — the r19 "session never enables ANSI so longs wrap
+      // silently" claim was wrong): this Spark's DEFAULT is
+      // spark.sql.ansi.enabled=true and the session leaves it there, so
+      // malformed casts and int64 overflow fail LOUD
+      // (SparkArithmeticException), never silently-wrong. That default
+      // is kept deliberately: screens that WANT null-on-bad-value say
+      // so explicitly with TRY_CAST/try_* (dead-letter q157, TRY_CAST
+      // q207, the try_cast witness columns of the widened
+      // sufficient-statistic queries), which behave identically under
+      // either mode. The corollary at 100 TB: a loud overflow still
+      // KILLS the job at exactly the scale the query exists for — so
+      // any operator whose intermediate can exceed 2⁶³ at document
+      // scale must widen explicitly (DECIMAL(38,0), exact to 10³⁸, or
+      // double where the report tolerates rounding) rather than lean
+      // on the error: the q293/q180/q202/q203/q242/kappa widenings
+      // (graft.dec) are the audited set, chiSquare2x2 runs in double by
+      // design, and the remaining integer sums carry envelope notes at
+      // their sites. ScaleSpec's overflow laws pin both halves (exact
+      // past 2⁶³ through decimal; loud past 10³⁸).
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -83,10 +83,12 @@ final case class DataDictionary(relations: Map[String, StructType]) {
         // Date/Timestamp refuse alongside the nested types (r19
         // advice): Avro logical date/timestamp values surface through
         // GenericRecord as raw int/long, whose toString ("19000") then
-        // casts to date/timestamp as a silent NULL under the non-ANSI
-        // session — the opposite of the "drift surfaces at scan time"
-        // contract. Store temporals in parquet/orc/json, or declare
-        // the column as the long epoch it physically is.
+        // casts to date/timestamp as a mid-scan CAST_INVALID_INPUT
+        // throw under this session's ANSI default (a silent NULL under
+        // non-ANSI) — either way worse than refusing at PLAN time,
+        // which is the "drift surfaces at scan time" contract. Store
+        // temporals in parquet/orc/json, or declare the column as the
+        // long epoch it physically is.
         st.fields.foreach(f => require(f.dataType match {
           case _: ArrayType | _: StructType | _: MapType |
                BinaryType | DateType | TimestampType => false

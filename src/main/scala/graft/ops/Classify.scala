@@ -350,10 +350,15 @@ object Classify {
     * kappa_bp is negative when agreement is below chance (truncation
     * on the negative numerator matches both engines — the q226 pin).
     * NULL labels on either side drop (unlabeled rows are not
-    * disagreement). int64 envelope: ΣnA·nB·10⁴ ≤ n²·10⁴ < 2⁶³ holds
-    * to n ≈ 3·10⁷ double-annotated rows — beyond any human-labeled
-    * set by orders of magnitude (the q202 bound-note convention;
-    * pre-scaling marginals by 10³ extends it if ever needed).
+    * disagreement). Exactness (the q293 widening): the marginal
+    * product sum Σ nA·nB and the `pe_bp` ratio run in DECIMAL(38,0) —
+    * the old int64 envelope (n²·10⁴ < 2⁶³, n ≈ 3·10⁷ rows) was fine
+    * for human-labeled sets but OVERFLOWED (a loud job-killing throw
+    * under the session's ANSI default) the moment kappa judged
+    * MODEL-vs-MODEL labels at corpus scale (q168's world, n ~
+    * 10⁹⁺) while DuckDB widened to HUGEINT. Decimal is exact to
+    * n ≈ 10¹⁷; the bp-grain outputs stay BIGINT (quotients ≤ 10⁴).
+    * ScaleSpec plants an n past the old envelope and pins the replay.
     *
     * Scale shape: one pair-grain aggregate ([[agreementConfusion]]),
     * then label-grain marginals and 1-row scalar joins — nothing
@@ -370,13 +375,15 @@ object Classify {
     val nb = conf.groupBy(col("label_b").as("k"))
       .agg(sum(col("n")).as("nb"))
     val pe = na.join(nb, Seq("k"))
-      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("pe_num"))
+      .agg(coalesce(sum(graft.dec(col("na")) * graft.dec(col("nb"))),
+        lit(0L).cast("decimal(38,0)")).as("pe_num"))
     val tot = conf.agg(sum(col("n")).as("n"),
       coalesce(sum(when(col("label_a") === col("label_b"), col("n"))),
         lit(0L)).as("n_agree"))
     tot.crossJoin(broadcast(pe))
       .withColumn("po_bp", expr("n_agree * 10000L div n"))
-      .withColumn("pe_bp", expr("pe_num * 10000L div (n * n)"))
+      .withColumn("pe_bp", expr("pe_num * 10000L div " +
+        "(cast(n as decimal(20,0)) * cast(n as decimal(20,0)))"))
       .select(col("n"), col("n_agree"), col("po_bp"), col("pe_bp"),
         when(col("pe_bp") < 10000L,
           expr("(po_bp - pe_bp) * 10000L div (10000L - pe_bp)"))

@@ -1,7 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+
+import graft.dec
 
 /** Link-graph centrality over an edge relation — the web-curation
   * authority signal (CC-Net / RefinedWeb-style pipelines rank crawl
@@ -554,11 +556,12 @@ object Graph {
     * Exactness: the four sufficient statistics are pure int64 sums over
     * edges (x = du, y = dv): with m2 = 2·|E|,
     * r = (m2·Σxy − (Σx)²) / (m2·Σx² − (Σx)²) — the two bilinear
-    * combinations run in DECIMAL(38,0), exact to 10³⁸ (r19 verdict #1:
-    * the session is deliberately non-ANSI, so a long×long product here
-    * would WRAP silently past 2⁶³ while an exact-integer oracle keeps
-    * going — wrong-but-plausible r on one engine only; decimal widening
-    * removes the trap instead of documenting it). Only the final
+    * combinations run in DECIMAL(38,0), exact to 10³⁸ (r19 verdict #1,
+    * posture corrected by the r20 ANSI audit: under the session's
+    * ANSI default a long×long product past 2⁶³ THROWS, killing the
+    * whole job at exactly the graph scale the query exists for, while
+    * the exact-integer oracle keeps going; decimal widening removes
+    * the failure instead of documenting it). Only the final
     * division runs in double (4 dp), the
     * [[graft.ops.Classify.chiSquare2x2]] fixed-order posture; a
     * decimal→double cast rounds to nearest exactly like an
@@ -570,8 +573,8 @@ object Graph {
     * m2·Σx² ≈ 4·|E|²·dmax² < 10³⁸ — i.e. |E|·dmax² ≲ 4.6·10¹⁸ and
     * |E|·dmax ≲ 5·10¹⁸ — web-crawl scale with nine digits to spare
     * (the old long envelope died at |E|·dmax ≈ 1.5·10⁹, one moderate
-    * crawl graph); past even that, decimal overflow NULLs under the
-    * non-ANSI session rather than wrapping (OpsSpec plants a star past
+    * crawl graph); past even that, decimal overflow still fails LOUD
+    * under ANSI, never silently-wrong (OpsSpec plants a star past
     * 2⁶³ and pins r = −1 exactly).
     *
     * Scale shape: one symmetrize+distinct shuffle, one degree
@@ -585,7 +588,6 @@ object Graph {
     val deg = degreesOf(und)
     // decimal(20,0) inputs → decimal(38,0) products: exact where the
     // old long×long wrapped (r19 verdict #1); scale-0 ops lose nothing
-    def dec(c: Column) = c.cast("decimal(20,0)")
     val m2 = dec(col("n_edges") * 2L)
     val num = m2 * dec(col("s_xy")) - dec(col("s_x")) * dec(col("s_x"))
     val den = m2 * dec(col("s_xx")) - dec(col("s_x")) * dec(col("s_x"))

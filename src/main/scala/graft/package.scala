@@ -94,4 +94,22 @@ package object graft {
     * DuckDB oracle at any parallelism.
     */
   def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Exact-integer widening for bilinear sufficient-statistic algebra
+    * (the q293/q186 overflow class): an int64 column lifted to
+    * DECIMAL(20,0), so products land in DECIMAL(38,0) — exact to 10³⁸
+    * where long×long past 2⁶³ THROWS under the session's ANSI default
+    * (GraftSession pins the posture), killing a 100 TB job at exactly
+    * the scale the statistic exists for. DuckDB widens the same
+    * algebra to HUGEINT, so the two engines keep agreeing far past the
+    * old envelope; past 10³⁸ Spark's decimal overflow still fails LOUD
+    * under ANSI, never silently-wrong. Scale-0 casts lose nothing; a
+    * final decimal→double cast rounds to nearest exactly like an
+    * exact-integer→double cast, so double reports stay bit-identical
+    * across engines too. Shared by q180/q202/q203/q242,
+    * [[ops.Classify.cohenKappa]] and [[ops.Graph.degreeAssortativity]]'s
+    * sibling fixes; ScaleSpec's planted-overflow laws exercise it past
+    * 2⁶³ against exact replays.
+    */
+  private[graft] def dec(c: Column): Column = c.cast("decimal(20,0)")
 }

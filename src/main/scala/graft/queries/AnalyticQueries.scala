@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.{cents, events, table}
+import graft.{cents, dec, events, table}
 import graft.api.Engine
 import graft.catalog.DataDictionary
 
@@ -1174,11 +1174,18 @@ object AnalyticQueries {
     * no calendar arithmetic. Scale shape: one day-grain aggregate from
     * the corpus, then everything is days-sized (the lag join explodes
     * 7× at day grain); the three scalar relations (bounds, S, den)
-    * broadcast. int64 bound: |d_t| ≤ n·x_max so the report needs
-    * 10⁴·n³·x_max² < 2⁶³ — holds through ~3·10⁴ days at 10⁶
-    * events/day; past that, pre-scale counts (x div 10³ changes acf_bp
-    * by < 1 bp when x_max ≥ 10⁵) — the q186 overflow class, bounded
-    * here by design.
+    * broadcast. Exactness (the q293 widening): each deviation
+    * `d_t = n·x_t − S` stays int64 (|d_t| ≤ n·x_max < 2⁶³ — generous
+    * to 10⁴ days × 9·10¹⁴ events/day), but the lag products and their
+    * sums run in DECIMAL(38,0) — the old all-int64 posture needed
+    * Σd² < 2⁶³ and a single year of 10⁸-events/day traffic blew it
+    * (d² ~ 10²⁴ PER TERM, a loud job-killing throw under the
+    * session's ANSI default) while DuckDB widened to HUGEINT and
+    * kept going. `10000·num div den` truncates the exact decimals toward
+    * zero into the declared BIGINT identically in both engines
+    * (negative numerators are fine — the q226 pin; the quotient is
+    * ≤ 10⁴ by Cauchy–Schwarz, never overflow). ScaleSpec plants a
+    * series past 2⁶³ and pins the exact replay.
     */
   def q242(s: SparkSession, dir: String): DataFrame = {
     val daily = events(s, dir)
@@ -1196,13 +1203,13 @@ object AnalyticQueries {
     val dev = x.crossJoin(broadcast(st))
       .select(col("t"), (col("nn") * col("x") - col("sx")).as("d"),
         col("nn"))
-    val den = dev.agg(sum(col("d") * col("d")).as("den"))
+    val den = dev.agg(sum(dec(col("d")) * dec(col("d"))).as("den"))
     val cur = dev.select(explode(sequence(lit(1L), lit(7L))).as("lag"),
       col("t"), col("d"), col("nn"))
     val prev = dev.select(col("t").as("pt"), col("d").as("pd"))
     cur.join(prev, cur("t") - cur("lag") === prev("pt"))
       .groupBy(col("lag"), col("nn"))
-      .agg(sum(col("d") * col("pd")).as("num"))
+      .agg(sum(dec(col("d")) * dec(col("pd"))).as("num"))
       .crossJoin(broadcast(den))
       .select(col("lag"), col("nn").as("n_days"),
         expr("10000 * num div den").as("acf_bp"))
@@ -1216,9 +1223,18 @@ object AnalyticQueries {
     * each of the `168 − m` never-observed hours (zero cells are real
     * evidence; dropping them biases the test toward uniformity), the
     * denominator an integer product, and only the final 4dp report
-    * divides. df = 167 always. Magnitudes: numerator ≤ 168·(168·T)², so
-    * int64 holds through T ≈ 10⁷ events per type — beyond that the
-    * cells themselves are the report. Same two aggregates as q178.
+    * divides. df = 167 always. Magnitudes: each deviation `168·O − T`
+    * is int64 through T ≈ 5·10¹⁶ events per type, but the SQUARED sum
+    * (≤ 168·(168·T)²) blew int64 at T ≈ 10⁷ — any real type does, and
+    * under the session's ANSI default the overflow THREW, killing the
+    * job — so the squares and the `T²` zero-cell term run in
+    * DECIMAL(38,0) (the q293 widening; exact to 10³⁸ ⇒ T ≲ 4·10¹⁶,
+    * and DuckDB's HUGEINT agrees all the way). `chi2` divides from the
+    * exact decimals; the integer witness columns TRY_CAST back to
+    * their declared BIGINT and NULL past 2⁶³ while the report stays
+    * correct (ScaleSpec plants T = 2.2·10⁷ past the old envelope and
+    * pins the replay).
+    * Same two aggregates as q178.
     */
   def q180(s: SparkSession, dir: String): DataFrame = {
     val cells = events(s, dir)
@@ -1228,18 +1244,21 @@ object AnalyticQueries {
       .agg(count(lit(1)).as("n"))
     val tot = cells.groupBy(col("event_type"))
       .agg(sum(col("n")).as("t"))
+    val d = col("n") * 168L - col("t") // int64 to T ≈ 5·10¹⁶/type
     cells.join(broadcast(tot), Seq("event_type"))
       .groupBy(col("event_type"))
       .agg(max(col("t")).as("t"), count(lit(1)).as("n_cells"),
-        sum((col("n") * 168L - col("t")) * (col("n") * 168L - col("t")))
-          .as("__s2"))
+        sum(dec(d) * dec(d)).as("__s2"))
+      .withColumn("__num", col("__s2") +
+        dec(lit(168L) - col("n_cells")) * dec(col("t")) * dec(col("t")))
       .select(col("event_type"), col("t"), col("n_cells"),
-        (col("__s2") + (lit(168L) - col("n_cells")) * col("t") * col("t"))
-          .as("chi2_num"),
+        // try_cast: the witness NULLs past its declared BIGINT (a
+        // plain decimal→long cast THROWS under the session's ANSI
+        // default) while the chi2 report stays exact from the decimal
+        expr("try_cast(__num as bigint)").as("chi2_num"),
         (col("t") * 168L).as("chi2_den"),
-        round((col("__s2") + (lit(168L) - col("n_cells")) * col("t") *
-          col("t")).cast("double") / (col("t") * 168L).cast("double"), 4)
-          .as("chi2"))
+        round(col("__num").cast("double") /
+          (col("t") * 168L).cast("double"), 4).as("chi2"))
   }
 
   /** Session path analysis — the navigation report on top of q34's
@@ -1644,13 +1663,19 @@ object AnalyticQueries {
   /** Gini concentration index over supplier revenue — the inequality
     * number behind q192's ABC classes: with revenues sorted ascending,
     * `G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)` — numerator and denominator
-    * exact int64 (value ties commute: swapping equal x across ranks
+    * exact integers (value ties commute: swapping equal x across ranks
     * leaves Σ i·xᵢ unchanged, so the tie-break never shows), one 6dp
-    * division at the end. int64 bound: n·Σx < 2^63 holds through ~10⁶
-    * suppliers × 10¹² total cents; past that the identical algebra
-    * runs in DECIMAL(38) (the q186/q203 overflow-class note — those
-    * two multiplied VARIANCE terms and needed the double path; here
-    * the factors are a count and a sum, so the bound is far looser).
+    * division at the end. The rank-weighted sum and both combinations
+    * run in DECIMAL(38,0) (the q293 widening): the old int64 envelope
+    * n·Σx < 2⁶³ died at ~10⁶ suppliers × 10¹² total cents — one real
+    * catalog — where the session's ANSI default turned Σ i·xᵢ into a
+    * job-killing overflow while DuckDB widened to HUGEINT. Decimal is
+    * exact to 10³⁸ (n·Σx at 10⁹ suppliers × 10²⁰ cents still has 9
+    * digits of headroom); `gini` divides from the exact decimals, and
+    * the integer witness columns TRY_CAST back to their declared
+    * BIGINT, NULLing past 2⁶³ while the report stays correct
+    * (ScaleSpec plants a catalog past the old envelope and pins the
+    * replay).
     * Supplier-cardinality windows after one corpus aggregate.
     */
   def q202(s: SparkSession, dir: String): DataFrame = {
@@ -1661,23 +1686,37 @@ object AnalyticQueries {
     val wOrd = Window.orderBy(col("rev_c").asc, col("l_suppkey").asc)
     rev.withColumn("i", row_number().over(wOrd))
       .agg(count(lit(1)).as("n"), sum(col("rev_c")).as("sum_c"),
-        sum(col("i") * col("rev_c")).as("iwsum"))
+        sum(dec(col("i")) * dec(col("rev_c"))).as("iwsum"))
+      .withColumn("__num",
+        col("iwsum") * 2L - dec(col("n") + 1L) * dec(col("sum_c")))
+      .withColumn("__den", dec(col("n")) * dec(col("sum_c")))
       .select(col("n"), col("sum_c"),
-        (col("iwsum") * 2L - (col("n") + 1L) * col("sum_c"))
-          .as("gini_num"),
-        (col("n") * col("sum_c")).as("gini_den"),
-        round((col("iwsum") * 2L - (col("n") + 1L) * col("sum_c"))
-          .cast("double") /
-          (col("n") * col("sum_c")).cast("double"), 6).as("gini"))
+        // try_cast: witnesses NULL past their declared BIGINT (a
+        // plain decimal→long cast THROWS under the session's ANSI
+        // default); the gini report divides the exact decimals
+        // either way
+        expr("try_cast(__num as bigint)").as("gini_num"),
+        expr("try_cast(__den as bigint)").as("gini_den"),
+        round(col("__num").cast("double") /
+          col("__den").cast("double"), 6).as("gini"))
   }
 
   /** Per-type linear trend of daily counts — "is traffic growing":
     * OLS slope / intercept / r² per event type over the full day grid
     * (x = day − first day, y = count incl. real zeros), every
-    * coefficient ONE double expression over five exact int64 sums
-    * (Σx, Σy, Σxy, Σx², Σy² — the q186 posture), 6dp; zero-variance
-    * series emit NULL. Grid-grain arithmetic after one corpus
-    * aggregate.
+    * coefficient ONE double expression over five exact sums, 6dp;
+    * zero-variance series emit NULL. Exactness (the q293 widening):
+    * Σx and Σy stay int64 (Σx ≤ m², generous to 10⁹ days), but Σxy,
+    * Σx², Σy² and the bilinear combinations m·Σxy − Σx·Σy etc. run in
+    * DECIMAL(38,0) — the old all-int64 posture OVERFLOWED at ~10⁴
+    * days × 10⁸ events/day (Σy² ~ 10²⁰ > 2⁶³), a routine year of
+    * corpus traffic — a loud job-killing throw under the session's
+    * ANSI default — while DuckDB widened to HUGEINT. The r² DENOM
+    * still multiplies its two variance terms as doubles after exact
+    * decimal subtraction (their product can pass 10³⁸; decimal→double
+    * rounds to nearest exactly like HUGEINT→double, so engines agree
+    * bitwise). ScaleSpec plants a series past 2⁶³ and pins the exact
+    * replay. Grid-grain arithmetic after one corpus aggregate.
     */
   def q203(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir).select(col("event_type"),
@@ -1693,20 +1732,21 @@ object AnalyticQueries {
         coalesce(col("n"), lit(0L)).as("y"))
     val sums = grid.groupBy(col("event_type"))
       .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
-        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
-    val slopeNum = (col("m") * col("sxy") - col("sx") * col("sy"))
-      .cast("double")
-    val slopeDen = (col("m") * col("sxx") - col("sx") * col("sx"))
-      .cast("double")
-    // same int64-product class as the q186 sf1 overflow: each variance
-    // term is exact int64, their product is not — multiply as doubles
-    // (exact through |term| < 2^53, identical to DuckDB's
-    // cast-of-HUGEINT-product in that range)
-    val r2den = (col("m") * col("sxx") - col("sx") * col("sx"))
-      .cast("double") *
-      (col("m") * col("syy") - col("sy") * col("sy")).cast("double")
+        sum(col("y")).as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    val slopeNum = (dec(col("m")) * col("sxy") -
+      dec(col("sx")) * dec(col("sy"))).cast("double")
+    val slopeDen = (dec(col("m")) * col("sxx") -
+      dec(col("sx")) * dec(col("sx"))).cast("double")
+    // each variance term is exact DECIMAL(38,0); their PRODUCT can
+    // pass 10^38, so multiply as doubles (exact-integer→double rounds
+    // to nearest on both engines, identical IEEE product)
+    val r2den = (dec(col("m")) * col("sxx") -
+      dec(col("sx")) * dec(col("sx"))).cast("double") *
+      (dec(col("m")) * col("syy") -
+        dec(col("sy")) * dec(col("sy"))).cast("double")
     sums.select(col("event_type"), col("m").as("n_days"),
       round(slopeNum / slopeDen, 6).as("slope"),
       round((col("sy").cast("double") - (slopeNum / slopeDen) *

@@ -3369,8 +3369,9 @@ object PipelineQueries {
     * midrank basis points `pr_bp = (2·rk − 1)·5000 div n` ∈ [0, 10000),
     * rank ties broken by doc_id — all integer, no division. rk is cast
     * to BIGINT before the product (row_number returns 32-bit INT, so
-    * the uncast spelling would wrap past ~214k rows per source under
-    * non-ANSI mode — the q186/q206 int64-bound class); int64 then
+    * the uncast spelling would overflow past ~214k rows per source —
+    * a job-killing throw under the session's ANSI default, the
+    * q186/q206 int64-bound class); int64 then
     * holds to ~9.2·10¹⁴ rows per source. The rank window is per-source
     * DOC grain (the q68 exact-rank family); the q217 min-max sibling
     * is the window-free contrast.

@@ -3356,10 +3356,11 @@ class OpsSpec extends SparkSpec {
     assert(r(Seq.empty[(Long, Long)]) === None)
     // int64-envelope law (r19 verdict #1): a 50k-leaf star drives the
     // bilinear term m2·Σx² = 2d·(d³+d) ≈ 1.25·10¹⁹ past 2⁶³ ≈
-    // 9.22·10¹⁸ — the old long×long combination wrapped it negative
-    // under the non-ANSI session and emitted a plausible-but-wrong r;
-    // the decimal(38,0) widen keeps the star's exact r = −1. BigInt
-    // replays the claim: the wrapped denominator really differs.
+    // 9.22·10¹⁸ — the old long×long combination THREW a job-killing
+    // ARITHMETIC_OVERFLOW under the session's ANSI default (the r20
+    // audit corrected r19's "wraps silently" claim — either way the
+    // answer never arrived); the decimal(38,0) widen keeps the star's
+    // exact r = −1. BigInt replays that the term really exceeds int64.
     val d = 50000L
     val m2B = BigInt(2 * d); val sxxB = BigInt(d) * (d * d + 1)
     val sxB = BigInt(d) * (d + 1)

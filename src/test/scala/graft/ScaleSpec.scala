@@ -414,8 +414,8 @@ class ScaleSpec extends SparkSpec {
       assert(e2.getMessage.contains("flat records only"))
       // ...and so do temporal dd columns (r19 advice): Avro logical
       // date/timestamp values surface as raw int/long, whose toString
-      // would cast to a silent NULL under the non-ANSI session —
-      // refuse at plan time instead
+      // would fail the date/timestamp cast mid-scan (ANSI throw; NULL
+      // under non-ANSI) — refuse at plan time instead
       for (t <- Seq(org.apache.spark.sql.types.DateType,
                     org.apache.spark.sql.types.TimestampType)) {
         val tempDd = graft.catalog.DataDictionary(Map("Ev" ->
@@ -536,5 +536,132 @@ class ScaleSpec extends SparkSpec {
     // explicit teardown (Bench/Verify path) frees everything
     graft.clearCaches(spark)
     assert(persisted === Set.empty[String])
+  }
+
+  test("int64-envelope widening: q180/q202/q242/kappa stay exact past 2^63 on planted overflow fixtures (the q293 class, r20 sweep)") {
+    // The r19 q293 finding generalized: every sufficient-statistic
+    // query whose bilinear algebra could pass 2^63 at REALISTIC corpus
+    // scale now runs the products in DECIMAL(38,0) (graft.dec). Each
+    // fixture here provably exceeds the old long envelope (BigInt
+    // replays pin it), so the old long x long code THREW a job-killing
+    // overflow under the session's ANSI default (the r20 audit
+    // corrected r19's "wraps silently" claim) while DuckDB widened to
+    // HUGEINT and kept going; the widened path must reproduce the
+    // exact replay, with integer witness columns try_cast-NULLing
+    // where the true value no longer fits their declared BIGINT.
+    // q203's overflow (Σy² at ~10^8
+    // events/day) is NOT query-plantable — daily counts are bounded by
+    // fixture rows and epoch-nanos cap the day span — so its shape is
+    // covered by the shared-mechanism law at the end plus the oracle
+    // gate at fixture scale.
+    import java.nio.file.Files
+    val max = BigInt(Long.MaxValue)
+
+    // --- q180 chi-square: one type, ONE hour-of-week cell, T = 2.2e7.
+    // chi2_num = (167T)^2 + 167*T^2 ~ 1.35e19 > 2^63.
+    val t180 = 22000000L
+    val num180 = BigInt(167) * t180 * (BigInt(167) * t180) +
+      BigInt(167) * t180 * t180
+    assert(!num180.isValidLong, "q180 fixture must exceed int64")
+    val d180 = Files.createTempDirectory("graft-ovf-180").toString
+    spark.range(t180)
+      .select(lit("t").as("event_type"),
+        lit(5L * 86400L * 1000000000L).as("ts"))
+      .write.mode("overwrite").parquet(s"$d180/events.parquet")
+    val r180 = queries.AnalyticQueries.q180(spark, d180)
+      .select("t", "n_cells", "chi2_num", "chi2_den", "chi2")
+      .as[(Long, Long, Option[Long], Long, Double)].collect()
+    val exp180 = BigDecimal(num180.toDouble / (168L * t180).toDouble)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r180.toSeq === Seq((t180, 1L, None, 168L * t180, exp180)),
+      s"q180 got ${r180.mkString}")
+
+    // --- q202 gini: 12 suppliers, revenue i*1e16 cents. gini_den =
+    // n*sum_c = 9.36e18 > 2^63 (NULL witness); gini_num = 2.86e18
+    // fits and must be EXACT (the old path wrapped both intermediate
+    // products); gini divides the exact decimals.
+    val sumC = BigInt(78) * BigInt("10000000000000000")      // Σ i·1e16
+    val iw = BigInt(650) * BigInt("10000000000000000")       // Σ i²·1e16
+    val num202 = iw * 2 - BigInt(13) * sumC
+    val den202 = BigInt(12) * sumC
+    assert(!den202.isValidLong && (iw * 2) > max,
+      "q202 fixture must exceed int64")
+    val d202 = Files.createTempDirectory("graft-ovf-202").toString
+    (1 to 12).map(i => (i.toLong, i.toDouble * 1e14, 0.0))
+      .toDF("l_suppkey", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$d202/lineitem.parquet")
+    val r202 = queries.AnalyticQueries.q202(spark, d202)
+      .select("n", "sum_c", "gini_num", "gini_den", "gini")
+      .as[(Long, Long, Option[Long], Option[Long], Double)].collect()
+    val exp202 = BigDecimal(num202.toDouble / den202.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r202.toSeq === Seq((12L, sumC.toLong, Some(num202.toLong),
+      None, exp202)), s"q202 got ${r202.mkString}")
+
+    // --- q242 acf: 90 000 consecutive days alternating 1 / 241
+    // events. d_t = ±1.08e7 so den = Σd² = 1.05e19 > 2^63; the seven
+    // acf_bp rows must equal the BigInt replay of 10000·num div den.
+    val days242 = 90000L
+    val dMag = BigInt(10800000)                  // 90000·(241−121)/... = n·120
+    val den242 = BigInt(days242) * dMag * dMag
+    assert(!den242.isValidLong, "q242 fixture must exceed int64")
+    val d242 = Files.createTempDirectory("graft-ovf-242").toString
+    spark.range(days242)
+      .select((col("id") * lit(86400L * 1000000000L)).as("day_ns"),
+        when(col("id") % 2 === 0, lit(1)).otherwise(lit(241)).as("k"))
+      .select(col("day_ns"), explode(sequence(lit(1), col("k"))))
+      .select(col("day_ns").as("ts"))
+      .write.mode("overwrite").parquet(s"$d242/events.parquet")
+    // replay: d_t = (−1)^(t+1)·dMag ⇒ num(l) = (−1)^l·(n−l)·d²
+    val exp242 = (1L to 7L).map { l =>
+      val num = BigInt(if (l % 2 == 1) -1 else 1) *
+        BigInt(days242 - l) * dMag * dMag
+      (l, days242, (BigInt(10000) * num / den242).toLong)
+    }.toSet
+    val r242 = queries.AnalyticQueries.q242(spark, d242)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r242 === exp242, s"q242 got $r242")
+
+    // --- cohenKappa: rater A constant, rater B 99% agreeing, n =
+    // 3.1e7 ⇒ pe_num·10⁴ = 9.51e18 > 2^63 (the old pe_bp wrapped
+    // negative); exact replay of all three bp columns.
+    val n262 = 31000000L
+    val nbY = n262 / 100
+    val peNum = BigInt(n262) * (n262 - nbY)
+    assert((peNum * 10000) > max, "kappa fixture must exceed int64")
+    val kdf = spark.range(n262).select(lit("x").as("a"),
+      when(col("id") % 100 === 0, lit("y")).otherwise(lit("x")).as("b"))
+    val rk = ops.Classify.cohenKappa(kdf, "a", "b")
+      .select("n", "n_agree", "po_bp", "pe_bp", "kappa_bp")
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+    val poBp = BigInt(n262 - nbY) * 10000 / n262
+    val peBp = peNum * 10000 / (BigInt(n262) * n262)
+    val kBp = (poBp - peBp) * 10000 / (10000 - peBp)
+    assert(rk.toSeq === Seq((n262, n262 - nbY, poBp.toLong, peBp.toLong,
+      Some(kBp.toLong))), s"kappa got ${rk.mkString}")
+
+    // --- shared mechanism (q203's shape): the dec-widened bilinear
+    // combination m·S₁ − S₂·S₃ equals the BigInt replay past 2^63, and
+    // past DECIMAL(38,0)'s 10^38 envelope it still fails LOUD under
+    // the session's ANSI default — never a silent wrap.
+    val (m, s1, s2, s3) =
+      (4000000000L, 5000000000L, 4000000000L, 900000000L)
+    val expBi = BigInt(m) * s1 - BigInt(s2) * s3
+    assert(!(BigInt(m) * s1).isValidLong, "mechanism fixture past 2^63")
+    val bi = Seq((m, s1, s2, s3)).toDF("m", "s1", "s2", "s3")
+      .select((dec(col("m")) * dec(col("s1")) -
+        dec(col("s2")) * dec(col("s3"))).as("v"))
+      .select(col("v").cast("string")).as[String].head()
+    assert(BigInt(bi) === expBi, s"bilinear got $bi")
+    val over = intercept[Exception] {
+      spark.range(1)
+        .select(((col("id") + Long.MaxValue).cast("decimal(20,0)"))
+          .as("x"))
+        .select((col("x") * col("x") * col("x")).as("v")) // ~7.8e56
+        .collect()
+    }
+    assert(over.getMessage.contains("NUMERIC_VALUE_OUT_OF_RANGE"),
+      s"past 10^38 the decimal product must fail loud, got: " +
+        over.getMessage.take(100))
   }
 }

@@ -199,10 +199,14 @@ object Classify {
   /** Exact AUC by rank statistic — the evaluation half the classifier
     * family needs (fit and score exist; "how good is it" did not): the
     * Mann–Whitney formulation with midrank tie correction, computed in
-    * INTEGER arithmetic until the final division — ranks arrive
+    * EXACT-INTEGER arithmetic until the final division — ranks arrive
     * doubled (2·midrank = 2·prevCount + n + 1, an integer even when
     * the midrank is a .5), so the statistic is engine-exact however
     * scores tie, and ties are REAL here because scores round to 4 dp.
+    * The rank-sum products run in DECIMAL(38,0) (the q293 widening:
+    * the statistic is ~2·n_pos·N, past 2⁶³ — an ANSI job-killing
+    * throw — at ~4·10⁹ labeled rows, model-vs-model judging scale;
+    * decimal holds to ~10¹⁹ rows and DuckDB's HUGEINT agrees).
     * Scale shape: one score-keyed aggregate (distinct-score
     * cardinality), then a cumulative window over THAT relation — the
     * corpus enters one exchange, the window never sees it. THE BOUND
@@ -233,14 +237,20 @@ object Classify {
         sum(col("__np")).as("n_pos"),
         (sum(col("__n")) - sum(col("__np"))).as("n_neg"),
         count(when(col("__n") > 1, 1)).as("n_tied_scores"),
-        sum(col("__np") * (col("__prev") * 2 + col("__n") + 1))
+        // rank-sum products in DECIMAL(38,0) (the q293 widening): the
+        // doubled-midrank statistic is ~2·n_pos·N, past 2^63 (an ANSI
+        // job-killing throw) at ~4·10^9 labeled rows — model-judging
+        // scale; DuckDB's HUGEINT agrees through the decimal range
+        sum(graft.dec(col("__np")) *
+          (graft.dec(col("__prev")) * 2 + graft.dec(col("__n")) + 1))
           .as("__s2"))
     agg.crossJoin(nn).select(col("n_pos"), col("n_neg"),
       col("n_tied_scores"), col("n_null"),
       when(col("n_pos") > 0 && col("n_neg") > 0,
-        round((col("__s2") - col("n_pos") * (col("n_pos") + 1))
-          .cast("double") /
-          (col("n_pos") * 2 * col("n_neg")).cast("double"), 6))
+        round((col("__s2") - graft.dec(col("n_pos")) *
+          (col("n_pos") + 1)).cast("double") /
+          (graft.dec(col("n_pos")) * 2 * graft.dec(col("n_neg")))
+            .cast("double"), 6))
         .as("auc"))
   }
 

@@ -82,9 +82,10 @@ object Sampling {
     * corpus grain, the exact-comparator half of this pair. Production
     * at 100 TB runs [[quantileNormalizeBinned]], which replaces the
     * global sort with one bin-grain aggregate (the q209/q210
-    * exact-vs-binned discipline). int64 bound: `r·N < 2⁶³` holds
-    * through N ≈ 3·10⁹ rows; past that the binned sibling is the only
-    * sane path anyway.
+    * exact-vs-binned discipline). The target-position product `r·N`
+    * runs in DECIMAL (the q293 widening — the old int64 spelling threw
+    * past N ≈ 3·10⁹ under the session's ANSI default); the global sort
+    * remains the real bound here, the binned sibling the scale path.
     */
   def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
                         idCol: String): DataFrame = {
@@ -100,7 +101,8 @@ object Sampling {
       .withColumn("r", row_number().over(wg).cast("long"))
       .withColumn("n_g", count(lit(1)).over(wgAll))
       .crossJoin(broadcast(df.agg(count(lit(1)).as("nn"))))
-      .withColumn("pos", expr("greatest(1L, (r * nn) div n_g)"))
+      .withColumn("pos", expr("greatest(1L, " +
+        "(cast(r as decimal(20,0)) * nn) div n_g)"))
       .join(pooled, Seq("pos"))
       .select(col(groupCol), col(idCol), col(valueCol),
         col("pv").as("norm_value"))
@@ -115,7 +117,11 @@ object Sampling {
     * — key-partitioned, scales — and the bins-cardinality cumulative
     * table broadcasts into a range join, so nothing corpus-sized ever
     * sorts globally or single-partitions. Same deterministic tie
-    * order, same integer position arithmetic.
+    * order, same integer position arithmetic — with the target-position
+    * product `r·N` in DECIMAL (the q293 widening): the old int64
+    * spelling was a job-killing ANSI throw at `r·N > 2⁶³`, i.e. ANY
+    * >9·10⁶-row group against a 10¹²-row corpus — squarely inside this
+    * path's own 100 TB charter.
     */
   def quantileNormalizeBinned(df: DataFrame, groupCol: String,
                               valueCol: String, idCol: String,
@@ -143,7 +149,8 @@ object Sampling {
       .withColumn("r", row_number().over(wg).cast("long"))
       .withColumn("n_g", count(lit(1)).over(wgAll))
       .crossJoin(broadcast(df.agg(count(lit(1)).as("nn"))))
-      .withColumn("pos", expr("greatest(1L, (r * nn) div n_g)"))
+      .withColumn("pos", expr("greatest(1L, " +
+        "(cast(r as decimal(20,0)) * nn) div n_g)"))
     ranked.join(broadcast(bins),
         col("pos") > col("cum_prev") && col("pos") <= col("cum"))
       .select(col(groupCol), col(idCol), col(valueCol),

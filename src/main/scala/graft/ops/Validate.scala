@@ -229,10 +229,13 @@ object Validate {
     * grain (group × present-value), never group × domain. NULL
     * sensitive values count as a value (the [[lDiversityAudit]]
     * posture — "unknown" is a disclosure too) and NULL quasi values
-    * group together and are audited. int64 envelope: the scaled sum is
-    * ≤ 2·10⁴·n_g·N, exact while `n_g·N < 4.6·10¹⁴` (e.g. any group
-    * ≤ 4×10⁶ rows against a 10⁸-row release — the q262 envelope
-    * convention; beyond it, audit a stratified sample). Scale shape:
+    * group together and are audited. Exactness (the q293 widening):
+    * the |n_gv·N − n_v·n_g| cross-products and the scaled ratio run in
+    * DECIMAL(38,0) — the old int64 envelope (`n_g·N < 4.6·10¹⁴`, a
+    * 10⁸-row release) was orders below this engine's corpus posture
+    * and past it the audit THREW under the session's ANSI default;
+    * decimal is exact while `n_g·N < 5·10³³` — any conceivable
+    * release — and DuckDB's HUGEINT agrees throughout. Scale shape:
     * one cell-grain aggregate, a group-keyed window for n_g, a
     * value-grain join (domain-sized), one 1-row total broadcast —
     * the corpus enters one exchange. Output: `(quasiCols…, n,
@@ -271,13 +274,19 @@ object Validate {
       .crossJoin(broadcast(total))
       .groupBy(quasiCols.map(col): _*)
       .agg(max(col("n")).as("n"),
-        sum(abs(col("__ngv") * col("__N") - col("__nv") * col("n")))
-          .as("__sp"),
+        // cross-products in DECIMAL(38,0) (the q293 widening): each
+        // |n_gv·N − n_v·n_g| term is ~N² — past 2^63 (an ANSI
+        // job-killing throw) at a ~3·10^9-row release, far below this
+        // engine's corpus posture; DuckDB's HUGEINT agrees throughout
+        sum(abs(graft.dec(col("__ngv")) * graft.dec(col("__N")) -
+          graft.dec(col("__nv")) * graft.dec(col("n")))).as("__sp"),
         sum(col("__nv")).as("__cov"),
         max(col("__N")).as("__Nm"))
       .select((quasiCols.map(col) :+ col("n") :+
-        expr("(10000L * (__sp + (__Nm - __cov) * n)) div (2L * n * __Nm)")
-          .as("tvd_bp")): _*)
+        expr("(10000L * (__sp + (__Nm - __cov) * " +
+          "cast(n as decimal(20,0)))) div " +
+          "(2L * cast(n as decimal(20,0)) * " +
+          "cast(__Nm as decimal(20,0)))").as("tvd_bp")): _*)
       .withColumn("at_risk", col("tvd_bp") > tBp)
   }
 
@@ -402,6 +411,12 @@ object Validate {
       .groupBy(col(rightKey).as("key")).agg(count(lit(1)).as("n_right"))
     lc.join(rc, Seq("key"))
       .select(col("key"), col("n_left"), col("n_right"),
+        // int64 envelope (r20 audit note): est_rows throws past 2^63 —
+        // n_left·n_right > 9.2·10^18 means ~3·10^9 rows of ONE key on
+        // EACH side; the loud failure is the right posture for an
+        // explosion detector (a NULL or saturated estimate would hide
+        // exactly the worst case it exists to surface), and the
+        // per-key factor columns always survive for triage
         (col("n_left") * col("n_right")).as("est_rows"))
   }
 

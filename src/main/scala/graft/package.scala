@@ -106,10 +106,12 @@ package object graft {
     * under ANSI, never silently-wrong. Scale-0 casts lose nothing; a
     * final decimal→double cast rounds to nearest exactly like an
     * exact-integer→double cast, so double reports stay bit-identical
-    * across engines too. Shared by q180/q202/q203/q242,
-    * [[ops.Classify.cohenKappa]] and [[ops.Graph.degreeAssortativity]]'s
-    * sibling fixes; ScaleSpec's planted-overflow laws exercise it past
-    * 2⁶³ against exact replays.
+    * across engines too. Shared by the r20 audit set —
+    * q180/q186/q198/q200/q202/q203/q211/q242, [[ops.Classify.cohenKappa]],
+    * [[ops.Classify.aucReport]], [[ops.Validate.tClosenessAudit]],
+    * [[ops.Sampling.quantileNormalize]]+Binned — and
+    * [[ops.Graph.degreeAssortativity]]; ScaleSpec's planted-overflow
+    * laws exercise it past 2⁶³ against exact replays.
     */
   private[graft] def dec(c: Column): Column = c.cast("decimal(20,0)")
 }

@@ -1326,25 +1326,26 @@ object AnalyticQueries {
       .groupBy(col("type_a"), col("type_b"))
       .agg(count(lit(1)).as("n_days"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
-    // r16 scale fix (caught by the sf1 probe, ARITHMETIC_OVERFLOW):
-    // each variance term n·sxx − sx² is exact int64, but their PRODUCT
-    // is not — the sf1 fixture's 2-day event collapse pushes it past
-    // 2^63. DuckDB widens BIGINT·BIGINT to HUGEINT then casts the
-    // exact product to double; Spark must instead cast EACH term to
-    // double before multiplying — identical IEEE result as long as
-    // each term is exactly representable (< 2^53 ≈ 9·10¹⁵; one
-    // correctly-rounded multiply of exact inputs ≡ one rounding of the
-    // exact product), the documented bound, decimal beyond.
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    // r16 scale fix (caught by the sf1 probe, ARITHMETIC_OVERFLOW),
+    // completed by the r20 widening: the product sums and the bilinear
+    // variance terms run exact in DECIMAL(38,0) (the old int64 sums
+    // themselves threw at ~10^4 days x 10^8 events/day under the
+    // session's ANSI default); the two variance terms still multiply
+    // as DOUBLES — their product can pass 10^38, and DuckDB casting
+    // its exact HUGEINT product to double equals one IEEE multiply of
+    // two exactly-represented terms, the documented < 2^53 bound,
+    // which the 4dp report tolerates beyond.
     sums.select(col("type_a"), col("type_b"), col("n_days"),
-      round((col("n_days") * col("sxy") - col("sx") * col("sy"))
-        .cast("double") /
-        sqrt((col("n_days") * col("sxx") - col("sx") * col("sx"))
-          .cast("double") *
-          (col("n_days") * col("syy") - col("sy") * col("sy"))
-          .cast("double")), 4).as("r"))
+      round((dec(col("n_days")) * col("sxy") -
+        dec(col("sx")) * dec(col("sy"))).cast("double") /
+        sqrt((dec(col("n_days")) * col("sxx") -
+          dec(col("sx")) * dec(col("sx"))).cast("double") *
+          (dec(col("n_days")) * col("syy") -
+            dec(col("sy")) * dec(col("sy"))).cast("double")), 4)
+        .as("r"))
   }
 
   /** Bag-semantics set operations through the SQL door — q18 covers the
@@ -1538,8 +1539,13 @@ object AnalyticQueries {
         col("n_b"),
         round(col("n_ab").cast("double") / col("n_a").cast("double"), 4)
           .as("confidence"),
-        round((col("n_ab") * col("n_sessions")).cast("double") /
-          (col("n_a") * col("n_b")).cast("double"), 4).as("lift"))
+        // lift products in DECIMAL (the q293 widening): n_ab·n_sessions
+        // is ~10^20 at 10^10 sessions — an ANSI job-killing throw in
+        // the old long spelling; decimal→double rounds like DuckDB's
+        // HUGEINT→double, so the 4dp report is engine-identical
+        round((dec(col("n_ab")) * dec(col("n_sessions"))).cast("double") /
+          (dec(col("n_a")) * dec(col("n_b"))).cast("double"), 4)
+          .as("lift"))
   }
 
   /** 2-D skyline (Pareto frontier) — the parts no other part beats on
@@ -1597,10 +1603,12 @@ object AnalyticQueries {
   /** Exact two-sample Kolmogorov–Smirnov statistic — "do clicks and
     * views spend from the same distribution?": D = max |F₁ − F₂| over
     * the pooled support, cross-multiplied to stay integral —
-    * `D_num = max |cum₁·n₂ − cum₂·n₁|`, `D = D_num / (n₁·n₂)` — so the
-    * max runs over exact int64 and only the final 6dp report divides
-    * (int64 holds through n ≈ 3·10⁹ per side; past that the same
-    * algebra runs in decimal). Cumulative counts advance at DISTINCT
+    * `D_num = max |cum₁·n₂ − cum₂·n₁|`, `D = D_num / (n₁·n₂)` — the
+    * cross-products exact in DECIMAL(38,0) (the q293 widening: the old
+    * int64 spelling threw past n ≈ 3·10⁹ per side under the session's
+    * ANSI default — one day of corpus events), witnesses try_cast to
+    * their declared BIGINT, one 6dp report dividing the exact
+    * decimals. Cumulative counts advance at DISTINCT
     * value grain, so ties contribute after their full mass, the
     * textbook ECDF convention. One value-grain aggregate + one ordered
     * window over the distinct-value relation.
@@ -1621,14 +1629,16 @@ object AnalyticQueries {
       .withColumn("n1", sum(col("n1c")).over(wAll))
       .withColumn("n2", sum(col("n2c")).over(wAll))
       .select(col("n1"), col("n2"),
-        abs(col("cum1") * col("n2") - col("cum2") * col("n1"))
-          .as("num"))
+        abs(dec(col("cum1")) * dec(col("n2")) -
+          dec(col("cum2")) * dec(col("n1"))).as("num"))
       .groupBy(col("n1"), col("n2"))
-      .agg(max(col("num")).as("d_num"))
-      .select(col("n1"), col("n2"), col("d_num"),
-        (col("n1") * col("n2")).as("d_den"),
-        round(col("d_num").cast("double") /
-          (col("n1") * col("n2")).cast("double"), 6).as("d"))
+      .agg(max(col("num")).as("__dnum"))
+      .withColumn("__dden", dec(col("n1")) * dec(col("n2")))
+      .select(col("n1"), col("n2"),
+        expr("try_cast(__dnum as bigint)").as("d_num"),
+        expr("try_cast(__dden as bigint)").as("d_den"),
+        round(col("__dnum").cast("double") /
+          col("__dden").cast("double"), 6).as("d"))
   }
 
   /** Weighted median per group — the order statistic where each row

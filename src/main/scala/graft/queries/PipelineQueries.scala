@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.table
+import graft.{dec, table}
 import graft.ops.{Classify, Dedup, Retrieval, Similarity, Sketch, TextOps, WebOps}
 
 /** Training-data-pipeline correctness queries over the `documents`,
@@ -3319,8 +3319,11 @@ object PipelineQueries {
     * `enc = (n_pos + m·P/N) / (n + m)`, kept EXACT by
     * cross-multiplication — `enc_num = n_pos·N + m·P`,
     * `enc_den = N·(n + m)` — with ONE 6dp division at the end (the
-    * q186/q202 posture). int64 holds through n_pos·N ≈ 3·10⁹ per side
-    * (the q200 bound); past that the same algebra runs in decimal.
+    * q186/q202 posture). The cross-products run in DECIMAL(38,0) (the
+    * q293 widening: the old int64 spelling threw past n_pos·N ≈
+    * 9·10¹⁸ under the session's ANSI default — any 10⁹⁺-doc corpus);
+    * witnesses try_cast to their declared BIGINT, `enc` divides the
+    * exact decimals.
     * One corpus aggregate to source grain + a 1-row global broadcast
     * (the audited 1-row BNLJ shape). Leakage note baked into the
     * docstring: production fits the encoding on the TRAIN split only
@@ -3334,13 +3337,14 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
     val g = d.agg(count(lit(1)).as("n_tot"), sum(col("y")).as("p_tot"))
     bySrc.crossJoin(broadcast(g))
+      .withColumn("__num",
+        dec(col("n_pos")) * dec(col("n_tot")) + dec(lit(20L) * col("p_tot")))
+      .withColumn("__den", dec(col("n_tot")) * dec(col("n") + 20L))
       .select(col("source"), col("n"), col("n_pos"),
-        (col("n_pos") * col("n_tot") + lit(20L) * col("p_tot"))
-          .as("enc_num"),
-        (col("n_tot") * (col("n") + 20L)).as("enc_den"),
-        round((col("n_pos") * col("n_tot") + lit(20L) * col("p_tot"))
-          .cast("double") /
-          (col("n_tot") * (col("n") + 20L)).cast("double"), 6).as("enc"))
+        expr("try_cast(__num as bigint)").as("enc_num"),
+        expr("try_cast(__den as bigint)").as("enc_den"),
+        round(col("__num").cast("double") /
+          col("__den").cast("double"), 6).as("enc"))
   }
 
   /** Deterministic GROUP k-fold assignment — cross-validation folds

@@ -301,6 +301,18 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE's post-shuffle coalescing is BYTE-driven; its default 1 MB
+      // minPartitionSize floor serializes byte-light but compute-heavy
+      // stages (candidate-pair verify joins: 4 MB of id pairs fanning out
+      // to array_intersect/levenshtein per row — q253's verify ran 12 s of
+      // task time on 3 of 32 cores). Lower the floor so the
+      // parallelism-first target (Σbytes / defaultParallelism) governs
+      // instead: partition count keeps deriving from input size and core
+      // count — scale-adaptive, not a local[32] constant; at production
+      // scale partitions sit at the advisory target and the floor never
+      // binds. Env-overridable for cluster tuning.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // Runtime bloom-filter join pruning: a selective dim-side filter
       // builds a bloom filter over its join keys and prunes the fact scan

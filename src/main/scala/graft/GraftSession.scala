@@ -92,6 +92,16 @@ object GraftSession {
             graft.expr.StopwordStats(children.head)
           }))
         ext.injectFunction((
+          FunctionIdentifier("char_trigram_counts"),
+          new ExpressionInfo(classOf[graft.expr.CharTrigramCounts].getName,
+            "char_trigram_counts"),
+          (children: Seq[Expression]) => {
+            require(children.length == 1,
+              s"char_trigram_counts requires exactly 1 argument, got " +
+                s"${children.length}")
+            graft.expr.CharTrigramCounts(children.head)
+          }))
+        ext.injectFunction((
           FunctionIdentifier("ngram_stats"),
           new ExpressionInfo(classOf[graft.expr.NgramStats].getName,
             "ngram_stats"),

@@ -150,7 +150,7 @@ object TextOps {
     * `lower(regexp_replace(…))` inside the lambda re-runs the regex
     * once per trigram, O(len²) per document (measured: the q166 bench
     * row sat at 32.7 s until this hoist; ~2 s after). */
-  private def trigramRows(df: DataFrame, keyCol: String,
+  private[graft] def trigramRows(df: DataFrame, keyCol: String,
                           textCol: String): DataFrame = {
     val norm = lower(regexp_replace(coalesce(col(textCol), lit("")),
       "\\s+", " "))
@@ -159,6 +159,30 @@ object TextOps {
       .select(col(keyCol), explode(transform(
         sequence(lit(1), length(col("__norm")) - 2),
         i => col("__norm").substr(i, lit(3)))).as("gram"))
+  }
+
+  /** The COUNTED form of [[trigramRows]] — `(keyCol, gram, __n)` rows
+    * where `__n` is the occurrence count of `gram` within the row's
+    * text, via the native one-pass `char_trigram_counts` expression
+    * (r20 optimization: the transform-of-substr derivation re-walked
+    * the string's codepoints from position 1 per trigram — O(len²) per
+    * document and ~2 s single-task per corpus pass at sf0.1; the map
+    * explode also shrinks the relation to one row per DISTINCT gram,
+    * so the fit aggregate shuffles fewer rows and the score half needs
+    * no (id, gram) aggregate at all). Multiset semantics are identical
+    * by construction — TextOpsSpec pins `trigramCountRows ≡ trigramRows
+    * + count` as a law.
+    */
+  private[graft] def trigramCountRows(df: DataFrame, keyCol: String,
+                               textCol: String): DataFrame = {
+    val norm = lower(regexp_replace(coalesce(col(textCol), lit("")),
+      "\\s+", " "))
+    df.select(col(keyCol), norm.as("__norm"))
+      .filter(length(col("__norm")) >= 3)
+      .select(col(keyCol),
+        explode(call_function("char_trigram_counts", col("__norm"))))
+      .withColumnRenamed("key", "gram")
+      .withColumnRenamed("value", "__n")
   }
 
   /** Cavnar–Trenkle character-n-gram language identification, fit
@@ -178,10 +202,10 @@ object TextOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(langCol))
       .orderBy(col("__n").desc, col("gram"))
-    trigramRows(docs.select(col(langCol).as("lang"), col(textCol)),
+    trigramCountRows(docs.select(col(langCol).as("lang"), col(textCol)),
         "lang", textCol)
       .groupBy(col("lang"), col("gram"))
-      .agg(count(lit(1)).as("__n"))
+      .agg(sum(col("__n")).as("__n"))
       .withColumn("mrank", row_number().over(w))
       .filter(col("mrank") <= profileK)
       .select(col("lang"), col("gram"), col("mrank"))
@@ -243,10 +267,11 @@ object TextOps {
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("__n").desc, col("gram"))
-    val docGrams = trigramRows(docs.select(col(idCol), col(textCol)),
+    // ids are unique per doc, so the counted map explode IS the
+    // (id, gram, __n) relation — the (id, gram) count aggregate the
+    // occurrence-grain derivation needed here is gone entirely
+    val docGrams = trigramCountRows(docs.select(col(idCol), col(textCol)),
         idCol, textCol)
-      .groupBy(col(idCol), col("gram"))
-      .agg(count(lit(1)).as("__n"))
       .withColumn("drank", row_number().over(wDoc))
       .filter(col("drank") <= docM)
       .select(col(idCol), col("gram"), col("drank"))

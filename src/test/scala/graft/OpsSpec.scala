@@ -5487,6 +5487,31 @@ class OpsSpec extends SparkSpec {
     assert(scored === Seq(3L, 4L))
   }
 
+  test("langId trigramCountRows ≡ trigramRows + count (the r20 native-expression rewrite), multibyte included") {
+    // the native char_trigram_counts one-pass derivation must produce
+    // EXACTLY the multiset the transform-of-substr derivation did —
+    // including multibyte codepoints (Chinese), leading/trailing
+    // whitespace collapse, repeats, the <3-char boundary, and nulls
+    val docs = Seq(
+      (1L, "the quick brown fox the quick"),
+      (2L, "这是中文的测试文本 语言识别 中文字符"),
+      (3L, "aaaaaa"),                   // heavy repeats
+      (4L, "  x  y  "),                 // normalizes to " x y "
+      (5L, ""), (6L, "ab"), (7L, null.asInstanceOf[String]),
+      (8L, "mixé çüñ 漢字x")            // latin diacritics + CJK mix
+    ).toDF("id", "t")
+    val old = TextOps.trigramRows(docs, "id", "t")
+      .groupBy(col("id"), col("gram"))
+      .agg(count(lit(1)).as("__n"))
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    val now = TextOps.trigramCountRows(docs, "id", "t")
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(now === old)
+    assert(now.nonEmpty)
+    // spot-pin one multibyte gram count: doc 2's first trigram
+    assert(now.contains((2L, "这是中", 1L)))
+  }
+
   test("langId profiles: save -> load -> score equals in-session; foreign scheme loud") {
     val train = Seq(("aa", "xxx xxx yyy"), ("bb", "zzz zzz www"))
       .toDF("lang", "t")

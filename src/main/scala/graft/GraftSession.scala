@@ -175,6 +175,16 @@ object GraftSession {
             graft.expr.CmsQuery(children(0), children(1))
           }))
         ext.injectFunction((
+          FunctionIdentifier("cms_query_multi"),
+          new ExpressionInfo(classOf[graft.expr.CmsQueryMulti].getName,
+            "cms_query_multi"),
+          (children: Seq[Expression]) => {
+            require(children.length == 2,
+              s"cms_query_multi requires exactly 2 arguments (sketch, " +
+                s"items), got ${children.length}")
+            graft.expr.CmsQueryMulti(children(0), children(1))
+          }))
+        ext.injectFunction((
           FunctionIdentifier("srp_bucket"),
           new ExpressionInfo(classOf[graft.expr.SrpBucket].getName,
             "srp_bucket"),

@@ -79,7 +79,7 @@ object CmsQuery {
     * against the byte count BEFORE the library allocates. depth×width
     * longs must actually be present in the payload (conversely, a
     * truncated payload fails the same check). */
-  private def shapePlausible(sk: Array[Byte]): Boolean = {
+  private[expr] def shapePlausible(sk: Array[Byte]): Boolean = {
     if (sk.length < 20) return false
     val bb = java.nio.ByteBuffer.wrap(sk)
     bb.getInt; bb.getLong // version, totalCount

@@ -4553,6 +4553,28 @@ class OpsSpec extends SparkSpec {
     assert(e3.getMessage.contains("eps"))
   }
 
+  test("cms_query_multi ≡ per-item cms_query (the r20 estimateFreq batch rewrite), null items included") {
+    import graft.ops.Sketch
+    val df = spark.createDataFrame(
+      (Seq.fill(5)("a") ++ Seq.fill(2)("b") ++ Seq("café")).map(("g", _)))
+      .toDF("src", "t")
+    val idx = Sketch.fitFreq(df, "src", col("t"), "t-v1", eps = 0.01)
+    val probesArr = idx.sketches
+      .withColumn("items", expr("array('a', 'b', 'café', 'missing', NULL)"))
+    val multi = probesArr
+      .select(expr("cms_query_multi(sk, items)")).head().getSeq[Any](0)
+    val single = probesArr
+      .select(expr("transform(items, it -> cms_query(sk, it))"))
+      .head().getSeq[Any](0)
+    assert(multi === single)
+    assert(multi === Seq(5L, 2L, 1L, 0L, null))
+    // corrupt sketch: whole result NULL, the cms_query posture
+    val corrupt = spark.range(1)
+      .withColumn("sk", lit(Array[Byte](9, 9)))
+      .select(expr("cms_query_multi(sk, array('a'))")).head()
+    assert(corrupt.isNullAt(0))
+  }
+
   test("freq registry at high G: ObjectHashAggregate sort-fallback exact; shuffle-join estimates ≡ broadcast") {
     import graft.ops.Sketch
     // 60 groups against a FORCED fallback threshold of 2: every task's

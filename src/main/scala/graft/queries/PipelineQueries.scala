@@ -743,7 +743,13 @@ object PipelineQueries {
     * where ANN is actually the right tool.
     */
   def q77(s: SparkSession, dir: String): DataFrame = {
-    val (bm, qv, cEmb) = hybridParts(s, dir)
+    val (bm0, qv, cEmb) = hybridParts(s, dir)
+    // the BM25 ranking feeds BOTH fusions — materialize the 50-row
+    // result once so the tokenize→postings→score pipeline executes one
+    // time, not once per fusion (the r16 loop-invariant discipline;
+    // r20 profile: the two bm evaluations were q77's two heaviest
+    // stages). queries×topK rows — checkpoint cost is nil.
+    val bm = bm0.localCheckpoint(true)
     val exact = Similarity.bruteForceTopK(cEmb, qv, k = 10)
       .select(col("qid").as("query_id"), col("rank").as("rnk"),
         col("nid").as("doc_id"))

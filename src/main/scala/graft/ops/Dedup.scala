@@ -1375,23 +1375,39 @@ object Dedup {
     var prevSig = edgeSig(edges)
     var converged = false
     var i = 0
+    // Each star step needs min(v) PER u alongside every (u, v) row. The
+    // r19 form computed it as groupBy(u).min + join-back — the partial
+    // aggregate shuffles little, but the join re-shuffles the full
+    // neighbor relation by u anyway, so every round paid ~6 exchanges
+    // plus an intermediate distinct. A min() window over the same
+    // partition key delivers the minimum in ONE exchange of the same
+    // bytes (r20 optimization round: per-round exchanges 6 → 3 on the
+    // q188/q266/q279/q285/q292 family). Hub posture unchanged: the
+    // window is sort-based and spillable — no per-node neighbor buffer.
+    val wU = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
     while (!converged && i < maxIter) {
       // large-star: m(u) over the full neighborhood, re-link v > u to m(u)
       val nbrs = edges.unionByName(
         edges.select(col("v").as("u"), col("u").as("v")))
-      val mLarge = nbrs.groupBy(col("u")).agg(min(col("v")).as("minv"))
-        .select(col("u"), least(col("minv"), col("u")).as("m"))
-      val large = nbrs.join(mLarge, Seq("u"))
+      val large = nbrs
+        .withColumn("m", least(min(col("v")).over(wU), col("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m, so u > v holds
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v"))
+      // duplicates ride until the round's final distinct: min() is
+      // duplicate-blind, so an intermediate distinct would only buy an
+      // extra (u, v) exchange
       // small-star: per larger-endpoint u, link u and every smaller
-      // neighbor to the minimum of that set
-      val mSmall = large.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val next = large.join(mSmall, Seq("u"))
-        .filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v")) // v > m by the filter
-        .unionByName(mSmall.select(col("u"), col("m").as("v")))
+      // neighbor to the minimum of that set. Every group ATTAINS its
+      // min on ≥ 1 row, so mapping attaining rows to (u, m) emits the
+      // star arm the r19 union produced, and re-linking the rest to
+      // (v, m) is the r19 filter arm — same set, one exchange.
+      val next = large
+        .withColumn("m", min(col("v")).over(wU))
+        .select(
+          when(col("v") =!= col("m"), col("v")).otherwise(col("u")).as("u"),
+          col("m").as("v")) // v > m when re-linked; u > m on the star arm
+        .filter(col("u") =!= col("v"))
         .distinct().localCheckpoint()
       val sig = edgeSig(next)
       edges = next

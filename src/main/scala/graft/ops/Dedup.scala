@@ -1649,24 +1649,49 @@ object Dedup {
       s"jaccardJoin: thresholdBp must be in [1, 10000], got $thresholdBp")
     require(maxPosting >= 2,
       s"jaccardJoin: maxPosting must be >= 2, got $maxPosting")
+    // materialize the normalized token sets ONCE: the prefix derivation
+    // reads them twice (frequency aggregate + ranked explode) and the
+    // verify joins twice more — four executions of whatever
+    // tokenize/shingle pipeline sits upstream collapse to one (the r16
+    // triangles lesson, extended in r20 from the prefix relation to the
+    // base itself; profiled: two ~0.4 s broadcast builds per run each
+    // re-running the shingle explode)
     val base = df.select(col(idCol).cast("long").as("id"),
         array_distinct(col(tokensCol)).as("toks"))
       .filter(size(col("toks")) > 0)
+      .localCheckpoint(true)
     // the posting self-join reads this relation twice — materialize the
     // (small, prefix-grain) result once so the executed plan carries ONE
-    // explode+frequency+window derivation, not two (the r16 triangles
-    // lesson; the verify joins still read `base` per side, the
-    // candidatesToVerified family norm)
+    // explode+frequency+window derivation, not two
     val pfx = capBlockRows(
       prefixTokens(base, thresholdBp), Seq("tk"), maxPosting)
       .localCheckpoint(true)
+    // PPJoin positional filter (Xiao, Wang, Lin & Yu, WWW 2008 §3.2) on
+    // the candidate rows: a shared prefix token at positions (pa, pb) of
+    // the docs' (df, token)-sorted lists bounds the overlap at
+    // 1 + min(na − pa, nb − pb), and J ≥ t forces the overlap
+    // α = ⌈t·(na+nb)/(1+t)⌉ (all-integer: ⌈t_bp·(na+nb)/(10⁴+t_bp)⌉).
+    // COMPLETENESS: the pair's FIRST common token in the global order is
+    // in both prefixes (any earlier common token would itself be a
+    // shared prefix token, contradicting firstness; prefix-share then
+    // forces it inside both) and every common token sits at or after it
+    // on both sides, so ITS row always passes — a qualifying pair
+    // survives the per-row filter via that row. Over-cap interplay: a
+    // pair whose first common token's posting is over-cap must now pass
+    // BOTH the cap and the positional bound on some later shared token —
+    // strictly tighter than the cap-only contract; the audit twin stays
+    // the loud signal either way (caps are inactive at every gate SF —
+    // the oracle's naive replay proves completeness over data).
     val cand = pfx.select(col("tk"), col("id").as("a_id"),
-        col("n").as("na"))
-      .join(pfx.select(col("tk"), col("id").as("b_id"), col("n").as("nb")),
-        Seq("tk"))
+        col("n").as("na"), col("pos").as("pa"))
+      .join(pfx.select(col("tk"), col("id").as("b_id"), col("n").as("nb"),
+        col("pos").as("pb")), Seq("tk"))
       .filter(col("a_id") < col("b_id") &&
         least(col("na"), col("nb")) * 10000L >=
-          lit(thresholdBp) * greatest(col("na"), col("nb")))
+          lit(thresholdBp) * greatest(col("na"), col("nb")) &&
+        least(col("na") - col("pa"), col("nb") - col("pb")) + 1L >=
+          expr(s"(($thresholdBp * (na + nb)) + ${10000L + thresholdBp} " +
+            s"- 1) div ${10000L + thresholdBp}"))
       .select(col("a_id"), col("b_id")).distinct()
     cand
       .join(base.select(col("id").as("a_id"), col("toks").as("ta")),
@@ -1820,7 +1845,12 @@ object Dedup {
       .withColumn("n", count(lit(1)).over(wN).cast("long"))
       .filter(col("__rn") <=
         col("n") - expr(s"($thresholdBp * n + 9999L) div 10000L") + 1L)
-      .select(col("id"), col("tk"), col("n"))
+      .select(col("id"), col("tk"), col("n"),
+        // the token's rank in the doc's FULL (df, token) order — the
+        // PPJoin positional filter's input (r20); threshold-independent
+        // by construction, so prefix consumers at any probe threshold
+        // read the same position
+        col("__rn").cast("long").as("pos"))
   }
 
   /** (id, toks) normalization shared by the exact set-similarity

@@ -196,23 +196,30 @@ object Graph {
     require(nodes.limit(1).count() > 0, "hits: empty graph")
     var h = nodes.withColumn("s", lit(scale))
     var a = nodes.withColumn("s", lit(0L))
+    // checkpoint the RAW half-step scores, not the normalized ones: each
+    // raw relation has two consumers (its own max-normalizer broadcast
+    // and the next half-step), so checkpointing after the crossJoin made
+    // every half-step's join+aggregate dataflow execute twice — once for
+    // the max scalar, once for the checkpoint (r20 profile: q247 was
+    // ~90 stages of pure re-execution). With the raw scores cached, the
+    // max aggregate and the normalized projection are cached-scan cheap.
     for (_ <- 1 to iters) {
       val aRaw = nodes.join(
           e.join(h.select(col("node").as("u"), col("s")), "u")
             .groupBy(col("v").as("node")).agg(sum(col("s")).as("raw")),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
+        .localCheckpoint(true)
       a = aRaw.crossJoin(broadcast(aRaw.agg(max(col("raw")).as("mx"))))
         .select(col("node"), expr(s"raw * $scale div mx").as("s"))
-        .localCheckpoint(true)
       val hRaw = nodes.join(
           e.join(a.select(col("node").as("v"), col("s")), "v")
             .groupBy(col("u").as("node")).agg(sum(col("s")).as("raw")),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
+        .localCheckpoint(true)
       h = hRaw.crossJoin(broadcast(hRaw.agg(max(col("raw")).as("mx"))))
         .select(col("node"), expr(s"raw * $scale div mx").as("s"))
-        .localCheckpoint(true)
     }
     h.select(col("node"), col("s").as("hub_scaled"))
       .join(a.select(col("node"), col("s").as("auth_scaled")), Seq("node"))

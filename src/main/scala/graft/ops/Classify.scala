@@ -65,11 +65,18 @@ object Classify {
     val (nT, nR) = (docCounts.getLong(0), docCounts.getLong(1))
     require(nT > 0 && nR > 0,
       s"fitNbClassifier: need both classes non-empty, got target=$nT raw=$nR")
+    // vocabulary-sized term counts, materialized ONCE: the `tot` scalar
+    // read below executes this corpus tokenize+aggregate eagerly at fit
+    // time, and the lazy `weights` lineage re-ran the whole pass again
+    // per scoring consumer (r20 profile: q117/q181's repeated ~150 ms
+    // single-task tokenize stages). The checkpoint is vocab-grain —
+    // never corpus-grain — so its cost is the one pass the fit owes.
     val tc = df.select(isTarget.as("__is_t"),
         explode(TextOps.tokens(col(textCol))).as("__term"))
       .groupBy(col("__term"))
       .agg(sum(when(col("__is_t"), 1L).otherwise(0L)).cast("double").as("ct"),
         sum(when(!col("__is_t"), 1L).otherwise(0L)).cast("double").as("cr"))
+      .localCheckpoint(true)
     val wAll = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
     val weights = tc

@@ -118,16 +118,22 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
-  test("q253: jaccard join reads ONE checkpointed prefix relation, joins hash-wise") {
+  test("q253: jaccard join reads TWO checkpointed relations (token sets + prefixes), joins hash-wise") {
     val plan = planOf("q253_jaccard_join")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
-    // the posting self-join's two sides scan the SAME materialized
-    // prefix relation (the r16 triangles lesson applied on arrival)
+    // r16 lesson (one materialized prefix relation for the posting
+    // self-join) extended in r20 to the BASE token sets: the verify
+    // joins and the prefix derivation all read one checkpointed
+    // (id, toks) relation, so the upstream shingle pipeline executes
+    // once — exactly TWO distinct checkpointed relations, never a
+    // parquet re-derivation per consumer
     assert(plan.contains("localCheckpoint at Dedup.scala"), plan)
+    assert(!plan.contains("Scan parquet"),
+      s"verify side re-derived the corpus from the source:\n$plan")
     val rddIds = "MapPartitionsRDD\\[\\d+\\]".r.findAllIn(plan).toSet
-    assert(rddIds.size == 1,
-      s"expected one checkpointed prefix relation, saw $rddIds:\n$plan")
+    assert(rddIds.size == 2,
+      s"expected the checkpointed token-set and prefix relations, saw $rddIds:\n$plan")
   }
 
   test("q255: attribution is one equi-join on the user key plus ranking windows — no nested loop") {

@@ -333,6 +333,23 @@ object GraftSession {
       // binds. Env-overridable for cluster tuning.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+      // Scan-split sizing (guide §6): when packing a scan into splits,
+      // Spark charges every file spark.sql.files.openCostInBytes
+      // (default 4 MB) AND floors the split size at that charge — so an
+      // input smaller than ~4 MB × cores scans as one or two tasks, and
+      // every computation riding the scan (tokenize/shingle/chunk
+      // pipelines, the media decode mapPartitions) serializes onto them
+      // (profiled: q266's decode+aHash checkpoint ran 2.0 s on 1 of 32
+      // cores; q90's chunk-tokenize stages were single-task; lineitem at
+      // sf0.1 scanned as 3 splits). Lower the charge so the
+      // parallelism-first term (Σbytes / defaultParallelism) governs:
+      // scan partition count keeps deriving from input size and core
+      // count — scale-adaptive, not a local[32] constant; at production
+      // file sizes maxPartitionBytes (128 MB default) governs and this
+      // floor never binds. Env-overridable for cluster tuning (remote
+      // stores where a file open costs real latency want it higher).
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "16k"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // Runtime bloom-filter join pruning: a selective dim-side filter
       // builds a bloom filter over its join keys and prunes the fact scan

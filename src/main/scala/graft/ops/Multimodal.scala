@@ -28,6 +28,16 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // javax.imageio's stream wrappers default to FILE-backed caches — every
+  // ImageIO.read/write over byte arrays creates (and deletes) a temp file.
+  // For the ~KB in-memory blobs this module decodes that is pure overhead,
+  // and once the decode mapPartitions is spread across all cores the tasks
+  // serialize on temp-file creation in the same spool directory (profiled:
+  // the q258 decode scan ran 2.3× SLOWER at 32-way parallelism than
+  // single-task until this flag). In-memory caches are strictly better
+  // here; JVM-global, set once per executor JVM when this object loads.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Metadata carried alongside every blob. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

@@ -72,11 +72,20 @@ object Entity {
     def remove(ids: DataFrame, idCol: String): EntityRegistry = {
       val rm = ids.select(col(idCol).cast("long").as("rec_id")).distinct()
       val surv = records.join(rm, Seq("rec_id"), "left_anti")
-      val reelect = surv.groupBy(col("canonical_id"))
-        .agg(coalesce(
-          min(when(col("rec_id") === col("canonical_id"), col("rec_id"))),
-          min(col("rec_id"))).as("__new_canonical"))
-      copy(records = surv.join(reelect, Seq("canonical_id"))
+      // Per-component minima via a window over the survivors, not
+      // groupBy + join-back: the join re-shuffles the full relation by
+      // canonical_id anyway, so the aggregate-then-join shape paid two
+      // exchanges of the same bytes where one window exchange delivers
+      // the same value to every member row (the star-contraction r20
+      // lesson). Windows are sort-based and spillable — no per-component
+      // buffer.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("canonical_id"))
+      copy(records = surv
+        .withColumn("__new_canonical", coalesce(
+          min(when(col("rec_id") === col("canonical_id"), col("rec_id")))
+            .over(w),
+          min(col("rec_id")).over(w)))
         .select(col("rec_id"), col("name"),
           col("__new_canonical").as("canonical_id")))
     }

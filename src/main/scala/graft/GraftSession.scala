@@ -102,6 +102,16 @@ object GraftSession {
             graft.expr.CharTrigramCounts(children.head)
           }))
         ext.injectFunction((
+          FunctionIdentifier("sorted_intersect_count"),
+          new ExpressionInfo(classOf[graft.expr.SortedIntersectCount].getName,
+            "sorted_intersect_count"),
+          (children: Seq[Expression]) => {
+            require(children.length == 2,
+              s"sorted_intersect_count requires exactly 2 arguments, got " +
+                s"${children.length}")
+            graft.expr.SortedIntersectCount(children(0), children(1))
+          }))
+        ext.injectFunction((
           FunctionIdentifier("ngram_stats"),
           new ExpressionInfo(classOf[graft.expr.NgramStats].getName,
             "ngram_stats"),

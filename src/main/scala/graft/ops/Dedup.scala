@@ -1656,9 +1656,7 @@ object Dedup {
     // triangles lesson, extended in r20 from the prefix relation to the
     // base itself; profiled: two ~0.4 s broadcast builds per run each
     // re-running the shingle explode)
-    val base = df.select(col(idCol).cast("long").as("id"),
-        array_distinct(col(tokensCol)).as("toks"))
-      .filter(size(col("toks")) > 0)
+    val base = normTokenSets(df, idCol, tokensCol)
       .localCheckpoint(true)
     // the posting self-join reads this relation twice — materialize the
     // (small, prefix-grain) result once so the executed plan carries ONE
@@ -1699,7 +1697,7 @@ object Dedup {
       .join(base.select(col("id").as("b_id"), col("toks").as("tb")),
         Seq("b_id"))
       .select(col("a_id").as("id_a"), col("b_id").as("id_b"),
-        size(array_intersect(col("ta"), col("tb"))).cast("long")
+        call_function("sorted_intersect_count", col("ta"), col("tb"))
           .as("n_inter"),
         (size(col("ta")) + size(col("tb"))).cast("long").as("nu"))
       .select(col("id_a"), col("id_b"), col("n_inter"),
@@ -1719,9 +1717,7 @@ object Dedup {
     require(thresholdBp >= 1 && thresholdBp <= 10000,
       s"jaccardJoinAudit: thresholdBp must be in [1, 10000], got " +
         s"$thresholdBp")
-    val base = df.select(col(idCol).cast("long").as("id"),
-        array_distinct(col(tokensCol)).as("toks"))
-      .filter(size(col("toks")) > 0)
+    val base = normTokenSets(df, idCol, tokensCol)
     oversizedBlocks(prefixTokens(base, thresholdBp), Seq("tk"), maxPosting)
       .select(col("tk").as("token"), col("n_rows").as("posting_len"))
   }
@@ -1761,9 +1757,7 @@ object Dedup {
         s"$thresholdBp")
     require(maxPosting >= 2,
       s"containmentJoin: maxPosting must be >= 2, got $maxPosting")
-    val base = df.select(col(idCol).cast("long").as("id"),
-        array_distinct(col(tokensCol)).as("toks"))
-      .filter(size(col("toks")) > 0)
+    val base = normTokenSets(df, idCol, tokensCol)
     val pfx = capBlockRows(
       prefixTokens(base, thresholdBp), Seq("tk"), maxPosting)
     val post = capBlockRows(
@@ -1779,7 +1773,7 @@ object Dedup {
       .join(base.select(col("id").as("b_id"), col("toks").as("tb")),
         Seq("b_id"))
       .select(col("a_id").as("id_a"), col("b_id").as("id_b"),
-        size(array_intersect(col("ta"), col("tb"))).cast("long")
+        call_function("sorted_intersect_count", col("ta"), col("tb"))
           .as("n_inter"),
         size(col("ta")).cast("long").as("na"))
       .filter(col("n_inter") * 10000L >= lit(thresholdBp) * col("na"))
@@ -1799,9 +1793,7 @@ object Dedup {
     require(thresholdBp >= 1 && thresholdBp <= 10000,
       s"containmentJoinAudit: thresholdBp must be in [1, 10000], got " +
         s"$thresholdBp")
-    val base = df.select(col(idCol).cast("long").as("id"),
-        array_distinct(col(tokensCol)).as("toks"))
-      .filter(size(col("toks")) > 0)
+    val base = normTokenSets(df, idCol, tokensCol)
     oversizedBlocks(prefixTokens(base, thresholdBp), Seq("tk"),
         maxPosting)
       .select(lit("prefix").as("side"), col("tk").as("token"),
@@ -1855,10 +1847,17 @@ object Dedup {
 
   /** (id, toks) normalization shared by the exact set-similarity
     * family: long ids, distinct token arrays, empty sets drop. */
-  private def normTokenSets(df: DataFrame, idCol: String,
+  /** THE shared normalizer of the exact set-similarity family: distinct
+    * tokens, SORTED ascending — the `sorted_intersect_count` verify
+    * kernel's input contract (one sort per document buys a zero-
+    * allocation merge walk per candidate pair; a doc verifies against
+    * ~10²–10³ partners, so the sort amortizes immediately). Every
+    * join/door/audit/fit normalizes through here or matches it
+    * verbatim; the stored-index scheme version pins the sorted form. */
+  private[graft] def normTokenSets(df: DataFrame, idCol: String,
                             tokensCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("id"),
-        array_distinct(col(tokensCol)).as("toks"))
+        array_sort(array_distinct(col(tokensCol))).as("toks"))
       .filter(size(col("toks")) > 0)
 
   /** Stored prefix-posting index for the EXACT set-similarity family —
@@ -1996,8 +1995,12 @@ object Dedup {
 
   object JaccardIndex {
     /** Version of the tokenize → (df ASC, token ASC) order → prefix
-      * rule. Bump whenever stored prefix CONTENT would change. */
-    val Scheme = 1
+      * rule. Bump whenever stored prefix CONTENT would change.
+      * 2: stored token arrays are ASC-sorted (the
+      * `sorted_intersect_count` verify contract) — an index fitted at
+      * scheme 1 holds first-occurrence-ordered arrays the merge-walk
+      * verify would silently miscount, so it must refuse to load. */
+    val Scheme = 2
   }
 
   def buildJaccardIndex(docs: DataFrame, idCol: String, tokensCol: String,
@@ -2089,7 +2092,7 @@ object Dedup {
       .join(index.tokens.select(col("base_id"), col("toks").as("tb")),
         Seq("base_id"))
       .select(col("new_id"), col("base_id"),
-        size(array_intersect(col("ta"), col("tb"))).cast("long")
+        call_function("sorted_intersect_count", col("ta"), col("tb"))
           .as("n_inter"),
         (size(col("ta")) + size(col("tb"))).cast("long").as("nu"))
       .select(col("new_id"), col("base_id"), col("n_inter"),
@@ -2142,7 +2145,7 @@ object Dedup {
       .join(index.tokens.select(col("base_id"), col("toks").as("tb")),
         Seq("base_id"))
       .select(col("new_id"), col("base_id"),
-        size(array_intersect(col("ta"), col("tb"))).cast("long")
+        call_function("sorted_intersect_count", col("ta"), col("tb"))
           .as("n_inter"),
         size(col("ta")).cast("long").as("na"))
       .filter(col("n_inter") * 10000L >= lit(thresholdBp) * col("na"))

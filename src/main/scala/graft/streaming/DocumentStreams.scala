@@ -353,8 +353,11 @@ object DocumentStreams {
       else (sPfx0, index.tokens)
     docs
       .withWatermark("ts", watermark)
+      // sorted-distinct: the sorted_intersect_count verify contract —
+      // must match Dedup.normTokenSets verbatim (the stored tokens side
+      // is sorted at fit, scheme-gated)
       .select(col(idCol).cast("long").as("new_id"), col("ts"),
-        array_distinct(col(tokensCol)).as("ta"))
+        array_sort(array_distinct(col(tokensCol))).as("ta"))
       .filter(size(col("ta")) > 0)
       .select(col("new_id"), col("ts"), col("ta"),
         explode(col("ta")).as("tk"))
@@ -368,7 +371,7 @@ object DocumentStreams {
       .join(sTok.select(col("base_id"), col("toks").as("tb")),
         Seq("base_id"))
       .select(col("new_id"), col("base_id"),
-        size(array_intersect(col("ta"), col("tb"))).cast("long")
+        call_function("sorted_intersect_count", col("ta"), col("tb"))
           .as("n_inter"),
         (size(col("ta")) + size(col("tb"))).cast("long").as("nu"),
         col("ts"))

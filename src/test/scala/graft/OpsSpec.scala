@@ -4575,6 +4575,45 @@ class OpsSpec extends SparkSpec {
     assert(corrupt.isNullAt(0))
   }
 
+  test("sorted_intersect_count ≡ size(array_intersect) on sorted inputs (the r20 verify kernel): multibyte, duplicates, nulls, empties, property sweep") {
+    // hand-picked edges: multibyte (sorts by UTF-8 bytes), duplicate
+    // runs (count distinct common values once), null in one/both sides
+    // (array_sort puts nulls LAST; null ∈ both counts once — the
+    // array_intersect semantics), empty/disjoint arrays
+    val edges = Seq(
+      (Seq("a", "b", "café", "日本"), Seq("café", "x", "日本")),
+      (Seq("a", "a", "b", "b"), Seq("a", "b", "b", "c")),
+      (Seq("a", null), Seq("b", null)),
+      (Seq("a", null), Seq("a", "b")),
+      (Seq.empty[String], Seq("a")),
+      (Seq("a", "b"), Seq("c", "d")))
+    val df = spark.createDataFrame(edges).toDF("a", "b")
+      .select(array_sort(col("a")).as("a"), array_sort(col("b")).as("b"))
+    val got = df.select(
+      expr("sorted_intersect_count(a, b)"),
+      size(array_intersect(col("a"), col("b"))).cast("long")).collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1), r.toString))
+    // property sweep: 200 random token-set pairs (shared vocabulary so
+    // intersections are non-trivial), sorted-distinct like the family's
+    // normalizer produces
+    val rnd = new scala.util.Random(20)
+    val vocab = (0 until 40).map(i => s"tk$i")
+    val pairs = Seq.fill(200)((
+      rnd.shuffle(vocab).take(rnd.nextInt(30) + 1),
+      rnd.shuffle(vocab).take(rnd.nextInt(30) + 1)))
+    val pdf = spark.createDataFrame(pairs).toDF("a", "b")
+      .select(array_sort(array_distinct(col("a"))).as("a"),
+        array_sort(array_distinct(col("b"))).as("b"))
+    val sweep = pdf.select(
+      expr("sorted_intersect_count(a, b)"),
+      size(array_intersect(col("a"), col("b"))).cast("long")).collect()
+    sweep.foreach(r => assert(r.getLong(0) === r.getLong(1), r.toString))
+    // NULL array on either side -> NULL result (binary null-safe eval)
+    val nr = spark.range(1).select(
+      expr("sorted_intersect_count(CAST(NULL AS ARRAY<STRING>), array('a'))")).head()
+    assert(nr.isNullAt(0))
+  }
+
   test("freq registry at high G: ObjectHashAggregate sort-fallback exact; shuffle-join estimates ≡ broadcast") {
     import graft.ops.Sketch
     // 60 groups against a FORCED fallback threshold of 2: every task's

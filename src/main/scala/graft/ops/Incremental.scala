@@ -250,6 +250,28 @@ object Incremental {
     df.groupBy(df.columns.map(col): _*).agg(count(lit(1)).as("n"))
   }
 
+  /** [[bagState]] of an equi-join WITHOUT materializing the row-grain
+    * join (guide-§2.3 aggregate-before-shuffle, r20 optimization): in
+    * bag algebra the multiplicity of a joined value row is the PRODUCT
+    * of the sides' multiplicities, so `bagState(a ⨝ b)` equals joining
+    * the two per-side bag states and multiplying counts — each side
+    * aggregates (partial, map-side) to its distinct value rows BEFORE
+    * the join shuffle, and the wide post-join aggregate disappears.
+    * Column order and values match `bagState(a.join(b, keys))` exactly
+    * (OpsSpec law); null join keys drop in both forms (equi-join), NULLs
+    * in data columns merge null-safely in both (GROUP BY semantics).
+    * `n = na·nb` stays far inside int64 (overflow would need ~2³¹·⁵
+    * duplicate rows of ONE value on each side of one key). */
+  def bagStateOfJoin(a: DataFrame, b: DataFrame,
+                     keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "bagStateOfJoin: no join keys")
+    val sa = bagState(a).withColumnRenamed("n", "__na")
+    val sb = bagState(b).withColumnRenamed("n", "__nb")
+    sa.join(sb, keys)
+      .withColumn("n", col("__na") * col("__nb"))
+      .drop("__na", "__nb")
+  }
+
   /** Row-grain bag from a [[bagState]] relation: each value row
     * replicated `n` times (an in-plan `explode(sequence(…))` — no
     * driver loop). The read-side inverse: `explodeBag(bagState(df)) ≡

@@ -4297,7 +4297,9 @@ object PipelineQueries {
     import graft.ops.Incremental
     val (liBase, liDels, liIns, ordBase, ordDels, ordIns) =
       bagViewParts(s, dir)
-    val stored = Incremental.bagState(liBase.join(ordBase, Seq("okey")))
+    // bagStateOfJoin ≡ bagState(join) (OpsSpec law): each side
+    // aggregates to its distinct value rows BEFORE the join shuffle
+    val stored = Incremental.bagStateOfJoin(liBase, ordBase, Seq("okey"))
     Incremental.applyBagDelta(stored,
       Incremental.deltaJoinRetract(liBase, liDels, liIns,
         ordBase, ordDels, ordIns, Seq("okey")))
@@ -4319,7 +4321,7 @@ object PipelineQueries {
       bagViewParts(s, dir)
     val phantomDels = liBase.filter(col("okey") % 5 === 0)
       .withColumn("flag", lit("Z"))
-    val stored = Incremental.bagState(liBase.join(ordBase, Seq("okey")))
+    val stored = Incremental.bagStateOfJoin(liBase, ordBase, Seq("okey"))
     Incremental.bagDeltaAudit(stored,
       Incremental.deltaJoinRetract(liBase, phantomDels, liIns,
         ordBase, ordDels, ordIns, Seq("okey")))

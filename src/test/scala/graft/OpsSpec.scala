@@ -3136,6 +3136,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bagStateOfJoin ≡ bagState(join): duplicates multiply, null keys drop, null data cols merge, column order identical (the r20 pre-aggregated state)") {
+    import graft.ops.Incremental
+    // duplicates on both sides so counts genuinely MULTIPLY (k=1: 2×2),
+    // null join keys (drop in both forms), a NULL data value (merges
+    // null-safely under GROUP BY in both forms)
+    val a = Seq((Option(1L), Option("a1")), (Option(1L), Option("a1")),
+      (Option(1L), Option("a1x")), (Option(2L), None),
+      (Option(2L), None), (None, Option("aNull")))
+      .toDF("k", "av")
+    val b = Seq((Option(1L), Option("b1")), (Option(1L), Option("b1")),
+      (Option(2L), Option("b2")), (None, Option("bNull")))
+      .toDF("k", "bv")
+    val direct = Incremental.bagState(a.join(b, Seq("k")))
+    val pre = Incremental.bagStateOfJoin(a, b, Seq("k"))
+    assert(pre.columns.toSeq === direct.columns.toSeq,
+      "column order must match bagState(join) exactly")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Option[Long], Option[String], Option[String], Long)]
+        .collect().toSeq.sortBy(_.toString)
+    assert(canon(pre) === canon(direct))
+    // k=1 a1 (×2) joins b1 (×2): the product row carries n = 4
+    assert(canon(pre).exists {
+      case (Some(1L), Some("a1"), Some("b1"), 4L) => true; case _ => false })
+  }
+
   test("deltaJoinRetract/applyBagDelta: maintained == recompute with deletes on both sides; fold, explode, phantom clamp + audit (q275/q276 laws)") {
     import graft.ops.Incremental
     def A(rows: (Long, String)*) = rows.toDF("k", "av")

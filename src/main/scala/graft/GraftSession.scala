@@ -279,6 +279,20 @@ object GraftSession {
             graft.expr.RollingFingerprints(children(0),
               children(1).eval().asInstanceOf[Number].intValue())
           }))
+        ext.injectFunction((
+          FunctionIdentifier("capped_item_set"),
+          new ExpressionInfo(classOf[graft.expr.CappedItemSet].getName,
+            "capped_item_set"),
+          (children: Seq[Expression]) => {
+            require(children.length == 2,
+              s"capped_item_set requires exactly 2 arguments (item, cap), " +
+                s"got ${children.length}")
+            require(children(1).foldable,
+              "capped_item_set: cap must be a literal integer")
+            graft.expr.CappedItemSet(children(0),
+              children(1).eval().asInstanceOf[Number].intValue())
+              .toAggregateExpression()
+          }))
         // Spark's own Bloom pair is Catalyst-internal (only the
         // runtime-filter rule plants it); register it so the stored
         // Bloom-scrub lifecycle (q227) can fit/probe through SQL —

@@ -1757,7 +1757,15 @@ object Dedup {
         s"$thresholdBp")
     require(maxPosting >= 2,
       s"containmentJoin: maxPosting must be >= 2, got $maxPosting")
+    // materialize the normalized token sets ONCE (the jaccardJoin r20
+    // fix, applied here in r21 after the driver measured q264 regressing
+    // while its siblings improved): the prefix derivation reads base
+    // twice (frequency aggregate + ranked explode), the full-postings
+    // side once and the verify joins twice more — five executions of the
+    // upstream shingle pipeline AND of normTokenSets' per-doc array_sort
+    // collapse to one
     val base = normTokenSets(df, idCol, tokensCol)
+      .localCheckpoint(true)
     val pfx = capBlockRows(
       prefixTokens(base, thresholdBp), Seq("tk"), maxPosting)
     val post = capBlockRows(

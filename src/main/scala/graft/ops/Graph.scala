@@ -292,9 +292,23 @@ object Graph {
     * over-cap basket is by definition not co-occurrence signal (a bot,
     * a catalog dump, a reserved sentinel key). [[cooccurrenceAudit]]
     * is the loud twin listing what the cap dropped; run both, alert
-    * on the audit. Cost after the cap: one basket-keyed shuffle of
-    * the deduped pairs + the within-basket self-join, ≤ maxBasket²/2
-    * per basket, then one (a, b)-keyed count aggregate. Canonical
+    * on the audit. Cost after the cap (r21 optimization — guide
+    * §2.3 aggregate-before-shuffle / §2.4 remove shuffles; profiled:
+    * the r20 shape paid a (basket, item)-keyed distinct exchange, a
+    * basket-keyed window-count exchange + global sort, AND a
+    * within-basket self-join that re-read the window output twice —
+    * ~13 s of task time at sf0.1): ONE basket-keyed aggregation
+    * shuffle through the size-capped [[graft.expr.CappedItemSet]]
+    * collector — dedup, cap and collection fused, with map-side
+    * partial aggregation so a degenerate basket costs O(maxBasket)
+    * per partial buffer and ships one tombstone — then pairs explode
+    * IN PLACE from each basket's sorted distinct array (a codegen
+    * `posexplode` × `slice` explode, no lambda functions: position
+    * order in the sorted array IS the `item_a < item_b` value order),
+    * and the only other shuffle is the (a, b)-keyed count with
+    * map-side partial aggregation. A NULL item counts toward the
+    * basket's size (it is a distinct line) but pairs with nothing —
+    * both exactly as the distinct+window form behaved. Canonical
     * `item_a < item_b`, duplicate (basket, item) rows deduped first
     * so a re-delivered line never doubles a pair.
     */
@@ -302,14 +316,18 @@ object Graph {
                    maxBasket: Int): DataFrame = {
     require(maxBasket >= 2,
       s"cooccurrence: maxBasket must be >= 2, got $maxBasket")
-    val base = pairs.select(col(basketCol).as("b"), col(itemCol).as("i"))
-      .distinct()
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
-    val kept = base.withColumn("__bn", count(lit(1)).over(w))
-      .filter(col("__bn") <= maxBasket).drop("__bn")
-    kept.join(kept.select(col("b"), col("i").as("j")), Seq("b"))
-      .filter(col("i") < col("j"))
-      .groupBy(col("i").as("item_a"), col("j").as("item_b"))
+    val items = pairs
+      .select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .groupBy(col("b"))
+      .agg(call_function("capped_item_set", col("i"), lit(maxBasket))
+        .as("__its"))
+      .filter(col("__its").isNotNull)
+    items
+      .select(col("__its"), posexplode(col("__its")).as(Seq("__k", "__a")))
+      .select(col("__a").as("item_a"),
+        explode(slice(col("__its"), col("__k") + lit(2), lit(maxBasket)))
+          .as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_baskets"))
   }
 

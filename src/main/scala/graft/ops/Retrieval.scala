@@ -82,6 +82,13 @@ object Retrieval {
     // emitted token — O(len²) per doc: the first sf1 probe measured
     // 11.95 s warm, the aliased shape 2.55 s on the same clean probe
     // (4.7×; size() over the carried array is O(1) per row).
+    // materialized ONCE (r21, guide §5/§3.3): the df aggregate below and
+    // the score join both read this relation, and each read re-executed
+    // the whole corpus tokenize+explode+semi-join lineage (plus, under
+    // [[maxPassageTopK]], the upstream chunking) — profiled as the two
+    // heaviest stages of q69/q90 running twice per call. The relation is
+    // query-bounded — (docs containing a query term) × |query vocab| —
+    // so the checkpoint is small at any corpus size.
     val tf = docs
       .select(col(docId).as("d_id"), TextOps.tokens(col(textCol)).as("__toks"))
       .select(col("d_id"), size(col("__toks")).cast("double").as("dlen"),
@@ -89,6 +96,7 @@ object Retrieval {
       .join(broadcast(qTermSet), "term")
       .groupBy(col("d_id"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"), max(col("dlen")).as("dlen"))
+      .localCheckpoint(true)
 
     // (d_id, term) is unique in tf, so df(term) = row count; bounded by
     // the query vocabulary, broadcast back onto the postings.

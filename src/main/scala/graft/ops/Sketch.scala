@@ -392,11 +392,18 @@ object Sketch {
     // probes still surface est = NULL: a missing sketch coalesces to an
     // empty estimate array, which arrays_zip null-pads to the items'
     // length. The collect_list buffer is probe-sized per group — the
-    // relation is config-bounded by this function's contract.
+    // relation is config-bounded by this function's contract. Items are
+    // collected as single-field STRUCTS, not bare values (r20 verdict
+    // #2): collect_list silently skips NULL elements, so a (group, NULL
+    // item) probe row — which the per-row cms_query form preserved with
+    // est NULL — would vanish from the output; a struct wrapping a NULL
+    // field is itself non-null and survives, and cms_query_multi's
+    // per-element contract already maps the NULL item to a NULL est.
     val byGroup = probes
       .select(col(groupCol).as("group"), col(itemCol).as("item"))
       .groupBy(col("group"))
-      .agg(collect_list(col("item")).as("__items"))
+      .agg(collect_list(struct(col("item"))).as("__wrapped"))
+      .withColumn("__items", col("__wrapped.item")).drop("__wrapped")
     byGroup.join(sk, Seq("group"), "left")
       .withColumn("__ests", coalesce(
         call_function("cms_query_multi", col("sk"), col("__items")),

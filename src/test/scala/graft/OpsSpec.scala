@@ -4025,6 +4025,22 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Graph.cooccurrence(rows, "b", "i", maxBasket = 1)
     }
+    // NULL item semantics (pinned across the r21 capped-collector
+    // rewrite): a NULL line is a distinct basket member — it counts
+    // toward the cap — but pairs with nothing. Basket 5 {10, NULL}
+    // emits no pairs; basket 6 {10, 20, NULL} at cap 3 keeps (10, 20);
+    // basket 7 {10, 20, 30, NULL} is size 4 > cap 3 and drops whole.
+    val withNulls = Seq(
+      (5L, Some(10L)), (5L, None),
+      (6L, Some(10L)), (6L, Some(20L)), (6L, None), (6L, None),
+      (7L, Some(10L)), (7L, Some(20L)), (7L, Some(30L)), (7L, None))
+      .toDF("b", "i")
+    val coN = Graph.cooccurrence(withNulls, "b", "i", maxBasket = 3)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(coN === Seq((10L, 20L, 1L)))
+    val auditN = Graph.cooccurrenceAudit(withNulls, "b", "i", maxBasket = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(auditN === Seq((7L, 4L)))
   }
 
   test("quantileNormalize: pooled distribution law, deterministic ties, binned sibling within one bin width") {
@@ -4699,6 +4715,37 @@ class OpsSpec extends SparkSpec {
         "src", "t")
       .as[(String, String, Option[Long])].collect().head._3
     assert(estE === None)
+  }
+
+  test("estimateFreq: NULL probe items survive as est-NULL rows ≡ the per-row cms_query form (r20 verdict #2)") {
+    import graft.ops.Sketch
+    val df = spark.createDataFrame(Seq(
+      ("g0", "a"), ("g0", "a"), ("g0", "b"), ("g1", "a"))).toDF("src", "t")
+    val idx = Sketch.fitFreq(df, "src", col("t"), "t-v1", eps = 0.01)
+    // probes: known items, a NULL item per group, an unknown-group probe
+    val probes = spark.createDataFrame(Seq(
+        (Some("g0"), Some("a")), (Some("g0"), None),
+        (Some("g1"), None), (Some("g9"), Some("a"))))
+      .toDF("src", "t")
+    val got = Sketch.estimateFreq(idx, probes, "src", "t")
+      .as[(Option[String], Option[String], Option[Long])].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    // the per-row reference: left join + cms_query, one output row per
+    // probe row — the pre-r20 shape this function must stay equal to
+    val ref = probes
+      .join(broadcast(idx.sketches),
+        col("src") === col("group"), "left")
+      .select(col("src"), col("t"),
+        expr("cms_query(sk, t)").as("est"))
+      .as[(Option[String], Option[String], Option[Long])].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(got === ref, s"got $got, per-row form $ref")
+    // the NULL-item rows are present with est NULL (collect_list would
+    // have dropped them); the unknown group estimates NULL too
+    assert(got.count(_._2.isEmpty) === 2)
+    assert(got.filter(_._2.isEmpty).forall(_._3.isEmpty))
+    assert(got.contains((Some("g9"), Some("a"), None)))
+    assert(got.contains((Some("g0"), Some("a"), Some(2L))))
   }
 
   test("pageRank: hand-walked fixed-point iteration with a dangling node") {

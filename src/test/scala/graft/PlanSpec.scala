@@ -101,13 +101,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("q250: co-occurrence self-joins hash-wise on the basket key — no nested loop") {
+  test("q250: co-occurrence pairs explode in place — the basket self-join is gone") {
     val plan = planOf("q250_cooccurrence")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
-      s"basket self-join fell back to a nested loop:\n$plan")
-    assert(plan.contains("SortMergeJoin") ||
-      plan.contains("BroadcastHashJoin"), plan)
+      s"basket pair generation fell back to a nested loop:\n$plan")
+    // r21 rewrite (guide §2.3/§2.4): pairs come from a per-basket
+    // sorted-array explode riding the window's basket partitioning —
+    // no join of any strategy may appear in the plan
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("BroadcastHashJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"basket self-join reappeared:\n$plan")
+    assert(plan.contains("Generate") && plan.contains("explode"),
+      s"per-basket pair explode missing:\n$plan")
   }
 
   test("q252: label propagation executes on checkpointed relations — no parquet re-derivation") {
@@ -543,19 +550,25 @@ class PlanSpec extends SparkSpec {
       s"the plan table must broadcast:\n$plan")
   }
 
-  test("q69: bm25 restricts postings map-side and reuses the tf exchange") {
+  test("q69: bm25 restricts postings map-side and reads ONE materialized tf relation") {
     val df = SparkEntry.queries("q69_bm25_retrieval")(spark, sfDir)
     // the semi-restriction to query terms must be a broadcast join (the
     // corpus side never shuffles unrestricted postings)...
     val plan = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(plan.contains("BroadcastHashJoin"), plan)
-    // ...and the df branch's duplicate tf subtree must collapse into a
-    // ReusedExchange at runtime (ONE corpus explode) — visible only in
-    // the post-execution adaptive plan
-    df.collect()
-    val executed = df.queryExecution.executedPlan.toString
-    assert(executed.contains("ReusedExchange"), executed)
+    // ...and the df aggregate and the score join must read ONE
+    // checkpointed tf relation (r21: the pre-r21 shape relied on AQE
+    // exchange reuse to collapse the duplicate tf subtree — a runtime
+    // accident of exact subtree equality; the checkpoint makes the
+    // single corpus explode structural)
+    assert(plan.contains("localCheckpoint at Retrieval.scala"), plan)
+    val rddScans = "Scan ExistingRDD".r.findAllIn(plan).size
+    assert(rddScans >= 2, s"expected both tf consumers on the " +
+      s"checkpointed relation, saw $rddScans ExistingRDD scans:\n$plan")
+    val rddIds = "MapPartitionsRDD\\[\\d+\\]".r.findAllIn(plan).toSet
+    assert(rddIds.size == 1,
+      s"expected ONE checkpointed tf relation, saw $rddIds:\n$plan")
   }
 
   test("stored postings probe: the query-term IN filter reaches the parquet scan") {

@@ -149,7 +149,11 @@ object Entity {
       s"buildRegistry: prefixLen must be >= 1, got $prefixLen")
     val recs = norm(records, idCol, nameCol)
     val keyed = blockKeys(recs, prefixLen)
+    // the pair self-join reads the capped block relation twice —
+    // materialize it once (2 rows per record, record-bounded; the
+    // fuzzyPairs/q285 lesson applied to the registry build)
     val capped = Dedup.capBlockRows(keyed, Seq("bk"), maxBlock)
+      .localCheckpoint(true)
     val pairs = capped.select(col("bk"), col("rec_id").as("a_id"),
         col("name").as("na"))
       .join(capped.select(col("bk"), col("rec_id").as("b_id"),

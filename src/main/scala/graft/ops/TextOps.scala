@@ -2560,11 +2560,17 @@ object TextOps {
           .as("__t"))
       .select(col("__grp"), col("__t.n").as("n"),
         col("__t.total_ngrams").as("total_ngrams"))
+    // two codegen explodes, no lambda functions (r21, guide §4.1: the
+    // previous flatten(array(transform(...))) built a nested
+    // array-of-structs per document through interpreted HOF evaluation —
+    // CodegenFallback on the corpus-sized generate input). The first
+    // explode emits |ns| rows per doc carrying each n's native shingle
+    // array; the second explodes the grams. Same (grp, n, g) rows.
     val tagged = df.select(col(groupCol).as("__grp"),
-      explode(flatten(array(ns.map(n =>
-        transform(shingles(col(textCol), n),
-          s => struct(lit(n).as("n"), s.as("g")))): _*))).as("__ng"))
-      .select(col("__grp"), col("__ng.n").as("n"), col("__ng.g").as("g"))
+      explode(array(ns.map(n => struct(lit(n).as("n"),
+        shingles(col(textCol), n).as("gs"))): _*)).as("__t"))
+      .select(col("__grp"), col("__t.n").as("n"),
+        explode(col("__t.gs")).as("g"))
     val distincts = tagged.distinct()
       .groupBy(col("__grp"), col("n"))
       .agg(count(lit(1)).as("distinct_ngrams"))

@@ -4452,10 +4452,20 @@ object PipelineQueries {
       .unionByName(plantedVariantRecords(s, dir))
     def keyed(k: Column) = all.select(col("rec_id"), col("name"),
       k.as("bk"))
+    // materialize the capped two-key block relation ONCE (r21, guide
+    // §5/§2.4): the pair self-join reads it twice and each side's
+    // lineage re-derived the planted-name scans — q176's executed plan
+    // read documents.parquet 16 times (2 planted scans × 2 keys ×
+    // 2 join sides, doubled by the cap's count window) through
+    // over-split 128-task stages; q285 paid the same lineage inside its
+    // contraction checkpoint job. 2 rows per record, record-bounded.
+    // Plan evidence: plans/r21/q176_* — 16 parquet scans → 0, 8
+    // exchanges → 4
     val blocks = graft.ops.Dedup.capBlockRows(
       keyed(substring(col("name"), 1, 3))
         .unionByName(keyed(substring(col("name"), -3, 3))),
       Seq("bk"), maxBlock = 1000)
+      .localCheckpoint(true)
     val l = blocks.select(col("bk"), col("rec_id").as("id1"),
       col("name").as("n1"))
     val r = blocks.select(col("bk"), col("rec_id").as("id2"),

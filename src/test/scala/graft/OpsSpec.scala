@@ -4041,6 +4041,18 @@ class OpsSpec extends SparkSpec {
     val auditN = Graph.cooccurrenceAudit(withNulls, "b", "i", maxBasket = 3)
       .as[(Long, Long)].collect().toSeq
     assert(auditN === Seq((7L, 4L)))
+    // generic item type through the capped collector's serialize/merge
+    // path: string items spread over many partitions (partial buffers
+    // cross the exchange as serialized bytes; UTF8String values must be
+    // copied out of reused row buffers)
+    val strRows = (1 to 40).flatMap(b =>
+      Seq("x", "y", "z", "x").map(i => (b.toLong, s"$i$b")))
+      .toDF("b", "i").repartition(8)
+    val coS = Graph.cooccurrence(strRows, "b", "i", maxBasket = 3)
+      .as[(String, String, Long)].collect().toSeq
+    // every basket {x<b>, y<b>, z<b>} (x dup deduped) gives its 3 pairs
+    assert(coS.length === 120 && coS.forall(_._3 == 1L))
+    assert(coS.contains(("x7", "y7", 1L)) && coS.contains(("y7", "z7", 1L)))
   }
 
   test("quantileNormalize: pooled distribution law, deterministic ties, binned sibling within one bin width") {

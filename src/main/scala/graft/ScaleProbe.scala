@@ -603,6 +603,12 @@ object ScaleProbe {
       "production sibling is q209_wmedian_binned"),
     "q248_quantile_norm" -> ("exact comparator: the documented GLOBAL " +
       "row sort; production is q249_quantile_norm_binned"),
+    "q295_cross_neardup_removed" -> ("in-gate per-call index FIT: the " +
+      "gate builds the band index over the base slice, retracts, then " +
+      "probes — its ratio prices the base-proportional build (the " +
+      "maint_rebuild contrast class, ~10x honest at 10x rows), not a " +
+      "stored-door probe; r20/r21 clean sweeps read 4.6x/5.5x, riding " +
+      "the 5x line"),
     "q67_split_leakage" -> PairGenNote,
     "q45_sketch_similarity" -> PairGenNote,
     "q254_jaccard_join_audit" -> PairGenNote,
